@@ -1,0 +1,195 @@
+"""Deduplication operators (Layer C): exact, n-gram Jaccard, MinHash+LSH,
+SimHash — the dedup ladder of a 100 TB training-data pipeline.
+
+Design: every variant reduces to groupBy/join on a *derived key* (hash,
+band bucket, simhash prefix) so the heavy lifting is a co-partitioned
+shuffle, never a cross join. Exact Jaccard is kept for verification and
+as the DuckDB-oracle-able query; MinHash/SimHash are the scale path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ed_clickhouse_spark.operators.text import fingerprint
+
+# MinHash parameters: h_i(x) = (a_i * x + b_i) mod P. P is the Mersenne
+# prime 2^31-1 so a*x stays under 2^63 (Spark 4 runs ANSI arithmetic —
+# a silent overflow would instead be a runtime error).
+_P = (1 << 31) - 1
+_N_HASHES = 32
+_N_BANDS = 8  # 8 bands x 4 rows: catches Jaccard >~ 0.5 w.h.p.
+# Deterministic (a, b) pairs — fixed seed, public mix constants.
+_AB = [
+    (((2 * i + 1) * 0x9E3779B9) % _P or 1, ((i * 0xBF58476D) + 7) % _P)
+    for i in range(_N_HASHES)
+]
+
+
+def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
+    """Exact dedup: canonical row per distinct text = the min id.
+    groupBy on a fingerprint hash (not the full text) so the shuffle key
+    is 16 bytes, not the document body."""
+    fp = fingerprint(text_col)
+    w = W.partitionBy("__fp").orderBy(id_col)
+    return (
+        df.withColumn("__fp", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("dup_count", F.count("*").over(W.partitionBy("__fp")))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn", "__fp")
+    )
+
+
+def shingles(text_col: str = "text", n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles of a space-separated text column."""
+    toks = F.split(F.col(text_col), " ")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+        )
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    threshold: float = 0.5,
+) -> DataFrame:
+    """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >= thr).
+
+    Plan: explode distinct shingles -> self-join on shingle (only docs
+    sharing a shingle ever meet — candidate generation, not a cross join)
+    -> count co-occurrences -> jaccard = inter / (|A| + |B| - inter).
+    At 100 TB this is the verification tier; use minhash_lsh_pairs for
+    candidate pruning first and feed candidates here.
+    """
+    sh = (
+        df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("sh"))
+    )
+    sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.id") < F.col("b.id")))
+        .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    return (
+        pairs.join(F.broadcast(sa), "id_a")
+        .join(F.broadcast(sb), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(
+    df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
+) -> DataFrame:
+    """MinHash signatures: shingle -> xxhash64 -> k permutations
+    h_i = (a_i*x+b_i) mod P -> min per permutation. All JVM higher-order
+    functions over the shingle array — one pass, no shuffle at all."""
+    sh = shingles(text_col, n)
+    hashed = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+
+    def perm(a: int, b: int):
+        # closure factory: PySpark infers lambda arity by signature, so the
+        # hash constants must be captured, not extra parameters
+        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(_P)
+
+    sig = F.array(*[F.array_min(F.transform(hashed, perm(a, b))) for a, b in _AB])
+    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_bands: int = _N_BANDS,
+) -> DataFrame:
+    """LSH candidate pairs: band the signature, bucket-join on
+    (band_idx, band_hash). Only same-bucket docs meet — the shuffle key is
+    the band hash, so cost scales with collisions, not n^2. Returns
+    candidate pairs with their estimated (signature) Jaccard."""
+    rows_per_band = _N_HASHES // n_bands
+    sigs = minhash_signatures(df, id_col, text_col, n)
+    bands = sigs.select(
+        "id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.xxhash64(
+                            F.concat_ws(
+                                ",",
+                                *[
+                                    F.element_at("sig", i * rows_per_band + j + 1).cast("string")
+                                    for j in range(rows_per_band)
+                                ],
+                            )
+                        ).alias("bh"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("b"),
+    ).select("id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.round(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.lit(float(_N_HASHES)),
+        6,
+    )
+    return cand.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over whitespace tokens: per bit, sum +/-1 weighted
+    by token-hash bit, sign -> bit. Computed JVM-side by aggregating
+    per-bit counts with higher-order functions (no UDF, no shuffle)."""
+    toks = F.array_distinct(F.split(F.col(text_col), " "))
+    hashes = F.transform(toks, lambda tok: F.xxhash64(tok))
+    n_tok = F.size(toks)
+
+    def bit_count(i: int):
+        # number of tokens whose hash has bit i set (i is a Python int, so
+        # the shift amounts stay literal and codegen-able)
+        return F.size(
+            F.filter(
+                hashes,
+                lambda h: F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1,
+            )
+        )
+
+    # bit i of the simhash = 1 iff the majority of token hashes set bit i
+    sim = F.lit(0).cast("bigint")
+    for i in range(64):
+        sim = sim + F.when(
+            bit_count(i) * 2 > n_tok, F.lit(1 << i if i < 63 else -(1 << 63)).cast("bigint")
+        ).otherwise(F.lit(0).cast("bigint"))
+    return df.select(F.col(id_col).alias("id"), sim.alias("simhash"))

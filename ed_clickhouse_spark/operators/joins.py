@@ -1,0 +1,128 @@
+"""Join operators beyond Spark's built-ins (SURVEY.md §2 B3).
+
+The reference's schema is a star of event families sharing user/session
+keys and content keys (``dto.proto:9-11``, ``migrations/006_…:20-21``);
+these helpers cover the two join shapes Spark SQL has no primitive for:
+as-of (latest-state-before) and bounded range joins.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: list[str],
+    how: str = "left",
+) -> DataFrame:
+    """As-of join: for each left row, the latest right row with
+    ``right_ts <= left_ts`` within the same ``on`` keys.
+
+    Implementation is the union+window pattern: tag both sides, union on a
+    common schema, sort within each key by time, and carry the most recent
+    right-side values forward with ``last(..., ignorenulls=True)``.
+
+    Scale: ONE shuffle on ``on`` (the window partition), no O(n*m)
+    expansion — vs. a naive range-join + row_number which shuffles both
+    sides AND explodes intermediate pairs. Matches DuckDB ``ASOF JOIN``
+    semantics (a right row with equal timestamp is eligible).
+    """
+    lcols = left.columns
+    tagged_left = left.select(
+        *[F.col(c) for c in lcols],
+        F.lit(1).alias("__is_left"),
+        F.col(left_ts).alias("__ts"),
+        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+    )
+    tagged_right = right.select(
+        *[
+            (F.col(c) if c in on else F.lit(None).cast(left.schema[c].dataType)).alias(c)
+            for c in lcols
+        ],
+        F.lit(0).alias("__is_left"),
+        F.col(right_ts).alias("__ts"),
+        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    # Right rows sort before left rows at equal __ts so an equal-timestamp
+    # right row is visible to the left row (ASOF '>=', DuckDB-compatible).
+    w = (
+        W.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    filled = unioned.select(
+        *lcols,
+        "__is_left",
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}") for c in right_cols],
+    )
+    out = filled.filter(F.col("__is_left") == 1).select(
+        *lcols, *[F.col(f"__m_{c}").alias(c) for c in right_cols]
+    )
+    if how == "inner":
+        out = out.na.drop(subset=[right_cols[0]])
+    return out
+
+
+def range_join(
+    left: DataFrame, right: DataFrame, on: list[str], cond: Column
+) -> DataFrame:
+    """Equi + range join: hash join on ``on`` keys with the range
+    condition applied inside the join. Use when the equi keys are
+    selective; for key-free interval joins use
+    :func:`range_join_bucketed`."""
+    jc = cond
+    for k in on:
+        jc = (left[k] == right[k]) & jc
+    return left.join(right, jc)
+
+
+def range_join_bucketed(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    right_lo: str,
+    right_hi: str,
+    bucket_seconds: int,
+) -> DataFrame:
+    """Key-free interval join (``right_lo <= left_ts <= right_hi``) via
+    time bucketing: the right side is replicated into every bucket its
+    interval overlaps (``sequence`` + ``explode``), the left side maps to
+    its single bucket, and the two equi-join on the bucket id.
+
+    Scale: turns an O(n*m) broadcast-nested-loop into a co-partitioned
+    hash join; replication factor = interval_len / bucket_seconds, so
+    pick ``bucket_seconds`` ~ the typical interval length. Each (l, r)
+    match is produced exactly once (the left row lives in one bucket).
+    """
+    lb = (F.unix_timestamp(F.col(left_ts)) / bucket_seconds).cast("bigint")
+    rlo = (F.unix_timestamp(F.col(right_lo)) / bucket_seconds).cast("bigint")
+    rhi = (F.unix_timestamp(F.col(right_hi)) / bucket_seconds).cast("bigint")
+    lbk = left.withColumn("__bucket", lb)
+    rbk = right.withColumn("__bucket", F.explode(F.sequence(rlo, rhi)))
+    out = lbk.join(rbk, "__bucket").filter(
+        (F.col(left_ts) >= F.col(right_lo)) & (F.col(left_ts) <= F.col(right_hi))
+    )
+    return out.drop("__bucket")
+
+
+def topk_per_group(
+    df: DataFrame, keys: list[str], order: list[Column], k: int
+) -> DataFrame:
+    """Top-k rows per group (row_number pattern). Pass a total order
+    (include a unique tiebreaker) for deterministic output. Spark 3.5+
+    inserts a WindowGroupLimit before the shuffle so only k rows per key
+    per input partition move."""
+    w = W.partitionBy(*keys).orderBy(*order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )

@@ -1,0 +1,134 @@
+"""Similarity search over embedding columns (Layer C).
+
+Two tiers, as a 100 TB pipeline needs:
+  * brute-force cosine top-k — exact, O(n*q); fine when the query set is
+    small (broadcast) or as the verification tier;
+  * LSH-bucketed (random hyperplane signs) — candidates meet only inside
+    a bucket; recall tuned by n_planes/n_tables.
+
+Dot products run JVM-side via zip_with + aggregate (whole-stage codegen),
+never per-row Python.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ed_clickhouse_spark.operators.joins import topk_per_group
+
+
+def _dot(a: str | Column, b: str | Column) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    b = F.col(b) if isinstance(b, str) else b
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: str | Column) -> Column:
+    a = F.col(a) if isinstance(a, str) else a
+    return F.sqrt(
+        F.aggregate(F.transform(a, lambda x: x * x), F.lit(0.0), lambda acc, v: acc + v)
+    )
+
+
+def cosine(a: str | Column, b: str | Column) -> Column:
+    """Cosine similarity between two array<double> columns (JVM fold —
+    deterministic left-to-right summation order)."""
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+    round_to: int = 6,
+) -> DataFrame:
+    """Exact top-k cosine neighbors: broadcast the (small) query side
+    against the corpus, score JVM-side, rank per query.
+
+    Scale: the corpus never shuffles for scoring — each partition scores
+    against the broadcast queries and keeps a per-partition top-k via
+    WindowGroupLimit before the final per-query merge."""
+    joined = corpus.crossJoin(F.broadcast(queries)).filter(F.col(q_id) != F.col(c_id))
+    scored = joined.select(
+        q_id,
+        c_id,
+        F.round(cosine(q_vec, c_vec), round_to).alias("cos_sim"),
+    )
+    return topk_per_group(
+        scored, keys=[q_id], order=[F.col("cos_sim").desc(), F.col(c_id)], k=k
+    )
+
+
+def lsh_bucket_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    dim: int,
+    n_planes: int = 12,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH — sign pattern of
+    ``n_planes`` fixed pseudo-random projections is the bucket key; score
+    only same-bucket pairs. Deterministic planes (hash-seeded), so results
+    are reproducible run-to-run.
+
+    Scale: replaces the cross join with an equi join on the bucket id —
+    shuffle cost O(n), candidate cost O(sum of bucket^2 sizes)."""
+    planes = _pseudo_planes(n_planes, dim)
+
+    def signature(vec: str) -> Column:
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec),
+                        F.array(*[F.lit(w) for w in plane]),
+                        lambda x, y: x * y,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                >= 0,
+                F.lit("1"),
+            ).otherwise(F.lit("0"))
+            for plane in planes
+        ]
+        return F.concat(*bits)
+
+    qb = queries.withColumn("__bucket", signature(q_vec))
+    cb = corpus.withColumn("__bucket", signature(c_vec))
+    joined = cb.join(F.broadcast(qb), "__bucket").filter(F.col(q_id) != F.col(c_id))
+    scored = joined.select(
+        q_id, c_id, F.round(cosine(q_vec, c_vec), 6).alias("cos_sim")
+    )
+    return topk_per_group(
+        scored, keys=[q_id], order=[F.col("cos_sim").desc(), F.col(c_id)], k=k
+    )
+
+
+def _pseudo_planes(n_planes: int, dim: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from a splitmix64-style
+    integer mix (public constants) — no numpy RNG state, reproducible."""
+    planes = []
+    for p in range(n_planes):
+        row = []
+        for d in range(dim):
+            z = (p * 1_000_003 + d + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF
+            z = (z ^ (z >> 27)) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
+            z = z ^ (z >> 31)
+            row.append((z / 2**64) * 2.0 - 1.0)
+        planes.append(row)
+    return planes

@@ -1,0 +1,107 @@
+"""Text-analysis operators (Layer C, SURVEY.md §2): tokenization,
+language-ID heuristic, quality scoring, fingerprinting — the
+training-data-pipeline ops over the ``documents`` table.
+
+All JVM-side built-ins (split / higher-order array fns / regexp);
+no Python UDFs — at 100 TB these run inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword-overlap
+# language-ID heuristic (public-knowledge lists, deliberately short).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "es", "se", "no"],
+    "de": ["der", "die", "und", "das", "ist", "von", "mit", "den", "nicht", "ein"],
+    "fr": ["le", "la", "de", "et", "les", "des", "est", "un", "une", "que"],
+    "zh": ["的", "是", "了", "在", "和", "有", "我", "不", "这", "为"],
+}
+
+BPE_ISH_TOKEN_RE = r"[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9\s]"
+
+
+def tokens(text_col: str | Column = "text") -> Column:
+    """Whitespace tokens (the documents table is space-separated)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(c, " ")
+
+
+def token_count(text_col: str | Column = "text") -> Column:
+    """Whitespace token count without materializing the array."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.split(c, " ")).cast("bigint")
+
+
+def bpe_ish_token_count(text_col: str | Column = "text") -> Column:
+    """BPE-ish token estimate: alpha runs, digit runs, and single
+    punctuation marks each count as one token (regexp-based)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.size(F.regexp_extract_all(c, F.lit(BPE_ISH_TOKEN_RE), F.lit(0))).cast("bigint")
+
+
+def language_id(text_col: str | Column = "text") -> Column:
+    """Stopword-overlap language ID: the language whose stopword list hits
+    the most tokens; 'und' (undetermined) when nothing hits. Deterministic
+    tie-break: higher count wins, then lexicographic language code."""
+    toks = F.array_distinct(tokens(text_col))
+    scored = F.array(
+        *[
+            F.struct(
+                F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in ws]))).alias("hits"),
+                # negate the code ordering trick: array_max picks max struct
+                # lexicographically (hits, code) — ties break to the LARGEST
+                # code, so invert by sorting below instead.
+                F.lit(code).alias("code"),
+            )
+            for code, ws in sorted(STOPWORDS.items())
+        ]
+    )
+    # max by (hits asc, code desc) so ties resolve to lexicographically
+    # smallest code: sort and take the element with max hits / min code.
+    best = F.aggregate(
+        scored,
+        F.struct(F.lit(-1).alias("hits"), F.lit("zz").alias("code")),
+        lambda acc, x: F.when(
+            (x["hits"] > acc["hits"]),
+            x,
+        ).otherwise(acc),
+    )
+    return F.when(best["hits"] > 0, best["code"]).otherwise(F.lit("und"))
+
+
+def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword-ratio quality features + a score
+    in [0,1] — the heuristic-filter stage of a training-data pipeline."""
+    toks = tokens(text_col)
+    n_tok = F.size(toks)
+    all_stop = F.array(*[F.lit(w) for ws in STOPWORDS.values() for w in ws])
+    n_stop = F.size(F.array_intersect(F.array_distinct(toks), all_stop))
+    n_punct = F.size(F.regexp_extract_all(F.col(text_col), F.lit(r"[^\w\s]"), F.lit(0)))
+    avg_tok_len = F.when(
+        n_tok > 0, (F.length(F.col(text_col)) - (n_tok - 1)) / n_tok
+    ).otherwise(F.lit(0.0))
+    score = F.round(
+        F.least(F.lit(1.0), n_tok / F.lit(100.0)) * 0.5
+        + F.when(avg_tok_len.between(3, 10), 0.3).otherwise(0.0)
+        + F.least(F.lit(0.2), n_stop / F.lit(50.0)),
+        6,
+    )
+    return df.select(
+        "*",
+        n_tok.cast("bigint").alias("n_tokens"),
+        n_stop.cast("bigint").alias("n_stopwords"),
+        n_punct.cast("bigint").alias("n_punct"),
+        F.round(avg_tok_len, 6).alias("avg_token_len"),
+        score.alias("quality_score"),
+    )
+
+
+def fingerprint(text_col: str | Column = "text") -> Column:
+    """Deterministic document fingerprint (md5 of normalized text) for
+    exact-dup detection across shards — same spelling in any engine."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(F.trim(F.regexp_replace(c, r"\s+", " ")))

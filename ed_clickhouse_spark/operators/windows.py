@@ -1,0 +1,77 @@
+"""Window-based operators (SURVEY.md §2 B5): sessionization and funnel —
+the two event-analytics idioms ClickHouse spells as special functions
+(sessionization via its ORDER BY design + ``windowFunnel``) and Spark
+expresses as window compositions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+
+def sessionize(
+    df: DataFrame, user_col: str, ts_col: str, gap_seconds: int
+) -> DataFrame:
+    """Assign a session id per user: a new session starts when the gap
+    from the previous event exceeds ``gap_seconds``.
+
+    lag -> gap flag -> running sum (the classic pattern). One shuffle on
+    ``user_col``; both window functions share the same partitioning so
+    Catalyst evaluates them in a single Window node. At 100 TB the same
+    logic runs incrementally as Structured Streaming
+    ``session_window(ts, gap)``.
+    Adds columns: ``session_seq`` (1..n per user), ``is_session_start``.
+    """
+    w = W.partitionBy(user_col).orderBy(ts_col)
+    gap = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(F.lag(ts_col).over(w))
+    is_start = F.when(gap.isNull() | (gap > gap_seconds), 1).otherwise(0)
+    return df.withColumn("is_session_start", is_start).withColumn(
+        "session_seq",
+        F.sum("is_session_start").over(w.rowsBetween(W.unboundedPreceding, 0)),
+    )
+
+
+def funnel(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """ClickHouse ``windowFunnel``-style ordered-sequence match: per user,
+    the number of funnel ``steps`` completed in order (each step strictly
+    after the previous step's first completion).
+
+    Pure aggregation — no UDF: step 1 time is ``min(ts) filter step1``;
+    step k time is ``min(ts) filter (event=step_k and ts > t_{k-1})``,
+    computed as a chain of conditional aggregates over collect_list via
+    higher-order functions. One shuffle on ``user_col``.
+
+    Returns (user_col, funnel_steps) with funnel_steps in 0..len(steps).
+    """
+    # Collect each user's (ts, event) pairs once, then fold the step chain
+    # JVM-side with higher-order array functions — no Python per row.
+    pairs = F.array_sort(
+        F.collect_list(F.struct(F.col(ts_col).alias("ts"), F.col(event_col).alias("ev")))
+    )
+    agg = df.filter(F.col(event_col).isin(steps)).groupBy(user_col).agg(pairs.alias("evs"))
+
+    # Iteratively compute t_k = min ts of step k events strictly after t_{k-1}.
+    out = agg
+    prev_t = None
+    for i, step in enumerate(steps):
+        cond = f"x.ev = '{step}'" if prev_t is None else f"x.ev = '{step}' AND x.ts > {prev_t}"
+        tcol = f"__t{i}"
+        out = out.withColumn(
+            tcol,
+            F.expr(f"array_min(transform(filter(evs, x -> {cond}), x -> x.ts))"),
+        )
+        prev_t = tcol
+    # deepest completed step wins: the when for step k must be checked
+    # before step k-1, so build inside-out (step 0 innermost).
+    expr = F.lit(0)
+    for i in range(len(steps)):
+        expr = F.when(F.col(f"__t{i}").isNotNull(), F.lit(i + 1)).otherwise(expr)
+    return out.select(user_col, expr.alias("funnel_steps"))

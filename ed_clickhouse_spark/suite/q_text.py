@@ -1,0 +1,198 @@
+"""Text-analysis + array-function surface (Layer C text ops + SURVEY.md
+§2 B8-array) over the ``documents`` table — the heuristics stage of a
+training-data pipeline: token stats, quality scores, language ID,
+fingerprints."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ed_clickhouse_spark.operators.text import (
+    BPE_ISH_TOKEN_RE,
+    STOPWORDS,
+    bpe_ish_token_count,
+    fingerprint,
+    language_id,
+    quality_features,
+    token_count,
+    tokens,
+)
+from ed_clickhouse_spark.suite import query
+from ed_clickhouse_spark.suite._util import t
+
+
+@query(
+    "q37_array_ops",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+           list_contains(string_split(text, ' '), 'spark') AS has_spark,
+           array_to_string(list_sort(list_distinct(string_split(text, ' ')))[1:3], ',') AS first3_tokens
+    FROM documents
+    WHERE lang = 'en'
+    """,
+)
+def q37_array_ops(spark, sf_dir):
+    """Array ops over tokenized text: size / array_distinct /
+    array_contains / sort+slice (ClickHouse arrayJoin/has family —
+    SURVEY §2 B8 maps genres/labels arrays, migrations/009:24-27)."""
+    d = t(spark, sf_dir, "documents")
+    toks = tokens("text")
+    return d.filter(F.col("lang") == "en").select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.array_join(F.slice(F.sort_array(F.array_distinct(toks)), 1, 3), ",").alias(
+            "first3_tokens"
+        ),
+    )
+
+
+@query(
+    "q38_explode_tokens",
+    oracle="""
+    SELECT token, COUNT(*) AS n, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+    GROUP BY token
+    HAVING COUNT(*) >= 100
+    """,
+)
+def q38_explode_tokens(spark, sf_dir):
+    """explode ≙ ClickHouse arrayJoin: corpus token frequencies.
+    At 100 TB: explode -> partial agg keeps the shuffle at distinct-token
+    cardinality, not token instances."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"), F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n") >= 100)
+    )
+
+
+@query(
+    "q39_lang_stats",
+    oracle="""
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           MIN(n_chars) AS min_chars,
+           MAX(n_chars) AS max_chars
+    FROM documents
+    GROUP BY 1, 2
+    """,
+)
+def q39_lang_stats(spark, sf_dir):
+    """Corpus composition stats by language and source."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("lang", "source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count("*")).alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
+
+
+_ALL_STOP_SQL = "[" + ", ".join(
+    f"'{w}'" for ws in STOPWORDS.values() for w in ws
+) + "]"
+
+@query(
+    "q40_quality_score",
+    oracle=f"""
+    WITH f AS (
+      SELECT doc_id, lang, text,
+             len(string_split(text, ' ')) AS n_tokens,
+             len(list_intersect(list_distinct(string_split(text, ' ')), {_ALL_STOP_SQL})) AS n_stopwords,
+             len(regexp_extract_all(text, '[^\\w\\s]')) AS n_punct,
+             CASE WHEN len(string_split(text, ' ')) > 0
+                  THEN ROUND((length(text) - (len(string_split(text, ' ')) - 1)) * 1.0 / len(string_split(text, ' ')), 6)
+                  ELSE 0.0 END AS avg_token_len
+      FROM documents
+    )
+    SELECT doc_id, lang, n_tokens, n_stopwords, n_punct, avg_token_len,
+           ROUND(LEAST(1.0, n_tokens / 100.0) * 0.5
+                 + CASE WHEN avg_token_len BETWEEN 3 AND 10 THEN 0.3 ELSE 0.0 END
+                 + LEAST(0.2, n_stopwords / 50.0), 6) AS quality_score
+    FROM f
+    """,
+)
+def q40_quality_score(spark, sf_dir):
+    """Heuristic quality features + score (length/punct/stopword ratios) —
+    the filter stage of an LLM-data pipeline; all codegen'd built-ins."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    return quality_features(d).select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_stopwords",
+        "n_punct",
+        F.round("avg_token_len", 6).alias("avg_token_len"),
+        "quality_score",
+    )
+
+
+@query(
+    "q41_token_counts",
+    oracle=f"""
+    SELECT source,
+           SUM(len(string_split(text, ' '))) AS total_ws_tokens,
+           SUM(len(regexp_extract_all(text, '{BPE_ISH_TOKEN_RE}'))) AS total_bpe_tokens,
+           COUNT(*) AS n_docs
+    FROM documents
+    GROUP BY source
+    """,
+)
+def q41_token_counts(spark, sf_dir):
+    """Corpus token budgets per source: whitespace + BPE-ish regex
+    tokenization (token-count accounting for training-data sizing)."""
+    d = t(spark, sf_dir, "documents")
+    return d.groupBy("source").agg(
+        F.sum(token_count("text")).alias("total_ws_tokens"),
+        F.sum(bpe_ish_token_count("text")).alias("total_bpe_tokens"),
+        F.count("*").alias("n_docs"),
+    )
+
+
+@query(
+    "q42_fingerprint_dups",
+    oracle="""
+    SELECT md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+           COUNT(*) AS n_copies,
+           MIN(doc_id) AS canonical_doc_id,
+           list_sort(list(doc_id)) AS doc_ids
+    FROM documents
+    GROUP BY 1
+    HAVING COUNT(*) > 1
+    """,
+)
+def q42_fingerprint_dups(spark, sf_dir):
+    """Document fingerprinting (md5 of whitespace-normalized text) —
+    exact-dup groups; the cheap first tier of the dedup ladder."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(fingerprint("text").alias("fp"), "doc_id")
+        .groupBy("fp")
+        .agg(
+            F.count("*").alias("n_copies"),
+            F.min("doc_id").alias("canonical_doc_id"),
+            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+        )
+        .filter(F.col("n_copies") > 1)
+    )
+
+
+@query("q43_language_id")  # heuristic — no SQL oracle; unit-tested instead
+def q43_language_id(spark, sf_dir):
+    """Stopword-overlap language ID vs the labeled lang column —
+    returns the confusion counts (predicted x actual)."""
+    d = t(spark, sf_dir, "documents")
+    return (
+        d.select(F.col("lang").alias("actual"), language_id("text").alias("predicted"))
+        .groupBy("actual", "predicted")
+        .agg(F.count("*").alias("n"))
+    )

@@ -1,0 +1,203 @@
+"""Window-function surface (SURVEY.md §2 B5): ranking, lag/lead,
+running frames, ntile, sessionization, funnel — the sessionized
+time-ordered analytics the reference's ``(timestamp, event_name)``
+MergeTree ordering is designed for (``migrations/007_…:5,7,18``)."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ed_clickhouse_spark.operators.joins import topk_per_group
+from ed_clickhouse_spark.operators.windows import funnel, sessionize
+from ed_clickhouse_spark.suite import query
+from ed_clickhouse_spark.suite._util import dec, t
+
+
+@query(
+    "q27_topk_per_group",
+    oracle="""
+    SELECT p_brand, p_partkey, p_name, p_retailprice
+    FROM (SELECT p_brand, p_partkey, p_name, p_retailprice,
+                 ROW_NUMBER() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey) AS rn
+          FROM part) x
+    WHERE rn <= 3
+    """,
+)
+def q27_topk_per_group(spark, sf_dir):
+    """Top-3 parts by price per brand — engine helper topk_per_group
+    (row_number pattern; WindowGroupLimit keeps the shuffle at k rows/key)."""
+    p = t(spark, sf_dir, "part")
+    return topk_per_group(
+        p.select("p_brand", "p_partkey", "p_name", "p_retailprice"),
+        keys=["p_brand"],
+        order=[F.col("p_retailprice").desc(), F.col("p_partkey")],
+        k=3,
+    )
+
+
+@query(
+    "q28_lag_gap",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_gaps,
+           CAST(MIN(gap_s) AS BIGINT) AS min_gap_s,
+           CAST(MAX(gap_s) AS BIGINT) AS max_gap_s,
+           CAST(SUM(gap_s) AS BIGINT) AS total_gap_s
+    FROM (SELECT user_id,
+                 date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) AS gap_s
+          FROM events) x
+    WHERE gap_s IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def q28_lag_gap(spark, sf_dir):
+    """Inter-event gaps per user via lag — the session-stitching primitive."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    return (
+        e.withColumn("gap_s", gap)
+        .filter(F.col("gap_s").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_gaps"),
+            F.min("gap_s").alias("min_gap_s"),
+            F.max("gap_s").alias("max_gap_s"),
+            F.sum("gap_s").alias("total_gap_s"),
+        )
+    )
+
+
+@query(
+    "q29_running_sum",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2)))
+                OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS order_seq
+    FROM orders
+    """,
+)
+def q29_running_sum(spark, sf_dir):
+    """Cumulative spend per customer — running frame + row_number share
+    one window partitioning (single shuffle, single sort)."""
+    o = t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        F.sum(dec("o_totalprice"))
+        .over(w.rowsBetween(W.unboundedPreceding, 0))
+        .cast("double")
+        .alias("running_spend"),
+        F.row_number().over(w).alias("order_seq"),
+    )
+
+
+@query(
+    "q30_ntile_rank",
+    oracle="""
+    SELECT c_custkey, c_acctbal,
+           NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey) AS wealth_quartile,
+           RANK() OVER (ORDER BY c_mktsegment) AS seg_rank,
+           DENSE_RANK() OVER (ORDER BY c_mktsegment) AS seg_dense_rank
+    FROM customer
+    """,
+)
+def q30_ntile_rank(spark, sf_dir):
+    """ntile/rank/dense_rank. Note: a global (unpartitioned) window is a
+    single-reducer sort — fine for dimension tables, never for facts; at
+    scale use approx percentile buckets instead."""
+    c = t(spark, sf_dir, "customer")
+    w_bal = W.orderBy(F.col("c_acctbal").desc(), "c_custkey")
+    w_seg = W.orderBy("c_mktsegment")
+    return c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w_bal).alias("wealth_quartile"),
+        F.rank().over(w_seg).alias("seg_rank"),
+        F.dense_rank().over(w_seg).alias("seg_dense_rank"),
+    )
+
+
+@query(
+    "q31_sessionize",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) IS NULL
+                       OR date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    )
+    SELECT user_id,
+           CAST(SUM(is_start) AS BIGINT) AS n_sessions,
+           COUNT(*) AS n_events
+    FROM g GROUP BY user_id
+    """,
+)
+def q31_sessionize(spark, sf_dir):
+    """Sessionization (30-min inactivity gap) via the engine sessionize
+    operator; batch twin of streaming session_window(ts, '30 minutes')."""
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    s = sessionize(e, "user_id", "ts", 1800)
+    return s.groupBy("user_id").agg(
+        F.max("session_seq").cast("bigint").alias("n_sessions"),
+        F.count("*").alias("n_events"),
+    )
+
+
+@query(
+    "q32_funnel",
+    oracle="""
+    WITH t1 AS (SELECT user_id, MIN(ts) AS ts1 FROM events WHERE event_type = 'signup' GROUP BY user_id),
+         t2 AS (SELECT e.user_id, MIN(e.ts) AS ts2 FROM events e JOIN t1 ON e.user_id = t1.user_id
+                WHERE e.event_type = 'view' AND e.ts > t1.ts1 GROUP BY e.user_id),
+         t3 AS (SELECT e.user_id, MIN(e.ts) AS ts3 FROM events e JOIN t2 ON e.user_id = t2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY e.user_id)
+    SELECT u.user_id,
+           CASE WHEN t3.user_id IS NOT NULL THEN 3
+                WHEN t2.user_id IS NOT NULL THEN 2
+                WHEN t1.user_id IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_steps
+    FROM (SELECT DISTINCT user_id FROM events WHERE event_type IN ('signup','view','purchase')) u
+    LEFT JOIN t1 ON u.user_id = t1.user_id
+    LEFT JOIN t2 ON u.user_id = t2.user_id
+    LEFT JOIN t3 ON u.user_id = t3.user_id
+    """,
+)
+def q32_funnel(spark, sf_dir):
+    """ClickHouse windowFunnel ≙ engine funnel operator: steps completed
+    in order (signup -> view -> purchase), strictly increasing timestamps.
+    Single shuffle + JVM higher-order-function fold — no Python UDF."""
+    e = t(spark, sf_dir, "events")
+    return funnel(e, "user_id", "ts", "event_type", ["signup", "view", "purchase"])
+
+
+@query(
+    "q33_first_last_value",
+    oracle="""
+    SELECT DISTINCT user_id,
+           FIRST_VALUE(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS first_event,
+           LAST_VALUE(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_event
+    FROM events
+    """,
+)
+def q33_first_last_value(spark, sf_dir):
+    """first/last event per user (full-frame window + distinct)."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_event"),
+        F.last("event_type").over(w).alias("last_event"),
+    ).distinct()
