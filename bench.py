@@ -1,0 +1,70 @@
+"""Benchmark harness: run the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Timing counts full execution (collect) per query; the Spark session is
+warmed with a trivial action first so JVM startup isn't attributed to q1.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from ed_clickhouse_spark.session import get_spark
+from ed_clickhouse_spark.suite import QUERIES
+
+HEADLINE = [
+    "q01_pricing_summary",   # scan + 8-agg groupBy
+    "q05_events_dau",        # distinct users per day
+    "q14_time_window",       # tumbling window agg
+    "q20_star_join_revenue", # 5-way star join
+    "q24_asof_join",         # as-of join (union+window)
+    "q25_range_join",        # interval join
+    "q29_running_sum",       # window frames
+    "q32_funnel",            # ordered-sequence match
+    "q44_dedup_exact",       # fingerprint dedup
+    "q45_jaccard_pairs",     # n-gram near-dup pairs
+    "q46_minhash_lsh",       # minhash LSH candidates
+    "q48_ann_cosine_topk",   # brute-force ANN
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    spark = get_spark("bench")
+    spark.range(1).count()  # JVM warm-up
+
+    per_query: dict[str, float] = {}
+    total = 0.0
+    for name in HEADLINE:
+        fn = QUERIES[name]
+        t0 = time.perf_counter()
+        # count() executes the full plan without driver-side row transfer
+        n = fn(spark, sf_dir).count()
+        dt = round(time.perf_counter() - t0, 3)
+        per_query[name] = dt
+        total += dt
+        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_time",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": per_query,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -98,18 +98,28 @@ def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """MinHash signatures: shingle -> xxhash64 -> k permutations
-    h_i = (a_i*x+b_i) mod P -> min per permutation. All JVM higher-order
-    functions over the shingle array — one pass, no shuffle at all."""
-    sh = shingles(text_col, n)
-    hashed = F.transform(sh, lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
+    h_i = (a_i*x+b_i) mod P -> min per permutation.
 
-    def perm(a: int, b: int):
-        # closure factory: PySpark infers lambda arity by signature, so the
-        # hash constants must be captured, not extra parameters
-        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(_P)
+    Implemented as explode -> groupBy(id) with k partial-min aggregates
+    (NOT as k higher-order transforms over the shingle array: Catalyst's
+    CollapseProject would inline the shingle expression into every
+    permutation, a k-fold recompute — measured 30x slower). Partial mins
+    combine map-side, so the shuffle carries k longs per doc.
 
-    sig = F.array(*[F.array_min(F.transform(hashed, perm(a, b))) for a, b in _AB])
-    return df.select(F.col(id_col).alias("id"), sig.alias("sig"))
+    Note: a doc with no shingles (empty text) has no signature row."""
+    exploded = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("sh")
+    )
+    hashes = exploded.select("id", F.pmod(F.xxhash64("sh"), F.lit(_P)).alias("h"))
+    mins = hashes.groupBy("id").agg(
+        *[
+            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"__m{i}")
+            for i, (a, b) in enumerate(_AB)
+        ]
+    )
+    return mins.select(
+        "id", F.array(*[F.col(f"__m{i}") for i in range(_N_HASHES)]).alias("sig")
+    )
 
 
 def minhash_lsh_pairs(

@@ -73,59 +73,69 @@ def lsh_bucket_topk(
     corpus: DataFrame,
     k: int,
     dim: int,
-    n_planes: int = 12,
+    n_planes: int = 6,
+    n_tables: int = 4,
     q_id: str = "q_id",
     c_id: str = "c_id",
     q_vec: str = "q_vec",
     c_vec: str = "c_vec",
 ) -> DataFrame:
-    """Approximate top-k: random-hyperplane LSH — sign pattern of
-    ``n_planes`` fixed pseudo-random projections is the bucket key; score
-    only same-bucket pairs. Deterministic planes (hash-seeded), so results
-    are reproducible run-to-run.
+    """Approximate top-k: multi-table random-hyperplane LSH. Each of
+    ``n_tables`` hash tables keys on the sign pattern of ``n_planes``
+    fixed pseudo-random projections; a pair is a candidate if it collides
+    in ANY table (OR-construction — recall grows with tables, precision
+    with planes). Deterministic planes (hash-seeded) — reproducible.
 
-    Scale: replaces the cross join with an equi join on the bucket id —
-    shuffle cost O(n), candidate cost O(sum of bucket^2 sizes)."""
-    planes = _pseudo_planes(n_planes, dim)
-
+    Scale: replaces the cross join with an equi join on (table, bucket) —
+    shuffle cost O(n * n_tables), candidate cost = sum of bucket^2 sizes."""
     def signature(vec: str) -> Column:
-        bits = [
-            F.when(
-                F.aggregate(
-                    F.zip_with(
-                        F.col(vec),
-                        F.array(*[F.lit(w) for w in plane]),
-                        lambda x, y: x * y,
-                    ),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                )
-                >= 0,
-                F.lit("1"),
-            ).otherwise(F.lit("0"))
-            for plane in planes
-        ]
-        return F.concat(*bits)
+        # one (table_id, bucket_string) struct per table
+        entries = []
+        for t in range(n_tables):
+            planes = _pseudo_planes(n_planes, dim, seed=t)
+            bits = [
+                F.when(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col(vec),
+                            F.array(*[F.lit(w) for w in plane]),
+                            lambda x, y: x * y,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                    >= 0,
+                    F.lit("1"),
+                ).otherwise(F.lit("0"))
+                for plane in planes
+            ]
+            entries.append(
+                F.struct(F.lit(t).alias("tbl"), F.concat(*bits).alias("bkt"))
+            )
+        return F.explode(F.array(*entries))
 
-    qb = queries.withColumn("__bucket", signature(q_vec))
-    cb = corpus.withColumn("__bucket", signature(c_vec))
-    joined = cb.join(F.broadcast(qb), "__bucket").filter(F.col(q_id) != F.col(c_id))
-    scored = joined.select(
-        q_id, c_id, F.round(cosine(q_vec, c_vec), 6).alias("cos_sim")
+    qb = queries.withColumn("__b", signature(q_vec))
+    cb = corpus.withColumn("__b", signature(c_vec))
+    cand = (
+        cb.join(F.broadcast(qb), cb["__b"] == qb["__b"])
+        .filter(F.col(q_id) != F.col(c_id))
+        .select(q_id, c_id, q_vec, c_vec)
+        .dropDuplicates([q_id, c_id])
     )
+    scored = cand.select(q_id, c_id, F.round(cosine(q_vec, c_vec), 6).alias("cos_sim"))
     return topk_per_group(
         scored, keys=[q_id], order=[F.col("cos_sim").desc(), F.col(c_id)], k=k
     )
 
 
-def _pseudo_planes(n_planes: int, dim: int) -> list[list[float]]:
+def _pseudo_planes(n_planes: int, dim: int, seed: int = 0) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from a splitmix64-style
     integer mix (public constants) — no numpy RNG state, reproducible."""
     planes = []
     for p in range(n_planes):
         row = []
         for d in range(dim):
-            z = (p * 1_000_003 + d + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
+            z = ((seed * 7_368_787 + p) * 1_000_003 + d + 0x9E3779B97F4A7C15) & 0xFFFFFFFFFFFFFFFF
             z = (z ^ (z >> 30)) * 0xBF58476D1CE4E5B9 & 0xFFFFFFFFFFFFFFFF
             z = (z ^ (z >> 27)) * 0x94D049BB133111EB & 0xFFFFFFFFFFFFFFFF
             z = z ^ (z >> 31)

@@ -1,0 +1,116 @@
+"""Tests for the Layer C dedup + similarity operators: hash-based variants
+are validated against their exact counterparts (minhash vs true Jaccard,
+LSH vs brute force), which is the check the DuckDB oracle can't do."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from ed_clickhouse_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    simhash,
+)
+from ed_clickhouse_spark.operators.similarity import brute_force_topk, lsh_bucket_topk
+from ed_clickhouse_spark.suite._util import t
+
+
+def test_exact_dedup_keeps_min_id_and_counts(spark):
+    df = spark.createDataFrame(
+        [(3, "hello world"), (1, "hello world"), (2, "unique text"),
+         (5, "hello   world")],  # extra whitespace normalizes equal
+        "doc_id long, text string",
+    )
+    out = exact_dedup(df).collect()
+    got = {r["doc_id"]: r["dup_count"] for r in out}
+    assert got == {1: 3, 2: 1}
+
+
+def test_minhash_estimates_track_true_jaccard(spark, sf_dir):
+    docs = t(spark, sf_dir, "documents")
+    true = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, threshold=0.7).collect()
+    }
+    assert true, "fixture should contain near-dup pairs"
+    est = {
+        (r["id_a"], r["id_b"]): r["est_jaccard"]
+        for r in minhash_lsh_pairs(docs).collect()
+    }
+    # every strongly-similar pair must be found by LSH, with a sane estimate
+    for pair, j in true.items():
+        assert pair in est, f"LSH missed near-dup pair {pair} (jaccard={j})"
+        assert abs(est[pair] - j) < 0.35  # 32 perms -> sigma ~ 0.09
+
+
+def test_minhash_identical_docs_have_identical_signatures(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "x y z w v u t")],
+        "doc_id long, text string",
+    )
+    sigs = {r["id"]: r["sig"] for r in minhash_signatures(df).collect()}
+    assert sigs[1] == sigs[2]
+    assert sigs[1] != sigs[3]
+
+
+def test_simhash_near_docs_close_in_hamming(spark):
+    base = " ".join(f"tok{i}" for i in range(50))
+    near = " ".join(f"tok{i}" for i in range(49)) + " other"
+    far = " ".join(f"zzz{i}" for i in range(50))
+    df = spark.createDataFrame(
+        [(1, base), (2, near), (3, far)], "doc_id long, text string"
+    )
+    h = {r["id"]: r["simhash"] for r in simhash(df).collect()}
+
+    def hamming(a: int, b: int) -> int:
+        return bin((a ^ b) & ((1 << 64) - 1)).count("1")
+
+    assert hamming(h[1], h[2]) < hamming(h[1], h[3])
+    assert hamming(h[1], h[2]) <= 8
+
+
+def _qc(spark, sf_dir):
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    q = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec"))
+    return q, c
+
+
+def test_brute_force_topk_matches_numpy(spark, sf_dir):
+    np = pytest.importorskip("numpy")
+    emb = t(spark, sf_dir, "embeddings").select("vec_id", "embedding").collect()
+    vecs = {r["vec_id"]: np.array(r["embedding"], dtype=np.float64) for r in emb}
+    q, c = _qc(spark, sf_dir)
+    got = brute_force_topk(q, c, k=3).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r["q_id"], []).append((r["c_id"], r["cos_sim"]))
+    for qid, hits in by_q.items():
+        qv = vecs[qid]
+        sims = {
+            cid: float(qv @ v / (math.sqrt(qv @ qv) * math.sqrt(v @ v)))
+            for cid, v in vecs.items()
+            if cid != qid
+        }
+        expected = sorted(sims, key=lambda cid: (-round(sims[cid], 6), cid))[:3]
+        assert [cid for cid, _ in hits] == expected
+        for cid, s in hits:
+            assert abs(s - sims[cid]) < 1e-5
+
+
+def test_lsh_recall_vs_brute_force(spark, sf_dir):
+    q, c = _qc(spark, sf_dir)
+    exact = {(r["q_id"], r["c_id"]) for r in brute_force_topk(q, c, k=5).collect()}
+    approx = {(r["q_id"], r["c_id"]) for r in lsh_bucket_topk(q, c, k=5, dim=64).collect()}
+    recall = len(exact & approx) / len(exact)
+    # random 64-dim embeddings are a worst case for LSH; demand usable recall
+    assert recall >= 0.3, f"LSH recall too low: {recall}"

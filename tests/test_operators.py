@@ -1,0 +1,138 @@
+"""Unit tests for engine operators (joins, windows) on tiny in-memory
+DataFrames — semantics pinned against hand-computed expectations."""
+
+from __future__ import annotations
+
+from datetime import datetime
+
+from pyspark.sql import functions as F
+
+from ed_clickhouse_spark.operators.joins import (
+    asof_join,
+    range_join_bucketed,
+    topk_per_group,
+)
+from ed_clickhouse_spark.operators.windows import funnel, sessionize
+
+
+def ts(s: str) -> datetime:
+    return datetime.fromisoformat(s)
+
+
+def test_asof_join_basic(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), "p1"), (1, ts("2024-01-01 12:00:00"), "p2"),
+         (2, ts("2024-01-01 09:00:00"), "p3")],
+        "user_id int, lts timestamp, pid string",
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01 09:30:00"), "v1"), (1, ts("2024-01-01 11:00:00"), "v2"),
+         (2, ts("2024-01-01 09:30:00"), "v_late")],
+        "user_id int, rts timestamp, vid string",
+    )
+    out = asof_join(
+        left, right, on=["user_id"], left_ts="lts", right_ts="rts",
+        right_cols=["rts", "vid"],
+    )
+    got = {r["pid"]: r["vid"] for r in out.collect()}
+    # p1 at 10:00 sees v1 (09:30); p2 at 12:00 sees v2 (11:00);
+    # p3 at 09:00 predates all user-2 views -> null
+    assert got == {"p1": "v1", "p2": "v2", "p3": None}
+
+
+def test_asof_join_equal_ts_matches(spark):
+    left = spark.createDataFrame([(1, ts("2024-01-01 10:00:00"))], "k int, lts timestamp")
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), "same")], "k int, rts timestamp, v string"
+    )
+    out = asof_join(left, right, on=["k"], left_ts="lts", right_ts="rts", right_cols=["v"])
+    assert out.collect()[0]["v"] == "same"  # >= semantics, like DuckDB ASOF
+
+
+def test_asof_join_inner_drops_unmatched(spark):
+    left = spark.createDataFrame(
+        [(1, ts("2024-01-01 08:00:00")), (1, ts("2024-01-01 11:00:00"))],
+        "k int, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), "x")], "k int, rts timestamp, v string"
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts", right_cols=["v"], how="inner"
+    )
+    assert out.count() == 1
+
+
+def test_range_join_bucketed_equals_naive(spark):
+    left = spark.createDataFrame(
+        [(i, ts(f"2024-01-01 {h:02d}:30:00")) for i, h in enumerate([0, 3, 7, 12, 23])],
+        "lid int, lts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(100, ts("2024-01-01 00:00:00"), ts("2024-01-01 04:00:00")),
+         (200, ts("2024-01-01 06:00:00"), ts("2024-01-01 06:59:00")),
+         (300, ts("2024-01-01 11:00:00"), ts("2024-01-02 00:00:00"))],
+        "rid int, lo timestamp, hi timestamp",
+    )
+    naive = left.join(
+        right, (F.col("lts") >= F.col("lo")) & (F.col("lts") <= F.col("hi"))
+    ).select("lid", "rid")
+    bucketed = range_join_bucketed(left, right, "lts", "lo", "hi", 3600).select("lid", "rid")
+    assert sorted(map(tuple, naive.collect())) == sorted(map(tuple, bucketed.collect()))
+
+
+def test_topk_per_group(spark):
+    df = spark.createDataFrame(
+        [("a", 1, 10.0), ("a", 2, 30.0), ("a", 3, 20.0), ("b", 4, 5.0)],
+        "grp string, id int, v double",
+    )
+    out = topk_per_group(df, ["grp"], [F.col("v").desc(), F.col("id")], 2)
+    got = sorted((r["grp"], r["id"]) for r in out.collect())
+    assert got == [("a", 2), ("a", 3), ("b", 4)]
+
+
+def test_sessionize_gap(spark):
+    rows = [
+        (1, ts("2024-01-01 10:00:00")),
+        (1, ts("2024-01-01 10:10:00")),   # same session (gap 10m)
+        (1, ts("2024-01-01 11:30:00")),   # new session (gap 80m > 30m)
+        (2, ts("2024-01-01 09:00:00")),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp")
+    out = sessionize(df, "user_id", "ts", 1800)
+    per_user = (
+        out.groupBy("user_id").agg(F.max("session_seq").alias("n")).collect()
+    )
+    assert {r["user_id"]: r["n"] for r in per_user} == {1: 2, 2: 1}
+
+
+def test_funnel_order_matters(spark):
+    rows = [
+        # user 1: full ordered funnel
+        (1, ts("2024-01-01 10:00:00"), "signup"),
+        (1, ts("2024-01-01 10:05:00"), "view"),
+        (1, ts("2024-01-01 10:10:00"), "purchase"),
+        # user 2: purchase BEFORE signup/view -> only step 1+2 count
+        (2, ts("2024-01-01 09:00:00"), "purchase"),
+        (2, ts("2024-01-01 10:00:00"), "signup"),
+        (2, ts("2024-01-01 10:05:00"), "view"),
+        # user 3: signup only
+        (3, ts("2024-01-01 10:00:00"), "signup"),
+        # user 4: no funnel events at all -> absent from output
+        (4, ts("2024-01-01 10:00:00"), "click"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+    out = funnel(df, "user_id", "ts", "event_type", ["signup", "view", "purchase"])
+    got = {r["user_id"]: r["funnel_steps"] for r in out.collect()}
+    assert got == {1: 3, 2: 2, 3: 1}
+
+
+def test_funnel_strictly_after(spark):
+    # view at the SAME timestamp as signup does not count (strict >)
+    rows = [
+        (1, ts("2024-01-01 10:00:00"), "signup"),
+        (1, ts("2024-01-01 10:00:00"), "view"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+    out = funnel(df, "user_id", "ts", "event_type", ["signup", "view"])
+    assert out.collect()[0]["funnel_steps"] == 1
