@@ -1,0 +1,137 @@
+"""ClickHouse function spellings -> Spark semantics (SURVEY.md §2 B8/§4).
+
+A user of the reference stack queries these tables in ClickHouse SQL;
+this module keeps their vocabulary working in two layers:
+
+  * Python: functions with ClickHouse names delegating to the Spark
+    built-in (JVM expression — zero overhead, no UDF);
+  * SQL: ``register_sql_aliases(spark)`` creates temporary SQL functions
+    (Spark 4 SQL UDFs — inlined into the plan by Catalyst, still
+    codegen'd) for the scalar spellings; aggregate spellings that Spark
+    already has under another name are documented in AGG_ALIASES.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, SparkSession
+from pyspark.sql import functions as F
+
+# --- Python-level aliases (ClickHouse name -> Spark expression) ---------
+
+
+def uniq(col) -> Column:
+    """ClickHouse uniq() — approximate distinct (HLL++)."""
+    return F.approx_count_distinct(col)
+
+
+def uniqExact(col) -> Column:  # noqa: N802 (ClickHouse spelling)
+    return F.countDistinct(col)
+
+
+def countIf(cond: Column) -> Column:  # noqa: N802
+    return F.count_if(cond)
+
+
+def sumIf(col, cond: Column) -> Column:  # noqa: N802
+    # coerce: F.when treats a bare string as a literal, not a column ref
+    c = F.col(col) if isinstance(col, str) else col
+    return F.sum(F.when(cond, c))
+
+
+def argMax(value, by) -> Column:  # noqa: N802
+    return F.max_by(value, by)
+
+
+def argMin(value, by) -> Column:  # noqa: N802
+    return F.min_by(value, by)
+
+
+def quantile(col, q: float) -> Column:
+    """ClickHouse quantile() is approximate by default — map to the
+    sketch-mergeable percentile_approx (use F.percentile for exact)."""
+    return F.percentile_approx(col, q)
+
+
+def groupArray(col) -> Column:  # noqa: N802
+    return F.collect_list(col)
+
+
+def groupUniqArray(col) -> Column:  # noqa: N802
+    return F.collect_set(col)
+
+
+def has(arr, value) -> Column:
+    return F.array_contains(arr, value)
+
+
+def hasAny(a, b) -> Column:  # noqa: N802
+    return F.arrays_overlap(a, b)
+
+
+def arrayJoin(col) -> Column:  # noqa: N802
+    """ClickHouse arrayJoin ≙ explode (usable in select, one per query)."""
+    return F.explode(col)
+
+
+def toStartOfDay(col) -> Column:  # noqa: N802
+    return F.date_trunc("day", col)
+
+
+def toStartOfHour(col) -> Column:  # noqa: N802
+    return F.date_trunc("hour", col)
+
+
+def JSONExtractString(col, key: str) -> Column:  # noqa: N802
+    return F.get_json_object(col, f"$.{key}")
+
+
+def multiIf(*args) -> Column:  # noqa: N802
+    """multiIf(cond1, v1, cond2, v2, ..., default)."""
+    *pairs, default = args
+    expr = None
+    for i in range(0, len(pairs), 2):
+        cond, val = pairs[i], pairs[i + 1]
+        expr = F.when(cond, val) if expr is None else expr.when(cond, val)
+    return expr.otherwise(default)
+
+
+# Aggregate spellings Spark already has under another name (SQL level).
+AGG_ALIASES = {
+    "uniq": "approx_count_distinct",
+    "uniqExact": "count(DISTINCT ...)",
+    "countIf": "count_if",
+    "argMax": "max_by",
+    "argMin": "min_by",
+    "quantile": "percentile_approx / percentile",
+    "groupArray": "collect_list",
+    "groupUniqArray": "collect_set",
+}
+
+# Scalar SQL UDFs: name -> (signature, body). Spark 4 SQL functions are
+# inlined by Catalyst — they stay inside whole-stage codegen.
+_SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
+    "toStartOfDay": ("(x TIMESTAMP) RETURNS TIMESTAMP", "date_trunc('DAY', x)"),
+    "toStartOfHour": ("(x TIMESTAMP) RETURNS TIMESTAMP", "date_trunc('HOUR', x)"),
+    "toStartOfMinute": ("(x TIMESTAMP) RETURNS TIMESTAMP", "date_trunc('MINUTE', x)"),
+    "toYYYYMM": ("(x TIMESTAMP) RETURNS INT", "CAST(date_format(x, 'yyyyMM') AS INT)"),
+    "JSONExtractString": ("(j STRING, k STRING) RETURNS STRING", "get_json_object(j, concat('$.', k))"),
+    "hasAll": (
+        "(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS BOOLEAN",
+        "size(array_except(b, a)) = 0",
+    ),
+    "notEmpty": ("(s STRING) RETURNS BOOLEAN", "length(s) > 0"),
+    "empty": ("(s STRING) RETURNS BOOLEAN", "length(s) = 0 OR s IS NULL"),
+    # ifNull intentionally absent: Spark already ships `ifnull` built-in
+    "intDiv": ("(a BIGINT, b BIGINT) RETURNS BIGINT", "a div b"),
+    "modulo": ("(a BIGINT, b BIGINT) RETURNS BIGINT", "a % b"),
+}
+
+
+def register_sql_aliases(spark: SparkSession) -> list[str]:
+    """Register the ClickHouse scalar spellings as temporary SQL
+    functions. Returns the list of registered names."""
+    registered = []
+    for name, (sig, body) in _SQL_SCALAR_ALIASES.items():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{sig} RETURN {body}")
+        registered.append(name)
+    return registered

@@ -1,0 +1,106 @@
+"""The ingestion pipeline: streaming source -> route -> decode -> append.
+
+Spark retelling of the reference dataflow (SURVEY.md §3 EP1):
+
+  reference                         this engine
+  ---------                         -----------
+  NATS JetStream pull consumer      readStream (file source in tests;
+    (src/nats.rs:63-83)               any readStream source in prod)
+  subject routing match             registry-driven filter per family
+    (src/handler.rs:15-55)            (sources/registry.py)
+  unknown subject -> Term/discard   -> _dlq table (strict upgrade)
+    (src/main.rs:68-72)
+  per-subject micro-batcher,        micro-batch trigger
+    rows/bytes/1s triggers            (processingTime='1 second';
+    (src/handler.rs:57-204)           rows-cap via maxFilesPerTrigger —
+                                      no bytes knob, documented deviation)
+  ClickHouse INSERT FORMAT          foreachBatch: decode_json + date-
+    Protobuf (src/click_house.rs)     partitioned sorted parquet append
+  ack/Nak/Term at-least-once        checkpointed offsets + append sink
+    (src/handler.rs:119-135)          = at-least-once (stronger:
+                                      effectively-once per batch)
+
+The wire format of the test harness is JSON lines with columns
+(subject, payload); payload is the JSON-encoded event (FIXTURES.md §B).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ed_clickhouse_spark.sources.decode import decode_json
+from ed_clickhouse_spark.sources.registry import FAMILIES
+from ed_clickhouse_spark.sources.writer import append_dlq, append_events
+
+WIRE_SCHEMA = T.StructType(
+    [
+        T.StructField("subject", T.StringType(), True),
+        T.StructField("payload", T.StringType(), True),
+    ]
+)
+
+
+def process_batch(batch: DataFrame, warehouse: str) -> None:
+    """Route one micro-batch: per family, decode + append; everything
+    unroutable or undecodable lands in the DLQ.
+
+    The routing split is a set of subject filters over one cached batch —
+    each family's filter prunes on the subject value; with a partitioned
+    source (e.g. Kafka keyed by subject) each filter reads only its
+    partitions. The reference's equivalent is the per-subject buffer map
+    (src/handler.rs:93-104)."""
+    batch = batch.cache()
+    try:
+        known = [f.subject for f in FAMILIES]
+        unroutable = batch.filter(~F.col("subject").isin(known) | F.col("subject").isNull())
+        if unroutable.limit(1).count():
+            append_dlq(unroutable, warehouse, reason="unroutable_subject")
+        for fam in FAMILIES:
+            sub = batch.filter(F.col("subject") == fam.subject)
+            decoded = decode_json(sub, fam)
+            bad = decoded.filter(F.col("_corrupt"))
+            if bad.limit(1).count():
+                append_dlq(
+                    bad.select(
+                        F.lit(fam.subject).alias("subject"),
+                        F.col("_raw").alias("payload"),
+                    ),
+                    warehouse,
+                    reason="decode_error",
+                )
+            good = decoded.filter(~F.col("_corrupt")).drop("_corrupt", "_raw")
+            append_events(good, warehouse, fam.table)
+    finally:
+        batch.unpersist()
+
+
+def start_ingest(
+    spark: SparkSession,
+    source_dir: str,
+    warehouse: str,
+    checkpoint: str,
+    max_files_per_trigger: int = 100,
+):
+    """Start the streaming ingestion query.
+
+    File-source stand-in for JetStream: JSON-lines files dropped into
+    ``source_dir``. ``maxFilesPerTrigger`` is the rows-cap analog of the
+    reference's 100k-row batch limit; the 1 s trigger matches
+    ``batcher.flush_interval_ms=1000`` (config/default.toml:43). The
+    checkpoint dir plays the durable-consumer role (at-least-once across
+    restarts ≙ the JetStream durable name, config/default.toml:18)."""
+    stream = (
+        spark.readStream.schema(WIRE_SCHEMA)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(
+            lambda batch, _epoch: process_batch(batch, warehouse)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime="1 second")
+        .start()
+    )

@@ -1,0 +1,81 @@
+"""Tests for ClickHouse-dialect aliases and multimodal plumbing."""
+
+from __future__ import annotations
+
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from ed_clickhouse_spark.functions.clickhouse import (
+    argMax,
+    countIf,
+    has,
+    multiIf,
+    register_sql_aliases,
+    sumIf,
+    uniq,
+)
+from ed_clickhouse_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    extract_features,
+    fake_decode,
+    frame_sample_plan,
+)
+
+
+def test_python_aliases(spark):
+    df = spark.createDataFrame(
+        [(1, "a", 10.0), (1, "b", 20.0), (2, "a", 5.0)], "k int, s string, v double"
+    )
+    row = df.groupBy("k").agg(
+        countIf(F.col("s") == "a").alias("n_a"),
+        sumIf("v", F.col("s") == "a").alias("v_a"),
+        argMax("s", "v").alias("top_s"),
+        uniq("s").alias("u"),
+    ).filter(F.col("k") == 1).collect()[0]
+    assert row["n_a"] == 1 and row["v_a"] == 10.0 and row["top_s"] == "b"
+
+
+def test_multiif_and_has(spark):
+    df = spark.createDataFrame([(5, ["x", "y"])], "v int, arr array<string>")
+    r = df.select(
+        multiIf(F.col("v") < 3, "lo", F.col("v") < 10, "mid", "hi").alias("band"),
+        has("arr", "y").alias("h"),
+    ).collect()[0]
+    assert r["band"] == "mid" and r["h"] is True
+
+
+def test_sql_alias_registration(spark):
+    names = register_sql_aliases(spark)
+    assert "toStartOfDay" in names and "JSONExtractString" in names
+    got = spark.sql(
+        "SELECT toStartOfDay(TIMESTAMP '2024-05-06 13:44:55') AS d,"
+        "       JSONExtractString('{\"k\": \"v\"}', 'k') AS j,"
+        "       intDiv(7, 2) AS q, hasAll(array('a','b','c'), array('a','c')) AS ha"
+    ).collect()[0]
+    assert str(got["d"]) == "2024-05-06 00:00:00"
+    assert got["j"] == "v" and got["q"] == 3 and got["ha"] is True
+
+
+def _media_df(spark):
+    rows = [
+        Row(media_id=1, kind="image", mime="image/png", bytes=bytes(range(100)),
+            meta=Row(width=10, height=10, duration_ms=None)),
+        Row(media_id=2, kind="video", mime="video/mp4", bytes=b"\x00\x01\x02",
+            meta=Row(width=640, height=480, duration_ms=3500)),
+        Row(media_id=3, kind="image", mime="image/jpeg", bytes=None,
+            meta=Row(width=None, height=None, duration_ms=None)),
+    ]
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+def test_extract_features_stub(spark):
+    out = {r["media_id"]: r for r in extract_features(_media_df(spark)).collect()}
+    assert out[1]["n_bytes"] == 100
+    assert out[1]["feat"] == fake_decode(bytes(range(100)))
+    assert len(out[1]["feat"]) == 8
+    assert out[3]["feat"] is None  # null payload stays null, no crash
+
+
+def test_frame_sample_plan(spark):
+    out = frame_sample_plan(_media_df(spark), every_ms=1000).collect()
+    assert sorted(r["sample_ms"] for r in out) == [0, 1000, 2000, 3000]

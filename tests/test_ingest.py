@@ -1,0 +1,130 @@
+"""Ingestion e2e: synthetic JSON event stream -> streaming pipeline ->
+per-table parquet + DLQ. Mirrors the reference's semantics: duplicate
+deliveries land twice (at-least-once, no dedup at rest), unroutable
+subjects and undecodable payloads dead-letter instead of vanishing."""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from pyspark.sql import functions as F
+
+from ed_clickhouse_spark.sources.registry import BY_TABLE, FAMILIES, route_for_subject
+from ed_clickhouse_spark.streaming.pipeline import start_ingest
+
+
+def _envelope(i: int, name: str, ts: int) -> dict:
+    return {
+        "event_id": f"ev-{i}",
+        "event_name": name,
+        "user_id": f"u{i % 3}",
+        "session_id": f"s{i % 2}",
+        "anonymous_id": f"a{i}",
+        "timestamp": ts,
+        "service_origin": "test",
+        "platform": "web",
+        "platform_version": "1",
+        "os_name": "linux",
+        "os_version": "6",
+        "browser_name": "ff",
+        "browser_version": "120",
+        "device_type": "desktop",
+        "screen_resolution": "1920x1080",
+        "user_agent": "ua",
+    }
+
+
+@pytest.fixture(scope="module")
+def ingested(spark, tmp_path_factory):
+    src = tmp_path_factory.mktemp("events_src")
+    wh = str(tmp_path_factory.mktemp("warehouse"))
+    ckpt = str(tmp_path_factory.mktemp("ckpt"))
+
+    lines = []
+    base_ts = 1_700_000_000
+    # 5 login events; one delivered TWICE (at-least-once duplicate)
+    for i in range(5):
+        payload = json.dumps(_envelope(i, "login", base_ts + i * 60))
+        lines.append({"subject": "events.login", "payload": payload})
+    lines.append(lines[0])
+    # 3 watch events with family extensions
+    for i in range(3):
+        ev = _envelope(100 + i, "watch", base_ts + 90000 + i)  # next day
+        ev.update({"item_id": f"it{i}", "video_position": 10 * i, "video_duration": 100,
+                   "state": "playing", "event_details": json.dumps({"q": i})})
+        lines.append({"subject": "events.angulak.watch", "payload": json.dumps(ev)})
+    # 2 item events with arrays
+    for i in range(2):
+        ev = _envelope(200 + i, "item", base_ts + i)
+        ev.update({"item_id": f"it{i}", "genres": ["drama", "comedy"],
+                   "labels": [], "languages": ["fa"], "categories": ["movie"],
+                   "age_rating": 12, "is_dubbed": True, "is_exclusive": False,
+                   "has_subtitle": True, "reach_method": "search"})
+        lines.append({"subject": "events.shahrefarang.item", "payload": json.dumps(ev)})
+    # unroutable subject (reference would silently Term — we DLQ)
+    lines.append({"subject": "events.unknown.family", "payload": json.dumps(_envelope(900, "x", base_ts))})
+    # undecodable payload ("Cannot parse" => permanent => DLQ)
+    lines.append({"subject": "events.login", "payload": "{not json"})
+
+    with open(src / "batch1.json", "w") as f:
+        f.write("\n".join(json.dumps(l) for l in lines))
+
+    q = start_ingest(spark, str(src), wh, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    return wh
+
+
+def test_routing_counts(spark, ingested):
+    login = spark.read.parquet(f"{ingested}/login_events")
+    assert login.count() == 6  # 5 + 1 duplicate delivery (at-least-once)
+    watch = spark.read.parquet(f"{ingested}/angulak_watch_events")
+    assert watch.count() == 3
+    item = spark.read.parquet(f"{ingested}/shahre_farang_item_events")
+    assert item.count() == 2
+
+
+def test_duplicates_preserved_and_dedupable(spark, ingested):
+    login = spark.read.parquet(f"{ingested}/login_events")
+    assert login.filter(F.col("event_id") == "ev-0").count() == 2
+    # the optional dedup upgrade the reference can't do (SURVEY §2 B9)
+    assert login.dropDuplicates(["event_id"]).count() == 5
+
+
+def test_typed_columns(spark, ingested):
+    watch = spark.read.parquet(f"{ingested}/angulak_watch_events")
+    row = watch.filter(F.col("event_id") == "ev-101").collect()[0]
+    assert row["video_position"] == 10
+    assert row["state"] == "playing"
+    assert str(row["timestamp"]).startswith("2023-11-15")  # unix s -> ts
+    item = spark.read.parquet(f"{ingested}/shahre_farang_item_events")
+    assert item.collect()[0]["genres"] == ["drama", "comedy"]
+
+
+def test_date_partitioning(ingested):
+    import os
+
+    parts = {d for d in os.listdir(f"{ingested}/login_events") if d.startswith("event_date=")}
+    assert len(parts) >= 1
+    watch_parts = {
+        d for d in os.listdir(f"{ingested}/angulak_watch_events") if d.startswith("event_date=")
+    }
+    assert watch_parts != parts  # watch events landed on the next day
+
+
+def test_dlq(spark, ingested):
+    dlq = spark.read.parquet(f"{ingested}/_dlq")
+    reasons = {r["reason"] for r in dlq.collect()}
+    assert reasons == {"unroutable_subject", "decode_error"}
+    assert dlq.count() == 2
+
+
+def test_registry_subjects_map_to_canonical_tables():
+    # the reference bug class: router spelling vs migration spelling
+    # (src/handler.rs:42 'shahrefarang_item_events' vs migrations/009
+    # 'shahre_farang_item_events') — our registry is the single source
+    assert route_for_subject("events.shahrefarang.item").table == "shahre_farang_item_events"
+    assert route_for_subject("events.nope") is None
+    assert len(FAMILIES) == 9
+    assert len(BY_TABLE) == 9  # no table-name collisions
