@@ -39,6 +39,7 @@ def query(name: str, oracle: str | None = None):
 def _load_all() -> None:
     # Import for side effect: each module registers its queries.
     from ed_clickhouse_spark.suite import (  # noqa: F401
+        q_advanced,
         q_aggregates,
         q_dedup,
         q_functions,
