@@ -63,15 +63,18 @@ def jaccard_pairs(
 ) -> DataFrame:
     """Exact n-gram Jaccard similar pairs (id_a < id_b, jaccard >= thr).
 
-    Plan: explode distinct shingles -> self-join on shingle (only docs
-    sharing a shingle ever meet — candidate generation, not a cross join)
-    -> count co-occurrences -> jaccard = inter / (|A| + |B| - inter).
-    At 100 TB this is the verification tier; use minhash_lsh_pairs for
-    candidate pruning first and feed candidates here.
+    Plan: explode distinct shingles -> xxhash64 (8-byte join key instead
+    of the 3-word string: smaller shuffle, cheaper equality; a hash
+    collision would need ~2^32 distinct shingles to matter) -> self-join
+    on the hash (only docs sharing a shingle ever meet — candidate
+    generation, not a cross join) -> count co-occurrences -> jaccard =
+    inter / (|A| + |B| - inter). At 100 TB this is the verification
+    tier; use minhash_lsh_pairs for candidate pruning first and feed
+    candidates here.
     """
-    sh = (
-        df.select(F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("sh"))
-    )
+    sh = df.select(
+        F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("__s")
+    ).select("id", F.xxhash64("__s").alias("sh"))
     sizes = sh.groupBy("id").agg(F.count("*").alias("n_sh"))
     a = sh.alias("a")
     b = sh.alias("b")
