@@ -49,7 +49,14 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     ``events.parquet`` stores TIMESTAMP(NANOS); with
     ``spark.sql.legacy.parquet.nanosAsLong`` the column arrives as
     nanos-since-epoch bigint — convert to a microsecond timestamp
-    (truncation matches DuckDB's TIMESTAMP_NS -> TIMESTAMP read)."""
+    (truncation matches DuckDB's TIMESTAMP_NS -> TIMESTAMP read).
+
+    The conf is (re)set at runtime so queries work under ANY caller's
+    SparkSession (the correctness driver builds its own, without our
+    session.py defaults) — without it the parquet reader rejects the
+    file outright."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer `div`, not `/`: epoch-nanos (~1.7e18) overflows the
