@@ -40,26 +40,83 @@ def decode_json(df: DataFrame, family: EventFamily, payload_col: str = "payload"
     return out.select(*cols, "_corrupt", F.col(payload_col).alias("_raw"))
 
 
-def try_decode_protobuf(
+def decode_protobuf(
     df: DataFrame, family: EventFamily, desc_file: str, payload_col: str = "payload"
-):
-    """Protobuf decode path (optional): requires a compiled descriptor
-    set for dto.proto. Gated behind import so environments without
-    spark-protobuf simply use the JSON harness."""
+) -> DataFrame:
+    """Protobuf decode for one family — the reference's actual wire
+    format (``INSERT ... FORMAT Protobuf`` against dto.proto,
+    ``src/click_house.rs:75-78``). ``desc_file`` is a FileDescriptorSet,
+    e.g. from :func:`ed_clickhouse_spark.sources.protodesc.build_descriptor_set`.
+
+    Same output contract as :func:`decode_json`: typed columns +
+    ``_corrupt`` + ``_raw``. Undecodable payloads null out (≙ "Cannot
+    parse" -> Term).
+
+    Two engines, JVM first: if the spark-protobuf connector jar is on the
+    classpath, decode with ``from_protobuf`` (codegen'd); otherwise fall
+    back to an Arrow-batched mapInPandas wire parser
+    (:func:`protodesc.decode_event`) — the sanctioned slow path when no
+    built-in expresses the operator."""
     try:
         from pyspark.sql.protobuf.functions import from_protobuf
-    except ImportError as e:  # pragma: no cover
-        raise NotImplementedError(
-            "spark-protobuf not available in this environment; use decode_json"
-        ) from e
-    message_name = _proto_message_name(family)
-    return df.withColumn(
-        "__p", from_protobuf(F.col(payload_col), message_name, descFilePath=desc_file)
+
+        from ed_clickhouse_spark.sources.protodesc import message_name
+
+        parsed = from_protobuf(
+            F.col(payload_col),
+            message_name(family),
+            descFilePath=desc_file,
+            options={"mode": "PERMISSIVE"},
+        )
+        out = df.withColumn("__p", parsed).withColumn(
+            "_corrupt", F.col("__p").isNull() | F.col("__p.event_id").isNull()
+        )
+        cols = []
+        for f in family.wire_schema.fields:
+            c: Column = F.col(f"__p.{f.name}")
+            if f.name == "timestamp":
+                c = F.timestamp_seconds(c)
+            cols.append(c.alias(f.name))
+        result = out.select(*cols, "_corrupt", F.col(payload_col).alias("_raw"))
+        result.schema  # force analysis: raises if the jar is missing
+        return result
+    except Exception:
+        return _decode_protobuf_pandas(df, family, payload_col)
+
+
+def _decode_protobuf_pandas(
+    df: DataFrame, family: EventFamily, payload_col: str = "payload"
+) -> DataFrame:
+    """mapInPandas protobuf wire parser (jar-free fallback)."""
+    import pandas as pd
+
+    from pyspark.sql import types as T
+
+    from ed_clickhouse_spark.sources.protodesc import decode_event
+
+    out_schema = T.StructType(
+        [T.StructField(f.name, f.dataType, True) for f in family.wire_schema.fields]
+        + [
+            T.StructField("_corrupt", T.BooleanType(), True),
+            T.StructField("_raw", T.BinaryType(), True),
+        ]
     )
+    names = [f.name for f in family.wire_schema.fields]
 
+    def op(batches):
+        for pdf in batches:
+            rows = []
+            for raw in pdf[payload_col]:
+                raw_b = bytes(raw) if raw is not None else b""
+                try:
+                    ev = decode_event(family, raw_b)
+                    corrupt = "event_id" not in ev
+                except ValueError:
+                    ev, corrupt = {}, True
+                rows.append(
+                    {**{n: ev.get(n) for n in names}, "_corrupt": corrupt, "_raw": raw_b}
+                )
+            yield pd.DataFrame(rows, columns=names + ["_corrupt", "_raw"])
 
-def _proto_message_name(family: EventFamily) -> str:
-    """dto.proto message name per family (reference dto.proto:6-226
-    spells them in CamelCase of the table base name)."""
-    base = family.table.removesuffix("_events")
-    return "".join(p.capitalize() for p in base.split("_")) + "Event"
+    decoded = df.mapInPandas(op, schema=out_schema)
+    return decoded.withColumn("timestamp", F.timestamp_seconds(F.col("timestamp")))
