@@ -3,8 +3,10 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Timing counts full execution (collect) per query; the Spark session is
-warmed with a trivial action first so JVM startup isn't attributed to q1.
+Each query runs twice and the JSON reports the second (steady-state)
+time: the first execution pays one-off JVM codegen/class-loading costs
+that would otherwise be misattributed to whichever query runs first.
+Cold times go to stderr for reference.
 """
 
 from __future__ import annotations
@@ -48,10 +50,13 @@ def main() -> None:
         t0 = time.perf_counter()
         # count() executes the full plan without driver-side row transfer
         n = fn(spark, sf_dir).count()
+        cold = round(time.perf_counter() - t0, 3)
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
         dt = round(time.perf_counter() - t0, 3)
         per_query[name] = dt
         total += dt
-        print(f"# {name}: {dt:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {dt:.3f}s steady ({cold:.3f}s cold, {n} rows)", file=sys.stderr)
 
     print(
         json.dumps(

@@ -128,6 +128,67 @@ def lsh_bucket_topk(
     )
 
 
+def embedding_near_dup_pairs(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    dim: int = 64,
+    n_planes: int = 6,
+    n_tables: int = 8,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos >= thr) —
+    the last rung of the dedup ladder (semantic dups that survive text
+    normalization).
+
+    LSH buckets generate candidates (OR over ``n_tables`` sign-pattern
+    tables — high table count because near-dups at 0.95 cosine collide
+    in almost every table, so recall is ~1 while the join stays linear);
+    exact cosine then filters. At 100 TB this is the only viable shape:
+    the all-pairs check is quadratic, the bucket join is not."""
+    a = df.select(F.col(id_col).alias("q_id"), F.col(vec_col).alias("q_vec"))
+    b = df.select(F.col(id_col).alias("c_id"), F.col(vec_col).alias("c_vec"))
+
+    def signature(vec: str, frame: DataFrame) -> DataFrame:
+        entries = []
+        for t in range(n_tables):
+            planes = _pseudo_planes(n_planes, dim, seed=t)
+            bits = [
+                F.when(
+                    F.aggregate(
+                        F.zip_with(
+                            F.col(vec),
+                            F.array(*[F.lit(w) for w in plane]),
+                            lambda x, y: x * y,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                    >= 0,
+                    F.lit("1"),
+                ).otherwise(F.lit("0"))
+                for plane in planes
+            ]
+            entries.append(F.struct(F.lit(t).alias("tbl"), F.concat(*bits).alias("bkt")))
+        return frame.withColumn("__b", F.explode(F.array(*entries)))
+
+    qa = signature("q_vec", a)
+    qb = signature("c_vec", b)
+    pairs = (
+        qa.join(qb, (qa["__b"] == qb["__b"]) & (F.col("q_id") < F.col("c_id")))
+        .select("q_id", "c_id", "q_vec", "c_vec")
+        .dropDuplicates(["q_id", "c_id"])
+    )
+    return (
+        pairs.select(
+            F.col("q_id").alias("id_a"),
+            F.col("c_id").alias("id_b"),
+            F.round(cosine("q_vec", "c_vec"), 6).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def _pseudo_planes(n_planes: int, dim: int, seed: int = 0) -> list[list[float]]:
     """Deterministic pseudo-random hyperplanes from a splitmix64-style
     integer mix (public constants) — no numpy RNG state, reproducible."""

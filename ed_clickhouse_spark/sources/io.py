@@ -1,0 +1,75 @@
+"""Multi-format table IO (SURVEY.md §2 B1 sources/sinks).
+
+The reference reads protobuf from NATS and writes to ClickHouse over
+HTTP; its query users read MergeTree. This engine's at-rest format is
+parquet (the write policy lives in ``writer.py``); these helpers round
+out the batch source/sink surface: parquet, ORC, JSON-lines, CSV — all
+schema-explicit (never infer in production: a schema scan over 100 TB is
+a full extra read).
+
+Delta/Iceberg/Hudi need their connector jars, absent from this
+environment — ``read_table``/``write_table`` raise a clear error for
+those formats rather than silently degrading.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+_LAKE_FORMATS = {"delta", "iceberg", "hudi"}
+FORMATS = {"parquet", "orc", "json", "csv"}
+
+
+def read_table(
+    spark: SparkSession,
+    path: str,
+    fmt: str = "parquet",
+    schema: T.StructType | str | None = None,
+    **options,
+) -> DataFrame:
+    fmt = fmt.lower()
+    if fmt in _LAKE_FORMATS:
+        raise NotImplementedError(
+            f"{fmt} requires its connector jar on the Spark classpath "
+            "(not bundled in this environment)"
+        )
+    if fmt not in FORMATS:
+        raise ValueError(f"unknown format {fmt!r}; supported: {sorted(FORMATS)}")
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif fmt in {"json", "csv"}:
+        raise ValueError(
+            f"{fmt} needs an explicit schema (schema inference re-reads "
+            "the whole dataset — never at scale)"
+        )
+    if fmt == "csv":
+        options.setdefault("header", "true")
+    return reader.options(**options).format(fmt).load(path)
+
+
+def write_table(
+    df: DataFrame,
+    path: str,
+    fmt: str = "parquet",
+    mode: str = "append",
+    partition_by: list[str] | None = None,
+    sort_within: list[str] | None = None,
+    **options,
+) -> None:
+    fmt = fmt.lower()
+    if fmt in _LAKE_FORMATS:
+        raise NotImplementedError(
+            f"{fmt} requires its connector jar on the Spark classpath"
+        )
+    if fmt not in FORMATS:
+        raise ValueError(f"unknown format {fmt!r}; supported: {sorted(FORMATS)}")
+    if sort_within:
+        df = df.sortWithinPartitions(*sort_within)
+    writer = df.write.mode(mode).options(**options)
+    if fmt == "csv":
+        writer = writer.option("header", "true")
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.format(fmt).save(path)

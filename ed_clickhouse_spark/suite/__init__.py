@@ -45,6 +45,7 @@ def _load_all() -> None:
         q_functions,
         q_joins,
         q_similarity,
+        q_similarity2,
         q_setops,
         q_text,
         q_windows,

@@ -1,0 +1,37 @@
+"""All-pairs nearest-neighbor query (Layer C similarity, exact tier)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ed_clickhouse_spark.operators.similarity import brute_force_topk
+from ed_clickhouse_spark.suite import query
+from ed_clickhouse_spark.suite._util import t
+
+
+@query(
+    "q65_nn_all_vectors",
+    oracle="""
+    WITH emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                  ROUND(list_cosine_similarity(q.vec, c.vec), 6) AS cos_sim
+           FROM emb q JOIN emb c ON c.vec_id != q.vec_id
+         )
+    SELECT q_id, c_id, cos_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rn
+          FROM scored) x
+    WHERE rn = 1
+    """,
+)
+def q65_nn_all_vectors(spark, sf_dir):
+    """Exact 1-NN for EVERY vector (the verification tier of embedding
+    dedup — the data has no >=0.95 near-dup pairs, so the operator's
+    output here is each vector's closest neighbor). The corpus side
+    stays unshuffled; per-partition top-1 via WindowGroupLimit."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    queries = emb.select(F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"))
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec"))
+    return brute_force_topk(queries, corpus, k=1)

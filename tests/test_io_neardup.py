@@ -1,0 +1,72 @@
+"""Tests for multi-format IO helpers and embedding near-dup pairs."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ed_clickhouse_spark.operators.similarity import embedding_near_dup_pairs
+from ed_clickhouse_spark.sources.io import read_table, write_table
+
+
+def test_roundtrip_formats(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5)], "id long, s string, v double"
+    )
+    schema = df.schema
+    for fmt in ["parquet", "orc", "json", "csv"]:
+        path = str(tmp_path / fmt)
+        write_table(df, path, fmt=fmt, mode="overwrite")
+        back = read_table(spark, path, fmt=fmt, schema=schema)
+        assert sorted((r["id"], r["s"], r["v"]) for r in back.collect()) == [
+            (1, "a", 1.5),
+            (2, "b", 2.5),
+        ]
+
+
+def test_schema_required_for_text_formats(spark, tmp_path):
+    with pytest.raises(ValueError, match="explicit schema"):
+        read_table(spark, str(tmp_path), fmt="json")
+
+
+def test_lake_formats_error_clearly(spark, tmp_path):
+    with pytest.raises(NotImplementedError, match="connector jar"):
+        read_table(spark, str(tmp_path), fmt="delta")
+
+
+def test_partitioned_sorted_write(spark, tmp_path):
+    df = spark.createDataFrame(
+        [(1, "x", 3), (2, "x", 1), (3, "y", 2)], "id long, part string, v int"
+    )
+    path = str(tmp_path / "pt")
+    write_table(df, path, partition_by=["part"], sort_within=["v"], mode="overwrite")
+    import os
+
+    assert {d for d in os.listdir(path) if d.startswith("part=")} == {"part=x", "part=y"}
+
+
+def test_embedding_near_dup_pairs_finds_planted_dups(spark):
+    import math
+
+    # 40 pseudo-random base vectors + 2 planted near-duplicates
+    def vec(seed, dim=16):
+        return [math.sin(seed * 31 + i * 7.1) for i in range(dim)]
+
+    rows = [(i, vec(i)) for i in range(40)]
+    near = [x + (0.001 if j == 0 else 0.0) for j, x in enumerate(vec(3))]
+    rows.append((100, near))          # near-dup of id 3
+    rows.append((101, list(vec(7))))  # exact dup of id 7
+    df = spark.createDataFrame(
+        rows, T.StructType([T.StructField("vec_id", T.LongType()),
+                            T.StructField("vec", T.ArrayType(T.DoubleType()))])
+    )
+    got = {
+        (r["id_a"], r["id_b"]): r["cos_sim"]
+        for r in embedding_near_dup_pairs(df, threshold=0.99, dim=16).collect()
+    }
+    assert (3, 100) in got and got[(3, 100)] > 0.999
+    assert (7, 101) in got and got[(7, 101)] == 1.0
+    # everything reported is genuinely above the threshold (sin-based
+    # fixtures alias: some base pairs ARE legitimately similar)
+    assert all(sim >= 0.99 for sim in got.values())
