@@ -113,6 +113,31 @@ def range_join_bucketed(
     return out.drop("__bucket")
 
 
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    salt: int = 16,
+    how: str = "inner",
+) -> DataFrame:
+    """Skew-busting equi join: the (large, skewed) left side gets a
+    random salt in [0, salt); the (smaller) right side is replicated
+    ``salt`` times; the join key becomes (key, salt) so one hot key
+    spreads over ``salt`` reducers.
+
+    AQE's skew-join handling (on by default in session.py) covers most
+    cases at runtime; use this when a single key is so hot that even a
+    split partition exceeds executor memory, or when AQE is unavailable
+    (e.g. inside some streaming foreachBatch plans). Cost: right side
+    inflates by ``salt``; keep the right side the dimension table."""
+    l_salted = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
+    r_salted = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+    )
+    out = l_salted.join(r_salted, [on, "__salt"], how)
+    return out.drop("__salt")
+
+
 def topk_per_group(
     df: DataFrame, keys: list[str], order: list[Column], k: int
 ) -> DataFrame:

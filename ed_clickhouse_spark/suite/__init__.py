@@ -43,6 +43,7 @@ def _load_all() -> None:
         q_aggregates,
         q_dedup,
         q_functions,
+        q_functions2,
         q_joins,
         q_similarity,
         q_similarity2,

@@ -1,0 +1,69 @@
+"""Scale-behavior tests: partition pruning on the warehouse layout,
+salted-join equivalence, and plan-shape assertions for the headline
+queries (the .explain invariants ARCHITECTURE.md documents)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ed_clickhouse_spark.operators.joins import salted_join
+from ed_clickhouse_spark.sources.writer import append_events
+from ed_clickhouse_spark.suite import QUERIES
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def test_partition_pruning_on_warehouse(spark, tmp_path):
+    # write 3 days of events through the engine's write policy, then
+    # verify a day filter prunes partitions at plan time
+    rows = [
+        (f"e{i}", "login", f"2024-01-0{d} 10:00:0{i}")
+        for d in (1, 2, 3)
+        for i in range(5)
+    ]
+    df = spark.createDataFrame(rows, "event_id string, event_name string, ts string").select(
+        "event_id", "event_name", F.col("ts").cast("timestamp").alias("timestamp")
+    )
+    wh = str(tmp_path)
+    append_events(df, wh, "login_events")
+    scan = spark.read.parquet(f"{wh}/login_events").filter(
+        F.col("event_date") == "2024-01-02"
+    )
+    assert scan.count() == 5
+    plan = _plan(scan)
+    # only one of three event_date partitions survives pruning
+    assert "PartitionFilters" in plan
+    import re
+
+    m = re.search(r"partitions read: (\d+)", plan)
+    if m:  # spark prints matched partition count in the scan node
+        assert m.group(1) == "1"
+
+
+def test_salted_join_matches_plain_join(spark):
+    left = spark.createDataFrame(
+        [(k, i) for i in range(200) for k in ("hot", f"k{i % 5}")], "k string, v int"
+    )
+    right = spark.createDataFrame(
+        [("hot", 1), ("k0", 2), ("k3", 3)], "k string, w int"
+    )
+    plain = left.join(right, "k").groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    salted = salted_join(left, right, "k").groupBy("k").agg(F.count("*").alias("n"), F.sum("v").alias("s"))
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_headline_plan_shapes(spark):
+    sf = "/root/testdata/sf0.001"
+    p = _plan(QUERIES["q01_pricing_summary"](spark, sf))
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in p  # predicate reached the scan
+    assert "HashAggregate" in p                          # two-phase agg
+    p = _plan(QUERIES["q20_star_join_revenue"](spark, sf))
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+    p = _plan(QUERIES["q27_topk_per_group"](spark, sf))
+    assert "WindowGroupLimit" in p                       # top-k pushed below shuffle
+    p = _plan(QUERIES["q03_top_orders"](spark, sf))
+    assert "TakeOrderedAndProject" in p                  # no global sort
