@@ -58,6 +58,9 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s steady ({cold:.3f}s cold, {n} rows)", file=sys.stderr)
 
+    ingest_rps = _bench_ingest(spark)
+    print(f"# ingest: {ingest_rps:,.0f} rows/s", file=sys.stderr)
+
     print(
         json.dumps(
             {
@@ -66,9 +69,55 @@ def main() -> None:
                 "unit": "sec",
                 "queries": per_query,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "ingest_rows_per_sec": round(ingest_rps),
             }
         )
     )
+
+
+def _bench_ingest(spark, n_rows: int = 100_000) -> float:
+    """Ingestion throughput: decode + route + date-partitioned sorted
+    append of n_rows JSON login events through process_batch — comparable
+    to the reference's configured ~100k rows/s per-subject ceiling
+    (its batcher flushes 100k rows per 1 s tick)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from ed_clickhouse_spark.streaming.pipeline import process_batch
+
+    payload = F.to_json(
+        F.struct(
+            F.concat(F.lit("ev-"), F.col("id").cast("string")).alias("event_id"),
+            F.lit("login").alias("event_name"),
+            (F.col("id") % 1000).cast("string").alias("user_id"),
+            F.lit("s").alias("session_id"),
+            F.lit("a").alias("anonymous_id"),
+            (F.lit(1_700_000_000) + F.col("id") % 86_400).alias("timestamp"),
+            F.lit("bench").alias("service_origin"),
+            F.lit("web").alias("platform"),
+        )
+    )
+    batch = (
+        spark.range(n_rows)
+        .select(F.lit("events.login").alias("subject"), payload.alias("payload"))
+        .cache()
+    )
+    batch.count()  # materialize: charge ingest, not synthetic generation
+    try:
+        dt = None
+        for _ in range(2):  # first run warms codegen; report steady-state
+            wh = tempfile.mkdtemp(prefix="bench_wh_")
+            try:
+                t0 = time.perf_counter()
+                process_batch(batch, wh)
+                dt = time.perf_counter() - t0
+            finally:
+                shutil.rmtree(wh, ignore_errors=True)
+    finally:
+        batch.unpersist()
+    return n_rows / dt
 
 
 if __name__ == "__main__":

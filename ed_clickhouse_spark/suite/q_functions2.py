@@ -164,6 +164,32 @@ def q70_bitwise(spark, sf_dir):
 
 
 @query(
+    "q72_sliding_window",
+    oracle="""
+    WITH expanded AS (
+      SELECT time_bucket(INTERVAL '15 minutes', ts) - k * INTERVAL '15 minutes' AS window_start,
+             event_type, value
+      FROM events, unnest([0, 1, 2, 3]) t(k)
+    )
+    SELECT window_start, event_type, COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+    FROM expanded
+    GROUP BY 1, 2
+    """,
+)
+def q72_sliding_window(spark, sf_dir):
+    """Sliding window (1 h, slide 15 min): each event lands in 4
+    overlapping windows (SURVEY §2 B9). Same expression runs under
+    readStream; the oracle expands windows via unnest."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n"), dsum("value", "v"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "v")
+    )
+
+
+@query(
     "q71_crypto_hash",
     oracle="""
     SELECT doc_id,

@@ -71,6 +71,43 @@ def test_windowed_agg_with_watermark(spark, tmp_path):
     assert out.get("2024-01-01 10:05:00") == (1, 5.0)
 
 
+def test_streaming_dedup_by_event_id(spark, tmp_path):
+    """The dedup upgrade the reference can't do (SURVEY §2 B9):
+    dropDuplicates on event_id with a watermark suppresses at-least-once
+    redeliveries across micro-batches within the watermark horizon."""
+    src = tmp_path / "src"
+    src.mkdir()
+    _write_events(
+        src / "b1.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01T10:00:00", "user_id": 1, "value": 1.0},
+            {"event_id": 2, "ts": "2024-01-01T10:01:00", "user_id": 1, "value": 2.0},
+            {"event_id": 1, "ts": "2024-01-01T10:00:00", "user_id": 1, "value": 1.0},
+        ],
+    )
+    stream = spark.readStream.schema(EVENT_SCHEMA).json(str(src))
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("dedup_out")
+        .start()
+    )
+    q.processAllAvailable()
+    # redelivery of event 1 in a LATER micro-batch is also suppressed
+    _write_events(
+        src / "b2.json",
+        [
+            {"event_id": 1, "ts": "2024-01-01T10:00:00", "user_id": 1, "value": 1.0},
+            {"event_id": 3, "ts": "2024-01-01T10:05:00", "user_id": 2, "value": 3.0},
+        ],
+    )
+    q.processAllAvailable()
+    q.stop()
+    ids = sorted(r["event_id"] for r in spark.sql("SELECT * FROM dedup_out").collect())
+    assert ids == [1, 2, 3]
+
+
 def test_streaming_session_window(spark, tmp_path):
     src = tmp_path / "src"
     src.mkdir()
