@@ -49,6 +49,7 @@ def _load_all() -> None:
         q_similarity2,
         q_setops,
         q_text,
+        q_tpch,
         q_windows,
     )
 

@@ -27,6 +27,29 @@ def test_queries_and_oracles_align():
     assert set(q) - set(o) == allowed_no_oracle
 
 
+def test_approx_distinct_error_bound(spark):
+    """q06 has no oracle (HLL sketches differ per engine); pin the
+    approximation error against the exact count instead."""
+    from pyspark.sql import functions as F
+
+    from ed_clickhouse_spark.suite import QUERIES
+    from ed_clickhouse_spark.suite._util import t
+
+    approx = {
+        r["event_type"]: r["approx_users"]
+        for r in QUERIES["q06_approx_distinct"](spark, "/root/testdata/sf0.001").collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in t(spark, "/root/testdata/sf0.001", "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    for et, n in exact.items():
+        assert abs(approx[et] - n) / n < 0.05, (et, approx[et], n)
+
+
 def test_every_query_is_callable(spark):
     # analysis-only check (no execution): each callable builds a valid plan
     for name, fn in ep.queries().items():
