@@ -262,7 +262,7 @@ def q59_string_extra(spark, sf_dir):
     return p.select(
         "p_partkey",
         F.regexp_replace("p_name", " ", "_").alias("snake_name"),
-        F.instr("p_name", "widget").alias("widget_pos"),
+        F.instr("p_name", "widget").cast("bigint").alias("widget_pos"),
         F.lpad(F.col("p_size").cast("string"), 4, "0").alias("size_padded"),
         F.reverse("p_brand").alias("brand_rev"),
         F.substring("p_type", 1, 3).alias("type3"),

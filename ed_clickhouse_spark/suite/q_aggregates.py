@@ -234,7 +234,7 @@ def q10_cube_grouping(spark, sf_dir):
     """CUBE with grouping() disambiguation of the NULL subtotal rows."""
     o = t(spark, sf_dir, "orders")
     return o.cube("o_orderstatus", "o_orderpriority").agg(
-        (F.grouping("o_orderstatus") + F.lit(2) * F.grouping("o_orderpriority")).alias("gid"),
+        (F.grouping("o_orderstatus") + F.lit(2) * F.grouping("o_orderpriority")).cast("bigint").alias("gid"),
         F.count("*").alias("n"),
         dsum("o_totalprice", "revenue"),
     )

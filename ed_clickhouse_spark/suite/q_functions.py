@@ -37,7 +37,7 @@ def q15_string_funcs(spark, sf_dir):
         F.regexp_extract("c_name", r"([0-9]+)$", 1).cast("bigint").alias("name_num"),
         F.lower("c_mktsegment").alias("seg_lower"),
         F.substring("c_name", 1, 8).alias("name_prefix"),
-        F.length("c_name").alias("name_len"),
+        F.length("c_name").cast("bigint").alias("name_len"),
         F.concat_ws("-", "c_mktsegment", F.col("c_nationkey").cast("string")).alias("seg_nation"),
     )
 

@@ -42,7 +42,7 @@ def q66_map_functions(spark, sf_dir):
            len(list_filter(string_split(text, ' '), x -> length(x) > 5)) AS n_long_tokens,
            list_sort(list_transform(string_split(text, ' ')[1:5], x -> upper(x))) AS first5_upper,
            len(string_split(text, ' ')) > len(list_filter(string_split(text, ' '), x -> x <> 'spark')) AS mentions_spark,
-           list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS total_chars_in_tokens
+           CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS total_chars_in_tokens
     FROM documents
     WHERE lang = 'fr'
     """,
@@ -55,7 +55,7 @@ def q67_higher_order_fns(spark, sf_dir):
     toks = F.split("text", " ")
     return d.filter(F.col("lang") == "fr").select(
         "doc_id",
-        F.size(F.filter(toks, lambda x: F.length(x) > 5)).alias("n_long_tokens"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 5)).cast("bigint").alias("n_long_tokens"),
         F.sort_array(F.transform(F.slice(toks, 1, 5), lambda x: F.upper(x))).alias(
             "first5_upper"
         ),
@@ -143,7 +143,7 @@ def q69_posexplode(spark, sf_dir):
            event_id | 1 AS set_low,
            xor(event_id, 255) AS flipped,
            event_id << 2 AS shifted,
-           bit_count(event_id) AS popcount
+           CAST(bit_count(event_id) AS BIGINT) AS popcount
     FROM events
     WHERE event_id < 1000
     """,
@@ -159,7 +159,7 @@ def q70_bitwise(spark, sf_dir):
         c.bitwiseOR(F.lit(1)).alias("set_low"),
         c.bitwiseXOR(F.lit(255)).alias("flipped"),
         F.shiftleft(c, 2).alias("shifted"),
-        F.bit_count(c).alias("popcount"),
+        F.bit_count(c).cast("bigint").alias("popcount"),
     )
 
 

@@ -77,7 +77,7 @@ def q38_explode_tokens(spark, sf_dir):
     oracle="""
     SELECT lang, source,
            COUNT(*) AS n_docs,
-           SUM(n_chars) AS total_chars,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
            CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
            MIN(n_chars) AS min_chars,
            MAX(n_chars) AS max_chars
@@ -140,8 +140,8 @@ def q40_quality_score(spark, sf_dir):
     "q41_token_counts",
     oracle=f"""
     SELECT source,
-           SUM(len(string_split(text, ' '))) AS total_ws_tokens,
-           SUM(len(regexp_extract_all(text, '{BPE_ISH_TOKEN_RE}'))) AS total_bpe_tokens,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_ws_tokens,
+           CAST(SUM(len(regexp_extract_all(text, '{BPE_ISH_TOKEN_RE}'))) AS BIGINT) AS total_bpe_tokens,
            COUNT(*) AS n_docs
     FROM documents
     GROUP BY source

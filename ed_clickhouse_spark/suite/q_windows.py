@@ -93,7 +93,7 @@ def q29_running_sum(spark, sf_dir):
         .over(w.rowsBetween(W.unboundedPreceding, 0))
         .cast("double")
         .alias("running_spend"),
-        F.row_number().over(w).alias("order_seq"),
+        F.row_number().over(w).cast("bigint").alias("order_seq"),
     )
 
 
@@ -117,9 +117,9 @@ def q30_ntile_rank(spark, sf_dir):
     return c.select(
         "c_custkey",
         "c_acctbal",
-        F.ntile(4).over(w_bal).alias("wealth_quartile"),
-        F.rank().over(w_seg).alias("seg_rank"),
-        F.dense_rank().over(w_seg).alias("seg_dense_rank"),
+        F.ntile(4).over(w_bal).cast("bigint").alias("wealth_quartile"),
+        F.rank().over(w_seg).cast("bigint").alias("seg_rank"),
+        F.dense_rank().over(w_seg).cast("bigint").alias("seg_dense_rank"),
     )
 
 

@@ -18,6 +18,24 @@ from ed_clickhouse_spark.session import get_spark
 from ed_clickhouse_spark.suite import ORACLES, QUERIES
 
 
+def norm_type(t: str) -> str:
+    """Normalize spark/duckdb type spellings to comparable families."""
+    t = str(t).lower()
+    for pat, fam in [
+        ("hugeint", "int128!"),  # deliberately distinct: flag un-cast SUMs
+        ("bigint", "i64"), ("int64", "i64"),
+        ("smallint", "i32"), ("tinyint", "i32"), ("integer", "i32"), ("int", "i32"),
+        ("double", "f64"), ("float8", "f64"), ("float", "f32"),
+        ("decimal", "dec"), ("varchar", "str"), ("string", "str"),
+        ("boolean", "bool"), ("timestamp", "ts"), ("date", "date"),
+    ]:
+        if pat in t:
+            if t.startswith(("array", "list", "struct", "map")) or "[]" in t:
+                return f"list<{fam}>"
+            return fam
+    return t
+
+
 def norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -73,6 +91,12 @@ def main():
         if sorted(scols) != sorted(dcols):
             print(f"FAIL {name}: cols spark={sorted(scols)} duckdb={sorted(dcols)}")
             ok = False
+        else:
+            stypes = {f.name: norm_type(f.dataType.simpleString()) for f in sdf.schema.fields}
+            dtypes = {c: norm_type(ty) for c, ty in zip(res.columns, res.types)}
+            for c in scols:
+                if stypes[c] != dtypes[c]:
+                    print(f"TYPE? {name}.{c}: spark={stypes[c]} duckdb={dtypes[c]}")
         if ok:
             sk = rows_key(scols, srows)
             dk = rows_key(dcols, drows)
