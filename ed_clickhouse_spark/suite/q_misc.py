@@ -1,0 +1,123 @@
+"""Remaining odds and ends: full outer join, date formatting, try_cast
+error handling, nth_value."""
+
+from __future__ import annotations
+
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from ed_clickhouse_spark.suite import query
+from ed_clickhouse_spark.suite._util import t
+
+
+@query(
+    "q76_full_outer_join",
+    oracle="""
+    WITH buyers AS (
+      SELECT user_id, COUNT(*) AS n_purchases FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+    ),
+    clickers AS (
+      SELECT user_id, COUNT(*) AS n_clicks FROM events
+      WHERE event_type = 'click' GROUP BY user_id
+    )
+    SELECT COALESCE(b.user_id, c.user_id) AS user_id,
+           COALESCE(b.n_purchases, 0) AS n_purchases,
+           COALESCE(c.n_clicks, 0) AS n_clicks
+    FROM buyers b FULL OUTER JOIN clickers c ON b.user_id = c.user_id
+    """,
+)
+def q76_full_outer_join(spark, sf_dir):
+    """Full outer join: union of two behavioral cohorts with zero-fill."""
+    e = t(spark, sf_dir, "events")
+    b = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_purchases"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.count("*").alias("n_clicks"))
+    )
+    return (
+        b.join(c, "user_id", "full_outer")
+        .select(
+            "user_id",
+            F.coalesce("n_purchases", F.lit(0)).alias("n_purchases"),
+            F.coalesce("n_clicks", F.lit(0)).alias("n_clicks"),
+        )
+    )
+
+
+@query(
+    "q77_date_format",
+    oracle="""
+    SELECT event_id,
+           strftime(ts, '%Y-%m') AS month_key,
+           strftime(ts, '%Y-%m-%d %H:%M') AS minute_key,
+           CAST(ts AS DATE) AS d,
+           to_timestamp(CAST(epoch(ts) AS BIGINT)) IS NOT NULL AS roundtrips
+    FROM events WHERE event_id < 200
+    """,
+)
+def q77_date_format(spark, sf_dir):
+    """date_format (≙ ClickHouse formatDateTime / DuckDB strftime) +
+    epoch round-trip."""
+    e = t(spark, sf_dir, "events")
+    return e.filter(F.col("event_id") < 200).select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM").alias("month_key"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm").alias("minute_key"),
+        F.col("ts").cast("date").alias("d"),
+        F.timestamp_seconds(F.unix_timestamp("ts")).isNotNull().alias("roundtrips"),
+    )
+
+
+@query(
+    "q78_try_cast",
+    oracle="""
+    SELECT doc_id,
+           TRY_CAST(lang AS INTEGER) AS lang_as_int,
+           TRY_CAST(CAST(n_chars AS VARCHAR) AS BIGINT) AS n_chars_roundtrip,
+           COALESCE(TRY_CAST(source AS DOUBLE), -1.0) AS src_num
+    FROM documents WHERE doc_id < 100
+    """,
+)
+def q78_try_cast(spark, sf_dir):
+    """try_cast: malformed input -> NULL, not a runtime error (the ANSI-
+    mode-safe ingestion idiom; ClickHouse toInt32OrNull family)."""
+    d = t(spark, sf_dir, "documents")
+    return d.filter(F.col("doc_id") < 100).select(
+        "doc_id",
+        F.col("lang").try_cast("int").alias("lang_as_int"),
+        F.col("n_chars").cast("string").try_cast("bigint").alias("n_chars_roundtrip"),
+        F.coalesce(F.col("source").try_cast("double"), F.lit(-1.0)).alias("src_num"),
+    )
+
+
+@query(
+    "q79_nth_value",
+    oracle="""
+    SELECT DISTINCT user_id,
+           NTH_VALUE(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS second_event,
+           NTH_VALUE(value, 3)      OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                          ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_value
+    FROM events
+    """,
+)
+def q79_nth_value(spark, sf_dir):
+    """nth_value over the full frame — each user's second event type and
+    third event value."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        F.nth_value("event_type", 2).over(w).alias("second_event"),
+        F.nth_value("value", 3).over(w).alias("third_value"),
+    ).distinct()
