@@ -75,6 +75,22 @@ class Engine:
         path = os.path.join(self.warehouse, DLQ_TABLE if name == "dlq" else name)
         return self.spark.read.parquet(path)
 
+    def rollup(self, table: str, dest: str, dims: list[str], aggs: dict[str, str]):
+        """Materialized daily rollup over one event table (≙ a ClickHouse
+        materialized view): returns an IncrementalRollup; call .refresh()
+        after ingests. Only new/changed day partitions re-aggregate."""
+        from ed_clickhouse_spark.operators.rollup import IncrementalRollup
+
+        if table not in BY_TABLE:
+            raise KeyError(f"unknown table {table!r}")
+        return IncrementalRollup(
+            self.spark,
+            os.path.join(self.warehouse, table),
+            os.path.join(self.warehouse, dest),
+            dims=dims,
+            aggs=aggs,
+        )
+
     def ping(self) -> bool:
         """≙ the reference's ClickHouse /ping startup check
         (src/click_house.rs:46-59)."""
