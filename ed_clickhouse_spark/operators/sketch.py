@@ -1,0 +1,56 @@
+"""Count-min sketch over a key column — mergeable frequency estimation
+(Layer C; the sketch family next to HLL/minhash/simhash).
+
+At 100 TB the exact token-frequency table may itself be too large to
+materialize or too hot to shuffle; a count-min sketch is a fixed-size
+(d x w) counter matrix with one-sided error: estimates never undercount
+and overcount by at most eps * N with probability 1 - delta, where
+w = ceil(e / eps), d = ceil(ln(1 / delta)).
+
+Spark shape: explode keys -> d hash assignments per key (JVM xxhash64
+with per-row seeds) -> ONE groupBy (row, bucket) producing at most d*w
+rows regardless of input size — the partial counts combine map-side, so
+the shuffle is bounded by the sketch dimensions, not the data. Point
+queries join the (tiny, broadcast) sketch d times and take the min.
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def cm_build(df: DataFrame, key_col: str, width: int = 2048, depth: int = 4) -> DataFrame:
+    """Build the sketch: a DataFrame of (row, bucket, cnt), <= depth*width
+    rows. Deterministic: hash_i(x) = xxhash64(x, seed=i) mod width."""
+    rows = [
+        df.select(
+            F.lit(i).alias("row"),
+            F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(width)).alias("bucket"),
+        )
+        for i in range(depth)
+    ]
+    union = reduce(lambda a, b: a.unionByName(b), rows)
+    return union.groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
+
+
+def cm_query(sketch: DataFrame, keys: DataFrame, key_col: str, width: int = 2048, depth: int = 4) -> DataFrame:
+    """Point-query estimated counts for each key in ``keys``:
+    est = min over rows of sketch[row][hash_row(key)]. The sketch is
+    broadcast (<= depth*width rows); keys never shuffle."""
+    est = None
+    out = keys
+    for i in range(depth):
+        s_i = sketch.filter(F.col("row") == i).select(
+            F.col("bucket").alias(f"__b{i}"), F.col("cnt").alias(f"__c{i}")
+        )
+        out = out.withColumn(
+            f"__b{i}", F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(width))
+        ).join(F.broadcast(s_i), f"__b{i}", "left")
+        c = F.coalesce(F.col(f"__c{i}"), F.lit(0))
+        est = c if est is None else F.least(est, c)
+    return out.select(key_col, est.alias("est_count")).withColumn(
+        "est_count", F.col("est_count").cast("bigint")
+    )

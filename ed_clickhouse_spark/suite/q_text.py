@@ -17,6 +17,7 @@ from ed_clickhouse_spark.operators.text import (
     token_count,
     tokens,
 )
+from ed_clickhouse_spark.operators.sketch import cm_build, cm_query
 from ed_clickhouse_spark.suite import query
 from ed_clickhouse_spark.suite._util import t
 
@@ -186,7 +187,30 @@ def q42_fingerprint_dups(spark, sf_dir):
     )
 
 
-@query("q43_language_id")  # heuristic — no SQL oracle; unit-tested instead
+_LANG_HITS_SQL = ",\n".join(
+    f"           len(list_intersect(list_distinct(string_split(text, ' ')), "
+    f"[{', '.join(repr(w) for w in STOPWORDS[code])}])) AS h_{code}"
+    for code in sorted(STOPWORDS)
+)
+_LANG_CASE_SQL = "CASE WHEN GREATEST(h_de, h_en, h_es, h_fr, h_zh) = 0 THEN 'und' " + " ".join(
+    f"WHEN h_{code} = GREATEST(h_de, h_en, h_es, h_fr, h_zh) THEN '{code}'"
+    for code in sorted(STOPWORDS)
+) + " END"
+
+
+@query(
+    "q43_language_id",
+    oracle=f"""
+    WITH hits AS (
+      SELECT lang AS actual,
+{_LANG_HITS_SQL}
+      FROM documents
+    )
+    SELECT actual, {_LANG_CASE_SQL} AS predicted, COUNT(*) AS n
+    FROM hits
+    GROUP BY 1, 2
+    """,
+)
 def q43_language_id(spark, sf_dir):
     """Stopword-overlap language ID vs the labeled lang column —
     returns the confusion counts (predicted x actual)."""
@@ -196,3 +220,21 @@ def q43_language_id(spark, sf_dir):
         .groupBy("actual", "predicted")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query("q80_heavy_hitters")  # sketch estimates — rows-only; bounds unit-tested
+def q80_heavy_hitters(spark, sf_dir):
+    """Count-min sketch heavy hitters: estimated corpus frequency of the
+    20 most common tokens. The sketch is depth*width counters regardless
+    of corpus size (the 100 TB path for hot-key frequency); estimates are
+    one-sided (never undercount — bound pinned in tests/test_sketch.py)."""
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens("text")).alias("token"))
+    sketch = cm_build(tok, "token")
+    top = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("true_count"))
+        .orderBy(F.col("true_count").desc(), "token")
+        .limit(20)
+    )
+    return cm_query(sketch, top, "token").join(top, "token")

@@ -19,10 +19,10 @@ def test_queries_and_oracles_align():
     # hash/approx-based ops are the only ones allowed to skip the oracle
     allowed_no_oracle = {
         "q06_approx_distinct",
-        "q43_language_id",
         "q46_minhash_lsh",
         "q47_simhash",
         "q50_ann_lsh",
+        "q80_heavy_hitters",
     }
     assert set(q) - set(o) == allowed_no_oracle
 
