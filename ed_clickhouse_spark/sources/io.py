@@ -49,6 +49,26 @@ def read_table(
     return reader.options(**options).format(fmt).load(path)
 
 
+def write_bucketed(
+    df,
+    table: str,
+    n_buckets: int,
+    bucket_cols: list[str],
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Write a bucketed (hash-partitioned-on-disk) table via the session
+    catalog. Two tables bucketed the same way equi-join on the bucket
+    columns WITHOUT a shuffle exchange — the physical layout carries the
+    partitioning, which is the 100 TB answer for repeated fact-fact joins
+    (e.g. lineitem ⋈ orders on orderkey). Requires saveAsTable (bucket
+    metadata lives in the catalog, not the parquet files)."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)
+
+
 def write_table(
     df: DataFrame,
     path: str,

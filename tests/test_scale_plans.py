@@ -56,6 +56,28 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
 
 
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Co-bucketed tables join without an exchange — the physical layout
+    IS the partitioning (the repeated-fact-join strategy at 100 TB)."""
+    from ed_clickhouse_spark.sources.io import write_bucketed
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force non-broadcast
+    try:
+        left = spark.range(0, 1000).selectExpr("id AS k", "id * 2 AS a")
+        right = spark.range(0, 1000).selectExpr("id AS k", "id * 3 AS b")
+        write_bucketed(left, "bkt_left", 4, ["k"], sort_cols=["k"])
+        write_bucketed(right, "bkt_right", 4, ["k"], sort_cols=["k"])
+        joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+        plan = _plan(joined)
+        assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+        assert "Exchange hashpartitioning" not in plan  # no shuffle: buckets align
+        assert joined.count() == 1000
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.sql("DROP TABLE IF EXISTS bkt_left")
+        spark.sql("DROP TABLE IF EXISTS bkt_right")
+
+
 def test_headline_plan_shapes(spark):
     sf = "/root/testdata/sf0.001"
     p = _plan(QUERIES["q01_pricing_summary"](spark, sf))
