@@ -35,11 +35,18 @@ def asof_join(
     semantics (a right row with equal timestamp is eligible).
     """
     lcols = left.columns
+    # the right row travels as ONE struct so last(ignorenulls) picks a
+    # whole row atomically — carrying columns independently would stitch
+    # values from different right rows whenever one column is null
+    r_struct = F.struct(*[F.col(c).alias(c) for c in right_cols])
+    null_struct = F.lit(None).cast(
+        "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_cols) + ">"
+    )
     tagged_left = left.select(
         *[F.col(c) for c in lcols],
         F.lit(1).alias("__is_left"),
         F.col(left_ts).alias("__ts"),
-        *[F.lit(None).cast(right.schema[c].dataType).alias(f"__r_{c}") for c in right_cols],
+        null_struct.alias("__r"),
     )
     tagged_right = right.select(
         *[
@@ -48,7 +55,7 @@ def asof_join(
         ],
         F.lit(0).alias("__is_left"),
         F.col(right_ts).alias("__ts"),
-        *[F.col(c).alias(f"__r_{c}") for c in right_cols],
+        r_struct.alias("__r"),
     )
     unioned = tagged_left.unionByName(tagged_right)
     # Right rows sort before left rows at equal __ts so an equal-timestamp
@@ -61,14 +68,12 @@ def asof_join(
     filled = unioned.select(
         *lcols,
         "__is_left",
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}") for c in right_cols],
+        F.last("__r", ignorenulls=True).over(w).alias("__m"),
     )
-    out = filled.filter(F.col("__is_left") == 1).select(
-        *lcols, *[F.col(f"__m_{c}").alias(c) for c in right_cols]
-    )
+    out = filled.filter(F.col("__is_left") == 1)
     if how == "inner":
-        out = out.na.drop(subset=[right_cols[0]])
-    return out
+        out = out.filter(F.col("__m").isNotNull())
+    return out.select(*lcols, *[F.col(f"__m.{c}").alias(c) for c in right_cols])
 
 
 def range_join(
@@ -129,7 +134,15 @@ def salted_join(
     cases at runtime; use this when a single key is so hot that even a
     split partition exceeds executor memory, or when AQE is unavailable
     (e.g. inside some streaming foreachBatch plans). Cost: right side
-    inflates by ``salt``; keep the right side the dimension table."""
+    inflates by ``salt``; keep the right side the dimension table.
+
+    Only inner/left are supported: right/full outer would emit every
+    unmatched right row ``salt`` times (one per replica)."""
+    if how not in ("inner", "left", "left_outer", "leftouter"):
+        raise ValueError(
+            f"salted_join supports inner/left only, got {how!r}: the "
+            "replicated right side would duplicate unmatched right rows"
+        )
     l_salted = left.withColumn("__salt", (F.rand(seed=42) * salt).cast("int"))
     r_salted = right.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))

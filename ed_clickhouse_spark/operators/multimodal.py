@@ -101,6 +101,11 @@ def extract_features(
                 }
             )
 
+    # cap Arrow batch rows for these wide rows (session-level conf: the
+    # default 10k-row batches would materialize GBs of media per batch)
+    media.sparkSession.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", str(MEDIA_ARROW_BATCH_ROWS)
+    )
     sized = media.repartition(
         max(media.sparkSession.sparkContext.defaultParallelism, 1)
     )

@@ -16,8 +16,6 @@ queries join the (tiny, broadcast) sketch d times and take the min.
 
 from __future__ import annotations
 
-from functools import reduce
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -25,15 +23,27 @@ from pyspark.sql import functions as F
 def cm_build(df: DataFrame, key_col: str, width: int = 2048, depth: int = 4) -> DataFrame:
     """Build the sketch: a DataFrame of (row, bucket, cnt), <= depth*width
     rows. Deterministic: hash_i(x) = xxhash64(x, seed=i) mod width."""
-    rows = [
-        df.select(
-            F.lit(i).alias("row"),
-            F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(width)).alias("bucket"),
+    # one pass over the input: emit all d (row, bucket) assignments per
+    # key via explode (a union of d selects would scan the source d times)
+    assignments = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(i).alias("row"),
+                    F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(width)).alias(
+                        "bucket"
+                    ),
+                )
+                for i in range(depth)
+            ]
         )
-        for i in range(depth)
-    ]
-    union = reduce(lambda a, b: a.unionByName(b), rows)
-    return union.groupBy("row", "bucket").agg(F.count("*").alias("cnt"))
+    )
+    return (
+        df.select(assignments.alias("a"))
+        .select("a.row", "a.bucket")
+        .groupBy("row", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
 
 
 def cm_query(sketch: DataFrame, keys: DataFrame, key_col: str, width: int = 2048, depth: int = 4) -> DataFrame:

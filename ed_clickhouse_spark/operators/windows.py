@@ -58,15 +58,30 @@ def funnel(
     )
     agg = df.filter(F.col(event_col).isin(steps)).groupBy(user_col).agg(pairs.alias("evs"))
 
-    # Iteratively compute t_k = min ts of step k events strictly after t_{k-1}.
+    # Iteratively compute t_k = min ts of step k events strictly after
+    # t_{k-1}. Column-API lambdas, not spliced expr strings — step names
+    # with quotes would otherwise break or corrupt the filter.
     out = agg
-    prev_t = None
+    prev_t: str | None = None
+
+    def matcher(step: str, prev: str | None):
+        # closure factory: PySpark infers HOF lambda arity from the
+        # signature, so captured values must NOT be default parameters
+        def match(x):
+            cond = x["ev"] == F.lit(step)
+            if prev is not None:
+                cond = cond & (x["ts"] > F.col(prev))
+            return cond
+
+        return match
+
     for i, step in enumerate(steps):
-        cond = f"x.ev = '{step}'" if prev_t is None else f"x.ev = '{step}' AND x.ts > {prev_t}"
         tcol = f"__t{i}"
         out = out.withColumn(
             tcol,
-            F.expr(f"array_min(transform(filter(evs, x -> {cond}), x -> x.ts))"),
+            F.array_min(
+                F.transform(F.filter("evs", matcher(step, prev_t)), lambda x: x["ts"])
+            ),
         )
         prev_t = tcol
     # deepest completed step wins: the when for step k must be checked

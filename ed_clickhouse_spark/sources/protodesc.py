@@ -34,6 +34,9 @@ _LABEL_REPEATED = 3
 
 
 def _varint(n: int) -> bytes:
+    # negative ints encode as 10-byte two's-complement varints (proto
+    # spec); mask to unsigned 64-bit first or the shift loop never ends
+    n &= 0xFFFFFFFFFFFFFFFF
     out = bytearray()
     while True:
         b = n & 0x7F
@@ -164,8 +167,11 @@ def decode_event(family: EventFamily, payload: bytes) -> dict:
             out[name] = v.decode("utf-8", "replace")
         elif isinstance(dt, T.BooleanType):
             out[name] = bool(v)
-        else:  # int32/int64
-            out[name] = int(v)
+        else:  # int32/int64: varints are unsigned on the wire — sign-extend
+            v = int(v)
+            if v >= 1 << 63:
+                v -= 1 << 64
+            out[name] = v
     return out
 
 

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 from ed_clickhouse_spark.operators.joins import (
     asof_join,
     range_join_bucketed,
+    salted_join,
     topk_per_group,
 )
 from ed_clickhouse_spark.operators.windows import funnel, sessionize
@@ -61,6 +62,42 @@ def test_asof_join_inner_drops_unmatched(spark):
         left, right, on=["k"], left_ts="lts", right_ts="rts", right_cols=["v"], how="inner"
     )
     assert out.count() == 1
+
+
+def test_asof_join_null_right_column_no_stitching(spark):
+    # the matched right row's null column must stay null — not be filled
+    # from an OLDER right row (regression: per-column carry-forward)
+    left = spark.createDataFrame([(1, ts("2024-01-01 12:00:00"))], "k int, lts timestamp")
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01 10:00:00"), "a1", "b1"),
+         (1, ts("2024-01-01 11:00:00"), None, "b2")],
+        "k int, rts timestamp, a string, b string",
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts", right_cols=["a", "b"]
+    ).collect()[0]
+    assert out["b"] == "b2"
+    assert out["a"] is None  # NOT "a1" — that row lost the as-of race
+
+
+def test_asof_join_inner_keeps_match_with_null_first_col(spark):
+    left = spark.createDataFrame([(1, ts("2024-01-01 12:00:00"))], "k int, lts timestamp")
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01 11:00:00"), None, "b")], "k int, rts timestamp, a string, b string"
+    )
+    out = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_cols=["a", "b"], how="inner",
+    )
+    assert out.count() == 1  # a match whose first col is null is still a match
+
+
+def test_salted_join_rejects_outer(spark):
+    import pytest
+
+    df = spark.createDataFrame([("a", 1)], "k string, v int")
+    with pytest.raises(ValueError, match="inner/left only"):
+        salted_join(df, df, "k", how="full")
 
 
 def test_range_join_bucketed_equals_naive(spark):
@@ -125,6 +162,17 @@ def test_funnel_order_matters(spark):
     out = funnel(df, "user_id", "ts", "event_type", ["signup", "view", "purchase"])
     got = {r["user_id"]: r["funnel_steps"] for r in out.collect()}
     assert got == {1: 3, 2: 2, 3: 1}
+
+
+def test_funnel_step_name_with_quote(spark):
+    # regression: step names were spliced into an expr string unescaped
+    rows = [
+        (1, ts("2024-01-01 10:00:00"), "sign'up"),
+        (1, ts("2024-01-01 10:05:00"), "buy"),
+    ]
+    df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
+    out = funnel(df, "user_id", "ts", "event_type", ["sign'up", "buy"])
+    assert out.collect()[0]["funnel_steps"] == 2
 
 
 def test_funnel_strictly_after(spark):

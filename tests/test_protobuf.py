@@ -50,6 +50,19 @@ def test_protobuf_roundtrip_arrays_bools_ints(spark, desc_file):
     assert row["_corrupt"] is False
 
 
+def test_protobuf_negative_int_roundtrip(spark, desc_file):
+    # regression: negative varints hung the encoder and mis-decoded as 2^64-v
+    fam = BY_SUBJECT["events.angulak.watch"]
+    ev = _env(5)
+    ev.update({"video_position": -1, "season_number": -42})
+    payload = encode_event(fam, ev)
+    row = decode_protobuf(
+        spark.createDataFrame([(payload,)], "payload binary"), fam, desc_file
+    ).collect()[0]
+    assert row["video_position"] == -1
+    assert row["season_number"] == -42
+
+
 def test_protobuf_corrupt_payload_flagged(spark, desc_file):
     fam = BY_SUBJECT["events.login"]
     good = encode_event(fam, _env(2))
