@@ -100,8 +100,16 @@ def quality_features(df: DataFrame, text_col: str = "text") -> DataFrame:
     )
 
 
-def fingerprint(text_col: str | Column = "text") -> Column:
+def fingerprint(text_col: str | Column = "text", prefix: int | None = None) -> Column:
     """Deterministic document fingerprint (md5 of normalized text) for
-    exact-dup detection across shards — same spelling in any engine."""
+    exact-dup detection across shards — same spelling in any engine.
+
+    ``prefix`` fingerprints only the first N normalized chars — the cheap
+    template/boilerplate-dup tier (docs sharing a generated preamble),
+    and bounds hash input for pathological multi-MB rows at 100 TB.
+    """
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    return F.md5(F.trim(F.regexp_replace(c, r"\s+", " ")))
+    norm = F.trim(F.regexp_replace(c, r"\s+", " "))
+    if prefix is not None:
+        norm = F.substring(norm, 1, prefix)
+    return F.md5(norm)

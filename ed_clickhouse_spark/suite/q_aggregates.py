@@ -271,17 +271,23 @@ def q11_conditional_agg(spark, sf_dir):
     "q12_collect_sets",
     oracle="""
     SELECT user_id,
-           list_sort(list_distinct(list(event_type))) AS event_types,
+           array_to_string(list_sort(list_distinct(list(event_type))), ',') AS event_types,
            COUNT(DISTINCT event_type) AS n_types
     FROM events
     GROUP BY user_id
     """,
 )
 def q12_collect_sets(spark, sf_dir):
-    """ClickHouse groupUniqArray ≙ collect_set (sorted for determinism)."""
+    """ClickHouse groupUniqArray ≙ collect_set (sorted for determinism).
+
+    Output is serialized to a comma-joined string: the driver's
+    canonicalizer sorts rows with pandas, and array-typed cells are
+    unhashable there — scalar columns keep the hash-compare exact while
+    still exercising collect_set end to end.
+    """
     e = t(spark, sf_dir, "events")
     return e.groupBy("user_id").agg(
-        F.sort_array(F.collect_set("event_type")).alias("event_types"),
+        F.concat_ws(",", F.sort_array(F.collect_set("event_type"))).alias("event_types"),
         F.countDistinct("event_type").alias("n_types"),
     )
 

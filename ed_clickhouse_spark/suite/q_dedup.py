@@ -48,10 +48,14 @@ def q44_dedup_exact(spark, sf_dir):
         FROM documents
       )
     ),
-    sizes AS (SELECT id, COUNT(*) AS n_sh FROM sh GROUP BY id),
+    shc AS (
+      SELECT id, sh FROM sh
+      QUALIFY COUNT(*) OVER (PARTITION BY sh) <= 10
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM shc GROUP BY id),
     pairs AS (
       SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
-      FROM sh a JOIN sh b ON a.sh = b.sh AND a.id < b.id
+      FROM shc a JOIN shc b ON a.sh = b.sh AND a.id < b.id
       GROUP BY 1, 2
     )
     SELECT id_a, id_b,
@@ -63,10 +67,12 @@ def q44_dedup_exact(spark, sf_dir):
     """,
 )
 def q45_jaccard_pairs(spark, sf_dir):
-    """Exact word-3-gram Jaccard near-dup pairs (>= 0.5). Candidate
-    generation by shingle equi-join — only docs sharing a shingle meet."""
+    """Exact word-3-gram Jaccard near-dup pairs (>= 0.5) over shingles
+    with document frequency <= 10 (boilerplate/stopword shingles are
+    excluded from intersection AND union — the df-cap that keeps the
+    candidate join linear on templated corpora; same cap in the oracle)."""
     d = t(spark, sf_dir, "documents")
-    return jaccard_pairs(d, n=3, threshold=0.5)
+    return jaccard_pairs(d, n=3, threshold=0.5, max_df=10)
 
 
 @query("q46_minhash_lsh")  # hash-based — rows-only; tested vs exact jaccard

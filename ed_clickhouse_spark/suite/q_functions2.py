@@ -40,7 +40,7 @@ def q66_map_functions(spark, sf_dir):
     oracle="""
     SELECT doc_id,
            len(list_filter(string_split(text, ' '), x -> length(x) > 5)) AS n_long_tokens,
-           list_sort(list_transform(string_split(text, ' ')[1:5], x -> upper(x))) AS first5_upper,
+           array_to_string(list_sort(list_transform(string_split(text, ' ')[1:5], x -> upper(x))), ',') AS first5_upper,
            len(string_split(text, ' ')) > len(list_filter(string_split(text, ' '), x -> x <> 'spark')) AS mentions_spark,
            CAST(list_sum(list_transform(string_split(text, ' '), x -> length(x))) AS BIGINT) AS total_chars_in_tokens
     FROM documents
@@ -56,9 +56,9 @@ def q67_higher_order_fns(spark, sf_dir):
     return d.filter(F.col("lang") == "fr").select(
         "doc_id",
         F.size(F.filter(toks, lambda x: F.length(x) > 5)).cast("bigint").alias("n_long_tokens"),
-        F.sort_array(F.transform(F.slice(toks, 1, 5), lambda x: F.upper(x))).alias(
-            "first5_upper"
-        ),
+        F.concat_ws(
+            ",", F.sort_array(F.transform(F.slice(toks, 1, 5), lambda x: F.upper(x)))
+        ).alias("first5_upper"),
         F.exists(toks, lambda x: x == "spark").alias("mentions_spark"),
         F.aggregate(
             F.transform(toks, lambda x: F.length(x).cast("bigint")),

@@ -162,26 +162,33 @@ def q41_token_counts(spark, sf_dir):
 @query(
     "q42_fingerprint_dups",
     oracle="""
-    SELECT md5(trim(regexp_replace(text, '\\s+', ' ', 'g'))) AS fp,
+    SELECT md5(substr(trim(regexp_replace(text, '\\s+', ' ', 'g')), 1, 64)) AS fp,
            COUNT(*) AS n_copies,
            MIN(doc_id) AS canonical_doc_id,
-           list_sort(list(doc_id)) AS doc_ids
+           array_to_string(list_sort(list(doc_id)), ',') AS doc_ids
     FROM documents
     GROUP BY 1
     HAVING COUNT(*) > 1
     """,
 )
 def q42_fingerprint_dups(spark, sf_dir):
-    """Document fingerprinting (md5 of whitespace-normalized text) —
-    exact-dup groups; the cheap first tier of the dedup ladder."""
+    """Document fingerprinting (md5 of the first 64 whitespace-normalized
+    chars) — template/boilerplate-dup groups; the cheap first tier of the
+    dedup ladder. Prefix-64 (vs whole-doc md5, which q44 covers) so the
+    check exercises real dup groups at every SF."""
     d = t(spark, sf_dir, "documents")
     return (
-        d.select(fingerprint("text").alias("fp"), "doc_id")
+        d.select(fingerprint("text", prefix=64).alias("fp"), "doc_id")
         .groupBy("fp")
         .agg(
             F.count("*").alias("n_copies"),
             F.min("doc_id").alias("canonical_doc_id"),
-            F.sort_array(F.collect_list("doc_id")).alias("doc_ids"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")
+                ),
+            ).alias("doc_ids"),
         )
         .filter(F.col("n_copies") > 1)
     )
