@@ -223,26 +223,26 @@ def minhash_lsh_pairs(
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """64-bit SimHash over whitespace tokens: per bit, sum +/-1 weighted
-    by token-hash bit, sign -> bit. Computed JVM-side by aggregating
-    per-bit counts with higher-order functions (no UDF, no shuffle)."""
-    toks = F.array_distinct(F.split(F.col(text_col), " "))
-    hashes = F.transform(toks, lambda tok: F.xxhash64(tok))
-    n_tok = F.size(toks)
+    by token-hash bit, sign -> bit.
 
-    def bit_count(i: int):
-        # number of tokens whose hash has bit i set (i is a Python int, so
-        # the shift amounts stay literal and codegen-able)
-        return F.size(
-            F.filter(
-                hashes,
-                lambda h: F.shiftrightunsigned(h, i).bitwiseAND(F.lit(1)) == 1,
-            )
-        )
-
+    Shape: explode distinct-token hashes once, then 64 partial-sum bit
+    counters in ONE groupBy (map-side combine; shuffle = 65 longs/doc).
+    The previous form — 64 filter() lambdas over the token array inside
+    a single projection — rescanned the array per bit and paid ~130 Py4J
+    expression builds; this is a single pass and all codegen (the bit
+    aggregates are expr() strings, parsed JVM-side in one call)."""
+    hashes = F.transform(
+        F.array_distinct(F.split(F.col(text_col), " ")), lambda tok: F.xxhash64(tok)
+    )
+    ex = df.select(F.col(id_col).alias("id"), F.explode(hashes).alias("h"))
+    counts = ex.groupBy("id").agg(
+        F.count("*").alias("n"),
+        *[F.expr(f"sum(shiftrightunsigned(h, {i}) & 1)").alias(f"c{i}") for i in range(64)],
+    )
     # bit i of the simhash = 1 iff the majority of token hashes set bit i
-    sim = F.lit(0).cast("bigint")
-    for i in range(64):
-        sim = sim + F.when(
-            bit_count(i) * 2 > n_tok, F.lit(1 << i if i < 63 else -(1 << 63)).cast("bigint")
-        ).otherwise(F.lit(0).cast("bigint"))
-    return df.select(F.col(id_col).alias("id"), sim.alias("simhash"))
+    terms = " + ".join(
+        f"IF(c{i} * 2 > n, CAST({(1 << i) if i < 63 else -(1 << 63)} AS BIGINT), "
+        f"CAST(0 AS BIGINT))"
+        for i in range(64)
+    )
+    return counts.select("id", F.expr(terms).alias("simhash"))
