@@ -21,9 +21,17 @@ def asof_join(
     right_ts: str,
     right_cols: list[str],
     how: str = "left",
+    tiebreak: str | Column | None = None,
 ) -> DataFrame:
     """As-of join: for each left row, the latest right row with
     ``right_ts <= left_ts`` within the same ``on`` keys.
+
+    ``tiebreak`` resolves ties when several right rows share the same key
+    AND timestamp: highest tiebreak value wins. Defaults to a stable hash
+    of the carried right-side struct, so the winner is a deterministic
+    function of row content, never of shuffle order. Pass the name of a
+    unique column from ``right_cols`` (e.g. an event id) to pin a
+    domain-meaningful rule.
 
     Implementation is the union+window pattern: tag both sides, union on a
     common schema, sort within each key by time, and carry the most recent
@@ -60,9 +68,17 @@ def asof_join(
     unioned = tagged_left.unionByName(tagged_right)
     # Right rows sort before left rows at equal __ts so an equal-timestamp
     # right row is visible to the left row (ASOF '>=', DuckDB-compatible).
+    # The third key orders equal-(key, ts) right rows deterministically;
+    # last() then always carries the same winner.
+    if tiebreak is None:
+        tb = F.xxhash64(F.col("__r"))
+    elif isinstance(tiebreak, str):
+        tb = F.col(f"__r.{tiebreak}")
+    else:
+        tb = tiebreak
     w = (
         W.partitionBy(*on)
-        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc())
+        .orderBy(F.col("__ts").asc(), F.col("__is_left").asc(), tb.asc())
         .rowsBetween(W.unboundedPreceding, 0)
     )
     filled = unioned.select(

@@ -77,7 +77,9 @@ def decode_image(payload: bytes) -> Any:  # pragma: no cover - stub
 
 
 def extract_features(
-    media: DataFrame, decoder: Callable[[bytes], list[float]] = fake_decode
+    media: DataFrame,
+    decoder: Callable[[bytes], list[float]] = fake_decode,
+    arrow_batch_rows: int = MEDIA_ARROW_BATCH_ROWS,
 ) -> DataFrame:
     """binary column -> feature vectors via mapInPandas (Arrow batches).
 
@@ -85,8 +87,20 @@ def extract_features(
     the whole partition), batch size is capped for wide rows, and the
     output drops the payload bytes so downstream stages shuffle only
     features. Repartition upstream by size, not count, when media skews.
+
+    The Arrow batch cap (``spark.sql.execution.arrow.maxRecordsPerBatch``,
+    default 10k rows — GBs of media per batch) is session-wide and read
+    at EXECUTION time, so it cannot be restored around a lazy result
+    without silently losing the cap. Instead the decoded feature frame —
+    payload already dropped, so it's narrow — is materialized (persist +
+    count) while the cap is active, and the previous conf value is
+    restored before returning. Eager materialization is what a real
+    pipeline does after an expensive decode anyway: every downstream
+    consumer reuses the cached features instead of re-decoding.
     """
     import pandas as pd
+
+    from ed_clickhouse_spark.operators.rollup import _conf
 
     def op(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -101,15 +115,15 @@ def extract_features(
                 }
             )
 
-    # cap Arrow batch rows for these wide rows (session-level conf: the
-    # default 10k-row batches would materialize GBs of media per batch)
-    media.sparkSession.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", str(MEDIA_ARROW_BATCH_ROWS)
-    )
-    sized = media.repartition(
-        max(media.sparkSession.sparkContext.defaultParallelism, 1)
-    )
-    out = sized.mapInPandas(op, schema=FEATURE_SCHEMA)
+    from pyspark import StorageLevel
+
+    spark = media.sparkSession
+    sized = media.repartition(max(spark.sparkContext.defaultParallelism, 1))
+    with _conf(spark, "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows)):
+        out = sized.mapInPandas(op, schema=FEATURE_SCHEMA).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        out.count()  # decode under the batch cap, before the conf restores
     return out
 
 

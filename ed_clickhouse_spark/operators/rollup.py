@@ -24,7 +24,6 @@ cross-partition merge logic.
 from __future__ import annotations
 
 import json
-import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -54,40 +53,68 @@ class IncrementalRollup:
         self.aggs = aggs
         self.partition_col = partition_col
 
+    # -- filesystem (Hadoop FS API: local, HDFS, s3a, ... uniformly) ------
+    def _fs(self, path_str: str):
+        """(FileSystem, Path) for any Hadoop-supported scheme. Listing and
+        state I/O go through this so a cloud warehouse path behaves
+        exactly like file:// — driver-local os.listdir would silently see
+        zero partitions on HDFS/S3."""
+        jvm = self.spark._jvm
+        path = jvm.org.apache.hadoop.fs.Path(path_str)
+        fs = path.getFileSystem(self.spark._jsc.hadoopConfiguration())
+        return fs, path
+
     # -- state ------------------------------------------------------------
     def _state_path(self) -> str:
-        return os.path.join(self.dest_path, _STATE_FILE)
+        return self.dest_path.rstrip("/") + "/" + _STATE_FILE
 
     def _load_state(self) -> dict[str, str]:
+        fs, p = self._fs(self._state_path())
+        if not fs.exists(p):
+            return {}
+        stream = fs.open(p)
         try:
-            with open(self._state_path()) as f:
-                return json.load(f)
-        except (FileNotFoundError, json.JSONDecodeError):
+            raw = self.spark._jvm.org.apache.commons.io.IOUtils.toString(
+                stream, "UTF-8"
+            )
+        finally:
+            stream.close()
+        try:
+            return json.loads(raw)
+        except json.JSONDecodeError:
             return {}
 
     def _save_state(self, state: dict[str, str]) -> None:
-        os.makedirs(self.dest_path, exist_ok=True)
-        with open(self._state_path(), "w") as f:
-            json.dump(state, f, sort_keys=True)
+        fs, dest = self._fs(self.dest_path)
+        fs.mkdirs(dest)
+        _, p = self._fs(self._state_path())
+        out = fs.create(p, True)
+        try:
+            out.write(json.dumps(state, sort_keys=True).encode("utf-8"))
+        finally:
+            out.close()
 
     def _source_partitions(self) -> dict[str, str]:
         """partition value -> fingerprint (sorted data-file names).
 
-        Driver-side directory listing: one cheap FS listing per refresh,
-        no data read. At cloud-storage scale this is the same listing the
-        parquet reader performs anyway."""
+        Driver-side FS listing: one cheap listing per refresh, no data
+        read. At cloud-storage scale this is the same listing the parquet
+        reader performs anyway."""
         out: dict[str, str] = {}
         prefix = f"{self.partition_col}="
-        if not os.path.isdir(self.source_path):
+        fs, root = self._fs(self.source_path)
+        if not fs.exists(root):
             return out
-        for entry in sorted(os.listdir(self.source_path)):
-            if not entry.startswith(prefix):
+        for st in fs.listStatus(root):
+            name = st.getPath().getName()
+            if not (st.isDirectory() and name.startswith(prefix)):
                 continue
-            pdir = os.path.join(self.source_path, entry)
             files = sorted(
-                f for f in os.listdir(pdir) if not f.startswith(("_", "."))
+                f.getPath().getName()
+                for f in fs.listStatus(st.getPath())
+                if not f.getPath().getName().startswith(("_", "."))
             )
-            out[entry[len(prefix):]] = ",".join(files)
+            out[name[len(prefix):]] = ",".join(files)
         return out
 
     # -- refresh ----------------------------------------------------------

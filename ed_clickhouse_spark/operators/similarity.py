@@ -50,6 +50,7 @@ def brute_force_topk(
     q_vec: str = "q_vec",
     c_vec: str = "c_vec",
     round_to: int = 6,
+    max_queries: int = 100_000,
 ) -> DataFrame:
     """Exact top-k cosine neighbors: the query matrix is collected and
     broadcast (it must be the small side); each corpus partition scores
@@ -57,12 +58,26 @@ def brute_force_topk(
     its per-partition top-k per query (argpartition), so the final merge
     ranks at most k * n_partitions rows per query.
 
+    The query side is collected to the driver — contract-bound to small
+    query sets. ``max_queries`` fails fast (before the collect) instead
+    of letting an oversized query frame OOM the driver; raise it
+    explicitly if your driver is sized for more, or use
+    :func:`lsh_bucket_topk` for large-by-large.
+
     Scale: the corpus never shuffles for scoring; Python is the right
     tool here BECAUSE of Arrow+BLAS — the pure-JVM higher-order-fold
     version evaluates lambdas interpretively and measured ~100x slower
     at 4M pairs (80 s -> <1 s at sf0.1)."""
     import numpy as np
 
+    n_q = queries.count()
+    if n_q > max_queries:
+        raise ValueError(
+            f"brute_force_topk collects the query side to the driver: got "
+            f"{n_q} query rows > max_queries={max_queries}. Use "
+            f"lsh_bucket_topk for large query sets, or raise max_queries "
+            f"if the driver can hold {n_q} vectors."
+        )
     q_rows = queries.select(q_id, q_vec).collect()
     q_ids = np.array([r[q_id] for r in q_rows], dtype=np.int64)
     q_mat = np.array([r[q_vec] for r in q_rows], dtype=np.float64)

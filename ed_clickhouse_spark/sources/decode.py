@@ -80,7 +80,22 @@ def decode_protobuf(
         result = out.select(*cols, "_corrupt", F.col(payload_col).alias("_raw"))
         result.schema  # force analysis: raises if the jar is missing
         return result
-    except Exception:
+    except Exception as e:
+        # Fall back ONLY when the spark-protobuf connector itself is
+        # absent (no jar on the classpath / module not shipped). A real
+        # misconfiguration — bad desc_file path, malformed descriptor,
+        # schema mismatch — must surface, not silently reroute to the
+        # ~100x slower Python wire parser.
+        missing_jar = isinstance(e, ImportError) or any(
+            m in str(e)
+            for m in (
+                "PROTOBUF_NOT_LOADED",  # AnalysisException in this env
+                "ClassNotFoundException",
+                "NoClassDefFoundError",
+            )
+        )
+        if not missing_jar:
+            raise
         return _decode_protobuf_pandas(df, family, payload_col)
 
 

@@ -114,3 +114,18 @@ def test_lsh_recall_vs_brute_force(spark, sf_dir):
     recall = len(exact & approx) / len(exact)
     # random 64-dim embeddings are a worst case for LSH; demand usable recall
     assert recall >= 0.3, f"LSH recall too low: {recall}"
+
+
+def test_brute_force_topk_query_cap(spark):
+    import pytest
+
+    from ed_clickhouse_spark.operators.similarity import brute_force_topk
+
+    q = spark.range(10).select(
+        F.col("id").alias("q_id"), F.array(F.lit(1.0)).alias("q_vec")
+    )
+    c = spark.range(5).select(
+        F.col("id").alias("c_id"), F.array(F.lit(1.0)).alias("c_vec")
+    )
+    with pytest.raises(ValueError, match="max_queries"):
+        brute_force_topk(q, c, k=1, max_queries=5)

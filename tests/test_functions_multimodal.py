@@ -79,3 +79,10 @@ def test_extract_features_stub(spark):
 def test_frame_sample_plan(spark):
     out = frame_sample_plan(_media_df(spark), every_ms=1000).collect()
     assert sorted(r["sample_ms"] for r in out) == [0, 1000, 2000, 3000]
+
+
+def test_extract_features_restores_arrow_batch_conf(spark):
+    key = "spark.sql.execution.arrow.maxRecordsPerBatch"
+    prev = spark.conf.get(key)
+    extract_features(_media_df(spark), arrow_batch_rows=16).collect()
+    assert spark.conf.get(key) == prev

@@ -184,3 +184,26 @@ def test_funnel_strictly_after(spark):
     df = spark.createDataFrame(rows, "user_id int, ts timestamp, event_type string")
     out = funnel(df, "user_id", "ts", "event_type", ["signup", "view"])
     assert out.collect()[0]["funnel_steps"] == 1
+
+
+def test_asof_join_tie_deterministic(spark):
+    # several right rows share (key, ts): the carried row must be a
+    # deterministic function of content, not shuffle order
+    left = spark.createDataFrame([(1, 10)], "k int, lts int")
+    right = spark.createDataFrame(
+        [(1, 10, "a"), (1, 10, "b"), (1, 10, "c")], "k int, rts int, v string"
+    )
+    got = {
+        asof_join(
+            left.repartition(n), right.repartition(7 - n),
+            on=["k"], left_ts="lts", right_ts="rts", right_cols=["v"],
+        ).collect()[0]["v"]
+        for n in (1, 2, 3)
+    }
+    assert len(got) == 1  # same winner regardless of partitioning
+    # caller-pinned tiebreak: max v wins
+    out = asof_join(
+        left, right, on=["k"], left_ts="lts", right_ts="rts",
+        right_cols=["v"], tiebreak="v",
+    ).collect()[0]
+    assert out["v"] == "c"
