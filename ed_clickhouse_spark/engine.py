@@ -31,7 +31,59 @@ class Engine:
     def __init__(self, warehouse: str, spark: SparkSession | None = None):
         self.warehouse = warehouse
         self.spark = spark or get_spark("ed_clickhouse_spark")
+        # per-engine ingestion defaults; Engine.from_config overrides
+        # these from the [batcher] section (≙ reference config/default.toml)
+        self.ingest_defaults: dict = {}
         register_sql_aliases(self.spark)
+
+    @classmethod
+    def from_config(cls, path: str) -> "Engine":
+        """Build an Engine from one TOML file — parity with the
+        reference's end-to-end TOML surface (src/config.rs:4-118,
+        config/default.toml). Sections:
+
+          [warehouse] path                   (required)
+          [batcher]   max_rows, max_bytes, flush_interval_ms
+                        (≙ config/default.toml:41-43; become the ingest
+                         defaults: rows cap, bytes cap, trigger interval)
+          [spark]     shuffle_partitions, broadcast_threshold, and any
+                        literal conf keys under [spark.conf]
+          [kafka]     bootstrap_servers, topics
+                        (≙ the [nats] connection block; used by
+                         ingest_kafka when no explicit args are given)
+
+        Note Spark session semantics: get_spark getOrCreate-s, so [spark]
+        settings apply to a NEW session; an already-running session keeps
+        its conf (set runtime confs on it directly instead)."""
+        import tomllib
+
+        with open(path, "rb") as f:
+            cfg = tomllib.load(f)
+        wh = cfg["warehouse"]["path"]
+        sp = cfg.get("spark", {})
+        extra = {str(k): str(v) for k, v in sp.get("conf", {}).items()}
+        if "broadcast_threshold" in sp:
+            extra["spark.sql.autoBroadcastJoinThreshold"] = str(sp["broadcast_threshold"])
+        spark = get_spark(
+            sp.get("app_name", "ed_clickhouse_spark"),
+            shuffle_partitions=sp.get("shuffle_partitions"),
+            extra_conf=extra,
+        )
+        eng = cls(wh, spark)
+        b = cfg.get("batcher", {})
+        if "max_rows" in b:
+            eng.ingest_defaults["max_rows"] = int(b["max_rows"])
+        if "max_bytes" in b:
+            eng.ingest_defaults["bytes_per_trigger"] = int(b["max_bytes"])
+        if "flush_interval_ms" in b:
+            eng.ingest_defaults["trigger_interval_ms"] = int(b["flush_interval_ms"])
+        k = cfg.get("kafka", {})
+        if k:
+            eng.ingest_defaults["kafka"] = {
+                "bootstrap_servers": k.get("bootstrap_servers", "localhost:9092"),
+                "topics": list(k.get("topics", [])),
+            }
+        return eng
 
     # -- EP3: provisioning ------------------------------------------------
     def init(self) -> None:
@@ -59,9 +111,40 @@ class Engine:
     # -- EP1: ingestion ---------------------------------------------------
     def ingest(self, source_dir: str, checkpoint: str | None = None, **kw):
         """Start the streaming ingestion into this warehouse; returns the
-        StreamingQuery (stop() for graceful shutdown ≙ ctrl-c drain)."""
+        StreamingQuery (stop() for graceful shutdown ≙ ctrl-c drain).
+        Config-file batcher settings apply unless overridden in ``kw``."""
         ckpt = checkpoint or os.path.join(self.warehouse, "_checkpoints", "ingest")
+        for key in ("bytes_per_trigger", "trigger_interval_ms"):
+            if key in self.ingest_defaults:
+                kw.setdefault(key, self.ingest_defaults[key])
         return start_ingest(self.spark, source_dir, self.warehouse, ckpt, **kw)
+
+    def ingest_kafka(
+        self,
+        bootstrap_servers: str | None = None,
+        topics: list[str] | None = None,
+        checkpoint: str | None = None,
+        **kw,
+    ):
+        """Kafka-mode ingestion (production path; ≙ the reference's NATS
+        consumer). Connection defaults come from the [kafka] config
+        section; the [batcher] rows cap maps to maxOffsetsPerTrigger."""
+        from ed_clickhouse_spark.streaming.pipeline import start_ingest_kafka
+
+        kcfg = self.ingest_defaults.get("kafka", {})
+        servers = bootstrap_servers or kcfg.get("bootstrap_servers")
+        tops = topics or kcfg.get("topics")
+        if not servers or not tops:
+            raise ValueError("kafka mode needs bootstrap_servers and topics "
+                             "(args or [kafka] config section)")
+        ckpt = checkpoint or os.path.join(self.warehouse, "_checkpoints", "ingest_kafka")
+        if "max_rows" in self.ingest_defaults:
+            kw.setdefault("max_offsets_per_trigger", self.ingest_defaults["max_rows"])
+        if "trigger_interval_ms" in self.ingest_defaults:
+            kw.setdefault("trigger_interval_ms", self.ingest_defaults["trigger_interval_ms"])
+        return start_ingest_kafka(
+            self.spark, servers, tops, self.warehouse, ckpt, **kw
+        )
 
     # -- EP2: query -------------------------------------------------------
     def sql(self, query: str) -> DataFrame:

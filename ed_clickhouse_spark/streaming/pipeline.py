@@ -92,21 +92,57 @@ def process_batch(batch: DataFrame, warehouse: str) -> None:
         batch.unpersist()
 
 
+def files_per_trigger_for_bytes(
+    spark: SparkSession, source_dir: str, bytes_per_trigger: int
+) -> int:
+    """Approximate the reference's bytes-based flush cap
+    (``batcher.max_bytes=60MB``, src/handler.rs:145,188) for Spark's file
+    source, which only has a files-per-trigger knob: observe the average
+    size of the files currently in ``source_dir`` (Hadoop FS listing, any
+    scheme) and return how many such files fit under the cap. Producers
+    that roll files at a roughly constant size make this a tight bound;
+    re-derive when file sizing changes."""
+    jvm = spark._jvm
+    path = jvm.org.apache.hadoop.fs.Path(source_dir)
+    fs = path.getFileSystem(spark._jsc.hadoopConfiguration())
+    if not fs.exists(path):
+        return 1
+    sizes = [
+        st.getLen()
+        for st in fs.listStatus(path)
+        if st.isFile() and not st.getPath().getName().startswith(("_", "."))
+    ]
+    if not sizes:
+        return 1
+    avg = max(1, sum(sizes) // len(sizes))
+    return max(1, int(bytes_per_trigger // avg))
+
+
 def start_ingest(
     spark: SparkSession,
     source_dir: str,
     warehouse: str,
     checkpoint: str,
     max_files_per_trigger: int = 100,
+    bytes_per_trigger: int | None = None,
+    trigger_interval_ms: int = 1000,
 ):
     """Start the streaming ingestion query.
 
     File-source stand-in for JetStream: JSON-lines files dropped into
     ``source_dir``. ``maxFilesPerTrigger`` is the rows-cap analog of the
-    reference's 100k-row batch limit; the 1 s trigger matches
-    ``batcher.flush_interval_ms=1000`` (config/default.toml:43). The
-    checkpoint dir plays the durable-consumer role (at-least-once across
-    restarts ≙ the JetStream durable name, config/default.toml:18)."""
+    reference's 100k-row batch limit; ``bytes_per_trigger`` approximates
+    its 60 MB bytes cap (config/default.toml:42) by deriving a files cap
+    from observed file sizes — the smaller of the two wins. The trigger
+    interval defaults to the reference's ``batcher.flush_interval_ms=1000``
+    (config/default.toml:43). The checkpoint dir plays the
+    durable-consumer role (at-least-once across restarts ≙ the JetStream
+    durable name, config/default.toml:18)."""
+    if bytes_per_trigger is not None:
+        max_files_per_trigger = min(
+            max_files_per_trigger,
+            files_per_trigger_for_bytes(spark, source_dir, bytes_per_trigger),
+        )
     stream = (
         spark.readStream.schema(WIRE_SCHEMA)
         .option("maxFilesPerTrigger", max_files_per_trigger)
@@ -117,6 +153,68 @@ def start_ingest(
             lambda batch, _epoch: process_batch(batch, warehouse)
         )
         .option("checkpointLocation", checkpoint)
-        .trigger(processingTime="1 second")
+        .trigger(processingTime=f"{trigger_interval_ms} milliseconds")
+        .start()
+    )
+
+
+def kafka_to_wire(df: DataFrame) -> DataFrame:
+    """Map a Kafka-shaped frame (key/value binary, topic string — the
+    fixed schema of Spark's Kafka source) onto the wire contract
+    ``(subject, payload)`` that :func:`process_batch` routes on.
+
+    Subject = the record key when present (≙ JetStream subject carried
+    per message), else the topic — so either keyed single-topic or
+    topic-per-family layouts route identically."""
+    return df.select(
+        F.coalesce(F.col("key").cast("string"), F.col("topic")).alias("subject"),
+        F.col("value").cast("string").alias("payload"),
+    )
+
+
+def start_ingest_kafka(
+    spark: SparkSession,
+    bootstrap_servers: str,
+    topics: list[str],
+    warehouse: str,
+    checkpoint: str,
+    max_offsets_per_trigger: int = 100_000,
+    starting_offsets: str = "earliest",
+    trigger_interval_ms: int = 1000,
+):
+    """Kafka ingestion mode — the production stand-in for the reference's
+    NATS JetStream durable pull consumer (src/nats.rs:63-83). Knob map:
+
+      JetStream (reference)              Spark Kafka source (here)
+      ---------------------              -------------------------
+      durable consumer name              checkpointLocation (offsets
+        (config/default.toml:18)           committed after each batch)
+      max_ack_pending=200k /             maxOffsetsPerTrigger
+        batcher.max_rows=100k              (rows cap per micro-batch)
+      max_deliver=3 (redelivery)         spark.task.maxFailures retries;
+                                           poison batches -> DLQ rows
+                                           instead of redelivery loops
+      filter_subjects                    subscribe=<topics> + key routing
+      ack after ClickHouse insert        offset commit after foreachBatch
+        (at-least-once)                    returns (at-least-once)
+
+    Requires the spark-sql-kafka connector on the classpath; the plan
+    construction itself is connector-agnostic and covered by
+    :func:`kafka_to_wire` + :func:`process_batch` tests."""
+    stream = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", bootstrap_servers)
+        .option("subscribe", ",".join(topics))
+        .option("maxOffsetsPerTrigger", max_offsets_per_trigger)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return (
+        kafka_to_wire(stream)
+        .writeStream.foreachBatch(
+            lambda batch, _epoch: process_batch(batch, warehouse)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime=f"{trigger_interval_ms} milliseconds")
         .start()
     )

@@ -128,3 +128,105 @@ def test_registry_subjects_map_to_canonical_tables():
     assert route_for_subject("events.nope") is None
     assert len(FAMILIES) == 9
     assert len(BY_TABLE) == 9  # no table-name collisions
+
+
+def test_kafka_shaped_frame_routes_through_process_batch(spark, tmp_path):
+    """kafka_to_wire + process_batch: the same routing/DLQ semantics from
+    a Kafka-schema frame (key/value binary, topic) — the production
+    source shape (no broker needed: foreachBatch receives a plain DF)."""
+    from ed_clickhouse_spark.streaming.pipeline import kafka_to_wire, process_batch
+
+    wh = str(tmp_path / "wh")
+    base_ts = 1_700_000_000
+    rows = [
+        # keyed record: subject from the key
+        ("events.login", json.dumps(_envelope(1, "login", base_ts)), "ingest"),
+        # keyless record: subject falls back to the topic
+        (None, json.dumps(_envelope(2, "login", base_ts)), "events.login"),
+        # unroutable key -> DLQ
+        ("events.bogus", json.dumps(_envelope(3, "x", base_ts)), "ingest"),
+        # undecodable payload -> DLQ
+        ("events.login", "{not json", "ingest"),
+    ]
+    kafka_shaped = spark.createDataFrame(
+        [(k.encode() if k else None, v.encode(), t, 0, i, None) for i, (k, v, t) in enumerate(rows)],
+        "key binary, value binary, topic string, partition int, offset long, timestamp timestamp",
+    )
+    process_batch(kafka_to_wire(kafka_shaped), wh)
+    login = spark.read.parquet(f"{wh}/login_events")
+    assert login.count() == 2  # keyed + topic-fallback both routed
+    dlq = spark.read.parquet(f"{wh}/_dlq")
+    assert {r["reason"] for r in dlq.collect()} == {"unroutable_subject", "decode_error"}
+
+
+def test_bytes_per_trigger_caps_batches(spark, tmp_path):
+    """The 60 MB-style bytes cap (reference src/handler.rs:145,188),
+    approximated as files-per-trigger from observed file sizes: batches
+    must stay near the cap instead of swallowing the whole backlog."""
+    from ed_clickhouse_spark.streaming.pipeline import (
+        files_per_trigger_for_bytes,
+        start_ingest,
+    )
+
+    src = tmp_path / "src"
+    src.mkdir()
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    base_ts = 1_700_000_000
+    rows_per_file = 40
+    for fidx in range(6):
+        with open(src / f"b{fidx}.json", "w") as f:
+            for i in range(rows_per_file):
+                payload = json.dumps(_envelope(fidx * 1000 + i, "login", base_ts + i))
+                f.write(json.dumps({"subject": "events.login", "payload": payload}) + "\n")
+    file_bytes = (src / "b0.json").stat().st_size
+    cap = int(file_bytes * 2.5)  # ~2 files per batch
+    assert files_per_trigger_for_bytes(spark, str(src), cap) == 2
+
+    q = start_ingest(spark, str(src), wh, ckpt, bytes_per_trigger=cap)
+    q.processAllAvailable()
+    q.stop()
+    batches = [p["numInputRows"] for p in q.recentProgress if p["numInputRows"] > 0]
+    assert sum(batches) == 6 * rows_per_file  # nothing lost
+    # every batch stayed at/below the derived cap (2 files' worth of rows)
+    assert max(batches) <= 2 * rows_per_file
+    assert len(batches) >= 3
+
+
+def test_engine_from_config_toml(tmp_path):
+    from ed_clickhouse_spark.engine import Engine
+
+    cfg = tmp_path / "engine.toml"
+    cfg.write_text(
+        """
+[warehouse]
+path = "%s"
+
+[batcher]
+max_rows = 50000
+max_bytes = 60000000
+flush_interval_ms = 500
+
+[spark]
+broadcast_threshold = 33554432
+
+[kafka]
+bootstrap_servers = "broker:9092"
+topics = ["ingest"]
+"""
+        % str(tmp_path / "wh")
+    )
+    eng = Engine.from_config(str(cfg))
+    assert eng.warehouse == str(tmp_path / "wh")
+    assert eng.ingest_defaults["max_rows"] == 50000
+    assert eng.ingest_defaults["bytes_per_trigger"] == 60000000
+    assert eng.ingest_defaults["trigger_interval_ms"] == 500
+    assert eng.ingest_defaults["kafka"]["topics"] == ["ingest"]
+    eng.init()
+    assert eng.ping()
+    # kafka mode validates connection config before starting a stream
+    import pytest as _pytest
+
+    eng2 = Engine(str(tmp_path / "wh2"), eng.spark)
+    with _pytest.raises(ValueError, match="bootstrap_servers"):
+        eng2.ingest_kafka()
