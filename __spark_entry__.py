@@ -20,25 +20,33 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The round-1 driver checked exactly the first 50 registry entries, so
-# ordering decides coverage when the per-round check is capped. Queries
-# without a CORRECTNESS_r01 row go first; the 50 with green r01 rows
-# follow, so a capped run still re-verifies as many as fit.
-_R1_UNCHECKED = [
-    "q26_theta_join", "q27_topk_per_group", "q28_lag_gap", "q29_running_sum",
-    "q30_ntile_rank", "q31_sessionize", "q32_funnel", "q33_first_last_value",
-    "q34_union_all_envelope", "q35_intersect", "q36_except", "q37_array_ops",
-    "q38_explode_tokens", "q39_lang_stats", "q40_quality_score",
-    "q41_token_counts", "q42_fingerprint_dups", "q43_language_id",
-    "q48_ann_cosine_topk", "q49_embedding_stats", "q50_ann_lsh",
-    "q65_nn_all_vectors", "q73_shipping_priority", "q74_returned_items",
-    "q75_large_volume_customers", "q76_full_outer_join", "q77_date_format",
-    "q78_try_cast", "q79_nth_value", "q80_heavy_hitters",
-]
+# ordering decides coverage when the per-round check is capped. Anything
+# WITHOUT a green CORRECTNESS_r01 row — the 30 then-unchecked queries
+# plus any query added after round 1 — goes first; the 50 with green r01
+# rows follow, so a capped run still re-verifies as many as fit.
+_R1_CHECKED = {
+    "q01_pricing_summary", "q02_filter_project", "q03_top_orders",
+    "q04_daily_revenue", "q05_events_dau", "q06_approx_distinct",
+    "q07_quantiles", "q08_argmax", "q09_rollup", "q10_cube",
+    "q11_conditional_aggs", "q12_collect_sets", "q13_pivot",
+    "q14_time_window", "q15_string_funcs", "q16_datetime_funcs",
+    "q17_json_extract", "q18_multiif", "q19_math_funcs",
+    "q20_star_join_revenue", "q21_semi_join", "q22_anti_join",
+    "q23_broadcast_join", "q24_asof_join", "q25_range_join",
+    "q44_dedup_exact", "q45_jaccard_pairs", "q46_minhash_lsh",
+    "q47_simhash", "q51_stats_moments", "q52_correlation",
+    "q53_exists_subquery", "q54_in_subquery", "q55_scalar_subquery",
+    "q56_cte_share", "q57_event_transitions", "q58_percent_rank",
+    "q59_string_extra", "q60_distinct_pairs", "q61_grouping_sets",
+    "q62_session_window", "q63_unpivot", "q64_range_frame",
+    "q66_map_fns", "q67_higher_order_fns", "q68_calendar_gapfill",
+    "q69_posexplode", "q70_bitwise", "q71_hash_fns", "q72_sliding_window",
+}
 
 
 def _ordered(mapping: dict) -> dict:
-    first = [k for k in _R1_UNCHECKED if k in mapping]
-    rest = [k for k in mapping if k not in _R1_UNCHECKED]
+    first = [k for k in mapping if k not in _R1_CHECKED]
+    rest = [k for k in mapping if k in _R1_CHECKED]
     return {k: mapping[k] for k in first + rest}
 
 
