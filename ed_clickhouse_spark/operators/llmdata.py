@@ -1,0 +1,140 @@
+"""Training-data-pipeline operators beyond the dedup/similarity ladder
+(Layer C): deterministic splits, degenerate-text detection, PII
+scrubbing, corpus accounting, mixture weighting, sequence packing.
+
+All pure Spark SQL expressions (codegen, no UDFs), each with a DuckDB
+oracle twin in the suite — the ops a 100 TB pretraining corpus build
+runs between "raw crawl" and "tokenized shards".
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+# PII patterns kept to the regex subset Java and RE2 (DuckDB) agree on:
+# no backrefs, no lookaround. Deliberately simple, demonstration-grade —
+# swap for a vetted ruleset in production.
+PII_PATTERNS = {
+    "email": r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}",
+    "phone": r"\b\d{3}[-.]\d{3,4}[-.]\d{4}\b",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+}
+
+
+def hash_bucket(id_col: str | Column, buckets: int = 100) -> Column:
+    """Deterministic, engine-portable bucket in [0, buckets): integer
+    value of the first 4 hex chars of md5(id) mod buckets. Stable across
+    Spark/DuckDB/any engine with md5 — unlike xxhash64/hash whose seeds
+    are engine-specific — so a train/val/test split is reproducible by
+    ANY tool that can read the table."""
+    c = F.col(id_col) if isinstance(id_col, str) else id_col
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 4), 16, 10).cast("bigint")
+        % buckets
+    )
+
+
+def train_split(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    train_pct: int = 80,
+    val_pct: int = 10,
+) -> DataFrame:
+    """Adds a ``split`` column (train/val/test) by hash bucket — the
+    standard leakage-safe split: membership is a pure function of the id,
+    so reruns, backfills, and incremental appends land rows in the same
+    split without any coordination or stored assignment table."""
+    b = hash_bucket(id_col)
+    return df.withColumn(
+        "split",
+        F.when(b < train_pct, "train")
+        .when(b < train_pct + val_pct, "val")
+        .otherwise("test"),
+    )
+
+
+def repetition_ratio(text_col: str | Column = "text", n: int = 3) -> Column:
+    """Fraction of repeated word n-grams: 1 - distinct/total. High values
+    flag degenerate/boilerplate text (log spam, keyword stuffing, model
+    loops) — a standard pretraining quality filter. Codegen'd array
+    expressions; no shuffle."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(c, " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+    total = F.size(grams)
+    return F.when(total > 0, 1.0 - F.size(F.array_distinct(grams)) / total).otherwise(
+        F.lit(0.0)
+    )
+
+
+def scrub_pii(text_col: str | Column = "text") -> dict[str, Column]:
+    """Returns {'clean': redacted text, 'n_<kind>': match count per PII
+    kind}. Patterns are applied longest-entity-first (email before ipv4 —
+    an email's host part must not be half-redacted as an address)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    out: dict[str, Column] = {}
+    clean = c
+    for kind in ("email", "phone", "ipv4"):
+        pat = PII_PATTERNS[kind]
+        out[f"n_{kind}"] = F.size(
+            F.regexp_extract_all(clean, F.lit(pat), F.lit(0))
+        ).cast("bigint")
+        clean = F.regexp_replace(clean, pat, f"<{kind}>")
+    out["clean"] = clean
+    return out
+
+
+def mixture_weights(
+    df: DataFrame, dim: str = "lang", round_to: int = 6
+) -> DataFrame:
+    """Per-``dim`` resampling weight to reach a UNIFORM target mixture:
+    weight = target_share / actual_share. The corpus-recipe primitive
+    (upsample rare languages / downsample dominant sources); one tiny
+    aggregate + a broadcast of the total — no data-sized shuffle."""
+    counts = df.groupBy(dim).agg(F.count("*").alias("n_docs"))
+    total = counts.agg(
+        F.sum("n_docs").alias("__total"), F.count("*").alias("__groups")
+    )
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            dim,
+            "n_docs",
+            F.round(F.col("n_docs") / F.col("__total"), round_to).alias("share"),
+            F.round(
+                (F.col("__total") / F.col("__groups")) / F.col("n_docs"), round_to
+            ).alias("weight"),
+        )
+    )
+
+
+def pack_sequences(
+    df: DataFrame,
+    budget: int,
+    token_col: str | Column,
+    partition_col: str = "source",
+    order_col: str = "doc_id",
+) -> DataFrame:
+    """Assign each doc a ``pack_id``: contiguous docs (ordered by
+    ``order_col`` within each ``partition_col``) fill fixed token-budget
+    packs — the "concat-and-chunk" packing used to build training
+    sequences. pack boundary = floor(preceding-cumulative-tokens /
+    budget), so a doc straddling a boundary starts the next pack's id
+    (chunk-fill semantics, deterministic and expressible as one window
+    cumsum in ANY engine — no sequential driver loop).
+
+    Scale: packing is per partition key, so 100 TB packs with one
+    shuffle on ``partition_col`` and no global ordering dependency."""
+    tok = F.col(token_col) if isinstance(token_col, str) else token_col
+    w = (
+        W.partitionBy(partition_col)
+        .orderBy(order_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_cum = F.coalesce(F.sum(tok).over(w), F.lit(0))
+    return df.withColumn("pack_id", F.floor(prev_cum / budget).cast("bigint"))

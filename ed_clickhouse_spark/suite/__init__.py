@@ -45,6 +45,7 @@ def _load_all() -> None:
         q_functions,
         q_functions2,
         q_joins,
+        q_llm,
         q_misc,
         q_similarity,
         q_similarity2,
