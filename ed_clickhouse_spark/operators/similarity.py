@@ -116,6 +116,131 @@ def brute_force_topk(
     )
 
 
+def ivf_assign(
+    df: DataFrame,
+    centroids,  # np.ndarray (n_lists, dim), L2-normalized
+    id_col: str,
+    vec_col: str,
+    n_probe: int = 1,
+) -> DataFrame:
+    """Assign each vector to its ``n_probe`` nearest centroids (cosine).
+    Centroids broadcast; scoring is per-partition BLAS in mapInPandas —
+    the vectors never shuffle for assignment."""
+    import numpy as np
+
+    bc = df.sparkSession.sparkContext.broadcast(centroids)
+
+    def assign(batches):
+        import pandas as pd
+
+        cent = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            mat = np.array(list(pdf[vec_col]), dtype=np.float64)
+            norm = np.linalg.norm(mat, axis=1)
+            norm[norm == 0] = 1.0
+            sims = (mat / norm[:, None]) @ cent.T  # (n, n_lists)
+            p = min(n_probe, sims.shape[1])
+            lists = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+            yield pd.DataFrame(
+                {
+                    id_col: np.repeat(pdf[id_col].to_numpy(), p),
+                    vec_col: [v for v in pdf[vec_col] for _ in range(p)],
+                    "list_id": lists.ravel().astype(np.int64),
+                }
+            )
+
+    vec_type = dict(zip(df.columns, (f.dataType.simpleString() for f in df.schema.fields)))[vec_col]
+    return df.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, {vec_col} {vec_type}, list_id long"
+    )
+
+
+def ivf_centroids(
+    corpus: DataFrame,
+    n_lists: int,
+    c_id: str = "c_id",
+    c_vec: str = "c_vec",
+    iters: int = 1,
+):
+    """Deterministic IVF centroids: seed with the ``n_lists`` corpus
+    vectors of smallest md5(id) (a uniform, engine-portable pseudo-random
+    sample), then ``iters`` Lloyd refinements. Each refinement assigns
+    every vector to its nearest centroid (per-partition BLAS, no shuffle)
+    and recomputes means with posexplode -> groupBy(list, pos) partial
+    avgs — one shuffle of n_lists*dim cells, not of the vectors.
+
+    Returns an L2-normalized numpy array (n_lists, dim). Float-sum order
+    in the mean can wiggle final low bits across cluster layouts; IVF is
+    an approximate index, so assignments near cell borders may differ —
+    recall bounds, not exact results, are the contract."""
+    import numpy as np
+
+    seed_rows = (
+        corpus.select(c_id, c_vec)
+        .orderBy(F.md5(F.col(c_id).cast("string")), F.col(c_id))
+        .limit(n_lists)
+        .collect()
+    )
+    cent = np.array([r[c_vec] for r in seed_rows], dtype=np.float64)
+    norms = np.linalg.norm(cent, axis=1)
+    norms[norms == 0] = 1.0
+    cent = cent / norms[:, None]
+    for _ in range(iters):
+        assigned = ivf_assign(corpus, cent, c_id, c_vec, n_probe=1)
+        means = (
+            assigned.select("list_id", F.posexplode(c_vec).alias("pos", "x"))
+            .groupBy("list_id", "pos")
+            .agg(F.avg("x").alias("m"))
+            .collect()
+        )
+        new = cent.copy()  # empty cells keep their previous centroid
+        for r in means:
+            new[r["list_id"], r["pos"]] = r["m"]
+        norms = np.linalg.norm(new, axis=1)
+        norms[norms == 0] = 1.0
+        cent = new / norms[:, None]
+    return cent
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    n_lists: int = 16,
+    n_probe: int = 4,
+    iters: int = 1,
+    q_id: str = "q_id",
+    c_id: str = "c_id",
+    q_vec: str = "q_vec",
+    c_vec: str = "c_vec",
+    round_to: int = 6,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine: partition the corpus
+    into ``n_lists`` centroid cells, probe each query's ``n_probe``
+    nearest cells, exact-score only the candidates met there.
+
+    The third ANN tier next to brute-force (exact, small query side) and
+    LSH (no training): IVF scans ~n_probe/n_lists of the corpus per
+    query, with recall controlled by n_probe. Scale shape: centroid
+    assignment is a per-partition BLAS pass (no shuffle of the corpus);
+    the probe is an equi-join on list_id — shuffle keyed on the cell id,
+    candidates bounded by cell sizes, never all-pairs."""
+    cent = ivf_centroids(corpus, n_lists, c_id, c_vec, iters=iters)
+    c_asg = ivf_assign(corpus, cent, c_id, c_vec, n_probe=1)
+    q_asg = ivf_assign(queries, cent, q_id, q_vec, n_probe=n_probe)
+    cand = q_asg.join(c_asg, "list_id").filter(F.col(q_id) != F.col(c_id))
+    scored = cand.select(
+        q_id,
+        c_id,
+        F.round(cosine(q_vec, c_vec), round_to).alias("cos_sim"),
+    ).dropDuplicates([q_id, c_id])
+    return topk_per_group(
+        scored, keys=[q_id], order=[F.col("cos_sim").desc(), F.col(c_id)], k=k
+    )
+
+
 def lsh_bucket_topk(
     queries: DataFrame,
     corpus: DataFrame,

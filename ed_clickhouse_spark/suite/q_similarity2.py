@@ -35,3 +35,55 @@ def q65_nn_all_vectors(spark, sf_dir):
     queries = emb.select(F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec"))
     corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec"))
     return brute_force_topk(queries, corpus, k=1)
+
+
+@query("q87_ann_ivf")  # approximate (IVF cells) — rows-only; recall tested vs brute force
+def q87_ann_ivf(spark, sf_dir):
+    """IVF top-5 for 20 query vectors: 16 centroid cells (md5-seeded +
+    one Lloyd pass), probe the 4 nearest cells per query, exact-score
+    candidates only (~25% of the corpus scanned per query). The third
+    ANN tier beside brute force (exact) and LSH (trainless)."""
+    from ed_clickhouse_spark.operators.similarity import ivf_topk
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    queries = emb.filter(F.col("vec_id") < 20).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
+    )
+    corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec"))
+    return ivf_topk(queries, corpus, k=5, n_lists=16, n_probe=4)
+
+
+@query(
+    "q88_filtered_ann",
+    oracle="""
+    WITH emb AS (SELECT vec_id, label,
+                        CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+         scored AS (
+           SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+                  ROUND(list_cosine_similarity(q.vec, c.vec), 6) AS cos_sim
+           FROM emb q JOIN emb c
+             ON q.vec_id < 10 AND c.vec_id != q.vec_id AND c.label = 1
+         )
+    SELECT q_id, c_id, cos_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY cos_sim DESC, c_id) AS rn
+          FROM scored) x
+    WHERE rn <= 3
+    """,
+)
+def q88_filtered_ann(spark, sf_dir):
+    """Metadata-filtered exact top-3: neighbors restricted to label=1.
+    Pre-filtering the corpus BEFORE scoring (filter pushes to the
+    parquet scan) is the right plan at 100 TB — post-filtering top-k
+    results under-fills k whenever the filter is selective."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    queries = emb.filter(F.col("vec_id") < 10).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
+    )
+    corpus = emb.filter(F.col("label") == 1).select(
+        F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec")
+    )
+    return brute_force_topk(queries, corpus, k=3)

@@ -129,3 +129,31 @@ def test_brute_force_topk_query_cap(spark):
     )
     with pytest.raises(ValueError, match="max_queries"):
         brute_force_topk(q, c, k=1, max_queries=5)
+
+
+def test_ivf_topk_recall_and_exhaustive_exactness(spark):
+    from ed_clickhouse_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    q = emb.filter(F.col("vec_id") < 15).select(
+        F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
+    )
+    c = emb.select(F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec"))
+    exact = {(r["q_id"], r["c_id"]) for r in brute_force_topk(q, c, k=5).collect()}
+
+    # probing every cell degenerates to exact search — must match brute force
+    full = {
+        (r["q_id"], r["c_id"])
+        for r in ivf_topk(q, c, k=5, n_lists=8, n_probe=8).collect()
+    }
+    assert full == exact
+
+    # partial probe trades recall for scan fraction, and keeps a useful floor
+    part = {
+        (r["q_id"], r["c_id"])
+        for r in ivf_topk(q, c, k=5, n_lists=8, n_probe=4).collect()
+    }
+    recall = len(exact & part) / len(exact)
+    assert recall >= 0.4  # random-ish vectors; real clusters recall far higher
