@@ -21,6 +21,16 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from ed_clickhouse_spark.session import get_spark
 from ed_clickhouse_spark.suite import QUERIES
 
+# Timed and reported under "extra_queries" but NOT part of the headline
+# total, so the headline metric stays comparable across rounds.
+EXTRA = [
+    "q81_train_split",       # md5 hash-bucket split
+    "q83_pii_scrub",         # chained regex redaction
+    "q86_sequence_packing",  # window-cumsum packing
+    "q87_ann_ivf",           # IVF probe ANN
+    "q88_filtered_ann",      # metadata-filtered exact ANN
+]
+
 HEADLINE = [
     "q01_pricing_summary",   # scan + 8-agg groupBy
     "q05_events_dau",        # distinct users per day
@@ -62,6 +72,15 @@ def main() -> None:
         total += dt
         print(f"# {name}: {dt:.3f}s steady ({cold:.3f}s cold, {n} rows)", file=sys.stderr)
 
+    extra: dict[str, float] = {}
+    for name in EXTRA:
+        fn = QUERIES[name]
+        fn(spark, sf_dir).count()
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        extra[name] = round(time.perf_counter() - t0, 3)
+        print(f"# extra {name}: {extra[name]:.3f}s steady", file=sys.stderr)
+
     ingest_rps = _bench_ingest(spark)
     print(f"# ingest: {ingest_rps:,.0f} rows/s", file=sys.stderr)
 
@@ -72,6 +91,7 @@ def main() -> None:
                 "value": round(total, 3),
                 "unit": "sec",
                 "queries": per_query,
+                "extra_queries": extra,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "ingest_rows_per_sec": round(ingest_rps),
             }

@@ -124,6 +124,31 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
     # ifNull intentionally absent: Spark already ships `ifnull` built-in
     "intDiv": ("(a BIGINT, b BIGINT) RETURNS BIGINT", "a div b"),
     "modulo": ("(a BIGINT, b BIGINT) RETURNS BIGINT", "a % b"),
+    # date/time part spellings (ClickHouse toX family)
+    "toDate": ("(x TIMESTAMP) RETURNS DATE", "CAST(x AS DATE)"),
+    "toStartOfWeek": ("(x TIMESTAMP) RETURNS DATE", "CAST(date_trunc('WEEK', x) AS DATE)"),
+    "toStartOfMonth": ("(x TIMESTAMP) RETURNS DATE", "CAST(date_trunc('MONTH', x) AS DATE)"),
+    "toYear": ("(x TIMESTAMP) RETURNS INT", "year(x)"),
+    "toMonth": ("(x TIMESTAMP) RETURNS INT", "month(x)"),
+    "toHour": ("(x TIMESTAMP) RETURNS INT", "hour(x)"),
+    "toDayOfWeek": ("(x TIMESTAMP) RETURNS INT", "weekday(x) + 1"),  # CH: Mon=1
+    "toUnixTimestamp": ("(x TIMESTAMP) RETURNS BIGINT", "unix_timestamp(x)"),
+    # string/array spellings
+    "splitByChar": (
+        "(sep STRING, s STRING) RETURNS ARRAY<STRING>",
+        r"split(s, concat('\\Q', sep, '\\E'))",  # literal separator, not regex
+    ),
+    "arrayStringConcat": (
+        "(a ARRAY<STRING>, sep STRING) RETURNS STRING",
+        "array_join(a, sep)",
+    ),
+    "replaceAll": ("(s STRING, a STRING, b STRING) RETURNS STRING", "replace(s, a, b)"),
+    "positionCaseSensitive": ("(h STRING, n STRING) RETURNS INT", "instr(h, n)"),
+    # arithmetic spellings (ClickHouse function-call style)
+    "plus": ("(a DOUBLE, b DOUBLE) RETURNS DOUBLE", "a + b"),
+    "minus": ("(a DOUBLE, b DOUBLE) RETURNS DOUBLE", "a - b"),
+    "multiply": ("(a DOUBLE, b DOUBLE) RETURNS DOUBLE", "a * b"),
+    "divide": ("(a DOUBLE, b DOUBLE) RETURNS DOUBLE", "a / b"),
 }
 
 

@@ -56,6 +56,24 @@ def test_sql_alias_registration(spark):
     assert got["j"] == "v" and got["q"] == 3 and got["ha"] is True
 
 
+def test_sql_alias_datetime_string_arith(spark):
+    register_sql_aliases(spark)
+    got = spark.sql(
+        "SELECT toDate(TIMESTAMP '2024-03-05 10:11:12') AS d,"
+        "       toStartOfMonth(TIMESTAMP '2024-03-05 10:11:12') AS m,"
+        "       toDayOfWeek(TIMESTAMP '2024-03-05 10:11:12') AS dow,"  # Tue -> 2
+        "       splitByChar('.', 'a.b.c') AS sp,"  # literal dot, not regex
+        "       arrayStringConcat(array('x','y'), '-') AS aj,"
+        "       replaceAll('aXbX', 'X', '_') AS rp,"
+        "       positionCaseSensitive('hello', 'll') AS pos,"
+        "       divide(7.0, 2.0) AS dv"
+    ).collect()[0]
+    assert str(got["d"]) == "2024-03-05" and str(got["m"]) == "2024-03-01"
+    assert got["dow"] == 2 and got["sp"] == ["a", "b", "c"]
+    assert got["aj"] == "x-y" and got["rp"] == "a_b_"
+    assert got["pos"] == 3 and got["dv"] == 3.5
+
+
 def _media_df(spark):
     rows = [
         Row(media_id=1, kind="image", mime="image/png", bytes=bytes(range(100)),
