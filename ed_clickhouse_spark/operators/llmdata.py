@@ -138,3 +138,98 @@ def pack_sequences(
     )
     prev_cum = F.coalesce(F.sum(tok).over(w), F.lit(0))
     return df.withColumn("pack_id", F.floor(prev_cum / budget).cast("bigint"))
+
+
+def word_ngrams(text_col: str | Column, n: int) -> Column:
+    """Word n-grams as an array of space-joined strings (codegen'd array
+    exprs, same construction as :func:`repetition_ratio`)."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(c, " ")
+    return F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0))),
+        lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)),
+    )
+
+
+def decontaminate(
+    corpus: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n: int = 8,
+    min_overlap: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination: flag corpus docs sharing >= min_overlap
+    distinct word ``n``-grams with any benchmark doc (the GPT-3/C4-style
+    leakage check run before training). Returns (id_col, n_hits) where
+    n_hits = count of distinct contaminated n-grams in the doc.
+
+    Scale shape: both sides explode to (doc, gram-key) with the key being
+    a 16-hex-char md5 prefix — a fixed 16-byte join key regardless of
+    n-gram length, engine-portable (md5 is identical everywhere, so the
+    DuckDB oracle reproduces the exact same keys — unlike xxhash64).
+    The benchmark side (eval sets) is tiny relative to a 100 TB corpus:
+    it is deduped to distinct grams and broadcast, so the corpus never
+    shuffles. Corpus grams are distinct-ed per doc BEFORE the join, so a
+    gram repeated k times in one doc contributes once, not k join rows.
+    """
+    def grams(df: DataFrame) -> DataFrame:
+        return df.select(
+            F.col(id_col),
+            F.explode(F.array_distinct(word_ngrams(text_col, n))).alias("__gram"),
+        ).select(id_col, F.substring(F.md5("__gram"), 1, 16).alias("__g16"))
+
+    bench_grams = grams(benchmark).select("__g16").distinct()
+    hits = (
+        grams(corpus)
+        .join(F.broadcast(bench_grams), "__g16")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+        .where(F.col("n_hits") >= min_overlap)
+    )
+    return hits
+
+
+# C4/Gopher-style document quality rules, each a named boolean column.
+# Thresholds are corpus-tuned demonstration values; swap per deployment.
+def quality_rules(text_col: str | Column = "text") -> dict[str, Column]:
+    """Composite rule-based quality filter. Returns named boolean rule
+    columns (True = passes) plus ``q_pass`` (all rules hold). All pure
+    codegen expressions — per-row, no shuffle, survives any scale."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(c, " ")
+    n_words = F.size(toks)
+    # mean word length without a second tokenize: non-space chars / words
+    mean_wl = (F.length(c) - (n_words - 1)) / n_words
+    en_stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to", "in")])
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), en_stop))
+    rep = repetition_ratio(c, n=3)
+    rules = {
+        "r_wordcount": (n_words >= 10) & (n_words <= 100_000),
+        "r_meanlen": (mean_wl >= 2.0) & (mean_wl <= 12.0),
+        "r_stopword": stop_hits >= 2,
+        "r_repetition": rep <= 0.2,
+    }
+    rules["q_pass"] = rules["r_wordcount"] & rules["r_meanlen"] & rules["r_stopword"] & rules["r_repetition"]
+    return rules
+
+
+def stratified_sample(
+    df: DataFrame,
+    k: int,
+    strata_col: str = "lang",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Deterministic k-per-stratum sample: rank rows within each stratum
+    by md5(id) (a fixed uniform permutation) and keep the first k. Unlike
+    ``df.sampleBy`` this is engine-portable (md5), exact-k, and stable
+    across reruns/appends of OTHER strata. One shuffle on the stratum key;
+    per-stratum row_number never materializes more than the stratum."""
+    w = W.partitionBy(strata_col).orderBy(
+        F.md5(F.col(id_col).cast("string")), F.col(id_col)
+    )
+    return (
+        df.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .drop("__rk")
+    )

@@ -113,3 +113,30 @@ def fingerprint(text_col: str | Column = "text", prefix: int | None = None) -> C
     if prefix is not None:
         norm = F.substring(norm, 1, prefix)
     return F.md5(norm)
+
+
+def ngram_topk(
+    df: DataFrame,
+    k: int = 10,
+    n: int = 2,
+    text_col: str = "text",
+    group_col: str = "lang",
+) -> DataFrame:
+    """Top-k word n-grams per group (vocabulary / phrase-frequency stats
+    for corpus audits). explode -> two-phase count (map-side combine
+    shrinks the shuffle to distinct grams) -> per-group row_number top-k.
+    Deterministic tiebreak: count desc, then gram asc."""
+    from pyspark.sql import Window as W
+
+    from ed_clickhouse_spark.operators.llmdata import word_ngrams
+
+    counts = (
+        df.select(group_col, F.explode(word_ngrams(text_col, n)).alias("gram"))
+        .groupBy(group_col, "gram")
+        .agg(F.count("*").alias("n"))
+    )
+    w = W.partitionBy(group_col).orderBy(F.desc("n"), F.asc("gram"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= k)
+    )

@@ -9,13 +9,16 @@ from pyspark.sql import functions as F
 
 from ed_clickhouse_spark.operators.llmdata import (
     PII_PATTERNS,
+    decontaminate,
     mixture_weights,
     pack_sequences,
+    quality_rules,
     repetition_ratio,
     scrub_pii,
+    stratified_sample,
     train_split,
 )
-from ed_clickhouse_spark.operators.text import token_count
+from ed_clickhouse_spark.operators.text import ngram_topk, token_count
 from ed_clickhouse_spark.suite import query
 from ed_clickhouse_spark.suite._util import t
 
@@ -263,3 +266,178 @@ def q86_sequence_packing(spark, sf_dir):
         F.count("*").alias("n_docs"),
         F.sum("n_tok").alias("pack_tokens"),
     )
+
+
+@query(
+    "q89_decontamination",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id, source,
+             list_distinct(list_transform(
+               range(1, GREATEST(len(string_split(text, ' ')) - 4, 0) + 2),
+               i -> substr(md5(array_to_string(string_split(text, ' ')[i:i+3], ' ')), 1, 16)
+             )) AS gs
+      FROM documents
+    ),
+    bench AS (
+      SELECT DISTINCT unnest(gs) AS g16 FROM grams WHERE doc_id % 97 = 0
+    ),
+    corpus AS (
+      SELECT doc_id, source, unnest(gs) AS g16 FROM grams
+    ),
+    hits AS (
+      SELECT c.doc_id, c.source, COUNT(*) AS n_hits
+      FROM corpus c JOIN bench b USING (g16)
+      GROUP BY 1, 2
+    )
+    SELECT source,
+           COUNT(*) AS n_contaminated,
+           CAST(SUM(n_hits) AS BIGINT) AS total_hits,
+           CAST(MAX(n_hits) AS BIGINT) AS max_hits
+    FROM hits WHERE doc_id % 97 <> 0
+    GROUP BY source
+    """,
+)
+def q89_decontamination(spark, sf_dir):
+    """Benchmark decontamination (GPT-3/C4-style leakage check): flag
+    corpus docs sharing a word 4-gram with the 'benchmark' slice (docs with
+    doc_id % 97 = 0 stand in for an eval set). Benchmark grams dedupe to
+    a tiny set and broadcast; the 100 TB corpus side never shuffles. Join
+    key is a 16-hex md5 prefix — fixed-width and engine-portable, which
+    the DuckDB oracle proves by reproducing identical keys."""
+    d = t(spark, sf_dir, "documents")
+    bench = d.where(F.col("doc_id") % 97 == 0)
+    hits = decontaminate(d, bench, n=4).join(
+        d.select("doc_id", "source"), "doc_id"
+    )
+    return (
+        hits.where(F.col("doc_id") % 97 != 0)
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_contaminated"),
+            F.sum("n_hits").alias("total_hits"),
+            F.max("n_hits").alias("max_hits"),
+        )
+    )
+
+
+@query(
+    "q90_quality_filter",
+    oracle="""
+    WITH f AS (
+      SELECT source,
+             len(string_split(text, ' ')) AS nw,
+             (length(text) - (len(string_split(text, ' ')) - 1)) * 1.0
+               / len(string_split(text, ' ')) AS mwl,
+             len(list_intersect(list_distinct(string_split(text, ' ')),
+                 ['the','a','of','and','to','in'])) AS stop_hits,
+             CASE WHEN len(list_transform(
+                    range(1, GREATEST(len(string_split(text, ' ')) - 3, 0) + 2),
+                    i -> array_to_string(string_split(text, ' ')[i:i+2], ' '))) > 0
+                  THEN 1.0 - len(list_distinct(list_transform(
+                    range(1, GREATEST(len(string_split(text, ' ')) - 3, 0) + 2),
+                    i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))) * 1.0
+                    / len(list_transform(
+                    range(1, GREATEST(len(string_split(text, ' ')) - 3, 0) + 2),
+                    i -> array_to_string(string_split(text, ' ')[i:i+2], ' ')))
+                  ELSE 0.0 END AS rep
+      FROM documents
+    ),
+    r AS (
+      SELECT source,
+             (nw >= 10 AND nw <= 100000) AS r_wordcount,
+             (mwl >= 2.0 AND mwl <= 12.0) AS r_meanlen,
+             (stop_hits >= 2) AS r_stopword,
+             (rep <= 0.2) AS r_repetition
+      FROM f
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN r_wordcount AND r_meanlen AND r_stopword
+                          AND r_repetition THEN 1 ELSE 0 END) AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN NOT r_wordcount THEN 1 ELSE 0 END) AS BIGINT) AS f_wordcount,
+           CAST(SUM(CASE WHEN NOT r_meanlen THEN 1 ELSE 0 END) AS BIGINT) AS f_meanlen,
+           CAST(SUM(CASE WHEN NOT r_stopword THEN 1 ELSE 0 END) AS BIGINT) AS f_stopword,
+           CAST(SUM(CASE WHEN NOT r_repetition THEN 1 ELSE 0 END) AS BIGINT) AS f_repetition
+    FROM r GROUP BY source
+    """,
+)
+def q90_quality_filter(spark, sf_dir):
+    """C4/Gopher-style composite quality filter: named boolean rules
+    (word count, mean word length, stopword presence, repeated-3-gram
+    ratio), reported as per-source pass and per-rule failure counts —
+    the audit table a corpus build reviews before dropping data. Pure
+    codegen per-row expressions; one tiny agg shuffle."""
+    d = t(spark, sf_dir, "documents")
+    r = quality_rules("text")
+    flagged = d.select(
+        "source",
+        r["r_wordcount"].alias("r_wordcount"),
+        r["r_meanlen"].alias("r_meanlen"),
+        r["r_stopword"].alias("r_stopword"),
+        r["r_repetition"].alias("r_repetition"),
+        r["q_pass"].alias("q_pass"),
+    )
+    return flagged.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.col("q_pass").cast("bigint")).alias("n_pass"),
+        F.sum((~F.col("r_wordcount")).cast("bigint")).alias("f_wordcount"),
+        F.sum((~F.col("r_meanlen")).cast("bigint")).alias("f_meanlen"),
+        F.sum((~F.col("r_stopword")).cast("bigint")).alias("f_stopword"),
+        F.sum((~F.col("r_repetition")).cast("bigint")).alias("f_repetition"),
+    )
+
+
+@query(
+    "q91_stratified_sample",
+    oracle="""
+    WITH r AS (
+      SELECT lang, doc_id, n_chars,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rk
+      FROM documents
+    )
+    SELECT lang, doc_id, n_chars FROM r WHERE rk <= 40
+    """,
+)
+def q91_stratified_sample(spark, sf_dir):
+    """Deterministic 40-per-language stratified sample: rank within each
+    stratum by md5(doc_id) — a fixed uniform permutation — and keep the
+    first 40. Exact-k (unlike Bernoulli sampleBy), engine-portable, and
+    stable under appends to other strata. One shuffle on the stratum key;
+    the oracle reproduces the EXACT same sampled rows from DuckDB."""
+    d = t(spark, sf_dir, "documents")
+    return stratified_sample(d, k=40, strata_col="lang", id_col="doc_id").select(
+        "lang", "doc_id", "n_chars"
+    )
+
+
+@query(
+    "q92_ngram_topk",
+    oracle="""
+    WITH g AS (
+      SELECT lang,
+             unnest(list_transform(
+               range(1, GREATEST(len(string_split(text, ' ')) - 2, 0) + 2),
+               i -> array_to_string(string_split(text, ' ')[i:i+1], ' ')
+             )) AS gram
+      FROM documents
+    ),
+    c AS (SELECT lang, gram, COUNT(*) AS n FROM g GROUP BY 1, 2),
+    r AS (
+      SELECT lang, gram, n,
+             ROW_NUMBER() OVER (
+               PARTITION BY lang ORDER BY n DESC, gram ASC) AS rank
+      FROM c
+    )
+    SELECT lang, gram, n, rank FROM r WHERE rank <= 10
+    """,
+)
+def q92_ngram_topk(spark, sf_dir):
+    """Top-10 word bigrams per language (corpus phrase-frequency audit).
+    explode -> two-phase count (map-side partial agg shrinks the shuffle
+    to distinct grams, not corpus tokens) -> per-group row_number with a
+    deterministic (count desc, gram asc) tiebreak."""
+    d = t(spark, sf_dir, "documents")
+    return ngram_topk(d, k=10, n=2, text_col="text", group_col="lang")
