@@ -39,10 +39,17 @@ def funnel(
     ts_col: str,
     event_col: str,
     steps: list[str],
+    window_seconds: int | None = None,
 ) -> DataFrame:
     """ClickHouse ``windowFunnel``-style ordered-sequence match: per user,
     the number of funnel ``steps`` completed in order (each step strictly
     after the previous step's first completion).
+
+    With ``window_seconds`` set, later steps must also land within that
+    many seconds of the step-1 match (greedy-earliest anchor: the chain
+    anchors at the user's FIRST step-1 event — deterministic and
+    SQL-oracle-able; ClickHouse's DP re-anchors to any step-1 event, so
+    it can count deeper on pathological sequences — documented deviation).
 
     Pure aggregation — no UDF: step 1 time is ``min(ts) filter step1``;
     step k time is ``min(ts) filter (event=step_k and ts > t_{k-1})``,
@@ -71,6 +78,11 @@ def funnel(
             cond = x["ev"] == F.lit(step)
             if prev is not None:
                 cond = cond & (x["ts"] > F.col(prev))
+                if window_seconds is not None:
+                    cond = cond & (
+                        x["ts"]
+                        <= F.col("__t0") + F.expr(f"INTERVAL {int(window_seconds)} SECONDS")
+                    )
             return cond
 
         return match
@@ -90,3 +102,47 @@ def funnel(
     for i in range(len(steps)):
         expr = F.when(F.col(f"__t{i}").isNotNull(), F.lit(i + 1)).otherwise(expr)
     return out.select(user_col, expr.alias("funnel_steps"))
+
+
+def retention(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    offsets: tuple[int, ...] = (1, 3, 7),
+) -> DataFrame:
+    """ClickHouse ``retention(cond0, cond1, ...)``-style cohort retention:
+    per user, cohort date = first active date, plus one boolean per
+    offset k — was the user active exactly k days after the cohort date.
+
+    Shape: dedupe to (user, date) — shrinks events by the per-day event
+    multiplicity BEFORE the heavy shuffle — then one groupBy(user). The
+    per-user distinct-date set is bounded by the calendar, so collect_set
+    cannot blow up at 100 TB. Returns (user_col, cohort_date, d<k>...).
+    """
+    daily = df.select(user_col, F.to_date(ts_col).alias("__d")).distinct()
+    per_user = daily.groupBy(user_col).agg(
+        F.min("__d").alias("cohort_date"), F.collect_set("__d").alias("__days")
+    )
+    flags = [
+        F.array_contains("__days", F.date_add("cohort_date", k)).alias(f"d{k}")
+        for k in offsets
+    ]
+    return per_user.select(user_col, "cohort_date", *flags)
+
+
+def sequence_match(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1).*(?2)...')`` — per user, did the
+    ``steps`` occur as an ordered subsequence (greedy-earliest chain:
+    step k matched at its first occurrence after step k-1's match, which
+    is complete for existence — if any chain exists, the greedy one does).
+    Returns (user_col, matched). Users with no step events are absent."""
+    f = funnel(df, user_col, ts_col, event_col, steps)
+    return f.select(
+        user_col, (F.col("funnel_steps") == len(steps)).alias("matched")
+    )

@@ -42,6 +42,7 @@ def _load_all() -> None:
         q_advanced,
         q_aggregates,
         q_dedup,
+        q_events,
         q_functions,
         q_functions2,
         q_joins,

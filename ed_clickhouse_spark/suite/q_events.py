@@ -1,0 +1,134 @@
+"""ClickHouse event-analytics parity queries (SURVEY.md §2 B5): the
+aggregate-function idioms ClickHouse ships as ``retention``,
+``sequenceMatch`` and ``windowFunnel`` (the query surface the reference's
+event tables are designed for), re-expressed as Spark compositions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ed_clickhouse_spark.operators.windows import funnel, retention, sequence_match
+from ed_clickhouse_spark.suite import query
+from ed_clickhouse_spark.suite._util import t
+
+
+@query(
+    "q93_retention",
+    oracle="""
+    WITH daily AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    u AS (
+      SELECT user_id, MIN(d) AS cohort_date, list(d) AS days
+      FROM daily GROUP BY 1
+    )
+    SELECT cohort_date, COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN list_contains(days, cohort_date + 1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS r1,
+           CAST(SUM(CASE WHEN list_contains(days, cohort_date + 3)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS r3,
+           CAST(SUM(CASE WHEN list_contains(days, cohort_date + 7)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS r7
+    FROM u GROUP BY 1
+    """,
+)
+def q93_retention(spark, sf_dir):
+    """ClickHouse ``retention()``-style cohort table: users grouped by
+    first-active date, with day+1/+3/+7 comeback counts. Dedup to
+    (user, day) first — the shuffle carries at most calendar-many rows
+    per user no matter how hot the user's event stream is."""
+    d = t(spark, sf_dir, "events")
+    r = retention(d, "user_id", "ts", offsets=(1, 3, 7))
+    return r.groupBy("cohort_date").agg(
+        F.count("*").alias("n_users"),
+        F.sum(F.col("d1").cast("bigint")).alias("r1"),
+        F.sum(F.col("d3").cast("bigint")).alias("r3"),
+        F.sum(F.col("d7").cast("bigint")).alias("r7"),
+    )
+
+
+@query(
+    "q94_sequence_match",
+    oracle="""
+    WITH su AS (
+      SELECT user_id FROM events
+      WHERE event_type IN ('signup', 'click', 'purchase') GROUP BY 1
+    ),
+    t1 AS (
+      SELECT user_id, MIN(ts) AS t FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ),
+    t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t
+      WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t FROM events e
+      JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    )
+    SELECT su.user_id, (t3.user_id IS NOT NULL) AS matched
+    FROM su LEFT JOIN t3 ON su.user_id = t3.user_id
+    """,
+)
+def q94_sequence_match(spark, sf_dir):
+    """ClickHouse ``sequenceMatch('(?1).*(?2).*(?3)')`` — per user, did
+    signup -> click -> purchase occur as an ordered subsequence (greedy-
+    earliest chain, complete for existence). One shuffle on user_id; the
+    chain folds JVM-side over each user's sorted event array."""
+    d = t(spark, sf_dir, "events")
+    return sequence_match(
+        d, "user_id", "ts", "event_type", ["signup", "click", "purchase"]
+    )
+
+
+@query(
+    "q95_window_funnel",
+    oracle="""
+    WITH su AS (
+      SELECT user_id FROM events
+      WHERE event_type IN ('signup', 'click', 'purchase') GROUP BY 1
+    ),
+    t1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ),
+    t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      JOIN t1 ON e.user_id = t1.user_id
+             AND e.ts > t1.t1 AND e.ts <= t1.t1 + INTERVAL 1 DAY
+      WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      JOIN t2 ON e.user_id = t2.user_id
+      JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > t2.t2 AND e.ts <= t1.t1 + INTERVAL 1 DAY
+      GROUP BY e.user_id
+    )
+    SELECT CASE WHEN t3.user_id IS NOT NULL THEN 3
+                WHEN t2.user_id IS NOT NULL THEN 2
+                WHEN t1.user_id IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_steps,
+           COUNT(*) AS n_users
+    FROM su
+    LEFT JOIN t1 ON su.user_id = t1.user_id
+    LEFT JOIN t2 ON su.user_id = t2.user_id
+    LEFT JOIN t3 ON su.user_id = t3.user_id
+    GROUP BY 1
+    """,
+)
+def q95_window_funnel(spark, sf_dir):
+    """``windowFunnel(86400)``-style: funnel depth per user where every
+    later step must land within 1 day of the step-1 match (greedy-
+    earliest anchor — see operators/windows.py:funnel for the documented
+    deviation from ClickHouse's re-anchoring DP). Output: histogram of
+    funnel depth."""
+    d = t(spark, sf_dir, "events")
+    f = funnel(
+        d, "user_id", "ts", "event_type",
+        ["signup", "click", "purchase"], window_seconds=86400,
+    )
+    return f.groupBy("funnel_steps").agg(F.count("*").alias("n_users"))

@@ -207,3 +207,70 @@ def test_asof_join_tie_deterministic(spark):
         right_cols=["v"], tiebreak="v",
     ).collect()[0]
     assert out["v"] == "c"
+
+
+def test_funnel_window_constraint(spark):
+    from ed_clickhouse_spark.operators.windows import funnel as _funnel
+
+    rows = [
+        # user 1: completes all 3 steps within the 1-hour window
+        (1, ts("2024-01-01 10:00:00"), "signup"),
+        (1, ts("2024-01-01 10:10:00"), "view"),
+        (1, ts("2024-01-01 10:20:00"), "purchase"),
+        # user 2: step 3 lands outside the window -> depth 2
+        (2, ts("2024-01-01 10:00:00"), "signup"),
+        (2, ts("2024-01-01 10:10:00"), "view"),
+        (2, ts("2024-01-01 12:00:00"), "purchase"),
+        # user 3: step 2 outside the window -> depth 1
+        (3, ts("2024-01-01 10:00:00"), "signup"),
+        (3, ts("2024-01-01 11:30:00"), "view"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    steps = ["signup", "view", "purchase"]
+    got = {
+        r["user_id"]: r["funnel_steps"]
+        for r in _funnel(df, "user_id", "ts", "event_type", steps,
+                         window_seconds=3600).collect()
+    }
+    assert got == {1: 3, 2: 2, 3: 1}
+    # without the window, all of user 2's steps count
+    unwindowed = {
+        r["user_id"]: r["funnel_steps"]
+        for r in _funnel(df, "user_id", "ts", "event_type", steps).collect()
+    }
+    assert unwindowed[2] == 3
+
+
+def test_retention_flags(spark):
+    from ed_clickhouse_spark.operators.windows import retention as _retention
+
+    rows = [
+        # user 1: cohort 01-01, back on +1 and +7
+        (1, ts("2024-01-01 09:00:00")), (1, ts("2024-01-01 17:00:00")),
+        (1, ts("2024-01-02 09:00:00")), (1, ts("2024-01-08 09:00:00")),
+        # user 2: cohort 01-03, back on +3 only
+        (2, ts("2024-01-03 09:00:00")), (2, ts("2024-01-06 09:00:00")),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts"])
+    got = {r["user_id"]: r for r in
+           _retention(df, "user_id", "ts", offsets=(1, 3, 7)).collect()}
+    assert str(got[1]["cohort_date"]) == "2024-01-01"
+    assert (got[1]["d1"], got[1]["d3"], got[1]["d7"]) == (True, False, True)
+    assert (got[2]["d1"], got[2]["d3"], got[2]["d7"]) == (False, True, False)
+
+
+def test_sequence_match_subsequence(spark):
+    from ed_clickhouse_spark.operators.windows import sequence_match as _sm
+
+    rows = [
+        # user 1: a . b . c interleaved with noise -> matched
+        (1, ts("2024-01-01 10:00:00"), "a"), (1, ts("2024-01-01 10:01:00"), "x"),
+        (1, ts("2024-01-01 10:02:00"), "b"), (1, ts("2024-01-01 10:03:00"), "c"),
+        # user 2: c before a,b -> not matched
+        (2, ts("2024-01-01 10:00:00"), "c"), (2, ts("2024-01-01 10:01:00"), "a"),
+        (2, ts("2024-01-01 10:02:00"), "b"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_type"])
+    got = {r["user_id"]: r["matched"]
+           for r in _sm(df, "user_id", "ts", "event_type", ["a", "b", "c"]).collect()}
+    assert got == {1: True, 2: False}
