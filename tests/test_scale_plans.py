@@ -89,3 +89,35 @@ def test_headline_plan_shapes(spark):
     assert "WindowGroupLimit" in p                       # top-k pushed below shuffle
     p = _plan(QUERIES["q03_top_orders"](spark, sf))
     assert "TakeOrderedAndProject" in p                  # no global sort
+
+
+def test_llmdata_plan_shapes(spark):
+    """100 TB plan invariants for the training-data operators: the
+    benchmark side of decontamination broadcasts (corpus never shuffles
+    on the gram key), ngram top-k partial-aggregates map-side, and no
+    new operator falls back to a cartesian product."""
+    sf = "/root/testdata/sf0.001"
+    p = _plan(QUERIES["q89_decontamination"](spark, sf))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p and "BroadcastNestedLoopJoin" not in p
+    p = _plan(QUERIES["q92_ngram_topk"](spark, sf))
+    assert "HashAggregate" in p            # two-phase count of grams
+    assert "WindowGroupLimit" in p         # per-group top-k pushed down
+    p = _plan(QUERIES["q91_stratified_sample"](spark, sf))
+    # one Exchange for the stratum window; no join, no cartesian
+    assert "CartesianProduct" not in p
+    assert p.count("Exchange") <= 2
+    p = _plan(QUERIES["q90_quality_filter"](spark, sf))
+    # pure per-row rules + one agg: exactly one shuffle
+    assert p.count("Exchange") <= 2 and "Join" not in p
+
+
+def test_event_analytics_plan_shapes(spark):
+    sf = "/root/testdata/sf0.001"
+    # retention: the (user, day) dedup happens BEFORE the per-user agg
+    p = _plan(QUERIES["q93_retention"](spark, sf))
+    assert "HashAggregate" in p and "CartesianProduct" not in p
+    # funnel variants shuffle once on user_id; the fold is JVM HOFs
+    p = _plan(QUERIES["q95_window_funnel"](spark, sf))
+    assert "BatchEvalPython" not in p      # no row-at-a-time Python
+    assert "CartesianProduct" not in p
