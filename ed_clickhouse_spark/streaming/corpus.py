@@ -1,0 +1,91 @@
+"""Streaming corpus intake: the training-data quality gate as a
+Structured Streaming stage.
+
+A 100 TB corpus is not built in one batch job — new crawl/dump drops
+arrive continuously. This stage runs the SAME per-row operators the
+batch suite verifies (quality_rules, scrub_pii, exact-dedup
+fingerprints — all codegen expressions, so batch/stream parity is free)
+inside a foreachBatch loop:
+
+  readStream (docs)
+    -> quality_rules -> accepted / rejected split
+    -> scrub_pii on the accepted half
+    -> exact-dedup WITHIN the batch and AGAINST the already-accepted
+       warehouse (md5 fingerprint anti-join — only the fingerprint
+       column of the warehouse is read: column pruning keeps the
+       incremental check O(new batch), not O(corpus))
+    -> append accepted docs + a rejected audit table
+
+Checkpointed source offsets + append sinks give the same at-least-once
+(effectively-once per batch) contract as the event-ingest pipeline.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ed_clickhouse_spark.operators.dedup import fingerprint_col
+from ed_clickhouse_spark.operators.llmdata import quality_rules, scrub_pii
+
+
+def gate_batch(batch: DataFrame, warehouse: str) -> None:
+    """Quality-gate one micro-batch of documents into accepted/rejected."""
+    spark = batch.sparkSession
+    rules = quality_rules("text")
+    flagged = batch.withColumn("q_pass", rules["q_pass"]).cache()
+    try:
+        rejected = flagged.where(~F.col("q_pass")).drop("q_pass")
+        rejected.write.mode("append").parquet(os.path.join(warehouse, "docs_rejected"))
+
+        accepted = flagged.where(F.col("q_pass")).drop("q_pass")
+        scrub = scrub_pii("text")
+        accepted = accepted.withColumn("text", scrub["clean"]).withColumn(
+            "__fp", fingerprint_col("text")
+        )
+        # dedup within the batch (first doc_id wins, deterministic) ...
+        from pyspark.sql import Window as W
+
+        w = W.partitionBy("__fp").orderBy("doc_id")
+        accepted = (
+            accepted.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+        # ... and against the warehouse: anti-join on the fingerprint only
+        acc_path = os.path.join(warehouse, "docs_accepted")
+        try:
+            seen = spark.read.parquet(acc_path).select("__fp")
+            accepted = accepted.join(F.broadcast(seen.distinct()), "__fp", "left_anti")
+        except Exception:
+            pass  # first batch: no warehouse yet
+        accepted.write.mode("append").parquet(acc_path)
+    finally:
+        flagged.unpersist()
+
+
+def start_corpus_gate(
+    spark: SparkSession,
+    source_dir: str,
+    warehouse: str,
+    checkpoint: str,
+    schema: str = "doc_id bigint, text string, lang string, source string",
+    max_files_per_trigger: int = 10,
+):
+    """Start the streaming quality gate over a JSON-lines document drop
+    directory. Any readStream source with the same columns slots in."""
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .json(source_dir)
+    )
+    return (
+        stream.writeStream.foreachBatch(
+            lambda b, _eid: gate_batch(b, warehouse)
+        )
+        .option("checkpointLocation", checkpoint)
+        .trigger(processingTime="1 second")
+        .start()
+    )
