@@ -71,6 +71,10 @@ def main() -> None:
         per_query[name] = dt
         total += dt
         print(f"# {name}: {dt:.3f}s steady ({cold:.3f}s cold, {n} rows)", file=sys.stderr)
+        # Dedup/LSH operators pin intermediate caches (documented in their
+        # docstrings); release between queries so ~20 bench queries don't
+        # accumulate cached blocks in one long-lived session.
+        spark.catalog.clearCache()
 
     extra: dict[str, float] = {}
     for name in EXTRA:
@@ -80,6 +84,7 @@ def main() -> None:
         fn(spark, sf_dir).count()
         extra[name] = round(time.perf_counter() - t0, 3)
         print(f"# extra {name}: {extra[name]:.3f}s steady", file=sys.stderr)
+        spark.catalog.clearCache()
 
     ingest_rps = _bench_ingest(spark)
     print(f"# ingest: {ingest_rps:,.0f} rows/s", file=sys.stderr)

@@ -82,7 +82,10 @@ def jaccard_pairs(
     The hashed shingle frame (16 bytes/row) is persisted: it feeds the
     df-filter, sizes, and both self-join sides — without a persist the
     shingle build (split + transform + array_distinct over full text)
-    recomputes per consumer.
+    recomputes per consumer. The cache stays pinned as long as the
+    returned (lazy) DataFrame may be re-executed; long-lived sessions
+    running many such queries should ``spark.catalog.clearCache()``
+    after materializing the result (bench.py does).
 
     Measured note: ppjoin-style prefix filtering (index only the first
     n - ceil(t*n) + 1 sorted hashes, verify via array_intersect on full
@@ -171,7 +174,10 @@ def minhash_lsh_pairs(
 
     Signatures are persisted before the self-join: both join sides read
     them, and without the persist the whole explode+32-min build runs
-    twice (measured ~2x on the end-to-end query)."""
+    twice (measured ~2x on the end-to-end query). As in jaccard_pairs,
+    the cache stays pinned for the lifetime of the returned lazy frame —
+    callers running many queries in one session should
+    ``spark.catalog.clearCache()`` after materializing."""
     from pyspark import StorageLevel
 
     rows_per_band = _N_HASHES // n_bands

@@ -151,9 +151,9 @@ def ivf_assign(
                 }
             )
 
-    vec_type = dict(zip(df.columns, (f.dataType.simpleString() for f in df.schema.fields)))[vec_col]
+    types = dict(zip(df.columns, (f.dataType.simpleString() for f in df.schema.fields)))
     return df.select(id_col, vec_col).mapInPandas(
-        assign, schema=f"{id_col} long, {vec_col} {vec_type}, list_id long"
+        assign, schema=f"{id_col} {types[id_col]}, {vec_col} {types[vec_col]}, list_id long"
     )
 
 

@@ -11,9 +11,10 @@ inside a foreachBatch loop:
     -> quality_rules -> accepted / rejected split
     -> scrub_pii on the accepted half
     -> exact-dedup WITHIN the batch and AGAINST the already-accepted
-       warehouse (md5 fingerprint anti-join — only the fingerprint
-       column of the warehouse is read: column pruning keeps the
-       incremental check O(new batch), not O(corpus))
+       warehouse (md5 fingerprint anti-join — only the 16-byte
+       fingerprint column of the warehouse is scanned, and the join is
+       left un-hinted so Spark broadcasts it while small and switches
+       to a shuffle anti-join once the corpus outgrows the threshold)
     -> append accepted docs + a rejected audit table
 
 Checkpointed source offsets + append sinks give the same at-least-once
@@ -27,8 +28,19 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ed_clickhouse_spark.operators.dedup import fingerprint_col
 from ed_clickhouse_spark.operators.llmdata import quality_rules, scrub_pii
+from ed_clickhouse_spark.operators.text import fingerprint
+
+
+def _warehouse_exists(spark: SparkSession, path_str: str) -> bool:
+    """Hadoop-FS existence check (local/HDFS/s3a uniformly) — explicit,
+    instead of catching the read error, so transient FS failures and
+    permission problems propagate rather than silently skipping the
+    against-warehouse dedup step."""
+    jvm = spark._jvm
+    p = jvm.org.apache.hadoop.fs.Path(path_str)
+    fs = p.getFileSystem(spark._jsc.hadoopConfiguration())
+    return bool(fs.exists(p))
 
 
 def gate_batch(batch: DataFrame, warehouse: str) -> None:
@@ -43,7 +55,7 @@ def gate_batch(batch: DataFrame, warehouse: str) -> None:
         accepted = flagged.where(F.col("q_pass")).drop("q_pass")
         scrub = scrub_pii("text")
         accepted = accepted.withColumn("text", scrub["clean"]).withColumn(
-            "__fp", fingerprint_col("text")
+            "__fp", fingerprint("text")
         )
         # dedup within the batch (first doc_id wins, deterministic) ...
         from pyspark.sql import Window as W
@@ -54,13 +66,15 @@ def gate_batch(batch: DataFrame, warehouse: str) -> None:
             .where(F.col("__rn") == 1)
             .drop("__rn")
         )
-        # ... and against the warehouse: anti-join on the fingerprint only
+        # ... and against the warehouse: anti-join on the fingerprint only.
+        # No broadcast hint: the warehouse side grows without bound, so
+        # Spark must stay free to pick a shuffle anti-join once it exceeds
+        # the broadcast threshold (AQE still broadcasts it while small).
+        # Column pruning keeps the scan to the 16-byte __fp column.
         acc_path = os.path.join(warehouse, "docs_accepted")
-        try:
+        if _warehouse_exists(spark, acc_path):
             seen = spark.read.parquet(acc_path).select("__fp")
-            accepted = accepted.join(F.broadcast(seen.distinct()), "__fp", "left_anti")
-        except Exception:
-            pass  # first batch: no warehouse yet
+            accepted = accepted.join(seen, "__fp", "left_anti")
         accepted.write.mode("append").parquet(acc_path)
     finally:
         flagged.unpersist()

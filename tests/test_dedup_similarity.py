@@ -157,3 +157,19 @@ def test_ivf_topk_recall_and_exhaustive_exactness(spark):
     }
     recall = len(exact & part) / len(exact)
     assert recall >= 0.4  # random-ish vectors; real clusters recall far higher
+
+
+def test_ivf_assign_string_ids(spark):
+    """ivf_assign derives the id column type from the schema — string doc
+    ids must survive the mapInPandas round trip, not be coerced to long."""
+    import numpy as np
+
+    from ed_clickhouse_spark.operators.similarity import ivf_assign
+
+    df = spark.createDataFrame(
+        [("doc-a", [1.0, 0.0]), ("doc-b", [0.0, 1.0])],
+        "doc_id string, vec array<double>",
+    )
+    cent = np.array([[1.0, 0.0], [0.0, 1.0]])
+    rows = {r.doc_id: r.list_id for r in ivf_assign(df, cent, "doc_id", "vec").collect()}
+    assert rows == {"doc-a": 0, "doc-b": 1}
