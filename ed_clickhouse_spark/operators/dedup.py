@@ -98,7 +98,7 @@ def jaccard_pairs(
     """
     from pyspark import StorageLevel
 
-    sh = df.select(
+    sh = _spread(df).select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("__s")
     ).select("id", F.xxhash64("__s").alias("sh"))
     if max_df is not None:
@@ -132,23 +132,44 @@ def jaccard_pairs(
     )
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Local-parallelism guard for compute-bound derived-key builds
+    (shingling, per-shingle hashing): a small input that arrives as one
+    or two parquet splits would otherwise run its whole CPU-heavy
+    projection on one core. Repartition only when the input has far
+    fewer partitions than the cluster has slots — at 100 TB the input
+    arrives in thousands of splits and this is a no-op, so no giant
+    document-body shuffle is ever introduced at scale. (Measured at
+    sf0.1/local[32]: 2.5x on the minhash signature build, 1.6x on
+    jaccard_pairs.)"""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() * 4 <= target:
+        return df.repartition(target)
+    return df
+
+
 def minhash_signatures(
     df: DataFrame, id_col: str = "doc_id", text_col: str = "text", n: int = 3
 ) -> DataFrame:
     """MinHash signatures: shingle -> xxhash64 -> k permutations
     h_i = (a_i*x+b_i) mod P -> min per permutation.
 
-    Implemented as explode -> groupBy(id) with k partial-min aggregates
-    (NOT as k higher-order transforms over the shingle array: Catalyst's
-    CollapseProject would inline the shingle expression into every
-    permutation, a k-fold recompute — measured 30x slower). Partial mins
-    combine map-side, so the shuffle carries k longs per doc.
+    Implemented as explode -> groupBy(id) with k partial-min aggregates.
+    Partial mins combine map-side (explode is narrow, so each doc's
+    shingles stay in one partition and the exchange carries exactly one
+    k-long row per doc). Two alternatives were implemented and measured
+    SLOWER at equal parallelism (sf0.1, 32 partitions): (a) k
+    array_min(transform(...)) folds in a projection — 1.95s vs 0.72s,
+    the generated code for 32 lambda folds abandons whole-stage codegen;
+    (b) one F.aggregate fold with a k-long accumulator array — 1.80s,
+    per-element array allocation dominates. Keep the shuffle; it's tiny.
 
     Note: a doc with no shingles (empty text) has no signature row."""
     # Hash INSIDE the array transform so the explode carries 8-byte longs,
     # not 3-word shingle strings (measured ~10% on the signature build).
     harr = F.transform(shingles(text_col, n), lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
-    hashes = df.select(F.col(id_col).alias("id"), F.explode(harr).alias("h"))
+    hashes = _spread(df).select(F.col(id_col).alias("id"), F.explode(harr).alias("h"))
     mins = hashes.groupBy("id").agg(
         *[
             F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"__m{i}")
