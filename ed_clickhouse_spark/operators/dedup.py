@@ -273,3 +273,73 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> Da
         for i in range(64)
     )
     return counts.select("id", F.expr(terms).alias("simhash"))
+
+
+def dedup_clusters(
+    pairs: DataFrame,
+    id_a: str = "id_a",
+    id_b: str = "id_b",
+    max_iter: int = 20,
+) -> DataFrame:
+    """Connected components over a near-dup pair list: every doc that
+    appears in ``pairs`` gets a ``cluster_id`` = the min doc id reachable
+    through the pair graph. This is the step that turns pairwise near-dup
+    findings into actionable dedup groups ("keep one doc per cluster") —
+    the reference's pipeline stops at ClickHouse, which has no iterative
+    operator at all, so this is a capability extension in the same style
+    as the dedup ladder it feeds.
+
+    Algorithm: min-label propagation. Start each node at its own id; each
+    round every node takes the min of its label and its neighbors'
+    labels. Converges in O(graph diameter) rounds — near-dup components
+    are dense and shallow (a cluster of k near-identical docs is close to
+    a clique), so typically <= 4 rounds even at corpus scale.
+
+    Scale shape: one round = one equi-join (edges x labels, keyed on node
+    id) + one groupBy-min (keyed on node id) — both co-partitioned
+    shuffles on the 8-byte id, never all-pairs. Labels are
+    localCheckpoint'ed every round so round k doesn't replan a k-join
+    lineage, and the convergence check is a bounded `limit(1).count()` —
+    the one justified driver action of an iterative algorithm.
+    """
+    sym = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .persist()
+    )
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .select("id", F.col("id").alias("lbl"))
+        .localCheckpoint()
+    )
+    try:
+        for _ in range(max_iter):
+            nbr_min = (
+                sym.join(labels, sym["src"] == labels["id"])
+                .groupBy(F.col("dst").alias("nid"))
+                .agg(F.min("lbl").alias("nbr_lbl"))
+            )
+            new = (
+                labels.join(nbr_min, labels["id"] == nbr_min["nid"], "left")
+                .select(
+                    labels["id"],
+                    F.least(
+                        F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                    ).alias("lbl"),
+                )
+                .localCheckpoint()
+            )
+            changed = (
+                new.alias("n")
+                .join(labels.alias("o"), "id")
+                .filter(F.col("n.lbl") != F.col("o.lbl"))
+                .limit(1)
+                .count()
+            )
+            labels = new
+            if changed == 0:
+                break
+    finally:
+        sym.unpersist()
+    return labels.select("id", F.col("lbl").alias("cluster_id"))

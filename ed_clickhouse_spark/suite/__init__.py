@@ -48,6 +48,7 @@ def _load_all() -> None:
         q_joins,
         q_llm,
         q_misc,
+        q_search,
         q_similarity,
         q_similarity2,
         q_setops,

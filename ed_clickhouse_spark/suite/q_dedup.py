@@ -7,6 +7,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ed_clickhouse_spark.operators.dedup import (
+    dedup_clusters,
     exact_dedup,
     jaccard_pairs,
     minhash_lsh_pairs,
@@ -94,4 +95,129 @@ def q47_simhash(spark, sf_dir):
         s.withColumn("prefix", F.shiftrightunsigned("simhash", 48))
         .groupBy("prefix")
         .agg(F.count("*").alias("bucket_size"), F.min("id").alias("min_doc_id"))
+    )
+
+
+# The q45 pair list as a reusable oracle CTE chain (kept textually in sync
+# with the q45 oracle above).
+_PAIRS_CTES = """
+    sh AS (
+      SELECT doc_id AS id, unnest(list_distinct(sh_list)) AS sh
+      FROM (
+        SELECT doc_id,
+               list_transform(
+                 range(1, GREATEST(len(string_split(text,' ')) - 3, 0) + 2),
+                 i -> array_to_string(string_split(text,' ')[i:i+2], ' ')
+               ) AS sh_list
+        FROM documents
+      )
+    ),
+    shc AS (
+      SELECT id, sh FROM sh
+      QUALIFY COUNT(*) OVER (PARTITION BY sh) <= 10
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM shc GROUP BY id),
+    prs0 AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+      FROM shc a JOIN shc b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    prs AS (
+      SELECT id_a, id_b
+      FROM prs0
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.5
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM prs
+    ),
+    reach(id, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r
+    ),
+    clusters AS (
+      SELECT id AS doc_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    )
+"""
+
+
+@query(
+    "q96_dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    {_PAIRS_CTES}
+    SELECT doc_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM clusters
+    """,
+)
+def q96_dedup_clusters(spark, sf_dir):
+    """Near-dup pairs -> connected components: each doc in a >=0.5
+    Jaccard pair gets the min reachable doc_id as its cluster id. Spark
+    side is iterative min-label propagation (O(diameter) co-partitioned
+    join+min rounds); the oracle is DuckDB's recursive-CTE transitive
+    closure — two different algorithms, same fixpoint, hash-matched."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, n=3, threshold=0.5, max_df=10)
+    cl = dedup_clusters(pairs)
+    return cl.select(
+        F.col("id").alias("doc_id"),
+        "cluster_id",
+        F.count("*").over(W.partitionBy("cluster_id")).alias("cluster_size"),
+    )
+
+
+@query(
+    "q97_dedup_survivors",
+    oracle=f"""
+    WITH RECURSIVE
+    {_PAIRS_CTES}
+    , assigned AS (
+      SELECT d.doc_id, d.source, d.n_chars,
+             COALESCE(c.cluster_id, d.doc_id) AS cid
+      FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY cid ORDER BY n_chars DESC, doc_id
+      ) AS rn
+      FROM assigned
+    )
+    SELECT source,
+           COUNT(*) FILTER (WHERE rn = 1) AS n_kept,
+           COUNT(*) FILTER (WHERE rn > 1) AS n_dropped,
+           CAST(SUM(n_chars) FILTER (WHERE rn = 1) AS BIGINT) AS chars_kept
+    FROM ranked GROUP BY source
+    """,
+)
+def q97_dedup_survivors(spark, sf_dir):
+    """The end of the dedup pipeline: keep ONE representative per
+    near-dup cluster (the longest doc; doc_id tiebreak), count
+    kept/dropped and surviving chars per source. Docs in no cluster
+    survive as singletons."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    pairs = jaccard_pairs(d, n=3, threshold=0.5, max_df=10)
+    cl = dedup_clusters(pairs).withColumnRenamed("id", "doc_id")
+    assigned = d.select("doc_id", "source", "n_chars").join(
+        cl, "doc_id", "left"
+    ).select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.coalesce("cluster_id", "doc_id").alias("cid"),
+    )
+    w = W.partitionBy("cid").orderBy(F.col("n_chars").desc(), "doc_id")
+    ranked = assigned.withColumn("rn", F.row_number().over(w))
+    return ranked.groupBy("source").agg(
+        F.count(F.when(F.col("rn") == 1, 1)).alias("n_kept"),
+        F.count(F.when(F.col("rn") > 1, 1)).alias("n_dropped"),
+        F.sum(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("chars_kept"),
     )

@@ -441,3 +441,49 @@ def q92_ngram_topk(spark, sf_dir):
     deterministic (count desc, gram asc) tiebreak."""
     d = t(spark, sf_dir, "documents")
     return ngram_topk(d, k=10, n=2, text_col="text", group_col="lang")
+
+
+@query(
+    "q100_weighted_sample",
+    oracle="""
+    WITH stats AS (SELECT AVG(n_chars) AS avg_chars FROM documents),
+    u AS (
+      SELECT d.*,
+             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) / 4294967296.0 AS unif,
+             LEAST(1.0, 0.3 * d.n_chars / s.avg_chars) AS p
+      FROM documents d CROSS JOIN stats s
+    )
+    SELECT source,
+           COUNT(*) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS chars_sampled
+    FROM u WHERE unif < p
+    GROUP BY source
+    """,
+)
+def q100_weighted_sample(spark, sf_dir):
+    """Deterministic length-weighted Poisson sample (rate 0.3): a doc's
+    inclusion probability is proportional to its length, membership is a
+    pure function of md5(doc_id) — reruns, backfills, and other engines
+    (the oracle) draw the IDENTICAL sample with no coordination or RNG
+    state. The standard corpus down-sampling step when token budget,
+    not doc count, is the constraint."""
+    d = t(spark, sf_dir, "documents")
+    stats = d.agg(F.avg("n_chars").alias("avg_chars"))
+    unif = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        / F.lit(4294967296.0)
+    )
+    p = F.least(F.lit(1.0), F.lit(0.3) * F.col("n_chars") / F.col("avg_chars"))
+    return (
+        d.crossJoin(F.broadcast(stats))
+        .withColumn("unif", unif)
+        .withColumn("p", p)
+        .filter(F.col("unif") < F.col("p"))
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_sampled"),
+            F.sum("n_chars").alias("chars_sampled"),
+        )
+    )

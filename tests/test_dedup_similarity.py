@@ -173,3 +173,28 @@ def test_ivf_assign_string_ids(spark):
     cent = np.array([[1.0, 0.0], [0.0, 1.0]])
     rows = {r.doc_id: r.list_id for r in ivf_assign(df, cent, "doc_id", "vec").collect()}
     assert rows == {"doc-a": 0, "doc-b": 1}
+
+
+def test_dedup_clusters_components(spark):
+    """Min-label propagation finds components of a path graph (worst-case
+    diameter) and leaves disjoint components separate."""
+    from ed_clickhouse_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        # path 1-2-3-4-5 (diameter 4), triangle 10-11-12, isolated pair 20-21
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11), (11, 12), (10, 12), (20, 21)],
+        "id_a long, id_b long",
+    )
+    got = {r.id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
+
+
+def test_dedup_clusters_max_iter_cap(spark):
+    """A tiny max_iter still returns labels (partial convergence), and
+    the default converges on a long path."""
+    from ed_clickhouse_spark.operators.dedup import dedup_clusters
+
+    edges = [(i, i + 1) for i in range(1, 12)]  # path of 12 nodes
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    full = {r.id: r.cluster_id for r in dedup_clusters(pairs).collect()}
+    assert set(full.values()) == {1}

@@ -23,6 +23,7 @@ def test_queries_and_oracles_align():
         "q47_simhash",
         "q50_ann_lsh",
         "q80_heavy_hitters",
+        "q87_ann_ivf",
     }
     assert set(q) - set(o) == allowed_no_oracle
 
