@@ -221,3 +221,104 @@ def q97_dedup_survivors(spark, sf_dir):
         F.count(F.when(F.col("rn") > 1, 1)).alias("n_dropped"),
         F.sum(F.when(F.col("rn") == 1, F.col("n_chars"))).alias("chars_kept"),
     )
+
+
+@query(
+    "q101_repeated_passages",
+    oracle="""
+    WITH grams AS (
+      SELECT doc_id,
+             unnest(list_distinct(list_transform(
+               range(1, GREATEST(len(string_split(text,' ')) - 10, 0) + 2),
+               i -> array_to_string(string_split(text,' ')[i:i+9], ' ')
+             ))) AS gram
+      FROM documents
+    )
+    SELECT md5(gram) AS gram_key,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS first_doc,
+           len(string_split(MIN(gram), ' ')) AS n_tokens
+    FROM grams
+    GROUP BY gram
+    HAVING COUNT(*) >= 3
+    """,
+)
+def q101_repeated_passages(spark, sf_dir):
+    """Substring-level dedup signal (the exact-substring-dedup family):
+    word 10-grams appearing in >= 3 distinct docs are boilerplate /
+    copied passages. Distinct-per-doc explode -> groupBy gram — the
+    shuffle key is the gram (hashed to md5 in the output so the result
+    is scalar); at 100 TB the same plan runs with a df-cap like
+    jaccard_pairs. Passages, not docs, are the unit — this catches
+    partial duplication that whole-doc fingerprints miss."""
+    d = t(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    g10 = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(toks) - 10, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 10)),
+        )
+    )
+    grams = d.select("doc_id", F.explode(g10).alias("gram"))
+    return (
+        grams.groupBy("gram")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 3)
+        .select(
+            F.md5("gram").alias("gram_key"),
+            "n_docs",
+            "first_doc",
+            F.size(F.split(F.col("gram"), " ")).alias("n_tokens"),
+        )
+    )
+
+
+@query(
+    "q102_source_overlap",
+    oracle=f"""
+    WITH RECURSIVE
+    {_PAIRS_CTES}
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           COUNT(*) AS neardup_pairs
+    FROM prs
+    JOIN documents da ON da.doc_id = prs.id_a
+    JOIN documents db ON db.doc_id = prs.id_b
+    WHERE da.source <> db.source
+    GROUP BY 1, 2
+    ORDER BY neardup_pairs DESC, source_a, source_b
+    LIMIT 50
+    """,
+)
+def q102_source_overlap(spark, sf_dir):
+    """Cross-source contamination matrix: how many near-dup pairs
+    (Jaccard >= 0.5) cross each source pair — the "is dump B a re-crawl
+    of dump A" triage query. The pair list is the q45 candidate join;
+    sources attach via two broadcast-able joins on doc_id; the pair key
+    is orientation-normalized (least/greatest) so A-B and B-A merge."""
+    d = t(spark, sf_dir, "documents")
+    src = d.select("doc_id", "source")
+    pairs = jaccard_pairs(d, n=3, threshold=0.5, max_df=10)
+    joined = (
+        pairs.join(
+            src.select(F.col("doc_id").alias("id_a"), F.col("source").alias("sa")),
+            "id_a",
+        )
+        .join(
+            src.select(F.col("doc_id").alias("id_b"), F.col("source").alias("sb")),
+            "id_b",
+        )
+        .filter(F.col("sa") != F.col("sb"))
+    )
+    return (
+        joined.groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count("*").alias("neardup_pairs"))
+        .orderBy(F.col("neardup_pairs").desc(), "source_a", "source_b")
+        .limit(50)
+    )
