@@ -121,3 +121,37 @@ def test_event_analytics_plan_shapes(spark):
     p = _plan(QUERIES["q95_window_funnel"](spark, sf))
     assert "BatchEvalPython" not in p      # no row-at-a-time Python
     assert "CartesianProduct" not in p
+
+
+def test_search_and_sampling_plan_shapes(spark):
+    """q98/q100/q102 invariants: corpus statistics and per-term document
+    frequencies broadcast (the posting lists never shuffle to meet a
+    scalar), and nothing degenerates to a cartesian product."""
+    sf = "/root/testdata/sf0.001"
+    p = _plan(QUERIES["q98_bm25_search"](spark, sf))
+    assert "BroadcastHashJoin" in p
+    # the only nested-loop join allowed is the single-row stats broadcast
+    # (formatted explain prints each node twice: tree line + detail block)
+    assert "CartesianProduct" not in p
+    assert p.count("BroadcastNestedLoopJoin") <= 2
+    p = _plan(QUERIES["q100_weighted_sample"](spark, sf))
+    assert "CartesianProduct" not in p
+    assert "BatchEvalPython" not in p
+    p = _plan(QUERIES["q102_source_overlap"](spark, sf))
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+
+
+def test_dedup_clusters_plan_is_copartitioned(spark):
+    """One label-propagation round = joins keyed on the node id and a
+    groupBy-min on the same key — no cartesian, no Python eval; the
+    iteration state is a localCheckpoint (lineage does not grow)."""
+    from ed_clickhouse_spark.operators.dedup import dedup_clusters
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    out = dedup_clusters(pairs)
+    p = _plan(out)
+    assert "CartesianProduct" not in p and "BatchEvalPython" not in p
+    # converged labels come from a checkpoint scan, not a re-planned loop
+    assert "ExistingRDD" in p or "Scan" in p
