@@ -29,6 +29,9 @@ EXTRA = [
     "q86_sequence_packing",  # window-cumsum packing
     "q87_ann_ivf",           # IVF probe ANN
     "q88_filtered_ann",      # metadata-filtered exact ANN
+    "q96_dedup_clusters",    # iterative connected components
+    "q98_bm25_search",       # BM25 keyword top-k
+    "q101_repeated_passages",  # 10-gram substring dedup signal
 ]
 
 HEADLINE = [
