@@ -193,11 +193,47 @@ def minhash_lsh_pairs(
     the band hash, so cost scales with collisions, not n^2. Returns
     candidate pairs with their estimated (signature) Jaccard.
 
-    Signatures are persisted before the self-join: both join sides read
-    them, and without the persist the whole explode+32-min build runs
-    twice (measured ~2x on the end-to-end query). As in jaccard_pairs,
-    the cache stays pinned for the lifetime of the returned lazy frame —
-    callers running many queries in one session should
+    The banded index frame (and its pinned signature cache) comes from
+    :func:`banded_signatures` — see there for the persist contract."""
+    bands = banded_signatures(df, id_col, text_col, n, n_bands)
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") < F.col("b.id")))
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    est = F.round(
+        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
+        / F.lit(float(_N_HASHES)),
+        6,
+    )
+    return cand.select("id_a", "id_b", est.alias("est_jaccard"))
+
+
+def banded_signatures(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_bands: int = _N_BANDS,
+) -> DataFrame:
+    """(id, sig, band, bh) rows: the LSH band index of each document —
+    ``n_bands`` rows per doc, ``bh`` the hash of that band's signature
+    slice. This is both the self-join key frame of
+    :func:`minhash_lsh_pairs` and the persistent incremental index of
+    the streaming near-dup gate (streaming/corpus.py), so batch and
+    stream agree bit-for-bit on candidate buckets.
+
+    Signatures are persisted before banding: in the pair query both join
+    sides read them, and without the persist the whole explode+32-min
+    build runs twice (measured ~2x end-to-end). The cache stays pinned
+    for the lifetime of derived lazy frames — long-lived sessions should
     ``spark.catalog.clearCache()`` after materializing."""
     from pyspark import StorageLevel
 
@@ -205,7 +241,7 @@ def minhash_lsh_pairs(
     sigs = minhash_signatures(df, id_col, text_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    bands = sigs.select(
+    return sigs.select(
         "id",
         "sig",
         F.explode(
@@ -228,24 +264,6 @@ def minhash_lsh_pairs(
             )
         ).alias("b"),
     ).select("id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
-    a = bands.alias("a")
-    b = bands.alias("b")
-    cand = (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    est = F.round(
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
-        / F.lit(float(_N_HASHES)),
-        6,
-    )
-    return cand.select("id_a", "id_b", est.alias("est_jaccard"))
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:

@@ -43,8 +43,17 @@ def _warehouse_exists(spark: SparkSession, path_str: str) -> bool:
     return bool(fs.exists(p))
 
 
-def gate_batch(batch: DataFrame, warehouse: str) -> None:
-    """Quality-gate one micro-batch of documents into accepted/rejected."""
+def gate_batch(batch: DataFrame, warehouse: str, near_dup: bool = False) -> None:
+    """Quality-gate one micro-batch of documents into accepted/rejected.
+
+    With ``near_dup=True`` the gate additionally drops batch docs that
+    are NEAR duplicates (estimated Jaccard >= 0.5 from minhash
+    signatures) of anything already accepted — the streaming twin of the
+    batch MinHash+LSH ladder. The warehouse keeps a compact side table
+    ``docs_bands`` of (band, band_hash, doc signature) rows; each batch
+    joins its own bands against it keyed on (band, band_hash), so the
+    incremental check shuffles band hashes, never text, and scales with
+    bucket collisions, not corpus size."""
     spark = batch.sparkSession
     rules = quality_rules("text")
     flagged = batch.withColumn("q_pass", rules["q_pass"]).cache()
@@ -75,9 +84,45 @@ def gate_batch(batch: DataFrame, warehouse: str) -> None:
         if _warehouse_exists(spark, acc_path):
             seen = spark.read.parquet(acc_path).select("__fp")
             accepted = accepted.join(seen, "__fp", "left_anti")
+        if near_dup:
+            accepted = _neardup_filter_and_index(accepted, warehouse)
         accepted.write.mode("append").parquet(acc_path)
     finally:
         flagged.unpersist()
+
+
+def _neardup_filter_and_index(accepted: DataFrame, warehouse: str) -> DataFrame:
+    """Drop accepted docs whose minhash signature estimates Jaccard >=
+    0.5 against any already-indexed doc, then append the survivors'
+    bands to the ``docs_bands`` index. Returns the surviving docs
+    (materialized — the filter must be decided before the index append
+    so a batch can't race with its own writes)."""
+    from ed_clickhouse_spark.operators.dedup import _N_HASHES, banded_signatures
+
+    spark = accepted.sparkSession
+    bands_path = os.path.join(warehouse, "docs_bands")
+    batch_bands = banded_signatures(accepted, id_col="doc_id", text_col="text")
+    if _warehouse_exists(spark, bands_path):
+        wh_bands = spark.read.parquet(bands_path).select(
+            F.col("band"), F.col("bh"), F.col("sig").alias("wh_sig")
+        )
+        est = F.size(
+            F.filter(F.zip_with("sig", "wh_sig", lambda x, y: x == y), lambda v: v)
+        ) / F.lit(float(_N_HASHES))
+        dup_ids = (
+            batch_bands.join(wh_bands, ["band", "bh"])
+            .filter(est >= 0.5)
+            .select("id")
+            .distinct()
+        )
+        accepted = accepted.join(
+            dup_ids.select(F.col("id").alias("doc_id")), "doc_id", "left_anti"
+        )
+        batch_bands = batch_bands.join(dup_ids, "id", "left_anti")
+    # Materialize the decision, then index the survivors' bands.
+    accepted = accepted.localCheckpoint()
+    batch_bands.write.mode("append").parquet(bands_path)
+    return accepted
 
 
 def start_corpus_gate(
