@@ -149,6 +149,51 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
     "minus": ("(a DOUBLE, b DOUBLE) RETURNS DOUBLE", "a - b"),
     "multiply": ("(a DOUBLE, b DOUBLE) RETURNS DOUBLE", "a * b"),
     "divide": ("(a DOUBLE, b DOUBLE) RETURNS DOUBLE", "a / b"),
+    # more date/time spellings
+    "toMinute": ("(x TIMESTAMP) RETURNS INT", "minute(x)"),
+    "toSecond": ("(x TIMESTAMP) RETURNS INT", "second(x)"),
+    "toDayOfMonth": ("(x TIMESTAMP) RETURNS INT", "day(x)"),
+    "toDayOfYear": ("(x TIMESTAMP) RETURNS INT", "dayofyear(x)"),
+    "toQuarter": ("(x TIMESTAMP) RETURNS INT", "quarter(x)"),
+    "toStartOfQuarter": ("(x TIMESTAMP) RETURNS DATE", "CAST(date_trunc('QUARTER', x) AS DATE)"),
+    "toStartOfYear": ("(x TIMESTAMP) RETURNS DATE", "CAST(date_trunc('YEAR', x) AS DATE)"),
+    "addDays": ("(x TIMESTAMP, n INT) RETURNS TIMESTAMP", "x + make_interval(0, 0, 0, n)"),
+    "subtractDays": ("(x TIMESTAMP, n INT) RETURNS TIMESTAMP", "x - make_interval(0, 0, 0, n)"),
+    "addHours": ("(x TIMESTAMP, n INT) RETURNS TIMESTAMP", "x + make_interval(0, 0, 0, 0, n)"),
+    # dateDiff / startsWith / endsWith intentionally absent: Spark ships
+    # case-insensitive builtins with those names (datediff, startswith,
+    # endswith) that CREATE FUNCTION cannot shadow; the string predicates
+    # are drop-in already, and CH dateDiff('day', a, b) maps to the
+    # builtin datediff(b, a) / timestampdiff(unit, a, b).
+    "formatDateTime": ("(x TIMESTAMP, f STRING) RETURNS STRING", "date_format(x, f)"),
+    # more string spellings
+    "lowerUTF8": ("(s STRING) RETURNS STRING", "lower(s)"),
+    "upperUTF8": ("(s STRING) RETURNS STRING", "upper(s)"),
+    "trimBoth": ("(s STRING) RETURNS STRING", "trim(s)"),
+    "leftPad": ("(s STRING, n INT, p STRING) RETURNS STRING", "lpad(s, n, p)"),
+    "rightPad": ("(s STRING, n INT, p STRING) RETURNS STRING", "rpad(s, n, p)"),
+    "extractAll": (
+        "(s STRING, re STRING) RETURNS ARRAY<STRING>",
+        "regexp_extract_all(s, re, 0)",
+    ),
+    "toString": ("(x DOUBLE) RETURNS STRING", "CAST(x AS STRING)"),
+    "toInt64": ("(s STRING) RETURNS BIGINT", "CAST(s AS BIGINT)"),
+    "toFloat64": ("(s STRING) RETURNS DOUBLE", "CAST(s AS DOUBLE)"),
+    "toInt64OrNull": ("(s STRING) RETURNS BIGINT", "try_cast(s AS BIGINT)"),
+    "toFloat64OrNull": ("(s STRING) RETURNS DOUBLE", "try_cast(s AS DOUBLE)"),
+    # more array spellings
+    "arraySlice": (
+        "(a ARRAY<STRING>, off INT, len INT) RETURNS ARRAY<STRING>",
+        "slice(a, off, len)",
+    ),
+    "arraySort": ("(a ARRAY<STRING>) RETURNS ARRAY<STRING>", "array_sort(a)"),
+    "arrayReverse": ("(a ARRAY<STRING>) RETURNS ARRAY<STRING>", "reverse(a)"),
+    "arrayUniq": ("(a ARRAY<STRING>) RETURNS INT", "size(array_distinct(a))"),
+    "indexOf": ("(a ARRAY<STRING>, x STRING) RETURNS INT", "array_position(a, x)"),
+    "arrayConcat": (
+        "(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS ARRAY<STRING>",
+        "concat(a, b)",
+    ),
 }
 
 

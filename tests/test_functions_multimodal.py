@@ -104,3 +104,31 @@ def test_extract_features_restores_arrow_batch_conf(spark):
     prev = spark.conf.get(key)
     extract_features(_media_df(spark), arrow_batch_rows=16).collect()
     assert spark.conf.get(key) == prev
+
+
+def test_sql_alias_extended_surface(spark):
+    """The round-3 spelling additions: date arithmetic, dateDiff units,
+    string predicates/casts, array utilities."""
+    register_sql_aliases(spark)
+    got = spark.sql(
+        "SELECT toQuarter(TIMESTAMP '2024-05-06 13:44:55') AS q,"
+        "       toStartOfQuarter(TIMESTAMP '2024-05-06 13:44:55') AS sq,"
+        "       addDays(TIMESTAMP '2024-02-28 12:00:00', 2) AS ad,"
+        "       formatDateTime(TIMESTAMP '2024-05-06 13:44:55', 'yyyy/MM') AS fd,"
+        # CH spellings that are Spark builtins already (case-insensitive):
+        "       startsWith('clickhouse', 'click') AS sw,"
+        "       endsWith('clickhouse', 'house') AS ew,"
+        "       extractAll('a1b22c333', '[0-9]+') AS ea,"
+        "       toInt64OrNull('nope') AS bad_cast,"
+        "       toInt64('42') AS ok_cast,"
+        "       arraySlice(array('a','b','c','d'), 2, 2) AS sl,"
+        "       arrayUniq(array('x','y','x')) AS au,"
+        "       indexOf(array('p','q','r'), 'q') AS io"
+    ).collect()[0]
+    assert got["q"] == 2 and str(got["sq"]) == "2024-04-01"
+    assert str(got["ad"]) == "2024-03-01 12:00:00"
+    assert got["fd"] == "2024/05"
+    assert got["sw"] is True and got["ew"] is True
+    assert got["ea"] == ["1", "22", "333"]
+    assert got["bad_cast"] is None and got["ok_cast"] == 42
+    assert got["sl"] == ["b", "c"] and got["au"] == 2 and got["io"] == 2
