@@ -64,3 +64,28 @@ def cm_query(sketch: DataFrame, keys: DataFrame, key_col: str, width: int = 2048
     return out.select(key_col, est.alias("est_count")).withColumn(
         "est_count", F.col("est_count").cast("bigint")
     )
+
+
+def hll_state(
+    df: DataFrame, keys: list[str], entity_col: str, lg_k: int = 12
+) -> DataFrame:
+    """Per-group mergeable distinct-count state — ClickHouse
+    ``uniqState`` ≙ Spark's DataSketches HLL aggregate. Returns one row
+    per key group with a binary ``hll_state`` column that can be stored
+    (the AggregatingMergeTree pattern: keep states in the rollup table,
+    merge at read time) and re-aggregated to any coarser grouping
+    WITHOUT rescanning the raw data."""
+    return df.groupBy(*keys).agg(
+        F.expr(f"hll_sketch_agg({entity_col}, {lg_k})").alias("hll_state")
+    )
+
+
+def hll_merge(state: DataFrame, keys: list[str]) -> DataFrame:
+    """Merge stored HLL states up to a coarser grouping and estimate —
+    ClickHouse ``uniqMerge``. ``keys`` must be a subset of the state's
+    group columns; the shuffle carries one small sketch per input group,
+    never the raw entity ids."""
+    merged = F.expr("hll_sketch_estimate(hll_union_agg(hll_state))")
+    if keys:
+        return state.groupBy(*keys).agg(merged.alias("est_distinct"))
+    return state.agg(merged.alias("est_distinct"))

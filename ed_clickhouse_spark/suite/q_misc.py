@@ -121,3 +121,40 @@ def q79_nth_value(spark, sf_dir):
         F.nth_value("event_type", 2).over(w).alias("second_event"),
         F.nth_value("value", 3).over(w).alias("third_value"),
     ).distinct()
+
+
+@query("q103_uniq_merge")  # sketch-based — rows-only; error bound unit-tested
+def q103_uniq_merge(spark, sf_dir):
+    """ClickHouse uniqState/uniqMerge parity: per (event_type, day) HLL
+    states built once, then merged per event_type — the re-aggregatable
+    distinct-users rollup. At 100 TB the states live in the rollup
+    table; this query is the merge-at-read path (shuffle = one ~2KB
+    sketch per group, never user ids)."""
+    from ed_clickhouse_spark.operators.sketch import hll_merge, hll_state
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = hll_state(e, ["event_type", "day"], "user_id")
+    return hll_merge(daily, ["event_type"]).withColumn(
+        "est_distinct", F.col("est_distinct").cast("bigint")
+    )
+
+
+@query("q104_approx_quantiles")  # approximate — rows-only; tolerance unit-tested
+def q104_approx_quantiles(spark, sf_dir):
+    """ClickHouse quantile()/quantiles() are approximate by default;
+    this is the matching Spark surface (approx_percentile) over order
+    totals per priority — the constant-memory path when exact q07-style
+    percentiles would need a full sort at 100 TB."""
+    o = t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.expr(
+            "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("q"),
+    ).select(
+        "o_orderpriority",
+        F.round(F.col("q")[0], 2).alias("p50"),
+        F.round(F.col("q")[1], 2).alias("p90"),
+        F.round(F.col("q")[2], 2).alias("p99"),
+    )

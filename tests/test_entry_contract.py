@@ -24,6 +24,8 @@ def test_queries_and_oracles_align():
         "q50_ann_lsh",
         "q80_heavy_hitters",
         "q87_ann_ivf",
+        "q103_uniq_merge",
+        "q104_approx_quantiles",
     }
     assert set(q) - set(o) == allowed_no_oracle
 

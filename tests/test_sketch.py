@@ -33,3 +33,63 @@ def test_cm_sketch_unknown_key_small(spark):
     assert got["a"] >= 100 and got["b"] >= 5
     # with 2 distinct keys in 1024 buckets, collisions are ~impossible:
     assert got["a"] == 100 and got["b"] == 5 and got["never-seen"] == 0
+
+
+def test_hll_state_merge_matches_exact_within_error(spark, sf_dir):
+    """uniqState/uniqMerge parity: merging per-day states estimates the
+    per-type distinct within HLL(lg_k=12) error (<2% typical, assert 5%);
+    and merging ALL states matches a direct global sketch exactly."""
+    from pyspark.sql import functions as F
+
+    from ed_clickhouse_spark.operators.sketch import hll_merge, hll_state
+    from ed_clickhouse_spark.suite._util import t
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type", F.to_date("ts").alias("day"), "user_id"
+    )
+    daily = hll_state(e, ["event_type", "day"], "user_id")
+    merged = {
+        r["event_type"]: r["est_distinct"]
+        for r in hll_merge(daily, ["event_type"]).collect()
+    }
+    exact = {
+        r["event_type"]: r["n"]
+        for r in e.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n"))
+        .collect()
+    }
+    assert set(merged) == set(exact)
+    for k, n in exact.items():
+        assert abs(merged[k] - n) / n < 0.05, (k, merged[k], n)
+
+    # merge-of-states == direct sketch over everything (mergeability)
+    all_merged = hll_merge(daily, []).collect()[0]["est_distinct"]
+    direct = e.agg(
+        F.expr("hll_sketch_estimate(hll_sketch_agg(user_id, 12))").alias("d")
+    ).collect()[0]["d"]
+    assert all_merged == direct
+
+
+def test_approx_quantiles_within_tolerance(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from ed_clickhouse_spark.suite import QUERIES
+    from ed_clickhouse_spark.suite._util import t
+
+    got = {
+        r["o_orderpriority"]: (r["p50"], r["p90"])
+        for r in QUERIES["q104_approx_quantiles"](spark, sf_dir).collect()
+    }
+    o = t(spark, sf_dir, "orders")
+    exact = {
+        r["o_orderpriority"]: (r["e50"], r["e90"])
+        for r in o.groupBy("o_orderpriority")
+        .agg(
+            F.expr("percentile(o_totalprice, 0.5)").alias("e50"),
+            F.expr("percentile(o_totalprice, 0.9)").alias("e90"),
+        )
+        .collect()
+    }
+    for k, (p50, p90) in got.items():
+        assert abs(p50 - exact[k][0]) / exact[k][0] < 0.02
+        assert abs(p90 - exact[k][1]) / exact[k][1] < 0.02
