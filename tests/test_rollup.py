@@ -49,3 +49,45 @@ def test_incremental_refresh(spark, tmp_path):
     assert rows[("2024-02-01", "login2")] == 4
     assert rows[("2024-02-02", "login")] == 5
     assert rows[("2024-02-03", "login")] == 2
+
+
+def test_rollup_with_mergeable_hll_states(spark, tmp_path):
+    """AggregatingMergeTree end-to-end: the rollup stores a binary HLL
+    state per (day, event_name); reads merge states up to any coarser
+    grouping (uniqMerge) without touching raw events; an incremental
+    day refresh extends the mergeable history."""
+    src = str(tmp_path / "login_events")
+    dest = str(tmp_path / "rollup_uniq")
+    # users overlap across days: distinct-over-merge must dedup them
+    def ev(day, users):
+        rows = [(f"u{u}", "login", f"2024-02-0{day} 09:00:{i:02d}") for i, u in enumerate(users)]
+        return spark.createDataFrame(
+            rows, "event_id string, event_name string, ts string"
+        ).select("event_id", "event_name", F.col("ts").cast("timestamp").alias("timestamp"))
+
+    append_events(ev(1, [1, 2, 3]), str(tmp_path), "login_events")
+    append_events(ev(2, [2, 3, 4]), str(tmp_path), "login_events")
+
+    ru = IncrementalRollup(
+        spark, src, dest,
+        dims=["event_name"],
+        aggs={"uniq_state": "hll_sketch_agg(event_id, 12)"},
+    )
+    ru.refresh()
+    merged = (
+        ru.read()
+        .groupBy("event_name")
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(uniq_state))").alias("u"))
+        .collect()
+    )
+    assert {(r["event_name"], r["u"]) for r in merged} == {("login", 4)}
+
+    # incremental: a new day with one new user -> merge sees 5
+    append_events(ev(3, [4, 5]), str(tmp_path), "login_events")
+    assert ru.refresh() == ["2024-02-03"]
+    u = (
+        ru.read()
+        .agg(F.expr("hll_sketch_estimate(hll_union_agg(uniq_state))").alias("u"))
+        .collect()[0]["u"]
+    )
+    assert u == 5
