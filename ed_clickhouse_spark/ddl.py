@@ -1,0 +1,468 @@
+"""ClickHouse DDL → Spark table translation (EP3 provisioning parity).
+
+The reference provisions its nine event tables with plain ClickHouse
+migrations (``/root/reference/migrations/002..011_*.up.sql``), all of the
+shape::
+
+    CREATE TABLE IF NOT EXISTS login_events (
+        event_id String, ... timestamp DateTime, ... season_number Int32
+    ) ENGINE = MergeTree()
+    ORDER BY (timestamp, event_name);
+
+A user switching to this engine should be able to point their existing
+migrations directory at us and get the same tables.  This module parses
+that DDL dialect (plus the common extensions a real ClickHouse deployment
+uses: Nullable/LowCardinality wrappers, Array/Map/Tuple, Enum, Decimal,
+DateTime64, PARTITION BY, Replacing/SummingMergeTree) and maps it onto
+the engine's Spark-native equivalents:
+
+  * column types   -> Spark ``StructType`` (see ``ch_type_to_spark``);
+  * ORDER BY       -> ``sortWithinPartitions`` write policy (tight parquet
+                      row-group min/max stats ≙ the sparse primary index —
+                      same policy as ``sources/writer.py``);
+  * PARTITION BY   -> a derived partition directory column
+                      (``toYYYYMM(ts)`` ≙ month dirs, ``toDate(ts)`` ≙ day
+                      dirs) -> partition pruning ≙ partition elimination;
+  * ENGINE merge semantics -> a *read-time* view (``final_read``):
+      - MergeTree                  -> identity (append-only facts);
+      - ReplacingMergeTree(ver)    -> latest row per ORDER BY key
+                                      (≙ ``SELECT ... FINAL``);
+      - SummingMergeTree(cols)     -> numeric columns summed per key.
+
+    ClickHouse itself only guarantees these semantics *eventually* (or
+    under FINAL); materializing them at read time over an append-only log
+    is the exact same contract, expressed as a deterministic view.  At
+    100 TB the FINAL view is one shuffle on the ORDER BY key — the same
+    shuffle ClickHouse pays in a FINAL read — and the append path stays
+    shuffle-free.
+
+Scale note: parsing happens on the driver once per DDL (bytes of SQL);
+everything data-sized stays declarative DataFrame ops.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+# ---------------------------------------------------------------------------
+# type mapping
+# ---------------------------------------------------------------------------
+
+_SIMPLE_TYPES: dict[str, T.DataType] = {
+    "string": T.StringType(),
+    "uuid": T.StringType(),
+    "ipv4": T.StringType(),
+    "ipv6": T.StringType(),
+    "bool": T.BooleanType(),
+    "boolean": T.BooleanType(),
+    "int8": T.ByteType(),
+    "int16": T.ShortType(),
+    "int32": T.IntegerType(),
+    "int64": T.LongType(),
+    "int128": T.DecimalType(38, 0),
+    "int256": T.DecimalType(38, 0),
+    # unsigned widths widen to the next signed Spark type; UInt64 keeps
+    # LongType (documented narrowing — Spark has no unsigned 64-bit).
+    "uint8": T.ShortType(),
+    "uint16": T.IntegerType(),
+    "uint32": T.LongType(),
+    "uint64": T.LongType(),
+    "uint128": T.DecimalType(38, 0),
+    "uint256": T.DecimalType(38, 0),
+    "float32": T.FloatType(),
+    "float64": T.DoubleType(),
+    "date": T.DateType(),
+    "date32": T.DateType(),
+    "datetime": T.TimestampType(),
+}
+
+_DECIMAL_SCALED = {"decimal32": 9, "decimal64": 18, "decimal128": 38, "decimal256": 38}
+
+
+def _split_top(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` at paren/quote depth 0."""
+    parts, depth, cur, in_q = [], 0, [], None
+    for ch in s:
+        if in_q:
+            cur.append(ch)
+            if ch == in_q:
+                in_q = None
+            continue
+        if ch in "'\"":
+            in_q = ch
+            cur.append(ch)
+        elif ch in "([":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            parts.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    tail = "".join(cur).strip()
+    if tail:
+        parts.append(tail)
+    return parts
+
+
+def ch_type_to_spark(ch: str) -> tuple[T.DataType, bool]:
+    """Map one ClickHouse type spelling to ``(spark_type, nullable)``.
+
+    ClickHouse columns are non-nullable unless wrapped in ``Nullable``;
+    we record that bit (Spark enforces it loosely, but the schema carries
+    the intent and parquet stores it).
+    """
+    s = ch.strip()
+    low = s.lower()
+    m = re.match(r"^(nullable|lowcardinality)\s*\((.*)\)$", low, re.S)
+    if m:
+        inner, nullable = ch_type_to_spark(s[s.index("(") + 1 : s.rindex(")")])
+        return inner, nullable or m.group(1) == "nullable"
+    m = re.match(r"^array\s*\((.*)\)$", low, re.S)
+    if m:
+        inner, inner_null = ch_type_to_spark(s[s.index("(") + 1 : s.rindex(")")])
+        return T.ArrayType(inner, containsNull=inner_null), False
+    m = re.match(r"^map\s*\((.*)\)$", low, re.S)
+    if m:
+        k, v = _split_top(s[s.index("(") + 1 : s.rindex(")")])
+        kt, _ = ch_type_to_spark(k)
+        vt, vn = ch_type_to_spark(v)
+        return T.MapType(kt, vt, valueContainsNull=vn), False
+    m = re.match(r"^tuple\s*\((.*)\)$", low, re.S)
+    if m:
+        fields = []
+        for i, part in enumerate(_split_top(s[s.index("(") + 1 : s.rindex(")")])):
+            # named field ("name Type") or positional ("Type")
+            nm = re.match(r"^(\w+)\s+(.+)$", part.strip(), re.S)
+            if nm and not re.match(
+                r"^(nullable|lowcardinality|array|map|tuple|fixedstring|decimal|datetime|enum)",
+                nm.group(1).lower(),
+            ):
+                ft, fn = ch_type_to_spark(nm.group(2))
+                fields.append(T.StructField(nm.group(1), ft, fn))
+            else:
+                ft, fn = ch_type_to_spark(part)
+                fields.append(T.StructField(f"_{i + 1}", ft, fn))
+        return T.StructType(fields), False
+    m = re.match(r"^fixedstring\s*\(\s*\d+\s*\)$", low)
+    if m:
+        return T.StringType(), False
+    m = re.match(r"^enum(8|16)?\s*\(", low)
+    if m:
+        return T.StringType(), False  # enums read back as their labels
+    m = re.match(r"^datetime64\s*\(", low)
+    if m:
+        return T.TimestampType(), False
+    m = re.match(r"^datetime\s*\(", low)  # DateTime('tz')
+    if m:
+        return T.TimestampType(), False
+    m = re.match(r"^decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)$", low)
+    if m:
+        return T.DecimalType(int(m.group(1)), int(m.group(2))), False
+    m = re.match(r"^(decimal32|decimal64|decimal128|decimal256)\s*\(\s*(\d+)\s*\)$", low)
+    if m:
+        return T.DecimalType(_DECIMAL_SCALED[m.group(1)], int(m.group(2))), False
+    if low in _SIMPLE_TYPES:
+        return _SIMPLE_TYPES[low], False
+    raise ValueError(f"unsupported ClickHouse type: {ch!r}")
+
+
+# ---------------------------------------------------------------------------
+# DDL parsing
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class TableSpec:
+    """Parsed ClickHouse CREATE TABLE, mapped to Spark terms."""
+
+    name: str
+    schema: T.StructType
+    engine: str  # MergeTree | ReplacingMergeTree | SummingMergeTree
+    engine_args: list[str] = field(default_factory=list)
+    order_by: list[str] = field(default_factory=list)
+    partition_by: str | None = None  # raw ClickHouse expression
+    primary_key: list[str] = field(default_factory=list)
+    ch_types: dict[str, str] = field(default_factory=dict)
+
+    @property
+    def key_cols(self) -> list[str]:
+        """The merge key: PRIMARY KEY if given, else ORDER BY."""
+        return self.primary_key or self.order_by
+
+    def partition_column(self) -> tuple[str, str] | None:
+        """Translate PARTITION BY into ``(dir_column_name, sql_expr)``.
+
+        Returned as a SQL string (evaluate with ``F.expr``) so parsing
+        needs no live SparkSession.  Supported shapes (the ones real
+        deployments use):
+          toYYYYMM(col)   -> yyyyMM int       (month directories)
+          toDate(col)     -> date             (day directories)
+          toYear(col)     -> year int
+          bare column     -> the column itself
+        """
+        if not self.partition_by:
+            return None
+        expr = self.partition_by.strip()
+        m = re.match(r"^toYYYYMM\s*\(\s*(\w+)\s*\)$", expr, re.I)
+        if m:
+            return "p_month", f"CAST(date_format({m.group(1)}, 'yyyyMM') AS INT)"
+        m = re.match(r"^toDate\s*\(\s*(\w+)\s*\)$", expr, re.I)
+        if m:
+            return "p_date", f"to_date({m.group(1)})"
+        m = re.match(r"^toYear\s*\(\s*(\w+)\s*\)$", expr, re.I)
+        if m:
+            return "p_year", f"year({m.group(1)})"
+        m = re.match(r"^\w+$", expr)
+        if m:
+            return expr, expr
+        raise ValueError(f"unsupported PARTITION BY expression: {expr!r}")
+
+
+_COL_ATTR = re.compile(
+    r"\s+(DEFAULT|MATERIALIZED|ALIAS|CODEC|COMMENT|TTL)\b.*$", re.I | re.S
+)
+
+
+def parse_clickhouse_ddl(sql: str) -> TableSpec:
+    """Parse one ClickHouse ``CREATE TABLE`` statement.
+
+    Covers the reference migration dialect
+    (migrations/002_create_login_events_table.up.sql:1-19 et al.) plus
+    PARTITION BY / PRIMARY KEY / Replacing- and SummingMergeTree and
+    per-column DEFAULT/CODEC/COMMENT attributes (ignored — Spark carries
+    no column defaults; ingestion fills them).
+    """
+    s = re.sub(r"--[^\n]*", "", sql)  # strip line comments
+    s = re.sub(r"/\*.*?\*/", "", s, flags=re.S)
+    m = re.search(
+        r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([\w.]+)\s*\(", s, re.I
+    )
+    if not m:
+        raise ValueError("not a CREATE TABLE statement")
+    name = m.group(1).split(".")[-1]
+    # find the matching close paren of the column list
+    start = m.end() - 1
+    depth, i = 0, start
+    while i < len(s):
+        if s[i] == "(":
+            depth += 1
+        elif s[i] == ")":
+            depth -= 1
+            if depth == 0:
+                break
+        i += 1
+    if depth != 0:
+        raise ValueError("unbalanced parens in column list")
+    col_block, tail = s[start + 1 : i], s[i + 1 :]
+
+    fields, ch_types = [], {}
+    for part in _split_top(col_block):
+        part = part.strip()
+        if not part or re.match(r"^(INDEX|CONSTRAINT|PROJECTION)\b", part, re.I):
+            continue  # skipping secondary indexes: parquet stats + pruning play that role
+        cm = re.match(r"^`?(\w+)`?\s+(.+)$", part, re.S)
+        if not cm:
+            raise ValueError(f"cannot parse column definition: {part!r}")
+        cname, ctype = cm.group(1), _COL_ATTR.sub("", cm.group(2)).strip()
+        dt, nullable = ch_type_to_spark(ctype)
+        fields.append(T.StructField(cname, dt, nullable))
+        ch_types[cname] = ctype
+    schema = T.StructType(fields)
+
+    em = re.search(r"ENGINE\s*=\s*(\w+)", tail, re.I)
+    engine = em.group(1) if em else "MergeTree"
+    engine_args: list[str] = []
+    if em:
+        # balanced-paren arg scan (SummingMergeTree((hits, amount)) nests)
+        j = em.end()
+        while j < len(tail) and tail[j].isspace():
+            j += 1
+        if j < len(tail) and tail[j] == "(":
+            depth = 0
+            for k in range(j, len(tail)):
+                if tail[k] == "(":
+                    depth += 1
+                elif tail[k] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        inner = tail[j + 1 : k].strip()
+                        if inner.startswith("(") and inner.endswith(")"):
+                            inner = inner[1:-1]  # tuple-wrapped arg list
+                        engine_args = [
+                            a.strip().strip("`")
+                            for a in _split_top(inner)
+                            if a.strip()
+                        ]
+                        break
+
+    def _clause(kw: str) -> str | None:
+        cm = re.search(
+            kw + r"\s+(\([^)]*\)|[^\s;]+(?:\s*\([^)]*\))?)",
+            tail,
+            re.I,
+        )
+        return cm.group(1).strip() if cm else None
+
+    def _cols(clause: str | None) -> list[str]:
+        if not clause:
+            return []
+        inner = clause[1:-1] if clause.startswith("(") else clause
+        return [c.strip().strip("`") for c in _split_top(inner) if c.strip()]
+
+    order_by = _cols(_clause(r"ORDER\s+BY"))
+    primary_key = _cols(_clause(r"PRIMARY\s+KEY"))
+    pb = _clause(r"PARTITION\s+BY")
+    if pb and pb.startswith("(") and pb.endswith(")") and "," not in pb:
+        pb = pb[1:-1].strip()
+    return TableSpec(
+        name=name,
+        schema=schema,
+        engine=engine,
+        engine_args=engine_args,
+        order_by=[c for c in order_by if c.lower() != "tuple()"],
+        partition_by=pb,
+        primary_key=primary_key,
+        ch_types=ch_types,
+    )
+
+
+# ---------------------------------------------------------------------------
+# provisioning + write/read policy
+# ---------------------------------------------------------------------------
+
+
+def provision_table(spark: SparkSession, spec: TableSpec, warehouse: str) -> str:
+    """Idempotently create ``warehouse/<name>`` with the translated schema
+    (empty parquet — ≙ ``CREATE TABLE IF NOT EXISTS``) and register the
+    merge-semantics view.  Returns the table path."""
+    path = os.path.join(warehouse, spec.name)
+    if not os.path.exists(path):
+        empty = spark.createDataFrame([], spec.schema)
+        pc = spec.partition_column()
+        if pc:
+            empty = empty.withColumn(pc[0], F.expr(pc[1]))
+            empty.write.mode("overwrite").partitionBy(pc[0]).parquet(path)
+        else:
+            empty.write.mode("overwrite").parquet(path)
+    register_view(spark, spec, warehouse)
+    return path
+
+
+def append_rows(df: DataFrame, spec: TableSpec, warehouse: str) -> None:
+    """Append a batch under the spec's MergeTree-equivalent write policy:
+    derived partition directories + ORDER BY sort within partitions
+    (same policy as sources/writer.py:append_events, generalized)."""
+    pc = spec.partition_column()
+    out = df
+    writer_cols = spec.order_by or spec.key_cols
+    if pc:
+        out = out.withColumn(pc[0], F.expr(pc[1]))
+    if writer_cols:
+        out = out.sortWithinPartitions(*writer_cols)
+    w = out.write.mode("append")
+    if pc:
+        w = w.partitionBy(pc[0])
+    w.parquet(os.path.join(warehouse, spec.name))
+
+
+def final_read(df: DataFrame, spec: TableSpec) -> DataFrame:
+    """Apply the engine's merge semantics at read time (≙ ``FINAL``).
+
+    MergeTree: identity.  ReplacingMergeTree(ver): keep the latest row
+    per ORDER BY key — by the version column if given, else by insertion
+    order proxy (last non-deterministic in CH too, so we require ver or
+    use the max over all columns deterministically).  SummingMergeTree:
+    sum numeric non-key columns per key, keep any-value of the rest.
+    """
+    eng = spec.engine.lower()
+    if eng == "mergetree":
+        return df
+    keys = spec.key_cols
+    if not keys:
+        raise ValueError(f"{spec.engine} requires an ORDER BY key")
+    if eng == "replacingmergetree":
+        ver = spec.engine_args[0] if spec.engine_args else None
+        if ver is None:
+            # CH keeps an arbitrary row when no version is given; make it
+            # deterministic: max over all non-key columns' struct.
+            others = [f.name for f in df.schema.fields if f.name not in keys]
+            ranked = F.struct(*[F.col(c) for c in others])
+        else:
+            ranked = F.col(ver)
+        w = Window.partitionBy(*keys).orderBy(F.desc_nulls_last(ranked))
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+    if eng == "summingmergetree":
+        if spec.engine_args:
+            sum_cols = [a.strip("()` ") for a in spec.engine_args]
+        else:
+            sum_cols = [
+                f.name
+                for f in df.schema.fields
+                if f.name not in keys
+                and isinstance(
+                    f.dataType,
+                    (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                     T.FloatType, T.DoubleType, T.DecimalType),
+                )
+            ]
+        others = [
+            f.name for f in df.schema.fields if f.name not in keys + sum_cols
+        ]
+        aggs = [F.sum(c).alias(c) for c in sum_cols] + [
+            F.first(c, ignorenulls=True).alias(c) for c in others
+        ]
+        out = df.groupBy(*keys).agg(*aggs)
+        # restore original column order
+        return out.select(*[f.name for f in df.schema.fields])
+    raise ValueError(f"unsupported table engine: {spec.engine}")
+
+
+def register_view(spark: SparkSession, spec: TableSpec, warehouse: str) -> None:
+    """Register ``<name>`` as the FINAL view (merge semantics applied) and
+    ``<name>_raw`` as the append log, if the table exists on disk."""
+    path = os.path.join(warehouse, spec.name)
+    if not os.path.exists(path):
+        return
+    try:
+        raw = spark.read.parquet(path)
+    except Exception:
+        # empty partitioned table: no data files yet to infer from — serve
+        # the declared schema (plus the derived partition column)
+        empty = spark.createDataFrame([], spec.schema)
+        pc = spec.partition_column()
+        if pc and pc[0] not in empty.columns:
+            empty = empty.withColumn(pc[0], F.expr(pc[1]))
+        raw = empty
+    raw.createOrReplaceTempView(f"{spec.name}_raw")
+    final_read(raw, spec).createOrReplaceTempView(spec.name)
+
+
+def migrate(spark: SparkSession, migrations_dir: str, warehouse: str) -> list[TableSpec]:
+    """Apply every ``*.up.sql`` in lexical order (the reference's
+    migration convention: migrations/002..011_*.up.sql).  Each file may
+    hold several statements separated by ``;``.  Returns the specs."""
+    specs: list[TableSpec] = []
+    for fn in sorted(os.listdir(migrations_dir)):
+        if not fn.endswith(".up.sql"):
+            continue
+        with open(os.path.join(migrations_dir, fn)) as f:
+            for stmt in _split_top(f.read(), ";"):
+                if re.search(r"CREATE\s+TABLE", stmt, re.I):
+                    spec = parse_clickhouse_ddl(stmt)
+                    provision_table(spark, spec, warehouse)
+                    specs.append(spec)
+    return specs

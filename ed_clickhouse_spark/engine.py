@@ -108,6 +108,20 @@ class Engine:
         if os.path.exists(dlq):
             self.spark.read.parquet(dlq).createOrReplaceTempView("dlq")
 
+    def migrate(self, migrations_dir: str):
+        """Apply a directory of ClickHouse ``*.up.sql`` migrations —
+        the reference's own provisioning path (migrations/002..011): each
+        CREATE TABLE is translated (ddl.py) to a Spark schema + write
+        policy and provisioned idempotently.  A user can point their
+        existing ClickHouse migrations here unchanged.  Returns the
+        parsed TableSpecs."""
+        from ed_clickhouse_spark import ddl
+
+        os.makedirs(self.warehouse, exist_ok=True)
+        specs = ddl.migrate(self.spark, migrations_dir, self.warehouse)
+        self.table_specs = {s.name: s for s in specs}
+        return specs
+
     # -- EP1: ingestion ---------------------------------------------------
     def ingest(self, source_dir: str, checkpoint: str | None = None, **kw):
         """Start the streaming ingestion into this warehouse; returns the

@@ -271,7 +271,7 @@ def q101_repeated_passages(spark, sf_dir):
             F.md5("gram").alias("gram_key"),
             "n_docs",
             "first_doc",
-            F.size(F.split(F.col("gram"), " ")).alias("n_tokens"),
+            F.size(F.split(F.col("gram"), " ")).cast("bigint").alias("n_tokens"),
         )
     )
 

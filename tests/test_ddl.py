@@ -1,0 +1,205 @@
+"""ClickHouse DDL translation (ddl.py) — EP3 provisioning parity.
+
+The DDL strings below mirror the reference migration dialect
+(migrations/002_create_login_events_table.up.sql:1-19,
+migrations/006_create_angulak_watch_events_table.up.sql:1-35) plus the
+engine variants a real ClickHouse deployment uses.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ed_clickhouse_spark import ddl
+
+# shape of reference migrations/002 (trimmed): plain MergeTree, compound
+# ORDER BY, no partitioning.
+LOGIN_DDL = """
+CREATE TABLE IF NOT EXISTS login_events (
+    event_id String,
+    event_name String,
+    user_id String,
+    timestamp DateTime,
+    season_number Int32
+) ENGINE = MergeTree()
+ORDER BY
+    (timestamp, event_name);
+"""
+
+FANCY_DDL = """
+-- engine variants + wrappers the reference's stack upgrades into
+CREATE TABLE IF NOT EXISTS user_state (
+    user_id String,
+    updated_at DateTime64(3),
+    plan LowCardinality(String),
+    score Nullable(Float64),
+    tags Array(String),
+    attrs Map(String, String),
+    balance Decimal(18, 4),
+    flags UInt8 DEFAULT 0
+) ENGINE = ReplacingMergeTree(updated_at)
+PARTITION BY toYYYYMM(updated_at)
+ORDER BY (user_id);
+"""
+
+SUMMING_DDL = """
+CREATE TABLE daily_counters (
+    day Date,
+    metric LowCardinality(String),
+    hits UInt64,
+    amount Float64,
+    note String
+) ENGINE = SummingMergeTree((hits, amount))
+ORDER BY (day, metric);
+"""
+
+
+def test_type_mapping():
+    cases = {
+        "String": T.StringType(),
+        "UInt64": T.LongType(),
+        "Int32": T.IntegerType(),
+        "Float32": T.FloatType(),
+        "DateTime": T.TimestampType(),
+        "DateTime64(3, 'UTC')": T.TimestampType(),
+        "Date": T.DateType(),
+        "FixedString(16)": T.StringType(),
+        "Enum8('a' = 1, 'b' = 2)": T.StringType(),
+        "Decimal(10, 2)": T.DecimalType(10, 2),
+        "Decimal64(4)": T.DecimalType(18, 4),
+        "Array(Nullable(Int64))": T.ArrayType(T.LongType(), True),
+        "Map(String, UInt32)": T.MapType(T.StringType(), T.LongType(), False),
+        "LowCardinality(Nullable(String))": T.StringType(),
+    }
+    for ch, want in cases.items():
+        got, _ = ddl.ch_type_to_spark(ch)
+        assert got == want, f"{ch}: {got} != {want}"
+    _, nullable = ddl.ch_type_to_spark("Nullable(String)")
+    assert nullable
+    _, nullable = ddl.ch_type_to_spark("String")
+    assert not nullable
+    t, _ = ddl.ch_type_to_spark("Tuple(a String, b Int64)")
+    assert t == T.StructType(
+        [T.StructField("a", T.StringType(), False), T.StructField("b", T.LongType(), False)]
+    )
+    with pytest.raises(ValueError):
+        ddl.ch_type_to_spark("AggregateFunction(uniq, String)")
+
+
+def test_parse_reference_shape():
+    spec = ddl.parse_clickhouse_ddl(LOGIN_DDL)
+    assert spec.name == "login_events"
+    assert spec.engine == "MergeTree"
+    assert spec.order_by == ["timestamp", "event_name"]
+    assert spec.partition_by is None
+    assert [f.name for f in spec.schema.fields] == [
+        "event_id", "event_name", "user_id", "timestamp", "season_number",
+    ]
+    assert spec.schema["timestamp"].dataType == T.TimestampType()
+    assert spec.schema["season_number"].dataType == T.IntegerType()
+
+
+def test_parse_engine_variants():
+    spec = ddl.parse_clickhouse_ddl(FANCY_DDL)
+    assert spec.engine == "ReplacingMergeTree"
+    assert spec.engine_args == ["updated_at"]
+    assert spec.partition_by == "toYYYYMM(updated_at)"
+    assert spec.order_by == ["user_id"]
+    name, _col = spec.partition_column()
+    assert name == "p_month"
+    assert spec.schema["flags"].dataType == T.ShortType()  # UInt8 widened
+
+    s2 = ddl.parse_clickhouse_ddl(SUMMING_DDL)
+    assert s2.engine == "SummingMergeTree"
+    assert s2.engine_args == ["hits", "amount"]
+
+
+def test_parse_all_reference_migrations():
+    """Every real reference migration parses and maps every column."""
+    mdir = "/root/reference/migrations"
+    if not os.path.isdir(mdir):
+        pytest.skip("reference not mounted")
+    n = 0
+    for fn in sorted(os.listdir(mdir)):
+        if not fn.endswith(".up.sql"):
+            continue
+        with open(os.path.join(mdir, fn)) as f:
+            spec = ddl.parse_clickhouse_ddl(f.read())
+        assert spec.engine == "MergeTree"
+        assert spec.order_by == ["timestamp", "event_name"]
+        assert len(spec.schema.fields) > 10
+        n += 1
+    assert n == 9
+
+
+def test_provision_append_and_final_read(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    spec = ddl.parse_clickhouse_ddl(FANCY_DDL)
+    ddl.provision_table(spark, spec, wh)
+    assert os.path.exists(os.path.join(wh, "user_state"))
+    # empty FINAL view registered
+    assert spark.table("user_state").count() == 0
+
+    rows = [
+        ("u1", "2024-01-10 00:00:00", "free", 1.0),
+        ("u1", "2024-02-05 00:00:00", "pro", 2.0),   # newer version wins
+        ("u2", "2024-02-06 00:00:00", "free", 5.0),
+    ]
+    df = (
+        spark.createDataFrame(rows, "user_id string, updated_at string, plan string, score double")
+        .withColumn("updated_at", F.to_timestamp("updated_at"))
+        .withColumn("tags", F.array(F.lit("x")))
+        .withColumn("attrs", F.create_map(F.lit("k"), F.lit("v")))
+        .withColumn("balance", F.lit(1.5).cast("decimal(18,4)"))
+        .withColumn("flags", F.lit(0).cast("smallint"))
+    )
+    ddl.append_rows(df, spec, wh)
+    # partition directories derived from toYYYYMM(updated_at)
+    dirs = {d for d in os.listdir(os.path.join(wh, "user_state")) if d.startswith("p_month=")}
+    assert dirs == {"p_month=202401", "p_month=202402"}
+
+    ddl.register_view(spark, spec, wh)
+    raw = spark.table("user_state_raw")
+    assert raw.count() == 3
+    fin = {r["user_id"]: r["plan"] for r in spark.table("user_state").collect()}
+    assert fin == {"u1": "pro", "u2": "free"}  # ReplacingMergeTree FINAL
+
+
+def test_summing_final_read(spark):
+    spec = ddl.parse_clickhouse_ddl(SUMMING_DDL)
+    df = spark.createDataFrame(
+        [
+            ("2024-01-01", "m1", 10, 1.0, "a"),
+            ("2024-01-01", "m1", 5, 0.5, "b"),
+            ("2024-01-01", "m2", 1, 9.0, "c"),
+        ],
+        "day string, metric string, hits long, amount double, note string",
+    ).withColumn("day", F.to_date("day"))
+    out = {
+        (str(r["day"]), r["metric"]): (r["hits"], r["amount"])
+        for r in ddl.final_read(df, spec).collect()
+    }
+    assert out[("2024-01-01", "m1")] == (15, 1.5)
+    assert out[("2024-01-01", "m2")] == (1, 9.0)
+    # column order preserved
+    assert ddl.final_read(df, spec).columns == df.columns
+
+
+def test_engine_migrate(spark, tmp_path):
+    from ed_clickhouse_spark.engine import Engine
+
+    mdir = tmp_path / "migrations"
+    mdir.mkdir()
+    (mdir / "001_login.up.sql").write_text(LOGIN_DDL)
+    (mdir / "002_state.up.sql").write_text(FANCY_DDL)
+    (mdir / "001_login.down.sql").write_text("DROP TABLE login_events;")
+
+    eng = Engine(str(tmp_path / "wh"), spark)
+    specs = eng.migrate(str(mdir))
+    assert [s.name for s in specs] == ["login_events", "user_state"]
+    assert spark.table("login_events").count() == 0
+    assert eng.table_specs["user_state"].engine == "ReplacingMergeTree"
+    # idempotent re-run (CREATE TABLE IF NOT EXISTS)
+    eng.migrate(str(mdir))
