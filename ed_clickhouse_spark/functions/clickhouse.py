@@ -95,6 +95,40 @@ def multiIf(*args) -> Column:  # noqa: N802
     return expr.otherwise(default)
 
 
+def uniqUpTo(col, n: int) -> Column:  # noqa: N802
+    """ClickHouse uniqUpTo(N)(x): exact distinct count capped at N+1 —
+    "N+1" encodes "more than N". Exact-oracle-able, constant output."""
+    return F.least(F.count_distinct(col), F.lit(n + 1))
+
+
+def anyLast(col) -> Column:  # noqa: N802
+    """ClickHouse anyLast — last non-null seen (order-dependent in CH;
+    Spark's last(ignorenulls) under a sorted window is the deterministic
+    spelling)."""
+    return F.last(col, ignorenulls=True)
+
+
+def sum_map_entries(df, group_cols: list[str], map_col: str, alias: str = "summed"):
+    """ClickHouse ``sumMap``: element-wise sum of maps per group.
+
+    Scalable decomposition (NOT collect_list-of-maps, which is memory-
+    bounded by group size): explode map entries first, partial-aggregate
+    (group, key) sums map-side, then reassemble one sorted map per group.
+    Two shuffles on the same leading key; entries never sit in one
+    executor's memory as a whole map.
+    """
+    exploded = df.select(*group_cols, F.explode(map_col).alias("__k", "__v"))
+    per_key = exploded.groupBy(*group_cols, "__k").agg(F.sum("__v").alias("__s"))
+    return (
+        per_key.groupBy(*group_cols)
+        .agg(
+            F.map_from_entries(
+                F.sort_array(F.collect_list(F.struct("__k", "__s")))
+            ).alias(alias)
+        )
+    )
+
+
 # Aggregate spellings Spark already has under another name (SQL level).
 AGG_ALIASES = {
     "uniq": "approx_count_distinct",
@@ -193,6 +227,22 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
     "arrayConcat": (
         "(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS ARRAY<STRING>",
         "concat(a, b)",
+    ),
+    "arrayDifference": (
+        "(a ARRAY<BIGINT>) RETURNS ARRAY<BIGINT>",
+        "transform(a, (x, i) -> IF(i = 0, CAST(0 AS BIGINT), x - a[i - 1]))",
+    ),
+    "arrayCumSum": (
+        "(a ARRAY<BIGINT>) RETURNS ARRAY<BIGINT>",
+        "transform(a, (x, i) -> aggregate(slice(a, 1, i + 1), CAST(0 AS BIGINT), (s, y) -> s + y))",
+    ),
+    "arrayEnumerate": (
+        "(a ARRAY<STRING>) RETURNS ARRAY<INT>",
+        "transform(a, (x, i) -> i + 1)",
+    ),
+    "arrayCompact": (
+        "(a ARRAY<STRING>) RETURNS ARRAY<STRING>",
+        "filter(a, (x, i) -> i = 0 OR x != a[i - 1])",
     ),
 }
 

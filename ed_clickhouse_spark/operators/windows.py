@@ -146,3 +146,63 @@ def sequence_match(
     return f.select(
         user_col, (F.col("funnel_steps") == len(steps)).alias("matched")
     )
+
+
+def delta_sum(
+    df: DataFrame,
+    part_cols: list[str],
+    order_cols: list[str],
+    value_col: str,
+    alias: str = "delta_sum",
+) -> DataFrame:
+    """ClickHouse ``deltaSum(value)``: sum of the POSITIVE increments
+    between consecutive rows in order — counter-reset-aware rate totals
+    (a monotone counter that resets contributes each ascending run).
+
+    One window pass (lag + conditional sum) per partition key, then one
+    groupBy — both shuffles are on ``part_cols``, and AQE coalesces them
+    into a single exchange since the partitioning matches. No UDFs.
+    """
+    w = W.partitionBy(*part_cols).orderBy(*order_cols)
+    step = F.col(value_col) - F.lag(value_col).over(w)
+    inc = F.when(step > 0, step).otherwise(F.lit(0.0))
+    return (
+        df.withColumn("__inc", inc)
+        .groupBy(*part_cols)
+        .agg(F.sum("__inc").alias(alias))
+    )
+
+
+def interval_length_sum(
+    df: DataFrame,
+    part_cols: list[str],
+    start_col: str,
+    end_col: str,
+    alias: str = "covered",
+) -> DataFrame:
+    """ClickHouse ``intervalLengthSum(start, end)``: total length of the
+    UNION of [start, end) intervals per group — overlaps counted once.
+
+    Classic sweep, expressed relationally: order intervals by (start,
+    end), track the running max of ``end`` over all PRECEDING rows, and
+    count only the part of each interval past that high-water mark:
+
+        contribution = max(0, end - max(start, max_prev_end))
+
+    One window shuffle on the group key; no self-join (an interval
+    overlap self-join would be quadratic per group at 100 TB).
+    Numeric or timestamp columns both work (timestamps via unix seconds).
+    """
+    w = (
+        W.partitionBy(*part_cols)
+        .orderBy(start_col, end_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    prev_hwm = F.max(end_col).over(w)
+    lo = F.greatest(F.col(start_col), prev_hwm)
+    contrib = F.greatest(F.col(end_col) - F.coalesce(lo, F.col(start_col)), F.lit(0))
+    return (
+        df.withColumn("__c", contrib)
+        .groupBy(*part_cols)
+        .agg(F.sum("__c").alias(alias))
+    )

@@ -41,6 +41,7 @@ def _load_all() -> None:
     from ed_clickhouse_spark.suite import (  # noqa: F401
         q_advanced,
         q_aggregates,
+        q_chagg,
         q_ddl,
         q_dedup,
         q_events,

@@ -1,0 +1,129 @@
+"""ClickHouse specialty aggregates: sumMap, deltaSum, intervalLengthSum.
+
+These are the aggregate spellings a ClickHouse event-analytics user
+reaches for beyond plain sums (the reference's tables are built for
+exactly this usage — watch/play events with durations and positions,
+migrations/006:26-28).  Each maps to a shuffle-minimal Spark composition:
+explode+two-phase agg (sumMap), one window pass (deltaSum), a sweep
+window (intervalLengthSum).  Map-valued output is serialized to a sorted
+``k:v`` string so the driver's canonicalizer (scalar columns only)
+hashes it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ed_clickhouse_spark.functions.clickhouse import sum_map_entries
+from ed_clickhouse_spark.operators.windows import delta_sum, interval_length_sum
+from ed_clickhouse_spark.suite import query
+from ed_clickhouse_spark.suite._util import t
+
+
+@query(
+    "q107_sum_map",
+    oracle="""
+    WITH per_key AS (
+      SELECT user_id % 10 AS bucket, event_type AS k,
+             SUM(CAST(value AS DECIMAL(18,2))) AS s
+      FROM events GROUP BY 1, 2
+    )
+    SELECT bucket,
+           string_agg(k || ':' || CAST(s AS VARCHAR), ',' ORDER BY k) AS summed
+    FROM per_key GROUP BY bucket
+    """,
+)
+def q107_sum_map(spark, sf_dir):
+    """sumMap: per user-bucket, element-wise sum of {event_type: value}
+    maps.  Exercises the scalable explode -> (group,key) partial agg ->
+    map_from_entries reassembly (functions/clickhouse.py:sum_map_entries);
+    never holds a group's maps in memory at once."""
+    e = t(spark, sf_dir, "events")
+    maps = e.select(
+        (F.col("user_id") % 10).alias("bucket"),
+        F.create_map(
+            F.col("event_type"), F.col("value").cast("decimal(18,2)")
+        ).alias("m"),
+    )
+    summed = sum_map_entries(maps, ["bucket"], "m")
+    # serialize sorted entries to "k:v,..." for the scalar-only canonicalizer
+    return summed.select(
+        "bucket",
+        F.array_join(
+            F.transform(
+                F.map_entries("summed"),
+                lambda kv: F.concat_ws(":", kv["key"], kv["value"].cast("string")),
+            ),
+            ",",
+        ).alias("summed"),
+    )
+
+
+@query(
+    "q108_delta_sum",
+    oracle="""
+    WITH steps AS (
+      SELECT user_id,
+             CAST(value AS DECIMAL(18,2))
+               - LAG(CAST(value AS DECIMAL(18,2))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS step
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COALESCE(SUM(CASE WHEN step > 0 THEN step END), 0)
+                AS DECIMAL(18,2)) AS delta_sum
+    FROM steps GROUP BY user_id
+    """,
+)
+def q108_delta_sum(spark, sf_dir):
+    """deltaSum: per user, sum of positive increments of ``value`` along
+    the (ts, event_id) order — counter-rate semantics over the event log.
+    One window shuffle + one matching groupBy (operators/windows.py:
+    delta_sum)."""
+    e = t(spark, sf_dir, "events").withColumn(
+        "v", F.col("value").cast("decimal(18,2)")
+    )
+    out = delta_sum(e, ["user_id"], ["ts", "event_id"], "v")
+    return out.select(
+        "user_id", F.col("delta_sum").cast("decimal(18,2)").alias("delta_sum")
+    )
+
+
+@query(
+    "q109_interval_union",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT) AS s,
+             CAST(FLOOR(epoch(ts)) AS BIGINT)
+               + CAST(ROUND(value * 60) AS BIGINT) AS e
+      FROM events
+    ),
+    sweep AS (
+      SELECT user_id, s, e,
+             MAX(e) OVER (
+               PARTITION BY user_id ORDER BY s, e
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS hwm
+      FROM iv
+    )
+    SELECT user_id,
+           CAST(SUM(GREATEST(e - GREATEST(s, COALESCE(hwm, s)), 0)) AS BIGINT) AS covered
+    FROM sweep GROUP BY user_id
+    """,
+)
+def q109_interval_union(spark, sf_dir):
+    """intervalLengthSum: per user, seconds covered by the UNION of
+    activity intervals [ts, ts + value minutes) — overlapping sessions
+    counted once.  Sweep-window plan (operators/windows.py:
+    interval_length_sum), no quadratic overlap self-join."""
+    e = t(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        (
+            F.unix_timestamp("ts")
+            + F.round(F.col("value") * 60).cast("long")
+        ).alias("e"),
+    )
+    return interval_length_sum(iv, ["user_id"], "s", "e")

@@ -132,3 +132,18 @@ def test_sql_alias_extended_surface(spark):
     assert got["ea"] == ["1", "22", "333"]
     assert got["bad_cast"] is None and got["ok_cast"] == 42
     assert got["sl"] == ["b", "c"] and got["au"] == 2 and got["io"] == 2
+
+
+def test_sql_alias_array_numeric_surface(spark):
+    """arrayDifference/arrayCumSum/arrayEnumerate/arrayCompact spellings."""
+    register_sql_aliases(spark)
+    got = spark.sql(
+        "SELECT arrayDifference(array(3L, 7L, 5L)) AS ad,"
+        "       arrayCumSum(array(1L, 2L, 3L)) AS cs,"
+        "       arrayEnumerate(array('a','b','c')) AS en,"
+        "       arrayCompact(array('a','a','b','a','a')) AS cp"
+    ).collect()[0]
+    assert got["ad"] == [0, 4, -2]
+    assert got["cs"] == [1, 3, 6]
+    assert got["en"] == [1, 2, 3]
+    assert got["cp"] == ["a", "b", "a"]

@@ -274,3 +274,64 @@ def test_sequence_match_subsequence(spark):
     got = {r["user_id"]: r["matched"]
            for r in _sm(df, "user_id", "ts", "event_type", ["a", "b", "c"]).collect()}
     assert got == {1: True, 2: False}
+
+
+def test_delta_sum_counter_resets(spark):
+    from ed_clickhouse_spark.operators.windows import delta_sum
+
+    # counter 10->15->3->8: positive increments 5 + 5 (reset ignored)
+    rows = [(1, i, v) for i, v in enumerate([10.0, 15.0, 3.0, 8.0])]
+    rows += [(2, 0, 7.0)]  # single row: no increments
+    df = spark.createDataFrame(rows, ["g", "seq", "v"])
+    got = {r["g"]: r["delta_sum"] for r in delta_sum(df, ["g"], ["seq"], "v").collect()}
+    assert got == {1: 10.0, 2: 0.0}
+
+
+def test_interval_length_sum_overlaps_once(spark):
+    from ed_clickhouse_spark.operators.windows import interval_length_sum
+
+    rows = [
+        (1, 0, 10), (1, 5, 15),   # overlap -> union [0,15) = 15
+        (1, 20, 25),              # disjoint -> +5
+        (1, 21, 23),              # fully contained -> +0
+        (2, 0, 1),
+    ]
+    df = spark.createDataFrame(rows, ["g", "s", "e"])
+    got = {r["g"]: r["covered"] for r in interval_length_sum(df, ["g"], "s", "e").collect()}
+    assert got == {1: 20, 2: 1}
+
+
+def test_sum_map_entries(spark):
+    from pyspark.sql import functions as F
+
+    from ed_clickhouse_spark.functions.clickhouse import sum_map_entries
+
+    df = spark.createDataFrame(
+        [(1, {"a": 1, "b": 2}), (1, {"b": 3, "c": 4}), (2, {"a": 5})],
+        "g int, m map<string,int>",
+    )
+    got = {r["g"]: r["summed"] for r in sum_map_entries(df, ["g"], "m").collect()}
+    assert got[1] == {"a": 1, "b": 5, "c": 4}
+    assert got[2] == {"a": 5}
+
+
+def test_uniq_up_to_and_any_last(spark):
+    from pyspark.sql import functions as F
+
+    from ed_clickhouse_spark.functions.clickhouse import anyLast, uniqUpTo
+
+    df = spark.createDataFrame(
+        [(1, "x"), (1, "y"), (1, "z"), (2, "x")], ["g", "v"]
+    )
+    got = {
+        r["g"]: r["u"]
+        for r in df.groupBy("g").agg(uniqUpTo(F.col("v"), 2).alias("u")).collect()
+    }
+    assert got == {1: 3, 2: 1}  # capped at N+1 == 3
+    last = (
+        df.withColumn("v", F.when(F.col("v") == "z", None).otherwise(F.col("v")))
+        .groupBy("g")
+        .agg(anyLast(F.col("v")).alias("l"))
+        .collect()
+    )
+    assert all(r["l"] is not None for r in last)
