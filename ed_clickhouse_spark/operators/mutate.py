@@ -1,0 +1,166 @@
+"""Mutations + compaction: ALTER TABLE DELETE/UPDATE and OPTIMIZE TABLE.
+
+ClickHouse users operate their MergeTree tables with mutations
+(``ALTER TABLE events DELETE WHERE user_id = 42`` — the GDPR
+right-to-be-forgotten path every event warehouse needs) and with
+``OPTIMIZE TABLE`` to merge small parts.  On an append-only parquet
+warehouse both are *partition-selective rewrites*, the same mechanics
+ClickHouse mutations use (rewrite affected parts, leave the rest):
+
+  * ``delete_where`` / ``update_where``: find the partitions that contain
+    matching rows (one filter job — partition pruning applies when the
+    predicate constrains the partition column), rewrite ONLY those
+    directories via dynamic partition overwrite, leave all others
+    untouched.  At 100 TB a predicate like ``event_date = X AND user_id
+    = 42`` rewrites one day, not the table.
+  * ``compact_partitions``: bin-pack each partition's many small files
+    (streaming appends produce one file per micro-batch per day) into
+    ~``target_mb`` outputs, preserving the ORDER BY sort — ClickHouse's
+    background merge, on demand.
+
+Non-partitioned tables degrade to a full rewrite, exactly like a
+ClickHouse mutation on a table whose predicate spans every part.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ed_clickhouse_spark.operators.rollup import _conf
+
+
+def _partition_col(spark: SparkSession, path: str) -> str | None:
+    """Detect the (single) hive-style partition column from directory
+    names — driver-side listing only, no data read."""
+    if not os.path.exists(path):
+        raise FileNotFoundError(path)
+    for name in os.listdir(path):
+        if "=" in name and not name.startswith(("_", ".")):
+            return name.split("=", 1)[0]
+    return None
+
+
+def _affected_partitions(
+    df: DataFrame, pcol: str, predicate: Column
+) -> list:
+    """Partition values containing at least one matching row. One
+    aggregate job over the pruned scan (Catalyst pushes the predicate's
+    partition-column conjuncts down to directory pruning)."""
+    return [
+        r[pcol]
+        for r in df.filter(predicate).select(pcol).distinct().collect()
+    ]
+
+
+def delete_where(spark: SparkSession, path: str, predicate: Column) -> int:
+    """``ALTER TABLE <path> DELETE WHERE predicate``: rewrite only the
+    partitions that hold matching rows, dropping those rows.  Returns the
+    number of partitions rewritten (0 = no row matched, nothing touched).
+    """
+    return _mutate(spark, path, predicate, lambda df: df.filter(~predicate))
+
+
+def update_where(
+    spark: SparkSession, path: str, predicate: Column, assignments: dict[str, Column]
+) -> int:
+    """``ALTER TABLE <path> UPDATE col = expr WHERE predicate``: rewrite
+    matching partitions applying ``assignments`` to matching rows."""
+
+    def apply(df: DataFrame) -> DataFrame:
+        out = df
+        for col, expr in assignments.items():
+            out = out.withColumn(col, F.when(predicate, expr).otherwise(F.col(col)))
+        return out
+
+    return _mutate(spark, path, predicate, apply)
+
+
+def _mutate(spark, path: str, predicate: Column, transform) -> int:
+    pcol = _partition_col(spark, path)
+    df = spark.read.parquet(path)
+    if pcol is None:
+        # unpartitioned: full rewrite through a staging dir (never leave
+        # the table half-written if the job dies mid-rewrite)
+        staged = transform(df)
+        tmp = path.rstrip("/") + "__mutating"
+        staged.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+        return 1
+    hit = _affected_partitions(df, pcol, predicate)
+    if not hit:
+        return 0
+    sub = df.filter(F.col(pcol).isin(hit))
+    out = transform(sub)
+    # dynamic overwrite only replaces partitions PRESENT in the output —
+    # a partition whose every row was deleted writes nothing and would
+    # survive untouched. Find those and drop their directories explicitly.
+    survivors = {r[pcol] for r in out.select(pcol).distinct().collect()}
+    with _conf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+        out.write.mode("overwrite").partitionBy(pcol).parquet(path)
+    import shutil
+
+    for v in hit:
+        if v not in survivors:
+            d = os.path.join(path, f"{pcol}={v}")
+            if os.path.exists(d):
+                shutil.rmtree(d)
+    return len(hit)
+
+
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 256,
+    sort_cols: list[str] | None = None,
+    partitions: list | None = None,
+) -> int:
+    """``OPTIMIZE TABLE``: bin-pack each partition's files into
+    ~``target_mb`` outputs, re-sorting by ``sort_cols`` (the table's
+    ORDER BY) so row-group stats stay tight.  ``partitions`` limits the
+    pass to specific partition values (``OPTIMIZE ... PARTITION p``).
+    Returns partitions rewritten."""
+    pcol = _partition_col(spark, path)
+    df = spark.read.parquet(path)
+    if pcol is None:
+        total = sum(
+            f.stat().st_size
+            for f in os.scandir(path)
+            if f.name.endswith(".parquet")
+        )
+        n_out = max(1, round(total / (target_mb << 20)))
+        out = df.coalesce(n_out)
+        if sort_cols:
+            out = out.sortWithinPartitions(*sort_cols)
+        tmp = path.rstrip("/") + "__compacting"
+        out.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        shutil.rmtree(path)
+        os.rename(tmp, path)
+        return 1
+    targets = partitions
+    if targets is None:
+        targets = [
+            name.split("=", 1)[1]
+            for name in os.listdir(path)
+            if name.startswith(f"{pcol}=")
+        ]
+    if not targets:
+        return 0
+    sub = df.filter(F.col(pcol).isin(targets))
+    # one output file per target_mb of input per partition: repartition by
+    # the partition column so each directory is written by few tasks, then
+    # maxRecordsPerFile caps runaway files. (A global coalesce would serialize
+    # unrelated partitions through the same tasks.)
+    out = sub.repartition(max(len(targets), 1), F.col(pcol))
+    if sort_cols:
+        out = out.sortWithinPartitions(*sort_cols)
+    with _conf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
+        out.write.mode("overwrite").partitionBy(pcol).parquet(path)
+    return len(targets)

@@ -127,3 +127,51 @@ def q109_interval_union(spark, sf_dir):
         ).alias("e"),
     )
     return interval_length_sum(iv, ["user_id"], "s", "e")
+
+
+@query(
+    "q110_dict_get",
+    oracle="""
+    SELECT c.c_custkey,
+           COALESCE(n.n_name, 'UNKNOWN') AS nation_name,
+           COALESCE(r.r_name, 'UNKNOWN') AS region_name
+    FROM customer c
+    LEFT JOIN nation n ON c.c_nationkey = n.n_nationkey
+    LEFT JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE c.c_custkey <= 500
+    """,
+)
+def q110_dict_get(spark, sf_dir):
+    """dictGet: nation/region as ClickHouse-style dictionaries over the
+    customer table — two chained broadcast lookups, zero shuffle on the
+    fact side (operators/dictionary.py). The dictionaries are the
+    nation->name and nation->region maps a deployment would hang off its
+    geo dimension."""
+    from ed_clickhouse_spark.operators import dictionary as D
+
+    nation = t(spark, sf_dir, "nation")
+    region = t(spark, sf_dir, "region")
+    # nation dictionary carries its region's name resolved at registration
+    # (dictionaries may themselves be dictGet-enriched — they're tiny)
+    D.register_dict("region_d", region.select("r_regionkey", "r_name"), "r_regionkey")
+    nation_attrs = D.dict_get(
+        nation.select("n_nationkey", "n_name", "n_regionkey"),
+        "region_d",
+        "r_name",
+        "n_regionkey",
+    ).select("n_nationkey", "n_name", "r_name")
+    D.register_dict("nation_d", nation_attrs, "n_nationkey")
+
+    c = t(spark, sf_dir, "customer").where(F.col("c_custkey") <= 500)
+    out = D.dict_get(
+        c.select("c_custkey", "c_nationkey"),
+        "nation_d",
+        ["n_name", "r_name"],
+        "c_nationkey",
+        default={"n_name": "UNKNOWN", "r_name": "UNKNOWN"},
+    )
+    return out.select(
+        "c_custkey",
+        F.col("n_name").alias("nation_name"),
+        F.col("r_name").alias("region_name"),
+    )

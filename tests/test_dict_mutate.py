@@ -1,0 +1,134 @@
+"""dictGet broadcast dictionaries + mutations (DELETE/UPDATE/OPTIMIZE)."""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from ed_clickhouse_spark.operators import dictionary as D
+from ed_clickhouse_spark.operators.mutate import (
+    compact_partitions,
+    delete_where,
+    update_where,
+)
+
+
+def test_dict_get_and_has(spark):
+    dic = spark.createDataFrame(
+        [(1, "fr", "Europe"), (2, "jp", "Asia")], ["geo_id", "cc", "region"]
+    )
+    D.register_dict("geo", dic, "geo_id")
+    facts = spark.createDataFrame([(10, 1), (11, 2), (12, 99)], ["ev", "g"])
+
+    got = {
+        r["ev"]: (r["cc"], r["region"])
+        for r in D.dict_get(facts, "geo", ["cc", "region"], "g").collect()
+    }
+    assert got[10] == ("fr", "Europe")
+    assert got[11] == ("jp", "Asia")
+    assert got[12] == (None, None)  # dictGetOrNull semantics
+
+    withdef = D.dict_get(facts, "geo", "cc", "g", default={"cc": "??"})
+    assert {r["ev"]: r["cc"] for r in withdef.collect()}[12] == "??"
+
+    has = {r["ev"]: r["has"] for r in D.dict_has(facts, "geo", "g").collect()}
+    assert has == {10: True, 11: True, 12: False}
+
+    # SQL view is registered too
+    assert spark.table("dict_geo").count() == 2
+
+    with pytest.raises(KeyError):
+        D.dict_get(facts, "nope", "cc", "g")
+    with pytest.raises(ValueError):
+        D.dict_get(facts, "geo", "missing_attr", "g")
+
+
+def test_dict_get_is_broadcast(spark):
+    dic = spark.createDataFrame([(1, "x")], ["k", "v"])
+    D.register_dict("tiny", dic, "k")
+    facts = spark.range(100).withColumnRenamed("id", "k2")
+    plan = D.dict_get(facts, "tiny", "v", "k2")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def _mk_table(spark, tmp_path, name="t"):
+    p = str(tmp_path / name)
+    df = spark.createDataFrame(
+        [(d, u, float(u * 10)) for d in ("2024-01-01", "2024-01-02", "2024-01-03")
+         for u in range(1, 5)],
+        ["day", "user_id", "amount"],
+    )
+    df.write.partitionBy("day").parquet(p)
+    return p
+
+
+def test_delete_where_partition_selective(spark, tmp_path):
+    p = _mk_table(spark, tmp_path)
+    before = {d for d in os.listdir(p) if d.startswith("day=")}
+    # record file identity of an untouched partition
+    untouched = sorted(os.listdir(os.path.join(p, "day=2024-01-03")))
+
+    n = delete_where(
+        spark, p,
+        (F.col("day") == "2024-01-01") & (F.col("user_id") == 2),
+    )
+    assert n == 1  # only one partition rewritten
+    left = spark.read.parquet(p)
+    assert left.count() == 11
+    assert left.filter((F.col("day") == "2024-01-01") & (F.col("user_id") == 2)).count() == 0
+    # untouched partition's files were not rewritten
+    assert sorted(os.listdir(os.path.join(p, "day=2024-01-03"))) == untouched
+    assert {d for d in os.listdir(p) if d.startswith("day=")} == before
+
+    # no-match predicate touches nothing
+    assert delete_where(spark, p, F.col("user_id") == 999) == 0
+
+
+def test_delete_where_drops_emptied_partition(spark, tmp_path):
+    p = _mk_table(spark, tmp_path)
+    n = delete_where(spark, p, F.col("day") == "2024-01-02")
+    assert n == 1
+    assert not os.path.exists(os.path.join(p, "day=2024-01-02"))
+    assert spark.read.parquet(p).count() == 8
+
+
+def test_update_where(spark, tmp_path):
+    p = _mk_table(spark, tmp_path)
+    n = update_where(
+        spark, p,
+        F.col("user_id") == 3,
+        {"amount": F.lit(0.0)},
+    )
+    assert n == 3  # user 3 appears in all three days
+    got = spark.read.parquet(p)
+    assert got.filter(F.col("user_id") == 3).agg(F.sum("amount")).collect()[0][0] == 0.0
+    assert got.filter(F.col("user_id") == 1).agg(F.sum("amount")).collect()[0][0] == 30.0
+    assert got.count() == 12  # no rows lost
+
+
+def test_compact_partitions(spark, tmp_path):
+    p = str(tmp_path / "many")
+    # simulate streaming appends: 6 tiny files per partition
+    for _ in range(6):
+        spark.createDataFrame([("2024-01-01", 1, 1.0)], ["day", "user_id", "amount"]) \
+            .write.mode("append").partitionBy("day").parquet(p)
+    files_before = [
+        f for f in os.listdir(os.path.join(p, "day=2024-01-01")) if f.endswith(".parquet")
+    ]
+    assert len(files_before) >= 6
+    n = compact_partitions(spark, p, target_mb=256, sort_cols=["user_id"])
+    assert n == 1
+    files_after = [
+        f for f in os.listdir(os.path.join(p, "day=2024-01-01")) if f.endswith(".parquet")
+    ]
+    assert len(files_after) < len(files_before)
+    assert spark.read.parquet(p).count() == 6  # no rows lost
+
+
+def test_mutate_unpartitioned_full_rewrite(spark, tmp_path):
+    p = str(tmp_path / "flat")
+    spark.range(10).write.parquet(p)
+    n = delete_where(spark, p, F.col("id") >= 5)
+    assert n == 1
+    assert spark.read.parquet(p).count() == 5
