@@ -193,6 +193,7 @@ class TableSpec:
     partition_by: str | None = None  # raw ClickHouse expression
     primary_key: list[str] = field(default_factory=list)
     ch_types: dict[str, str] = field(default_factory=dict)
+    ttl: tuple[str, int, str] | None = None  # (column, n, unit) from TTL col + INTERVAL n unit
 
     @property
     def key_cols(self) -> list[str]:
@@ -319,6 +320,15 @@ def parse_clickhouse_ddl(sql: str) -> TableSpec:
         inner = clause[1:-1] if clause.startswith("(") else clause
         return [c.strip().strip("`") for c in _split_top(inner) if c.strip()]
 
+    ttl = None
+    tm = re.search(
+        r"\bTTL\s+(\w+)\s*\+\s*(?:INTERVAL\s+)?(\d+)\s*(SECOND|MINUTE|HOUR|DAY|WEEK|MONTH|YEAR)S?\b",
+        tail,
+        re.I,
+    )
+    if tm:
+        ttl = (tm.group(1), int(tm.group(2)), tm.group(3).upper())
+
     order_by = _cols(_clause(r"ORDER\s+BY"))
     primary_key = _cols(_clause(r"PRIMARY\s+KEY"))
     pb = _clause(r"PARTITION\s+BY")
@@ -333,6 +343,7 @@ def parse_clickhouse_ddl(sql: str) -> TableSpec:
         partition_by=pb,
         primary_key=primary_key,
         ch_types=ch_types,
+        ttl=ttl,
     )
 
 
@@ -466,3 +477,28 @@ def migrate(spark: SparkSession, migrations_dir: str, warehouse: str) -> list[Ta
                     provision_table(spark, spec, warehouse)
                     specs.append(spec)
     return specs
+
+
+def apply_ttl(
+    spark: SparkSession, spec: TableSpec, warehouse: str, now=None
+) -> int:
+    """Enforce the table's ``TTL col + INTERVAL n unit`` clause: delete
+    expired rows — ClickHouse's background TTL merge, on demand.
+
+    Runs through the mutation path (operators/mutate.py), so only
+    partitions holding expired rows are rewritten; with PARTITION BY on
+    the TTL column (the standard pairing) this is pure directory drops +
+    one boundary-partition rewrite, no matter the table size.  Returns
+    partitions touched.  ``now`` (a timestamp literal or Column) defaults
+    to current_timestamp(); pass a fixed value for deterministic jobs.
+    """
+    if spec.ttl is None:
+        raise ValueError(f"table {spec.name!r} has no TTL clause")
+    from ed_clickhouse_spark.operators.mutate import delete_where
+
+    col, n, unit = spec.ttl
+    now_col = F.current_timestamp() if now is None else F.lit(now).cast("timestamp")
+    cutoff = now_col - F.expr(f"INTERVAL {n} {unit}")
+    return delete_where(
+        spark, os.path.join(warehouse, spec.name), F.col(col) < cutoff
+    )

@@ -188,6 +188,39 @@ class Engine:
             aggs=aggs,
         )
 
+    def parts(self) -> DataFrame:
+        """≙ ClickHouse ``system.parts``: one row per (table, partition
+        directory) with file count and bytes — the operational view that
+        drives OPTIMIZE decisions (operators/mutate.py:compact_partitions).
+        Driver-side Hadoop-FS listing only; no data read."""
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        rows = []
+        root = jvm.org.apache.hadoop.fs.Path(self.warehouse)
+        fs = root.getFileSystem(conf)
+        if fs.exists(root):
+            for tdir in fs.listStatus(root):
+                if not tdir.isDirectory():
+                    continue
+                table = tdir.getPath().getName()
+                if table.startswith(("_", ".")):
+                    continue
+                parts = [p for p in fs.listStatus(tdir.getPath()) if p.isDirectory()
+                         and "=" in p.getPath().getName()]
+                groups = parts if parts else [tdir]
+                for g in groups:
+                    pname = g.getPath().getName() if parts else ""
+                    n, nbytes = 0, 0
+                    for f in fs.listStatus(g.getPath()):
+                        fn = f.getPath().getName()
+                        if f.isFile() and not fn.startswith(("_", ".")):
+                            n += 1
+                            nbytes += f.getLen()
+                    rows.append((table, pname, n, nbytes))
+        return self.spark.createDataFrame(
+            rows, "table string, partition string, n_files long, bytes long"
+        )
+
     def ping(self) -> bool:
         """≙ the reference's ClickHouse /ping startup check
         (src/click_house.rs:46-59)."""

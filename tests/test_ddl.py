@@ -203,3 +203,45 @@ def test_engine_migrate(spark, tmp_path):
     assert eng.table_specs["user_state"].engine == "ReplacingMergeTree"
     # idempotent re-run (CREATE TABLE IF NOT EXISTS)
     eng.migrate(str(mdir))
+
+
+TTL_DDL = """
+CREATE TABLE ephemeral_events (
+    event_id String,
+    ts DateTime,
+    payload String
+) ENGINE = MergeTree()
+PARTITION BY toDate(ts)
+ORDER BY (ts)
+TTL ts + INTERVAL 90 DAY;
+"""
+
+
+def test_parse_and_apply_ttl(spark, tmp_path):
+    spec = ddl.parse_clickhouse_ddl(TTL_DDL)
+    assert spec.ttl == ("ts", 90, "DAY")
+    assert spec.partition_by == "toDate(ts)"
+
+    wh = str(tmp_path / "wh")
+    ddl.provision_table(spark, spec, wh)
+    rows = [
+        ("e1", "2024-01-01 00:00:00", "old"),
+        ("e2", "2024-05-01 00:00:00", "new"),
+        ("e3", "2024-05-02 00:00:00", "new"),
+    ]
+    df = spark.createDataFrame(rows, "event_id string, ts string, payload string") \
+        .withColumn("ts", F.to_timestamp("ts"))
+    ddl.append_rows(df, spec, wh)
+
+    # fixed "now": 2024-05-15 -> 90-day cutoff 2024-02-15; e1 expires
+    touched = ddl.apply_ttl(spark, spec, wh, now="2024-05-15 00:00:00")
+    assert touched == 1  # only the expired day partition rewritten/dropped
+    left = spark.read.parquet(os.path.join(wh, "ephemeral_events"))
+    assert sorted(r["event_id"] for r in left.collect()) == ["e2", "e3"]
+    assert not os.path.exists(os.path.join(wh, "ephemeral_events", "p_date=2024-01-01"))
+
+    # nothing else expired: second run touches nothing
+    assert ddl.apply_ttl(spark, spec, wh, now="2024-05-15 00:00:00") == 0
+
+    with pytest.raises(ValueError):
+        ddl.apply_ttl(spark, ddl.parse_clickhouse_ddl(LOGIN_DDL), wh)

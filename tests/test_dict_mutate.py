@@ -132,3 +132,22 @@ def test_mutate_unpartitioned_full_rewrite(spark, tmp_path):
     n = delete_where(spark, p, F.col("id") >= 5)
     assert n == 1
     assert spark.read.parquet(p).count() == 5
+
+
+def test_engine_parts_listing(spark, tmp_path):
+    from ed_clickhouse_spark.engine import Engine
+
+    wh = str(tmp_path / "wh")
+    df = spark.createDataFrame(
+        [("2024-01-01", 1), ("2024-01-02", 2)], ["day", "v"]
+    )
+    df.write.partitionBy("day").parquet(os.path.join(wh, "t1"))
+    spark.range(3).write.parquet(os.path.join(wh, "t2"))
+
+    eng = Engine(wh, spark)
+    got = {(r["table"], r["partition"]): (r["n_files"], r["bytes"])
+           for r in eng.parts().collect()}
+    assert ("t1", "day=2024-01-01") in got
+    assert ("t1", "day=2024-01-02") in got
+    assert ("t2", "") in got
+    assert all(n >= 1 and b > 0 for n, b in got.values())
