@@ -194,6 +194,7 @@ class TableSpec:
     primary_key: list[str] = field(default_factory=list)
     ch_types: dict[str, str] = field(default_factory=dict)
     ttl: tuple[str, int, str] | None = None  # (column, n, unit) from TTL col + INTERVAL n unit
+    sample_by: str | None = None  # SAMPLE BY expression (a column or intHash on one)
 
     @property
     def key_cols(self) -> list[str]:
@@ -329,6 +330,10 @@ def parse_clickhouse_ddl(sql: str) -> TableSpec:
     if tm:
         ttl = (tm.group(1), int(tm.group(2)), tm.group(3).upper())
 
+    sb = _clause(r"SAMPLE\s+BY")
+    if sb and sb.startswith("(") and sb.endswith(")"):
+        sb = sb[1:-1].strip()
+
     order_by = _cols(_clause(r"ORDER\s+BY"))
     primary_key = _cols(_clause(r"PRIMARY\s+KEY"))
     pb = _clause(r"PARTITION\s+BY")
@@ -344,6 +349,7 @@ def parse_clickhouse_ddl(sql: str) -> TableSpec:
         primary_key=primary_key,
         ch_types=ch_types,
         ttl=ttl,
+        sample_by=sb,
     )
 
 
@@ -502,3 +508,33 @@ def apply_ttl(
     return delete_where(
         spark, os.path.join(warehouse, spec.name), F.col(col) < cutoff
     )
+
+
+def sample_read(df: DataFrame, spec: TableSpec, fraction: float) -> DataFrame:
+    """ClickHouse ``SELECT ... SAMPLE f``: deterministic hash sample over
+    the table's SAMPLE BY key.
+
+    ClickHouse samples by a range of ``intHash32(key)``; the engine-
+    portable equivalent keeps every row whose md5(key) falls below the
+    fraction of the hash space — same row set on every engine and every
+    run, and consistent across queries (two SAMPLE 0.1 reads see the SAME
+    tenth of the users, so per-user aggregates stay coherent — the whole
+    point of SAMPLE BY user-key).  Pure codegen filter: at 100 TB this is
+    a scan predicate, no shuffle, no materialized sample table.
+    """
+    if not (0.0 < fraction <= 1.0):
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    key = spec.sample_by
+    if key is None:
+        raise ValueError(f"table {spec.name!r} has no SAMPLE BY clause")
+    m = re.match(r"^(?:intHash\d+|cityHash64|xxHash64)\s*\(\s*(\w+)\s*\)$", key, re.I)
+    if m:
+        key = m.group(1)
+    if key not in [f.name for f in spec.schema.fields]:
+        raise ValueError(f"SAMPLE BY column {key!r} not in table schema")
+    # first 15 hex digits of md5 -> uniform in [0, 16^15). Compare as hex
+    # STRINGS (lowercase hex is lexicographically ordered like its value),
+    # which every engine spells identically — no int-from-hex needed.
+    threshold = format(int(fraction * (16**15)), "015x")
+    bucket = F.substring(F.md5(F.col(key).cast("string")), 1, 15)
+    return df.where(bucket < F.lit(threshold))

@@ -129,6 +129,22 @@ def sum_map_entries(df, group_cols: list[str], map_col: str, alias: str = "summe
     )
 
 
+def limit_by(df, n: int, by: list[str], order_by: list) -> "DataFrame":
+    """ClickHouse ``LIMIT n BY col...``: first ``n`` rows per ``by`` group
+    in ``order_by`` order — the idiom for "top n variants per key" without
+    collapsing the group.  One window shuffle; Spark's WindowGroupLimit
+    pushes the rank filter into the sort, so no group ever materializes
+    fully (same physical shape as the suite's q27 top-k)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*by).orderBy(*order_by)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") <= n)
+        .drop("__rn")
+    )
+
+
 # Aggregate spellings Spark already has under another name (SQL level).
 AGG_ALIASES = {
     "uniq": "approx_count_distinct",

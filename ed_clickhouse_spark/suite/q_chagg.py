@@ -175,3 +175,77 @@ def q110_dict_get(spark, sf_dir):
         F.col("n_name").alias("nation_name"),
         F.col("r_name").alias("region_name"),
     )
+
+
+@query(
+    "q111_with_totals",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    UNION ALL
+    SELECT '__totals__' AS event_type,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+           COUNT(*) AS n
+    FROM events
+    """,
+)
+def q111_with_totals(spark, sf_dir):
+    """GROUP BY ... WITH TOTALS: per-group rows plus one all-groups total
+    row.  Expressed as rollup() keeping only levels 0 and 1 — Catalyst
+    expands the rollup into a single two-level aggregate (one scan, one
+    shuffle), cheaper than the UNION ALL a naive port would write (the
+    oracle spells it that way precisely to prove value equivalence)."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.rollup("event_type")
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("total"),
+            F.count("*").alias("n"),
+        )
+        # rollup emits (group) and (null)=grand-total levels; label the latter
+        .select(
+            F.coalesce("event_type", F.lit("__totals__")).alias("event_type"),
+            "total",
+            "n",
+        )
+    )
+
+
+@query(
+    "q112_sample_clause",
+    oracle="""
+    SELECT user_id, COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+    FROM events
+    WHERE substring(md5(CAST(user_id AS VARCHAR)), 1, 15) < '333333333333340'
+    GROUP BY user_id
+    """,
+)
+def q112_sample_clause(spark, sf_dir):
+    """SELECT ... SAMPLE 0.2 over a SAMPLE BY user_id table: the
+    deterministic md5 hash-range sample (ddl.py:sample_read) — same 20%
+    of users on every engine/run, so per-user aggregates stay coherent.
+    Scan-level codegen predicate; no shuffle, no sample table."""
+    from ed_clickhouse_spark import ddl
+
+    spec = ddl.parse_clickhouse_ddl(
+        """
+        CREATE TABLE events_s (
+            event_id Int64, ts DateTime, user_id Int64,
+            event_type String, value Float64, props String
+        ) ENGINE = MergeTree()
+        ORDER BY (ts) SAMPLE BY user_id;
+        """
+    )
+    e = t(spark, sf_dir, "events")
+    sampled = ddl.sample_read(e, spec, 0.2)
+    return sampled.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("total"),
+    )

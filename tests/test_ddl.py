@@ -245,3 +245,37 @@ def test_parse_and_apply_ttl(spark, tmp_path):
 
     with pytest.raises(ValueError):
         ddl.apply_ttl(spark, ddl.parse_clickhouse_ddl(LOGIN_DDL), wh)
+
+
+def test_sample_by_parse_and_read(spark):
+    spec = ddl.parse_clickhouse_ddl(
+        "CREATE TABLE s (k Int64, v String) ENGINE = MergeTree() "
+        "ORDER BY (k) SAMPLE BY intHash32(k);"
+    )
+    assert spec.sample_by == "intHash32(k)"
+    df = spark.range(2000).withColumnRenamed("id", "k").withColumn(
+        "v", F.col("k").cast("string")
+    )
+    s10 = ddl.sample_read(df, spec, 0.1)
+    n = s10.count()
+    assert 120 < n < 280  # ~200 expected, md5-uniform
+    # deterministic: same rows every time, and SAMPLE 0.1 ⊂ SAMPLE 0.3
+    assert s10.count() == n
+    keys10 = {r["k"] for r in s10.collect()}
+    keys30 = {r["k"] for r in ddl.sample_read(df, spec, 0.3).collect()}
+    assert keys10 <= keys30
+
+    with pytest.raises(ValueError):
+        ddl.sample_read(df, spec, 1.5)
+    with pytest.raises(ValueError):
+        ddl.sample_read(df, ddl.parse_clickhouse_ddl(LOGIN_DDL), 0.1)
+
+
+def test_limit_by(spark):
+    from ed_clickhouse_spark.functions.clickhouse import limit_by
+
+    rows = [("a", i, float(i)) for i in range(5)] + [("b", 0, 9.0)]
+    df = spark.createDataFrame(rows, ["g", "i", "score"])
+    got = limit_by(df, 2, ["g"], [F.desc("score"), "i"])
+    out = sorted((r["g"], r["i"]) for r in got.collect())
+    assert out == [("a", 3), ("a", 4), ("b", 0)]

@@ -155,3 +155,24 @@ def test_dedup_clusters_plan_is_copartitioned(spark):
     assert "CartesianProduct" not in p and "BatchEvalPython" not in p
     # converged labels come from a checkpoint scan, not a re-planned loop
     assert "ExistingRDD" in p or "Scan" in p
+
+
+def test_ch_specialty_plan_shapes(spark):
+    """q105-q112 invariants: the MergeTree-semantics and specialty-agg
+    queries stay in JVM codegen, never cartesian, and the FINAL/sumMap
+    shapes shuffle only on their merge keys."""
+    sf = "/root/testdata/sf0.001"
+    for q in (
+        "q105_replacing_final", "q106_summing_merge", "q107_sum_map",
+        "q108_delta_sum", "q109_interval_union", "q111_with_totals",
+        "q112_sample_clause",
+    ):
+        p = _plan(QUERIES[q](spark, sf))
+        assert "CartesianProduct" not in p, q
+        assert "BatchEvalPython" not in p, q
+    # WITH TOTALS is ONE expanded aggregate, not a union of two scans
+    p = _plan(QUERIES["q111_with_totals"](spark, sf))
+    assert "Union" not in p
+    # dictGet resolves through broadcast only — fact side never shuffles
+    p = _plan(QUERIES["q110_dict_get"](spark, sf))
+    assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
