@@ -454,8 +454,22 @@ def register_view(spark: SparkSession, spec: TableSpec, warehouse: str) -> None:
     path = os.path.join(warehouse, spec.name)
     if not os.path.exists(path):
         return
+    # Read with the DECLARED schema, not file-inferred: files written
+    # before an ALTER ADD COLUMN lack the new column (reads back NULL),
+    # files written before a DROP carry the dead bytes (ignored). This is
+    # also the 100 TB-friendly choice — no mergeSchema footer sweep.
+    read_schema = T.StructType(list(spec.schema.fields))
+    pc0 = spec.partition_column()
+    if pc0 and pc0[0] not in [f.name for f in read_schema.fields]:
+        ptype = {
+            "p_month": T.IntegerType(),
+            "p_date": T.DateType(),
+            "p_year": T.IntegerType(),
+        }.get(pc0[0])
+        if ptype is not None:
+            read_schema = read_schema.add(T.StructField(pc0[0], ptype, True))
     try:
-        raw = spark.read.parquet(path)
+        raw = spark.read.schema(read_schema).parquet(path)
     except Exception:
         # empty partitioned table: no data files yet to infer from — serve
         # the declared schema (plus the derived partition column)
@@ -464,6 +478,19 @@ def register_view(spark: SparkSession, spec: TableSpec, warehouse: str) -> None:
         if pc and pc[0] not in empty.columns:
             empty = empty.withColumn(pc[0], F.expr(pc[1]))
         raw = empty
+    # conform to the (possibly ALTERed) declared schema: columns added
+    # after old files were written read back NULL; dropped columns are
+    # hidden from the served view (bytes stay until the next OPTIMIZE)
+    pc = spec.partition_column()
+    declared = [f.name for f in spec.schema.fields]
+    cols = [
+        F.col(f.name) if f.name in raw.columns
+        else F.lit(None).cast(f.dataType).alias(f.name)
+        for f in spec.schema.fields
+    ]
+    if pc and pc[0] in raw.columns and pc[0] not in declared:
+        cols.append(F.col(pc[0]))
+    raw = raw.select(*cols)
     raw.createOrReplaceTempView(f"{spec.name}_raw")
     final_read(raw, spec).createOrReplaceTempView(spec.name)
 
@@ -472,7 +499,7 @@ def migrate(spark: SparkSession, migrations_dir: str, warehouse: str) -> list[Ta
     """Apply every ``*.up.sql`` in lexical order (the reference's
     migration convention: migrations/002..011_*.up.sql).  Each file may
     hold several statements separated by ``;``.  Returns the specs."""
-    specs: list[TableSpec] = []
+    specs: dict[str, TableSpec] = {}
     for fn in sorted(os.listdir(migrations_dir)):
         if not fn.endswith(".up.sql"):
             continue
@@ -481,8 +508,66 @@ def migrate(spark: SparkSession, migrations_dir: str, warehouse: str) -> list[Ta
                 if re.search(r"CREATE\s+TABLE", stmt, re.I):
                     spec = parse_clickhouse_ddl(stmt)
                     provision_table(spark, spec, warehouse)
-                    specs.append(spec)
-    return specs
+                    specs[spec.name] = spec
+                elif re.search(r"ALTER\s+TABLE", stmt, re.I):
+                    spec = apply_alter(spark, stmt, specs, warehouse)
+                    specs[spec.name] = spec
+    return list(specs.values())
+
+
+def apply_alter(
+    spark: SparkSession,
+    sql: str,
+    specs: dict[str, TableSpec],
+    warehouse: str,
+) -> TableSpec:
+    """``ALTER TABLE t ADD COLUMN c Type`` / ``DROP COLUMN c`` — schema
+    evolution without rewriting data, the way ClickHouse does it (ADD is
+    metadata-only; existing parts simply lack the column).
+
+    Parquet gives the same for free: old files miss the column and read
+    back NULL (or the declared DEFAULT applied at view level); DROP hides
+    the column in the served view while old files keep the bytes until
+    the next OPTIMIZE rewrite.  The updated spec re-registers the views.
+    """
+    m = re.search(
+        r"ALTER\s+TABLE\s+([\w.]+)\s+(ADD|DROP)\s+COLUMN\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?`?(\w+)`?\s*(.*)",
+        sql,
+        re.I | re.S,
+    )
+    if not m:
+        raise ValueError(f"unsupported ALTER TABLE statement: {sql[:120]!r}")
+    tname = m.group(1).split(".")[-1]
+    if tname not in specs:
+        raise ValueError(f"ALTER TABLE {tname!r}: table not provisioned by these migrations")
+    spec = specs[tname]
+    action, cname, rest = m.group(2).upper(), m.group(3), m.group(4).strip().rstrip(";")
+    fields = list(spec.schema.fields)
+    ch_types = dict(spec.ch_types)
+    if action == "ADD":
+        ctype = _COL_ATTR.sub("", rest).strip() or "String"
+        dt, nullable = ch_type_to_spark(ctype)
+        # added columns are nullable by construction: old rows lack them
+        fields.append(T.StructField(cname, dt, True))
+        ch_types[cname] = ctype
+    else:
+        if cname in {f.name for f in fields}:
+            fields = [f for f in fields if f.name != cname]
+            ch_types.pop(cname, None)
+    new_spec = TableSpec(
+        name=spec.name,
+        schema=T.StructType(fields),
+        engine=spec.engine,
+        engine_args=spec.engine_args,
+        order_by=spec.order_by,
+        partition_by=spec.partition_by,
+        primary_key=spec.primary_key,
+        ch_types=ch_types,
+        ttl=spec.ttl,
+        sample_by=spec.sample_by,
+    )
+    register_view(spark, new_spec, warehouse)
+    return new_spec
 
 
 def apply_ttl(

@@ -279,3 +279,46 @@ def test_limit_by(spark):
     got = limit_by(df, 2, ["g"], [F.desc("score"), "i"])
     out = sorted((r["g"], r["i"]) for r in got.collect())
     assert out == [("a", 3), ("a", 4), ("b", 0)]
+
+
+def test_migrate_with_alter(spark, tmp_path):
+    """ALTER TABLE ADD/DROP COLUMN: schema evolution without data rewrite
+    — old files read the added column back as NULL; dropped columns are
+    hidden from the served views."""
+    mdir = tmp_path / "m"
+    mdir.mkdir()
+    (mdir / "001_create.up.sql").write_text(LOGIN_DDL)
+
+    wh = str(tmp_path / "wh")
+    specs = ddl.migrate(spark, str(mdir), wh)
+    spec0 = specs[0]
+    # write a row with the ORIGINAL schema
+    df = spark.createDataFrame(
+        [("e1", "login", "u1", "2024-01-01 00:00:00", 1)],
+        "event_id string, event_name string, user_id string, timestamp string, season_number int",
+    ).withColumn("timestamp", F.to_timestamp("timestamp"))
+    ddl.append_rows(df, spec0, wh)
+
+    (mdir / "002_alter.up.sql").write_text(
+        "ALTER TABLE login_events ADD COLUMN region LowCardinality(String);\n"
+        "ALTER TABLE login_events DROP COLUMN season_number;\n"
+    )
+    specs = ddl.migrate(spark, str(mdir), wh)
+    spec = {s.name: s for s in specs}["login_events"]
+    names = [f.name for f in spec.schema.fields]
+    assert "region" in names and "season_number" not in names
+
+    served = spark.table("login_events")
+    assert "region" in served.columns and "season_number" not in served.columns
+    row = served.collect()[0]
+    assert row["event_id"] == "e1" and row["region"] is None
+
+    # new writes carry the added column; old rows stay NULL
+    df2 = spark.createDataFrame(
+        [("e2", "login", "u2", "2024-01-02 00:00:00", "eu")],
+        "event_id string, event_name string, user_id string, timestamp string, region string",
+    ).withColumn("timestamp", F.to_timestamp("timestamp"))
+    ddl.append_rows(df2, spec, wh)
+    ddl.register_view(spark, spec, wh)
+    got = {r["event_id"]: r["region"] for r in spark.table("login_events").collect()}
+    assert got == {"e1": None, "e2": "eu"}
