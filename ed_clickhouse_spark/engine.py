@@ -188,6 +188,50 @@ class Engine:
             aggs=aggs,
         )
 
+    def replay_dlq(self, reasons: list[str] | None = None) -> int:
+        """Re-ingest dead-letter rows after a fix (new family registered,
+        decoder bug patched): routes each retained (subject, payload) back
+        through process_batch.  Rows that fail AGAIN land back in the DLQ
+        via the normal classifier, so replay is safe to iterate.  The
+        reference has no equivalent — it Terms bad messages forever
+        (src/main.rs:70, src/handler.rs:130); a queryable, replayable DLQ
+        is the strict upgrade.  Returns rows replayed.
+
+        ``reasons`` restricts the replay (e.g. just "unroutable_subject"
+        after adding a family); the rest stay in the DLQ untouched."""
+        from pyspark.sql import functions as F
+
+        from ed_clickhouse_spark.streaming.pipeline import process_batch
+
+        dlq_path = os.path.join(self.warehouse, DLQ_TABLE)
+        if not os.path.exists(dlq_path):
+            return 0
+        dlq = self.spark.read.parquet(dlq_path)
+        to_replay = dlq if reasons is None else dlq.filter(F.col("reason").isin(reasons))
+        n = to_replay.count()
+        if n == 0:
+            return 0
+        keep = (
+            dlq.filter(~F.col("reason").isin(reasons)) if reasons is not None else None
+        )
+        batch = to_replay.select("subject", F.col("raw_payload").alias("payload"))
+        # Detach BOTH frames from the _dlq file scan before touching the
+        # directory: a cache is not enough — writing to a path invalidates
+        # every cached plan that scans it, so the replay batch would
+        # silently recompute against the truncated DLQ (observed: 0 rows
+        # replayed). localCheckpoint materializes to executor-local blocks
+        # with no file lineage.
+        batch = batch.localCheckpoint(eager=True)
+        staged = keep.localCheckpoint(eager=True) if keep is not None else None
+        import shutil
+
+        shutil.rmtree(dlq_path)
+        if staged is not None:
+            staged.write.mode("append").parquet(dlq_path)
+        process_batch(batch, self.warehouse)
+        self.refresh_views()
+        return n
+
     def parts(self) -> DataFrame:
         """≙ ClickHouse ``system.parts``: one row per (table, partition
         directory) with file count and bytes — the operational view that

@@ -151,3 +151,47 @@ def test_engine_parts_listing(spark, tmp_path):
     assert ("t1", "day=2024-01-02") in got
     assert ("t2", "") in got
     assert all(n >= 1 and b > 0 for n, b in got.values())
+
+
+def test_replay_dlq(spark, tmp_path):
+    """DLQ replay: rows dead-lettered as unroutable get re-ingested after
+    'the fix' (here: the payloads were always valid login events), while
+    other reasons stay parked in the DLQ."""
+    import json as _json
+
+    from ed_clickhouse_spark.engine import Engine
+    from ed_clickhouse_spark.sources.writer import append_dlq
+
+    wh = str(tmp_path / "wh")
+    eng = Engine(wh, spark)
+    eng.init()
+
+    ok = _json.dumps({
+        "event_id": "r1", "event_name": "login", "user_id": "u1",
+        "session_id": "s", "anonymous_id": "a",
+        "timestamp": 1_700_000_000, "service_origin": "t", "platform": "web",
+    })
+    replayable = spark.createDataFrame(
+        [("events.login", ok)], ["subject", "payload"]
+    )
+    append_dlq(replayable, wh, reason="unroutable_subject")
+    parked = spark.createDataFrame(
+        [("events.login", "{not json")], ["subject", "payload"]
+    )
+    append_dlq(parked, wh, reason="decode_error")
+
+    n = eng.replay_dlq(reasons=["unroutable_subject"])
+    assert n == 1
+    landed = spark.read.parquet(os.path.join(wh, "login_events"))
+    assert landed.filter(F.col("event_id") == "r1").count() == 1
+    # the decode_error row is still parked
+    left = spark.read.parquet(os.path.join(wh, "_dlq"))
+    assert left.count() == 1
+    assert left.collect()[0]["reason"] == "decode_error"
+
+    # replaying everything re-DLQs the genuinely bad row (classifier loop)
+    n = eng.replay_dlq()
+    assert n == 1
+    left = spark.read.parquet(os.path.join(wh, "_dlq"))
+    assert left.count() == 1 and left.collect()[0]["reason"] == "decode_error"
+    assert eng.replay_dlq(reasons=["nothing_matches"]) == 0
