@@ -206,3 +206,52 @@ def interval_length_sum(
         .groupBy(*part_cols)
         .agg(F.sum("__c").alias(alias))
     )
+
+
+def funnel_strict(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    id_col: str,
+    event_col: str,
+    steps: list[str],
+) -> DataFrame:
+    """ClickHouse ``windowFunnel(...., 'strict_order')``: the funnel
+    chain must be CONSECUTIVE — any intervening event of another type
+    breaks it (vs the default mode, where other events may interleave).
+
+    Anchored greedily at the user's first step-1 event (deterministic and
+    SQL-oracle-able; same anchoring as :func:`funnel`).  Per user:
+    collect the FULL ordered event sequence once (ties broken by
+    ``id_col``), then check that positions i, i+1, ... after the anchor
+    carry exactly steps 2, 3, ... — pure JVM array ops, one shuffle on
+    ``user_col``.  Users with events but no step-1 event report 0.
+
+    Group state is the user's event-type sequence (bounded by per-user
+    activity, the same bound ClickHouse's windowFunnel state has).
+    """
+    seq = F.transform(
+        F.array_sort(
+            F.collect_list(
+                F.struct(
+                    F.col(ts_col).alias("ts"),
+                    F.col(id_col).alias("id"),
+                    F.col(event_col).alias("ev"),
+                )
+            )
+        ),
+        lambda x: x["ev"],
+    )
+    agg = df.groupBy(user_col).agg(seq.alias("evs"))
+    anchored = agg.withColumn("__i", F.array_position("evs", steps[0]))
+
+    # depth = 1 + number of consecutive matches after the anchor
+    depth = F.when(F.col("__i") == 0, F.lit(0))
+    for k in range(1, len(steps)):
+        # element_at is 1-based; anchor at __i, step k sits at __i + k
+        cond = (F.col("__i") > 0) & (
+            F.element_at("evs", (F.col("__i") + k).cast("int")) == steps[k]
+        )
+        depth = depth.when(~cond, F.lit(k))
+    depth = depth.otherwise(F.lit(len(steps)))
+    return anchored.select(user_col, depth.alias("funnel_steps"))

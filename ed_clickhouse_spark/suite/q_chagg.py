@@ -15,7 +15,11 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ed_clickhouse_spark.functions.clickhouse import sum_map_entries
-from ed_clickhouse_spark.operators.windows import delta_sum, interval_length_sum
+from ed_clickhouse_spark.operators.windows import (
+    delta_sum,
+    funnel_strict,
+    interval_length_sum,
+)
 from ed_clickhouse_spark.suite import query
 from ed_clickhouse_spark.suite._util import t
 
@@ -248,4 +252,36 @@ def q112_sample_clause(spark, sf_dir):
         F.sum(F.col("value").cast("decimal(18,2)"))
         .cast("decimal(18,2)")
         .alias("total"),
+    )
+
+
+@query(
+    "q113_funnel_strict_order",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             list(event_type ORDER BY ts, event_id) AS evs
+      FROM events GROUP BY user_id
+    ),
+    anchored AS (
+      SELECT user_id, evs,
+             COALESCE(list_position(evs, 'view'), 0) AS i
+      FROM seq
+    )
+    SELECT user_id,
+           CASE WHEN i = 0 THEN 0
+                WHEN evs[i + 1] IS DISTINCT FROM 'click' THEN 1
+                WHEN evs[i + 2] IS DISTINCT FROM 'purchase' THEN 2
+                ELSE 3 END AS funnel_steps
+    FROM anchored
+    """,
+)
+def q113_funnel_strict_order(spark, sf_dir):
+    """windowFunnel strict_order: view -> click -> purchase must be
+    CONSECUTIVE events (any intervening event breaks the chain), anchored
+    at each user's first view.  One shuffle on user_id, JVM array ops
+    (operators/windows.py:funnel_strict)."""
+    e = t(spark, sf_dir, "events")
+    return funnel_strict(
+        e, "user_id", "ts", "event_id", "event_type", ["view", "click", "purchase"]
     )

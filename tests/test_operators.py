@@ -335,3 +335,32 @@ def test_uniq_up_to_and_any_last(spark):
         .collect()
     )
     assert all(r["l"] is not None for r in last)
+
+
+def test_funnel_strict_order(spark):
+    from ed_clickhouse_spark.operators.windows import funnel_strict
+
+    rows = [
+        # user 1: a,b,c consecutive -> 3
+        (1, ts("2024-01-01 10:00:00"), 1, "a"),
+        (1, ts("2024-01-01 10:01:00"), 2, "b"),
+        (1, ts("2024-01-01 10:02:00"), 3, "c"),
+        # user 2: a, noise, b -> chain breaks after a -> 1
+        (2, ts("2024-01-01 10:00:00"), 1, "a"),
+        (2, ts("2024-01-01 10:01:00"), 2, "x"),
+        (2, ts("2024-01-01 10:02:00"), 3, "b"),
+        # user 3: no anchor -> 0
+        (3, ts("2024-01-01 10:00:00"), 1, "b"),
+        # user 4: a,b then noise -> 2
+        (4, ts("2024-01-01 10:00:00"), 1, "a"),
+        (4, ts("2024-01-01 10:01:00"), 2, "b"),
+        (4, ts("2024-01-01 10:02:00"), 3, "x"),
+    ]
+    df = spark.createDataFrame(rows, ["user_id", "ts", "event_id", "event_type"])
+    got = {
+        r["user_id"]: r["funnel_steps"]
+        for r in funnel_strict(
+            df, "user_id", "ts", "event_id", "event_type", ["a", "b", "c"]
+        ).collect()
+    }
+    assert got == {1: 3, 2: 1, 3: 0, 4: 2}
