@@ -260,6 +260,19 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "(a ARRAY<STRING>) RETURNS ARRAY<STRING>",
         "filter(a, (x, i) -> i = 0 OR x != a[i - 1])",
     ),
+    "arrayIntersect": (
+        "(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS ARRAY<STRING>",
+        "array_sort(array_intersect(a, b))",
+    ),
+    # haversine on a spherical Earth (R=6372797.56 m, ClickHouse's
+    # constant for greatCircleDistance)
+    "greatCircleDistance": (
+        "(lon1 DOUBLE, lat1 DOUBLE, lon2 DOUBLE, lat2 DOUBLE) RETURNS DOUBLE",
+        "2 * 6372797.560856 * asin(sqrt("
+        "pow(sin(radians(lat2 - lat1) / 2), 2) + "
+        "cos(radians(lat1)) * cos(radians(lat2)) * "
+        "pow(sin(radians(lon2 - lon1) / 2), 2)))",
+    ),
 }
 
 

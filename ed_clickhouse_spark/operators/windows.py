@@ -255,3 +255,39 @@ def funnel_strict(
         depth = depth.when(~cond, F.lit(k))
     depth = depth.otherwise(F.lit(len(steps)))
     return anchored.select(user_col, depth.alias("funnel_steps"))
+
+
+def max_intersections(
+    df: DataFrame,
+    part_cols: list[str],
+    start_col: str,
+    end_col: str,
+    alias: str = "max_concurrent",
+) -> DataFrame:
+    """ClickHouse ``maxIntersections(start, end)``: the maximum number of
+    simultaneously-open [start, end) intervals per group — peak
+    concurrency (sessions online at once, overlapping jobs, ...).
+
+    Sweep expressed relationally: explode each interval into a (+1 at
+    start, -1 at end) delta stream, running-sum it in (time, delta)
+    order (ends sort before starts at the same instant — half-open
+    intervals don't intersect at the boundary), take the max.  Two
+    window-free narrow ops + one windowed running sum on the group key:
+    one shuffle total, no self-join (the naive pairwise-overlap count is
+    quadratic per group)."""
+    deltas = df.select(
+        *part_cols,
+        F.explode(
+            F.array(
+                F.struct(F.col(start_col).alias("t"), F.lit(1).alias("d")),
+                F.struct(F.col(end_col).alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("e"),
+    ).select(*part_cols, F.col("e.t").alias("t"), F.col("e.d").alias("d"))
+    w = (
+        W.partitionBy(*part_cols)
+        .orderBy("t", "d")  # d=-1 (close) sorts before d=+1 (open) at equal t
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    running = deltas.withColumn("__open", F.sum("d").over(w))
+    return running.groupBy(*part_cols).agg(F.max("__open").alias(alias))

@@ -19,6 +19,7 @@ from ed_clickhouse_spark.operators.windows import (
     delta_sum,
     funnel_strict,
     interval_length_sum,
+    max_intersections,
 )
 from ed_clickhouse_spark.suite import query
 from ed_clickhouse_spark.suite._util import t
@@ -285,3 +286,42 @@ def q113_funnel_strict_order(spark, sf_dir):
     return funnel_strict(
         e, "user_id", "ts", "event_id", "event_type", ["view", "click", "purchase"]
     )
+
+
+@query(
+    "q114_max_intersections",
+    oracle="""
+    WITH deltas AS (
+      SELECT user_id, CAST(FLOOR(epoch(ts)) AS BIGINT) AS t, 1 AS d FROM events
+      UNION ALL
+      SELECT user_id,
+             CAST(FLOOR(epoch(ts)) AS BIGINT)
+               + CAST(ROUND(value * 60) AS BIGINT) AS t, -1 AS d
+      FROM events
+    ),
+    running AS (
+      SELECT user_id,
+             SUM(d) OVER (PARTITION BY user_id ORDER BY t, d
+                          ROWS UNBOUNDED PRECEDING) AS open
+      FROM deltas
+    )
+    SELECT user_id, CAST(MAX(open) AS BIGINT) AS max_concurrent
+    FROM running GROUP BY user_id
+    """,
+)
+def q114_max_intersections(spark, sf_dir):
+    """maxIntersections: per user, peak number of simultaneously-open
+    activity intervals [ts, ts + value minutes) — +1/-1 delta sweep with
+    a running sum, one shuffle, no quadratic overlap join
+    (operators/windows.py:max_intersections)."""
+    e = t(spark, sf_dir, "events")
+    iv = e.select(
+        "user_id",
+        F.unix_timestamp("ts").alias("s"),
+        (
+            F.unix_timestamp("ts")
+            + F.round(F.col("value") * 60).cast("long")
+        ).alias("e"),
+    )
+    out = max_intersections(iv, ["user_id"], "s", "e")
+    return out.select("user_id", F.col("max_concurrent").cast("bigint").alias("max_concurrent"))

@@ -147,3 +147,28 @@ def test_sql_alias_array_numeric_surface(spark):
     assert got["cs"] == [1, 3, 6]
     assert got["en"] == [1, 2, 3]
     assert got["cp"] == ["a", "b", "a"]
+
+
+def test_max_intersections_unit(spark):
+    from ed_clickhouse_spark.operators.windows import max_intersections
+
+    rows = [
+        (1, 0, 10), (1, 5, 15), (1, 9, 12),   # three open at t=9
+        (1, 20, 21),
+        (2, 0, 5), (2, 5, 10),                # half-open: no overlap at t=5
+    ]
+    df = spark.createDataFrame(rows, ["g", "s", "e"])
+    got = {r["g"]: r["max_concurrent"]
+           for r in max_intersections(df, ["g"], "s", "e").collect()}
+    assert got == {1: 3, 2: 1}
+
+
+def test_geo_and_array_intersect_aliases(spark):
+    register_sql_aliases(spark)
+    got = spark.sql(
+        "SELECT greatCircleDistance(-86.5813, 34.73, -86.52, 34.72) AS d,"
+        "       arrayIntersect(array('a','b','c'), array('c','a','x')) AS ai"
+    ).collect()[0]
+    # ClickHouse documents this pair at ~5 km
+    assert abs(got["d"] - 5700) < 300
+    assert got["ai"] == ["a", "c"]
