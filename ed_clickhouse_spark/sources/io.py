@@ -20,6 +20,35 @@ from pyspark.sql import types as T
 _LAKE_FORMATS = {"delta", "iceberg", "hudi"}
 FORMATS = {"parquet", "orc", "json", "csv"}
 
+# ClickHouse format-name spellings (SELECT ... FORMAT X / INSERT ...
+# FORMAT X) -> (spark format, implied options). "Native" maps to parquet:
+# both are the engine's own columnar at-rest representation.
+CH_FORMATS: dict[str, tuple[str, dict]] = {
+    "jsoneachrow": ("json", {}),
+    "ndjson": ("json", {}),
+    "csv": ("csv", {"header": "false"}),
+    "csvwithnames": ("csv", {"header": "true"}),
+    "tsv": ("csv", {"header": "false", "sep": "\t"}),
+    "tabseparated": ("csv", {"header": "false", "sep": "\t"}),
+    "tsvwithnames": ("csv", {"header": "true", "sep": "\t"}),
+    "tabseparatedwithnames": ("csv", {"header": "true", "sep": "\t"}),
+    "parquet": ("parquet", {}),
+    "orc": ("orc", {}),
+    "native": ("parquet", {}),
+}
+
+
+def _resolve_format(fmt: str, options: dict) -> str:
+    """Translate a ClickHouse format spelling to (spark format) and fold
+    its implied options into ``options`` (explicit options win)."""
+    ch = CH_FORMATS.get(fmt.lower())
+    if ch is None:
+        return fmt.lower()
+    spark_fmt, implied = ch
+    for k, v in implied.items():
+        options.setdefault(k, v)
+    return spark_fmt
+
 
 def read_table(
     spark: SparkSession,
@@ -28,14 +57,17 @@ def read_table(
     schema: T.StructType | str | None = None,
     **options,
 ) -> DataFrame:
-    fmt = fmt.lower()
+    fmt = _resolve_format(fmt, options)
     if fmt in _LAKE_FORMATS:
         raise NotImplementedError(
             f"{fmt} requires its connector jar on the Spark classpath "
             "(not bundled in this environment)"
         )
     if fmt not in FORMATS:
-        raise ValueError(f"unknown format {fmt!r}; supported: {sorted(FORMATS)}")
+        raise ValueError(
+            f"unknown format {fmt!r}; supported: {sorted(FORMATS)} "
+            f"+ ClickHouse spellings {sorted(CH_FORMATS)}"
+        )
     reader = spark.read
     if schema is not None:
         reader = reader.schema(schema)
@@ -78,18 +110,21 @@ def write_table(
     sort_within: list[str] | None = None,
     **options,
 ) -> None:
-    fmt = fmt.lower()
+    fmt = _resolve_format(fmt, options)
     if fmt in _LAKE_FORMATS:
         raise NotImplementedError(
             f"{fmt} requires its connector jar on the Spark classpath"
         )
     if fmt not in FORMATS:
-        raise ValueError(f"unknown format {fmt!r}; supported: {sorted(FORMATS)}")
+        raise ValueError(
+            f"unknown format {fmt!r}; supported: {sorted(FORMATS)} "
+            f"+ ClickHouse spellings {sorted(CH_FORMATS)}"
+        )
     if sort_within:
         df = df.sortWithinPartitions(*sort_within)
-    writer = df.write.mode(mode).options(**options)
     if fmt == "csv":
-        writer = writer.option("header", "true")
+        options.setdefault("header", "true")
+    writer = df.write.mode(mode).options(**options)
     if partition_by:
         writer = writer.partitionBy(*partition_by)
     writer.format(fmt).save(path)

@@ -70,3 +70,31 @@ def test_embedding_near_dup_pairs_finds_planted_dups(spark):
     # everything reported is genuinely above the threshold (sin-based
     # fixtures alias: some base pairs ARE legitimately similar)
     assert all(sim >= 0.99 for sim in got.values())
+
+
+def test_clickhouse_format_spellings(spark, tmp_path):
+    """CH format names (JSONEachRow, TSVWithNames, CSVWithNames, Native)
+    resolve to the right Spark reader + implied options."""
+    schema = "a int, b string"
+    df = spark.createDataFrame([(1, "x"), (2, "y")], schema)
+
+    p1 = str(tmp_path / "jer")
+    write_table(df, p1, fmt="JSONEachRow")
+    assert read_table(spark, p1, fmt="JSONEachRow", schema=schema).count() == 2
+
+    p2 = str(tmp_path / "tsv")
+    write_table(df, p2, fmt="TSVWithNames")
+    got = read_table(spark, p2, fmt="TSVWithNames", schema=schema)
+    assert {r["b"] for r in got.collect()} == {"x", "y"}
+
+    p3 = str(tmp_path / "native")
+    write_table(df, p3, fmt="Native")
+    assert read_table(spark, p3, fmt="Native").count() == 2
+
+    # headerless CSV: implied header=false on both sides
+    p4 = str(tmp_path / "csvplain")
+    write_table(df, p4, fmt="CSV")
+    assert read_table(spark, p4, fmt="CSV", schema=schema).count() == 2
+
+    with pytest.raises(ValueError, match="ClickHouse spellings"):
+        read_table(spark, p1, fmt="Pretty")
