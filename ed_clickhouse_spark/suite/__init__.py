@@ -56,6 +56,7 @@ def _load_all() -> None:
         q_setops,
         q_text,
         q_tpch,
+        q_tpch2,
         q_windows,
     )
 

@@ -1,0 +1,539 @@
+"""Deeper TPC-H query shapes (Q4/Q7/Q8/Q12/Q13/Q14/Q15/Q17/Q19/Q21/Q22),
+adapted to the driver's schema (no l_shipmode/l_commitdate/l_receiptdate,
+no c_phone, no partsupp — deviations noted per query). These exercise the
+relational shapes the first TPC-H batch (q73-q75) did not: correlated
+EXISTS, scalar-aggregate subqueries, left-outer count distributions,
+disjunctive predicate bundles, conditional-ratio aggregates, and
+single-survivor anti-join logic.
+
+100 TB stance shared by all: dimension sides (part, supplier, nation,
+region, filtered customer) broadcast; every query does at most the
+fact-table shuffles its semantics force (noted per query); predicates are
+plain column comparisons so parquet pushdown applies.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ed_clickhouse_spark.suite import query
+from ed_clickhouse_spark.suite._util import dec, t
+
+
+@query(
+    "q115_order_priority",
+    oracle="""
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      )
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q115_order_priority(spark, sf_dir):
+    """TPC-H Q4 shape: priority counts for orders with at least one
+    problem line. Deviation: the schema has no l_commitdate/l_receiptdate,
+    so "problem" = shipped >60 days after order date (same correlated
+    EXISTS-with-inequality shape).
+
+    Plan: left_semi join orders->lineitem on orderkey + the correlated
+    date inequality (the semi join IS the EXISTS — no duplicate rows, no
+    distinct needed), then a tiny groupBy. One shuffle pair on orderkey."""
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+@query(
+    "q116_priority_by_linestatus",
+    oracle="""
+    SELECT l.l_linestatus,
+           CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q116_priority_by_linestatus(spark, sf_dir):
+    """TPC-H Q12 shape: conditional two-way counts of order priority per
+    line category. Deviation: no l_shipmode column — grouped by
+    l_linestatus instead (same countIf-pair-over-join shape).
+
+    Plan: one fact-fact shuffle on orderkey; the CASE pair folds
+    map-side (partial aggregation), so the final exchange carries two
+    longs per group."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "q117_customer_distribution",
+    oracle="""
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+      SELECT c.c_custkey, COUNT(o.o_orderkey) AS c_count
+      FROM customer c LEFT OUTER JOIN orders o
+        ON c.c_custkey = o.o_custkey AND o.o_orderpriority <> '5-LOW'
+      GROUP BY 1
+    )
+    GROUP BY 1 ORDER BY custdist DESC, c_count DESC
+    """,
+)
+def q117_customer_distribution(spark, sf_dir):
+    """TPC-H Q13: distribution of customers by order count, including
+    zero-order customers (the LEFT OUTER + COUNT(col) null-skip is the
+    point of the query).
+
+    Plan: outer join shuffles on custkey, per-customer count, then a tiny
+    second aggregate over at most a few hundred distinct counts."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderpriority") != "5-LOW").select(
+        "o_custkey", "o_orderkey"
+    )
+    per_cust = (
+        c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count("*").alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+@query(
+    "q118_promo_revenue",
+    oracle="""
+    SELECT CAST(ROUND(
+             100.00 * SUM(CASE WHEN p.p_type = 'PROMO'
+               THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+               ELSE CAST(0 AS DECIMAL(18,2)) END)
+             / SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))),
+           4) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1997-10-01 00:00:00'
+    """,
+)
+def q118_promo_revenue(spark, sf_dir):
+    """TPC-H Q14: promo revenue share for one month (conditional-ratio
+    aggregate). p_type here is single-word ('PROMO'), vs TPC-H's
+    'PROMO%' prefix — equality instead of LIKE, same shape.
+
+    Plan: part broadcasts (it is the canonical small dim), lineitem
+    never shuffles — the conditional sums reduce map-side to one row."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    p = t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .agg(
+            F.round(
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(zero))
+                / F.sum(rev),
+                4,
+            )
+            .cast("double")
+            .alias("promo_revenue_pct")
+        )
+    )
+
+
+@query(
+    "q119_top_supplier",
+    oracle="""
+    WITH revenue AS (
+      SELECT l_suppkey AS supplier_no,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS total_revenue
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+      GROUP BY 1
+    )
+    SELECT s.s_suppkey, s.s_name, CAST(r.total_revenue AS DOUBLE) AS total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+    """,
+)
+def q119_top_supplier(spark, sf_dir):
+    """TPC-H Q15: the supplier(s) achieving max quarterly revenue
+    (scalar MAX subquery over a derived view).
+
+    Plan: one shuffle to aggregate revenue per supplier; the 1-row MAX
+    joins back as a broadcast (cross-join of a singleton), supplier dim
+    broadcasts. The revenue frame is computed once and reused via an
+    explicit cache-free self-reference: Catalyst reuses the exchange
+    (ReusedExchange) because both branches share the identical subplan."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))).alias(
+            "total_revenue"
+        )
+    )
+    mx = rev.agg(F.max("total_revenue").alias("__mx"))
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    return (
+        rev.join(F.broadcast(mx), rev.total_revenue == mx.__mx)
+        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue")
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+@query(
+    "q120_small_qty_revenue",
+    oracle="""
+    SELECT CAST(ROUND(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) / 7.0, 2) AS DOUBLE) AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#5'
+      AND l.l_quantity < (
+        SELECT 0.2 * AVG(CAST(l2.l_quantity AS DECIMAL(18,2)))
+        FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey
+      )
+    """,
+)
+def q120_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17: revenue lost to small-quantity orders — correlated
+    scalar AVG subquery per part.
+
+    Plan: the correlated subquery decorrelates to a per-part AVG
+    aggregate joined back on partkey. The brand filter cannot be pushed
+    into the AVG side (the average is over ALL lineitems of the part,
+    exactly as TPC-H specifies), so this is one lineitem shuffle for the
+    per-part averages + one broadcast of the filtered part dim; the
+    per-part avg frame (one row per partkey) broadcasts too."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5").select("p_partkey")
+    avg_q = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
+        (F.lit(0.2) * F.avg(dec("l_quantity"))).alias("__thresh")
+    )
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(F.broadcast(avg_q), F.col("l_partkey") == F.col("__pk"))
+        .filter(dec("l_quantity") < F.col("__thresh"))
+        .agg(
+            F.round(F.sum(dec("l_extendedprice")) / 7.0, 2)
+            .cast("double")
+            .alias("avg_yearly")
+        )
+    )
+
+
+@query(
+    "q121_disjunctive_revenue",
+    oracle="""
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 5  AND l.l_quantity BETWEEN 1 AND 11)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 10 AND l.l_quantity BETWEEN 10 AND 20)
+       OR (p.p_brand = 'Brand#3'  AND p.p_size BETWEEN 1 AND 15 AND l.l_quantity BETWEEN 20 AND 30)
+    """,
+)
+def q121_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: disjunctive predicate bundles mixing join-side
+    attributes (brand/size from part, quantity from lineitem).
+    Deviation: no p_container — bundles use brand+size only.
+
+    Plan: the join stays equi on partkey (broadcast part); the OR-of-ANDs
+    is a post-join filter inside the same codegen stage. A part-side-only
+    prefilter (brand IN the three values) IS pushed below the join so the
+    broadcast side shrinks — the standard Q19 rewrite."""
+    bundles_part = F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3")
+    p = t(spark, sf_dir, "part").filter(bundles_part).select("p_partkey", "p_brand", "p_size")
+    li = t(spark, sf_dir, "lineitem")
+    q = dec("l_quantity")
+    disj = (
+        ((F.col("p_brand") == "Brand#12") & F.col("p_size").between(1, 5) & q.between(1, 11))
+        | ((F.col("p_brand") == "Brand#23") & F.col("p_size").between(1, 10) & q.between(10, 20))
+        | ((F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15) & q.between(20, 30))
+    )
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .filter(disj)
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q122_waiting_suppliers",
+    oracle="""
+    WITH per_order AS (
+      SELECT l.l_orderkey,
+             COUNT(DISTINCT l.l_suppkey) AS n_supp,
+             COUNT(DISTINCT CASE WHEN l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+                                 THEN l.l_suppkey END) AS n_late
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+      GROUP BY 1
+    )
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey AND o.o_orderstatus = 'F'
+    JOIN per_order po ON po.l_orderkey = l.l_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    WHERE l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+      AND po.n_supp > 1 AND po.n_late = 1
+    GROUP BY 1
+    ORDER BY numwait DESC, s_name
+    LIMIT 20
+    """,
+)
+def q122_waiting_suppliers(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who were the SOLE late supplier on a
+    multi-supplier finished order. Deviation: "late" = shipped >90 days
+    after order date (no commit/receipt dates). The classic
+    EXISTS/NOT-EXISTS pair is expressed as its aggregate decorrelation
+    (n_supp > 1 AND n_late = 1), spelled identically in the oracle so
+    both engines compute the same relation.
+
+    Plan: one orderkey shuffle computes (n_supp, n_late) per order; the
+    per-order frame is orders-sized-small (2 ints/row) and joins back on
+    the same key so AQE reuses the partitioning; supplier broadcasts."""
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
+        "o_orderkey", "o_orderdate"
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    lo = li.join(o, li.l_orderkey == o.o_orderkey)
+    late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("n_supp"),
+        F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late"),
+    )
+    return (
+        lo.filter(late)
+        .join(per_order, "l_orderkey")
+        .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .groupBy("s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.col("numwait").desc(), "s_name")
+        .limit(20)
+    )
+
+
+@query(
+    "q123_idle_customers",
+    oracle="""
+    SELECT c.c_nationkey, COUNT(*) AS numcust,
+           CAST(SUM(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS totacctbal
+    FROM customer c
+    WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      AND CAST(c.c_acctbal AS DECIMAL(18,2)) > (
+        SELECT AVG(CAST(c2.c_acctbal AS DECIMAL(18,2))) FROM customer c2
+        WHERE CAST(c2.c_acctbal AS DECIMAL(18,2)) > 0.00 AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+      )
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q123_idle_customers(spark, sf_dir):
+    """TPC-H Q22 shape: wealthy customers (above the positive-balance
+    average of their cohort) with no recent order. Deviations: no c_phone,
+    so the country-code cohort is a nationkey IN-set; and because this
+    dataset gives every customer at least one lifetime order, "idle" is
+    "no order since 2000-01-01" (same NOT-EXISTS anti-join shape, and the
+    date filter pushes into the orders scan).
+
+    Plan: the scalar AVG is a 1-row aggregate joined as a broadcast
+    cross; the NOT EXISTS is a left_anti against orders' custkey
+    projection (2 longs/row) — one anti-join shuffle, no distinct needed
+    (anti joins are set-semantic on the probe side)."""
+    nations = [1, 3, 5, 7, 9, 11, 13]
+    c = t(spark, sf_dir, "customer").filter(F.col("c_nationkey").isin(nations))
+    avg_bal = c.filter(dec("c_acctbal") > 0).agg(
+        F.avg(dec("c_acctbal")).alias("__avg")
+    )
+    o = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+    )
+    return (
+        c.join(F.broadcast(avg_bal), dec("c_acctbal") > F.col("__avg"))
+        .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count("*").alias("numcust"),
+            F.sum(dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("c_nationkey")
+    )
+
+
+@query(
+    "q124_volume_shipping",
+    oracle="""
+    SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+           CAST(YEAR(l.l_shipdate) AS INT) AS l_year,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem l
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+    JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+    WHERE ((ns.n_name = 'NATION_2' AND nc.n_name = 'NATION_7')
+        OR (ns.n_name = 'NATION_7' AND nc.n_name = 'NATION_2'))
+      AND l.l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1, 2, 3 ORDER BY 1, 2, 3
+    """,
+)
+def q124_volume_shipping(spark, sf_dir):
+    """TPC-H Q7: bilateral trade volume between two nations by ship
+    year (two roles for the nation dim, disjunctive pair predicate).
+
+    Plan: supplier/customer/nation all broadcast; lineitem joins orders
+    on orderkey (the only fact-fact shuffle), then the pair filter and a
+    small groupBy. The nation-pair predicate applies after both
+    broadcast joins, inside one codegen stage."""
+    li = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nc = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__nck"), F.col("n_name").alias("cust_nation")
+    )
+    ns = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__nsk"), F.col("n_name").alias("supp_nation")
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_7"))
+        | ((F.col("supp_nation") == "NATION_7") & (F.col("cust_nation") == "NATION_2"))
+    )
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("__nck"))
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("__nsk"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").cast("int").alias("l_year")
+        )
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+@query(
+    "q125_market_share",
+    oracle="""
+    SELECT CAST(YEAR(o.o_orderdate) AS INT) AS o_year,
+           CAST(ROUND(
+             SUM(CASE WHEN ns.n_name = 'NATION_4'
+               THEN CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))
+               ELSE CAST(0 AS DECIMAL(18,2)) END)
+             / SUM(CAST(l.l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l.l_discount AS DECIMAL(18,2)))),
+           6) AS DOUBLE) AS mkt_share
+    FROM lineitem l
+    JOIN part p     ON p.p_partkey = l.l_partkey AND p.p_type = 'ECONOMY'
+    JOIN orders o   ON o.o_orderkey = l.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation nc  ON nc.n_nationkey = c.c_nationkey
+    JOIN region r   ON r.r_regionkey = nc.n_regionkey AND r.r_name = 'EUROPE'
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+    JOIN nation ns  ON ns.n_nationkey = s.s_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o.o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q125_market_share(spark, sf_dir):
+    """TPC-H Q8: one supplier-nation's share of a region's market for a
+    part type, by order year (conditional-ratio over a 7-way snowflake).
+
+    Plan: every dimension (part filtered by type, customer, both nation
+    roles, region, supplier) broadcasts; the single fact-fact shuffle is
+    lineitem-orders on orderkey. The share ratio folds map-side into two
+    decimal sums per year."""
+    li = t(spark, sf_dir, "lineitem")
+    p = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey", "o_orderdate")
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nc = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__nck"), F.col("n_regionkey").alias("__nrk")
+    )
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "EUROPE").select(
+        "r_regionkey"
+    )
+    s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    ns = t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("__nsk"), F.col("n_name").alias("supp_nation")
+    )
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    zero = F.lit(0).cast("decimal(18,2)")
+    return (
+        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(F.broadcast(nc), F.col("c_nationkey") == F.col("__nck"))
+        .join(F.broadcast(r), F.col("__nrk") == F.col("r_regionkey"))
+        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(F.broadcast(ns), F.col("s_nationkey") == F.col("__nsk"))
+        .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("supp_nation") == "NATION_4", rev).otherwise(zero))
+                / F.sum(rev),
+                6,
+            )
+            .cast("double")
+            .alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
