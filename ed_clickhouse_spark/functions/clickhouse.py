@@ -129,6 +129,49 @@ def sum_map_entries(df, group_cols: list[str], map_col: str, alias: str = "summe
     )
 
 
+def quantile_exact_weighted(
+    df,
+    value_col: str,
+    weight_col: str,
+    group_cols: list[str],
+    q: float = 0.5,
+    alias: str = "qew",
+):
+    """ClickHouse ``quantileExactWeighted(q)(x, w)``: exact weighted
+    quantile — the smallest value whose cumulative weight reaches
+    q * total weight (CH's lower-weighted-quantile rule).
+
+    Scalable decomposition: pre-aggregate weight per DISTINCT value
+    (map-side combine shrinks the shuffle to the value domain, not the
+    row count), then one window cumsum ordered by value within each
+    group, then min(value | cum >= q*total). Never sorts raw rows and
+    never collects a group into memory — the shape that survives a
+    100 TB fact table with a bounded value domain. Exact and
+    engine-portable, unlike percentile_approx."""
+    from pyspark.sql import Window
+
+    per_val = df.groupBy(*group_cols, value_col).agg(
+        F.sum(weight_col).alias("__w")
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(*group_cols)
+    cum = per_val.select(
+        *group_cols,
+        F.col(value_col),
+        F.sum("__w").over(w_cum).alias("__cum"),
+        F.sum("__w").over(w_tot).alias("__tot"),
+    )
+    return (
+        cum.where(F.col("__cum") >= F.lit(q) * F.col("__tot"))
+        .groupBy(*group_cols)
+        .agg(F.min(value_col).alias(alias))
+    )
+
+
 def limit_by(df, n: int, by: list[str], order_by: list) -> "DataFrame":
     """ClickHouse ``LIMIT n BY col...``: first ``n`` rows per ``by`` group
     in ``order_by`` order — the idiom for "top n variants per key" without
@@ -263,6 +306,39 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
     "arrayIntersect": (
         "(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS ARRAY<STRING>",
         "array_sort(array_intersect(a, b))",
+    ),
+    # URL functions (ClickHouse URL family). Backed by Spark's built-in
+    # parse_url (JVM java.net.URI-based, codegen) rather than regexes —
+    # the engine-idiomatic path; q116 oracle-checks them on well-formed
+    # absolute URLs where parse_url and a plain regex agree.
+    "protocol": ("(u STRING) RETURNS STRING", "parse_url(u, 'PROTOCOL')"),
+    "domain": ("(u STRING) RETURNS STRING", "parse_url(u, 'HOST')"),
+    "path": ("(u STRING) RETURNS STRING", "parse_url(u, 'PATH')"),
+    "pathFull": ("(u STRING) RETURNS STRING", "parse_url(u, 'FILE')"),
+    "queryString": ("(u STRING) RETURNS STRING", "parse_url(u, 'QUERY')"),
+    "fragment": ("(u STRING) RETURNS STRING", "parse_url(u, 'REF')"),
+    "extractURLParameter": (
+        "(u STRING, k STRING) RETURNS STRING",
+        "parse_url(u, 'QUERY', k)",
+    ),
+    "cutQueryString": ("(u STRING) RETURNS STRING", "substring_index(u, '?', 1)"),
+    "topLevelDomain": (
+        "(u STRING) RETURNS STRING",
+        r"regexp_extract(parse_url(u, 'HOST'), '\\.([^.]+)$', 1)",
+    ),
+    # IP functions (ClickHouse IPv4 family; value is a UInt32 as BIGINT)
+    "IPv4NumToString": (
+        "(n BIGINT) RETURNS STRING",
+        "concat(CAST((n div 16777216) % 256 AS STRING), '.', "
+        "CAST((n div 65536) % 256 AS STRING), '.', "
+        "CAST((n div 256) % 256 AS STRING), '.', CAST(n % 256 AS STRING))",
+    ),
+    "IPv4StringToNum": (
+        "(s STRING) RETURNS BIGINT",
+        "CAST(split(s, '\\\\.')[0] AS BIGINT) * 16777216 + "
+        "CAST(split(s, '\\\\.')[1] AS BIGINT) * 65536 + "
+        "CAST(split(s, '\\\\.')[2] AS BIGINT) * 256 + "
+        "CAST(split(s, '\\\\.')[3] AS BIGINT)",
     ),
     # haversine on a spherical Earth (R=6372797.56 m, ClickHouse's
     # constant for greatCircleDistance)

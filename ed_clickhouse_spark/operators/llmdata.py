@@ -140,6 +140,54 @@ def pack_sequences(
     return df.withColumn("pack_id", F.floor(prev_cum / budget).cast("bigint"))
 
 
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 64,
+    stride: int = 48,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    keep_text: bool = True,
+) -> DataFrame:
+    """Sliding-window document chunking: split each doc into token
+    windows of ``chunk_tokens`` starting every ``stride`` tokens
+    (``stride < chunk_tokens`` ⇒ overlapping chunks — the standard
+    context-window / RAG-passage chunker). Returns one row per chunk:
+    (id_col, chunk_idx, chunk_start, n_tok, [chunk_text]).
+
+    Every doc yields >= 1 chunk (short docs produce one partial chunk);
+    the final window may be shorter than ``chunk_tokens``. Chunk
+    boundaries are a pure function of the token count, so reruns and
+    other engines (the DuckDB oracle) produce identical chunking.
+
+    Scale shape: chunking is per-row codegen array expressions plus one
+    narrow posexplode — no shuffle at any scale; output size is
+    input_tokens/stride rows. With ``keep_text=False`` only counts and
+    offsets are produced (the accounting pass), so the explode never
+    carries document bodies."""
+    toks = F.split(F.col(text_col), " ")
+    n = F.size(toks)
+    # last chunk start = stride * ceil((n - chunk)/stride), floored at 0
+    n_extra = F.greatest(
+        F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)), F.lit(0)
+    ).cast("int")
+    starts = F.transform(
+        F.sequence(F.lit(0), n_extra), lambda i: i * stride
+    )
+    chunks = F.transform(starts, lambda s: F.slice(toks, s + 1, chunk_tokens))
+    ex = df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "__chunk"),
+    )
+    out = ex.select(
+        id_col,
+        F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
+        (F.col("chunk_idx") * stride).cast("bigint").alias("chunk_start"),
+        F.size("__chunk").cast("bigint").alias("n_tok"),
+        *([F.concat_ws(" ", "__chunk").alias("chunk_text")] if keep_text else []),
+    )
+    return out
+
+
 def word_ngrams(text_col: str | Column, n: int) -> Column:
     """Word n-grams as an array of space-joined strings (codegen'd array
     exprs, same construction as :func:`repetition_ratio`)."""

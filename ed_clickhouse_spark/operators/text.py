@@ -115,6 +115,59 @@ def fingerprint(text_col: str | Column = "text", prefix: int | None = None) -> C
     return F.md5(norm)
 
 
+def unigram_logprob(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 6,
+) -> DataFrame:
+    """Per-document mean unigram log-probability under a language model
+    fit on the corpus itself — the CCNet-style "perplexity filter" proxy
+    (documents far below the corpus-typical logprob are boilerplate,
+    gibberish, or wrong-language; far above are repetitive). Returns
+    (id_col, n_tok, avg_logprob).
+
+    Model: P(w) = count(w) / total_tokens over the whole corpus, no
+    smoothing needed (every scored token was counted, so P > 0).
+    logprob uses ln.
+
+    Scale shape: (1) token counts = explode -> two-phase groupBy count
+    (the shuffle carries distinct words, not corpus tokens); (2) scoring
+    joins per-doc DISTINCT words against the vocabulary (equi-join on
+    the word — co-partitioned shuffle; a per-doc word appearing k times
+    contributes via its in-doc count, computed before the join, so the
+    join carries each (doc, word) once); (3) one final groupBy(doc).
+    ln/exp stay in codegen. Everything is two-phase aggregation — at
+    100 TB the vocabulary side is millions of rows, never broadcast-
+    assumed; Catalyst/AQE picks the join strategy.
+    """
+    # (id, word, in-doc count) — counted per doc before any join
+    doc_words = (
+        df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("w"))
+        .groupBy("id", "w")
+        .agg(F.count("*").alias("tf"))
+    )
+    vocab = doc_words.groupBy("w").agg(F.sum("tf").alias("cf"))
+    total = vocab.agg(F.sum("cf").alias("__total"))
+    scored = (
+        doc_words.join(vocab, "w")
+        .crossJoin(F.broadcast(total))
+        .groupBy("id")
+        .agg(
+            F.sum("tf").cast("bigint").alias("n_tok"),
+            (
+                F.sum(F.col("tf") * F.log(F.col("cf") / F.col("__total")))
+                / F.sum("tf")
+            ).alias("__alp"),
+        )
+    )
+    return scored.select(
+        F.col("id").alias(id_col),
+        "n_tok",
+        F.round("__alp", round_to).alias("avg_logprob"),
+    )
+
+
 def ngram_topk(
     df: DataFrame,
     k: int = 10,

@@ -49,6 +49,7 @@ def _load_all() -> None:
         q_functions2,
         q_joins,
         q_llm,
+        q_llm2,
         q_misc,
         q_search,
         q_similarity,

@@ -1,0 +1,277 @@
+"""Training-data-pipeline queries, second batch (Layer C): document
+chunking, URL analytics via the ClickHouse URL-function spellings, exact
+weighted quantiles, unigram-LM quality scoring, embedding quantization —
+each oracle-checked against DuckDB."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ed_clickhouse_spark.functions.clickhouse import (
+    quantile_exact_weighted,
+    register_sql_aliases,
+)
+from ed_clickhouse_spark.operators.llmdata import chunk_documents
+from ed_clickhouse_spark.operators.similarity import quantize_embeddings
+from ed_clickhouse_spark.operators.text import unigram_logprob
+from ed_clickhouse_spark.suite import query
+from ed_clickhouse_spark.suite._util import t
+
+
+@query(
+    "q115_chunking",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, toks,
+             unnest(range(0,
+               GREATEST(CAST(CEIL((n - 32) / 24.0) AS BIGINT), 0) + 1
+             )) AS chunk_idx
+      FROM tk
+    )
+    SELECT doc_id, chunk_idx,
+           chunk_idx * 24 AS chunk_start,
+           CAST(len(toks[chunk_idx*24+1 : chunk_idx*24+32]) AS BIGINT) AS n_tok,
+           substr(md5(array_to_string(
+             toks[chunk_idx*24+1 : chunk_idx*24+32], ' ')), 1, 8) AS chunk_sig
+    FROM c
+    """,
+)
+def q115_chunking(spark, sf_dir):
+    """Sliding-window chunking (32-token windows, stride 24 — overlapping
+    RAG/context-window passages). One row per chunk; chunk text verified
+    through an md5 prefix so the driver hash pins exact chunk contents
+    without shipping bodies. Pure per-row array codegen + one narrow
+    posexplode — no shuffle at any scale."""
+    d = t(spark, sf_dir, "documents")
+    ch = chunk_documents(d, chunk_tokens=32, stride=24)
+    return ch.select(
+        "doc_id",
+        "chunk_idx",
+        "chunk_start",
+        "n_tok",
+        F.substring(F.md5("chunk_text"), 1, 8).alias("chunk_sig"),
+    )
+
+
+@query(
+    "q116_url_functions",
+    oracle="""
+    WITH u AS (
+      SELECT 'https://' ||
+             ['www','cdn','api'][CAST(event_id % 3 AS INT) + 1] ||
+             '.example.' ||
+             ['com','org','net','io'][CAST(event_id % 4 AS INT) + 1] ||
+             '/' || event_type || '/item' || CAST(event_id % 50 AS VARCHAR) ||
+             '?user=' || CAST(user_id AS VARCHAR) ||
+             '&ref=' || ['home','search','promo','email','feed'][CAST(event_id % 5 AS INT) + 1] ||
+             '#sec' || CAST(event_id % 7 AS VARCHAR) AS url
+      FROM events
+    ),
+    p AS (
+      SELECT regexp_extract(url, '^https://([^/]+)/', 1) AS host,
+             regexp_extract(url, '^https://[^/]+([^?#]+)', 1) AS pth,
+             regexp_extract(url, '[?&]ref=([^&#]*)', 1) AS ref,
+             regexp_extract(url, '[?&]user=([^&#]*)', 1) AS usr
+      FROM u
+    )
+    SELECT host,
+           regexp_extract(host, '\\.([^.]+)$', 1) AS tld,
+           ref,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT pth) AS n_paths,
+           COUNT(DISTINCT usr) AS n_users
+    FROM p GROUP BY 1, 2, 3
+    """,
+)
+def q116_url_functions(spark, sf_dir):
+    """ClickHouse URL-function family (domain / topLevelDomain / path /
+    extractURLParameter), exercised through the registered SQL spellings
+    (backed by Spark's built-in parse_url — JVM codegen, no regex UDFs).
+    URLs are synthesized deterministically from events columns so every
+    scale factor gets non-trivial coverage; the oracle re-derives the
+    same parts with plain regexes (equivalent on well-formed URLs)."""
+    register_sql_aliases(spark)
+    e = t(spark, sf_dir, "events")
+    sub = F.element_at(
+        F.array(F.lit("www"), F.lit("cdn"), F.lit("api")),
+        (F.col("event_id") % 3).cast("int") + 1,
+    )
+    tld = F.element_at(
+        F.array(*[F.lit(x) for x in ("com", "org", "net", "io")]),
+        (F.col("event_id") % 4).cast("int") + 1,
+    )
+    ref = F.element_at(
+        F.array(*[F.lit(x) for x in ("home", "search", "promo", "email", "feed")]),
+        (F.col("event_id") % 5).cast("int") + 1,
+    )
+    url = F.concat(
+        F.lit("https://"), sub, F.lit(".example."), tld,
+        F.lit("/"), F.col("event_type"),
+        F.lit("/item"), (F.col("event_id") % 50).cast("string"),
+        F.lit("?user="), F.col("user_id").cast("string"),
+        F.lit("&ref="), ref,
+        F.lit("#sec"), (F.col("event_id") % 7).cast("string"),
+    )
+    u = e.select(url.alias("url"))
+    return (
+        u.select(
+            F.expr("domain(url)").alias("host"),
+            F.expr("topLevelDomain(url)").alias("tld"),
+            F.expr("extractURLParameter(url, 'ref')").alias("ref"),
+            F.expr("path(url)").alias("pth"),
+            F.expr("extractURLParameter(url, 'user')").alias("usr"),
+        )
+        .groupBy("host", "tld", "ref")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.countDistinct("pth").alias("n_paths"),
+            F.countDistinct("usr").alias("n_users"),
+        )
+    )
+
+
+@query(
+    "q117_weighted_quantile",
+    oracle="""
+    WITH pv AS (
+      SELECT l_returnflag AS flag, l_quantity AS v,
+             SUM(l_linenumber) AS w
+      FROM lineitem GROUP BY 1, 2
+    ),
+    c AS (
+      SELECT flag, v,
+             SUM(w) OVER (PARTITION BY flag ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             SUM(w) OVER (PARTITION BY flag) AS tot
+      FROM pv
+    )
+    SELECT m.flag, m.med_qty, p.p90_qty
+    FROM (SELECT flag, MIN(v) AS med_qty FROM c
+          WHERE cum >= 0.5 * tot GROUP BY flag) m
+    JOIN (SELECT flag, MIN(v) AS p90_qty FROM c
+          WHERE cum >= 0.9 * tot GROUP BY flag) p USING (flag)
+    """,
+)
+def q117_weighted_quantile(spark, sf_dir):
+    """ClickHouse quantileExactWeighted: exact weighted median and p90 of
+    l_quantity weighted by l_linenumber, per return flag. Distributed as
+    pre-aggregate-per-distinct-value + window cumsum — exact at any scale
+    with a bounded value domain (unlike percentile_approx), never sorting
+    raw rows."""
+    li = t(spark, sf_dir, "lineitem")
+    med = quantile_exact_weighted(
+        li, "l_quantity", "l_linenumber", ["l_returnflag"], q=0.5, alias="med_qty"
+    )
+    p90 = quantile_exact_weighted(
+        li, "l_quantity", "l_linenumber", ["l_returnflag"], q=0.9, alias="p90_qty"
+    )
+    return (
+        med.join(p90, "l_returnflag")
+        .select(F.col("l_returnflag").alias("flag"), "med_qty", "p90_qty")
+    )
+
+
+@query(
+    "q118_lm_quality",
+    oracle="""
+    WITH dw AS (
+      SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ),
+    tf AS (SELECT id, w, COUNT(*) AS tf FROM dw GROUP BY 1, 2),
+    vocab AS (SELECT w, SUM(tf) AS cf FROM tf GROUP BY 1),
+    tot AS (SELECT CAST(SUM(cf) AS DOUBLE) AS total FROM vocab),
+    scored AS (
+      SELECT id, CAST(SUM(tf) AS BIGINT) AS n_tok,
+             SUM(tf * ln(cf / total)) / SUM(tf) AS alp
+      FROM tf JOIN vocab USING (w) CROSS JOIN tot
+      GROUP BY id
+    ),
+    d AS (
+      SELECT s.source, ROUND(sc.alp, 4) AS alp
+      FROM scored sc JOIN documents s ON sc.id = s.doc_id
+    )
+    SELECT source,
+           CAST(FLOOR(alp * 2) AS BIGINT) AS lp_bucket,
+           COUNT(*) AS n_docs
+    FROM d GROUP BY 1, 2
+    """,
+)
+def q118_lm_quality(spark, sf_dir):
+    """Unigram-LM quality scoring (the CCNet-style perplexity-filter
+    proxy): mean token log-probability under a corpus-fit unigram model,
+    reported as per-source half-nat histogram buckets. Token counts and
+    the vocabulary join are two-phase aggregations; the bucket floor
+    makes the check robust to sub-ulp ln() differences between
+    engines."""
+    d = t(spark, sf_dir, "documents")
+    scored = unigram_logprob(d, round_to=4)
+    joined = scored.join(d.select("doc_id", "source"), "doc_id")
+    return (
+        joined.select(
+            "source",
+            F.floor(F.col("avg_logprob") * 2).cast("bigint").alias("lp_bucket"),
+        )
+        .groupBy("source", "lp_bucket")
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
+@query(
+    "q119_quantization",
+    oracle="""
+    WITH v AS (
+      SELECT MIN(x) AS vmin, MAX(x) AS vmax,
+             (MAX(x) - MIN(x)) / 255.0 AS scale
+      FROM (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x FROM embeddings)
+    ),
+    q AS (
+      SELECT label,
+             list_transform(CAST(embedding AS DOUBLE[]),
+               x -> CAST(ROUND((x - vmin) / scale) AS INT)) AS qvec,
+             CAST(embedding AS DOUBLE[]) AS vec,
+             vmin, scale
+      FROM embeddings CROSS JOIN v
+    ),
+    e AS (
+      SELECT label,
+             CAST(list_sum(qvec) AS BIGINT) AS code_sum,
+             sqrt(list_sum(list_transform(
+               list_zip(vec, list_transform(qvec, c -> vmin + c * scale)),
+               p -> (p[1] - p[2]) * (p[1] - p[2])
+             )) / len(vec)) AS err
+      FROM q
+    )
+    SELECT label, COUNT(*) AS n,
+           CAST(SUM(code_sum) AS BIGINT) AS total_code,
+           ROUND(AVG(err), 4) AS avg_err
+    FROM e GROUP BY label
+    """,
+)
+def q119_quantization(spark, sf_dir):
+    """Int8 scalar quantization of the embedding corpus (global-range
+    SQ): per label, the exact integer code mass (pins every code value
+    bit-for-bit via the driver hash) and mean reconstruction error. The
+    4x storage/IO lever for 100 TB vector corpora; range pass is one
+    tiny global aggregate, codes are per-row codegen."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "label", F.col("embedding").cast("array<double>").alias("embedding")
+    )
+    quant, _params = quantize_embeddings(e, "embedding", bits=8)
+    per_vec = quant.select(
+        "label",
+        F.aggregate("qvec", F.lit(0).cast("bigint"), lambda a, c: a + c).alias(
+            "code_sum"
+        ),
+        F.col("recon_err").alias("err"),
+    )
+    return per_vec.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.sum("code_sum").cast("bigint").alias("total_code"),
+        F.round(F.avg("err"), 4).alias("avg_err"),
+    )

@@ -1,0 +1,150 @@
+"""Unit tests for the second llm-data batch: chunking, weighted
+quantiles, URL spellings, unigram-LM scoring, embedding quantization."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+
+def test_chunk_documents_boundaries(spark):
+    from ed_clickhouse_spark.operators.llmdata import chunk_documents
+
+    rows = spark.createDataFrame(
+        [
+            (1, " ".join(f"w{i}" for i in range(10))),  # 10 toks: 3 chunks
+            (2, "a b"),  # shorter than one chunk: 1 partial chunk
+            (3, " ".join(f"x{i}" for i in range(4))),  # exactly one chunk
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["chunk_start"], r["n_tok"], r["chunk_text"])
+        for r in chunk_documents(rows, chunk_tokens=4, stride=3).collect()
+    }
+    # doc 1: starts 0,3,6 cover tokens 0..9; last chunk is full (6..9)
+    assert got[(1, 0)] == (0, 4, "w0 w1 w2 w3")
+    assert got[(1, 1)] == (3, 4, "w3 w4 w5 w6")
+    assert got[(1, 2)] == (6, 4, "w6 w7 w8 w9")
+    assert (1, 3) not in got
+    # short doc: one partial chunk
+    assert got[(2, 0)] == (0, 2, "a b")
+    # exact fit: one chunk, no empty trailing chunk
+    assert got[(3, 0)] == (0, 4, "x0 x1 x2 x3")
+    assert (3, 1) not in got
+
+
+def test_chunk_documents_covers_every_token(spark):
+    from ed_clickhouse_spark.operators.llmdata import chunk_documents
+
+    rows = spark.createDataFrame(
+        [(n, " ".join(f"t{i}" for i in range(n))) for n in (1, 5, 7, 8, 9, 23)],
+        ["doc_id", "text"],
+    )
+    ch = chunk_documents(rows, chunk_tokens=8, stride=5, keep_text=False)
+    per_doc = {
+        r["doc_id"]: (r["max_end"], r["n_chunks"])
+        for r in ch.groupBy("doc_id")
+        .agg(
+            F.max(F.col("chunk_start") + F.col("n_tok")).alias("max_end"),
+            F.count("*").alias("n_chunks"),
+        )
+        .collect()
+    }
+    for n in (1, 5, 7, 8, 9, 23):
+        max_end, n_chunks = per_doc[n]
+        assert max_end == n  # last chunk reaches the final token
+        expected = max(math.ceil((n - 8) / 5), 0) + 1
+        assert n_chunks == expected
+
+
+def test_quantile_exact_weighted_known_values(spark):
+    from ed_clickhouse_spark.functions.clickhouse import quantile_exact_weighted
+
+    # group g: values 1(w=1), 2(w=1), 3(w=8) -> total 10;
+    # median: cum at v=3 first reaches 5 -> 3; p10: cum at v=1 is 1 >= 1 -> 1
+    rows = spark.createDataFrame(
+        [("g", 1, 1), ("g", 2, 1), ("g", 3, 8), ("h", 5, 1)],
+        ["k", "v", "w"],
+    )
+    med = {
+        r["k"]: r["qew"]
+        for r in quantile_exact_weighted(rows, "v", "w", ["k"], q=0.5).collect()
+    }
+    assert med == {"g": 3, "h": 5}
+    p10 = {
+        r["k"]: r["qew"]
+        for r in quantile_exact_weighted(rows, "v", "w", ["k"], q=0.1).collect()
+    }
+    assert p10["g"] == 1
+    # weight split across duplicate value rows aggregates first
+    dup = spark.createDataFrame(
+        [("g", 1, 3), ("g", 1, 3), ("g", 9, 4)], ["k", "v", "w"]
+    )
+    assert (
+        quantile_exact_weighted(dup, "v", "w", ["k"], q=0.5).collect()[0]["qew"] == 1
+    )
+
+
+def test_url_and_ip_spellings(spark):
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    url = "https://www.example.com/a/b?user=7&ref=home#frag"
+    row = spark.sql(
+        f"""SELECT protocol('{url}') AS proto, domain('{url}') AS host,
+        path('{url}') AS pth, queryString('{url}') AS qs,
+        extractURLParameter('{url}', 'ref') AS ref,
+        cutQueryString('{url}') AS cut,
+        topLevelDomain('{url}') AS tld,
+        fragment('{url}') AS frag,
+        IPv4NumToString(3232235777) AS ip_s,
+        IPv4StringToNum('192.168.1.1') AS ip_n"""
+    ).collect()[0]
+    assert row["proto"] == "https"
+    assert row["host"] == "www.example.com"
+    assert row["pth"] == "/a/b"
+    assert row["qs"] == "user=7&ref=home"
+    assert row["ref"] == "home"
+    assert row["cut"] == "https://www.example.com/a/b"
+    assert row["tld"] == "com"
+    assert row["frag"] == "frag"
+    assert row["ip_s"] == "192.168.1.1"
+    assert row["ip_n"] == 3232235777
+
+
+def test_unigram_logprob_known_corpus(spark):
+    from ed_clickhouse_spark.operators.text import unigram_logprob
+
+    # corpus: 4 tokens total; "a" x3 (P=0.75), "b" x1 (P=0.25)
+    rows = spark.createDataFrame(
+        [(1, "a a a"), (2, "b")], ["doc_id", "text"]
+    )
+    got = {r["doc_id"]: r for r in unigram_logprob(rows).collect()}
+    assert got[1]["n_tok"] == 3
+    assert abs(got[1]["avg_logprob"] - math.log(0.75)) < 1e-6
+    assert abs(got[2]["avg_logprob"] - math.log(0.25)) < 1e-6
+    # rarer-token doc scores lower
+    assert got[2]["avg_logprob"] < got[1]["avg_logprob"]
+
+
+def test_quantize_embeddings_roundtrip(spark):
+    from ed_clickhouse_spark.operators.similarity import quantize_embeddings
+
+    rows = spark.createDataFrame(
+        [(1, [0.0, 1.0, 2.0]), (2, [4.0, 3.0, 2.0])], ["vec_id", "embedding"]
+    )
+    quant, params = quantize_embeddings(rows, "embedding", bits=8)
+    p = params.collect()[0]
+    assert p["vmin"] == 0.0 and p["vmax"] == 4.0
+    got = {r["vec_id"]: r for r in quant.collect()}
+    # codes: round(v / (4/255)) -> v * 63.75
+    assert got[1]["qvec"] == [0, 64, 128]
+    assert got[2]["qvec"] == [255, 191, 128]
+    # max reconstruction error bounded by half a step
+    step = 4.0 / 255
+    for r in got.values():
+        assert r["recon_err"] <= step / 2 + 1e-9
+    # schema keeps original columns
+    assert "embedding" in quant.columns and "vec_id" in quant.columns
