@@ -188,6 +188,29 @@ class Engine:
             aggs=aggs,
         )
 
+    def matview(
+        self,
+        name: str,
+        table: str,
+        dims: list[str],
+        **spec,
+    ):
+        """Streaming materialized view over one event table — ClickHouse
+        ``CREATE MATERIALIZED VIEW ... ENGINE = AggregatingMergeTree``
+        (streaming/matview.py). Pass the result in ``views={table:
+        [mv]}`` to :meth:`ingest` so every ingested micro-batch appends
+        its partial states at insert time; query with ``mv.read()``."""
+        from ed_clickhouse_spark.streaming.matview import StreamingMatView
+
+        if table not in BY_TABLE:
+            raise KeyError(f"unknown table {table!r}")
+        return StreamingMatView(
+            self.spark,
+            os.path.join(self.warehouse, "_views", name),
+            dims=dims,
+            **spec,
+        )
+
     def replay_dlq(self, reasons: list[str] | None = None) -> int:
         """Re-ingest dead-letter rows after a fix (new family registered,
         decoder bug patched): routes each retained (subject, payload) back

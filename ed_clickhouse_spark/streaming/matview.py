@@ -1,0 +1,132 @@
+"""Streaming materialized views — ClickHouse ``CREATE MATERIALIZED VIEW
+... ENGINE = AggregatingMergeTree`` parity for the ingestion path.
+
+ClickHouse MVs run at INSERT time: each inserted block is aggregated to
+partial states and appended to the target table; reads merge states
+(`-Merge` combinators), and background merges compact parts. The
+reference's deployment style pairs its raw MergeTree event tables
+(migrations/*.sql) with exactly such rollup MVs. The Spark retelling:
+
+  ClickHouse                          this engine
+  ----------                          -----------
+  MV SELECT over the inserted block   :meth:`StreamingMatView.on_batch`
+                                        inside foreachBatch (per
+                                        micro-batch partial aggregate)
+  AggregatingMergeTree target,        append-only parquet of partial
+    partial -State rows                 state rows (sum/count/min/max +
+                                        DataSketches HLL binary state)
+  read with -Merge combinators        :meth:`read` — groupBy + sum /
+    (uniqMerge, sumMerge, ...)          min / max / hll_union_agg
+  background part merges / OPTIMIZE   :meth:`compact` — rewrite the
+                                        state table to one row per group
+
+Why states, not finals: appends stay O(batch) with NO read-modify-write
+of the target (the ingest hot path never reads history), while any
+read can still merge to any coarser grouping — including distinct
+counts, which plain rollup finals cannot merge. At 100 TB the state
+table is the only thing growing, and it grows by one small partial row
+per (batch x group), reclaimed by ``compact()``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+class StreamingMatView:
+    """Maintain an append-only partial-state table for
+    groupBy(*dims).agg(count, sums, mins, maxs, approx-distinct).
+
+    ``sums``/``mins``/``maxs``: source expression (any SQL scalar
+    expression, e.g. ``"unix_timestamp(ts)"``) -> state column name.
+    ``distinct_entity``: source column whose distinct count is tracked
+    via a mergeable HLL state (ClickHouse ``uniqState``).
+    """
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        dest_path: str,
+        dims: list[str],
+        sums: dict[str, str] | None = None,
+        mins: dict[str, str] | None = None,
+        maxs: dict[str, str] | None = None,
+        distinct_entity: str | None = None,
+        lg_k: int = 12,
+    ):
+        self.spark = spark
+        self.dest_path = dest_path
+        self.dims = dims
+        self.sums = sums or {}
+        self.mins = mins or {}
+        self.maxs = maxs or {}
+        self.distinct_entity = distinct_entity
+        self.lg_k = lg_k
+
+    # -- insert-time (the MV trigger) -------------------------------------
+    def _partial(self, batch: DataFrame) -> DataFrame:
+        aggs = [F.count("*").alias("n_rows")]
+        aggs += [F.sum(F.expr(src)).alias(dst) for src, dst in self.sums.items()]
+        aggs += [F.min(F.expr(src)).alias(dst) for src, dst in self.mins.items()]
+        aggs += [F.max(F.expr(src)).alias(dst) for src, dst in self.maxs.items()]
+        if self.distinct_entity:
+            aggs.append(
+                F.expr(
+                    f"hll_sketch_agg({self.distinct_entity}, {self.lg_k})"
+                ).alias("hll_state")
+            )
+        return batch.groupBy(*self.dims).agg(*aggs)
+
+    def on_batch(self, batch: DataFrame) -> None:
+        """Aggregate one micro-batch to partial states and APPEND —
+        the ClickHouse MV insert trigger. One map-side-combined shuffle
+        over the batch (not history); the target is never read."""
+        self._partial(batch).write.mode("append").parquet(self.dest_path)
+
+    # -- read-time (the -Merge combinators) --------------------------------
+    def _merge_aggs(self) -> list:
+        aggs = [F.sum("n_rows").cast("bigint").alias("n_rows")]
+        aggs += [F.sum(dst).alias(dst) for dst in self.sums.values()]
+        aggs += [F.min(dst).alias(dst) for dst in self.mins.values()]
+        aggs += [F.max(dst).alias(dst) for dst in self.maxs.values()]
+        return aggs
+
+    def read(self, keys: list[str] | None = None) -> DataFrame:
+        """Merge stored states to ``keys`` (default: the full dim set) —
+        ``uniqMerge``/``sumMerge`` at read time. The shuffle carries one
+        partial row per (batch x group), never raw events; any subset of
+        dims works because every state is mergeable."""
+        keys = self.dims if keys is None else keys
+        st = self.spark.read.parquet(self.dest_path)
+        aggs = self._merge_aggs()
+        if self.distinct_entity:
+            aggs.append(
+                F.expr("hll_sketch_estimate(hll_union_agg(hll_state))")
+                .cast("bigint")
+                .alias("est_distinct")
+            )
+        return st.groupBy(*keys).agg(*aggs)
+
+    def compact(self) -> int:
+        """Merge state rows down to one per group and rewrite the state
+        table (ClickHouse background merges / OPTIMIZE FINAL). Returns
+        the row count after compaction. HLL states union WITHOUT
+        estimating, so compaction is lossless and repeatable."""
+        import os
+        import shutil
+
+        st = self.spark.read.parquet(self.dest_path)
+        aggs = self._merge_aggs()
+        if self.distinct_entity:
+            aggs.append(F.expr("hll_union_agg(hll_state)").alias("hll_state"))
+        merged = st.groupBy(*self.dims).agg(*aggs)
+        # stage-then-swap (the operators/mutate.py rewrite pattern): the
+        # merged result is written distributed to a staging dir — never
+        # collected — then swapped in, so a mid-compaction crash leaves
+        # the old state table intact.
+        tmp = self.dest_path.rstrip("/") + "__compacting"
+        merged.write.mode("overwrite").parquet(tmp)
+        shutil.rmtree(self.dest_path)
+        os.rename(tmp, self.dest_path)
+        return self.spark.read.parquet(self.dest_path).count()

@@ -42,9 +42,16 @@ WIRE_SCHEMA = T.StructType(
 )
 
 
-def process_batch(batch: DataFrame, warehouse: str) -> None:
+def process_batch(
+    batch: DataFrame, warehouse: str, views: dict | None = None
+) -> None:
     """Route one micro-batch: per family, decode + append; everything
     unroutable or undecodable lands in the DLQ.
+
+    ``views``: table name -> list of StreamingMatView — ClickHouse-MV
+    insert triggers (streaming/matview.py). Each view's partial-state
+    append runs over the SAME cached decoded batch, right after the raw
+    append — the MV-fires-on-insert contract.
 
     The routing split is a set of subject filters over one cached batch —
     each family's filter prunes on the subject value; with a partitioned
@@ -86,6 +93,8 @@ def process_batch(batch: DataFrame, warehouse: str) -> None:
                     )
                 good = decoded.filter(~F.col("_corrupt")).drop("_corrupt", "_raw")
                 append_events(good, warehouse, fam.table)
+                for view in (views or {}).get(fam.table, []):
+                    view.on_batch(good)
             finally:
                 decoded.unpersist()
     finally:
@@ -126,6 +135,7 @@ def start_ingest(
     max_files_per_trigger: int = 100,
     bytes_per_trigger: int | None = None,
     trigger_interval_ms: int = 1000,
+    views: dict | None = None,
 ):
     """Start the streaming ingestion query.
 
@@ -150,7 +160,7 @@ def start_ingest(
     )
     return (
         stream.writeStream.foreachBatch(
-            lambda batch, _epoch: process_batch(batch, warehouse)
+            lambda batch, _epoch: process_batch(batch, warehouse, views=views)
         )
         .option("checkpointLocation", checkpoint)
         .trigger(processingTime=f"{trigger_interval_ms} milliseconds")
