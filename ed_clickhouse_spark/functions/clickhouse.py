@@ -172,6 +172,47 @@ def quantile_exact_weighted(
     )
 
 
+def top_k_values(
+    df,
+    group_cols: list[str],
+    value_col: str,
+    k: int = 5,
+    alias: str = "top_values",
+):
+    """ClickHouse ``topK(k)(x)``: the k most frequent values per group,
+    as one comma-joined string column (serialized so the result stays
+    scalar for cross-engine comparison; CH returns an array).
+
+    CH's topK is approximate (filtered space-saving); this is the exact
+    two-phase spelling — groupBy (group, value) count with map-side
+    combine (the shuffle carries distinct values, not rows), then a
+    per-group row_number top-k. Deterministic tiebreak: count desc,
+    value asc. Exact beats approximate at any scale where the per-group
+    distinct-value domain is bounded; for unbounded domains compose with
+    the count-min sketch (operators/sketch.py) as the pre-filter."""
+    from pyspark.sql import Window
+
+    counts = df.groupBy(*group_cols, value_col).agg(F.count("*").alias("__n"))
+    w = Window.partitionBy(*group_cols).orderBy(
+        F.desc("__n"), F.asc(value_col)
+    )
+    return (
+        counts.withColumn("__rk", F.row_number().over(w))
+        .where(F.col("__rk") <= k)
+        .groupBy(*group_cols)
+        .agg(
+            F.concat_ws(
+                ",",
+                F.array_sort(
+                    F.collect_list(
+                        F.struct("__rk", F.col(value_col).cast("string").alias("__v"))
+                    )
+                ).getField("__v"),
+            ).alias(alias)
+        )
+    )
+
+
 def limit_by(df, n: int, by: list[str], order_by: list) -> "DataFrame":
     """ClickHouse ``LIMIT n BY col...``: first ``n`` rows per ``by`` group
     in ``order_by`` order — the idiom for "top n variants per key" without

@@ -188,6 +188,46 @@ def chunk_documents(
     return out
 
 
+def assign_shards(
+    df: DataFrame, n_shards: int, id_col: str = "doc_id"
+) -> DataFrame:
+    """Add a ``shard`` column in [0, n_shards): the deterministic,
+    engine-portable shard assignment (md5 bucketing, same mechanism as
+    :func:`train_split`) used to cut a corpus into fixed training
+    shards. Membership is a pure function of the id — appends, reruns,
+    and other engines produce the identical sharding."""
+    return df.withColumn("shard", hash_bucket(id_col, n_shards))
+
+
+def export_shards(
+    df: DataFrame,
+    dest: str,
+    n_shards: int,
+    id_col: str = "doc_id",
+    fmt: str = "parquet",
+) -> DataFrame:
+    """Write the corpus as ``n_shards`` deterministic shards
+    (``shard=K/`` directories) — the final "tokenized shards" step of a
+    training-data pipeline, where downstream loaders need (a) stable
+    doc->shard assignment across rebuilds and (b) one directory per
+    shard. Returns per-shard accounting (shard, n_docs).
+
+    Scale shape: one hash-partitioned shuffle on the shard id, then a
+    partitioned write — each shard lands as its own directory written in
+    parallel. ``repartition(n_shards, shard)`` bounds output files to
+    one per shard per partition-writer; no driver-side loop over shards."""
+    sharded = assign_shards(df, n_shards, id_col)
+    out = sharded.repartition(n_shards, "shard")
+    writer = out.write.mode("overwrite").partitionBy("shard")
+    if fmt == "parquet":
+        writer.parquet(dest)
+    elif fmt == "json":
+        writer.json(dest)
+    else:
+        raise ValueError(f"unsupported shard format {fmt!r}")
+    return sharded.groupBy("shard").agg(F.count("*").alias("n_docs"))
+
+
 def word_ngrams(text_col: str | Column, n: int) -> Column:
     """Word n-grams as an array of space-joined strings (codegen'd array
     exprs, same construction as :func:`repetition_ratio`)."""

@@ -275,3 +275,100 @@ def q119_quantization(spark, sf_dir):
         F.sum("code_sum").cast("bigint").alias("total_code"),
         F.round(F.avg("err"), 4).alias("avg_err"),
     )
+
+
+@query(
+    "q120_shard_assignment",
+    oracle="""
+    SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
+                AS BIGINT) % 16 AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+           COUNT(DISTINCT source) AS n_sources
+    FROM documents GROUP BY 1
+    """,
+)
+def q120_shard_assignment(spark, sf_dir):
+    """Deterministic 16-way training-shard assignment (md5 bucketing —
+    the export_shards layout): per-shard doc/token accounting, proving
+    the exact shard membership is reproducible from any engine. The
+    write itself is exercised in pytest; this is the accounting half."""
+    from ed_clickhouse_spark.operators.llmdata import assign_shards
+    from ed_clickhouse_spark.operators.text import token_count
+
+    d = assign_shards(t(spark, sf_dir, "documents"), n_shards=16)
+    return d.groupBy("shard").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(token_count("text")).alias("total_tokens"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+@query(
+    "q121_topk_values",
+    oracle="""
+    WITH c AS (
+      SELECT user_id % 10 AS cohort, event_type AS v, COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    ),
+    r AS (
+      SELECT cohort, v,
+             ROW_NUMBER() OVER (PARTITION BY cohort ORDER BY n DESC, v ASC) AS rk
+      FROM c
+    )
+    SELECT cohort,
+           array_to_string(list(v ORDER BY rk), ',') AS top_values
+    FROM r WHERE rk <= 3 GROUP BY cohort
+    """,
+)
+def q121_topk_values(spark, sf_dir):
+    """ClickHouse topK(3): most frequent event types per user cohort,
+    exact two-phase spelling (the shuffle carries distinct values, not
+    events), serialized to a comma-joined string so the array result
+    stays scalar for the driver hash."""
+    from ed_clickhouse_spark.functions.clickhouse import top_k_values
+
+    e = t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 10).alias("cohort"), "event_type"
+    )
+    return top_k_values(e, ["cohort"], "event_type", k=3)
+
+
+@query(
+    "q122_value_histogram",
+    oracle="""
+    WITH r AS (SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM events),
+    b AS (
+      SELECT LEAST(CAST(FLOOR((value - vmin) / ((vmax - vmin) / 10.0)) AS BIGINT),
+                   9) AS bucket,
+             value
+      FROM events CROSS JOIN r
+    )
+    SELECT bucket, COUNT(*) AS n,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE), 4) AS total
+    FROM b GROUP BY bucket
+    """,
+)
+def q122_value_histogram(spark, sf_dir):
+    """ClickHouse histogram(10)-style equal-width histogram of the event
+    value column (deterministic fixed-width buckets rather than CH's
+    adaptive ones, so any engine reproduces it): one tiny min/max
+    aggregate broadcast back, then a per-row bucket expression + one
+    two-phase count — no sort, no window."""
+    e = t(spark, sf_dir, "events")
+    r = e.agg(F.min("value").alias("vmin"), F.max("value").alias("vmax"))
+    width = (F.col("vmax") - F.col("vmin")) / F.lit(10.0)
+    bucket = F.least(
+        F.floor((F.col("value") - F.col("vmin")) / width).cast("bigint"), F.lit(9)
+    )
+    return (
+        e.crossJoin(F.broadcast(r))
+        .select(bucket.alias("bucket"), "value")
+        .groupBy("bucket")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(
+                F.sum(F.col("value").cast("decimal(18,4)")).cast("double"), 4
+            ).alias("total"),
+        )
+    )

@@ -148,3 +148,36 @@ def test_quantize_embeddings_roundtrip(spark):
         assert r["recon_err"] <= step / 2 + 1e-9
     # schema keeps original columns
     assert "embedding" in quant.columns and "vec_id" in quant.columns
+
+
+def test_top_k_values_exact_and_tiebreak(spark):
+    from ed_clickhouse_spark.functions.clickhouse import top_k_values
+
+    rows = spark.createDataFrame(
+        [("g", "a"), ("g", "a"), ("g", "b"), ("g", "b"), ("g", "c"), ("h", "z")],
+        ["k", "v"],
+    )
+    got = {r["k"]: r["top_values"] for r in top_k_values(rows, ["k"], "v", k=2).collect()}
+    # a and b tie at 2; value-asc tiebreak orders a before b; c (1) cut
+    assert got == {"g": "a,b", "h": "z"}
+
+
+def test_export_shards_deterministic_layout(spark, tmp_path):
+    import hashlib
+
+    from ed_clickhouse_spark.operators.llmdata import export_shards
+
+    rows = spark.createDataFrame(
+        [(i, f"doc {i}") for i in range(40)], ["doc_id", "text"]
+    )
+    dest = str(tmp_path / "shards")
+    acct = {r["shard"]: r["n_docs"] for r in export_shards(rows, dest, 4).collect()}
+    assert sum(acct.values()) == 40
+    # directories exist per shard and re-reading agrees with accounting
+    back = spark.read.parquet(dest)
+    got = {r["shard"]: r["n"] for r in back.groupBy("shard").count().withColumnRenamed("count", "n").collect()}
+    assert got == acct
+    # assignment is the md5 bucketing, reproducible offline
+    for r in back.select("doc_id", "shard").collect():
+        expect = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:4], 16) % 4
+        assert r["shard"] == expect
