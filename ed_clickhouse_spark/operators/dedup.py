@@ -320,44 +320,65 @@ def dedup_clusters(
     lineage, and the convergence check is a bounded `limit(1).count()` —
     the one justified driver action of an iterative algorithm.
     """
+    spark = pairs.sparkSession
     sym = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .persist()
     )
-    labels = (
-        sym.select(F.col("src").alias("id"))
-        .distinct()
-        .select("id", F.col("id").alias("lbl"))
-        .localCheckpoint()
+    # Size the iteration's shuffles to the GRAPH, not the corpus: the
+    # edge list is orders of magnitude smaller than the documents that
+    # produced it (only near-dup members appear), so inheriting the
+    # session's corpus-scale shuffle width makes every round pay task
+    # overhead for mostly-empty partitions. One edge count (it also
+    # materializes the persist) picks ~1 partition per 100k edges —
+    # at 100 TB a billion-edge graph still gets thousands of partitions.
+    n_edges = sym.count()
+    iter_parts = str(
+        max(
+            2,
+            min(
+                int(spark.conf.get("spark.sql.shuffle.partitions")),
+                n_edges // 100_000 + 2,
+            ),
+        )
     )
+    from ed_clickhouse_spark.operators.rollup import _conf
+
     try:
-        for _ in range(max_iter):
-            nbr_min = (
-                sym.join(labels, sym["src"] == labels["id"])
-                .groupBy(F.col("dst").alias("nid"))
-                .agg(F.min("lbl").alias("nbr_lbl"))
-            )
-            new = (
-                labels.join(nbr_min, labels["id"] == nbr_min["nid"], "left")
-                .select(
-                    labels["id"],
-                    F.least(
-                        F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
-                    ).alias("lbl"),
-                )
+        with _conf(spark, "spark.sql.shuffle.partitions", iter_parts):
+            labels = (
+                sym.select(F.col("src").alias("id"))
+                .distinct()
+                .select("id", F.col("id").alias("lbl"))
                 .localCheckpoint()
             )
-            changed = (
-                new.alias("n")
-                .join(labels.alias("o"), "id")
-                .filter(F.col("n.lbl") != F.col("o.lbl"))
-                .limit(1)
-                .count()
-            )
-            labels = new
-            if changed == 0:
-                break
+            for _ in range(max_iter):
+                nbr_min = (
+                    sym.join(labels, sym["src"] == labels["id"])
+                    .groupBy(F.col("dst").alias("nid"))
+                    .agg(F.min("lbl").alias("nbr_lbl"))
+                )
+                new = (
+                    labels.join(nbr_min, labels["id"] == nbr_min["nid"], "left")
+                    .select(
+                        labels["id"],
+                        F.least(
+                            F.col("lbl"), F.coalesce(F.col("nbr_lbl"), F.col("lbl"))
+                        ).alias("lbl"),
+                    )
+                    .localCheckpoint()
+                )
+                changed = (
+                    new.alias("n")
+                    .join(labels.alias("o"), "id")
+                    .filter(F.col("n.lbl") != F.col("o.lbl"))
+                    .limit(1)
+                    .count()
+                )
+                labels = new
+                if changed == 0:
+                    break
     finally:
         sym.unpersist()
     return labels.select("id", F.col("lbl").alias("cluster_id"))

@@ -233,13 +233,18 @@ def q97_dedup_survivors(spark, sf_dir):
                i -> array_to_string(string_split(text,' ')[i:i+9], ' ')
              ))) AS gram
       FROM documents
+    ),
+    keyed AS (
+      SELECT doc_id, substr(md5(gram), 1, 16) AS gram_key,
+             len(string_split(gram, ' ')) AS n_tokens
+      FROM grams
     )
-    SELECT md5(gram) AS gram_key,
+    SELECT gram_key,
            COUNT(*) AS n_docs,
            MIN(doc_id) AS first_doc,
-           len(string_split(MIN(gram), ' ')) AS n_tokens
-    FROM grams
-    GROUP BY gram
+           CAST(MIN(n_tokens) AS BIGINT) AS n_tokens
+    FROM keyed
+    GROUP BY gram_key
     HAVING COUNT(*) >= 3
     """,
 )
@@ -260,19 +265,27 @@ def q101_repeated_passages(spark, sf_dir):
         )
     )
     grams = d.select("doc_id", F.explode(g10).alias("gram"))
+    # hash BEFORE the shuffle: the aggregation key is a fixed 16-hex md5
+    # prefix (the engine-portable key decontaminate() also uses), so the
+    # exchange carries 16 bytes + a tiny int per gram instead of ~70-byte
+    # passage strings. At sf0.1/local[32] the query is compute-bound on
+    # gram construction (no measured change); the bound exchange width
+    # is what matters on a real cluster where the shuffle crosses the
+    # network.
+    keyed = grams.select(
+        "doc_id",
+        F.substring(F.md5("gram"), 1, 16).alias("gram_key"),
+        F.size(F.split(F.col("gram"), " ")).alias("n_tok"),
+    )
     return (
-        grams.groupBy("gram")
+        keyed.groupBy("gram_key")
         .agg(
             F.count("*").alias("n_docs"),
             F.min("doc_id").alias("first_doc"),
+            F.min("n_tok").cast("bigint").alias("n_tokens"),
         )
         .filter(F.col("n_docs") >= 3)
-        .select(
-            F.md5("gram").alias("gram_key"),
-            "n_docs",
-            "first_doc",
-            F.size(F.split(F.col("gram"), " ")).cast("bigint").alias("n_tokens"),
-        )
+        .select("gram_key", "n_docs", "first_doc", "n_tokens")
     )
 
 
