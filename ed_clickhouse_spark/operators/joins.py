@@ -92,6 +92,36 @@ def asof_join(
     return out.select(*lcols, *[F.col(f"__m.{c}").alias(c) for c in right_cols])
 
 
+def any_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    order_by: list | None = None,
+    how: str = "left",
+) -> DataFrame:
+    """ClickHouse ``ANY JOIN``: at most ONE right-side row matches each
+    key — CH picks an arbitrary one; here the match is made
+    deterministic by ``order_by`` (first row per key in that order;
+    default: the key itself, i.e. any stable representative).
+
+    Spark has no first-match join, so the right side is reduced to one
+    row per key FIRST (row_number window — WindowGroupLimit pushes the
+    rank-1 filter into the sort, so no group fully materializes), then
+    a plain equi-join. This also mirrors CH's performance rationale:
+    the hash table holds one entry per key, and the join can never
+    fan out left rows."""
+    from pyspark.sql import Window as W
+
+    order = order_by if order_by else [F.col(c) for c in on]
+    w = W.partitionBy(*on).orderBy(*order)
+    one = (
+        right.withColumn("__rn", F.row_number().over(w))
+        .where(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return left.join(one, on, how)
+
+
 def range_join(
     left: DataFrame, right: DataFrame, on: list[str], cond: Column
 ) -> DataFrame:

@@ -291,3 +291,31 @@ def max_intersections(
     )
     running = deltas.withColumn("__open", F.sum("d").over(w))
     return running.groupBy(*part_cols).agg(F.max("__open").alias(alias))
+
+
+def running_difference(
+    value_col, partition_by: list, order_by: list
+):
+    """ClickHouse ``runningDifference(x)``: x minus the previous row's x
+    in window order; 0 for the first row (CH semantics). One window
+    shuffle on the partition key."""
+    from pyspark.sql import Window as W
+
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    w = W.partitionBy(*partition_by).orderBy(*order_by)
+    prev = F.lag(c, 1).over(w)
+    return F.when(prev.isNull(), c - c).otherwise(c - prev)
+
+
+def neighbor(value_col, offset: int, partition_by: list, order_by: list, default=None):
+    """ClickHouse ``neighbor(x, offset[, default])``: the value of x at
+    the row ``offset`` positions away in window order (positive = ahead,
+    negative = behind), ``default`` when out of range. lag/lead under a
+    deterministic window — one shuffle on the partition key."""
+    from pyspark.sql import Window as W
+
+    c = F.col(value_col) if isinstance(value_col, str) else value_col
+    w = W.partitionBy(*partition_by).orderBy(*order_by)
+    if offset >= 0:
+        return F.lead(c, offset, default).over(w)
+    return F.lag(c, -offset, default).over(w)

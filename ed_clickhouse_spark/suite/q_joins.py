@@ -195,3 +195,45 @@ def q26_theta_join(spark, sf_dir):
         .groupBy("s_suppkey", "s_name")
         .agg(F.count("*").alias("n_richer_customers"))
     )
+
+
+@query(
+    "q123_any_join",
+    oracle="""
+    WITH one AS (
+      SELECT l_orderkey, l_partkey, l_quantity,
+             ROW_NUMBER() OVER (
+               PARTITION BY l_orderkey ORDER BY l_linenumber, l_partkey, l_quantity
+             ) AS rn
+      FROM lineitem
+    )
+    SELECT o.o_orderkey, o.o_custkey,
+           one.l_partkey AS first_part,
+           one.l_quantity AS first_qty
+    FROM orders o
+    LEFT JOIN one ON one.l_orderkey = o.o_orderkey AND one.rn = 1
+    """,
+)
+def q123_any_join(spark, sf_dir):
+    """ClickHouse ANY LEFT JOIN: each order matched to at most ONE
+    lineitem (deterministically the lowest line number — CH picks an
+    arbitrary one; a pinned order is the engine-portable spelling). The
+    right side reduces to one row per key BEFORE the join
+    (WindowGroupLimit), so the join can never fan out."""
+    from ed_clickhouse_spark.operators.joins import any_join
+
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("o_orderkey"),
+        "l_partkey",
+        "l_quantity",
+        "l_linenumber",
+    )
+    return any_join(
+        o, li, on=["o_orderkey"], order_by=[F.col("l_linenumber"), F.col("l_partkey"), F.col("l_quantity")]
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.col("l_partkey").alias("first_part"),
+        F.col("l_quantity").alias("first_qty"),
+    )

@@ -87,3 +87,20 @@ def q88_filtered_ann(spark, sf_dir):
         F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec")
     )
     return brute_force_topk(queries, corpus, k=3)
+
+
+@query("q125_pq_ann")  # approximate (trained codebooks) — rows-only;
+# plumbing exactness + recall floors pinned in tests/test_dedup_similarity.py
+def q125_pq_ann(spark, sf_dir):
+    """Product-quantization ANN: corpus compressed to m=8 sub-space
+    codes (~32x smaller scan), ADC candidate ranking via broadcast
+    per-query distance tables, exact cosine re-rank of the top-50 —
+    the compress-then-verify tier of the similarity ladder."""
+    from ed_clickhouse_spark.operators.pq import pq_topk
+    from ed_clickhouse_spark.suite.q_similarity import _q_and_corpus
+
+    q, c = _q_and_corpus(spark, sf_dir)
+    return pq_topk(
+        q, c, k=5, m=8, n_codes=32, iters=1, rerank=50,
+        q_id="q_id", c_id="c_id", q_vec="q_vec", c_vec="c_vec",
+    )

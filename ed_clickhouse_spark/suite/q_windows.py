@@ -201,3 +201,31 @@ def q33_first_last_value(spark, sf_dir):
         F.first("event_type").over(w).alias("first_event"),
         F.last("event_type").over(w).alias("last_event"),
     ).distinct()
+
+
+@query(
+    "q124_running_difference",
+    oracle="""
+    SELECT event_id,
+           ROUND(COALESCE(value - LAG(value) OVER w, 0), 4) AS diff,
+           ROUND(COALESCE(LAG(value) OVER w, -1.0), 4) AS prev_v,
+           ROUND(COALESCE(LEAD(value) OVER w, -1.0), 4) AS next_v
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q124_running_difference(spark, sf_dir):
+    """ClickHouse runningDifference + neighbor(x, ±1): per-user value
+    deltas and adjacent-row values in time order (deterministic
+    (ts, event_id) tiebreak; out-of-range neighbor -> -1.0 default).
+    One window shuffle on user_id serves all three expressions."""
+    from ed_clickhouse_spark.operators.windows import neighbor, running_difference
+
+    e = t(spark, sf_dir, "events")
+    pb, ob = ["user_id"], ["ts", "event_id"]
+    return e.select(
+        "event_id",
+        F.round(running_difference("value", pb, ob), 4).alias("diff"),
+        F.round(neighbor("value", -1, pb, ob, default=-1.0), 4).alias("prev_v"),
+        F.round(neighbor("value", 1, pb, ob, default=-1.0), 4).alias("next_v"),
+    )
