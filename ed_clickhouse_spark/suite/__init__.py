@@ -53,6 +53,7 @@ def _load_all() -> None:
         q_misc,
         q_search,
         q_similarity,
+        q_stats,
         q_similarity2,
         q_setops,
         q_text,
