@@ -89,3 +89,42 @@ def hll_merge(state: DataFrame, keys: list[str]) -> DataFrame:
     if keys:
         return state.groupBy(*keys).agg(merged.alias("est_distinct"))
     return state.agg(merged.alias("est_distinct"))
+
+
+def hll_set_estimates(
+    state: DataFrame,
+    set_col: str,
+    set_a,
+    set_b,
+    keys: list[str] | None = None,
+) -> DataFrame:
+    """Distinct-set algebra from stored HLL states — the ClickHouse
+    ``uniqTheta`` union/intersection use case (audience overlap: "users
+    who did A and B") computed WITHOUT rescanning raw data. Input is a
+    :func:`hll_state` frame grouped by (*keys, set_col); output per key:
+    est_a, est_b, est_union (sketch-exact union) and est_intersect by
+    inclusion-exclusion (|A|+|B|-|A∪B|, floored at 0 — IE over HLL has
+    no error bound of its own; treat small intersections as noisy).
+    Shuffles carry one sketch per group, never entity ids."""
+    keys = keys or []
+    cond_a = F.col(set_col) == set_a
+    cond_b = F.col(set_col) == set_b
+    both = state.filter(cond_a | cond_b)
+    est = lambda c: F.expr(  # noqa: E731
+        "hll_sketch_estimate(hll_union_agg(" + c + "))"
+    )
+    agged = both.groupBy(*keys).agg(
+        est(f"CASE WHEN {set_col} = '{set_a}' THEN hll_state END").alias("est_a"),
+        est(f"CASE WHEN {set_col} = '{set_b}' THEN hll_state END").alias("est_b"),
+        est("hll_state").alias("est_union"),
+    )
+    inter = F.greatest(
+        F.col("est_a") + F.col("est_b") - F.col("est_union"), F.lit(0)
+    )
+    return agged.select(
+        *keys,
+        F.col("est_a").cast("bigint").alias("est_a"),
+        F.col("est_b").cast("bigint").alias("est_b"),
+        F.col("est_union").cast("bigint").alias("est_union"),
+        inter.cast("bigint").alias("est_intersect"),
+    )

@@ -229,3 +229,132 @@ def q124_running_difference(spark, sf_dir):
         F.round(neighbor("value", -1, pb, ob, default=-1.0), 4).alias("prev_v"),
         F.round(neighbor("value", 1, pb, ob, default=-1.0), 4).alias("next_v"),
     )
+
+
+@query(
+    "q129_moving_window_aggs",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, day,
+           ROUND(SUM(v) OVER w3, 4) AS mov_sum3,
+           ROUND(AVG(v) OVER w3, 4) AS mov_avg3,
+           ROUND(MAX(v) OVER w3, 4) AS mov_max3
+    FROM daily
+    WINDOW w3 AS (PARTITION BY event_type ORDER BY day
+                  ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q129_moving_window_aggs(spark, sf_dir):
+    """ClickHouse groupArrayMovingSum/MovingAvg(3): 3-day moving sum,
+    average, and max of daily event value per type. CH materializes the
+    moving series as an array inside the aggregate; the engine-idiomatic
+    spelling is a sliding ROWS frame over the pre-aggregated daily
+    series — the window shuffle carries days, not events."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"))
+    w3 = W.partitionBy("event_type").orderBy("day").rowsBetween(-2, 0)
+    return daily.select(
+        "event_type",
+        "day",
+        F.round(F.sum("v").over(w3), 4).alias("mov_sum3"),
+        F.round(F.avg("v").over(w3), 4).alias("mov_avg3"),
+        F.round(F.max("v").over(w3), 4).alias("mov_max3"),
+    )
+
+
+@query(
+    "q130_gapfill_interpolate",
+    oracle="""
+    WITH cal AS (
+      SELECT CAST(d AS DATE) AS day
+      FROM generate_series(DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY) t(d)
+    ),
+    daily AS (
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+             ROUND(AVG(CAST(value AS DECIMAL(18,2))), 4) AS v
+      FROM events
+      WHERE day(ts) % 3 <> 0
+      GROUP BY 1
+    ),
+    g AS (
+      SELECT cal.day, daily.v,
+             CAST(cal.day - DATE '2024-01-01' AS BIGINT) AS h
+      FROM cal LEFT JOIN daily ON cal.day = daily.day
+    ),
+    n AS (
+      SELECT day, v, h,
+             LAST_VALUE(v IGNORE NULLS) OVER wp AS pv,
+             LAST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wp AS ph,
+             FIRST_VALUE(v IGNORE NULLS) OVER wf AS nv,
+             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wf AS nh
+      FROM g
+      WINDOW wp AS (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+             wf AS (ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+    )
+    SELECT day,
+           (v IS NULL) AS filled,
+           ROUND(COALESCE(v,
+             CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
+                  THEN pv + (nv - pv) * (h - ph) / (nh - ph)
+                  ELSE COALESCE(pv, nv) END), 4) AS value
+    FROM n
+    """,
+)
+def q130_gapfill_interpolate(spark, sf_dir):
+    """ClickHouse ``WITH FILL ... INTERPOLATE``: daily averages with
+    every third day removed, re-filled by LINEAR interpolation between
+    the nearest observed neighbors (edges take the nearest side). The
+    neighbor search is two ignore-nulls window scans — no self-join,
+    no per-gap loop; at scale the window shuffles days, not events."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    cal = spark.range(1).select(
+        F.explode(
+            F.sequence(
+                F.lit("2024-01-01").cast("date"),
+                F.lit("2024-01-30").cast("date"),
+                F.expr("INTERVAL 1 DAY"),
+            )
+        ).alias("day")
+    )
+    daily = (
+        e.where(F.dayofmonth("ts") % 3 != 0)
+        .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.round(F.avg(F.col("value").cast("decimal(18,2)")), 4).cast("double").alias("v"))
+    )
+    g = (
+        F.broadcast(cal)
+        .join(daily, "day", "left")
+        .withColumn("h", F.datediff("day", F.lit("2024-01-01").cast("date")).cast("bigint"))
+    )
+    wp = W.orderBy("h").rowsBetween(W.unboundedPreceding, 0)
+    wf = W.orderBy("h").rowsBetween(0, W.unboundedFollowing)
+    marked = F.when(F.col("v").isNotNull(), F.col("h"))
+    n = g.select(
+        "day",
+        "v",
+        "h",
+        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last(marked, ignorenulls=True).over(wp).alias("ph"),
+        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first(marked, ignorenulls=True).over(wf).alias("nh"),
+    )
+    interp = F.when(
+        F.col("pv").isNotNull() & F.col("nv").isNotNull(),
+        F.col("pv")
+        + (F.col("nv") - F.col("pv")) * (F.col("h") - F.col("ph")) / (F.col("nh") - F.col("ph")),
+    ).otherwise(F.coalesce("pv", "nv"))
+    return n.select(
+        "day",
+        F.col("v").isNull().alias("filled"),
+        F.round(F.coalesce("v", interp), 4).alias("value"),
+    )

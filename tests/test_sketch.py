@@ -93,3 +93,22 @@ def test_approx_quantiles_within_tolerance(spark, sf_dir):
     for k, (p50, p90) in got.items():
         assert abs(p50 - exact[k][0]) / exact[k][0] < 0.02
         assert abs(p90 - exact[k][1]) / exact[k][1] < 0.02
+
+
+def test_hll_set_estimates_overlap(spark):
+    from pyspark.sql import functions as F
+
+    from ed_clickhouse_spark.operators.sketch import hll_set_estimates, hll_state
+
+    # A = users 0..599 (click), B = users 400..999 (error): |A∩B| = 200
+    rows = spark.createDataFrame(
+        [("click", u) for u in range(600)] + [("error", u) for u in range(400, 1000)],
+        ["event_type", "user_id"],
+    )
+    st = hll_state(rows, ["event_type"], "user_id")
+    r = hll_set_estimates(st, "event_type", "click", "error").collect()[0]
+    assert abs(r["est_a"] - 600) / 600 < 0.05
+    assert abs(r["est_b"] - 600) / 600 < 0.05
+    assert abs(r["est_union"] - 1000) / 1000 < 0.05
+    # inclusion-exclusion intersection: looser bound (errors compound)
+    assert abs(r["est_intersect"] - 200) / 200 < 0.25
