@@ -32,10 +32,10 @@ EXTRA = [
     "q96_dedup_clusters",    # iterative connected components
     "q98_bm25_search",       # BM25 keyword top-k
     "q101_repeated_passages",  # 10-gram substring dedup signal
-    "q115_chunking",         # sliding-window passage chunking
-    "q117_weighted_quantile",  # exact weighted quantiles
-    "q118_lm_quality",       # unigram-LM quality scoring
-    "q119_quantization",     # int8 embedding quantization
+    "q131_chunking",         # sliding-window passage chunking
+    "q133_weighted_quantile",  # exact weighted quantiles
+    "q134_lm_quality",       # unigram-LM quality scoring
+    "q135_quantization",     # int8 embedding quantization
 ]
 
 HEADLINE = [

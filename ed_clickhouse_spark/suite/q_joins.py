@@ -198,7 +198,7 @@ def q26_theta_join(spark, sf_dir):
 
 
 @query(
-    "q123_any_join",
+    "q139_any_join",
     oracle="""
     WITH one AS (
       SELECT l_orderkey, l_partkey, l_quantity,
@@ -214,7 +214,7 @@ def q26_theta_join(spark, sf_dir):
     LEFT JOIN one ON one.l_orderkey = o.o_orderkey AND one.rn = 1
     """,
 )
-def q123_any_join(spark, sf_dir):
+def q139_any_join(spark, sf_dir):
     """ClickHouse ANY LEFT JOIN: each order matched to at most ONE
     lineitem (deterministically the lowest line number — CH picks an
     arbitrary one; a pinned order is the engine-portable spelling). The

@@ -19,7 +19,7 @@ from ed_clickhouse_spark.suite._util import t
 
 
 @query(
-    "q115_chunking",
+    "q131_chunking",
     oracle="""
     WITH tk AS (
       SELECT doc_id, string_split(text, ' ') AS toks,
@@ -41,7 +41,7 @@ from ed_clickhouse_spark.suite._util import t
     FROM c
     """,
 )
-def q115_chunking(spark, sf_dir):
+def q131_chunking(spark, sf_dir):
     """Sliding-window chunking (32-token windows, stride 24 — overlapping
     RAG/context-window passages). One row per chunk; chunk text verified
     through an md5 prefix so the driver hash pins exact chunk contents
@@ -59,7 +59,7 @@ def q115_chunking(spark, sf_dir):
 
 
 @query(
-    "q116_url_functions",
+    "q132_url_functions",
     oracle="""
     WITH u AS (
       SELECT 'https://' ||
@@ -88,7 +88,7 @@ def q115_chunking(spark, sf_dir):
     FROM p GROUP BY 1, 2, 3
     """,
 )
-def q116_url_functions(spark, sf_dir):
+def q132_url_functions(spark, sf_dir):
     """ClickHouse URL-function family (domain / topLevelDomain / path /
     extractURLParameter), exercised through the registered SQL spellings
     (backed by Spark's built-in parse_url — JVM codegen, no regex UDFs).
@@ -136,7 +136,7 @@ def q116_url_functions(spark, sf_dir):
 
 
 @query(
-    "q117_weighted_quantile",
+    "q133_weighted_quantile",
     oracle="""
     WITH pv AS (
       SELECT l_returnflag AS flag, l_quantity AS v,
@@ -157,7 +157,7 @@ def q116_url_functions(spark, sf_dir):
           WHERE cum >= 0.9 * tot GROUP BY flag) p USING (flag)
     """,
 )
-def q117_weighted_quantile(spark, sf_dir):
+def q133_weighted_quantile(spark, sf_dir):
     """ClickHouse quantileExactWeighted: exact weighted median and p90 of
     l_quantity weighted by l_linenumber, per return flag. Distributed as
     pre-aggregate-per-distinct-value + window cumsum — exact at any scale
@@ -177,7 +177,7 @@ def q117_weighted_quantile(spark, sf_dir):
 
 
 @query(
-    "q118_lm_quality",
+    "q134_lm_quality",
     oracle="""
     WITH dw AS (
       SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w
@@ -202,7 +202,7 @@ def q117_weighted_quantile(spark, sf_dir):
     FROM d GROUP BY 1, 2
     """,
 )
-def q118_lm_quality(spark, sf_dir):
+def q134_lm_quality(spark, sf_dir):
     """Unigram-LM quality scoring (the CCNet-style perplexity-filter
     proxy): mean token log-probability under a corpus-fit unigram model,
     reported as per-source half-nat histogram buckets. Token counts and
@@ -223,7 +223,7 @@ def q118_lm_quality(spark, sf_dir):
 
 
 @query(
-    "q119_quantization",
+    "q135_quantization",
     oracle="""
     WITH v AS (
       SELECT MIN(x) AS vmin, MAX(x) AS vmax,
@@ -253,7 +253,7 @@ def q118_lm_quality(spark, sf_dir):
     FROM e GROUP BY label
     """,
 )
-def q119_quantization(spark, sf_dir):
+def q135_quantization(spark, sf_dir):
     """Int8 scalar quantization of the embedding corpus (global-range
     SQ): per label, the exact integer code mass (pins every code value
     bit-for-bit via the driver hash) and mean reconstruction error. The
@@ -278,7 +278,7 @@ def q119_quantization(spark, sf_dir):
 
 
 @query(
-    "q120_shard_assignment",
+    "q136_shard_assignment",
     oracle="""
     SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))
                 AS BIGINT) % 16 AS shard,
@@ -288,7 +288,7 @@ def q119_quantization(spark, sf_dir):
     FROM documents GROUP BY 1
     """,
 )
-def q120_shard_assignment(spark, sf_dir):
+def q136_shard_assignment(spark, sf_dir):
     """Deterministic 16-way training-shard assignment (md5 bucketing —
     the export_shards layout): per-shard doc/token accounting, proving
     the exact shard membership is reproducible from any engine. The
@@ -305,7 +305,7 @@ def q120_shard_assignment(spark, sf_dir):
 
 
 @query(
-    "q121_topk_values",
+    "q137_topk_values",
     oracle="""
     WITH c AS (
       SELECT user_id % 10 AS cohort, event_type AS v, COUNT(*) AS n
@@ -321,7 +321,7 @@ def q120_shard_assignment(spark, sf_dir):
     FROM r WHERE rk <= 3 GROUP BY cohort
     """,
 )
-def q121_topk_values(spark, sf_dir):
+def q137_topk_values(spark, sf_dir):
     """ClickHouse topK(3): most frequent event types per user cohort,
     exact two-phase spelling (the shuffle carries distinct values, not
     events), serialized to a comma-joined string so the array result
@@ -335,7 +335,7 @@ def q121_topk_values(spark, sf_dir):
 
 
 @query(
-    "q122_value_histogram",
+    "q138_value_histogram",
     oracle="""
     WITH r AS (SELECT MIN(value) AS vmin, MAX(value) AS vmax FROM events),
     b AS (
@@ -349,7 +349,7 @@ def q121_topk_values(spark, sf_dir):
     FROM b GROUP BY bucket
     """,
 )
-def q122_value_histogram(spark, sf_dir):
+def q138_value_histogram(spark, sf_dir):
     """ClickHouse histogram(10)-style equal-width histogram of the event
     value column (deterministic fixed-width buckets rather than CH's
     adaptive ones, so any engine reproduces it): one tiny min/max

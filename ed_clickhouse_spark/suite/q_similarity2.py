@@ -89,9 +89,9 @@ def q88_filtered_ann(spark, sf_dir):
     return brute_force_topk(queries, corpus, k=3)
 
 
-@query("q125_pq_ann")  # approximate (trained codebooks) — rows-only;
+@query("q141_pq_ann")  # approximate (trained codebooks) — rows-only;
 # plumbing exactness + recall floors pinned in tests/test_dedup_similarity.py
-def q125_pq_ann(spark, sf_dir):
+def q141_pq_ann(spark, sf_dir):
     """Product-quantization ANN: corpus compressed to m=8 sub-space
     codes (~32x smaller scan), ADC candidate ranking via broadcast
     per-query distance tables, exact cosine re-rank of the top-50 —

@@ -204,7 +204,7 @@ def q33_first_last_value(spark, sf_dir):
 
 
 @query(
-    "q124_running_difference",
+    "q140_running_difference",
     oracle="""
     SELECT event_id,
            ROUND(COALESCE(value - LAG(value) OVER w, 0), 4) AS diff,
@@ -214,7 +214,7 @@ def q33_first_last_value(spark, sf_dir):
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     """,
 )
-def q124_running_difference(spark, sf_dir):
+def q140_running_difference(spark, sf_dir):
     """ClickHouse runningDifference + neighbor(x, ±1): per-user value
     deltas and adjacent-row values in time order (deterministic
     (ts, event_id) tiebreak; out-of-range neighbor -> -1.0 default).
@@ -279,32 +279,33 @@ def q129_moving_window_aggs(spark, sf_dir):
     ),
     daily AS (
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-             ROUND(AVG(CAST(value AS DECIMAL(18,2))), 4) AS v
+             CAST(ROUND(ROUND(AVG(CAST(value AS DECIMAL(18,2))), 4) * 10000)
+                  AS BIGINT) AS v4
       FROM events
       WHERE day(ts) % 3 <> 0
       GROUP BY 1
     ),
     g AS (
-      SELECT cal.day, daily.v,
+      SELECT cal.day, daily.v4,
              CAST(cal.day - DATE '2024-01-01' AS BIGINT) AS h
       FROM cal LEFT JOIN daily ON cal.day = daily.day
     ),
     n AS (
-      SELECT day, v, h,
-             LAST_VALUE(v IGNORE NULLS) OVER wp AS pv,
-             LAST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wp AS ph,
-             FIRST_VALUE(v IGNORE NULLS) OVER wf AS nv,
-             FIRST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER wf AS nh
+      SELECT day, v4, h,
+             LAST_VALUE(v4 IGNORE NULLS) OVER wp AS pv,
+             LAST_VALUE(CASE WHEN v4 IS NOT NULL THEN h END IGNORE NULLS) OVER wp AS ph,
+             FIRST_VALUE(v4 IGNORE NULLS) OVER wf AS nv,
+             FIRST_VALUE(CASE WHEN v4 IS NOT NULL THEN h END IGNORE NULLS) OVER wf AS nh
       FROM g
       WINDOW wp AS (ORDER BY h ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
              wf AS (ORDER BY h ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
     )
     SELECT day,
-           (v IS NULL) AS filled,
-           ROUND(COALESCE(v,
+           (v4 IS NULL) AS filled,
+           CAST(COALESCE(v4 * 2,
              CASE WHEN pv IS NOT NULL AND nv IS NOT NULL
-                  THEN pv + (nv - pv) * (h - ph) / (nh - ph)
-                  ELSE COALESCE(pv, nv) END), 4) AS value
+                  THEN (pv * (nh - h) + nv * (h - ph)) * 2 / (nh - ph)
+                  ELSE COALESCE(pv, nv) * 2 END) AS BIGINT) AS val_e4x2
     FROM n
     """,
 )
@@ -329,7 +330,16 @@ def q130_gapfill_interpolate(spark, sf_dir):
     daily = (
         e.where(F.dayofmonth("ts") % 3 != 0)
         .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
-        .agg(F.round(F.avg(F.col("value").cast("decimal(18,2)")), 4).cast("double").alias("v"))
+        # exact scaled-integer values (1e-4 units): the interpolation
+        # below stays in integer arithmetic, so midpoints can never land
+        # on a float rounding boundary that engines resolve differently
+        .agg(
+            F.round(
+                F.round(F.avg(F.col("value").cast("decimal(18,2)")), 4) * 10000
+            )
+            .cast("bigint")
+            .alias("v4")
+        )
     )
     g = (
         F.broadcast(cal)
@@ -338,23 +348,29 @@ def q130_gapfill_interpolate(spark, sf_dir):
     )
     wp = W.orderBy("h").rowsBetween(W.unboundedPreceding, 0)
     wf = W.orderBy("h").rowsBetween(0, W.unboundedFollowing)
-    marked = F.when(F.col("v").isNotNull(), F.col("h"))
+    marked = F.when(F.col("v4").isNotNull(), F.col("h"))
     n = g.select(
         "day",
-        "v",
+        "v4",
         "h",
-        F.last("v", ignorenulls=True).over(wp).alias("pv"),
+        F.last("v4", ignorenulls=True).over(wp).alias("pv"),
         F.last(marked, ignorenulls=True).over(wp).alias("ph"),
-        F.first("v", ignorenulls=True).over(wf).alias("nv"),
+        F.first("v4", ignorenulls=True).over(wf).alias("nv"),
         F.first(marked, ignorenulls=True).over(wf).alias("nh"),
     )
+    # doubled numerator keeps half-step midpoints exact in integers
+    # (value = val_e4x2 / 2e4); integer div is exact here because
+    # (nh - ph) | 2 for the single-day gaps this fill produces
     interp = F.when(
         F.col("pv").isNotNull() & F.col("nv").isNotNull(),
-        F.col("pv")
-        + (F.col("nv") - F.col("pv")) * (F.col("h") - F.col("ph")) / (F.col("nh") - F.col("ph")),
-    ).otherwise(F.coalesce("pv", "nv"))
+        (
+            (F.col("pv") * (F.col("nh") - F.col("h")) + F.col("nv") * (F.col("h") - F.col("ph")))
+            * 2
+            / (F.col("nh") - F.col("ph"))
+        ),
+    ).otherwise(F.coalesce("pv", "nv") * 2)
     return n.select(
         "day",
-        F.col("v").isNull().alias("filled"),
-        F.round(F.coalesce("v", interp), 4).alias("value"),
+        F.col("v4").isNull().alias("filled"),
+        F.coalesce(F.col("v4") * 2, interp).cast("bigint").alias("val_e4x2"),
     )

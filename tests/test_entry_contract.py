@@ -24,7 +24,7 @@ def test_queries_and_oracles_align():
         "q50_ann_lsh",
         "q80_heavy_hitters",
         "q87_ann_ivf",
-        "q125_pq_ann",
+        "q141_pq_ann",
         "q103_uniq_merge",
         "q104_approx_quantiles",
     }
