@@ -1,13 +1,22 @@
 """Statistical aggregates (ClickHouse's statistics family): entropy,
-Cramér's V, Welch's t-test — the corpus-audit / A-B-readout functions a
-ClickHouse user runs over event tables (CH: ``entropy``, ``cramersV``,
-``welchTTest``).
+Cramér's V, Welch's t-test, Mann-Whitney U, Spearman rank correlation,
+Kolmogorov-Smirnov, Theil's U — the corpus-audit / A-B-readout
+functions a ClickHouse user runs over event tables (CH: ``entropy``,
+``cramersV``, ``welchTTest``, ``mannWhitneyUTest``, ``rankCorr``,
+``kolmogorovSmirnovTest``, ``theilsU``).
 
 All are one- or two-shuffle decompositions over counts and exact
 decimal power sums (the q51/q52 moment pattern): no sorting, no raw-row
 collection, deterministic at any scale. Transcendental steps (ln, sqrt)
 run on already-aggregated cells, so cross-engine float drift is bounded
 by one function application, absorbed by output rounding.
+
+The rank-based tests (Mann-Whitney, Spearman, KS) never globally sort
+raw rows: ranks compress to per-DISTINCT-VALUE counts first (the
+``quantile_exact_weighted`` trick), so the one unavoidable ordered pass
+runs over value cardinality, not row count — a measure with bounded
+precision (2-dp doubles, token counts, scores) has bounded distinct
+values no matter how many rows the corpus holds.
 """
 
 from __future__ import annotations
@@ -135,4 +144,253 @@ def welch_ttest(
         F.round("m_b", round_to).alias("mean_b"),
         F.round(t, round_to).alias("t_stat"),
         F.round(dof, round_to).alias("df"),
+    )
+
+
+def _rank_map(counts: DataFrame, value_col: str) -> DataFrame:
+    """Average (midrank) per distinct value from per-value counts:
+    rank(v) = #[x < v] + (#[x = v] + 1) / 2. The running count is a
+    window over DISTINCT values (cardinality-bounded), not rows."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.orderBy(value_col)
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    return counts.withColumn(
+        "__rank",
+        F.coalesce(F.sum("__c").over(w), F.lit(0)) + (F.col("__c") + 1) / 2.0,
+    )
+
+
+def mann_whitney_u(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> DataFrame:
+    """Mann-Whitney U rank-sum test between two groups — ClickHouse
+    ``mannWhitneyUTest(x, g)``. One row: (n_a, n_b, u, z) where ``u``
+    is group A's U statistic and ``z`` its tie-corrected normal
+    approximation.
+
+    Scale shape: one groupBy(value) count (rows shuffle once, keyed on
+    the measure), one distinct-value window for midranks, one scalar
+    aggregate. R_a = Σ c_a(v)·rank(v); U_a = R_a − n_a(n_a+1)/2;
+    σ² = (n_a·n_b/12)·[(n+1) − Σ(c³−c)/(n(n−1))] (tie correction)."""
+    filt = df.filter(F.col(group_col).isin([group_a, group_b]))
+    counts = filt.groupBy(value_col).agg(
+        F.count("*").alias("__c"),
+        F.count(F.when(F.col(group_col) == group_a, 1)).alias("__ca"),
+    )
+    ranked = _rank_map(counts, value_col)
+    agg = ranked.agg(
+        F.sum("__ca").alias("n_a"),
+        F.sum(F.col("__c") - F.col("__ca")).alias("n_b"),
+        F.sum(F.col("__ca") * F.col("__rank")).alias("r_a"),
+        F.sum(F.col("__c") * F.col("__c") * F.col("__c") - F.col("__c")).alias("__t"),
+    )
+    n = F.col("n_a") + F.col("n_b")
+    u = F.col("r_a") - F.col("n_a") * (F.col("n_a") + 1) / 2.0
+    sigma = F.sqrt(
+        F.col("n_a")
+        * F.col("n_b")
+        / 12.0
+        * ((n + 1) - F.col("__t") / (n * (n - 1)))
+    )
+    z = (u - F.col("n_a") * F.col("n_b") / 2.0) / sigma
+    return agg.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(u, round_to).alias("u"),
+        F.round(z, round_to).alias("z"),
+    )
+
+
+def rank_corr(
+    df: DataFrame, col_x: str, col_y: str, round_to: int = 6
+) -> DataFrame:
+    """Spearman rank correlation — ClickHouse ``rankCorr(x, y)``. One
+    row: (n, rho). Midranks for each column come from its per-value
+    count table (two distinct-value windows); rows join back to the two
+    rank maps by value (equi-joins, broadcast-eligible while the value
+    domains stay small), then Pearson over the rank pairs from one
+    exact moment aggregate — ranks are exact multiples of 0.5, so
+    decimal power sums are order-independent."""
+    rx = _rank_map(
+        df.groupBy(col_x).agg(F.count("*").alias("__c")), col_x
+    ).select(col_x, F.col("__rank").alias("__rx"))
+    ry = _rank_map(
+        df.groupBy(col_y).agg(F.count("*").alias("__c")), col_y
+    ).select(col_y, F.col("__rank").alias("__ry"))
+    j = df.select(col_x, col_y).join(rx, col_x).join(ry, col_y)
+    dx = _dec("__rx", 1)
+    dy = _dec("__ry", 1)
+    m = j.agg(
+        F.count("*").alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+        F.sum(dy * dy).cast("double").alias("syy"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+    )
+    cov = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    vy = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(cov / F.sqrt(vx * vy), round_to).alias("rho"),
+    )
+
+
+def kolmogorov_smirnov(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> DataFrame:
+    """Two-sample Kolmogorov-Smirnov — ClickHouse
+    ``kolmogorovSmirnovTest(x, g)``. One row: (n_a, n_b, d, ks) where
+    ``d`` = sup |ECDF_a − ECDF_b| and ``ks`` = √(n_a·n_b/(n_a+n_b))·d.
+
+    ECDFs step only at observed values, so the sup is attained at a
+    distinct value: per-value group counts, one distinct-value window
+    for the two running totals, one max."""
+    from pyspark.sql import Window as W
+
+    filt = df.filter(F.col(group_col).isin([group_a, group_b]))
+    counts = filt.groupBy(value_col).agg(
+        F.count(F.when(F.col(group_col) == group_a, 1)).alias("__ca"),
+        F.count(F.when(F.col(group_col) == group_b, 1)).alias("__cb"),
+    )
+    w = W.orderBy(value_col).rowsBetween(W.unboundedPreceding, 0)
+    cum = counts.select(
+        F.sum("__ca").over(w).alias("__cum_a"),
+        F.sum("__cb").over(w).alias("__cum_b"),
+    )
+    tot = filt.agg(
+        F.count(F.when(F.col(group_col) == group_a, 1)).alias("n_a"),
+        F.count(F.when(F.col(group_col) == group_b, 1)).alias("n_b"),
+    )
+    d = cum.crossJoin(F.broadcast(tot)).agg(
+        F.first("n_a").alias("n_a"),
+        F.first("n_b").alias("n_b"),
+        F.max(
+            F.abs(F.col("__cum_a") / F.col("n_a") - F.col("__cum_b") / F.col("n_b"))
+        ).alias("__d"),
+    )
+    return d.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round("__d", round_to).alias("d"),
+        F.round(
+            F.sqrt(F.col("n_a") * F.col("n_b") / (F.col("n_a") + F.col("n_b")))
+            * F.col("__d"),
+            round_to,
+        ).alias("ks"),
+    )
+
+
+def theils_u(df: DataFrame, col_a: str, col_b: str, round_to: int = 6) -> DataFrame:
+    """Theil's uncertainty coefficient U(a|b) — ClickHouse
+    ``theilsU(a, b)`` (asymmetric: how much knowing b reduces the
+    entropy of a). One row: (n, u).
+
+    U = (H(a) − H(a|b)) / H(a) with H(a) = ln n − Σ c_a ln c_a / n and
+    H(a|b) = (Σ c_b ln c_b − Σ c_ab ln c_ab) / n — all three from the
+    contingency cell counts and the two marginals, same shuffle shape
+    as :func:`cramers_v` (observed cells only, zero cells never
+    materialize because 0·ln 0 = 0)."""
+    cells = df.groupBy(col_a, col_b).agg(F.count("*").alias("o"))
+    agg = cells.agg(
+        F.sum("o").alias("n"),
+        F.sum(F.col("o") * F.log("o")).alias("__cab"),
+    )
+    ma = (
+        cells.groupBy(col_a)
+        .agg(F.sum("o").alias("c"))
+        .agg(F.sum(F.col("c") * F.log("c")).alias("__ca"))
+    )
+    mb = (
+        cells.groupBy(col_b)
+        .agg(F.sum("o").alias("c"))
+        .agg(F.sum(F.col("c") * F.log("c")).alias("__cb"))
+    )
+    j = agg.crossJoin(F.broadcast(ma)).crossJoin(F.broadcast(mb))
+    h_a = F.log("n") - F.col("__ca") / F.col("n")
+    h_a_given_b = (F.col("__cb") - F.col("__cab")) / F.col("n")
+    return j.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round((h_a - h_a_given_b) / h_a, round_to).alias("u"),
+    )
+
+
+def bounding_ratio(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """ClickHouse ``boundingRatio(x, y)``: slope of the chord between
+    the leftmost and rightmost points, (y at max x − y at min x) /
+    (max x − min x). One grouped aggregate (max_by/min_by), one
+    shuffle keyed on the group."""
+    group_cols = group_cols or []
+    agg = df.groupBy(*group_cols).agg(
+        F.max_by(y_col, x_col).alias("__y_hi"),
+        F.min_by(y_col, x_col).alias("__y_lo"),
+        F.max(x_col).alias("__x_hi"),
+        F.min(x_col).alias("__x_lo"),
+    )
+    return agg.select(
+        *group_cols,
+        F.round(
+            (F.col("__y_hi") - F.col("__y_lo")) / (F.col("__x_hi") - F.col("__x_lo")),
+            round_to,
+        ).alias("ratio"),
+    )
+
+
+def sequence_count(
+    df: DataFrame,
+    ts_col: str,
+    cond_a,
+    cond_b,
+    group_col: str,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """ClickHouse ``sequenceCount('(?1)(?2)')(ts, cond_a, cond_b)``:
+    greedy non-overlapping count of an A-then-B event pattern per
+    group. Returns (group, matches) for groups with >= 1 match.
+
+    Equivalence (why a lag suffices): the greedy matcher arms on the
+    first A, fires on the next B, then resets. Restricted to the A/B
+    subsequence, every maximal run ``A+ B+`` fires exactly once — on
+    its first B (later Bs find the matcher unarmed, later As inside
+    the next A-run re-arm it only once). A B fires iff its immediate
+    A/B predecessor is an A, so matches = #{B : lag(symbol) = A}.
+    One user-keyed window over the filtered stream — no state machine,
+    no ``applyInPandasWithState``, no quadratic self-join.
+    """
+    from pyspark.sql import Window as W
+
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    sym = (
+        df.withColumn(
+            "__sym",
+            F.when(cond_a, F.lit("A")).when(cond_b, F.lit("B")),
+        )
+        .filter(F.col("__sym").isNotNull())
+    )
+    w = W.partitionBy(group_col).orderBy(*order)
+    lagged = sym.withColumn("__prev", F.lag("__sym").over(w))
+    return (
+        lagged.filter((F.col("__sym") == "B") & (F.col("__prev") == "A"))
+        .groupBy(group_col)
+        .agg(F.count("*").alias("matches"))
     )

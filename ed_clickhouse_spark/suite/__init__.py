@@ -54,6 +54,7 @@ def _load_all() -> None:
         q_search,
         q_similarity,
         q_stats,
+        q_stats2,
         q_similarity2,
         q_setops,
         q_text,

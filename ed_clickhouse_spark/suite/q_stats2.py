@@ -1,0 +1,258 @@
+"""Nonparametric / rank-statistics queries (ClickHouse
+mannWhitneyUTest / rankCorr / kolmogorovSmirnovTest / sequenceCount /
+theilsU / boundingRatio) over the events table, DuckDB-oracled.
+
+Rank tests compress to per-distinct-value counts before the one
+ordered pass (see operators/stats.py), so the oracles mirror the same
+count-then-window decomposition — both engines aggregate exact
+integers/halves and only the final scalar division runs in floating
+point, absorbed by ROUND(..., 6).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from ed_clickhouse_spark.operators.stats import (
+    bounding_ratio,
+    kolmogorov_smirnov,
+    mann_whitney_u,
+    rank_corr,
+    sequence_count,
+    theils_u,
+)
+from ed_clickhouse_spark.suite import query
+from ed_clickhouse_spark.suite._util import t
+
+
+@query(
+    "q142_mann_whitney",
+    oracle="""
+    WITH f AS (
+      SELECT value AS v, event_type FROM events
+      WHERE event_type IN ('click', 'error')
+    ),
+    c AS (
+      SELECT v, COUNT(*) AS c,
+             COUNT(*) FILTER (WHERE event_type = 'click') AS ca
+      FROM f GROUP BY 1
+    ),
+    r AS (
+      SELECT c, ca,
+             COALESCE(SUM(c) OVER (ORDER BY v
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (c + 1) / 2.0 AS rank
+      FROM c
+    ),
+    a AS (
+      SELECT SUM(ca) AS n_a, SUM(c - ca) AS n_b,
+             SUM(ca * rank) AS r_a, SUM(c * c * c - c) AS tie
+      FROM r
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(r_a - n_a * (n_a + 1) / 2.0, 6) AS u,
+           ROUND((r_a - n_a * (n_a + 1) / 2.0 - n_a * n_b / 2.0)
+                 / sqrt(n_a * n_b / 12.0
+                        * ((n_a + n_b + 1)
+                           - tie / ((n_a + n_b) * (n_a + n_b - 1.0)))), 6) AS z
+    FROM a
+    """,
+)
+def q142_mann_whitney(spark, sf_dir):
+    """ClickHouse mannWhitneyUTest: do 'click' and 'error' events draw
+    their values from the same distribution? Tie-corrected U/z from
+    per-distinct-value counts — rows shuffle once, keyed on the
+    measure; the ordered pass runs over value cardinality."""
+    return mann_whitney_u(
+        t(spark, sf_dir, "events"), "value", "event_type", "click", "error"
+    )
+
+
+@query(
+    "q143_rank_corr",
+    oracle="""
+    WITH d AS (SELECT value AS x, user_id % 100 AS y FROM events),
+    cx AS (SELECT x, COUNT(*) AS c FROM d GROUP BY 1),
+    rx AS (
+      SELECT x, COALESCE(SUM(c) OVER (ORDER BY x
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (c + 1) / 2.0 AS rx
+      FROM cx
+    ),
+    cy AS (SELECT y, COUNT(*) AS c FROM d GROUP BY 1),
+    ry AS (
+      SELECT y, COALESCE(SUM(c) OVER (ORDER BY y
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (c + 1) / 2.0 AS ry
+      FROM cy
+    ),
+    j AS (
+      SELECT CAST(rx AS DECIMAL(28,1)) AS rx, CAST(ry AS DECIMAL(28,1)) AS ry
+      FROM d JOIN rx USING (x) JOIN ry USING (y)
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(rx) AS DOUBLE) AS sx, CAST(SUM(ry) AS DOUBLE) AS sy,
+             CAST(SUM(rx * rx) AS DOUBLE) AS sxx,
+             CAST(SUM(ry * ry) AS DOUBLE) AS syy,
+             CAST(SUM(rx * ry) AS DOUBLE) AS sxy
+      FROM j
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND((sxy - sx * sy / n)
+                 / sqrt((sxx - sx * sx / n) * (syy - sy * sy / n)), 6) AS rho
+    FROM m
+    """,
+)
+def q143_rank_corr(spark, sf_dir):
+    """ClickHouse rankCorr: Spearman correlation between event value
+    and user cohort (≈0 on this synthetic data). Midranks from two
+    distinct-value count tables joined back by value; Pearson over the
+    rank pairs from one exact decimal moment aggregate."""
+    e = t(spark, sf_dir, "events").select(
+        F.col("value").alias("x"), (F.col("user_id") % 100).alias("y")
+    )
+    return rank_corr(e, "x", "y")
+
+
+@query(
+    "q144_ks_test",
+    oracle="""
+    WITH f AS (
+      SELECT value AS v, event_type FROM events
+      WHERE event_type IN ('click', 'view')
+    ),
+    c AS (
+      SELECT v,
+             COUNT(*) FILTER (WHERE event_type = 'click') AS ca,
+             COUNT(*) FILTER (WHERE event_type = 'view') AS cb
+      FROM f GROUP BY 1
+    ),
+    tot AS (SELECT SUM(ca) AS n_a, SUM(cb) AS n_b FROM c),
+    cum AS (
+      SELECT SUM(ca) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cum_a,
+             SUM(cb) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING
+               AND CURRENT ROW) AS cum_b
+      FROM c
+    ),
+    d AS (
+      SELECT MAX(ABS(cum_a / n_a - cum_b / n_b)) AS d, n_a, n_b
+      FROM cum CROSS JOIN tot GROUP BY n_a, n_b
+    )
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND(d, 6) AS d,
+           ROUND(sqrt(n_a * n_b / (n_a + n_b)) * d, 6) AS ks
+    FROM d
+    """,
+)
+def q144_ks_test(spark, sf_dir):
+    """ClickHouse kolmogorovSmirnovTest: sup-distance between the
+    'click' and 'view' value ECDFs. ECDFs step only at observed values,
+    so the sup is computed on the distinct-value grid — one grouped
+    count, one cardinality-bounded window, one max."""
+    return kolmogorov_smirnov(
+        t(spark, sf_dir, "events"), "value", "event_type", "click", "view"
+    )
+
+
+@query(
+    "q145_sequence_count",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, ts, event_id, event_type FROM events
+      WHERE event_type IN ('click', 'purchase')
+    ),
+    l AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev
+      FROM f
+    )
+    SELECT user_id, COUNT(*) AS matches
+    FROM l WHERE event_type = 'purchase' AND prev = 'click'
+    GROUP BY 1
+    """,
+)
+def q145_sequence_count(spark, sf_dir):
+    """ClickHouse sequenceCount('(?1)(?2)')(ts, click, purchase): how
+    many click→purchase conversions per user, greedy non-overlapping.
+    Reduces to a lag over the A/B-filtered event stream (see
+    operators/stats.py:sequence_count for the equivalence proof) — one
+    user-keyed window, no state machine, no quadratic self-join."""
+    return sequence_count(
+        t(spark, sf_dir, "events"),
+        "ts",
+        F.col("event_type") == "click",
+        F.col("event_type") == "purchase",
+        group_col="user_id",
+        tiebreak_col="event_id",
+    )
+
+
+@query(
+    "q146_theils_u",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS a, user_id % 5 AS b, COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT SUM(o) AS n, SUM(o * ln(o)) AS cab FROM cells
+    ),
+    ma AS (
+      SELECT SUM(c * ln(c)) AS ca
+      FROM (SELECT SUM(o) AS c FROM cells GROUP BY a)
+    ),
+    mb AS (
+      SELECT SUM(c * ln(c)) AS cb
+      FROM (SELECT SUM(o) AS c FROM cells GROUP BY b)
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(((ln(n) - ca / n) - (cb - cab) / n) / (ln(n) - ca / n), 6) AS u
+    FROM agg CROSS JOIN ma CROSS JOIN mb
+    """,
+)
+def q146_theils_u(spark, sf_dir):
+    """ClickHouse theilsU(a, b): how much does knowing the user cohort
+    reduce the entropy of the event type (asymmetric association, ≈0
+    here). Contingency cells + two marginals, zero cells never
+    materialize (0·ln0 = 0) — the cramersV shuffle shape."""
+    e = t(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 5).alias("cohort")
+    )
+    return theils_u(e, "event_type", "cohort")
+
+
+@query(
+    "q147_bounding_ratio",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, epoch(ts) AS x,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    w AS (
+      SELECT event_type,
+             FIRST_VALUE(y) OVER (PARTITION BY event_type ORDER BY x DESC) AS y_hi,
+             FIRST_VALUE(y) OVER (PARTITION BY event_type ORDER BY x ASC) AS y_lo,
+             MAX(x) OVER (PARTITION BY event_type) AS x_hi,
+             MIN(x) OVER (PARTITION BY event_type) AS x_lo
+      FROM s
+    )
+    SELECT DISTINCT event_type,
+           ROUND((y_hi - y_lo) / (x_hi - x_lo), 6) AS ratio
+    FROM w
+    """,
+)
+def q147_bounding_ratio(spark, sf_dir):
+    """ClickHouse boundingRatio(x, y): chord slope between the first
+    and last point of each event type's per-second value series. The
+    series is pre-aggregated to one row per (type, second) — x is
+    unique within the group, so max_by/min_by are deterministic — then
+    one grouped aggregate."""
+    e = t(spark, sf_dir, "events")
+    s = e.groupBy(
+        "event_type", F.unix_timestamp("ts").alias("x")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("y"))
+    return bounding_ratio(s, "x", "y", ["event_type"])

@@ -1,0 +1,98 @@
+"""Known-value checks for the nonparametric stats operators
+(textbook examples, plus the greedy-equivalence edge cases for
+sequence_count)."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from ed_clickhouse_spark.operators.stats import (
+    bounding_ratio,
+    kolmogorov_smirnov,
+    mann_whitney_u,
+    rank_corr,
+    sequence_count,
+    theils_u,
+)
+
+
+def _two_group(spark, a, b):
+    rows = [(float(x), "a") for x in a] + [(float(x), "b") for x in b]
+    return spark.createDataFrame(rows, "v double, g string")
+
+
+def test_mann_whitney_separated(spark):
+    # a = {1,2,3}, b = {4,5,6}: ranks 1..6, R_a = 6, U_a = 0, no ties.
+    row = mann_whitney_u(_two_group(spark, [1, 2, 3], [4, 5, 6]), "v", "g", "a", "b").first()
+    assert (row["n_a"], row["n_b"]) == (3, 3)
+    assert row["u"] == 0.0
+    assert abs(row["z"] - (-4.5 / math.sqrt(5.25))) < 1e-6
+
+
+def test_mann_whitney_ties_symmetric(spark):
+    # identical groups: U = n_a*n_b/2 exactly, z = 0.
+    row = mann_whitney_u(
+        _two_group(spark, [1, 2, 2, 3], [1, 2, 2, 3]), "v", "g", "a", "b"
+    ).first()
+    assert row["u"] == 8.0
+    assert row["z"] == 0.0
+
+
+def test_ks_disjoint_supports(spark):
+    row = kolmogorov_smirnov(_two_group(spark, [1, 2], [3, 4]), "v", "g", "a", "b").first()
+    assert row["d"] == 1.0
+    assert row["ks"] == 1.0  # sqrt(2*2/4) * 1
+
+
+def test_rank_corr_monotone(spark):
+    df = spark.createDataFrame(
+        [(float(i), float(i * i)) for i in range(1, 11)], "x double, y double"
+    )
+    assert rank_corr(df, "x", "y").first()["rho"] == 1.0
+    rev = df.withColumn("y", -F.col("y"))
+    assert rank_corr(rev, "x", "y").first()["rho"] == -1.0
+
+
+def test_sequence_count_greedy_nonoverlap(spark):
+    # symbol sequences -> expected greedy A-then-B match counts
+    cases = {
+        "u1": ("ABAB", 2),
+        "u2": ("AABB", 1),
+        "u3": ("BA", 0),
+        "u4": ("ABBA", 1),
+        "u5": ("BBB", 0),
+    }
+    rows = [
+        (u, i, sym) for u, (seq, _) in cases.items() for i, sym in enumerate(seq)
+    ]
+    df = spark.createDataFrame(rows, "u string, ts int, sym string")
+    got = {
+        r["u"]: r["matches"]
+        for r in sequence_count(
+            df, "ts", F.col("sym") == "A", F.col("sym") == "B", group_col="u"
+        ).collect()
+    }
+    for u, (_, want) in cases.items():
+        assert got.get(u, 0) == want
+
+
+def test_theils_u_extremes(spark):
+    # b determines a completely -> U(a|b) = 1
+    det = spark.createDataFrame(
+        [("x", 1), ("x", 1), ("y", 2), ("y", 2), ("z", 3)], "a string, b int"
+    )
+    assert theils_u(det, "a", "b").first()["u"] == 1.0
+    # b constant -> knowing b reduces nothing -> U = 0
+    const = spark.createDataFrame(
+        [("x", 1), ("y", 1), ("x", 1), ("z", 1)], "a string, b int"
+    )
+    assert theils_u(const, "a", "b").first()["u"] == 0.0
+
+
+def test_bounding_ratio_slope(spark):
+    df = spark.createDataFrame(
+        [(0.0, 0.0), (3.0, 99.0), (10.0, 5.0)], "x double, y double"
+    )
+    assert bounding_ratio(df, "x", "y").first()["ratio"] == 0.5
