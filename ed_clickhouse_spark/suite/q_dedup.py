@@ -264,7 +264,14 @@ def q101_repeated_passages(spark, sf_dir):
             lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 10)),
         )
     )
-    grams = d.select("doc_id", F.explode(g10).alias("gram"))
+    # every gram has exactly 10 tokens except the single whole-doc gram
+    # of a <10-word doc — so n_tok is a per-DOC constant, computed once
+    # instead of re-splitting every exploded gram.
+    grams = d.select(
+        "doc_id",
+        F.least(F.lit(10), F.size(toks)).alias("n_tok"),
+        F.explode(g10).alias("gram"),
+    )
     # hash BEFORE the shuffle: the aggregation key is a fixed 16-hex md5
     # prefix (the engine-portable key decontaminate() also uses), so the
     # exchange carries 16 bytes + a tiny int per gram instead of ~70-byte
@@ -275,7 +282,7 @@ def q101_repeated_passages(spark, sf_dir):
     keyed = grams.select(
         "doc_id",
         F.substring(F.md5("gram"), 1, 16).alias("gram_key"),
-        F.size(F.split(F.col("gram"), " ")).alias("n_tok"),
+        "n_tok",
     )
     return (
         keyed.groupBy("gram_key")
