@@ -394,3 +394,144 @@ def sequence_count(
         .groupBy(group_col)
         .agg(F.count("*").alias("matches"))
     )
+
+
+def auc(df: DataFrame, score_col: str, label_col: str, round_to: int = 6) -> DataFrame:
+    """ROC AUC of a score against a binary label — ClickHouse
+    ``arrayAUC(scores, labels)`` lifted to a dataset aggregate (the CH
+    spelling takes parallel arrays; a table of rows is the same data).
+    One row: (n_pos, n_neg, auc).
+
+    AUC is the rank-sum identity: AUC = (R_pos − n_pos(n_pos+1)/2) /
+    (n_pos·n_neg) with midranks handling score ties (equivalent to
+    trapezoidal interpolation on the ROC curve). Same scale shape as
+    :func:`mann_whitney_u`: per-distinct-score counts, one
+    cardinality-bounded window, one scalar aggregate — rows shuffle
+    once, keyed on the score."""
+    lab = F.col(label_col).cast("int")
+    counts = df.groupBy(score_col).agg(
+        F.count("*").alias("__c"),
+        F.sum(lab).alias("__cp"),
+    )
+    ranked = _rank_map(counts, score_col)
+    agg = ranked.agg(
+        F.sum("__cp").alias("n_pos"),
+        F.sum(F.col("__c") - F.col("__cp")).alias("n_neg"),
+        F.sum(F.col("__cp") * F.col("__rank")).alias("r_pos"),
+    )
+    a = (F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0) / (
+        F.col("n_pos") * F.col("n_neg")
+    )
+    return agg.select(
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        F.round(a, round_to).alias("auc"),
+    )
+
+
+def skew_kurt(
+    df: DataFrame,
+    value_col: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """Skewness and excess kurtosis per group — ClickHouse ``skewPop``
+    / ``kurtPop``. One grouped aggregate of raw power sums (S1..S4),
+    then the central-moment identities in double:
+    m_k = E[(x−μ)^k]; skew = m3/m2^1.5; kurt = m4/m2² − 3.
+
+    S1/S2 go through exact decimals (the q51 pattern); S3/S4 would
+    overflow 38-digit decimals, so they sum in double — their relative
+    error is ~1e-12 on any aggregation order, absorbed by the output
+    rounding. Both statistics are scale-invariant, so the magnitude of
+    the measure doesn't amplify the drift."""
+    group_cols = group_cols or []
+    v = F.col(value_col).cast("double")
+    d = _dec(value_col)
+    s = df.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        F.sum(d).cast("double").alias("s1"),
+        F.sum(d * d).cast("double").alias("s2"),
+        F.sum(v * v * v).alias("s3"),
+        F.sum(v * v * v * v).alias("s4"),
+    )
+    m1 = F.col("s1") / F.col("n")
+    m2 = F.col("s2") / F.col("n") - m1 * m1
+    m3 = F.col("s3") / F.col("n") - 3 * m1 * F.col("s2") / F.col("n") + 2 * m1 * m1 * m1
+    m4 = (
+        F.col("s4") / F.col("n")
+        - 4 * m1 * F.col("s3") / F.col("n")
+        + 6 * m1 * m1 * F.col("s2") / F.col("n")
+        - 3 * m1 * m1 * m1 * m1
+    )
+    return s.select(
+        *group_cols,
+        F.col("n").cast("bigint").alias("n"),
+        F.round(m3 / F.pow(m2, 1.5), round_to).alias("skew"),
+        F.round(m4 / (m2 * m2) - 3, round_to).alias("kurt"),
+    )
+
+
+def student_ttest(
+    df: DataFrame,
+    value_col: str,
+    group_col: str,
+    group_a,
+    group_b,
+    round_to: int = 6,
+) -> DataFrame:
+    """Student's pooled-variance t-test — ClickHouse ``studentTTest(x,
+    g)`` (the equal-variance sibling of :func:`welch_ttest`). One row:
+    (n_a, n_b, t_stat, df) with df = n_a + n_b − 2 and pooled variance
+    s² = ((n_a−1)s_a² + (n_b−1)s_b²) / df. Same single-shuffle exact
+    power-sum shape as welch_ttest."""
+    filt = df.filter(F.col(group_col).isin([group_a, group_b]))
+    s = filt.groupBy(group_col).agg(
+        F.count("*").alias("n"),
+        F.sum(_dec(value_col)).cast("double").alias("sx"),
+        F.sum(_dec(value_col) * _dec(value_col)).cast("double").alias("sx2"),
+    )
+    s = s.select(
+        group_col,
+        "n",
+        (F.col("sx") / F.col("n")).alias("m"),
+        (F.col("sx2") - F.col("sx") * F.col("sx") / F.col("n")).alias("ss"),
+    )
+    a = s.filter(F.col(group_col) == group_a).select(
+        F.col("n").alias("n_a"), F.col("m").alias("m_a"), F.col("ss").alias("ss_a")
+    )
+    b = s.filter(F.col(group_col) == group_b).select(
+        F.col("n").alias("n_b"), F.col("m").alias("m_b"), F.col("ss").alias("ss_b")
+    )
+    j = a.crossJoin(b)
+    dof = F.col("n_a") + F.col("n_b") - 2
+    pooled = (F.col("ss_a") + F.col("ss_b")) / dof
+    t = (F.col("m_a") - F.col("m_b")) / F.sqrt(
+        pooled * (1.0 / F.col("n_a") + 1.0 / F.col("n_b"))
+    )
+    return j.select(
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        F.round(t, round_to).alias("t_stat"),
+        dof.cast("bigint").alias("df"),
+    )
+
+
+def avg_weighted(
+    df: DataFrame,
+    value_col: str,
+    weight_col: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """ClickHouse ``avgWeighted(x, w)``: Σ x·w / Σ w per group, exact
+    decimal numerator/denominator, one shuffle."""
+    group_cols = group_cols or []
+    agg = df.groupBy(*group_cols).agg(
+        F.sum(_dec(value_col) * _dec(weight_col, 0)).cast("double").alias("__num"),
+        F.sum(_dec(weight_col, 0)).cast("double").alias("__den"),
+    )
+    return agg.select(
+        *group_cols,
+        F.round(F.col("__num") / F.col("__den"), round_to).alias("wavg"),
+    )

@@ -193,3 +193,51 @@ def ngram_topk(
         counts.withColumn("rank", F.row_number().over(w).cast("bigint"))
         .where(F.col("rank") <= k)
     )
+
+
+def zipf_slope(
+    df: DataFrame, text_col: str = "text", top_n: int = 1000, round_to: int = 6
+) -> DataFrame:
+    """Zipf-law audit of a corpus: OLS slope of ln(freq) on ln(rank)
+    over the ``top_n`` most frequent tokens (a healthy natural-language
+    corpus sits near −1; templated/synthetic text drifts toward 0, a
+    fast distribution-shift detector for training-data intake). One
+    row: (n_tokens, slope, intercept).
+
+    Scale shape: explode → token-keyed count (rows shuffle once as
+    tokens), TakeOrderedAndProject down to ``top_n`` rows (freq desc,
+    token asc — deterministic under ties), then the regression runs on
+    the tiny top-N table; the double moment sums span only ``top_n``
+    terms, absorbed by rounding."""
+    from ed_clickhouse_spark.operators.text import tokens
+
+    counts = (
+        df.select(F.explode(tokens(text_col)).alias("tok"))
+        .filter(F.col("tok") != "")
+        .groupBy("tok")
+        .agg(F.count("*").alias("c"))
+        .orderBy(F.desc("c"), F.asc("tok"))
+        .limit(top_n)
+    )
+    from pyspark.sql import Window as W
+
+    ranked = counts.withColumn(
+        "r", F.row_number().over(W.orderBy(F.desc("c"), F.asc("tok")))
+    ).select(F.log("r").alias("lx"), F.log("c").alias("ly"))
+    m = ranked.agg(
+        F.count("*").alias("n"),
+        F.sum("lx").alias("sx"),
+        F.sum("ly").alias("sy"),
+        F.sum(F.col("lx") * F.col("lx")).alias("sxx"),
+        F.sum(F.col("lx") * F.col("ly")).alias("sxy"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    return m.select(
+        F.col("n").cast("bigint").alias("n_tokens"),
+        F.round(slope, round_to).alias("slope"),
+        F.round(
+            F.col("sy") / F.col("n") - slope * F.col("sx") / F.col("n"), round_to
+        ).alias("intercept"),
+    )

@@ -14,6 +14,10 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from ed_clickhouse_spark.operators.stats import (
+    auc,
+    avg_weighted,
+    skew_kurt,
+    student_ttest,
     bounding_ratio,
     kolmogorov_smirnov,
     mann_whitney_u,
@@ -256,3 +260,180 @@ def q147_bounding_ratio(spark, sf_dir):
         "event_type", F.unix_timestamp("ts").alias("x")
     ).agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("y"))
     return bounding_ratio(s, "x", "y", ["event_type"])
+
+
+@query(
+    "q148_auc",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(embedding[1] AS DOUBLE) AS s,
+             CASE WHEN label < 5 THEN 1 ELSE 0 END AS y
+      FROM embeddings
+    ),
+    c AS (SELECT s, COUNT(*) AS c, SUM(y) AS cp FROM d GROUP BY 1),
+    r AS (
+      SELECT c, cp,
+             COALESCE(SUM(c) OVER (ORDER BY s
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               + (c + 1) / 2.0 AS rank
+      FROM c
+    ),
+    a AS (
+      SELECT SUM(cp) AS n_pos, SUM(c - cp) AS n_neg,
+             SUM(cp * rank) AS r_pos
+      FROM r
+    )
+    SELECT CAST(n_pos AS BIGINT) AS n_pos, CAST(n_neg AS BIGINT) AS n_neg,
+           ROUND((r_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg), 6) AS auc
+    FROM a
+    """,
+)
+def q148_auc(spark, sf_dir):
+    """ClickHouse arrayAUC as a dataset aggregate: can the first
+    embedding component separate label<5 from label>=5? (≈0.5 on this
+    synthetic data — no signal.) Rank-sum identity over per-distinct-
+    score counts; the ordered pass is cardinality-bounded."""
+    e = t(spark, sf_dir, "embeddings").select(
+        F.element_at("embedding", 1).cast("double").alias("s"),
+        (F.col("label") < 5).alias("y"),
+    )
+    return auc(e, "s", "y")
+
+
+@query(
+    "q149_skew_kurt",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS s1,
+             CAST(SUM(CAST(value AS DECIMAL(28,4))
+                      * CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS s2,
+             SUM(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+                 * CAST(value AS DOUBLE)) AS s3,
+             SUM(CAST(value AS DOUBLE) * CAST(value AS DOUBLE)
+                 * CAST(value AS DOUBLE) * CAST(value AS DOUBLE)) AS s4
+      FROM events GROUP BY 1
+    ),
+    m AS (
+      SELECT event_type, n, s1 / n AS m1,
+             s2 / n - (s1 / n) * (s1 / n) AS m2,
+             s3 / n - 3 * (s1 / n) * s2 / n + 2 * pow(s1 / n, 3) AS m3,
+             s4 / n - 4 * (s1 / n) * s3 / n
+               + 6 * (s1 / n) * (s1 / n) * s2 / n - 3 * pow(s1 / n, 4) AS m4
+      FROM s
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           ROUND(m3 / pow(m2, 1.5), 6) AS skew,
+           ROUND(m4 / (m2 * m2) - 3, 6) AS kurt
+    FROM m
+    """,
+)
+def q149_skew_kurt(spark, sf_dir):
+    """ClickHouse skewPop/kurtPop per event type: one grouped pass of
+    raw power sums, central-moment identities on the aggregated cells.
+    (The synthetic value column is near-uniform: skew ≈ 0, kurt ≈
+    −1.2.)"""
+    return skew_kurt(t(spark, sf_dir, "events"), "value", ["event_type"])
+
+
+@query(
+    "q150_student_ttest",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(value AS DECIMAL(28,4))
+                      * CAST(value AS DECIMAL(28,4))) AS DOUBLE) AS sx2
+      FROM events WHERE event_type IN ('view', 'purchase')
+      GROUP BY 1
+    ),
+    m AS (
+      SELECT event_type, n, sx / n AS m, sx2 - sx * sx / n AS ss FROM s
+    ),
+    a AS (SELECT n AS n_a, m AS m_a, ss AS ss_a FROM m WHERE event_type = 'view'),
+    b AS (SELECT n AS n_b, m AS m_b, ss AS ss_b FROM m WHERE event_type = 'purchase')
+    SELECT CAST(n_a AS BIGINT) AS n_a, CAST(n_b AS BIGINT) AS n_b,
+           ROUND((m_a - m_b) / sqrt((ss_a + ss_b) / (n_a + n_b - 2)
+                 * (1.0 / n_a + 1.0 / n_b)), 6) AS t_stat,
+           CAST(n_a + n_b - 2 AS BIGINT) AS df
+    FROM a CROSS JOIN b
+    """,
+)
+def q150_student_ttest(spark, sf_dir):
+    """ClickHouse studentTTest (pooled variance, the equal-variance
+    sibling of q128's Welch): same exact-decimal single-shuffle power
+    sums, df = n_a + n_b − 2."""
+    return student_ttest(
+        t(spark, sf_dir, "events"), "value", "event_type", "view", "purchase"
+    )
+
+
+@query(
+    "q151_avg_weighted",
+    oracle="""
+    SELECT source,
+           ROUND(CAST(SUM(CAST(q AS DECIMAL(28,4)) * CAST(n_chars AS DECIMAL(28,0)))
+                      AS DOUBLE)
+                 / CAST(SUM(CAST(n_chars AS DECIMAL(28,0))) AS DOUBLE), 6) AS wavg
+    FROM (
+      SELECT source, n_chars,
+             len(string_split(text, ' ')) * 1.0 / n_chars AS q
+      FROM documents
+    )
+    GROUP BY source
+    """,
+)
+def q151_avg_weighted(spark, sf_dir):
+    """ClickHouse avgWeighted(x, w): tokens-per-char ratio per source,
+    weighted by document length — the char-weighted mean, one exact
+    decimal aggregate. (Weighting by length answers "what fraction of
+    the CORPUS BYTES is word-like", not "of the documents".)"""
+    from ed_clickhouse_spark.operators.text import token_count
+
+    d = t(spark, sf_dir, "documents").select(
+        "source",
+        "n_chars",
+        (token_count("text") * 1.0 / F.col("n_chars")).alias("q"),
+    )
+    return avg_weighted(d, "q", "n_chars", ["source"])
+
+
+@query(
+    "q152_zipf_slope",
+    oracle="""
+    WITH c AS (
+      SELECT tok, COUNT(*) AS c
+      FROM (
+        SELECT unnest(string_split(text, ' ')) AS tok FROM documents
+      )
+      WHERE tok <> ''
+      GROUP BY tok
+      ORDER BY c DESC, tok ASC
+      LIMIT 1000
+    ),
+    r AS (
+      SELECT ln(ROW_NUMBER() OVER (ORDER BY c DESC, tok ASC)) AS lx,
+             ln(c) AS ly
+      FROM c
+    ),
+    m AS (
+      SELECT COUNT(*) AS n, SUM(lx) AS sx, SUM(ly) AS sy,
+             SUM(lx * lx) AS sxx, SUM(lx * ly) AS sxy
+      FROM r
+    )
+    SELECT CAST(n AS BIGINT) AS n_tokens,
+           ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+           ROUND(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx / n,
+                 6) AS intercept
+    FROM m
+    """,
+)
+def q152_zipf_slope(spark, sf_dir):
+    """Zipf-law corpus audit: OLS slope of ln(freq) vs ln(rank) over
+    the top-1000 tokens — a one-number distribution-shift detector for
+    training-data intake (natural text ≈ −1; templated/synthetic text
+    drifts toward 0). Token counts shuffle once; the regression runs on
+    the 1000-row top-N."""
+    from ed_clickhouse_spark.operators.text import zipf_slope
+
+    return zipf_slope(t(spark, sf_dir, "documents"), "text", top_n=1000)

@@ -96,3 +96,57 @@ def test_bounding_ratio_slope(spark):
         [(0.0, 0.0), (3.0, 99.0), (10.0, 5.0)], "x double, y double"
     )
     assert bounding_ratio(df, "x", "y").first()["ratio"] == 0.5
+
+
+def test_auc_perfect_and_chance(spark):
+    # all positives score above all negatives -> AUC = 1
+    rows = [(float(i), 1) for i in range(5, 10)] + [(float(i), 0) for i in range(5)]
+    df = spark.createDataFrame(rows, "s double, y int")
+    from ed_clickhouse_spark.operators.stats import auc
+
+    assert auc(df, "s", "y").first()["auc"] == 1.0
+    # identical score distributions -> AUC = 0.5 (midranks on full ties)
+    tied = spark.createDataFrame([(1.0, 1), (1.0, 0)] * 4, "s double, y int")
+    assert auc(tied, "s", "y").first()["auc"] == 0.5
+
+
+def test_skew_kurt_symmetric(spark):
+    from ed_clickhouse_spark.operators.stats import skew_kurt
+
+    # symmetric two-point {0,1}: skew 0, kurtosis excess = -2
+    df = spark.createDataFrame([(0.0,), (1.0,)] * 10, "v double")
+    row = skew_kurt(df, "v").first()
+    assert row["skew"] == 0.0
+    assert row["kurt"] == -2.0
+
+
+def test_student_ttest_textbook(spark):
+    from ed_clickhouse_spark.operators.stats import student_ttest
+
+    # a = {1,2,3}, b = {2,3,4}: means 2,3; pooled s^2 = (2+2)/4 = 1
+    # t = -1 / sqrt(1*(1/3+1/3)) = -sqrt(3/2)
+    df = _two_group(spark, [1, 2, 3], [2, 3, 4])
+    row = student_ttest(df, "v", "g", "a", "b").first()
+    assert row["df"] == 4
+    assert abs(row["t_stat"] - (-math.sqrt(1.5))) < 1e-6
+
+
+def test_avg_weighted(spark):
+    from ed_clickhouse_spark.operators.stats import avg_weighted
+
+    df = spark.createDataFrame([(1.0, 1), (10.0, 9)], "x double, w int")
+    assert avg_weighted(df, "x", "w").first()["wavg"] == 9.1
+
+
+def test_zipf_slope_exact_power_law(spark):
+    from ed_clickhouse_spark.operators.text import zipf_slope
+
+    # token i repeated 120/i times: freq exactly proportional to 1/rank,
+    # so ln(freq) = ln(120) - ln(rank) and the OLS slope is exactly -1.
+    words = []
+    for i in range(1, 6):
+        words += [f"tok{i:02d}"] * (120 // i)
+    df = spark.createDataFrame([(" ".join(words),)], "text string")
+    row = zipf_slope(df, "text", top_n=5).first()
+    assert row["n_tokens"] == 5
+    assert abs(row["slope"] - (-1.0)) < 1e-6
