@@ -213,6 +213,31 @@ def top_k_values(
     )
 
 
+def trigrams(col) -> Column:
+    """Distinct character 3-grams of a string (whole string if shorter
+    than 3) — pure codegen HOFs, no UDF."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.greatest(F.length(c) - 2, F.lit(1))),
+            lambda i: F.substring(c, i, 3),
+        )
+    )
+
+
+def ngramDistance(a, b) -> Column:  # noqa: N802 (ClickHouse spelling)
+    """ClickHouse ``ngramDistance(a, b)``: dissimilarity of the two
+    strings' 3-gram profiles in [0, 1] (0 = identical profiles). This
+    engine uses the exact set-Jaccard form, 1 − |A∩B| / |A∪B|
+    (ClickHouse approximates the same quantity through hashed 4-bit
+    profiles; exact is strictly better and stays in whole-stage
+    codegen). Embarrassingly parallel — a per-row expression."""
+    ta, tb = trigrams(a), trigrams(b)
+    inter = F.size(F.array_intersect(ta, tb))
+    union = F.size(F.array_distinct(F.concat(ta, tb)))
+    return 1 - inter / union
+
+
 def limit_by(df, n: int, by: list[str], order_by: list) -> "DataFrame":
     """ClickHouse ``LIMIT n BY col...``: first ``n`` rows per ``by`` group
     in ``order_by`` order — the idiom for "top n variants per key" without

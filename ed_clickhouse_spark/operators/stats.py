@@ -535,3 +535,37 @@ def avg_weighted(
         *group_cols,
         F.round(F.col("__num") / F.col("__den"), round_to).alias("wavg"),
     )
+
+
+def simple_linear_regression(
+    df: DataFrame,
+    x_col: str,
+    y_col: str,
+    group_cols: list[str] | None = None,
+    round_to: int = 6,
+) -> DataFrame:
+    """ClickHouse ``simpleLinearRegression(x, y)``: per-group OLS
+    (slope, intercept). One grouped aggregate of exact decimal moment
+    sums (n, Σx, Σy, Σx², Σxy) — one shuffle keyed on the group; the
+    two divisions run on aggregated cells only."""
+    group_cols = group_cols or []
+    dx = _dec(x_col, 0)
+    dy = _dec(y_col)
+    m = df.groupBy(*group_cols).agg(
+        F.count("*").alias("n"),
+        F.sum(dx).cast("double").alias("sx"),
+        F.sum(dy).cast("double").alias("sy"),
+        F.sum(dx * dx).cast("double").alias("sxx"),
+        F.sum(dx * dy).cast("double").alias("sxy"),
+    )
+    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
+        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    )
+    return m.select(
+        *group_cols,
+        F.col("n").cast("bigint").alias("n"),
+        F.round(slope, round_to).alias("slope"),
+        F.round(
+            F.col("sy") / F.col("n") - slope * F.col("sx") / F.col("n"), round_to
+        ).alias("intercept"),
+    )

@@ -319,3 +319,85 @@ def neighbor(value_col, offset: int, partition_by: list, order_by: list, default
     if offset >= 0:
         return F.lead(c, offset, default).over(w)
     return F.lag(c, -offset, default).over(w)
+
+
+def lttb_downsample(
+    df: DataFrame,
+    ts_col: str,
+    y_col: str,
+    n_buckets: int,
+    group_cols: list[str] | None = None,
+) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling — ClickHouse
+    ``largestTriangleThreeBuckets(n)(x, y)`` — in its parallel
+    mean-anchor variant: each bucket keeps the point maximizing the
+    triangle area against the NEIGHBORING BUCKETS' MEAN points (the
+    sequential original anchors on the previously *selected* point,
+    which serializes the scan; anchoring on bucket means is the
+    standard parallelization and is what makes the operator one
+    shuffle + one tiny window instead of a sequential fold). The first
+    and last buckets keep their first/last point exactly, as in the
+    original.
+
+    Scale shape: one min/max aggregate (broadcast), integer-arithmetic
+    time-width bucketing at scan time, one grouped mean per bucket
+    (broadcast back — n_buckets rows per group), one per-bucket
+    row_number. Rows shuffle once, keyed on (group, bucket).
+    """
+    group_cols = group_cols or []
+    # unix_micros/1e6, not unix_timestamp: keeps fractional seconds
+    # (micros/1e6 in double — the same value DuckDB's epoch() computes),
+    # which bucket boundaries are sensitive to. The session timezone is
+    # pinned to UTC (session.py), so the NTZ->TZ cast is the identity.
+    x = F.unix_micros(F.col(ts_col).cast("timestamp")) / F.lit(1000000.0)
+    env = df.groupBy(*group_cols).agg(
+        F.min(x).alias("__lo"), F.max(x).alias("__hi")
+    )
+    pts = df.join(F.broadcast(env), group_cols or None) if group_cols else (
+        df.crossJoin(F.broadcast(env))
+    )
+    # explicit floor before the integer cast: Spark's double->bigint
+    # truncates but DuckDB's rounds, so the floor is the only spelling
+    # both engines agree on
+    b = F.floor(
+        (x - F.col("__lo")) * n_buckets / (F.col("__hi") - F.col("__lo") + 1)
+    )
+    pts = pts.withColumn("__b", b.cast("bigint"))
+    means = pts.groupBy(*group_cols, "__b").agg(
+        (F.sum(x).cast("double") / F.count("*")).alias("__mx"),
+        (F.sum(F.col(y_col).cast("decimal(28,4)")).cast("double") / F.count("*")).alias(
+            "__my"
+        ),
+    )
+    from pyspark.sql import Window as W
+
+    wb = W.partitionBy(*group_cols).orderBy("__b") if group_cols else W.orderBy("__b")
+    anchors = means.select(
+        *group_cols,
+        "__b",
+        F.lag("__mx").over(wb).alias("__px"),
+        F.lag("__my").over(wb).alias("__py"),
+        F.lead("__mx").over(wb).alias("__nx"),
+        F.lead("__my").over(wb).alias("__ny"),
+    )
+    j = pts.join(F.broadcast(anchors), [*group_cols, "__b"])
+    area = F.abs(
+        (F.col("__px") - F.col("__nx")) * (F.col(y_col) - F.col("__py"))
+        - (F.col("__px") - x) * (F.col("__ny") - F.col("__py"))
+    )
+    # first bucket keeps its earliest point, last its latest, middle the
+    # max-area point; encode all three as one descending score.
+    score = (
+        F.when(F.col("__px").isNull(), -x.cast("double"))
+        .when(F.col("__ny").isNull(), x.cast("double"))
+        .otherwise(area)
+    )
+    wsel = (
+        W.partitionBy(*group_cols, "__b").orderBy(F.desc("__score"), F.asc(ts_col))
+    )
+    return (
+        j.withColumn("__score", score)
+        .withColumn("__rn", F.row_number().over(wsel))
+        .filter(F.col("__rn") == 1)
+        .select(*group_cols, F.col("__b").alias("bucket"), ts_col, y_col)
+    )

@@ -437,3 +437,43 @@ def q152_zipf_slope(spark, sf_dir):
     from ed_clickhouse_spark.operators.text import zipf_slope
 
     return zipf_slope(t(spark, sf_dir, "documents"), "text", top_n=1000)
+
+
+@query(
+    "q153_linear_regression",
+    oracle="""
+    WITH d AS (
+      SELECT event_type,
+             date_diff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS x,
+             value AS y
+      FROM events
+    ),
+    m AS (
+      SELECT event_type, COUNT(*) AS n,
+             CAST(SUM(CAST(x AS DECIMAL(19,0))) AS DOUBLE) AS sx,
+             CAST(SUM(CAST(y AS DECIMAL(28,4))) AS DOUBLE) AS sy,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)))
+                  AS DOUBLE) AS sxx,
+             CAST(SUM(CAST(x AS DECIMAL(19,0)) * CAST(y AS DECIMAL(28,4)))
+                  AS DOUBLE) AS sxy
+      FROM d GROUP BY 1
+    )
+    SELECT event_type, CAST(n AS BIGINT) AS n,
+           ROUND((sxy - sx * sy / n) / (sxx - sx * sx / n), 6) AS slope,
+           ROUND(sy / n - (sxy - sx * sy / n) / (sxx - sx * sx / n) * sx / n,
+                 6) AS intercept
+    FROM m
+    """,
+)
+def q153_linear_regression(spark, sf_dir):
+    """ClickHouse simpleLinearRegression: drift of mean event value
+    over time (slope per day, ≈0 on stationary synthetic data) per
+    event type. One grouped pass of exact decimal moment sums."""
+    from ed_clickhouse_spark.operators.stats import simple_linear_regression
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type",
+        F.datediff(F.col("ts").cast("date"), F.lit("1970-01-01")).alias("x"),
+        F.col("value").alias("y"),
+    )
+    return simple_linear_regression(e, "x", "y", ["event_type"])

@@ -245,3 +245,47 @@ def q80_heavy_hitters(spark, sf_dir):
         .limit(20)
     )
     return cm_query(sketch, top, "token").join(top, "token")
+
+
+@query(
+    "q155_ngram_distance",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, substr(text, 1, 60) AS s FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             list_distinct(list_transform(
+               range(1, GREATEST(len(s) - 2, 1) + 1),
+               i -> substr(s, i, 3))) AS ta,
+             list_distinct(list_transform(
+               range(1, GREATEST(len('fast table scan merge join order') - 2, 1) + 1),
+               i -> substr('fast table scan merge join order', i, 3))) AS tb
+      FROM d
+    )
+    SELECT doc_id,
+           ROUND(1 - len(list_intersect(ta, tb))
+                     * 1.0 / len(list_distinct(list_concat(ta, tb))), 6) AS dist
+    FROM grams
+    ORDER BY dist ASC, doc_id ASC
+    LIMIT 20
+    """,
+)
+def q155_ngram_distance(spark, sf_dir):
+    """ClickHouse ngramDistance: 20 documents whose 60-char prefix has
+    the closest character-3-gram profile to a probe phrase (fuzzy
+    template search without an index). Exact set-Jaccard over HOF-built
+    trigram arrays — per-row codegen expressions, embarrassingly
+    parallel, one TakeOrdered."""
+    from ed_clickhouse_spark.functions.clickhouse import ngramDistance
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 60).alias("s")
+    )
+    out = d.select(
+        "doc_id",
+        F.round(
+            ngramDistance(F.col("s"), F.lit("fast table scan merge join order")), 6
+        ).alias("dist"),
+    )
+    return out.orderBy(F.asc("dist"), F.asc("doc_id")).limit(20)

@@ -374,3 +374,65 @@ def q130_gapfill_interpolate(spark, sf_dir):
         F.col("v4").isNull().alias("filled"),
         F.coalesce(F.col("v4") * 2, interp).cast("bigint").alias("val_e4x2"),
     )
+
+
+@query(
+    "q154_lttb_downsample",
+    oracle="""
+    WITH s AS (
+      SELECT event_type, ts, epoch(ts) AS x,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS y
+      FROM events GROUP BY 1, 2
+    ),
+    env AS (
+      SELECT event_type, MIN(x) AS lo, MAX(x) AS hi FROM s GROUP BY 1
+    ),
+    pts AS (
+      SELECT s.*, CAST(FLOOR((x - lo) * 20 / (hi - lo + 1)) AS BIGINT) AS b
+      FROM s JOIN env USING (event_type)
+    ),
+    means AS (
+      SELECT event_type, b,
+             SUM(x) / COUNT(*) AS mx,
+             CAST(SUM(CAST(y AS DECIMAL(28,4))) AS DOUBLE) / COUNT(*) AS my
+      FROM pts GROUP BY 1, 2
+    ),
+    anchors AS (
+      SELECT event_type, b,
+             LAG(mx)  OVER (PARTITION BY event_type ORDER BY b) AS px,
+             LAG(my)  OVER (PARTITION BY event_type ORDER BY b) AS py,
+             LEAD(mx) OVER (PARTITION BY event_type ORDER BY b) AS nx,
+             LEAD(my) OVER (PARTITION BY event_type ORDER BY b) AS ny
+      FROM means
+    ),
+    scored AS (
+      SELECT pts.event_type, pts.b, pts.ts, pts.y,
+             CASE WHEN px IS NULL THEN -pts.x
+                  WHEN ny IS NULL THEN pts.x
+                  ELSE ABS((px - nx) * (pts.y - py) - (px - pts.x) * (ny - py))
+             END AS score
+      FROM pts JOIN anchors USING (event_type, b)
+    ),
+    ranked AS (
+      SELECT event_type, b AS bucket, ts, y,
+             ROW_NUMBER() OVER (PARTITION BY event_type, b
+                                ORDER BY score DESC, ts ASC) AS rn
+      FROM scored
+    )
+    SELECT event_type, bucket, ts, y FROM ranked WHERE rn = 1
+    """,
+)
+def q154_lttb_downsample(spark, sf_dir):
+    """ClickHouse largestTriangleThreeBuckets(20): downsample each
+    event type's per-second value series to 20 visually-representative
+    points (parallel mean-anchor variant — see
+    operators/windows.py:lttb_downsample for why the anchor choice is
+    what makes the operator distributable). The series is pre-reduced
+    to one row per (type, second) so every tiebreak is deterministic."""
+    from ed_clickhouse_spark.operators.windows import lttb_downsample
+
+    e = t(spark, sf_dir, "events")
+    s = e.groupBy("event_type", "ts").agg(
+        F.sum(dec("value")).cast("double").alias("y")
+    )
+    return lttb_downsample(s, "ts", "y", 20, ["event_type"])

@@ -150,3 +150,43 @@ def test_zipf_slope_exact_power_law(spark):
     row = zipf_slope(df, "text", top_n=5).first()
     assert row["n_tokens"] == 5
     assert abs(row["slope"] - (-1.0)) < 1e-6
+
+
+def test_linear_regression_exact_line(spark):
+    from ed_clickhouse_spark.operators.stats import simple_linear_regression
+
+    df = spark.createDataFrame(
+        [(i, 2.0 * i + 1.0) for i in range(10)], "x int, y double"
+    )
+    row = simple_linear_regression(df, "x", "y").first()
+    assert (row["slope"], row["intercept"]) == (2.0, 1.0)
+
+
+def test_ngram_distance_bounds(spark):
+    from ed_clickhouse_spark.functions.clickhouse import ngramDistance
+
+    df = spark.range(1).select(
+        ngramDistance(F.lit("hello world"), F.lit("hello world")).alias("same"),
+        ngramDistance(F.lit("aaaa"), F.lit("zzzz")).alias("disjoint"),
+    )
+    row = df.first()
+    assert row["same"] == 0.0
+    assert row["disjoint"] == 1.0
+
+
+def test_lttb_keeps_endpoints_and_spike(spark):
+    from datetime import datetime
+
+    from ed_clickhouse_spark.operators.windows import lttb_downsample
+
+    base = datetime(2024, 1, 1)
+    ys = [0.0, 0.0, 0.0, 0.0, 9.0, 0.0, 0.0, 0.0, 5.0]
+    rows = [(base.replace(second=i), ys[i]) for i in range(9)]
+    df = spark.createDataFrame(rows, "ts timestamp, y double")
+    out = sorted(
+        (r["bucket"], r["ts"].second, r["y"])
+        for r in lttb_downsample(df, "ts", "y", 3).collect()
+    )
+    # bucket 0 keeps the FIRST point, bucket 2 the LAST point, and the
+    # middle bucket its max-triangle-area point (the y=9 spike).
+    assert out == [(0, 0, 0.0), (1, 4, 9.0), (2, 8, 5.0)]
