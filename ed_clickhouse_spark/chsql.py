@@ -1,0 +1,296 @@
+"""ClickHouse SQL dialect front-end: rewrite the ClickHouse-only query
+syntax a user of the reference stack actually writes into Spark SQL.
+
+The reference delegates its whole query surface to ClickHouse
+(SURVEY.md §0), so its users' saved queries are ClickHouse SQL. The
+function spellings (toStartOfDay, JSONExtractString, ...) are already
+registered as Spark SQL functions (functions/clickhouse.py); what Spark
+cannot accept is the CLAUSE-level dialect. This module rewrites, by
+top-level token scanning (never inside strings/parens):
+
+  =====================  ==========================================
+  ClickHouse             Spark rewrite
+  =====================  ==========================================
+  PREWHERE c             WHERE c (merged with AND into existing WHERE;
+                         Spark pushes scan predicates itself)
+  FROM t FINAL           FROM t — the engine registers <name> as the
+                         merged (FINAL) view and <name>_raw as the
+                         append log (ddl.register_view), so FINAL is
+                         the default read and the keyword drops out
+  SAMPLE f               deterministic md5 hash-range predicate over
+                         the table's SAMPLE BY key (ddl.sample_read's
+                         predicate, inlined as SQL)
+  [LEFT] ARRAY JOIN      LATERAL VIEW [OUTER] explode(...)
+  LIMIT n BY c1, c2      row_number() window wrapper (QUALIFY-style)
+  GROUP BY c WITH TOTALS GROUP BY GROUPING SETS ((c), ())
+  FORMAT X               stripped; the name is returned to the caller
+                         (sources/io.py maps ClickHouse format names)
+  SETTINGS k=v, ...      stripped (execution hints do not transfer)
+  GLOBAL JOIN            JOIN (every Spark join is "global")
+  =====================  ==========================================
+
+Not translated (documented): ClickHouse ANY JOIN needs key knowledge a
+string rewrite does not have — use operators/joins.py:any_join.
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass
+
+_CLAUSE_STOP = (
+    r"WHERE|PREWHERE|GROUP|HAVING|ORDER|LIMIT|SETTINGS|FORMAT|UNION|"
+    r"INNER|LEFT|RIGHT|FULL|CROSS|JOIN|LATERAL|WINDOW|QUALIFY"
+)
+
+
+@dataclass
+class Translated:
+    sql: str
+    format: str | None = None
+
+
+def _scan_level(s: str):
+    """Yield (i, ch, depth, in_string) for top-level token scanning."""
+    depth = 0
+    quote = None
+    for i, ch in enumerate(s):
+        if quote:
+            if ch == quote and (i == 0 or s[i - 1] != "\\"):
+                quote = None
+            yield i, ch, depth, True
+            continue
+        if ch in "'\"`":
+            quote = ch
+            yield i, ch, depth, True
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        yield i, ch, depth, False
+
+
+def _find_top(s: str, pattern: str) -> re.Match | None:
+    """First regex match at paren depth 0, outside string literals."""
+    rx = re.compile(pattern, re.I)
+    level = {}
+    for i, _, depth, instr in _scan_level(s):
+        level[i] = (depth, instr)
+    for m in rx.finditer(s):
+        d, instr = level.get(m.start(), (0, False))
+        if d == 0 and not instr:
+            return m
+    return None
+
+
+def _split_top_commas(s: str) -> list[str]:
+    parts, start, = [], 0
+    for i, ch, depth, instr in _scan_level(s):
+        if ch == "," and depth == 0 and not instr:
+            parts.append(s[start:i])
+            start = i + 1
+    parts.append(s[start:])
+    return [p.strip() for p in parts if p.strip()]
+
+
+def _strip_trailing(sql: str) -> tuple[str, str | None]:
+    """Remove FORMAT <name> and SETTINGS ... suffixes (top level)."""
+    fmt = None
+    m = _find_top(sql, r"\bFORMAT\s+(\w+)\s*;?\s*$")
+    if m:
+        fmt = m.group(1)
+        sql = sql[: m.start()].rstrip()
+    m = _find_top(sql, r"\bSETTINGS\s+[\w\s=,.'\"]+$")
+    if m:
+        sql = sql[: m.start()].rstrip()
+    return sql.rstrip(";").rstrip(), fmt
+
+
+def _rewrite_prewhere(sql: str) -> str:
+    m = _find_top(sql, r"\bPREWHERE\b")
+    if not m:
+        return sql
+    # extract the PREWHERE condition (up to the next top-level clause)
+    tail = sql[m.end():]
+    stop = _find_top(tail, rf"\b(?:{_CLAUSE_STOP})\b")
+    cond = tail[: stop.start()] if stop else tail
+    rest = tail[stop.start():] if stop else ""
+    head = sql[: m.start()]
+    wm = _find_top(rest, r"\bWHERE\b")
+    if wm:
+        rest = rest[: wm.start()] + "WHERE (" + cond.strip() + ") AND " + rest[wm.end():]
+        return head + rest
+    return head + "WHERE (" + cond.strip() + ") " + rest
+
+
+def _rewrite_final(sql: str) -> str:
+    # the registered <name> view already applies merge semantics
+    while True:
+        m = _find_top(sql, r"\bFROM\s+(\w+)\s+FINAL\b")
+        if not m:
+            return sql
+        sql = sql[: m.start()] + f"FROM {m.group(1)}" + sql[m.end():]
+
+
+def _sample_predicate(key: str, fraction: float) -> str:
+    threshold = format(int(fraction * (16**15)), "015x")
+    return f"substring(md5(CAST({key} AS STRING)), 1, 15) < '{threshold}'"
+
+
+def _rewrite_sample(sql: str, specs: dict | None) -> str:
+    m = _find_top(sql, r"\bFROM\s+(\w+)(\s+FINAL)?\s+SAMPLE\s+([0-9.]+)\b")
+    if not m:
+        return sql
+    tbl, final_kw, frac = m.group(1), m.group(2) or "", float(m.group(3))
+    if frac > 1.0:  # SAMPLE n rows form — not supported by a predicate
+        raise ValueError("SAMPLE <n-rows> is not supported; use SAMPLE <0..1>")
+    spec = (specs or {}).get(tbl)
+    if spec is None or spec.sample_by is None:
+        raise ValueError(f"table {tbl!r} has no SAMPLE BY clause known to the engine")
+    key = spec.sample_by
+    km = re.match(r"^(?:intHash\d+|cityHash64|xxHash64)\s*\(\s*(\w+)\s*\)$", key, re.I)
+    if km:
+        key = km.group(1)
+    pred = _sample_predicate(key, frac)
+    sub = f"FROM (SELECT * FROM {tbl} WHERE {pred}) AS {tbl}"
+    return _rewrite_sample(sql[: m.start()] + sub + sql[m.end():], specs)
+
+
+def _inline_ch_macros(expr: str) -> str:
+    """Expand registered ClickHouse SQL-macro calls textually. Spark
+    refuses SQL UDFs inside a Generate (LATERAL VIEW explode), so an
+    ARRAY JOIN item like ``splitByChar(' ', text)`` must become its
+    macro body before the rewrite."""
+    from ed_clickhouse_spark.functions.clickhouse import _SQL_SCALAR_ALIASES
+
+    changed = True
+    while changed:
+        changed = False
+        for name, (sig, body) in _SQL_SCALAR_ALIASES.items():
+            m = _find_top_anywhere(expr, rf"\b{name}\s*\(")
+            if not m:
+                continue
+            # find the matching close paren
+            depth, j = 0, m.end() - 1
+            for j in range(m.end() - 1, len(expr)):
+                if expr[j] == "(":
+                    depth += 1
+                elif expr[j] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+            args = _split_top_commas(expr[m.end(): j])
+            params = [
+                p.strip().split()[0]
+                for p in _split_top_commas(sig[sig.index("(") + 1: sig.index(") RETURNS")])
+            ]
+            if len(args) != len(params):
+                continue
+            new = body
+            for p, a in sorted(zip(params, args), key=lambda t: -len(t[0])):
+                new = re.sub(rf"\b{p}\b", a.replace("\\", "\\\\"), new)
+            expr = expr[: m.start()] + "(" + new + ")" + expr[j + 1:]
+            changed = True
+    return expr
+
+
+def _find_top_anywhere(s: str, pattern: str) -> re.Match | None:
+    """Like _find_top but matches at any paren depth (still not inside
+    string literals)."""
+    rx = re.compile(pattern, re.I)
+    instr_at = {i: instr for i, _, _, instr in _scan_level(s)}
+    for m in rx.finditer(s):
+        if not instr_at.get(m.start(), False):
+            return m
+    return None
+
+
+def _rewrite_array_join(sql: str) -> str:
+    while True:
+        m = _find_top(sql, r"\b(LEFT\s+)?ARRAY\s+JOIN\b")
+        if not m:
+            return sql
+        outer = "OUTER " if m.group(1) else ""
+        tail = sql[m.end():]
+        stop = _find_top(tail, rf"\b(?:{_CLAUSE_STOP})\b")
+        items_s = tail[: stop.start()] if stop else tail
+        rest = tail[stop.start():] if stop else ""
+        views = []
+        for k, item in enumerate(_split_top_commas(items_s)):
+            am = re.match(r"^(.*?)\s+AS\s+(\w+)\s*$", item, re.I | re.S)
+            expr, alias = (am.group(1), am.group(2)) if am else (item, None)
+            if alias is None:
+                bare = re.match(r"^(\w+)$", expr.strip())
+                if not bare:
+                    raise ValueError(
+                        f"ARRAY JOIN item {item!r} needs an AS alias"
+                    )
+                alias = bare.group(1)
+            views.append(
+                f"LATERAL VIEW {outer}explode({_inline_ch_macros(expr.strip())}) "
+                f"__aj{k} AS {alias}"
+            )
+        sql = sql[: m.start()] + " ".join(views) + " " + rest
+    return sql
+
+
+def _rewrite_totals(sql: str) -> str:
+    m = _find_top(sql, r"\bGROUP\s+BY\b")
+    if not m:
+        return sql
+    tail = sql[m.end():]
+    tm = _find_top(tail, r"\bWITH\s+TOTALS\b")
+    if not tm:
+        return sql
+    cols = tail[: tm.start()].strip()
+    rest = tail[tm.end():]
+    return (
+        sql[: m.start()]
+        + f"GROUP BY GROUPING SETS (({cols}), ())"
+        + rest
+    )
+
+
+def _rewrite_limit_by(sql: str) -> str:
+    m = _find_top(sql, r"\bLIMIT\s+(\d+)\s+BY\s+")
+    if not m:
+        return sql
+    n = int(m.group(1))
+    tail = sql[m.end():]
+    stop = _find_top(tail, r"\bLIMIT\b|\bFORMAT\b")
+    cols = (tail[: stop.start()] if stop else tail).strip()
+    outer_limit = tail[stop.start():].strip() if stop else ""
+    inner = (sql[: m.start()]).strip()
+    # the window needs an order: reuse the query's ORDER BY if present
+    # (ClickHouse applies LIMIT BY after ORDER BY), else storage order
+    # is not reproducible — require one.
+    om = _find_top(inner, r"\bORDER\s+BY\b")
+    if om:
+        order = inner[om.end():].strip()
+        inner_wo_order = inner[: om.start()].strip()
+    else:
+        raise ValueError("LIMIT n BY needs an ORDER BY for deterministic results")
+    return (
+        f"SELECT * EXCEPT (__rn_lb) FROM ("
+        f"SELECT __lb.*, row_number() OVER "
+        f"(PARTITION BY {cols} ORDER BY {order}) AS __rn_lb "
+        f"FROM ({inner_wo_order}) AS __lb"
+        f") WHERE __rn_lb <= {n} ORDER BY {order} {outer_limit}"
+    ).strip()
+
+
+def translate(sql: str, specs: dict | None = None) -> Translated:
+    """Rewrite a ClickHouse-dialect query to Spark SQL. ``specs`` maps
+    table name -> ddl.TableSpec (for SAMPLE BY metadata). Returns the
+    Spark SQL plus the requested FORMAT name (if any)."""
+    sql = sql.strip()
+    sql, fmt = _strip_trailing(sql)
+    sql = re.sub(r"\bGLOBAL\s+(ANY\s+)?(?=(INNER|LEFT|RIGHT|FULL|JOIN))", "", sql, flags=re.I)
+    sql = _rewrite_sample(sql, specs)
+    sql = _rewrite_final(sql)
+    sql = _rewrite_prewhere(sql)
+    sql = _rewrite_array_join(sql)
+    sql = _rewrite_totals(sql)
+    sql = _rewrite_limit_by(sql)
+    return Translated(sql=re.sub(r"\s+", " ", sql).strip(), format=fmt)

@@ -34,6 +34,7 @@ class Engine:
         # per-engine ingestion defaults; Engine.from_config overrides
         # these from the [batcher] section (≙ reference config/default.toml)
         self.ingest_defaults: dict = {}
+        self.table_specs: dict = {}
         register_sql_aliases(self.spark)
 
     @classmethod
@@ -165,6 +166,20 @@ class Engine:
         """Spark SQL over the event tables (ClickHouse spellings like
         toStartOfDay/JSONExtractString registered)."""
         return self.spark.sql(query)
+
+    def ch_sql(self, query: str) -> DataFrame:
+        """Run a CLICKHOUSE-dialect query: the clause-level syntax the
+        reference's users write (PREWHERE, FINAL, SAMPLE, ARRAY JOIN,
+        LIMIT BY, WITH TOTALS, FORMAT, SETTINGS) is rewritten to Spark
+        SQL (chsql.translate) against the migrated views; the function
+        spellings are already registered. A requested FORMAT name is
+        recorded on the result as ``df.ch_format``."""
+        from ed_clickhouse_spark.chsql import translate
+
+        tr = translate(query, self.table_specs)
+        df = self.spark.sql(tr.sql)
+        df.ch_format = tr.format
+        return df
 
     def table(self, name: str) -> DataFrame:
         if name != "dlq" and name not in BY_TABLE:

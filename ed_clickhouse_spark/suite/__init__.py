@@ -43,6 +43,7 @@ def _load_all() -> None:
         q_aggregates,
         q_chagg,
         q_ddl,
+        q_dialect,
         q_dedup,
         q_events,
         q_functions,

@@ -1,0 +1,146 @@
+"""ClickHouse-dialect SQL front-end: each clause rewrite is checked
+end-to-end — the translated query runs on Spark and matches the result
+of the idiomatic Spark formulation."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from ed_clickhouse_spark.chsql import translate
+from ed_clickhouse_spark.ddl import TableSpec, parse_clickhouse_ddl
+
+
+@pytest.fixture(scope="module")
+def views(spark, sf_dir):
+    from ed_clickhouse_spark.catalog import read_table
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+
+    for name in ("events", "documents", "orders", "lineitem"):
+        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+    return spark
+
+
+def test_format_and_settings_stripped():
+    tr = translate(
+        "SELECT 1 AS x SETTINGS max_threads = 4 FORMAT JSONEachRow"
+    )
+    assert tr.sql == "SELECT 1 AS x"
+    assert tr.format == "JSONEachRow"
+
+
+def test_prewhere_merges_into_where(views):
+    got = views.sql(
+        translate(
+            "SELECT count(*) AS n FROM events PREWHERE value > 100 "
+            "WHERE event_type = 'click'"
+        ).sql
+    ).first()["n"]
+    want = views.sql(
+        "SELECT count(*) AS n FROM events "
+        "WHERE value > 100 AND event_type = 'click'"
+    ).first()["n"]
+    assert got == want > 0
+
+
+def test_prewhere_alone(views):
+    tr = translate("SELECT count(*) AS n FROM events PREWHERE value > 300")
+    assert "WHERE" in tr.sql and "PREWHERE" not in tr.sql.upper()
+    assert views.sql(tr.sql).first()["n"] > 0
+
+
+def test_array_join(views):
+    got = views.sql(
+        translate(
+            "SELECT tok, count(*) AS c FROM documents "
+            "ARRAY JOIN splitByChar(' ', text) AS tok "
+            "GROUP BY tok ORDER BY c DESC, tok LIMIT 5"
+        ).sql
+    ).collect()
+    want = views.sql(
+        "SELECT tok, count(*) AS c FROM documents "
+        "LATERAL VIEW explode(split(text, ' ')) _t AS tok "
+        "GROUP BY tok ORDER BY c DESC, tok LIMIT 5"
+    ).collect()
+    assert got == want and len(got) == 5
+
+
+def test_limit_by(views):
+    rows = views.sql(
+        translate(
+            "SELECT event_type, user_id, value FROM events "
+            "ORDER BY value DESC, user_id LIMIT 2 BY event_type LIMIT 6"
+        ).sql
+    ).collect()
+    assert len(rows) == 6
+    per_type = {}
+    for r in rows:
+        per_type.setdefault(r["event_type"], []).append(r["value"])
+    assert all(len(v) <= 2 for v in per_type.values())
+    # the kept rows are each type's top-2 values
+    top = views.sql(
+        "SELECT event_type, value, row_number() OVER "
+        "(PARTITION BY event_type ORDER BY value DESC, user_id) rn "
+        "FROM events"
+    ).where("rn <= 2").groupBy("event_type").agg(
+        F.max("value").alias("mx")
+    ).collect()
+    want_max = {r["event_type"]: r["mx"] for r in top}
+    for et, vals in per_type.items():
+        assert max(vals) == want_max[et]
+
+
+def test_with_totals(views):
+    rows = views.sql(
+        translate(
+            "SELECT event_type, count(*) AS n FROM events "
+            "GROUP BY event_type WITH TOTALS"
+        ).sql
+    ).collect()
+    by_type = {r["event_type"]: r["n"] for r in rows}
+    assert None in by_type  # the TOTALS row
+    assert by_type[None] == sum(v for k, v in by_type.items() if k is not None)
+
+
+def test_final_keyword_drops(views):
+    tr = translate("SELECT count(*) AS n FROM events FINAL WHERE value > 0")
+    assert "FINAL" not in tr.sql.upper()
+    assert views.sql(tr.sql).first()["n"] > 0
+
+
+def test_sample_predicate(views):
+    spec = parse_clickhouse_ddl(
+        "CREATE TABLE events (event_id Int64, user_id Int64, value Float64)"
+        " ENGINE = MergeTree() ORDER BY event_id SAMPLE BY user_id"
+    )
+    tr = translate(
+        "SELECT count(DISTINCT user_id) AS u FROM events SAMPLE 0.2",
+        {"events": spec},
+    )
+    n_all = views.sql("SELECT count(DISTINCT user_id) AS u FROM events").first()["u"]
+    n_s = views.sql(tr.sql).first()["u"]
+    assert 0 < n_s < n_all
+    # consistent subset: same sample on every run
+    assert views.sql(tr.sql).first()["u"] == n_s
+
+
+def test_sample_requires_spec():
+    with pytest.raises(ValueError, match="SAMPLE BY"):
+        translate("SELECT 1 FROM events SAMPLE 0.5", {})
+
+
+def test_global_stripped(views):
+    tr = translate(
+        "SELECT count(*) AS n FROM orders o GLOBAL LEFT JOIN lineitem l "
+        "ON o.o_orderkey = l.l_orderkey"
+    )
+    assert "GLOBAL" not in tr.sql.upper()
+    assert views.sql(tr.sql).first()["n"] > 0
+
+
+def test_keywords_inside_strings_untouched():
+    tr = translate("SELECT 'FORMAT JSONEachRow' AS s, 'x PREWHERE y' AS p")
+    assert tr.format is None
+    assert "'FORMAT JSONEachRow'" in tr.sql and "'x PREWHERE y'" in tr.sql
