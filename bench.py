@@ -36,6 +36,10 @@ EXTRA = [
     "q133_weighted_quantile",  # exact weighted quantiles
     "q134_lm_quality",       # unigram-LM quality scoring
     "q135_quantization",     # int8 embedding quantization
+    "q142_mann_whitney",     # rank test via distinct-value compression
+    "q152_zipf_slope",       # token-frequency power-law audit
+    "q154_lttb_downsample",  # parallel LTTB series downsampling
+    "q156_ch_dialect",       # ClickHouse-dialect SQL through the rewriter
 ]
 
 HEADLINE = [

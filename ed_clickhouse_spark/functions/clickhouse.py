@@ -117,8 +117,17 @@ def sum_map_entries(df, group_cols: list[str], map_col: str, alias: str = "summe
     Two shuffles on the same leading key; entries never sit in one
     executor's memory as a whole map.
     """
+    return agg_map_entries(df, group_cols, map_col, F.sum, alias)
+
+
+def agg_map_entries(df, group_cols: list[str], map_col: str, agg, alias: str):
+    """Shared sumMap/minMap/maxMap shape: explode map entries, partial-
+    aggregate (group, key) map-side with ``agg`` (F.sum / F.min /
+    F.max), reassemble one sorted map per group. Two shuffles on the
+    same leading key; entries never sit in one executor's memory as a
+    whole map."""
     exploded = df.select(*group_cols, F.explode(map_col).alias("__k", "__v"))
-    per_key = exploded.groupBy(*group_cols, "__k").agg(F.sum("__v").alias("__s"))
+    per_key = exploded.groupBy(*group_cols, "__k").agg(agg("__v").alias("__s"))
     return (
         per_key.groupBy(*group_cols)
         .agg(
@@ -127,6 +136,16 @@ def sum_map_entries(df, group_cols: list[str], map_col: str, alias: str = "summe
             ).alias(alias)
         )
     )
+
+
+def min_map_entries(df, group_cols: list[str], map_col: str, alias: str = "minned"):
+    """ClickHouse ``minMap``: element-wise min of maps per group."""
+    return agg_map_entries(df, group_cols, map_col, F.min, alias)
+
+
+def max_map_entries(df, group_cols: list[str], map_col: str, alias: str = "maxed"):
+    """ClickHouse ``maxMap``: element-wise max of maps per group."""
+    return agg_map_entries(df, group_cols, map_col, F.max, alias)
 
 
 def quantile_exact_weighted(

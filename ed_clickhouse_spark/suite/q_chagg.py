@@ -325,3 +325,138 @@ def q114_max_intersections(spark, sf_dir):
     )
     out = max_intersections(iv, ["user_id"], "s", "e")
     return out.select("user_id", F.col("max_concurrent").cast("bigint").alias("max_concurrent"))
+
+
+@query(
+    "q157_group_bit",
+    oracle="""
+    SELECT event_type,
+           BIT_AND(user_id) AS band,
+           BIT_OR(user_id) AS bor,
+           BIT_XOR(user_id) AS bxor
+    FROM events GROUP BY event_type
+    """,
+)
+def q157_group_bit(spark, sf_dir):
+    """ClickHouse groupBitAnd/groupBitOr/groupBitXor: bitwise fold of
+    user ids per event type (flag-mask audits). Native two-phase
+    aggregates — map-side combine, one shuffle."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.expr("bit_and(user_id)").alias("band"),
+        F.expr("bit_or(user_id)").alias("bor"),
+        F.expr("bit_xor(user_id)").alias("bxor"),
+    )
+
+
+@query(
+    "q158_min_max_map",
+    oracle="""
+    WITH per_key AS (
+      SELECT user_id % 10 AS bucket, event_type AS k,
+             MIN(CAST(value AS DECIMAL(18,2))) AS lo,
+             MAX(CAST(value AS DECIMAL(18,2))) AS hi
+      FROM events GROUP BY 1, 2
+    )
+    SELECT bucket,
+           string_agg(k || ':' || CAST(lo AS VARCHAR), ',' ORDER BY k) AS minned,
+           string_agg(k || ':' || CAST(hi AS VARCHAR), ',' ORDER BY k) AS maxed
+    FROM per_key GROUP BY bucket
+    """,
+)
+def q158_min_max_map(spark, sf_dir):
+    """ClickHouse minMap/maxMap: element-wise min and max of
+    {event_type: value} maps per user bucket — the same scalable
+    explode -> (group,key) partial agg -> reassembly as sumMap (q107),
+    with min/max folds."""
+    from ed_clickhouse_spark.functions.clickhouse import (
+        max_map_entries,
+        min_map_entries,
+    )
+
+    e = t(spark, sf_dir, "events")
+    maps = e.select(
+        (F.col("user_id") % 10).alias("bucket"),
+        F.create_map(
+            F.col("event_type"), F.col("value").cast("decimal(18,2)")
+        ).alias("m"),
+    )
+
+    def _ser(col, alias):
+        return F.array_join(
+            F.transform(
+                F.map_entries(col),
+                lambda kv: F.concat_ws(":", kv["key"], kv["value"].cast("string")),
+            ),
+            ",",
+        ).alias(alias)
+
+    lo = min_map_entries(maps, ["bucket"], "m")
+    hi = max_map_entries(maps, ["bucket"], "m")
+    return lo.join(hi, "bucket").select(
+        "bucket", _ser("minned", "minned"), _ser("maxed", "maxed")
+    )
+
+
+@query(
+    "q159_topk_weighted",
+    oracle="""
+    SELECT user_id, w FROM (
+      SELECT user_id,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS w
+      FROM events GROUP BY 1
+    )
+    ORDER BY w DESC, user_id ASC LIMIT 10
+    """,
+)
+def q159_topk_weighted(spark, sf_dir):
+    """ClickHouse topKWeighted(10)(user_id, value): heaviest users by
+    total event value. Exact two-phase weighted counting (ClickHouse's
+    is approximate SpaceSaving; exact is strictly better and the same
+    one-shuffle shape) + TakeOrderedAndProject, deterministic
+    tiebreak."""
+    e = t(spark, sf_dir, "events")
+    return (
+        e.groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("w"))
+        .orderBy(F.desc("w"), F.asc("user_id"))
+        .limit(10)
+    )
+
+
+@query(
+    "q160_sequence_next_node",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, event_id, event_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS nxt
+      FROM events
+    ),
+    first_click AS (
+      SELECT user_id, nxt,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM ordered WHERE event_type = 'click'
+    )
+    SELECT user_id, nxt AS next_event
+    FROM first_click WHERE rn = 1 AND nxt IS NOT NULL
+    """,
+)
+def q160_sequence_next_node(spark, sf_dir):
+    """ClickHouse sequenceNextNode('forward', 'first_match'): the event
+    that immediately follows each user's FIRST 'click' — where does the
+    journey go after the entry action. One user-keyed window pass
+    (lead + first-match row_number), no self-join."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = e.withColumn("nxt", F.lead("event_type").over(w))
+    clicks = ordered.filter(F.col("event_type") == "click").withColumn(
+        "rn", F.row_number().over(w)
+    )
+    return (
+        clicks.filter((F.col("rn") == 1) & F.col("nxt").isNotNull())
+        .select("user_id", F.col("nxt").alias("next_event"))
+    )

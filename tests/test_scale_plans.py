@@ -176,3 +176,51 @@ def test_ch_specialty_plan_shapes(spark):
     # dictGet resolves through broadcast only — fact side never shuffles
     p = _plan(QUERIES["q110_dict_get"](spark, sf))
     assert "BroadcastHashJoin" in p and "SortMergeJoin" not in p
+
+
+def test_rank_stats_plan_shapes(spark):
+    """100 TB invariants for the rank-statistics family: rows compress
+    to per-distinct-value counts BEFORE any ordered pass (partial
+    HashAggregate map-side), no operator introduces a cartesian, and
+    the one global window runs over the compressed table only."""
+    sf = "/root/testdata/sf0.001"
+    for q in ("q142_mann_whitney", "q144_ks_test", "q148_auc"):
+        p = _plan(QUERIES[q](spark, sf))
+        assert "HashAggregate" in p, q          # count-compression first
+        assert "CartesianProduct" not in p, q
+        # the window input is the aggregated count table, never raw rows:
+        # Window appears after the aggregate in the formatted plan
+        assert p.index("HashAggregate") < p.index("Window"), q
+    p = _plan(QUERIES["q152_zipf_slope"](spark, sf))
+    assert "TakeOrderedAndProject" in p         # top-N, no global sort
+    p = _plan(QUERIES["q159_topk_weighted"](spark, sf))
+    assert "TakeOrderedAndProject" in p
+
+
+def test_lttb_plan_broadcasts_anchors(spark):
+    """LTTB joins points to bucket anchors via broadcast (n_buckets
+    rows per group) — the raw series never shuffles twice."""
+    sf = "/root/testdata/sf0.001"
+    p = _plan(QUERIES["q154_lttb_downsample"](spark, sf))
+    assert "BroadcastHashJoin" in p
+    assert "CartesianProduct" not in p
+
+
+def test_chsql_sample_pushes_to_scan(spark):
+    """The dialect front-end's SAMPLE rewrite is a scan predicate: the
+    md5 hash-range filter sits in the scanned subquery, no shuffle, no
+    sample materialization."""
+    from ed_clickhouse_spark.catalog import read_table
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.ddl import parse_clickhouse_ddl
+
+    read_table(spark, "/root/testdata/sf0.001", "events").createOrReplaceTempView(
+        "events"
+    )
+    spec = parse_clickhouse_ddl(
+        "CREATE TABLE events (event_id Int64, user_id Int64, value Float64)"
+        " ENGINE = MergeTree() ORDER BY event_id SAMPLE BY user_id"
+    )
+    tr = translate("SELECT user_id, value FROM events SAMPLE 0.25", {"events": spec})
+    p = _plan(spark.sql(tr.sql))
+    assert "Exchange" not in p and "Filter" in p
