@@ -460,3 +460,34 @@ def q160_sequence_next_node(spark, sf_dir):
         clicks.filter((F.col("rn") == 1) & F.col("nxt").isNotNull())
         .select("user_id", F.col("nxt").alias("next_event"))
     )
+
+
+@query(
+    "q161_quantiles_exact",
+    oracle="""
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.25), 6) AS q25,
+           ROUND(quantile_cont(value, 0.5), 6) AS q50,
+           ROUND(quantile_cont(value, 0.75), 6) AS q75,
+           ROUND(quantile_cont(value, 0.95), 6) AS q95
+    FROM events GROUP BY event_type
+    """,
+)
+def q161_quantiles_exact(spark, sf_dir):
+    """ClickHouse quantilesExact(0.25,0.5,0.75,0.95): exact linear-
+    interpolated quantiles per event type (q07 is the approx
+    percentile_approx twin — CH `quantiles`). Spark's native exact
+    percentile: two-phase, per-group value buffers — exact is viable
+    when group value cardinality is bounded; at open cardinality use
+    q104/q133's constant-memory paths."""
+    e = t(spark, sf_dir, "events")
+    agg = e.groupBy("event_type").agg(
+        F.expr("percentile(value, array(0.25, 0.5, 0.75, 0.95))").alias("qs")
+    )
+    return agg.select(
+        "event_type",
+        F.round(F.element_at("qs", 1), 6).alias("q25"),
+        F.round(F.element_at("qs", 2), 6).alias("q50"),
+        F.round(F.element_at("qs", 3), 6).alias("q75"),
+        F.round(F.element_at("qs", 4), 6).alias("q95"),
+    )

@@ -52,3 +52,42 @@ def q156_ch_dialect(spark, sf_dir):
     register_sql_aliases(spark)
     t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(translate(_CH_QUERY).sql)
+
+
+_CH_QUERY2 = """
+SELECT toDate(ts) AS d, count(*) AS n
+FROM events SAMPLE 0.5
+GROUP BY d WITH TOTALS
+FORMAT TSVWithNames
+"""
+
+_SAMPLE_THRESHOLD = format(int(0.5 * (16**15)), "015x")
+
+
+@query(
+    "q162_ch_dialect_sample_totals",
+    oracle=f"""
+    SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+    FROM events
+    WHERE substr(md5(CAST(user_id AS VARCHAR)), 1, 15) < '{_SAMPLE_THRESHOLD}'
+    GROUP BY GROUPING SETS ((d), ())
+    """,
+)
+def q162_ch_dialect_sample_totals(spark, sf_dir):
+    """Dialect rewriter, clause combo two: SAMPLE 0.5 becomes the
+    deterministic md5 hash-range scan predicate over the DDL's SAMPLE
+    BY key (same half of the users on every engine and every run), and
+    WITH TOTALS becomes GROUPING SETS ((d), ()) — daily event counts on
+    a consistent 50% user panel, plus the totals row."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.ddl import parse_clickhouse_ddl
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    spec = parse_clickhouse_ddl(
+        "CREATE TABLE events (event_id Int64, user_id Int64, value Float64,"
+        " ts DateTime) ENGINE = MergeTree() ORDER BY (ts, event_id)"
+        " SAMPLE BY user_id"
+    )
+    return spark.sql(translate(_CH_QUERY2, {"events": spec}).sql)
