@@ -569,3 +569,51 @@ def simple_linear_regression(
             F.col("sy") / F.col("n") - slope * F.col("sx") / F.col("n"), round_to
         ).alias("intercept"),
     )
+
+
+def contingency_coefficients(
+    df: DataFrame, col_a: str, col_b: str, round_to: int = 6
+) -> DataFrame:
+    """ClickHouse ``contingency(a, b)`` and ``cramersVBiasCorrected``:
+    the χ²-family association coefficients beyond plain Cramér's V.
+    One row: (n, chi2, contingency, v_bc).
+
+    contingency = √(χ²/(χ²+n)); the bias-corrected V replaces χ²/n with
+    max(0, φ² − (r−1)(c−1)/(n−1)) and shrinks r, c accordingly
+    (Bergsma 2013). Same observed-cells-only shuffle as cramers_v."""
+    cells = df.groupBy(col_a, col_b).agg(F.count("*").alias("o"))
+    ra = cells.groupBy(col_a).agg(F.sum("o").alias("ra"))
+    cb = cells.groupBy(col_b).agg(F.sum("o").alias("cb"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.countDistinct(col_a).alias("r"),
+        F.countDistinct(col_b).alias("c"),
+    )
+    joined = (
+        cells.join(F.broadcast(ra), col_a)
+        .join(F.broadcast(cb), col_b)
+        .crossJoin(F.broadcast(tot))
+        .withColumn("e", F.col("ra") * F.col("cb") / F.col("n"))
+    )
+    parts = joined.groupBy("n", "r", "c").agg(
+        F.sum(
+            (F.col("o") - F.col("e")) * (F.col("o") - F.col("e")) / F.col("e")
+        ).alias("__obs"),
+        F.sum("e").alias("__esum"),
+    )
+    chi2 = F.col("__obs") + (F.col("n") - F.col("__esum"))
+    phi2 = chi2 / F.col("n")
+    phi2_bc = F.greatest(
+        F.lit(0.0),
+        phi2 - (F.col("r") - 1) * (F.col("c") - 1) / (F.col("n") - 1),
+    )
+    r_bc = F.col("r") - (F.col("r") - 1) * (F.col("r") - 1) / (F.col("n") - 1)
+    c_bc = F.col("c") - (F.col("c") - 1) * (F.col("c") - 1) / (F.col("n") - 1)
+    return parts.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.round(chi2, round_to).alias("chi2"),
+        F.round(F.sqrt(chi2 / (chi2 + F.col("n"))), round_to).alias("contingency"),
+        F.round(
+            F.sqrt(phi2_bc / F.least(r_bc - 1, c_bc - 1)), round_to
+        ).alias("v_bc"),
+    )

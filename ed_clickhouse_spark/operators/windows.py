@@ -401,3 +401,35 @@ def lttb_downsample(
         .filter(F.col("__rn") == 1)
         .select(*group_cols, F.col("__b").alias("bucket"), ts_col, y_col)
     )
+
+
+def non_negative_derivative(
+    df: DataFrame,
+    ts_col: str,
+    value_col: str,
+    group_cols: list[str],
+    per_seconds: float = 1.0,
+    tiebreak_col: str | None = None,
+) -> DataFrame:
+    """ClickHouse ``nonNegativeDerivative(value, ts)``: per-second rate
+    of change of a monotone gauge, clamped at zero across counter
+    resets (the Prometheus-rate idiom). One lag window per group —
+    adds columns ``rate`` (nullable on each group's first row)."""
+    from pyspark.sql import Window as W
+
+    order = [F.col(ts_col)] + ([F.col(tiebreak_col)] if tiebreak_col else [])
+    w = W.partitionBy(*group_cols).orderBy(*order)
+    dv = F.col(value_col) - F.lag(value_col).over(w)
+    # micros subtracted as integers BEFORE the one /1e6 rounding — a
+    # per-value epoch-to-double then subtract drifts a ulp and shows up
+    # after division
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    dt = (us - F.lag(us).over(w)) / 1_000_000.0
+    # explicit guard instead of greatest(0, x): greatest SKIPS nulls in
+    # every engine, which would silently turn the first row (and any
+    # zero-dt pair) into rate 0 instead of rate NULL
+    rate = F.when(
+        dv.isNotNull() & (dt > 0),
+        F.greatest(F.lit(0.0), dv / dt * per_seconds),
+    )
+    return df.withColumn("rate", rate)

@@ -477,3 +477,98 @@ def q153_linear_regression(spark, sf_dir):
         F.col("value").alias("y"),
     )
     return simple_linear_regression(e, "x", "y", ["event_type"])
+
+
+@query(
+    "q163_contingency",
+    oracle="""
+    WITH cells AS (
+      SELECT event_type AS a, user_id % 5 AS b, COUNT(*) AS o
+      FROM events GROUP BY 1, 2
+    ),
+    ra AS (SELECT a, SUM(o) AS ra FROM cells GROUP BY 1),
+    cb AS (SELECT b, SUM(o) AS cb FROM cells GROUP BY 1),
+    tot AS (SELECT SUM(o) AS n, COUNT(DISTINCT a) AS r,
+                   COUNT(DISTINCT b) AS c FROM cells),
+    j AS (
+      SELECT cells.o, ra.ra * cb.cb / tot.n AS e, tot.n, tot.r, tot.c
+      FROM cells JOIN ra USING (a) JOIN cb USING (b) CROSS JOIN tot
+    ),
+    p AS (
+      SELECT n, r, c,
+             SUM((o - e) * (o - e) / e) + (n - SUM(e)) AS chi2
+      FROM j GROUP BY 1, 2, 3
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND(chi2, 6) AS chi2,
+           ROUND(sqrt(chi2 / (chi2 + n)), 6) AS contingency,
+           ROUND(sqrt(GREATEST(0.0, chi2 / n - (r-1)*(c-1)/(n-1.0))
+                 / LEAST(r - (r-1)*(r-1)/(n-1.0) - 1,
+                         c - (c-1)*(c-1)/(n-1.0) - 1)), 6) AS v_bc
+    FROM p
+    """,
+)
+def q163_contingency(spark, sf_dir):
+    """ClickHouse contingency(a,b) + cramersVBiasCorrected: the
+    χ²-family association coefficients between event type and user
+    cohort (both ≈0 here; the bias-corrected V clamps small-sample
+    noise to exactly 0). Observed-cells-only shuffle, q127's shape."""
+    from ed_clickhouse_spark.operators.stats import contingency_coefficients
+
+    e = t(spark, sf_dir, "events").select(
+        "event_type", (F.col("user_id") % 5).alias("cohort")
+    )
+    return contingency_coefficients(e, "event_type", "cohort")
+
+
+@query(
+    "q164_nonneg_derivative",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id,
+             SUM(CAST(value AS DECIMAL(18,2))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+             ) AS gauge
+      FROM events
+    ),
+    d AS (
+      SELECT user_id, ts, event_id,
+             CAST(gauge AS DOUBLE)
+               - CAST(LAG(gauge) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS DOUBLE) AS dv,
+             (epoch_us(ts) - LAG(epoch_us(ts)) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id)) / 1000000.0 AS dt
+      FROM s
+    )
+    SELECT user_id, COUNT(*) AS n,
+           ROUND(MAX(GREATEST(0.0, dv / dt * 3600)), 6) AS peak_rate
+    FROM d WHERE dt > 0
+    GROUP BY 1
+    """,
+)
+def q164_nonneg_derivative(spark, sf_dir):
+    """ClickHouse nonNegativeDerivative over each user's cumulative
+    value gauge: the peak per-hour accumulation rate. One window pass
+    builds the gauge, one lag pass the clamped rate — no self-join."""
+    from pyspark.sql import Window as W
+
+    from ed_clickhouse_spark.operators.windows import non_negative_derivative
+
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gauge = e.withColumn(
+        "gauge",
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double"),
+    )
+    rated = non_negative_derivative(
+        gauge, "ts", "gauge", ["user_id"], per_seconds=3600.0,
+        tiebreak_col="event_id",
+    )
+    return (
+        rated.filter(F.col("rate").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.max("rate"), 6).alias("peak_rate"),
+        )
+    )

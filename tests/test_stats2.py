@@ -190,3 +190,37 @@ def test_lttb_keeps_endpoints_and_spike(spark):
     # bucket 0 keeps the FIRST point, bucket 2 the LAST point, and the
     # middle bucket its max-triangle-area point (the y=9 spike).
     assert out == [(0, 0, 0.0), (1, 4, 9.0), (2, 8, 5.0)]
+
+
+def test_contingency_perfect_association(spark):
+    from ed_clickhouse_spark.operators.stats import contingency_coefficients
+
+    det = spark.createDataFrame(
+        [("x", 1), ("x", 1), ("y", 2), ("y", 2), ("z", 3), ("z", 3)],
+        "a string, b int",
+    )
+    row = contingency_coefficients(det, "a", "b").first()
+    # perfect association: chi2 = n*(min(r,c)-1) = 12, C = sqrt(12/18)
+    assert row["chi2"] == 12.0
+    assert abs(row["contingency"] - math.sqrt(12 / 18)) < 1e-6
+
+
+def test_nonneg_derivative_clamps_resets(spark):
+    from datetime import datetime
+
+    from ed_clickhouse_spark.operators.windows import non_negative_derivative
+
+    base = datetime(2024, 1, 1)
+    # gauge rises 10 in 2s, RESETS to 0, rises 30 in 2s
+    rows = [
+        ("u", base.replace(second=0), 0.0),
+        ("u", base.replace(second=2), 10.0),
+        ("u", base.replace(second=4), 0.0),
+        ("u", base.replace(second=6), 30.0),
+    ]
+    df = spark.createDataFrame(rows, "g string, ts timestamp, v double")
+    out = non_negative_derivative(df, "ts", "v", ["g"]).orderBy("ts").collect()
+    assert out[0]["rate"] is None  # first row: no derivative, NOT 0
+    assert out[1]["rate"] == 5.0
+    assert out[2]["rate"] == 0.0  # reset clamped
+    assert out[3]["rate"] == 15.0
