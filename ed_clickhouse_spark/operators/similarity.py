@@ -402,3 +402,66 @@ def _pseudo_planes(n_planes: int, dim: int, seed: int = 0) -> list[list[float]]:
             row.append((z / 2**64) * 2.0 - 1.0)
         planes.append(row)
     return planes
+
+
+def exact_cosine_pairs(
+    df: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    round_to: int = 6,
+    max_vectors: int = 200_000,
+) -> DataFrame:
+    """ALL pairs with cosine >= threshold, exactly — the deliberately-
+    exact verifier tier of semantic dedup (the scale path generates
+    candidates with :func:`embedding_near_dup_pairs` first; this tier
+    re-scores candidates or, at validation scale, the whole corpus).
+
+    Quadratic FLOPs but linear data movement: the corpus is broadcast
+    once as a dense matrix and each partition BLAS-multiplies its own
+    rows against it — no shuffle, no cartesian join node, per-partition
+    emission of only the above-threshold pairs. Cosine is rounded
+    BEFORE thresholding so boundary membership is engine-portable.
+    ``max_vectors`` fails fast before the broadcast collect — at corpus
+    sizes past it, go through embedding_near_dup_pairs candidates."""
+    import numpy as np
+    import pandas as pd
+
+    spark = df.sparkSession
+    n = df.count()
+    if n > max_vectors:
+        raise ValueError(
+            f"exact_cosine_pairs broadcasts the whole corpus: got {n} "
+            f"vectors > max_vectors={max_vectors}. Use "
+            f"embedding_near_dup_pairs to generate candidates at scale."
+        )
+    rows = df.select(id_col, vec_col).collect()
+    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+    b_ids = spark.sparkContext.broadcast(ids)
+    b_mat = spark.sparkContext.broadcast(mat)
+    thr = float(threshold)
+    rt = int(round_to)
+
+    def score(batches):
+        all_ids, m = b_ids.value, b_mat.value
+        for pdf in batches:
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            x = x / np.linalg.norm(x, axis=1, keepdims=True)
+            sims = np.round(x @ m.T, rt)
+            xid = pdf[id_col].to_numpy(dtype=np.int64)
+            for i in range(len(xid)):
+                mask = (sims[i] >= thr) & (all_ids > xid[i])
+                if mask.any():
+                    yield pd.DataFrame(
+                        {
+                            "id_a": xid[i],
+                            "id_b": all_ids[mask],
+                            "cos_sim": sims[i][mask],
+                        }
+                    )
+
+    return df.select(id_col, vec_col).mapInPandas(
+        score, schema="id_a long, id_b long, cos_sim double"
+    )

@@ -104,3 +104,56 @@ def q141_pq_ann(spark, sf_dir):
         q, c, k=5, m=8, n_codes=32, iters=1, rerank=50,
         q_id="q_id", c_id="c_id", q_vec="q_vec", c_vec="c_vec",
     )
+
+
+@query(
+    "q165_semantic_clusters",
+    oracle="""
+    WITH RECURSIVE
+    emb AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings),
+    prs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM emb a JOIN emb b ON a.vec_id < b.vec_id
+      WHERE ROUND(list_cosine_similarity(a.vec, b.vec), 6) >= 0.4
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM prs
+      UNION ALL
+      SELECT id_b AS src, id_a AS dst FROM prs
+    ),
+    reach(id, r) AS (
+      SELECT DISTINCT src, src FROM edges
+      UNION
+      SELECT re.id, e.dst FROM reach re JOIN edges e ON e.src = re.r
+    ),
+    clusters AS (
+      SELECT id AS vec_id, MIN(r) AS cluster_id FROM reach GROUP BY id
+    )
+    SELECT vec_id, cluster_id,
+           COUNT(*) OVER (PARTITION BY cluster_id) AS cluster_size
+    FROM clusters
+    """,
+)
+def q165_semantic_clusters(spark, sf_dir):
+    """Semantic dedup end-to-end: exact cosine pairs (>= 0.4, the
+    deliberately-exact verifier tier — broadcast matrix + per-partition
+    BLAS, no shuffle) -> connected components (pointer-doubling label
+    propagation, q96's engine) -> per-vector cluster id + size. The
+    oracle is DuckDB's recursive-CTE transitive closure — different
+    algorithm, same fixpoint. At 100 TB the pair stage swaps to LSH
+    candidates (embedding_near_dup_pairs) with identical downstream."""
+    from pyspark.sql import Window as W
+
+    from ed_clickhouse_spark.operators.dedup import dedup_clusters
+    from ed_clickhouse_spark.operators.similarity import exact_cosine_pairs
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    pairs = exact_cosine_pairs(emb, 0.4)
+    cl = dedup_clusters(pairs)
+    return cl.select(
+        F.col("id").alias("vec_id"),
+        "cluster_id",
+        F.count("*").over(W.partitionBy("cluster_id")).alias("cluster_size"),
+    )

@@ -269,3 +269,40 @@ def test_pq_recall_floor(spark):
         ).collect()
     }
     assert len(pq & bf) / len(bf) >= 0.9
+
+
+def test_exact_cosine_pairs_matches_bruteforce(spark, sf_dir):
+    """exact_cosine_pairs finds every pair brute-force finds (and only
+    those), and the collect guard fails fast."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from ed_clickhouse_spark.catalog import read_table
+    from ed_clickhouse_spark.operators.similarity import exact_cosine_pairs
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in exact_cosine_pairs(emb, 0.3).collect()
+    }
+    # reference: plain SQL theta-join on the same rounded cosine
+    emb.createOrReplaceTempView("__ecp")
+    want = {
+        (r["a"], r["b"])
+        for r in spark.sql(
+            """
+            SELECT x.vec_id a, y.vec_id b FROM __ecp x JOIN __ecp y
+            ON x.vec_id < y.vec_id
+            WHERE ROUND(
+              aggregate(zip_with(x.vec, y.vec, (p,q) -> p*q), 0.0d, (s,v) -> s+v)
+              / (sqrt(aggregate(transform(x.vec, p -> p*p), 0.0d, (s,v) -> s+v))
+                 * sqrt(aggregate(transform(y.vec, p -> p*p), 0.0d, (s,v) -> s+v))),
+              6) >= 0.3
+            """
+        ).collect()
+    }
+    assert got == want and len(got) > 0
+    with pytest.raises(ValueError, match="max_vectors"):
+        exact_cosine_pairs(emb, 0.3, max_vectors=3).collect()
