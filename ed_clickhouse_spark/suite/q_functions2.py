@@ -210,3 +210,87 @@ def q71_crypto_hash(spark, sf_dir):
         F.sha2("lang", 256).alias("lang_sha256"),
         F.length(F.md5("text")).cast("bigint").alias("fp_len"),
     )
+
+
+@query(
+    "q166_array_enumerate_uniq",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(
+             list_transform(
+               range(1, len(toks) + 1),
+               i -> CAST(len(list_filter(toks[1:i], y -> y = toks[i])) AS VARCHAR)
+             ), ',') AS occ
+    FROM (
+      SELECT doc_id, string_split(text, ' ')[1:12] AS toks
+      FROM documents WHERE doc_id < 20
+    )
+    """,
+)
+def q166_array_enumerate_uniq(spark, sf_dir):
+    """ClickHouse arrayEnumerateUniq(arr): the occurrence index of each
+    element within its array (1st 'the' -> 1, 2nd 'the' -> 2, ...) —
+    the building block of per-array dedup counters. Pure codegen HOFs
+    (transform + filter over a running slice), per-row, no shuffle;
+    serialized to a comma string for the scalar-only canonicalizer."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    toks = F.slice(F.split("text", " "), 1, 12)
+    occ = F.transform(
+        toks,
+        lambda x, i: F.size(
+            F.filter(
+                F.slice(toks, 1, i + 1),
+                lambda y, j: (y == x) & (j <= i),
+            )
+        ),
+    )
+    return d.select(
+        "doc_id",
+        F.array_join(
+            F.transform(occ, lambda c: c.cast("string")), ","
+        ).alias("occ"),
+    )
+
+
+@query(
+    "q167_group_array_sample",
+    oracle="""
+    WITH r AS (
+      SELECT source, doc_id,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR)), doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT source,
+           string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS sample_ids
+    FROM r WHERE rn <= 5 GROUP BY source
+    """,
+)
+def q167_group_array_sample(spark, sf_dir):
+    """ClickHouse groupArraySample(5): a fixed-size uniform sample of
+    doc ids per source — deterministic md5 ranking instead of CH's
+    seeded RNG, so the SAME sample on every engine and every run (the
+    property that makes sampled audits reproducible). One window pass +
+    one sorted serialization."""
+    from pyspark.sql import Window as W
+
+    d = t(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.concat_ws(":", F.col("source"), F.col("doc_id"))), F.col("doc_id")
+    )
+    return (
+        d.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .groupBy("source")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("sample_ids")
+        )
+    )
