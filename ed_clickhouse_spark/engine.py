@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from ed_clickhouse_spark.functions import register_sql_aliases
 from ed_clickhouse_spark.session import get_spark
@@ -35,6 +36,7 @@ class Engine:
         # these from the [batcher] section (≙ reference config/default.toml)
         self.ingest_defaults: dict = {}
         self.table_specs: dict = {}
+        self._query_log: list = []
         register_sql_aliases(self.spark)
 
     @classmethod
@@ -164,8 +166,27 @@ class Engine:
     # -- EP2: query -------------------------------------------------------
     def sql(self, query: str) -> DataFrame:
         """Spark SQL over the event tables (ClickHouse spellings like
-        toStartOfDay/JSONExtractString registered)."""
-        return self.spark.sql(query)
+        toStartOfDay/JSONExtractString registered). Every call is
+        recorded in :meth:`query_log` (≙ ``system.query_log``)."""
+        import time as _time
+
+        t0 = _time.time()
+        df = self.spark.sql(query)
+        self._query_log.append(
+            (t0, "spark", query, round((_time.time() - t0) * 1000, 3))
+        )
+        return df
+
+    def query_log(self) -> DataFrame:
+        """≙ ClickHouse ``system.query_log``: one row per sql()/ch_sql()
+        call — epoch seconds, dialect, query text, PLANNING milliseconds
+        (execution is lazy in Spark, so run time lands on the action;
+        the log captures what the server-side log's `query` + parse
+        columns capture). Driver-side list; bounded by session life."""
+        return self.spark.createDataFrame(
+            self._query_log or [(0.0, "spark", "", 0.0)],
+            "event_time double, dialect string, query string, plan_ms double",
+        ).filter(F.col("query") != "")
 
     def ch_sql(self, query: str) -> DataFrame:
         """Run a CLICKHOUSE-dialect query: the clause-level syntax the
@@ -174,11 +195,17 @@ class Engine:
         SQL (chsql.translate) against the migrated views; the function
         spellings are already registered. A requested FORMAT name is
         recorded on the result as ``df.ch_format``."""
+        import time as _time
+
         from ed_clickhouse_spark.chsql import translate
 
+        t0 = _time.time()
         tr = translate(query, self.table_specs)
         df = self.spark.sql(tr.sql)
         df.ch_format = tr.format
+        self._query_log.append(
+            (t0, "clickhouse", query, round((_time.time() - t0) * 1000, 3))
+        )
         return df
 
     def table(self, name: str) -> DataFrame:

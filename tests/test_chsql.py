@@ -144,3 +144,15 @@ def test_keywords_inside_strings_untouched():
     tr = translate("SELECT 'FORMAT JSONEachRow' AS s, 'x PREWHERE y' AS p")
     assert tr.format is None
     assert "'FORMAT JSONEachRow'" in tr.sql and "'x PREWHERE y'" in tr.sql
+
+
+def test_engine_query_log(spark, tmp_path):
+    from ed_clickhouse_spark.engine import Engine
+
+    eng = Engine(str(tmp_path), spark)
+    eng.sql("SELECT 1 AS one").collect()
+    eng.ch_sql("SELECT 2 AS two FORMAT JSONEachRow").collect()
+    log = eng.query_log().collect()
+    assert [r["dialect"] for r in log] == ["spark", "clickhouse"]
+    assert "FORMAT JSONEachRow" in log[1]["query"]
+    assert all(r["plan_ms"] >= 0 for r in log)
