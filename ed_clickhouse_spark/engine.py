@@ -200,6 +200,13 @@ class Engine:
         from ed_clickhouse_spark.chsql import translate
 
         t0 = _time.time()
+        ins = self._maybe_insert(query)
+        if ins is not None:
+            self._query_log.append(
+                (t0, "clickhouse", query.split("\n", 1)[0],
+                 round((_time.time() - t0) * 1000, 3))
+            )
+            return ins
         tr = translate(query, self.table_specs)
         df = self.spark.sql(tr.sql)
         df.ch_format = tr.format
@@ -207,6 +214,47 @@ class Engine:
             (t0, "clickhouse", query, round((_time.time() - t0) * 1000, 3))
         )
         return df
+
+    def _maybe_insert(self, query: str):
+        """Handle the ClickHouse CLI ingestion idiom
+        ``INSERT INTO <table> FORMAT JSONEachRow\\n{json}\\n{json}...``:
+        the inline payload decodes against the migrated table's DECLARED
+        schema (from_json — malformed rows become NULL columns exactly
+        like the streaming decode path) and appends under the table's
+        MergeTree-equivalent write policy (partition dirs + ORDER BY
+        sort). Returns a 1-row (table, rows_inserted) DataFrame, or
+        None when the statement is not an INSERT."""
+        import re as _re
+
+        m = _re.match(
+            r"^\s*INSERT\s+INTO\s+(\w+)\s+FORMAT\s+(JSONEachRow)\s*\n(.*)$",
+            query,
+            _re.I | _re.S,
+        )
+        if not m:
+            if _re.match(r"^\s*INSERT\b", query, _re.I):
+                raise ValueError(
+                    "only INSERT INTO <table> FORMAT JSONEachRow with an "
+                    "inline payload is supported; use DataFrame writes or "
+                    "the ingest pipeline for other paths"
+                )
+            return None
+        from ed_clickhouse_spark import ddl
+
+        table, payload = m.group(1), m.group(3)
+        spec = self.table_specs.get(table)
+        if spec is None:
+            raise KeyError(f"unknown table {table!r}; run migrate() first")
+        lines = [ln for ln in payload.splitlines() if ln.strip()]
+        raw = self.spark.createDataFrame([(ln,) for ln in lines], "j string")
+        decoded = raw.select(
+            F.from_json("j", spec.schema).alias("r")
+        ).select("r.*")
+        ddl.append_rows(decoded, spec, self.warehouse)
+        ddl.register_view(self.spark, spec, self.warehouse)
+        return self.spark.createDataFrame(
+            [(table, len(lines))], "table string, rows_inserted long"
+        )
 
     def table(self, name: str) -> DataFrame:
         if name != "dlq" and name not in BY_TABLE:

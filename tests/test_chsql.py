@@ -156,3 +156,28 @@ def test_engine_query_log(spark, tmp_path):
     assert [r["dialect"] for r in log] == ["spark", "clickhouse"]
     assert "FORMAT JSONEachRow" in log[1]["query"]
     assert all(r["plan_ms"] >= 0 for r in log)
+
+
+def test_ch_sql_insert_jsoneachrow(spark, tmp_path):
+    from ed_clickhouse_spark.ddl import parse_clickhouse_ddl, provision_table
+    from ed_clickhouse_spark.engine import Engine
+
+    eng = Engine(str(tmp_path), spark)
+    spec = parse_clickhouse_ddl(
+        "CREATE TABLE gadgets (id Int64, name String, price Float64, ts DateTime)"
+        " ENGINE = MergeTree() ORDER BY (ts, id)"
+    )
+    eng.table_specs["gadgets"] = spec
+    provision_table(spark, spec, eng.warehouse)
+    res = eng.ch_sql(
+        'INSERT INTO gadgets FORMAT JSONEachRow\n'
+        '{"id": 1, "name": "a", "price": 9.5, "ts": "2024-01-01 00:00:00"}\n'
+        '{"id": 2, "name": "b", "price": 1.25, "ts": "2024-01-02 00:00:00"}'
+    ).first()
+    assert (res["table"], res["rows_inserted"]) == ("gadgets", 2)
+    got = eng.ch_sql("SELECT id, name, price FROM gadgets ORDER BY id").collect()
+    assert [(r["id"], r["name"], r["price"]) for r in got] == [
+        (1, "a", 9.5), (2, "b", 1.25)
+    ]
+    with pytest.raises(ValueError, match="JSONEachRow"):
+        eng.ch_sql("INSERT INTO gadgets VALUES (3, 'c', 2.0, now())")
