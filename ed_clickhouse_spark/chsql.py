@@ -280,6 +280,72 @@ def _rewrite_limit_by(sql: str) -> str:
     ).strip()
 
 
+def _select_items(sql: str) -> list[str] | None:
+    """Output column names of a top-level SELECT list (alias, or the
+    bare column name); None when any item is not confidently nameable."""
+    m = _find_top(sql, r"^\s*SELECT\s+(DISTINCT\s+)?")
+    if not m:
+        return None
+    tail = sql[m.end():]
+    fm = _find_top(tail, r"\bFROM\b")
+    if not fm:
+        return None
+    names = []
+    for item in _split_top_commas(tail[: fm.start()]):
+        am = re.match(r"^.*\s+AS\s+(\w+)\s*$", item, re.I | re.S)
+        if am:
+            names.append(am.group(1))
+            continue
+        bare = re.match(r"^(?:\w+\.)?(\w+)$", item.strip())
+        if not bare:
+            return None
+        names.append(bare.group(1))
+    return names
+
+
+def _rewrite_with_fill(sql: str) -> str:
+    """``ORDER BY <col> WITH FILL FROM <a> TO <b> [STEP <s>]`` → a
+    generated spine LEFT-JOINed to the query, missing measures
+    coalesced to 0 (ClickHouse fills with the column DEFAULT, which is
+    0 for the numeric measures this clause is used with). TO is
+    exclusive, as in ClickHouse. Supports numeric steps and
+    ``STEP INTERVAL n DAY`` over dates."""
+    m = _find_top(
+        sql,
+        r"\bORDER\s+BY\s+(\w+)\s+WITH\s+FILL\s+FROM\s+(.+?)\s+TO\s+(.+?)"
+        r"(?:\s+STEP\s+(.+?))?\s*$",
+    )
+    if not m:
+        return sql
+    col, lo, hi, step = m.group(1), m.group(2).strip(), m.group(3).strip(), m.group(4)
+    inner = sql[: m.start()].strip()
+    cols = _select_items(inner)
+    if cols is None or col not in cols:
+        raise ValueError(
+            "WITH FILL needs a plainly-aliased select list containing the "
+            "fill column"
+        )
+    im = re.match(r"^INTERVAL\s+(\d+)\s+DAY[S]?$", (step or "").strip(), re.I)
+    if im:
+        seq = (
+            f"sequence(CAST({lo} AS DATE), CAST({hi} AS DATE) - INTERVAL 1 DAY, "
+            f"INTERVAL {im.group(1)} DAY)"
+        )
+    else:
+        s = step.strip() if step else "1"
+        seq = f"sequence({lo}, ({hi}) - 1, {s})"
+    measures = ", ".join(
+        f"coalesce(__q.{c}, 0) AS {c}" for c in cols if c != col
+    )
+    return (
+        f"SELECT __spine.{col} AS {col}"
+        + (", " + measures if measures else "")
+        + f" FROM (SELECT explode({seq}) AS {col}) AS __spine"
+        f" LEFT JOIN ({inner}) AS __q ON __spine.{col} = __q.{col}"
+        f" ORDER BY {col}"
+    )
+
+
 def translate(sql: str, specs: dict | None = None) -> Translated:
     """Rewrite a ClickHouse-dialect query to Spark SQL. ``specs`` maps
     table name -> ddl.TableSpec (for SAMPLE BY metadata). Returns the
@@ -293,4 +359,5 @@ def translate(sql: str, specs: dict | None = None) -> Translated:
     sql = _rewrite_array_join(sql)
     sql = _rewrite_totals(sql)
     sql = _rewrite_limit_by(sql)
+    sql = _rewrite_with_fill(sql)
     return Translated(sql=re.sub(r"\s+", " ", sql).strip(), format=fmt)

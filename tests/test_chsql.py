@@ -181,3 +181,31 @@ def test_ch_sql_insert_jsoneachrow(spark, tmp_path):
     ]
     with pytest.raises(ValueError, match="JSONEachRow"):
         eng.ch_sql("INSERT INTO gadgets VALUES (3, 'c', 2.0, now())")
+
+
+def test_with_fill_numeric(views):
+    rows = views.sql(
+        translate(
+            "SELECT user_id % 7 AS bucket, count(*) AS n FROM events "
+            "WHERE user_id % 7 IN (1, 4) GROUP BY bucket "
+            "ORDER BY bucket WITH FILL FROM 0 TO 7"
+        ).sql
+    ).collect()
+    assert [r["bucket"] for r in rows] == list(range(7))
+    by = {r["bucket"]: r["n"] for r in rows}
+    assert by[0] == 0 and by[2] == 0  # filled with 0, not NULL
+    assert by[1] > 0 and by[4] > 0
+
+
+def test_with_fill_dates(views):
+    rows = views.sql(
+        translate(
+            "SELECT toDate(ts) AS d, count(*) AS n FROM events "
+            "WHERE toDate(ts) = '2024-01-03' GROUP BY d "
+            "ORDER BY d WITH FILL FROM '2024-01-01' TO '2024-01-05' "
+            "STEP INTERVAL 1 DAY"
+        ).sql
+    ).collect()
+    assert len(rows) == 4  # TO is exclusive
+    filled = {str(r["d"]): r["n"] for r in rows}
+    assert filled["2024-01-01"] == 0 and filled["2024-01-03"] > 0
