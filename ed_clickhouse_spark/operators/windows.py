@@ -433,3 +433,42 @@ def non_negative_derivative(
         F.greatest(F.lit(0.0), dv / dt * per_seconds),
     )
     return df.withColumn("rate", rate)
+
+
+def exponential_moving_average(
+    df: DataFrame,
+    date_col: str,
+    value_col: str,
+    group_cols: list[str],
+    halflife_days: int = 7,
+) -> DataFrame:
+    """ClickHouse ``exponentialMovingAverage(halflife)(x, t)`` over a
+    daily series: time-decayed mean where a point ``d`` days old weighs
+    ``2^(-d/halflife)``. Adds column ``ema``.
+
+    Windowable closed form: EMA_i = Σ x_j·w^(i−j) / Σ w^(i−j) with
+    w = 2^(−1/halflife) — multiply num and den by w^(−i) and the
+    unstable w^i factor cancels, leaving two plain running sums of
+    x_j·2^(j/h) and 2^(j/h) (j = days since the group's first point).
+    Two cumulative window sums, one shuffle on the group key. The
+    2^(j/h) terms grow with series span — fine for multi-year daily
+    series (2^(3650/7) still < DOUBLE_MAX at 10 years ≈ 2^521 is NOT:
+    re-base j per decade, or use the reference implementation's
+    sequential fold, if your series spans one)."""
+    from pyspark.sql import Window as W
+
+    wg = W.partitionBy(*group_cols)
+    w = W.partitionBy(*group_cols).orderBy(date_col).rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    j = F.datediff(F.col(date_col), F.min(date_col).over(wg))
+    growth = F.pow(F.lit(2.0), j / F.lit(float(halflife_days)))
+    return (
+        df.withColumn("__g", growth)
+        .withColumn(
+            "ema",
+            F.sum(F.col(value_col) * F.col("__g")).over(w)
+            / F.sum("__g").over(w),
+        )
+        .drop("__g")
+    )

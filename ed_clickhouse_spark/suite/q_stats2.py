@@ -572,3 +572,43 @@ def q164_nonneg_derivative(spark, sf_dir):
             F.round(F.max("rate"), 6).alias("peak_rate"),
         )
     )
+
+
+@query(
+    "q168_exponential_moving_average",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS d,
+             CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS x
+      FROM events GROUP BY 1, 2
+    ),
+    idx AS (
+      SELECT event_type, d, x,
+             date_diff('day', MIN(d) OVER (PARTITION BY event_type), d) AS j
+      FROM daily
+    ),
+    g AS (
+      SELECT event_type, d, x, pow(2.0, j / 7.0) AS gr FROM idx
+    )
+    SELECT event_type, d,
+           ROUND(SUM(x * gr) OVER (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / SUM(gr) OVER (PARTITION BY event_type ORDER BY d
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS ema
+    FROM g
+    """,
+)
+def q168_exponential_moving_average(spark, sf_dir):
+    """ClickHouse exponentialMovingAverage(7d) over each event type's
+    daily revenue: the trend line a dashboards user actually plots.
+    Two cumulative window sums via the cancelled-factor closed form
+    (see operators/windows.py:exponential_moving_average) — one
+    shuffle, no sequential fold."""
+    from ed_clickhouse_spark.operators.windows import exponential_moving_average
+
+    e = t(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.col("ts").cast("date").alias("d")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("x"))
+    out = exponential_moving_average(daily, "d", "x", ["event_type"], 7)
+    return out.select("event_type", "d", F.round("ema", 6).alias("ema"))
