@@ -491,3 +491,74 @@ def q161_quantiles_exact(spark, sf_dir):
         F.round(F.element_at("qs", 3), 6).alias("q75"),
         F.round(F.element_at("qs", 4), 6).alias("q95"),
     )
+
+
+@query(
+    "q170_max_intersections_position",
+    oracle="""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) // 1000000 AS s,
+             epoch_us(ts) // 1000000 + CAST(ROUND(value * 60) AS BIGINT) AS e
+      FROM events WHERE event_type = 'view'
+    ),
+    deltas AS (
+      SELECT user_id, s AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT user_id, e AS t, -1 AS d FROM iv
+    ),
+    run AS (
+      SELECT user_id, t, d,
+             SUM(d) OVER (PARTITION BY user_id ORDER BY t, d
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS open
+      FROM deltas
+    ),
+    best AS (
+      SELECT user_id, t, open,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY open DESC, t ASC) AS rn
+      FROM run
+    )
+    SELECT user_id, CAST(open AS BIGINT) AS max_concurrent,
+           CAST(t AS BIGINT) AS at_epoch
+    FROM best WHERE rn = 1
+    """,
+)
+def q170_max_intersections_position(spark, sf_dir):
+    """ClickHouse maxIntersectionsPosition: WHEN does each user's peak
+    view concurrency occur (the earliest instant attaining the max) —
+    q114's sweep plus an argmax over the same running sum; still one
+    shuffle, no pairwise overlap join."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events").filter(F.col("event_type") == "view")
+    s = (F.unix_micros(F.col("ts").cast("timestamp")) / 1_000_000).cast("bigint")
+    iv = e.select(
+        "user_id",
+        s.alias("s"),
+        (s + F.round(F.col("value") * 60).cast("long")).alias("e"),
+    )
+    deltas = iv.select(
+        "user_id",
+        F.explode(
+            F.array(
+                F.struct(F.col("s").alias("t"), F.lit(1).alias("d")),
+                F.struct(F.col("e").alias("t"), F.lit(-1).alias("d")),
+            )
+        ).alias("x"),
+    ).select("user_id", F.col("x.t").alias("t"), F.col("x.d").alias("d"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("t", "d")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    run = deltas.withColumn("open", F.sum("d").over(w))
+    sel = W.partitionBy("user_id").orderBy(F.desc("open"), F.asc("t"))
+    return (
+        run.withColumn("rn", F.row_number().over(sel))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("open").cast("bigint").alias("max_concurrent"),
+            F.col("t").cast("bigint").alias("at_epoch"),
+        )
+    )

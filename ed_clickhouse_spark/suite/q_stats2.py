@@ -612,3 +612,67 @@ def q168_exponential_moving_average(spark, sf_dir):
     ).agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("x"))
     out = exponential_moving_average(daily, "d", "x", ["event_type"], 7)
     return out.select("event_type", "d", F.round("ema", 6).alias("ema"))
+
+
+@query(
+    "q169_corr_matrix",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(value AS DECIMAL(28,4)) AS a,
+             CAST(user_id % 10 AS DECIMAL(28,4)) AS b,
+             CAST(EXTRACT(hour FROM ts) AS DECIMAL(28,4)) AS c
+      FROM events
+    ),
+    m AS (
+      SELECT COUNT(*) AS n,
+             CAST(SUM(a) AS DOUBLE) sa, CAST(SUM(b) AS DOUBLE) sb,
+             CAST(SUM(c) AS DOUBLE) sc,
+             CAST(SUM(a*a) AS DOUBLE) saa, CAST(SUM(b*b) AS DOUBLE) sbb,
+             CAST(SUM(c*c) AS DOUBLE) scc,
+             CAST(SUM(a*b) AS DOUBLE) sab, CAST(SUM(a*c) AS DOUBLE) sac,
+             CAST(SUM(b*c) AS DOUBLE) sbc
+      FROM d
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           ROUND((sab - sa*sb/n) / sqrt((saa - sa*sa/n) * (sbb - sb*sb/n)), 6) AS r_ab,
+           ROUND((sac - sa*sc/n) / sqrt((saa - sa*sa/n) * (scc - sc*sc/n)), 6) AS r_ac,
+           ROUND((sbc - sb*sc/n) / sqrt((sbb - sb*sb/n) * (scc - sc*sc/n)), 6) AS r_bc
+    FROM m
+    """,
+)
+def q169_corr_matrix(spark, sf_dir):
+    """ClickHouse corrMatrix(a, b, c): all pairwise Pearson
+    correlations in ONE pass — a single grouped aggregate of the exact
+    decimal moment sums feeds every cell (k measures cost one shuffle
+    of k(k+3)/2 sums, not k² scans)."""
+    e = t(spark, sf_dir, "events")
+    a = F.col("value").cast("decimal(28,4)")
+    b = (F.col("user_id") % 10).cast("decimal(28,4)")
+    c = F.hour("ts").cast("decimal(28,4)")
+    m = e.agg(
+        F.count("*").alias("n"),
+        F.sum(a).cast("double").alias("sa"),
+        F.sum(b).cast("double").alias("sb"),
+        F.sum(c).cast("double").alias("sc"),
+        F.sum(a * a).cast("double").alias("saa"),
+        F.sum(b * b).cast("double").alias("sbb"),
+        F.sum(c * c).cast("double").alias("scc"),
+        F.sum(a * b).cast("double").alias("sab"),
+        F.sum(a * c).cast("double").alias("sac"),
+        F.sum(b * c).cast("double").alias("sbc"),
+    )
+
+    def corr(sxy, sx, sy, sxx, syy):
+        num = F.col(sxy) - F.col(sx) * F.col(sy) / F.col("n")
+        den = F.sqrt(
+            (F.col(sxx) - F.col(sx) * F.col(sx) / F.col("n"))
+            * (F.col(syy) - F.col(sy) * F.col(sy) / F.col("n"))
+        )
+        return F.round(num / den, 6)
+
+    return m.select(
+        F.col("n").cast("bigint").alias("n"),
+        corr("sab", "sa", "sb", "saa", "sbb").alias("r_ab"),
+        corr("sac", "sa", "sc", "saa", "scc").alias("r_ac"),
+        corr("sbc", "sb", "sc", "sbb", "scc").alias("r_bc"),
+    )
