@@ -127,10 +127,11 @@ def _rewrite_prewhere(sql: str) -> str:
 def _rewrite_final(sql: str) -> str:
     # the registered <name> view already applies merge semantics
     while True:
-        m = _find_top(sql, r"\bFROM\s+(\w+)\s+FINAL\b")
+        m = _find_top(sql, r"\bFROM\s+(\w+)(\s+AS\s+\w+|\s+(?!FINAL\b)\w+)?\s+FINAL\b")
         if not m:
             return sql
-        sql = sql[: m.start()] + f"FROM {m.group(1)}" + sql[m.end():]
+        alias = m.group(2) or ""
+        sql = sql[: m.start()] + f"FROM {m.group(1)}{alias}" + sql[m.end():]
 
 
 def _sample_predicate(key: str, fraction: float) -> str:
@@ -139,10 +140,16 @@ def _sample_predicate(key: str, fraction: float) -> str:
 
 
 def _rewrite_sample(sql: str, specs: dict | None) -> str:
-    m = _find_top(sql, r"\bFROM\s+(\w+)(\s+FINAL)?\s+SAMPLE\s+([0-9.]+)\b")
+    m = _find_top(
+        sql,
+        r"\bFROM\s+(\w+)(?:\s+AS\s+(\w+)|\s+(?!FINAL\b|SAMPLE\b)(\w+))?"
+        r"(\s+FINAL)?\s+SAMPLE\s+([0-9.]+)\b",
+    )
     if not m:
         return sql
-    tbl, final_kw, frac = m.group(1), m.group(2) or "", float(m.group(3))
+    tbl = m.group(1)
+    alias = m.group(2) or m.group(3) or tbl
+    frac = float(m.group(5))
     if frac > 1.0:  # SAMPLE n rows form — not supported by a predicate
         raise ValueError("SAMPLE <n-rows> is not supported; use SAMPLE <0..1>")
     spec = (specs or {}).get(tbl)
@@ -153,7 +160,7 @@ def _rewrite_sample(sql: str, specs: dict | None) -> str:
     if km:
         key = km.group(1)
     pred = _sample_predicate(key, frac)
-    sub = f"FROM (SELECT * FROM {tbl} WHERE {pred}) AS {tbl}"
+    sub = f"FROM (SELECT * FROM {tbl} WHERE {pred}) AS {alias}"
     return _rewrite_sample(sql[: m.start()] + sub + sql[m.end():], specs)
 
 

@@ -209,3 +209,23 @@ def test_with_fill_dates(views):
     assert len(rows) == 4  # TO is exclusive
     filled = {str(r["d"]): r["n"] for r in rows}
     assert filled["2024-01-01"] == 0 and filled["2024-01-03"] > 0
+
+
+def test_sample_and_final_with_alias(views):
+    from ed_clickhouse_spark.ddl import parse_clickhouse_ddl
+
+    spec = parse_clickhouse_ddl(
+        "CREATE TABLE events (event_id Int64, user_id Int64, value Float64)"
+        " ENGINE = MergeTree() ORDER BY event_id SAMPLE BY user_id"
+    )
+    tr = translate(
+        "SELECT e.user_id, count(*) AS n FROM events AS e FINAL SAMPLE 0.5 "
+        "GROUP BY e.user_id",
+        {"events": spec},
+    )
+    assert "FINAL" not in tr.sql.upper().replace("__FINAL", "")
+    rows = views.sql(tr.sql).collect()
+    assert 0 < len(rows) < 1500
+    tr2 = translate("SELECT e.value FROM events e FINAL WHERE e.value > 0")
+    assert "FINAL" not in tr2.sql.upper()
+    assert views.sql(tr2.sql).count() > 0
