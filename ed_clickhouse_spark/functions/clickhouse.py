@@ -425,6 +425,30 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "CAST(split(s, '\\\\.')[2] AS BIGINT) * 256 + "
         "CAST(split(s, '\\\\.')[3] AS BIGINT)",
     ),
+    # numeric array folds (ClickHouse arraySum/arrayAvg family; min/max
+    # map to Spark's array_min/array_max builtins)
+    "arraySum": (
+        "(a ARRAY<DOUBLE>) RETURNS DOUBLE",
+        "aggregate(a, CAST(0.0 AS DOUBLE), (s, x) -> s + x)",
+    ),
+    "arrayAvg": (
+        "(a ARRAY<DOUBLE>) RETURNS DOUBLE",
+        "aggregate(a, CAST(0.0 AS DOUBLE), (s, x) -> s + x) / size(a)",
+    ),
+    "arrayMin": ("(a ARRAY<DOUBLE>) RETURNS DOUBLE", "array_min(a)"),
+    "arrayMax": ("(a ARRAY<DOUBLE>) RETURNS DOUBLE", "array_max(a)"),
+    "arrayProduct": (
+        "(a ARRAY<DOUBLE>) RETURNS DOUBLE",
+        "aggregate(a, CAST(1.0 AS DOUBLE), (s, x) -> s * x)",
+    ),
+    # calendar niladics + compact date keys
+    "today": ("() RETURNS DATE", "current_date()"),
+    "yesterday": ("() RETURNS DATE", "date_sub(current_date(), 1)"),
+    "toYYYYMMDD": ("(x TIMESTAMP) RETURNS INT", "CAST(date_format(x, 'yyyyMMdd') AS INT)"),
+    "addMinutes": ("(x TIMESTAMP, n INT) RETURNS TIMESTAMP", "x + make_interval(0, 0, 0, 0, 0, n)"),
+    "addSeconds": ("(x TIMESTAMP, n INT) RETURNS TIMESTAMP", "x + make_interval(0, 0, 0, 0, 0, 0, n)"),
+    "addMonths": ("(x TIMESTAMP, n INT) RETURNS TIMESTAMP", "x + make_interval(0, n)"),
+    "addYears": ("(x TIMESTAMP, n INT) RETURNS TIMESTAMP", "x + make_interval(n)"),
     # haversine on a spherical Earth (R=6372797.56 m, ClickHouse's
     # constant for greatCircleDistance)
     "greatCircleDistance": (

@@ -172,3 +172,20 @@ def test_geo_and_array_intersect_aliases(spark):
     # ClickHouse documents this pair at ~5 km
     assert abs(got["d"] - 5700) < 300
     assert got["ai"] == ["a", "c"]
+
+
+def test_sql_alias_array_folds_and_calendar(spark):
+    register_sql_aliases(spark)
+    r = spark.sql(
+        "SELECT arraySum(array(1.0d, 2.0d, 3.5d)) s,"
+        "       arrayAvg(array(2.0d, 4.0d)) a,"
+        "       arrayProduct(array(2.0d, 3.0d)) p,"
+        "       arrayMax(array(5.0d, 1.0d)) hi,"
+        "       toYYYYMMDD(TIMESTAMP '2024-03-05 10:00:00') ymd,"
+        "       addMonths(TIMESTAMP '2024-01-31 00:00:00', 1) am,"
+        "       today() >= yesterday() ok"
+    ).first()
+    assert (r["s"], r["a"], r["p"], r["hi"]) == (6.5, 3.0, 6.0, 5.0)
+    assert r["ymd"] == 20240305
+    assert str(r["am"]).startswith("2024-02-29")  # month-end clamp, leap year
+    assert r["ok"]
