@@ -325,6 +325,11 @@ def dedup_clusters(
     overhead dominates) and round k never replans a k-join lineage.
     """
     spark = pairs.sparkSession
+    # pin the pair list BEFORE symmetrizing: the union reads it twice,
+    # and the upstream candidate join (shingle/LSH) is the expensive
+    # part — without this pin it executes once per union branch
+    # (measured ~1.4s of the 4.2s end-to-end at sf0.1)
+    pairs = pairs.persist()
     sym = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -399,4 +404,5 @@ def dedup_clusters(
                     break
     finally:
         sym.unpersist()
+        pairs.unpersist()
     return labels.select("id", F.col("lbl").alias("cluster_id"))
