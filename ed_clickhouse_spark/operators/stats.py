@@ -200,7 +200,11 @@ def mann_whitney_u(
         / 12.0
         * ((n + 1) - F.col("__t") / (n * (n - 1)))
     )
-    z = (u - F.col("n_a") * F.col("n_b") / 2.0) / sigma
+    # sigma is 0 when EVERY observation ties (the tie correction removes
+    # all variance): z is undefined — NULL, not a divide-by-zero (which
+    # ANSI mode turns into a runtime error). Found by the hypothesis
+    # property test on a=[0,0], b=[0,0].
+    z = F.when(sigma > 0, (u - F.col("n_a") * F.col("n_b") / 2.0) / sigma)
     return agg.select(
         F.col("n_a").cast("bigint").alias("n_a"),
         F.col("n_b").cast("bigint").alias("n_b"),
@@ -239,9 +243,10 @@ def rank_corr(
     cov = F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")
     vx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
     vy = F.col("syy") - F.col("sy") * F.col("sy") / F.col("n")
+    rho = F.when((vx > 0) & (vy > 0), cov / F.sqrt(vx * vy))
     return m.select(
         F.col("n").cast("bigint").alias("n"),
-        F.round(cov / F.sqrt(vx * vy), round_to).alias("rho"),
+        F.round(rho, round_to).alias("rho"),
     )
 
 
@@ -325,7 +330,7 @@ def theils_u(df: DataFrame, col_a: str, col_b: str, round_to: int = 6) -> DataFr
     h_a_given_b = (F.col("__cb") - F.col("__cab")) / F.col("n")
     return j.select(
         F.col("n").cast("bigint").alias("n"),
-        F.round((h_a - h_a_given_b) / h_a, round_to).alias("u"),
+        F.round(F.when(h_a > 0, (h_a - h_a_given_b) / h_a), round_to).alias("u"),
     )
 
 
@@ -350,7 +355,11 @@ def bounding_ratio(
     return agg.select(
         *group_cols,
         F.round(
-            (F.col("__y_hi") - F.col("__y_lo")) / (F.col("__x_hi") - F.col("__x_lo")),
+            F.when(
+                F.col("__x_hi") != F.col("__x_lo"),
+                (F.col("__y_hi") - F.col("__y_lo"))
+                / (F.col("__x_hi") - F.col("__x_lo")),
+            ),
             round_to,
         ).alias("ratio"),
     )
@@ -419,8 +428,10 @@ def auc(df: DataFrame, score_col: str, label_col: str, round_to: int = 6) -> Dat
         F.sum(F.col("__c") - F.col("__cp")).alias("n_neg"),
         F.sum(F.col("__cp") * F.col("__rank")).alias("r_pos"),
     )
-    a = (F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0) / (
-        F.col("n_pos") * F.col("n_neg")
+    a = F.when(
+        (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+        (F.col("r_pos") - F.col("n_pos") * (F.col("n_pos") + 1) / 2.0)
+        / (F.col("n_pos") * F.col("n_neg")),
     )
     return agg.select(
         F.col("n_pos").cast("bigint").alias("n_pos"),
@@ -467,8 +478,8 @@ def skew_kurt(
     return s.select(
         *group_cols,
         F.col("n").cast("bigint").alias("n"),
-        F.round(m3 / F.pow(m2, 1.5), round_to).alias("skew"),
-        F.round(m4 / (m2 * m2) - 3, round_to).alias("kurt"),
+        F.round(F.when(m2 > 0, m3 / F.pow(m2, 1.5)), round_to).alias("skew"),
+        F.round(F.when(m2 > 0, m4 / (m2 * m2) - 3), round_to).alias("kurt"),
     )
 
 
@@ -558,8 +569,9 @@ def simple_linear_regression(
         F.sum(dx * dx).cast("double").alias("sxx"),
         F.sum(dx * dy).cast("double").alias("sxy"),
     )
-    slope = (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / (
-        F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    vx = F.col("sxx") - F.col("sx") * F.col("sx") / F.col("n")
+    slope = F.when(
+        vx > 0, (F.col("sxy") - F.col("sx") * F.col("sy") / F.col("n")) / vx
     )
     return m.select(
         *group_cols,
