@@ -562,3 +562,27 @@ def q170_max_intersections_position(spark, sf_dir):
             F.col("t").cast("bigint").alias("at_epoch"),
         )
     )
+
+
+@query(
+    "q171_uniq_up_to",
+    oracle="""
+    SELECT event_type,
+           LEAST(COUNT(DISTINCT user_id % 4), 6) AS cohorts_capped,
+           LEAST(COUNT(DISTINCT user_id), 6) AS users_capped
+    FROM events GROUP BY event_type
+    """,
+)
+def q171_uniq_up_to(spark, sf_dir):
+    """ClickHouse uniqUpTo(5)(x): exact distinct count that saturates
+    at N+1 ("more than 5") — the cheap cardinality-class check (is this
+    column an enum or an id?) without a full distinct count's memory.
+    Two probes per event type: the 4-cohort key stays exact (4 <= 5);
+    raw user_id saturates to 6 ("more than 5")."""
+    from ed_clickhouse_spark.functions.clickhouse import uniqUpTo
+
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        uniqUpTo(F.col("user_id") % 4, 5).alias("cohorts_capped"),
+        uniqUpTo(F.col("user_id"), 5).alias("users_capped"),
+    )
