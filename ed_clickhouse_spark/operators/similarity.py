@@ -465,3 +465,62 @@ def exact_cosine_pairs(
     return df.select(id_col, vec_col).mapInPandas(
         score, schema="id_a long, id_b long, cos_sim double"
     )
+
+
+def flag_near_benchmark(
+    corpus: DataFrame,
+    bench: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "vec",
+    round_to: int = 6,
+    max_bench: int = 100_000,
+) -> DataFrame:
+    """Semantic decontamination: for every corpus vector, its nearest
+    BENCHMARK vector and cosine — rows at or above ``threshold`` are
+    contamination (eval items paraphrased into the training set, which
+    n-gram decontamination misses). The benchmark side is broadcast
+    (eval sets are small by construction — the guard fails fast
+    otherwise); the corpus streams through per-partition BLAS and NEVER
+    shuffles — the only shape that works when the corpus is 100 TB and
+    the benchmark is a few thousand rows. Ties on similarity break to
+    the smallest benchmark id in both engines."""
+    import numpy as np
+    import pandas as pd
+
+    n_b = bench.count()
+    if n_b > max_bench:
+        raise ValueError(
+            f"flag_near_benchmark broadcasts the benchmark side: got {n_b} "
+            f"rows > max_bench={max_bench}."
+        )
+    rows = bench.select(id_col, vec_col).orderBy(id_col).collect()
+    b_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    b_mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
+    b_mat = b_mat / np.linalg.norm(b_mat, axis=1, keepdims=True)
+    bc = corpus.sparkSession.sparkContext.broadcast((b_ids, b_mat))
+    thr, rt = float(threshold), int(round_to)
+
+    def score(batches):
+        ids, m = bc.value
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(list(pdf[vec_col]), dtype=np.float64)
+            x = x / np.linalg.norm(x, axis=1, keepdims=True)
+            sims = np.round(x @ m.T, rt)
+            best = sims.argmax(axis=1)  # ties -> lowest index = lowest id
+            best_sim = sims[np.arange(len(x)), best]
+            keep = best_sim >= thr
+            if keep.any():
+                yield pd.DataFrame(
+                    {
+                        "corpus_id": pdf[id_col].to_numpy(dtype=np.int64)[keep],
+                        "bench_id": ids[best[keep]],
+                        "cos_sim": best_sim[keep],
+                    }
+                )
+
+    return corpus.select(id_col, vec_col).mapInPandas(
+        score, schema="corpus_id long, bench_id long, cos_sim double"
+    )

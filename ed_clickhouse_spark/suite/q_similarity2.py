@@ -157,3 +157,38 @@ def q165_semantic_clusters(spark, sf_dir):
         "cluster_id",
         F.count("*").over(W.partitionBy("cluster_id")).alias("cluster_size"),
     )
+
+
+@query(
+    "q172_semantic_decontamination",
+    oracle="""
+    WITH emb AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS vec
+                 FROM embeddings),
+    bench AS (SELECT vec_id, vec FROM emb WHERE label < 2),
+    corpus AS (SELECT vec_id, vec FROM emb WHERE label >= 2),
+    scored AS (
+      SELECT c.vec_id AS corpus_id, b.vec_id AS bench_id,
+             ROUND(list_cosine_similarity(c.vec, b.vec), 6) AS cos_sim,
+             ROW_NUMBER() OVER (PARTITION BY c.vec_id
+               ORDER BY ROUND(list_cosine_similarity(c.vec, b.vec), 6) DESC,
+                        b.vec_id ASC) AS rn
+      FROM corpus c CROSS JOIN bench b
+    )
+    SELECT corpus_id, bench_id, cos_sim
+    FROM scored WHERE rn = 1 AND cos_sim >= 0.35
+    """,
+)
+def q172_semantic_decontamination(spark, sf_dir):
+    """Semantic decontamination (the embedding-level sibling of q89's
+    n-gram decontamination): training vectors whose nearest BENCHMARK
+    vector (labels 0-1 stand in for an eval set) scores >= 0.35 cosine
+    — paraphrase-level contamination n-gram overlap misses. Benchmark
+    broadcast + per-partition BLAS; the corpus never shuffles."""
+    from ed_clickhouse_spark.operators.similarity import flag_near_benchmark
+
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("vec")
+    )
+    bench = emb.filter(F.col("label") < 2).select("vec_id", "vec")
+    corpus = emb.filter(F.col("label") >= 2).select("vec_id", "vec")
+    return flag_near_benchmark(corpus, bench, 0.35)
