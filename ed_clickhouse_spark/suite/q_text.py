@@ -289,3 +289,59 @@ def q155_ngram_distance(spark, sf_dir):
         ).alias("dist"),
     )
     return out.orderBy(F.asc("dist"), F.asc("doc_id")).limit(20)
+
+
+@query(
+    "q173_count_substrings",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(text, 'scan')) AS n_scan,
+           (len(string_split(text, 'the')) - 1) AS n_the,
+           (CASE WHEN text LIKE '%spark%' OR text LIKE '%hash%'
+                 THEN TRUE ELSE FALSE END) AS has_any
+    FROM documents WHERE doc_id < 50
+    """,
+)
+def q173_count_substrings(spark, sf_dir):
+    """ClickHouse countSubstrings + multiSearchAny: occurrence counts
+    and any-of-needles membership — the grep-style column predicates a
+    log-analytics user runs constantly. Pure codegen expressions
+    (regexp_count / split-length / LIKE-OR), no UDF, no shuffle."""
+    d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
+    return d.select(
+        "doc_id",
+        F.regexp_count("text", F.lit("scan")).alias("n_scan"),
+        (F.size(F.split("text", "the", -1)) - 1).alias("n_the"),
+        (F.col("text").contains("spark") | F.col("text").contains("hash")).alias(
+            "has_any"
+        ),
+    )
+
+
+@query(
+    "q174_transform_map",
+    oracle="""
+    SELECT CASE lang WHEN 'en' THEN 'english' WHEN 'de' THEN 'german'
+                     WHEN 'fr' THEN 'french' ELSE 'other' END AS lang_name,
+           COUNT(*) AS n
+    FROM documents GROUP BY 1
+    """,
+)
+def q174_transform_map(spark, sf_dir):
+    """ClickHouse transform(x, [from...], [to...], default): inline
+    value recoding (the enum-decode idiom) — expressed as the
+    try_element_at over a literal map with a coalesce default, which
+    Catalyst constant-folds; one aggregate after."""
+    d = t(spark, sf_dir, "documents")
+    mapping = F.create_map(
+        F.lit("en"), F.lit("english"),
+        F.lit("de"), F.lit("german"),
+        F.lit("fr"), F.lit("french"),
+    )
+    return (
+        d.select(
+            F.coalesce(mapping[F.col("lang")], F.lit("other")).alias("lang_name")
+        )
+        .groupBy("lang_name")
+        .agg(F.count("*").alias("n"))
+    )
