@@ -425,6 +425,39 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "CAST(split(s, '\\\\.')[2] AS BIGINT) * 256 + "
         "CAST(split(s, '\\\\.')[3] AS BIGINT)",
     ),
+    # JSONExtract siblings (q17 covers JSONExtractString; these decode
+    # the other scalar types with the same get_json_object core)
+    "JSONExtractInt": (
+        "(j STRING, k STRING) RETURNS BIGINT",
+        "try_cast(get_json_object(j, concat('$.', k)) AS BIGINT)",
+    ),
+    "JSONExtractFloat": (
+        "(j STRING, k STRING) RETURNS DOUBLE",
+        "try_cast(get_json_object(j, concat('$.', k)) AS DOUBLE)",
+    ),
+    "JSONExtractBool": (
+        "(j STRING, k STRING) RETURNS BOOLEAN",
+        "try_cast(get_json_object(j, concat('$.', k)) AS BOOLEAN)",
+    ),
+    "JSONExtractRaw": (
+        "(j STRING, k STRING) RETURNS STRING",
+        "get_json_object(j, concat('$.', k))",
+    ),
+    "JSONHas": (
+        "(j STRING, k STRING) RETURNS BOOLEAN",
+        "get_json_object(j, concat('$.', k)) IS NOT NULL",
+    ),
+    "JSONLength": (
+        "(j STRING) RETURNS INT",
+        "size(from_json(j, 'map<string,string>'))",
+    ),
+    "formatReadableSize": (
+        "(b DOUBLE) RETURNS STRING",
+        "CASE WHEN b >= 1073741824 THEN concat(CAST(ROUND(b / 1073741824, 2) AS STRING), ' GiB')"
+        "     WHEN b >= 1048576 THEN concat(CAST(ROUND(b / 1048576, 2) AS STRING), ' MiB')"
+        "     WHEN b >= 1024 THEN concat(CAST(ROUND(b / 1024, 2) AS STRING), ' KiB')"
+        "     ELSE concat(CAST(CAST(b AS BIGINT) AS STRING), ' B') END",
+    ),
     # numeric array folds (ClickHouse arraySum/arrayAvg family; min/max
     # map to Spark's array_min/array_max builtins)
     "arraySum": (

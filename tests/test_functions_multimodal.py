@@ -189,3 +189,18 @@ def test_sql_alias_array_folds_and_calendar(spark):
     assert r["ymd"] == 20240305
     assert str(r["am"]).startswith("2024-02-29")  # month-end clamp, leap year
     assert r["ok"]
+
+
+def test_sql_alias_json_siblings(spark):
+    register_sql_aliases(spark)
+    j = '{"a": 3, "b": 1.5, "c": true, "d": "x"}'
+    r = spark.sql(
+        f"SELECT JSONExtractInt('{j}', 'a') i, JSONExtractFloat('{j}', 'b') f,"
+        f"       JSONExtractBool('{j}', 'c') bo, JSONExtractRaw('{j}', 'd') raw,"
+        f"       JSONHas('{j}', 'a') has_a, JSONHas('{j}', 'z') has_z,"
+        f"       JSONLength('{j}') n,"
+        f"       formatReadableSize(1536.0d) kib, formatReadableSize(10.0d) b"
+    ).first()
+    assert (r["i"], r["f"], r["bo"], r["raw"]) == (3, 1.5, True, "x")
+    assert r["has_a"] and not r["has_z"] and r["n"] == 4
+    assert r["kib"] == "1.5 KiB" and r["b"] == "10 B"
