@@ -1,10 +1,12 @@
-"""Deeper TPC-H query shapes (Q4/Q7/Q8/Q12/Q13/Q14/Q15/Q17/Q19/Q21/Q22),
+"""Deeper TPC-H query shapes (Q4/Q5/Q6/Q7/Q8/Q12/Q13/Q14/Q15/Q17/Q19/Q21/Q22),
 adapted to the driver's schema (no l_shipmode/l_commitdate/l_receiptdate,
 no c_phone, no partsupp — deviations noted per query). These exercise the
 relational shapes the first TPC-H batch (q73-q75) did not: correlated
 EXISTS, scalar-aggregate subqueries, left-outer count distributions,
 disjunctive predicate bundles, conditional-ratio aggregates, and
-single-survivor anti-join logic.
+single-survivor anti-join logic. With q01/q73/q74/q75 this covers
+every TPC-H query expressible over the driver's tables (Q2/Q9/Q11/
+Q16/Q20 need PARTSUPP, which the testdata does not ship).
 
 100 TB stance shared by all: dimension sides (part, supplier, nation,
 region, filtered customer) broadcast; every query does at most the
@@ -536,4 +538,91 @@ def q125_market_share(spark, sf_dir):
             .alias("mkt_share")
         )
         .orderBy("o_year")
+    )
+
+
+@query(
+    "q175_local_supplier_volume",
+    oracle="""
+    SELECT n.n_name AS nation,
+           CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))
+                    * (1 - CAST(l.l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS revenue
+    FROM customer c
+    JOIN orders o   ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    JOIN supplier s ON s.s_suppkey = l.l_suppkey
+                   AND s.s_nationkey = c.c_nationkey
+    JOIN nation n   ON n.n_nationkey = s.s_nationkey
+    JOIN region r   ON r.r_regionkey = n.n_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= DATE '1996-01-01'
+      AND o.o_orderdate <  DATE '1997-01-01'
+    GROUP BY 1
+    """,
+)
+def q175_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 (local supplier volume): revenue served to ASIA
+    customers by SAME-NATION suppliers, by nation, one year. The
+    customer-supplier nation equality rides ON the supplier join — no
+    extra shuffle. Dims broadcast; the two fact shuffles
+    (orders⋈customer on custkey, lineitem⋈orders on orderkey) are the
+    semantic minimum."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
+    )
+    l = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    joined = (
+        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        .join(l, l["l_orderkey"] == o["o_orderkey"])
+        .join(
+            F.broadcast(s),
+            (s["s_suppkey"] == l["l_suppkey"])
+            & (s["s_nationkey"] == c["c_nationkey"]),
+        )
+        .join(F.broadcast(n), n["n_nationkey"] == s["s_nationkey"])
+        .join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
+    )
+    rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    return (
+        joined.groupBy(F.col("n_name").alias("nation"))
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+    )
+
+
+@query(
+    "q176_forecast_revenue_change",
+    oracle="""
+    SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+                    * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= DATE '1996-01-01'
+      AND l_shipdate <  DATE '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q176_forecast_revenue_change(spark, sf_dir):
+    """TPC-H Q6 (forecasting revenue change): the discount-repeal
+    what-if — a pure scan-aggregate whose whole point at 100 TB is
+    predicate pushdown (all four filters are plain column comparisons
+    that reach the parquet reader) and a one-row partial-agg merge. No
+    join, no shuffle beyond the final combine."""
+    l = t(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.03)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return l.agg(
+        F.sum(dec("l_extendedprice") * dec("l_discount")).cast("double").alias(
+            "revenue"
+        ),
+        F.count("*").alias("n_lines"),
     )
