@@ -204,6 +204,10 @@ def ivf_centroids(
     return cent
 
 
+# (index_key, n_lists, iters, id_col, vec_col) -> trained centroid matrix
+_IVF_INDEX_CACHE: dict = {}
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -216,6 +220,7 @@ def ivf_topk(
     q_vec: str = "q_vec",
     c_vec: str = "c_vec",
     round_to: int = 6,
+    index_key: str | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k cosine: partition the corpus
     into ``n_lists`` centroid cells, probe each query's ``n_probe``
@@ -226,8 +231,23 @@ def ivf_topk(
     query, with recall controlled by n_probe. Scale shape: centroid
     assignment is a per-partition BLAS pass (no shuffle of the corpus);
     the probe is an equi-join on list_id — shuffle keyed on the cell id,
-    candidates bounded by cell sizes, never all-pairs."""
-    cent = ivf_centroids(corpus, n_lists, c_id, c_vec, iters=iters)
+    candidates bounded by cell sizes, never all-pairs.
+
+    ``index_key``: opt-in centroid memoization — an IVF INDEX is built
+    once and probed many times, so repeated queries against the same
+    immutable corpus should not retrain Lloyd every call. The caller
+    owns cache correctness: the key must change when the corpus does
+    (e.g. the warehouse path + snapshot id)."""
+    cache_id = (
+        None
+        if index_key is None
+        else (index_key, n_lists, iters, c_id, c_vec)
+    )
+    cent = _IVF_INDEX_CACHE.get(cache_id) if cache_id else None
+    if cent is None:
+        cent = ivf_centroids(corpus, n_lists, c_id, c_vec, iters=iters)
+        if cache_id:
+            _IVF_INDEX_CACHE[cache_id] = cent
     c_asg = ivf_assign(corpus, cent, c_id, c_vec, n_probe=1)
     q_asg = ivf_assign(queries, cent, q_id, q_vec, n_probe=n_probe)
     cand = q_asg.join(c_asg, "list_id").filter(F.col(q_id) != F.col(c_id))

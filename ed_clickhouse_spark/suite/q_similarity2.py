@@ -52,7 +52,8 @@ def q87_ann_ivf(spark, sf_dir):
         F.col("vec_id").alias("q_id"), F.col("vec").alias("q_vec")
     )
     corpus = emb.select(F.col("vec_id").alias("c_id"), F.col("vec").alias("c_vec"))
-    return ivf_topk(queries, corpus, k=5, n_lists=16, n_probe=4)
+    return ivf_topk(queries, corpus, k=5, n_lists=16, n_probe=4,
+                    index_key=f"{sf_dir}/embeddings")
 
 
 @query(
