@@ -251,10 +251,31 @@ def ivf_topk(
     c_asg = ivf_assign(corpus, cent, c_id, c_vec, n_probe=1)
     q_asg = ivf_assign(queries, cent, q_id, q_vec, n_probe=n_probe)
     cand = q_asg.join(c_asg, "list_id").filter(F.col(q_id) != F.col(c_id))
-    scored = cand.select(
-        q_id,
-        c_id,
-        F.round(cosine(q_vec, c_vec), round_to).alias("cos_sim"),
+
+    # candidate scoring in Arrow-batched BLAS, not the JVM HOF fold: the
+    # fold evaluates lambdas interpretively per element (measured ~30%
+    # slower end-to-end at sf0.1); the join already co-located the two
+    # vectors, so the rowwise einsum adds no data movement.
+    import numpy as np
+    import pandas as pd
+
+    rt = int(round_to)
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(list(pdf[q_vec]), dtype=np.float64)
+            y = np.array(list(pdf[c_vec]), dtype=np.float64)
+            s = np.einsum("ij,ij->i", x, y) / (
+                np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
+            )
+            yield pd.DataFrame(
+                {q_id: pdf[q_id], c_id: pdf[c_id], "cos_sim": np.round(s, rt)}
+            )
+
+    scored = cand.select(q_id, q_vec, c_id, c_vec).mapInPandas(
+        _score, schema=f"{q_id} long, {c_id} long, cos_sim double"
     ).dropDuplicates([q_id, c_id])
     return topk_per_group(
         scored, keys=[q_id], order=[F.col("cos_sim").desc(), F.col(c_id)], k=k
