@@ -116,6 +116,42 @@ def brute_force_topk(
     )
 
 
+def _blas_pair_scores(
+    cand: DataFrame,
+    q_id: str,
+    c_id: str,
+    q_vec: str,
+    c_vec: str,
+    round_to: int = 6,
+) -> DataFrame:
+    """Rowwise cosine of co-located (query, candidate) vector pairs in
+    Arrow-batched BLAS — the shared scoring tail of every candidate-
+    generation tier (IVF / LSH / near-dup). The candidates were already
+    joined, so this adds no data movement; the JVM HOF fold evaluates
+    its lambdas interpretively and measured ~30% slower end-to-end."""
+    import numpy as np
+    import pandas as pd
+
+    rt = int(round_to)
+
+    def _score(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.array(list(pdf[q_vec]), dtype=np.float64)
+            y = np.array(list(pdf[c_vec]), dtype=np.float64)
+            sim = np.einsum("ij,ij->i", x, y) / (
+                np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
+            )
+            yield pd.DataFrame(
+                {q_id: pdf[q_id], c_id: pdf[c_id], "cos_sim": np.round(sim, rt)}
+            )
+
+    return cand.select(q_id, q_vec, c_id, c_vec).mapInPandas(
+        _score, schema=f"{q_id} long, {c_id} long, cos_sim double"
+    )
+
+
 def ivf_assign(
     df: DataFrame,
     centroids,  # np.ndarray (n_lists, dim), L2-normalized
@@ -251,32 +287,9 @@ def ivf_topk(
     c_asg = ivf_assign(corpus, cent, c_id, c_vec, n_probe=1)
     q_asg = ivf_assign(queries, cent, q_id, q_vec, n_probe=n_probe)
     cand = q_asg.join(c_asg, "list_id").filter(F.col(q_id) != F.col(c_id))
-
-    # candidate scoring in Arrow-batched BLAS, not the JVM HOF fold: the
-    # fold evaluates lambdas interpretively per element (measured ~30%
-    # slower end-to-end at sf0.1); the join already co-located the two
-    # vectors, so the rowwise einsum adds no data movement.
-    import numpy as np
-    import pandas as pd
-
-    rt = int(round_to)
-
-    def _score(batches):
-        for pdf in batches:
-            if not len(pdf):
-                continue
-            x = np.array(list(pdf[q_vec]), dtype=np.float64)
-            y = np.array(list(pdf[c_vec]), dtype=np.float64)
-            s = np.einsum("ij,ij->i", x, y) / (
-                np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
-            )
-            yield pd.DataFrame(
-                {q_id: pdf[q_id], c_id: pdf[c_id], "cos_sim": np.round(s, rt)}
-            )
-
-    scored = cand.select(q_id, q_vec, c_id, c_vec).mapInPandas(
-        _score, schema=f"{q_id} long, {c_id} long, cos_sim double"
-    ).dropDuplicates([q_id, c_id])
+    scored = _blas_pair_scores(cand, q_id, c_id, q_vec, c_vec, round_to).dropDuplicates(
+        [q_id, c_id]
+    )
     return topk_per_group(
         scored, keys=[q_id], order=[F.col("cos_sim").desc(), F.col(c_id)], k=k
     )
@@ -312,7 +325,7 @@ def lsh_bucket_topk(
         .select(q_id, c_id, q_vec, c_vec)
         .dropDuplicates([q_id, c_id])
     )
-    scored = cand.select(q_id, c_id, F.round(cosine(q_vec, c_vec), 6).alias("cos_sim"))
+    scored = _blas_pair_scores(cand, q_id, c_id, q_vec, c_vec)
     return topk_per_group(
         scored, keys=[q_id], order=[F.col("cos_sim").desc(), F.col(c_id)], k=k
     )
