@@ -360,10 +360,11 @@ def embedding_near_dup_pairs(
         .dropDuplicates(["q_id", "c_id"])
     )
     return (
-        pairs.select(
+        _blas_pair_scores(pairs, "q_id", "c_id", "q_vec", "c_vec")
+        .select(
             F.col("q_id").alias("id_a"),
             F.col("c_id").alias("id_b"),
-            F.round(cosine("q_vec", "c_vec"), 6).alias("cos_sim"),
+            "cos_sim",
         )
         .filter(F.col("cos_sim") >= threshold)
     )
