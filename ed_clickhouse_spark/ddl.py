@@ -195,6 +195,7 @@ class TableSpec:
     ch_types: dict[str, str] = field(default_factory=dict)
     ttl: tuple[str, int, str] | None = None  # (column, n, unit) from TTL col + INTERVAL n unit
     sample_by: str | None = None  # SAMPLE BY expression (a column or intHash on one)
+    bloom_cols: list[str] = field(default_factory=list)  # INDEX ... TYPE bloom_filter columns
 
     @property
     def key_cols(self) -> list[str]:
@@ -268,10 +269,23 @@ def parse_clickhouse_ddl(sql: str) -> TableSpec:
     col_block, tail = s[start + 1 : i], s[i + 1 :]
 
     fields, ch_types = [], {}
+    bloom_cols: list[str] = []
     for part in _split_top(col_block):
         part = part.strip()
+        im = re.match(
+            r"^INDEX\s+\w+\s+`?(\w+)`?\s+TYPE\s+(bloom_filter|tokenbf_v1|ngrambf_v1)\b",
+            part,
+            re.I,
+        )
+        if im:
+            # ClickHouse data-skipping index -> parquet bloom filter on
+            # that column (written by append_rows; parquet readers prune
+            # row groups on point predicates). minmax indexes need no
+            # mapping — parquet column stats ARE the minmax index.
+            bloom_cols.append(im.group(1))
+            continue
         if not part or re.match(r"^(INDEX|CONSTRAINT|PROJECTION)\b", part, re.I):
-            continue  # skipping secondary indexes: parquet stats + pruning play that role
+            continue  # other secondary indexes: parquet stats + pruning play that role
         cm = re.match(r"^`?(\w+)`?\s+(.+)$", part, re.S)
         if not cm:
             raise ValueError(f"cannot parse column definition: {part!r}")
@@ -350,6 +364,7 @@ def parse_clickhouse_ddl(sql: str) -> TableSpec:
         ch_types=ch_types,
         ttl=ttl,
         sample_by=sb,
+        bloom_cols=bloom_cols,
     )
 
 
@@ -387,6 +402,9 @@ def append_rows(df: DataFrame, spec: TableSpec, warehouse: str) -> None:
     if writer_cols:
         out = out.sortWithinPartitions(*writer_cols)
     w = out.write.mode("append")
+    for c in spec.bloom_cols:
+        # ClickHouse INDEX ... TYPE bloom_filter -> parquet bloom filter
+        w = w.option(f"parquet.bloom.filter.enabled#{c}", "true")
     if pc:
         w = w.partitionBy(pc[0])
     w.parquet(os.path.join(warehouse, spec.name))
@@ -565,6 +583,7 @@ def apply_alter(
         ch_types=ch_types,
         ttl=spec.ttl,
         sample_by=spec.sample_by,
+        bloom_cols=spec.bloom_cols,
     )
     register_view(spark, new_spec, warehouse)
     return new_spec

@@ -322,3 +322,39 @@ def test_migrate_with_alter(spark, tmp_path):
     ddl.register_view(spark, spec, wh)
     got = {r["event_id"]: r["region"] for r in spark.table("login_events").collect()}
     assert got == {"e1": None, "e2": "eu"}
+
+
+def test_bloom_filter_index_written(spark, tmp_path):
+    """ClickHouse `INDEX ... TYPE bloom_filter` becomes a parquet bloom
+    filter on the indexed column: the written file carries the filter
+    (strictly larger than the bloom-free twin of the same data), and
+    minmax indexes map to nothing because parquet stats already are
+    one."""
+    import glob
+    import os
+
+    from ed_clickhouse_spark.ddl import append_rows, parse_clickhouse_ddl
+
+    ddl = (
+        "CREATE TABLE ev (id Int64, user_id String,"
+        "  INDEX idx_uid user_id TYPE bloom_filter GRANULARITY 4"
+        ") ENGINE = MergeTree() ORDER BY id"
+    )
+    spec = parse_clickhouse_ddl(ddl)
+    assert spec.bloom_cols == ["user_id"]
+    df = spark.range(20000).selectExpr(
+        "id", "concat('user-', cast(id % 5000 as string)) AS user_id"
+    )
+    append_rows(df, spec, str(tmp_path / "with_bloom"))
+    plain = parse_clickhouse_ddl(ddl.replace(",  INDEX idx_uid user_id TYPE bloom_filter GRANULARITY 4", ""))
+    assert plain.bloom_cols == []
+    append_rows(df, plain, str(tmp_path / "no_bloom"))
+
+    def total(p):
+        return sum(
+            os.path.getsize(f)
+            for f in glob.glob(str(p / spec.name / "**" / "*.parquet"), recursive=True)
+        )
+
+    with_bloom, without = total(tmp_path / "with_bloom"), total(tmp_path / "no_bloom")
+    assert with_bloom > without + 1000  # the filter bytes are in the file
