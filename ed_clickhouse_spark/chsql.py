@@ -353,6 +353,22 @@ def _rewrite_with_fill(sql: str) -> str:
     )
 
 
+def _rewrite_numbers(sql: str) -> str:
+    """``numbers(N)`` / ``numbers(off, N)`` table function → Spark's
+    range() TVF, with the column renamed to ClickHouse's ``number``."""
+    while True:
+        m = _find_top(sql, r"\bnumbers\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)")
+        if not m:
+            return sql
+        if m.group(2) is not None:
+            off, n = int(m.group(1)), int(m.group(2))
+            rng = f"range({off}, {off + n})"
+        else:
+            rng = f"range({m.group(1)})"
+        sub = f"(SELECT id AS number FROM {rng})"
+        sql = sql[: m.start()] + sub + sql[m.end():]
+
+
 def translate(sql: str, specs: dict | None = None) -> Translated:
     """Rewrite a ClickHouse-dialect query to Spark SQL. ``specs`` maps
     table name -> ddl.TableSpec (for SAMPLE BY metadata). Returns the
@@ -360,6 +376,7 @@ def translate(sql: str, specs: dict | None = None) -> Translated:
     sql = sql.strip()
     sql, fmt = _strip_trailing(sql)
     sql = re.sub(r"\bGLOBAL\s+(ANY\s+)?(?=(INNER|LEFT|RIGHT|FULL|JOIN))", "", sql, flags=re.I)
+    sql = _rewrite_numbers(sql)
     sql = _rewrite_sample(sql, specs)
     sql = _rewrite_final(sql)
     sql = _rewrite_prewhere(sql)

@@ -229,3 +229,14 @@ def test_sample_and_final_with_alias(views):
     tr2 = translate("SELECT e.value FROM events e FINAL WHERE e.value > 0")
     assert "FINAL" not in tr2.sql.upper()
     assert views.sql(tr2.sql).count() > 0
+
+
+def test_numbers_table_function(views):
+    r = views.sql(
+        translate("SELECT sum(number) AS s, count(*) AS n FROM numbers(100)").sql
+    ).first()
+    assert (r["s"], r["n"]) == (4950, 100)
+    r2 = views.sql(
+        translate("SELECT min(number) AS lo, max(number) AS hi FROM numbers(10, 5)").sql
+    ).first()
+    assert (r2["lo"], r2["hi"]) == (10, 14)
