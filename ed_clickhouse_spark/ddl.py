@@ -642,3 +642,37 @@ def sample_read(df: DataFrame, spec: TableSpec, fraction: float) -> DataFrame:
     threshold = format(int(fraction * (16**15)), "015x")
     bucket = F.substring(F.md5(F.col(key).cast("string")), 1, 15)
     return df.where(bucket < F.lit(threshold))
+
+
+def show_create(spec: TableSpec) -> str:
+    """≙ ClickHouse ``SHOW CREATE TABLE``: reconstruct canonical DDL
+    from a TableSpec. Round-trips through :func:`parse_clickhouse_ddl`
+    (pytest-pinned), so a migrated warehouse can always emit the DDL
+    that would recreate it — the introspection surface operators and
+    humans use to diff environments."""
+    cols = ",\n  ".join(
+        f"`{f.name}` {spec.ch_types.get(f.name, 'String')}"
+        for f in spec.schema.fields
+    )
+    idx = "".join(
+        f",\n  INDEX idx_{c} {c} TYPE bloom_filter GRANULARITY 1"
+        for c in spec.bloom_cols
+    )
+    engine = spec.engine
+    if spec.engine_args:
+        engine += "(" + ", ".join(spec.engine_args) + ")"
+    else:
+        engine += "()"
+    parts = [f"CREATE TABLE {spec.name}\n(\n  {cols}{idx}\n)\nENGINE = {engine}"]
+    if spec.partition_by:
+        parts.append(f"PARTITION BY {spec.partition_by}")
+    if spec.order_by:
+        parts.append("ORDER BY (" + ", ".join(spec.order_by) + ")")
+    if spec.primary_key:
+        parts.append("PRIMARY KEY (" + ", ".join(spec.primary_key) + ")")
+    if spec.sample_by:
+        parts.append(f"SAMPLE BY {spec.sample_by}")
+    if spec.ttl:
+        col, n, unit = spec.ttl
+        parts.append(f"TTL {col} + INTERVAL {n} {unit}")
+    return "\n".join(parts)

@@ -358,3 +358,31 @@ def test_bloom_filter_index_written(spark, tmp_path):
 
     with_bloom, without = total(tmp_path / "with_bloom"), total(tmp_path / "no_bloom")
     assert with_bloom > without + 1000  # the filter bytes are in the file
+
+
+def test_show_create_round_trips():
+    from ed_clickhouse_spark.ddl import parse_clickhouse_ddl, show_create
+
+    ddl = """
+    CREATE TABLE watch_events (
+      event_id String,
+      user_id String,
+      ts DateTime,
+      duration Int32,
+      INDEX idx_uid user_id TYPE bloom_filter GRANULARITY 4
+    ) ENGINE = ReplacingMergeTree(duration)
+    PARTITION BY toYYYYMM(ts)
+    ORDER BY (ts, event_id)
+    SAMPLE BY user_id
+    TTL ts + INTERVAL 90 DAY
+    """
+    spec = parse_clickhouse_ddl(ddl)
+    again = parse_clickhouse_ddl(show_create(spec))
+    assert again.name == spec.name
+    assert again.schema == spec.schema
+    assert (again.engine, again.engine_args) == (spec.engine, spec.engine_args)
+    assert again.order_by == spec.order_by
+    assert again.partition_by == spec.partition_by
+    assert again.sample_by == spec.sample_by
+    assert again.bloom_cols == spec.bloom_cols
+    assert again.ttl == spec.ttl
