@@ -200,6 +200,12 @@ class Engine:
         from ed_clickhouse_spark.chsql import translate
 
         t0 = _time.time()
+        meta = self._maybe_meta(query)
+        if meta is not None:
+            self._query_log.append(
+                (t0, "clickhouse", query, round((_time.time() - t0) * 1000, 3))
+            )
+            return meta
         ins = self._maybe_insert(query)
         if ins is not None:
             self._query_log.append(
@@ -214,6 +220,31 @@ class Engine:
             (t0, "clickhouse", query, round((_time.time() - t0) * 1000, 3))
         )
         return df
+
+    def _maybe_meta(self, query: str):
+        """ClickHouse metadata statements: ``SHOW CREATE TABLE t``
+        (canonical DDL reconstructed from the migrated spec — parse
+        round-trip pinned in test_ddl) and ``EXISTS TABLE t``. Other
+        SHOW/DESCRIBE forms pass through — Spark's own SHOW TABLES /
+        DESCRIBE TABLE accept the same spelling."""
+        import re as _re
+
+        m = _re.match(r"^\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*;?\s*$", query, _re.I)
+        if m:
+            from ed_clickhouse_spark.ddl import show_create
+
+            spec = self.table_specs.get(m.group(1))
+            if spec is None:
+                raise KeyError(f"unknown table {m.group(1)!r}; run migrate() first")
+            return self.spark.createDataFrame(
+                [(show_create(spec),)], "statement string"
+            )
+        m = _re.match(r"^\s*EXISTS\s+TABLE\s+(\w+)\s*;?\s*$", query, _re.I)
+        if m:
+            return self.spark.createDataFrame(
+                [(1 if m.group(1) in self.table_specs else 0,)], "result int"
+            )
+        return None
 
     def _maybe_insert(self, query: str):
         """Handle the ClickHouse CLI ingestion idiom

@@ -240,3 +240,19 @@ def test_numbers_table_function(views):
         translate("SELECT min(number) AS lo, max(number) AS hi FROM numbers(10, 5)").sql
     ).first()
     assert (r2["lo"], r2["hi"]) == (10, 14)
+
+
+def test_show_create_and_exists_via_ch_sql(spark, tmp_path):
+    from ed_clickhouse_spark.ddl import parse_clickhouse_ddl
+    from ed_clickhouse_spark.engine import Engine
+
+    eng = Engine(str(tmp_path), spark)
+    eng.table_specs["gadgets"] = parse_clickhouse_ddl(
+        "CREATE TABLE gadgets (id Int64, name String)"
+        " ENGINE = MergeTree() ORDER BY id"
+    )
+    stmt = eng.ch_sql("SHOW CREATE TABLE gadgets").first()["statement"]
+    assert stmt.startswith("CREATE TABLE gadgets")
+    assert parse_clickhouse_ddl(stmt).order_by == ["id"]
+    assert eng.ch_sql("EXISTS TABLE gadgets").first()["result"] == 1
+    assert eng.ch_sql("EXISTS TABLE nope").first()["result"] == 0
