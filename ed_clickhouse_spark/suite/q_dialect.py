@@ -91,3 +91,43 @@ def q162_ch_dialect_sample_totals(spark, sf_dir):
         " SAMPLE BY user_id"
     )
     return spark.sql(translate(_CH_QUERY2, {"events": spec}).sql)
+
+
+_CH_QUERY3 = """
+SELECT toDate(ts) AS d, count(*) AS n
+FROM events
+PREWHERE event_type = 'purchase'
+GROUP BY d
+ORDER BY d WITH FILL FROM '2024-02-01' TO '2024-03-01' STEP INTERVAL 1 DAY
+"""
+
+
+@query(
+    "q177_ch_dialect_fill",
+    oracle="""
+    WITH spine AS (
+      SELECT CAST(unnest(generate_series(DATE '2024-02-01',
+                                         DATE '2024-02-29',
+                                         INTERVAL 1 DAY)) AS DATE) AS d
+    ),
+    agg AS (
+      SELECT CAST(ts AS DATE) AS d, COUNT(*) AS n
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT spine.d AS d, COALESCE(agg.n, 0) AS n
+    FROM spine LEFT JOIN agg USING (d)
+    """,
+)
+def q177_ch_dialect_fill(spark, sf_dir):
+    """Dialect rewriter, clause combo three: the gap-filled daily
+    report a dashboard actually renders — PREWHERE merges into the
+    scan predicate and ORDER BY ... WITH FILL FROM/TO/STEP becomes a
+    generated date spine LEFT-JOINed to the aggregate with measures
+    coalesced to 0 (ClickHouse fills with the column default). February
+    2024: every day present, quiet days as 0 rows, TO exclusive."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(translate(_CH_QUERY3).sql)
