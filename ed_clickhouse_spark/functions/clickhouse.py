@@ -425,6 +425,11 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "CAST(split(s, '\\\\.')[2] AS BIGINT) * 256 + "
         "CAST(split(s, '\\\\.')[3] AS BIGINT)",
     ),
+    "arrayJaccardIndex": (
+        "(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS DOUBLE",
+        "size(array_intersect(a, b)) * 1.0"
+        " / size(array_distinct(concat(a, b)))",
+    ),
     # JSONExtract siblings (q17 covers JSONExtractString; these decode
     # the other scalar types with the same get_json_object core)
     "JSONExtractInt": (

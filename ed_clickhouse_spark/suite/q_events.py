@@ -132,3 +132,45 @@ def q95_window_funnel(spark, sf_dir):
         ["signup", "click", "purchase"], window_seconds=86400,
     )
     return f.groupBy("funnel_steps").agg(F.count("*").alias("n_users"))
+
+
+@query(
+    "q178_sliding_dau",
+    oracle="""
+    WITH ud AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+    ),
+    contrib AS (
+      SELECT user_id,
+             CAST(unnest(generate_series(d, d + INTERVAL 6 DAY,
+                                         INTERVAL 1 DAY)) AS DATE) AS w
+      FROM ud
+    ),
+    days AS (SELECT DISTINCT CAST(ts AS DATE) AS w FROM events)
+    SELECT contrib.w AS d, COUNT(DISTINCT user_id) AS wau7
+    FROM contrib JOIN days ON days.w = contrib.w
+    GROUP BY 1
+    """,
+)
+def q178_sliding_dau(spark, sf_dir):
+    """7-day rolling distinct users per observed day (the W7 engagement
+    metric) — EXACT, via the contribute-forward trick: each (user, day)
+    pair is exploded to the <=7 window days it counts toward, then one
+    countDistinct per day. Dedup to (user, day) FIRST shrinks the
+    explode to calendar-bounded size; no per-day self-join, no window
+    over raw events. (The approximate path at extreme scale is
+    mergeable HLL states per day, q103.)"""
+    e = t(spark, sf_dir, "events")
+    ud = e.select("user_id", F.col("ts").cast("date").alias("d")).distinct()
+    contrib = ud.select(
+        "user_id",
+        F.explode(
+            F.sequence(F.col("d"), F.date_add("d", 6))
+        ).alias("w"),
+    )
+    days = e.select(F.col("ts").cast("date").alias("w")).distinct()
+    return (
+        contrib.join(days, "w")
+        .groupBy(F.col("w").alias("d"))
+        .agg(F.countDistinct("user_id").alias("wau7"))
+    )

@@ -204,3 +204,12 @@ def test_sql_alias_json_siblings(spark):
     assert (r["i"], r["f"], r["bo"], r["raw"]) == (3, 1.5, True, "x")
     assert r["has_a"] and not r["has_z"] and r["n"] == 4
     assert r["kib"] == "1.5 KiB" and r["b"] == "10 B"
+
+
+def test_sql_alias_array_jaccard(spark):
+    register_sql_aliases(spark)
+    r = spark.sql(
+        "SELECT arrayJaccardIndex(array('a','b','c'), array('b','c','d')) j,"
+        "       arrayJaccardIndex(array('a'), array('a')) full"
+    ).first()
+    assert abs(r["j"] - 0.5) < 1e-9 and r["full"] == 1.0
