@@ -676,3 +676,36 @@ def q169_corr_matrix(spark, sf_dir):
         corr("sac", "sa", "sc", "saa", "scc").alias("r_ac"),
         corr("sbc", "sb", "sc", "sbb", "scc").alias("r_bc"),
     )
+
+
+@query(
+    "q179_median_abs_deviation",
+    oracle="""
+    WITH med AS (
+      SELECT event_type, quantile_cont(value, 0.5) AS m
+      FROM events GROUP BY 1
+    )
+    SELECT e.event_type,
+           ROUND(quantile_cont(ABS(e.value - med.m), 0.5), 6) AS mad,
+           ROUND(ANY_VALUE(med.m), 6) AS median
+    FROM events e JOIN med ON med.event_type = e.event_type
+    GROUP BY 1
+    """,
+)
+def q179_median_abs_deviation(spark, sf_dir):
+    """ClickHouse medianAbsoluteDeviation-style robust dispersion: the
+    median of |x − median(x)| per event type (outlier-immune, unlike
+    stddev). Two exact percentile passes; the per-group medians
+    broadcast back for the deviation pass — both shuffles keyed on the
+    5-value group column."""
+    e = t(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("m")
+    )
+    dev = e.join(F.broadcast(med), "event_type").select(
+        "event_type", F.abs(F.col("value") - F.col("m")).alias("ad"), "m"
+    )
+    return dev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(ad, 0.5)"), 6).alias("mad"),
+        F.round(F.first("m"), 6).alias("median"),
+    )
