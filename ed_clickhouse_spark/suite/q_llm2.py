@@ -372,3 +372,99 @@ def q138_value_histogram(spark, sf_dir):
             ).alias("total"),
         )
     )
+
+
+@query(
+    "q180_intake_pipeline",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, source, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source,
+             unnest(range(0,
+               GREATEST(CAST(CEIL((n - 32) / 24.0) AS BIGINT), 0) + 1
+             )) AS chunk_idx,
+             toks
+      FROM tk
+    ),
+    ch AS (
+      SELECT doc_id, source, chunk_idx,
+             toks[chunk_idx*24+1 : chunk_idx*24+32] AS ctoks
+      FROM c
+    ),
+    sig AS (
+      SELECT doc_id, source, chunk_idx,
+             md5(array_to_string(ctoks, ' ')) AS fp,
+             len(ctoks) AS n_tok,
+             len(list_intersect(list_distinct(ctoks),
+                 ['the','a','of','and','to','in'])) AS stop_hits
+      FROM ch
+    ),
+    ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY fp ORDER BY doc_id, chunk_idx
+      ) AS rn
+      FROM sig
+    )
+    SELECT source,
+           COUNT(*) AS n_chunks,
+           COUNT(*) FILTER (WHERE rn > 1) AS n_dup_dropped,
+           COUNT(*) FILTER (WHERE rn = 1 AND NOT (n_tok >= 16 AND stop_hits >= 1))
+             AS n_quality_dropped,
+           COUNT(*) FILTER (WHERE rn = 1 AND n_tok >= 16 AND stop_hits >= 1)
+             AS n_kept,
+           CAST(SUM(n_tok) FILTER (WHERE rn = 1 AND n_tok >= 16 AND stop_hits >= 1)
+             AS BIGINT) AS tokens_kept
+    FROM ranked GROUP BY source
+    """,
+)
+def q180_intake_pipeline(spark, sf_dir):
+    """The whole training-data intake as ONE declarative DAG — chunk
+    (32/24 sliding windows) → exact chunk dedup (md5 fingerprint,
+    first (doc, idx) survives) → quality gate (length + stopword) →
+    per-source accounting. This is the composition story the individual
+    operators exist for: chunking is per-row codegen, the dedup rank is
+    the ONLY shuffle (keyed on the 16-byte fingerprint, never chunk
+    text), the gate is per-row again, and the rollup rides the same
+    exchange. Catalyst pipelines all four stages; at 100 TB the plan is
+    scan → project → one exchange → window → aggregate."""
+    from pyspark.sql import Window as W
+
+    from ed_clickhouse_spark.operators.llmdata import chunk_documents
+
+    d = t(spark, sf_dir, "documents")
+    # chunk_documents emits only (doc_id, chunk_*): re-attach the source
+    # dimension by doc key (broadcast — it's the doc table's id+source)
+    ch = chunk_documents(d.select("doc_id", "text"), 32, 24).join(
+        F.broadcast(d.select("doc_id", "source")), "doc_id"
+    )
+    toks = F.split("chunk_text", " ")
+    en_stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to", "in")])
+    sig = ch.select(
+        "doc_id",
+        "source",
+        "chunk_idx",
+        F.md5("chunk_text").alias("fp"),
+        F.col("n_tok"),
+        F.size(F.array_intersect(F.array_distinct(toks), en_stop)).alias(
+            "stop_hits"
+        ),
+    )
+    ranked = sig.withColumn(
+        "rn",
+        F.row_number().over(
+            W.partitionBy("fp").orderBy("doc_id", "chunk_idx")
+        ),
+    )
+    ok = (F.col("n_tok") >= 16) & (F.col("stop_hits") >= 1)
+    keep = (F.col("rn") == 1) & ok
+    return ranked.groupBy("source").agg(
+        F.count("*").alias("n_chunks"),
+        F.count(F.when(F.col("rn") > 1, 1)).alias("n_dup_dropped"),
+        F.count(F.when((F.col("rn") == 1) & ~ok, 1)).alias("n_quality_dropped"),
+        F.count(F.when(keep, 1)).alias("n_kept"),
+        F.sum(F.when(keep, F.col("n_tok"))).cast("bigint").alias("tokens_kept"),
+    )
