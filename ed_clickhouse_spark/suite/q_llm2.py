@@ -428,9 +428,11 @@ def q180_intake_pipeline(spark, sf_dir):
     per-source accounting. This is the composition story the individual
     operators exist for: chunking is per-row codegen, the dedup rank is
     the ONLY shuffle (keyed on the 16-byte fingerprint, never chunk
-    text), the gate is per-row again, and the rollup rides the same
-    exchange. Catalyst pipelines all four stages; at 100 TB the plan is
-    scan → project → one exchange → window → aggregate."""
+    text), the gate is per-row again, and the final rollup re-keys on
+    the 20-value source column (a second, trivially small exchange —
+    plan-checked: exactly 2 shuffles end to end). At 100 TB the plan is
+    scan → project → fp exchange → window → project → source exchange →
+    aggregate."""
     from pyspark.sql import Window as W
 
     from ed_clickhouse_spark.operators.llmdata import chunk_documents

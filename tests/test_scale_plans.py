@@ -224,3 +224,14 @@ def test_chsql_sample_pushes_to_scan(spark):
     tr = translate("SELECT user_id, value FROM events SAMPLE 0.25", {"events": spec})
     p = _plan(spark.sql(tr.sql))
     assert "Exchange" not in p and "Filter" in p
+
+
+def test_intake_pipeline_two_shuffles(spark):
+    """q180's whole chunk->dedup->gate->account DAG runs in exactly two
+    shuffle exchanges: the fingerprint window and the tiny source
+    rollup. No join-induced extra exchanges, no cartesian."""
+    import re
+
+    p = _plan(QUERIES["q180_intake_pipeline"](spark, "/root/testdata/sf0.001"))
+    assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 2
+    assert "CartesianProduct" not in p
