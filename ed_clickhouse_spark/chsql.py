@@ -2,7 +2,10 @@
 syntax a user of the reference stack actually writes into Spark SQL.
 
 The reference delegates its whole query surface to ClickHouse
-(SURVEY.md §0), so its users' saved queries are ClickHouse SQL. The
+(SURVEY.md §0 — the service's only query-side code is the HTTP insert
+client, /root/reference/src/click_house.rs:61-92, and its nine
+MergeTree DDLs, /root/reference/migrations/*.up.sql), so its users'
+saved queries are ClickHouse SQL against those tables. The
 function spellings (toStartOfDay, JSONExtractString, ...) are already
 registered as Spark SQL functions (functions/clickhouse.py); what Spark
 cannot accept is the CLAUSE-level dialect. This module rewrites, by
