@@ -470,3 +470,78 @@ def q180_intake_pipeline(spark, sf_dir):
         F.count(F.when(keep, 1)).alias("n_kept"),
         F.sum(F.when(keep, F.col("n_tok"))).cast("bigint").alias("tokens_kept"),
     )
+
+
+@query(
+    "q181_chunk_decontamination",
+    oracle="""
+    WITH tk AS (
+      SELECT doc_id, string_split(text, ' ') AS toks,
+             len(string_split(text, ' ')) AS n
+      FROM documents WHERE doc_id >= 10
+    ),
+    c AS (
+      SELECT doc_id,
+             unnest(range(0,
+               GREATEST(CAST(CEIL((n - 32) / 24.0) AS BIGINT), 0) + 1
+             )) AS chunk_idx,
+             toks
+      FROM tk
+    ),
+    ch AS (
+      SELECT doc_id * 100000 + chunk_idx AS chunk_uid,
+             toks[chunk_idx*24+1 : chunk_idx*24+32] AS ctoks
+      FROM c
+    ),
+    cg AS (
+      SELECT chunk_uid,
+             substr(md5(gram), 1, 16) AS g16
+      FROM (
+        SELECT chunk_uid,
+               unnest(list_distinct(list_transform(
+                 range(1, GREATEST(len(ctoks) - 8, 0) + 2),
+                 i -> array_to_string(ctoks[i:i+7], ' ')
+               ))) AS gram
+        FROM ch WHERE len(ctoks) >= 8
+      )
+    ),
+    bg AS (
+      SELECT DISTINCT substr(md5(gram), 1, 16) AS g16
+      FROM (
+        SELECT unnest(list_distinct(list_transform(
+                 range(1, GREATEST(len(string_split(text,' ')) - 8, 0) + 2),
+                 i -> array_to_string(string_split(text,' ')[i:i+7], ' ')
+               ))) AS gram
+        FROM documents WHERE doc_id < 10
+      )
+    )
+    SELECT chunk_uid, COUNT(*) AS n_hits
+    FROM cg JOIN bg USING (g16)
+    GROUP BY 1
+    """,
+)
+def q181_chunk_decontamination(spark, sf_dir):
+    """Chunk-level benchmark decontamination — q89's doc-level check
+    misses PARTIAL leakage (one paragraph of an eval item quoted inside
+    a long doc); running the same broadcast 8-gram probe on 32-token
+    CHUNKS localizes the hit. Docs 0-9 stand in for the benchmark.
+    Chunking is per-row codegen; the benchmark gram set broadcasts; the
+    corpus never shuffles."""
+    from ed_clickhouse_spark.operators.llmdata import chunk_documents, decontaminate
+
+    d = t(spark, sf_dir, "documents")
+    # decontaminate() reads the SAME (id_col, text_col) names on both
+    # sides — project the benchmark into the chunk frame's shape
+    bench = d.filter(F.col("doc_id") < 10).select(
+        F.col("doc_id").alias("chunk_uid"), F.col("text").alias("chunk_text")
+    )
+    corpus = d.filter(F.col("doc_id") >= 10)
+    ch = (
+        chunk_documents(corpus.select("doc_id", "text"), 32, 24)
+        .filter(F.col("n_tok") >= 8)
+        .select(
+            (F.col("doc_id") * 100000 + F.col("chunk_idx")).alias("chunk_uid"),
+            F.col("chunk_text"),
+        )
+    )
+    return decontaminate(ch, bench, text_col="chunk_text", id_col="chunk_uid", n=8)
