@@ -273,15 +273,18 @@ def parse_clickhouse_ddl(sql: str) -> TableSpec:
     for part in _split_top(col_block):
         part = part.strip()
         im = re.match(
-            r"^INDEX\s+\w+\s+`?(\w+)`?\s+TYPE\s+(bloom_filter|tokenbf_v1|ngrambf_v1)\b",
+            r"^INDEX\s+\w+\s+`?(\w+)`?\s+TYPE\s+(bloom_filter)\b",
             part,
             re.I,
         )
         if im:
-            # ClickHouse data-skipping index -> parquet bloom filter on
-            # that column (written by append_rows; parquet readers prune
-            # row groups on point predicates). minmax indexes need no
-            # mapping — parquet column stats ARE the minmax index.
+            # ClickHouse whole-value bloom_filter index -> parquet bloom
+            # filter on that column (written by append_rows; parquet
+            # readers prune row groups on point predicates). minmax needs
+            # no mapping — parquet column stats ARE a minmax index.
+            # tokenbf_v1/ngrambf_v1 accelerate hasToken/LIKE probes that
+            # a whole-value bloom cannot answer — parsed and skipped, not
+            # silently approximated.
             bloom_cols.append(im.group(1))
             continue
         if not part or re.match(r"^(INDEX|CONSTRAINT|PROJECTION)\b", part, re.I):
