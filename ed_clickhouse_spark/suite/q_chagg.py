@@ -586,3 +586,67 @@ def q171_uniq_up_to(spark, sf_dir):
         uniqUpTo(F.col("user_id") % 4, 5).alias("cohorts_capped"),
         uniqUpTo(F.col("user_id"), 5).alias("users_capped"),
     )
+
+
+@query(
+    "q182_conditional_argmax",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, event_type, COUNT(*) AS c FROM events GROUP BY 1, 2
+    ),
+    maj AS (
+      SELECT user_id, event_type AS majority_type
+      FROM m QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY user_id ORDER BY c DESC, event_type ASC) = 1
+    ),
+    agg AS (
+      SELECT user_id,
+             MAX(ROW(value, event_id)) FILTER (WHERE event_type = 'purchase') AS tp,
+             MAX(value) FILTER (WHERE event_type = 'purchase') AS top_value,
+             COUNT(*) FILTER (WHERE event_type = 'purchase') AS np
+      FROM events GROUP BY 1
+    )
+    SELECT agg.user_id, agg.tp[2] AS top_purchase, agg.top_value,
+           maj.majority_type
+    FROM agg JOIN maj USING (user_id)
+    WHERE agg.np > 0
+    """,
+)
+def q182_conditional_argmax(spark, sf_dir):
+    """ClickHouse aggregate combinators: argMaxIf (the event id of each
+    user's highest-value PURCHASE — conditional argMax with a
+    deterministic (value, event_id) tiebreak) and anyHeavy's exact twin
+    (the modal event type — spelled as an explicit count + row_number
+    because native mode() breaks ties arbitrarily in BOTH engines; the
+    deterministic form is the only oracle-able one). Two grouped passes
+    sharing the user-keyed exchange."""
+    from pyspark.sql import Window as W
+
+    e = t(spark, sf_dir, "events")
+    purchase = F.col("event_type") == "purchase"
+    agg = (
+        e.groupBy("user_id")
+        .agg(
+            F.max_by(
+                "event_id",
+                F.when(purchase, F.struct(F.col("value"), F.col("event_id"))),
+            ).alias("top_purchase"),
+            F.max(F.when(purchase, F.col("value"))).alias("top_value"),
+            F.count(F.when(purchase, 1)).alias("__np"),
+        )
+        .filter(F.col("__np") > 0)
+        .drop("__np")
+    )
+    maj = (
+        e.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("c"))
+        .withColumn(
+            "rn",
+            F.row_number().over(
+                W.partitionBy("user_id").orderBy(F.desc("c"), F.asc("event_type"))
+            ),
+        )
+        .filter(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("majority_type"))
+    )
+    return agg.join(maj, "user_id")
