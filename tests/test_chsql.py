@@ -256,3 +256,27 @@ def test_show_create_and_exists_via_ch_sql(spark, tmp_path):
     assert parse_clickhouse_ddl(stmt).order_by == ["id"]
     assert eng.ch_sql("EXISTS TABLE gadgets").first()["result"] == 1
     assert eng.ch_sql("EXISTS TABLE nope").first()["result"] == 0
+
+
+def test_run_ch_sql_tool(spark, sf_dir):
+    import json
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    import run_ch_sql
+
+    rows, cols, fmt = run_ch_sql.run(
+        "SELECT source, count(*) AS n FROM documents "
+        "GROUP BY source ORDER BY n DESC, source LIMIT 3 FORMAT JSONEachRow",
+        sf_dir,
+        spark,
+    )
+    assert fmt == "JSONEachRow" and cols == ["source", "n"] and len(rows) == 3
+    out = run_ch_sql.render(rows, cols, fmt)
+    first = json.loads(out.splitlines()[0])
+    assert set(first) == {"source", "n"} and first["n"] > 0
+    csv = run_ch_sql.render(rows, cols, "CSVWithNames")
+    assert csv.splitlines()[0] == "source,n"
+    pretty = run_ch_sql.render(rows, cols, "Pretty")
+    assert pretty.count("+") >= 8
