@@ -174,3 +174,60 @@ def q178_sliding_dau(spark, sf_dir):
         .groupBy(F.col("w").alias("d"))
         .agg(F.countDistinct("user_id").alias("wau7"))
     )
+
+
+@query(
+    "q183_cohort_retention_matrix",
+    oracle="""
+    WITH uw AS (
+      SELECT DISTINCT user_id,
+             CAST(date_trunc('week', ts) AS DATE) AS w
+      FROM events
+    ),
+    cohort AS (
+      SELECT user_id, MIN(w) AS c FROM uw GROUP BY 1
+    ),
+    sizes AS (
+      SELECT c, COUNT(*) AS n0 FROM cohort GROUP BY 1
+    ),
+    cells AS (
+      SELECT cohort.c, CAST(date_diff('week', cohort.c, uw.w) AS BIGINT) AS k,
+             COUNT(DISTINCT uw.user_id) AS n
+      FROM uw JOIN cohort USING (user_id)
+      GROUP BY 1, 2
+    )
+    SELECT cells.c AS cohort_week, cells.k, cells.n,
+           ROUND(cells.n * 1.0 / sizes.n0, 6) AS retention
+    FROM cells JOIN sizes ON sizes.c = cells.c
+    WHERE cells.k <= 8
+    """,
+)
+def q183_cohort_retention_matrix(spark, sf_dir):
+    """The cohort retention matrix (signup week × weeks-since →
+    fraction of the cohort still active) — the canonical product-
+    analytics heavy query the event tables exist for. Dedup to (user,
+    week) FIRST (calendar-bounded), then one user-keyed join to the
+    cohort map and two small aggregates; no per-week self-joins, no
+    k-pass scans."""
+    e = t(spark, sf_dir, "events")
+    uw = e.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("w")
+    ).distinct()
+    cohort = uw.groupBy("user_id").agg(F.min("w").alias("c"))
+    sizes = cohort.groupBy("c").agg(F.count("*").alias("n0"))
+    cells = (
+        uw.join(cohort, "user_id")
+        .select("user_id", "c", (F.datediff("w", "c") / 7).cast("bigint").alias("k"))
+        .groupBy("c", "k")
+        .agg(F.countDistinct("user_id").alias("n"))
+    )
+    return (
+        cells.join(F.broadcast(sizes), "c")
+        .filter(F.col("k") <= 8)
+        .select(
+            F.col("c").alias("cohort_week"),
+            "k",
+            "n",
+            F.round(F.col("n") * 1.0 / F.col("n0"), 6).alias("retention"),
+        )
+    )
