@@ -436,3 +436,53 @@ def q154_lttb_downsample(spark, sf_dir):
         F.sum(dec("value")).cast("double").alias("y")
     )
     return lttb_downsample(s, "ts", "y", 20, ["event_type"])
+
+
+@query(
+    "q184_session_depth",
+    oracle="""
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN date_diff('second', LAG(ts) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id), ts) IS NULL
+                       OR date_diff('second', LAG(ts) OVER (
+                         PARTITION BY user_id ORDER BY ts, event_id), ts) > 1800
+                  THEN 1 ELSE 0 END AS is_start
+      FROM events
+    ),
+    s AS (
+      SELECT user_id,
+             SUM(is_start) OVER (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS seq
+      FROM g
+    ),
+    d AS (
+      SELECT user_id, seq, COUNT(*) AS depth FROM s GROUP BY 1, 2
+    )
+    SELECT LEAST(depth, 10) AS depth_bucket,
+           COUNT(*) AS n_sessions,
+           ROUND(COUNT(*) * 1.0 / SUM(COUNT(*)) OVER (), 6) AS share
+    FROM d GROUP BY 1
+    """,
+)
+def q184_session_depth(spark, sf_dir):
+    """Session-depth distribution (how many events per 30-min session,
+    capped at 10+) with each bucket's share — the bounce-rate readout
+    (depth 1 = bounce). Rides the q31 sessionize window; one extra
+    grouped count + one tiny distribution aggregate."""
+    e = t(spark, sf_dir, "events").select("user_id", "ts", "event_id")
+    s = sessionize(e, "user_id", "ts", 1800)
+    d = s.groupBy("user_id", "session_seq").agg(F.count("*").alias("depth"))
+    dist = d.groupBy(
+        F.least(F.col("depth"), F.lit(10)).alias("depth_bucket")
+    ).agg(F.count("*").alias("n_sessions"))
+    total = W.orderBy(F.lit(1)).rowsBetween(
+        W.unboundedPreceding, W.unboundedFollowing
+    )
+    return dist.select(
+        "depth_bucket",
+        "n_sessions",
+        F.round(F.col("n_sessions") * 1.0 / F.sum("n_sessions").over(total), 6).alias(
+            "share"
+        ),
+    )
