@@ -486,3 +486,45 @@ def q184_session_depth(spark, sf_dir):
             "share"
         ),
     )
+
+
+@query(
+    "q185_top_paths",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e2,
+             LEAD(event_type, 2) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id) AS e3
+      FROM events
+    )
+    SELECT event_type || ' > ' || e2 || ' > ' || e3 AS path,
+           COUNT(*) AS n
+    FROM s WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n DESC, path ASC
+    LIMIT 10
+    """,
+)
+def q185_top_paths(spark, sf_dir):
+    """Top consecutive 3-event paths across all user journeys (the
+    "what do users do next" sankey feed). One user-keyed window (both
+    leads share it), a path-string count, TakeOrderedAndProject — no
+    self-joins, no path explosion beyond one row per event."""
+    e = t(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    s = e.select(
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    )
+    return (
+        s.filter(F.col("e2").isNotNull() & F.col("e3").isNotNull())
+        .groupBy(
+            F.concat_ws(" > ", "event_type", "e2", "e3").alias("path")
+        )
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("path"))
+        .limit(10)
+    )
