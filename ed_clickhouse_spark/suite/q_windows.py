@@ -528,3 +528,53 @@ def q185_top_paths(spark, sf_dir):
         .orderBy(F.desc("n"), F.asc("path"))
         .limit(10)
     )
+
+
+@query(
+    "q186_time_to_conversion",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, MIN(ts) AS first_seen,
+             MIN(ts) FILTER (WHERE event_type = 'purchase') AS first_buy
+      FROM events GROUP BY 1
+    ),
+    h AS (
+      SELECT user_id,
+             CAST(FLOOR(date_diff('second', first_seen, first_buy) / 86400.0)
+               AS BIGINT) AS days_to_convert
+      FROM f WHERE first_buy IS NOT NULL AND first_buy > first_seen
+    )
+    SELECT LEAST(days_to_convert, 30) AS days_bucket,
+           COUNT(*) AS n_users
+    FROM h GROUP BY 1
+    """,
+)
+def q186_time_to_conversion(spark, sf_dir):
+    """Time-to-conversion distribution: days from a user's first event
+    to their first purchase, bucketed (30+ capped) — the activation
+    funnel's denominator chart. One grouped pass computes both firsts
+    (conditional MIN rides the same shuffle), then a tiny histogram."""
+    e = t(spark, sf_dir, "events")
+    f = e.groupBy("user_id").agg(
+        F.min("ts").alias("first_seen"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias(
+            "first_buy"
+        ),
+    )
+    h = f.filter(
+        F.col("first_buy").isNotNull() & (F.col("first_buy") > F.col("first_seen"))
+    ).select(
+        F.floor(
+            (
+                F.unix_micros(F.col("first_buy").cast("timestamp"))
+                - F.unix_micros(F.col("first_seen").cast("timestamp"))
+            )
+            / 1_000_000.0
+            / 86400.0
+        )
+        .cast("bigint")
+        .alias("days_to_convert")
+    )
+    return h.groupBy(
+        F.least(F.col("days_to_convert"), F.lit(30)).alias("days_bucket")
+    ).agg(F.count("*").alias("n_users"))
