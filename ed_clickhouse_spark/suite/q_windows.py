@@ -578,3 +578,49 @@ def q186_time_to_conversion(spark, sf_dir):
     return h.groupBy(
         F.least(F.col("days_to_convert"), F.lit(30)).alias("days_bucket")
     ).agg(F.count("*").alias("n_users"))
+
+
+@query(
+    "q187_last_touch_attribution",
+    oracle="""
+    WITH s AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                             THEN event_type END IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+             ) AS channel
+      FROM events
+    )
+    SELECT COALESCE(channel, '(direct)') AS channel,
+           COUNT(*) AS n_purchases,
+           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+    FROM s WHERE event_type = 'purchase'
+    GROUP BY 1
+    """,
+)
+def q187_last_touch_attribution(spark, sf_dir):
+    """Last-touch attribution: each purchase credits the user's most
+    recent PRECEDING non-purchase event type (no prior event →
+    '(direct)'). One user-keyed window with an ignore-nulls last_value
+    over the preceding frame — the standard marketing-attribution
+    shape, no self-join, no per-purchase scan-back."""
+    e = t(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    channel = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    s = e.withColumn("channel", channel)
+    return (
+        s.filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce("channel", F.lit("(direct)")).alias("channel"))
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum(dec("value")).cast("double").alias("revenue"),
+        )
+    )
