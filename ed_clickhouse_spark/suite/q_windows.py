@@ -624,3 +624,71 @@ def q187_last_touch_attribution(spark, sf_dir):
             F.sum(dec("value")).cast("double").alias("revenue"),
         )
     )
+
+
+@query(
+    "q188_funnel_report",
+    oracle="""
+    WITH t1 AS (SELECT user_id, MIN(ts) AS ts1 FROM events
+                WHERE event_type = 'signup' GROUP BY user_id),
+         t2 AS (SELECT e.user_id, MIN(e.ts) AS ts2 FROM events e
+                JOIN t1 ON e.user_id = t1.user_id
+                WHERE e.event_type = 'view' AND e.ts > t1.ts1 GROUP BY e.user_id),
+         t3 AS (SELECT e.user_id, MIN(e.ts) AS ts3 FROM events e
+                JOIN t2 ON e.user_id = t2.user_id
+                WHERE e.event_type = 'purchase' AND e.ts > t2.ts2 GROUP BY e.user_id),
+         depth AS (
+           SELECT u.user_id,
+                  CASE WHEN t3.user_id IS NOT NULL THEN 3
+                       WHEN t2.user_id IS NOT NULL THEN 2
+                       WHEN t1.user_id IS NOT NULL THEN 1
+                       ELSE 0 END AS d
+           FROM (SELECT DISTINCT user_id FROM events
+                 WHERE event_type IN ('signup','view','purchase')) u
+           LEFT JOIN t1 ON u.user_id = t1.user_id
+           LEFT JOIN t2 ON u.user_id = t2.user_id
+           LEFT JOIN t3 ON u.user_id = t3.user_id
+         ),
+         steps AS (SELECT unnest([1, 2, 3]) AS step)
+    SELECT step,
+           CAST((SELECT COUNT(*) FROM depth WHERE d >= step) AS BIGINT)
+             AS n_reached,
+           ROUND((SELECT COUNT(*) FROM depth WHERE d >= step) * 1.0
+                 / NULLIF((SELECT COUNT(*) FROM depth WHERE d >= step - 1), 0),
+                 6) AS conv_from_prev
+    FROM steps
+    """,
+)
+def q188_funnel_report(spark, sf_dir):
+    """The funnel REPORT on top of q32's per-user depths: users
+    reaching each step and the step-over-step conversion rate — the
+    chart a growth team actually reads. The depth computation is the
+    one shuffle (q32's HOF fold); the report is a 3-row rollup of its
+    distribution (cumulative-from-the-top counts via a reversed
+    running sum — no per-step re-scan of events)."""
+    e = t(spark, sf_dir, "events")
+    d = funnel(e, "user_id", "ts", "event_type", ["signup", "view", "purchase"])
+    dist = d.groupBy("funnel_steps").agg(F.count("*").alias("c"))
+    # a literal 3-row step spine LEFT-joined to the depth distribution:
+    # every step row survives even when nobody reached it (a filtered
+    # groupBy would silently drop empty steps)
+    steps = spark.createDataFrame([(1,), (2,), (3,)], "step int")
+    reached = (
+        steps.join(
+            F.broadcast(dist), dist["funnel_steps"] >= steps["step"], "left"
+        )
+        .groupBy("step")
+        .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n_reached"))
+    )
+    wprev = W.orderBy("step")
+    prev = F.lag("n_reached").over(wprev)
+    total = d.count()
+    return reached.select(
+        "step",
+        F.col("n_reached").cast("bigint").alias("n_reached"),
+        F.round(
+            F.col("n_reached") * 1.0
+            / F.nullif(F.coalesce(prev, F.lit(total)), F.lit(0)),
+            6,
+        ).alias("conv_from_prev"),
+    )
