@@ -164,3 +164,23 @@ def compact_partitions(
     with _conf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
         out.write.mode("overwrite").partitionBy(pcol).parquet(path)
     return len(targets)
+
+
+def drop_partition(spark: SparkSession, path: str, value) -> bool:
+    """ClickHouse ``ALTER TABLE ... DROP PARTITION 'v'``: remove one
+    partition DIRECTORY — a metadata-speed delete (no rewrite, no scan;
+    the reason CH users partition by month in the first place). Returns
+    True if the partition existed. Invalidates cached plans on the
+    table path, like the other mutations."""
+    pc = _partition_col(spark, path)
+    if pc is None:
+        raise ValueError(f"table at {path!r} is not partitioned")
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(f"{path}/{pc}={value}")
+    fs = p.getFileSystem(conf)
+    existed = bool(fs.exists(p))
+    if existed:
+        fs.delete(p, True)
+        spark.catalog.refreshByPath(path)
+    return existed

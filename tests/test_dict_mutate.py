@@ -195,3 +195,21 @@ def test_replay_dlq(spark, tmp_path):
     left = spark.read.parquet(os.path.join(wh, "_dlq"))
     assert left.count() == 1 and left.collect()[0]["reason"] == "decode_error"
     assert eng.replay_dlq(reasons=["nothing_matches"]) == 0
+
+
+def test_drop_partition(spark, tmp_path):
+    from pyspark.sql import functions as F
+
+    from ed_clickhouse_spark.operators.mutate import drop_partition
+
+    path = str(tmp_path / "t")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-0{1 + i % 3}") for i in range(30)], "id long, d string"
+    ).withColumn("d", F.col("d").cast("date"))
+    df.write.partitionBy("d").parquet(path)
+    assert spark.read.parquet(path).count() == 30
+    assert drop_partition(spark, path, "2024-01-02")
+    left = spark.read.parquet(path)
+    assert left.count() == 20
+    assert left.filter(F.col("d") == "2024-01-02").count() == 0
+    assert not drop_partition(spark, path, "2024-01-02")  # already gone
