@@ -231,3 +231,46 @@ def q183_cohort_retention_matrix(spark, sf_dir):
             F.round(F.col("n") * 1.0 / F.col("n0"), 6).alias("retention"),
         )
     )
+
+
+@query(
+    "q189_cohort_arpu",
+    oracle="""
+    WITH cohort AS (
+      SELECT user_id, CAST(date_trunc('month', MIN(ts)) AS DATE) AS c
+      FROM events GROUP BY 1
+    ),
+    rev AS (
+      SELECT user_id, SUM(CAST(value AS DECIMAL(18,2))) AS r
+      FROM events WHERE event_type = 'purchase' GROUP BY 1
+    )
+    SELECT cohort.c AS cohort_month,
+           COUNT(*) AS n_users,
+           CAST(COALESCE(SUM(rev.r), 0) AS DOUBLE) AS revenue,
+           ROUND(CAST(COALESCE(SUM(rev.r), 0) AS DOUBLE) / COUNT(*), 6) AS arpu
+    FROM cohort LEFT JOIN rev USING (user_id)
+    GROUP BY 1
+    """,
+)
+def q189_cohort_arpu(spark, sf_dir):
+    """ARPU by signup cohort month: total purchase revenue over ALL
+    cohort members (non-payers dilute — that is the point of ARPU vs
+    ARPPU). Two user-keyed aggregates joined on the same key — AQE
+    reuses the exchange; exact decimal revenue."""
+    e = t(spark, sf_dir, "events")
+    cohort = e.groupBy("user_id").agg(
+        F.date_trunc("month", F.min("ts")).cast("date").alias("c")
+    )
+    rev = (
+        e.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("r"))
+    )
+    j = cohort.join(rev, "user_id", "left")
+    return j.groupBy(F.col("c").alias("cohort_month")).agg(
+        F.count("*").alias("n_users"),
+        F.coalesce(F.sum("r"), F.lit(0)).cast("double").alias("revenue"),
+        F.round(
+            F.coalesce(F.sum("r"), F.lit(0)).cast("double") / F.count("*"), 6
+        ).alias("arpu"),
+    )
