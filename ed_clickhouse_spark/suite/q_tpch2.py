@@ -626,3 +626,46 @@ def q176_forecast_revenue_change(spark, sf_dir):
         ),
         F.count("*").alias("n_lines"),
     )
+
+
+@query(
+    "q190_basket_size_distribution",
+    oracle="""
+    WITH per_order AS (
+      SELECT l_orderkey, COUNT(*) AS n_items,
+             SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS rev
+      FROM lineitem GROUP BY 1
+    )
+    SELECT n_items,
+           COUNT(*) AS n_orders,
+           CAST(SUM(rev) AS DOUBLE) AS revenue,
+           ROUND(CAST(SUM(rev) AS DOUBLE)
+                 / CAST(SUM(SUM(rev)) OVER () AS DOUBLE), 6) AS revenue_share
+    FROM per_order GROUP BY 1
+    """,
+)
+def q190_basket_size_distribution(spark, sf_dir):
+    """Basket-size distribution: orders and revenue share by number of
+    line items (do big baskets carry the business?). One orderkey
+    aggregate, a 7-row histogram, and a total-share window over the
+    histogram — the fact table shuffles once."""
+    li = t(spark, sf_dir, "lineitem")
+    per_order = li.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_items"),
+        F.sum(dec("l_extendedprice")).alias("rev"),
+    )
+    from pyspark.sql import Window as W
+
+    hist = per_order.groupBy("n_items").agg(
+        F.count("*").alias("n_orders"),
+        F.sum("rev").cast("double").alias("revenue"),
+    )
+    w = W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    return hist.select(
+        "n_items",
+        "n_orders",
+        "revenue",
+        F.round(F.col("revenue") / F.sum("revenue").over(w), 6).alias(
+            "revenue_share"
+        ),
+    )
