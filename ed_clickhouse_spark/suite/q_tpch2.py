@@ -669,3 +669,55 @@ def q190_basket_size_distribution(spark, sf_dir):
             "revenue_share"
         ),
     )
+
+
+@query(
+    "q191_supplier_concentration",
+    oracle="""
+    WITH rev AS (
+      SELECT s.s_nationkey, l.l_suppkey,
+             SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS r
+      FROM lineitem l JOIN supplier s ON s.s_suppkey = l.l_suppkey
+      GROUP BY 1, 2
+    ),
+    tot AS (
+      SELECT s_nationkey, CAST(SUM(r) AS DOUBLE) AS t,
+             COUNT(*) AS n_suppliers
+      FROM rev GROUP BY 1
+    )
+    SELECT n.n_name AS nation, tot.n_suppliers,
+           ROUND(SUM(POW(CAST(rev.r AS DOUBLE) / tot.t, 2)), 6) AS hhi
+    FROM rev
+    JOIN tot USING (s_nationkey)
+    JOIN nation n ON n.n_nationkey = rev.s_nationkey
+    GROUP BY 1, 2
+    """,
+)
+def q191_supplier_concentration(spark, sf_dir):
+    """Supplier revenue concentration per nation — the Herfindahl index
+    (Σ share², 1/n = perfectly even, 1 = monopoly): the
+    market-structure audit a marketplace runs. One fact shuffle on
+    suppkey, a per-nation total broadcast back, one squared-share
+    aggregate."""
+    li = t(spark, sf_dir, "lineitem")
+    s = t(spark, sf_dir, "supplier")
+    n = t(spark, sf_dir, "nation")
+    rev = (
+        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        .groupBy("s_nationkey", "l_suppkey")
+        .agg(F.sum(dec("l_extendedprice")).alias("r"))
+    )
+    tot = rev.groupBy("s_nationkey").agg(
+        F.sum("r").cast("double").alias("t"),
+        F.count("*").alias("n_suppliers"),
+    )
+    return (
+        rev.join(F.broadcast(tot), "s_nationkey")
+        .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
+        .groupBy(F.col("n_name").alias("nation"), "n_suppliers")
+        .agg(
+            F.round(
+                F.sum(F.pow(F.col("r").cast("double") / F.col("t"), 2)), 6
+            ).alias("hhi")
+        )
+    )
