@@ -27,7 +27,13 @@ the engine's Spark-native equivalents:
       - MergeTree                  -> identity (append-only facts);
       - ReplacingMergeTree(ver)    -> latest row per ORDER BY key
                                       (≙ ``SELECT ... FINAL``);
-      - SummingMergeTree(cols)     -> numeric columns summed per key.
+      - SummingMergeTree(cols)     -> numeric columns summed per key;
+      - CollapsingMergeTree(sign)  -> +1/-1 state/cancel pairs cancel
+                                      out; net-positive keys keep their
+                                      latest state row;
+      - VersionedCollapsingMergeTree(sign, ver)
+                                   -> pairs cancel per (key, version);
+                                      uncancelled versions survive.
 
     ClickHouse itself only guarantees these semantics *eventually* (or
     under FINAL); materializing them at read time over an append-only log
@@ -187,7 +193,7 @@ class TableSpec:
 
     name: str
     schema: T.StructType
-    engine: str  # MergeTree | ReplacingMergeTree | SummingMergeTree
+    engine: str  # MergeTree | Replacing- | Summing- | [Versioned]Collapsing-
     engine_args: list[str] = field(default_factory=list)
     order_by: list[str] = field(default_factory=list)
     partition_by: str | None = None  # raw ClickHouse expression
@@ -421,6 +427,9 @@ def final_read(df: DataFrame, spec: TableSpec) -> DataFrame:
     order proxy (last non-deterministic in CH too, so we require ver or
     use the max over all columns deterministically).  SummingMergeTree:
     sum numeric non-key columns per key, keep any-value of the rest.
+    CollapsingMergeTree(sign): +1/-1 pairs cancel, net-positive keys keep
+    their latest state row.  VersionedCollapsingMergeTree(sign, ver):
+    pairs cancel per (key, version); uncancelled versions survive.
     """
     eng = spec.engine.lower()
     if eng == "mergetree":
@@ -466,6 +475,59 @@ def final_read(df: DataFrame, spec: TableSpec) -> DataFrame:
         out = df.groupBy(*keys).agg(*aggs)
         # restore original column order
         return out.select(*[f.name for f in df.schema.fields])
+    if eng == "collapsingmergetree":
+        if not spec.engine_args:
+            raise ValueError("CollapsingMergeTree requires a sign column")
+        sign = spec.engine_args[0].strip("()` ")
+        others = [
+            f.name for f in df.schema.fields if f.name not in keys and f.name != sign
+        ]
+        # ClickHouse collapses matched (+1, -1) pairs; a key whose signs
+        # net to zero vanishes, a net-positive key keeps its last state
+        # row.  "Last" is insertion order in ClickHouse (non-deterministic
+        # across merges); over an append-only log we make it deterministic
+        # the same way the no-version ReplacingMergeTree path does — max
+        # struct over the non-key columns.  (Use VersionedCollapsing for
+        # an explicit ordering column.)  Both windows share the key
+        # partitioning, so FINAL costs exactly one shuffle on the merge
+        # key — the shuffle a ClickHouse FINAL read pays.
+        w = Window.partitionBy(*keys)
+        wpick = w.orderBy(
+            F.desc(sign),  # prefer a state (+1) row as representative
+            F.desc_nulls_last(F.struct(*[F.col(c) for c in others])),
+        )
+        return (
+            df.withColumn("__net", F.sum(sign).over(w))
+            .withColumn("__rn", F.row_number().over(wpick))
+            .where((F.col("__net") > 0) & (F.col("__rn") == 1))
+            .drop("__net", "__rn")
+        )
+    if eng == "versionedcollapsingmergetree":
+        if len(spec.engine_args) < 2:
+            raise ValueError(
+                "VersionedCollapsingMergeTree requires (sign, version) columns"
+            )
+        sign = spec.engine_args[0].strip("()` ")
+        ver = spec.engine_args[1].strip("()` ")
+        others = [
+            f.name
+            for f in df.schema.fields
+            if f.name not in keys and f.name not in (sign, ver)
+        ]
+        # Pairs cancel per (key, version): a version whose signs net to
+        # zero is collapsed away; every uncancelled version survives with
+        # its state (+1) row.  One shuffle on (key, version).
+        w = Window.partitionBy(*keys, ver)
+        wpick = w.orderBy(
+            F.desc(sign),
+            F.desc_nulls_last(F.struct(*[F.col(c) for c in others])),
+        )
+        return (
+            df.withColumn("__net", F.sum(sign).over(w))
+            .withColumn("__rn", F.row_number().over(wpick))
+            .where((F.col("__net") > 0) & (F.col("__rn") == 1))
+            .drop("__net", "__rn")
+        )
     raise ValueError(f"unsupported table engine: {spec.engine}")
 
 

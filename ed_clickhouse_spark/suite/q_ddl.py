@@ -115,3 +115,123 @@ def q106_summing_merge(spark, sf_dir):
         F.lit(1).cast("long").alias("n"),
     )
     return ddl.final_read(counters, spec)
+
+
+_COLLAPSING_DDL = """
+CREATE TABLE order_state (
+    o_orderkey Int64,
+    sign Int8,
+    price Decimal(18, 2)
+) ENGINE = CollapsingMergeTree(sign)
+ORDER BY o_orderkey;
+"""
+
+_VCOLLAPSING_DDL = """
+CREATE TABLE order_versions (
+    o_orderkey Int64,
+    sign Int8,
+    ver UInt32,
+    price Decimal(18, 2)
+) ENGINE = VersionedCollapsingMergeTree(sign, ver)
+ORDER BY o_orderkey;
+"""
+
+
+def _collapsing_log(spark, sf_dir, with_version: bool):
+    """Deterministic collapsing log built from orders — the write pattern
+    a ClickHouse collapsing table actually sees: every order inserts a
+    +1 state row; keys with o_orderkey % 4 == 0 are later deleted
+    (a matching -1 cancel), keys with % 4 == 1 are updated (a -1 cancel
+    plus a new +1 state at 1.1x the price).  All prices go through exact
+    DECIMAL(18,2) arithmetic so Spark and the oracle agree bit-for-bit."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.col("o_totalprice").cast("decimal(18,2)").alias("price")
+    )
+    b = F.col("o_orderkey") % 4
+    new_price = (
+        F.round(F.col("price") * F.lit("1.1").cast("decimal(2,1)"), 2)
+        .cast("decimal(18,2)")
+    )
+
+    def row(df, sign, ver, price):
+        cols = [F.col("o_orderkey"), F.lit(sign).cast("tinyint").alias("sign")]
+        if with_version:
+            cols.append(F.lit(ver).cast("int").alias("ver"))
+        cols.append(price.alias("price"))
+        return df.select(*cols)
+
+    state0 = row(o, 1, 0, F.col("price"))
+    cancel = row(o.where(b.isin(0, 1)), -1, 0, F.col("price"))
+    state1 = row(o.where(b == 1), 1, 1, new_price)
+    return state0.unionByName(cancel).unionByName(state1)
+
+
+@query(
+    "q192_collapsing_final",
+    oracle="""
+    WITH log AS (
+      SELECT o_orderkey, 1 AS sign, CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, -1, CAST(o_totalprice AS DECIMAL(18,2))
+      FROM orders WHERE o_orderkey % 4 IN (0, 1)
+      UNION ALL
+      SELECT o_orderkey, 1,
+             CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2) AS DECIMAL(18,2))
+      FROM orders WHERE o_orderkey % 4 = 1
+    )
+    SELECT o_orderkey,
+           CAST(MAX(price) FILTER (WHERE sign = 1) AS DECIMAL(18,2)) AS final_price
+    FROM log
+    GROUP BY o_orderkey
+    HAVING SUM(sign) > 0
+    """,
+)
+def q192_collapsing_final(spark, sf_dir):
+    """CollapsingMergeTree FINAL: +1/-1 state/cancel pairs collapse.
+
+    Deleted keys (net sign 0) vanish; updated keys keep the newest state
+    row.  Runs through ddl.final_read on a parsed CollapsingMergeTree
+    DDL — one shuffle on the merge key, exactly what a ClickHouse FINAL
+    read pays.  The oracle spells the collapse as the canonical
+    GROUP BY key HAVING sum(sign) > 0 query from the ClickHouse docs —
+    different formulation, same fixpoint."""
+    spec = ddl.parse_clickhouse_ddl(_COLLAPSING_DDL)
+    log = _collapsing_log(spark, sf_dir, with_version=False)
+    fin = ddl.final_read(log, spec)
+    return fin.select("o_orderkey", F.col("price").alias("final_price"))
+
+
+@query(
+    "q193_versioned_collapsing",
+    oracle="""
+    WITH log AS (
+      SELECT o_orderkey, 1 AS sign, 0 AS ver,
+             CAST(o_totalprice AS DECIMAL(18,2)) AS price
+      FROM orders
+      UNION ALL
+      SELECT o_orderkey, -1, 0, CAST(o_totalprice AS DECIMAL(18,2))
+      FROM orders WHERE o_orderkey % 4 IN (0, 1)
+      UNION ALL
+      SELECT o_orderkey, 1, 1,
+             CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,2)) * 1.1, 2) AS DECIMAL(18,2))
+      FROM orders WHERE o_orderkey % 4 = 1
+    )
+    SELECT o_orderkey, ver,
+           CAST(MAX(price) FILTER (WHERE sign = 1) AS DECIMAL(18,2)) AS price
+    FROM log
+    GROUP BY o_orderkey, ver
+    HAVING SUM(sign) > 0
+    """,
+)
+def q193_versioned_collapsing(spark, sf_dir):
+    """VersionedCollapsingMergeTree FINAL: pairs cancel per (key, ver).
+
+    The explicit version column makes the collapse insertion-order-free
+    (the reason the engine exists): the v0 state and its v0 cancel
+    annihilate regardless of arrival order, and every uncancelled
+    version survives.  One shuffle on (key, version)."""
+    spec = ddl.parse_clickhouse_ddl(_VCOLLAPSING_DDL)
+    log = _collapsing_log(spark, sf_dir, with_version=True)
+    fin = ddl.final_read(log, spec)
+    return fin.select("o_orderkey", "ver", "price")

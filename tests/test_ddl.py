@@ -386,3 +386,70 @@ def test_show_create_round_trips():
     assert again.sample_by == spec.sample_by
     assert again.bloom_cols == spec.bloom_cols
     assert again.ttl == spec.ttl
+
+
+_COLLAPSING = """
+CREATE TABLE vis (
+    page String,
+    sign Int8,
+    views Int64
+) ENGINE = CollapsingMergeTree(sign)
+ORDER BY page;
+"""
+
+_VCOLLAPSING = """
+CREATE TABLE vis_v (
+    page String,
+    sign Int8,
+    ver UInt32,
+    views Int64
+) ENGINE = VersionedCollapsingMergeTree(sign, ver)
+ORDER BY page;
+"""
+
+
+def test_collapsing_final_read(spark):
+    """Deleted keys vanish, updated keys keep the newest state row,
+    untouched keys pass through."""
+    spec = ddl.parse_clickhouse_ddl(_COLLAPSING)
+    rows = [
+        ("deleted", 1, 10), ("deleted", -1, 10),           # net 0 -> gone
+        ("updated", 1, 5), ("updated", -1, 5), ("updated", 1, 9),
+        ("plain", 1, 7),
+    ]
+    df = spark.createDataFrame(rows, "page string, sign int, views long")
+    got = {r["page"]: r["views"] for r in ddl.final_read(df, spec).collect()}
+    assert got == {"updated": 9, "plain": 7}
+
+
+def test_versioned_collapsing_order_free(spark):
+    """The version column makes the collapse arrival-order independent:
+    shuffling the log rows never changes the survivors."""
+    spec = ddl.parse_clickhouse_ddl(_VCOLLAPSING)
+    rows = [
+        ("upd", 1, 1, 20),            # v1 state (arrives FIRST, out of order)
+        ("upd", -1, 0, 10),           # v0 cancel
+        ("upd", 1, 0, 10),            # v0 state
+        ("gone", 1, 0, 3), ("gone", -1, 0, 3),
+        ("multi", 1, 0, 1), ("multi", 1, 1, 2),   # two live versions survive
+    ]
+    for perm in (rows, rows[::-1]):
+        df = spark.createDataFrame(
+            perm, "page string, sign int, ver int, views long"
+        )
+        got = {
+            (r["page"], r["ver"]): r["views"]
+            for r in ddl.final_read(df, spec).collect()
+        }
+        assert got == {("upd", 1): 20, ("multi", 0): 1, ("multi", 1): 2}
+
+
+def test_collapsing_single_shuffle(spark):
+    """FINAL over a collapsing table costs exactly one exchange on the
+    merge key — both window passes share the partitioning."""
+    spec = ddl.parse_clickhouse_ddl(_COLLAPSING)
+    df = spark.createDataFrame(
+        [("a", 1, 1)], "page string, sign int, views long"
+    )
+    plan = ddl.final_read(df, spec)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange") == 1
