@@ -372,6 +372,17 @@ def _rewrite_numbers(sql: str) -> str:
         sql = sql[: m.start()] + sub + sql[m.end():]
 
 
+def _rewrite_system(sql: str) -> str:
+    """ClickHouse ``system.<table>`` introspection names → the engine's
+    registered ``system_<table>`` views (Spark temp views cannot carry a
+    database qualifier). Token-level, never inside strings."""
+    while True:
+        m = _find_top(sql, r"\bsystem\.(tables|columns|parts|query_log)\b")
+        if not m:
+            return sql
+        sql = sql[: m.start()] + f"system_{m.group(1)}" + sql[m.end():]
+
+
 def translate(sql: str, specs: dict | None = None) -> Translated:
     """Rewrite a ClickHouse-dialect query to Spark SQL. ``specs`` maps
     table name -> ddl.TableSpec (for SAMPLE BY metadata). Returns the
@@ -380,6 +391,7 @@ def translate(sql: str, specs: dict | None = None) -> Translated:
     sql, fmt = _strip_trailing(sql)
     sql = re.sub(r"\bGLOBAL\s+(ANY\s+)?(?=(INNER|LEFT|RIGHT|FULL|JOIN))", "", sql, flags=re.I)
     sql = _rewrite_numbers(sql)
+    sql = _rewrite_system(sql)
     sql = _rewrite_sample(sql, specs)
     sql = _rewrite_final(sql)
     sql = _rewrite_prewhere(sql)

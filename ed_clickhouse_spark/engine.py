@@ -214,6 +214,8 @@ class Engine:
             )
             return ins
         tr = translate(query, self.table_specs)
+        if "system_" in tr.sql:
+            self._refresh_system_views()
         df = self.spark.sql(tr.sql)
         df.ch_format = tr.format
         self._query_log.append(
@@ -408,6 +410,96 @@ class Engine:
         return self.spark.createDataFrame(
             rows, "table string, partition string, n_files long, bytes long"
         )
+
+    def system_tables(self) -> DataFrame:
+        """≙ ClickHouse ``system.tables``: one row per provisioned table
+        with its engine, partition/sorting keys and on-disk size.
+
+        Metadata-only: bytes come from a driver-side Hadoop-FS listing
+        (never a data scan) and row counts from parquet footers (local
+        warehouses; NULL where footers aren't reachable without a job —
+        at 100 TB a `SELECT total_rows` must not cost a table scan)."""
+        sizes = {
+            r["table"]: (r["files"], r["bytes"])
+            for r in self.parts()
+            .groupBy("table")
+            .agg(F.sum("n_files").alias("files"), F.sum("bytes").alias("bytes"))
+            .collect()
+        }
+        rows = []
+        for name, spec in sorted(self.table_specs.items()):
+            n_files, nbytes = sizes.get(name, (0, 0))
+            rows.append(
+                (
+                    name,
+                    spec.engine,
+                    spec.partition_by or "",
+                    ", ".join(spec.order_by),
+                    nbytes,
+                    self._footer_rows(os.path.join(self.warehouse, name)),
+                    n_files,
+                )
+            )
+        return self.spark.createDataFrame(
+            rows,
+            "name string, engine string, partition_key string, "
+            "sorting_key string, total_bytes long, total_rows long, "
+            "parts long",
+        )
+
+    def system_columns(self) -> DataFrame:
+        """≙ ClickHouse ``system.columns``: one row per (table, column)
+        with the declared ClickHouse type and key membership flags."""
+        rows = []
+        for name, spec in sorted(self.table_specs.items()):
+            pcol = spec.partition_column()
+            pkey = {pcol[0]} if pcol else set()
+            for pos, f in enumerate(spec.schema.fields, start=1):
+                rows.append(
+                    (
+                        name,
+                        f.name,
+                        spec.ch_types.get(f.name, f.dataType.simpleString()),
+                        pos,
+                        f.name in spec.key_cols,
+                        f.name in pkey or f.name == (spec.partition_by or ""),
+                    )
+                )
+        return self.spark.createDataFrame(
+            rows,
+            "table string, name string, type string, position long, "
+            "is_in_sorting_key boolean, is_in_partition_key boolean",
+        )
+
+    @staticmethod
+    def _footer_rows(path: str):
+        """Row count from parquet footers (no Spark job). Local paths
+        only; returns None elsewhere rather than paying a scan."""
+        if not os.path.isdir(path):
+            return None
+        try:
+            import pyarrow.parquet as pq
+
+            total = 0
+            for dirpath, _dirs, files in os.walk(path):
+                for fn in files:
+                    if fn.endswith(".parquet"):
+                        total += pq.ParquetFile(
+                            os.path.join(dirpath, fn)
+                        ).metadata.num_rows
+            return total
+        except Exception:
+            return None
+
+    def _refresh_system_views(self) -> None:
+        """Register the ``system_*`` introspection views a translated
+        ``system.<name>`` query reads (chsql rewrites the dot form)."""
+        self.system_tables().createOrReplaceTempView("system_tables")
+        self.system_columns().createOrReplaceTempView("system_columns")
+        self.parts().withColumnRenamed("table", "name").createOrReplaceTempView(
+            "system_parts"
+        )
+        self.query_log().createOrReplaceTempView("system_query_log")
 
     def ping(self) -> bool:
         """≙ the reference's ClickHouse /ping startup check

@@ -453,3 +453,43 @@ def test_collapsing_single_shuffle(spark):
     )
     plan = ddl.final_read(df, spec)._jdf.queryExecution().executedPlan().toString()
     assert plan.count("Exchange") == 1
+
+
+def test_system_tables_and_columns(spark, tmp_path):
+    """system.tables / system.columns introspection through the
+    ClickHouse-dialect endpoint (chsql rewrites the dot-qualified names;
+    bytes/rows come from FS listing + parquet footers, never a scan)."""
+    from ed_clickhouse_spark.engine import Engine
+
+    mdir = tmp_path / "migrations"
+    mdir.mkdir()
+    (mdir / "001_login.up.sql").write_text(LOGIN_DDL)
+    eng = Engine(str(tmp_path / "wh"), spark)
+    eng.migrate(str(mdir))
+    eng.ch_sql(
+        "INSERT INTO login_events FORMAT JSONEachRow\n"
+        '{"event_id":"e1","event_name":"login","user_id":"u1",'
+        '"timestamp":"2024-01-01 00:00:00","season_number":1}'
+    )
+
+    tab = eng.ch_sql(
+        "SELECT name, engine, sorting_key, total_rows, total_bytes "
+        "FROM system.tables ORDER BY name"
+    ).collect()
+    assert [r["name"] for r in tab] == ["login_events"]
+    assert tab[0]["engine"] == "MergeTree"
+    assert tab[0]["sorting_key"] == "timestamp, event_name"
+    assert tab[0]["total_rows"] == 1
+    assert tab[0]["total_bytes"] > 0
+
+    cols = eng.ch_sql(
+        "SELECT name, type, is_in_sorting_key FROM system.columns "
+        "WHERE table = 'login_events' ORDER BY position"
+    ).collect()
+    assert [r["name"] for r in cols] == [
+        "event_id", "event_name", "user_id", "timestamp", "season_number"
+    ]
+    assert cols[0]["type"] == "String"
+    assert [r["name"] for r in cols if r["is_in_sorting_key"]] == [
+        "event_name", "timestamp"
+    ]
