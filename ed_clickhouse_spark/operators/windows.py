@@ -40,6 +40,7 @@ def funnel(
     event_col: str,
     steps: list[str],
     window_seconds: int | None = None,
+    strict_dedup: bool = False,
 ) -> DataFrame:
     """ClickHouse ``windowFunnel``-style ordered-sequence match: per user,
     the number of funnel ``steps`` completed in order (each step strictly
@@ -50,6 +51,11 @@ def funnel(
     anchors at the user's FIRST step-1 event — deterministic and
     SQL-oracle-able; ClickHouse's DP re-anchors to any step-1 event, so
     it can count deeper on pathological sequences — documented deviation).
+
+    With ``strict_dedup`` (ClickHouse's ``'strict_deduplication'`` mode),
+    a repeat of any already-matched step condition interrupts the chain:
+    after step k matches at ``t_k``, an event of steps 1..k falling
+    strictly before the step-k+1 candidate stops the funnel at depth k.
 
     Pure aggregation — no UDF: step 1 time is ``min(ts) filter step1``;
     step k time is ``min(ts) filter (event=step_k and ts > t_{k-1})``,
@@ -87,14 +93,34 @@ def funnel(
 
         return match
 
+    def dup_matcher(dup_steps: list[str], prev: str):
+        def match(x):
+            return x["ev"].isin(dup_steps) & (x["ts"] > F.col(prev))
+
+        return match
+
     for i, step in enumerate(steps):
         tcol = f"__t{i}"
-        out = out.withColumn(
-            tcol,
-            F.array_min(
-                F.transform(F.filter("evs", matcher(step, prev_t)), lambda x: x["ts"])
-            ),
+        cand = F.array_min(
+            F.transform(F.filter("evs", matcher(step, prev_t)), lambda x: x["ts"])
         )
+        if strict_dedup and i > 0:
+            # earliest repeat of an already-matched condition after t_{k-1};
+            # strictly before the candidate -> interrupted (candidate drops)
+            dup = F.array_min(
+                F.transform(
+                    F.filter("evs", dup_matcher(steps[:i], prev_t)),
+                    lambda x: x["ts"],
+                )
+            )
+            out = out.withColumn("__cand", cand).withColumn("__dup", dup)
+            cand = F.when(
+                F.col("__dup").isNull() | (F.col("__dup") >= F.col("__cand")),
+                F.col("__cand"),
+            )
+            out = out.withColumn(tcol, cand).drop("__cand", "__dup")
+        else:
+            out = out.withColumn(tcol, cand)
         prev_t = tcol
     # deepest completed step wins: the when for step k must be checked
     # before step k-1, so build inside-out (step 0 innermost).
@@ -472,3 +498,81 @@ def exponential_moving_average(
         )
         .drop("__g")
     )
+
+
+def sequence_match_times(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    steps: list[str],
+    gaps: list[tuple[str, float] | None] | None = None,
+) -> DataFrame:
+    """ClickHouse ``sequenceMatch`` with ``(?t op n)`` time conditions —
+    e.g. ``sequenceMatch('(?1)(?t<=3600)(?2)')(ts, e='A', e='B')``.
+
+    EXACT semantics, unlike the greedy-earliest :func:`sequence_match`:
+    matched iff ANY ordered chain of step events satisfies every adjacent
+    time constraint.  With an upper-bound gap the greedy chain can miss a
+    later re-anchored match (A@0, A@100, B@105 under t<=10 matches only
+    via the second A), so this variant searches all chains the way
+    ClickHouse's backtracking does.
+
+    ``gaps[i]`` constrains ``t_{i+1} - t_i`` in seconds as ``(op, n)``
+    with op one of '<', '<=', '>', '>='; ``None`` leaves the gap
+    unconstrained (ordering ``t_{i+1} > t_i`` always applies).
+
+    Plan: one shuffle on ``user_col`` collecting each user's step events
+    (ts as epoch seconds), then ``len(steps)`` nested JVM ``exists``
+    higher-order folds — no UDF, no re-shuffle.  Worst-case per-user cost
+    is O(m^k) on m step events held by that user (the same per-user state
+    bound ClickHouse's sequenceMatch pays; typical m is tiny).  Users
+    with no step events are absent, matching ClickHouse's grouped
+    aggregate over present users.
+    """
+    if gaps is None:
+        gaps = [None] * (len(steps) - 1)
+    if len(gaps) != len(steps) - 1:
+        raise ValueError("need len(steps) - 1 gap constraints (None allowed)")
+    ops = {
+        "<": lambda g, n: g < n,
+        "<=": lambda g, n: g <= n,
+        ">": lambda g, n: g > n,
+        ">=": lambda g, n: g >= n,
+    }
+    for g in gaps:
+        if g is not None and g[0] not in ops:
+            raise ValueError(f"unsupported gap op {g[0]!r}")
+
+    # epoch seconds; TIMESTAMP_NTZ needs the intermediate TIMESTAMP cast
+    # (gaps are differences, so the zone offset cancels either way)
+    evs = F.collect_list(
+        F.struct(
+            F.col(ts_col).cast("timestamp").cast("double").alias("ts"),
+            F.col(event_col).alias("ev"),
+        )
+    )
+    agg = (
+        df.filter(F.col(event_col).isin(steps))
+        .groupBy(user_col)
+        .agg(evs.alias("evs"))
+    )
+
+    def chain(k: int, prev):
+        # Column[bool]: some event matches step k after `prev` within the
+        # gap constraint, and the rest of the chain matches after it.
+        def lam(x):
+            c = x["ev"] == F.lit(steps[k])
+            if prev is not None:
+                c = c & (x["ts"] > prev)
+                g = gaps[k - 1]
+                if g is not None:
+                    op, n = g
+                    c = c & ops[op](x["ts"] - prev, F.lit(float(n)))
+            if k + 1 < len(steps):
+                return c & chain(k + 1, x["ts"])
+            return c
+
+        return F.exists("evs", lam)
+
+    return agg.select(user_col, chain(0, None).alias("matched"))

@@ -7,7 +7,12 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from ed_clickhouse_spark.operators.windows import funnel, retention, sequence_match
+from ed_clickhouse_spark.operators.windows import (
+    funnel,
+    retention,
+    sequence_match,
+    sequence_match_times,
+)
 from ed_clickhouse_spark.suite import query
 from ed_clickhouse_spark.suite._util import t
 
@@ -274,3 +279,114 @@ def q189_cohort_arpu(spark, sf_dir):
             F.coalesce(F.sum("r"), F.lit(0)).cast("double") / F.count("*"), 6
         ).alias("arpu"),
     )
+
+
+@query(
+    "q194_sequence_match_times",
+    oracle="""
+    WITH su AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type IN ('signup', 'click', 'purchase')
+    )
+    SELECT matched, COUNT(*) AS n_users FROM (
+      SELECT user_id,
+             EXISTS (
+               SELECT 1 FROM events a
+               WHERE a.user_id = su.user_id AND a.event_type = 'signup'
+                 AND EXISTS (
+                   SELECT 1 FROM events b
+                   WHERE b.user_id = su.user_id AND b.event_type = 'click'
+                     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+                     AND EXISTS (
+                       SELECT 1 FROM events c
+                       WHERE c.user_id = su.user_id
+                         AND c.event_type = 'purchase'
+                         AND c.ts > b.ts AND c.ts <= b.ts + INTERVAL 1 DAY
+                     )
+                 )
+             ) AS matched
+      FROM su
+    ) GROUP BY matched
+    """,
+)
+def q194_sequence_match_times(spark, sf_dir):
+    """``sequenceMatch('(?1)(?t<=3600)(?2)(?t<=86400)(?3)')``: users with
+    a signup -> click-within-an-hour -> purchase-within-a-day chain.
+    EXACT re-anchoring semantics (operators/windows.py:
+    sequence_match_times — nested JVM exists folds, one user shuffle);
+    the oracle spells the same existential chain as correlated EXISTS."""
+    d = t(spark, sf_dir, "events")
+    m = sequence_match_times(
+        d, "user_id", "ts", "event_type",
+        ["signup", "click", "purchase"],
+        [("<=", 3600), ("<=", 86400)],
+    )
+    return m.groupBy("matched").agg(F.count("*").alias("n_users"))
+
+
+@query(
+    "q195_funnel_strict_dedup",
+    oracle="""
+    WITH t1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ),
+    c2 AS (
+      SELECT e.user_id, MIN(e.ts) AS c2 FROM events e
+      JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+      WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    d2 AS (
+      SELECT e.user_id, MIN(e.ts) AS d2 FROM events e
+      JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+      WHERE e.event_type = 'signup' GROUP BY 1
+    ),
+    t2 AS (
+      SELECT c2.user_id, c2.c2 AS t2 FROM c2
+      LEFT JOIN d2 ON c2.user_id = d2.user_id
+      WHERE d2.d2 IS NULL OR d2.d2 >= c2.c2
+    ),
+    c3 AS (
+      SELECT e.user_id, MIN(e.ts) AS c3 FROM events e
+      JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t2
+      WHERE e.event_type = 'purchase' GROUP BY 1
+    ),
+    d3 AS (
+      SELECT e.user_id, MIN(e.ts) AS d3 FROM events e
+      JOIN t2 ON e.user_id = t2.user_id AND e.ts > t2.t2
+      WHERE e.event_type IN ('signup', 'click') GROUP BY 1
+    ),
+    t3 AS (
+      SELECT c3.user_id FROM c3
+      LEFT JOIN d3 ON c3.user_id = d3.user_id
+      WHERE d3.d3 IS NULL OR d3.d3 >= c3.c3
+    ),
+    su AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type IN ('signup', 'click', 'purchase')
+    )
+    SELECT CASE WHEN t3.user_id IS NOT NULL THEN 3
+                WHEN t2.user_id IS NOT NULL THEN 2
+                WHEN t1.user_id IS NOT NULL THEN 1
+                ELSE 0 END AS funnel_steps,
+           COUNT(*) AS n_users
+    FROM su
+    LEFT JOIN t1 ON su.user_id = t1.user_id
+    LEFT JOIN t2 ON su.user_id = t2.user_id
+    LEFT JOIN t3 ON su.user_id = t3.user_id
+    GROUP BY 1
+    """,
+)
+def q195_funnel_strict_dedup(spark, sf_dir):
+    """``windowFunnel(...., 'strict_deduplication')``: a repeat of an
+    already-matched step condition interrupts the chain — a second
+    signup before the click stops the funnel at 1, a signup/click
+    repeat before the purchase stops it at 2. Same greedy-earliest
+    anchor and one user shuffle as the base funnel; the oracle spells
+    the candidate-vs-earliest-repeat race as a CTE chain."""
+    d = t(spark, sf_dir, "events")
+    f = funnel(
+        d, "user_id", "ts", "event_type",
+        ["signup", "click", "purchase"], strict_dedup=True,
+    )
+    return f.groupBy("funnel_steps").agg(F.count("*").alias("n_users"))

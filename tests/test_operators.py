@@ -364,3 +364,64 @@ def test_funnel_strict_order(spark):
         ).collect()
     }
     assert got == {1: 3, 2: 1, 3: 0, 4: 2}
+
+
+def test_funnel_strict_dedup_interrupts(spark):
+    """'strict_deduplication': a repeat of an already-matched condition
+    strictly before the next step's candidate stops the chain there."""
+    rows = [
+        # dup A between B and C -> stops at 2
+        ("u1", 0.0, "A"), ("u1", 1.0, "B"), ("u1", 2.0, "A"), ("u1", 3.0, "C"),
+        # clean chain -> 3
+        ("u2", 0.0, "A"), ("u2", 1.0, "B"), ("u2", 2.0, "C"),
+        # dup A before B -> stops at 1
+        ("u3", 0.0, "A"), ("u3", 1.0, "A"), ("u3", 2.0, "B"), ("u3", 3.0, "C"),
+        # repeat lands exactly ON the candidate ts -> not strictly
+        # before, chain continues
+        ("u4", 0.0, "A"), ("u4", 1.0, "B"), ("u4", 2.0, "A"),
+        ("u4", 2.0, "C"), ("u4", 9.0, "Z"),
+    ]
+    df = spark.createDataFrame(rows, "user string, ts double, ev string")
+    df = df.withColumn("ts", df.ts.cast("timestamp"))
+    base = {r["user"]: r["funnel_steps"]
+            for r in funnel(df, "user", "ts", "ev", ["A", "B", "C"]).collect()}
+    dd = {r["user"]: r["funnel_steps"]
+          for r in funnel(df, "user", "ts", "ev", ["A", "B", "C"],
+                          strict_dedup=True).collect()}
+    assert base == {"u1": 3, "u2": 3, "u3": 3, "u4": 3}
+    assert dd == {"u1": 2, "u2": 3, "u3": 1, "u4": 3}
+
+
+def test_sequence_match_times_reanchors(spark):
+    """(?t<=10) between A and B: the greedy earliest-A chain misses but a
+    later A matches — exact semantics must re-anchor (the case the DP
+    exists for)."""
+    from ed_clickhouse_spark.operators.windows import sequence_match_times
+
+    rows = [
+        ("u1", 0.0, "A"), ("u1", 100.0, "A"), ("u1", 105.0, "B"),
+        ("u2", 0.0, "A"), ("u2", 50.0, "B"),
+        ("u3", 0.0, "B"), ("u3", 5.0, "A"),  # wrong order
+    ]
+    df = spark.createDataFrame(rows, "user string, ts double, ev string")
+    df = df.withColumn("ts", df.ts.cast("timestamp"))
+    got = {r["user"]: r["matched"]
+           for r in sequence_match_times(
+               df, "user", "ts", "ev", ["A", "B"], [("<=", 10)]
+           ).collect()}
+    assert got == {"u1": True, "u2": False, "u3": False}
+
+
+def test_sequence_match_times_lower_bound(spark):
+    """(?t>n) lower-bound gaps work too (ClickHouse supports all four
+    comparison ops in (?t...))."""
+    from ed_clickhouse_spark.operators.windows import sequence_match_times
+
+    rows = [("u1", 0.0, "A"), ("u1", 5.0, "B"), ("u2", 0.0, "A"), ("u2", 50.0, "B")]
+    df = spark.createDataFrame(rows, "user string, ts double, ev string")
+    df = df.withColumn("ts", df.ts.cast("timestamp"))
+    got = {r["user"]: r["matched"]
+           for r in sequence_match_times(
+               df, "user", "ts", "ev", ["A", "B"], [(">", 10)]
+           ).collect()}
+    assert got == {"u1": False, "u2": True}
