@@ -213,6 +213,12 @@ class Engine:
                  round((_time.time() - t0) * 1000, 3))
             )
             return ins
+        mut = self._maybe_mutation(query)
+        if mut is not None:
+            self._query_log.append(
+                (t0, "clickhouse", query, round((_time.time() - t0) * 1000, 3))
+            )
+            return mut
         tr = translate(query, self.table_specs)
         if "system_" in tr.sql:
             self._refresh_system_views()
@@ -246,6 +252,95 @@ class Engine:
             return self.spark.createDataFrame(
                 [(1 if m.group(1) in self.table_specs else 0,)], "result int"
             )
+        return None
+
+    def _maybe_mutation(self, query: str):
+        """ClickHouse operational statements, routed onto the mutation /
+        compaction operators (operators/mutate.py) so the spellings a
+        reference user runs work verbatim:
+
+          ALTER TABLE t DELETE WHERE <pred>
+          ALTER TABLE t UPDATE a = <expr>[, ...] WHERE <pred>
+          ALTER TABLE t DROP PARTITION <value>
+          OPTIMIZE TABLE t [PARTITION <value>] [FINAL]
+          TRUNCATE TABLE t
+
+        Expressions go through F.expr with the ClickHouse SQL spellings
+        registered, so ``toDate(ts) = '2024-01-01'`` works.  All paths
+        are partition-selective (never a full-table rewrite unless every
+        partition matches); views are re-registered afterwards.  Returns
+        a 1-row status DataFrame, or None when not a mutation."""
+        import re as _re
+
+        from ed_clickhouse_spark.operators import mutate as _mut
+
+        def _table(name: str):
+            spec = self.table_specs.get(name)
+            path = os.path.join(self.warehouse, name)
+            if not os.path.isdir(path):
+                raise KeyError(f"unknown table {name!r}")
+            return spec, path
+
+        def _done(table: str, op: str, n) -> DataFrame:
+            spec = self.table_specs.get(table)
+            if spec is not None:
+                from ed_clickhouse_spark import ddl as _ddl
+
+                _ddl.register_view(self.spark, spec, self.warehouse)
+            else:
+                self.refresh_views()
+            return self.spark.createDataFrame(
+                [(table, op, int(n))], "table string, op string, affected long"
+            )
+
+        q = query.strip().rstrip(";").strip()
+        m = _re.match(r"^ALTER\s+TABLE\s+(\w+)\s+DELETE\s+WHERE\s+(.+)$", q, _re.I | _re.S)
+        if m:
+            _spec, path = _table(m.group(1))
+            n = _mut.delete_where(self.spark, path, F.expr(m.group(2)))
+            return _done(m.group(1), "delete", n)
+        m = _re.match(r"^ALTER\s+TABLE\s+(\w+)\s+UPDATE\s+(.+)\s+WHERE\s+(.+)$", q, _re.I | _re.S)
+        if m:
+            from ed_clickhouse_spark.ddl import _split_top
+
+            _spec, path = _table(m.group(1))
+            assignments = {}
+            for part in _split_top(m.group(2)):
+                col, expr = part.split("=", 1)
+                assignments[col.strip().strip("`")] = F.expr(expr.strip())
+            n = _mut.update_where(self.spark, path, F.expr(m.group(3)), assignments)
+            return _done(m.group(1), "update", n)
+        m = _re.match(
+            r"^ALTER\s+TABLE\s+(\w+)\s+DROP\s+PARTITION\s+'?([^'\s;]+)'?\s*$", q, _re.I
+        )
+        if m:
+            _spec, path = _table(m.group(1))
+            ok = _mut.drop_partition(self.spark, path, m.group(2))
+            return _done(m.group(1), "drop_partition", 1 if ok else 0)
+        m = _re.match(
+            r"^OPTIMIZE\s+TABLE\s+(\w+)(?:\s+PARTITION\s+'?([^'\s;]+)'?)?(?:\s+FINAL)?\s*$",
+            q,
+            _re.I,
+        )
+        if m:
+            spec, path = _table(m.group(1))
+            sort_cols = [c for c in (spec.order_by if spec else []) if c]
+            n = _mut.compact_partitions(
+                self.spark,
+                path,
+                sort_cols=sort_cols or None,
+                partitions=[m.group(2)] if m.group(2) else None,
+            )
+            return _done(m.group(1), "optimize", n)
+        m = _re.match(r"^TRUNCATE\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", q, _re.I)
+        if m:
+            spec, path = _table(m.group(1))
+            schema = self.spark.read.parquet(path).schema
+            import shutil as _shutil
+
+            _shutil.rmtree(path, ignore_errors=True)
+            self.spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
+            return _done(m.group(1), "truncate", 0)
         return None
 
     def _maybe_insert(self, query: str):

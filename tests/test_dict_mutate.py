@@ -213,3 +213,55 @@ def test_drop_partition(spark, tmp_path):
     assert left.count() == 20
     assert left.filter(F.col("d") == "2024-01-02").count() == 0
     assert not drop_partition(spark, path, "2024-01-02")  # already gone
+
+
+def test_ch_sql_mutation_statements(spark, tmp_path):
+    """The ClickHouse operational statements run verbatim through
+    Engine.ch_sql, routed onto the partition-selective mutation ops."""
+    from ed_clickhouse_spark.engine import Engine
+
+    mdir = tmp_path / "migrations"
+    mdir.mkdir()
+    (mdir / "001_vis.up.sql").write_text(
+        """
+        CREATE TABLE visits (
+            day Date,
+            user_id Int64,
+            amount Float64
+        ) ENGINE = MergeTree()
+        PARTITION BY day
+        ORDER BY user_id;
+        """
+    )
+    eng = Engine(str(tmp_path / "wh"), spark)
+    eng.migrate(str(mdir))
+    for d in ("2024-01-01", "2024-01-02"):
+        for u in (1, 2, 3):
+            eng.ch_sql(
+                "INSERT INTO visits FORMAT JSONEachRow\n"
+                f'{{"day":"{d}","user_id":{u},"amount":{u * 10}.0}}'
+            )
+
+    r = eng.ch_sql("ALTER TABLE visits DELETE WHERE user_id = 3").collect()[0]
+    assert (r["op"], r["affected"]) == ("delete", 2)  # both day partitions
+    assert spark.table("visits").where("user_id = 3").count() == 0
+    assert spark.table("visits").count() == 4
+
+    eng.ch_sql(
+        "ALTER TABLE visits UPDATE amount = amount * 2 WHERE day = '2024-01-01'"
+    )
+    got = {
+        (str(x["day"]), x["user_id"]): x["amount"]
+        for x in spark.table("visits").collect()
+    }
+    assert got[("2024-01-01", 1)] == 20.0 and got[("2024-01-02", 1)] == 10.0
+
+    r = eng.ch_sql("OPTIMIZE TABLE visits FINAL").collect()[0]
+    assert r["op"] == "optimize" and r["affected"] >= 1
+
+    r = eng.ch_sql("ALTER TABLE visits DROP PARTITION '2024-01-02'").collect()[0]
+    assert r["affected"] == 1
+    assert spark.table("visits").select("day").distinct().count() == 1
+
+    eng.ch_sql("TRUNCATE TABLE visits")
+    assert spark.table("visits").count() == 0
