@@ -188,6 +188,96 @@ def ch_type_to_spark(ch: str) -> tuple[T.DataType, bool]:
 
 
 @dataclass
+class ProjectionSpec:
+    """Parsed ``PROJECTION name (SELECT ...)`` clause.
+
+    Aggregate form (``GROUP BY`` present): maintained as mergeable
+    PARTIAL aggregates appended per insert batch (sum/count partials sum
+    on merge, min/max partials min/max) — the Spark translation of
+    ClickHouse's per-part aggregate states.  Sort form (``ORDER BY``):
+    maintained as a column-pruned re-sorted copy, the alternate
+    physical order."""
+
+    name: str
+    dims: list[str] = field(default_factory=list)  # GROUP BY / plain columns
+    # (func, source_col, alias) with func in sum|count|min|max|avg
+    aggs: list[tuple[str, str, str]] = field(default_factory=list)
+    order_by: list[str] = field(default_factory=list)  # sort-projection order
+
+    @property
+    def is_aggregate(self) -> bool:
+        return bool(self.aggs)
+
+    def partial_cols(self) -> list[tuple[str, str]]:
+        """(partial column name, merge func) pairs for aggregate form.
+        avg is stored as its sum+count partials."""
+        out = []
+        for func, col, alias in self.aggs:
+            if func == "count":
+                out.append((f"__cnt_{alias}", "sum"))
+            elif func == "avg":
+                out.append((f"__sum_{alias}", "sum"))
+                out.append((f"__cnt_{alias}", "sum"))
+            else:
+                out.append((f"__{func}_{alias}", func))
+        return out
+
+
+_PROJ_ITEM = re.compile(
+    r"^(sum|count|min|max|avg)\s*\(\s*(\*|[\w`]*)\s*\)(?:\s+AS\s+(\w+))?$", re.I
+)
+
+
+def _parse_projection(clause: str) -> ProjectionSpec:
+    """Parse ``PROJECTION name (SELECT items [GROUP BY d, ...]
+    [ORDER BY c, ...])``."""
+    m = re.match(r"^PROJECTION\s+`?(\w+)`?\s*\((.*)\)\s*$", clause.strip(), re.I | re.S)
+    if not m:
+        raise ValueError(f"cannot parse projection clause: {clause!r}")
+    name, body = m.group(1), m.group(2).strip()
+    bm = re.match(
+        r"^SELECT\s+(.*?)(?:\s+GROUP\s+BY\s+(.*?))?(?:\s+ORDER\s+BY\s+(.*?))?$",
+        body,
+        re.I | re.S,
+    )
+    if not bm:
+        raise ValueError(f"cannot parse projection body: {body!r}")
+    items, group_by, order_by = bm.group(1), bm.group(2), bm.group(3)
+    dims: list[str] = []
+    aggs: list[tuple[str, str, str]] = []
+    for item in _split_top(items):
+        item = item.strip()
+        am = _PROJ_ITEM.match(item)
+        if am:
+            func = am.group(1).lower()
+            col = am.group(2).strip("`")
+            alias = am.group(3) or (func if col in ("", "*") else f"{func}_{col}")
+            if func == "count":
+                col = ""
+            elif col in ("", "*"):
+                raise ValueError(f"{func}() needs a column in projection: {item!r}")
+            aggs.append((func, col, alias))
+        else:
+            dims.append(item.strip("`"))
+    if group_by:
+        gdims = [c.strip().strip("`") for c in _split_top(group_by) if c.strip()]
+        # GROUP BY names must be the non-aggregate select items
+        if set(gdims) != set(dims):
+            raise ValueError(
+                f"projection {name!r}: GROUP BY {gdims} != plain select items {dims}"
+            )
+        dims = gdims
+    elif aggs:
+        raise ValueError(f"projection {name!r}: aggregates need GROUP BY")
+    return ProjectionSpec(
+        name=name,
+        dims=dims,
+        aggs=aggs,
+        order_by=[c.strip().strip("`") for c in _split_top(order_by)] if order_by else [],
+    )
+
+
+@dataclass
 class TableSpec:
     """Parsed ClickHouse CREATE TABLE, mapped to Spark terms."""
 
@@ -202,6 +292,7 @@ class TableSpec:
     ttl: tuple[str, int, str] | None = None  # (column, n, unit) from TTL col + INTERVAL n unit
     sample_by: str | None = None  # SAMPLE BY expression (a column or intHash on one)
     bloom_cols: list[str] = field(default_factory=list)  # INDEX ... TYPE bloom_filter columns
+    projections: list[ProjectionSpec] = field(default_factory=list)
 
     @property
     def key_cols(self) -> list[str]:
@@ -276,6 +367,7 @@ def parse_clickhouse_ddl(sql: str) -> TableSpec:
 
     fields, ch_types = [], {}
     bloom_cols: list[str] = []
+    projections: list[ProjectionSpec] = []
     for part in _split_top(col_block):
         part = part.strip()
         im = re.match(
@@ -293,7 +385,10 @@ def parse_clickhouse_ddl(sql: str) -> TableSpec:
             # silently approximated.
             bloom_cols.append(im.group(1))
             continue
-        if not part or re.match(r"^(INDEX|CONSTRAINT|PROJECTION)\b", part, re.I):
+        if re.match(r"^PROJECTION\b", part, re.I):
+            projections.append(_parse_projection(part))
+            continue
+        if not part or re.match(r"^(INDEX|CONSTRAINT)\b", part, re.I):
             continue  # other secondary indexes: parquet stats + pruning play that role
         cm = re.match(r"^`?(\w+)`?\s+(.+)$", part, re.S)
         if not cm:
@@ -374,6 +469,7 @@ def parse_clickhouse_ddl(sql: str) -> TableSpec:
         ttl=ttl,
         sample_by=sb,
         bloom_cols=bloom_cols,
+        projections=projections,
     )
 
 
@@ -395,6 +491,12 @@ def provision_table(spark: SparkSession, spec: TableSpec, warehouse: str) -> str
             empty.write.mode("overwrite").partitionBy(pc[0]).parquet(path)
         else:
             empty.write.mode("overwrite").parquet(path)
+    for proj in spec.projections:
+        ppath = projection_path(warehouse, spec.name, proj.name)
+        if not os.path.exists(ppath):
+            projection_batch(
+                spark.createDataFrame([], spec.schema), proj
+            ).write.mode("overwrite").parquet(ppath)
     register_view(spark, spec, warehouse)
     return path
 
@@ -417,6 +519,66 @@ def append_rows(df: DataFrame, spec: TableSpec, warehouse: str) -> None:
     if pc:
         w = w.partitionBy(pc[0])
     w.parquet(os.path.join(warehouse, spec.name))
+    # ClickHouse computes projections per inserted part; the equivalent
+    # here is appending each projection's transformed batch alongside.
+    for proj in spec.projections:
+        projection_batch(df, proj).write.mode("append").parquet(
+            projection_path(warehouse, spec.name, proj.name)
+        )
+
+
+def projection_path(warehouse: str, table: str, proj: str) -> str:
+    return os.path.join(warehouse, f"{table}__proj_{proj}")
+
+
+def projection_batch(df: DataFrame, proj: ProjectionSpec) -> DataFrame:
+    """Transform one insert batch into the projection's appendable form.
+
+    Aggregate projections append PARTIAL aggregates per batch (map-side
+    combinable, one small groupBy on the batch) — sum/count partials
+    re-sum on merge, min/max partials re-min/max, avg is stored as its
+    sum+count pair.  Sort projections append the column-pruned batch in
+    the alternate order."""
+    if proj.is_aggregate:
+        aggs = []
+        for func, col, alias in proj.aggs:
+            if func == "count":
+                aggs.append(F.count(F.lit(1)).alias(f"__cnt_{alias}"))
+            elif func == "avg":
+                aggs.append(F.sum(col).alias(f"__sum_{alias}"))
+                aggs.append(F.count(col).alias(f"__cnt_{alias}"))
+            else:
+                aggs.append(getattr(F, func)(col).alias(f"__{func}_{alias}"))
+        return df.groupBy(*proj.dims).agg(*aggs)
+    out = df.select(*proj.dims)
+    if proj.order_by:
+        out = out.sortWithinPartitions(*proj.order_by)
+    return out
+
+
+def projection_read(
+    spark: SparkSession, spec: TableSpec, proj: ProjectionSpec, warehouse: str
+) -> DataFrame:
+    """Merged (user-facing) read of a projection: partial states combined
+    to final values under the canonical aliases.  One shuffle over the
+    projection table — which holds one row per (insert batch, dims), far
+    smaller than the fact table it summarizes."""
+    raw = spark.read.parquet(projection_path(warehouse, spec.name, proj.name))
+    if not proj.is_aggregate:
+        return raw
+    aggs = []
+    for func, col, alias in proj.aggs:
+        if func == "count":
+            aggs.append(F.sum(f"__cnt_{alias}").alias(alias))
+        elif func == "avg":
+            aggs.append(
+                (F.sum(f"__sum_{alias}") / F.sum(f"__cnt_{alias}")).alias(alias)
+            )
+        elif func == "sum":
+            aggs.append(F.sum(f"__sum_{alias}").alias(alias))
+        else:
+            aggs.append(getattr(F, func)(f"__{func}_{alias}").alias(alias))
+    return raw.groupBy(*proj.dims).agg(*aggs)
 
 
 def final_read(df: DataFrame, spec: TableSpec) -> DataFrame:
@@ -576,6 +738,17 @@ def register_view(spark: SparkSession, spec: TableSpec, warehouse: str) -> None:
     raw = raw.select(*cols)
     raw.createOrReplaceTempView(f"{spec.name}_raw")
     final_read(raw, spec).createOrReplaceTempView(spec.name)
+    for proj in spec.projections:
+        ppath = projection_path(warehouse, spec.name, proj.name)
+        if not os.path.exists(ppath):
+            continue
+        parts = spark.read.parquet(ppath)
+        # _parts = the mergeable partial states (what query routing
+        # re-aggregates); the bare view = merged final values.
+        parts.createOrReplaceTempView(f"{spec.name}__proj_{proj.name}_parts")
+        projection_read(spark, spec, proj, warehouse).createOrReplaceTempView(
+            f"{spec.name}__proj_{proj.name}"
+        )
 
 
 def migrate(spark: SparkSession, migrations_dir: str, warehouse: str) -> list[TableSpec]:
@@ -723,6 +896,17 @@ def show_create(spec: TableSpec) -> str:
         f",\n  INDEX idx_{c} {c} TYPE bloom_filter GRANULARITY 1"
         for c in spec.bloom_cols
     )
+    for proj in spec.projections:
+        items = list(proj.dims) + [
+            (f"{func}({col}) AS {alias}" if func != "count" else f"count() AS {alias}")
+            for func, col, alias in proj.aggs
+        ]
+        body = "SELECT " + ", ".join(items)
+        if proj.is_aggregate:
+            body += " GROUP BY " + ", ".join(proj.dims)
+        if proj.order_by:
+            body += " ORDER BY " + ", ".join(proj.order_by)
+        idx += f",\n  PROJECTION {proj.name} ({body})"
     engine = spec.engine
     if spec.engine_args:
         engine += "(" + ", ".join(spec.engine_args) + ")"

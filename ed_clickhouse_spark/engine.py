@@ -222,7 +222,8 @@ class Engine:
         tr = translate(query, self.table_specs)
         if "system_" in tr.sql:
             self._refresh_system_views()
-        df = self.spark.sql(tr.sql)
+        sql = self._route_projection(tr.sql)
+        df = self.spark.sql(sql)
         df.ch_format = tr.format
         self._query_log.append(
             (t0, "clickhouse", query, round((_time.time() - t0) * 1000, 3))
@@ -253,6 +254,69 @@ class Engine:
                 [(1 if m.group(1) in self.table_specs else 0,)], "result int"
             )
         return None
+
+    def _route_projection(self, sql: str) -> str:
+        """ClickHouse-style automatic projection selection, for the safe
+        subset: a single-table ``SELECT dims+aggs FROM t [WHERE on dims]
+        GROUP BY dims [HAVING/ORDER BY/LIMIT]`` whose aggregates are all
+        derivable from one projection's partial states is rewritten to
+        scan ``t__proj_<name>_parts`` (one row per insert batch × dims)
+        instead of the fact table, re-aggregating the mergeable partials
+        (sum/count re-sum, min/max re-min/max, avg = sum/count).  GROUP BY
+        any SUBSET of the projection dims works — exactly the rollups the
+        projection exists to serve.  Anything that doesn't validate falls
+        through untouched (fail-open): joins, subqueries, non-dim
+        predicates, aggregates the projection doesn't carry."""
+        import re as _re
+
+        if _re.search(r"\b(JOIN|UNION|WITH|DISTINCT|OVER)\b", sql, _re.I):
+            return sql
+        m = _re.search(r"\bFROM\s+(\w+)\b", sql, _re.I)
+        if not m or sql[: m.start()].count("(") != sql[: m.start()].count(")"):
+            return sql
+        table = m.group(1)
+        spec = self.table_specs.get(table)
+        if spec is None or not spec.projections:
+            return sql
+        base_cols = {f.name for f in spec.schema.fields}
+        for proj in spec.projections:
+            if not proj.is_aggregate:
+                continue
+            new = sql
+            ok = True
+            for func, col, alias in proj.aggs:
+                if func == "count":
+                    pat = r"\bcount\s*\(\s*\*?\s*\)"
+                    rep = f"sum(__cnt_{alias})"
+                elif func == "avg":
+                    pat = rf"\bavg\s*\(\s*`?{_re.escape(col)}`?\s*\)"
+                    rep = f"(sum(__sum_{alias}) / sum(__cnt_{alias}))"
+                elif func == "sum":
+                    pat = rf"\bsum\s*\(\s*`?{_re.escape(col)}`?\s*\)"
+                    rep = f"sum(__sum_{alias})"
+                else:
+                    pat = rf"\b{func}\s*\(\s*`?{_re.escape(col)}`?\s*\)"
+                    rep = f"{func}(__{func}_{alias})"
+                new = _re.sub(pat, rep, new, flags=_re.I)
+            # any aggregate the projection can't serve -> fall through
+            # (identify leftover agg calls not over partial __ columns)
+            for am in _re.finditer(r"\b(sum|min|max|avg|count)\s*\(\s*([^)]*)\)", new, _re.I):
+                if not am.group(2).strip().startswith("__"):
+                    ok = False
+                    break
+            if ok:
+                # every base-table column still referenced must be a dim
+                ids = set(_re.findall(r"[A-Za-z_]\w*", new))
+                if (ids & base_cols) - set(proj.dims):
+                    ok = False
+            if ok:
+                return _re.sub(
+                    rf"\bFROM\s+{table}\b",
+                    f"FROM {table}__proj_{proj.name}_parts",
+                    new,
+                    flags=_re.I,
+                )
+        return sql
 
     def _maybe_mutation(self, query: str):
         """ClickHouse operational statements, routed onto the mutation /

@@ -1,0 +1,101 @@
+"""ClickHouse PROJECTION parity (ddl.py + Engine._route_projection):
+DDL-declared aggregate projections are maintained as mergeable partial
+states at insert time and matching GROUP BY queries are routed to them
+automatically — the reference stack's materialized fast path.
+
+ClickHouse stores projections as per-part aggregate states and its
+optimizer substitutes them for matching queries; here the states are the
+per-insert-batch partial aggregates and the substitution is a fail-open
+SQL rewrite onto the ``_parts`` view.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from ed_clickhouse_spark import ddl
+from ed_clickhouse_spark.engine import Engine
+
+PROJ_DDL = """
+CREATE TABLE sales (
+    day Date,
+    user_id Int64,
+    region String,
+    amount Float64,
+    PROJECTION by_user (SELECT day, user_id, sum(amount) AS sum_amount,
+                        count() AS cnt GROUP BY day, user_id)
+) ENGINE = MergeTree()
+ORDER BY (day, user_id);
+"""
+
+
+def test_projection_parse_and_roundtrip():
+    spec = ddl.parse_clickhouse_ddl(PROJ_DDL)
+    assert len(spec.projections) == 1
+    p = spec.projections[0]
+    assert p.name == "by_user"
+    assert p.dims == ["day", "user_id"]
+    assert p.aggs == [("sum", "amount", "sum_amount"), ("count", "", "cnt")]
+    again = ddl.parse_clickhouse_ddl(ddl.show_create(spec))
+    assert again.projections == spec.projections
+
+
+@pytest.fixture()
+def eng(spark, tmp_path):
+    mdir = tmp_path / "migrations"
+    mdir.mkdir()
+    (mdir / "001_sales.up.sql").write_text(PROJ_DDL)
+    eng = Engine(str(tmp_path / "wh"), spark)
+    eng.migrate(str(mdir))
+    # two insert batches -> two sets of partial states to merge
+    for batch in range(2):
+        lines = "\n".join(
+            f'{{"day":"2024-01-0{d}","user_id":{u},"region":"r{u % 2}",'
+            f'"amount":{(batch + 1) * u}.0}}'
+            for d in (1, 2)
+            for u in (1, 2, 3)
+        )
+        eng.ch_sql(f"INSERT INTO sales FORMAT JSONEachRow\n{lines}")
+    return eng
+
+
+def test_projection_maintained_and_merged(eng, spark):
+    # partial states: one row per (batch, day, user) = 2*2*3
+    assert spark.table("sales__proj_by_user_parts").count() == 12
+    merged = {
+        (str(r["day"]), r["user_id"]): (r["sum_amount"], r["cnt"])
+        for r in spark.table("sales__proj_by_user").collect()
+    }
+    direct = {
+        (str(r["day"]), r["user_id"]): (r["s"], r["c"])
+        for r in spark.sql(
+            "SELECT day, user_id, sum(amount) s, count(*) c "
+            "FROM sales GROUP BY 1, 2"
+        ).collect()
+    }
+    assert merged == direct
+
+
+def test_projection_routing_exact_and_subset(eng):
+    q = "SELECT day, user_id, sum(amount) AS s FROM sales GROUP BY day, user_id"
+    routed = eng._route_projection(q)
+    assert "sales__proj_by_user_parts" in routed and "__sum_sum_amount" in routed
+    got = {(str(r["day"]), r["user_id"]): r["s"] for r in eng.ch_sql(q).collect()}
+    assert got[("2024-01-01", 3)] == 9.0  # 3 + 6 across the two batches
+
+    # GROUP BY a SUBSET of the projection dims re-aggregates partials
+    q2 = "SELECT day, sum(amount) AS s, count() AS c FROM sales GROUP BY day"
+    assert "sales__proj_by_user_parts" in eng._route_projection(q2)
+    got2 = {str(r["day"]): (r["s"], r["c"]) for r in eng.ch_sql(q2).collect()}
+    assert got2["2024-01-01"] == (18.0, 6)  # (1+2+3)*3 per day, 3 users x 2 batches
+
+
+def test_projection_fail_open(eng):
+    # non-dim column in WHERE -> untouched (the projection can't serve it)
+    q = "SELECT day, sum(amount) AS s FROM sales WHERE region = 'r1' GROUP BY day"
+    assert eng._route_projection(q) == q
+    # aggregate the projection doesn't carry -> untouched
+    q2 = "SELECT day, min(amount) AS m FROM sales GROUP BY day"
+    assert eng._route_projection(q2) == q2
+    # and the fallthrough query still answers correctly from the base
+    assert eng.ch_sql(q).count() == 2
