@@ -293,6 +293,11 @@ class TableSpec:
     sample_by: str | None = None  # SAMPLE BY expression (a column or intHash on one)
     bloom_cols: list[str] = field(default_factory=list)  # INDEX ... TYPE bloom_filter columns
     projections: list[ProjectionSpec] = field(default_factory=list)
+    # col -> (DEFAULT|MATERIALIZED|ALIAS, ClickHouse expression). DEFAULT
+    # fills omitted/NULL values at insert, MATERIALIZED is always computed
+    # at insert, ALIAS is computed at read and never stored.
+    col_exprs: dict[str, tuple[str, str]] = field(default_factory=dict)
+    alias_cols: list[str] = field(default_factory=list)  # ALIAS column names
 
     @property
     def key_cols(self) -> list[str]:
@@ -368,6 +373,8 @@ def parse_clickhouse_ddl(sql: str) -> TableSpec:
     fields, ch_types = [], {}
     bloom_cols: list[str] = []
     projections: list[ProjectionSpec] = []
+    col_exprs: dict[str, tuple[str, str]] = {}
+    alias_fields: list[tuple[str, T.DataType]] = []
     for part in _split_top(col_block):
         part = part.strip()
         im = re.match(
@@ -393,8 +400,24 @@ def parse_clickhouse_ddl(sql: str) -> TableSpec:
         cm = re.match(r"^`?(\w+)`?\s+(.+)$", part, re.S)
         if not cm:
             raise ValueError(f"cannot parse column definition: {part!r}")
-        cname, ctype = cm.group(1), _COL_ATTR.sub("", cm.group(2)).strip()
+        rest = cm.group(2)
+        am = re.search(
+            r"\s+(DEFAULT|MATERIALIZED|ALIAS)\s+(.+?)(?:\s+(?:CODEC|COMMENT|TTL)\b.*)?$",
+            rest,
+            re.I | re.S,
+        )
+        if am:
+            col_exprs[cm.group(1)] = (am.group(1).upper(), am.group(2).strip())
+        cname, ctype = cm.group(1), _COL_ATTR.sub("", rest).strip()
+        if not ctype and am:
+            # bare `col DEFAULT/ALIAS expr` (type inferred in CH) — serve
+            # as String unless the expr is resolved at read/insert time
+            ctype = "String"
         dt, nullable = ch_type_to_spark(ctype)
+        if cname in col_exprs and col_exprs[cname][0] == "ALIAS":
+            ch_types[cname] = ctype
+            alias_fields.append((cname, dt))
+            continue  # ALIAS columns are never stored (read-time only)
         fields.append(T.StructField(cname, dt, nullable))
         ch_types[cname] = ctype
     schema = T.StructType(fields)
@@ -470,6 +493,8 @@ def parse_clickhouse_ddl(sql: str) -> TableSpec:
         sample_by=sb,
         bloom_cols=bloom_cols,
         projections=projections,
+        col_exprs=col_exprs,
+        alias_cols=[n for n, _dt in alias_fields],
     )
 
 
@@ -507,6 +532,23 @@ def append_rows(df: DataFrame, spec: TableSpec, warehouse: str) -> None:
     (same policy as sources/writer.py:append_events, generalized)."""
     pc = spec.partition_column()
     out = df
+    # DEFAULT fills omitted/NULL values, MATERIALIZED always computes —
+    # at insert time, like ClickHouse (exprs resolve against the batch
+    # with the registered ClickHouse spellings; ALIAS is read-time only).
+    for cname, (kind, expr) in spec.col_exprs.items():
+        f = next((f for f in spec.schema.fields if f.name == cname), None)
+        if f is None:
+            continue
+        computed = F.expr(expr).cast(f.dataType)
+        if kind == "MATERIALIZED":
+            out = out.withColumn(cname, computed)
+        elif kind == "DEFAULT":
+            if cname in out.columns:
+                out = out.withColumn(cname, F.coalesce(F.col(cname), computed))
+            else:
+                out = out.withColumn(cname, computed)
+    if set(out.columns) >= {f.name for f in spec.schema.fields}:
+        out = out.select(*[f.name for f in spec.schema.fields])
     writer_cols = spec.order_by or spec.key_cols
     if pc:
         out = out.withColumn(pc[0], F.expr(pc[1]))
@@ -737,7 +779,15 @@ def register_view(spark: SparkSession, spec: TableSpec, warehouse: str) -> None:
         cols.append(F.col(pc[0]))
     raw = raw.select(*cols)
     raw.createOrReplaceTempView(f"{spec.name}_raw")
-    final_read(raw, spec).createOrReplaceTempView(spec.name)
+    served = final_read(raw, spec)
+    # ALIAS columns: computed at read, never stored (ClickHouse contract)
+    for aname in spec.alias_cols:
+        kind_expr = spec.col_exprs.get(aname)
+        if kind_expr is None:
+            continue
+        dt, _n = ch_type_to_spark(spec.ch_types.get(aname, "String"))
+        served = served.withColumn(aname, F.expr(kind_expr[1]).cast(dt))
+    served.createOrReplaceTempView(spec.name)
     for proj in spec.projections:
         ppath = projection_path(warehouse, spec.name, proj.name)
         if not os.path.exists(ppath):
@@ -888,10 +938,17 @@ def show_create(spec: TableSpec) -> str:
     (pytest-pinned), so a migrated warehouse can always emit the DDL
     that would recreate it — the introspection surface operators and
     humans use to diff environments."""
-    cols = ",\n  ".join(
-        f"`{f.name}` {spec.ch_types.get(f.name, 'String')}"
+    def _attr(name: str) -> str:
+        ke = spec.col_exprs.get(name)
+        return f" {ke[0]} {ke[1]}" if ke else ""
+
+    col_lines = [
+        f"`{f.name}` {spec.ch_types.get(f.name, 'String')}{_attr(f.name)}"
         for f in spec.schema.fields
-    )
+    ] + [
+        f"`{n}` {spec.ch_types.get(n, 'String')}{_attr(n)}" for n in spec.alias_cols
+    ]
+    cols = ",\n  ".join(col_lines)
     idx = "".join(
         f",\n  INDEX idx_{c} {c} TYPE bloom_filter GRANULARITY 1"
         for c in spec.bloom_cols

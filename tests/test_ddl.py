@@ -493,3 +493,53 @@ def test_system_tables_and_columns(spark, tmp_path):
     assert [r["name"] for r in cols if r["is_in_sorting_key"]] == [
         "event_name", "timestamp"
     ]
+
+
+DEFAULTS_DDL = """
+CREATE TABLE typed_docs (
+    doc_id Int64,
+    title String,
+    title_upper String MATERIALIZED upper(title),
+    source String DEFAULT 'web',
+    n_title_chars Int64 ALIAS length(title),
+    ts DateTime
+) ENGINE = MergeTree()
+ORDER BY doc_id;
+"""
+
+
+def test_default_materialized_alias_columns(spark, tmp_path):
+    """DEFAULT fills omitted/NULL values at insert, MATERIALIZED always
+    computes at insert, ALIAS is computed at read and never stored —
+    the ClickHouse column-attribute contract."""
+    spec = ddl.parse_clickhouse_ddl(DEFAULTS_DDL)
+    # ALIAS column is not part of the stored schema
+    assert [f.name for f in spec.schema.fields] == [
+        "doc_id", "title", "title_upper", "source", "ts"
+    ]
+    assert spec.alias_cols == ["n_title_chars"]
+
+    wh = str(tmp_path / "wh")
+    ddl.provision_table(spark, spec, wh)
+    batch = spark.createDataFrame(
+        [(1, "hello", None, "api", "2024-01-01 00:00:00"),
+         (2, "worlds", None, None, "2024-01-01 00:00:00")],
+        "doc_id long, title string, title_upper string, source string, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ddl.append_rows(batch, spec, wh)
+    ddl.register_view(spark, spec, wh)
+
+    rows = {r["doc_id"]: r for r in spark.table("typed_docs").collect()}
+    assert rows[1]["title_upper"] == "HELLO"        # MATERIALIZED computed
+    assert rows[1]["source"] == "api"               # explicit value kept
+    assert rows[2]["source"] == "web"               # DEFAULT filled NULL
+    assert rows[2]["n_title_chars"] == 6            # ALIAS computed at read
+    # ALIAS not stored on disk
+    stored = spark.read.parquet(f"{wh}/typed_docs").columns
+    assert "n_title_chars" not in stored
+
+    # SHOW CREATE round-trips all three attribute kinds
+    again = ddl.parse_clickhouse_ddl(ddl.show_create(spec))
+    assert again.col_exprs == spec.col_exprs
+    assert again.alias_cols == spec.alias_cols
+    assert again.schema == spec.schema
