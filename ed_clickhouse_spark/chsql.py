@@ -392,6 +392,10 @@ def translate(sql: str, specs: dict | None = None) -> Translated:
     sql = re.sub(r"\bGLOBAL\s+(ANY\s+)?(?=(INNER|LEFT|RIGHT|FULL|JOIN))", "", sql, flags=re.I)
     sql = _rewrite_numbers(sql)
     sql = _rewrite_system(sql)
+    # ClickHouse 3-arg dateDiff('unit', a, b): Spark's 2-arg datediff
+    # builtin owns the lowercase name, so the camel spelling maps to the
+    # registered chDateDiff SQL function (case-sensitive on purpose).
+    sql = re.sub(r"\bdateDiff\s*\(", "chDateDiff(", sql)
     sql = _rewrite_sample(sql, specs)
     sql = _rewrite_final(sql)
     sql = _rewrite_prewhere(sql)

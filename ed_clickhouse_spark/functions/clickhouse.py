@@ -496,6 +496,79 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "cos(radians(lat1)) * cos(radians(lat2)) * "
         "pow(sin(radians(lon2 - lon1) / 2), 2)))",
     ),
+    # vector distance family (ClickHouse L1Distance/L2Distance/
+    # cosineDistance/dotProduct) — JVM higher-order folds, the SQL-land
+    # spellings of the same math operators/similarity.py uses
+    "dotProduct": (
+        "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE",
+        "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s, v) -> s + v)",
+    ),
+    "L1Distance": (
+        "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE",
+        "aggregate(zip_with(a, b, (x, y) -> abs(x - y)), CAST(0.0 AS DOUBLE), (s, v) -> s + v)",
+    ),
+    "L2Distance": (
+        "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE",
+        "sqrt(aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (s, v) -> s + v))",
+    ),
+    "L2Norm": (
+        "(a ARRAY<DOUBLE>) RETURNS DOUBLE",
+        "sqrt(aggregate(a, CAST(0.0 AS DOUBLE), (s, x) -> s + x * x))",
+    ),
+    "cosineDistance": (
+        "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE",
+        "1.0 - aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
+        " / (sqrt(aggregate(a, CAST(0.0 AS DOUBLE), (s, x) -> s + x * x))"
+        "    * sqrt(aggregate(b, CAST(0.0 AS DOUBLE), (s, x) -> s + x * x)))",
+    ),
+    # array membership / structure (ClickHouse has/hasAny/arrayZip/...)
+    "has": ("(a ARRAY<STRING>, x STRING) RETURNS BOOLEAN", "array_contains(a, x)"),
+    "hasAny": (
+        "(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS BOOLEAN",
+        "arrays_overlap(a, b)",
+    ),
+    "arrayFlatten": (
+        "(a ARRAY<ARRAY<STRING>>) RETURNS ARRAY<STRING>",
+        "flatten(a)",
+    ),
+    "arrayPushBack": (
+        "(a ARRAY<STRING>, x STRING) RETURNS ARRAY<STRING>",
+        "concat(a, array(x))",
+    ),
+    "arrayPushFront": (
+        "(a ARRAY<STRING>, x STRING) RETURNS ARRAY<STRING>",
+        "concat(array(x), a)",
+    ),
+    "arrayPopBack": (
+        "(a ARRAY<STRING>) RETURNS ARRAY<STRING>",
+        "slice(a, 1, greatest(size(a) - 1, 0))",
+    ),
+    "arrayPopFront": (
+        "(a ARRAY<STRING>) RETURNS ARRAY<STRING>",
+        "slice(a, 2, greatest(size(a) - 1, 0))",
+    ),
+    # startsWith/endsWith/now need no alias: Spark's startswith/endswith/
+    # now built-ins already answer the ClickHouse spellings (SQL function
+    # names are case-insensitive), and SQL UDFs may not shadow built-ins.
+    # ClickHouse dateDiff: both operands truncated to the unit, then the
+    # boundary count between them (NOT elapsed/floor semantics).
+    # Registered as chDateDiff — Spark's 2-arg datediff builtin owns the
+    # name and SQL UDFs may not shadow built-ins; chsql.translate rewrites
+    # the camelCase ClickHouse spelling onto this.
+    "chDateDiff": (
+        "(u STRING, a TIMESTAMP, b TIMESTAMP) RETURNS BIGINT",
+        "CASE lower(u)"
+        " WHEN 'second' THEN unix_timestamp(date_trunc('SECOND', b)) - unix_timestamp(date_trunc('SECOND', a))"
+        " WHEN 'minute' THEN (unix_timestamp(date_trunc('MINUTE', b)) - unix_timestamp(date_trunc('MINUTE', a))) div 60"
+        " WHEN 'hour' THEN (unix_timestamp(date_trunc('HOUR', b)) - unix_timestamp(date_trunc('HOUR', a))) div 3600"
+        " WHEN 'day' THEN datediff(CAST(b AS DATE), CAST(a AS DATE))"
+        " WHEN 'week' THEN datediff(CAST(date_trunc('WEEK', b) AS DATE), CAST(date_trunc('WEEK', a) AS DATE)) div 7"
+        " WHEN 'month' THEN (year(b) - year(a)) * 12 + (month(b) - month(a))"
+        " WHEN 'quarter' THEN (year(b) - year(a)) * 4 + (quarter(b) - quarter(a))"
+        " WHEN 'year' THEN year(b) - year(a)"
+        " END",
+    ),
+    "toDateTime": ("(s STRING) RETURNS TIMESTAMP", "CAST(s AS TIMESTAMP)"),
 }
 
 

@@ -213,3 +213,66 @@ def test_sql_alias_array_jaccard(spark):
         "       arrayJaccardIndex(array('a'), array('a')) full"
     ).first()
     assert abs(r["j"] - 0.5) < 1e-9 and r["full"] == 1.0
+
+
+def test_sql_alias_vector_distance_family(spark):
+    """dotProduct / L1 / L2 / cosineDistance spellings fold JVM-side."""
+    register_sql_aliases(spark)
+    r = spark.sql(
+        "SELECT dotProduct(array(1D,2D,3D), array(4D,5D,6D)) AS dp,"
+        "       L1Distance(array(1D,2D), array(4D,6D)) AS l1,"
+        "       L2Distance(array(0D,0D), array(3D,4D)) AS l2,"
+        "       L2Norm(array(3D,4D)) AS n,"
+        "       ROUND(cosineDistance(array(1D,0D), array(1D,0D)), 9) AS cd_same,"
+        "       ROUND(cosineDistance(array(1D,0D), array(0D,1D)), 9) AS cd_orth"
+    ).collect()[0]
+    assert (r["dp"], r["l1"], r["l2"], r["n"]) == (32.0, 7.0, 5.0, 5.0)
+    assert (r["cd_same"], r["cd_orth"]) == (0.0, 1.0)
+
+
+def test_sql_alias_datediff_boundary_semantics(spark):
+    """ClickHouse dateDiff counts unit-boundary crossings, not elapsed
+    units — 23:59 -> 00:01 next day is 1 day, Jan 31 -> Feb 1 is 1 month."""
+    register_sql_aliases(spark)
+    r = spark.sql(
+        "SELECT chDateDiff('day', TIMESTAMP '2024-01-01 23:59:00',"
+        "                TIMESTAMP '2024-01-02 00:01:00') AS d,"
+        "       chDateDiff('hour', TIMESTAMP '2024-01-01 10:59:00',"
+        "                TIMESTAMP '2024-01-01 11:01:00') AS h,"
+        "       chDateDiff('month', TIMESTAMP '2024-01-31 00:00:00',"
+        "                TIMESTAMP '2024-02-01 00:00:00') AS m,"
+        "       chDateDiff('year', TIMESTAMP '2023-12-31 23:59:59',"
+        "                TIMESTAMP '2024-01-01 00:00:00') AS y"
+    ).collect()[0]
+    assert (r["d"], r["h"], r["m"], r["y"]) == (1, 1, 1, 1)
+
+
+def test_sql_alias_array_membership_and_edits(spark):
+    register_sql_aliases(spark)
+    r = spark.sql(
+        "SELECT has(array('a','b'), 'b') AS h,"
+        "       hasAny(array('a','b'), array('x','b')) AS ha,"
+        "       arrayPushBack(array('a'), 'b') AS pb,"
+        "       arrayPopFront(array('a','b','c')) AS pf,"
+        "       arrayPopBack(array('a')) AS empty_ok,"
+        "       startswith('clickhouse', 'click') AS sw"
+    ).collect()[0]
+    assert r["h"] and r["ha"] and r["sw"]
+    assert r["pb"] == ["a", "b"] and r["pf"] == ["b", "c"] and r["empty_ok"] == []
+
+
+def test_dialect_rewrites_datediff_spelling(spark):
+    """The ClickHouse camelCase dateDiff('unit', a, b) spelling reaches
+    chDateDiff through the dialect translator (Spark's own 2-arg
+    datediff stays untouched)."""
+    from ed_clickhouse_spark.chsql import translate
+
+    register_sql_aliases(spark)
+    tr = translate(
+        "SELECT dateDiff('day', TIMESTAMP '2024-01-01 23:59:00', "
+        "TIMESTAMP '2024-01-02 00:01:00') AS d"
+    )
+    assert "chDateDiff(" in tr.sql and "dateDiff('day'" not in tr.sql
+    assert spark.sql(tr.sql).collect()[0]["d"] == 1
+    # lowercase Spark builtin untouched
+    assert "datediff(" in translate("SELECT datediff(a, b) FROM t").sql
