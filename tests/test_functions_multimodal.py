@@ -276,3 +276,25 @@ def test_dialect_rewrites_datediff_spelling(spark):
     assert spark.sql(tr.sql).collect()[0]["d"] == 1
     # lowercase Spark builtin untouched
     assert "datediff(" in translate("SELECT datediff(a, b) FROM t").sql
+
+
+def test_sql_alias_geohash(spark):
+    """geohashEncode/Decode — pure codegen interleaved bisection, pinned
+    to the public test vectors; decode returns the cell center so a
+    round-trip stays inside the cell."""
+    register_sql_aliases(spark)
+    r = spark.sql(
+        "SELECT geohashEncode(-5.60302734375D, 42.60498046875D, 5) AS a,"
+        "       geohashEncode(10.40744D, 57.64911D, 11) AS b,"
+        "       geohashDecode('ezs42') AS da,"
+        "       geohashDecode('u4pruydqqvj') AS db"
+    ).collect()[0]
+    assert r["a"] == "ezs42" and r["b"] == "u4pruydqqvj"
+    assert r["da"] == [-5.60302734375, 42.60498046875]  # exact cell center
+    assert abs(r["db"][0] - 10.40744) < 1e-4 and abs(r["db"][1] - 57.64911) < 1e-4
+    # bucketing usage survives a round trip: re-encoding the decoded
+    # center reproduces the geohash
+    r2 = spark.sql(
+        "SELECT geohashEncode(geohashDecode('ezs42')[0], geohashDecode('ezs42')[1], 5) AS g"
+    ).collect()[0]
+    assert r2["g"] == "ezs42"
