@@ -253,6 +253,15 @@ class Engine:
             return self.spark.createDataFrame(
                 [(1 if m.group(1) in self.table_specs else 0,)], "result int"
             )
+        m = _re.match(r"^\s*EXPLAIN\s+(.+)$", query, _re.I | _re.S)
+        if m:
+            # ClickHouse EXPLAIN SELECT ... -> Spark's plan for the
+            # TRANSLATED query (including projection routing), so users
+            # see what actually executes.
+            from ed_clickhouse_spark.chsql import translate as _tr
+
+            inner = self._route_projection(_tr(m.group(1), self.table_specs).sql)
+            return self.spark.sql(f"EXPLAIN {inner}")
         return None
 
     def _route_projection(self, sql: str) -> str:

@@ -131,3 +131,48 @@ def q177_ch_dialect_fill(spark, sf_dir):
     register_sql_aliases(spark)
     t(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(translate(_CH_QUERY3).sql)
+
+
+_VECTOR_SQL = """
+WITH emb AS (
+  SELECT vec_id, CAST(embedding AS ARRAY<DOUBLE>) AS vec FROM embeddings
+)
+SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+       ROUND(1.0 - cosineDistance(q.vec, c.vec), 6) AS cos_sim
+FROM emb q JOIN emb c ON q.vec_id < 5 AND c.vec_id >= 5
+ORDER BY cos_sim DESC, q_id, c_id
+LIMIT 5 BY q_id
+"""
+
+
+@query(
+    "q196_sql_vector_search",
+    oracle="""
+    WITH emb AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vec FROM embeddings
+    ),
+    scored AS (
+      SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+             ROUND(list_cosine_similarity(q.vec, c.vec), 6) AS cos_sim
+      FROM emb q JOIN emb c ON q.vec_id < 5 AND c.vec_id >= 5
+    )
+    SELECT q_id, c_id, cos_sim
+    FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY q_id
+                                       ORDER BY cos_sim DESC, q_id, c_id) AS rn
+          FROM scored) x
+    WHERE rn <= 5
+    """,
+)
+def q196_sql_vector_search(spark, sf_dir):
+    """Vector search in plain ClickHouse SQL: top-5 cosine neighbors for
+    5 query vectors via the cosineDistance spelling (a JVM higher-order
+    fold) + LIMIT n BY, through the dialect rewriter. Proves the SQL
+    surface a ClickHouse vector-search user pastes in; the programmatic
+    scale path (broadcast query matrix + per-partition BLAS, corpus
+    never shuffles) is q48/q87/q88."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(translate(_VECTOR_SQL).sql)

@@ -5,6 +5,7 @@ each oracle-checked against DuckDB."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ed_clickhouse_spark.functions.clickhouse import (
@@ -545,3 +546,44 @@ def q181_chunk_decontamination(spark, sf_dir):
         )
     )
     return decontaminate(ch, bench, text_col="chunk_text", id_col="chunk_uid", n=8)
+
+
+@query(
+    "q197_token_budget_mixture",
+    oracle="""
+    WITH lt AS (
+      SELECT lang, CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS lang_tokens
+      FROM documents GROUP BY lang
+    )
+    SELECT lang, lang_tokens,
+           ROUND(LEAST(1.0, (1000000.0 / (SELECT COUNT(*) FROM lt)) / lang_tokens), 6)
+             AS sample_rate,
+           CAST(LEAST(CAST(1000000.0 / (SELECT COUNT(*) FROM lt) AS BIGINT),
+                      lang_tokens) AS BIGINT) AS expected_tokens
+    FROM lt
+    """,
+)
+def q197_token_budget_mixture(spark, sf_dir):
+    """Token-budget mixture rebalancing: per-language sampling rates so
+    each language contributes (up to) an equal share of a 1M-token
+    training budget — the TOKEN-denominated counterpart of the
+    doc-denominated q85 mixture. One groupBy over token counts plus a
+    window for the language count; rates feed stratified_sample/
+    train_split downstream. At 100 TB the only data-sized pass is the
+    token-count aggregate."""
+    from ed_clickhouse_spark.operators.text import token_count
+
+    d = t(spark, sf_dir, "documents")
+    lt = d.groupBy("lang").agg(F.sum(token_count("text")).alias("lang_tokens"))
+    n_langs = F.count("*").over(W.partitionBy())
+    per_lang = F.lit(1_000_000.0) / n_langs
+    return lt.select(
+        "lang",
+        "lang_tokens",
+        F.round(
+            F.least(F.lit(1.0), per_lang / F.col("lang_tokens")), 6
+        ).alias("sample_rate"),
+        F.least(
+            per_lang.cast("bigint"), F.col("lang_tokens")
+        ).cast("bigint").alias("expected_tokens"),
+    )

@@ -99,3 +99,15 @@ def test_projection_fail_open(eng):
     assert eng._route_projection(q2) == q2
     # and the fallthrough query still answers correctly from the base
     assert eng.ch_sql(q).count() == 2
+
+
+def test_ch_sql_explain_shows_routed_plan(eng):
+    """EXPLAIN through ch_sql explains the TRANSLATED query — including
+    projection substitution, so users see what actually executes."""
+    out = eng.ch_sql(
+        "EXPLAIN SELECT day, sum(amount) AS s FROM sales GROUP BY day"
+    ).collect()
+    text = "\n".join(r[0] for r in out)
+    # views resolve away in the physical plan; the partial-state column
+    # and the pruned ReadSchema prove the projection scan
+    assert "__sum_sum_amount" in text and ",amount:double" not in text
