@@ -982,3 +982,123 @@ def show_create(spec: TableSpec) -> str:
         col, n, unit = spec.ttl
         parts.append(f"TTL {col} + INTERVAL {n} {unit}")
     return "\n".join(parts)
+
+
+# ---------------------------------------------------------------------------
+# CREATE MATERIALIZED VIEW (ClickHouse MV -> insert-time partial states)
+# ---------------------------------------------------------------------------
+
+@dataclass
+class MatViewSpec:
+    """Parsed ``CREATE MATERIALIZED VIEW name [ENGINE = ...] [TO tgt]
+    AS SELECT ... FROM src GROUP BY ...``.
+
+    ClickHouse MVs are insert triggers: each inserted block is aggregated
+    and appended to the target (AggregatingMergeTree keeps partial
+    states).  The Spark translation is streaming/matview.py's
+    StreamingMatView — this spec carries the parsed query shape onto it.
+    Dims may be expressions (``toDate(ts) AS day``): the batch is
+    projected first, then grouped on the aliases."""
+
+    name: str
+    source: str
+    dims: list[tuple[str, str]] = field(default_factory=list)  # (expr, alias)
+    count_alias: str | None = None
+    sums: dict[str, str] = field(default_factory=dict)  # src expr -> alias
+    mins: dict[str, str] = field(default_factory=dict)
+    maxs: dict[str, str] = field(default_factory=dict)
+    uniq: tuple[str, str] | None = None  # (source column, alias)
+
+
+_MV_AGG = re.compile(
+    r"^(count|sum|min|max|uniq|uniqExact)\s*\(\s*(\*|[^)]*)\s*\)(?:\s+AS\s+(\w+))?$",
+    re.I,
+)
+
+
+def parse_materialized_view(sql: str) -> MatViewSpec:
+    m = re.match(
+        r"^\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?"
+        r".*?\bAS\s+SELECT\s+(.*?)\s+FROM\s+`?(\w+)`?"
+        r"(?:\s+GROUP\s+BY\s+(.*?))?\s*;?\s*$",
+        sql,
+        re.I | re.S,
+    )
+    if not m:
+        raise ValueError(f"cannot parse materialized view: {sql[:120]!r}")
+    name, items, source, group_by = m.groups()
+    spec = MatViewSpec(name=name, source=source)
+    for item in _split_top(items):
+        item = item.strip()
+        am = _MV_AGG.match(item)
+        if am:
+            func = am.group(1).lower()
+            arg = am.group(2).strip().strip("`")
+            alias = am.group(3) or (func if arg in ("", "*") else f"{func}_{arg}")
+            if func == "count":
+                spec.count_alias = alias
+            elif func == "sum":
+                spec.sums[arg] = alias
+            elif func == "min":
+                spec.mins[arg] = alias
+            elif func == "max":
+                spec.maxs[arg] = alias
+            else:  # uniq / uniqExact -> mergeable HLL state
+                spec.uniq = (arg, alias)
+        else:
+            em = re.match(r"^(.*?)\s+AS\s+(\w+)$", item, re.I | re.S)
+            if em:
+                spec.dims.append((em.group(1).strip(), em.group(2)))
+            else:
+                spec.dims.append((item.strip("`"), item.strip("`")))
+    if group_by:
+        gb = {c.strip().strip("`") for c in _split_top(group_by)}
+        if gb != {a for _e, a in spec.dims}:
+            raise ValueError(
+                f"MV {name!r}: GROUP BY {sorted(gb)} must match the "
+                f"non-aggregate select aliases {sorted(a for _e, a in spec.dims)}"
+            )
+    return spec
+
+
+class MatView:
+    """A provisioned ClickHouse-style materialized view: projects each
+    inserted batch onto the MV's dim expressions, then delegates to
+    StreamingMatView for the partial-state append (insert trigger) and
+    the -Merge read.  Works from both the streaming ingest hook
+    (``views=``) and ch_sql INSERTs."""
+
+    def __init__(self, spark: SparkSession, spec: MatViewSpec, warehouse: str):
+        from ed_clickhouse_spark.streaming.matview import StreamingMatView
+
+        self.spec = spec
+        self._inner = StreamingMatView(
+            spark,
+            os.path.join(warehouse, "_views", spec.name),
+            dims=[a for _e, a in spec.dims],
+            sums={e: a for e, a in spec.sums.items()},
+            mins={e: a for e, a in spec.mins.items()},
+            maxs={e: a for e, a in spec.maxs.items()},
+            distinct_entity=spec.uniq[0] if spec.uniq else None,
+        )
+
+    def _project(self, batch: DataFrame) -> DataFrame:
+        out = batch
+        for expr, alias in self.spec.dims:
+            if expr != alias or alias not in out.columns:
+                out = out.withColumn(alias, F.expr(expr))
+        return out
+
+    def on_batch(self, batch: DataFrame) -> None:
+        self._inner.on_batch(self._project(batch))
+
+    def read(self, keys: list[str] | None = None) -> DataFrame:
+        out = self._inner.read(keys)
+        renames = {"n_rows": self.spec.count_alias} if self.spec.count_alias else {}
+        if self.spec.uniq:
+            renames["est_distinct"] = self.spec.uniq[1]
+        for old, new in renames.items():
+            out = out.withColumnRenamed(old, new)
+        if self.spec.count_alias is None and "n_rows" in out.columns:
+            out = out.drop("n_rows")
+        return out

@@ -36,6 +36,7 @@ class Engine:
         # these from the [batcher] section (≙ reference config/default.toml)
         self.ingest_defaults: dict = {}
         self.table_specs: dict = {}
+        self.matviews: dict = {}  # name -> ddl.MatView (insert triggers)
         self._query_log: list = []
         register_sql_aliases(self.spark)
 
@@ -123,6 +124,21 @@ class Engine:
         os.makedirs(self.warehouse, exist_ok=True)
         specs = ddl.migrate(self.spark, migrations_dir, self.warehouse)
         self.table_specs = {s.name: s for s in specs}
+        # CREATE MATERIALIZED VIEW statements: ClickHouse insert triggers.
+        # Provisioned as MatView wrappers — ch_sql INSERTs and the ingest
+        # pipeline (views= hook) both fire them per batch.
+        import re as _re
+
+        for fn in sorted(os.listdir(migrations_dir)):
+            if not fn.endswith(".up.sql"):
+                continue
+            with open(os.path.join(migrations_dir, fn)) as f:
+                for stmt in ddl._split_top(f.read(), ";"):
+                    if _re.search(r"CREATE\s+MATERIALIZED\s+VIEW", stmt, _re.I):
+                        mspec = ddl.parse_materialized_view(stmt)
+                        self.matviews[mspec.name] = ddl.MatView(
+                            self.spark, mspec, self.warehouse
+                        )
         return specs
 
     # -- EP1: ingestion ---------------------------------------------------
@@ -134,6 +150,11 @@ class Engine:
         for key in ("bytes_per_trigger", "trigger_interval_ms"):
             if key in self.ingest_defaults:
                 kw.setdefault(key, self.ingest_defaults[key])
+        if self.matviews:
+            views = dict(kw.get("views") or {})
+            for mv in self.matviews.values():
+                views.setdefault(mv.spec.source, []).append(mv)
+            kw["views"] = views
         return start_ingest(self.spark, source_dir, self.warehouse, ckpt, **kw)
 
     def ingest_kafka(
@@ -453,6 +474,13 @@ class Engine:
         ).select("r.*")
         ddl.append_rows(decoded, spec, self.warehouse)
         ddl.register_view(self.spark, spec, self.warehouse)
+        # fire materialized-view insert triggers on the decoded batch and
+        # re-register their merged read views (parquet file listings are
+        # snapshotted per plan, so stale views would miss new states)
+        for mv in self.matviews.values():
+            if mv.spec.source == table:
+                mv.on_batch(decoded)
+                mv.read().createOrReplaceTempView(mv.spec.name)
         return self.spark.createDataFrame(
             [(table, len(lines))], "table string, rows_inserted long"
         )

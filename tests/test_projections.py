@@ -111,3 +111,58 @@ def test_ch_sql_explain_shows_routed_plan(eng):
     # views resolve away in the physical plan; the partial-state column
     # and the pruned ReadSchema prove the projection scan
     assert "__sum_sum_amount" in text and ",amount:double" not in text
+
+
+MV_DDL = """
+CREATE TABLE page_hits (
+    page String,
+    user_id Int64,
+    ts DateTime,
+    dur Float64
+) ENGINE = MergeTree()
+ORDER BY (ts, page);
+
+CREATE MATERIALIZED VIEW daily_hits
+ENGINE = AggregatingMergeTree() ORDER BY (day, page)
+AS SELECT toDate(ts) AS day, page, count() AS n, sum(dur) AS total_dur,
+          uniq(user_id) AS users
+FROM page_hits GROUP BY day, page;
+"""
+
+
+def test_materialized_view_ddl_end_to_end(spark, tmp_path):
+    """CREATE MATERIALIZED VIEW in a migration provisions a ClickHouse-
+    style insert trigger: every ch_sql INSERT appends partial states, the
+    MV name reads merged (count/sum exact, uniq via HLL), and any dim
+    subset re-aggregates — AggregatingMergeTree semantics end-to-end."""
+    from ed_clickhouse_spark.engine import Engine
+
+    mdir = tmp_path / "migrations"
+    mdir.mkdir()
+    (mdir / "001_hits.up.sql").write_text(MV_DDL)
+    eng = Engine(str(tmp_path / "wh"), spark)
+    eng.migrate(str(mdir))
+    assert list(eng.matviews) == ["daily_hits"]
+
+    for batch in range(2):
+        lines = "\n".join(
+            f'{{"page":"p{i % 2}","user_id":{100 + i},'
+            f'"ts":"2024-01-0{1 + batch} 10:00:00","dur":{i + 1}.0}}'
+            for i in range(4)
+        )
+        eng.ch_sql(f"INSERT INTO page_hits FORMAT JSONEachRow\n{lines}")
+
+    mv = {(str(r["day"]), r["page"]): (r["n"], r["total_dur"], r["users"])
+          for r in spark.table("daily_hits").collect()}
+    assert mv[("2024-01-01", "p0")] == (2, 4.0, 2)  # i=0,2 -> dur 1+3
+    assert mv[("2024-01-02", "p1")] == (2, 6.0, 2)  # i=1,3 -> dur 2+4
+    # merged == direct aggregate over the raw table
+    direct = {(str(r["day"]), r["page"]): (r["n"], r["d"])
+              for r in eng.sql(
+                  "SELECT CAST(ts AS DATE) AS day, page, count(*) n, sum(dur) d "
+                  "FROM page_hits GROUP BY 1, 2").collect()}
+    assert {k: v[:2] for k, v in mv.items()} == direct
+    # dim-subset read re-aggregates mergeable states (never raw rows)
+    per_day = {str(r["day"]): r["n"]
+               for r in eng.matviews["daily_hits"].read(["day"]).collect()}
+    assert per_day == {"2024-01-01": 4, "2024-01-02": 4}
