@@ -526,10 +526,14 @@ def provision_table(spark: SparkSession, spec: TableSpec, warehouse: str) -> str
     return path
 
 
-def append_rows(df: DataFrame, spec: TableSpec, warehouse: str) -> None:
+def append_rows(df: DataFrame, spec: TableSpec, warehouse: str) -> DataFrame:
     """Append a batch under the spec's MergeTree-equivalent write policy:
     derived partition directories + ORDER BY sort within partitions
-    (same policy as sources/writer.py:append_events, generalized)."""
+    (same policy as sources/writer.py:append_events, generalized).
+    Returns the transformed batch (DEFAULT/MATERIALIZED applied) so
+    callers can fire MV triggers on exactly what was written — note the
+    returned frame is lazy, so re-evaluating it costs one more job over
+    the INPUT (never the table)."""
     pc = spec.partition_column()
     out = df
     # DEFAULT fills omitted/NULL values, MATERIALIZED always computes —
@@ -567,6 +571,7 @@ def append_rows(df: DataFrame, spec: TableSpec, warehouse: str) -> None:
         projection_batch(df, proj).write.mode("append").parquet(
             projection_path(warehouse, spec.name, proj.name)
         )
+    return out
 
 
 def projection_path(warehouse: str, table: str, proj: str) -> str:

@@ -454,11 +454,17 @@ class Engine:
             _re.I | _re.S,
         )
         if not m:
+            sm = _re.match(
+                r"^\s*INSERT\s+INTO\s+(\w+)\s+(SELECT\b.*)$", query, _re.I | _re.S
+            )
+            if sm:
+                return self._insert_select(sm.group(1), sm.group(2))
             if _re.match(r"^\s*INSERT\b", query, _re.I):
                 raise ValueError(
                     "only INSERT INTO <table> FORMAT JSONEachRow with an "
-                    "inline payload is supported; use DataFrame writes or "
-                    "the ingest pipeline for other paths"
+                    "inline payload or INSERT INTO <table> SELECT ... is "
+                    "supported; use DataFrame writes or the ingest "
+                    "pipeline for other paths"
                 )
             return None
         from ed_clickhouse_spark import ddl
@@ -472,17 +478,66 @@ class Engine:
         decoded = raw.select(
             F.from_json("j", spec.schema).alias("r")
         ).select("r.*")
-        ddl.append_rows(decoded, spec, self.warehouse)
+        written = ddl.append_rows(decoded, spec, self.warehouse)
         ddl.register_view(self.spark, spec, self.warehouse)
-        # fire materialized-view insert triggers on the decoded batch and
-        # re-register their merged read views (parquet file listings are
-        # snapshotted per plan, so stale views would miss new states)
+        # fire materialized-view insert triggers on the written batch
+        # (DEFAULT/MATERIALIZED applied) and re-register their merged
+        # read views (parquet file listings are snapshotted per plan, so
+        # stale views would miss new states)
         for mv in self.matviews.values():
             if mv.spec.source == table:
-                mv.on_batch(decoded)
+                mv.on_batch(written)
                 mv.read().createOrReplaceTempView(mv.spec.name)
         return self.spark.createDataFrame(
             [(table, len(lines))], "table string, rows_inserted long"
+        )
+
+    def _insert_select(self, table: str, select_sql: str) -> DataFrame:
+        """``INSERT INTO t SELECT ...`` — the translated SELECT runs as
+        one Catalyst job whose result appends under the table's write
+        policy (partition dirs + ORDER BY sort), firing MV triggers.
+        Columns match by NAME against the declared schema (ClickHouse
+        positional inserts must still project matching names — the
+        fail-loud choice; a silent positional map misorders on ALTER).
+        The row count comes from an Observation on the append job — no
+        second scan."""
+        from pyspark.sql import Observation
+
+        from ed_clickhouse_spark import ddl
+        from ed_clickhouse_spark.chsql import translate
+
+        spec = self.table_specs.get(table)
+        if spec is None:
+            raise KeyError(f"unknown table {table!r}; run migrate() first")
+        result = self.spark.sql(translate(select_sql, self.table_specs).sql)
+        declared = [f.name for f in spec.schema.fields]
+        missing = [c for c in declared if c not in result.columns]
+        computed = {
+            c for c, (kind, _e) in spec.col_exprs.items() if kind == "MATERIALIZED"
+        } | {c for c, (kind, _e) in spec.col_exprs.items() if kind == "DEFAULT"}
+        hard_missing = [c for c in missing if c not in computed]
+        if hard_missing:
+            raise ValueError(
+                f"INSERT SELECT into {table!r} is missing columns "
+                f"{hard_missing} (no DEFAULT/MATERIALIZED to fill them)"
+            )
+        for f in spec.schema.fields:
+            if f.name in result.columns:
+                result = result.withColumn(f.name, F.col(f.name).cast(f.dataType))
+        obs = Observation(f"ins_{table}")
+        result = result.observe(obs, F.count(F.lit(1)).alias("n"))
+        written = ddl.append_rows(result, spec, self.warehouse)
+        ddl.register_view(self.spark, spec, self.warehouse)
+        n = int(obs.get["n"])
+        for mv in self.matviews.values():
+            if mv.spec.source == table:
+                # fire on the written batch (lazy — re-runs the SELECT,
+                # one more job over the input, never the whole table;
+                # non-deterministic SELECTs should materialize first)
+                mv.on_batch(written)
+                mv.read().createOrReplaceTempView(mv.spec.name)
+        return self.spark.createDataFrame(
+            [(table, n)], "table string, rows_inserted long"
         )
 
     def table(self, name: str) -> DataFrame:

@@ -166,3 +166,34 @@ def test_materialized_view_ddl_end_to_end(spark, tmp_path):
     per_day = {str(r["day"]): r["n"]
                for r in eng.matviews["daily_hits"].read(["day"]).collect()}
     assert per_day == {"2024-01-01": 4, "2024-01-02": 4}
+
+
+def test_insert_select_appends_and_fires_mv(spark, tmp_path):
+    """INSERT INTO t SELECT ... appends under the write policy, reports
+    the observed row count (no second scan), and fires MV triggers."""
+    from ed_clickhouse_spark.engine import Engine
+
+    mdir = tmp_path / "migrations"
+    mdir.mkdir()
+    (mdir / "001_hits.up.sql").write_text(MV_DDL)
+    eng = Engine(str(tmp_path / "wh"), spark)
+    eng.migrate(str(mdir))
+    eng.ch_sql(
+        "INSERT INTO page_hits FORMAT JSONEachRow\n"
+        '{"page":"p0","user_id":1,"ts":"2024-01-01 10:00:00","dur":2.0}\n'
+        '{"page":"p1","user_id":2,"ts":"2024-01-01 11:00:00","dur":3.0}'
+    )
+    r = eng.ch_sql(
+        "INSERT INTO page_hits "
+        "SELECT concat(page, '_copy') AS page, user_id, ts, dur * 10 AS dur "
+        "FROM page_hits"
+    ).collect()[0]
+    assert (r["table"], r["rows_inserted"]) == ("page_hits", 2)
+    assert spark.table("page_hits").count() == 4
+    mv = {r["page"]: r["total_dur"] for r in spark.table("daily_hits").collect()}
+    assert mv["p0_copy"] == 20.0 and mv["p1_copy"] == 30.0
+    # missing required column without DEFAULT -> fail loud
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="missing columns"):
+        eng.ch_sql("INSERT INTO page_hits SELECT page, user_id, ts FROM page_hits")
