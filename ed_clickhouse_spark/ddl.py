@@ -1107,3 +1107,34 @@ class MatView:
         if self.spec.count_alias is None and "n_rows" in out.columns:
             out = out.drop("n_rows")
         return out
+
+
+def spark_type_to_ch(dt: T.DataType) -> str:
+    """Inverse of :func:`ch_type_to_spark` for CTAS schema inference."""
+    if isinstance(dt, T.ByteType):
+        return "Int8"
+    if isinstance(dt, T.ShortType):
+        return "Int16"
+    if isinstance(dt, T.IntegerType):
+        return "Int32"
+    if isinstance(dt, T.LongType):
+        return "Int64"
+    if isinstance(dt, T.FloatType):
+        return "Float32"
+    if isinstance(dt, T.DoubleType):
+        return "Float64"
+    if isinstance(dt, T.DecimalType):
+        return f"Decimal({dt.precision}, {dt.scale})"
+    if isinstance(dt, T.StringType):
+        return "String"
+    if isinstance(dt, T.BooleanType):
+        return "Bool"
+    if isinstance(dt, T.DateType):
+        return "Date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "DateTime"
+    if isinstance(dt, T.ArrayType):
+        return f"Array({spark_type_to_ch(dt.elementType)})"
+    if isinstance(dt, T.MapType):
+        return f"Map({spark_type_to_ch(dt.keyType)}, {spark_type_to_ch(dt.valueType)})"
+    raise ValueError(f"no ClickHouse spelling for Spark type {dt.simpleString()!r}")

@@ -388,6 +388,44 @@ class Engine:
             )
 
         q = query.strip().rstrip(";").strip()
+        m = _re.match(
+            r"^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*(.*?)\s*"
+            r"\bAS\s+(SELECT\b.+)$",
+            q,
+            _re.I | _re.S,
+        )
+        if m:
+            return self._create_table_as(m.group(1), m.group(2), m.group(3))
+        m = _re.match(r"^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", q, _re.I)
+        if m:
+            name = m.group(1)
+            path = os.path.join(self.warehouse, name)
+            existed = os.path.isdir(path)
+            if existed:
+                import shutil as _shutil
+
+                _shutil.rmtree(path)
+            self.table_specs.pop(name, None)
+            self.spark.catalog.dropTempView(name)
+            self.spark.catalog.dropTempView(f"{name}_raw")
+            return self.spark.createDataFrame(
+                [(name, "drop_table", 1 if existed else 0)],
+                "table string, op string, affected long",
+            )
+        m = _re.match(r"^RENAME\s+TABLE\s+(\w+)\s+TO\s+(\w+)\s*$", q, _re.I)
+        if m:
+            from dataclasses import replace as _replace
+
+            old, new = m.group(1), m.group(2)
+            spec, path = _table(old)
+            os.rename(path, os.path.join(self.warehouse, new))
+            self.spark.catalog.dropTempView(old)
+            self.spark.catalog.dropTempView(f"{old}_raw")
+            self.table_specs.pop(old, None)
+            if spec is not None:
+                spec = _replace(spec, name=new)
+                self.table_specs[new] = spec
+            return _done(new, "rename_table", 1)
         m = _re.match(r"^ALTER\s+TABLE\s+(\w+)\s+DELETE\s+WHERE\s+(.+)$", q, _re.I | _re.S)
         if m:
             _spec, path = _table(m.group(1))
@@ -491,6 +529,35 @@ class Engine:
         return self.spark.createDataFrame(
             [(table, len(lines))], "table string, rows_inserted long"
         )
+
+    def _create_table_as(self, name: str, head: str, select_sql: str) -> DataFrame:
+        """``CREATE TABLE t [ENGINE = ...] [ORDER BY ...] [PARTITION BY
+        ...] AS SELECT ...``: the result schema is inverse-mapped to
+        ClickHouse column types and assembled into canonical DDL, so CTAS
+        reuses the exact provisioning path migrations take (engine merge
+        semantics, write policy, views).  The SELECT then appends through
+        the normal insert path (one job; MV triggers don't apply — the
+        new table has none)."""
+        import re
+
+        from ed_clickhouse_spark import ddl
+        from ed_clickhouse_spark.chsql import translate
+
+        if name in self.table_specs:
+            raise ValueError(f"table {name!r} already exists")
+        result = self.spark.sql(translate(select_sql, self.table_specs).sql)
+        cols = ",\n  ".join(
+            f"`{f.name}` {ddl.spark_type_to_ch(f.dataType)}"
+            for f in result.schema.fields
+        )
+        head = head.strip()
+        if not re.search(r"\bENGINE\s*=", head, re.I):
+            head = f"ENGINE = MergeTree()\n{head}" if head else "ENGINE = MergeTree()"
+        synthesized = f"CREATE TABLE {name} (\n  {cols}\n) {head}"
+        spec = ddl.parse_clickhouse_ddl(synthesized)
+        ddl.provision_table(self.spark, spec, self.warehouse)
+        self.table_specs[name] = spec
+        return self._insert_select(name, select_sql)
 
     def _insert_select(self, table: str, select_sql: str) -> DataFrame:
         """``INSERT INTO t SELECT ...`` — the translated SELECT runs as

@@ -197,3 +197,41 @@ def test_insert_select_appends_and_fires_mv(spark, tmp_path):
 
     with _pytest.raises(ValueError, match="missing columns"):
         eng.ch_sql("INSERT INTO page_hits SELECT page, user_id, ts FROM page_hits")
+
+
+def test_ctas_drop_rename(spark, tmp_path):
+    """CREATE TABLE AS SELECT provisions through the normal migration
+    path (inverse type map -> canonical DDL -> spec) and fills from the
+    SELECT; RENAME and DROP TABLE complete the lifecycle."""
+    from ed_clickhouse_spark.engine import Engine
+
+    mdir = tmp_path / "migrations"
+    mdir.mkdir()
+    (mdir / "001_sales.up.sql").write_text(PROJ_DDL)
+    eng = Engine(str(tmp_path / "wh"), spark)
+    eng.migrate(str(mdir))
+    eng.ch_sql(
+        "INSERT INTO sales FORMAT JSONEachRow\n"
+        '{"day":"2024-01-01","user_id":1,"region":"r0","amount":5.0}\n'
+        '{"day":"2024-01-02","user_id":2,"region":"r1","amount":7.0}'
+    )
+    r = eng.ch_sql(
+        "CREATE TABLE daily_rev ENGINE = MergeTree() ORDER BY day "
+        "AS SELECT day, sum(amount) AS rev FROM sales GROUP BY day"
+    ).collect()[0]
+    assert (r["table"], r["rows_inserted"]) == ("daily_rev", 2)
+    spec = eng.table_specs["daily_rev"]
+    assert spec.ch_types == {"day": "Date", "rev": "Float64"}
+    assert spark.table("daily_rev").count() == 2
+
+    eng.ch_sql("RENAME TABLE daily_rev TO rev_by_day")
+    assert "daily_rev" not in eng.table_specs
+    assert spark.table("rev_by_day").count() == 2
+    assert eng.ch_sql("SHOW CREATE TABLE rev_by_day").collect()[0][0].startswith(
+        "CREATE TABLE rev_by_day"
+    )
+
+    r = eng.ch_sql("DROP TABLE rev_by_day").collect()[0]
+    assert r["affected"] == 1 and "rev_by_day" not in eng.table_specs
+    r = eng.ch_sql("DROP TABLE IF EXISTS rev_by_day").collect()[0]
+    assert r["affected"] == 0
