@@ -112,3 +112,96 @@ def test_quantile_exact_weighted_matches_expansion(spark, vals, q):
     )
     got = quantile_exact_weighted(df, "v", "w", ["g"], q).first()["qew"]
     assert got == want
+
+
+@given(
+    events=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=40),  # ts
+            st.sampled_from("ABCX"),
+        ),
+        min_size=0,
+        max_size=14,
+    ),
+    gap=st.integers(min_value=1, max_value=15),
+)
+@_SET
+def test_sequence_match_times_matches_brute_force(spark, events, gap):
+    """The nested-exists fold equals literal brute-force chain search
+    over every (A, B, C) combination with the (?t<=gap) constraints —
+    including re-anchoring cases greedy matching would miss."""
+    from itertools import combinations
+
+    from ed_clickhouse_spark.operators.windows import sequence_match_times
+
+    # distinct timestamps keep the reference unambiguous (ties are
+    # engine-order-dependent in any formulation)
+    seen, evs = set(), []
+    for ts, ev in events:
+        if ts not in seen:
+            seen.add(ts)
+            evs.append((float(ts), ev))
+
+    def brute() -> bool:
+        steps = "ABC"
+        cand = [[t for t, e in evs if e == s] for s in steps]
+        for a in cand[0]:
+            for b in cand[1]:
+                for c in cand[2]:
+                    if a < b <= a + gap and b < c <= b + gap:
+                        return True
+        return False
+
+    if not evs or all(e not in "ABC" for _t, e in evs):
+        return  # no step events: operator emits no row for the user
+    df = spark.createDataFrame(
+        [("u", t, e) for t, e in evs], "user string, ts double, ev string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = sequence_match_times(
+        df, "user", "ts", "ev", ["A", "B", "C"], [("<=", gap), ("<=", gap)]
+    ).collect()
+    assert len(got) == 1 and got[0]["matched"] == brute()
+
+
+@given(
+    log=st.lists(
+        st.tuples(
+            st.sampled_from(["k1", "k2"]),
+            st.integers(min_value=0, max_value=3),  # version
+            st.booleans(),  # state row (True) or its cancel (False)
+        ),
+        min_size=0,
+        max_size=12,
+    )
+)
+@_SET
+def test_versioned_collapsing_matches_reference_fold(spark, log):
+    """final_read on VersionedCollapsingMergeTree equals the literal
+    per-(key, version) net-sign bookkeeping, for any arrival order."""
+    from collections import Counter
+
+    from ed_clickhouse_spark import ddl
+
+    spec = ddl.parse_clickhouse_ddl(
+        """
+        CREATE TABLE t (
+            k String, sign Int8, ver UInt32, v Int64
+        ) ENGINE = VersionedCollapsingMergeTree(sign, ver)
+        ORDER BY k;
+        """
+    )
+    net = Counter()
+    for k, ver, is_state in log:
+        net[(k, ver)] += 1 if is_state else -1
+    want = {kv for kv, n in net.items() if n > 0}
+
+    if not log:
+        return
+    rows = [
+        (k, 1 if st_ else -1, ver, ver * 10) for k, ver, st_ in log
+    ]
+    df = spark.createDataFrame(rows, "k string, sign int, ver int, v long")
+    got = {
+        (r["k"], r["ver"]) for r in ddl.final_read(df, spec).collect()
+    }
+    assert got == want
