@@ -235,3 +235,16 @@ def test_intake_pipeline_two_shuffles(spark):
     p = _plan(QUERIES["q180_intake_pipeline"](spark, "/root/testdata/sf0.001"))
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 2
     assert "CartesianProduct" not in p
+
+
+def test_jaccard_pairs_has_no_join_in_candidate_stage(spark):
+    """q45's posting-list formulation: candidate pairs come from one
+    groupBy(shingle) + in-partition HOF pair generation — no self-join
+    (the former SortMergeJoin on the shingle hash), no cartesian. The
+    only joins left are the two broadcast size lookups."""
+    p = _plan(QUERIES["q45_jaccard_pairs"](spark, "/root/testdata/sf0.001"))
+    import re
+
+    assert "SortMergeJoin" not in p and "CartesianProduct" not in p
+    # only the two broadcast size lookups remain (details-section nodes)
+    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", p, re.M)) == 2
