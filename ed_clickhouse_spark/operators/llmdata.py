@@ -113,6 +113,41 @@ def mixture_weights(
     )
 
 
+def temperature_mixture(
+    df: DataFrame, dim: str = "lang", alpha: float = 0.3, round_to: int = 6
+) -> DataFrame:
+    """Temperature-based mixture reweighting: sampling probability
+    p_i ∝ share_i^alpha — the standard multilingual-pretraining recipe
+    (alpha=1 keeps the natural mixture, alpha→0 approaches uniform;
+    alpha≈0.3 is the common pick that upsamples rare languages without
+    drowning the head). Returns per-``dim`` natural share, tempered
+    target share, and the resampling weight target/actual.
+
+    Same cost shape as :func:`mixture_weights`: one tiny aggregate +
+    a broadcast of the per-group powers — no data-sized shuffle."""
+    counts = df.groupBy(dim).agg(F.count("*").alias("n_docs"))
+    tot = counts.agg(F.sum("n_docs").alias("__total"))
+    shared = counts.crossJoin(F.broadcast(tot)).withColumn(
+        "__share", F.col("n_docs") / F.col("__total")
+    )
+    powsum = shared.agg(F.sum(F.pow("__share", F.lit(alpha))).alias("__z"))
+    return (
+        shared.crossJoin(F.broadcast(powsum))
+        .select(
+            dim,
+            "n_docs",
+            F.round("__share", round_to).alias("share"),
+            F.round(
+                F.pow("__share", F.lit(alpha)) / F.col("__z"), round_to
+            ).alias("target_share"),
+            F.round(
+                (F.pow("__share", F.lit(alpha)) / F.col("__z")) / F.col("__share"),
+                round_to,
+            ).alias("weight"),
+        )
+    )
+
+
 def pack_sequences(
     df: DataFrame,
     budget: int,

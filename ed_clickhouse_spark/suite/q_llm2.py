@@ -587,3 +587,31 @@ def q197_token_budget_mixture(spark, sf_dir):
             per_lang.cast("bigint"), F.col("lang_tokens")
         ).cast("bigint").alias("expected_tokens"),
     )
+
+
+@query(
+    "q198_temperature_mixture",
+    oracle="""
+    WITH c AS (SELECT lang, COUNT(*) AS n_docs FROM documents GROUP BY lang),
+    s AS (
+      SELECT lang, n_docs,
+             n_docs * 1.0 / (SELECT SUM(n_docs) FROM c) AS share
+      FROM c
+    )
+    SELECT lang, n_docs,
+           ROUND(share, 6) AS share,
+           ROUND(POW(share, 0.3) / (SELECT SUM(POW(share, 0.3)) FROM s), 6)
+             AS target_share,
+           ROUND(POW(share, 0.3) / (SELECT SUM(POW(share, 0.3)) FROM s) / share, 6)
+             AS weight
+    FROM s
+    """,
+)
+def q198_temperature_mixture(spark, sf_dir):
+    """Temperature-based language mixture (p_i ∝ share_i^0.3): the
+    multilingual-pretraining sampling recipe that upsamples rare
+    languages without drowning the head. One tiny aggregate; weights
+    feed stratified sampling downstream."""
+    from ed_clickhouse_spark.operators.llmdata import temperature_mixture
+
+    return temperature_mixture(t(spark, sf_dir, "documents"), dim="lang", alpha=0.3)

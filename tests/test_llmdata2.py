@@ -181,3 +181,24 @@ def test_export_shards_deterministic_layout(spark, tmp_path):
     for r in back.select("doc_id", "shard").collect():
         expect = int(hashlib.md5(str(r["doc_id"]).encode()).hexdigest()[:4], 16) % 4
         assert r["shard"] == expect
+
+
+def test_temperature_mixture_limits(spark):
+    """alpha=1 keeps the natural mixture (weight 1 everywhere);
+    alpha=0 is the uniform target (weight = uniform/actual)."""
+    from ed_clickhouse_spark.operators.llmdata import temperature_mixture
+
+    df = spark.createDataFrame(
+        [("en",)] * 8 + [("fr",)] * 2, "lang string"
+    )
+    w1 = {r["lang"]: r for r in temperature_mixture(df, alpha=1.0).collect()}
+    assert w1["en"]["weight"] == 1.0 and w1["fr"]["weight"] == 1.0
+    assert w1["en"]["target_share"] == w1["en"]["share"] == 0.8
+
+    w0 = {r["lang"]: r for r in temperature_mixture(df, alpha=0.0).collect()}
+    assert w0["en"]["target_share"] == w0["fr"]["target_share"] == 0.5
+    assert w0["fr"]["weight"] == 2.5  # 0.5 / 0.2
+    # alpha=0.3 lands between natural and uniform, ordered sanely
+    w3 = {r["lang"]: r for r in temperature_mixture(df, alpha=0.3).collect()}
+    assert w0["fr"]["target_share"] >= w3["fr"]["target_share"] >= w1["fr"]["target_share"]
+    assert abs(w3["en"]["target_share"] + w3["fr"]["target_share"] - 1.0) < 1e-5
