@@ -1138,3 +1138,30 @@ def spark_type_to_ch(dt: T.DataType) -> str:
     if isinstance(dt, T.MapType):
         return f"Map({spark_type_to_ch(dt.keyType)}, {spark_type_to_ch(dt.valueType)})"
     raise ValueError(f"no ClickHouse spelling for Spark type {dt.simpleString()!r}")
+
+
+def compact_projection(
+    spark: SparkSession, spec: TableSpec, proj: ProjectionSpec, warehouse: str
+) -> int:
+    """Merge a projection's partial-state rows down to one per dims and
+    rewrite — ClickHouse's background part merges for projection data.
+    Lossless (sum/count partials re-sum, min/max re-min/max) and
+    repeatable; stage-then-swap so a mid-compaction crash leaves the old
+    states intact.  Sort projections re-sort instead (the bin-pack for
+    them lives in operators/mutate.py:compact_partitions).  Returns the
+    row count after compaction."""
+    import shutil
+
+    path = projection_path(warehouse, spec.name, proj.name)
+    raw = spark.read.parquet(path)
+    if proj.is_aggregate:
+        merged = raw.groupBy(*proj.dims).agg(
+            *[getattr(F, func)(col).alias(col) for col, func in proj.partial_cols()]
+        )
+    else:
+        merged = raw.sortWithinPartitions(*(proj.order_by or proj.dims))
+    tmp = path.rstrip("/") + "__compacting"
+    merged.write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(path)
+    os.rename(tmp, path)
+    return spark.read.parquet(path).count()

@@ -463,6 +463,14 @@ class Engine:
                 sort_cols=sort_cols or None,
                 partitions=[m.group(2)] if m.group(2) else None,
             )
+            # OPTIMIZE also merges projection partial states down to one
+            # row per dims (ClickHouse's background merges do the same
+            # for projection parts)
+            if spec is not None:
+                from ed_clickhouse_spark import ddl as _ddl
+
+                for proj in spec.projections:
+                    _ddl.compact_projection(self.spark, spec, proj, self.warehouse)
             return _done(m.group(1), "optimize", n)
         m = _re.match(r"^TRUNCATE\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", q, _re.I)
         if m:

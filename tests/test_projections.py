@@ -235,3 +235,65 @@ def test_ctas_drop_rename(spark, tmp_path):
     assert r["affected"] == 1 and "rev_by_day" not in eng.table_specs
     r = eng.ch_sql("DROP TABLE IF EXISTS rev_by_day").collect()[0]
     assert r["affected"] == 0
+
+
+def test_optimize_compacts_projection_states(eng, spark):
+    """OPTIMIZE TABLE merges projection partials down to one row per
+    dims — losslessly (merged answers unchanged)."""
+    before = {
+        (str(r["day"]), r["user_id"]): (r["sum_amount"], r["cnt"])
+        for r in spark.table("sales__proj_by_user").collect()
+    }
+    assert spark.table("sales__proj_by_user_parts").count() == 12
+    eng.ch_sql("OPTIMIZE TABLE sales FINAL")
+    # 2 batches x (2 days x 3 users) -> 6 rows after merge
+    from ed_clickhouse_spark import ddl as _ddl
+
+    spec = eng.table_specs["sales"]
+    parts = spark.read.parquet(
+        _ddl.projection_path(eng.warehouse, "sales", "by_user")
+    )
+    assert parts.count() == 6
+    after = {
+        (str(r["day"]), r["user_id"]): (r["sum_amount"], r["cnt"])
+        for r in _ddl.projection_read(spark, spec, spec.projections[0],
+                                      eng.warehouse).collect()
+    }
+    assert after == before
+
+
+SORT_PROJ_DDL = """
+CREATE TABLE logs (
+    ts DateTime,
+    user_id Int64,
+    msg String,
+    PROJECTION by_user (SELECT user_id, ts, msg ORDER BY user_id, ts)
+) ENGINE = MergeTree()
+ORDER BY ts;
+"""
+
+
+def test_sort_projection_maintained(spark, tmp_path):
+    """Sort-form projections keep a column-pruned copy in the alternate
+    physical order — the secondary-sort-key answer for queries the
+    primary ORDER BY can't skip for."""
+    from ed_clickhouse_spark.engine import Engine
+
+    spec = ddl.parse_clickhouse_ddl(SORT_PROJ_DDL)
+    p = spec.projections[0]
+    assert not p.is_aggregate and p.order_by == ["user_id", "ts"]
+    assert p.dims == ["user_id", "ts", "msg"]
+
+    mdir = tmp_path / "migrations"
+    mdir.mkdir()
+    (mdir / "001_logs.up.sql").write_text(SORT_PROJ_DDL)
+    eng = Engine(str(tmp_path / "wh"), spark)
+    eng.migrate(str(mdir))
+    eng.ch_sql(
+        "INSERT INTO logs FORMAT JSONEachRow\n"
+        '{"ts":"2024-01-01 10:00:00","user_id":2,"msg":"b"}\n'
+        '{"ts":"2024-01-01 11:00:00","user_id":1,"msg":"a"}'
+    )
+    rows = spark.table("logs__proj_by_user_parts").collect()
+    assert {(r["user_id"], r["msg"]) for r in rows} == {(1, "a"), (2, "b")}
+    assert spark.table("logs__proj_by_user").count() == 2
