@@ -426,6 +426,47 @@ class Engine:
                 spec = _replace(spec, name=new)
                 self.table_specs[new] = spec
             return _done(new, "rename_table", 1)
+        m = _re.match(
+            r"^ALTER\s+TABLE\s+(\w+)\s+ADD\s+(PROJECTION\s+.+)$", q, _re.I | _re.S
+        )
+        if m:
+            from ed_clickhouse_spark import ddl as _ddl
+
+            spec, path = _table(m.group(1))
+            if spec is None:
+                raise KeyError(f"no spec for table {m.group(1)!r}")
+            proj = _ddl._parse_projection(m.group(2))
+            if any(p.name == proj.name for p in spec.projections):
+                raise ValueError(f"projection {proj.name!r} already exists")
+            spec.projections.append(proj)
+            # backfill (≙ MATERIALIZE PROJECTION): one pass over the
+            # existing table builds the initial partial states; later
+            # inserts maintain them incrementally
+            base = self.spark.read.parquet(path)
+            _ddl.projection_batch(base, proj).write.mode("overwrite").parquet(
+                _ddl.projection_path(self.warehouse, spec.name, proj.name)
+            )
+            return _done(m.group(1), f"add_projection:{proj.name}", 1)
+        m = _re.match(
+            r"^ALTER\s+TABLE\s+(\w+)\s+DROP\s+PROJECTION\s+`?(\w+)`?\s*$", q, _re.I
+        )
+        if m:
+            from ed_clickhouse_spark import ddl as _ddl
+
+            spec, _path = _table(m.group(1))
+            if spec is None:
+                raise KeyError(f"no spec for table {m.group(1)!r}")
+            keep = [p for p in spec.projections if p.name != m.group(2)]
+            existed = len(keep) != len(spec.projections)
+            spec.projections[:] = keep
+            ppath = _ddl.projection_path(self.warehouse, m.group(1), m.group(2))
+            if os.path.isdir(ppath):
+                import shutil as _shutil
+
+                _shutil.rmtree(ppath)
+            self.spark.catalog.dropTempView(f"{m.group(1)}__proj_{m.group(2)}")
+            self.spark.catalog.dropTempView(f"{m.group(1)}__proj_{m.group(2)}_parts")
+            return _done(m.group(1), f"drop_projection:{m.group(2)}", 1 if existed else 0)
         m = _re.match(r"^ALTER\s+TABLE\s+(\w+)\s+DELETE\s+WHERE\s+(.+)$", q, _re.I | _re.S)
         if m:
             _spec, path = _table(m.group(1))
