@@ -513,6 +513,45 @@ class Engine:
                 for proj in spec.projections:
                     _ddl.compact_projection(self.spark, spec, proj, self.warehouse)
             return _done(m.group(1), "optimize", n)
+        m = _re.match(
+            r"^CREATE\s+DICTIONARY\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s*"
+            r"\((.*?)\)\s*PRIMARY\s+KEY\s+`?(\w+)`?\s*"
+            r".*?SOURCE\s*\(\s*CLICKHOUSE\s*\(\s*TABLE\s+'(\w+)'\s*\)\s*\)",
+            q,
+            _re.I | _re.S,
+        )
+        if m:
+            # ClickHouse external dictionary over a warehouse table.
+            # LAYOUT(...) is parsed-and-ignored — every layout maps to
+            # the broadcast lookup (operators/dictionary.py, size-
+            # guarded); LIFETIME refresh = re-running CREATE DICTIONARY.
+            from ed_clickhouse_spark.ddl import _split_top
+            from ed_clickhouse_spark.operators.dictionary import register_dict
+
+            name, cols_txt, key, src = m.groups()
+            cols = [
+                c.strip().split()[0].strip("`")
+                for c in _split_top(cols_txt)
+                if c.strip()
+            ]
+            df = self.spark.table(src).select(*cols)
+            register_dict(name, df, key)
+            return self.spark.createDataFrame(
+                [(name, "create_dictionary", len(cols))],
+                "table string, op string, affected long",
+            )
+        m = _re.match(r"^DROP\s+DICTIONARY\s+(?:IF\s+EXISTS\s+)?`?(\w+)`?\s*$", q, _re.I)
+        if m:
+            from ed_clickhouse_spark.operators import dictionary as _dic
+
+            existed = m.group(1) in _dic._DICTS
+            _dic._DICTS.pop(m.group(1), None)
+            _dic._SIZE_OK.discard(m.group(1))
+            self.spark.catalog.dropTempView(f"dict_{m.group(1)}")
+            return self.spark.createDataFrame(
+                [(m.group(1), "drop_dictionary", 1 if existed else 0)],
+                "table string, op string, affected long",
+            )
         m = _re.match(r"^TRUNCATE\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", q, _re.I)
         if m:
             spec, path = _table(m.group(1))

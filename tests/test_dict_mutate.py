@@ -265,3 +265,45 @@ def test_ch_sql_mutation_statements(spark, tmp_path):
 
     eng.ch_sql("TRUNCATE TABLE visits")
     assert spark.table("visits").count() == 0
+
+
+def test_create_dictionary_statement(spark, tmp_path):
+    """CREATE DICTIONARY ... SOURCE(CLICKHOUSE(TABLE '...')) registers a
+    broadcast lookup usable through dictGet and the dict_ view; DROP
+    removes it."""
+    from ed_clickhouse_spark.engine import Engine
+    from ed_clickhouse_spark.operators.dictionary import dict_get
+
+    mdir = tmp_path / "migrations"
+    mdir.mkdir()
+    (mdir / "001_users.up.sql").write_text(
+        """
+        CREATE TABLE users (
+            user_id Int64,
+            name String
+        ) ENGINE = MergeTree()
+        ORDER BY user_id;
+        """
+    )
+    eng = Engine(str(tmp_path / "wh"), spark)
+    eng.migrate(str(mdir))
+    eng.ch_sql(
+        "INSERT INTO users FORMAT JSONEachRow\n"
+        '{"user_id":1,"name":"ada"}\n{"user_id":2,"name":"bob"}'
+    )
+    r = eng.ch_sql(
+        "CREATE DICTIONARY user_names (user_id Int64, name String) "
+        "PRIMARY KEY user_id "
+        "SOURCE(CLICKHOUSE(TABLE 'users')) "
+        "LAYOUT(FLAT()) LIFETIME(MIN 0 MAX 300)"
+    ).collect()[0]
+    assert r["op"] == "create_dictionary"
+
+    probe = spark.createDataFrame([(1,), (3,)], "user_id long")
+    got = {x["user_id"]: x["name"]
+           for x in dict_get(probe, "user_names", "name", "user_id").collect()}
+    assert got == {1: "ada", 3: None}
+    assert spark.table("dict_user_names").count() == 2
+
+    assert eng.ch_sql("DROP DICTIONARY user_names").collect()[0]["affected"] == 1
+    assert eng.ch_sql("DROP DICTIONARY IF EXISTS user_names").collect()[0]["affected"] == 0
