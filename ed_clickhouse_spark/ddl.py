@@ -298,6 +298,7 @@ class TableSpec:
     # at insert, ALIAS is computed at read and never stored.
     col_exprs: dict[str, tuple[str, str]] = field(default_factory=dict)
     alias_cols: list[str] = field(default_factory=list)  # ALIAS column names
+    settings: dict[str, str] = field(default_factory=dict)  # SETTINGS k = v
 
     @property
     def key_cols(self) -> list[str]:
@@ -480,6 +481,14 @@ def parse_clickhouse_ddl(sql: str) -> TableSpec:
     pb = _clause(r"PARTITION\s+BY")
     if pb and pb.startswith("(") and pb.endswith(")") and "," not in pb:
         pb = pb[1:-1].strip()
+
+    settings: dict[str, str] = {}
+    sm = re.search(r"\bSETTINGS\s+(.*)$", tail, re.I | re.S)
+    if sm:
+        for part in _split_top(sm.group(1)):
+            kv = re.match(r"^\s*(\w+)\s*=\s*(?:'([^']*)'|([^\s,;]+))\s*$", part)
+            if kv:
+                settings[kv.group(1)] = kv.group(2) if kv.group(2) is not None else kv.group(3)
     return TableSpec(
         name=name,
         schema=schema,
@@ -495,6 +504,7 @@ def parse_clickhouse_ddl(sql: str) -> TableSpec:
         projections=projections,
         col_exprs=col_exprs,
         alias_cols=[n for n, _dt in alias_fields],
+        settings=settings,
     )
 
 
@@ -818,6 +828,12 @@ def migrate(spark: SparkSession, migrations_dir: str, warehouse: str) -> list[Ta
             for stmt in _split_top(f.read(), ";"):
                 if re.search(r"CREATE\s+TABLE", stmt, re.I):
                     spec = parse_clickhouse_ddl(stmt)
+                    if spec.engine.lower() == "kafka":
+                        # ENGINE = Kafka is a stream SOURCE, not storage:
+                        # record the spec (settings carry broker/topics
+                        # for Engine.ingest_kafka) but provision nothing.
+                        specs[spec.name] = spec
+                        continue
                     provision_table(spark, spec, warehouse)
                     specs[spec.name] = spec
                 elif re.search(r"ALTER\s+TABLE", stmt, re.I):

@@ -170,8 +170,9 @@ class Engine:
         from ed_clickhouse_spark.streaming.pipeline import start_ingest_kafka
 
         kcfg = self.ingest_defaults.get("kafka", {})
-        servers = bootstrap_servers or kcfg.get("bootstrap_servers")
-        tops = topics or kcfg.get("topics")
+        ddl_src = self._kafka_ddl_source()
+        servers = bootstrap_servers or kcfg.get("bootstrap_servers") or ddl_src[0]
+        tops = topics or kcfg.get("topics") or ddl_src[1]
         if not servers or not tops:
             raise ValueError("kafka mode needs bootstrap_servers and topics "
                              "(args or [kafka] config section)")
@@ -183,6 +184,21 @@ class Engine:
         return start_ingest_kafka(
             self.spark, servers, tops, self.warehouse, ckpt, **kw
         )
+
+    def _kafka_ddl_source(self) -> tuple[str | None, list[str] | None]:
+        """Connection details declared by an ``ENGINE = Kafka`` table in
+        the migrations (``kafka_broker_list`` / ``kafka_topic_list``
+        SETTINGS — the ClickHouse Kafka-engine spelling). Lowest-
+        precedence default for :meth:`ingest_kafka`."""
+        for spec in self.table_specs.values():
+            if spec.engine.lower() == "kafka":
+                s = spec.settings
+                topics = s.get("kafka_topic_list")
+                return (
+                    s.get("kafka_broker_list"),
+                    [t.strip() for t in topics.split(",")] if topics else None,
+                )
+        return (None, None)
 
     # -- EP2: query -------------------------------------------------------
     def sql(self, query: str) -> DataFrame:

@@ -543,3 +543,38 @@ def test_default_materialized_alias_columns(spark, tmp_path):
     assert again.col_exprs == spec.col_exprs
     assert again.alias_cols == spec.alias_cols
     assert again.schema == spec.schema
+
+
+KAFKA_DDL = """
+CREATE TABLE events_queue (
+    subject String,
+    payload String
+) ENGINE = Kafka
+SETTINGS kafka_broker_list = 'broker1:9092,broker2:9092',
+         kafka_topic_list = 'events.login,events.watch',
+         kafka_group_name = 'engine_g1',
+         kafka_format = 'JSONEachRow';
+"""
+
+
+def test_kafka_engine_ddl(spark, tmp_path):
+    """ENGINE = Kafka tables are stream sources, not storage: migrate
+    records the spec (no parquet provisioned) and its SETTINGS feed
+    Engine.ingest_kafka as the lowest-precedence connection default."""
+    import os
+
+    from ed_clickhouse_spark.engine import Engine
+
+    mdir = tmp_path / "migrations"
+    mdir.mkdir()
+    (mdir / "001_queue.up.sql").write_text(KAFKA_DDL)
+    (mdir / "002_login.up.sql").write_text(LOGIN_DDL)
+    eng = Engine(str(tmp_path / "wh"), spark)
+    specs = eng.migrate(str(mdir))
+    assert {s.name for s in specs} == {"events_queue", "login_events"}
+    assert not os.path.exists(os.path.join(eng.warehouse, "events_queue"))
+    spec = eng.table_specs["events_queue"]
+    assert spec.settings["kafka_broker_list"] == "broker1:9092,broker2:9092"
+    assert eng._kafka_ddl_source() == (
+        "broker1:9092,broker2:9092", ["events.login", "events.watch"]
+    )
