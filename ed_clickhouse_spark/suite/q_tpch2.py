@@ -16,6 +16,7 @@ plain column comparisons so parquet pushdown applies.
 
 from __future__ import annotations
 
+from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ed_clickhouse_spark.suite import query
@@ -720,4 +721,76 @@ def q191_supplier_concentration(spark, sf_dir):
                 F.sum(F.pow(F.col("r").cast("double") / F.col("t"), 2)), 6
             ).alias("hhi")
         )
+    )
+
+
+@query(
+    "q199_duplicate_rate_by_source",
+    oracle="""
+    WITH f AS (
+      SELECT source,
+             COUNT(*) OVER (
+               PARTITION BY md5(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+             ) AS n_copies
+      FROM documents
+    )
+    SELECT source, COUNT(*) AS n_docs,
+           CAST(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS dup_docs,
+           ROUND(SUM(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) * 1.0
+                 / COUNT(*), 6) AS dup_rate
+    FROM f GROUP BY source
+    """,
+)
+def q199_duplicate_rate_by_source(spark, sf_dir):
+    """Per-source duplicate-rate report: the intake-monitoring readout a
+    corpus pipeline alarms on (a source whose dup_rate jumps is
+    re-crawling itself). Uses the same normalized fingerprint as the
+    exact-dedup operator; one window + one aggregate, both keyed on the
+    16-byte hash / source."""
+    from ed_clickhouse_spark.operators.text import fingerprint
+
+    d = t(spark, sf_dir, "documents")
+    w = W.partitionBy(fingerprint("text"))
+    f = d.select("source", F.count("*").over(w).alias("n_copies"))
+    dup = F.sum(F.when(F.col("n_copies") > 1, 1).otherwise(0))
+    return f.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        dup.cast("bigint").alias("dup_docs"),
+        F.round(dup / F.count("*"), 6).alias("dup_rate"),
+    )
+
+
+@query(
+    "q200_fulfillment_lead_time",
+    oracle="""
+    SELECT o.o_orderpriority AS priority,
+           COUNT(*) AS n_lines,
+           ROUND(quantile_cont(date_diff('day', CAST(o.o_orderdate AS DATE),
+                                         CAST(l.l_shipdate AS DATE)), 0.5), 1)
+             AS median_days,
+           MAX(date_diff('day', CAST(o.o_orderdate AS DATE),
+                         CAST(l.l_shipdate AS DATE))) AS max_days
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    GROUP BY 1
+    """,
+)
+def q200_fulfillment_lead_time(spark, sf_dir):
+    """Order-to-ship lead time per priority class (median + worst case)
+    — the fulfillment SLA readout. One fact-fact join on the order key
+    (sort-merge above the broadcast threshold) and a grouped exact
+    percentile over integer day counts."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.col("o_orderdate").cast("date").alias("od")
+    )
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.col("l_shipdate").cast("date").alias("sd")
+    )
+    j = o.join(li, o.o_orderkey == li.l_orderkey).withColumn(
+        "days", F.datediff("sd", "od")
+    )
+    return j.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").alias("n_lines"),
+        F.round(F.expr("percentile(days, 0.5)"), 1).alias("median_days"),
+        F.max("days").cast("bigint").alias("max_days"),
     )
