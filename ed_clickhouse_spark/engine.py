@@ -443,6 +443,15 @@ class Engine:
                 self.table_specs[new] = spec
             return _done(new, "rename_table", 1)
         m = _re.match(
+            r"^ALTER\s+TABLE\s+(\w+)\s+(ADD|DROP)\s+COLUMN\b.*$", q, _re.I | _re.S
+        )
+        if m:
+            from ed_clickhouse_spark import ddl as _ddl
+
+            spec = _ddl.apply_alter(self.spark, q, self.table_specs, self.warehouse)
+            self.table_specs[spec.name] = spec
+            return _done(spec.name, f"{m.group(2).lower()}_column", 1)
+        m = _re.match(
             r"^ALTER\s+TABLE\s+(\w+)\s+ADD\s+(PROJECTION\s+.+)$", q, _re.I | _re.S
         )
         if m:

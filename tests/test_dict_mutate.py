@@ -307,3 +307,29 @@ def test_create_dictionary_statement(spark, tmp_path):
 
     assert eng.ch_sql("DROP DICTIONARY user_names").collect()[0]["affected"] == 1
     assert eng.ch_sql("DROP DICTIONARY IF EXISTS user_names").collect()[0]["affected"] == 0
+
+
+def test_ch_sql_alter_add_drop_column(spark, tmp_path):
+    """ALTER TABLE ADD/DROP COLUMN runs through ch_sql — metadata-only
+    evolution, old files read the new column back as NULL."""
+    from ed_clickhouse_spark.engine import Engine
+
+    mdir = tmp_path / "migrations"
+    mdir.mkdir()
+    (mdir / "001_t.up.sql").write_text(
+        "CREATE TABLE kv (k Int64, v String) ENGINE = MergeTree() ORDER BY k;"
+    )
+    eng = Engine(str(tmp_path / "wh"), spark)
+    eng.migrate(str(mdir))
+    eng.ch_sql('INSERT INTO kv FORMAT JSONEachRow\n{"k":1,"v":"a"}')
+
+    r = eng.ch_sql("ALTER TABLE kv ADD COLUMN score Float64").collect()[0]
+    assert r["op"] == "add_column"
+    row = spark.table("kv").collect()[0]
+    assert row["score"] is None  # pre-ALTER file reads back NULL
+    eng.ch_sql('INSERT INTO kv FORMAT JSONEachRow\n{"k":2,"v":"b","score":0.5}')
+    got = {x["k"]: x["score"] for x in spark.table("kv").collect()}
+    assert got == {1: None, 2: 0.5}
+
+    eng.ch_sql("ALTER TABLE kv DROP COLUMN v")
+    assert "v" not in spark.table("kv").columns
