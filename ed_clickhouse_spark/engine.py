@@ -403,6 +403,22 @@ class Engine:
                 [(table, op, int(n))], "table string, op string, affected long"
             )
 
+        def _rebuild_projections(table: str) -> None:
+            # Mutations invalidate insert-time partial states; like
+            # ClickHouse (which rebuilds or drops projection parts on
+            # mutations), rebuild each projection from the current base —
+            # one pass over the mutated table, not the history.
+            spec = self.table_specs.get(table)
+            if spec is None or not spec.projections:
+                return
+            from ed_clickhouse_spark import ddl as _ddl
+
+            base = self.spark.read.parquet(os.path.join(self.warehouse, table))
+            for proj in spec.projections:
+                _ddl.projection_batch(base, proj).write.mode("overwrite").parquet(
+                    _ddl.projection_path(self.warehouse, table, proj.name)
+                )
+
         q = query.strip().rstrip(";").strip()
         m = _re.match(
             r"^CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(\w+)\s*(.*?)\s*"
@@ -421,9 +437,19 @@ class Engine:
                 import shutil as _shutil
 
                 _shutil.rmtree(path)
-            self.table_specs.pop(name, None)
+            dropped = self.table_specs.pop(name, None)
             self.spark.catalog.dropTempView(name)
             self.spark.catalog.dropTempView(f"{name}_raw")
+            for proj in (dropped.projections if dropped else []):
+                from ed_clickhouse_spark import ddl as _ddl
+
+                ppath = _ddl.projection_path(self.warehouse, name, proj.name)
+                if os.path.isdir(ppath):
+                    import shutil as _shutil
+
+                    _shutil.rmtree(ppath)
+                self.spark.catalog.dropTempView(f"{name}__proj_{proj.name}")
+                self.spark.catalog.dropTempView(f"{name}__proj_{proj.name}_parts")
             return self.spark.createDataFrame(
                 [(name, "drop_table", 1 if existed else 0)],
                 "table string, op string, affected long",
@@ -496,6 +522,7 @@ class Engine:
         if m:
             _spec, path = _table(m.group(1))
             n = _mut.delete_where(self.spark, path, F.expr(m.group(2)))
+            _rebuild_projections(m.group(1))
             return _done(m.group(1), "delete", n)
         m = _re.match(r"^ALTER\s+TABLE\s+(\w+)\s+UPDATE\s+(.+)\s+WHERE\s+(.+)$", q, _re.I | _re.S)
         if m:
@@ -507,6 +534,7 @@ class Engine:
                 col, expr = part.split("=", 1)
                 assignments[col.strip().strip("`")] = F.expr(expr.strip())
             n = _mut.update_where(self.spark, path, F.expr(m.group(3)), assignments)
+            _rebuild_projections(m.group(1))
             return _done(m.group(1), "update", n)
         m = _re.match(
             r"^ALTER\s+TABLE\s+(\w+)\s+DROP\s+PARTITION\s+'?([^'\s;]+)'?\s*$", q, _re.I
@@ -514,6 +542,7 @@ class Engine:
         if m:
             _spec, path = _table(m.group(1))
             ok = _mut.drop_partition(self.spark, path, m.group(2))
+            _rebuild_projections(m.group(1))
             return _done(m.group(1), "drop_partition", 1 if ok else 0)
         m = _re.match(
             r"^OPTIMIZE\s+TABLE\s+(\w+)(?:\s+PARTITION\s+'?([^'\s;]+)'?)?(?:\s+FINAL)?\s*$",
@@ -585,6 +614,7 @@ class Engine:
 
             _shutil.rmtree(path, ignore_errors=True)
             self.spark.createDataFrame([], schema).write.mode("overwrite").parquet(path)
+            _rebuild_projections(m.group(1))
             return _done(m.group(1), "truncate", 0)
         return None
 

@@ -327,3 +327,17 @@ def test_add_drop_projection_lifecycle(eng, spark):
     assert r["affected"] == 1
     assert eng._route_projection(q) == q  # falls back to the base table
     assert {x["region"]: x["s"] for x in eng.ch_sql(q).collect()} == got2
+
+
+def test_mutations_rebuild_projection_states(eng, spark):
+    """ALTER DELETE invalidates insert-time partials; the engine rebuilds
+    them from the mutated base so routed answers stay correct."""
+    eng.ch_sql("ALTER TABLE sales DELETE WHERE user_id = 3")
+    q = "SELECT day, sum(amount) AS s FROM sales GROUP BY day"
+    assert "sales__proj_by_user_parts" in eng._route_projection(q)
+    routed = {str(r["day"]): r["s"] for r in eng.ch_sql(q).collect()}
+    direct = {str(r["day"]): r["s"] for r in eng.sql(q).collect()}
+    assert routed == direct
+    # (1+2)*3 batches-sum per day after deleting user 3: batch1 u1+u2=3,
+    # batch2 2*(1+2)=6 -> 9 per day
+    assert routed["2024-01-01"] == 9.0
