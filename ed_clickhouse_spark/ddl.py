@@ -1087,7 +1087,13 @@ class MatView:
     inserted batch onto the MV's dim expressions, then delegates to
     StreamingMatView for the partial-state append (insert trigger) and
     the -Merge read.  Works from both the streaming ingest hook
-    (``views=``) and ch_sql INSERTs."""
+    (``views=``) and ch_sql INSERTs.
+
+    Mutation semantics match ClickHouse exactly: MVs are INSERT
+    triggers, so ALTER DELETE/UPDATE on the source table does NOT
+    propagate (ClickHouse documents the same) — unlike PROJECTIONs,
+    which the engine rebuilds on mutation because ClickHouse rebuilds
+    or drops projection parts."""
 
     def __init__(self, spark: SparkSession, spec: MatViewSpec, warehouse: str):
         from ed_clickhouse_spark.streaming.matview import StreamingMatView

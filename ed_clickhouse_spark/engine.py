@@ -640,6 +640,15 @@ class Engine:
             )
             if sm:
                 return self._insert_select(sm.group(1), sm.group(2))
+            vm = _re.match(
+                r"^\s*INSERT\s+INTO\s+(\w+)\s*(\([^)]*\))?\s*VALUES\s*(.+)$",
+                query,
+                _re.I | _re.S,
+            )
+            if vm:
+                return self._insert_values(
+                    vm.group(1), vm.group(2), vm.group(3)
+                )
             if _re.match(r"^\s*INSERT\b", query, _re.I):
                 raise ValueError(
                     "only INSERT INTO <table> FORMAT JSONEachRow with an "
@@ -671,6 +680,53 @@ class Engine:
                 mv.read().createOrReplaceTempView(mv.spec.name)
         return self.spark.createDataFrame(
             [(table, len(lines))], "table string, rows_inserted long"
+        )
+
+    def _insert_values(self, table: str, col_list: str | None, values: str) -> DataFrame:
+        """``INSERT INTO t [(cols)] VALUES (..), (..)`` — the clickhouse-
+        client literal form.  Tuples parse at paren/quote depth (string
+        literals may contain commas/parens), values resolve as one
+        SELECT over a VALUES clause so expressions (now(), arithmetic)
+        work, then the batch appends through the normal insert path,
+        firing MV triggers."""
+        from ed_clickhouse_spark import ddl
+        from ed_clickhouse_spark.ddl import _split_top
+
+        spec = self.table_specs.get(table)
+        if spec is None:
+            raise KeyError(f"unknown table {table!r}; run migrate() first")
+        cols = (
+            [c.strip().strip("`") for c in _split_top(col_list.strip("() "))]
+            if col_list
+            else [f.name for f in spec.schema.fields]
+        )
+        tuples = [t.strip() for t in _split_top(values) if t.strip()]
+        bad = [t for t in tuples if not (t.startswith("(") and t.endswith(")"))]
+        if bad:
+            raise ValueError(f"malformed VALUES tuple(s): {bad[:3]}")
+        sql = " UNION ALL ".join(
+            "SELECT " + ", ".join(
+                f"{expr.strip()} AS `{c}`"
+                for c, expr in zip(cols, _split_top(t[1:-1]))
+            )
+            for t in tuples
+        )
+        result = self.spark.sql(sql)
+        for f in spec.schema.fields:
+            if f.name in result.columns:
+                result = result.withColumn(f.name, F.col(f.name).cast(f.dataType))
+            else:
+                # omitted columns: NULL unless a DEFAULT/MATERIALIZED
+                # expression fills them in append_rows
+                result = result.withColumn(f.name, F.lit(None).cast(f.dataType))
+        written = ddl.append_rows(result, spec, self.warehouse)
+        ddl.register_view(self.spark, spec, self.warehouse)
+        for mv in self.matviews.values():
+            if mv.spec.source == table:
+                mv.on_batch(written)
+                mv.read().createOrReplaceTempView(mv.spec.name)
+        return self.spark.createDataFrame(
+            [(table, len(tuples))], "table string, rows_inserted long"
         )
 
     def _create_table_as(self, name: str, head: str, select_sql: str) -> DataFrame:

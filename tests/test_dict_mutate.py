@@ -333,3 +333,27 @@ def test_ch_sql_alter_add_drop_column(spark, tmp_path):
 
     eng.ch_sql("ALTER TABLE kv DROP COLUMN v")
     assert "v" not in spark.table("kv").columns
+
+
+def test_insert_values_statement(spark, tmp_path):
+    """INSERT INTO t [(cols)] VALUES (...) — the clickhouse-client
+    literal form; expressions evaluate, strings with commas survive,
+    omitted columns fall back to NULL / DEFAULT."""
+    from ed_clickhouse_spark.engine import Engine
+
+    mdir = tmp_path / "migrations"
+    mdir.mkdir()
+    (mdir / "001_t.up.sql").write_text(
+        "CREATE TABLE notes (k Int64, txt String, "
+        "src String DEFAULT 'cli') ENGINE = MergeTree() ORDER BY k;"
+    )
+    eng = Engine(str(tmp_path / "wh"), spark)
+    eng.migrate(str(mdir))
+    r = eng.ch_sql(
+        "INSERT INTO notes VALUES (1, 'a, with (commas)', 'web'), (1 + 1, upper('b'), 'api')"
+    ).collect()[0]
+    assert r["rows_inserted"] == 2
+    r = eng.ch_sql("INSERT INTO notes (k, txt) VALUES (3, 'c')").collect()[0]
+    assert r["rows_inserted"] == 1
+    got = {x["k"]: (x["txt"], x["src"]) for x in spark.table("notes").collect()}
+    assert got == {1: ("a, with (commas)", "web"), 2: ("B", "api"), 3: ("c", "cli")}
