@@ -32,8 +32,19 @@ top-level token scanning (never inside strings/parens):
   GLOBAL JOIN            JOIN (every Spark join is "global")
   =====================  ==========================================
 
-Not translated (documented): ClickHouse ANY JOIN needs key knowledge a
-string rewrite does not have — use operators/joins.py:any_join.
+  ANY JOIN t USING(k)    right side reduced to one row per key first
+                         (row_number subquery ≙ operators/joins.py:
+                         any_join) — supported for [LEFT|INNER] ANY
+                         JOIN <table> USING (...); the pick is made
+                         deterministic by ordering on the table's full
+                         column list when the spec is known (so the
+                         DuckDB oracle reproduces it), else on the key.
+  =====================  ==========================================
+
+Not translated (documented): ANY JOIN with an ON clause or a subquery
+right side (the keys/columns are not recoverable from a string rewrite
+— use operators/joins.py:any_join directly), and RIGHT ANY JOIN (which
+dedups the LEFT side in ClickHouse; spell it as a reversed LEFT ANY).
 """
 
 from __future__ import annotations
@@ -372,6 +383,60 @@ def _rewrite_numbers(sql: str) -> str:
         sql = sql[: m.start()] + sub + sql[m.end():]
 
 
+def _rewrite_any_join(sql: str, specs: dict | None) -> str:
+    """ClickHouse ``[LEFT|INNER] ANY JOIN t USING (k, ...)`` → a plain
+    join against a one-row-per-key reduction of the right side (the
+    same WindowGroupLimit shape as operators/joins.py:any_join, spelled
+    in SQL so it survives a string rewrite).
+
+    CH picks an arbitrary matching row; here the pick is deterministic:
+    ordered by the table's full column list when its TableSpec is known
+    (oracle-reproducible), else by the join key (still a valid "any").
+    RIGHT ANY JOIN (left-side dedup in CH) and ON-clause/subquery forms
+    are rejected with a pointer to the operator API."""
+    if _find_top_anywhere(sql, r"\bRIGHT\s+ANY\s+JOIN\b"):
+        raise ValueError(
+            "RIGHT ANY JOIN is not translated (it dedups the LEFT side); "
+            "rewrite as a reversed LEFT ANY JOIN or use "
+            "operators/joins.py:any_join"
+        )
+    while True:
+        m = _find_top_anywhere(
+            sql,
+            r"\b(?:(LEFT|INNER)\s+)?ANY\s+(?:(LEFT|INNER)\s+)?JOIN\s+"
+            r"([A-Za-z_][\w.]*)\s*(?:AS\s+(\w+)\s*)?USING\s*\(([^)]*)\)",
+        )
+        if not m:
+            if _find_top_anywhere(sql, r"\bANY\s+(LEFT\s+|INNER\s+)?JOIN\b"):
+                raise ValueError(
+                    "ANY JOIN is only translated for `[LEFT|INNER] ANY JOIN "
+                    "<table> USING (...)`; for ON-clause or subquery forms "
+                    "use operators/joins.py:any_join"
+                )
+            return sql
+        how = (m.group(1) or m.group(2) or "INNER").upper()
+        table, alias = m.group(3), m.group(4) or m.group(3).split(".")[-1]
+        keys = [k.strip() for k in m.group(5).split(",") if k.strip()]
+        spec = (specs or {}).get(table.split(".")[-1])
+        if spec is not None:
+            order_cols = [f for f in spec.schema.fieldNames() if f not in spec.alias_cols]
+        else:
+            order_cols = keys
+        # __any_rn must not leak into the outer SELECT *: drop it with
+        # a star-EXCEPT projection on the reduced side.
+        one = (
+            f"(SELECT * EXCEPT (__any_rn) FROM (SELECT *, row_number() OVER "
+            f"(PARTITION BY {', '.join(keys)} ORDER BY "
+            f"{', '.join(order_cols)}) AS __any_rn FROM {table}) "
+            f"WHERE __any_rn = 1)"
+        )
+        sql = (
+            sql[: m.start()]
+            + f"{how} JOIN {one} AS {alias} USING ({', '.join(keys)})"
+            + sql[m.end():]
+        )
+
+
 def _rewrite_system(sql: str) -> str:
     """ClickHouse ``system.<table>`` introspection names → the engine's
     registered ``system_<table>`` views (Spark temp views cannot carry a
@@ -389,7 +454,8 @@ def translate(sql: str, specs: dict | None = None) -> Translated:
     Spark SQL plus the requested FORMAT name (if any)."""
     sql = sql.strip()
     sql, fmt = _strip_trailing(sql)
-    sql = re.sub(r"\bGLOBAL\s+(ANY\s+)?(?=(INNER|LEFT|RIGHT|FULL|JOIN))", "", sql, flags=re.I)
+    # strip only GLOBAL — ANY now has its own rewrite below
+    sql = re.sub(r"\bGLOBAL\s+(?=(ANY|INNER|LEFT|RIGHT|FULL|JOIN))", "", sql, flags=re.I)
     sql = _rewrite_numbers(sql)
     sql = _rewrite_system(sql)
     # ClickHouse 3-arg dateDiff('unit', a, b): Spark's 2-arg datediff
@@ -397,6 +463,7 @@ def translate(sql: str, specs: dict | None = None) -> Translated:
     # registered chDateDiff SQL function (case-sensitive on purpose).
     sql = re.sub(r"\bdateDiff\s*\(", "chDateDiff(", sql)
     sql = _rewrite_sample(sql, specs)
+    sql = _rewrite_any_join(sql, specs)
     sql = _rewrite_final(sql)
     sql = _rewrite_prewhere(sql)
     sql = _rewrite_array_join(sql)

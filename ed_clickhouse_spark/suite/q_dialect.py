@@ -176,3 +176,56 @@ def q196_sql_vector_search(spark, sf_dir):
     register_sql_aliases(spark)
     t(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
     return spark.sql(translate(_VECTOR_SQL).sql)
+
+
+_ANY_JOIN_SQL = """
+SELECT f.event_type AS first_type, count(*) AS n_users,
+       round(avg(f.value), 4) AS avg_first_value
+FROM user_ids ANY LEFT JOIN first_event AS f USING (user_id)
+GROUP BY first_type
+ORDER BY first_type
+"""
+
+
+@query(
+    "q201_ch_any_join",
+    oracle="""
+    WITH fe AS (
+      SELECT user_id, ts, event_type, value, event_id,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY user_id, ts, event_type, value,
+                                         event_id) AS rn
+      FROM events
+    ),
+    u AS (SELECT DISTINCT user_id FROM events)
+    SELECT f.event_type AS first_type, COUNT(*) AS n_users,
+           ROUND(AVG(f.value), 4) AS avg_first_value
+    FROM u LEFT JOIN (SELECT * FROM fe WHERE rn = 1) f USING (user_id)
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def q201_ch_any_join(spark, sf_dir):
+    """ClickHouse ``ANY LEFT JOIN ... USING`` through the dialect
+    rewriter: each user's FIRST event (the table spec's column order
+    puts ts right after the key, so the deterministic any-pick is the
+    earliest event — reproducible on any engine), then a distribution
+    of users by first-event type. The rewrite reduces the right side to
+    one row per key (row_number ≙ WindowGroupLimit) BEFORE the join —
+    the CH performance rationale (one hash-table entry per key, no
+    fan-out) carries over; at 100 TB the reduction is one shuffle of
+    the already-narrow right side. Reference context: the reference's
+    users run CH SQL verbatim (SURVEY §0); operators/joins.py:any_join
+    is the programmatic twin."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.ddl import parse_clickhouse_ddl
+
+    ev = t(spark, sf_dir, "events")
+    ev.select("user_id", "ts", "event_type", "value", "event_id") \
+        .createOrReplaceTempView("first_event")
+    ev.select("user_id").distinct().createOrReplaceTempView("user_ids")
+    spec = parse_clickhouse_ddl(
+        "CREATE TABLE first_event (user_id Int64, ts DateTime,"
+        " event_type String, value Float64, event_id Int64)"
+        " ENGINE = MergeTree() ORDER BY (user_id, ts)"
+    )
+    return spark.sql(translate(_ANY_JOIN_SQL, {"first_event": spec}).sql)

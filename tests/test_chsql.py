@@ -18,7 +18,7 @@ def views(spark, sf_dir):
 
     register_sql_aliases(spark)
 
-    for name in ("events", "documents", "orders", "lineitem"):
+    for name in ("events", "documents", "orders", "lineitem", "customer"):
         read_table(spark, sf_dir, name).createOrReplaceTempView(name)
     return spark
 
@@ -179,8 +179,12 @@ def test_ch_sql_insert_jsoneachrow(spark, tmp_path):
     assert [(r["id"], r["name"], r["price"]) for r in got] == [
         (1, "a", 9.5), (2, "b", 1.25)
     ]
-    with pytest.raises(ValueError, match="JSONEachRow"):
-        eng.ch_sql("INSERT INTO gadgets VALUES (3, 'c', 2.0, now())")
+    # VALUES inserts are also supported (same append path)
+    res2 = eng.ch_sql(
+        "INSERT INTO gadgets VALUES (3, 'c', 2.0, '2024-01-03 00:00:00')"
+    ).first()
+    assert (res2["table"], res2["rows_inserted"]) == ("gadgets", 1)
+    assert eng.ch_sql("SELECT count(*) AS n FROM gadgets").first()["n"] == 3
 
 
 def test_with_fill_numeric(views):
@@ -280,3 +284,46 @@ def test_run_ch_sql_tool(spark, sf_dir):
     assert csv.splitlines()[0] == "source,n"
     pretty = run_ch_sql.render(rows, cols, "Pretty")
     assert pretty.count("+") >= 8
+
+
+def test_any_join_rewrite(views):
+    spec = parse_clickhouse_ddl(
+        "CREATE TABLE customer (c_custkey Int64, c_name String,"
+        " c_nationkey Int64, c_acctbal Float64, c_mktsegment String)"
+        " ENGINE = MergeTree() ORDER BY c_custkey"
+    )
+    tr = translate(
+        "SELECT count(*) AS n FROM customer ANY LEFT JOIN customer AS c2 "
+        "USING (c_custkey)",
+        {"customer": spec},
+    )
+    assert "ANY" not in tr.sql.upper().replace("__ANY_RN", "")
+    assert "row_number()" in tr.sql
+    # one row per key on the right => no fan-out: count == customer count
+    n = views.sql(tr.sql).first()["n"]
+    assert n == views.sql("SELECT count(*) AS n FROM customer").first()["n"]
+
+
+def test_any_join_without_spec_orders_by_key(views):
+    tr = translate(
+        "SELECT count(*) AS n FROM orders ANY INNER JOIN orders AS o2 "
+        "USING (o_orderkey)"
+    )
+    assert "PARTITION BY o_orderkey ORDER BY o_orderkey" in tr.sql
+    assert views.sql(tr.sql).first()["n"] > 0
+
+
+def test_any_join_rejects_untranslatable_forms():
+    with pytest.raises(ValueError, match="RIGHT ANY"):
+        translate("SELECT 1 FROM a RIGHT ANY JOIN b USING (k)")
+    with pytest.raises(ValueError, match="any_join"):
+        translate("SELECT 1 FROM a ANY LEFT JOIN b ON a.k = b.k")
+
+
+def test_global_any_join_translates(views):
+    tr = translate(
+        "SELECT count(*) AS n FROM orders GLOBAL ANY LEFT JOIN lineitem AS l "
+        "USING (l_orderkey)"
+    )
+    # GLOBAL strips, ANY still rewrites (regression: GLOBAL used to eat ANY)
+    assert "row_number()" in tr.sql and "GLOBAL" not in tr.sql.upper()
