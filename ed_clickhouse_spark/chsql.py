@@ -32,6 +32,14 @@ top-level token scanning (never inside strings/parens):
   GLOBAL JOIN            JOIN (every Spark join is "global")
   =====================  ==========================================
 
+  aggregate spellings    uniq/uniqExact/countIf/sumIf/argMax/argMin/
+                         any/anyLast/groupArray/groupUniqArray/median/
+                         count()/quantileX(p)(x)/quantilesX(..)(x) →
+                         the same-shape Spark builtins
+                         (_rewrite_agg_spellings; Exact variants map
+                         to exact percentile, the rest to
+                         approx_percentile — CH's default quantile is
+                         approximate too)
   ANY JOIN t USING(k)    right side reduced to one row per key first
                          (row_number subquery ≙ operators/joins.py:
                          any_join) — supported for [LEFT|INNER] ANY
@@ -383,6 +391,144 @@ def _rewrite_numbers(sql: str) -> str:
         sql = sql[: m.start()] + sub + sql[m.end():]
 
 
+# ClickHouse aggregate spellings with a same-shape Spark builtin.
+# Case-sensitive on purpose (CH function names are case-sensitive), and
+# longest-first so uniqCombined64 wins over uniqCombined over uniq.
+_AGG_NAME_MAP = {
+    "uniqCombined64": "approx_count_distinct",
+    "uniqCombined": "approx_count_distinct",
+    "uniqHLL12": "approx_count_distinct",
+    "uniqTheta": "approx_count_distinct",
+    "uniq": "approx_count_distinct",
+    "countIf": "count_if",
+    "argMax": "max_by",
+    "argMin": "min_by",
+    "groupUniqArray": "collect_set",
+    "groupArray": "collect_list",
+    "anyLast": "last",
+    "anyHeavy": "any_value",
+    "any": "any_value",
+    "stddevPop": "stddev_pop",
+    "stddevSamp": "stddev_samp",
+    "varPop": "var_pop",
+    "varSamp": "var_samp",
+    "covarPop": "covar_pop",
+    "covarSamp": "covar_samp",
+}
+# conditional-aggregate combinators: name(x, cond) -> base(if(cond, x, NULL))
+_AGG_IF_MAP = {"sumIf": "sum", "avgIf": "avg", "minIf": "min", "maxIf": "max"}
+
+
+def _call_end(s: str, open_idx: int) -> int:
+    """Index of the ``)`` matching the ``(`` at ``open_idx``."""
+    depth = 0
+    for j in range(open_idx, len(s)):
+        if s[j] == "(":
+            depth += 1
+        elif s[j] == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+    raise ValueError(f"unbalanced parens after position {open_idx}")
+
+
+def _rewrite_agg_spellings(sql: str) -> str:
+    """ClickHouse aggregate-function spellings → Spark builtins, so the
+    aggregates in a reference user's saved SQL run verbatim:
+
+    - name-for-name (``uniq``→``approx_count_distinct``, ``argMax``→
+      ``max_by``, ``any``→``any_value``, ``groupArray``→``collect_list``,
+      ...) — case-sensitive, longest name first;
+    - ``uniqExact(x)`` → ``count(DISTINCT x)``;
+    - ``-If`` combinators ``sumIf/avgIf/minIf/maxIf(x, c)`` →
+      ``agg(if(c, x, NULL))`` (``countIf``→``count_if`` is native);
+    - the parametric quantile family ``quantileX(p)(x)`` /
+      ``quantilesX(p1, ...)(x)``: ``Exact`` variants → exact
+      ``percentile``, everything else (TDigest/Timing/BFloat16/plain) →
+      ``approx_percentile`` (CH's default quantile is approximate too);
+      bare ``quantile(x)`` / ``median(x)`` → p = 0.5;
+    - ``count()`` → ``count(*)``.
+
+    Weighted variants (quantileExactWeighted, topKWeighted) are NOT
+    string-rewritable to a builtin — use functions/clickhouse.py /
+    operators; they pass through and fail with Spark's clear
+    unresolved-function error."""
+    # parametric quantiles first: their names share prefixes with nothing
+    while True:
+        m = _find_top_anywhere(
+            sql, r"\b(quantiles?)((?:Exact|TDigest|Timing|BFloat16|Deterministic)?)\s*\("
+        )
+        if not m:
+            break
+        plural = m.group(1) == "quantiles"
+        exact = m.group(2) == "Exact"
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        rest = sql[close1 + 1:].lstrip()
+        fn = "percentile" if exact else "approx_percentile"
+        if rest.startswith("("):
+            open2 = close1 + 1 + (len(sql[close1 + 1:]) - len(rest))
+            close2 = _call_end(sql, open2)
+            ps = _split_top_commas(sql[open1 + 1: close1])
+            x = sql[open2 + 1: close2]
+            p_expr = f"array({', '.join(ps)})" if plural else ps[0]
+            sql = sql[: m.start()] + f"{fn}({x}, {p_expr})" + sql[close2 + 1:]
+        else:
+            # bare quantile(x): CH semantics = median
+            x = sql[open1 + 1: close1]
+            sql = sql[: m.start()] + f"{fn}({x}, 0.5)" + sql[close1 + 1:]
+    while True:
+        m = _find_top_anywhere(sql, r"\bmedian\s*\(")
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        x = sql[open1 + 1: close1]
+        sql = sql[: m.start()] + f"approx_percentile({x}, 0.5)" + sql[close1 + 1:]
+    while True:
+        m = _find_top_anywhere(sql, r"\buniqExact\s*\(")
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        sql = (
+            sql[: m.start()]
+            + f"count(DISTINCT {sql[open1 + 1: close1]})"
+            + sql[close1 + 1:]
+        )
+    for name, base in _AGG_IF_MAP.items():
+        while True:
+            m = _find_top_anywhere(sql, rf"\b{name}\s*\(")
+            if not m:
+                break
+            open1 = sql.index("(", m.end() - 1)
+            close1 = _call_end(sql, open1)
+            args = _split_top_commas(sql[open1 + 1: close1])
+            if len(args) != 2:
+                raise ValueError(f"{name} expects (expr, cond), got {len(args)} args")
+            sql = (
+                sql[: m.start()]
+                + f"{base}(if({args[1]}, {args[0]}, NULL))"
+                + sql[close1 + 1:]
+            )
+    for name, target in _AGG_NAME_MAP.items():
+        while True:
+            # case-sensitive: compile without re.I (CH names are exact)
+            rx = re.compile(rf"\b{name}(\s*\()")
+            hit = None
+            for mm in rx.finditer(sql):
+                lvl = dict((i, (d, q)) for i, _, d, q in _scan_level(sql))
+                d, q = lvl.get(mm.start(), (0, False))
+                if not q:
+                    hit = mm
+                    break
+            if not hit:
+                break
+            sql = sql[: hit.start()] + target + hit.group(1) + sql[hit.end():]
+    sql = re.sub(r"\bcount\s*\(\s*\)", "count(*)", sql, flags=re.I)
+    return sql
+
+
 def _rewrite_any_join(sql: str, specs: dict | None) -> str:
     """ClickHouse ``[LEFT|INNER] ANY JOIN t USING (k, ...)`` → a plain
     join against a one-row-per-key reduction of the right side (the
@@ -464,6 +610,7 @@ def translate(sql: str, specs: dict | None = None) -> Translated:
     sql = re.sub(r"\bdateDiff\s*\(", "chDateDiff(", sql)
     sql = _rewrite_sample(sql, specs)
     sql = _rewrite_any_join(sql, specs)
+    sql = _rewrite_agg_spellings(sql)
     sql = _rewrite_final(sql)
     sql = _rewrite_prewhere(sql)
     sql = _rewrite_array_join(sql)

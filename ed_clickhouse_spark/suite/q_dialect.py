@@ -229,3 +229,55 @@ def q201_ch_any_join(spark, sf_dir):
         " ENGINE = MergeTree() ORDER BY (user_id, ts)"
     )
     return spark.sql(translate(_ANY_JOIN_SQL, {"first_event": spec}).sql)
+
+
+_AGG_SPELLINGS_SQL = """
+SELECT user_id % 10 AS bucket,
+       count() AS n,
+       uniqExact(user_id) AS users,
+       countIf(value > 100) AS big_n,
+       CAST(sumIf(CAST(value AS DECIMAL(18,2)), value > 100) AS DOUBLE)
+           AS big_sum,
+       round(quantileExact(0.5)(value), 6) AS med,
+       arrayStringConcat(arraySort(groupUniqArray(event_type)), ',') AS types
+FROM events
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@query(
+    "q202_ch_agg_spellings",
+    oracle="""
+    SELECT user_id % 10 AS bucket,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS users,
+           COUNT(*) FILTER (WHERE value > 100) AS big_n,
+           CAST(SUM(CASE WHEN value > 100
+                         THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS big_sum,
+           ROUND(quantile_cont(value, 0.5), 6) AS med,
+           array_to_string(list_sort(list(DISTINCT event_type)), ',') AS types
+    FROM events
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def q202_ch_agg_spellings(spark, sf_dir):
+    """The ClickHouse AGGREGATE spellings a reference user's saved SQL
+    is full of — count(), uniqExact, countIf, sumIf, the parametric
+    quantileExact(p)(x), groupUniqArray — run verbatim through
+    chsql._rewrite_agg_spellings (count() → count(*), uniqExact →
+    count(DISTINCT), sumIf → sum(if(...)), quantileExact(p)(x) →
+    percentile(x, p), groupUniqArray → collect_set), hash-checked vs
+    DuckDB. Exact-aggregate variants only, so the oracle is exact; the
+    approximate spellings (uniq, quantile→approx_percentile) rewrite
+    the same way and are covered rows-only by q06/q104. Sum goes
+    through DECIMAL(18,2) on both engines (float-drift convention,
+    suite/__init__.py)."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(translate(_AGG_SPELLINGS_SQL).sql)

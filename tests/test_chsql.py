@@ -327,3 +327,56 @@ def test_global_any_join_translates(views):
     )
     # GLOBAL strips, ANY still rewrites (regression: GLOBAL used to eat ANY)
     assert "row_number()" in tr.sql and "GLOBAL" not in tr.sql.upper()
+
+
+def test_agg_spellings_rewrite():
+    tr = translate(
+        "SELECT uniq(a) AS u, uniqExact(b) AS e, argMax(c, t) AS am, "
+        "countIf(x > 1) AS ci, sumIf(x, y) AS si, any(z) AS a1, "
+        "anyLast(z) AS a2, count() AS n, median(x) AS m FROM t"
+    )
+    s = tr.sql
+    assert "approx_count_distinct(a)" in s
+    assert "count(DISTINCT b)" in s
+    assert "max_by(c, t)" in s
+    assert "count_if(x > 1)" in s
+    assert "sum(if(y, x, NULL))" in s
+    assert "any_value(z)" in s
+    assert "last(z)" in s
+    assert "count(*)" in s
+    assert "approx_percentile(x, 0.5)" in s
+
+
+def test_parametric_quantiles_rewrite():
+    s = translate(
+        "SELECT quantile(0.9)(v) AS a, quantileExact(0.5)(v) AS b, "
+        "quantilesExact(0.25, 0.75)(v) AS c, quantileTDigest(0.99)(v) AS d "
+        "FROM t"
+    ).sql
+    assert "approx_percentile(v, 0.9)" in s
+    assert "percentile(v, 0.5)" in s
+    assert "percentile(v, array(0.25, 0.75))" in s
+    assert "approx_percentile(v, 0.99)" in s
+
+
+def test_agg_spellings_leave_strings_alone(views):
+    s = translate("SELECT 'uniq(x) quantile(0.5)(y)' AS lit, uniq(user_id) AS u FROM events").sql
+    assert "'uniq(x) quantile(0.5)(y)'" in s
+    assert "approx_count_distinct(user_id)" in s
+    assert views.sql(s).first()["u"] > 0
+
+
+def test_agg_spellings_end_to_end(views):
+    got = views.sql(
+        translate(
+            "SELECT event_type, countIf(value > 100) AS n_big, "
+            "uniqExact(user_id) AS users FROM events "
+            "GROUP BY event_type ORDER BY event_type"
+        ).sql
+    ).collect()
+    want = views.sql(
+        "SELECT event_type, count_if(value > 100) AS n_big, "
+        "count(DISTINCT user_id) AS users FROM events "
+        "GROUP BY event_type ORDER BY event_type"
+    ).collect()
+    assert got == want and len(got) > 0
