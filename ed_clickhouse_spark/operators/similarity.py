@@ -79,7 +79,11 @@ def brute_force_topk(
             f"if the driver can hold {n_q} vectors."
         )
     q_rows = queries.select(q_id, q_vec).collect()
-    q_ids = np.array([r[q_id] for r in q_rows], dtype=np.int64)
+    # id dtypes come from the frames' schemas — int64 and string ids
+    # both work (numpy object arrays broadcast fine in the mask below)
+    q_id_type = dict(queries.dtypes)[q_id]
+    c_id_type = dict(corpus.dtypes)[c_id]
+    q_ids = np.asarray([r[q_id] for r in q_rows])
     q_mat = np.array([r[q_vec] for r in q_rows], dtype=np.float64)
     q_norm = np.linalg.norm(q_mat, axis=1)
     q_norm[q_norm == 0] = 1.0
@@ -92,7 +96,7 @@ def brute_force_topk(
         for pdf in batches:
             if not len(pdf):
                 continue
-            c_ids = pdf[c_id].to_numpy(dtype=np.int64)
+            c_ids = pdf[c_id].to_numpy()
             c_mat = np.array(list(pdf[c_vec]), dtype=np.float64)
             c_norm = np.linalg.norm(c_mat, axis=1)
             c_norm[c_norm == 0] = 1.0
@@ -109,7 +113,7 @@ def brute_force_topk(
             )
 
     scored = corpus.select(c_id, c_vec).mapInPandas(
-        score, schema=f"{q_id} long, {c_id} long, cos_sim double"
+        score, schema=f"{q_id} {q_id_type}, {c_id} {c_id_type}, cos_sim double"
     )
     return topk_per_group(
         scored, keys=[q_id], order=[F.col("cos_sim").desc(), F.col(c_id)], k=k
@@ -147,8 +151,9 @@ def _blas_pair_scores(
                 {q_id: pdf[q_id], c_id: pdf[c_id], "cos_sim": np.round(sim, rt)}
             )
 
+    types = dict(cand.dtypes)
     return cand.select(q_id, q_vec, c_id, c_vec).mapInPandas(
-        _score, schema=f"{q_id} long, {c_id} long, cos_sim double"
+        _score, schema=f"{q_id} {types[q_id]}, {c_id} {types[c_id]}, cos_sim double"
     )
 
 
@@ -491,7 +496,8 @@ def exact_cosine_pairs(
             f"embedding_near_dup_pairs to generate candidates at scale."
         )
     rows = df.select(id_col, vec_col).collect()
-    ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    id_type = dict(df.dtypes)[id_col]
+    ids = np.asarray([r[id_col] for r in rows])
     mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
     mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
     b_ids = spark.sparkContext.broadcast(ids)
@@ -505,7 +511,7 @@ def exact_cosine_pairs(
             x = np.array(list(pdf[vec_col]), dtype=np.float64)
             x = x / np.linalg.norm(x, axis=1, keepdims=True)
             sims = np.round(x @ m.T, rt)
-            xid = pdf[id_col].to_numpy(dtype=np.int64)
+            xid = pdf[id_col].to_numpy()
             for i in range(len(xid)):
                 mask = (sims[i] >= thr) & (all_ids > xid[i])
                 if mask.any():
@@ -518,7 +524,7 @@ def exact_cosine_pairs(
                     )
 
     return df.select(id_col, vec_col).mapInPandas(
-        score, schema="id_a long, id_b long, cos_sim double"
+        score, schema=f"id_a {id_type}, id_b {id_type}, cos_sim double"
     )
 
 
@@ -550,7 +556,9 @@ def flag_near_benchmark(
             f"rows > max_bench={max_bench}."
         )
     rows = bench.select(id_col, vec_col).orderBy(id_col).collect()
-    b_ids = np.array([r[id_col] for r in rows], dtype=np.int64)
+    bench_id_type = dict(bench.dtypes)[id_col]
+    corpus_id_type = dict(corpus.dtypes)[id_col]
+    b_ids = np.asarray([r[id_col] for r in rows])
     b_mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
     b_mat = b_mat / np.linalg.norm(b_mat, axis=1, keepdims=True)
     bc = corpus.sparkSession.sparkContext.broadcast((b_ids, b_mat))
@@ -570,12 +578,13 @@ def flag_near_benchmark(
             if keep.any():
                 yield pd.DataFrame(
                     {
-                        "corpus_id": pdf[id_col].to_numpy(dtype=np.int64)[keep],
+                        "corpus_id": pdf[id_col].to_numpy()[keep],
                         "bench_id": ids[best[keep]],
                         "cos_sim": best_sim[keep],
                     }
                 )
 
     return corpus.select(id_col, vec_col).mapInPandas(
-        score, schema="corpus_id long, bench_id long, cos_sim double"
+        score,
+        schema=f"corpus_id {corpus_id_type}, bench_id {bench_id_type}, cos_sim double",
     )

@@ -306,3 +306,24 @@ def test_exact_cosine_pairs_matches_bruteforce(spark, sf_dir):
     assert got == want and len(got) > 0
     with pytest.raises(ValueError, match="max_vectors"):
         exact_cosine_pairs(emb, 0.3, max_vectors=3).collect()
+
+
+def test_brute_force_topk_string_ids(spark):
+    """id columns keep their schema type: string doc-ids work end-to-end
+    (the output schema is derived from the inputs, not hardcoded int64)."""
+    from ed_clickhouse_spark.operators.similarity import brute_force_topk
+
+    q = spark.createDataFrame(
+        [("qa", [1.0, 0.0]), ("qb", [0.0, 1.0])], ["q_id", "q_vec"]
+    )
+    c = spark.createDataFrame(
+        [("c1", [1.0, 0.1]), ("c2", [0.1, 1.0]), ("c3", [0.7, 0.7])],
+        ["c_id", "c_vec"],
+    )
+    got = brute_force_topk(q, c, k=1).collect()
+    assert dict(got[0].asDict(), **{}) and {r["q_id"]: r["c_id"] for r in got} == {
+        "qa": "c1", "qb": "c2"
+    }
+    types = dict((f.name, f.dataType.simpleString())
+                 for f in brute_force_topk(q, c, k=1).schema.fields)
+    assert types["q_id"] == "string" and types["c_id"] == "string"
