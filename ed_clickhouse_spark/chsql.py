@@ -391,6 +391,43 @@ def _rewrite_numbers(sql: str) -> str:
         sql = sql[: m.start()] + sub + sql[m.end():]
 
 
+_INTERVAL_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
+
+
+def _rewrite_to_start_of_interval(sql: str) -> str:
+    """``toStartOfInterval(x, INTERVAL n unit)`` → an epoch-floor bucket
+    expression. A SQL UDF can't take an INTERVAL literal as a
+    parameter, so this is a clause rewrite. Fixed-length units only
+    (second/minute/hour/day — a month is not a constant number of
+    seconds); month/year bucketing with n=1 maps to date_trunc."""
+    while True:
+        m = _find_top_anywhere(sql, r"\btoStartOfInterval\s*\(")
+        if not m:
+            return sql
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        if len(args) != 2:
+            raise ValueError("toStartOfInterval expects (expr, INTERVAL n unit)")
+        im = re.match(r"^INTERVAL\s+(\d+)\s+(\w+?)s?$", args[1].strip(), re.I)
+        if not im:
+            raise ValueError(
+                f"toStartOfInterval: cannot parse interval {args[1]!r}"
+            )
+        n, unit = int(im.group(1)), im.group(2).lower()
+        if unit in _INTERVAL_SECONDS:
+            s = n * _INTERVAL_SECONDS[unit]
+            repl = f"to_timestamp(floor(unix_timestamp({args[0]}) / {s}) * {s})"
+        elif unit in ("month", "quarter", "year") and n == 1:
+            repl = f"date_trunc('{unit.upper()}', {args[0]})"
+        else:
+            raise ValueError(
+                f"toStartOfInterval: unsupported unit {n} {unit} (variable-"
+                f"length units only bucket with n=1)"
+            )
+        sql = sql[: m.start()] + repl + sql[close1 + 1:]
+
+
 # ClickHouse aggregate spellings with a same-shape Spark builtin.
 # Case-sensitive on purpose (CH function names are case-sensitive), and
 # longest-first so uniqCombined64 wins over uniqCombined over uniq.
@@ -611,6 +648,7 @@ def translate(sql: str, specs: dict | None = None) -> Translated:
     sql = _rewrite_sample(sql, specs)
     sql = _rewrite_any_join(sql, specs)
     sql = _rewrite_agg_spellings(sql)
+    sql = _rewrite_to_start_of_interval(sql)
     sql = _rewrite_final(sql)
     sql = _rewrite_prewhere(sql)
     sql = _rewrite_array_join(sql)

@@ -479,6 +479,56 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "(a ARRAY<DOUBLE>) RETURNS DOUBLE",
         "aggregate(a, CAST(1.0 AS DOUBLE), (s, x) -> s * x)",
     ),
+    # UTF8-suffixed string spellings (Spark strings are UTF-8 already,
+    # so these are the plain builtins; length/position are
+    # CHARACTER-counting in both engines)
+    "lengthUTF8": ("(s STRING) RETURNS INT", "char_length(s)"),
+    "substringUTF8": ("(s STRING, p INT, l INT) RETURNS STRING", "substring(s, p, l)"),
+    "positionUTF8": ("(h STRING, n STRING) RETURNS INT", "instr(h, n)"),
+    "splitByString": (
+        "(sep STRING, s STRING) RETURNS ARRAY<STRING>",
+        r"split(s, concat('\\Q', sep, '\\E'))",  # literal separator
+    ),
+    "countSubstrings": (
+        "(h STRING, n STRING) RETURNS INT",
+        "CAST((length(h) - length(replace(h, n, ''))) / length(n) AS INT)",
+    ),
+    "multiSearchAny": (
+        "(s STRING, pats ARRAY<STRING>) RETURNS BOOLEAN",
+        "exists(pats, p -> instr(s, p) > 0)",
+    ),
+    # integer-width cast spellings (CH's unsigned widths widen to the
+    # next signed Spark type — Spark has no unsigned integers)
+    "toInt32": ("(s STRING) RETURNS INT", "CAST(s AS INT)"),
+    "toUInt32": ("(s STRING) RETURNS BIGINT", "CAST(s AS BIGINT)"),
+    "toUInt64": ("(s STRING) RETURNS BIGINT", "CAST(s AS BIGINT)"),
+    "toFloat32": ("(s STRING) RETURNS FLOAT", "CAST(s AS FLOAT)"),
+    # 64-bit hash spellings. ROLE parity, not bit parity: CH's
+    # sipHash64/cityHash64 and Spark's xxhash64 are different mixers, so
+    # values differ across engines — fine for their actual uses
+    # (bucketing, sampling, fingerprint joins computed and consumed
+    # inside one engine), wrong for persisted cross-system hash
+    # contracts (persist the md5 fingerprint column for that).
+    "sipHash64": ("(s STRING) RETURNS BIGINT", "xxhash64(s)"),
+    "cityHash64": ("(s STRING) RETURNS BIGINT", "xxhash64(s)"),
+    "SHA256": ("(s STRING) RETURNS BINARY", "unhex(sha2(s, 256))"),
+    # bit-shift spellings
+    "bitShiftLeft": ("(a BIGINT, n INT) RETURNS BIGINT", "shiftleft(a, n)"),
+    "bitShiftRight": ("(a BIGINT, n INT) RETURNS BIGINT", "shiftright(a, n)"),
+    # sub-hour time buckets (monitoring-dashboard staple; date_trunc
+    # has no 5/10/15-minute unit)
+    "toStartOfFiveMinutes": (
+        "(x TIMESTAMP) RETURNS TIMESTAMP",
+        "to_timestamp(floor(unix_timestamp(x) / 300) * 300)",
+    ),
+    "toStartOfTenMinutes": (
+        "(x TIMESTAMP) RETURNS TIMESTAMP",
+        "to_timestamp(floor(unix_timestamp(x) / 600) * 600)",
+    ),
+    "toStartOfFifteenMinutes": (
+        "(x TIMESTAMP) RETURNS TIMESTAMP",
+        "to_timestamp(floor(unix_timestamp(x) / 900) * 900)",
+    ),
     # calendar niladics + compact date keys
     "today": ("() RETURNS DATE", "current_date()"),
     "yesterday": ("() RETURNS DATE", "date_sub(current_date(), 1)"),

@@ -281,3 +281,44 @@ def q202_ch_agg_spellings(spark, sf_dir):
     register_sql_aliases(spark)
     t(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(translate(_AGG_SPELLINGS_SQL).sql)
+
+
+_MONITORING_SQL = """
+SELECT toStartOfInterval(ts, INTERVAL 15 minute) AS bucket,
+       count() AS n,
+       uniqExact(user_id) AS users,
+       countIf(event_type = 'purchase') AS purchases
+FROM events
+PREWHERE toDate(ts) = '2024-01-03'
+GROUP BY bucket
+ORDER BY bucket
+"""
+
+
+@query(
+    "q203_ch_monitoring",
+    oracle="""
+    SELECT CAST(to_timestamp(floor(epoch(ts) / 900) * 900) AS TIMESTAMP)
+               AS bucket,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS users,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchases
+    FROM events
+    WHERE CAST(ts AS DATE) = DATE '2024-01-03'
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q203_ch_monitoring(spark, sf_dir):
+    """The monitoring-dashboard query shape every ClickHouse ops user
+    has saved: sub-hour time buckets via toStartOfInterval (a clause
+    rewrite — INTERVAL literals can't be SQL-UDF parameters; the bucket
+    is an epoch floor, identical arithmetic on any engine), PREWHERE
+    date pruning, count()/uniqExact/countIf spellings. One scan, one
+    partial-agg shuffle keyed on the bucket — the 100 TB shape."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(translate(_MONITORING_SQL).sql)

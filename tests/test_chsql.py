@@ -380,3 +380,30 @@ def test_agg_spellings_end_to_end(views):
         "GROUP BY event_type ORDER BY event_type"
     ).collect()
     assert got == want and len(got) > 0
+
+
+def test_to_start_of_interval_rewrite():
+    s = translate(
+        "SELECT toStartOfInterval(ts, INTERVAL 5 minute) AS b FROM events"
+    ).sql
+    assert "floor(unix_timestamp(ts) / 300) * 300" in s
+    s = translate(
+        "SELECT toStartOfInterval(ts, INTERVAL 1 month) AS b FROM events"
+    ).sql
+    assert "date_trunc('MONTH', ts)" in s
+    with pytest.raises(ValueError, match="variable-length"):
+        translate("SELECT toStartOfInterval(ts, INTERVAL 2 month) FROM e")
+
+
+def test_new_scalar_spellings(views):
+    r = views.sql(
+        "SELECT lengthUTF8('héllo') AS l, countSubstrings('abcabcab', 'ab') AS c, "
+        "splitByString('||', 'a||b') AS sp, "
+        "multiSearchAny('hello world', array('xyz', 'wor')) AS ms, "
+        "bitShiftLeft(3, 2) AS bsl, "
+        "hex(SHA256('abc')) AS sha"
+    ).first()
+    assert r["l"] == 5 and r["c"] == 3 and r["sp"] == ["a", "b"]
+    assert r["ms"] is True and r["bsl"] == 12
+    # the well-known SHA-256 of 'abc'
+    assert r["sha"].lower().startswith("ba7816bf8f01cfea")
