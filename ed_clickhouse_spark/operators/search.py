@@ -92,3 +92,44 @@ def bm25_topk(
         .orderBy(F.col("bm25").desc(), "doc_id")
         .limit(k)
     )
+
+
+def rrf_fuse(
+    ranked: list[DataFrame],
+    id_col: str = "doc_id",
+    rrf_k: int = 60,
+    k: int = 10,
+    round_to: int = 6,
+) -> DataFrame:
+    """Reciprocal-rank fusion of N ranked retrieval lists — the standard
+    way to combine lexical (BM25) and semantic (embedding) retrieval
+    into one hybrid ranking without score calibration:
+
+        rrf(d) = sum_i 1 / (rrf_k + rank_i(d))
+
+    with a list contributing 0 for documents it didn't retrieve. Each
+    input frame must have (``id_col``, ``rank``) with rank starting at
+    1. Returns (id, rank_1..rank_N, rrf) top-k, ties broken by id.
+
+    Scale shape: the inputs are top-``depth`` lists (already truncated
+    by their retrievers), so the fusion join is over at most
+    N * depth rows — driver-free, broadcastable, trivially cheap next
+    to the retrieval stages that feed it."""
+    fused = None
+    for i, df in enumerate(ranked, start=1):
+        side = df.select(F.col(id_col), F.col("rank").alias(f"rank_{i}"))
+        fused = side if fused is None else fused.join(side, id_col, "full_outer")
+    contrib = [
+        F.coalesce(
+            F.lit(1.0) / (F.lit(rrf_k) + F.col(f"rank_{i}")), F.lit(0.0)
+        )
+        for i in range(1, len(ranked) + 1)
+    ]
+    total = contrib[0]
+    for c in contrib[1:]:
+        total = total + c
+    return (
+        fused.withColumn("rrf", F.round(total, round_to))
+        .orderBy(F.col("rrf").desc(), id_col)
+        .limit(k)
+    )

@@ -84,3 +84,92 @@ def q99_posting_stats(spark, sf_dir):
         .orderBy(F.col("n_docs").desc(), "term")
         .limit(25)
     )
+
+
+@query(
+    "q204_hybrid_search_rrf",
+    oracle=f"""
+    WITH lens AS (
+      SELECT doc_id,
+             len(list_filter(string_split(text, ' '), x -> x <> '')) AS dl
+      FROM documents
+    ),
+    stats AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM lens),
+    postings AS (
+      SELECT doc_id, term, COUNT(*) AS tf
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents)
+      WHERE term IN {_TERMS_SQL}
+      GROUP BY 1, 2
+    ),
+    dfreq AS (SELECT term, COUNT(DISTINCT doc_id) AS df FROM postings GROUP BY 1),
+    bm AS (
+      SELECT doc_id, ROUND(SUM(
+               ln(1.0 + (s.n_docs - d.df + 0.5) / (d.df + 0.5))
+                 * (p.tf * 2.2) / (p.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+             ), 6) AS bm25
+      FROM postings p JOIN dfreq d USING (term)
+      JOIN lens l USING (doc_id) CROSS JOIN stats s
+      GROUP BY doc_id
+    ),
+    lex AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY bm25 DESC, doc_id) AS rank
+      FROM bm QUALIFY rank <= 50
+    ),
+    qv AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    cs AS (
+      SELECT e.vec_id AS doc_id,
+             ROUND(list_cosine_similarity(
+               CAST(e.embedding AS DOUBLE[]),
+               CAST((SELECT embedding FROM qv) AS DOUBLE[])), 6) AS cos
+      FROM embeddings e WHERE e.vec_id <> 0
+    ),
+    sem AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cos DESC, doc_id) AS rank
+      FROM cs QUALIFY rank <= 50
+    )
+    SELECT COALESCE(l.doc_id, s.doc_id) AS doc_id,
+           l.rank AS rank_1, s.rank AS rank_2,
+           ROUND(COALESCE(1.0 / (60 + l.rank), 0)
+                 + COALESCE(1.0 / (60 + s.rank), 0), 6) AS rrf
+    FROM lex l FULL JOIN sem s USING (doc_id)
+    ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+)
+def q204_hybrid_search_rrf(spark, sf_dir):
+    """Hybrid retrieval, the RAG-index staple: BM25 lexical top-50 and
+    embedding-cosine semantic top-50 (query = vector 0, scored with the
+    JVM zip_with/aggregate fold — no UDF), fused by reciprocal-rank
+    fusion (operators/search.py:rrf_fuse) into one calibrated-free
+    ranking. Both retrieval tiers keep their scale shape (posting-list
+    filter / broadcast query vector, corpus never shuffles raw); the
+    fusion joins two 50-row lists — negligible at any corpus size."""
+    from pyspark.sql import Window as W
+
+    from ed_clickhouse_spark.operators.search import rrf_fuse
+    from ed_clickhouse_spark.operators.similarity import cosine
+
+    docs = t(spark, sf_dir, "documents")
+    bm = bm25_topk(docs, _TERMS, k=50)
+    lex = bm.select(
+        "doc_id", F.row_number().over(
+            W.orderBy(F.col("bm25").desc(), "doc_id")).alias("rank"),
+    )
+    emb = t(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"),
+        F.col("embedding").cast("array<double>").alias("vec"),
+    )
+    qv = F.broadcast(
+        emb.filter(F.col("doc_id") == 0).select(F.col("vec").alias("q_vec"))
+    )
+    sem = (
+        emb.filter(F.col("doc_id") != 0)
+        .crossJoin(qv)
+        .select("doc_id", F.round(cosine("vec", "q_vec"), 6).alias("cos"))
+        .select(
+            "doc_id",
+            F.row_number().over(
+                W.orderBy(F.col("cos").desc(), "doc_id")).alias("rank"),
+        )
+        .filter(F.col("rank") <= 50)
+    )
+    return rrf_fuse([lex, sem], k=10)

@@ -425,3 +425,21 @@ def test_sequence_match_times_lower_bound(spark):
                df, "user", "ts", "ev", ["A", "B"], [(">", 10)]
            ).collect()}
     assert got == {"u1": False, "u2": True}
+
+
+def test_rrf_fuse_contributions_and_ties(spark):
+    from ed_clickhouse_spark.operators.search import rrf_fuse
+
+    lex = spark.createDataFrame([(1, 1), (2, 2), (3, 3)], ["doc_id", "rank"])
+    sem = spark.createDataFrame([(2, 1), (4, 2)], ["doc_id", "rank"])
+    got = {r["doc_id"]: r for r in rrf_fuse([lex, sem], k=10, rrf_k=60).collect()}
+    # doc 2 is in both lists: 1/62 + 1/61
+    assert abs(got[2]["rrf"] - round(1 / 62 + 1 / 61, 6)) < 1e-9
+    # doc 4 only semantic: 1/62 ; doc 1 only lexical: 1/61
+    assert abs(got[4]["rrf"] - round(1 / 62, 6)) < 1e-9
+    assert abs(got[1]["rrf"] - round(1 / 61, 6)) < 1e-9
+    assert got[2]["rank_1"] == 2 and got[2]["rank_2"] == 1
+    assert got[4]["rank_1"] is None
+    # fused order: doc 2 (both) first
+    order = [r["doc_id"] for r in rrf_fuse([lex, sem], k=10).collect()]
+    assert order[0] == 2
