@@ -235,6 +235,48 @@ def _find_top_anywhere(s: str, pattern: str) -> re.Match | None:
     return None
 
 
+def _rewrite_array_join_fn(sql: str) -> str:
+    """ClickHouse's FUNCTION-form ``arrayJoin(expr)`` in the SELECT
+    list → the clause form (``ARRAY JOIN (expr) AS alias`` appended
+    after the FROM section), which _rewrite_array_join then turns into
+    LATERAL VIEW explode. An ``AS alias`` after the call is honored;
+    otherwise a ``__ajf<i>`` alias names the output column (CH would
+    name it ``arrayJoin(expr)`` — aliasing is the portable spelling).
+    Top-level select items only: arrayJoin nested inside an aggregate
+    has no Spark equivalent and surfaces Spark's generator error."""
+    i = 0
+    while True:
+        m = _find_top_anywhere(sql, r"\barrayJoin\s*\(")
+        if not m:
+            return sql
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        expr = sql[open1 + 1: close1]
+        after = sql[close1 + 1:]
+        am = re.match(r"\s+AS\s+(\w+)", after, re.I)
+        if am:
+            alias, end = am.group(1), close1 + 1 + am.end()
+        else:
+            alias, end = f"__ajf{i}", close1 + 1
+        sql = sql[: m.start()] + alias + sql[end:]
+        fm = _find_top(sql, r"\bFROM\b")
+        if not fm:
+            raise ValueError("arrayJoin() requires a FROM clause")
+        tail = sql[fm.end():]
+        stop = _find_top(
+            tail,
+            r"\b(?:WHERE|PREWHERE|GROUP|HAVING|ORDER|LIMIT|SETTINGS|"
+            r"FORMAT|UNION)\b",
+        )
+        pos = fm.end() + (stop.start() if stop else len(tail))
+        sql = (
+            sql[:pos].rstrip()
+            + f" ARRAY JOIN ({expr}) AS {alias} "
+            + sql[pos:].lstrip()
+        )
+        i += 1
+
+
 def _rewrite_array_join(sql: str) -> str:
     while True:
         m = _find_top(sql, r"\b(LEFT\s+)?ARRAY\s+JOIN\b")
@@ -651,6 +693,7 @@ def translate(sql: str, specs: dict | None = None) -> Translated:
     sql = _rewrite_to_start_of_interval(sql)
     sql = _rewrite_final(sql)
     sql = _rewrite_prewhere(sql)
+    sql = _rewrite_array_join_fn(sql)
     sql = _rewrite_array_join(sql)
     sql = _rewrite_totals(sql)
     sql = _rewrite_limit_by(sql)

@@ -407,3 +407,26 @@ def test_new_scalar_spellings(views):
     assert r["ms"] is True and r["bsl"] == 12
     # the well-known SHA-256 of 'abc'
     assert r["sha"].lower().startswith("ba7816bf8f01cfea")
+
+
+def test_array_join_function_form(views):
+    got = views.sql(
+        translate(
+            "SELECT arrayJoin(splitByChar(' ', text)) AS tok, count() AS n "
+            "FROM documents WHERE n_chars > 200 "
+            "GROUP BY tok ORDER BY n DESC, tok LIMIT 5"
+        ).sql
+    ).collect()
+    want = views.sql(
+        "SELECT tok, count(*) AS n FROM documents "
+        "LATERAL VIEW explode(split(text, ' ')) _t AS tok "
+        "WHERE n_chars > 200 GROUP BY tok ORDER BY n DESC, tok LIMIT 5"
+    ).collect()
+    assert got == want and len(got) == 5
+
+
+def test_array_join_function_form_no_alias(views):
+    rows = views.sql(
+        translate("SELECT arrayJoin(array(1, 2, 3)) FROM documents LIMIT 4").sql
+    ).collect()
+    assert len(rows) == 4
