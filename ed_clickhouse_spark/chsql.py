@@ -433,6 +433,55 @@ def _rewrite_numbers(sql: str) -> str:
         sql = sql[: m.start()] + sub + sql[m.end():]
 
 
+_IDENT_RE = re.compile(r"^[A-Za-z_][\w.]*$")
+
+
+def substitute_params(sql: str, params: dict) -> str:
+    """clickhouse-client query parameters: ``{name:Type}`` placeholders
+    (``SELECT * FROM t WHERE user_id = {uid:UInt64}``, run with
+    ``--param_uid=7``) become typed SQL literals. Values are rendered —
+    never spliced raw — so a string parameter cannot inject SQL:
+    strings are quote-escaped, numerics validated, dates/timestamps
+    wrapped in typed literals, arrays rendered element-wise, and
+    ``Identifier`` (CH's table/column parameter) validated against an
+    identifier grammar. Unknown placeholder names raise."""
+    def render(value, ch_type: str) -> str:
+        tl = ch_type.strip()
+        low = tl.lower()
+        am = re.match(r"^array\((.+)\)$", tl, re.I)
+        if am:
+            inner = am.group(1)
+            return f"array({', '.join(render(v, inner) for v in value)})"
+        if low.startswith(("int", "uint")):
+            return str(int(value))
+        if low.startswith(("float", "double", "decimal")):
+            return repr(float(value))
+        if low in ("date", "date32"):
+            return f"DATE '{value}'"
+        if low.startswith("datetime"):
+            return f"TIMESTAMP '{value}'"
+        if low in ("bool", "boolean"):
+            return "true" if value in (True, 1, "1", "true", "True") else "false"
+        if low == "identifier":
+            if not _IDENT_RE.match(str(value)):
+                raise ValueError(f"invalid identifier parameter: {value!r}")
+            return str(value)
+        if low in ("string", "fixedstring") or low.startswith("fixedstring"):
+            escaped = str(value).replace("\\", "\\\\").replace("'", "\\'")
+            return f"'{escaped}'"
+        raise ValueError(f"unsupported parameter type {ch_type!r}")
+
+    def repl(m: re.Match) -> str:
+        name, ch_type = m.group(1), m.group(2)
+        if name not in params:
+            raise ValueError(f"missing query parameter {name!r}")
+        return render(params[name], ch_type)
+
+    # placeholders never live inside string literals in CH either, so a
+    # plain regex pass is faithful
+    return re.sub(r"\{(\w+)\s*:\s*([\w()', ]+)\}", repl, sql)
+
+
 _INTERVAL_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
 
 
@@ -673,11 +722,17 @@ def _rewrite_system(sql: str) -> str:
         sql = sql[: m.start()] + f"system_{m.group(1)}" + sql[m.end():]
 
 
-def translate(sql: str, specs: dict | None = None) -> Translated:
+def translate(
+    sql: str, specs: dict | None = None, params: dict | None = None
+) -> Translated:
     """Rewrite a ClickHouse-dialect query to Spark SQL. ``specs`` maps
-    table name -> ddl.TableSpec (for SAMPLE BY metadata). Returns the
+    table name -> ddl.TableSpec (for SAMPLE BY metadata); ``params``
+    fills ``{name:Type}`` clickhouse-client placeholders (typed,
+    injection-safe rendering — see substitute_params). Returns the
     Spark SQL plus the requested FORMAT name (if any)."""
     sql = sql.strip()
+    if params:
+        sql = substitute_params(sql, params)
     sql, fmt = _strip_trailing(sql)
     # strip only GLOBAL — ANY now has its own rewrite below
     sql = re.sub(r"\bGLOBAL\s+(?=(ANY|INNER|LEFT|RIGHT|FULL|JOIN))", "", sql, flags=re.I)

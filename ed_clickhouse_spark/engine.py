@@ -225,18 +225,22 @@ class Engine:
             "event_time double, dialect string, query string, plan_ms double",
         ).filter(F.col("query") != "")
 
-    def ch_sql(self, query: str) -> DataFrame:
+    def ch_sql(self, query: str, params: dict | None = None) -> DataFrame:
         """Run a CLICKHOUSE-dialect query: the clause-level syntax the
         reference's users write (PREWHERE, FINAL, SAMPLE, ARRAY JOIN,
         LIMIT BY, WITH TOTALS, FORMAT, SETTINGS) is rewritten to Spark
         SQL (chsql.translate) against the migrated views; the function
-        spellings are already registered. A requested FORMAT name is
+        spellings are already registered. ``params`` fills
+        clickhouse-client ``{name:Type}`` placeholders with typed
+        literals before any parsing. A requested FORMAT name is
         recorded on the result as ``df.ch_format``."""
         import time as _time
 
-        from ed_clickhouse_spark.chsql import translate
+        from ed_clickhouse_spark.chsql import substitute_params, translate
 
         t0 = _time.time()
+        if params:
+            query = substitute_params(query, params)
         meta = self._maybe_meta(query)
         if meta is not None:
             self._query_log.append(

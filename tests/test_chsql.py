@@ -430,3 +430,44 @@ def test_array_join_function_form_no_alias(views):
         translate("SELECT arrayJoin(array(1, 2, 3)) FROM documents LIMIT 4").sql
     ).collect()
     assert len(rows) == 4
+
+
+def test_query_parameters(views):
+    from ed_clickhouse_spark.chsql import substitute_params
+
+    tr = translate(
+        "SELECT count(*) AS n FROM events "
+        "WHERE event_type = {et:String} AND value > {v:Float64}",
+        params={"et": "click", "v": 100.0},
+    )
+    got = views.sql(tr.sql).first()["n"]
+    want = views.sql(
+        "SELECT count(*) AS n FROM events "
+        "WHERE event_type = 'click' AND value > 100.0"
+    ).first()["n"]
+    assert got == want > 0
+    # injection attempt stays a literal
+    s = substitute_params(
+        "SELECT * FROM t WHERE name = {n:String}", {"n": "x'; DROP TABLE t--"}
+    )
+    assert "DROP TABLE" in s and s.count("'") >= 2 and "\\'" in s
+    with pytest.raises(ValueError, match="missing query parameter"):
+        substitute_params("SELECT {a:UInt64}", {})
+    with pytest.raises(ValueError, match="invalid identifier"):
+        substitute_params("SELECT * FROM {t:Identifier}", {"t": "x; drop"})
+    # array + identifier + date forms
+    s = substitute_params(
+        "SELECT * FROM {t:Identifier} WHERE d = {d:Date} AND k IN {ks:Array(Int64)}",
+        {"t": "events", "d": "2024-01-02", "ks": [1, 2]},
+    )
+    assert "FROM events" in s and "DATE '2024-01-02'" in s and "array(1, 2)" in s
+
+
+def test_engine_ch_sql_params(spark, tmp_path):
+    from ed_clickhouse_spark.engine import Engine
+
+    eng = Engine(str(tmp_path), spark)
+    r = eng.ch_sql(
+        "SELECT {a:UInt64} + 1 AS x, {s:String} AS s", params={"a": 41, "s": "hi"}
+    ).first()
+    assert r["x"] == 42 and r["s"] == "hi"

@@ -5,6 +5,9 @@ Usage:
     python tools/run_ch_sql.py [--sf-dir /root/testdata/sf0.01] \
         "SELECT source, count(*) AS n FROM documents GROUP BY source \
          ORDER BY n DESC LIMIT 5 FORMAT JSONEachRow"
+    # query parameters, clickhouse-client spelling:
+    python tools/run_ch_sql.py "SELECT count(*) AS n FROM events \
+        WHERE event_type = {et:String}" --param_et=click
 
 Registers the test tables as views, the ClickHouse function spellings,
 and pushes the query through the dialect rewriter (chsql.translate) —
@@ -16,7 +19,12 @@ JSONEachRow (default), CSV / CSVWithNames, TSV / TSVWithNames, Pretty.
 from __future__ import annotations
 
 import argparse
+import os
 import sys
+
+# runnable as `python tools/run_ch_sql.py` from anywhere: the package
+# lives next to tools/, not on the script-dir sys.path entry
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 TABLES = (
     "region nation customer supplier part orders lineitem events "
@@ -24,8 +32,11 @@ TABLES = (
 ).split()
 
 
-def run(query: str, sf_dir: str, spark=None) -> tuple[list, list[str], str | None]:
+def run(
+    query: str, sf_dir: str, spark=None, params: dict | None = None
+) -> tuple[list, list[str], str | None]:
     """Execute a ClickHouse-dialect query against the sf_dir tables.
+    ``params`` fills clickhouse-client {name:Type} placeholders.
     Returns (rows, column_names, format_name)."""
     from ed_clickhouse_spark.catalog import read_table
     from ed_clickhouse_spark.chsql import translate
@@ -39,7 +50,7 @@ def run(query: str, sf_dir: str, spark=None) -> tuple[list, list[str], str | Non
             read_table(spark, sf_dir, name).createOrReplaceTempView(name)
         except Exception:  # noqa: BLE001 — table absent from this sf_dir
             pass
-    tr = translate(query)
+    tr = translate(query, params=params)
     df = spark.sql(tr.sql)
     return df.collect(), df.columns, tr.format
 
@@ -90,8 +101,16 @@ def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("query")
     ap.add_argument("--sf-dir", default="/root/testdata/sf0.01")
-    args = ap.parse_args()
-    rows, cols, fmt = run(args.query, args.sf_dir)
+    # clickhouse-client spelling: --param_name=value (repeatable)
+    args, extra = ap.parse_known_args()
+    params = {}
+    for tok in extra:
+        if tok.startswith("--param_") and "=" in tok:
+            k, v = tok[len("--param_"):].split("=", 1)
+            params[k] = v
+        else:
+            ap.error(f"unrecognized argument: {tok}")
+    rows, cols, fmt = run(args.query, args.sf_dir, params=params or None)
     print(render(rows, cols, fmt))
     return 0
 
