@@ -112,3 +112,35 @@ def test_hll_set_estimates_overlap(spark):
     assert abs(r["est_union"] - 1000) / 1000 < 0.05
     # inclusion-exclusion intersection: looser bound (errors compound)
     assert abs(r["est_intersect"] - 200) / 200 < 0.25
+
+
+def test_streaming_topk_heavy_hitters(spark, tmp_path):
+    """Three skewed micro-batches: the maintained state finds the true
+    heavy hitters with one-sided estimates, answers from state only,
+    and compaction is lossless."""
+    from ed_clickhouse_spark.streaming.topk import StreamingTopK
+
+    st = StreamingTopK(
+        spark, str(tmp_path / "hh"), "tok", width=512, depth=4, m_candidates=10
+    )
+    true = {}
+    for b in range(3):
+        rows = []
+        for i in range(40):
+            tok = f"t{i}"
+            # heavy keys t0/t1/t2 in every batch; t3 heavy in batch 2 only
+            n = 50 if i < 3 else (60 if (i == 3 and b == 2) else 1 + (i + b) % 3)
+            rows += [(tok,)] * n
+            true[tok] = true.get(tok, 0) + n
+        st.on_batch(spark.createDataFrame(rows, ["tok"]))
+
+    got = {r["tok"]: r["est_count"] for r in st.topk(4).collect()}
+    # the genuinely heavy keys are found
+    assert set(got) == {"t0", "t1", "t2", "t3"}
+    # CMS one-sided bound: never undercounts
+    for tok, est in got.items():
+        assert est >= true[tok]
+    # compaction: bounded state, identical answers
+    n_rows = st.compact()
+    assert n_rows <= 512 * 4
+    assert {r["tok"]: r["est_count"] for r in st.topk(4).collect()} == got
