@@ -101,3 +101,45 @@ def test_matview_compact_is_lossless(spark, mv_setup):
     # states remain mergeable after compaction: append another batch
     mv.on_batch(spark.read.parquet(f"{wh}/login_events"))
     assert mv.read(keys=[]).collect()[0]["n_rows"] == 30
+
+
+def test_streaming_topk_through_ingest(spark, tmp_path):
+    """StreamingTopK plugs into the same views= insert hook as MVs:
+    heavy hitters maintained per micro-batch through the real pipeline,
+    answered from state only."""
+    from ed_clickhouse_spark.streaming.topk import StreamingTopK
+
+    src = tmp_path / "src"
+    src.mkdir()
+    wh, ckpt = str(tmp_path / "wh"), str(tmp_path / "ckpt")
+    hh = StreamingTopK(
+        spark, str(tmp_path / "hh"), "user_id", width=256, depth=4,
+        m_candidates=5,
+    )
+    # batch 1: user u7 dominates; batch 2: user u9 dominates
+    def _ev(i, ts, uid):
+        ev = _envelope(i, "login", ts)
+        ev["user_id"] = uid
+        return json.dumps({"subject": "events.login", "payload": json.dumps(ev)})
+
+    (src / "b1.json").write_text("\n".join(
+        _ev(i, 1_700_000_000 + i, "u7" if i % 4 else f"x{i}") for i in range(12)
+    ))
+    (src / "b2.json").write_text("\n".join(
+        _ev(100 + i, 1_700_001_000 + i, "u9") for i in range(10)
+    ))
+    q = start_ingest(
+        spark, str(src), wh, ckpt,
+        max_files_per_trigger=1,
+        views={"login_events": [hh]},
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    raw = spark.read.parquet(f"{wh}/login_events")
+    true = {r["user_id"]: r["n"] for r in
+            raw.groupBy("user_id").agg(F.count("*").alias("n")).collect()}
+    got = {r["user_id"]: r["est_count"] for r in hh.topk(2).collect()}
+    assert set(got) == {"u7", "u9"}
+    for uid, est in got.items():
+        assert est >= true[uid]  # CMS never undercounts
