@@ -47,6 +47,14 @@ top-level token scanning (never inside strings/parens):
                          deterministic by ordering on the table's full
                          column list when the spec is known (so the
                          DuckDB oracle reproduces it), else on the key.
+  arrayJoin(x) in SELECT lifted to clause form → LATERAL VIEW explode
+                         (_rewrite_array_join_fn; Spark rejects
+                         generators next to aggregates)
+  toStartOfInterval      epoch-floor bucket expression (INTERVAL
+                         literals can't be SQL-UDF parameters)
+  {name:Type} params     clickhouse-client query parameters, filled
+                         from a params dict with typed injection-safe
+                         literal rendering (substitute_params)
   =====================  ==========================================
 
 Not translated (documented): ANY JOIN with an ON clause or a subquery
