@@ -676,6 +676,12 @@ def _rewrite_any_join(sql: str, specs: dict | None) -> str:
     (oracle-reproducible), else by the join key (still a valid "any").
     RIGHT ANY JOIN (left-side dedup in CH) and ON-clause/subquery forms
     are rejected with a pointer to the operator API."""
+    if _find_top_anywhere(sql, r"\bASOF\s+(LEFT\s+)?JOIN\b"):
+        raise ValueError(
+            "ASOF JOIN has no faithful string rewrite (the dedup-to-best-"
+            "match needs a unique left-row id); use "
+            "operators/joins.py:asof_join (q24 is the worked example)"
+        )
     if _find_top_anywhere(sql, r"\bRIGHT\s+ANY\s+JOIN\b"):
         raise ValueError(
             "RIGHT ANY JOIN is not translated (it dedups the LEFT side); "

@@ -471,3 +471,8 @@ def test_engine_ch_sql_params(spark, tmp_path):
         "SELECT {a:UInt64} + 1 AS x, {s:String} AS s", params={"a": 41, "s": "hi"}
     ).first()
     assert r["x"] == 42 and r["s"] == "hi"
+
+
+def test_asof_join_clear_error():
+    with pytest.raises(ValueError, match="asof_join"):
+        translate("SELECT * FROM a ASOF LEFT JOIN b ON a.k = b.k AND a.ts >= b.ts")
