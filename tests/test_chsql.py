@@ -476,3 +476,25 @@ def test_engine_ch_sql_params(spark, tmp_path):
 def test_asof_join_clear_error():
     with pytest.raises(ValueError, match="asof_join"):
         translate("SELECT * FROM a ASOF LEFT JOIN b ON a.k = b.k AND a.ts >= b.ts")
+
+
+def test_agg_spellings_tricky_nesting():
+    """Paren/string edge cases the token scanner must survive: nested
+    calls with parens inside string literals, multi-arg forms, and \\b
+    guards against substring names."""
+    cases = {
+        "SELECT argMax(concat(a, ')'), greatest(b, c)) AS am FROM t":
+            "max_by(concat(a, ')'), greatest(b, c))",
+        "SELECT sumIf(x * (y + 1), (a > 1) AND (b < 2)) AS s FROM t":
+            "sum(if((a > 1) AND (b < 2), x * (y + 1), NULL))",
+        "SELECT uniq(a, b) AS u FROM t":
+            "approx_count_distinct(a, b)",
+        "SELECT quantilesExact(0.1, 0.9)(x + y) AS q FROM t":
+            "percentile(x + y, array(0.1, 0.9))",
+        "SELECT countIf(x IN ('uniq(', 'argMax(')) AS c FROM t":
+            "count_if(x IN ('uniq(', 'argMax('))",
+        "SELECT company(x) AS c, many(y) AS m FROM t":
+            "company(x)",
+    }
+    for src, want in cases.items():
+        assert want in translate(src).sql, src
