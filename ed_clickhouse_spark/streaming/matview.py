@@ -78,11 +78,34 @@ class StreamingMatView:
             )
         return batch.groupBy(*self.dims).agg(*aggs)
 
-    def on_batch(self, batch: DataFrame) -> None:
-        """Aggregate one micro-batch to partial states and APPEND —
-        the ClickHouse MV insert trigger. One map-side-combined shuffle
-        over the batch (not history); the target is never read."""
-        self._partial(batch).write.mode("append").parquet(self.dest_path)
+    def on_batch(self, batch: DataFrame, epoch_id: int | None = None) -> None:
+        """Aggregate one micro-batch to partial states — the ClickHouse
+        MV insert trigger. One map-side-combined shuffle over the batch
+        (not history); the target is never read.
+
+        ``epoch_id`` (the foreachBatch epoch, stable across restarts of
+        the same checkpoint) upgrades the write from at-least-once to
+        EXACTLY-ONCE: the partial lands in an ``__epoch=<id>`` partition
+        via dynamic overwrite, so a replayed batch overwrites its own
+        partial instead of double-appending — the failure mode ClickHouse
+        MVs themselves have on insert retries. Without it (direct batch
+        use) the write is a plain append. Use one mode consistently per
+        state directory: the layouts (partitioned vs flat) don't mix."""
+        part = self._partial(batch)
+        if epoch_id is None:
+            part.write.mode("append").parquet(self.dest_path)
+            return
+        # per-write option, not session conf: inside foreachBatch the
+        # batch runs on a CLONED session, so a conf set on the main
+        # session would not reach this write (static overwrite would
+        # silently wipe every other epoch)
+        (
+            part.withColumn("__epoch", F.lit(int(epoch_id)))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__epoch")
+            .parquet(self.dest_path)
+        )
 
     # -- read-time (the -Merge combinators) --------------------------------
     def _merge_aggs(self) -> list:
@@ -112,7 +135,17 @@ class StreamingMatView:
         """Merge state rows down to one per group and rewrite the state
         table (ClickHouse background merges / OPTIMIZE FINAL). Returns
         the row count after compaction. HLL states union WITHOUT
-        estimating, so compaction is lossless and repeatable."""
+        estimating, so compaction is lossless and repeatable.
+
+        Epoch-partitioned state (the exactly-once mode) folds every
+        epoch EXCEPT the newest into one archive partition
+        (``__epoch=-1``) and keeps the newest epoch's partition intact.
+        Replay-safe by the Structured Streaming commit protocol: only
+        the latest epoch can ever be replayed after a crash (earlier
+        ones are committed in the checkpoint), and that epoch's
+        partition survives compaction, so its replay still overwrites
+        exactly itself. State is thereby bounded at ~2 rows per group
+        regardless of history length."""
         import os
         import shutil
 
@@ -120,13 +153,28 @@ class StreamingMatView:
         aggs = self._merge_aggs()
         if self.distinct_entity:
             aggs.append(F.expr("hll_union_agg(hll_state)").alias("hll_state"))
-        merged = st.groupBy(*self.dims).agg(*aggs)
+        epoch_mode = "__epoch" in st.columns
+        if epoch_mode:
+            e_max = st.agg(F.max("__epoch")).first()[0]
+            st = st.withColumn(
+                "__epoch",
+                F.when(F.col("__epoch") == e_max, F.col("__epoch")).otherwise(
+                    F.lit(-1)
+                ),
+            )
+            keys = [*self.dims, "__epoch"]
+        else:
+            keys = list(self.dims)
+        merged = st.groupBy(*keys).agg(*aggs)
         # stage-then-swap (the operators/mutate.py rewrite pattern): the
         # merged result is written distributed to a staging dir — never
         # collected — then swapped in, so a mid-compaction crash leaves
         # the old state table intact.
         tmp = self.dest_path.rstrip("/") + "__compacting"
-        merged.write.mode("overwrite").parquet(tmp)
+        w = merged.write.mode("overwrite")
+        if epoch_mode:
+            w = w.partitionBy("__epoch")
+        w.parquet(tmp)
         shutil.rmtree(self.dest_path)
         os.rename(tmp, self.dest_path)
         return self.spark.read.parquet(self.dest_path).count()

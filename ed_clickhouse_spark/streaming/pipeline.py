@@ -26,6 +26,8 @@ The wire format of the test harness is JSON lines with columns
 
 from __future__ import annotations
 
+import inspect
+
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -43,7 +45,10 @@ WIRE_SCHEMA = T.StructType(
 
 
 def process_batch(
-    batch: DataFrame, warehouse: str, views: dict | None = None
+    batch: DataFrame,
+    warehouse: str,
+    views: dict | None = None,
+    epoch_id: int | None = None,
 ) -> None:
     """Route one micro-batch: per family, decode + append; everything
     unroutable or undecodable lands in the DLQ.
@@ -112,7 +117,13 @@ def process_batch(
                         reason="decode_error",
                     )
                 for view in fam_views:
-                    view.on_batch(good)
+                    # insert hooks that accept the foreachBatch epoch get
+                    # it — their state writes become replay-idempotent
+                    # (StreamingMatView/StreamingTopK exactly-once mode)
+                    if "epoch_id" in inspect.signature(view.on_batch).parameters:
+                        view.on_batch(good, epoch_id=epoch_id)
+                    else:
+                        view.on_batch(good)
             finally:
                 if fam_views:
                     decoded.unpersist()
@@ -179,7 +190,9 @@ def start_ingest(
     )
     return (
         stream.writeStream.foreachBatch(
-            lambda batch, _epoch: process_batch(batch, warehouse, views=views)
+            lambda batch, epoch: process_batch(
+                batch, warehouse, views=views, epoch_id=epoch
+            )
         )
         .option("checkpointLocation", checkpoint)
         .trigger(processingTime=f"{trigger_interval_ms} milliseconds")

@@ -68,22 +68,38 @@ class StreamingTopK:
         self.cand_path = os.path.join(dest_path, "candidates")
 
     # -- insert time -------------------------------------------------------
-    def on_batch(self, batch: DataFrame) -> None:
-        """Append this batch's CMS partial (<= depth*width rows) and its
+    def on_batch(self, batch: DataFrame, epoch_id: int | None = None) -> None:
+        """Write this batch's CMS partial (<= depth*width rows) and its
         exact top-m candidate keys. Two bounded jobs; the stored state
-        is never read on the insert path."""
-        cm_build(batch, self.key_col, self.width, self.depth).write.mode(
-            "append"
-        ).parquet(self.sketch_path)
-        (
+        is never read on the insert path.
+
+        With ``epoch_id`` (foreachBatch epoch) both writes land in
+        ``__epoch=<id>`` partitions via dynamic overwrite — a replayed
+        batch overwrites its own partial, making the sketch EXACTLY-once
+        under at-least-once delivery (same contract as
+        StreamingMatView.on_batch). Use one mode per state directory."""
+        sketch = cm_build(batch, self.key_col, self.width, self.depth)
+        cands = (
             batch.groupBy(self.key_col)
             .agg(F.count("*").alias("__n"))
             .orderBy(F.col("__n").desc(), self.key_col)
             .limit(self.m_candidates)
             .select(self.key_col)
-            .write.mode("append")
-            .parquet(self.cand_path)
         )
+        if epoch_id is None:
+            sketch.write.mode("append").parquet(self.sketch_path)
+            cands.write.mode("append").parquet(self.cand_path)
+            return
+        # per-write dynamic-overwrite option (foreachBatch clones the
+        # session, so session conf would not reach these writes)
+        for df, path in ((sketch, self.sketch_path), (cands, self.cand_path)):
+            (
+                df.withColumn("__epoch", F.lit(int(epoch_id)))
+                .write.mode("overwrite")
+                .option("partitionOverwriteMode", "dynamic")
+                .partitionBy("__epoch")
+                .parquet(path)
+            )
 
     # -- read time ---------------------------------------------------------
     def merged_sketch(self) -> DataFrame:
@@ -99,7 +115,11 @@ class StreamingTopK:
         """Top-k candidates by CMS estimate (ties broken by key).
         Estimates carry the one-sided CMS guarantee over ALL ingested
         rows, including batches whose exact counts are long gone."""
-        cands = self.spark.read.parquet(self.cand_path).distinct()
+        cands = (
+            self.spark.read.parquet(self.cand_path)
+            .select(self.key_col)
+            .distinct()
+        )
         est = cm_query(
             self.merged_sketch(), cands, self.key_col, self.width, self.depth
         )
@@ -111,7 +131,11 @@ class StreamingTopK:
         Lossless — estimates before and after are identical. Returns the
         compacted sketch row count."""
         merged = self.merged_sketch().collect()
-        cands = self.spark.read.parquet(self.cand_path).distinct().collect()
+        cands = (
+            self.spark.read.parquet(self.cand_path)
+            .select(self.key_col)
+            .distinct()
+        ).collect()
         sk_schema = self.spark.read.parquet(self.sketch_path).schema
         c_schema = self.spark.read.parquet(self.cand_path).schema
         self.spark.createDataFrame(merged, sk_schema).write.mode(
@@ -121,3 +145,38 @@ class StreamingTopK:
             "overwrite"
         ).parquet(self.cand_path)
         return len(merged)
+
+    def _compact_epochs(self, sk: DataFrame) -> int:
+        """Archive-fold for epoch-partitioned state: everything below
+        the max epoch merges into __epoch=-1; the max epoch's partition
+        (the only one a crash can replay) survives untouched."""
+        import os
+        import shutil
+
+        def fold(df, merge):
+            e_max = df.agg(F.max("__epoch")).first()[0]
+            return merge(
+                df.withColumn(
+                    "__epoch",
+                    F.when(F.col("__epoch") == e_max, F.col("__epoch"))
+                    .otherwise(F.lit(-1)),
+                )
+            )
+
+        def swap(df, path):
+            tmp = path.rstrip("/") + "__compacting"
+            df.write.mode("overwrite").partitionBy("__epoch").parquet(tmp)
+            shutil.rmtree(path)
+            os.rename(tmp, path)
+
+        swap(
+            fold(sk, lambda d: d.groupBy("row", "bucket", "__epoch")
+                 .agg(F.sum("cnt").alias("cnt"))),
+            self.sketch_path,
+        )
+        swap(
+            fold(self.spark.read.parquet(self.cand_path),
+                 lambda d: d.distinct()),
+            self.cand_path,
+        )
+        return self.spark.read.parquet(self.sketch_path).count()

@@ -96,10 +96,13 @@ def test_matview_compact_is_lossless(spark, mv_setup):
     n_state_rows = spark.read.parquet(mv.dest_path).count()
     assert n_state_rows >= 3  # one partial row per (batch, platform)
     n_after = mv.compact()
-    assert n_after == 2  # one row per platform
+    # archive-fold: committed epochs merge to one row per group, the
+    # newest epoch's partition survives for replay safety => bounded at
+    # ~2 rows per platform regardless of batch count
+    assert n_after <= 2 * 2 and n_after < n_state_rows + 1
     assert {tuple(r) for r in mv.read().collect()} == before
-    # states remain mergeable after compaction: append another batch
-    mv.on_batch(spark.read.parquet(f"{wh}/login_events"))
+    # states remain mergeable after compaction: append another epoch
+    mv.on_batch(spark.read.parquet(f"{wh}/login_events"), epoch_id=99)
     assert mv.read(keys=[]).collect()[0]["n_rows"] == 30
 
 
@@ -143,3 +146,42 @@ def test_streaming_topk_through_ingest(spark, tmp_path):
     assert set(got) == {"u7", "u9"}
     for uid, est in got.items():
         assert est >= true[uid]  # CMS never undercounts
+
+
+def test_matview_epoch_mode_replay_idempotent(spark, tmp_path):
+    """Exactly-once partial states: replaying a batch with the same
+    epoch overwrites its own partial instead of double-counting, and
+    per-epoch compaction preserves both totals and replay safety."""
+    mv = StreamingMatView(
+        spark, str(tmp_path / "mv"), dims=["k"],
+        sums={"v": "sum_v"},
+    )
+    b1 = spark.createDataFrame([("a", 1), ("a", 2), ("b", 5)], ["k", "v"])
+    b2 = spark.createDataFrame([("a", 10)], ["k", "v"])
+    mv.on_batch(b1, epoch_id=0)
+    mv.on_batch(b2, epoch_id=1)
+    want = {r["k"]: (r["n_rows"], r["sum_v"]) for r in mv.read().collect()}
+    assert want == {"a": (3, 13), "b": (1, 5)}
+    # replay epoch 0 (at-least-once delivery after a crash): unchanged
+    mv.on_batch(b1, epoch_id=0)
+    got = {r["k"]: (r["n_rows"], r["sum_v"]) for r in mv.read().collect()}
+    assert got == want
+    # compaction archive-folds committed epochs, keeps the newest: totals
+    # unchanged, and replaying the NEWEST epoch (the only one Structured
+    # Streaming can replay) is still idempotent
+    mv.compact()
+    assert {r["k"]: (r["n_rows"], r["sum_v"]) for r in mv.read().collect()} == want
+    mv.on_batch(b2, epoch_id=1)
+    assert {r["k"]: (r["n_rows"], r["sum_v"]) for r in mv.read().collect()} == want
+
+
+def test_streaming_topk_epoch_mode_replay_idempotent(spark, tmp_path):
+    from ed_clickhouse_spark.streaming.topk import StreamingTopK
+
+    hh = StreamingTopK(spark, str(tmp_path / "hh"), "tok", width=64,
+                       depth=2, m_candidates=5)
+    b = spark.createDataFrame([("x",)] * 7 + [("y",)] * 2, ["tok"])
+    hh.on_batch(b, epoch_id=0)
+    hh.on_batch(b, epoch_id=0)  # replay
+    got = {r["tok"]: r["est_count"] for r in hh.topk(2).collect()}
+    assert got == {"x": 7, "y": 2}  # counted once, not twice
