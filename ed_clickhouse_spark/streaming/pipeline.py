@@ -223,6 +223,7 @@ def start_ingest_kafka(
     max_offsets_per_trigger: int = 100_000,
     starting_offsets: str = "earliest",
     trigger_interval_ms: int = 1000,
+    views: dict | None = None,
 ):
     """Kafka ingestion mode — the production stand-in for the reference's
     NATS JetStream durable pull consumer (src/nats.rs:63-83). Knob map:
@@ -254,7 +255,9 @@ def start_ingest_kafka(
     return (
         kafka_to_wire(stream)
         .writeStream.foreachBatch(
-            lambda batch, _epoch: process_batch(batch, warehouse)
+            lambda batch, epoch: process_batch(
+                batch, warehouse, views=views, epoch_id=epoch
+            )
         )
         .option("checkpointLocation", checkpoint)
         .trigger(processingTime=f"{trigger_interval_ms} milliseconds")
