@@ -205,3 +205,23 @@ def test_versioned_collapsing_matches_reference_fold(spark, log):
         (r["k"], r["ver"]) for r in ddl.final_read(df, spec).collect()
     }
     assert got == want
+
+
+@_SET
+@given(
+    s=st.text(
+        alphabet=st.characters(
+            codec="utf-8", exclude_categories=("Cs",)
+        ),
+        max_size=40,
+    )
+)
+def test_query_param_string_roundtrips_exactly(spark, s):
+    """Injection-safety as a property: ANY string value rendered by
+    substitute_params comes back from Spark byte-identical — quotes,
+    backslashes, keywords, unicode — i.e. a parameter can never escape
+    its literal."""
+    from ed_clickhouse_spark.chsql import substitute_params
+
+    sql = substitute_params("SELECT {x:String} AS v", {"x": s})
+    assert spark.sql(sql).first()["v"] == s
