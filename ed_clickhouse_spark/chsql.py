@@ -632,6 +632,41 @@ def _rewrite_agg_spellings(sql: str) -> str:
             + f"count(DISTINCT {sql[open1 + 1: close1]})"
             + sql[close1 + 1:]
         )
+    # -Array combinators: aggregate over all ELEMENTS across rows.
+    # avgArray is sum-of-elements / count-of-elements, NOT avg of
+    # per-row means — matching CH exactly.
+    array_forms = {
+        "sumArray": "sum(aggregate({e}, CAST(0.0 AS DOUBLE), (s, t) -> s + t))",
+        "minArray": "min(array_min({e}))",
+        "maxArray": "max(array_max({e}))",
+        "avgArray": (
+            "(sum(aggregate({e}, CAST(0.0 AS DOUBLE), (s, t) -> s + t))"
+            " / sum(size({e})))"
+        ),
+        "countArray": "sum(size({e}))",
+    }
+    for name, template in array_forms.items():
+        while True:
+            m = _find_top_anywhere(sql, rf"\b{name}\s*\(")
+            if not m:
+                break
+            open1 = sql.index("(", m.end() - 1)
+            close1 = _call_end(sql, open1)
+            e = sql[open1 + 1: close1]
+            sql = sql[: m.start()] + template.format(e=e) + sql[close1 + 1:]
+    # -Distinct combinators (countDistinct is already the Spark name)
+    for name, base in (("sumDistinct", "sum"), ("avgDistinct", "avg")):
+        while True:
+            m = _find_top_anywhere(sql, rf"\b{name}\s*\(")
+            if not m:
+                break
+            open1 = sql.index("(", m.end() - 1)
+            close1 = _call_end(sql, open1)
+            sql = (
+                sql[: m.start()]
+                + f"{base}(DISTINCT {sql[open1 + 1: close1]})"
+                + sql[close1 + 1:]
+            )
     for name, base in _AGG_IF_MAP.items():
         while True:
             m = _find_top_anywhere(sql, rf"\b{name}\s*\(")

@@ -498,3 +498,18 @@ def test_agg_spellings_tricky_nesting():
     }
     for src, want in cases.items():
         assert want in translate(src).sql, src
+
+
+def test_array_and_distinct_combinators(views):
+    r = views.sql(
+        translate(
+            "SELECT sumArray(a) AS s, avgArray(a) AS av, minArray(a) AS mn, "
+            "maxArray(a) AS mx, countArray(a) AS c, sumDistinct(k) AS sd "
+            "FROM (SELECT 1 AS k, array(1.0, 2.0) AS a "
+            "      UNION ALL SELECT 2, array(3.0) "
+            "      UNION ALL SELECT 2, array())"
+        ).sql
+    ).first()
+    assert (r["s"], r["mn"], r["mx"], r["c"], r["sd"]) == (6.0, 1.0, 3.0, 3, 3)
+    # CH semantics: avgArray is element-count weighted, not row-mean avg
+    assert r["av"] == 2.0
