@@ -331,6 +331,17 @@ def _rewrite_totals(sql: str) -> str:
     )
 
 
+def _rewrite_limit_offset(sql: str) -> str:
+    """ClickHouse ``LIMIT offset, count`` → Spark ``LIMIT count OFFSET
+    offset``. Only the comma form rewrites; plain LIMIT n and LIMIT n
+    BY are untouched (BY is handled by _rewrite_limit_by)."""
+    m = _find_top(sql, r"\bLIMIT\s+(\d+)\s*,\s*(\d+)\b")
+    if not m:
+        return sql
+    off, n = m.group(1), m.group(2)
+    return sql[: m.start()] + f"LIMIT {n} OFFSET {off}" + sql[m.end():]
+
+
 def _rewrite_limit_by(sql: str) -> str:
     m = _find_top(sql, r"\bLIMIT\s+(\d+)\s+BY\s+")
     if not m:
@@ -801,5 +812,6 @@ def translate(
     sql = _rewrite_array_join(sql)
     sql = _rewrite_totals(sql)
     sql = _rewrite_limit_by(sql)
+    sql = _rewrite_limit_offset(sql)
     sql = _rewrite_with_fill(sql)
     return Translated(sql=re.sub(r"\s+", " ", sql).strip(), format=fmt)

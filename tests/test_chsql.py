@@ -513,3 +513,15 @@ def test_array_and_distinct_combinators(views):
     assert (r["s"], r["mn"], r["mx"], r["c"], r["sd"]) == (6.0, 1.0, 3.0, 3, 3)
     # CH semantics: avgArray is element-count weighted, not row-mean avg
     assert r["av"] == 2.0
+
+
+def test_limit_offset_form(views):
+    rows = views.sql(
+        translate(
+            "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 5, 3"
+        ).sql
+    ).collect()
+    want = views.sql(
+        "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3 OFFSET 5"
+    ).collect()
+    assert rows == want and len(rows) == 3
