@@ -40,6 +40,9 @@ EXTRA = [
     "q152_zipf_slope",       # token-frequency power-law audit
     "q154_lttb_downsample",  # parallel LTTB series downsampling
     "q156_ch_dialect",       # ClickHouse-dialect SQL through the rewriter
+    "q202_ch_agg_spellings", # aggregate-spelling rewriter end-to-end
+    "q203_ch_monitoring",    # toStartOfInterval dashboard shape
+    "q204_hybrid_search_rrf",  # BM25 + vector RRF fusion
 ]
 
 HEADLINE = [
