@@ -62,13 +62,55 @@ _R1_CHECKED = {
 }
 
 
+# Within the never-checked rank, order by FEATURE DIVERSITY: ~109
+# round-3 queries have no driver row yet and the per-round check caps
+# around 50, so the first ~50 should span every distinctive new family
+# (dialect, MergeTree engines, states, LLM capstones, search, stats,
+# product analytics, TPC-H) rather than run in numeric registration
+# order. Queries not listed follow in registration order.
+_R3_PRIORITY = [
+    # ClickHouse dialect end-to-end
+    "q201_ch_any_join", "q202_ch_agg_spellings", "q203_ch_monitoring",
+    "q196_sql_vector_search", "q156_ch_dialect",
+    "q162_ch_dialect_sample_totals", "q177_ch_dialect_fill",
+    "q111_with_totals", "q112_sample_clause",
+    # MergeTree engine family + states + dictionaries
+    "q105_replacing_final", "q106_summing_merge", "q192_collapsing_final",
+    "q193_versioned_collapsing", "q103_uniq_merge", "q110_dict_get",
+    "q107_sum_map", "q161_quantiles_exact", "q159_topk_weighted",
+    # LLM-pipeline capstones
+    "q180_intake_pipeline", "q181_chunk_decontamination",
+    "q165_semantic_clusters", "q172_semantic_decontamination",
+    "q96_dedup_clusters", "q97_dedup_survivors", "q101_repeated_passages",
+    "q102_source_overlap", "q100_weighted_sample", "q131_chunking",
+    "q133_weighted_quantile", "q134_lm_quality", "q135_quantization",
+    "q136_shard_assignment", "q152_zipf_slope", "q197_token_budget_mixture",
+    "q198_temperature_mixture",
+    # search
+    "q98_bm25_search", "q99_posting_stats", "q204_hybrid_search_rrf",
+    # statistics family
+    "q126_entropy", "q127_cramers_v", "q128_welch_ttest",
+    "q142_mann_whitney", "q144_ks_test", "q148_auc", "q150_student_ttest",
+    "q153_linear_regression", "q169_corr_matrix",
+    # product analytics + sequences
+    "q178_sliding_dau", "q183_cohort_retention_matrix", "q184_session_depth",
+    "q185_top_paths", "q187_last_touch_attribution",
+    "q194_sequence_match_times", "q195_funnel_strict_dedup",
+    # TPC-H closure + ops monitoring
+    "q175_local_supplier_volume", "q176_forecast_revenue_change",
+    "q125_market_share", "q199_duplicate_rate_by_source",
+    "q200_fulfillment_lead_time",
+]
+_R3_IDX = {k: i for i, k in enumerate(_R3_PRIORITY)}
+
+
 def _ordered(mapping: dict) -> dict:
-    def rank(k: str) -> int:
+    def rank(k: str):
         if k in _R2_CHECKED:
-            return 2
+            return (2, 0)
         if k in _R1_CHECKED:
-            return 1
-        return 0  # never checked — first
+            return (1, 0)
+        return (0, _R3_IDX.get(k, len(_R3_PRIORITY)))  # never checked — first
 
     # Python's sort is stable: registration order is kept within a rank.
     keys = sorted(mapping, key=rank)
