@@ -466,7 +466,14 @@ def substitute_params(sql: str, params: dict) -> str:
     identifier grammar. Unknown placeholder names raise."""
     def render(value, ch_type: str) -> str:
         tl = ch_type.strip()
+        nm = re.match(r"^nullable\((.+)\)$", tl, re.I)
+        if nm:
+            if value is None:
+                return "NULL"
+            tl = nm.group(1).strip()
         low = tl.lower()
+        if low == "uuid":
+            tl, low = "String", "string"  # UUIDs render as quoted strings
         am = re.match(r"^array\((.+)\)$", tl, re.I)
         if am:
             inner = am.group(1)

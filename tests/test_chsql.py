@@ -525,3 +525,15 @@ def test_limit_offset_form(views):
         "SELECT o_orderkey FROM orders ORDER BY o_orderkey LIMIT 3 OFFSET 5"
     ).collect()
     assert rows == want and len(rows) == 3
+
+
+def test_param_nullable_and_uuid():
+    from ed_clickhouse_spark.chsql import substitute_params
+
+    s = substitute_params(
+        "SELECT {a:Nullable(Int64)} AS a, {b:Nullable(String)} AS b, "
+        "{u:UUID} AS u",
+        {"a": None, "b": "x", "u": "f47ac10b-58cc-4372-a567-0e02b2c3d479"},
+    )
+    assert "NULL AS a" in s and "'x' AS b" in s
+    assert "'f47ac10b-58cc-4372-a567-0e02b2c3d479' AS u" in s
