@@ -569,8 +569,24 @@ _AGG_NAME_MAP = {
     "covarPop": "covar_pop",
     "covarSamp": "covar_samp",
 }
-# conditional-aggregate combinators: name(x, cond) -> base(if(cond, x, NULL))
-_AGG_IF_MAP = {"sumIf": "sum", "avgIf": "avg", "minIf": "min", "maxIf": "max"}
+# conditional-aggregate (-If) combinator bases: <name>If(args..., cond)
+# aggregates only rows where cond holds. Every Spark aggregate ignores
+# NULL inputs, so wrapping each argument in if(cond, arg, NULL) is the
+# faithful rewrite for every base. Longest names first (anyLast > any,
+# groupUniqArray > groupArray).
+_AGG_IF_BASES = {
+    "groupUniqArray": "collect_set",
+    "groupArray": "collect_list",
+    "argMax": "max_by",
+    "argMin": "min_by",
+    "anyLast": "last",
+    "any": "any_value",
+    "uniq": "approx_count_distinct",
+    "sum": "sum",
+    "avg": "avg",
+    "min": "min",
+    "max": "max",
+}
 
 
 def _call_end(s: str, open_idx: int) -> int:
@@ -685,21 +701,46 @@ def _rewrite_agg_spellings(sql: str) -> str:
                 + f"{base}(DISTINCT {sql[open1 + 1: close1]})"
                 + sql[close1 + 1:]
             )
-    for name, base in _AGG_IF_MAP.items():
+    # generalized -If combinator: <base>If(args..., cond). Special-case
+    # the two that don't fit the wrap-each-arg rule first.
+    for special, template in (
+        ("uniqExactIf", "count(DISTINCT if({c}, {a}, NULL))"),
+        ("medianIf", "approx_percentile(if({c}, {a}, NULL), 0.5)"),
+    ):
         while True:
-            m = _find_top_anywhere(sql, rf"\b{name}\s*\(")
+            m = _find_top_anywhere(sql, rf"\b{special}\s*\(")
             if not m:
                 break
             open1 = sql.index("(", m.end() - 1)
             close1 = _call_end(sql, open1)
             args = _split_top_commas(sql[open1 + 1: close1])
             if len(args) != 2:
-                raise ValueError(f"{name} expects (expr, cond), got {len(args)} args")
+                raise ValueError(f"{special} expects (expr, cond)")
             sql = (
                 sql[: m.start()]
-                + f"{base}(if({args[1]}, {args[0]}, NULL))"
+                + template.format(a=args[0], c=args[1])
                 + sql[close1 + 1:]
             )
+    for name, base in _AGG_IF_BASES.items():
+        while True:
+            # case-sensitive (CH names are exact)
+            rx = re.compile(rf"\b{name}If\s*\(")
+            hit = None
+            for mm in rx.finditer(sql):
+                lvl = {i: q for i, _, _, q in _scan_level(sql)}
+                if not lvl.get(mm.start(), False):
+                    hit = mm
+                    break
+            if not hit:
+                break
+            open1 = sql.index("(", hit.end() - 1)
+            close1 = _call_end(sql, open1)
+            args = _split_top_commas(sql[open1 + 1: close1])
+            if len(args) < 2:
+                raise ValueError(f"{name}If expects (args..., cond)")
+            cond = args[-1]
+            wrapped = ", ".join(f"if({cond}, {a}, NULL)" for a in args[:-1])
+            sql = sql[: hit.start()] + f"{base}({wrapped})" + sql[close1 + 1:]
     for name, target in _AGG_NAME_MAP.items():
         while True:
             # case-sensitive: compile without re.I (CH names are exact)
@@ -715,6 +756,65 @@ def _rewrite_agg_spellings(sql: str) -> str:
                 break
             sql = sql[: hit.start()] + target + hit.group(1) + sql[hit.end():]
     sql = re.sub(r"\bcount\s*\(\s*\)", "count(*)", sql, flags=re.I)
+    return sql
+
+
+# ClickHouse higher-order array functions put the LAMBDA FIRST
+# (arrayMap(x -> x*2, arr)); Spark's equivalents put the array first.
+# Two-array arrayMap becomes zip_with. The lambda syntax itself
+# (x -> expr, (x, y) -> expr) is identical in both dialects.
+_HOF_SWAP = {
+    "arrayMap": "transform",
+    "arrayFilter": "filter",
+    "arrayExists": "exists",
+    "arrayAll": "forall",
+}
+
+
+def _rewrite_array_hofs(sql: str) -> str:
+    """Lambda-first ClickHouse array HOFs → array-first Spark builtins:
+    arrayMap/arrayFilter/arrayExists/arrayAll(f, a) → transform/filter/
+    exists/forall(a, f); arrayMap(f, a, b) → zip_with(a, b, f);
+    arrayCount(f, a) → size(filter(a, f)); arrayFirst(f, a) →
+    element_at(filter(a, f), 1) (NULL when nothing matches — CH returns
+    the type's default value there; NULL is the honest Spark spelling
+    and the deviation is this docstring)."""
+    for name, target in _HOF_SWAP.items():
+        while True:
+            m = _find_top_anywhere(sql, rf"\b{name}\s*\(")
+            if not m:
+                break
+            open1 = sql.index("(", m.end() - 1)
+            close1 = _call_end(sql, open1)
+            args = _split_top_commas(sql[open1 + 1: close1])
+            if len(args) < 2:
+                raise ValueError(f"{name} expects (lambda, array...)")
+            lam, arrs = args[0], args[1:]
+            if name == "arrayMap" and len(arrs) == 2:
+                repl = f"zip_with({arrs[0]}, {arrs[1]}, {lam})"
+            elif len(arrs) != 1:
+                raise ValueError(f"{name}: expected one array argument")
+            else:
+                repl = f"{target}({arrs[0]}, {lam})"
+            sql = sql[: m.start()] + repl + sql[close1 + 1:]
+    for name, template in (
+        ("arrayCount", "size(filter({a}, {f}))"),
+        ("arrayFirst", "element_at(filter({a}, {f}), 1)"),
+    ):
+        while True:
+            m = _find_top_anywhere(sql, rf"\b{name}\s*\(")
+            if not m:
+                break
+            open1 = sql.index("(", m.end() - 1)
+            close1 = _call_end(sql, open1)
+            args = _split_top_commas(sql[open1 + 1: close1])
+            if len(args) != 2:
+                raise ValueError(f"{name} expects (lambda, array)")
+            sql = (
+                sql[: m.start()]
+                + template.format(f=args[0], a=args[1])
+                + sql[close1 + 1:]
+            )
     return sql
 
 
@@ -801,8 +901,9 @@ def translate(
     if params:
         sql = substitute_params(sql, params)
     sql, fmt = _strip_trailing(sql)
-    # strip only GLOBAL — ANY now has its own rewrite below
-    sql = re.sub(r"\bGLOBAL\s+(?=(ANY|INNER|LEFT|RIGHT|FULL|JOIN))", "", sql, flags=re.I)
+    # strip only GLOBAL — ANY now has its own rewrite below; GLOBAL IN /
+    # GLOBAL NOT IN likewise drop the keyword (every Spark IN is global)
+    sql = re.sub(r"\bGLOBAL\s+(?=(ANY|INNER|LEFT|RIGHT|FULL|JOIN|NOT\s+IN|IN)\b)", "", sql, flags=re.I)
     sql = _rewrite_numbers(sql)
     sql = _rewrite_system(sql)
     # ClickHouse 3-arg dateDiff('unit', a, b): Spark's 2-arg datediff
@@ -812,6 +913,7 @@ def translate(
     sql = _rewrite_sample(sql, specs)
     sql = _rewrite_any_join(sql, specs)
     sql = _rewrite_agg_spellings(sql)
+    sql = _rewrite_array_hofs(sql)
     sql = _rewrite_to_start_of_interval(sql)
     sql = _rewrite_final(sql)
     sql = _rewrite_prewhere(sql)

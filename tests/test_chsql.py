@@ -537,3 +537,49 @@ def test_param_nullable_and_uuid():
     )
     assert "NULL AS a" in s and "'x' AS b" in s
     assert "'f47ac10b-58cc-4372-a567-0e02b2c3d479' AS u" in s
+
+
+def test_generalized_if_combinators(views):
+    tr = translate(
+        "SELECT uniqIf(user_id, value > 100) AS u, "
+        "argMaxIf(event_type, ts, value > 0) AS am, "
+        "groupArrayIf(event_type, value > 10000) AS empty_g, "
+        "uniqExactIf(user_id, value > 100) AS ue, "
+        "medianIf(value, value > 0) AS md FROM events"
+    )
+    s = tr.sql
+    assert "approx_count_distinct(if(value > 100, user_id, NULL))" in s
+    assert "max_by(if(value > 0, event_type, NULL), if(value > 0, ts, NULL))" in s
+    assert "count(DISTINCT if(value > 100, user_id, NULL))" in s
+    r = views.sql(s).first()
+    assert r["u"] > 0 and r["ue"] > 0 and r["empty_g"] == []
+    # uniqExactIf == exact filtered distinct
+    want = views.sql(
+        "SELECT count(DISTINCT user_id) AS n FROM events WHERE value > 100"
+    ).first()["n"]
+    assert r["ue"] == want
+
+
+def test_lambda_first_array_hofs(views):
+    r = views.sql(
+        translate(
+            "SELECT arrayMap(x -> x * 2, array(1, 2)) AS m, "
+            "arrayMap((x, y) -> x + y, array(1, 2), array(10, 20)) AS z, "
+            "arrayFilter(x -> x > 1, array(1, 2, 3)) AS f, "
+            "arrayExists(x -> x = 2, array(1, 2)) AS e, "
+            "arrayAll(x -> x > 0, array(1, 2)) AS al, "
+            "arrayCount(x -> x > 1, array(1, 2, 3)) AS c, "
+            "arrayFirst(x -> x > 1, array(1, 2, 3)) AS fi"
+        ).sql
+    ).first()
+    assert r["m"] == [2, 4] and r["z"] == [11, 22] and r["f"] == [2, 3]
+    assert r["e"] is True and r["al"] is True and r["c"] == 2 and r["fi"] == 2
+
+
+def test_global_in_stripped(views):
+    tr = translate(
+        "SELECT count(*) AS n FROM events WHERE user_id GLOBAL IN "
+        "(SELECT user_id FROM events WHERE value > 100)"
+    )
+    assert "GLOBAL" not in tr.sql.upper()
+    assert views.sql(tr.sql).first()["n"] > 0
