@@ -789,7 +789,11 @@ def _rewrite_array_hofs(sql: str) -> str:
             args = _split_top_commas(sql[open1 + 1: close1])
             if len(args) < 2:
                 raise ValueError(f"{name} expects (lambda, array...)")
-            lam, arrs = args[0], args[1:]
+            # Spark can't resolve SQL-UDF macros inside a lambda body
+            # (same limitation as generators — see _inline_ch_macros),
+            # so ClickHouse spellings in the lambda inline to their
+            # builtin bodies first.
+            lam, arrs = _inline_ch_macros(args[0]), args[1:]
             if name == "arrayMap" and len(arrs) == 2:
                 repl = f"zip_with({arrs[0]}, {arrs[1]}, {lam})"
             elif len(arrs) != 1:
@@ -812,7 +816,7 @@ def _rewrite_array_hofs(sql: str) -> str:
                 raise ValueError(f"{name} expects (lambda, array)")
             sql = (
                 sql[: m.start()]
-                + template.format(f=args[0], a=args[1])
+                + template.format(f=_inline_ch_macros(args[0]), a=args[1])
                 + sql[close1 + 1:]
             )
     return sql

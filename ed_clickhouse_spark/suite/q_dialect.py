@@ -322,3 +322,48 @@ def q203_ch_monitoring(spark, sf_dir):
     register_sql_aliases(spark)
     t(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(translate(_MONITORING_SQL).sql)
+
+
+_IF_HOF_SQL = """
+SELECT lang,
+       count() AS n_docs,
+       uniqExactIf(source, n_chars > 500) AS big_sources,
+       CAST(sum(arrayCount(w -> lengthUTF8(w) > 8,
+                           splitByChar(' ', text))) AS BIGINT) AS long_words,
+       CAST(sumIf(n_chars, source = 'web') AS BIGINT) AS web_chars
+FROM documents
+GROUP BY lang
+ORDER BY lang
+"""
+
+
+@query(
+    "q205_ch_if_combinators",
+    oracle="""
+    SELECT lang,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT CASE WHEN n_chars > 500 THEN source END)
+               AS big_sources,
+           CAST(SUM(len(list_filter(string_split(text, ' '),
+                                    w -> length(w) > 8))) AS BIGINT)
+               AS long_words,
+           CAST(SUM(CASE WHEN source = 'web' THEN n_chars END) AS BIGINT)
+               AS web_chars
+    FROM documents
+    GROUP BY lang
+    ORDER BY lang
+    """,
+)
+def q205_ch_if_combinators(spark, sf_dir):
+    """The -If combinator family and lambda-first array HOFs run
+    verbatim: uniqExactIf -> count(DISTINCT if(...)), sumIf ->
+    sum(if(...)), arrayCount(w -> ..., splitByChar(...)) ->
+    size(filter(...)) with the macro inlined — all whole-stage-codegen
+    expressions feeding one partial-aggregated shuffle on lang. The
+    per-language corpus report every CH data-quality dashboard runs."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(translate(_IF_HOF_SQL).sql)
