@@ -771,6 +771,40 @@ _HOF_SWAP = {
 }
 
 
+def _rewrite_scalar_with(sql: str) -> str:
+    """ClickHouse's scalar WITH — ``WITH <expr> AS name, ... SELECT``
+    binds constants/expressions, not CTEs. Spark's WITH only takes
+    subqueries, so scalar items substitute textually (name → (expr))
+    into the rest of the query; genuine CTE items (``name AS (...)``)
+    stay in place. Mixed lists work: scalar items are removed from the
+    WITH list, CTEs remain."""
+    m = _find_top(sql, r"^\s*WITH\s+")
+    if not m:
+        return sql
+    tail = sql[m.end():]
+    stop = _find_top(tail, r"\bSELECT\b")
+    if not stop:
+        return sql
+    items = _split_top_commas(tail[: stop.start()])
+    ctes, scalars = [], {}
+    for item in items:
+        cm = re.match(r"^(\w+)\s+AS\s*\(", item.strip(), re.I)
+        if cm:
+            ctes.append(item)
+            continue
+        sm = re.match(r"^(.*\S)\s+AS\s+(\w+)\s*$", item.strip(), re.I | re.S)
+        if not sm:
+            return sql  # unrecognized WITH shape — leave for Spark
+        scalars[sm.group(2)] = sm.group(1)
+    if not scalars:
+        return sql
+    rest = tail[stop.start():]
+    for name, expr in scalars.items():
+        rest = re.sub(rf"\b{name}\b", f"({expr})", rest)
+    head = f"WITH {', '.join(ctes)} " if ctes else ""
+    return sql[: m.start()] + head + rest
+
+
 def _rewrite_array_hofs(sql: str) -> str:
     """Lambda-first ClickHouse array HOFs → array-first Spark builtins:
     arrayMap/arrayFilter/arrayExists/arrayAll(f, a) → transform/filter/
@@ -918,6 +952,13 @@ def translate(
     sql = _rewrite_any_join(sql, specs)
     sql = _rewrite_agg_spellings(sql)
     sql = _rewrite_array_hofs(sql)
+    sql = _rewrite_scalar_with(sql)
+    # tuple(a, b, ...) -> struct (any arity; a rename, string-literal safe)
+    while True:
+        tm = _find_top_anywhere(sql, r"\btuple\s*\(")
+        if not tm:
+            break
+        sql = sql[: tm.start()] + "struct(" + sql[sql.index("(", tm.end() - 1) + 1:]
     sql = _rewrite_to_start_of_interval(sql)
     sql = _rewrite_final(sql)
     sql = _rewrite_prewhere(sql)

@@ -583,3 +583,25 @@ def test_global_in_stripped(views):
     )
     assert "GLOBAL" not in tr.sql.upper()
     assert views.sql(tr.sql).first()["n"] > 0
+
+
+def test_scalar_with_and_tuple(views):
+    r = views.sql(
+        translate(
+            "WITH 100 AS thresh SELECT count(*) AS n, tuple(1, 'a') AS t "
+            "FROM events WHERE value > thresh"
+        ).sql
+    ).first()
+    want = views.sql(
+        "SELECT count(*) AS n FROM events WHERE value > 100"
+    ).first()["n"]
+    assert r["n"] == want > 0 and tuple(r["t"]) == (1, "a")
+    # mixed scalar + CTE WITH
+    r2 = views.sql(
+        translate(
+            "WITH big AS (SELECT 1 AS x), 5 AS k SELECT x + k AS v FROM big"
+        ).sql
+    ).first()
+    assert r2["v"] == 6
+    # literal untouched
+    assert "'tuple(x)'" in translate("SELECT 'tuple(x)' AS s").sql
