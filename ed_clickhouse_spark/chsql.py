@@ -55,6 +55,20 @@ top-level token scanning (never inside strings/parens):
   {name:Type} params     clickhouse-client query parameters, filled
                          from a params dict with typed injection-safe
                          literal rendering (substitute_params)
+  <base>If(args, cond)   generalized -If combinator for ANY aggregate
+                         base (uniqIf, argMaxIf, groupArrayIf, ...):
+                         each arg wraps in if(cond, arg, NULL) — Spark
+                         aggregates ignore NULLs, so semantics match
+  -Array / -Distinct     sumArray/minArray/maxArray/avgArray/countArray
+                         fold over all elements; sumDistinct/avgDistinct
+                         → DISTINCT-qualified builtins
+  arrayMap/Filter/...    lambda-first CH HOFs → array-first Spark
+                         builtins (zip_with for two-array arrayMap;
+                         CH spellings inside lambdas inline as macros)
+  WITH <expr> AS name    scalar WITH bindings substitute textually
+                         (CTE items stay); tuple() → struct()
+  LIMIT off, n           LIMIT n OFFSET off
+  GLOBAL IN              IN (like GLOBAL JOIN)
   =====================  ==========================================
 
 Not translated (documented): ANY JOIN with an ON clause or a subquery

@@ -248,3 +248,39 @@ def test_jaccard_pairs_has_no_join_in_candidate_stage(spark):
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
     # only the two broadcast size lookups remain (details-section nodes)
     assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", p, re.M)) == 2
+
+
+def test_any_join_sql_plan_shape(spark):
+    """The ch_sql ANY JOIN rewrite keeps any_join's physical contract:
+    the rank-1 filter pushes into the sort (WindowGroupLimit), so the
+    right side reduces to one row per key BEFORE the join and no group
+    ever fully materializes."""
+    from ed_clickhouse_spark.catalog import read_table
+    from ed_clickhouse_spark.chsql import translate
+
+    read_table(spark, "/root/testdata/sf0.001", "orders").createOrReplaceTempView(
+        "orders"
+    )
+    read_table(spark, "/root/testdata/sf0.001", "customer").createOrReplaceTempView(
+        "customer"
+    )
+    p = _plan(
+        spark.sql(
+            translate(
+                "SELECT count(*) AS n FROM orders ANY LEFT JOIN orders "
+                "AS o2 USING (o_custkey)"
+            ).sql
+        )
+    )
+    assert "WindowGroupLimit" in p
+    assert "CartesianProduct" not in p
+
+
+def test_hybrid_rrf_plan_shape(spark):
+    """q204's fusion joins two 50-row ranked lists: the scale cost is
+    the retrieval tiers, and the plan must not shuffle the corpus for
+    the fusion itself — no cartesian anywhere, and the semantic tier's
+    query vector joins broadcast."""
+    p = _plan(QUERIES["q204_hybrid_search_rrf"](spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
