@@ -769,7 +769,11 @@ def _rewrite_agg_spellings(sql: str) -> str:
             if not hit:
                 break
             sql = sql[: hit.start()] + target + hit.group(1) + sql[hit.end():]
-    sql = re.sub(r"\bcount\s*\(\s*\)", "count(*)", sql, flags=re.I)
+    while True:
+        cm = _find_top_anywhere(sql, r"\bcount\s*\(\s*\)")
+        if not cm:
+            break
+        sql = sql[: cm.start()] + "count(*)" + sql[cm.end():]
     return sql
 
 
@@ -814,7 +818,9 @@ def _rewrite_scalar_with(sql: str) -> str:
         return sql
     rest = tail[stop.start():]
     for name, expr in scalars.items():
-        rest = re.sub(rf"\b{name}\b", f"({expr})", rest)
+        # lambda replacement: expr may contain backslashes/group refs
+        # that re.sub would otherwise interpret
+        rest = re.sub(rf"\b{name}\b", lambda _m, e=expr: f"({e})", rest)
     head = f"WITH {', '.join(ctes)} " if ctes else ""
     return sql[: m.start()] + head + rest
 

@@ -605,3 +605,10 @@ def test_scalar_with_and_tuple(views):
     assert r2["v"] == 6
     # literal untouched
     assert "'tuple(x)'" in translate("SELECT 'tuple(x)' AS s").sql
+
+
+def test_scalar_with_backslash_and_count_literal():
+    s = translate(
+        r"WITH '\d+' AS pat SELECT 'count()' AS lit, count() AS n, pat FROM t"
+    ).sql
+    assert r"('\d+')" in s and "'count()'" in s and "count(*)" in s
