@@ -69,6 +69,12 @@ top-level token scanning (never inside strings/parens):
                          (CTE items stay); tuple() → struct()
   LIMIT off, n           LIMIT n OFFSET off
   GLOBAL IN              IN (like GLOBAL JOIN)
+  CAST(x AS Float64)     ClickHouse type names in cast positions →
+  x::UInt32              Spark SQL types (_rewrite_ch_casts; Nullable/
+  accurateCast[OrNull]   LowCardinality unwrap, Array/Decimal recurse;
+                         accurateCastOrNull → TRY_CAST)
+  topK(k)(x)             exact most-frequent-k as a collect_list fold
+                         (ties by value asc, oracle-stable)
   =====================  ==========================================
 
 Not translated (documented): ANY JOIN with an ON clause or a subquery
@@ -661,6 +667,37 @@ def _rewrite_agg_spellings(sql: str) -> str:
             # bare quantile(x): CH semantics = median
             x = sql[open1 + 1: close1]
             sql = sql[: m.start()] + f"{fn}({x}, 0.5)" + sql[close1 + 1:]
+    # parametric topK(k)(x): EXACT most-frequent-k as a pure-SQL fold
+    # over collect_list (CH's SpaceSaving sketch is approximate; exact is
+    # strictly better at this per-group shape). Ties break by value asc
+    # so the DuckDB oracle can reproduce the pick. topKWeighted keeps its
+    # documented pass-through (operators/functions cover it).
+    topk_rx = re.compile(r"\btopK\s*\(")  # case-exact (CH names are)
+    while True:
+        m = None
+        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        for mm in topk_rx.finditer(sql):
+            if not instr_at.get(mm.start(), False):
+                m = mm
+                break
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        rest = sql[close1 + 1:].lstrip()
+        if not rest.startswith("("):
+            raise ValueError("topK expects the parametric form topK(k)(x)")
+        open2 = close1 + 1 + (len(sql[close1 + 1:]) - len(rest))
+        close2 = _call_end(sql, open2)
+        k = sql[open1 + 1: close1].strip()
+        x = sql[open2 + 1: close2]
+        arr = f"collect_list({x})"
+        expr = (
+            f"transform(slice(array_sort(transform(array_distinct({arr}),"
+            f" v -> struct(-size(filter({arr}, y -> y = v)) AS c, v AS val))),"
+            f" 1, {k}), s -> s.val)"
+        )
+        sql = sql[: m.start()] + expr + sql[close2 + 1:]
     while True:
         m = _find_top_anywhere(sql, r"\bmedian\s*\(")
         if not m:
@@ -947,6 +984,140 @@ def _rewrite_system(sql: str) -> str:
         sql = sql[: m.start()] + f"system_{m.group(1)}" + sql[m.end():]
 
 
+# ClickHouse type names → Spark SQL type names, for CAST(x AS Float64),
+# x::Float64 and accurateCast[OrNull](x, 'Type'). Unsigned widths widen
+# to the next signed Spark type (UInt64 stays BIGINT — documented
+# narrowing, Spark has no unsigned 64-bit), mirroring ddl._SIMPLE_TYPES.
+_CH_TYPE_NAMES = {
+    "int8": "TINYINT",
+    "int16": "SMALLINT",
+    "int32": "INT",
+    "int64": "BIGINT",
+    "int128": "DECIMAL(38, 0)",
+    "int256": "DECIMAL(38, 0)",
+    "uint8": "SMALLINT",
+    "uint16": "INT",
+    "uint32": "BIGINT",
+    "uint64": "BIGINT",
+    "uint128": "DECIMAL(38, 0)",
+    "uint256": "DECIMAL(38, 0)",
+    "float32": "FLOAT",
+    "float64": "DOUBLE",
+    "string": "STRING",
+    "uuid": "STRING",
+    "ipv4": "STRING",
+    "ipv6": "STRING",
+    "date": "DATE",
+    "date32": "DATE",
+    "datetime": "TIMESTAMP",
+    "bool": "BOOLEAN",
+    "boolean": "BOOLEAN",
+}
+
+
+def _spark_type_name(ch: str) -> str | None:
+    """Spark SQL spelling of a ClickHouse type name, or None when the
+    token isn't a (supported) ClickHouse type. Unwraps Nullable /
+    LowCardinality, recurses into Array, parameterizes Decimal."""
+    t = ch.strip()
+    m = re.fullmatch(r"(?is)(?:Nullable|LowCardinality)\s*\((.*)\)", t)
+    if m:
+        return _spark_type_name(m.group(1))
+    m = re.fullmatch(r"(?is)Array\s*\((.*)\)", t)
+    if m:
+        inner = _spark_type_name(m.group(1))
+        return f"ARRAY<{inner}>" if inner else None
+    if re.fullmatch(r"(?i)DateTime(?:64)?\s*\([^()]*\)", t):
+        return "TIMESTAMP"
+    if re.fullmatch(r"(?i)FixedString\s*\(\s*\d+\s*\)", t):
+        return "STRING"
+    m = re.fullmatch(r"(?i)Decimal\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)", t)
+    if m:
+        return f"DECIMAL({m.group(1)}, {m.group(2)})"
+    m = re.fullmatch(r"(?i)Decimal(32|64|128|256)\s*\(\s*(\d+)\s*\)", t)
+    if m:
+        p = {"32": 9, "64": 18, "128": 38, "256": 38}[m.group(1)]
+        return f"DECIMAL({p}, {m.group(2)})"
+    return _CH_TYPE_NAMES.get(t.lower())
+
+
+def _rewrite_ch_casts(sql: str) -> str:
+    """Type names in cast positions: ``CAST(x AS Float64)``,
+    ``x::Float64`` (Spark 4 parses ``::``, but not ClickHouse type
+    names) and ``accurateCast/accurateCastOrNull(x, 'Type')`` →
+    CAST/TRY_CAST with the Spark spelling. Only tokens that resolve as
+    ClickHouse types are touched, so Spark-native CAST targets pass
+    through unchanged."""
+    for name, fn in (("accurateCastOrNull", "TRY_CAST"), ("accurateCast", "CAST")):
+        while True:
+            m = _find_top_anywhere(sql, rf"\b{name}\s*\(")
+            if not m:
+                break
+            open1 = sql.index("(", m.end() - 1)
+            close1 = _call_end(sql, open1)
+            args = _split_top_commas(sql[open1 + 1: close1])
+            if len(args) != 2:
+                raise ValueError(f"{name} expects (expr, 'Type')")
+            tname = args[1].strip().strip("'\"")
+            spark_t = _spark_type_name(tname) or tname
+            sql = (
+                sql[: m.start()]
+                + f"{fn}({args[0]} AS {spark_t})"
+                + sql[close1 + 1:]
+            )
+    # CAST(expr AS Type): rewrite the type token after the LAST top-level
+    # AS inside the call when it is a ClickHouse name. One left-to-right
+    # pass; pos advances into the call body so nested CASTs are found.
+    pos = 0
+    cast_rx = re.compile(r"\b(?:TRY_)?CAST\s*\(", re.I)
+    while True:
+        m = cast_rx.search(sql, pos)
+        if not m:
+            break
+        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        if instr_at.get(m.start(), False):
+            pos = m.end()
+            continue
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        inner = sql[open1 + 1: close1]
+        as_pos = None
+        for i, _, depth, q in _scan_level(inner):
+            if depth == 0 and not q and inner[i: i + 4].upper() in (" AS ", " AS\t"):
+                as_pos = i
+        if as_pos is not None:
+            tok = inner[as_pos + 4:].strip()
+            spark_t = _spark_type_name(tok)
+            if spark_t and spark_t.upper() != tok.upper():
+                new_inner = inner[: as_pos] + " AS " + spark_t
+                sql = sql[: open1 + 1] + new_inner + sql[close1:]
+        pos = m.end()
+    # expr::Type — rewrite just the type token (Spark 4 owns the ::)
+    pos = 0
+    colon_rx = re.compile(r"::\s*([A-Za-z][A-Za-z0-9]*)(\s*\()?")
+    while True:
+        m = colon_rx.search(sql, pos)
+        if not m:
+            break
+        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        if instr_at.get(m.start(), False):
+            pos = m.end()
+            continue
+        if m.group(2):
+            close = _call_end(sql, sql.index("(", m.end(1)))
+            tok_start, tok_end = m.start(1), close + 1
+        else:
+            tok_start, tok_end = m.start(1), m.end(1)
+        tok = sql[tok_start:tok_end]
+        spark_t = _spark_type_name(tok)
+        if spark_t and spark_t.upper() != tok.upper():
+            sql = sql[:tok_start] + spark_t + sql[tok_end:]
+            pos = tok_start + len(spark_t)
+        else:
+            pos = tok_end
+    return sql
+
+
 def translate(
     sql: str, specs: dict | None = None, params: dict | None = None
 ) -> Translated:
@@ -968,6 +1139,7 @@ def translate(
     # builtin owns the lowercase name, so the camel spelling maps to the
     # registered chDateDiff SQL function (case-sensitive on purpose).
     sql = re.sub(r"\bdateDiff\s*\(", "chDateDiff(", sql)
+    sql = _rewrite_ch_casts(sql)
     sql = _rewrite_sample(sql, specs)
     sql = _rewrite_any_join(sql, specs)
     sql = _rewrite_agg_spellings(sql)

@@ -499,7 +499,11 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
     ),
     # integer-width cast spellings (CH's unsigned widths widen to the
     # next signed Spark type — Spark has no unsigned integers)
+    "toInt8": ("(s STRING) RETURNS TINYINT", "CAST(s AS TINYINT)"),
+    "toInt16": ("(s STRING) RETURNS SMALLINT", "CAST(s AS SMALLINT)"),
     "toInt32": ("(s STRING) RETURNS INT", "CAST(s AS INT)"),
+    "toUInt8": ("(s STRING) RETURNS SMALLINT", "CAST(s AS SMALLINT)"),
+    "toUInt16": ("(s STRING) RETURNS INT", "CAST(s AS INT)"),
     "toUInt32": ("(s STRING) RETURNS BIGINT", "CAST(s AS BIGINT)"),
     "toUInt64": ("(s STRING) RETURNS BIGINT", "CAST(s AS BIGINT)"),
     "toFloat32": ("(s STRING) RETURNS FLOAT", "CAST(s AS FLOAT)"),
@@ -664,6 +668,119 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "  'lo2', IF(i % 2 = 0 AND ((locate(substring(s, i div 5 + 1, 1), '0123456789bcdefghjkmnpqrstuvwxyz') - 1) div CAST(pow(2, 4 - i % 5) AS INT)) % 2 = 0,"
         "            (acc.lo1 + acc.lo2) / 2, acc.lo2)),"
         " acc -> array((acc.lo1 + acc.lo2) / 2, (acc.la1 + acc.la2) / 2))",
+    ),
+    # ---- dashboard-battery spellings (round 3): functions found missing
+    # by running a corpus of real ClickHouse monitoring/analytics SQL
+    # through Engine.ch_sql end-to-end ----
+    "match": ("(s STRING, re STRING) RETURNS BOOLEAN", "s RLIKE re"),
+    "toMonday": ("(x TIMESTAMP) RETURNS DATE", "CAST(date_trunc('WEEK', x) AS DATE)"),
+    "toDate32": ("(x TIMESTAMP) RETURNS DATE", "CAST(x AS DATE)"),
+    # Spark timestamps are already micro-precision; the precision arg of
+    # DateTime64 only matters for storage rendering
+    "toDateTime64": ("(x TIMESTAMP, p INT) RETURNS TIMESTAMP", "x"),
+    "toRelativeDayNum": (
+        "(x TIMESTAMP) RETURNS INT",
+        "datediff(CAST(x AS DATE), DATE'1970-01-01')",
+    ),
+    "toRelativeHourNum": ("(x TIMESTAMP) RETURNS BIGINT", "unix_timestamp(x) div 3600"),
+    "toRelativeMinuteNum": ("(x TIMESTAMP) RETURNS BIGINT", "unix_timestamp(x) div 60"),
+    "fromUnixTimestamp": ("(x BIGINT) RETURNS TIMESTAMP", "timestamp_seconds(x)"),
+    "dateName": (
+        "(part STRING, x TIMESTAMP) RETURNS STRING",
+        "CASE lower(part)"
+        " WHEN 'year' THEN CAST(year(x) AS STRING)"
+        " WHEN 'quarter' THEN CAST(quarter(x) AS STRING)"
+        " WHEN 'month' THEN date_format(x, 'MMMM')"
+        " WHEN 'week' THEN CAST(weekofyear(x) AS STRING)"
+        " WHEN 'dayofyear' THEN CAST(dayofyear(x) AS STRING)"
+        " WHEN 'day' THEN CAST(day(x) AS STRING)"
+        " WHEN 'weekday' THEN date_format(x, 'EEEE')"
+        " WHEN 'hour' THEN CAST(hour(x) AS STRING)"
+        " WHEN 'minute' THEN CAST(minute(x) AS STRING)"
+        " WHEN 'second' THEN CAST(second(x) AS STRING)"
+        " END",
+    ),
+    # ClickHouse age(): COMPLETE elapsed units between a and b (floor
+    # semantics — distinct from dateDiff's boundary-count semantics)
+    "age": (
+        "(u STRING, a TIMESTAMP, b TIMESTAMP) RETURNS BIGINT",
+        "CASE lower(u)"
+        " WHEN 'second' THEN unix_timestamp(b) - unix_timestamp(a)"
+        " WHEN 'minute' THEN (unix_timestamp(b) - unix_timestamp(a)) div 60"
+        " WHEN 'hour' THEN (unix_timestamp(b) - unix_timestamp(a)) div 3600"
+        " WHEN 'day' THEN (unix_timestamp(b) - unix_timestamp(a)) div 86400"
+        " WHEN 'week' THEN (unix_timestamp(b) - unix_timestamp(a)) div 604800"
+        " WHEN 'month' THEN CAST(floor(months_between(b, a)) AS BIGINT)"
+        " WHEN 'quarter' THEN CAST(floor(months_between(b, a) / 3) AS BIGINT)"
+        " WHEN 'year' THEN CAST(floor(months_between(b, a) / 12) AS BIGINT)"
+        " END",
+    ),
+    # first 8 bytes of the MD5, big-endian — same BITS as ClickHouse's
+    # UInt64, reinterpreted as Spark's signed 64-bit (shiftleft/OR wrap,
+    # they never overflow-throw under ANSI)
+    "halfMD5": (
+        "(s STRING) RETURNS BIGINT",
+        "shiftleft(CAST(conv(substring(md5(s), 1, 8), 16, 10) AS BIGINT), 32)"
+        " | CAST(conv(substring(md5(s), 9, 8), 16, 10) AS BIGINT)",
+    ),
+    "formatReadableQuantity": (
+        "(x DOUBLE) RETURNS STRING",
+        "CASE WHEN abs(x) >= 1e12 THEN concat(format_number(x / 1e12, 2), ' trillion')"
+        " WHEN abs(x) >= 1e9 THEN concat(format_number(x / 1e9, 2), ' billion')"
+        " WHEN abs(x) >= 1e6 THEN concat(format_number(x / 1e6, 2), ' million')"
+        " WHEN abs(x) >= 1e3 THEN concat(format_number(x / 1e3, 2), ' thousand')"
+        " ELSE format_number(x, 2) END",
+    ),
+    # visitParam* = the legacy spellings of JSONExtract* (same fast-path
+    # JSON role; get_json_object is Spark's equivalent)
+    "visitParamExtractString": (
+        "(j STRING, k STRING) RETURNS STRING",
+        "get_json_object(j, concat('$.', k))",
+    ),
+    "visitParamExtractInt": (
+        "(j STRING, k STRING) RETURNS BIGINT",
+        "try_cast(get_json_object(j, concat('$.', k)) AS BIGINT)",
+    ),
+    "visitParamExtractFloat": (
+        "(j STRING, k STRING) RETURNS DOUBLE",
+        "try_cast(get_json_object(j, concat('$.', k)) AS DOUBLE)",
+    ),
+    "visitParamExtractBool": (
+        "(j STRING, k STRING) RETURNS BOOLEAN",
+        "try_cast(get_json_object(j, concat('$.', k)) AS BOOLEAN)",
+    ),
+    "visitParamHas": (
+        "(j STRING, k STRING) RETURNS BOOLEAN",
+        "get_json_object(j, concat('$.', k)) IS NOT NULL",
+    ),
+    # CLI bar chart: full blocks + a 1/8-resolution partial block, the
+    # same glyph ramp ClickHouse renders
+    "bar": (
+        "(x DOUBLE, mn DOUBLE, mx DOUBLE, w DOUBLE) RETURNS STRING",
+        "concat("
+        " repeat('█', CAST(floor(greatest(least((x - mn) / (mx - mn) * w, w), 0)) AS INT)),"
+        " CASE CAST(round((greatest(least((x - mn) / (mx - mn) * w, w), 0)"
+        "   - floor(greatest(least((x - mn) / (mx - mn) * w, w), 0))) * 8) AS INT)"
+        "  WHEN 1 THEN '▏' WHEN 2 THEN '▎' WHEN 3 THEN '▍' WHEN 4 THEN '▌'"
+        "  WHEN 5 THEN '▋' WHEN 6 THEN '▊' WHEN 7 THEN '▉' WHEN 8 THEN '█'"
+        "  ELSE '' END)",
+    ),
+    "parseDateTimeBestEffort": (
+        "(s STRING) RETURNS TIMESTAMP",
+        "coalesce(try_cast(s AS TIMESTAMP),"
+        " try_to_timestamp(s, 'dd/MM/yyyy HH:mm:ss'),"
+        " try_to_timestamp(s, 'dd.MM.yyyy HH:mm:ss'),"
+        " try_to_timestamp(s, 'dd/MM/yyyy'),"
+        " try_to_timestamp(s, 'dd.MM.yyyy'),"
+        " try_to_timestamp(s, 'yyyyMMdd'))",
+    ),
+    "intDivOrZero": (
+        "(a BIGINT, b BIGINT) RETURNS BIGINT",
+        "CASE WHEN b = 0 THEN 0 ELSE a div b END",
+    ),
+    "moduloOrZero": (
+        "(a BIGINT, b BIGINT) RETURNS BIGINT",
+        "CASE WHEN b = 0 THEN 0 ELSE a % b END",
     ),
 }
 

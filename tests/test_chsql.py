@@ -612,3 +612,75 @@ def test_scalar_with_backslash_and_count_literal():
         r"WITH '\d+' AS pat SELECT 'count()' AS lit, count() AS n, pat FROM t"
     ).sql
     assert r"('\d+')" in s and "'count()'" in s and "count(*)" in s
+
+
+def test_ch_type_names_in_casts(views):
+    # CAST(x AS <ClickHouse type>) / x::<Type> / accurateCast[OrNull]
+    tr = translate(
+        "SELECT CAST(o_totalprice AS Float64) AS f, o_custkey::UInt32 AS k, "
+        "CAST(o_orderdate AS Nullable(String)) AS s, "
+        "accurateCastOrNull('12x', 'Int64') AS bad, "
+        "accurateCast('12', 'Int64') AS good "
+        "FROM orders LIMIT 1"
+    ).sql
+    assert "AS DOUBLE" in tr and "::BIGINT" in tr
+    assert "TRY_CAST('12x' AS BIGINT)" in tr and "CAST('12' AS BIGINT)" in tr
+    r = views.sql(tr).first()
+    assert r["bad"] is None and r["good"] == 12
+    assert isinstance(r["f"], float)
+    # Spark-native CAST targets and quoted '::' pass through untouched
+    assert translate("SELECT CAST(a AS INT) FROM t").sql == "SELECT CAST(a AS INT) FROM t"
+    assert "'a::Float64'" in translate("SELECT 'a::Float64' AS s").sql
+
+
+def test_parametric_topk(views):
+    # exact most-frequent-k; ties break by value asc (oracle-stable)
+    r = views.sql(
+        translate(
+            "SELECT o_orderstatus AS st, topK(2)(o_orderpriority) AS t "
+            "FROM orders GROUP BY st ORDER BY st"
+        ).sql
+    ).collect()
+    for row in r:
+        assert len(row["t"]) == 2
+    # cross-check the top-1 against a plain count ranking
+    top1 = {row["st"]: row["t"][0] for row in r}
+    exact = views.sql(
+        "SELECT o_orderstatus AS st, o_orderpriority AS p, count(*) AS c "
+        "FROM orders GROUP BY st, p"
+    ).collect()
+    import collections
+    best: dict = {}
+    for row in exact:
+        key = row["st"]
+        cand = (-row["c"], row["p"])
+        if key not in best or cand < best[key]:
+            best[key] = cand
+    assert {k: v[1] for k, v in best.items()} == top1
+
+
+def test_battery_spellings_execute(views):
+    # the round-3 dashboard battery: every spelling runs end-to-end
+    r = views.sql("SELECT bar(7.5, 0, 10, 10) AS b").first()
+    assert r["b"] == "███████▌"  # 7 full blocks + a half block
+    r = views.sql(
+        "SELECT match('purchase', '^pur') AS m, match('purchase', '^xyz') AS n, "
+        "dateName('month', TIMESTAMP'2024-03-05 00:00:00') AS mo, "
+        "age('month', TIMESTAMP'2024-01-15 00:00:00', TIMESTAMP'2024-03-14 00:00:00') AS am, "
+        "halfMD5('abc') AS h, "
+        "formatReadableQuantity(1234567.0) AS q, "
+        "toMonday(TIMESTAMP'2024-03-07 10:00:00') AS mon, "
+        "visitParamExtractString('{\"a\": \"x\"}', 'a') AS vp, "
+        "intDivOrZero(5, 0) AS dz, moduloOrZero(5, 0) AS mz, "
+        "fromUnixTimestamp(0) AS ts0, "
+        "toInt8('7') AS i8, toUInt16('300') AS u16"
+    ).first()
+    assert r["m"] is True and r["n"] is False
+    assert r["mo"] == "March"
+    assert r["am"] == 1  # one COMPLETE month elapsed (age != dateDiff)
+    # first 8 bytes of md5('abc') = 900150983cd24fb0, as signed 64-bit
+    assert r["h"] == -8070080442485551184
+    assert r["q"] == "1.23 million"
+    assert str(r["mon"]) == "2024-03-04"  # Monday of that week
+    assert r["vp"] == "x" and r["dz"] == 0 and r["mz"] == 0
+    assert r["i8"] == 7 and r["u16"] == 300
