@@ -75,6 +75,14 @@ top-level token scanning (never inside strings/parens):
                          accurateCastOrNull → TRY_CAST)
   topK(k)(x)             exact most-frequent-k as a collect_list fold
                          (ties by value asc, oracle-stable)
+  retention(c1, ..)      array(r1, r1*r2, ...), ri = max(if(ci,1,0))
+                         (exact ClickHouse semantics)
+  windowFunnel(W)(..)    single aggregate() fold over the time-sorted
+                         event array (greedy-earliest anchor — the
+                         operators/windows.py:funnel semantics; CH's
+                         re-anchoring DP deviation documented there)
+  sequenceMatch          sequential (?1).*(?2) patterns via the same
+                         fold; other patterns raise → use the operator
   =====================  ==========================================
 
 Not translated (documented): ANY JOIN with an ON clause or a subquery
@@ -563,6 +571,139 @@ def _rewrite_to_start_of_interval(sql: str) -> str:
                 f"length units only bucket with n=1)"
             )
         sql = sql[: m.start()] + repl + sql[close1 + 1:]
+
+
+def _find_case_exact(sql: str, pattern: str) -> re.Match | None:
+    """First CASE-SENSITIVE match outside string literals (any depth).
+    _find_top_anywhere compiles with re.I; ClickHouse names are exact."""
+    rx = re.compile(pattern)
+    instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+    for m in rx.finditer(sql):
+        if not instr_at.get(m.start(), False):
+            return m
+    return None
+
+
+def _rewrite_funnel_aggs(sql: str) -> str:
+    """ClickHouse event-analytics aggregates → Spark compositions:
+
+    - ``retention(c1, ..., cn)`` → ``array(r1, r1*r2, ...)`` where
+      ``ri = max(if(ci, 1, 0))`` — exactly ClickHouse's semantics
+      (``r[i] = cond1 ever held AND cond_i ever held``, independent
+      rows).
+    - ``windowFunnel(W)(ts, c1, ..., cn)`` → a single ``aggregate()``
+      fold over the group's time-sorted events carrying
+      (depth, anchor, prev): greedy-earliest anchor, each step strictly
+      after the previous, within W seconds of the anchor — the same
+      documented semantics as operators/windows.py:funnel (ClickHouse's
+      DP re-anchors; deviation documented there). Pure JVM, one shuffle,
+      linear in the group's event count. Mode strings
+      ('strict_order', ...) are not translatable — use the operator.
+    """
+    while True:
+        m = _find_case_exact(sql, r"\bretention\s*\(")
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        conds = _split_top_commas(sql[open1 + 1: close1])
+        if not conds:
+            raise ValueError("retention expects at least one condition")
+        r1 = f"max(if({conds[0]}, 1, 0))"
+        elems = [r1] + [f"({r1} * max(if({c}, 1, 0)))" for c in conds[1:]]
+        sql = sql[: m.start()] + f"array({', '.join(elems)})" + sql[close1 + 1:]
+    while True:
+        m = _find_case_exact(sql, r"\bsequenceMatch\s*\(")
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        pat = sql[open1 + 1: close1].strip().strip("'\"")
+        rest = sql[close1 + 1:].lstrip()
+        if not rest.startswith("("):
+            raise ValueError(
+                "sequenceMatch expects sequenceMatch('(?1).*(?2)')(ts, conds...)"
+            )
+        open2 = close1 + 1 + (len(sql[close1 + 1:]) - len(rest))
+        close2 = _call_end(sql, open2)
+        args = _split_top_commas(sql[open2 + 1: close2])
+        ts, conds = args[0], args[1:]
+        # only the sequential form (?1).*(?2).*... translates; time
+        # conditions / branching need operators/windows.py:sequence_match
+        order = re.findall(r"\(\?(\d+)\)", pat)
+        if re.sub(r"\(\?\d+\)|\.\*", "", pat) != "" or not order:
+            raise ValueError(
+                f"sequenceMatch pattern {pat!r} is not the sequential"
+                " (?1).*(?2) form — use operators.windows.sequence_match"
+            )
+        fields = ", ".join(
+            [f"CAST(CAST({ts} AS TIMESTAMP) AS DOUBLE) AS t"]
+            + [f"({c}) AS s{i + 1}" for i, c in enumerate(conds)]
+        )
+        evs = f"array_sort(collect_list(struct({fields})))"
+        init = "named_struct('d', 0, 'p', CAST(0.0 AS DOUBLE))"
+        cases = []
+        for k, ref in enumerate(order, start=1):
+            guard = "" if k == 1 else " AND e.t > acc.p"
+            cases.append(
+                f"WHEN acc.d = {k - 1} AND e.s{ref}{guard} THEN"
+                f" named_struct('d', {k}, 'p', e.t)"
+            )
+        expr = (
+            f"(aggregate({evs}, {init},"
+            f" (acc, e) -> CASE {' '.join(cases)} ELSE acc END,"
+            f" acc -> acc.d) = {len(order)})"
+        )
+        sql = sql[: m.start()] + expr + sql[close2 + 1:]
+    while True:
+        m = _find_case_exact(sql, r"\bwindowFunnel\s*\(")
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        params = _split_top_commas(sql[open1 + 1: close1])
+        if len(params) != 1:
+            raise ValueError(
+                "windowFunnel modes ('strict_order', ...) are not string-"
+                "translatable — use operators.windows.funnel(strict_dedup=...)"
+            )
+        rest = sql[close1 + 1:].lstrip()
+        if not rest.startswith("("):
+            raise ValueError("windowFunnel expects windowFunnel(W)(ts, conds...)")
+        open2 = close1 + 1 + (len(sql[close1 + 1:]) - len(rest))
+        close2 = _call_end(sql, open2)
+        args = _split_top_commas(sql[open2 + 1: close2])
+        if len(args) < 2:
+            raise ValueError("windowFunnel expects (timestamp, cond1, ...)")
+        w, ts, conds = params[0], args[0], args[1:]
+        # epoch seconds for the window math; the TIMESTAMP hop also
+        # accepts TIMESTAMP_NTZ and numeric time columns uniformly
+        fields = ", ".join(
+            [f"CAST(CAST({ts} AS TIMESTAMP) AS DOUBLE) AS t"]
+            + [f"({c}) AS s{i + 1}" for i, c in enumerate(conds)]
+        )
+        evs = f"array_sort(collect_list(struct({fields})))"
+        init = (
+            "named_struct('d', 0, 'a', CAST(0.0 AS DOUBLE),"
+            " 'p', CAST(0.0 AS DOUBLE))"
+        )
+        cases = [
+            "WHEN acc.d = 0 AND e.s1 THEN"
+            " named_struct('d', 1, 'a', e.t, 'p', e.t)"
+        ]
+        for k in range(2, len(conds) + 1):
+            cases.append(
+                f"WHEN acc.d = {k - 1} AND e.s{k} AND e.t > acc.p"
+                f" AND e.t <= acc.a + ({w}) THEN"
+                f" named_struct('d', {k}, 'a', acc.a, 'p', e.t)"
+            )
+        expr = (
+            f"aggregate({evs}, {init},"
+            f" (acc, e) -> CASE {' '.join(cases)} ELSE acc END,"
+            f" acc -> acc.d)"
+        )
+        sql = sql[: m.start()] + expr + sql[close2 + 1:]
+    return sql
 
 
 # ClickHouse aggregate spellings with a same-shape Spark builtin.
@@ -1142,6 +1283,7 @@ def translate(
     sql = _rewrite_ch_casts(sql)
     sql = _rewrite_sample(sql, specs)
     sql = _rewrite_any_join(sql, specs)
+    sql = _rewrite_funnel_aggs(sql)
     sql = _rewrite_agg_spellings(sql)
     sql = _rewrite_array_hofs(sql)
     sql = _rewrite_scalar_with(sql)

@@ -390,3 +390,86 @@ def q195_funnel_strict_dedup(spark, sf_dir):
         ["signup", "click", "purchase"], strict_dedup=True,
     )
     return f.groupBy("funnel_steps").agg(F.count("*").alias("n_users"))
+
+
+_CH_EVENT_SQL = """
+WITH per_user AS (
+  SELECT user_id,
+         windowFunnel(86400)(ts, event_type = 'signup',
+                             event_type = 'click',
+                             event_type = 'purchase') AS depth,
+         sequenceMatch('(?1).*(?2)')(ts, event_type = 'signup',
+                                     event_type = 'purchase') AS m
+  FROM events
+  WHERE event_type IN ('signup', 'click', 'purchase')
+  GROUP BY user_id
+)
+SELECT depth, count() AS n_users, countIf(m) AS n_matched
+FROM per_user GROUP BY depth ORDER BY depth
+"""
+
+
+@query(
+    "q206_ch_event_analytics",
+    oracle="""
+    WITH su AS (
+      SELECT user_id FROM events
+      WHERE event_type IN ('signup', 'click', 'purchase') GROUP BY 1
+    ),
+    t1 AS (
+      SELECT user_id, MIN(ts) AS t1 FROM events
+      WHERE event_type = 'signup' GROUP BY 1
+    ),
+    t2 AS (
+      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      JOIN t1 ON e.user_id = t1.user_id
+             AND e.ts > t1.t1 AND e.ts <= t1.t1 + INTERVAL 1 DAY
+      WHERE e.event_type = 'click' GROUP BY 1
+    ),
+    t3 AS (
+      SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      JOIN t2 ON e.user_id = t2.user_id
+      JOIN t1 ON e.user_id = t1.user_id
+      WHERE e.event_type = 'purchase'
+        AND e.ts > t2.t2 AND e.ts <= t1.t1 + INTERVAL 1 DAY
+      GROUP BY e.user_id
+    ),
+    m2 AS (
+      SELECT e.user_id FROM events e
+      JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    ),
+    pu AS (
+      SELECT su.user_id,
+             CASE WHEN t3.user_id IS NOT NULL THEN 3
+                  WHEN t2.user_id IS NOT NULL THEN 2
+                  WHEN t1.user_id IS NOT NULL THEN 1
+                  ELSE 0 END AS depth,
+             (m2.user_id IS NOT NULL) AS m
+      FROM su
+      LEFT JOIN t1 ON su.user_id = t1.user_id
+      LEFT JOIN t2 ON su.user_id = t2.user_id
+      LEFT JOIN t3 ON su.user_id = t3.user_id
+      LEFT JOIN m2 ON su.user_id = m2.user_id
+    )
+    SELECT depth, COUNT(*) AS n_users,
+           CAST(SUM(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+    FROM pu GROUP BY 1 ORDER BY 1
+    """,
+)
+def q206_ch_event_analytics(spark, sf_dir):
+    """The ClickHouse event-analytics aggregates a reference user pastes
+    in VERBATIM — ``windowFunnel(86400)(ts, ...)`` and
+    ``sequenceMatch('(?1).*(?2)')(ts, ...)`` — through the dialect
+    front-end (chsql._rewrite_funnel_aggs): each becomes ONE
+    ``aggregate()`` fold over the user's time-sorted event array (pure
+    JVM, one shuffle on user_id, linear per group), then a depth
+    histogram with sequence-match counts. Greedy-earliest anchor
+    semantics as operators/windows.py:funnel (documented deviation from
+    ClickHouse's re-anchoring DP)."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(translate(_CH_EVENT_SQL).sql)

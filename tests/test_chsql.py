@@ -684,3 +684,66 @@ def test_battery_spellings_execute(views):
     assert str(r["mon"]) == "2024-03-04"  # Monday of that week
     assert r["vp"] == "x" and r["dz"] == 0 and r["mz"] == 0
     assert r["i8"] == 7 and r["u16"] == 300
+
+
+def test_event_analytics_aggregates_via_sql(views, sf_dir):
+    """retention / windowFunnel / sequenceMatch run verbatim through
+    ch_sql and agree with the batch operators (same documented
+    greedy-earliest semantics)."""
+    from ed_clickhouse_spark.catalog import read_table
+    from ed_clickhouse_spark.operators.windows import funnel, sequence_match
+
+    d = read_table(views, sf_dir, "events")
+    d.createOrReplaceTempView("events")
+
+    fun = views.sql(
+        translate(
+            "SELECT user_id, windowFunnel(86400)(ts, event_type = 'signup', "
+            "event_type = 'click', event_type = 'purchase') AS depth "
+            "FROM events GROUP BY user_id"
+        ).sql
+    )
+    op = funnel(
+        d, "user_id", "ts", "event_type",
+        ["signup", "click", "purchase"], window_seconds=86400,
+    )
+    assert (
+        fun.join(op, "user_id")
+        .where(F.col("depth") != F.col("funnel_steps"))
+        .count()
+        == 0
+    ) and fun.count() == op.count()
+
+    seq = views.sql(
+        translate(
+            "SELECT user_id, sequenceMatch('(?1).*(?2).*(?3)')(ts, "
+            "event_type = 'signup', event_type = 'click', "
+            "event_type = 'purchase') AS m FROM events GROUP BY user_id"
+        ).sql
+    )
+    op2 = sequence_match(
+        d, "user_id", "ts", "event_type", ["signup", "click", "purchase"]
+    )
+    assert (
+        seq.join(op2, "user_id").where(F.col("m") != F.col("matched")).count() == 0
+    ) and seq.count() == op2.count()
+
+    ret = views.sql(
+        translate(
+            "SELECT user_id, retention(event_type = 'signup', "
+            "event_type = 'purchase') AS r FROM events GROUP BY user_id"
+        ).sql
+    )
+    twin = views.sql(
+        "SELECT user_id, array(max(if(event_type = 'signup', 1, 0)), "
+        "max(if(event_type = 'signup', 1, 0)) * "
+        "max(if(event_type = 'purchase', 1, 0))) AS r "
+        "FROM events GROUP BY user_id"
+    )
+    assert ret.exceptAll(twin).count() == 0 and twin.exceptAll(ret).count() == 0
+
+    # non-sequential patterns refuse loudly instead of mistranslating
+    with pytest.raises(ValueError, match="sequential"):
+        translate("SELECT sequenceMatch('(?1)(?t>3600)(?2)')(ts, a, b) FROM e")
+    with pytest.raises(ValueError, match="strict"):
+        translate("SELECT windowFunnel(10, 'strict_order')(ts, a, b) FROM e")
