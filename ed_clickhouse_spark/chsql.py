@@ -83,6 +83,15 @@ top-level token scanning (never inside strings/parens):
                          re-anchoring DP deviation documented there)
   sequenceMatch          sequential (?1).*(?2) patterns via the same
                          fold; other patterns raise → use the operator
+  groupArray(n)(x)       size-capped collectors → slice(collect_*)
+  uniqUpTo(n)(x)         least(count(DISTINCT x), n+1)
+  quantile...If(p)(x,c)  parametric + -If combinators compose
+  sumMap(m)/(ks, vs)     per-key sums → sorted MAP (CH's array form
+                         returns a tuple of arrays — same content)
+  multiIf / extract /    polymorphic scalars rewritten at translate
+  range / arrayZip /     time (_rewrite_scalar_misc): renames, CASE
+  tupleElement / ...     expansion, filtered sequence, .colN access;
+                         assumeNotNull/toNullable drop out
   =====================  ==========================================
 
 Not translated (documented): ANY JOIN with an ON clause or a subquery
@@ -573,6 +582,144 @@ def _rewrite_to_start_of_interval(sql: str) -> str:
         sql = sql[: m.start()] + repl + sql[close1 + 1:]
 
 
+# polymorphic ClickHouse scalar spellings with a same-shape Spark
+# builtin: a typed SQL-UDF alias can't cover every argument type, so
+# these rename at translate time (case-exact, name followed by a paren).
+_SCALAR_RENAMES = {
+    "arrayZip": "arrays_zip",
+    "arrayElement": "element_at",  # both 1-based, both negative-from-end
+    "replaceRegexpAll": "regexp_replace",
+    "concatWithSeparator": "concat_ws",
+    "roundBankers": "bround",
+    "bitCount": "bit_count",
+    "toTypeName": "typeof",
+}
+# wrappers that are the identity under Spark's nullability model
+_IDENTITY_FNS = ("assumeNotNull", "toNullable", "materialize")
+
+
+def _rewrite_scalar_misc(sql: str) -> str:
+    """Polymorphic scalar spellings that need a translate-time rewrite
+    rather than a typed SQL-UDF alias: renames (arrayZip → arrays_zip,
+    ...), identity wrappers (assumeNotNull/toNullable drop out),
+    ``multiIf`` → CASE, comma-form ``extract(s, re)`` → regexp_extract
+    (group 1 when the pattern literal has a capture group; EXTRACT(unit
+    FROM ts) is left alone), ``range`` → a filtered sequence (empty-
+    range safe), literal ``tupleElement(t, N)`` → ``(t).colN``."""
+    for name, target in _SCALAR_RENAMES.items():
+        pos = 0
+        rx = re.compile(rf"\b{name}\s*\(")
+        while True:
+            m = rx.search(sql, pos)
+            if not m:
+                break
+            instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+            if instr_at.get(m.start(), False):
+                pos = m.end()
+                continue
+            sql = sql[: m.start()] + target + "(" + sql[m.end():]
+            pos = m.start() + len(target)
+    for name in _IDENTITY_FNS:
+        while True:
+            m = _find_case_exact(sql, rf"\b{name}\s*\(")
+            if not m:
+                break
+            sql = sql[: m.start()] + "(" + sql[sql.index("(", m.end() - 1) + 1:]
+    while True:
+        m = _find_case_exact(sql, r"\bmultiIf\s*\(")
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        if len(args) < 3 or len(args) % 2 == 0:
+            raise ValueError("multiIf expects (c1, v1, ..., else)")
+        whens = " ".join(
+            f"WHEN {args[i]} THEN {args[i + 1]}" for i in range(0, len(args) - 1, 2)
+        )
+        sql = (
+            sql[: m.start()]
+            + f"(CASE {whens} ELSE {args[-1]} END)"
+            + sql[close1 + 1:]
+        )
+    # comma-form extract(s, re): ClickHouse's first-regex-match. The
+    # EXTRACT(unit FROM ts) builtin form has no top-level comma.
+    pos = 0
+    ext_rx = re.compile(r"\bextract\s*\(", re.I)
+    while True:
+        m = ext_rx.search(sql, pos)
+        if not m:
+            break
+        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        if instr_at.get(m.start(), False):
+            pos = m.end()
+            continue
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        if len(args) != 2:
+            pos = m.end()
+            continue
+        # group 1 when the pattern literal carries a capture group
+        grp = 1 if "(" in args[1] else 0
+        sql = (
+            sql[: m.start()]
+            + f"regexp_extract({args[0]}, {args[1]}, {grp})"
+            + sql[close1 + 1:]
+        )
+        pos = m.start()
+    pos = 0
+    range_rx = re.compile(r"\brange\s*\(")
+    while True:
+        m = range_rx.search(sql, pos)
+        if not m:
+            break
+        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        if instr_at.get(m.start(), False):
+            pos = m.end()
+            continue
+        # table position (FROM range(...), JOIN range(...)) is Spark's
+        # range TVF — numbers() expands to it; leave it alone
+        before = sql[: m.start()].rstrip()
+        if re.search(r"(?i)\b(FROM|JOIN)$", before):
+            pos = m.end()
+            continue
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        # [start, end) with the end EXCLUSIVE; the filter keeps the
+        # empty range empty (sequence(0, -1) would count DOWN)
+        if len(args) == 1:
+            a, b, st = "0", args[0], None
+        elif len(args) == 2:
+            a, b, st = args[0], args[1], None
+        elif len(args) == 3:
+            a, b, st = args
+        else:
+            raise ValueError("range expects 1-3 arguments")
+        step = f", ({st})" if st else ""
+        sql = (
+            sql[: m.start()]
+            + f"filter(sequence(({a}), greatest(({b}) - 1, ({a})){step}),"
+            f" x -> x < ({b}))"
+            + sql[close1 + 1:]
+        )
+    while True:
+        m = _find_case_exact(sql, r"\btupleElement\s*\(")
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        if len(args) != 2 or not re.fullmatch(r"\d+", args[1]):
+            raise ValueError(
+                "tupleElement translates only with a literal index:"
+                " tupleElement(t, N) -> (t).colN"
+            )
+        sql = sql[: m.start()] + f"({args[0]}).col{args[1]}" + sql[close1 + 1:]
+    return sql
+
+
 def _find_case_exact(sql: str, pattern: str) -> re.Match | None:
     """First CASE-SENSITIVE match outside string literals (any depth).
     _find_top_anywhere compiles with re.I; ClickHouse names are exact."""
@@ -784,15 +931,18 @@ def _rewrite_agg_spellings(sql: str) -> str:
     string-rewritable to a builtin — use functions/clickhouse.py /
     operators; they pass through and fail with Spark's clear
     unresolved-function error."""
-    # parametric quantiles first: their names share prefixes with nothing
+    # parametric quantiles first: their names share prefixes with nothing.
+    # The optional -If combinator composes: quantileIf(p)(x, cond).
     while True:
         m = _find_top_anywhere(
-            sql, r"\b(quantiles?)((?:Exact|TDigest|Timing|BFloat16|Deterministic)?)\s*\("
+            sql,
+            r"\b(quantiles?)((?:Exact|TDigest|Timing|BFloat16|Deterministic)?)(If)?\s*\(",
         )
         if not m:
             break
         plural = m.group(1) == "quantiles"
         exact = m.group(2) == "Exact"
+        has_if = bool(m.group(3))
         open1 = sql.index("(", m.end() - 1)
         close1 = _call_end(sql, open1)
         rest = sql[close1 + 1:].lstrip()
@@ -801,13 +951,88 @@ def _rewrite_agg_spellings(sql: str) -> str:
             open2 = close1 + 1 + (len(sql[close1 + 1:]) - len(rest))
             close2 = _call_end(sql, open2)
             ps = _split_top_commas(sql[open1 + 1: close1])
-            x = sql[open2 + 1: close2]
+            args = _split_top_commas(sql[open2 + 1: close2])
+            if has_if:
+                if len(args) != 2:
+                    raise ValueError("quantile...If expects (expr, cond)")
+                x = f"if({args[1]}, {args[0]}, NULL)"
+            else:
+                x = sql[open2 + 1: close2]
             p_expr = f"array({', '.join(ps)})" if plural else ps[0]
             sql = sql[: m.start()] + f"{fn}({x}, {p_expr})" + sql[close2 + 1:]
         else:
-            # bare quantile(x): CH semantics = median
-            x = sql[open1 + 1: close1]
+            # bare quantile(x) / quantileIf(x, cond): CH semantics = median
+            args = _split_top_commas(sql[open1 + 1: close1])
+            if has_if:
+                if len(args) != 2:
+                    raise ValueError("quantileIf expects (expr, cond)")
+                x = f"if({args[1]}, {args[0]}, NULL)"
+            else:
+                x = sql[open1 + 1: close1]
             sql = sql[: m.start()] + f"{fn}({x}, 0.5)" + sql[close1 + 1:]
+    # parametric size caps: groupArray(n)(x) / groupUniqArray(n)(x) keep
+    # at most n elements; uniqUpTo(n)(x) = exact count clamped at n+1.
+    for name, template in (
+        ("groupUniqArray", "slice(collect_set({x}), 1, {k})"),
+        ("groupArray", "slice(collect_list({x}), 1, {k})"),
+        ("uniqUpTo", "least(count(DISTINCT {x}), ({k}) + 1)"),
+    ):
+        pos = 0
+        rx = re.compile(rf"\b{name}\s*\(")
+        while True:
+            m = rx.search(sql, pos)
+            if not m:
+                break
+            instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+            if instr_at.get(m.start(), False):
+                pos = m.end()
+                continue
+            open1 = sql.index("(", m.end() - 1)
+            close1 = _call_end(sql, open1)
+            rest = sql[close1 + 1:].lstrip()
+            if not rest.startswith("("):
+                if name == "uniqUpTo":
+                    raise ValueError("uniqUpTo expects uniqUpTo(n)(x)")
+                pos = close1  # plain groupArray(x): the name map handles it
+                continue
+            open2 = close1 + 1 + (len(sql[close1 + 1:]) - len(rest))
+            close2 = _call_end(sql, open2)
+            k = sql[open1 + 1: close1].strip()
+            x = sql[open2 + 1: close2]
+            sql = (
+                sql[: m.start()]
+                + template.format(x=x, k=k)
+                + sql[close2 + 1:]
+            )
+            pos = m.start()
+    # sumMap: per-key sums across rows. Map argument or the classic
+    # (keys, values) two-array form; returns a sorted MAP (ClickHouse
+    # returns a (keys, values) tuple for the array form — documented
+    # shape deviation, same content).
+    while True:
+        m = _find_case_exact(sql, r"\bsumMap\s*\(")
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        if len(args) == 1:
+            entries = f"flatten(collect_list(map_entries({args[0]})))"
+        elif len(args) == 2:
+            entries = (
+                f"flatten(collect_list(zip_with({args[0]}, {args[1]},"
+                f" (k, v) -> struct(k AS key, v AS value))))"
+            )
+        else:
+            raise ValueError("sumMap expects (map) or (keys, values)")
+        expr = (
+            f"map_from_entries(array_sort(transform("
+            f"array_distinct(transform({entries}, e -> e.key)),"
+            f" k -> struct(k AS key,"
+            f" aggregate(filter({entries}, e -> e.key = k),"
+            f" CAST(0.0 AS DOUBLE), (s, e) -> s + e.value) AS value))))"
+        )
+        sql = sql[: m.start()] + expr + sql[close1 + 1:]
     # parametric topK(k)(x): EXACT most-frequent-k as a pure-SQL fold
     # over collect_list (CH's SpaceSaving sketch is approximate; exact is
     # strictly better at this per-group shape). Ties break by value asc
@@ -1285,6 +1510,7 @@ def translate(
     sql = _rewrite_any_join(sql, specs)
     sql = _rewrite_funnel_aggs(sql)
     sql = _rewrite_agg_spellings(sql)
+    sql = _rewrite_scalar_misc(sql)
     sql = _rewrite_array_hofs(sql)
     sql = _rewrite_scalar_with(sql)
     # tuple(a, b, ...) -> struct (any arity; a rename, string-literal safe)

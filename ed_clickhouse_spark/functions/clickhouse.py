@@ -778,6 +778,50 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "(a BIGINT, b BIGINT) RETURNS BIGINT",
         "CASE WHEN b = 0 THEN 0 ELSE a div b END",
     ),
+    # wave-2 battery spellings
+    "exp2": ("(x DOUBLE) RETURNS DOUBLE", "pow(2, x)"),
+    "exp10": ("(x DOUBLE) RETURNS DOUBLE", "pow(10, x)"),
+    "intExp2": ("(x INT) RETURNS BIGINT", "shiftleft(CAST(1 AS BIGINT), x)"),
+    "now64": ("() RETURNS TIMESTAMP", "now()"),
+    "timeSlot": (
+        "(x TIMESTAMP) RETURNS TIMESTAMP",
+        "timestamp_seconds((unix_timestamp(x) div 1800) * 1800)",
+    ),
+    # time-of-day mounted on the 1970-01-02 epoch day, CH's convention
+    "toTime": (
+        "(x TIMESTAMP) RETURNS TIMESTAMP",
+        "timestamp_seconds(86400 + unix_timestamp(x) % 86400)",
+    ),
+    "emptyArrayString": ("() RETURNS ARRAY<STRING>", "CAST(array() AS ARRAY<STRING>)"),
+    "emptyArrayInt64": ("() RETURNS ARRAY<BIGINT>", "CAST(array() AS ARRAY<BIGINT>)"),
+    "countEqual": (
+        "(a ARRAY<STRING>, x STRING) RETURNS INT",
+        "size(filter(a, y -> y = x))",
+    ),
+    "bitTest": (
+        "(a BIGINT, i INT) RETURNS TINYINT",
+        "CAST(shiftright(a, i) & 1 AS TINYINT)",
+    ),
+    "arrayWithConstant": (
+        "(n INT, x STRING) RETURNS ARRAY<STRING>",
+        "array_repeat(x, n)",
+    ),
+    "arrayResize": (
+        "(a ARRAY<STRING>, n INT, fill STRING) RETURNS ARRAY<STRING>",
+        "concat(slice(a, 1, least(n, size(a))),"
+        " array_repeat(fill, greatest(n - size(a), 0)))",
+    ),
+    "formatReadableTimeDelta": (
+        "(s BIGINT) RETURNS STRING",
+        "concat_ws(', ',"
+        " IF(s >= 86400, concat(s div 86400, IF(s div 86400 = 1, ' day', ' days')), NULL),"
+        " IF(s % 86400 >= 3600, concat(s % 86400 div 3600,"
+        "    IF(s % 86400 div 3600 = 1, ' hour', ' hours')), NULL),"
+        " IF(s % 3600 >= 60, concat(s % 3600 div 60,"
+        "    IF(s % 3600 div 60 = 1, ' minute', ' minutes')), NULL),"
+        " IF(s % 60 > 0 OR s = 0, concat(s % 60,"
+        "    IF(s % 60 = 1, ' second', ' seconds')), NULL))",
+    ),
     "moduloOrZero": (
         "(a BIGINT, b BIGINT) RETURNS BIGINT",
         "CASE WHEN b = 0 THEN 0 ELSE a % b END",

@@ -747,3 +747,59 @@ def test_event_analytics_aggregates_via_sql(views, sf_dir):
         translate("SELECT sequenceMatch('(?1)(?t>3600)(?2)')(ts, a, b) FROM e")
     with pytest.raises(ValueError, match="strict"):
         translate("SELECT windowFunnel(10, 'strict_order')(ts, a, b) FROM e")
+
+
+def test_wave2_polymorphic_rewrites(views):
+    """Translate-time rewrites for polymorphic spellings a typed SQL-UDF
+    alias can't cover: renames, identity wrappers, multiIf, comma-form
+    extract, range, tupleElement, parametric collectors, sumMap."""
+    r = views.sql(
+        translate(
+            "SELECT range(5) AS r0, range(0) AS r1, range(2, 5) AS r2, "
+            "range(0, 10, 3) AS r3, "
+            "arrayElement(array(1, 2, 3), -1) AS el, "
+            "tupleElement(tuple(7, 'a'), 1) AS te, "
+            "multiIf(1 > 2, 'a', 2 > 1, 'b', 'c') AS mi, "
+            "extract('ab12cd', '([0-9]+)') AS ex, "
+            "replaceRegexpAll('a1b2', '[0-9]', '') AS rr, "
+            "concatWithSeparator('-', 'a', 'b') AS cw, "
+            "roundBankers(2.5) AS rb, "
+            "toNullable(assumeNotNull(9)) AS idf, "
+            "countEqual(array('1', '2', '1'), '1') AS ce, "
+            "formatReadableTimeDelta(90061) AS td"
+        ).sql
+    ).first()
+    assert r["r0"] == [0, 1, 2, 3, 4] and r["r1"] == [] and r["r2"] == [2, 3, 4]
+    assert r["r3"] == [0, 3, 6, 9]
+    assert r["el"] == 3 and r["te"] == 7 and r["mi"] == "b" and r["ex"] == "12"
+    assert r["rr"] == "ab" and r["cw"] == "a-b" and r["rb"] == 2.0
+    assert r["idf"] == 9 and r["ce"] == 2
+    assert r["td"] == "1 day, 1 hour, 1 minute, 1 second"
+    # EXTRACT(unit FROM ts) is untouched (no top-level comma)
+    assert "EXTRACT(YEAR FROM d)" in translate("SELECT EXTRACT(YEAR FROM d) FROM t").sql
+
+
+def test_wave2_parametric_aggregates(views):
+    r = views.sql(
+        translate(
+            "SELECT groupArray(5)(event_type) AS g5, "
+            "uniqUpTo(2)(event_type) AS u2, "
+            "uniqUpTo(100)(event_type) AS u100, "
+            "quantileIf(0.5)(value, value IS NOT NULL) AS qi, "
+            "sumMap(map(event_type, 1)) AS sm "
+            "FROM events"
+        ).sql
+    ).first()
+    assert len(r["g5"]) == 5
+    assert r["u2"] == 3  # clamped at n+1
+    n_types = views.sql("SELECT count(DISTINCT event_type) AS c FROM events").first()["c"]
+    assert r["u100"] == n_types
+    assert r["qi"] is not None
+    # sumMap sums per key: equals the per-type row counts
+    counts = {
+        row["event_type"]: row["c"]
+        for row in views.sql(
+            "SELECT event_type, count(*) AS c FROM events GROUP BY 1"
+        ).collect()
+    }
+    assert {k: int(v) for k, v in r["sm"].items()} == counts
