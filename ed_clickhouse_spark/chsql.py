@@ -857,6 +857,14 @@ def _rewrite_funnel_aggs(sql: str) -> str:
 # Case-sensitive on purpose (CH function names are case-sensitive), and
 # longest-first so uniqCombined64 wins over uniqCombined over uniq.
 _AGG_NAME_MAP = {
+    # -Merge combinators: reading an AggregatingMergeTree-role state
+    # table (matview/projection partials). sum/min/max states merge with
+    # the base aggregate; count states are partial counts, so they SUM.
+    # (uniqMerge needs an expression wrap — handled separately.)
+    "sumMerge": "sum",
+    "countMerge": "sum",
+    "minMerge": "min",
+    "maxMerge": "max",
     "uniqCombined64": "approx_count_distinct",
     "uniqCombined": "approx_count_distinct",
     "uniqHLL12": "approx_count_distinct",
@@ -1158,6 +1166,19 @@ def _rewrite_agg_spellings(sql: str) -> str:
             cond = args[-1]
             wrapped = ", ".join(f"if({cond}, {a}, NULL)" for a in args[:-1])
             sql = sql[: hit.start()] + f"{base}({wrapped})" + sql[close1 + 1:]
+    # uniqMerge(state): merge HLL partials, then estimate — the read
+    # side of the matview/projection uniqState storage (hll_sketch_agg)
+    while True:
+        m = _find_case_exact(sql, r"\buniqMerge\s*\(")
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        sql = (
+            sql[: m.start()]
+            + f"hll_sketch_estimate(hll_union_agg({sql[open1 + 1: close1]}))"
+            + sql[close1 + 1:]
+        )
     for name, target in _AGG_NAME_MAP.items():
         while True:
             # case-sensitive: compile without re.I (CH names are exact)

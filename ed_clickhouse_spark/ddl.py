@@ -1031,8 +1031,12 @@ class MatViewSpec:
     uniq: tuple[str, str] | None = None  # (source column, alias)
 
 
+# the -State spellings are what a real AggregatingMergeTree MV is
+# written with (countState(), sumState(x), uniqState(x)); the engine
+# stores mergeable partials either way, so State parses as the base
 _MV_AGG = re.compile(
-    r"^(count|sum|min|max|uniq|uniqExact)\s*\(\s*(\*|[^)]*)\s*\)(?:\s+AS\s+(\w+))?$",
+    r"^(count|sum|min|max|uniq|uniqExact)(?:State)?"
+    r"\s*\(\s*(\*|[^)]*)\s*\)(?:\s+AS\s+(\w+))?$",
     re.I,
 )
 
@@ -1129,6 +1133,29 @@ class MatView:
         if self.spec.count_alias is None and "n_rows" in out.columns:
             out = out.drop("n_rows")
         return out
+
+    def states(self) -> DataFrame:
+        """The raw partial-state table with the MV's user-facing column
+        names — the AggregatingMergeTree surface, registered as
+        ``<mv>_state`` so saved ClickHouse ``-Merge`` queries run
+        verbatim through ch_sql (``SELECT dims, countMerge(n),
+        sumMerge(s), uniqMerge(u) FROM <mv>_state GROUP BY dims``).
+        Count states surface under the count alias (partial counts —
+        countMerge ≙ sum), the HLL sketch under the uniq alias
+        (uniqMerge ≙ hll_sketch_estimate ∘ hll_union_agg)."""
+        st = self._inner.spark.read.parquet(self._inner.dest_path)
+        if "__epoch" in st.columns:
+            st = st.drop("__epoch")
+        renames = {}
+        if self.spec.count_alias:
+            renames["n_rows"] = self.spec.count_alias
+        if self.spec.uniq:
+            renames["hll_state"] = self.spec.uniq[1]
+        for old, new in renames.items():
+            st = st.withColumnRenamed(old, new)
+        if self.spec.count_alias is None and "n_rows" in st.columns:
+            st = st.drop("n_rows")
+        return st
 
 
 def spark_type_to_ch(dt: T.DataType) -> str:

@@ -102,6 +102,15 @@ class Engine:
                 empty.write.mode("overwrite").parquet(path)
         self.refresh_views()
 
+    def _register_mv(self, mv) -> None:
+        """Register both read surfaces of a materialized view: the MV
+        name reads MERGED (final values — the default a Spark user
+        wants), and ``<name>_state`` exposes the raw mergeable partials
+        so saved ClickHouse ``-Merge`` queries (countMerge/sumMerge/
+        uniqMerge) run verbatim through ch_sql."""
+        mv.read().createOrReplaceTempView(mv.spec.name)
+        mv.states().createOrReplaceTempView(f"{mv.spec.name}_state")
+
     def refresh_views(self) -> None:
         """(Re)register every existing table as a temp view."""
         for fam in FAMILIES:
@@ -681,7 +690,7 @@ class Engine:
         for mv in self.matviews.values():
             if mv.spec.source == table:
                 mv.on_batch(written)
-                mv.read().createOrReplaceTempView(mv.spec.name)
+                self._register_mv(mv)
         return self.spark.createDataFrame(
             [(table, len(lines))], "table string, rows_inserted long"
         )
@@ -728,7 +737,7 @@ class Engine:
         for mv in self.matviews.values():
             if mv.spec.source == table:
                 mv.on_batch(written)
-                mv.read().createOrReplaceTempView(mv.spec.name)
+                self._register_mv(mv)
         return self.spark.createDataFrame(
             [(table, len(tuples))], "table string, rows_inserted long"
         )
@@ -805,7 +814,7 @@ class Engine:
                 # one more job over the input, never the whole table;
                 # non-deterministic SELECTs should materialize first)
                 mv.on_batch(written)
-                mv.read().createOrReplaceTempView(mv.spec.name)
+                self._register_mv(mv)
         return self.spark.createDataFrame(
             [(table, n)], "table string, rows_inserted long"
         )

@@ -341,3 +341,62 @@ def test_mutations_rebuild_projection_states(eng, spark):
     # (1+2)*3 batches-sum per day after deleting user 3: batch1 u1+u2=3,
     # batch2 2*(1+2)=6 -> 9 per day
     assert routed["2024-01-01"] == 9.0
+
+
+MV_DDL_STATE = """
+CREATE TABLE page_hits (
+    page String,
+    user_id Int64,
+    ts DateTime,
+    dur Float64
+) ENGINE = MergeTree()
+ORDER BY (ts, page);
+
+CREATE MATERIALIZED VIEW daily_hits
+ENGINE = AggregatingMergeTree() ORDER BY (day, page)
+AS SELECT toDate(ts) AS day, page, countState() AS n,
+          sumState(dur) AS total_dur, uniqState(user_id) AS users
+FROM page_hits GROUP BY day, page;
+"""
+
+
+def test_state_and_merge_combinators_end_to_end(spark, tmp_path):
+    """The real AggregatingMergeTree workflow: the MV DDL written with
+    -State spellings provisions identically, and a saved ClickHouse
+    -Merge query (countMerge/sumMerge/uniqMerge) over the ``_state``
+    view re-aggregates the partials verbatim through ch_sql — at ANY
+    dim subset, because every stored state is mergeable."""
+    from ed_clickhouse_spark.engine import Engine
+
+    mdir = tmp_path / "migrations"
+    mdir.mkdir()
+    (mdir / "001_hits.up.sql").write_text(MV_DDL_STATE)
+    eng = Engine(str(tmp_path / "wh"), spark)
+    eng.migrate(str(mdir))
+
+    for batch in range(2):
+        lines = "\n".join(
+            f'{{"page":"p{i % 2}","user_id":{100 + i},'
+            f'"ts":"2024-01-0{1 + batch} 10:00:00","dur":{i + 1}.0}}'
+            for i in range(4)
+        )
+        eng.ch_sql(f"INSERT INTO page_hits FORMAT JSONEachRow\n{lines}")
+
+    # the state table holds >1 partial row per group (one per insert)
+    assert spark.table("daily_hits_state").count() > spark.table("daily_hits").count() / 2
+
+    got = {
+        r["page"]: (r["n"], r["td"], r["u"])
+        for r in eng.ch_sql(
+            "SELECT page, countMerge(n) AS n, sumMerge(total_dur) AS td, "
+            "uniqMerge(users) AS u FROM daily_hits_state GROUP BY page"
+        ).collect()
+    }
+    direct = {
+        r["page"]: (r["n"], r["td"], r["u"])
+        for r in eng.sql(
+            "SELECT page, count(*) AS n, sum(dur) AS td, "
+            "count(DISTINCT user_id) AS u FROM page_hits GROUP BY page"
+        ).collect()
+    }
+    assert got == direct
