@@ -303,10 +303,13 @@ def _rewrite_array_join_fn(sql: str) -> str:
             alias, end = am.group(1), close1 + 1 + am.end()
         else:
             alias, end = f"__ajf{i}", close1 + 1
-        sql = sql[: m.start()] + alias + sql[end:]
         fm = _find_top(sql, r"\bFROM\b")
         if not fm:
-            raise ValueError("arrayJoin() requires a FROM clause")
+            # FROM-less scalar SELECT: Spark allows a bare generator
+            sql = sql[: m.start()] + f"explode({expr}) AS {alias}" + sql[end:]
+            continue
+        sql = sql[: m.start()] + alias + sql[end:]
+        fm = _find_top(sql, r"\bFROM\b")
         tail = sql[fm.end():]
         stop = _find_top(
             tail,
@@ -377,6 +380,28 @@ def _rewrite_limit_offset(sql: str) -> str:
         return sql
     off, n = m.group(1), m.group(2)
     return sql[: m.start()] + f"LIMIT {n} OFFSET {off}" + sql[m.end():]
+
+
+def _rewrite_distinct_on(sql: str) -> str:
+    """``SELECT DISTINCT ON (c1, c2) ...`` (ClickHouse/Postgres
+    extension) ≡ ``LIMIT 1 BY c1, c2``: keep the first row per key
+    under the query's ORDER BY. Rewritten to the LIMIT BY spelling and
+    handed to _rewrite_limit_by (which must run after)."""
+    m = _find_top(sql, r"\bSELECT\s+DISTINCT\s+ON\s*\(")
+    if not m:
+        return sql
+    open1 = sql.index("(", m.end() - 1)
+    close1 = _call_end(sql, open1)
+    cols = sql[open1 + 1: close1].strip()
+    head = sql[: m.start()] + "SELECT "
+    body = sql[close1 + 1:].lstrip()
+    # LIMIT 1 BY goes before a final LIMIT n, else at the end
+    lm = _find_top(body, r"\bLIMIT\s+\d+\s*$")
+    if lm:
+        body = body[: lm.start()] + f" LIMIT 1 BY {cols} " + body[lm.start():]
+    else:
+        body = body + f" LIMIT 1 BY {cols}"
+    return head + body
 
 
 def _rewrite_limit_by(sql: str) -> str:
@@ -586,6 +611,9 @@ def _rewrite_to_start_of_interval(sql: str) -> str:
 # builtin: a typed SQL-UDF alias can't cover every argument type, so
 # these rename at translate time (case-exact, name followed by a paren).
 _SCALAR_RENAMES = {
+    # ClickHouse's in-frame window spellings ARE Spark's lag/lead
+    "lagInFrame": "lag",
+    "leadInFrame": "lead",
     "arrayZip": "arrays_zip",
     "arrayElement": "element_at",  # both 1-based, both negative-from-end
     "replaceRegexpAll": "regexp_replace",
@@ -982,6 +1010,7 @@ def _rewrite_agg_spellings(sql: str) -> str:
     # at most n elements; uniqUpTo(n)(x) = exact count clamped at n+1.
     for name, template in (
         ("groupUniqArray", "slice(collect_set({x}), 1, {k})"),
+        ("groupArraySorted", "slice(array_sort(collect_list({x})), 1, {k})"),
         ("groupArray", "slice(collect_list({x}), 1, {k})"),
         ("uniqUpTo", "least(count(DISTINCT {x}), ({k}) + 1)"),
     ):
@@ -1546,6 +1575,7 @@ def translate(
     sql = _rewrite_array_join_fn(sql)
     sql = _rewrite_array_join(sql)
     sql = _rewrite_totals(sql)
+    sql = _rewrite_distinct_on(sql)
     sql = _rewrite_limit_by(sql)
     sql = _rewrite_limit_offset(sql)
     sql = _rewrite_with_fill(sql)

@@ -803,3 +803,38 @@ def test_wave2_parametric_aggregates(views):
         ).collect()
     }
     assert {k: int(v) for k, v in r["sm"].items()} == counts
+
+
+def test_wave3_rewrites(views):
+    """lagInFrame/leadInFrame, groupArraySorted(k)(x), FROM-less
+    arrayJoin, and DISTINCT ON (≡ LIMIT 1 BY)."""
+    r = views.sql(translate("SELECT arrayJoin(range(3)) AS n").sql).collect()
+    assert [row["n"] for row in r] == [0, 1, 2]
+    r = views.sql(
+        translate(
+            "SELECT user_id, value - lagInFrame(value, 1, 0.0) "
+            "OVER (PARTITION BY user_id ORDER BY ts) AS d "
+            "FROM events LIMIT 2"
+        ).sql
+    ).collect()
+    assert len(r) == 2
+    got = views.sql(
+        translate(
+            "SELECT DISTINCT ON (o_orderstatus) o_orderstatus, o_orderkey "
+            "FROM orders ORDER BY o_orderstatus, o_orderkey"
+        ).sql
+    ).collect()
+    twin = views.sql(
+        "SELECT o_orderstatus, min(o_orderkey) AS o_orderkey "
+        "FROM orders GROUP BY 1"
+    ).collect()
+    assert sorted((x["o_orderstatus"], x["o_orderkey"]) for x in got) == sorted(
+        (x["o_orderstatus"], x["o_orderkey"]) for x in twin
+    )
+    g = views.sql(
+        translate("SELECT groupArraySorted(3)(o_totalprice) AS g FROM orders").sql
+    ).first()["g"]
+    t3 = views.sql(
+        "SELECT slice(array_sort(collect_list(o_totalprice)), 1, 3) AS g FROM orders"
+    ).first()["g"]
+    assert g == t3
