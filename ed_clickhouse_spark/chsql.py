@@ -1208,6 +1208,20 @@ def _rewrite_agg_spellings(sql: str) -> str:
             + f"hll_sketch_estimate(hll_union_agg({sql[open1 + 1: close1]}))"
             + sql[close1 + 1:]
         )
+    # avgMerge(state): the stored avg state is a (sum, count) struct
+    # (ddl.MatView.states) — merge both, then divide
+    while True:
+        m = _find_case_exact(sql, r"\bavgMerge\s*\(")
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        x = sql[open1 + 1: close1]
+        sql = (
+            sql[: m.start()]
+            + f"(sum(({x}).s) / sum(({x}).c))"
+            + sql[close1 + 1:]
+        )
     for name, target in _AGG_NAME_MAP.items():
         while True:
             # case-sensitive: compile without re.I (CH names are exact)

@@ -1028,6 +1028,7 @@ class MatViewSpec:
     sums: dict[str, str] = field(default_factory=dict)  # src expr -> alias
     mins: dict[str, str] = field(default_factory=dict)
     maxs: dict[str, str] = field(default_factory=dict)
+    avgs: dict[str, str] = field(default_factory=dict)  # (sum, count) state
     uniq: tuple[str, str] | None = None  # (source column, alias)
 
 
@@ -1035,7 +1036,7 @@ class MatViewSpec:
 # written with (countState(), sumState(x), uniqState(x)); the engine
 # stores mergeable partials either way, so State parses as the base
 _MV_AGG = re.compile(
-    r"^(count|sum|min|max|uniq|uniqExact)(?:State)?"
+    r"^(count|sum|min|max|avg|uniq|uniqExact)(?:State)?"
     r"\s*\(\s*(\*|[^)]*)\s*\)(?:\s+AS\s+(\w+))?$",
     re.I,
 )
@@ -1068,6 +1069,8 @@ def parse_materialized_view(sql: str) -> MatViewSpec:
                 spec.mins[arg] = alias
             elif func == "max":
                 spec.maxs[arg] = alias
+            elif func == "avg":
+                spec.avgs[arg] = alias
             else:  # uniq / uniqExact -> mergeable HLL state
                 spec.uniq = (arg, alias)
         else:
@@ -1110,6 +1113,7 @@ class MatView:
             sums={e: a for e, a in spec.sums.items()},
             mins={e: a for e, a in spec.mins.items()},
             maxs={e: a for e, a in spec.maxs.items()},
+            avgs={e: a for e, a in spec.avgs.items()},
             distinct_entity=spec.uniq[0] if spec.uniq else None,
         )
 
@@ -1153,6 +1157,16 @@ class MatView:
             renames["hll_state"] = self.spec.uniq[1]
         for old, new in renames.items():
             st = st.withColumnRenamed(old, new)
+        # avg states surface as one struct per alias: avgMerge(a) in
+        # ch_sql re-aggregates sum(a.s)/sum(a.c)
+        for dst in self.spec.avgs.values():
+            st = st.withColumn(
+                dst,
+                F.struct(
+                    F.col(f"__avg_{dst}_s").alias("s"),
+                    F.col(f"__avg_{dst}_c").alias("c"),
+                ),
+            ).drop(f"__avg_{dst}_s", f"__avg_{dst}_c")
         if self.spec.count_alias is None and "n_rows" in st.columns:
             st = st.drop("n_rows")
         return st

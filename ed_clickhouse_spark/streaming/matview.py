@@ -52,6 +52,7 @@ class StreamingMatView:
         sums: dict[str, str] | None = None,
         mins: dict[str, str] | None = None,
         maxs: dict[str, str] | None = None,
+        avgs: dict[str, str] | None = None,
         distinct_entity: str | None = None,
         lg_k: int = 12,
     ):
@@ -61,6 +62,9 @@ class StreamingMatView:
         self.sums = sums or {}
         self.mins = mins or {}
         self.maxs = maxs or {}
+        # avg keeps a MERGEABLE (sum, non-null count) state pair per
+        # alias (ClickHouse avgState); the final value derives at read
+        self.avgs = avgs or {}
         self.distinct_entity = distinct_entity
         self.lg_k = lg_k
 
@@ -70,6 +74,9 @@ class StreamingMatView:
         aggs += [F.sum(F.expr(src)).alias(dst) for src, dst in self.sums.items()]
         aggs += [F.min(F.expr(src)).alias(dst) for src, dst in self.mins.items()]
         aggs += [F.max(F.expr(src)).alias(dst) for src, dst in self.maxs.items()]
+        for src, dst in self.avgs.items():
+            aggs.append(F.sum(F.expr(src)).alias(f"__avg_{dst}_s"))
+            aggs.append(F.count(F.expr(src)).alias(f"__avg_{dst}_c"))
         if self.distinct_entity:
             aggs.append(
                 F.expr(
@@ -113,6 +120,9 @@ class StreamingMatView:
         aggs += [F.sum(dst).alias(dst) for dst in self.sums.values()]
         aggs += [F.min(dst).alias(dst) for dst in self.mins.values()]
         aggs += [F.max(dst).alias(dst) for dst in self.maxs.values()]
+        for dst in self.avgs.values():
+            aggs.append(F.sum(f"__avg_{dst}_s").alias(f"__avg_{dst}_s"))
+            aggs.append(F.sum(f"__avg_{dst}_c").alias(f"__avg_{dst}_c"))
         return aggs
 
     def read(self, keys: list[str] | None = None) -> DataFrame:
@@ -129,7 +139,12 @@ class StreamingMatView:
                 .cast("bigint")
                 .alias("est_distinct")
             )
-        return st.groupBy(*keys).agg(*aggs)
+        out = st.groupBy(*keys).agg(*aggs)
+        for dst in self.avgs.values():
+            out = out.withColumn(
+                dst, F.col(f"__avg_{dst}_s") / F.col(f"__avg_{dst}_c")
+            ).drop(f"__avg_{dst}_s", f"__avg_{dst}_c")
+        return out
 
     def compact(self) -> int:
         """Merge state rows down to one per group and rewrite the state

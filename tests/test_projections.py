@@ -355,7 +355,8 @@ ORDER BY (ts, page);
 CREATE MATERIALIZED VIEW daily_hits
 ENGINE = AggregatingMergeTree() ORDER BY (day, page)
 AS SELECT toDate(ts) AS day, page, countState() AS n,
-          sumState(dur) AS total_dur, uniqState(user_id) AS users
+          sumState(dur) AS total_dur, avgState(dur) AS avg_dur,
+          uniqState(user_id) AS users
 FROM page_hits GROUP BY day, page;
 """
 
@@ -386,17 +387,26 @@ def test_state_and_merge_combinators_end_to_end(spark, tmp_path):
     assert spark.table("daily_hits_state").count() > spark.table("daily_hits").count() / 2
 
     got = {
-        r["page"]: (r["n"], r["td"], r["u"])
+        r["page"]: (r["n"], r["td"], r["a"], r["u"])
         for r in eng.ch_sql(
             "SELECT page, countMerge(n) AS n, sumMerge(total_dur) AS td, "
-            "uniqMerge(users) AS u FROM daily_hits_state GROUP BY page"
+            "avgMerge(avg_dur) AS a, uniqMerge(users) AS u "
+            "FROM daily_hits_state GROUP BY page"
         ).collect()
     }
     direct = {
-        r["page"]: (r["n"], r["td"], r["u"])
+        r["page"]: (r["n"], r["td"], r["a"], r["u"])
         for r in eng.sql(
-            "SELECT page, count(*) AS n, sum(dur) AS td, "
+            "SELECT page, count(*) AS n, sum(dur) AS td, avg(dur) AS a, "
             "count(DISTINCT user_id) AS u FROM page_hits GROUP BY page"
         ).collect()
     }
     assert got == direct
+    # the merged MV view derives avg from its (sum, count) state too
+    mv_avg = {r["page"]: r["avg_dur"]
+              for r in spark.table("daily_hits").collect()}
+    direct_pd = {(r["page"], str(r["day"])): r["a"] for r in eng.sql(
+        "SELECT page, CAST(ts AS DATE) AS day, avg(dur) AS a "
+        "FROM page_hits GROUP BY 1, 2").collect()}
+    for r in spark.table("daily_hits").collect():
+        assert abs(r["avg_dur"] - direct_pd[(r["page"], str(r["day"]))]) < 1e-9
