@@ -269,6 +269,42 @@ def _inline_ch_macros(expr: str) -> str:
     return expr
 
 
+def _sub_outside_strings(sql: str, rx: re.Pattern, repl: str) -> str:
+    """re.sub that never touches matches inside string literals. The
+    scan advances past each replacement, so a replacement containing
+    text the pattern would match cannot loop."""
+    pos = 0
+    while True:
+        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        hit = None
+        for m in rx.finditer(sql, pos):
+            if not instr_at.get(m.start(), False):
+                hit = m
+                break
+        if not hit:
+            return sql
+        sql = sql[: hit.start()] + repl + sql[hit.end():]
+        pos = hit.start() + len(repl)
+
+
+def _collapse_ws_outside_strings(sql: str) -> str:
+    """Collapse whitespace runs to one space — but never inside string
+    literals, whose spacing is user data."""
+    out: list[str] = []
+    buf: list[str] = []
+    for _i, ch, _d, q in _scan_level(sql):
+        if q:
+            if buf:
+                out.append(re.sub(r"\s+", " ", "".join(buf)))
+                buf = []
+            out.append(ch)
+        else:
+            buf.append(ch)
+    if buf:
+        out.append(re.sub(r"\s+", " ", "".join(buf)))
+    return "".join(out).strip()
+
+
 def _find_top_anywhere(s: str, pattern: str) -> re.Match | None:
     """Like _find_top but matches at any paren depth (still not inside
     string literals)."""
@@ -565,9 +601,23 @@ def substitute_params(sql: str, params: dict) -> str:
             raise ValueError(f"missing query parameter {name!r}")
         return render(params[name], ch_type)
 
-    # placeholders never live inside string literals in CH either, so a
-    # plain regex pass is faithful
-    return re.sub(r"\{(\w+)\s*:\s*([\w()', ]+)\}", repl, sql)
+    # clickhouse-client lexes string literals before parameter
+    # substitution, so {name:Type}-shaped text INSIDE a literal is user
+    # data — substitute only outside strings, like every other rewrite
+    rx = re.compile(r"\{(\w+)\s*:\s*([\w()', ]+)\}")
+    pos = 0
+    while True:
+        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        hit = None
+        for m in rx.finditer(sql, pos):
+            if not instr_at.get(m.start(), False):
+                hit = m
+                break
+        if not hit:
+            return sql
+        rendered = repl(hit)
+        sql = sql[: hit.start()] + rendered + sql[hit.end():]
+        pos = hit.start() + len(rendered)
 
 
 _INTERVAL_SECONDS = {"second": 1, "minute": 60, "hour": 3600, "day": 86400}
@@ -1285,9 +1335,10 @@ def _rewrite_scalar_with(sql: str) -> str:
         return sql
     rest = tail[stop.start():]
     for name, expr in scalars.items():
-        # lambda replacement: expr may contain backslashes/group refs
-        # that re.sub would otherwise interpret
-        rest = re.sub(rf"\b{name}\b", lambda _m, e=expr: f"({e})", rest)
+        # string-literal-guarded (a literal mentioning the binding name
+        # as a word is user data); _sub_outside_strings takes the repl
+        # VERBATIM, so backslashes in expr survive
+        rest = _sub_outside_strings(rest, re.compile(rf"\b{name}\b"), f"({expr})")
     head = f"WITH {', '.join(ctes)} " if ctes else ""
     return sql[: m.start()] + head + rest
 
@@ -1521,6 +1572,13 @@ def _rewrite_ch_casts(sql: str) -> str:
             if spark_t and spark_t.upper() != tok.upper():
                 new_inner = inner[: as_pos] + " AS " + spark_t
                 sql = sql[: open1 + 1] + new_inner + sql[close1:]
+        else:
+            # ClickHouse's comma form: CAST(x, 'Type')
+            args = _split_top_commas(inner)
+            if len(args) == 2 and re.fullmatch(r"'[^']+'|\"[^\"]+\"", args[1]):
+                tname = args[1].strip("'\"")
+                spark_t = _spark_type_name(tname) or tname
+                sql = sql[: open1 + 1] + f"{args[0]} AS {spark_t}" + sql[close1:]
         pos = m.end()
     # expr::Type — rewrite just the type token (Spark 4 owns the ::)
     pos = 0
@@ -1562,13 +1620,19 @@ def translate(
     sql, fmt = _strip_trailing(sql)
     # strip only GLOBAL — ANY now has its own rewrite below; GLOBAL IN /
     # GLOBAL NOT IN likewise drop the keyword (every Spark IN is global)
-    sql = re.sub(r"\bGLOBAL\s+(?=(ANY|INNER|LEFT|RIGHT|FULL|JOIN|NOT\s+IN|IN)\b)", "", sql, flags=re.I)
+    sql = _sub_outside_strings(
+        sql,
+        re.compile(
+            r"\bGLOBAL\s+(?=(ANY|INNER|LEFT|RIGHT|FULL|JOIN|NOT\s+IN|IN)\b)", re.I
+        ),
+        "",
+    )
     sql = _rewrite_numbers(sql)
     sql = _rewrite_system(sql)
     # ClickHouse 3-arg dateDiff('unit', a, b): Spark's 2-arg datediff
     # builtin owns the lowercase name, so the camel spelling maps to the
     # registered chDateDiff SQL function (case-sensitive on purpose).
-    sql = re.sub(r"\bdateDiff\s*\(", "chDateDiff(", sql)
+    sql = _sub_outside_strings(sql, re.compile(r"\bdateDiff\s*\("), "chDateDiff(")
     sql = _rewrite_ch_casts(sql)
     sql = _rewrite_sample(sql, specs)
     sql = _rewrite_any_join(sql, specs)
@@ -1593,4 +1657,4 @@ def translate(
     sql = _rewrite_limit_by(sql)
     sql = _rewrite_limit_offset(sql)
     sql = _rewrite_with_fill(sql)
-    return Translated(sql=re.sub(r"\s+", " ", sql).strip(), format=fmt)
+    return Translated(sql=_collapse_ws_outside_strings(sql), format=fmt)

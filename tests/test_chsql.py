@@ -631,6 +631,8 @@ def test_ch_type_names_in_casts(views):
     # Spark-native CAST targets and quoted '::' pass through untouched
     assert translate("SELECT CAST(a AS INT) FROM t").sql == "SELECT CAST(a AS INT) FROM t"
     assert "'a::Float64'" in translate("SELECT 'a::Float64' AS s").sql
+    # ClickHouse's comma form CAST(x, 'Type')
+    assert translate("SELECT CAST(x, 'Int64') FROM t").sql == "SELECT CAST(x AS BIGINT) FROM t"
 
 
 def test_parametric_topk(views):

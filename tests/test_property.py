@@ -225,3 +225,51 @@ def test_query_param_string_roundtrips_exactly(spark, s):
 
     sql = substitute_params("SELECT {x:String} AS v", {"x": s})
     assert spark.sql(sql).first()["v"] == s
+
+
+_DIALECT_BAIT = [
+    "CAST(x AS Float64)", "x::UInt32", "range(3)", "multiIf(a, b, c)",
+    "topK(2)(x)", "sumMap(m)", "retention(a, b)", "windowFunnel(60)(t, c)",
+    "sequenceMatch(p)(t, c)", "arrayJoin(a)", "DISTINCT ON (a)",
+    "uniqMerge(u)", "groupArray(5)(x)", "extract(s, re)", "LIMIT 1 BY a",
+    "PREWHERE", "SAMPLE 0.1", "WITH TOTALS", "assumeNotNull(x)",
+    "tupleElement(t, 1)", "lagInFrame(v)", "dateDiff(day, a, b)",
+]
+
+
+@given(
+    parts=st.lists(st.sampled_from(_DIALECT_BAIT), min_size=1, max_size=4),
+    sep=st.sampled_from([" ", ", ", " -- ", "::"]),
+)
+@_SET
+def test_translate_never_rewrites_inside_string_literals(parts, sep):
+    """Every clause/function rewrite in chsql is token-scanned outside
+    string literals. Property: a literal built from the rewriter's own
+    trigger spellings survives translate() byte-for-byte."""
+    from ed_clickhouse_spark.chsql import translate
+
+    bait = sep.join(parts)
+    assert "'" not in bait
+    sql = f"SELECT '{bait}' AS s FROM t"
+    out = translate(sql).sql
+    assert f"'{bait}'" in out
+
+
+def test_translate_literal_hazards():
+    """Regression pins for literal-preservation bugs the property test
+    found: dateDiff/GLOBAL rewrites, whitespace collapse, scalar-WITH
+    substitution, and {param:Type} shapes inside string literals."""
+    from ed_clickhouse_spark.chsql import translate
+
+    assert "'dateDiff(day, a, b)'" in translate(
+        "SELECT 'dateDiff(day, a, b)' AS s FROM t"
+    ).sql
+    assert "'GLOBAL JOIN'" in translate("SELECT 'GLOBAL JOIN' AS s FROM t").sql
+    # double spaces and newlines inside a literal are user data
+    assert "'a  b\nc'" in translate("SELECT 'a  b\nc' AS s   FROM    t").sql
+    # a scalar WITH binding must not substitute inside a literal
+    out = translate("WITH 0.1 AS rate SELECT 'flat rate' AS s, rate AS r FROM t").sql
+    assert "'flat rate'" in out and "(0.1) AS r" in out
+    # {name:Type}-shaped literal text is not a parameter
+    out = translate("SELECT '{x:Int64}' AS s FROM t", params={"x": 5}).sql
+    assert "'{x:Int64}'" in out
