@@ -504,7 +504,42 @@ def _rewrite_with_fill(sql: str) -> str:
         r"(?:\s+STEP\s+(.+?))?\s*$",
     )
     if not m:
-        return sql
+        # bare ORDER BY col WITH FILL [STEP s]: bounds come from the
+        # result itself (ClickHouse fills between the present min and
+        # max, both inclusive) — scalar subqueries over a CTE of the
+        # query, so the inner runs once per bound probe only
+        m2 = _find_top(
+            sql, r"\bORDER\s+BY\s+(\w+)\s+WITH\s+FILL(?:\s+STEP\s+(.+?))?\s*$"
+        )
+        if not m2:
+            return sql
+        col, step = m2.group(1), m2.group(2)
+        inner = sql[: m2.start()].strip()
+        cols = _select_items(inner)
+        if cols is None or col not in cols:
+            raise ValueError(
+                "WITH FILL needs a plainly-aliased select list containing "
+                "the fill column"
+            )
+        im = re.match(r"^INTERVAL\s+(\d+)\s+DAY[S]?$", (step or "").strip(), re.I)
+        step_sql = f", INTERVAL {im.group(1)} DAY" if im else (
+            f", {step.strip()}" if step else ""
+        )
+        seq = (
+            f"sequence((SELECT min({col}) FROM __q),"
+            f" (SELECT max({col}) FROM __q){step_sql})"
+        )
+        measures = ", ".join(
+            f"coalesce(__q.{c}, 0) AS {c}" for c in cols if c != col
+        )
+        return (
+            f"WITH __q AS ({inner})"
+            f" SELECT __spine.{col} AS {col}"
+            + (", " + measures if measures else "")
+            + f" FROM (SELECT explode({seq}) AS {col}) AS __spine"
+            f" LEFT JOIN __q ON __spine.{col} = __q.{col}"
+            f" ORDER BY {col}"
+        )
     col, lo, hi, step = m.group(1), m.group(2).strip(), m.group(3).strip(), m.group(4)
     inner = sql[: m.start()].strip()
     cols = _select_items(inner)

@@ -1,0 +1,126 @@
+-- A ClickHouse "saved dashboard": the query shapes a reference-stack
+-- user actually has in Grafana/metabase panels and cron reports, kept
+-- VERBATIM in the ClickHouse dialect. Every statement here runs
+-- unchanged through Engine.ch_sql / tools/run_ch_sql.py against the
+-- engine's tables (tests/test_examples.py executes this file
+-- end-to-end on the sf0.001 fixtures; statements split on ';').
+--
+-- Table schemas (driver fixtures): events(event_id, ts, user_id,
+-- event_type, value, props), orders/customer/lineitem = TPC-H-ish,
+-- documents(doc_id, source, text, n_chars, ...).
+
+-- 1. traffic by hour, last-N-days style window
+SELECT toStartOfHour(ts) AS h, count() AS hits, uniq(user_id) AS visitors
+FROM events
+WHERE ts > now() - INTERVAL 3000 DAY
+GROUP BY h ORDER BY h LIMIT 100;
+
+-- 2. event mix with CTR-style conditional ratios
+SELECT event_type,
+       count() AS n,
+       countIf(value > 0) AS with_value,
+       round(countIf(value > 0) / count(), 4) AS ratio
+FROM events GROUP BY event_type ORDER BY n DESC;
+
+-- 3. top users by activity with a bar sparkline
+SELECT user_id, count() AS c, bar(count(), 0, 100, 20) AS spark
+FROM events GROUP BY user_id ORDER BY c DESC, user_id ASC LIMIT 10;
+
+-- 4. daily actives with WITH FILL-style gap handling (spine via WITH FILL)
+SELECT toDate(ts) AS d, uniq(user_id) AS dau
+FROM events GROUP BY d ORDER BY d WITH FILL;
+
+-- 5. p50/p95/p99 latency-style quantiles per event type
+SELECT event_type, quantiles(0.5, 0.95, 0.99)(value) AS q
+FROM events WHERE value IS NOT NULL GROUP BY event_type;
+
+-- 6. funnel depth histogram, 1-day conversion window
+SELECT depth, count() AS n_users FROM (
+  SELECT user_id,
+         windowFunnel(86400)(ts, event_type = 'signup',
+                             event_type = 'click',
+                             event_type = 'purchase') AS depth
+  FROM events
+  WHERE event_type IN ('signup', 'click', 'purchase')
+  GROUP BY user_id
+) GROUP BY depth ORDER BY depth;
+
+-- 7. signup -> purchase conversion flag per user
+SELECT countIf(m) AS converted, count() AS total FROM (
+  SELECT user_id,
+         sequenceMatch('(?1).*(?2)')(ts, event_type = 'signup',
+                                     event_type = 'purchase') AS m
+  FROM events GROUP BY user_id
+);
+
+-- 8. retention pairs (ever signed up x ever purchased).
+-- arrayElement is 1-based in both dialects; bare [n] stays Spark's
+-- 0-based and is the one spelling NOT translated.
+SELECT sum(arrayElement(r, 1)) AS signed_up,
+       sum(arrayElement(r, 2)) AS retained FROM (
+  SELECT user_id, retention(event_type = 'signup',
+                            event_type = 'purchase') AS r
+  FROM events GROUP BY user_id
+);
+
+-- 9. revenue by month with totals row
+SELECT toYYYYMM(o_orderdate) AS ym,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders GROUP BY ym WITH TOTALS ORDER BY ym;
+
+-- 10. top order priorities per status (parametric topK)
+SELECT o_orderstatus, topK(3)(o_orderpriority) AS top_prios
+FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus;
+
+-- 11. biggest customers via ANY-join enrichment
+SELECT c.c_name, sum(o.o_totalprice) AS spend
+FROM orders o INNER JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY c.c_name ORDER BY spend DESC, c.c_name ASC LIMIT 5;
+
+-- 12. one row per status: the first order (DISTINCT ON)
+SELECT DISTINCT ON (o_orderstatus) o_orderstatus, o_orderkey, o_orderdate
+FROM orders ORDER BY o_orderstatus, o_orderdate, o_orderkey;
+
+-- 13. device share from the JSON props blob
+SELECT JSONExtractString(props, 'device') AS device, count() AS n
+FROM events GROUP BY device ORDER BY n DESC LIMIT 5;
+
+-- 14. order-size casting and readable formatting
+SELECT o_orderkey, o_totalprice::UInt32 AS price_int,
+       formatReadableQuantity(o_totalprice) AS pretty
+FROM orders ORDER BY o_totalprice DESC LIMIT 5;
+
+-- 15. per-source document quality panel
+SELECT source, count() AS docs,
+       round(avg(n_chars), 1) AS avg_chars,
+       quantile(n_chars) AS median_chars
+FROM documents GROUP BY source ORDER BY docs DESC;
+
+-- 16. tokens of the longest documents (ARRAY JOIN + LIMIT BY)
+SELECT source, tok, count() AS n
+FROM documents
+ARRAY JOIN splitByChar(' ', text) AS tok
+PREWHERE n_chars > 200
+GROUP BY source, tok
+ORDER BY n DESC, source ASC, tok ASC
+LIMIT 2 BY source;
+
+-- 17. weekly cohort-style bucketing with relative day numbers
+SELECT toMonday(ts) AS week, uniq(user_id) AS wau
+FROM events GROUP BY week ORDER BY week;
+
+-- 18. hour-of-day heat strip
+SELECT toHour(ts) AS hod, count() AS n, bar(count(), 0, 5000, 10) AS strip
+FROM events GROUP BY hod ORDER BY hod;
+
+-- 19. value deltas per user (in-frame window spelling)
+SELECT user_id, ts, value,
+       value - lagInFrame(value, 1, 0.0)
+               OVER (PARTITION BY user_id ORDER BY ts) AS delta
+FROM events ORDER BY user_id, ts LIMIT 20;
+
+-- 20. parameter-free health check the CLI runs
+SELECT count() AS total_events,
+       uniqExact(user_id) AS exact_users,
+       min(ts) AS first_event, max(ts) AS last_event
+FROM events;

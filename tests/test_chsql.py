@@ -840,3 +840,17 @@ def test_wave3_rewrites(views):
         "SELECT slice(array_sort(collect_list(o_totalprice)), 1, 3) AS g FROM orders"
     ).first()["g"]
     assert g == t3
+
+
+def test_with_fill_bare(views):
+    """Bare ORDER BY d WITH FILL (no FROM/TO): bounds derive from the
+    result's own min/max, both inclusive, gaps zero-filled."""
+    got = views.sql(
+        translate(
+            "SELECT o_orderkey AS k, count() AS n FROM orders "
+            "WHERE o_orderkey IN (1, 3, 7) GROUP BY k ORDER BY k WITH FILL"
+        ).sql
+    ).collect()
+    assert [(r["k"], r["n"]) for r in got] == [
+        (1, 1), (2, 0), (3, 1), (4, 0), (5, 0), (6, 0), (7, 1),
+    ]
