@@ -92,6 +92,14 @@ top-level token scanning (never inside strings/parens):
   range / arrayZip /     time (_rewrite_scalar_misc): renames, CASE
   tupleElement / ...     expansion, filtered sequence, .colN access;
                          assumeNotNull/toNullable drop out
+  [1, 2, 3] / expr[i]    bracket literals → array(); subscripts →
+  x IN [..]              element_at (1-BASED, CH semantics — inside
+                         ch_sql the dialect wins); IN-brackets →
+                         membership tuple (_rewrite_brackets)
+  toIntervalDay(n), ...  make_interval slot (_rewrite_intervals)
+  bare WITH FILL         spine bounds from the result's own min/max
+  countMerge/sumMerge/   -Merge combinators against each MV's
+  avgMerge/uniqMerge     auto-registered <name>_state partials view
   =====================  ==========================================
 
 Not translated (documented): ANY JOIN with an ON clause or a subquery
@@ -830,6 +838,144 @@ def _rewrite_scalar_misc(sql: str) -> str:
                 " tupleElement(t, N) -> (t).colN"
             )
         sql = sql[: m.start()] + f"({args[0]}).col{args[1]}" + sql[close1 + 1:]
+    return sql
+
+
+def _bracket_end(s: str, open_idx: int) -> int:
+    """Index of the ``]`` matching the ``[`` at ``open_idx`` (quote-aware)."""
+    depth, quote = 0, None
+    for j in range(open_idx, len(s)):
+        ch = s[j]
+        if quote:
+            if ch == quote and s[j - 1] != "\\":
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch == "[":
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0:
+                return j
+    raise ValueError(f"unbalanced brackets after position {open_idx}")
+
+
+def _open_match(s: str, close_idx: int) -> int:
+    """Index of the opener matching the ``)``/``]`` at ``close_idx``."""
+    pair = {")": "(", "]": "["}[s[close_idx]]
+    depth = 0
+    for j in range(close_idx, -1, -1):
+        if s[j] == s[close_idx]:
+            depth += 1
+        elif s[j] == pair:
+            depth -= 1
+            if depth == 0:
+                return j
+    raise ValueError(f"unbalanced brackets before position {close_idx}")
+
+
+# words that can directly precede a bracket ARRAY LITERAL (so the
+# bracket is not a subscript on them)
+_PRE_LITERAL_KEYWORDS = re.compile(
+    r"(?is)^(AND|OR|NOT|IN|ALL|ANY|SOME|THEN|ELSE|WHEN|CASE|SELECT|WHERE|"
+    r"PREWHERE|HAVING|BY|AS|ON|JOIN|RETURN|BETWEEN|LIKE|ILIKE|UNION|"
+    r"VALUES|DISTINCT|LIMIT|OFFSET|SETTINGS|IS|DIV|MOD|FROM|TOTALS|FILL)$"
+)
+
+
+def _rewrite_brackets(sql: str) -> str:
+    """ClickHouse bracket syntax:
+
+    - array literals ``[1, 2, 3]`` → ``array(1, 2, 3)`` (Spark has no
+      bracket literal);
+    - subscripts ``expr[i]`` → ``element_at(expr, i)`` — 1-based from
+      the front, negative from the back for arrays, by-key for maps:
+      ClickHouse semantics on both. Spark's 0-based ``[]`` does not
+      survive ch_sql; inside the dialect front-end the dialect wins.
+
+    A bracket is a subscript when the previous non-space token is an
+    identifier or a closing paren/bracket (postfix chain scanned
+    backwards, so ``f(x)[1]`` and ``m['a'][2]`` work); keywords before
+    a bracket (``IN [1, 2]``) mean a literal."""
+    pos = 0
+    while True:
+        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        idx = None
+        for i in range(pos, len(sql)):
+            if sql[i] == "[" and not instr_at.get(i, False):
+                idx = i
+                break
+        if idx is None:
+            return sql
+        close = _bracket_end(sql, idx)
+        inner = sql[idx + 1: close]
+        j = idx - 1
+        while j >= 0 and sql[j] in " \t\n":
+            j -= 1
+        if j >= 0 and (sql[j].isalnum() or sql[j] in "_)]`"):
+            k = j
+            while k >= 0:
+                if sql[k] in ")]":
+                    k = _open_match(sql, k) - 1
+                elif sql[k].isalnum() or sql[k] in "_.`":
+                    k -= 1
+                else:
+                    break
+            base_start = k + 1
+            base = sql[base_start: j + 1]
+            if _PRE_LITERAL_KEYWORDS.match(base):
+                # after IN the bracket is a membership tuple, not an array
+                wrap = (
+                    f"({inner})" if base.upper() == "IN" else f"array({inner})"
+                )
+                sql = sql[:idx] + wrap + sql[close + 1:]
+                pos = idx
+            else:
+                sql = (
+                    sql[:base_start]
+                    + f"element_at({base}, {inner})"
+                    + sql[close + 1:]
+                )
+                pos = base_start
+        else:
+            sql = sql[:idx] + f"array({inner})" + sql[close + 1:]
+            pos = idx
+    return sql
+
+
+# toIntervalX(n) → make_interval slot (years, months, weeks, days,
+# hours, mins, secs)
+_INTERVAL_FNS = {
+    "toIntervalYear": 0,
+    "toIntervalQuarter": None,  # 3 months — handled specially
+    "toIntervalMonth": 1,
+    "toIntervalWeek": 2,
+    "toIntervalDay": 3,
+    "toIntervalHour": 4,
+    "toIntervalMinute": 5,
+    "toIntervalSecond": 6,
+}
+
+
+def _rewrite_intervals(sql: str) -> str:
+    """``toIntervalDay(n)`` family → ``make_interval`` (argument can be
+    any expression, so a typed SQL-UDF alias can't cover it — intervals
+    are not a UDF return type)."""
+    for name, slot in _INTERVAL_FNS.items():
+        while True:
+            m = _find_case_exact(sql, rf"\b{name}\s*\(")
+            if not m:
+                break
+            open1 = sql.index("(", m.end() - 1)
+            close1 = _call_end(sql, open1)
+            x = sql[open1 + 1: close1]
+            if slot is None:  # quarter = 3 months
+                repl = f"make_interval(0, 3 * ({x}))"
+            else:
+                args = ["0"] * slot + [f"({x})"]
+                repl = f"make_interval({', '.join(args)})"
+            sql = sql[: m.start()] + repl + sql[close1 + 1:]
     return sql
 
 
@@ -1669,6 +1815,8 @@ def translate(
     # registered chDateDiff SQL function (case-sensitive on purpose).
     sql = _sub_outside_strings(sql, re.compile(r"\bdateDiff\s*\("), "chDateDiff(")
     sql = _rewrite_ch_casts(sql)
+    sql = _rewrite_brackets(sql)
+    sql = _rewrite_intervals(sql)
     sql = _rewrite_sample(sql, specs)
     sql = _rewrite_any_join(sql, specs)
     sql = _rewrite_funnel_aggs(sql)

@@ -54,10 +54,9 @@ SELECT countIf(m) AS converted, count() AS total FROM (
 );
 
 -- 8. retention pairs (ever signed up x ever purchased).
--- arrayElement is 1-based in both dialects; bare [n] stays Spark's
--- 0-based and is the one spelling NOT translated.
-SELECT sum(arrayElement(r, 1)) AS signed_up,
-       sum(arrayElement(r, 2)) AS retained FROM (
+-- r[1] / r[2] are ClickHouse's 1-BASED subscripts — inside ch_sql the
+-- dialect wins (they translate to element_at).
+SELECT sum(r[1]) AS signed_up, sum(r[2]) AS retained FROM (
   SELECT user_id, retention(event_type = 'signup',
                             event_type = 'purchase') AS r
   FROM events GROUP BY user_id

@@ -854,3 +854,35 @@ def test_with_fill_bare(views):
     assert [(r["k"], r["n"]) for r in got] == [
         (1, 1), (2, 0), (3, 1), (4, 0), (5, 0), (6, 0), (7, 1),
     ]
+
+
+def test_bracket_syntax_and_intervals(views):
+    """ClickHouse bracket syntax: [1,2,3] literals, 1-BASED subscripts
+    (negative from the back, maps by key), IN [..] membership, and the
+    toIntervalX(n) constructors."""
+    r = views.sql(
+        translate(
+            "SELECT [1, 2, 3] AS lit, "
+            "[10, 20, 30][1] AS first, "
+            "[10, 20, 30][-1] AS last, "
+            "[[1], [2, 3]][2] AS nested, "
+            "map('k', 7)['k'] AS by_key, "
+            "splitByChar(',', 'a,b,c')[2] AS tok, "
+            "arrayMap(x -> x[1], [[1, 2], [3, 4]]) AS hof, "
+            "'literal [1] stays' AS s"
+        ).sql
+    ).first()
+    assert r["lit"] == [1, 2, 3]
+    assert r["first"] == 10 and r["last"] == 30  # 1-based, CH semantics
+    assert r["nested"] == [2, 3] and r["by_key"] == 7 and r["tok"] == "b"
+    assert r["hof"] == [1, 3] and r["s"] == "literal [1] stays"
+    assert views.sql(
+        translate("SELECT count(*) AS n FROM orders WHERE o_orderkey IN [1, 3]").sql
+    ).first()["n"] == 2
+    d = views.sql(
+        translate(
+            "SELECT date_format(TIMESTAMP'2024-01-01 00:00:00'"
+            " + toIntervalWeek(2), 'yyyy-MM-dd') AS d"
+        ).sql
+    ).first()["d"]
+    assert d == "2024-01-15"
