@@ -1439,6 +1439,40 @@ def _rewrite_agg_spellings(sql: str) -> str:
             + f"hll_sketch_estimate(hll_union_agg({sql[open1 + 1: close1]}))"
             + sql[close1 + 1:]
         )
+    # quantileMerge(p)(state): states are DDSketch log-bucket histogram
+    # maps (streaming/matview.py) — merge cell-wise across rows, then
+    # walk with the registered chDDQuantile read-out
+    while True:
+        m = _find_case_exact(
+            sql,
+            r"\bquantiles?(?:TDigest|Timing|BFloat16|Exact|Deterministic)?Merge\s*\(",
+        )
+        if not m:
+            break
+        plural = sql[m.start(): m.start() + 9] == "quantiles"
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        rest = sql[close1 + 1:].lstrip()
+        if not rest.startswith("("):
+            raise ValueError("quantileMerge expects quantileMerge(p)(state)")
+        open2 = close1 + 1 + (len(sql[close1 + 1:]) - len(rest))
+        close2 = _call_end(sql, open2)
+        ps = _split_top_commas(sql[open1 + 1: close1])
+        x = sql[open2 + 1: close2]
+        fl = f"flatten(collect_list(map_entries({x})))"
+        merged = (
+            f"map_from_entries(array_sort(transform("
+            f"array_distinct(transform({fl}, e -> e.key)),"
+            f" k -> struct(k AS key, aggregate(filter({fl}, e -> e.key = k),"
+            f" CAST(0 AS BIGINT), (s, e) -> s + e.value) AS value))))"
+        )
+        if plural:
+            expr = "array({})".format(
+                ", ".join(f"chDDQuantile({merged}, {p})" for p in ps)
+            )
+        else:
+            expr = f"chDDQuantile({merged}, {ps[0]})"
+        sql = sql[: m.start()] + expr + sql[close2 + 1:]
     # avgMerge(state): the stored avg state is a (sum, count) struct
     # (ddl.MatView.states) — merge both, then divide
     while True:

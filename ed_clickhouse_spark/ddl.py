@@ -1029,6 +1029,7 @@ class MatViewSpec:
     mins: dict[str, str] = field(default_factory=dict)
     maxs: dict[str, str] = field(default_factory=dict)
     avgs: dict[str, str] = field(default_factory=dict)  # (sum, count) state
+    quantiles: dict[str, str] = field(default_factory=dict)  # DDSketch map
     uniq: tuple[str, str] | None = None  # (source column, alias)
 
 
@@ -1036,7 +1037,7 @@ class MatViewSpec:
 # written with (countState(), sumState(x), uniqState(x)); the engine
 # stores mergeable partials either way, so State parses as the base
 _MV_AGG = re.compile(
-    r"^(count|sum|min|max|avg|uniq|uniqExact)(?:State)?"
+    r"^(count|sum|min|max|avg|quantile|uniq|uniqExact)(?:State)?"
     r"\s*\(\s*(\*|[^)]*)\s*\)(?:\s+AS\s+(\w+))?$",
     re.I,
 )
@@ -1071,6 +1072,8 @@ def parse_materialized_view(sql: str) -> MatViewSpec:
                 spec.maxs[arg] = alias
             elif func == "avg":
                 spec.avgs[arg] = alias
+            elif func == "quantile":
+                spec.quantiles[arg] = alias
             else:  # uniq / uniqExact -> mergeable HLL state
                 spec.uniq = (arg, alias)
         else:
@@ -1114,6 +1117,7 @@ class MatView:
             mins={e: a for e, a in spec.mins.items()},
             maxs={e: a for e, a in spec.maxs.items()},
             avgs={e: a for e, a in spec.avgs.items()},
+            quantiles={e: a for e, a in spec.quantiles.items()},
             distinct_entity=spec.uniq[0] if spec.uniq else None,
         )
 

@@ -826,6 +826,40 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "(a BIGINT, b BIGINT) RETURNS BIGINT",
         "CASE WHEN b = 0 THEN 0 ELSE a % b END",
     ),
+    # DDSketch quantile read-out (the quantileMerge read side of the
+    # engine's quantileState MV states; see streaming/matview.py).
+    # The map is a log-bucket histogram: key 0 = exact zero, key
+    # B+k = positive bucket gamma^(k-1) < x <= gamma^k, key -(B+k) the
+    # negative mirror. gamma = (1+a)/(1-a) at a = 1% relative accuracy
+    # (Masson, Rim & Lee, "DDSketch", VLDB 2019 — public algorithm).
+    # Walk the sorted buckets to the target rank; report the bucket
+    # midpoint gamma^(k-0.5) (relative error <= a by construction).
+    # the rank walk: first bucket key whose cumulative count reaches
+    # rank(p) over the key-sorted histogram; NULL on an empty sketch
+    "chDDBucketKey": (
+        "(m MAP<INT, BIGINT>, p DOUBLE) RETURNS INT",
+        "aggregate(array_sort(map_entries(m)),"
+        " named_struct('cum', CAST(0 AS BIGINT), 'found', CAST(NULL AS INT)),"
+        " (acc, e) -> IF(acc.found IS NOT NULL, acc,"
+        "   IF(acc.cum + e.value >= greatest(CAST(ceil(p *"
+        "       aggregate(map_values(m), CAST(0 AS BIGINT), (s, v) -> s + v)"
+        "      ) AS BIGINT), CAST(1 AS BIGINT)),"
+        "      named_struct('cum', acc.cum, 'found', e.key),"
+        "      named_struct('cum', acc.cum + e.value,"
+        "                   'found', CAST(NULL AS INT)))),"
+        " acc -> acc.found)",
+    ),
+    "chDDQuantile": (
+        "(m MAP<INT, BIGINT>, p DOUBLE) RETURNS DOUBLE",
+        "CASE"
+        " WHEN chDDBucketKey(m, p) IS NULL THEN CAST(NULL AS DOUBLE)"
+        " WHEN chDDBucketKey(m, p) = 0 THEN CAST(0.0 AS DOUBLE)"
+        " WHEN chDDBucketKey(m, p) > 0 THEN power(1.0202020202020203,"
+        "      CAST(chDDBucketKey(m, p) - 1048576 AS DOUBLE) - 0.5)"
+        " ELSE -power(1.0202020202020203,"
+        "      CAST(-chDDBucketKey(m, p) - 1048576 AS DOUBLE) - 0.5)"
+        " END",
+    ),
 }
 
 

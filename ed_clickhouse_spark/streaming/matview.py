@@ -53,6 +53,7 @@ class StreamingMatView:
         mins: dict[str, str] | None = None,
         maxs: dict[str, str] | None = None,
         avgs: dict[str, str] | None = None,
+        quantiles: dict[str, str] | None = None,
         distinct_entity: str | None = None,
         lg_k: int = 12,
     ):
@@ -65,8 +66,30 @@ class StreamingMatView:
         # avg keeps a MERGEABLE (sum, non-null count) state pair per
         # alias (ClickHouse avgState); the final value derives at read
         self.avgs = avgs or {}
+        # quantile keeps a DDSketch log-bucket histogram (map<int,
+        # bigint>) per alias — mergeable cell-wise, ~1% relative error
+        # (Masson/Rim/Lee, VLDB 2019); read out with chDDQuantile /
+        # the ch_sql quantileMerge(p)(state) spelling
+        self.quantiles = quantiles or {}
         self.distinct_entity = distinct_entity
         self.lg_k = lg_k
+
+    # DDSketch constants: gamma = (1+a)/(1-a) at a = 1% relative
+    # accuracy; B offsets positive buckets clear of the negative mirror
+    _DD_GAMMA = 1.0202020202020203
+    _DD_B = 1048576
+
+    def _dd_bucket(self, src: str):
+        import math
+
+        lg = math.log(self._DD_GAMMA)
+        x = F.expr(src)
+        return (
+            F.when(x == 0, F.lit(0))
+            .when(x > 0, F.lit(self._DD_B) + F.ceil(F.log(x) / F.lit(lg)))
+            .otherwise(-(F.lit(self._DD_B) + F.ceil(F.log(-x) / F.lit(lg))))
+            .cast("int")
+        )
 
     # -- insert-time (the MV trigger) -------------------------------------
     def _partial(self, batch: DataFrame) -> DataFrame:
@@ -83,7 +106,25 @@ class StreamingMatView:
                     f"hll_sketch_agg({self.distinct_entity}, {self.lg_k})"
                 ).alias("hll_state")
             )
-        return batch.groupBy(*self.dims).agg(*aggs)
+        out = batch.groupBy(*self.dims).agg(*aggs)
+        # quantile sketches: bucket within the batch first (the second
+        # shuffle carries one row per group x bucket, never raw rows),
+        # then fold each group's buckets into its histogram map
+        for src, dst in self.quantiles.items():
+            sk = (
+                batch.where(F.expr(src).isNotNull())
+                .withColumn("__qb", self._dd_bucket(src))
+                .groupBy(*self.dims, "__qb")
+                .agg(F.count("*").alias("__qc"))
+                .groupBy(*self.dims)
+                .agg(
+                    F.map_from_entries(
+                        F.collect_list(F.struct("__qb", "__qc"))
+                    ).alias(dst)
+                )
+            )
+            out = out.join(sk, list(self.dims), "left")
+        return out
 
     def on_batch(self, batch: DataFrame, epoch_id: int | None = None) -> None:
         """Aggregate one micro-batch to partial states — the ClickHouse
@@ -125,6 +166,20 @@ class StreamingMatView:
             aggs.append(F.sum(f"__avg_{dst}_c").alias(f"__avg_{dst}_c"))
         return aggs
 
+    def _merge_quantile_expr(self, dst: str):
+        """Cell-wise histogram merge as ONE aggregate expression —
+        used by compact(), which must stay a single groupBy. O(d^2) in
+        the group's distinct buckets; read() takes the explode path
+        instead, which scales linearly."""
+        fl = f"flatten(collect_list(map_entries({dst})))"
+        return F.expr(
+            f"map_from_entries(array_sort(transform("
+            f"array_distinct(transform({fl}, e -> e.key)),"
+            f" k -> struct(k AS key,"
+            f" aggregate(filter({fl}, e -> e.key = k),"
+            f" CAST(0 AS BIGINT), (s, e) -> s + e.value) AS value))))"
+        ).alias(dst)
+
     def read(self, keys: list[str] | None = None) -> DataFrame:
         """Merge stored states to ``keys`` (default: the full dim set) —
         ``uniqMerge``/``sumMerge`` at read time. The shuffle carries one
@@ -144,6 +199,22 @@ class StreamingMatView:
             out = out.withColumn(
                 dst, F.col(f"__avg_{dst}_s") / F.col(f"__avg_{dst}_c")
             ).drop(f"__avg_{dst}_s", f"__avg_{dst}_c")
+        # quantile histograms merge by exploding entries (linear in
+        # buckets — one (key x bucket)-row shuffle, never the O(d^2)
+        # in-expression fold)
+        for dst in self.quantiles.values():
+            m = (
+                st.select(*keys, F.explode(F.map_entries(dst)).alias("__e"))
+                .groupBy(*keys, F.col("__e.key").alias("__k"))
+                .agg(F.sum("__e.value").alias("__c"))
+                .groupBy(*keys)
+                .agg(
+                    F.map_from_entries(
+                        F.collect_list(F.struct("__k", "__c"))
+                    ).alias(dst)
+                )
+            )
+            out = out.join(m, list(keys), "left")
         return out
 
     def compact(self) -> int:
@@ -166,6 +237,8 @@ class StreamingMatView:
 
         st = self.spark.read.parquet(self.dest_path)
         aggs = self._merge_aggs()
+        for dst in self.quantiles.values():
+            aggs.append(self._merge_quantile_expr(dst))
         if self.distinct_entity:
             aggs.append(F.expr("hll_union_agg(hll_state)").alias("hll_state"))
         epoch_mode = "__epoch" in st.columns

@@ -410,3 +410,74 @@ def test_state_and_merge_combinators_end_to_end(spark, tmp_path):
         "FROM page_hits GROUP BY 1, 2").collect()}
     for r in spark.table("daily_hits").collect():
         assert abs(r["avg_dur"] - direct_pd[(r["page"], str(r["day"]))]) < 1e-9
+
+
+def test_quantile_state_end_to_end(spark, tmp_path):
+    """quantileState in an MV DDL keeps a DDSketch log-bucket histogram
+    per group (mergeable cell-wise, ~1% relative error); a saved
+    ClickHouse quantileMerge(p)(state) query over the _state view
+    re-aggregates across parts and dims through ch_sql; compaction is
+    lossless."""
+    from ed_clickhouse_spark.engine import Engine
+
+    ddl = """
+CREATE TABLE reqs (path String, dur Float64, ts DateTime)
+ENGINE = MergeTree() ORDER BY (ts, path);
+
+CREATE MATERIALIZED VIEW lat
+ENGINE = AggregatingMergeTree() ORDER BY (path)
+AS SELECT path, countState() AS n, quantileState(dur) AS lat_sketch
+FROM reqs GROUP BY path;
+"""
+    mdir = tmp_path / "migrations"
+    mdir.mkdir()
+    (mdir / "001_reqs.up.sql").write_text(ddl)
+    eng = Engine(str(tmp_path / "wh"), spark)
+    eng.migrate(str(mdir))
+
+    # two insert batches -> two partial-state rows per group
+    for batch in range(2):
+        lines = "\n".join(
+            f'{{"path":"/{p}","dur":{d}.0,"ts":"2024-01-01 10:00:00"}}'
+            for p in ("a", "b")
+            for d in range(1 + 500 * batch, 501 + 500 * batch, 7)
+        )
+        eng.ch_sql(f"INSERT INTO reqs FORMAT JSONEachRow\n{lines}")
+
+    got = {
+        r["path"]: (r["p50"], r["p95"])
+        for r in eng.ch_sql(
+            "SELECT path, quantileMerge(0.5)(lat_sketch) AS p50, "
+            "quantileMerge(0.95)(lat_sketch) AS p95 "
+            "FROM lat_state GROUP BY path"
+        ).collect()
+    }
+    exact = {
+        r["path"]: (r["p50"], r["p95"])
+        for r in eng.sql(
+            "SELECT path, percentile(dur, 0.5) AS p50, "
+            "percentile(dur, 0.95) AS p95 FROM reqs GROUP BY path"
+        ).collect()
+    }
+    for path, (p50, p95) in exact.items():
+        assert abs(got[path][0] - p50) / p50 < 0.021
+        assert abs(got[path][1] - p95) / p95 < 0.021
+    # global (dim-subset) merge works on the same states
+    g = eng.ch_sql(
+        "SELECT quantileMerge(0.5)(lat_sketch) AS p50 FROM lat_state"
+    ).first()["p50"]
+    ge = eng.sql("SELECT percentile(dur, 0.5) AS p FROM reqs").first()["p"]
+    assert abs(g - ge) / ge < 0.021
+    # compaction folds the sketch cell-wise and is lossless
+    mv = eng.matviews["lat"]
+    before = {r["path"]: r["lat_sketch"] for r in mv.read().collect()}
+    mv._inner.compact()
+    eng._register_mv(mv)
+    after = {r["path"]: r["lat_sketch"] for r in mv.read().collect()}
+    assert before == after
+    got2 = eng.ch_sql(
+        "SELECT path, quantileMerge(0.95)(lat_sketch) AS p95 "
+        "FROM lat_state GROUP BY path"
+    ).collect()
+    for r in got2:
+        assert abs(r["p95"] - exact[r["path"]][1]) / exact[r["path"]][1] < 0.021
