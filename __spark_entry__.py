@@ -72,6 +72,7 @@ _R3_PRIORITY = [
     # ClickHouse dialect end-to-end
     "q201_ch_any_join", "q202_ch_agg_spellings", "q203_ch_monitoring",
     "q205_ch_if_combinators", "q206_ch_event_analytics",
+    "q207_dd_quantile_sketch",
     "q196_sql_vector_search", "q156_ch_dialect",
     "q162_ch_dialect_sample_totals", "q177_ch_dialect_fill",
     "q111_with_totals", "q112_sample_clause",

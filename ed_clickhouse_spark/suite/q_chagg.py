@@ -650,3 +650,63 @@ def q182_conditional_argmax(spark, sf_dir):
         .select("user_id", F.col("event_type").alias("majority_type"))
     )
     return agg.join(maj, "user_id")
+
+
+@query(
+    "q207_dd_quantile_sketch",
+    oracle="""
+    WITH b AS (
+      SELECT event_type,
+             CAST(1048576 + ceil(ln(value) / ln(1.0202020202020203)) AS INT) AS k,
+             COUNT(*) AS c
+      FROM events WHERE value > 0 GROUP BY 1, 2
+    ),
+    t AS (SELECT event_type, SUM(c) AS total FROM b GROUP BY 1),
+    w AS (
+      SELECT b.event_type, k, c, t.total,
+             SUM(c) OVER (PARTITION BY b.event_type ORDER BY k) AS cum
+      FROM b JOIN t USING (event_type)
+    )
+    SELECT event_type,
+           ROUND(POWER(1.0202020202020203,
+             (SELECT MIN(k) FROM w w2 WHERE w2.event_type = w.event_type
+                AND w2.cum >= GREATEST(CEIL(0.5 * w2.total), 1))
+             - 1048576 - 0.5), 4) AS p50,
+           ROUND(POWER(1.0202020202020203,
+             (SELECT MIN(k) FROM w w2 WHERE w2.event_type = w.event_type
+                AND w2.cum >= GREATEST(CEIL(0.95 * w2.total), 1))
+             - 1048576 - 0.5), 4) AS p95
+    FROM w GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q207_dd_quantile_sketch(spark, sf_dir):
+    """DDSketch quantiles as a DETERMINISTIC approximate aggregate —
+    the only quantile sketch in the suite an oracle can hash-match,
+    because bucket assignment (ceil(ln x / ln gamma)) and the rank walk
+    are pure functions of the data, not of merge order. This is the
+    batch twin of the streaming quantileState/quantileMerge MV state
+    (streaming/matview.py): one shuffle per (group, bucket), then the
+    chDDQuantile read-out; ~1% relative error at any scale, and the
+    state column is what a 100 TB latency dashboard stores instead of
+    raw durations."""
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql("""
+        WITH b AS (
+          SELECT event_type,
+                 CAST(1048576 + ceil(ln(value) / ln(1.0202020202020203)) AS INT) AS k,
+                 COUNT(*) AS c
+          FROM events WHERE value > 0 GROUP BY 1, 2
+        ),
+        m AS (
+          SELECT event_type,
+                 map_from_entries(array_sort(collect_list(struct(k, c)))) AS sk
+          FROM b GROUP BY event_type
+        )
+        SELECT event_type,
+               ROUND(chDDQuantile(sk, 0.5), 4) AS p50,
+               ROUND(chDDQuantile(sk, 0.95), 4) AS p95
+        FROM m ORDER BY event_type
+    """)
