@@ -863,11 +863,25 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
 }
 
 
-def register_sql_aliases(spark: SparkSession) -> list[str]:
+# sessions already carrying the aliases — registration is ~165 driver
+# round-trips (~1.4 s), and suite/dialect entry points call this per
+# query, so repeat calls must be free. WeakSet: a stopped session's
+# entry dies with it; a foreachBatch CLONED session is a different
+# object and correctly re-registers (temp functions are per-session).
+import weakref
+
+_ALIASED_SESSIONS: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
+
+
+def register_sql_aliases(spark: SparkSession, force: bool = False) -> list[str]:
     """Register the ClickHouse scalar spellings as temporary SQL
-    functions. Returns the list of registered names."""
+    functions (idempotent and memoized per session). Returns the list
+    of registered names."""
+    if not force and spark in _ALIASED_SESSIONS:
+        return list(_SQL_SCALAR_ALIASES)
     registered = []
     for name, (sig, body) in _SQL_SCALAR_ALIASES.items():
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{sig} RETURN {body}")
         registered.append(name)
+    _ALIASED_SESSIONS.add(spark)
     return registered
