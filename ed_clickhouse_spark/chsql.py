@@ -746,6 +746,32 @@ def _rewrite_scalar_misc(sql: str) -> str:
             if not m:
                 break
             sql = sql[: m.start()] + "(" + sql[sql.index("(", m.end() - 1) + 1:]
+    # ClickHouse rand()/rand32() are UInt32, rand64() UInt64 — NOT
+    # [0,1): `rand() % 100` is the canonical CH idiom and would always
+    # be 0 under Spark's rand(). Rewrite to the ClickHouse range
+    # (rand64 via shiftleft/OR so the 64-bit form cannot overflow-throw;
+    # the sign bit reinterprets like halfMD5 — documented).
+    # (replacements spell RAND() uppercase so the case-exact scan for
+    # the shorter names cannot re-match inside an earlier replacement)
+    for name, repl in (
+        ("rand64",
+         "(shiftleft(CAST(floor(RAND() * 4294967296) AS BIGINT), 32)"
+         " | CAST(floor(RAND() * 4294967296) AS BIGINT))"),
+        ("rand32", "CAST(floor(RAND() * 4294967296) AS BIGINT)"),
+        ("rand", "CAST(floor(RAND() * 4294967296) AS BIGINT)"),
+    ):
+        pos = 0
+        rx = re.compile(rf"\b{name}\s*\(\s*\)")
+        while True:
+            m = rx.search(sql, pos)
+            if not m:
+                break
+            instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+            if instr_at.get(m.start(), False):
+                pos = m.end()
+                continue
+            sql = sql[: m.start()] + repl + sql[m.end():]
+            pos = m.start() + len(repl)
     while True:
         m = _find_case_exact(sql, r"\bmultiIf\s*\(")
         if not m:
@@ -1203,12 +1229,12 @@ def _rewrite_agg_spellings(sql: str) -> str:
     while True:
         m = _find_top_anywhere(
             sql,
-            r"\b(quantiles?)((?:Exact|TDigest|Timing|BFloat16|Deterministic)?)(If)?\s*\(",
+            r"\b(quantiles?)((?:Exact(?:Low|High|Inclusive|Exclusive)?|TDigest|Timing|BFloat16|Deterministic)?)(If)?\s*\(",
         )
         if not m:
             break
         plural = m.group(1) == "quantiles"
-        exact = m.group(2) == "Exact"
+        exact = m.group(2).startswith("Exact")
         has_if = bool(m.group(3))
         open1 = sql.index("(", m.end() - 1)
         close1 = _call_end(sql, open1)

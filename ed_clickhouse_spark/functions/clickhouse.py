@@ -826,6 +826,32 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "(a BIGINT, b BIGINT) RETURNS BIGINT",
         "CASE WHEN b = 0 THEN 0 ELSE a % b END",
     ),
+    # long-tail date arithmetic (completes the add*/subtract* family)
+    "addWeeks": ("(x TIMESTAMP, n INT) RETURNS TIMESTAMP", "x + make_interval(0, 0, n)"),
+    "subtractWeeks": ("(x TIMESTAMP, n INT) RETURNS TIMESTAMP", "x - make_interval(0, 0, n)"),
+    "subtractMonths": ("(x TIMESTAMP, n INT) RETURNS TIMESTAMP", "x - make_interval(0, n)"),
+    "subtractYears": ("(x TIMESTAMP, n INT) RETURNS TIMESTAMP", "x - make_interval(n)"),
+    "subtractHours": ("(x TIMESTAMP, n INT) RETURNS TIMESTAMP", "x - make_interval(0, 0, 0, 0, n)"),
+    "subtractMinutes": ("(x TIMESTAMP, n INT) RETURNS TIMESTAMP", "x - make_interval(0, 0, 0, 0, 0, n)"),
+    "subtractSeconds": ("(x TIMESTAMP, n INT) RETURNS TIMESTAMP", "x - make_interval(0, 0, 0, 0, 0, 0, n)"),
+    "toISOWeek": ("(x TIMESTAMP) RETURNS INT", "weekofyear(x)"),
+    "toWeek": ("(x TIMESTAMP) RETURNS INT", "weekofyear(x)"),
+    "toISOYear": ("(x TIMESTAMP) RETURNS INT", "year(date_trunc('WEEK', x))"),
+    "toStartOfSecond": ("(x TIMESTAMP) RETURNS TIMESTAMP", "date_trunc('SECOND', x)"),
+    "toYYYYMMDDhhmmss": (
+        "(x TIMESTAMP) RETURNS BIGINT",
+        "CAST(date_format(x, 'yyyyMMddHHmmss') AS BIGINT)",
+    ),
+    # string tail
+    "trimLeft": ("(s STRING) RETURNS STRING", "ltrim(s)"),
+    "trimRight": ("(s STRING) RETURNS STRING", "rtrim(s)"),
+    "base64Encode": ("(s STRING) RETURNS STRING", "base64(CAST(s AS BINARY))"),
+    "base64Decode": ("(s STRING) RETURNS STRING", "CAST(unbase64(s) AS STRING)"),
+    "splitByWhitespace": (
+        "(s STRING) RETURNS ARRAY<STRING>",
+        r"filter(split(s, '\\s+'), x -> x != '')",
+    ),
+    "generateUUIDv4": ("() RETURNS STRING", "uuid()"),
     # DDSketch quantile read-out (the quantileMerge read side of the
     # engine's quantileState MV states; see streaming/matview.py).
     # The map is a log-bucket histogram: key 0 = exact zero, key

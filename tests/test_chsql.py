@@ -886,3 +886,30 @@ def test_bracket_syntax_and_intervals(views):
         ).sql
     ).first()["d"]
     assert d == "2024-01-15"
+
+
+def test_tail_spellings_and_rand_semantics(views):
+    """Long-tail spellings + the rand() range contract: ClickHouse
+    rand() is UInt32, so `rand() % 100` must be uniform-ish, not 0."""
+    r = views.sql(
+        translate(
+            "SELECT addWeeks(TIMESTAMP'2024-01-01 00:00:00', 2) AS aw, "
+            "subtractMonths(DATE'2024-03-15', 1) AS sm, "
+            "toISOWeek(TIMESTAMP'2024-01-04 00:00:00') AS w, "
+            "trimLeft('  x') AS tl, base64Decode(base64Encode('abc')) AS b64, "
+            "splitByWhitespace('a  b\tc') AS sw, "
+            "toYYYYMMDDhhmmss(TIMESTAMP'2024-01-02 03:04:05') AS ymd"
+        ).sql
+    ).first()
+    assert str(r["aw"]).startswith("2024-01-15")
+    assert str(r["sm"]).startswith("2024-02-15")
+    assert r["w"] == 1 and r["tl"] == "x" and r["b64"] == "abc"
+    assert r["sw"] == ["a", "b", "c"] and r["ymd"] == 20240102030405
+    rows = views.sql(
+        translate("SELECT rand() % 100 AS r FROM numbers(200)").sql
+    ).collect()
+    vals = {row["r"] for row in rows}
+    assert all(0 <= v < 100 for v in vals) and len(vals) > 20
+    # quantileExact variants all hit exact percentile
+    assert "percentile(" in translate("SELECT quantileExactLow(0.5)(x) FROM t").sql
+    assert "percentile(" in translate("SELECT quantileExactHigh(0.5)(x) FROM t").sql
