@@ -1868,17 +1868,15 @@ def translate(
         ),
         "",
     )
-    sql = _rewrite_numbers(sql)
     sql = _rewrite_system(sql)
     # ClickHouse 3-arg dateDiff('unit', a, b): Spark's 2-arg datediff
     # builtin owns the lowercase name, so the camel spelling maps to the
     # registered chDateDiff SQL function (case-sensitive on purpose).
     sql = _sub_outside_strings(sql, re.compile(r"\bdateDiff\s*\("), "chDateDiff(")
+    # expression-level rewrites scan at every depth already
     sql = _rewrite_ch_casts(sql)
     sql = _rewrite_brackets(sql)
     sql = _rewrite_intervals(sql)
-    sql = _rewrite_sample(sql, specs)
-    sql = _rewrite_any_join(sql, specs)
     sql = _rewrite_funnel_aggs(sql)
     sql = _rewrite_agg_spellings(sql)
     sql = _rewrite_scalar_misc(sql)
@@ -1891,6 +1889,20 @@ def translate(
             break
         sql = sql[: tm.start()] + "struct(" + sql[sql.index("(", tm.end() - 1) + 1:]
     sql = _rewrite_to_start_of_interval(sql)
+    # clause-level rewrites apply per nesting level: subqueries first
+    # (innermost-out), then this level — so PREWHERE / LIMIT BY / ARRAY
+    # JOIN / WITH TOTALS / SAMPLE / FINAL inside a derived table or CTE
+    # body translate exactly like the outer query
+    sql = _rewrite_clauses_recursive(sql, specs)
+    return Translated(sql=_collapse_ws_outside_strings(sql), format=fmt)
+
+
+def _apply_clause_rewrites(sql: str, specs: dict | None) -> str:
+    """The clause-level rewrite chain for ONE nesting level (each
+    rewriter scans top-level tokens of the string it is given)."""
+    sql = _rewrite_numbers(sql)
+    sql = _rewrite_sample(sql, specs)
+    sql = _rewrite_any_join(sql, specs)
     sql = _rewrite_final(sql)
     sql = _rewrite_prewhere(sql)
     sql = _rewrite_array_join_fn(sql)
@@ -1900,4 +1912,29 @@ def translate(
     sql = _rewrite_limit_by(sql)
     sql = _rewrite_limit_offset(sql)
     sql = _rewrite_with_fill(sql)
-    return Translated(sql=_collapse_ws_outside_strings(sql), format=fmt)
+    return sql
+
+
+def _rewrite_clauses_recursive(sql: str, specs: dict | None) -> str:
+    """Recurse into every parenthesized subquery (``( SELECT ...`` /
+    ``( WITH ...``) before applying the clause rewrites at this level.
+    Rewritten inner text is spliced back and not re-scanned, so
+    generated subqueries (row_number wrappers, spines) are never
+    re-entered."""
+    pos = 0
+    while True:
+        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        idx = None
+        for i in range(pos, len(sql)):
+            if sql[i] == "(" and not instr_at.get(i, False):
+                after = sql[i + 1:].lstrip()
+                if re.match(r"(?i)(SELECT|WITH)\b", after):
+                    idx = i
+                    break
+        if idx is None:
+            break
+        close = _call_end(sql, idx)
+        inner = _rewrite_clauses_recursive(sql[idx + 1: close], specs)
+        sql = sql[: idx + 1] + inner + sql[close:]
+        pos = idx + 1 + len(inner) + 1
+    return _apply_clause_rewrites(sql, specs)

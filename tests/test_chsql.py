@@ -913,3 +913,47 @@ def test_tail_spellings_and_rand_semantics(views):
     # quantileExact variants all hit exact percentile
     assert "percentile(" in translate("SELECT quantileExactLow(0.5)(x) FROM t").sql
     assert "percentile(" in translate("SELECT quantileExactHigh(0.5)(x) FROM t").sql
+
+
+def test_clause_rewrites_inside_subqueries(views):
+    """Clause-level dialect (PREWHERE, LIMIT BY, ARRAY JOIN, WITH
+    TOTALS, SAMPLE, LIMIT off,n, numbers()) now translates inside
+    derived tables and CTE bodies — innermost-out recursion."""
+    n = views.sql(
+        translate(
+            "SELECT count() AS n FROM (SELECT * FROM events PREWHERE value > 100)"
+        ).sql
+    ).first()["n"]
+    want = views.sql(
+        "SELECT count(*) AS n FROM events WHERE value > 100"
+    ).first()["n"]
+    assert n == want > 0
+    s = views.sql(
+        translate(
+            "SELECT sum(c) AS s FROM (SELECT event_type, count() AS c "
+            "FROM events GROUP BY event_type "
+            "ORDER BY c DESC LIMIT 2 BY event_type)"
+        ).sql
+    ).first()["s"]
+    assert s is not None
+    k = views.sql(
+        translate(
+            "WITH x AS (SELECT event_type, count() AS c FROM events "
+            "GROUP BY event_type WITH TOTALS) SELECT count() AS k FROM x"
+        ).sql
+    ).first()["k"]
+    n_types = views.sql(
+        "SELECT count(DISTINCT event_type) AS c FROM events"
+    ).first()["c"]
+    assert k == n_types + 1  # the TOTALS row counts too
+    rows = views.sql(
+        translate(
+            "SELECT tok FROM (SELECT tok FROM documents "
+            "ARRAY JOIN splitByChar(' ', text) AS tok) LIMIT 3"
+        ).sql
+    ).collect()
+    assert len(rows) == 3
+    s10 = views.sql(
+        translate("SELECT s FROM (SELECT sum(number) AS s FROM numbers(10))").sql
+    ).first()["s"]
+    assert s10 == 45
