@@ -1937,4 +1937,23 @@ def _rewrite_clauses_recursive(sql: str, specs: dict | None) -> str:
         inner = _rewrite_clauses_recursive(sql[idx + 1: close], specs)
         sql = sql[: idx + 1] + inner + sql[close:]
         pos = idx + 1 + len(inner) + 1
-    return _apply_clause_rewrites(sql, specs)
+    # UNION branches are separate SELECTs: apply the clause chain per
+    # top-level branch (the last branch keeps the union's trailing
+    # ORDER BY / LIMIT, which is where they bind anyway)
+    branches, seps = [], []
+    start = 0
+    while True:
+        m = _find_top(sql[start:], r"\bUNION(?:\s+(?:ALL|DISTINCT))?\b")
+        if not m:
+            branches.append(sql[start:])
+            break
+        branches.append(sql[start: start + m.start()])
+        seps.append(m.group(0))
+        start = start + m.end()
+    if len(branches) == 1:
+        return _apply_clause_rewrites(sql, specs)
+    out = [_apply_clause_rewrites(b, specs) for b in branches]
+    joined = out[0]
+    for sep, b in zip(seps, out[1:]):
+        joined += f" {sep} {b}"
+    return joined

@@ -957,3 +957,18 @@ def test_clause_rewrites_inside_subqueries(views):
         translate("SELECT s FROM (SELECT sum(number) AS s FROM numbers(10))").sql
     ).first()["s"]
     assert s10 == 45
+
+
+def test_clause_rewrites_per_union_branch(views):
+    """Each UNION branch is its own SELECT: clause rewrites (PREWHERE,
+    WITH TOTALS) apply per branch."""
+    rows = views.sql(
+        translate(
+            "SELECT count() AS n FROM events PREWHERE value > 100 "
+            "UNION ALL SELECT count() FROM events PREWHERE value <= 100"
+        ).sql
+    ).collect()
+    total = views.sql(
+        "SELECT count(*) AS n FROM events WHERE value IS NOT NULL"
+    ).first()["n"]
+    assert sum(r["n"] for r in rows) == total
