@@ -102,6 +102,14 @@ top-level token scanning (never inside strings/parens):
   avgMerge/uniqMerge     auto-registered <name>_state partials view
   =====================  ==========================================
 
+Clause-level rewrites apply AT EVERY NESTING LEVEL: translate recurses
+into each parenthesized subquery / CTE body (innermost-out) and into
+each top-level UNION branch, so PREWHERE / LIMIT BY / ARRAY JOIN /
+WITH TOTALS / SAMPLE inside a derived table translate exactly like the
+outer query. Expression-level rewrites scan at every depth by
+construction. Rewritten inner text is spliced back and never
+re-scanned, so generated wrappers are not re-entered.
+
 Not translated (documented): ANY JOIN with an ON clause or a subquery
 right side (the keys/columns are not recoverable from a string rewrite
 — use operators/joins.py:any_join directly), and RIGHT ANY JOIN (which
