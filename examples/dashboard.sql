@@ -123,3 +123,41 @@ SELECT count() AS total_events,
        uniqExact(user_id) AS exact_users,
        min(ts) AS first_event, max(ts) AS last_event
 FROM events;
+
+-- 21. subquery dialect: funnel depth per user computed in a derived
+-- table, converted users counted outside
+SELECT countIf(depth >= 2) AS reached_step2, count() AS funnel_users
+FROM (
+  SELECT user_id,
+         windowFunnel(86400)(ts, event_type = 'signup',
+                             event_type = 'click') AS depth
+  FROM events PREWHERE event_type IN ['signup', 'click']
+  GROUP BY user_id
+);
+
+-- 22. bracket literals + 1-based subscripts + interval constructors
+SELECT ['mon','tue','wed','thu','fri','sat','sun'][toDayOfWeek(ts)] AS dow,
+       count() AS n
+FROM events
+WHERE ts > now() - toIntervalYear(10)
+GROUP BY dow ORDER BY n DESC;
+
+-- 23. per-branch dialect in a UNION: high- vs low-value traffic
+SELECT 'high' AS segment, count() AS n FROM events PREWHERE value > 100
+UNION ALL
+SELECT 'low' AS segment, count() AS n FROM events PREWHERE value <= 100;
+
+-- 24. DDSketch quantiles: the deterministic approximate-latency panel
+SELECT event_type,
+       round(chDDQuantile(sk, 0.5), 2) AS p50,
+       round(chDDQuantile(sk, 0.99), 2) AS p99
+FROM (
+  SELECT event_type,
+         map_from_entries(array_sort(collect_list(struct(k, c)))) AS sk
+  FROM (
+    SELECT event_type,
+           toInt32(1048576 + ceil(ln(value) / ln(1.0202020202020203))) AS k,
+           count() AS c
+    FROM events WHERE value > 0 GROUP BY event_type, k
+  ) GROUP BY event_type
+) ORDER BY event_type;
