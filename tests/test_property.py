@@ -234,6 +234,8 @@ _DIALECT_BAIT = [
     "uniqMerge(u)", "groupArray(5)(x)", "extract(s, re)", "LIMIT 1 BY a",
     "PREWHERE", "SAMPLE 0.1", "WITH TOTALS", "assumeNotNull(x)",
     "tupleElement(t, 1)", "lagInFrame(v)", "dateDiff(day, a, b)",
+    "[1, 2, 3]", "x[1]", "rand() % 100", "toIntervalDay(2)",
+    "quantileMerge(0.5)(x)", "avgMerge(a)", "x IN [1, 2]",
 ]
 
 
