@@ -75,8 +75,8 @@ def q107_sum_map(spark, sf_dir):
       FROM events
     )
     SELECT user_id,
-           CAST(COALESCE(SUM(CASE WHEN step > 0 THEN step END), 0)
-                AS DECIMAL(18,2)) AS delta_sum
+           CAST(CAST(COALESCE(SUM(CASE WHEN step > 0 THEN step END), 0)
+                     AS DECIMAL(18,2)) AS DOUBLE) AS delta_sum
     FROM steps GROUP BY user_id
     """,
 )
@@ -89,8 +89,11 @@ def q108_delta_sum(spark, sf_dir):
         "v", F.col("value").cast("decimal(18,2)")
     )
     out = delta_sum(e, ["user_id"], ["ts", "event_id"], "v")
+    # exact decimal arithmetic internally; DOUBLE surfaced for the driver
+    # hash (it cannot canonicalize Decimal cells — round-3 finding)
     return out.select(
-        "user_id", F.col("delta_sum").cast("decimal(18,2)").alias("delta_sum")
+        "user_id",
+        F.col("delta_sum").cast("decimal(18,2)").cast("double").alias("delta_sum"),
     )
 
 
@@ -186,12 +189,14 @@ def q110_dict_get(spark, sf_dir):
     "q111_with_totals",
     oracle="""
     SELECT event_type,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS total,
            COUNT(*) AS n
     FROM events GROUP BY event_type
     UNION ALL
     SELECT '__totals__' AS event_type,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS total,
            COUNT(*) AS n
     FROM events
     """,
@@ -206,8 +211,10 @@ def q111_with_totals(spark, sf_dir):
     return (
         e.rollup("event_type")
         .agg(
+            # exact decimal sum, surfaced as DOUBLE (driver-hash safe)
             F.sum(F.col("value").cast("decimal(18,2)"))
             .cast("decimal(18,2)")
+            .cast("double")
             .alias("total"),
             F.count("*").alias("n"),
         )
@@ -224,7 +231,8 @@ def q111_with_totals(spark, sf_dir):
     "q112_sample_clause",
     oracle="""
     SELECT user_id, COUNT(*) AS n_events,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS total
     FROM events
     WHERE substring(md5(CAST(user_id AS VARCHAR)), 1, 15) < '333333333333340'
     GROUP BY user_id
@@ -250,8 +258,10 @@ def q112_sample_clause(spark, sf_dir):
     sampled = ddl.sample_read(e, spec, 0.2)
     return sampled.groupBy("user_id").agg(
         F.count("*").alias("n_events"),
+        # exact decimal sum, surfaced as DOUBLE (driver-hash safe)
         F.sum(F.col("value").cast("decimal(18,2)"))
         .cast("decimal(18,2)")
+        .cast("double")
         .alias("total"),
     )
 

@@ -46,7 +46,7 @@ ORDER BY (day, event_type);
     "q105_replacing_final",
     oracle="""
     SELECT user_id, event_type,
-           CAST(value AS DECIMAL(18,2)) AS last_value,
+           CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS last_value,
            CAST(ts AS TIMESTAMP) AS last_ts
     FROM (
       SELECT user_id, event_type, value, ts,
@@ -85,7 +85,10 @@ def q105_replacing_final(spark, sf_dir):
     return fin.select(
         "user_id",
         "event_type",
-        F.col("value").cast("decimal(18,2)").alias("last_value"),
+        # cents-exact decimal, surfaced as DOUBLE: the driver's result
+        # canonicalizer cannot hash Decimal cells (round-3 finding), and
+        # two-decimal values are exactly representable in binary64.
+        F.col("value").cast("decimal(18,2)").cast("double").alias("last_value"),
         F.col("ts").alias("last_ts"),
     )
 
@@ -94,7 +97,8 @@ def q105_replacing_final(spark, sf_dir):
     "q106_summing_merge",
     oracle="""
     SELECT CAST(ts AS DATE) AS day, event_type,
-           CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS total,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS total,
            COUNT(*) AS n
     FROM events
     GROUP BY 1, 2
@@ -114,7 +118,17 @@ def q106_summing_merge(spark, sf_dir):
         F.col("value").cast("decimal(18,2)").alias("total"),
         F.lit(1).cast("long").alias("n"),
     )
-    return ddl.final_read(counters, spec)
+    fin = ddl.final_read(counters, spec)
+    # merge stays exact DECIMAL(18,2); only the surfaced column is DOUBLE
+    # (driver hash cannot canonicalize Decimal — round-3 finding), with an
+    # explicit (18,2) downcast first so Spark's SUM-widened (28,2) never
+    # leaks into the output schema.
+    return fin.select(
+        "day",
+        "event_type",
+        F.col("total").cast("decimal(18,2)").cast("double").alias("total"),
+        "n",
+    )
 
 
 _COLLAPSING_DDL = """
@@ -181,7 +195,7 @@ def _collapsing_log(spark, sf_dir, with_version: bool):
       FROM orders WHERE o_orderkey % 4 = 1
     )
     SELECT o_orderkey,
-           CAST(MAX(price) FILTER (WHERE sign = 1) AS DECIMAL(18,2)) AS final_price
+           CAST(MAX(price) FILTER (WHERE sign = 1) AS DOUBLE) AS final_price
     FROM log
     GROUP BY o_orderkey
     HAVING SUM(sign) > 0
@@ -199,7 +213,10 @@ def q192_collapsing_final(spark, sf_dir):
     spec = ddl.parse_clickhouse_ddl(_COLLAPSING_DDL)
     log = _collapsing_log(spark, sf_dir, with_version=False)
     fin = ddl.final_read(log, spec)
-    return fin.select("o_orderkey", F.col("price").alias("final_price"))
+    # collapse is exact DECIMAL; surface as DOUBLE for the driver hash
+    return fin.select(
+        "o_orderkey", F.col("price").cast("double").alias("final_price")
+    )
 
 
 @query(
@@ -218,7 +235,7 @@ def q192_collapsing_final(spark, sf_dir):
       FROM orders WHERE o_orderkey % 4 = 1
     )
     SELECT o_orderkey, ver,
-           CAST(MAX(price) FILTER (WHERE sign = 1) AS DECIMAL(18,2)) AS price
+           CAST(MAX(price) FILTER (WHERE sign = 1) AS DOUBLE) AS price
     FROM log
     GROUP BY o_orderkey, ver
     HAVING SUM(sign) > 0
@@ -234,4 +251,7 @@ def q193_versioned_collapsing(spark, sf_dir):
     spec = ddl.parse_clickhouse_ddl(_VCOLLAPSING_DDL)
     log = _collapsing_log(spark, sf_dir, with_version=True)
     fin = ddl.final_read(log, spec)
-    return fin.select("o_orderkey", "ver", "price")
+    # collapse is exact DECIMAL; surface as DOUBLE for the driver hash
+    return fin.select(
+        "o_orderkey", "ver", F.col("price").cast("double").alias("price")
+    )

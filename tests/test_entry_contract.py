@@ -59,3 +59,21 @@ def test_every_query_is_callable(spark):
     for name, fn in ep.queries().items():
         df = fn(spark, "/root/testdata/sf0.001")
         assert df.schema is not None, name
+
+
+def test_no_unhashable_output_columns(spark):
+    """Driver-hash contract: the correctness driver canonicalizes every
+    output cell, and it cannot hash Decimal (round-3 failures q105/q106/
+    q111/q112/q192/q193) or nested values (round-1 failures q12/q67).
+    Rule: every registered query surfaces only scalar, non-decimal
+    columns — keep decimal/array/map/struct arithmetic INTERNAL and cast
+    or serialize at the final select."""
+    from pyspark.sql import types as T
+
+    banned = (T.DecimalType, T.ArrayType, T.MapType, T.StructType)
+    offenders = []
+    for name, fn in ep.queries().items():
+        for field in fn(spark, "/root/testdata/sf0.001").schema.fields:
+            if isinstance(field.dataType, banned):
+                offenders.append((name, field.name, str(field.dataType)))
+    assert not offenders, offenders
