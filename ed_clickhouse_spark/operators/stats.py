@@ -147,20 +147,80 @@ def welch_ttest(
     )
 
 
-def _rank_map(counts: DataFrame, value_col: str) -> DataFrame:
-    """Average (midrank) per distinct value from per-value counts:
-    rank(v) = #[x < v] + (#[x = v] + 1) / 2. The running count is a
-    window over DISTINCT values (cardinality-bounded), not rows."""
+def _range_cumsum(
+    df: DataFrame,
+    value_col: str,
+    sum_cols: list[str],
+    inclusive: bool = True,
+) -> DataFrame:
+    """Distributed prefix sums over rows ordered by ``value_col`` — the
+    two-pass range-partitioned cumsum, NOT a single-partition global
+    window (which would serialize when the value domain is large, e.g.
+    continuous scores where distinct ~= rows):
+
+    1. range-partition on the value (partition i holds the i-th value
+       range, so partition ids are monotone in the sort order);
+    2. cumsum within each partition — a *partitioned* window, parallel;
+    3. add per-partition offsets derived from the tiny one-row-per-
+       partition totals frame via a broadcast triangular join
+       (offset(p) = sum of totals of partitions < p).
+
+    The lazy localCheckpoint pins one physical partitioning so the
+    totals branch and the main branch see identical partition ids.
+    Adds one ``__cum_<col>`` per entry of ``sum_cols``; ``inclusive=
+    False`` gives the exclusive prefix (the #[x < v] shape midranks
+    need)."""
     from pyspark.sql import Window as W
 
+    spark = df.sparkSession
+    n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    parts = (
+        df.repartitionByRange(n_part, F.col(value_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+    tot = parts.groupBy("__pid").agg(
+        *[F.sum(c).alias(f"__t_{c}") for c in sum_cols]
+    )
+    off = (
+        tot.alias("a")
+        .join(
+            F.broadcast(tot.alias("b")),
+            F.col("b.__pid") < F.col("a.__pid"),
+            "left",
+        )
+        .groupBy(F.col("a.__pid").alias("__pid"))
+        .agg(
+            *[
+                F.coalesce(F.sum(F.col(f"b.__t_{c}")), F.lit(0)).alias(f"__off_{c}")
+                for c in sum_cols
+            ]
+        )
+    )
+    end = 0 if inclusive else -1
     w = (
-        W.orderBy(value_col)
-        .rowsBetween(W.unboundedPreceding, -1)
+        W.partitionBy("__pid")
+        .orderBy(value_col)
+        .rowsBetween(W.unboundedPreceding, end)
     )
-    return counts.withColumn(
-        "__rank",
-        F.coalesce(F.sum("__c").over(w), F.lit(0)) + (F.col("__c") + 1) / 2.0,
-    )
+    out = parts.join(F.broadcast(off), "__pid")
+    for c in sum_cols:
+        out = out.withColumn(
+            f"__cum_{c}",
+            F.coalesce(F.sum(c).over(w), F.lit(0)) + F.col(f"__off_{c}"),
+        )
+    return out.drop("__pid", *[f"__off_{c}" for c in sum_cols])
+
+
+def _rank_map(counts: DataFrame, value_col: str) -> DataFrame:
+    """Average (midrank) per distinct value from per-value counts:
+    rank(v) = #[x < v] + (#[x = v] + 1) / 2. The running count is the
+    range-partitioned cumsum over distinct values — parallel even when
+    the measure is continuous and distinct ~= rows."""
+    out = _range_cumsum(counts, value_col, ["__c"], inclusive=False)
+    return out.withColumn(
+        "__rank", F.col("__cum___c") + (F.col("__c") + 1) / 2.0
+    ).drop("__cum___c")
 
 
 def mann_whitney_u(
@@ -263,19 +323,17 @@ def kolmogorov_smirnov(
     ``d`` = sup |ECDF_a − ECDF_b| and ``ks`` = √(n_a·n_b/(n_a+n_b))·d.
 
     ECDFs step only at observed values, so the sup is attained at a
-    distinct value: per-value group counts, one distinct-value window
-    for the two running totals, one max."""
-    from pyspark.sql import Window as W
-
+    distinct value: per-value group counts, one range-partitioned
+    cumsum for the two running totals (parallel even on continuous
+    measures), one max."""
     filt = df.filter(F.col(group_col).isin([group_a, group_b]))
     counts = filt.groupBy(value_col).agg(
         F.count(F.when(F.col(group_col) == group_a, 1)).alias("__ca"),
         F.count(F.when(F.col(group_col) == group_b, 1)).alias("__cb"),
     )
-    w = W.orderBy(value_col).rowsBetween(W.unboundedPreceding, 0)
-    cum = counts.select(
-        F.sum("__ca").over(w).alias("__cum_a"),
-        F.sum("__cb").over(w).alias("__cum_b"),
+    cum = _range_cumsum(counts, value_col, ["__ca", "__cb"]).select(
+        F.col("__cum___ca").alias("__cum_a"),
+        F.col("__cum___cb").alias("__cum_b"),
     )
     tot = filt.agg(
         F.count(F.when(F.col(group_col) == group_a, 1)).alias("n_a"),

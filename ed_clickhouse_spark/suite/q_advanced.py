@@ -232,7 +232,12 @@ def q57_event_transitions(spark, sf_dir):
     """,
 )
 def q58_percent_rank(spark, sf_dir):
-    """percent_rank / cume_dist over account balance."""
+    """percent_rank / cume_dist over account balance.
+
+    Note: a semantically-global rank is a single-reducer sort — acceptable
+    for a dimension table like customer, never for a fact table.  At fact
+    scale, pre-bucket with approx_percentile (or the range-partitioned
+    cumsum in operators/stats.py) and rank within buckets instead."""
     c = t(spark, sf_dir, "customer")
     w = W.orderBy("c_acctbal", "c_custkey")
     return c.select(

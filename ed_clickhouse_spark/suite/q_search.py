@@ -143,17 +143,31 @@ def q204_hybrid_search_rrf(spark, sf_dir):
     ranking. Both retrieval tiers keep their scale shape (posting-list
     filter / broadcast query vector, corpus never shuffles raw); the
     fusion joins two 50-row lists — negligible at any corpus size."""
-    from pyspark.sql import Window as W
-
     from ed_clickhouse_spark.operators.search import rrf_fuse
     from ed_clickhouse_spark.operators.similarity import cosine
 
+    def rank_bounded(topk, score):
+        """1-based rank of an already-top-k frame (score desc, doc_id asc)
+        WITHOUT a window: pack the <=k rows into one sorted array and
+        posexplode.  A global row_number window here would drag the
+        WindowExec single-partition path into the plan; this is a bounded
+        k-row aggregate instead."""
+        packed = topk.agg(
+            F.sort_array(
+                F.collect_list(F.struct((-F.col(score)).alias("s"), "doc_id"))
+            ).alias("xs")
+        )
+        return packed.select(
+            F.posexplode("xs").alias("pos", "x")
+        ).select(
+            F.col("x.doc_id").alias("doc_id"),
+            (F.col("pos") + 1).cast("int").alias("rank"),
+        )
+
     docs = t(spark, sf_dir, "documents")
-    bm = bm25_topk(docs, _TERMS, k=50)
-    lex = bm.select(
-        "doc_id", F.row_number().over(
-            W.orderBy(F.col("bm25").desc(), "doc_id")).alias("rank"),
-    )
+    # bm25_topk returns the <= 50 best via orderBy+limit
+    # (TakeOrderedAndProject — per-partition heaps, one tiny merge)
+    lex = rank_bounded(bm25_topk(docs, _TERMS, k=50), "bm25")
     emb = t(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("doc_id"),
         F.col("embedding").cast("array<double>").alias("vec"),
@@ -161,15 +175,15 @@ def q204_hybrid_search_rrf(spark, sf_dir):
     qv = F.broadcast(
         emb.filter(F.col("doc_id") == 0).select(F.col("vec").alias("q_vec"))
     )
-    sem = (
+    # Semantic top-50 likewise via orderBy+limit — Catalyst compiles it to
+    # a distributed TakeOrderedAndProject, NOT a global single-partition
+    # window over the whole scored corpus.
+    sem_top = (
         emb.filter(F.col("doc_id") != 0)
         .crossJoin(qv)
         .select("doc_id", F.round(cosine("vec", "q_vec"), 6).alias("cos"))
-        .select(
-            "doc_id",
-            F.row_number().over(
-                W.orderBy(F.col("cos").desc(), "doc_id")).alias("rank"),
-        )
-        .filter(F.col("rank") <= 50)
+        .orderBy(F.col("cos").desc(), "doc_id")
+        .limit(50)
     )
+    sem = rank_bounded(sem_top, "cos")
     return rrf_fuse([lex, sem], k=10)
