@@ -447,8 +447,12 @@ def _rewrite_distinct_on(sql: str) -> str:
     cols = sql[open1 + 1: close1].strip()
     head = sql[: m.start()] + "SELECT "
     body = sql[close1 + 1:].lstrip()
-    # LIMIT 1 BY goes before a final LIMIT n, else at the end
-    lm = _find_top(body, r"\bLIMIT\s+\d+\s*$")
+    # LIMIT 1 BY goes before the final row limit, else at the end.  The
+    # trailing limit may be any of LIMIT n / LIMIT n OFFSET m /
+    # ClickHouse's LIMIT off, n — all must stay AFTER the per-key dedup.
+    lm = _find_top(
+        body, r"\bLIMIT\s+\d+\s*(?:OFFSET\s+\d+\s*|,\s*\d+\s*)?$"
+    )
     if lm:
         body = body[: lm.start()] + f" LIMIT 1 BY {cols} " + body[lm.start():]
     else:
@@ -815,8 +819,43 @@ def _rewrite_scalar_misc(sql: str) -> str:
         if len(args) != 2:
             pos = m.end()
             continue
-        # group 1 when the pattern literal carries a capture group
-        grp = 1 if "(" in args[1] else 0
+        # group 1 when the pattern literal carries a CAPTURING group:
+        # count '(' that are neither backslash-escaped nor followed by
+        # '?' (non-capturing / lookaround). Only a literal string
+        # pattern can be sniffed — for computed patterns the group
+        # index is not inferable at translate time, so refuse loudly
+        # rather than silently return the wrong group.
+        pat = args[1].strip()
+        if not re.fullmatch(r"'(?:[^'\\]|\\.|'')*'", pat):
+            raise ValueError(
+                "extract(s, re) translates only with a literal string"
+                " pattern (the capture-group index must be inferred);"
+                " use regexp_extract(s, re, group) directly"
+            )
+        # two escaping layers: first undo the SQL string-literal escapes
+        # (Spark maps \x -> x and '' -> '), THEN count regex-level
+        # capturing groups on the resulting pattern
+        body, chars, i = pat[1:-1], [], 0
+        while i < len(body):
+            if body[i] == "\\" and i + 1 < len(body):
+                chars.append(body[i + 1])
+                i += 2
+                continue
+            if body[i: i + 2] == "''":
+                chars.append("'")
+                i += 2
+                continue
+            chars.append(body[i])
+            i += 1
+        rx, ncap, i = "".join(chars), 0, 0
+        while i < len(rx):
+            if rx[i] == "\\":
+                i += 2
+                continue
+            if rx[i] == "(" and rx[i + 1: i + 2] != "?":
+                ncap += 1
+            i += 1
+        grp = 1 if ncap else 0
         sql = (
             sql[: m.start()]
             + f"regexp_extract({args[0]}, {args[1]}, {grp})"
@@ -856,7 +895,9 @@ def _rewrite_scalar_misc(sql: str) -> str:
         sql = (
             sql[: m.start()]
             + f"filter(sequence(({a}), greatest(({b}) - 1, ({a})){step}),"
-            f" x -> x < ({b}))"
+            # collision-improbable lambda var: ({b}) is user text and may
+            # reference a column literally named x
+            f" __ch_x -> __ch_x < ({b}))"
             + sql[close1 + 1:]
         )
     while True:
@@ -1084,15 +1125,16 @@ def _rewrite_funnel_aggs(sql: str) -> str:
         init = "named_struct('d', 0, 'p', CAST(0.0 AS DOUBLE))"
         cases = []
         for k, ref in enumerate(order, start=1):
-            guard = "" if k == 1 else " AND e.t > acc.p"
+            guard = "" if k == 1 else " AND __ch_e.t > __ch_ac.p"
             cases.append(
-                f"WHEN acc.d = {k - 1} AND e.s{ref}{guard} THEN"
-                f" named_struct('d', {k}, 'p', e.t)"
+                f"WHEN __ch_ac.d = {k - 1} AND __ch_e.s{ref}{guard} THEN"
+                f" named_struct('d', {k}, 'p', __ch_e.t)"
             )
         expr = (
             f"(aggregate({evs}, {init},"
-            f" (acc, e) -> CASE {' '.join(cases)} ELSE acc END,"
-            f" acc -> acc.d) = {len(order)})"
+            f" (__ch_ac, __ch_e) -> CASE {' '.join(cases)}"
+            f" ELSE __ch_ac END,"
+            f" __ch_ac -> __ch_ac.d) = {len(order)})"
         )
         sql = sql[: m.start()] + expr + sql[close2 + 1:]
     while True:
@@ -1127,20 +1169,24 @@ def _rewrite_funnel_aggs(sql: str) -> str:
             "named_struct('d', 0, 'a', CAST(0.0 AS DOUBLE),"
             " 'p', CAST(0.0 AS DOUBLE))"
         )
+        # ({w}) is user text inside the lambda body — collision-
+        # improbable lambda vars required
         cases = [
-            "WHEN acc.d = 0 AND e.s1 THEN"
-            " named_struct('d', 1, 'a', e.t, 'p', e.t)"
+            "WHEN __ch_ac.d = 0 AND __ch_e.s1 THEN"
+            " named_struct('d', 1, 'a', __ch_e.t, 'p', __ch_e.t)"
         ]
         for k in range(2, len(conds) + 1):
             cases.append(
-                f"WHEN acc.d = {k - 1} AND e.s{k} AND e.t > acc.p"
-                f" AND e.t <= acc.a + ({w}) THEN"
-                f" named_struct('d', {k}, 'a', acc.a, 'p', e.t)"
+                f"WHEN __ch_ac.d = {k - 1} AND __ch_e.s{k}"
+                f" AND __ch_e.t > __ch_ac.p"
+                f" AND __ch_e.t <= __ch_ac.a + ({w}) THEN"
+                f" named_struct('d', {k}, 'a', __ch_ac.a, 'p', __ch_e.t)"
             )
         expr = (
             f"aggregate({evs}, {init},"
-            f" (acc, e) -> CASE {' '.join(cases)} ELSE acc END,"
-            f" acc -> acc.d)"
+            f" (__ch_ac, __ch_e) -> CASE {' '.join(cases)}"
+            f" ELSE __ch_ac END,"
+            f" __ch_ac -> __ch_ac.d)"
         )
         sql = sql[: m.start()] + expr + sql[close2 + 1:]
     return sql
@@ -1199,12 +1245,21 @@ _AGG_IF_BASES = {
 
 
 def _call_end(s: str, open_idx: int) -> int:
-    """Index of the ``)`` matching the ``(`` at ``open_idx``."""
-    depth = 0
+    """Index of the ``)`` matching the ``(`` at ``open_idx``
+    (quote-aware: parens inside string literals don't count, so e.g.
+    ``extract(s, 'a\\(bc')`` finds its real closer)."""
+    depth, quote = 0, None
     for j in range(open_idx, len(s)):
-        if s[j] == "(":
+        ch = s[j]
+        if quote:
+            if ch == quote and s[j - 1] != "\\":
+                quote = None
+            continue
+        if ch in "'\"":
+            quote = ch
+        elif ch == "(":
             depth += 1
-        elif s[j] == ")":
+        elif ch == ")":
             depth -= 1
             if depth == 0:
                 return j
@@ -1323,16 +1378,20 @@ def _rewrite_agg_spellings(sql: str) -> str:
         elif len(args) == 2:
             entries = (
                 f"flatten(collect_list(zip_with({args[0]}, {args[1]},"
-                f" (k, v) -> struct(k AS key, v AS value))))"
+                f" (__ch_k, __ch_v) ->"
+                f" struct(__ch_k AS key, __ch_v AS value))))"
             )
         else:
             raise ValueError("sumMap expects (map) or (keys, values)")
+        # {entries} carries user text inside lambda bodies below, so the
+        # lambda vars must be collision-improbable names
         expr = (
             f"map_from_entries(array_sort(transform("
-            f"array_distinct(transform({entries}, e -> e.key)),"
-            f" k -> struct(k AS key,"
-            f" aggregate(filter({entries}, e -> e.key = k),"
-            f" CAST(0.0 AS DOUBLE), (s, e) -> s + e.value) AS value))))"
+            f"array_distinct(transform({entries}, __ch_e -> __ch_e.key)),"
+            f" __ch_k -> struct(__ch_k AS key,"
+            f" aggregate(filter({entries}, __ch_e -> __ch_e.key = __ch_k),"
+            f" CAST(0.0 AS DOUBLE),"
+            f" (__ch_s, __ch_e) -> __ch_s + __ch_e.value) AS value))))"
         )
         sql = sql[: m.start()] + expr + sql[close1 + 1:]
     # parametric topK(k)(x): EXACT most-frequent-k as a pure-SQL fold
@@ -1360,10 +1419,13 @@ def _rewrite_agg_spellings(sql: str) -> str:
         k = sql[open1 + 1: close1].strip()
         x = sql[open2 + 1: close2]
         arr = f"collect_list({x})"
+        # {arr} carries user text inside both lambda bodies —
+        # collision-improbable lambda vars required
         expr = (
             f"transform(slice(array_sort(transform(array_distinct({arr}),"
-            f" v -> struct(-size(filter({arr}, y -> y = v)) AS c, v AS val))),"
-            f" 1, {k}), s -> s.val)"
+            f" __ch_v -> struct(-size(filter({arr},"
+            f" __ch_y -> __ch_y = __ch_v)) AS c, __ch_v AS val))),"
+            f" 1, {k}), __ch_s -> __ch_s.val)"
         )
         sql = sql[: m.start()] + expr + sql[close2 + 1:]
     while True:
@@ -1494,11 +1556,15 @@ def _rewrite_agg_spellings(sql: str) -> str:
         ps = _split_top_commas(sql[open1 + 1: close1])
         x = sql[open2 + 1: close2]
         fl = f"flatten(collect_list(map_entries({x})))"
+        # {fl} carries user text inside lambda bodies — collision-
+        # improbable lambda vars required
         merged = (
             f"map_from_entries(array_sort(transform("
-            f"array_distinct(transform({fl}, e -> e.key)),"
-            f" k -> struct(k AS key, aggregate(filter({fl}, e -> e.key = k),"
-            f" CAST(0 AS BIGINT), (s, e) -> s + e.value) AS value))))"
+            f"array_distinct(transform({fl}, __ch_e -> __ch_e.key)),"
+            f" __ch_k -> struct(__ch_k AS key,"
+            f" aggregate(filter({fl}, __ch_e -> __ch_e.key = __ch_k),"
+            f" CAST(0 AS BIGINT),"
+            f" (__ch_s, __ch_e) -> __ch_s + __ch_e.value) AS value))))"
         )
         if plural:
             expr = "array({})".format(

@@ -835,8 +835,27 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
     "subtractMinutes": ("(x TIMESTAMP, n INT) RETURNS TIMESTAMP", "x - make_interval(0, 0, 0, 0, 0, n)"),
     "subtractSeconds": ("(x TIMESTAMP, n INT) RETURNS TIMESTAMP", "x - make_interval(0, 0, 0, 0, 0, 0, n)"),
     "toISOWeek": ("(x TIMESTAMP) RETURNS INT", "weekofyear(x)"),
-    "toWeek": ("(x TIMESTAMP) RETURNS INT", "weekofyear(x)"),
-    "toISOYear": ("(x TIMESTAMP) RETURNS INT", "year(date_trunc('WEEK', x))"),
+    # toWeek default mode 0 (Sunday-based, 0..53): week 1 starts at the
+    # year's first Sunday, earlier days are week 0 — NOT ISO weekofyear.
+    # first-Sunday day-of-year = 1 if Jan 1 is a Sunday else
+    # 9 - dayofweek(Jan 1)  (Spark dayofweek: 1=Sunday .. 7=Saturday).
+    "toWeek": (
+        "(x TIMESTAMP) RETURNS INT",
+        "CAST(CASE WHEN dayofyear(x) <"
+        " (CASE WHEN dayofweek(trunc(CAST(x AS DATE), 'YEAR')) = 1 THEN 1"
+        " ELSE 9 - dayofweek(trunc(CAST(x AS DATE), 'YEAR')) END)"
+        " THEN 0 ELSE floor((dayofyear(x) -"
+        " (CASE WHEN dayofweek(trunc(CAST(x AS DATE), 'YEAR')) = 1 THEN 1"
+        " ELSE 9 - dayofweek(trunc(CAST(x AS DATE), 'YEAR')) END)) / 7) + 1"
+        " END AS INT)",
+    ),
+    # ISO year = calendar year of the ISO week's THURSDAY (Monday-trunc
+    # + 3 days), correct across year-boundary weeks: 2024-12-30 is ISO
+    # 2025 even though its Monday is in 2024.
+    "toISOYear": (
+        "(x TIMESTAMP) RETURNS INT",
+        "year(date_add(CAST(date_trunc('WEEK', x) AS DATE), 3))",
+    ),
     "toStartOfSecond": ("(x TIMESTAMP) RETURNS TIMESTAMP", "date_trunc('SECOND', x)"),
     "toYYYYMMDDhhmmss": (
         "(x TIMESTAMP) RETURNS BIGINT",

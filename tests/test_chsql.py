@@ -972,3 +972,76 @@ def test_clause_rewrites_per_union_branch(views):
         "SELECT count(*) AS n FROM events WHERE value IS NOT NULL"
     ).first()["n"]
     assert sum(r["n"] for r in rows) == total
+
+
+def test_generated_lambdas_do_not_shadow_columns(views):
+    """range()/topK()/sumMap() rewrites emit lambdas; their variables
+    must not capture user columns literally named x/v/y/e/k/s."""
+    r = views.sql(
+        translate(
+            "SELECT x, range(0, x) AS r FROM (SELECT 3 AS x)"
+        ).sql
+    ).first()
+    assert r["r"] == [0, 1, 2]  # with shadowing this is [] (x < x)
+    r = views.sql(
+        translate(
+            "SELECT topK(1)(v) AS t FROM (SELECT 'a' AS v "
+            "UNION ALL SELECT 'a' UNION ALL SELECT 'b')"
+        ).sql
+    ).first()
+    assert r["t"] == ["a"]
+    r = views.sql(
+        translate(
+            "SELECT sumMap(map(k, e)) AS m FROM "
+            "(SELECT 'x' AS k, 2.0 AS e UNION ALL SELECT 'x', 3.0)"
+        ).sql
+    ).first()
+    assert dict(r["m"]) == {"x": 5.0}
+
+
+def test_extract_capture_group_detection(views):
+    """Group index comes from counting real capturing groups in a
+    literal pattern: escaped parens and (?:...) are not captures, and a
+    computed pattern refuses to translate instead of guessing."""
+    r = views.sql(
+        translate(
+            # \\( in SQL text -> \( in the regex: an escaped paren, not
+            # a capture group
+            r"SELECT extract('a(b', 'a\\(b') AS esc, "
+            "extract('abc', '(?:ab)(c)') AS cap, "
+            "extract('abc', '(?:ab)c') AS noncap"
+        ).sql
+    ).first()
+    assert r["esc"] == "a(b" and r["cap"] == "c" and r["noncap"] == "abc"
+    with pytest.raises(ValueError):
+        translate("SELECT extract(s, concat('a', 'b')) FROM t")
+
+
+def test_distinct_on_with_offset_limit_forms(views):
+    """DISTINCT ON dedups BEFORE the trailing limit for every limit
+    spelling (LIMIT n, LIMIT n OFFSET m, LIMIT off, n)."""
+    base = (
+        "SELECT DISTINCT ON (event_type) event_type, user_id FROM events "
+        "ORDER BY event_type, user_id "
+    )
+    full = views.sql(translate(base + "LIMIT 100").sql).collect()
+    off = views.sql(translate(base + "LIMIT 2 OFFSET 1").sql).collect()
+    comma = views.sql(translate(base + "LIMIT 1, 2").sql).collect()
+    assert [r["event_type"] for r in off] == [
+        r["event_type"] for r in full[1:3]
+    ]
+    assert [tuple(r) for r in comma] == [tuple(r) for r in off]
+
+
+def test_week_and_iso_year_boundaries(views):
+    r = views.sql(
+        "SELECT toISOYear(TIMESTAMP'2024-12-30 00:00:00') AS a, "
+        "toISOYear(TIMESTAMP'2021-01-01 00:00:00') AS b, "
+        "toWeek(TIMESTAMP'2024-01-01 00:00:00') AS w0, "
+        "toWeek(TIMESTAMP'2024-01-07 00:00:00') AS w1, "
+        "toWeek(TIMESTAMP'2023-01-01 00:00:00') AS sun1"
+    ).first()
+    # ISO year of a year-boundary week = year of its Thursday
+    assert r["a"] == 2025 and r["b"] == 2020
+    # mode-0 weeks are Sunday-based: days before the first Sunday are 0
+    assert r["w0"] == 0 and r["w1"] == 1 and r["sun1"] == 1
