@@ -87,6 +87,20 @@ class Engine:
                 "bootstrap_servers": k.get("bootstrap_servers", "localhost:9092"),
                 "topics": list(k.get("topics", [])),
             }
+        n = cfg.get("nats", {})
+        if n:
+            # the reference's [nats] block verbatim (config/default.toml:
+            # 10-28): host/ports + auth + stream/consumer identity
+            eng.ingest_defaults["nats"] = {
+                "url": "nats://{}:{}".format(
+                    n.get("host", "localhost"), n.get("client_port", 4222)
+                ),
+                "subjects": list(n.get("subjects", [])),
+                "durable": n.get("consumer_name", "click-consumer"),
+                "stream": n.get("stream_config", {}).get(
+                    "name", "ClickHouseConsumer"
+                ),
+            }
         return eng
 
     # -- EP3: provisioning ------------------------------------------------
@@ -193,6 +207,52 @@ class Engine:
         return start_ingest_kafka(
             self.spark, servers, tops, self.warehouse, ckpt, **kw
         )
+
+    def ingest_nats(
+        self,
+        client=None,
+        spool_dir: str | None = None,
+        checkpoint: str | None = None,
+        **kw,
+    ):
+        """NATS-mode ingestion (the reference's literal stack,
+        src/nats.rs:63-83): a JetStream fetch/ack ``client`` drives a
+        :class:`~ed_clickhouse_spark.sources.nats.NatsBridge` spool and
+        the checkpointed file ingest consumes it.  Without an explicit
+        client, one is connected from the [nats] config section via the
+        public nats-py package (raises with the bridge recipe when the
+        package is absent).  Returns ``(query, bridge)`` — the caller
+        pumps the bridge on its own cadence."""
+        from ed_clickhouse_spark.sources.nats import (
+            NatsBridge,
+            connect_nats,
+            start_ingest_nats,
+        )
+
+        if client is None:
+            ncfg = self.ingest_defaults.get("nats")
+            if not ncfg:
+                raise ValueError(
+                    "nats mode needs a client or a [nats] config section"
+                )
+            client = connect_nats(
+                ncfg["url"], ncfg["stream"], ncfg["durable"], ncfg["subjects"]
+            )
+        spool = spool_dir or os.path.join(self.warehouse, "_nats_spool")
+        ckpt = checkpoint or os.path.join(
+            self.warehouse, "_checkpoints", "ingest_nats"
+        )
+        if "max_rows" in self.ingest_defaults:
+            kw.setdefault("max_files_per_trigger", 100)
+        if "trigger_interval_ms" in self.ingest_defaults:
+            kw.setdefault(
+                "trigger_interval_ms", self.ingest_defaults["trigger_interval_ms"]
+            )
+        bridge = NatsBridge(
+            client, spool, max_msgs=self.ingest_defaults.get("max_rows", 100_000)
+        )
+        query = start_ingest_nats(self.spark, bridge, self.warehouse, ckpt, **kw)
+        return query, bridge
 
     def _kafka_ddl_source(self) -> tuple[str | None, list[str] | None]:
         """Connection details declared by an ``ENGINE = Kafka`` table in

@@ -213,6 +213,15 @@ broadcast_threshold = 33554432
 [kafka]
 bootstrap_servers = "broker:9092"
 topics = ["ingest"]
+
+[nats]
+host = "natshost"
+client_port = 4222
+subjects = ["events.login"]
+consumer_name = "click-consumer"
+
+[nats.stream_config]
+name = "ClickHouseConsumer"
 """
         % str(tmp_path / "wh")
     )
@@ -222,6 +231,13 @@ topics = ["ingest"]
     assert eng.ingest_defaults["bytes_per_trigger"] == 60000000
     assert eng.ingest_defaults["trigger_interval_ms"] == 500
     assert eng.ingest_defaults["kafka"]["topics"] == ["ingest"]
+    # the reference's [nats] block parses into connection defaults
+    assert eng.ingest_defaults["nats"] == {
+        "url": "nats://natshost:4222",
+        "subjects": ["events.login"],
+        "durable": "click-consumer",
+        "stream": "ClickHouseConsumer",
+    }
     eng.init()
     assert eng.ping()
     # kafka mode validates connection config before starting a stream
@@ -230,3 +246,125 @@ topics = ["ingest"]
     eng2 = Engine(str(tmp_path / "wh2"), eng.spark)
     with _pytest.raises(ValueError, match="bootstrap_servers"):
         eng2.ingest_kafka()
+
+
+def test_nats_shaped_frame_routes_through_process_batch(spark, tmp_path):
+    """nats_to_wire + process_batch: routing/DLQ semantics from a
+    JetStream-message-shaped frame, including redelivery dedup — a
+    redelivered message (same stream_seq, higher num_delivered) must
+    land once (mirrors the Kafka-mode test; no broker needed)."""
+    from ed_clickhouse_spark.sources.nats import nats_to_wire
+    from ed_clickhouse_spark.streaming.pipeline import process_batch
+
+    wh = str(tmp_path / "wh")
+    base_ts = 1_700_000_000
+    rows = [
+        # (subject, payload, stream_seq, num_delivered)
+        ("events.login", json.dumps(_envelope(1, "login", base_ts)), 10, 1),
+        ("events.login", json.dumps(_envelope(2, "login", base_ts)), 11, 1),
+        # redelivery of seq 11 (ack_wait expired): must dedupe in-batch
+        ("events.login", json.dumps(_envelope(2, "login", base_ts)), 11, 2),
+        # unroutable subject -> DLQ
+        ("events.bogus", json.dumps(_envelope(3, "x", base_ts)), 12, 1),
+        # undecodable payload -> DLQ
+        ("events.login", "{not json", 13, 1),
+    ]
+    nats_shaped = spark.createDataFrame(
+        [(s, p.encode(), q, d) for s, p, q, d in rows],
+        "subject string, data binary, stream_seq long, num_delivered int",
+    )
+    process_batch(nats_to_wire(nats_shaped), wh)
+    login = spark.read.parquet(f"{wh}/login_events")
+    assert login.count() == 2  # seq 11 counted once despite redelivery
+    dlq = spark.read.parquet(f"{wh}/_dlq")
+    assert {r["reason"] for r in dlq.collect()} == {
+        "unroutable_subject",
+        "decode_error",
+    }
+
+
+class _FakeJetStream:
+    """In-memory JetStream double: fetch returns unacked messages (a
+    redelivery bumps num_delivered, same stream_seq), ack removes them —
+    the contract NatsBridge relies on (reference src/nats.rs:63-83)."""
+
+    class _Msg:
+        def __init__(self, js, seq, subject, data):
+            self._js = js
+            self.stream_seq = seq
+            self.subject = subject
+            self.data = data
+            self.num_delivered = 0
+
+        def ack(self):
+            self._js._pending.pop(self.stream_seq, None)
+
+    def __init__(self, items):
+        self._pending = {}
+        for i, (subject, data) in enumerate(items):
+            self._pending[i] = self._Msg(self, i, subject, data)
+
+    def fetch(self, max_msgs, max_bytes):
+        out, used = [], 0
+        for m in list(self._pending.values())[:max_msgs]:
+            m.num_delivered += 1
+            used += len(m.data)
+            out.append(m)
+            if used >= max_bytes:
+                break
+        return out
+
+
+def test_nats_bridge_acks_after_spool_with_redelivery(spark, tmp_path):
+    """NatsBridge: a failed spool write leaves everything unacked (the
+    server redelivers — num_delivered grows, nothing is lost), a
+    successful pump spools + acks, and the checkpointed file ingest
+    lands every event exactly as the reference's ack-after-insert."""
+    import pytest as _pytest
+
+    from ed_clickhouse_spark.sources.nats import NatsBridge, start_ingest_nats
+
+    base_ts = 1_700_000_000
+    items = [
+        ("events.login", json.dumps(_envelope(i, "login", base_ts)).encode())
+        for i in range(5)
+    ]
+    js = _FakeJetStream(items)
+    spool = tmp_path / "spool"
+    bridge = NatsBridge(js, str(spool), max_msgs=3)
+
+    # sabotage the first write: pump must neither spool nor ack
+    orig_rename = __import__("os").rename
+
+    def boom(*a, **kw):
+        raise OSError("disk full")
+
+    import os as _os
+
+    _os.rename = boom
+    try:
+        with _pytest.raises(OSError):
+            bridge.pump_once()
+    finally:
+        _os.rename = orig_rename
+    assert len(js._pending) == 5  # nothing acked
+    assert list(spool.glob("batch-*.json")) == []  # nothing visible
+    # messages redeliver with num_delivered bumped — at-least-once held
+    assert {m.num_delivered for m in js._pending.values()} >= {1}
+
+    # healthy pumps drain the consumer in fetch-cap-sized spool files
+    moved = bridge.pump_until_empty()
+    assert moved == 5
+    assert len(js._pending) == 0  # every message acked after its rename
+    files = sorted(spool.glob("batch-*.json"))
+    assert len(files) == 2  # 3 + 2 under max_msgs=3
+
+    wh = str(tmp_path / "wh")
+    ckpt = str(tmp_path / "ckpt")
+    q = start_ingest_nats(spark, bridge, wh, ckpt)
+    q.processAllAvailable()
+    q.stop()
+    login = spark.read.parquet(f"{wh}/login_events")
+    assert login.count() == 5
+    ids = {r["event_id"] for r in login.select("event_id").collect()}
+    assert ids == {f"ev-{i}" for i in range(5)}
