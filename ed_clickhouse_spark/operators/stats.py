@@ -165,8 +165,10 @@ def _range_cumsum(
        partition totals frame via a broadcast triangular join
        (offset(p) = sum of totals of partitions < p).
 
-    The lazy localCheckpoint pins one physical partitioning so the
-    totals branch and the main branch see identical partition ids.
+    The totals branch and the main branch share one range-partitioning
+    exchange: RangePartitioner samples with deterministic seeds and
+    ReuseExchange dedupes the identical subtree, so both branches read
+    the same materialized shuffle and see identical partition ids.
     Adds one ``__cum_<col>`` per entry of ``sum_cols``; ``inclusive=
     False`` gives the exclusive prefix (the #[x < v] shape midranks
     need)."""
@@ -174,10 +176,8 @@ def _range_cumsum(
 
     spark = df.sparkSession
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    parts = (
-        df.repartitionByRange(n_part, F.col(value_col))
-        .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=False)
+    parts = df.repartitionByRange(n_part, F.col(value_col)).withColumn(
+        "__pid", F.spark_partition_id()
     )
     tot = parts.groupBy("__pid").agg(
         *[F.sum(c).alias(f"__t_{c}") for c in sum_cols]

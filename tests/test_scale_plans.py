@@ -181,8 +181,11 @@ def test_ch_specialty_plan_shapes(spark):
 def test_rank_stats_plan_shapes(spark):
     """100 TB invariants for the rank-statistics family: rows compress
     to per-distinct-value counts BEFORE any ordered pass (partial
-    HashAggregate map-side), no operator introduces a cartesian, and
-    the one global window runs over the compressed table only."""
+    HashAggregate map-side), no operator introduces a cartesian, and —
+    since the range-partitioned cumsum rewrite — NO window runs
+    unpartitioned: every cumulative pass is keyed on the range-bucket
+    id, so it parallelizes even when distinct values ~= rows
+    (continuous measures)."""
     sf = "/root/testdata/sf0.001"
     for q in ("q142_mann_whitney", "q144_ks_test", "q148_auc"):
         p = _plan(QUERIES[q](spark, sf))
@@ -191,6 +194,13 @@ def test_rank_stats_plan_shapes(spark):
         # the window input is the aggregated count table, never raw rows:
         # Window appears after the aggregate in the formatted plan
         assert p.index("HashAggregate") < p.index("Window"), q
+        # distributed cumsum: the window partitions on the range-bucket
+        # id (never an empty partition spec), fed by a range exchange
+        assert "rangepartitioning" in p.lower(), q
+        import re as _re
+
+        for spec in _re.findall(r"partitionBy=\[([^\]]*)\]", p):
+            assert spec.strip(), f"{q}: unpartitioned window in plan"
     p = _plan(QUERIES["q152_zipf_slope"](spark, sf))
     assert "TakeOrderedAndProject" in p         # top-N, no global sort
     p = _plan(QUERIES["q159_topk_weighted"](spark, sf))
