@@ -1144,11 +1144,18 @@ def _rewrite_funnel_aggs(sql: str) -> str:
         open1 = sql.index("(", m.end() - 1)
         close1 = _call_end(sql, open1)
         params = _split_top_commas(sql[open1 + 1: close1])
-        if len(params) != 1:
-            raise ValueError(
-                "windowFunnel modes ('strict_order', ...) are not string-"
-                "translatable — use operators.windows.funnel(strict_dedup=...)"
-            )
+        known_modes = {
+            "strict_order",
+            "strict_deduplication",
+            "strict_dedup",
+            "strict_increase",
+        }
+        modes = set()
+        for p in params[1:]:
+            mode = p.strip().strip("'\"")
+            if mode not in known_modes:
+                raise ValueError(f"windowFunnel: unknown mode {mode!r}")
+            modes.add("strict_dedup" if mode == "strict_deduplication" else mode)
         rest = sql[close1 + 1:].lstrip()
         if not rest.startswith("("):
             raise ValueError("windowFunnel expects windowFunnel(W)(ts, conds...)")
@@ -1165,23 +1172,55 @@ def _rewrite_funnel_aggs(sql: str) -> str:
             + [f"({c}) AS s{i + 1}" for i, c in enumerate(conds)]
         )
         evs = f"array_sort(collect_list(struct({fields})))"
+        # Mode semantics mirror operators/windows.py:funnel on the same
+        # greedy-earliest fold (documented deviation from CH's
+        # re-anchoring DP):
+        #   strict_order — once the chain has started, any event that
+        #     does not advance it freezes the depth permanently (the
+        #     docs' A->B->D->C stops at D with depth 2);
+        #   strict_dedup(lication) — a repeat of an already-matched
+        #     condition freezes the chain (advance cases run first, so
+        #     an event that both repeats and advances still advances);
+        #   strict_increase — the base fold already requires
+        #     e.t > prev (strictly increasing), so this mode is the
+        #     default here; accepted as a no-op.
+        strict = modes & {"strict_order", "strict_dedup"}
+        f_fields = ", 'f', 0" if strict else ""
         init = (
             "named_struct('d', 0, 'a', CAST(0.0 AS DOUBLE),"
-            " 'p', CAST(0.0 AS DOUBLE))"
+            f" 'p', CAST(0.0 AS DOUBLE){f_fields})"
         )
+
+        def _st(d: str, a: str, p: str, f: str = "0") -> str:
+            tail = f", 'f', {f}" if strict else ""
+            return f"named_struct('d', {d}, 'a', {a}, 'p', {p}{tail})"
+
         # ({w}) is user text inside the lambda body — collision-
         # improbable lambda vars required
-        cases = [
+        cases = []
+        if strict:
+            cases.append("WHEN __ch_ac.f = 1 THEN __ch_ac")
+        cases.append(
             "WHEN __ch_ac.d = 0 AND __ch_e.s1 THEN"
-            " named_struct('d', 1, 'a', __ch_e.t, 'p', __ch_e.t)"
-        ]
+            f" {_st('1', '__ch_e.t', '__ch_e.t')}"
+        )
         for k in range(2, len(conds) + 1):
             cases.append(
                 f"WHEN __ch_ac.d = {k - 1} AND __ch_e.s{k}"
                 f" AND __ch_e.t > __ch_ac.p"
                 f" AND __ch_e.t <= __ch_ac.a + ({w}) THEN"
-                f" named_struct('d', {k}, 'a', __ch_ac.a, 'p', __ch_e.t)"
+                f" {_st(str(k), '__ch_ac.a', '__ch_e.t')}"
             )
+        frozen = _st("__ch_ac.d", "__ch_ac.a", "__ch_ac.p", "1")
+        if "strict_order" in modes:
+            # chain started + event didn't advance (no earlier WHEN hit)
+            cases.append(f"WHEN __ch_ac.d >= 1 THEN {frozen}")
+        elif "strict_dedup" in modes:
+            for k in range(1, len(conds) + 1):
+                dup = " OR ".join(f"__ch_e.s{j}" for j in range(1, k + 1))
+                cases.append(
+                    f"WHEN __ch_ac.d = {k} AND ({dup}) THEN {frozen}"
+                )
         expr = (
             f"aggregate({evs}, {init},"
             f" (__ch_ac, __ch_e) -> CASE {' '.join(cases)}"

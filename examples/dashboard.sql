@@ -161,3 +161,29 @@ FROM (
     FROM events WHERE value > 0 GROUP BY event_type, k
   ) GROUP BY event_type
 ) ORDER BY event_type;
+
+-- 25. weekly traffic with ClickHouse mode-0 week numbers and ISO years
+SELECT toISOYear(ts) AS iso_year, toWeek(ts) AS week_no,
+       count() AS hits, uniq(user_id) AS visitors
+FROM events GROUP BY iso_year, week_no
+ORDER BY iso_year, week_no LIMIT 60;
+
+-- 26. latest event per user (DISTINCT ON with a paged trailing limit)
+SELECT DISTINCT ON (user_id) user_id, event_id, event_type, value
+FROM events
+ORDER BY user_id, event_id DESC
+LIMIT 10 OFFSET 5;
+
+-- 27. strict funnel health: how deep users get without detours
+SELECT depth, count() AS users
+FROM (
+  SELECT user_id,
+         windowFunnel(86400, 'strict_order')(
+           ts, event_type = 'view', event_type = 'click',
+           event_type = 'purchase') AS depth
+  FROM events GROUP BY user_id
+) GROUP BY depth WITH TOTALS ORDER BY depth;
+
+-- 28. first numeric token of props, via extract's capture-group form
+SELECT extract(props, '"plan": "([a-z]+)"') AS plan, count() AS n
+FROM events GROUP BY plan ORDER BY n DESC LIMIT 5;

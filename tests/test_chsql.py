@@ -747,8 +747,13 @@ def test_event_analytics_aggregates_via_sql(views, sf_dir):
     # non-sequential patterns refuse loudly instead of mistranslating
     with pytest.raises(ValueError, match="sequential"):
         translate("SELECT sequenceMatch('(?1)(?t>3600)(?2)')(ts, a, b) FROM e")
-    with pytest.raises(ValueError, match="strict"):
-        translate("SELECT windowFunnel(10, 'strict_order')(ts, a, b) FROM e")
+    # mode strings translate now (test_window_funnel_modes_in_dialect);
+    # unknown ones still refuse loudly
+    assert "aggregate" in translate(
+        "SELECT windowFunnel(10, 'strict_order')(ts, a, b) FROM e"
+    ).sql
+    with pytest.raises(ValueError, match="unknown mode"):
+        translate("SELECT windowFunnel(10, 'bogus')(ts, a, b) FROM e")
 
 
 def test_wave2_polymorphic_rewrites(views):
@@ -1045,3 +1050,36 @@ def test_week_and_iso_year_boundaries(views):
     assert r["a"] == 2025 and r["b"] == 2020
     # mode-0 weeks are Sunday-based: days before the first Sunday are 0
     assert r["w0"] == 0 and r["w1"] == 1 and r["sun1"] == 1
+
+
+def test_window_funnel_modes_in_dialect(views):
+    """windowFunnel mode strings translate: strict_order freezes on the
+    first non-advancing event after the chain starts, strict_dedup on a
+    repeat of an already-matched condition, strict_increase is the base
+    fold (strictly increasing times already required)."""
+    base = (
+        "WITH ev AS ("
+        "  SELECT * FROM VALUES "
+        "    ('u1', 1, 'A'), ('u1', 2, 'B'), ('u1', 3, 'C'),"
+        "    ('u2', 1, 'A'), ('u2', 2, 'X'), ('u2', 3, 'B'), ('u2', 4, 'C'),"
+        "    ('u3', 1, 'A'), ('u3', 2, 'B'), ('u3', 3, 'A'), ('u3', 4, 'C')"
+        "  AS t(u, ts, e))"
+        " SELECT u, windowFunnel(100{modes})("
+        "   CAST(ts AS TIMESTAMP), e = 'A', e = 'B', e = 'C') AS d"
+        " FROM ev GROUP BY u ORDER BY u"
+    )
+
+    def run(modes: str) -> dict:
+        q = translate(base.format(modes=modes)).sql
+        return {r["u"]: r["d"] for r in views.sql(q).collect()}
+
+    assert run("") == {"u1": 3, "u2": 3, "u3": 3}
+    # u2: X interrupts after depth 1; u3: nothing but funnel events, but
+    # the repeated A at t=3 is also non-advancing -> frozen at 2
+    assert run(", 'strict_order'") == {"u1": 3, "u2": 1, "u3": 2}
+    # u2: X matches no condition -> no dedup freeze, full depth;
+    # u3: repeat of matched A freezes at 2
+    assert run(", 'strict_deduplication'") == {"u1": 3, "u2": 3, "u3": 2}
+    assert run(", 'strict_increase'") == {"u1": 3, "u2": 3, "u3": 3}
+    with pytest.raises(ValueError, match="unknown mode"):
+        translate(base.format(modes=", 'bogus'"))
