@@ -1109,33 +1109,93 @@ def _rewrite_funnel_aggs(sql: str) -> str:
         close2 = _call_end(sql, open2)
         args = _split_top_commas(sql[open2 + 1: close2])
         ts, conds = args[0], args[1:]
-        # only the sequential form (?1).*(?2).*... translates; time
-        # conditions / branching need operators/windows.py:sequence_match
-        order = re.findall(r"\(\?(\d+)\)", pat)
-        if re.sub(r"\(\?\d+\)|\.\*", "", pat) != "" or not order:
+        # token grammar: (?N) condition refs, .* (any events between —
+        # always satisfied here), and (?t OP n) adjacent time gaps
+        tok_rx = re.compile(
+            r"\(\?(\d+)\)"
+            r"|\(\?t\s*(<=|>=|==|<|>)\s*(\d+(?:\.\d+)?)\)"
+            r"|\.\*"
+        )
+        toks, pos2 = [], 0
+        for tm in tok_rx.finditer(pat):
+            if tm.start() != pos2:
+                break
+            pos2 = tm.end()
+            if tm.group(1):
+                toks.append(("ref", tm.group(1)))
+            elif tm.group(2):
+                toks.append(("gap", tm.group(2), tm.group(3)))
+        order = [t[1] for t in toks if t[0] == "ref"]
+        ok = bool(order) and pos2 == len(pat)
+        # align each (?t op n) to the adjacent ref pair it sits between
+        gaps: list[tuple[str, str] | None] = [None] * max(len(order) - 1, 0)
+        ref_i = -1
+        for t in toks:
+            if t[0] == "ref":
+                ref_i += 1
+            elif t[0] == "gap":
+                if ref_i < 0 or ref_i >= len(order) - 1 or gaps[ref_i]:
+                    ok = False  # leading/trailing/doubled time condition
+                else:
+                    gaps[ref_i] = (t[1], t[2])
+        if toks and toks[-1][0] == "gap":
+            ok = False
+        if not ok:
             raise ValueError(
-                f"sequenceMatch pattern {pat!r} is not the sequential"
-                " (?1).*(?2) form — use operators.windows.sequence_match"
+                f"sequenceMatch pattern {pat!r} is not a sequential"
+                " (?1)[.*|(?t op n)](?2)... form — use"
+                " operators.windows.sequence_match"
             )
         fields = ", ".join(
             [f"CAST(CAST({ts} AS TIMESTAMP) AS DOUBLE) AS t"]
             + [f"({c}) AS s{i + 1}" for i, c in enumerate(conds)]
         )
-        evs = f"array_sort(collect_list(struct({fields})))"
-        init = "named_struct('d', 0, 'p', CAST(0.0 AS DOUBLE))"
-        cases = []
-        for k, ref in enumerate(order, start=1):
-            guard = "" if k == 1 else " AND __ch_e.t > __ch_ac.p"
-            cases.append(
-                f"WHEN __ch_ac.d = {k - 1} AND __ch_e.s{ref}{guard} THEN"
-                f" named_struct('d', {k}, 'p', __ch_e.t)"
+        if any(gaps):
+            # Time-bounded chains need EXACT re-anchoring (an upper
+            # bound makes the greedy chain incomplete: A@0 A@100 B@105
+            # under t<=10 only matches via the second A), so emit the
+            # nested-exists search — the SQL spelling of
+            # operators/windows.py:sequence_match_times.  Catalyst
+            # dedupes the semantically-equal collect_list aggregates,
+            # so the repeated {evs} text is one physical buffer.
+            evs = f"collect_list(struct({fields}))"
+            gap_op = {"==": "="}
+
+            def nest(i: int) -> str:
+                var = f"__ch_e{i}"
+                c = [f"{var}.s{order[i]}"]
+                if i > 0:
+                    prev = f"__ch_e{i - 1}"
+                    c.append(f"{var}.t > {prev}.t")
+                    if gaps[i - 1]:
+                        op, n = gaps[i - 1]
+                        c.append(
+                            f"({var}.t - {prev}.t) {gap_op.get(op, op)} {n}"
+                        )
+                body = " AND ".join(c)
+                if i + 1 < len(order):
+                    body += f" AND exists({evs}, {nest(i + 1)})"
+                return f"{var} -> {body}"
+
+            expr = f"exists({evs}, {nest(0)})"
+        else:
+            # pure sequential form: the greedy-earliest fold is complete
+            # for existence (if any chain exists, the greedy one does)
+            evs = f"array_sort(collect_list(struct({fields})))"
+            init = "named_struct('d', 0, 'p', CAST(0.0 AS DOUBLE))"
+            cases = []
+            for k, ref in enumerate(order, start=1):
+                guard = "" if k == 1 else " AND __ch_e.t > __ch_ac.p"
+                cases.append(
+                    f"WHEN __ch_ac.d = {k - 1} AND __ch_e.s{ref}{guard} THEN"
+                    f" named_struct('d', {k}, 'p', __ch_e.t)"
+                )
+            expr = (
+                f"(aggregate({evs}, {init},"
+                f" (__ch_ac, __ch_e) -> CASE {' '.join(cases)}"
+                f" ELSE __ch_ac END,"
+                f" __ch_ac -> __ch_ac.d) = {len(order)})"
             )
-        expr = (
-            f"(aggregate({evs}, {init},"
-            f" (__ch_ac, __ch_e) -> CASE {' '.join(cases)}"
-            f" ELSE __ch_ac END,"
-            f" __ch_ac -> __ch_ac.d) = {len(order)})"
-        )
         sql = sql[: m.start()] + expr + sql[close2 + 1:]
     while True:
         m = _find_case_exact(sql, r"\bwindowFunnel\s*\(")

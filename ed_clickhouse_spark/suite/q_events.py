@@ -473,3 +473,61 @@ def q206_ch_event_analytics(spark, sf_dir):
     register_sql_aliases(spark)
     t(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(translate(_CH_EVENT_SQL).sql)
+
+
+_CH_SEQ_TIMES_SQL = """
+SELECT matched, count() AS n_users
+FROM (
+  SELECT user_id,
+         sequenceMatch('(?1)(?t<=3600)(?2)(?t<=86400)(?3)')(
+           ts, event_type = 'signup', event_type = 'click',
+           event_type = 'purchase') AS matched
+  FROM events
+  WHERE event_type IN ('signup', 'click', 'purchase')
+  GROUP BY user_id
+) GROUP BY matched
+"""
+
+
+@query(
+    "q208_sql_sequence_times",
+    oracle="""
+    WITH su AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type IN ('signup', 'click', 'purchase')
+    )
+    SELECT matched, COUNT(*) AS n_users FROM (
+      SELECT user_id,
+             EXISTS (
+               SELECT 1 FROM events a
+               WHERE a.user_id = su.user_id AND a.event_type = 'signup'
+                 AND EXISTS (
+                   SELECT 1 FROM events b
+                   WHERE b.user_id = su.user_id AND b.event_type = 'click'
+                     AND b.ts > a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+                     AND EXISTS (
+                       SELECT 1 FROM events c
+                       WHERE c.user_id = su.user_id
+                         AND c.event_type = 'purchase'
+                         AND c.ts > b.ts AND c.ts <= b.ts + INTERVAL 1 DAY
+                     )
+                 )
+             ) AS matched
+      FROM su
+    ) GROUP BY matched
+    """,
+)
+def q208_sql_sequence_times(spark, sf_dir):
+    """q194's time-bounded sequence chain, but spelled VERBATIM in the
+    ClickHouse dialect — ``sequenceMatch('(?1)(?t<=3600)(?2)
+    (?t<=86400)(?3)')`` — through chsql's nested-exists translation
+    (exact re-anchoring semantics, the SQL spelling of
+    operators/windows.py:sequence_match_times).  One shuffle on
+    user_id; the k-level exists search runs over each user's collected
+    step events JVM-side."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(translate(_CH_SEQ_TIMES_SQL).sql)

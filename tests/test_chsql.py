@@ -744,9 +744,13 @@ def test_event_analytics_aggregates_via_sql(views, sf_dir):
     )
     assert ret.exceptAll(twin).count() == 0 and twin.exceptAll(ret).count() == 0
 
-    # non-sequential patterns refuse loudly instead of mistranslating
+    # time conditions translate now (nested-exists re-anchoring); truly
+    # non-sequential patterns (branching) still refuse loudly
+    assert "exists" in translate(
+        "SELECT sequenceMatch('(?1)(?t>3600)(?2)')(ts, a, b) FROM e"
+    ).sql
     with pytest.raises(ValueError, match="sequential"):
-        translate("SELECT sequenceMatch('(?1)(?t>3600)(?2)')(ts, a, b) FROM e")
+        translate("SELECT sequenceMatch('(?1)|(?2)')(ts, a, b) FROM e")
     # mode strings translate now (test_window_funnel_modes_in_dialect);
     # unknown ones still refuse loudly
     assert "aggregate" in translate(
@@ -1083,3 +1087,29 @@ def test_window_funnel_modes_in_dialect(views):
     assert run(", 'strict_increase'") == {"u1": 3, "u2": 3, "u3": 3}
     with pytest.raises(ValueError, match="unknown mode"):
         translate(base.format(modes=", 'bogus'"))
+
+
+def test_sequence_match_time_conditions(views):
+    """(?t op n) gaps translate to the nested-exists exact search: the
+    re-anchoring case (first A too early, second A qualifies) matches
+    where a greedy fold would miss."""
+    q = translate(
+        "WITH ev AS (SELECT * FROM VALUES "
+        "  ('u1', 0, 'A'), ('u1', 100, 'A'), ('u1', 105, 'B'),"
+        "  ('u2', 0, 'A'), ('u2', 100, 'B') AS t(u, ts, e))"
+        " SELECT u, sequenceMatch('(?1)(?t<=10)(?2)')("
+        "   CAST(ts AS TIMESTAMP), e = 'A', e = 'B') AS m"
+        " FROM ev GROUP BY u ORDER BY u"
+    ).sql
+    assert {r["u"]: r["m"] for r in views.sql(q).collect()} == {
+        "u1": True,  # via the re-anchored second A
+        "u2": False,  # gap 100 > 10
+    }
+    # malformed time-condition placements refuse loudly
+    for bad in (
+        "'(?t<=5)(?1)'",
+        "'(?1)(?t<=5)'",
+        "'(?1)(?t<=5)(?t<=6)(?2)'",
+    ):
+        with pytest.raises(ValueError, match="sequential"):
+            translate(f"SELECT sequenceMatch({bad})(ts, a, b) FROM e")
