@@ -80,9 +80,15 @@ top-level token scanning (never inside strings/parens):
   windowFunnel(W)(..)    single aggregate() fold over the time-sorted
                          event array (greedy-earliest anchor — the
                          operators/windows.py:funnel semantics; CH's
-                         re-anchoring DP deviation documented there)
+                         re-anchoring DP deviation documented there);
+                         strict_order / strict_deduplication /
+                         strict_increase mode strings translate too
   sequenceMatch          sequential (?1).*(?2) patterns via the same
-                         fold; other patterns raise → use the operator
+                         fold; (?t op n) time gaps via the nested-
+                         exists exact search (re-anchoring complete);
+                         branching patterns raise → use the operator
+  sequenceCount          sequential patterns via the fold with a
+                         greedy non-overlapping completion counter
   groupArray(n)(x)       size-capped collectors → slice(collect_*)
   uniqUpTo(n)(x)         least(count(DISTINCT x), n+1)
   quantile...If(p)(x,c)  parametric + -If combinators compose
@@ -1196,6 +1202,58 @@ def _rewrite_funnel_aggs(sql: str) -> str:
                 f" ELSE __ch_ac END,"
                 f" __ch_ac -> __ch_ac.d) = {len(order)})"
             )
+        sql = sql[: m.start()] + expr + sql[close2 + 1:]
+    while True:
+        m = _find_case_exact(sql, r"\bsequenceCount\s*\(")
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        pat = sql[open1 + 1: close1].strip().strip("'\"")
+        rest = sql[close1 + 1:].lstrip()
+        if not rest.startswith("("):
+            raise ValueError(
+                "sequenceCount expects sequenceCount('(?1)(?2)')(ts, conds...)"
+            )
+        open2 = close1 + 1 + (len(sql[close1 + 1:]) - len(rest))
+        close2 = _call_end(sql, open2)
+        args = _split_top_commas(sql[open2 + 1: close2])
+        ts, conds = args[0], args[1:]
+        order = re.findall(r"\(\?(\d+)\)", pat)
+        if re.sub(r"\(\?\d+\)|\.\*", "", pat) != "" or not order:
+            raise ValueError(
+                f"sequenceCount pattern {pat!r} is not the sequential"
+                " (?1).*(?2) form — use operators.windows.sequence_count"
+            )
+        fields = ", ".join(
+            [f"CAST(CAST({ts} AS TIMESTAMP) AS DOUBLE) AS t"]
+            + [f"({c}) AS s{i + 1}" for i, c in enumerate(conds)]
+        )
+        # greedy non-overlapping counter (CH semantics: after a chain
+        # completes, the search restarts from scratch): the completing
+        # step increments c and resets depth to 0 in the same fold the
+        # sequenceMatch rewrite uses
+        evs = f"array_sort(collect_list(struct({fields})))"
+        init = "named_struct('d', 0, 'p', CAST(0.0 AS DOUBLE), 'c', 0)"
+        cases = []
+        for k, ref in enumerate(order, start=1):
+            guard = "" if k == 1 else " AND __ch_e.t > __ch_ac.p"
+            if k < len(order):
+                cases.append(
+                    f"WHEN __ch_ac.d = {k - 1} AND __ch_e.s{ref}{guard} THEN"
+                    f" named_struct('d', {k}, 'p', __ch_e.t, 'c', __ch_ac.c)"
+                )
+            else:
+                cases.append(
+                    f"WHEN __ch_ac.d = {k - 1} AND __ch_e.s{ref}{guard} THEN"
+                    f" named_struct('d', 0, 'p', __ch_e.t, 'c', __ch_ac.c + 1)"
+                )
+        expr = (
+            f"aggregate({evs}, {init},"
+            f" (__ch_ac, __ch_e) -> CASE {' '.join(cases)}"
+            f" ELSE __ch_ac END,"
+            f" __ch_ac -> __ch_ac.c)"
+        )
         sql = sql[: m.start()] + expr + sql[close2 + 1:]
     while True:
         m = _find_case_exact(sql, r"\bwindowFunnel\s*\(")

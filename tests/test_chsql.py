@@ -1113,3 +1113,44 @@ def test_sequence_match_time_conditions(views):
     ):
         with pytest.raises(ValueError, match="sequential"):
             translate(f"SELECT sequenceMatch({bad})(ts, a, b) FROM e")
+
+
+def test_sequence_count_in_dialect(views):
+    """sequenceCount('(?1)(?2)') counts greedy non-overlapping chains:
+    A B A B -> 2, A A B B -> 1 (second B finds the matcher reset and no
+    new A yet... re-armed by nothing), A B B A B -> 2."""
+    q = translate(
+        "WITH ev AS (SELECT * FROM VALUES "
+        "  ('u1', 1, 'A'), ('u1', 2, 'B'), ('u1', 3, 'A'), ('u1', 4, 'B'),"
+        "  ('u2', 1, 'A'), ('u2', 2, 'A'), ('u2', 3, 'B'), ('u2', 4, 'B'),"
+        "  ('u3', 1, 'A'), ('u3', 2, 'B'), ('u3', 3, 'B'), ('u3', 4, 'A'),"
+        "  ('u3', 5, 'B')"
+        " AS t(u, ts, e))"
+        " SELECT u, sequenceCount('(?1)(?2)')("
+        "   CAST(ts AS TIMESTAMP), e = 'A', e = 'B') AS c"
+        " FROM ev GROUP BY u ORDER BY u"
+    ).sql
+    assert {r["u"]: r["c"] for r in views.sql(q).collect()} == {
+        "u1": 2,
+        "u2": 1,
+        "u3": 2,
+    }
+    # agrees with the operator's lag formulation on real data
+    from ed_clickhouse_spark.operators.stats import sequence_count
+
+    got = views.sql(
+        translate(
+            "SELECT user_id, sequenceCount('(?1)(?2)')("
+            "  ts, event_type = 'view', event_type = 'purchase') AS matches"
+            " FROM events GROUP BY user_id"
+        ).sql
+    ).where("matches > 0")
+    want = sequence_count(
+        views.table("events"),
+        "ts",
+        F.col("event_type") == "view",
+        F.col("event_type") == "purchase",
+        "user_id",
+    )
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
