@@ -618,18 +618,28 @@ class Engine:
             _rebuild_projections(m.group(1))
             return _done(m.group(1), "drop_partition", 1 if ok else 0)
         m = _re.match(
-            r"^OPTIMIZE\s+TABLE\s+(\w+)(?:\s+PARTITION\s+'?([^'\s;]+)'?)?(?:\s+FINAL)?\s*$",
+            r"^OPTIMIZE\s+TABLE\s+(\w+)(?:\s+PARTITION\s+'?([^'\s;]+)'?)?"
+            r"(?:\s+FINAL)?(?:\s+(DEDUPLICATE)(?:\s+BY\s+(.+?))?)?\s*$",
             q,
             _re.I,
         )
         if m:
             spec, path = _table(m.group(1))
             sort_cols = [c for c in (spec.order_by if spec else []) if c]
+            dedup_cols = None
+            if m.group(4):
+                dedup_cols = [
+                    c.strip().strip("`")
+                    for c in m.group(4).strip().strip("()").split(",")
+                    if c.strip()
+                ]
             n = _mut.compact_partitions(
                 self.spark,
                 path,
                 sort_cols=sort_cols or None,
                 partitions=[m.group(2)] if m.group(2) else None,
+                dedup=bool(m.group(3)),
+                dedup_cols=dedup_cols,
             )
             # OPTIMIZE also merges projection partial states down to one
             # row per dims (ClickHouse's background merges do the same

@@ -119,12 +119,33 @@ def compact_partitions(
     target_mb: int = 256,
     sort_cols: list[str] | None = None,
     partitions: list | None = None,
+    dedup: bool = False,
+    dedup_cols: list[str] | None = None,
 ) -> int:
     """``OPTIMIZE TABLE``: bin-pack each partition's files into
     ~``target_mb`` outputs, re-sorting by ``sort_cols`` (the table's
     ORDER BY) so row-group stats stay tight.  ``partitions`` limits the
     pass to specific partition values (``OPTIMIZE ... PARTITION p``).
+
+    ``dedup`` implements ClickHouse's ``OPTIMIZE ... DEDUPLICATE``:
+    drop exact-duplicate rows (or one survivor per ``dedup_cols`` key
+    for ``DEDUPLICATE BY``) during the rewrite.  Like ClickHouse, the
+    dedup is per PARTITION — the partition column joins the key, so a
+    row never vanishes because of a twin in a different partition (and
+    the rewrite stays partition-local for dynamic overwrite).
+
     Returns partitions rewritten."""
+
+    def _dedup(frame: DataFrame, pcol: str | None) -> DataFrame:
+        if not dedup:
+            return frame
+        if dedup_cols:
+            key = list(dedup_cols)
+            if pcol and pcol not in key:
+                key.append(pcol)
+            return frame.dropDuplicates(key)
+        return frame.dropDuplicates()
+
     pcol = _partition_col(spark, path)
     df = spark.read.parquet(path)
     if pcol is None:
@@ -134,7 +155,7 @@ def compact_partitions(
             if f.name.endswith(".parquet")
         )
         n_out = max(1, round(total / (target_mb << 20)))
-        out = df.coalesce(n_out)
+        out = _dedup(df, None).coalesce(n_out)
         if sort_cols:
             out = out.sortWithinPartitions(*sort_cols)
         tmp = path.rstrip("/") + "__compacting"
@@ -153,7 +174,7 @@ def compact_partitions(
         ]
     if not targets:
         return 0
-    sub = df.filter(F.col(pcol).isin(targets))
+    sub = _dedup(df.filter(F.col(pcol).isin(targets)), pcol)
     # one output file per target_mb of input per partition: repartition by
     # the partition column so each directory is written by few tasks, then
     # maxRecordsPerFile caps runaway files. (A global coalesce would serialize

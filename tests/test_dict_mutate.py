@@ -357,3 +357,62 @@ def test_insert_values_statement(spark, tmp_path):
     assert r["rows_inserted"] == 1
     got = {x["k"]: (x["txt"], x["src"]) for x in spark.table("notes").collect()}
     assert got == {1: ("a, with (commas)", "web"), 2: ("B", "api"), 3: ("c", "cli")}
+
+
+def test_optimize_deduplicate(spark, tmp_path):
+    """OPTIMIZE TABLE ... FINAL DEDUPLICATE [BY cols]: exact-duplicate
+    rows collapse during the compaction rewrite, per partition, exactly
+    like ClickHouse's merge-time dedup."""
+    from ed_clickhouse_spark.engine import Engine
+
+    mdir = tmp_path / "migrations"
+    mdir.mkdir()
+    (mdir / "001_hits.up.sql").write_text(
+        """
+        CREATE TABLE hits (
+            day Date,
+            user_id Int64,
+            amount Float64
+        ) ENGINE = MergeTree()
+        PARTITION BY day
+        ORDER BY user_id;
+        """
+    )
+    eng = Engine(str(tmp_path / "wh"), spark)
+    eng.migrate(str(mdir))
+    # duplicate full rows within a partition + a cross-partition twin
+    rows = [
+        ("2024-01-01", 1, 10.0),
+        ("2024-01-01", 1, 10.0),  # exact dup, same partition
+        ("2024-01-01", 1, 99.0),  # same key, different amount
+        ("2024-01-02", 1, 10.0),  # same values, OTHER partition — kept
+        ("2024-01-02", 2, 20.0),
+    ]
+    for d, u, a in rows:
+        eng.ch_sql(
+            "INSERT INTO hits FORMAT JSONEachRow\n"
+            f'{{"day":"{d}","user_id":{u},"amount":{a}}}'
+        )
+    r = eng.ch_sql("OPTIMIZE TABLE hits FINAL DEDUPLICATE").collect()[0]
+    assert r["op"] == "optimize"
+    got = sorted(
+        (str(x["day"]), x["user_id"], x["amount"])
+        for x in spark.table("hits").collect()
+    )
+    assert got == [
+        ("2024-01-01", 1, 10.0),
+        ("2024-01-01", 1, 99.0),
+        ("2024-01-02", 1, 10.0),
+        ("2024-01-02", 2, 20.0),
+    ]
+    # BY key form: one survivor per (user_id) within each partition
+    eng.ch_sql("OPTIMIZE TABLE hits FINAL DEDUPLICATE BY user_id")
+    per = (
+        spark.table("hits")
+        .groupBy("day", "user_id")
+        .count()
+        .where("count > 1")
+        .count()
+    )
+    assert per == 0
+    assert spark.table("hits").count() == 3  # (01-01,1), (01-02,1), (01-02,2)
