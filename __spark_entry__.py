@@ -43,7 +43,7 @@ _R4_FIXES = [
 #   E misc operators         q104, q109, q113, q114, q129, q130, q132,
 #                            q137-q141, q154
 _R4_NEVER = [
-    "q208_sql_sequence_times",  # new this round
+    "q208_sql_sequence_times", "q209_passage_excision",  # new this round
     "q115_order_priority", "q183_cohort_retention_matrix",
     "q157_group_bit", "q143_rank_corr", "q104_approx_quantiles",
     "q116_priority_by_linestatus", "q178_sliding_dau",

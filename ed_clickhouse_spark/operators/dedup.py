@@ -419,3 +419,100 @@ def dedup_clusters(
         sym.unpersist()
         pairs.unpersist()
     return labels.select("id", F.col("lbl").alias("cluster_id"))
+
+
+def excise_repeated_passages(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 10,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Span-level dedup CUT (the exact-substring-dedup family, word
+    n-gram granularity): remove every n-token passage that appears in
+    >= ``min_docs`` distinct documents from all docs EXCEPT the lowest
+    ``id_col`` holder (the canonical first copy keeps its text).  Docs
+    shorter than ``n`` tokens carry no grams and pass through intact.
+
+    Returns (id_col, clean_text, n_removed) for EVERY input doc;
+    overlapping duplicated spans union through the distinct
+    (doc, position) cover set, so excision never double-counts.
+
+    Scale shape — every stage is linear with bounded shuffle keys:
+    grams hash to a 16-hex md5 prefix BEFORE the gram shuffle (the
+    q101_repeated_passages discipline); the cover set explodes only
+    DUPLICATED gram occurrences (n small ints each); the token
+    anti-join and the rebuild both key on (doc, position) /
+    doc — no stage ever carries passage strings through an exchange.
+    """
+    toks = F.split(F.col(text_col), " ")
+    base = df.select(F.col(id_col), toks.alias("__toks"))
+    sz = F.size("__toks")
+    starts = F.when(
+        sz >= n, F.sequence(F.lit(0), sz - n)
+    ).otherwise(F.expr("CAST(array() AS ARRAY<INT>)"))
+    grams = base.select(
+        id_col,
+        F.explode(
+            F.transform(
+                starts,
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.substring(
+                        F.md5(F.concat_ws(" ", F.slice("__toks", i + 1, n))),
+                        1,
+                        16,
+                    ).alias("gram_key"),
+                ),
+            )
+        ).alias("g"),
+    ).select(
+        id_col, F.col("g.pos").alias("pos"), F.col("g.gram_key").alias("gram_key")
+    )
+    dup = (
+        grams.select(id_col, "gram_key")
+        .distinct()
+        .groupBy("gram_key")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min(id_col).alias("__keeper"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .select("gram_key", "__keeper")
+    )
+    covered = (
+        grams.join(dup, "gram_key")
+        .filter(F.col(id_col) != F.col("__keeper"))
+        .select(
+            id_col,
+            F.explode(
+                F.sequence(F.col("pos"), F.col("pos") + (n - 1))
+            ).alias("pos"),
+        )
+        .distinct()
+    )
+    tok_rows = base.select(
+        id_col, F.posexplode("__toks").alias("pos", "tok")
+    )
+    kept = tok_rows.join(covered, [id_col, "pos"], "left_anti")
+    rebuilt = kept.groupBy(id_col).agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                lambda s: s["tok"],
+            ),
+        ).alias("clean_text"),
+        F.count("*").alias("__n_kept"),
+    )
+    return (
+        df.select(id_col, F.size(toks).alias("__n_tok"))
+        .join(rebuilt, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+            (F.col("__n_tok") - F.coalesce("__n_kept", F.lit(0)))
+            .cast("bigint")
+            .alias("n_removed"),
+        )
+    )

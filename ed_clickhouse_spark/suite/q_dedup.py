@@ -342,3 +342,68 @@ def q102_source_overlap(spark, sf_dir):
         .orderBy(F.col("neardup_pairs").desc(), "source_a", "source_b")
         .limit(50)
     )
+
+
+@query(
+    "q209_passage_excision",
+    oracle="""
+    WITH toks AS (
+      -- parallel unnests of equal-length lists zip positionally
+      SELECT doc_id,
+             unnest(string_split(text, ' ')) AS tok,
+             CAST(unnest(range(0, len(string_split(text, ' '))))
+                  AS BIGINT) AS pos
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id,
+             CAST(unnest(range(0,
+               GREATEST(len(string_split(text, ' ')) - 9, 0)))
+               AS BIGINT) AS pos,
+             substr(md5(unnest(list_transform(
+               range(1, GREATEST(len(string_split(text, ' ')) - 9, 0) + 1),
+               i -> array_to_string(string_split(text, ' ')[i:i + 9], ' ')
+             ))), 1, 16) AS gram_key
+      FROM documents
+    ),
+    dup AS (
+      SELECT gram_key, MIN(doc_id) AS keeper
+      FROM (SELECT DISTINCT doc_id, gram_key FROM grams)
+      GROUP BY gram_key HAVING COUNT(*) >= 2
+    ),
+    covered AS (
+      SELECT DISTINCT g.doc_id, g.pos + o.o AS pos
+      FROM grams g
+      JOIN dup d USING (gram_key), unnest(range(0, 10)) AS o(o)
+      WHERE g.doc_id <> d.keeper
+    ),
+    kept AS (
+      SELECT t.doc_id, t.pos, t.tok
+      FROM toks t ANTI JOIN covered c
+        ON t.doc_id = c.doc_id AND t.pos = c.pos
+    ),
+    rebuilt AS (
+      SELECT doc_id,
+             string_agg(tok, ' ' ORDER BY pos) AS clean_text,
+             COUNT(*) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           COALESCE(r.clean_text, '') AS clean_text,
+           CAST(len(string_split(d.text, ' ')) - COALESCE(r.n_kept, 0)
+                AS BIGINT) AS n_removed
+    FROM documents d LEFT JOIN rebuilt r ON d.doc_id = r.doc_id
+    """,
+)
+def q209_passage_excision(spark, sf_dir):
+    """Span-level dedup CUT: every word 10-gram appearing in >= 2 docs
+    is excised from all but the lowest-doc_id holder, overlapping spans
+    unioned through the (doc, position) cover set, text rebuilt from the
+    surviving tokens (operators/dedup.py:excise_repeated_passages — the
+    exact-substring-dedup family as a transformation, not just the q101
+    signal). Gram keys hash to 16-hex md5 BEFORE any shuffle; the cover
+    explode touches only duplicated occurrences; rebuild keys on doc_id."""
+    from ed_clickhouse_spark.operators.dedup import excise_repeated_passages
+
+    d = t(spark, sf_dir, "documents")
+    return excise_repeated_passages(d, "doc_id", "text", n=10, min_docs=2)

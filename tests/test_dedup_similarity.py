@@ -327,3 +327,35 @@ def test_brute_force_topk_string_ids(spark):
     types = dict((f.name, f.dataType.simpleString())
                  for f in brute_force_topk(q, c, k=1).schema.fields)
     assert types["q_id"] == "string" and types["c_id"] == "string"
+
+
+def test_excise_repeated_passages(spark):
+    """Span excision: duplicated 3-grams vanish everywhere except the
+    lowest-doc_id keeper; overlapping spans union; short docs and
+    unique docs pass through byte-identical."""
+    from ed_clickhouse_spark.operators.dedup import excise_repeated_passages
+
+    boiler = "terms of service apply here now"  # 6 tokens
+    docs = [
+        (1, f"alpha beta {boiler} gamma"),       # keeper of the boilerplate
+        (2, f"delta {boiler} epsilon zeta"),     # boilerplate excised
+        (3, "unique words only in this document"),
+        (4, "tiny doc"),                          # < n tokens: no grams
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out = {
+        r["doc_id"]: (r["clean_text"], r["n_removed"])
+        for r in excise_repeated_passages(
+            df, "doc_id", "text", n=3, min_docs=2
+        ).collect()
+    }
+    assert len(out) == 4
+    # keeper keeps everything
+    assert out[1] == (f"alpha beta {boiler} gamma", 0)
+    # doc 2: every token covered by some duplicated 3-gram is gone;
+    # 'delta', 'epsilon', 'zeta' never sit inside a shared 3-gram window
+    # that doc 1 also has... the shared grams are the 4 windows inside
+    # the 6-token boilerplate, covering exactly those 6 tokens.
+    assert out[2] == ("delta epsilon zeta", 6)
+    assert out[3] == ("unique words only in this document", 0)
+    assert out[4] == ("tiny doc", 0)
