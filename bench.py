@@ -43,6 +43,8 @@ EXTRA = [
     "q202_ch_agg_spellings", # aggregate-spelling rewriter end-to-end
     "q203_ch_monitoring",    # toStartOfInterval dashboard shape
     "q204_hybrid_search_rrf",  # BM25 + vector RRF fusion
+    "q208_sql_sequence_times",  # dialect sequenceMatch, nested-exists
+    "q209_passage_excision",  # span-level dedup cut + text rebuild
 ]
 
 HEADLINE = [
