@@ -397,6 +397,7 @@ def lttb_downsample(
     )
     from pyspark.sql import Window as W
 
+    # bounded window: one row per LTTB bucket (n_out param), not raw rows
     wb = W.partitionBy(*group_cols).orderBy("__b") if group_cols else W.orderBy("__b")
     anchors = means.select(
         *group_cols,

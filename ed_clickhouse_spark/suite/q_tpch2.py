@@ -661,6 +661,7 @@ def q190_basket_size_distribution(spark, sf_dir):
         F.count("*").alias("n_orders"),
         F.sum("rev").cast("double").alias("revenue"),
     )
+    # bounded window: one row per basket-size bucket
     w = W.orderBy(F.lit(1)).rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
     return hist.select(
         "n_items",

@@ -346,6 +346,7 @@ def q130_gapfill_interpolate(spark, sf_dir):
         .join(daily, "day", "left")
         .withColumn("h", F.datediff("day", F.lit("2024-01-01").cast("date")).cast("bigint"))
     )
+    # bounded windows: one row per calendar day (the broadcast spine)
     wp = W.orderBy("h").rowsBetween(W.unboundedPreceding, 0)
     wf = W.orderBy("h").rowsBetween(0, W.unboundedFollowing)
     marked = F.when(F.col("v4").isNotNull(), F.col("h"))
@@ -476,6 +477,7 @@ def q184_session_depth(spark, sf_dir):
     dist = d.groupBy(
         F.least(F.col("depth"), F.lit(10)).alias("depth_bucket")
     ).agg(F.count("*").alias("n_sessions"))
+    # bounded window: <= 11 depth-bucket rows
     total = W.orderBy(F.lit(1)).rowsBetween(
         W.unboundedPreceding, W.unboundedFollowing
     )
@@ -680,7 +682,7 @@ def q188_funnel_report(spark, sf_dir):
         .groupBy("step")
         .agg(F.coalesce(F.sum("c"), F.lit(0)).alias("n_reached"))
     )
-    wprev = W.orderBy("step")
+    wprev = W.orderBy("step")  # bounded window: one row per funnel step
     prev = F.lag("n_reached").over(wprev)
     total = d.count()
     return reached.select(
