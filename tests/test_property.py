@@ -236,6 +236,9 @@ _DIALECT_BAIT = [
     "tupleElement(t, 1)", "lagInFrame(v)", "dateDiff(day, a, b)",
     "[1, 2, 3]", "x[1]", "rand() % 100", "toIntervalDay(2)",
     "quantileMerge(0.5)(x)", "avgMerge(a)", "x IN [1, 2]",
+    # round-4 trigger spellings
+    "sequenceCount(p)(t, c)", "windowFunnel(60, so)(t, c)",
+    "toWeek(t)", "toISOYear(t)", "LIMIT 1, 2",
 ]
 
 
