@@ -345,3 +345,54 @@ def q174_transform_map(spark, sf_dir):
         .groupBy("lang_name")
         .agg(F.count("*").alias("n"))
     )
+
+
+@query(
+    "q210_char_entropy",
+    oracle="""
+    WITH bi AS (
+      SELECT doc_id,
+             unnest(list_transform(
+               range(1, GREATEST(len(text) - 1, 0) + 1),
+               i -> substr(text, i, 2))) AS bigram
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, bigram, COUNT(*) AS c FROM bi GROUP BY 1, 2
+    ),
+    h AS (
+      SELECT doc_id, SUM(c) AS n,
+             ROUND(ln(SUM(c)) - SUM(c * ln(c)) / SUM(c), 6) AS entropy
+      FROM c GROUP BY 1
+    )
+    SELECT doc_id, CAST(n AS BIGINT) AS n_bigrams, entropy,
+           entropy < 3.0 AS low_entropy
+    FROM h
+    """,
+)
+def q210_char_entropy(spark, sf_dir):
+    """Character-bigram Shannon entropy per document — the CCNet-style
+    gibberish/degenerate-text filter (low entropy = keyboard mash,
+    template spam, repeated runs), complementing q82's token repetition
+    and q134's unigram-LM score. Composes operators/stats.py:entropy
+    grouped by doc_id over exploded bigrams: the shuffle carries
+    (doc_id, 2-char gram) pairs then per-doc distinct grams — both
+    doc-keyed and linear."""
+    from ed_clickhouse_spark.operators.stats import entropy
+
+    d = t(spark, sf_dir, "documents")
+    grams = F.when(
+        F.length("text") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.length("text") - 1),
+            lambda i: F.col("text").substr(i, F.lit(2)),
+        ),
+    ).otherwise(F.expr("CAST(array() AS ARRAY<STRING>)"))
+    bi = d.select("doc_id", F.explode(grams).alias("bigram"))
+    h = entropy(bi, "bigram", ["doc_id"])
+    return h.select(
+        "doc_id",
+        F.col("n").alias("n_bigrams"),
+        "entropy",
+        (F.col("entropy") < 3.0).alias("low_entropy"),
+    )
