@@ -518,17 +518,66 @@ def _select_items(sql: str) -> list[str] | None:
 
 
 def _rewrite_with_fill(sql: str) -> str:
-    """``ORDER BY <col> WITH FILL FROM <a> TO <b> [STEP <s>]`` → a
-    generated spine LEFT-JOINed to the query, missing measures
-    coalesced to 0 (ClickHouse fills with the column DEFAULT, which is
-    0 for the numeric measures this clause is used with). TO is
-    exclusive, as in ClickHouse. Supports numeric steps and
-    ``STEP INTERVAL n DAY`` over dates."""
+    """``ORDER BY <col> WITH FILL FROM <a> TO <b> [STEP <s>]
+    [INTERPOLATE [(col [AS col], ...)]]`` → a generated spine
+    LEFT-JOINed to the query, missing measures coalesced to 0
+    (ClickHouse fills with the column DEFAULT, which is 0 for the
+    numeric measures this clause is used with). TO is exclusive, as in
+    ClickHouse. Supports numeric steps and ``STEP INTERVAL n DAY``
+    over dates.
+
+    INTERPOLATE carries the previous present value into filled rows
+    (bare = every measure; a parenthesized list limits it) via a
+    last_value-ignore-nulls window over the spine order — inherently
+    sequential, exactly like ClickHouse's own fill pass, and bounded
+    by the spine length, not the fact table. Only the identity form
+    translates: ``col AS <expr>`` with a non-identity expression is
+    iterative (each filled row feeds the next) and refuses loudly —
+    use the DataFrame gap-fill operator (q130) for that."""
+    interp: set[str] | None = None  # None = no clause; empty set = ALL
+    mi = _find_top(sql, r"\bINTERPOLATE(?:\s*\(([^)]*)\))?\s*$")
+    if mi:
+        body = mi.group(1)
+        names: set[str] = set()
+        if body is not None:
+            for e in _split_top_commas(body):
+                em = re.match(
+                    r"^\s*`?(\w+)`?\s*(?:AS\s+(.+?))?\s*$", e.strip(),
+                    re.I | re.S,
+                )
+                if not em:
+                    raise ValueError(f"INTERPOLATE entry {e!r} not supported")
+                cname, expr = em.group(1), em.group(2)
+                if expr is not None and expr.strip().strip("`") != cname:
+                    raise ValueError(
+                        "INTERPOLATE with a non-identity expression is"
+                        " iterative — use the DataFrame gap-fill operator"
+                        " (q130_gapfill_interpolate)"
+                    )
+                names.add(cname)
+            if not names:
+                raise ValueError("INTERPOLATE () needs at least one column")
+        interp = names  # empty set (bare form) = all measures
+        sql = sql[: mi.start()].rstrip()
     m = _find_top(
         sql,
         r"\bORDER\s+BY\s+(\w+)\s+WITH\s+FILL\s+FROM\s+(.+?)\s+TO\s+(.+?)"
         r"(?:\s+STEP\s+(.+?))?\s*$",
     )
+    if interp is not None and not m and not _find_top(
+        sql, r"\bORDER\s+BY\s+(\w+)\s+WITH\s+FILL(?:\s+STEP\s+(.+?))?\s*$"
+    ):
+        raise ValueError("INTERPOLATE requires ORDER BY ... WITH FILL")
+
+    def _measure(c: str, fill_col: str, qref: str = "__q") -> str:
+        if interp is not None and (not interp or c in interp):
+            return (
+                f"coalesce(last_value({qref}.{c}, true) OVER ("
+                f"ORDER BY __spine.{fill_col}"
+                f" ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0)"
+                f" AS {c}"
+            )
+        return f"coalesce({qref}.{c}, 0) AS {c}"
     if not m:
         # bare ORDER BY col WITH FILL [STEP s]: bounds come from the
         # result itself (ClickHouse fills between the present min and
@@ -556,7 +605,7 @@ def _rewrite_with_fill(sql: str) -> str:
             f" (SELECT max({col}) FROM __q){step_sql})"
         )
         measures = ", ".join(
-            f"coalesce(__q.{c}, 0) AS {c}" for c in cols if c != col
+            _measure(c, col) for c in cols if c != col
         )
         return (
             f"WITH __q AS ({inner})"
@@ -583,9 +632,7 @@ def _rewrite_with_fill(sql: str) -> str:
     else:
         s = step.strip() if step else "1"
         seq = f"sequence({lo}, ({hi}) - 1, {s})"
-    measures = ", ".join(
-        f"coalesce(__q.{c}, 0) AS {c}" for c in cols if c != col
-    )
+    measures = ", ".join(_measure(c, col) for c in cols if c != col)
     return (
         f"SELECT __spine.{col} AS {col}"
         + (", " + measures if measures else "")

@@ -1154,3 +1154,34 @@ def test_sequence_count_in_dialect(views):
     )
     assert got.exceptAll(want).count() == 0
     assert want.exceptAll(got).count() == 0
+
+
+def test_with_fill_interpolate(views):
+    """INTERPOLATE carries the previous present value into filled rows
+    (bare form = every measure); leading filled rows get the 0 default;
+    non-identity expressions and INTERPOLATE without WITH FILL refuse."""
+    q = translate(
+        "SELECT d, v FROM (SELECT * FROM VALUES (1, 10.0), (3, 30.0)"
+        " AS t(d, v)) ORDER BY d WITH FILL FROM 0 TO 6 INTERPOLATE (v)"
+    ).sql
+    got = [(r["d"], float(r["v"])) for r in views.sql(q).collect()]
+    assert got == [
+        (0, 0.0),   # before the first present row: default fill
+        (1, 10.0),
+        (2, 10.0),  # carried forward
+        (3, 30.0),
+        (4, 30.0),
+        (5, 30.0),  # TO is exclusive
+    ]
+    bare = translate(
+        "SELECT d, v FROM (SELECT * FROM VALUES (1, 10.0), (3, 30.0)"
+        " AS t(d, v)) ORDER BY d WITH FILL FROM 0 TO 5 INTERPOLATE"
+    ).sql
+    assert len(views.sql(bare).collect()) == 5
+    with pytest.raises(ValueError, match="non-identity"):
+        translate(
+            "SELECT d, v FROM t ORDER BY d WITH FILL FROM 0 TO 5"
+            " INTERPOLATE (v AS v + 1)"
+        )
+    with pytest.raises(ValueError, match="requires ORDER BY"):
+        translate("SELECT d, v FROM t ORDER BY d INTERPOLATE (v)")
