@@ -223,24 +223,47 @@ def _rewrite_final(sql: str) -> str:
         sql = sql[: m.start()] + f"FROM {m.group(1)}{alias}" + sql[m.end():]
 
 
-def _sample_predicate(key: str, fraction: float) -> str:
-    threshold = format(int(fraction * (16**15)), "015x")
-    return f"substring(md5(CAST({key} AS STRING)), 1, 15) < '{threshold}'"
+def _sample_predicate(key: str, fraction: float, offset: float = 0.0) -> str:
+    """Deterministic md5 hash-range predicate: the [offset,
+    offset + fraction) slice of the key's hash space (ClickHouse's
+    ``SAMPLE f OFFSET o`` — disjoint offsets give disjoint panels)."""
+    hashed = f"substring(md5(CAST({key} AS STRING)), 1, 15)"
+    # an upper bound of 1.0 would format to 16 hex chars and break the
+    # 15-char lexicographic compare — the top of the range needs no
+    # bound at all
+    top = offset + fraction >= 1.0
+    hi = format(int(min(offset + fraction, 1.0) * (16**15)), "015x")
+    if offset <= 0:
+        return "TRUE" if top else f"{hashed} < '{hi}'"
+    lo = format(int(offset * (16**15)), "015x")
+    if top:
+        return f"{hashed} >= '{lo}'"
+    return f"({hashed} >= '{lo}' AND {hashed} < '{hi}')"
 
 
 def _rewrite_sample(sql: str, specs: dict | None) -> str:
     m = _find_top(
         sql,
         r"\bFROM\s+(\w+)(?:\s+AS\s+(\w+)|\s+(?!FINAL\b|SAMPLE\b)(\w+))?"
-        r"(\s+FINAL)?\s+SAMPLE\s+([0-9.]+)\b",
+        r"(\s+FINAL)?\s+SAMPLE\s+([0-9.]+)(\s*/\s*([0-9.]+))?"
+        r"(?:\s+OFFSET\s+([0-9.]+)(\s*/\s*([0-9.]+))?)?",
     )
     if not m:
         return sql
     tbl = m.group(1)
     alias = m.group(2) or m.group(3) or tbl
+    # ClickHouse accepts decimal (SAMPLE 0.1) and ratio (SAMPLE 1/10)
+    # fraction spellings, each optionally with OFFSET in either form
     frac = float(m.group(5))
+    if m.group(7):
+        frac /= float(m.group(7))
+    offset = float(m.group(8)) if m.group(8) else 0.0
+    if m.group(10):
+        offset /= float(m.group(10))
     if frac > 1.0:  # SAMPLE n rows form — not supported by a predicate
         raise ValueError("SAMPLE <n-rows> is not supported; use SAMPLE <0..1>")
+    if not 0.0 <= offset <= 1.0:
+        raise ValueError("SAMPLE OFFSET must be in [0, 1]")
     spec = (specs or {}).get(tbl)
     if spec is None or spec.sample_by is None:
         raise ValueError(f"table {tbl!r} has no SAMPLE BY clause known to the engine")
@@ -248,7 +271,7 @@ def _rewrite_sample(sql: str, specs: dict | None) -> str:
     km = re.match(r"^(?:intHash\d+|cityHash64|xxHash64)\s*\(\s*(\w+)\s*\)$", key, re.I)
     if km:
         key = km.group(1)
-    pred = _sample_predicate(key, frac)
+    pred = _sample_predicate(key, frac, offset)
     sub = f"FROM (SELECT * FROM {tbl} WHERE {pred}) AS {alias}"
     return _rewrite_sample(sql[: m.start()] + sub + sql[m.end():], specs)
 

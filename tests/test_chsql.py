@@ -1185,3 +1185,34 @@ def test_with_fill_interpolate(views):
         )
     with pytest.raises(ValueError, match="requires ORDER BY"):
         translate("SELECT d, v FROM t ORDER BY d INTERPOLATE (v)")
+
+
+def test_sample_ratio_and_offset_forms(views):
+    """SAMPLE accepts ClickHouse's ratio spelling (1/10) and OFFSET in
+    either form; disjoint offsets partition the key's hash space exactly
+    (the parallel-panel idiom: SAMPLE 1/4 OFFSET k/4 for k = 0..3)."""
+    spec = parse_clickhouse_ddl(
+        "CREATE TABLE events (event_id Int64, user_id Int64, value Float64)"
+        " ENGINE = MergeTree() ORDER BY event_id SAMPLE BY user_id"
+    )
+
+    def u(q):
+        return views.sql(translate(q, {"events": spec}).sql).first()["u"]
+
+    full = views.sql("SELECT count(DISTINCT user_id) AS u FROM events").first()["u"]
+    assert u("SELECT count(DISTINCT user_id) AS u FROM events SAMPLE 1/10") == u(
+        "SELECT count(DISTINCT user_id) AS u FROM events SAMPLE 0.1"
+    )
+    quarters = [
+        u(
+            "SELECT count(DISTINCT user_id) AS u FROM events"
+            f" SAMPLE 1/4 OFFSET {k}/4"
+        )
+        for k in range(4)
+    ]
+    assert sum(quarters) == full
+    assert all(q > 0 for q in quarters)
+    with pytest.raises(ValueError, match="OFFSET"):
+        translate(
+            "SELECT 1 FROM events SAMPLE 0.1 OFFSET 1.5", {"events": spec}
+        )
