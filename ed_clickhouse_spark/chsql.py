@@ -540,6 +540,23 @@ def _select_items(sql: str) -> list[str] | None:
     return names
 
 
+_FILL_STEP_RE = re.compile(
+    r"^INTERVAL\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY|WEEK|MONTH|QUARTER|YEAR)S?$",
+    re.I,
+)
+
+
+def _fill_interval(im: "re.Match") -> tuple[int, str]:
+    """Normalize a STEP INTERVAL match to a Spark-supported (n, unit):
+    WEEK -> 7 DAY, QUARTER -> 3 MONTH."""
+    n_, unit = int(im.group(1)), im.group(2).upper()
+    if unit == "WEEK":
+        return n_ * 7, "DAY"
+    if unit == "QUARTER":
+        return n_ * 3, "MONTH"
+    return n_, unit
+
+
 def _rewrite_with_fill(sql: str) -> str:
     """``ORDER BY <col> WITH FILL FROM <a> TO <b> [STEP <s>]
     [INTERPOLATE [(col [AS col], ...)]]`` → a generated spine
@@ -619,10 +636,12 @@ def _rewrite_with_fill(sql: str) -> str:
                 "WITH FILL needs a plainly-aliased select list containing "
                 "the fill column"
             )
-        im = re.match(r"^INTERVAL\s+(\d+)\s+DAY[S]?$", (step or "").strip(), re.I)
-        step_sql = f", INTERVAL {im.group(1)} DAY" if im else (
-            f", {step.strip()}" if step else ""
-        )
+        im = _FILL_STEP_RE.match((step or "").strip())
+        if im:
+            n_, unit = _fill_interval(im)
+            step_sql = f", INTERVAL {n_} {unit}"
+        else:
+            step_sql = f", {step.strip()}" if step else ""
         seq = (
             f"sequence((SELECT min({col}) FROM __q),"
             f" (SELECT max({col}) FROM __q){step_sql})"
@@ -646,11 +665,19 @@ def _rewrite_with_fill(sql: str) -> str:
             "WITH FILL needs a plainly-aliased select list containing the "
             "fill column"
         )
-    im = re.match(r"^INTERVAL\s+(\d+)\s+DAY[S]?$", (step or "").strip(), re.I)
+    im = _FILL_STEP_RE.match((step or "").strip())
     if im:
+        # TO is exclusive: back the bound off by the axis granularity
+        # (1 day for date axes, 1 second for timestamp axes) — correct
+        # for ANY step size, unlike subtracting a whole step
+        n_, unit = _fill_interval(im)
+        if unit in ("SECOND", "MINUTE", "HOUR"):
+            cast_t, eps = "TIMESTAMP", "INTERVAL 1 SECOND"
+        else:
+            cast_t, eps = "DATE", "INTERVAL 1 DAY"
         seq = (
-            f"sequence(CAST({lo} AS DATE), CAST({hi} AS DATE) - INTERVAL 1 DAY, "
-            f"INTERVAL {im.group(1)} DAY)"
+            f"sequence(CAST({lo} AS {cast_t}),"
+            f" CAST({hi} AS {cast_t}) - {eps}, INTERVAL {n_} {unit})"
         )
     else:
         s = step.strip() if step else "1"

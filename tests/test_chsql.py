@@ -1216,3 +1216,33 @@ def test_sample_ratio_and_offset_forms(views):
         translate(
             "SELECT 1 FROM events SAMPLE 0.1 OFFSET 1.5", {"events": spec}
         )
+
+
+def test_with_fill_subday_and_month_steps(views):
+    """STEP INTERVAL generalizes beyond DAY: hourly spines over
+    timestamps (TO exclusive at second granularity), monthly spines
+    over dates, and composition with INTERPOLATE."""
+    q = (
+        "SELECT h, n FROM (SELECT TIMESTAMP'2024-01-01 03:00:00' AS h,"
+        " 5 AS n) ORDER BY h WITH FILL FROM '2024-01-01 00:00:00'"
+        " TO '2024-01-01 06:00:00' STEP INTERVAL 1 HOUR"
+    )
+    rows = views.sql(translate(q).sql).collect()
+    assert len(rows) == 6 and rows[3]["n"] == 5
+    q2 = (
+        "SELECT m, n FROM (SELECT DATE'2024-03-01' AS m, 7 AS n)"
+        " ORDER BY m WITH FILL FROM '2024-01-01' TO '2024-07-01'"
+        " STEP INTERVAL 1 MONTH"
+    )
+    rows = views.sql(translate(q2).sql).collect()
+    assert [str(r["m"])[:7] for r in rows] == [
+        "2024-01", "2024-02", "2024-03", "2024-04", "2024-05", "2024-06"
+    ]
+    q3 = (
+        "SELECT h, n FROM (SELECT TIMESTAMP'2024-01-01 02:00:00' AS h,"
+        " 5 AS n) ORDER BY h WITH FILL FROM '2024-01-01 00:00:00'"
+        " TO '2024-01-01 05:00:00' STEP INTERVAL 1 HOUR INTERPOLATE (n)"
+    )
+    assert [r["n"] for r in views.sql(translate(q3).sql).collect()] == [
+        0, 0, 5, 5, 5
+    ]
