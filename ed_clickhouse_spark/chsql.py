@@ -861,6 +861,34 @@ def _rewrite_scalar_misc(sql: str) -> str:
             if not m:
                 break
             sql = sql[: m.start()] + "(" + sql[sql.index("(", m.end() - 1) + 1:]
+    # ClickHouse position(haystack, needle[, start]) has the OPPOSITE
+    # argument order of Spark's position/locate(needle, haystack) —
+    # passing it through silently searches the needle for the haystack
+    # and returns 0. Flip the comma form to locate(); the SQL-standard
+    # position(x IN y) has no top-level comma and is left alone.
+    pos = 0
+    pos_rx = re.compile(r"\bposition\s*\(", re.I)
+    while True:
+        m = pos_rx.search(sql, pos)
+        if not m:
+            break
+        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        if instr_at.get(m.start(), False):
+            pos = m.end()
+            continue
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        if len(args) not in (2, 3):
+            pos = m.end()
+            continue
+        tail = f", {args[2]}" if len(args) == 3 else ""
+        sql = (
+            sql[: m.start()]
+            + f"locate({args[1]}, {args[0]}{tail})"
+            + sql[close1 + 1:]
+        )
+        pos = m.start()
     # ClickHouse rand()/rand32() are UInt32, rand64() UInt64 — NOT
     # [0,1): `rand() % 100` is the canonical CH idiom and would always
     # be 0 under Spark's rand(). Rewrite to the ClickHouse range

@@ -1246,3 +1246,18 @@ def test_with_fill_subday_and_month_steps(views):
     assert [r["n"] for r in views.sql(translate(q3).sql).collect()] == [
         0, 0, 5, 5, 5
     ]
+
+
+def test_position_argument_order(views):
+    """ClickHouse position(haystack, needle[, start]) is the OPPOSITE of
+    Spark's — the comma form flips to locate(); the SQL-standard
+    position(x IN y) and string literals stay untouched."""
+    r = views.sql(
+        translate(
+            "SELECT position('hello world', 'world') AS a, "
+            "position('hello world', 'o', 6) AS b, "
+            "position('w' IN 'hello world') AS c, "
+            "'position(a, b)' AS lit"
+        ).sql
+    ).first()
+    assert (r["a"], r["b"], r["c"], r["lit"]) == (7, 8, 7, "position(a, b)")
