@@ -834,6 +834,62 @@ _SCALAR_RENAMES = {
 _IDENTITY_FNS = ("assumeNotNull", "toNullable", "materialize")
 
 
+_CH_FMT_MAP = {
+    "a": "EEE", "b": "MMM", "c": "MM", "d": "dd", "D": "MM/dd/yy",
+    "e": "d", "f": "SSSSSS", "F": "yyyy-MM-dd", "h": "hh", "H": "HH",
+    "i": "mm", "I": "hh", "j": "DDD", "k": "H", "l": "h", "m": "MM",
+    "M": "MMMM", "p": "a", "Q": "q", "r": "hh:mm:ss a", "R": "HH:mm",
+    "s": "ss", "S": "ss", "T": "HH:mm:ss", "W": "EEEE", "y": "yy",
+    "Y": "yyyy",
+}
+
+
+def _convert_ch_datetime_format(fmt: str) -> str:
+    """ClickHouse/MySQL ``%``-specifier datetime format → the Java
+    pattern ``date_format`` takes. Literal runs are quoted (a bare
+    letter would otherwise be interpreted as a pattern char); ``%%``
+    emits a literal percent; unsupported specifiers raise rather than
+    silently formatting the wrong thing."""
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush() -> None:
+        if not lit:
+            return
+        run = "".join(lit)
+        if any(c.isalpha() or c == "'" for c in run):
+            out.append("'" + run.replace("'", "''") + "'")
+        else:
+            out.append(run)
+        lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c == "%" and i + 1 < len(fmt):
+            spec = fmt[i + 1]
+            if spec == "%":
+                lit.append("%")
+            elif spec == "n":
+                lit.append("\n")
+            elif spec == "t":
+                lit.append("\t")
+            elif spec in _CH_FMT_MAP:
+                flush()
+                out.append(_CH_FMT_MAP[spec])
+            else:
+                raise ValueError(
+                    f"formatDateTime specifier %{spec} has no Spark"
+                    " pattern equivalent"
+                )
+            i += 2
+            continue
+        lit.append(c)
+        i += 1
+    flush()
+    return "".join(out)
+
+
 def _rewrite_scalar_misc(sql: str) -> str:
     """Polymorphic scalar spellings that need a translate-time rewrite
     rather than a typed SQL-UDF alias: renames (arrayZip → arrays_zip,
@@ -861,6 +917,55 @@ def _rewrite_scalar_misc(sql: str) -> str:
             if not m:
                 break
             sql = sql[: m.start()] + "(" + sql[sql.index("(", m.end() - 1) + 1:]
+    # formatDateTime with a LITERAL format converts the %-specifiers to
+    # the Java pattern date_format understands (passing % through would
+    # error or, worse, format the wrong fields); computed formats fall
+    # through to the raw alias.
+    pos = 0
+    fdt_rx = re.compile(r"\bformatDateTime\s*\(")
+    while True:
+        m = fdt_rx.search(sql, pos)
+        if not m:
+            break
+        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        if instr_at.get(m.start(), False):
+            pos = m.end()
+            continue
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        fm = args[1].strip() if len(args) >= 2 else ""
+        if len(args) not in (2, 3) or not re.fullmatch(
+            r"'(?:[^'\\]|\\.|'')*'", fm
+        ):
+            pos = m.end()
+            continue
+        if len(args) == 3:
+            raise ValueError(
+                "formatDateTime with a timezone argument is not"
+                " translatable — convert with toTimeZone first"
+            )
+        # undo the SQL string-literal escaping ('' and \x) before
+        # converting, then re-escape for the emitted SQL literal
+        body, chars, i = fm[1:-1], [], 0
+        while i < len(body):
+            if body[i] == "\\" and i + 1 < len(body):
+                chars.append(body[i + 1])
+                i += 2
+                continue
+            if body[i: i + 2] == "''":
+                chars.append("'")
+                i += 2
+                continue
+            chars.append(body[i])
+            i += 1
+        java = _convert_ch_datetime_format("".join(chars)).replace("'", "\\'")
+        sql = (
+            sql[: m.start()]
+            + f"date_format(CAST({args[0]} AS TIMESTAMP), '{java}')"
+            + sql[close1 + 1:]
+        )
+        pos = m.start()
     # ClickHouse position(haystack, needle[, start]) has the OPPOSITE
     # argument order of Spark's position/locate(needle, haystack) —
     # passing it through silently searches the needle for the haystack

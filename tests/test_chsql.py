@@ -1261,3 +1261,28 @@ def test_position_argument_order(views):
         ).sql
     ).first()
     assert (r["a"], r["b"], r["c"], r["lit"]) == (7, 8, 7, "position(a, b)")
+
+
+def test_format_datetime_percent_specifiers(views):
+    """formatDateTime's %-format converts to the Java pattern (literal
+    runs quoted, %% a literal percent, %i minutes vs %M month name per
+    modern ClickHouse); unsupported specifiers refuse loudly."""
+    r = views.sql(
+        translate(
+            "SELECT formatDateTime(TIMESTAMP'2024-03-05 07:08:09',"
+            " '%Y-%m-%d %H:%i:%S') AS a,"
+            " formatDateTime(TIMESTAMP'2024-03-05 07:08:09', '%F %T') AS b,"
+            " formatDateTime(TIMESTAMP'2024-03-05 07:08:09',"
+            " '%M %d, %Y') AS c,"
+            " formatDateTime(TIMESTAMP'2024-03-05 07:08:09',"
+            " 'at %H o''clock') AS d,"
+            " formatDateTime(TIMESTAMP'2024-03-05 07:08:09', '100%% %p') AS e"
+        ).sql
+    ).first()
+    assert r["a"] == "2024-03-05 07:08:09"
+    assert r["b"] == "2024-03-05 07:08:09"
+    assert r["c"] == "March 05, 2024"
+    assert r["d"] == "at 07 o'clock"
+    assert r["e"] == "100% AM"
+    with pytest.raises(ValueError, match="no Spark pattern"):
+        translate("SELECT formatDateTime(ts, '%u') FROM t")
