@@ -966,6 +966,94 @@ def _rewrite_scalar_misc(sql: str) -> str:
             + sql[close1 + 1:]
         )
         pos = m.start()
+    # parseDateTime[OrNull](s, '%-format'): the MySQL-style parser —
+    # convert the literal format with the same table formatDateTime
+    # uses and emit [try_]to_timestamp
+    pos = 0
+    pdt_rx = re.compile(r"\bparseDateTime(OrNull)?\s*\(")
+    while True:
+        m = pdt_rx.search(sql, pos)
+        if not m:
+            break
+        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        if instr_at.get(m.start(), False):
+            pos = m.end()
+            continue
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        if len(args) == 1:
+            pos = m.end()  # 1-arg form is the BestEffort-style alias
+            continue
+        fm = args[1].strip()
+        if len(args) != 2 or not re.fullmatch(r"'(?:[^'\\]|\\.|'')*'", fm):
+            raise ValueError(
+                "parseDateTime translates with (expr, 'literal %-format')"
+                " only — use parseDateTimeBestEffort for free-form input"
+            )
+        java = _convert_ch_datetime_format(fm[1:-1]).replace("'", "\\'")
+        fn = "try_to_timestamp" if m.group(1) else "to_timestamp"
+        sql = (
+            sql[: m.start()]
+            + f"{fn}({args[0]}, '{java}')"
+            + sql[close1 + 1:]
+        )
+        pos = m.start()
+    # ClickHouse's VALUE-MAPPING transform(x, from, to[, default]) vs
+    # Spark's 2-arg higher-order transform(arr, lambda): the 3/4-arg
+    # form becomes a map lookup (3-arg keeps unmatched values, like CH)
+    pos = 0
+    tr_rx = re.compile(r"\btransform\s*\(")
+    while True:
+        m = tr_rx.search(sql, pos)
+        if not m:
+            break
+        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        if instr_at.get(m.start(), False):
+            pos = m.end()
+            continue
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        if len(args) not in (3, 4):
+            pos = m.end()  # Spark HOF form — leave
+            continue
+        x, frm, to = args[0], args[1], args[2]
+        dflt = args[3] if len(args) == 4 else x
+        sql = (
+            sql[: m.start()]
+            + f"coalesce(element_at(map_from_arrays({frm}, {to}),"
+            f" {x}), {dflt})"
+            + sql[close1 + 1:]
+        )
+        pos = m.start()
+    # arrayCompact(a): element-type-preserving consecutive dedup (the
+    # SQL-UDF alias would stringify elements); empty-array safe
+    pos = 0
+    ac_rx = re.compile(r"\barrayCompact\s*\(")
+    while True:
+        m = ac_rx.search(sql, pos)
+        if not m:
+            break
+        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        if instr_at.get(m.start(), False):
+            pos = m.end()
+            continue
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        a = sql[open1 + 1: close1]
+        expr = (
+            f"transform(filter(sequence(0, size(({a})) - 1),"
+            f" __ch_i -> __ch_i = 0 OR NOT(({a})[__ch_i]"
+            f" <=> ({a})[__ch_i - 1])),"
+            f" __ch_i -> ({a})[__ch_i])"
+        )
+        sql = (
+            sql[: m.start()]
+            + f"(CASE WHEN size(({a})) = 0 THEN ({a}) ELSE {expr} END)"
+            + sql[close1 + 1:]
+        )
+        pos = m.start()
     # ClickHouse position(haystack, needle[, start]) has the OPPOSITE
     # argument order of Spark's position/locate(needle, haystack) —
     # passing it through silently searches the needle for the haystack

@@ -622,7 +622,14 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         " WHEN 'year' THEN year(b) - year(a)"
         " END",
     ),
-    "toDateTime": ("(s STRING) RETURNS TIMESTAMP", "CAST(s AS TIMESTAMP)"),
+    # accepts both spellings ClickHouse does: a datetime string and a
+    # numeric unix-epoch value (which arrives here as a digit string)
+    "toDateTime": (
+        "(s STRING) RETURNS TIMESTAMP",
+        "CASE WHEN s RLIKE '^[0-9]+(\\\\.[0-9]+)?$'"
+        " THEN to_timestamp(CAST(s AS DOUBLE))"
+        " ELSE CAST(s AS TIMESTAMP) END",
+    ),
     # geohash (ClickHouse geohashEncode/geohashDecode): the classic
     # interleaved-bisection algorithm as a pure codegen aggregate fold —
     # per-bit lon/lat interval halving, base32 char emitted every 5 bits.

@@ -1286,3 +1286,25 @@ def test_format_datetime_percent_specifiers(views):
     assert r["e"] == "100% AM"
     with pytest.raises(ValueError, match="no Spark pattern"):
         translate("SELECT formatDateTime(ts, '%u') FROM t")
+
+
+def test_parse_datetime_value_transform_array_compact(views):
+    """Round-4 polymorphic batch: parseDateTime[OrNull] with %-formats,
+    numeric-epoch toDateTime, ClickHouse's value-mapping 3/4-arg
+    transform vs Spark's 2-arg HOF, and type-preserving arrayCompact."""
+    r = views.sql(
+        translate(
+            "SELECT parseDateTime('2024-03-05', '%Y-%m-%d') AS a,"
+            " parseDateTimeOrNull('bogus', '%Y-%m-%d') AS b,"
+            " toDateTime(1700000000) AS c,"
+            " transform(2, [1, 2], ['a', 'b'], 'z') AS d,"
+            " transform(9, [1, 2], [10, 20]) AS e,"
+            " transform([1, 2, 3], y -> y * 2) AS f,"
+            " arrayCompact([1, 1, 2, 2, 1]) AS g"
+        ).sql
+    ).first()
+    assert str(r["a"]) == "2024-03-05 00:00:00" and r["b"] is None
+    assert str(r["c"]) == "2023-11-14 22:13:20"
+    assert r["d"] == "b" and r["e"] == 9
+    assert r["f"] == [2, 4, 6]
+    assert r["g"] == [1, 2, 1]  # ints, not stringified
