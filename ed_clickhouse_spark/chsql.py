@@ -829,6 +829,9 @@ _SCALAR_RENAMES = {
     "roundBankers": "bround",
     "bitCount": "bit_count",
     "toTypeName": "typeof",
+    # element-type-preserving (the ARRAY<STRING> SQL-UDF alias would
+    # stringify; the rename keeps ints ints)
+    "arrayReverse": "reverse",
 }
 # wrappers that are the identity under Spark's nullability model
 _IDENTITY_FNS = ("assumeNotNull", "toNullable", "materialize")
@@ -1026,6 +1029,87 @@ def _rewrite_scalar_misc(sql: str) -> str:
             f" {x}), {dflt})"
             + sql[close1 + 1:]
         )
+        pos = m.start()
+    # arraySort / arrayReverseSort: type-preserving (vs the stringifying
+    # alias) and supporting ClickHouse's lambda-FIRST key form
+    # arraySort(x -> key, a) — sort by key via the struct trick, user's
+    # own lambda var kept (its body is user text)
+    for fname, desc in (("arrayReverseSort", True), ("arraySort", False)):
+        pos = 0
+        rx = re.compile(rf"\b{fname}\s*\(")
+        while True:
+            m = rx.search(sql, pos)
+            if not m:
+                break
+            instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+            if instr_at.get(m.start(), False):
+                pos = m.end()
+                continue
+            open1 = sql.index("(", m.end() - 1)
+            close1 = _call_end(sql, open1)
+            args = _split_top_commas(sql[open1 + 1: close1])
+            if len(args) == 1:
+                inner = f"array_sort({args[0]})"
+            elif len(args) == 2:
+                lm = re.match(r"^\s*(\w+)\s*->\s*(.+)$", args[0], re.S)
+                if not lm:
+                    raise ValueError(
+                        f"{fname} expects (lambda, array) or (array)"
+                    )
+                var, body = lm.group(1), lm.group(2).strip()
+                inner = (
+                    f"transform(array_sort(transform({args[1]},"
+                    f" {var} -> struct(({body}) AS k, {var} AS v))),"
+                    f" __ch_s -> __ch_s.v)"
+                )
+            else:
+                raise ValueError(f"{fname} expects (lambda, array) or (array)")
+            if desc:
+                inner = f"reverse({inner})"
+            sql = sql[: m.start()] + inner + sql[close1 + 1:]
+            pos = m.start()
+    # arrayReduce('agg', a): the literal-name meta-aggregate over one
+    # array, mapped to the JVM array builtins (sum/avg fold in DOUBLE —
+    # documented deviation from CH's integer sums)
+    pos = 0
+    ar_rx = re.compile(r"\barrayReduce\s*\(")
+    while True:
+        m = ar_rx.search(sql, pos)
+        if not m:
+            break
+        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        if instr_at.get(m.start(), False):
+            pos = m.end()
+            continue
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        name_m = re.fullmatch(r"\s*'(\w+)'\s*", args[0]) if args else None
+        if len(args) != 2 or not name_m:
+            raise ValueError(
+                "arrayReduce translates with ('aggName', array) only"
+            )
+        agg, a = name_m.group(1), args[1]
+        forms = {
+            "max": f"array_max({a})",
+            "min": f"array_min({a})",
+            "sum": (
+                f"aggregate({a}, CAST(0.0 AS DOUBLE),"
+                f" (__ch_s, __ch_t) -> __ch_s + __ch_t)"
+            ),
+            "avg": (
+                f"(aggregate({a}, CAST(0.0 AS DOUBLE),"
+                f" (__ch_s, __ch_t) -> __ch_s + __ch_t) / size({a}))"
+            ),
+            "count": f"size({a})",
+            "any": f"element_at({a}, 1)",
+            "anyLast": f"element_at({a}, -1)",
+            "uniq": f"size(array_distinct({a}))",
+            "uniqExact": f"size(array_distinct({a}))",
+        }
+        if agg not in forms:
+            raise ValueError(f"arrayReduce: aggregate {agg!r} not supported")
+        sql = sql[: m.start()] + forms[agg] + sql[close1 + 1:]
         pos = m.start()
     # arrayCompact(a): element-type-preserving consecutive dedup (the
     # SQL-UDF alias would stringify elements); empty-array safe

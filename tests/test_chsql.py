@@ -1308,3 +1308,25 @@ def test_parse_datetime_value_transform_array_compact(views):
     assert r["d"] == "b" and r["e"] == 9
     assert r["f"] == [2, 4, 6]
     assert r["g"] == [1, 2, 1]  # ints, not stringified
+
+
+def test_array_sort_reduce_forms(views):
+    """arraySort/arrayReverseSort preserve element types and accept
+    ClickHouse's lambda-first key form; arrayReduce maps literal
+    aggregate names onto the JVM array builtins."""
+    r = views.sql(
+        translate(
+            "SELECT arraySort([3, 1, 2]) AS a,"
+            " arraySort(x -> -x, [3, 1, 2]) AS b,"
+            " arrayReverseSort([3, 1, 2]) AS c,"
+            " arrayReverse([1, 2, 3]) AS d,"
+            " arrayReduce('max', [1, 5, 3]) AS e,"
+            " arrayReduce('sum', [1, 2, 3]) AS f,"
+            " arrayReduce('uniqExact', [1, 1, 2]) AS g"
+        ).sql
+    ).first()
+    assert r["a"] == [1, 2, 3] and r["b"] == [3, 2, 1]
+    assert r["c"] == [3, 2, 1] and r["d"] == [3, 2, 1]
+    assert r["e"] == 5 and r["f"] == 6.0 and r["g"] == 2
+    with pytest.raises(ValueError, match="not supported"):
+        translate("SELECT arrayReduce('median', a) FROM t")
