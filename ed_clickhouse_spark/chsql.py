@@ -829,9 +829,53 @@ _SCALAR_RENAMES = {
     "roundBankers": "bround",
     "bitCount": "bit_count",
     "toTypeName": "typeof",
-    # element-type-preserving (the ARRAY<STRING> SQL-UDF alias would
-    # stringify; the rename keeps ints ints)
+    # element-type-preserving (the ARRAY<STRING> SQL-UDF aliases would
+    # stringify; renames keep ints ints)
     "arrayReverse": "reverse",
+    "arrayConcat": "concat",
+    "arrayFlatten": "flatten",
+    "indexOf": "array_position",
+    "has": "array_contains",
+}
+
+# Element-type-preserving argument-splicing rewrites: ClickHouse array
+# spellings whose typed SQL-UDF alias would stringify elements. Keyed by
+# arity; {0}/{1}/{2} are the raw argument texts. Lambda variables are
+# collision-improbable (__ch_*) because user text lands in lambda bodies.
+_ARRAY_SPLICE: dict[str, dict[int, str]] = {
+    "arrayIntersect": {2: "array_sort(array_intersect({0}, {1}))"},
+    # 2-arg ClickHouse form slices to the end
+    "arraySlice": {2: "slice({0}, {1}, size({0}))", 3: "slice({0}, {1}, {2})"},
+    "arrayPushBack": {2: "concat({0}, array({1}))"},
+    "arrayPushFront": {2: "concat(array({1}), {0})"},
+    "arrayPopBack": {1: "slice({0}, 1, greatest(size({0}) - 1, 0))"},
+    "arrayPopFront": {1: "slice({0}, 2, greatest(size({0}) - 1, 0))"},
+    "arrayWithConstant": {2: "array_repeat({1}, {0})"},
+    "arrayResize": {
+        3: "concat(slice({0}, 1, least({1}, size({0}))),"
+           " array_repeat({2}, greatest(({1}) - size({0}), 0)))",
+    },
+    "arrayUniq": {1: "size(array_distinct({0}))"},
+    "countEqual": {2: "size(filter({0}, __ch_y -> __ch_y <=> ({1})))"},
+    # ({0})[0] - ({0})[0] is the zero of the ELEMENT type (int stays
+    # int, double stays double); empty arrays pass through untouched
+    "arrayDifference": {
+        1: "(CASE WHEN size({0}) = 0 THEN {0} ELSE"
+           " transform(sequence(0, size({0}) - 1),"
+           " __ch_i -> IF(__ch_i = 0, ({0})[0] - ({0})[0],"
+           " ({0})[__ch_i] - ({0})[__ch_i - 1])) END)",
+    },
+    # DOUBLE accumulator: an element-typed fold would reject DECIMAL
+    # elements (addition widens the precision out of the accumulator
+    # type), so every numeric input folds in double — documented
+    # deviation from CH's integer cumsums
+    "arrayCumSum": {
+        1: "(CASE WHEN size({0}) = 0 THEN CAST(array() AS ARRAY<DOUBLE>)"
+           " ELSE transform(sequence(0, size({0}) - 1),"
+           " __ch_i -> aggregate(slice({0}, 1, __ch_i + 1),"
+           " CAST(0.0 AS DOUBLE),"
+           " (__ch_s, __ch_t) -> __ch_s + __ch_t)) END)",
+    },
 }
 # wrappers that are the identity under Spark's nullability model
 _IDENTITY_FNS = ("assumeNotNull", "toNullable", "materialize")
@@ -1030,6 +1074,28 @@ def _rewrite_scalar_misc(sql: str) -> str:
             + sql[close1 + 1:]
         )
         pos = m.start()
+    for fname, forms in _ARRAY_SPLICE.items():
+        pos = 0
+        rx = re.compile(rf"\b{fname}\s*\(")
+        while True:
+            m = rx.search(sql, pos)
+            if not m:
+                break
+            instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+            if instr_at.get(m.start(), False):
+                pos = m.end()
+                continue
+            open1 = sql.index("(", m.end() - 1)
+            close1 = _call_end(sql, open1)
+            args = _split_top_commas(sql[open1 + 1: close1])
+            tmpl = forms.get(len(args))
+            if tmpl is None:
+                raise ValueError(
+                    f"{fname} expects {sorted(forms)} argument(s),"
+                    f" got {len(args)}"
+                )
+            sql = sql[: m.start()] + tmpl.format(*args) + sql[close1 + 1:]
+            pos = m.start()
     # arraySort / arrayReverseSort: type-preserving (vs the stringifying
     # alias) and supporting ClickHouse's lambda-FIRST key form
     # arraySort(x -> key, a) — sort by key via the struct trick, user's

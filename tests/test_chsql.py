@@ -1330,3 +1330,29 @@ def test_array_sort_reduce_forms(views):
     assert r["e"] == 5 and r["f"] == 6.0 and r["g"] == 2
     with pytest.raises(ValueError, match="not supported"):
         translate("SELECT arrayReduce('median', a) FROM t")
+
+
+def test_array_splice_type_preservation(views):
+    """The ClickHouse array-edit family rewrites generically instead of
+    through stringifying ARRAY<STRING> aliases: slices, push/pop,
+    resize, withConstant, difference/cumSum keep numeric elements
+    numeric; the 2-arg arraySlice runs to the end."""
+    r = views.sql(
+        translate(
+            "SELECT arraySlice([1,2,3,4,5], 2, 2) AS a,"
+            " arraySlice([1,2,3,4,5], -2) AS b,"
+            " arrayPushFront(arrayPushBack([2], 3), 1) AS c,"
+            " arrayPopBack(arrayPopFront([1,2,3,4])) AS d,"
+            " arrayResize([1,2], 4, 0) AS e,"
+            " arrayWithConstant(2, 7) AS f,"
+            " arrayDifference([1.5, 4.0, 9.0]) AS g,"
+            " arrayCumSum([1, 2, 3]) AS h,"
+            " arrayIntersect([3,1,2], [2,3,9]) AS i"
+        ).sql
+    ).first()
+    assert r["a"] == [2, 3] and r["b"] == [4, 5]
+    assert r["c"] == [1, 2, 3] and r["d"] == [2, 3]
+    assert r["e"] == [1, 2, 0, 0] and r["f"] == [7, 7]
+    assert r["g"] == [0.0, 2.5, 5.0]      # doubles, not bigint-truncated
+    assert r["h"] == [1.0, 3.0, 6.0]      # double fold, documented
+    assert r["i"] == [2, 3]
