@@ -836,6 +836,18 @@ _SCALAR_RENAMES = {
     "arrayFlatten": "flatten",
     "indexOf": "array_position",
     "has": "array_contains",
+    # map accessors
+    "mapKeys": "map_keys",
+    "mapValues": "map_values",
+    "mapContains": "map_contains_key",
+    # -OrNull combinators: Spark aggregates ALREADY return NULL over an
+    # empty set (it's ClickHouse's plain sum that returns 0), so the
+    # base function IS the OrNull behavior
+    "sumOrNull": "sum",
+    "avgOrNull": "avg",
+    "minOrNull": "min",
+    "maxOrNull": "max",
+    "anyOrNull": "any_value",
 }
 
 # Element-type-preserving argument-splicing rewrites: ClickHouse array
@@ -1991,10 +2003,21 @@ def _rewrite_agg_spellings(sql: str) -> str:
     # (keys, values) two-array form; returns a sorted MAP (ClickHouse
     # returns a (keys, values) tuple for the array form — documented
     # shape deviation, same content).
+    # per-key merge folds: sum / min / max over every key seen in the
+    # group (minMap/maxMap are sumMap's siblings; the NULL-init fold
+    # seeds min/max from the first value instead of 0)
+    _MAP_MERGE = {
+        "sumMap": "__ch_s + __ch_e.value",
+        "minMap": "IF(__ch_s IS NULL, CAST(__ch_e.value AS DOUBLE),"
+                  " least(__ch_s, __ch_e.value))",
+        "maxMap": "IF(__ch_s IS NULL, CAST(__ch_e.value AS DOUBLE),"
+                  " greatest(__ch_s, __ch_e.value))",
+    }
     while True:
-        m = _find_case_exact(sql, r"\bsumMap\s*\(")
+        m = _find_case_exact(sql, r"\b(sum|min|max)Map\s*\(")
         if not m:
             break
+        fname = m.group(0).split("(")[0].strip()
         open1 = sql.index("(", m.end() - 1)
         close1 = _call_end(sql, open1)
         args = _split_top_commas(sql[open1 + 1: close1])
@@ -2007,7 +2030,11 @@ def _rewrite_agg_spellings(sql: str) -> str:
                 f" struct(__ch_k AS key, __ch_v AS value))))"
             )
         else:
-            raise ValueError("sumMap expects (map) or (keys, values)")
+            raise ValueError(f"{fname} expects (map) or (keys, values)")
+        init = (
+            "CAST(0.0 AS DOUBLE)" if fname == "sumMap"
+            else "CAST(NULL AS DOUBLE)"
+        )
         # {entries} carries user text inside lambda bodies below, so the
         # lambda vars must be collision-improbable names
         expr = (
@@ -2015,8 +2042,8 @@ def _rewrite_agg_spellings(sql: str) -> str:
             f"array_distinct(transform({entries}, __ch_e -> __ch_e.key)),"
             f" __ch_k -> struct(__ch_k AS key,"
             f" aggregate(filter({entries}, __ch_e -> __ch_e.key = __ch_k),"
-            f" CAST(0.0 AS DOUBLE),"
-            f" (__ch_s, __ch_e) -> __ch_s + __ch_e.value) AS value))))"
+            f" {init},"
+            f" (__ch_s, __ch_e) -> {_MAP_MERGE[fname]}) AS value))))"
         )
         sql = sql[: m.start()] + expr + sql[close1 + 1:]
     # parametric topK(k)(x): EXACT most-frequent-k as a pure-SQL fold

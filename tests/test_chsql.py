@@ -1356,3 +1356,29 @@ def test_array_splice_type_preservation(views):
     assert r["g"] == [0.0, 2.5, 5.0]      # doubles, not bigint-truncated
     assert r["h"] == [1.0, 3.0, 6.0]      # double fold, documented
     assert r["i"] == [2, 3]
+
+
+def test_map_accessors_ornull_and_minmax_map(views):
+    """mapKeys/mapValues/mapContains rename to the JVM builtins;
+    -OrNull combinators ARE Spark's empty-set behavior; minMap/maxMap
+    merge per key like sumMap with a seeded fold."""
+    r = views.sql(
+        translate(
+            "SELECT mapKeys(map('a', 1, 'b', 2)) AS ks,"
+            " mapContains(map('a', 1), 'a') AS c,"
+            " sumOrNull(x) AS so, maxOrNull(x) AS mo"
+            " FROM (SELECT 1 AS x WHERE FALSE)"
+        ).sql
+    ).first()
+    assert r["ks"] == ["a", "b"] and r["c"] is True
+    assert r["so"] is None and r["mo"] is None
+    r = views.sql(
+        translate(
+            "SELECT minMap(map(k, v)) AS lo, maxMap(map(k, v)) AS hi,"
+            " sumMap(map(k, v)) AS s FROM"
+            " (SELECT 'a' AS k, 3 AS v UNION ALL SELECT 'a', 1)"
+        ).sql
+    ).first()
+    assert dict(r["lo"]) == {"a": 1.0}
+    assert dict(r["hi"]) == {"a": 3.0}
+    assert dict(r["s"]) == {"a": 4.0}
