@@ -452,6 +452,43 @@ def _rewrite_totals(sql: str) -> str:
     )
 
 
+def _rewrite_limit_with_ties(sql: str) -> str:
+    """``ORDER BY <key> [ASC|DESC] LIMIT n WITH TIES`` → keep the top n
+    rows PLUS every row tying the n-th sort key.  Spelled as a sort-key
+    threshold from a scalar subquery over the ordered top-n (a
+    distributed TakeOrderedAndProject) rather than a global rank window
+    — the source scan just gains a comparison filter.  Single sort key
+    only (a mixed-direction multi-key threshold is not expressible as
+    one comparison); others refuse loudly."""
+    m = _find_top(sql, r"\bLIMIT\s+(\d+)\s+WITH\s+TIES\s*$")
+    if not m:
+        return sql
+    n = int(m.group(1))
+    head = sql[: m.start()].strip()
+    om = _find_top(head, r"\bORDER\s+BY\b")
+    if not om:
+        raise ValueError("LIMIT n WITH TIES needs an ORDER BY")
+    order = head[om.end():].strip()
+    inner = head[: om.start()].strip()
+    km = re.fullmatch(r"(.+?)(?:\s+(ASC|DESC))?", order, re.I | re.S)
+    key, direction = km.group(1).strip(), (km.group(2) or "ASC").upper()
+    if _split_top_commas(key) != [key]:
+        raise ValueError(
+            "LIMIT n WITH TIES translates with a single ORDER BY key only"
+        )
+    agg, cmp_op = ("max", "<=") if direction == "ASC" else ("min", ">=")
+    probe = (
+        f"(SELECT {agg}(__ch_k) FROM (SELECT ({key}) AS __ch_k"
+        f" FROM ({inner}) AS __wt_i ORDER BY __ch_k {direction}"
+        f" LIMIT {n}) AS __wt_k)"
+    )
+    return (
+        f"SELECT * FROM ({inner}) AS __wt"
+        f" WHERE ({key}) {cmp_op} {probe}"
+        f" ORDER BY ({key}) {direction}"
+    )
+
+
 def _rewrite_limit_offset(sql: str) -> str:
     """ClickHouse ``LIMIT offset, count`` → Spark ``LIMIT count OFFSET
     offset``. Only the comma form rewrites; plain LIMIT n and LIMIT n
@@ -2634,6 +2671,7 @@ def _apply_clause_rewrites(sql: str, specs: dict | None) -> str:
     sql = _rewrite_array_join_fn(sql)
     sql = _rewrite_array_join(sql)
     sql = _rewrite_totals(sql)
+    sql = _rewrite_limit_with_ties(sql)
     sql = _rewrite_distinct_on(sql)
     sql = _rewrite_limit_by(sql)
     sql = _rewrite_limit_offset(sql)

@@ -1382,3 +1382,22 @@ def test_map_accessors_ornull_and_minmax_map(views):
     assert dict(r["lo"]) == {"a": 1.0}
     assert dict(r["hi"]) == {"a": 3.0}
     assert dict(r["s"]) == {"a": 4.0}
+
+
+def test_limit_with_ties(views):
+    """LIMIT n WITH TIES keeps the full tie group of the n-th sort key,
+    via a scalar-subquery threshold over the distributed top-n (no
+    global rank window); multi-key or orderless forms refuse."""
+    base = "SELECT * FROM VALUES ('a', 3), ('b', 2), ('c', 2), ('d', 1) AS t(k, v) "
+    rows = views.sql(
+        translate(base + "ORDER BY v DESC LIMIT 2 WITH TIES").sql
+    ).collect()
+    assert [(r["k"], r["v"]) for r in rows] == [("a", 3), ("b", 2), ("c", 2)]
+    rows = views.sql(
+        translate(base + "ORDER BY v LIMIT 1 WITH TIES").sql
+    ).collect()
+    assert [(r["k"], r["v"]) for r in rows] == [("d", 1)]
+    with pytest.raises(ValueError, match="single ORDER BY key"):
+        translate("SELECT k, v FROM t ORDER BY k, v LIMIT 2 WITH TIES")
+    with pytest.raises(ValueError, match="needs an ORDER BY"):
+        translate("SELECT k FROM t LIMIT 2 WITH TIES")
