@@ -416,8 +416,8 @@ def _rewrite_array_join(sql: str) -> str:
         stop = _find_top(tail, rf"\b(?:{_CLAUSE_STOP})\b")
         items_s = tail[: stop.start()] if stop else tail
         rest = tail[stop.start():] if stop else ""
-        views = []
-        for k, item in enumerate(_split_top_commas(items_s)):
+        parsed = []
+        for item in _split_top_commas(items_s):
             am = re.match(r"^(.*?)\s+AS\s+(\w+)\s*$", item, re.I | re.S)
             expr, alias = (am.group(1), am.group(2)) if am else (item, None)
             if alias is None:
@@ -427,10 +427,29 @@ def _rewrite_array_join(sql: str) -> str:
                         f"ARRAY JOIN item {item!r} needs an AS alias"
                     )
                 alias = bare.group(1)
-            views.append(
-                f"LATERAL VIEW {outer}explode({_inline_ch_macros(expr.strip())}) "
-                f"__aj{k} AS {alias}"
+            parsed.append((_inline_ch_macros(expr.strip()), alias))
+        if len(parsed) == 1:
+            expr, alias = parsed[0]
+            views = [f"LATERAL VIEW {outer}explode({expr}) __aj0 AS {alias}"]
+        else:
+            # Multiple items ZIP positionally in ClickHouse (they are
+            # parallel arrays) — chained explodes would cross-product.
+            # Explode one shared index, then bind each alias through a
+            # one-element-array explode (no multiplication, but it
+            # introduces the alias as a FROM-clause column). Unequal
+            # sizes yield NULLs past the shorter array (CH errors there
+            # — lenient superset).
+            mx = "greatest(" + ", ".join(f"size({e})" for e, _ in parsed) + ")"
+            idx = (
+                f"(CASE WHEN {mx} > 0 THEN sequence(0, {mx} - 1)"
+                f" ELSE CAST(array() AS ARRAY<INT>) END)"
             )
+            views = [f"LATERAL VIEW {outer}explode({idx}) __aj AS __aj_i"]
+            for k, (expr, alias) in enumerate(parsed):
+                views.append(
+                    f"LATERAL VIEW explode(array("
+                    f"try_element_at({expr}, __aj_i + 1))) __ajv{k} AS {alias}"
+                )
         sql = sql[: m.start()] + " ".join(views) + " " + rest
     return sql
 

@@ -1401,3 +1401,31 @@ def test_limit_with_ties(views):
         translate("SELECT k, v FROM t ORDER BY k, v LIMIT 2 WITH TIES")
     with pytest.raises(ValueError, match="needs an ORDER BY"):
         translate("SELECT k FROM t LIMIT 2 WITH TIES")
+
+
+def test_array_join_zips_parallel_items(views):
+    """Multiple ARRAY JOIN items are PARALLEL arrays in ClickHouse —
+    they zip positionally, they don't cross-product; the enumerate
+    idiom rides along, and LEFT keeps empty-array rows."""
+    got = views.sql(
+        translate(
+            "SELECT k, x, y FROM (SELECT 'a' AS k, array(1, 2) AS xs,"
+            " array(10, 20) AS ys) ARRAY JOIN xs AS x, ys AS y"
+        ).sql
+    ).collect()
+    assert [tuple(r) for r in got] == [("a", 1, 10), ("a", 2, 20)]
+    got = views.sql(
+        translate(
+            "SELECT k, x, i FROM (SELECT 'a' AS k, array(7, 8) AS xs)"
+            " ARRAY JOIN xs AS x, arrayEnumerate(xs) AS i"
+        ).sql
+    ).collect()
+    assert [tuple(r) for r in got] == [("a", 7, 1), ("a", 8, 2)]
+    got = views.sql(
+        translate(
+            "SELECT k, x FROM (SELECT 'a' AS k, array(1) AS xs"
+            " UNION ALL SELECT 'b', array())"
+            " LEFT ARRAY JOIN xs AS x ORDER BY k"
+        ).sql
+    ).collect()
+    assert [tuple(r) for r in got] == [("a", 1), ("b", None)]
