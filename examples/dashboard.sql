@@ -187,3 +187,25 @@ FROM (
 -- 28. first numeric token of props, via extract's capture-group form
 SELECT extract(props, '"plan": "([a-z]+)"') AS plan, count() AS n
 FROM events GROUP BY plan ORDER BY n DESC LIMIT 5;
+
+-- 29. top spenders keeping ties (LIMIT WITH TIES)
+SELECT user_id, round(sum(value), 2) AS spend
+FROM events GROUP BY user_id
+ORDER BY spend DESC LIMIT 5 WITH TIES;
+
+-- 30. token positions via zipped ARRAY JOIN (parallel arrays iterate
+-- in lock-step, not a cross product)
+SELECT tok, pos, count() AS n
+FROM documents
+ARRAY JOIN splitByChar(' ', text) AS tok,
+           arrayEnumerate(splitByChar(' ', text)) AS pos
+WHERE pos <= 2
+GROUP BY tok, pos ORDER BY n DESC, tok, pos LIMIT 10;
+
+-- 31. per-type cumulative daily revenue as an array panel
+SELECT event_type,
+       arrayCumSum(groupArray(10)(d_rev)) AS running
+FROM (
+  SELECT event_type, toDate(ts) AS d, round(sum(value), 2) AS d_rev
+  FROM events GROUP BY event_type, d ORDER BY event_type, d
+) GROUP BY event_type ORDER BY event_type;
