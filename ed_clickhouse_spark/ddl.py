@@ -299,6 +299,10 @@ class TableSpec:
     col_exprs: dict[str, tuple[str, str]] = field(default_factory=dict)
     alias_cols: list[str] = field(default_factory=list)  # ALIAS column names
     settings: dict[str, str] = field(default_factory=dict)  # SETTINGS k = v
+    # ALTER ... RENAME COLUMN history: current name -> the ORIGINAL
+    # stored name (files written before the rename carry it; the served
+    # view coalesces both spellings)
+    renames: dict[str, str] = field(default_factory=dict)
 
     @property
     def key_cols(self) -> list[str]:
@@ -761,6 +765,16 @@ def register_view(spark: SparkSession, spec: TableSpec, warehouse: str) -> None:
     # files written before a DROP carry the dead bytes (ignored). This is
     # also the 100 TB-friendly choice — no mergeSchema footer sweep.
     read_schema = T.StructType(list(spec.schema.fields))
+    # RENAMEd columns: files written before the rename carry the stored
+    # name — read it too (same type) so the conform step can coalesce
+    for new_name, stored in spec.renames.items():
+        if stored != new_name and stored not in [
+            f.name for f in read_schema.fields
+        ]:
+            dt = dict(
+                (f.name, f.dataType) for f in spec.schema.fields
+            ).get(new_name, T.StringType())
+            read_schema = read_schema.add(T.StructField(stored, dt, True))
     pc0 = spec.partition_column()
     if pc0 and pc0[0] not in [f.name for f in read_schema.fields]:
         ptype = {
@@ -785,11 +799,17 @@ def register_view(spark: SparkSession, spec: TableSpec, warehouse: str) -> None:
     # hidden from the served view (bytes stay until the next OPTIMIZE)
     pc = spec.partition_column()
     declared = [f.name for f in spec.schema.fields]
-    cols = [
-        F.col(f.name) if f.name in raw.columns
-        else F.lit(None).cast(f.dataType).alias(f.name)
-        for f in spec.schema.fields
-    ]
+
+    def _serve(f):
+        stored = spec.renames.get(f.name)
+        if stored and stored != f.name and stored in raw.columns:
+            # rows written before the RENAME carry the stored name
+            return F.coalesce(F.col(f.name), F.col(stored)).alias(f.name)
+        if f.name in raw.columns:
+            return F.col(f.name)
+        return F.lit(None).cast(f.dataType).alias(f.name)
+
+    cols = [_serve(f) for f in spec.schema.fields]
     if pc and pc[0] in raw.columns and pc[0] not in declared:
         cols.append(F.col(pc[0]))
     raw = raw.select(*cols)
@@ -858,7 +878,8 @@ def apply_alter(
     the next OPTIMIZE rewrite.  The updated spec re-registers the views.
     """
     m = re.search(
-        r"ALTER\s+TABLE\s+([\w.]+)\s+(ADD|DROP)\s+COLUMN\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?`?(\w+)`?\s*(.*)",
+        r"ALTER\s+TABLE\s+([\w.]+)\s+(ADD|DROP|RENAME|MODIFY)\s+COLUMN\s+"
+        r"(?:IF\s+(?:NOT\s+)?EXISTS\s+)?`?(\w+)`?\s*(.*)",
         sql,
         re.I | re.S,
     )
@@ -871,28 +892,86 @@ def apply_alter(
     action, cname, rest = m.group(2).upper(), m.group(3), m.group(4).strip().rstrip(";")
     fields = list(spec.schema.fields)
     ch_types = dict(spec.ch_types)
+    renames = dict(spec.renames)
+    order_by = list(spec.order_by)
+    primary_key = list(spec.primary_key)
+    sample_by = spec.sample_by
     if action == "ADD":
         ctype = _COL_ATTR.sub("", rest).strip() or "String"
         dt, nullable = ch_type_to_spark(ctype)
         # added columns are nullable by construction: old rows lack them
         fields.append(T.StructField(cname, dt, True))
         ch_types[cname] = ctype
-    else:
+    elif action == "DROP":
         if cname in {f.name for f in fields}:
             fields = [f for f in fields if f.name != cname]
             ch_types.pop(cname, None)
+            renames.pop(cname, None)
+    elif action == "RENAME":
+        rm = re.match(r"^TO\s+`?(\w+)`?$", rest, re.I)
+        if not rm:
+            raise ValueError("RENAME COLUMN expects RENAME COLUMN a TO b")
+        new_name = rm.group(1)
+        if cname not in {f.name for f in fields}:
+            raise ValueError(f"RENAME COLUMN: no column {cname!r}")
+        # metadata-only, like ClickHouse: files keep the stored name and
+        # the served view coalesces it (register_view). Chained renames
+        # keep pointing at the ORIGINAL stored name.
+        fields = [
+            T.StructField(new_name, f.dataType, f.nullable)
+            if f.name == cname else f
+            for f in fields
+        ]
+        ch_types[new_name] = ch_types.pop(cname, "String")
+        renames[new_name] = renames.pop(cname, cname)
+        order_by = [new_name if c == cname else c for c in order_by]
+        primary_key = [new_name if c == cname else c for c in primary_key]
+        if sample_by == cname:
+            sample_by = new_name
+    else:  # MODIFY COLUMN c NewType — a mutation in ClickHouse too:
+        # rewrite the stored data with the column cast (partition-
+        # selective machinery degrades to full rewrite when needed)
+        ctype = _COL_ATTR.sub("", rest).strip()
+        if not ctype:
+            raise ValueError("MODIFY COLUMN expects MODIFY COLUMN c Type")
+        dt, _n = ch_type_to_spark(ctype)
+        if cname not in {f.name for f in fields}:
+            raise ValueError(f"MODIFY COLUMN: no column {cname!r}")
+        fields = [
+            T.StructField(cname, dt, f.nullable) if f.name == cname else f
+            for f in fields
+        ]
+        ch_types[cname] = ctype
+        from pyspark.sql import functions as F
+
+        from ed_clickhouse_spark.operators.mutate import _mutate
+
+        path = os.path.join(warehouse, spec.name)
+        if os.path.exists(path):
+            stored = renames.get(cname, cname)
+            _mutate(
+                spark,
+                path,
+                F.lit(True),
+                lambda df: df.withColumn(stored, F.col(stored).cast(dt)),
+            )
     new_spec = TableSpec(
         name=spec.name,
         schema=T.StructType(fields),
         engine=spec.engine,
         engine_args=spec.engine_args,
-        order_by=spec.order_by,
+        order_by=order_by,
         partition_by=spec.partition_by,
-        primary_key=spec.primary_key,
+        primary_key=primary_key,
         ch_types=ch_types,
         ttl=spec.ttl,
-        sample_by=spec.sample_by,
+        sample_by=sample_by,
         bloom_cols=spec.bloom_cols,
+        projections=spec.projections,
+        col_exprs=spec.col_exprs,
+        alias_cols=spec.alias_cols,
+        settings=spec.settings,
+        renames=renames,
     )
     register_view(spark, new_spec, warehouse)
     return new_spec

@@ -542,7 +542,9 @@ class Engine:
                 self.table_specs[new] = spec
             return _done(new, "rename_table", 1)
         m = _re.match(
-            r"^ALTER\s+TABLE\s+(\w+)\s+(ADD|DROP)\s+COLUMN\b.*$", q, _re.I | _re.S
+            r"^ALTER\s+TABLE\s+(\w+)\s+(ADD|DROP|RENAME|MODIFY)\s+COLUMN\b.*$",
+            q,
+            _re.I | _re.S,
         )
         if m:
             from ed_clickhouse_spark import ddl as _ddl

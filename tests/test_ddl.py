@@ -578,3 +578,46 @@ def test_kafka_engine_ddl(spark, tmp_path):
     assert eng._kafka_ddl_source() == (
         "broker1:9092,broker2:9092", ["events.login", "events.watch"]
     )
+
+
+def test_alter_rename_and_modify_column(spark, tmp_path):
+    """RENAME COLUMN is metadata-only (pre-rename files keep the stored
+    name; the served view coalesces both spellings) and MODIFY COLUMN
+    rewrites the stored data with the cast, like a ClickHouse mutation."""
+    from ed_clickhouse_spark.engine import Engine
+
+    mdir = tmp_path / "migrations"
+    mdir.mkdir()
+    (mdir / "001_m.up.sql").write_text(
+        """
+        CREATE TABLE metrics (
+            id Int64,
+            val Float64,
+            tag String
+        ) ENGINE = MergeTree()
+        ORDER BY id;
+        """
+    )
+    eng = Engine(str(tmp_path / "wh"), spark)
+    eng.migrate(str(mdir))
+    eng.ch_sql('INSERT INTO metrics FORMAT JSONEachRow\n'
+               '{"id": 1, "val": 1.5, "tag": "a"}')
+
+    r = eng.ch_sql("ALTER TABLE metrics RENAME COLUMN val TO score").collect()[0]
+    assert r["op"] == "rename_column"
+    # pre-rename data serves under the NEW name
+    got = spark.table("metrics").select("id", "score", "tag").collect()
+    assert [(x["id"], x["score"], x["tag"]) for x in got] == [(1, 1.5, "a")]
+    # post-rename inserts use the new name; both vintages serve together
+    eng.ch_sql('INSERT INTO metrics FORMAT JSONEachRow\n'
+               '{"id": 2, "score": 2.5, "tag": "b"}')
+    got = {x["id"]: x["score"] for x in spark.table("metrics").collect()}
+    assert got == {1: 1.5, 2: 2.5}
+
+    # MODIFY rewrites: the double column becomes a string column
+    eng.ch_sql("ALTER TABLE metrics MODIFY COLUMN tag FixedString(8)")
+    assert dict(spark.table("metrics").dtypes)["tag"] == "string"
+    # and a numeric narrowing round-trips through the rewrite
+    eng.ch_sql("ALTER TABLE metrics MODIFY COLUMN id Int32")
+    assert dict(spark.table("metrics").dtypes)["id"] == "int"
+    assert spark.table("metrics").count() == 2
