@@ -997,9 +997,14 @@ def apply_ttl(
     col, n, unit = spec.ttl
     now_col = F.current_timestamp() if now is None else F.lit(now).cast("timestamp")
     cutoff = now_col - F.expr(f"INTERVAL {n} {unit}")
-    return delete_where(
+    touched = delete_where(
         spark, os.path.join(warehouse, spec.name), F.col(col) < cutoff
     )
+    if touched:
+        # the rewrite replaced files on disk — re-register so the served
+        # view's cached file listing doesn't point at deleted parts
+        register_view(spark, spec, warehouse)
+    return touched
 
 
 def sample_read(df: DataFrame, spec: TableSpec, fraction: float) -> DataFrame:

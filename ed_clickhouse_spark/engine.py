@@ -620,6 +620,35 @@ class Engine:
             _rebuild_projections(m.group(1))
             return _done(m.group(1), "drop_partition", 1 if ok else 0)
         m = _re.match(
+            r"^ALTER\s+TABLE\s+(\w+)\s+MODIFY\s+TTL\s+(\w+)\s*\+\s*"
+            r"(?:INTERVAL\s+)?(\d+)\s*(SECOND|MINUTE|HOUR|DAY|WEEK|MONTH|YEAR)S?\s*$",
+            q,
+            _re.I,
+        )
+        if m:
+            # update the eviction policy; enforcement stays on-demand
+            # (apply_ttl), exactly like the CREATE-time TTL clause
+            from dataclasses import replace as _replace2
+
+            spec, _path = _table(m.group(1))
+            if spec is None:
+                raise KeyError(f"no spec for table {m.group(1)!r}")
+            spec = _replace2(
+                spec,
+                ttl=(m.group(2), int(m.group(3)), m.group(4).upper()),
+            )
+            self.table_specs[spec.name] = spec
+            return _done(spec.name, "modify_ttl", 1)
+        m = _re.match(
+            r"^ALTER\s+TABLE\s+(\w+)\s+COMMENT\s+COLUMN\s+`?(\w+)`?\s+'.*'\s*$",
+            q,
+            _re.I | _re.S,
+        )
+        if m:
+            # column comments are metadata-only in ClickHouse; accepted
+            # as a no-op so migration scripts run unchanged
+            return _done(m.group(1), "comment_column", 1)
+        m = _re.match(
             r"^OPTIMIZE\s+TABLE\s+(\w+)(?:\s+PARTITION\s+'?([^'\s;]+)'?)?"
             r"(?:\s+FINAL)?(?:\s+(DEDUPLICATE)(?:\s+BY\s+(.+?))?)?\s*$",
             q,

@@ -621,3 +621,37 @@ def test_alter_rename_and_modify_column(spark, tmp_path):
     eng.ch_sql("ALTER TABLE metrics MODIFY COLUMN id Int32")
     assert dict(spark.table("metrics").dtypes)["id"] == "int"
     assert spark.table("metrics").count() == 2
+
+
+def test_alter_modify_ttl_and_comment(spark, tmp_path):
+    """MODIFY TTL swaps the eviction policy (enforced on demand like the
+    CREATE-time clause); COMMENT COLUMN is the ClickHouse metadata no-op."""
+    from ed_clickhouse_spark import ddl as _ddl
+    from ed_clickhouse_spark.engine import Engine
+
+    mdir = tmp_path / "migrations"
+    mdir.mkdir()
+    (mdir / "001_t.up.sql").write_text(
+        """
+        CREATE TABLE pings (
+            id Int64,
+            ts DateTime
+        ) ENGINE = MergeTree()
+        ORDER BY id
+        TTL ts + INTERVAL 30 DAY;
+        """
+    )
+    eng = Engine(str(tmp_path / "wh"), spark)
+    eng.migrate(str(mdir))
+    assert eng.table_specs["pings"].ttl == ("ts", 30, "DAY")
+    r = eng.ch_sql("ALTER TABLE pings MODIFY TTL ts + INTERVAL 1 DAY").collect()[0]
+    assert r["op"] == "modify_ttl"
+    assert eng.table_specs["pings"].ttl == ("ts", 1, "DAY")
+    # the tightened TTL actually evicts
+    eng.ch_sql('INSERT INTO pings FORMAT JSONEachRow\n'
+               '{"id": 1, "ts": "2020-01-01 00:00:00"}\n'
+               '{"id": 2, "ts": "2099-01-01 00:00:00"}')
+    _ddl.apply_ttl(spark, eng.table_specs["pings"], eng.warehouse)
+    assert [r["id"] for r in spark.table("pings").collect()] == [2]
+    r = eng.ch_sql("ALTER TABLE pings COMMENT COLUMN id 'the key'").collect()[0]
+    assert r["op"] == "comment_column"
