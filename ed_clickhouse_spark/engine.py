@@ -360,8 +360,16 @@ class Engine:
             )
         m = _re.match(r"^\s*EXISTS\s+TABLE\s+(\w+)\s*;?\s*$", query, _re.I)
         if m:
+            name = m.group(1)
+            # a table exists if migrations declared it OR the engine
+            # provisioned/registered it (event families, CTAS views)
+            known = (
+                name in self.table_specs
+                or self.spark.catalog.tableExists(name)
+                or os.path.exists(os.path.join(self.warehouse, name))
+            )
             return self.spark.createDataFrame(
-                [(1 if m.group(1) in self.table_specs else 0,)], "result int"
+                [(1 if known else 0,)], "result int"
             )
         m = _re.match(r"^\s*EXPLAIN\s+(.+)$", query, _re.I | _re.S)
         if m:
@@ -1062,6 +1070,7 @@ class Engine:
             n_files, nbytes = sizes.get(name, (0, 0))
             rows.append(
                 (
+                    "default",
                     name,
                     spec.engine,
                     spec.partition_by or "",
@@ -1073,9 +1082,9 @@ class Engine:
             )
         return self.spark.createDataFrame(
             rows,
-            "name string, engine string, partition_key string, "
-            "sorting_key string, total_bytes long, total_rows long, "
-            "parts long",
+            "database string, name string, engine string, "
+            "partition_key string, sorting_key string, total_bytes long, "
+            "total_rows long, parts long",
         )
 
     def system_columns(self) -> DataFrame:

@@ -473,10 +473,14 @@ def test_system_tables_and_columns(spark, tmp_path):
     )
 
     tab = eng.ch_sql(
-        "SELECT name, engine, sorting_key, total_rows, total_bytes "
+        "SELECT database, name, engine, sorting_key, total_rows, total_bytes "
         "FROM system.tables ORDER BY name"
     ).collect()
     assert [r["name"] for r in tab] == ["login_events"]
+    assert tab[0]["database"] == "default"
+    # a provisioned (non-migration) table also answers EXISTS
+    assert eng.ch_sql("EXISTS TABLE login_events").first()["result"] == 1
+    assert eng.ch_sql("EXISTS TABLE no_such_table").first()["result"] == 0
     assert tab[0]["engine"] == "MergeTree"
     assert tab[0]["sorting_key"] == "timestamp, event_name"
     assert tab[0]["total_rows"] == 1
