@@ -873,6 +873,20 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
     "trimRight": ("(s STRING) RETURNS STRING", "rtrim(s)"),
     "base64Encode": ("(s STRING) RETURNS STRING", "base64(CAST(s AS BINARY))"),
     "base64Decode": ("(s STRING) RETURNS STRING", "CAST(unbase64(s) AS STRING)"),
+    "tryBase64Decode": (
+        "(s STRING) RETURNS STRING",
+        # NULL on invalid input (CH returns '' — NULL is Spark's idiom
+        # for try_*; validate the alphabet first since unbase64 throws)
+        "CASE WHEN s RLIKE '^[A-Za-z0-9+/]*={0,2}$'"
+        " AND length(s) % 4 = 0 THEN CAST(unbase64(s) AS STRING) END",
+    ),
+    "reverseUTF8": ("(s STRING) RETURNS STRING", "reverse(s)"),
+    "toFixedString": (
+        # ClickHouse errors when s exceeds n; keeping the prefix is the
+        # lenient superset (Spark strings are unbounded anyway)
+        "(s STRING, n INT) RETURNS STRING",
+        "substring(s, 1, n)",
+    ),
     "splitByWhitespace": (
         "(s STRING) RETURNS ARRAY<STRING>",
         r"filter(split(s, '\\s+'), x -> x != '')",

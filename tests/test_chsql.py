@@ -1429,3 +1429,17 @@ def test_array_join_zips_parallel_items(views):
         ).sql
     ).collect()
     assert [tuple(r) for r in got] == [("a", 1), ("b", None)]
+
+
+def test_long_tail_string_spellings(views):
+    """Late round-4 long tail: toFixedString (lenient prefix),
+    reverseUTF8, tryBase64Decode (NULL on invalid input)."""
+    r = views.sql(
+        translate(
+            "SELECT toFixedString('ab', 4) AS a,"
+            " reverseUTF8('olleh') AS b,"
+            " tryBase64Decode('YWJj') AS c,"
+            " tryBase64Decode('!!bad!!') AS d"
+        ).sql
+    ).first()
+    assert (r["a"], r["b"], r["c"], r["d"]) == ("ab", "hello", "abc", None)
