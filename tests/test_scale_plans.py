@@ -294,3 +294,15 @@ def test_hybrid_rrf_plan_shape(spark):
     p = _plan(QUERIES["q204_hybrid_search_rrf"](spark, "/root/testdata/sf0.001"))
     assert "CartesianProduct" not in p
     assert "BroadcastNestedLoopJoin" in p or "BroadcastHashJoin" in p
+
+
+def test_passage_excision_plan_shape(spark):
+    """q209's stages must all be linear: no cartesian anywhere, the
+    duplicate-gram join keyed on the 16-hex hash (no raw-text sort-merge
+    keys), and the rebuild a single doc-keyed aggregate."""
+    p = _plan(QUERIES["q209_passage_excision"](spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in p
+    assert "BroadcastNestedLoopJoin" not in p
+    # gram keys are md5-prefixed BEFORE any exchange: the join condition
+    # mentions gram_key, never a raw gram string
+    assert "gram_key" in p
