@@ -1916,6 +1916,9 @@ _AGG_NAME_MAP = {
     "varSamp": "var_samp",
     "covarPop": "covar_pop",
     "covarSamp": "covar_samp",
+    "groupBitAnd": "bit_and",
+    "groupBitOr": "bit_or",
+    "groupBitXor": "bit_xor",
 }
 # conditional-aggregate (-If) combinator bases: <name>If(args..., cond)
 # aggregates only rows where cond holds. Every Spark aggregate ignores
@@ -2134,6 +2137,42 @@ def _rewrite_agg_spellings(sql: str) -> str:
             f" __ch_v -> struct(-size(filter({arr},"
             f" __ch_y -> __ch_y = __ch_v)) AS c, __ch_v AS val))),"
             f" 1, {k}), __ch_s -> __ch_s.val)"
+        )
+        sql = sql[: m.start()] + expr + sql[close2 + 1:]
+    # parametric groupArrayMovingSum/Avg(n)(x): windowed sums over the
+    # group's collected sequence (insertion-order caveat as in CH —
+    # pair with an ORDER BY-ed subquery for determinism). MovingAvg
+    # divides by the full window size n even for the leading partial
+    # windows, exactly like ClickHouse.
+    while True:
+        m = _find_case_exact(sql, r"\bgroupArrayMoving(Sum|Avg)\s*\(")
+        if not m:
+            break
+        kind = m.group(1)
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        rest = sql[close1 + 1:].lstrip()
+        if not rest.startswith("("):
+            raise ValueError(
+                f"groupArrayMoving{kind} expects the parametric form"
+                f" groupArrayMoving{kind}(n)(x)"
+            )
+        open2 = close1 + 1 + (len(sql[close1 + 1:]) - len(rest))
+        close2 = _call_end(sql, open2)
+        n_w = sql[open1 + 1: close1].strip()
+        x = sql[open2 + 1: close2]
+        arr = f"collect_list({x})"
+        win_sum = (
+            f"aggregate(slice({arr},"
+            f" greatest(__ch_i - ({n_w}) + 2, 1),"
+            f" least(({n_w}), __ch_i + 1)),"
+            f" CAST(0.0 AS DOUBLE), (__ch_s, __ch_t) -> __ch_s + __ch_t)"
+        )
+        if kind == "Avg":
+            win_sum = f"({win_sum} / ({n_w}))"
+        expr = (
+            f"transform(sequence(0, size({arr}) - 1),"
+            f" __ch_i -> {win_sum})"
         )
         sql = sql[: m.start()] + expr + sql[close2 + 1:]
     while True:

@@ -1443,3 +1443,26 @@ def test_long_tail_string_spellings(views):
         ).sql
     ).first()
     assert (r["a"], r["b"], r["c"], r["d"]) == ("ab", "hello", "abc", None)
+
+
+def test_moving_and_bit_aggregates(views):
+    """groupArrayMovingSum/Avg(n)(x) fold windowed sums over the
+    collected sequence (Avg divides by the full n, like ClickHouse);
+    groupBit* map to Spark's bit aggregates."""
+    r = views.sql(
+        translate(
+            "SELECT groupArrayMovingSum(2)(v) AS ms,"
+            " groupArrayMovingAvg(2)(v) AS ma FROM"
+            " (SELECT v FROM (SELECT 1 AS v, 1 AS o UNION ALL SELECT 2, 2"
+            "  UNION ALL SELECT 3, 3) ORDER BY o)"
+        ).sql
+    ).first()
+    assert r["ms"] == [1.0, 3.0, 5.0]
+    assert r["ma"] == [0.5, 1.5, 2.5]
+    r = views.sql(
+        translate(
+            "SELECT groupBitAnd(v) AS a, groupBitOr(v) AS o,"
+            " groupBitXor(v) AS x FROM (SELECT 6 AS v UNION ALL SELECT 3)"
+        ).sql
+    ).first()
+    assert (r["a"], r["o"], r["x"]) == (2, 7, 5)
