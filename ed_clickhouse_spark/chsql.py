@@ -106,6 +106,17 @@ top-level token scanning (never inside strings/parens):
   bare WITH FILL         spine bounds from the result's own min/max
   countMerge/sumMerge/   -Merge combinators against each MV's
   avgMerge/uniqMerge     auto-registered <name>_state partials view
+  position/formatDate-   round-4 fidelity: CH argument orders and
+  Time/parseDateTime/    %-formats; SAMPLE k/n OFFSET o panels;
+  SAMPLE OFFSET/WITH     identity INTERPOLATE; STEP INTERVAL any
+  FILL INTERPOLATE       unit; LIMIT n WITH TIES threshold probe
+  array-edit family /    type-preserving generic rewrites (slice,
+  arraySort(f, a) /      push/pop, resize, compact, difference,
+  arrayReduce / maps     cumSum, lambda-first sorts, literal-name
+                         reduce, mapKeys/Values/Contains, min/maxMap,
+                         -OrNull, groupBit*, groupArrayMovingSum/Avg)
+  multi-item ARRAY JOIN  parallel arrays ZIP (shared index explode),
+                         never a cross product
   =====================  ==========================================
 
 Clause-level rewrites apply AT EVERY NESTING LEVEL: translate recurses
