@@ -368,3 +368,27 @@ def test_nats_bridge_acks_after_spool_with_redelivery(spark, tmp_path):
     assert login.count() == 5
     ids = {r["event_id"] for r in login.select("event_id").collect()}
     assert ids == {f"ev-{i}" for i in range(5)}
+
+
+def test_engine_ingest_nats_with_injected_client(spark, tmp_path):
+    """Engine.ingest_nats wires the injected fetch/ack client through
+    NatsBridge + the checkpointed file ingest and returns both handles."""
+    from ed_clickhouse_spark.engine import Engine
+
+    base_ts = 1_700_000_000
+    items = [
+        ("events.login", json.dumps(_envelope(i, "login", base_ts)).encode())
+        for i in range(4)
+    ]
+    js = _FakeJetStream(items)
+    eng = Engine(str(tmp_path / "wh"), spark)
+    eng.init()
+    q, bridge = eng.ingest_nats(client=js, spool_dir=str(tmp_path / "spool"))
+    try:
+        assert bridge.pump_until_empty() == 4
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    assert len(js._pending) == 0
+    login = spark.read.parquet(str(tmp_path / "wh" / "login_events"))
+    assert login.count() == 4
