@@ -1043,6 +1043,34 @@ def _rewrite_scalar_misc(sql: str) -> str:
             if not m:
                 break
             sql = sql[: m.start()] + "(" + sql[sql.index("(", m.end() - 1) + 1:]
+    # toStartOfWeek(x, mode): even modes start Sunday, odd modes Monday
+    # (the 1-arg default-mode form is the Sunday-anchored SQL alias)
+    pos = 0
+    sw_rx = re.compile(r"\btoStartOfWeek\s*\(")
+    while True:
+        m = sw_rx.search(sql, pos)
+        if not m:
+            break
+        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        if instr_at.get(m.start(), False):
+            pos = m.end()
+            continue
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        if len(args) != 2:
+            pos = m.end()  # 1-arg form: the SQL alias handles it
+            continue
+        mm = re.fullmatch(r"\s*(\d+)\s*", args[1])
+        if not mm:
+            raise ValueError("toStartOfWeek mode must be a literal integer")
+        x = args[0]
+        if int(mm.group(1)) % 2 == 1:
+            expr = f"CAST(date_trunc('WEEK', {x}) AS DATE)"
+        else:
+            expr = f"date_sub(CAST(({x}) AS DATE), dayofweek({x}) - 1)"
+        sql = sql[: m.start()] + expr + sql[close1 + 1:]
+        pos = m.start()
     # formatDateTime with a LITERAL format converts the %-specifiers to
     # the Java pattern date_format understands (passing % through would
     # error or, worse, format the wrong fields); computed formats fall

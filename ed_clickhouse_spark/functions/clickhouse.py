@@ -304,7 +304,12 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
     "modulo": ("(a BIGINT, b BIGINT) RETURNS BIGINT", "a % b"),
     # date/time part spellings (ClickHouse toX family)
     "toDate": ("(x TIMESTAMP) RETURNS DATE", "CAST(x AS DATE)"),
-    "toStartOfWeek": ("(x TIMESTAMP) RETURNS DATE", "CAST(date_trunc('WEEK', x) AS DATE)"),
+    # default mode 0 starts the week on SUNDAY (it's toMonday that is
+    # Monday-anchored); Spark dayofweek: 1=Sunday .. 7=Saturday
+    "toStartOfWeek": (
+        "(x TIMESTAMP) RETURNS DATE",
+        "date_sub(CAST(x AS DATE), dayofweek(x) - 1)",
+    ),
     "toStartOfMonth": ("(x TIMESTAMP) RETURNS DATE", "CAST(date_trunc('MONTH', x) AS DATE)"),
     "toYear": ("(x TIMESTAMP) RETURNS INT", "year(x)"),
     "toMonth": ("(x TIMESTAMP) RETURNS INT", "month(x)"),

@@ -1466,3 +1466,20 @@ def test_moving_and_bit_aggregates(views):
         ).sql
     ).first()
     assert (r["a"], r["o"], r["x"]) == (2, 7, 5)
+
+
+def test_to_start_of_week_modes(views):
+    """toStartOfWeek default mode 0 is SUNDAY-anchored (toMonday is the
+    Monday one); even modes Sunday, odd modes Monday."""
+    r = views.sql(
+        translate(
+            "SELECT toStartOfWeek(TIMESTAMP'2024-03-07 10:00:00') AS d0,"
+            " toStartOfWeek(TIMESTAMP'2024-03-07 10:00:00', 1) AS d1,"
+            " toStartOfWeek(TIMESTAMP'2024-03-07 10:00:00', 0) AS d0b,"
+            " toMonday(TIMESTAMP'2024-03-07 10:00:00') AS mon"
+        ).sql
+    ).first()
+    assert str(r["d0"]) == "2024-03-03"   # Thursday -> preceding Sunday
+    assert str(r["d0b"]) == "2024-03-03"
+    assert str(r["d1"]) == "2024-03-04"   # Monday mode
+    assert str(r["mon"]) == "2024-03-04"
