@@ -44,7 +44,7 @@ _R4_FIXES = [
 #                            q137-q141, q154
 _R4_NEVER = [
     "q208_sql_sequence_times", "q209_passage_excision",  # new this round
-    "q210_char_entropy",  # new this round
+    "q210_char_entropy", "q211_sample_offset_panels",  # new this round
     "q115_order_priority", "q183_cohort_retention_matrix",
     "q157_group_bit", "q143_rank_corr", "q104_approx_quantiles",
     "q116_priority_by_linestatus", "q178_sliding_dau",

@@ -720,3 +720,62 @@ def q207_dd_quantile_sketch(spark, sf_dir):
                ROUND(chDDQuantile(sk, 0.95), 4) AS p95
         FROM m ORDER BY event_type
     """)
+
+
+@query(
+    "q211_sample_offset_panels",
+    oracle="""
+    WITH h AS (
+      SELECT user_id, value,
+             substring(md5(CAST(user_id AS VARCHAR)), 1, 15) AS hk
+      FROM events
+    ),
+    p AS (
+      SELECT 0 AS panel, user_id, value FROM h
+      WHERE hk < '400000000000000'
+      UNION ALL
+      SELECT 1, user_id, value FROM h
+      WHERE hk >= '400000000000000' AND hk < '800000000000000'
+      UNION ALL
+      SELECT 2, user_id, value FROM h
+      WHERE hk >= '800000000000000' AND hk < 'c00000000000000'
+      UNION ALL
+      SELECT 3, user_id, value FROM h WHERE hk >= 'c00000000000000'
+    )
+    SELECT panel, COUNT(DISTINCT user_id) AS n_users, COUNT(*) AS n_events,
+           CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                AS DOUBLE) AS total
+    FROM p GROUP BY panel
+    """,
+)
+def q211_sample_offset_panels(spark, sf_dir):
+    """SAMPLE 1/4 OFFSET k/4 panels spelled VERBATIM in the dialect —
+    the parallel-worker idiom where four jobs each take a disjoint
+    quarter of the sampling key space. The four branches must partition
+    the users exactly (the oracle re-derives the same md5 hash ranges),
+    and each branch stays a scan-level codegen predicate — no shuffle,
+    no sample table."""
+    from ed_clickhouse_spark import ddl
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    spec = ddl.parse_clickhouse_ddl(
+        """
+        CREATE TABLE events (
+            event_id Int64, ts DateTime, user_id Int64,
+            event_type String, value Float64, props String
+        ) ENGINE = MergeTree()
+        ORDER BY (ts) SAMPLE BY user_id;
+        """
+    )
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    branches = " UNION ALL ".join(
+        f"SELECT {k} AS panel, count(DISTINCT user_id) AS n_users,"
+        f" count() AS n_events,"
+        f" CAST(CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2))"
+        f" AS DOUBLE) AS total"
+        f" FROM events SAMPLE 1/4 OFFSET {k}/4"
+        for k in range(4)
+    )
+    return spark.sql(translate(branches, {"events": spec}).sql)
