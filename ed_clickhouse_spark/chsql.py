@@ -2474,9 +2474,26 @@ def _rewrite_array_hofs(sql: str) -> str:
             else:
                 repl = f"{target}({arrs[0]}, {lam})"
             sql = sql[: m.start()] + repl + sql[close1 + 1:]
+    # try_element_at everywhere: under ANSI mode a plain element_at
+    # THROWS when no element matches (empty filter result); NULL is the
+    # no-match value (CH returns the type default — NULL is the Spark
+    # idiom, and the *Index forms coalesce to CH's 0)
     for name, template in (
         ("arrayCount", "size(filter({a}, {f}))"),
-        ("arrayFirst", "element_at(filter({a}, {f}), 1)"),
+        # longest names first so arrayFirstIndex never matches arrayFirst.
+        # Value-keyed position is exact: the lambda is a pure function of
+        # the element, so the first occurrence of a matching VALUE is the
+        # first matching index. No match -> 0, as in ClickHouse.
+        ("arrayFirstIndex",
+         "coalesce(array_position({a},"
+         " try_element_at(filter({a}, {f}), 1)), 0)"),
+        # last index via the reversed array (first occurrence there IS
+        # the last occurrence in the original)
+        ("arrayLastIndex",
+         "coalesce(size({a}) + 1 - array_position(reverse({a}),"
+         " try_element_at(filter({a}, {f}), -1)), 0)"),
+        ("arrayFirst", "try_element_at(filter({a}, {f}), 1)"),
+        ("arrayLast", "try_element_at(filter({a}, {f}), -1)"),
     ):
         while True:
             m = _find_top_anywhere(sql, rf"\b{name}\s*\(")

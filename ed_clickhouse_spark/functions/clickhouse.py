@@ -520,6 +520,9 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
     # contracts (persist the md5 fingerprint column for that).
     "sipHash64": ("(s STRING) RETURNS BIGINT", "xxhash64(s)"),
     "cityHash64": ("(s STRING) RETURNS BIGINT", "xxhash64(s)"),
+    "farmHash64": ("(s STRING) RETURNS BIGINT", "xxhash64(s)"),
+    # Spark strings are already valid UTF-8 at this boundary
+    "toValidUTF8": ("(s STRING) RETURNS STRING", "s"),
     "SHA256": ("(s STRING) RETURNS BINARY", "unhex(sha2(s, 256))"),
     # bit-shift spellings
     "bitShiftLeft": ("(a BIGINT, n INT) RETURNS BIGINT", "shiftleft(a, n)"),

@@ -1483,3 +1483,25 @@ def test_to_start_of_week_modes(views):
     assert str(r["d0b"]) == "2024-03-03"
     assert str(r["d1"]) == "2024-03-04"   # Monday mode
     assert str(r["mon"]) == "2024-03-04"
+
+
+def test_array_first_last_index_family(views):
+    """arrayFirst/arrayLast and their *Index forms: ANSI-safe on no
+    match (NULL / ClickHouse's 0), lambda-first arg order, last-index
+    correct across duplicated values."""
+    r = views.sql(
+        translate(
+            "SELECT arrayFirst(y -> y > 1, [1, 2, 3]) AS a,"
+            " arrayFirst(y -> y > 9, [1, 2]) AS an,"
+            " arrayLast(y -> y > 1, [3, 1, 2]) AS b,"
+            " arrayFirstIndex(y -> y > 1, [1, 2, 3]) AS fi,"
+            " arrayLastIndex(y -> y > 1, [2, 1, 2]) AS li,"
+            " arrayFirstIndex(y -> y > 9, [1, 2]) AS fz,"
+            " arrayLastIndex(y -> y > 9, [1, 2]) AS lz,"
+            " farmHash64('abc') IS NOT NULL AS h,"
+            " toValidUTF8('ok') AS u"
+        ).sql
+    ).first()
+    assert (r["a"], r["an"], r["b"]) == (2, None, 2)
+    assert (r["fi"], r["li"], r["fz"], r["lz"]) == (2, 3, 0, 0)
+    assert r["h"] is True and r["u"] == "ok"
