@@ -890,7 +890,10 @@ _SCALAR_RENAMES = {
     "lagInFrame": "lag",
     "leadInFrame": "lead",
     "arrayZip": "arrays_zip",
-    "arrayElement": "element_at",  # both 1-based, both negative-from-end
+    # 1-based, negative-from-end; try_ because ANSI element_at THROWS
+    # out-of-bounds where ClickHouse returns the type default (NULL is
+    # the Spark idiom for that)
+    "arrayElement": "try_element_at",
     "replaceRegexpAll": "regexp_replace",
     "concatWithSeparator": "concat_ws",
     "roundBankers": "bround",
@@ -1275,8 +1278,8 @@ def _rewrite_scalar_misc(sql: str) -> str:
                 f" (__ch_s, __ch_t) -> __ch_s + __ch_t) / size({a}))"
             ),
             "count": f"size({a})",
-            "any": f"element_at({a}, 1)",
-            "anyLast": f"element_at({a}, -1)",
+            "any": f"try_element_at({a}, 1)",
+            "anyLast": f"try_element_at({a}, -1)",
             "uniq": f"size(array_distinct({a}))",
             "uniqExact": f"size(array_distinct({a}))",
         }
@@ -1590,7 +1593,7 @@ def _rewrite_brackets(sql: str) -> str:
             else:
                 sql = (
                     sql[:base_start]
-                    + f"element_at({base}, {inner})"
+                    + f"try_element_at({base}, {inner})"
                     + sql[close + 1:]
                 )
                 pos = base_start

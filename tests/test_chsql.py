@@ -1505,3 +1505,16 @@ def test_array_first_last_index_family(views):
     assert (r["a"], r["an"], r["b"]) == (2, None, 2)
     assert (r["fi"], r["li"], r["fz"], r["lz"]) == (2, 3, 0, 0)
     assert r["h"] is True and r["u"] == "ok"
+
+
+def test_subscripts_ansi_safe_out_of_bounds(views):
+    """ClickHouse returns the type default past the array bounds; ANSI
+    element_at would THROW there — subscripts and arrayElement go
+    through try_element_at (NULL, the Spark idiom for no value)."""
+    r = views.sql(
+        translate(
+            "SELECT [1,2,3][2] AS a, [1,2,3][9] AS oob,"
+            " [1,2,3][-1] AS neg, arrayElement([5,6], 9) AS ae"
+        ).sql
+    ).first()
+    assert (r["a"], r["oob"], r["neg"], r["ae"]) == (2, None, 3, None)
