@@ -512,6 +512,35 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
     "toUInt32": ("(s STRING) RETURNS BIGINT", "CAST(s AS BIGINT)"),
     "toUInt64": ("(s STRING) RETURNS BIGINT", "CAST(s AS BIGINT)"),
     "toFloat32": ("(s STRING) RETURNS FLOAT", "CAST(s AS FLOAT)"),
+    # -OrNull / -OrZero conversion family: unparseable input -> NULL / 0
+    # (plain to* THROWS under ANSI where ClickHouse throws too)
+    **{
+        f"to{ch}OrNull": (
+            f"(s STRING) RETURNS {sp}", f"TRY_CAST(s AS {sp})"
+        )
+        for ch, sp in [
+            ("Int8", "TINYINT"), ("Int16", "SMALLINT"), ("Int32", "INT"),
+            ("Int64", "BIGINT"), ("UInt8", "SMALLINT"), ("UInt16", "INT"),
+            ("UInt32", "BIGINT"), ("UInt64", "BIGINT"),
+            ("Float32", "FLOAT"),
+        ]
+    },
+    **{
+        f"to{ch}OrZero": (
+            f"(s STRING) RETURNS {sp}",
+            f"COALESCE(TRY_CAST(s AS {sp}), CAST(0 AS {sp}))",
+        )
+        for ch, sp in [
+            ("Int8", "TINYINT"), ("Int16", "SMALLINT"), ("Int32", "INT"),
+            ("Int64", "BIGINT"), ("UInt8", "SMALLINT"), ("UInt16", "INT"),
+            ("UInt32", "BIGINT"), ("UInt64", "BIGINT"),
+            ("Float32", "FLOAT"), ("Float64", "DOUBLE"),
+        ]
+    },
+    "toDateOrNull": ("(s STRING) RETURNS DATE", "TRY_CAST(s AS DATE)"),
+    "toDateTimeOrNull": (
+        "(s STRING) RETURNS TIMESTAMP", "TRY_CAST(s AS TIMESTAMP)"
+    ),
     # 64-bit hash spellings. ROLE parity, not bit parity: CH's
     # sipHash64/cityHash64 and Spark's xxhash64 are different mixers, so
     # values differ across engines — fine for their actual uses

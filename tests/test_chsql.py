@@ -1518,3 +1518,20 @@ def test_subscripts_ansi_safe_out_of_bounds(views):
         ).sql
     ).first()
     assert (r["a"], r["oob"], r["neg"], r["ae"]) == (2, None, 3, None)
+
+
+def test_or_null_or_zero_conversions(views):
+    """The to*OrNull/to*OrZero conversion family: unparseable input maps
+    to NULL / 0 instead of the ANSI cast error the plain to* raises
+    (matching ClickHouse's throw-vs-default split)."""
+    r = views.sql(
+        translate(
+            "SELECT toInt32OrNull('abc') AS a, toInt32OrNull('42') AS b,"
+            " toInt64OrZero('x') AS c, toUInt16OrZero('7') AS d,"
+            " toDateOrNull('bogus') AS e,"
+            " toFloat64OrNull('2.5') AS f"
+        ).sql
+    ).first()
+    assert (r["a"], r["b"], r["c"], r["d"], r["e"], r["f"]) == (
+        None, 42, 0, 7, None, 2.5
+    )
