@@ -457,6 +457,34 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "(j STRING, k STRING) RETURNS BOOLEAN",
         "get_json_object(j, concat('$.', k)) IS NOT NULL",
     ),
+    # simpleJSON* is ClickHouse's fast non-nested scanner — same answers
+    # as JSONExtract* on the flat keys it supports
+    "simpleJSONExtractString": (
+        "(j STRING, k STRING) RETURNS STRING",
+        "get_json_object(j, concat('$.', k))",
+    ),
+    "simpleJSONExtractInt": (
+        "(j STRING, k STRING) RETURNS BIGINT",
+        "TRY_CAST(get_json_object(j, concat('$.', k)) AS BIGINT)",
+    ),
+    "simpleJSONExtractFloat": (
+        "(j STRING, k STRING) RETURNS DOUBLE",
+        "TRY_CAST(get_json_object(j, concat('$.', k)) AS DOUBLE)",
+    ),
+    "simpleJSONExtractBool": (
+        "(j STRING, k STRING) RETURNS BOOLEAN",
+        "TRY_CAST(get_json_object(j, concat('$.', k)) AS BOOLEAN)",
+    ),
+    "simpleJSONHas": (
+        "(j STRING, k STRING) RETURNS BOOLEAN",
+        "get_json_object(j, concat('$.', k)) IS NOT NULL",
+    ),
+    # raw elements of a SCALAR json array (nested-object elements need
+    # the full parser; documents' props only carry scalars)
+    "JSONExtractArrayRaw": (
+        "(j STRING, k STRING) RETURNS ARRAY<STRING>",
+        "from_json(get_json_object(j, concat('$.', k)), 'array<string>')",
+    ),
     "JSONLength": (
         "(j STRING) RETURNS INT",
         "size(from_json(j, 'map<string,string>'))",

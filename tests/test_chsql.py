@@ -1535,3 +1535,21 @@ def test_or_null_or_zero_conversions(views):
     assert (r["a"], r["b"], r["c"], r["d"], r["e"], r["f"]) == (
         None, 42, 0, 7, None, 2.5
     )
+
+
+def test_simple_json_family(views):
+    """simpleJSON* (ClickHouse's flat-key fast scanner) answers like the
+    JSONExtract* family on flat keys; JSONExtractArrayRaw splits a
+    scalar json array into raw element strings."""
+    j = '{"arr": [1, 2], "s": "x", "n": 7}'
+    r = views.sql(
+        translate(
+            f"SELECT simpleJSONExtractString('{j}', 's') AS a,"
+            f" simpleJSONExtractInt('{j}', 'n') AS b,"
+            f" simpleJSONHas('{j}', 'n') AS c,"
+            f" simpleJSONHas('{j}', 'zzz') AS d,"
+            f" JSONExtractArrayRaw('{j}', 'arr') AS e"
+        ).sql
+    ).first()
+    assert (r["a"], r["b"], r["c"], r["d"]) == ("x", 7, True, False)
+    assert r["e"] == ["1", "2"]
