@@ -899,6 +899,7 @@ _SCALAR_RENAMES = {
     "roundBankers": "bround",
     "bitCount": "bit_count",
     "toTypeName": "typeof",
+    "dateTrunc": "date_trunc",  # camelCase spelling of the same builtin
     # element-type-preserving (the ARRAY<STRING> SQL-UDF aliases would
     # stringify; renames keep ints ints)
     "arrayReverse": "reverse",
