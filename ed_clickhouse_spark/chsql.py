@@ -1047,6 +1047,77 @@ def _rewrite_scalar_misc(sql: str) -> str:
             if not m:
                 break
             sql = sql[: m.start()] + "(" + sql[sql.index("(", m.end() - 1) + 1:]
+    # ClickHouse length/empty/notEmpty are polymorphic over strings AND
+    # arrays; Spark's length is strings-only and the typed empty alias
+    # would stringify an array. A textual rewrite cannot know the type,
+    # but array-ness is usually syntactically evident — route those
+    # calls to size(); everything else keeps the string path.
+    def _arrayish(arg: str) -> bool:
+        a = arg.strip()
+        if a.startswith("["):
+            return True
+        if a.upper().startswith("CAST(") and "ARRAY" in a.upper():
+            return True
+        return bool(
+            re.match(
+                r"^(?:array|splitBy\w*|groupArray\w*|groupUniqArray|"
+                r"collect_list|collect_set|sequence|range|arrayMap|"
+                r"arrayFilter|arraySort|arrayReverseSort|arraySlice|"
+                r"arrayConcat|arrayDistinct|array_distinct|arrayCompact|"
+                r"arrayIntersect|arrayPushBack|arrayPushFront|"
+                r"arrayPopBack|arrayPopFront|extractAll|flatten|"
+                r"arrayFlatten|map_keys|mapKeys|map_values|mapValues|"
+                r"split|slice|transform|filter|reverse|topK)\s*\(",
+                a,
+            )
+        )
+
+    for fname, tmpl in (
+        ("length", "size({x})"),
+        ("notEmpty", "(size({x}) > 0)"),
+        ("empty", "(size({x}) <= 0)"),
+    ):
+        pos = 0
+        rx = re.compile(rf"\b{fname}\s*\(", re.I if fname == "length" else 0)
+        while True:
+            m = rx.search(sql, pos)
+            if not m:
+                break
+            instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+            if instr_at.get(m.start(), False):
+                pos = m.end()
+                continue
+            open1 = sql.index("(", m.end() - 1)
+            close1 = _call_end(sql, open1)
+            args = _split_top_commas(sql[open1 + 1: close1])
+            if len(args) != 1 or not _arrayish(args[0]):
+                pos = m.end()
+                continue
+            sql = sql[: m.start()] + tmpl.format(x=args[0]) + sql[close1 + 1:]
+            pos = m.start()
+    # 1-arg arrayStringConcat joins with the empty separator
+    pos = 0
+    asc_rx = re.compile(r"\barrayStringConcat\s*\(")
+    while True:
+        m = asc_rx.search(sql, pos)
+        if not m:
+            break
+        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        if instr_at.get(m.start(), False):
+            pos = m.end()
+            continue
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        if len(args) != 1:
+            pos = m.end()
+            continue
+        sql = (
+            sql[: m.start()]
+            + f"array_join({args[0]}, '')"
+            + sql[close1 + 1:]
+        )
+        pos = m.start()
     # toStartOfWeek(x, mode): even modes start Sunday, odd modes Monday
     # (the 1-arg default-mode form is the Sunday-anchored SQL alias)
     pos = 0

@@ -1553,3 +1553,22 @@ def test_simple_json_family(views):
     ).first()
     assert (r["a"], r["b"], r["c"], r["d"]) == ("x", 7, True, False)
     assert r["e"] == ["1", "2"]
+
+
+def test_polymorphic_length_empty_over_arrays(views):
+    """ClickHouse length/empty/notEmpty work on arrays too; the
+    syntactically-evident array arguments route to size() while string
+    arguments keep Spark's length, and 1-arg arrayStringConcat joins
+    with the empty separator."""
+    r = views.sql(
+        translate(
+            "SELECT length([1, 2, 3]) AS a, length('abc') AS b,"
+            " length(splitByChar(',', 'a,b')) AS c,"
+            " empty(CAST(array() AS ARRAY<INT>)) AS d, empty('') AS e,"
+            " empty([1]) AS f, notEmpty(splitByChar(',', 'a,b')) AS g,"
+            " arrayStringConcat(['a', 'b']) AS h"
+        ).sql
+    ).first()
+    assert (r["a"], r["b"], r["c"]) == (3, 3, 2)
+    assert (r["d"], r["e"], r["f"], r["g"]) == (True, True, False, True)
+    assert r["h"] == "ab"
