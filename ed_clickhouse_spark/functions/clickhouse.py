@@ -580,6 +580,36 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
     "farmHash64": ("(s STRING) RETURNS BIGINT", "xxhash64(s)"),
     # Spark strings are already valid UTF-8 at this boundary
     "toValidUTF8": ("(s STRING) RETURNS STRING", "s"),
+    "countMatches": (
+        "(s STRING, re STRING) RETURNS INT",
+        "size(regexp_extract_all(s, re, 0))",
+    ),
+    # contiguous-subsequence containment via the sliding-window exists
+    "hasSubstr": (
+        "(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS BOOLEAN",
+        "CASE WHEN size(b) = 0 THEN TRUE WHEN size(b) > size(a) THEN FALSE"
+        " ELSE exists(sequence(1, size(a) - size(b) + 1),"
+        " i -> slice(a, i, size(b)) = b) END",
+    ),
+    "multiSearchFirstPosition": (
+        "(s STRING, pats ARRAY<STRING>) RETURNS INT",
+        # smallest positive locate() over the needles; 0 when none hit
+        "coalesce(array_min(filter(transform(pats, p -> locate(p, s)),"
+        " x -> x > 0)), 0)",
+    ),
+    "splitByNonAlpha": (
+        "(s STRING) RETURNS ARRAY<STRING>",
+        "filter(split(s, '[^A-Za-z]+'), x -> x != '')",
+    ),
+    "isFinite": (
+        "(x DOUBLE) RETURNS BOOLEAN",
+        "NOT (isnan(x) OR x IN (double('inf'), double('-inf')))",
+    ),
+    "isInfinite": (
+        "(x DOUBLE) RETURNS BOOLEAN",
+        "x IN (double('inf'), double('-inf'))",
+    ),
+    # isNaN needs no alias: Spark's isnan resolves case-insensitively
     "SHA256": ("(s STRING) RETURNS BINARY", "unhex(sha2(s, 256))"),
     # bit-shift spellings
     "bitShiftLeft": ("(a BIGINT, n INT) RETURNS BIGINT", "shiftleft(a, n)"),

@@ -1572,3 +1572,24 @@ def test_polymorphic_length_empty_over_arrays(views):
     assert (r["a"], r["b"], r["c"]) == (3, 3, 2)
     assert (r["d"], r["e"], r["f"], r["g"]) == (True, True, False, True)
     assert r["h"] == "ab"
+
+
+def test_search_and_float_classifiers(views):
+    """Late round-4 batch: countMatches, contiguous-subsequence
+    hasSubstr, multiSearchFirstPosition (0 when nothing hits),
+    splitByNonAlpha, and the isFinite/isInfinite/isNaN classifiers."""
+    r = views.sql(
+        translate(
+            "SELECT countMatches('a1b2c3', '[0-9]') AS a,"
+            " hasSubstr([1,2,3,4], [2,3]) AS b,"
+            " hasSubstr([1,2,3,4], [2,4]) AS c,"
+            " multiSearchFirstPosition('hello world', ['xx', 'wor']) AS d,"
+            " multiSearchFirstPosition('hello', ['xx']) AS e,"
+            " splitByNonAlpha('a1b c') AS f,"
+            " isFinite(2.5) AS g, isInfinite(double('inf')) AS h,"
+            " isNaN(double('nan')) AS i"
+        ).sql
+    ).first()
+    assert (r["a"], r["b"], r["c"], r["d"], r["e"]) == (3, True, False, 7, 0)
+    assert r["f"] == ["a", "b", "c"]
+    assert (r["g"], r["h"], r["i"]) == (True, True, True)
