@@ -919,6 +919,14 @@ _SCALAR_RENAMES = {
     "minOrNull": "min",
     "maxOrNull": "max",
     "anyOrNull": "any_value",
+    # Kahan compensation is moot: Spark sums DOUBLE in the JVM the same
+    # way ClickHouse's plain sum does — map to sum
+    "sumKahan": "sum",
+    "editDistance": "levenshtein",
+    "levenshteinDistance": "levenshtein",
+    "toLastDayOfMonth": "last_day",
+    "widthBucket": "width_bucket",
+    "mapFromArrays": "map_from_arrays",
 }
 
 # Element-type-preserving argument-splicing rewrites: ClickHouse array
@@ -935,8 +943,78 @@ _ARRAY_SPLICE: dict[str, dict[int, str]] = {
     "arrayPopFront": {1: "slice({0}, 2, greatest(size({0}) - 1, 0))"},
     "arrayWithConstant": {2: "array_repeat({1}, {0})"},
     "arrayResize": {
+        # 2-arg form pads with the zero of the ELEMENT type (numeric
+        # only — the try_element_at difference idiom, see arrayDifference)
+        2: "concat(slice({0}, 1, least({1}, size({0}))),"
+           " array_repeat(try_element_at({0}, 1) - try_element_at({0}, 1),"
+           " greatest(({1}) - size({0}), 0)))",
         3: "concat(slice({0}, 1, least({1}, size({0}))),"
            " array_repeat({2}, greatest(({1}) - size({0}), 0)))",
+    },
+    "arrayRotateLeft": {
+        2: "(CASE WHEN size({0}) = 0 THEN {0} ELSE"
+           " concat(slice({0}, pmod({1}, size({0})) + 1, size({0})),"
+           " slice({0}, 1, pmod({1}, size({0})))) END)",
+    },
+    "arrayRotateRight": {
+        2: "(CASE WHEN size({0}) = 0 THEN {0} ELSE"
+           " concat(slice({0}, pmod(-({1}), size({0})) + 1, size({0})),"
+           " slice({0}, 1, pmod(-({1}), size({0})))) END)",
+    },
+    # shift fills with the element-type zero (2-arg) or the given fill
+    # (3-arg); negative n shifts the other way, like ClickHouse
+    "arrayShiftLeft": {
+        2: "(CASE WHEN ({1}) >= 0 THEN"
+           " concat(slice({0}, least(({1}), size({0})) + 1, size({0})),"
+           " array_repeat(try_element_at({0}, 1) - try_element_at({0}, 1),"
+           " least(({1}), size({0}))))"
+           " ELSE concat(array_repeat(try_element_at({0}, 1)"
+           " - try_element_at({0}, 1), least(-({1}), size({0}))),"
+           " slice({0}, 1, greatest(size({0}) - least(-({1}), size({0})),"
+           " 0))) END)",
+        3: "(CASE WHEN ({1}) >= 0 THEN"
+           " concat(slice({0}, least(({1}), size({0})) + 1, size({0})),"
+           " array_repeat({2}, least(({1}), size({0}))))"
+           " ELSE concat(array_repeat({2}, least(-({1}), size({0}))),"
+           " slice({0}, 1, greatest(size({0}) - least(-({1}), size({0})),"
+           " 0))) END)",
+    },
+    "arrayShiftRight": {
+        2: "(CASE WHEN (-({1})) >= 0 THEN"
+           " concat(slice({0}, least((-({1})), size({0})) + 1, size({0})),"
+           " array_repeat(try_element_at({0}, 1) - try_element_at({0}, 1),"
+           " least((-({1})), size({0}))))"
+           " ELSE concat(array_repeat(try_element_at({0}, 1)"
+           " - try_element_at({0}, 1), least(({1}), size({0}))),"
+           " slice({0}, 1, greatest(size({0}) - least(({1}), size({0})),"
+           " 0))) END)",
+        3: "(CASE WHEN (-({1})) >= 0 THEN"
+           " concat(slice({0}, least((-({1})), size({0})) + 1, size({0})),"
+           " array_repeat({2}, least((-({1})), size({0}))))"
+           " ELSE concat(array_repeat({2}, least(({1}), size({0}))),"
+           " slice({0}, 1, greatest(size({0}) - least(({1}), size({0})),"
+           " 0))) END)",
+    },
+    # ClickHouse arg order is (lambda, arr, init); Spark aggregate takes
+    # (arr, init, lambda) with the same (acc, x) lambda shape
+    "arrayFold": {3: "aggregate({1}, {2}, {0})"},
+    # first-n-sorted with the remainder unspecified: a full sort
+    # satisfies the contract (and is what Catalyst would plan anyway)
+    "arrayPartialSort": {2: "array_sort({1})"},
+    "arrayReversePartialSort": {2: "reverse(array_sort({1}))"},
+    "splitByRegexp": {2: "split({1}, {0})"},
+    "monthName": {1: "date_format({0}, 'MMMM')"},
+    # ClickHouse's map HOFs take the lambda FIRST; Spark's map_filter
+    # takes it second with the same (k, v) shape
+    "mapFilter": {2: "map_filter({1}, {0})"},
+    # element-wise map arithmetic; missing keys count as zero
+    "mapAdd": {
+        2: "map_zip_with({0}, {1}, (__ch_k, __ch_a, __ch_b) ->"
+           " coalesce(__ch_a, 0) + coalesce(__ch_b, 0))",
+    },
+    "mapSubtract": {
+        2: "map_zip_with({0}, {1}, (__ch_k, __ch_a, __ch_b) ->"
+           " coalesce(__ch_a, 0) - coalesce(__ch_b, 0))",
     },
     "arrayUniq": {1: "size(array_distinct({0}))"},
     "countEqual": {2: "size(filter({0}, __ch_y -> __ch_y <=> ({1})))"},
@@ -959,6 +1037,27 @@ _ARRAY_SPLICE: dict[str, dict[int, str]] = {
            " CAST(0.0 AS DOUBLE),"
            " (__ch_s, __ch_t) -> __ch_s + __ch_t)) END)",
     },
+}
+# caseWithExpression(x, w1, r1, ..., else) IS CASE x WHEN ... END
+_ARRAY_SPLICE["caseWithExpression"] = {
+    2 * k + 2: (
+        "(CASE {0}"
+        + "".join(f" WHEN {{{2 * j + 1}}} THEN {{{2 * j + 2}}}"
+                  for j in range(k))
+        + f" ELSE {{{2 * k + 1}}} END)"
+    )
+    for k in range(1, 6)
+}
+# pointInEllipses(x, y, x0, y0, a0, b0, ...) — inside ANY listed ellipse
+_ARRAY_SPLICE["pointInEllipses"] = {
+    2 + 4 * k: "(" + " OR ".join(
+        f"((({{0}}) - ({{{2 + 4 * j}}})) * (({{0}}) - ({{{2 + 4 * j}}}))"
+        f" / (({{{4 + 4 * j}}}) * ({{{4 + 4 * j}}}))"
+        f" + (({{1}}) - ({{{3 + 4 * j}}})) * (({{1}}) - ({{{3 + 4 * j}}}))"
+        f" / (({{{5 + 4 * j}}}) * ({{{5 + 4 * j}}})) <= 1.0)"
+        for j in range(k)
+    ) + ")"
+    for k in range(1, 4)
 }
 # wrappers that are the identity under Spark's nullability model
 _IDENTITY_FNS = ("assumeNotNull", "toNullable", "materialize")
@@ -1225,6 +1324,116 @@ def _rewrite_scalar_misc(sql: str) -> str:
         sql = (
             sql[: m.start()]
             + f"{fn}({args[0]}, '{java}')"
+            + sql[close1 + 1:]
+        )
+        pos = m.start()
+    # ClickHouse's variadic char(n1, n2, ...) builds a string from code
+    # points (mod 256, which Spark's chr also applies). Multi-arg only:
+    # the 1-arg form IS Spark's builtin, and `cast(x as char(10))` is a
+    # TYPE — the AS-guard plus the >=2-args condition keeps both intact.
+    pos = 0
+    ch_rx = re.compile(r"\bchar\s*\(")
+    while True:
+        m = ch_rx.search(sql, pos)
+        if not m:
+            break
+        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        if instr_at.get(m.start(), False) or re.search(
+            r"(?i)\bas\s*$", sql[: m.start()]
+        ):
+            pos = m.end()
+            continue
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        if len(args) < 2:
+            pos = m.end()
+            continue
+        repl = "concat(" + ", ".join(f"chr({a.strip()})" for a in args) + ")"
+        sql = sql[: m.start()] + repl + sql[close1 + 1:]
+        pos = m.start()
+    # mapApply((k, v) -> (k', v'), m): Spark has no entry-to-entry map
+    # HOF, so rebuild through entries — the user's lambda params are
+    # substituted with the entry's key/value fields
+    pos = 0
+    ma_rx = re.compile(r"\bmapApply\s*\(")
+    while True:
+        m = ma_rx.search(sql, pos)
+        if not m:
+            break
+        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        if instr_at.get(m.start(), False):
+            pos = m.end()
+            continue
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        lam = args[0].strip() if args else ""
+        lm = re.fullmatch(
+            r"\(\s*(\w+)\s*,\s*(\w+)\s*\)\s*->\s*\((.*)\)", lam, re.S
+        )
+        if len(args) != 2 or not lm:
+            raise ValueError(
+                "mapApply translates with ((k, v) -> (keyExpr, valExpr),"
+                " map) only"
+            )
+        kvar, vvar, body = lm.group(1), lm.group(2), lm.group(3)
+        parts = _split_top_commas(body)
+        if len(parts) != 2:
+            raise ValueError("mapApply lambda must return a (key, value) pair")
+        def _subst(expr: str) -> str:
+            expr = re.sub(rf"\b{kvar}\b", "__ch_e.key", expr)
+            return re.sub(rf"\b{vvar}\b", "__ch_e.value", expr)
+        repl = (
+            f"map_from_entries(transform(map_entries({args[1].strip()}),"
+            f" __ch_e -> struct({_subst(parts[0])} AS key,"
+            f" {_subst(parts[1])} AS value)))"
+        )
+        sql = sql[: m.start()] + repl + sql[close1 + 1:]
+        pos = m.start()
+    # format('{} and {n}', ...) with a LITERAL pattern → format_string:
+    # {} consumes arguments in order, {n} is 0-based positional; literal
+    # % is escaped so it can't be misread as a conversion
+    pos = 0
+    fmt_rx = re.compile(r"\bformat\s*\(")
+    while True:
+        m = fmt_rx.search(sql, pos)
+        if not m:
+            break
+        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        if instr_at.get(m.start(), False):
+            pos = m.end()
+            continue
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        pat = args[0].strip() if args else ""
+        if len(args) < 2 or not re.fullmatch(r"'(?:[^'\\]|\\.|'')*'", pat):
+            pos = m.end()  # not the CH pattern form — leave untouched
+            continue
+        body, out, i, seq = pat[1:-1], [], 0, 0
+        while i < len(body):
+            c = body[i]
+            if c == "%":
+                out.append("%%")
+                i += 1
+                continue
+            if c == "{":
+                j = body.index("}", i)
+                ref = body[i + 1: j].strip()
+                if ref == "":
+                    seq += 1
+                    out.append("%s")
+                else:
+                    out.append(f"%{int(ref) + 1}$s")
+                i = j + 1
+                continue
+            out.append(c)
+            i += 1
+        new_pat = "'" + "".join(out) + "'"
+        sql = (
+            sql[: m.start()]
+            + f"format_string({new_pat}, {', '.join(a.strip() for a in args[1:])})"
             + sql[close1 + 1:]
         )
         pos = m.start()

@@ -485,9 +485,23 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "(j STRING, k STRING) RETURNS ARRAY<STRING>",
         "from_json(get_json_object(j, concat('$.', k)), 'array<string>')",
     ),
+    # arrays report element count, objects key count (json_array_length
+    # is NULL on an object, so coalesce picks the right branch)
     "JSONLength": (
         "(j STRING) RETURNS INT",
-        "size(from_json(j, 'map<string,string>'))",
+        "coalesce(json_array_length(j),"
+        " size(from_json(j, 'map<string,string>')))",
+    ),
+    "JSONType": (
+        "(j STRING) RETURNS STRING",
+        "CASE WHEN j IS NULL OR trim(j) = '' THEN NULL"
+        " WHEN left(trim(j), 1) = '{' THEN 'Object'"
+        " WHEN left(trim(j), 1) = '[' THEN 'Array'"
+        " WHEN left(trim(j), 1) = '\"' THEN 'String'"
+        " WHEN trim(j) IN ('true', 'false') THEN 'Bool'"
+        " WHEN trim(j) = 'null' THEN 'Null'"
+        " WHEN trim(j) RLIKE '^-?[0-9]+$' THEN 'Int64'"
+        " ELSE 'Double' END",
     ),
     "formatReadableSize": (
         "(b DOUBLE) RETURNS STRING",
@@ -610,6 +624,248 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "x IN (double('inf'), double('-inf'))",
     ),
     # isNaN needs no alias: Spark's isnan resolves case-insensitively
+    "appendTrailingCharIfAbsent": (
+        "(s STRING, c STRING) RETURNS STRING",
+        "IF(endswith(s, c), s, concat(s, c))",
+    ),
+    "positionCaseInsensitive": (
+        "(h STRING, n STRING) RETURNS INT",
+        "locate(lower(n), lower(h))",
+    ),
+    "firstLine": ("(s STRING) RETURNS STRING", "substring_index(s, '\\n', 1)"),
+    # token splitters: tokens() is ClickHouse's default (alphanumeric)
+    # tokenizer; alphaTokens keeps letter runs only
+    "tokens": (
+        "(s STRING) RETURNS ARRAY<STRING>",
+        "filter(split(s, '[^A-Za-z0-9]+'), __ch_t -> __ch_t != '')",
+    ),
+    "alphaTokens": (
+        "(s STRING) RETURNS ARRAY<STRING>",
+        "filter(split(s, '[^A-Za-z]+'), __ch_t -> __ch_t != '')",
+    ),
+    "ngrams": (
+        "(s STRING, n INT) RETURNS ARRAY<STRING>",
+        "IF(length(s) < n, CAST(array() AS ARRAY<STRING>),"
+        " transform(sequence(1, length(s) - n + 1),"
+        " __ch_i -> substring(s, __ch_i, n)))",
+    ),
+    # literal replacement only ('?' for every string/number literal) —
+    # the fingerprint ClickHouse's normalizeQuery computes for query_log
+    "normalizeQuery": (
+        "(q STRING) RETURNS STRING",
+        "regexp_replace(regexp_replace(q,"
+        " '\\'[^\\']*\\'', '?'),"
+        " '(?<![A-Za-z0-9_])[0-9]+(\\\\.[0-9]+)?', '?')",
+    ),
+    # Euclid fold: 96 iterations bounds the worst (Fibonacci) 64-bit case
+    "gcd": (
+        "(a BIGINT, b BIGINT) RETURNS BIGINT",
+        "aggregate(sequence(1, 96), named_struct('g', abs(a), 'h', abs(b)),"
+        " (__ch_acc, __ch_i) -> IF(__ch_acc.h = 0, __ch_acc,"
+        " named_struct('g', __ch_acc.h, 'h', __ch_acc.g % __ch_acc.h)),"
+        " __ch_acc -> __ch_acc.g)",
+    ),
+    "lcm": (
+        "(a BIGINT, b BIGINT) RETURNS BIGINT",
+        "CASE WHEN a = 0 OR b = 0 THEN 0"
+        " ELSE abs((a div gcd(a, b)) * b) END",
+    ),
+    # greatest boundary <= x; below the smallest boundary ClickHouse
+    # returns that smallest boundary
+    "roundDown": (
+        "(x DOUBLE, bounds ARRAY<DOUBLE>) RETURNS DOUBLE",
+        "coalesce(array_max(filter(bounds, __ch_e -> __ch_e <= x)),"
+        " array_min(bounds))",
+    ),
+    "roundToExp2": (
+        "(x BIGINT) RETURNS BIGINT",
+        "IF(x < 1, 0, shiftleft(CAST(1 AS BIGINT),"
+        " CAST(floor(log2(x)) AS INT)))",
+    ),
+    # hash stand-ins: same 64-bit avalanche role; the VALUES differ from
+    # ClickHouse's (documented deviation, same as cityHash64/farmHash64)
+    "murmurHash3_64": ("(s STRING) RETURNS BIGINT", "xxhash64(s)"),
+    "murmurHash2_64": ("(s STRING) RETURNS BIGINT", "xxhash64(s)"),
+    "randCanonical": ("() RETURNS DOUBLE", "rand()"),
+    "randUniform": (
+        "(lo DOUBLE, hi DOUBLE) RETURNS DOUBLE",
+        "lo + rand() * (hi - lo)",
+    ),
+    "randNormal": (
+        "(mu DOUBLE, sigma DOUBLE) RETURNS DOUBLE",
+        "mu + sigma * randn()",
+    ),
+    "randExponential": (
+        "(rate DOUBLE) RETURNS DOUBLE",
+        "-ln(1.0 - rand()) / rate",
+    ),
+    "bitmaskToList": (
+        "(x BIGINT) RETURNS STRING",
+        "concat_ws(',', transform(filter(sequence(0, 62),"
+        " __ch_b -> (x & shiftleft(CAST(1 AS BIGINT), __ch_b)) != 0),"
+        " __ch_b -> CAST(shiftleft(CAST(1 AS BIGINT), __ch_b)"
+        " AS STRING)))",
+    ),
+    "bitmaskToArray": (
+        "(x BIGINT) RETURNS ARRAY<BIGINT>",
+        "transform(filter(sequence(0, 62),"
+        " __ch_b -> (x & shiftleft(CAST(1 AS BIGINT), __ch_b)) != 0),"
+        " __ch_b -> shiftleft(CAST(1 AS BIGINT), __ch_b))",
+    ),
+    "domainWithoutWWW": (
+        "(u STRING) RETURNS STRING",
+        r"regexp_replace(parse_url(u, 'HOST'), '^www\\.', '')",
+    ),
+    "isIPv4String": (
+        "(s STRING) RETURNS BOOLEAN",
+        r"s RLIKE '^(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+        r"(\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}$'",
+    ),
+    "isIPv6String": (
+        "(s STRING) RETURNS BOOLEAN",
+        "s RLIKE '^([0-9A-Fa-f]{0,4}:){2,7}[0-9A-Fa-f]{0,4}$'"
+        " AND s RLIKE ':'",
+    ),
+    # haversine metres on ClickHouse's sphere radius; geoDistance's
+    # WGS-84 ellipsoid correction is approximated by the same sphere
+    # (documented deviation, < 0.5% at any latitude)
+    "greatCircleDistance": (
+        "(lon1 DOUBLE, lat1 DOUBLE, lon2 DOUBLE, lat2 DOUBLE)"
+        " RETURNS DOUBLE",
+        "2 * 6372797.560856 * asin(sqrt("
+        "pow(sin(radians(lat2 - lat1) / 2), 2)"
+        " + cos(radians(lat1)) * cos(radians(lat2))"
+        " * pow(sin(radians(lon2 - lon1) / 2), 2)))",
+    ),
+    "geoDistance": (
+        "(lon1 DOUBLE, lat1 DOUBLE, lon2 DOUBLE, lat2 DOUBLE)"
+        " RETURNS DOUBLE",
+        "2 * 6372797.560856 * asin(sqrt("
+        "pow(sin(radians(lat2 - lat1) / 2), 2)"
+        " + cos(radians(lat1)) * cos(radians(lat2))"
+        " * pow(sin(radians(lon2 - lon1) / 2), 2)))",
+    ),
+    # vector-distance family over ARRAY<DOUBLE> (L2/cosine/dot already
+    # registered elsewhere in this table)
+    "LinfDistance": (
+        "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE",
+        "array_max(zip_with(a, b, (__ch_x, __ch_y) -> abs(__ch_x - __ch_y)))",
+    ),
+    "L2SquaredDistance": (
+        "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE",
+        "aggregate(zip_with(a, b,"
+        " (__ch_x, __ch_y) -> (__ch_x - __ch_y) * (__ch_x - __ch_y)),"
+        " CAST(0.0 AS DOUBLE), (__ch_s, __ch_v) -> __ch_s + __ch_v)",
+    ),
+    "L1Norm": (
+        "(a ARRAY<DOUBLE>) RETURNS DOUBLE",
+        "aggregate(a, CAST(0.0 AS DOUBLE),"
+        " (__ch_s, __ch_v) -> __ch_s + abs(__ch_v))",
+    ),
+    "LinfNorm": (
+        "(a ARRAY<DOUBLE>) RETURNS DOUBLE",
+        "array_max(transform(a, __ch_x -> abs(__ch_x)))",
+    ),
+    "L2Normalize": (
+        "(a ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE>",
+        "transform(a, __ch_x -> __ch_x / sqrt(aggregate(a,"
+        " CAST(0.0 AS DOUBLE),"
+        " (__ch_s, __ch_v) -> __ch_s + __ch_v * __ch_v)))",
+    ),
+    # typed empty-array constructors
+    "emptyArrayUInt8": ("() RETURNS ARRAY<SMALLINT>", "CAST(array() AS ARRAY<SMALLINT>)"),
+    "emptyArrayUInt16": ("() RETURNS ARRAY<INT>", "CAST(array() AS ARRAY<INT>)"),
+    "emptyArrayUInt32": ("() RETURNS ARRAY<BIGINT>", "CAST(array() AS ARRAY<BIGINT>)"),
+    "emptyArrayUInt64": ("() RETURNS ARRAY<BIGINT>", "CAST(array() AS ARRAY<BIGINT>)"),
+    "emptyArrayInt8": ("() RETURNS ARRAY<TINYINT>", "CAST(array() AS ARRAY<TINYINT>)"),
+    "emptyArrayInt16": ("() RETURNS ARRAY<SMALLINT>", "CAST(array() AS ARRAY<SMALLINT>)"),
+    "emptyArrayInt32": ("() RETURNS ARRAY<INT>", "CAST(array() AS ARRAY<INT>)"),
+    "emptyArrayInt64": ("() RETURNS ARRAY<BIGINT>", "CAST(array() AS ARRAY<BIGINT>)"),
+    "emptyArrayFloat32": ("() RETURNS ARRAY<FLOAT>", "CAST(array() AS ARRAY<FLOAT>)"),
+    "emptyArrayFloat64": ("() RETURNS ARRAY<DOUBLE>", "CAST(array() AS ARRAY<DOUBLE>)"),
+    "emptyArrayString": ("() RETURNS ARRAY<STRING>", "CAST(array() AS ARRAY<STRING>)"),
+    "emptyArrayDate": ("() RETURNS ARRAY<DATE>", "CAST(array() AS ARRAY<DATE>)"),
+    "emptyArrayDateTime": ("() RETURNS ARRAY<TIMESTAMP>", "CAST(array() AS ARRAY<TIMESTAMP>)"),
+    # erf/erfc via Abramowitz-Stegun 7.1.26 (|error| < 1.5e-7) — the
+    # same scalar spellings ClickHouse exposes
+    "erf": (
+        "(x DOUBLE) RETURNS DOUBLE",
+        "sign(x) * (1.0 - (0.254829592 / (1.0 + 0.3275911 * abs(x))"
+        " - 0.284496736 * pow(1.0 / (1.0 + 0.3275911 * abs(x)), 2)"
+        " + 1.421413741 * pow(1.0 / (1.0 + 0.3275911 * abs(x)), 3)"
+        " - 1.453152027 * pow(1.0 / (1.0 + 0.3275911 * abs(x)), 4)"
+        " + 1.061405429 * pow(1.0 / (1.0 + 0.3275911 * abs(x)), 5))"
+        " * exp(-x * x))",
+    ),
+    "erfc": ("(x DOUBLE) RETURNS DOUBLE", "1.0 - erf(x)"),
+    # Acklam's rational approximation of the standard-normal quantile
+    # (|relative error| < 1.15e-9); the helper proportionsZTest's CI
+    # needs, exposed under a ClickHouse-style spelling
+    "normalQuantile": (
+        "(p DOUBLE) RETURNS DOUBLE",
+        "CASE"
+        " WHEN p <= 0 OR p >= 1 THEN CAST('NaN' AS DOUBLE)"
+        " WHEN p < 0.02425 THEN"
+        "  (((((-7.784894002430293e-03 * sqrt(-2.0 * ln(p))"
+        "  - 3.223964580411365e-01) * sqrt(-2.0 * ln(p))"
+        "  - 2.400758277161838e+00) * sqrt(-2.0 * ln(p))"
+        "  - 2.549732539343734e+00) * sqrt(-2.0 * ln(p))"
+        "  + 4.374664141464968e+00) * sqrt(-2.0 * ln(p))"
+        "  + 2.938163982698783e+00)"
+        "  / ((((7.784695709041462e-03 * sqrt(-2.0 * ln(p))"
+        "  + 3.224671290700398e-01) * sqrt(-2.0 * ln(p))"
+        "  + 2.445134137142996e+00) * sqrt(-2.0 * ln(p))"
+        "  + 3.754408661907416e+00) * sqrt(-2.0 * ln(p)) + 1.0)"
+        " WHEN p > 0.97575 THEN"
+        "  -((((((-7.784894002430293e-03 * sqrt(-2.0 * ln(1.0 - p))"
+        "  - 3.223964580411365e-01) * sqrt(-2.0 * ln(1.0 - p))"
+        "  - 2.400758277161838e+00) * sqrt(-2.0 * ln(1.0 - p))"
+        "  - 2.549732539343734e+00) * sqrt(-2.0 * ln(1.0 - p))"
+        "  + 4.374664141464968e+00) * sqrt(-2.0 * ln(1.0 - p))"
+        "  + 2.938163982698783e+00)"
+        "  / ((((7.784695709041462e-03 * sqrt(-2.0 * ln(1.0 - p))"
+        "  + 3.224671290700398e-01) * sqrt(-2.0 * ln(1.0 - p))"
+        "  + 2.445134137142996e+00) * sqrt(-2.0 * ln(1.0 - p))"
+        "  + 3.754408661907416e+00) * sqrt(-2.0 * ln(1.0 - p)) + 1.0))"
+        " ELSE"
+        "  (((((-3.969683028665376e+01 * pow(p - 0.5, 2)"
+        "  + 2.209460984245205e+02) * pow(p - 0.5, 2)"
+        "  - 2.759285104469687e+02) * pow(p - 0.5, 2)"
+        "  + 1.383577518672690e+02) * pow(p - 0.5, 2)"
+        "  - 3.066479806614716e+01) * pow(p - 0.5, 2)"
+        "  + 2.506628277459239e+00) * (p - 0.5)"
+        "  / (((((-5.447609879822406e+01 * pow(p - 0.5, 2)"
+        "  + 1.615858368580409e+02) * pow(p - 0.5, 2)"
+        "  - 1.556989798598866e+02) * pow(p - 0.5, 2)"
+        "  + 6.680131188771972e+01) * pow(p - 0.5, 2)"
+        "  - 1.328068155288572e+01) * pow(p - 0.5, 2) + 1.0)"
+        " END",
+    ),
+    # two-proportion z-test over pre-aggregated counts, the ClickHouse
+    # tuple re-expressed as a named struct; two-sided p via erfc
+    "proportionsZTest": (
+        "(sx DOUBLE, sy DOUBLE, tx DOUBLE, ty DOUBLE, conf DOUBLE,"
+        " usevar STRING) RETURNS"
+        " STRUCT<z_statistic: DOUBLE, p_value: DOUBLE,"
+        " ci_lower: DOUBLE, ci_upper: DOUBLE>",
+        "named_struct("
+        " 'z_statistic', (sx / tx - sy / ty) / (CASE lower(usevar)"
+        "   WHEN 'pooled' THEN sqrt(((sx + sy) / (tx + ty))"
+        "     * (1.0 - (sx + sy) / (tx + ty)) * (1.0 / tx + 1.0 / ty))"
+        "   ELSE sqrt((sx / tx) * (1.0 - sx / tx) / tx"
+        "     + (sy / ty) * (1.0 - sy / ty) / ty) END),"
+        " 'p_value', erfc(abs((sx / tx - sy / ty) / (CASE lower(usevar)"
+        "   WHEN 'pooled' THEN sqrt(((sx + sy) / (tx + ty))"
+        "     * (1.0 - (sx + sy) / (tx + ty)) * (1.0 / tx + 1.0 / ty))"
+        "   ELSE sqrt((sx / tx) * (1.0 - sx / tx) / tx"
+        "     + (sy / ty) * (1.0 - sy / ty) / ty) END)) / sqrt(2.0)),"
+        " 'ci_lower', (sx / tx - sy / ty) - normalQuantile(1.0 - (1.0 - conf) / 2.0)"
+        "   * sqrt((sx / tx) * (1.0 - sx / tx) / tx"
+        "     + (sy / ty) * (1.0 - sy / ty) / ty),"
+        " 'ci_upper', (sx / tx - sy / ty) + normalQuantile(1.0 - (1.0 - conf) / 2.0)"
+        "   * sqrt((sx / tx) * (1.0 - sx / tx) / tx"
+        "     + (sy / ty) * (1.0 - sy / ty) / ty))",
+    ),
     "SHA256": ("(s STRING) RETURNS BINARY", "unhex(sha2(s, 256))"),
     # bit-shift spellings
     "bitShiftLeft": ("(a BIGINT, n INT) RETURNS BIGINT", "shiftleft(a, n)"),

@@ -1593,3 +1593,136 @@ def test_search_and_float_classifiers(views):
     assert (r["a"], r["b"], r["c"], r["d"], r["e"]) == (3, True, False, 7, 0)
     assert r["f"] == ["a", "b", "c"]
     assert (r["g"], r["h"], r["i"]) == (True, True, True)
+
+
+def test_string_math_hash_random_battery(views):
+    """Round-4 probe batch 1: string helpers, number theory, rounding,
+    bitmask decomposition, and the literal-format rewrite."""
+    r = views.sql(
+        translate(
+            "SELECT appendTrailingCharIfAbsent('dir', '/') AS a,"
+            " appendTrailingCharIfAbsent('dir/', '/') AS b,"
+            " positionCaseInsensitive('Hello', 'he') AS c,"
+            " editDistance('abc', 'axc') AS d,"
+            " firstLine('one\\ntwo') AS e,"
+            " tokens('a-1 b!') AS f, alphaTokens('ab12cd') AS g,"
+            " ngrams('abcd', 2) AS h, ngrams('a', 3) AS i,"
+            " gcd(12, 18) AS j, lcm(4, 6) AS k, gcd(0, 7) AS l,"
+            " roundDown(7.7, [1.0, 5.0, 10.0]) AS m,"
+            " roundDown(0.5, [1.0, 5.0]) AS n,"
+            " roundToExp2(17) AS o,"
+            " bitmaskToList(10) AS p, bitmaskToArray(6) AS q,"
+            " monthName(toDate('2024-03-05')) AS r,"
+            " toLastDayOfMonth(toDate('2024-02-05')) AS s,"
+            " format('{} and {0}!', 'x') AS t,"
+            " char(72, 105) AS u,"
+            " normalizeQuery(\"SELECT 12 FROM t WHERE s = 'ab'\") AS v"
+        ).sql
+    ).first()
+    assert (r["a"], r["b"]) == ("dir/", "dir/")
+    assert (r["c"], r["d"]) == (1, 1)
+    assert r["e"] == "one"
+    assert (r["f"], r["g"]) == (["a", "1", "b"], ["ab", "cd"])
+    assert (r["h"], r["i"]) == (["ab", "bc", "cd"], [])
+    assert (r["j"], r["k"], r["l"]) == (6, 12, 7)
+    assert (r["m"], r["n"], r["o"]) == (5.0, 1.0, 16)
+    assert (r["p"], r["q"]) == ("2,8", [2, 4])
+    assert (r["r"], str(r["s"])) == ("March", "2024-02-29")
+    assert (r["t"], r["u"]) == ("x and x!", "Hi")
+    assert r["v"] == "SELECT ? FROM t WHERE s = ?"
+
+
+def test_array_edit_rotate_shift_fold(views):
+    """Round-4 probe batch 2: rotate/shift/resize with element-type
+    zeros, fold, partial sort, splitByRegexp arg order."""
+    r = views.sql(
+        translate(
+            "SELECT arrayRotateLeft([1,2,3,4], 1) AS a,"
+            " arrayRotateLeft([1,2,3,4], -1) AS b,"
+            " arrayRotateRight([1,2,3,4], 1) AS c,"
+            " arrayShiftLeft([1,2,3], 1) AS d,"
+            " arrayShiftLeft([1,2,3], -1) AS e,"
+            " arrayShiftRight([1,2,3], 1, 9) AS f,"
+            " arrayResize([1,2,3], 2) AS g, arrayResize([1,2], 4) AS h,"
+            " arrayFold((acc, x) -> acc * 10 + x, [1,2,3], 0) AS i,"
+            " arrayPartialSort(2, [3,1,2]) AS j,"
+            " splitByRegexp('[0-9]+', 'a12b3c') AS k,"
+            " arrayRotateLeft(CAST(array() AS ARRAY<INT>), 2) AS l"
+        ).sql
+    ).first()
+    assert (r["a"], r["b"], r["c"]) == ([2, 3, 4, 1], [4, 1, 2, 3], [4, 1, 2, 3])
+    assert (r["d"], r["e"], r["f"]) == ([2, 3, 0], [0, 1, 2], [9, 1, 2])
+    assert (r["g"], r["h"]) == ([1, 2], [1, 2, 0, 0])
+    assert r["i"] == 123
+    assert r["j"] == [1, 2, 3]
+    assert r["k"] == ["a", "b", "c"]
+    assert r["l"] == []
+
+
+def test_map_hofs_and_variadic_rewrites(views):
+    """Round-4 probe batch 3: map HOFs (ClickHouse lambda-first order),
+    map arithmetic, caseWithExpression, pointInEllipses."""
+    r = views.sql(
+        translate(
+            "SELECT mapFilter((k, v) -> v > 1, map(1, 1, 2, 2)) AS a,"
+            " mapApply((k, v) -> (k, v * 2), map(1, 3)) AS b,"
+            " mapAdd(map('a', 1), map('a', 2, 'b', 5)) AS c,"
+            " mapSubtract(map('a', 3), map('a', 1)) AS d,"
+            " mapFromArrays([1, 2], ['x', 'y']) AS e,"
+            " caseWithExpression(2, 1, 'a', 2, 'b', 'z') AS f,"
+            " caseWithExpression(9, 1, 'a', 'z') AS g,"
+            " pointInEllipses(1.0, 1.0, 0.0, 0.0, 2.0, 2.0) AS h,"
+            " pointInEllipses(5.0, 5.0, 0.0, 0.0, 1.0, 1.0,"
+            "                 5.0, 5.0, 1.0, 1.0) AS i"
+        ).sql
+    ).first()
+    assert dict(r["a"]) == {2: 2}
+    assert dict(r["b"]) == {1: 6}
+    assert dict(r["c"]) == {"a": 3, "b": 5}
+    assert dict(r["d"]) == {"a": 2}
+    assert dict(r["e"]) == {1: "x", 2: "y"}
+    assert (r["f"], r["g"]) == ("b", "z")
+    assert (r["h"], r["i"]) == (True, True)
+
+
+def test_geo_vector_ip_json_families(views):
+    """Round-4 probe batch 4: haversine distances, Lp norms, IP/URL
+    classifiers, JSON introspection, typed empty arrays, stats scalars."""
+    r = views.sql(
+        translate(
+            "SELECT round(greatCircleDistance(0.0, 0.0, 0.0, 1.0) / 1000) AS a,"
+            " LinfDistance([0.0, 0.0], [3.0, 4.0]) AS b,"
+            " L2SquaredDistance([0.0, 0.0], [3.0, 4.0]) AS c,"
+            " L1Norm([3.0, -4.0]) AS d, LinfNorm([3.0, -4.0]) AS e,"
+            " L2Normalize([3.0, 4.0]) AS f,"
+            " isIPv4String('1.2.3.4') AS g, isIPv4String('1.2.3.400') AS h,"
+            " isIPv6String('2001:db8::1') AS i,"
+            " domainWithoutWWW('https://www.ex.com/p') AS j,"
+            " JSONLength('[1,2,3]') AS k, JSONLength('{\"a\":1,\"b\":2}') AS l,"
+            " JSONType('[1]') AS m, JSONType('{\"a\":1}') AS n,"
+            " JSONType('12') AS o, JSONType('1.5') AS p,"
+            " emptyArrayInt32() AS q, emptyArrayString() AS s,"
+            " round(erf(0.5), 6) AS t, round(normalQuantile(0.975), 4) AS u,"
+            " round((proportionsZTest(10.0, 11.0, 100.0, 101.0, 0.95,"
+            "        'unpooled')).p_value, 4) AS v"
+        ).sql
+    ).first()
+    assert r["a"] == 111.0
+    assert (r["b"], r["c"], r["d"], r["e"]) == (4.0, 25.0, 7.0, 4.0)
+    assert r["f"] == [0.6, 0.8]
+    assert (r["g"], r["h"], r["i"]) == (True, False, True)
+    assert r["j"] == "ex.com"
+    assert (r["k"], r["l"]) == (3, 2)
+    assert (r["m"], r["n"], r["o"], r["p"]) == ("Array", "Object", "Int64", "Double")
+    assert (r["q"], r["s"]) == ([], [])
+    assert r["t"] == 0.5205
+    assert r["u"] == 1.96
+    assert r["v"] == 0.8363
+
+
+def test_char_type_position_untouched():
+    """`cast(x as char(10))` is a TYPE — the variadic char() rewrite
+    must leave it alone (and 1-arg char stays the Spark builtin)."""
+    out = translate("SELECT cast('ab' as char(10)) AS a, char(66) AS b").sql
+    assert "char(10)" in out and "chr(10)" not in out
+    assert "char(66)" in out
