@@ -117,6 +117,18 @@ top-level token scanning (never inside strings/parens):
                          -OrNull, groupBit*, groupArrayMovingSum/Avg)
   multi-item ARRAY JOIN  parallel arrays ZIP (shared index explode),
                          never a cross product
+  probe batch (late r4)  rotate/shift/resize/fold/partialSort with
+  map HOFs / char() /    element-type zeros; lambda-first mapFilter/
+  format() / variadic    mapApply + mapAdd/Subtract; variadic char()
+  CASE / ellipses        (type-position guarded) and literal format()
+                         → format_string; caseWithExpression → CASE;
+                         pointInEllipses; splitByRegexp arg order;
+                         plus ~60 new scalar aliases (gcd/lcm, erf/
+                         erfc/normalQuantile/proportionsZTest, Lp
+                         norms, haversine geo, IP/JSON classifiers,
+                         bitmask decomposition, detectLanguage twin
+                         of operators/text.language_id, typed empty
+                         arrays, rand* distributions)
   =====================  ==========================================
 
 Clause-level rewrites apply AT EVERY NESTING LEVEL: translate recurses
@@ -2861,7 +2873,9 @@ def _rewrite_system(sql: str) -> str:
     registered ``system_<table>`` views (Spark temp views cannot carry a
     database qualifier). Token-level, never inside strings."""
     while True:
-        m = _find_top(sql, r"\bsystem\.(tables|columns|parts|query_log)\b")
+        m = _find_top(
+            sql, r"\bsystem\.(tables|columns|parts|query_log|functions)\b"
+        )
         if not m:
             return sql
         sql = sql[: m.start()] + f"system_{m.group(1)}" + sql[m.end():]

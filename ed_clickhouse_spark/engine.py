@@ -1111,6 +1111,31 @@ class Engine:
             "is_in_sorting_key boolean, is_in_partition_key boolean",
         )
 
+    def system_functions(self) -> DataFrame:
+        """≙ ClickHouse ``system.functions``: one row per ClickHouse
+        spelling the dialect front-end translates, with the mechanism
+        that implements it. Introspection only — the list is assembled
+        from the translation tables, so it can't drift from reality."""
+        from ed_clickhouse_spark import chsql
+        from ed_clickhouse_spark.functions.clickhouse import (
+            _SQL_SCALAR_ALIASES,
+        )
+
+        rows: list[tuple[str, str]] = []
+        rows += [(n, "sql_alias") for n in _SQL_SCALAR_ALIASES]
+        rows += [(n, "rename") for n in chsql._SCALAR_RENAMES]
+        rows += [(n, "rewrite") for n in chsql._ARRAY_SPLICE]
+        rows += [(n, "rewrite") for n in chsql._IDENTITY_FNS]
+        rows += [(n, "aggregate") for n in chsql._AGG_NAME_MAP]
+        rows += [(n, "aggregate") for n in chsql._AGG_IF_BASES]
+        rows += [(n, "rewrite") for n in chsql._HOF_SWAP]
+        seen: dict[str, str] = {}
+        for name, origin in rows:
+            seen.setdefault(name, origin)
+        return self.spark.createDataFrame(
+            sorted(seen.items()), "name string, origin string"
+        )
+
     @staticmethod
     def _footer_rows(path: str):
         """Row count from parquet footers (no Spark job). Local paths
@@ -1140,6 +1165,7 @@ class Engine:
             "system_parts"
         )
         self.query_log().createOrReplaceTempView("system_query_log")
+        self.system_functions().createOrReplaceTempView("system_functions")
 
     def ping(self) -> bool:
         """≙ the reference's ClickHouse /ping startup check

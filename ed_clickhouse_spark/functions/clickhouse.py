@@ -1280,6 +1280,36 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
 }
 
 
+def _detect_language_body() -> str:
+    """SQL twin of ``operators.text.language_id`` — same stopword lists,
+    same (hits desc, code asc) tie-break, 'und' when nothing hits — so
+    the SQL spelling and the DataFrame operator can never disagree."""
+    from ed_clickhouse_spark.operators.text import STOPWORDS
+
+    structs = []
+    for code, ws in sorted(STOPWORDS.items()):
+        arr = ", ".join("'" + w.replace("'", "''") + "'" for w in ws)
+        structs.append(
+            "named_struct('hits', size(array_intersect("
+            f"array_distinct(split(s, ' ')), array({arr}))),"
+            f" 'code', '{code}')"
+        )
+    return (
+        "aggregate(array(" + ", ".join(structs) + "),"
+        " named_struct('hits', -1, 'code', 'zz'),"
+        " (__ch_acc, __ch_x) -> IF(__ch_x.hits > __ch_acc.hits"
+        " OR (__ch_x.hits = __ch_acc.hits AND __ch_x.code < __ch_acc.code),"
+        " __ch_x, __ch_acc),"
+        " __ch_acc -> IF(__ch_acc.hits > 0, __ch_acc.code, 'und'))"
+    )
+
+
+_SQL_SCALAR_ALIASES["detectLanguage"] = (
+    "(s STRING) RETURNS STRING",
+    _detect_language_body(),
+)
+
+
 # sessions already carrying the aliases — registration is ~165 driver
 # round-trips (~1.4 s), and suite/dialect entry points call this per
 # query, so repeat calls must be free. WeakSet: a stopped session's

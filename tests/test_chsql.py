@@ -1726,3 +1726,27 @@ def test_char_type_position_untouched():
     out = translate("SELECT cast('ab' as char(10)) AS a, char(66) AS b").sql
     assert "char(10)" in out and "chr(10)" not in out
     assert "char(66)" in out
+
+
+def test_detect_language_matches_operator(views):
+    """The detectLanguage SQL alias is generated from the SAME stopword
+    lists as operators.text.language_id — assert they agree row-for-row
+    on real documents."""
+    from ed_clickhouse_spark.operators.text import language_id
+
+    docs = views.table("documents").limit(200).select("doc_id", "text")
+    via_op = docs.select("doc_id", language_id("text").alias("lang"))
+    docs.createOrReplaceTempView("__dl_docs")
+    via_sql = views.sql(
+        translate(
+            "SELECT doc_id, detectLanguage(text) AS lang FROM __dl_docs"
+        ).sql
+    )
+    diff = via_op.exceptAll(via_sql).count() + via_sql.exceptAll(via_op).count()
+    assert diff == 0
+    assert views.sql(
+        translate("SELECT detectLanguage('the cat sat of the mat and it') AS r").sql
+    ).first()["r"] == "en"
+    assert views.sql(
+        translate("SELECT detectLanguage('zzz qqq') AS r").sql
+    ).first()["r"] == "und"

@@ -659,3 +659,26 @@ def test_alter_modify_ttl_and_comment(spark, tmp_path):
     assert [r["id"] for r in spark.table("pings").collect()] == [2]
     r = eng.ch_sql("ALTER TABLE pings COMMENT COLUMN id 'the key'").collect()[0]
     assert r["op"] == "comment_column"
+
+
+def test_system_functions(spark, tmp_path):
+    """system.functions lists every spelling the dialect translates,
+    assembled from the live translation tables (no drift possible)."""
+    from ed_clickhouse_spark.engine import Engine
+
+    eng = Engine(str(tmp_path / "wh"), spark)
+    rows = {
+        r["name"]: r["origin"]
+        for r in eng.ch_sql("SELECT name, origin FROM system.functions").collect()
+    }
+    assert rows["toStartOfDay"] == "sql_alias"
+    assert rows["arrayZip"] == "rename"
+    assert rows["arrayFold"] == "rewrite"
+    assert rows["countIf"] == "aggregate"
+    assert rows["arrayMap"] == "rewrite"
+    assert len(rows) > 300
+    # count is queryable like any table
+    n = eng.ch_sql(
+        "SELECT count() AS n FROM system.functions WHERE origin = 'sql_alias'"
+    ).first()["n"]
+    assert n > 150
