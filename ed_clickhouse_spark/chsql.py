@@ -1019,6 +1019,149 @@ _ARRAY_SPLICE: dict[str, dict[int, str]] = {
     # ClickHouse's map HOFs take the lambda FIRST; Spark's map_filter
     # takes it second with the same (k, v) shape
     "mapFilter": {2: "map_filter({1}, {0})"},
+    # ---- aggregate compositions (each {i} is an aggregate argument;
+    # repeated aggregate subexpressions dedup in Catalyst) ----
+    "medianExact": {1: "percentile({0}, 0.5)"},
+    "medianTiming": {1: "approx_percentile({0}, 0.5)"},
+    "medianTDigest": {1: "approx_percentile({0}, 0.5)"},
+    "medianBFloat16": {1: "approx_percentile({0}, 0.5)"},
+    "sumCount": {1: "named_struct('sum', sum({0}), 'count', count({0}))"},
+    "countDistinct": {
+        1: "count(DISTINCT {0})",
+        2: "count(DISTINCT {0}, {1})",
+        3: "count(DISTINCT {0}, {1}, {2})",
+    },
+    # sample-adjusted moments from Spark's population builtins:
+    # skewSamp = skewness * sqrt((n-1)/n);
+    # kurtSamp = (kurtosis + 3) * (n-1)/n  (Spark kurtosis is EXCESS)
+    "skewSamp": {
+        1: "(skewness({0}) * sqrt((count({0}) - 1.0) / count({0})))",
+    },
+    "kurtSamp": {
+        1: "((kurtosis({0}) + 3.0) * (count({0}) - 1.0) / count({0}))",
+    },
+    "kurtPop": {1: "(kurtosis({0}) + 3.0)"},
+    "avgWeighted": {2: "(sum(({0}) * ({1})) / sum({1}))"},
+    # chord slope over the x-extent — max_by/min_by pick y at the
+    # extreme x, one aggregate pass (operators/stats.py:bounding_ratio)
+    "boundingRatio": {
+        2: "((max_by({1}, {0}) - min_by({1}, {0}))"
+           " / (max({0}) - min({0})))",
+    },
+    # least-squares (k, b) from moment sums (ClickHouse's tuple shape)
+    "simpleLinearRegression": {
+        2: "named_struct("
+           "'k', (avg(({0}) * ({1})) - avg({0}) * avg({1}))"
+           " / (avg(({0}) * ({0})) - avg({0}) * avg({0})),"
+           " 'b', avg({1})"
+           " - ((avg(({0}) * ({1})) - avg({0}) * avg({1}))"
+           " / (avg(({0}) * ({0})) - avg({0}) * avg({0}))) * avg({0}))",
+    },
+    "singleValueOrNull": {
+        1: "(CASE WHEN count(DISTINCT {0}) = 1 THEN max({0}) END)",
+    },
+    # a bitmap's cardinality IS a distinct count
+    "groupBitmap": {1: "count(DISTINCT {0})"},
+    # union length of [start, end) intervals: sort by start, fold
+    # merging overlaps (operators/windows.py:interval_length_sum is the
+    # distributed twin)
+    "intervalLengthSum": {
+        2: "aggregate(array_sort(collect_list(named_struct("
+           "'s', CAST({0} AS DOUBLE), 'e', CAST({1} AS DOUBLE)))),"
+           " named_struct('t', CAST(0.0 AS DOUBLE),"
+           " 'cs', CAST(NULL AS DOUBLE), 'ce', CAST(NULL AS DOUBLE)),"
+           " (__ch_a, __ch_x) -> CASE"
+           " WHEN __ch_a.cs IS NULL THEN named_struct('t', __ch_a.t,"
+           "   'cs', __ch_x.s, 'ce', greatest(__ch_x.s, __ch_x.e))"
+           " WHEN __ch_x.s > __ch_a.ce THEN named_struct("
+           "   't', __ch_a.t + __ch_a.ce - __ch_a.cs,"
+           "   'cs', __ch_x.s, 'ce', greatest(__ch_x.s, __ch_x.e))"
+           " ELSE named_struct('t', __ch_a.t, 'cs', __ch_a.cs,"
+           "   'ce', greatest(__ch_a.ce, __ch_x.e)) END,"
+           " __ch_a -> IF(__ch_a.cs IS NULL, 0.0,"
+           " __ch_a.t + __ch_a.ce - __ch_a.cs))",
+    },
+    # sweep-line max overlap of [s, e) intervals: +1/-1 events sorted
+    # by (t, delta) — an end closes before a coincident start, matching
+    # half-open semantics (operators/windows.py twin: q114/q170)
+    "maxIntersections": {
+        2: "aggregate(array_sort(concat("
+           "transform(collect_list(named_struct('s', {0}, 'e', {1})),"
+           " __ch_x -> named_struct('t', __ch_x.s, 'd', 1)),"
+           "transform(collect_list(named_struct('s', {0}, 'e', {1})),"
+           " __ch_x -> named_struct('t', __ch_x.e, 'd', -1)))),"
+           " named_struct('c', 0, 'b', 0),"
+           " (__ch_a, __ch_ev) -> named_struct('c', __ch_a.c + __ch_ev.d,"
+           " 'b', greatest(__ch_a.b, __ch_a.c + __ch_ev.d)),"
+           " __ch_a -> __ch_a.b)",
+    },
+    "maxIntersectionsPosition": {
+        2: "aggregate(array_sort(concat("
+           "transform(collect_list(named_struct('s', {0}, 'e', {1})),"
+           " __ch_x -> named_struct('t', __ch_x.s, 'd', 1)),"
+           "transform(collect_list(named_struct('s', {0}, 'e', {1})),"
+           " __ch_x -> named_struct('t', __ch_x.e, 'd', -1)))),"
+           " named_struct('c', 0, 'b', 0,"
+           " 'p', CAST(NULL AS DOUBLE)),"
+           " (__ch_a, __ch_ev) -> named_struct('c', __ch_a.c + __ch_ev.d,"
+           " 'b', greatest(__ch_a.b, __ch_a.c + __ch_ev.d),"
+           " 'p', IF(__ch_a.c + __ch_ev.d > __ch_a.b,"
+           " CAST(__ch_ev.t AS DOUBLE), __ch_a.p)),"
+           " __ch_a -> __ch_a.p)",
+    },
+    # positive consecutive deltas over the collected sequence
+    # (insertion-order caveat as groupArrayMovingSum; pair with an
+    # ORDER BY-ed subquery for determinism)
+    "deltaSum": {
+        1: "aggregate(collect_list(CAST({0} AS DOUBLE)),"
+           " named_struct('p', CAST(NULL AS DOUBLE),"
+           " 't', CAST(0.0 AS DOUBLE)),"
+           " (__ch_a, __ch_x) -> named_struct('p', __ch_x,"
+           " 't', __ch_a.t + CASE WHEN __ch_a.p IS NOT NULL"
+           " AND __ch_x > __ch_a.p THEN __ch_x - __ch_a.p"
+           " ELSE 0.0 END),"
+           " __ch_a -> __ch_a.t)",
+    },
+    # timestamp-sorted variant: deterministic regardless of row order
+    "deltaSumTimestamp": {
+        2: "aggregate(transform(array_sort(collect_list(named_struct("
+           "'ts', {1}, 'v', CAST({0} AS DOUBLE)))),"
+           " __ch_x -> __ch_x.v),"
+           " named_struct('p', CAST(NULL AS DOUBLE),"
+           " 't', CAST(0.0 AS DOUBLE)),"
+           " (__ch_a, __ch_x) -> named_struct('p', __ch_x,"
+           " 't', __ch_a.t + CASE WHEN __ch_a.p IS NOT NULL"
+           " AND __ch_x > __ch_a.p THEN __ch_x - __ch_a.p"
+           " ELSE 0.0 END),"
+           " __ch_a -> __ch_a.t)",
+    },
+    # Shannon entropy of the value distribution. Collected-array fold:
+    # O(distinct * n) per group — interactive-scale spelling; the
+    # distributed path is operators/stats.py:entropy (q126)
+    "entropy": {
+        1: "aggregate(array_distinct(collect_list(CAST({0} AS STRING))),"
+           " CAST(0.0 AS DOUBLE),"
+           " (__ch_acc, __ch_v) -> __ch_acc"
+           " - (size(filter(collect_list(CAST({0} AS STRING)),"
+           " __ch_y -> __ch_y = __ch_v))"
+           " / CAST(count({0}) AS DOUBLE))"
+           " * log2(size(filter(collect_list(CAST({0} AS STRING)),"
+           " __ch_y -> __ch_y = __ch_v))"
+           " / CAST(count({0}) AS DOUBLE)))",
+    },
+    # sparse array build: value at its 0-based position, NULL-filled
+    # gaps (CH fills with the type default; NULL is Spark's idiom)
+    "groupArrayInsertAt": {
+        2: "transform(sequence(0, CAST(max({1}) AS INT)),"
+           " __ch_i -> try_element_at(filter(collect_list("
+           "named_struct('p', CAST({1} AS INT), 'v', {0})),"
+           " __ch_e -> __ch_e.p = __ch_i), 1).v)",
+    },
+    # two-sample t-statistics from -If moment aggregates (index 0 vs 1,
+    # the ClickHouse calling convention); p_value is the NORMAL
+    # approximation erfc(|t|/sqrt(2)) — indistinguishable from the t
+    # CDF at the sample sizes these run over (documented deviation;
+    # operators/stats.py returns the exact df for small-sample work)
     # element-wise map arithmetic; missing keys count as zero
     "mapAdd": {
         2: "map_zip_with({0}, {1}, (__ch_k, __ch_a, __ch_b) ->"
@@ -1071,6 +1214,42 @@ _ARRAY_SPLICE["pointInEllipses"] = {
     ) + ")"
     for k in range(1, 4)
 }
+def _ttest_template(pooled: bool) -> str:
+    """studentTTest/welchTTest(x, idx) splice template: two-sample
+    t-statistic from -If moment aggregates (index 0 vs 1, the
+    ClickHouse calling convention). p_value inlines the A&S 7.1.26
+    erfc polynomial on |t|/sqrt(2) — the NORMAL approximation, exact
+    for the large samples these run over (operators/stats.py keeps the
+    Welch df for small-sample work). Inlined rather than calling the
+    erfc SQL UDF: Spark 4.1's analyzer mis-flags struct field names as
+    non-foldable when a SQL UDF inlines inside a struct constructor."""
+    x, g = "{0}", "{1}"
+    n0, n1 = f"count_if(({g}) = 0)", f"count_if(({g}) = 1)"
+    m0 = f"avg(IF(({g}) = 0, CAST({x} AS DOUBLE), NULL))"
+    m1 = f"avg(IF(({g}) = 1, CAST({x} AS DOUBLE), NULL))"
+    v0 = f"var_samp(IF(({g}) = 0, CAST({x} AS DOUBLE), NULL))"
+    v1 = f"var_samp(IF(({g}) = 1, CAST({x} AS DOUBLE), NULL))"
+    if pooled:
+        se = (
+            f"sqrt(((({n0} - 1) * {v0} + ({n1} - 1) * {v1})"
+            f" / ({n0} + {n1} - 2)) * (1.0 / {n0} + 1.0 / {n1}))"
+        )
+    else:
+        se = f"sqrt({v0} / {n0} + {v1} / {n1})"
+    t = f"(({m0} - {m1}) / {se})"
+    z = f"(abs({t}) / sqrt(2.0))"
+    u = f"(1.0 / (1.0 + 0.3275911 * {z}))"
+    p = (
+        f"((0.254829592 * {u} - 0.284496736 * pow({u}, 2)"
+        f" + 1.421413741 * pow({u}, 3) - 1.453152027 * pow({u}, 4)"
+        f" + 1.061405429 * pow({u}, 5)) * exp(-{z} * {z}))"
+    )
+    return f"struct({t} AS t_statistic, {p} AS p_value)"
+
+
+_ARRAY_SPLICE["studentTTest"] = {2: _ttest_template(pooled=True)}
+_ARRAY_SPLICE["welchTTest"] = {2: _ttest_template(pooled=False)}
+
 # wrappers that are the identity under Spark's nullability model
 _IDENTITY_FNS = ("assumeNotNull", "toNullable", "materialize")
 
@@ -2220,6 +2399,29 @@ def _rewrite_funnel_aggs(sql: str) -> str:
     return sql
 
 
+# rank/contingency/iterative aggregates no string rewrite can express —
+# the DataFrame operator is the supported path; translate raises with
+# the pointer rather than letting Spark's unresolved-routine error hide it
+_OPERATOR_ONLY_AGGS = {
+    "mannWhitneyUTest": "operators/stats.py:mann_whitney_u",
+    "rankCorr": "operators/stats.py:rank_corr",
+    "cramersVBiasCorrected": "operators/stats.py:contingency_coefficients",
+    "cramersV": "operators/stats.py:cramers_v",
+    "theilsU": "operators/stats.py:theils_u",
+    "contingency": "operators/stats.py:contingency_coefficients",
+    "meanZTest": "the proportionsZTest scalar or operators/stats.py",
+    "histogram": "the q138 equal-width histogram pattern",
+    "sparkbar": "the bar() scalar over grouped buckets",
+    "exponentialMovingAverage":
+        "operators/windows.py:exponential_moving_average",
+    "largestTriangleThreeBuckets": "operators/windows.py:lttb_downsample",
+    "stochasticLinearRegression": "simpleLinearRegression",
+    "stochasticLogisticRegression": "Spark MLlib's LogisticRegression",
+    "groupBitmapAnd": "operators/sketch.py set algebra",
+    "groupBitmapOr": "operators/sketch.py set algebra",
+    "groupBitmapXor": "operators/sketch.py set algebra",
+}
+
 # ClickHouse aggregate spellings with a same-shape Spark builtin.
 # Case-sensitive on purpose (CH function names are case-sensitive), and
 # longest-first so uniqCombined64 wins over uniqCombined over uniq.
@@ -2254,6 +2456,20 @@ _AGG_NAME_MAP = {
     "groupBitAnd": "bit_and",
     "groupBitOr": "bit_or",
     "groupBitXor": "bit_xor",
+    # numerically-stable variants: Spark's builtins already use stable
+    # (Welford-style) merge formulas
+    "stddevPopStable": "stddev_pop",
+    "stddevSampStable": "stddev_samp",
+    "varPopStable": "var_pop",
+    "varSampStable": "var_samp",
+    "corrStable": "corr",
+    "covarPopStable": "covar_pop",
+    "covarSampStable": "covar_samp",
+    # Spark sums in the declared 64-bit type with the same wraparound
+    "sumWithOverflow": "sum",
+    # Spark's skewness IS the population skewness (kurtPop needs the
+    # +3 excess shift — splice-handled; the Samp variants too)
+    "skewPop": "skewness",
 }
 # conditional-aggregate (-If) combinator bases: <name>If(args..., cond)
 # aggregates only rows where cond holds. Every Spark aggregate ignores
@@ -2323,12 +2539,14 @@ def _rewrite_agg_spellings(sql: str) -> str:
     while True:
         m = _find_top_anywhere(
             sql,
-            r"\b(quantiles?)((?:Exact(?:Low|High|Inclusive|Exclusive)?|TDigest|Timing|BFloat16|Deterministic)?)(If)?\s*\(",
+            r"\b(quantiles?)((?:Exact(?:Weighted|Low|High|Inclusive|Exclusive)?|InterpolatedWeighted|TDigest|Timing|BFloat16|Deterministic|GK)?)(If)?\s*\(",
         )
         if not m:
             break
         plural = m.group(1) == "quantiles"
-        exact = m.group(2).startswith("Exact")
+        variant = m.group(2)
+        exact = variant.startswith("Exact") or variant == "InterpolatedWeighted"
+        weighted = variant in ("ExactWeighted", "InterpolatedWeighted")
         has_if = bool(m.group(3))
         open1 = sql.index("(", m.end() - 1)
         close1 = _call_end(sql, open1)
@@ -2339,14 +2557,39 @@ def _rewrite_agg_spellings(sql: str) -> str:
             close2 = _call_end(sql, open2)
             ps = _split_top_commas(sql[open1 + 1: close1])
             args = _split_top_commas(sql[open2 + 1: close2])
+            if variant == "GK":
+                # quantileGK(accuracy, level)(x): accuracy leads the
+                # parameter list and maps to approx_percentile's third
+                if len(ps) < 2:
+                    raise ValueError(
+                        "quantileGK expects quantileGK(accuracy, level)(x)"
+                    )
+                acc, ps = ps[0], ps[1:]
+            if variant == "Deterministic" and not has_if and len(args) == 2:
+                args = args[:1]  # the determinism seed has no Spark role
             if has_if:
-                if len(args) != 2:
-                    raise ValueError("quantile...If expects (expr, cond)")
-                x = f"if({args[1]}, {args[0]}, NULL)"
+                need = 3 if weighted else 2
+                if len(args) != need:
+                    raise ValueError("quantile...If expects (expr[, w], cond)")
+                cond = args[-1]
+                x = f"if({cond}, {args[0]}, NULL)"
+                if weighted:
+                    args = [args[0], f"if({cond}, {args[1]}, 0)", cond]
             else:
-                x = sql[open2 + 1: close2]
+                x = args[0] if (weighted or variant == "Deterministic") \
+                    else sql[open2 + 1: close2]
             p_expr = f"array({', '.join(ps)})" if plural else ps[0]
-            sql = sql[: m.start()] + f"{fn}({x}, {p_expr})" + sql[close2 + 1:]
+            if weighted:
+                if len(args) < 2:
+                    raise ValueError(
+                        f"quantile{variant} expects (expr, weight) arguments"
+                    )
+                call = f"percentile({x}, {p_expr}, CAST({args[1]} AS BIGINT))"
+            elif variant == "GK":
+                call = f"approx_percentile({x}, {p_expr}, {acc})"
+            else:
+                call = f"{fn}({x}, {p_expr})"
+            sql = sql[: m.start()] + call + sql[close2 + 1:]
         else:
             # bare quantile(x) / quantileIf(x, cond): CH semantics = median
             args = _split_top_commas(sql[open1 + 1: close1])
@@ -2362,6 +2605,9 @@ def _rewrite_agg_spellings(sql: str) -> str:
     for name, template in (
         ("groupUniqArray", "slice(collect_set({x}), 1, {k})"),
         ("groupArraySorted", "slice(array_sort(collect_list({x})), 1, {k})"),
+        ("groupArrayLast",
+         "slice(collect_list({x}),"
+         " greatest(size(collect_list({x})) - ({k}) + 1, 1), ({k}))"),
         ("groupArray", "slice(collect_list({x}), 1, {k})"),
         ("uniqUpTo", "least(count(DISTINCT {x}), ({k}) + 1)"),
     ):
@@ -2379,8 +2625,8 @@ def _rewrite_agg_spellings(sql: str) -> str:
             close1 = _call_end(sql, open1)
             rest = sql[close1 + 1:].lstrip()
             if not rest.startswith("("):
-                if name == "uniqUpTo":
-                    raise ValueError("uniqUpTo expects uniqUpTo(n)(x)")
+                if name in ("uniqUpTo", "groupArrayLast"):
+                    raise ValueError(f"{name} expects {name}(n)(x)")
                 pos = close1  # plain groupArray(x): the name map handles it
                 continue
             open2 = close1 + 1 + (len(sql[close1 + 1:]) - len(rest))
@@ -2474,6 +2720,79 @@ def _rewrite_agg_spellings(sql: str) -> str:
             f" 1, {k}), __ch_s -> __ch_s.val)"
         )
         sql = sql[: m.start()] + expr + sql[close2 + 1:]
+    # parametric topKWeighted(k)(x, w): exact weighted fold — per-value
+    # weight sums, sort desc, slice k (ties by value asc, oracle-stable)
+    topkw_rx = re.compile(r"\btopKWeighted\s*\(")
+    while True:
+        m = None
+        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        for mm in topkw_rx.finditer(sql):
+            if not instr_at.get(mm.start(), False):
+                m = mm
+                break
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        rest = sql[close1 + 1:].lstrip()
+        if not rest.startswith("("):
+            raise ValueError(
+                "topKWeighted expects the parametric form"
+                " topKWeighted(k)(x, weight)"
+            )
+        open2 = close1 + 1 + (len(sql[close1 + 1:]) - len(rest))
+        close2 = _call_end(sql, open2)
+        k = sql[open1 + 1: close1].strip()
+        args = _split_top_commas(sql[open2 + 1: close2])
+        if len(args) != 2:
+            raise ValueError("topKWeighted(k)(x, weight) takes two arguments")
+        x, w = args[0], args[1]
+        arr = f"collect_list(named_struct('val', {x}, 'wt', CAST({w} AS DOUBLE)))"
+        expr = (
+            f"transform(slice(array_sort(transform("
+            f"array_distinct(transform({arr}, __ch_e -> __ch_e.val)),"
+            f" __ch_v -> struct(-aggregate(filter({arr},"
+            f" __ch_e -> __ch_e.val = __ch_v), CAST(0.0 AS DOUBLE),"
+            f" (__ch_s, __ch_e) -> __ch_s + __ch_e.wt) AS c,"
+            f" __ch_v AS val))), 1, {k}), __ch_s -> __ch_s.val)"
+        )
+        sql = sql[: m.start()] + expr + sql[close2 + 1:]
+    # groupConcat[(sep[, limit])](x) → array_join over the collected
+    # group (CH's default separator is the empty string)
+    gc_rx = re.compile(r"\bgroupConcat\s*\(")
+    while True:
+        m = None
+        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        for mm in gc_rx.finditer(sql):
+            if not instr_at.get(mm.start(), False):
+                m = mm
+                break
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        rest = sql[close1 + 1:].lstrip()
+        if rest.startswith("("):
+            open2 = close1 + 1 + (len(sql[close1 + 1:]) - len(rest))
+            close2 = _call_end(sql, open2)
+            ps = _split_top_commas(sql[open1 + 1: close1])
+            x = sql[open2 + 1: close2]
+            sep = ps[0].strip()
+            coll = f"collect_list(CAST({x} AS STRING))"
+            if len(ps) == 2:
+                coll = f"slice({coll}, 1, {ps[1].strip()})"
+            sql = (
+                sql[: m.start()]
+                + f"array_join({coll}, {sep})"
+                + sql[close2 + 1:]
+            )
+        else:
+            x = sql[open1 + 1: close1]
+            sql = (
+                sql[: m.start()]
+                + f"array_join(collect_list(CAST({x} AS STRING)), '')"
+                + sql[close1 + 1:]
+            )
     # parametric groupArrayMovingSum/Avg(n)(x): windowed sums over the
     # group's collected sequence (insertion-order caveat as in CH —
     # pair with an ORDER BY-ed subquery for determinism). MovingAvg
@@ -2688,6 +3007,15 @@ def _rewrite_agg_spellings(sql: str) -> str:
         if not cm:
             break
         sql = sql[: cm.start()] + "count(*)" + sql[cm.end():]
+    # aggregates that need a rank/contingency/iterative pass a string
+    # rewrite cannot express: fail with the operator to use instead of
+    # Spark's bare unresolved-routine error
+    for name, alt in _OPERATOR_ONLY_AGGS.items():
+        m = _find_case_exact(sql, rf"\b{name}\s*\(")
+        if m:
+            raise ValueError(
+                f"{name} is not SQL-translatable — use {alt}"
+            )
     return sql
 
 

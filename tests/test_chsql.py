@@ -1750,3 +1750,119 @@ def test_detect_language_matches_operator(views):
     assert views.sql(
         translate("SELECT detectLanguage('zzz qqq') AS r").sql
     ).first()["r"] == "und"
+
+
+def test_aggregate_spellings_probe_batch(views):
+    """Round-4 aggregate probe: stable-variant renames, medianExact,
+    sumCount, countDistinct, sample moments, weighted/bounded folds,
+    interval aggregates, delta sums, entropy, t-tests."""
+    views.createDataFrame(
+        [(i % 5, float(i), f"u{i % 7}", i % 2 == 0) for i in range(100)],
+        "k int, v double, u string, flag boolean",
+    ).createOrReplaceTempView("__agg_t")
+    r = views.sql(
+        translate(
+            "SELECT medianExact(v) AS a, sumCount(v) AS b,"
+            " countDistinct(u) AS c, stddevPopStable(v) AS d,"
+            " sumWithOverflow(k) AS e,"
+            " skewPop(v) AS f, kurtPop(v) AS g,"
+            " skewSamp(v) AS h, kurtSamp(v) AS i,"
+            " avgWeighted(v, k) AS j,"
+            " boundingRatio(v, v * 2) AS l,"
+            " simpleLinearRegression(v, v * 2 + 1) AS m,"
+            " singleValueOrNull(k) AS n, singleValueOrNull(1) AS o,"
+            " groupBitmap(u) AS p,"
+            " entropy(flag) AS q"
+            " FROM __agg_t"
+        ).sql
+    ).first()
+    assert r["a"] == 49.5
+    assert (r["b"]["sum"], r["b"]["count"]) == (4950.0, 100)
+    assert (r["c"], r["e"]) == (7, 200)
+    assert abs(r["d"] - 28.86607004772212) < 1e-9
+    assert abs(r["f"]) < 1e-9  # uniform 0..99 is symmetric
+    assert abs(r["g"] - 1.7997599759976) < 1e-6  # uniform kurtosis -> 1.8
+    assert abs(r["h"]) < 1e-9
+    assert abs(r["j"] - 50.5) < 1e-9  # sum(v*k)/sum(k) = 10100/200
+    assert abs(r["l"] - 2.0) < 1e-9
+    assert abs(r["m"]["k"] - 2.0) < 1e-9 and abs(r["m"]["b"] - 1.0) < 1e-9
+    assert r["n"] is None and r["o"] == 1
+    assert r["p"] == 7
+    assert abs(r["q"] - 1.0) < 1e-12  # 50/50 boolean -> 1 bit
+
+
+def test_aggregate_interval_and_delta_families(views):
+    """intervalLengthSum / maxIntersections(Position) sweep folds and
+    the deltaSum family over ordered sequences."""
+    views.createDataFrame(
+        [(1.0, 3.0), (2.0, 5.0), (7.0, 8.0)], "s double, e double"
+    ).createOrReplaceTempView("__iv_t")
+    r = views.sql(
+        translate(
+            "SELECT intervalLengthSum(s, e) AS a,"
+            " maxIntersections(s, e) AS b,"
+            " maxIntersectionsPosition(s, e) AS c FROM __iv_t"
+        ).sql
+    ).first()
+    assert r["a"] == 5.0  # [1,5) U [7,8) = 4 + 1
+    assert r["b"] == 2 and r["c"] == 2.0
+    views.createDataFrame(
+        [(1, 10.0), (2, 7.0), (3, 12.0), (4, 12.0)], "t int, v double"
+    ).createOrReplaceTempView("__ds_t")
+    r2 = views.sql(
+        translate(
+            "SELECT deltaSumTimestamp(v, t) AS a FROM __ds_t"
+        ).sql
+    ).first()
+    assert r2["a"] == 5.0  # +0 (10->7 ignored), 7->12 = +5, 12->12 = 0
+    r3 = views.sql(
+        translate(
+            "SELECT deltaSum(v) AS a FROM"
+            " (SELECT v FROM __ds_t ORDER BY t)"
+        ).sql
+    ).first()
+    assert r3["a"] == 5.0
+
+
+def test_parametric_weighted_quantiles_and_folds(views):
+    """quantileExactWeighted / quantileGK / quantileDeterministic,
+    groupArrayLast, groupConcat, topKWeighted, t-tests."""
+    views.createDataFrame(
+        [(float(i), i % 3 + 1, i % 2) for i in range(1, 11)],
+        "v double, w int, idx int",
+    ).createOrReplaceTempView("__pw_t")
+    r = views.sql(
+        translate(
+            "SELECT quantileExactWeighted(0.5)(v, w) AS a,"
+            " quantileGK(100, 0.5)(v) AS b,"
+            " quantileDeterministic(0.5)(v, w) AS c,"
+            " quantileInterpolatedWeighted(0.5)(v, 1) AS d,"
+            " groupConcat(',')(CAST(v AS INT)) AS e,"
+            " groupConcat(CAST(idx AS STRING)) AS f,"
+            " welchTTest(v, idx) AS g"
+            " FROM (SELECT * FROM __pw_t ORDER BY v)"
+        ).sql
+    ).first()
+    assert 5.0 <= r["a"] <= 6.0
+    assert 5.0 <= r["b"] <= 6.0 and 5.0 <= r["c"] <= 6.0
+    assert r["d"] == 5.5
+    assert r["e"] == "1,2,3,4,5,6,7,8,9,10"
+    assert r["f"] == "1010101010"
+    # idx0 = evens (mean 6), idx1 = odds (mean 5), var_samp = 10 each:
+    # t = (6-5)/sqrt(10/5 + 10/5) = 0.5
+    assert abs(r["g"]["t_statistic"] - 0.5) < 1e-9
+    assert 0.6 < r["g"]["p_value"] < 0.7  # 2*(1-Phi(0.5)) = 0.617
+    r2 = views.sql(
+        translate(
+            "SELECT groupArrayLast(3)(v) AS a,"
+            " topKWeighted(2)(CAST(v AS INT) % 2, w) AS b"
+            " FROM (SELECT v, w FROM __pw_t ORDER BY v)"
+        ).sql
+    ).first()
+    assert r2["a"] == [8.0, 9.0, 10.0]
+    assert len(r2["b"]) == 2
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="mann_whitney_u"):
+        translate("SELECT mannWhitneyUTest(v, idx) FROM __pw_t")
+    with _pytest.raises(ValueError, match="lttb_downsample"):
+        translate("SELECT largestTriangleThreeBuckets(4)(v, w) FROM __pw_t")
