@@ -773,11 +773,15 @@ def _rewrite_with_fill(sql: str) -> str:
 
 def _rewrite_numbers(sql: str) -> str:
     """``numbers(N)`` / ``numbers(off, N)`` table function → Spark's
-    range() TVF, with the column renamed to ClickHouse's ``number``."""
+    range() TVF, with the column renamed to ClickHouse's ``number``.
+    ``generate_series/generateSeries(a, b[, step])`` (INCLUSIVE end)
+    and the unbounded ``system.numbers`` stream translate too —
+    the latter to a max-range TVF, lazily generated, so the LIMIT a
+    sane query carries stops the scan after its first rows."""
     while True:
         m = _find_top(sql, r"\bnumbers\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)")
         if not m:
-            return sql
+            break
         if m.group(2) is not None:
             off, n = int(m.group(1)), int(m.group(2))
             rng = f"range({off}, {off + n})"
@@ -785,6 +789,32 @@ def _rewrite_numbers(sql: str) -> str:
             rng = f"range({m.group(1)})"
         sub = f"(SELECT id AS number FROM {rng})"
         sql = sql[: m.start()] + sub + sql[m.end():]
+    while True:
+        m = _find_top(
+            sql,
+            r"\bgenerate(?:_s|S)eries\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*"
+            r"(?:,\s*(-?\d+)\s*)?\)",
+        )
+        if not m:
+            break
+        a, b = int(m.group(1)), int(m.group(2))
+        step = int(m.group(3)) if m.group(3) else 1
+        # range() is end-exclusive; generate_series is inclusive
+        sub = (
+            f"(SELECT id AS generate_series"
+            f" FROM range({a}, {b + (1 if step > 0 else -1)}, {step}))"
+        )
+        sql = sql[: m.start()] + sub + sql[m.end():]
+    while True:
+        m = _find_top(sql, r"\bsystem\.numbers\b")
+        if not m:
+            break
+        sql = (
+            sql[: m.start()]
+            + "(SELECT id AS number FROM range(9223372036854775807))"
+            + sql[m.end():]
+        )
+    return sql
 
 
 _IDENT_RE = re.compile(r"^[A-Za-z_][\w.]*$")
@@ -1310,6 +1340,14 @@ def _convert_ch_datetime_format(fmt: str) -> str:
     return "".join(out)
 
 
+def _strip_window_frame(over_body: str) -> str:
+    """Drop the frame clause from a window spec: ClickHouse requires an
+    explicit frame for its in-frame functions, Spark's lag/lead REJECT
+    one."""
+    m = re.search(r"(?is)\b(ROWS|RANGE|GROUPS)\b", over_body)
+    return over_body[: m.start()].rstrip() if m else over_body
+
+
 def _rewrite_scalar_misc(sql: str) -> str:
     """Polymorphic scalar spellings that need a translate-time rewrite
     rather than a typed SQL-UDF alias: renames (arrayZip → arrays_zip,
@@ -1318,6 +1356,93 @@ def _rewrite_scalar_misc(sql: str) -> str:
     (group 1 when the pattern literal has a capture group; EXTRACT(unit
     FROM ts) is left alone), ``range`` → a filtered sequence (empty-
     range safe), literal ``tupleElement(t, N)`` → ``(t).colN``."""
+    # lagInFrame/leadInFrame with an explicit frame (the ClickHouse
+    # requirement): rename to lag/lead AND strip the frame from their
+    # OVER spec (the plain renames below handle the frameless form)
+    pos = 0
+    lif_rx = re.compile(r"\b(lagInFrame|leadInFrame)\s*\(")
+    while True:
+        m = lif_rx.search(sql, pos)
+        if not m:
+            break
+        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        if instr_at.get(m.start(), False):
+            pos = m.end()
+            continue
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        rest = sql[close1 + 1:]
+        om = re.match(r"(?is)\s*OVER\s*\(", rest)
+        if not om:
+            pos = m.end()  # no OVER here: plain rename path
+            continue
+        open2 = close1 + 1 + om.end() - 1
+        close2 = _call_end(sql, open2)
+        target = "lag" if m.group(1) == "lagInFrame" else "lead"
+        body = _strip_window_frame(sql[open2 + 1: close2])
+        sql = (
+            sql[: m.start()] + target + sql[open1: close1 + 1]
+            + f" OVER ({body})" + sql[close2 + 1:]
+        )
+        pos = m.start()
+    # nonNegativeDerivative(metric, ts[, INTERVAL n unit]) OVER (spec):
+    # lag-based rate with resets clamped to 0 and the first row NULL —
+    # the operators/windows.py:non_negative_derivative semantics.
+    # CAST(... AS DOUBLE) reads timestamps as epoch seconds and leaves
+    # numerics alone, so both shapes work.
+    pos = 0
+    nnd_rx = re.compile(r"\bnonNegativeDerivative\s*\(")
+    while True:
+        m = nnd_rx.search(sql, pos)
+        if not m:
+            break
+        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        if instr_at.get(m.start(), False):
+            pos = m.end()
+            continue
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        rest = sql[close1 + 1:]
+        om = re.match(r"(?is)\s*OVER\s*\(", rest)
+        if not om:
+            raise ValueError(
+                "nonNegativeDerivative translates as a window function —"
+                " add an OVER clause, or use"
+                " operators/windows.py:non_negative_derivative"
+            )
+        open2 = close1 + 1 + om.end() - 1
+        close2 = _call_end(sql, open2)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        if len(args) not in (2, 3):
+            raise ValueError(
+                "nonNegativeDerivative expects (metric, timestamp"
+                "[, INTERVAL n unit])"
+            )
+        scale = ""
+        if len(args) == 3:
+            im = re.fullmatch(
+                r"(?is)\s*INTERVAL\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY)S?\s*",
+                args[2],
+            )
+            if not im:
+                raise ValueError(
+                    "nonNegativeDerivative's third argument must be a"
+                    " literal INTERVAL n SECOND/MINUTE/HOUR/DAY"
+                )
+            secs = int(im.group(1)) * _INTERVAL_SECONDS[im.group(2).lower()]
+            scale = f" * {secs}.0"
+        w = f"({_strip_window_frame(sql[open2 + 1: close2])})"
+        mcol, tcol = args[0], args[1]
+        lag_t = f"lag(CAST({tcol} AS DOUBLE)) OVER {w}"
+        lag_m = f"lag(CAST({mcol} AS DOUBLE)) OVER {w}"
+        expr = (
+            f"(CASE WHEN {lag_t} IS NULL THEN NULL"
+            f" ELSE greatest((CAST({mcol} AS DOUBLE) - {lag_m})"
+            f" / nullif(CAST({tcol} AS DOUBLE) - {lag_t}, 0.0), 0.0)"
+            f"{scale} END)"
+        )
+        sql = sql[: m.start()] + expr + sql[close2 + 1:]
+        pos = m.start()
     for name, target in _SCALAR_RENAMES.items():
         pos = 0
         rx = re.compile(rf"\b{name}\s*\(")
@@ -2420,6 +2545,13 @@ _OPERATOR_ONLY_AGGS = {
     "groupBitmapAnd": "operators/sketch.py set algebra",
     "groupBitmapOr": "operators/sketch.py set algebra",
     "groupBitmapXor": "operators/sketch.py set algebra",
+    # block-order functions: no deterministic block order exists in a
+    # distributed plan — the window spelling is the supported path
+    "runningAccumulate": "a sum(x) OVER (ORDER BY ...) window",
+    "runningDifference":
+        "x - lag(x) OVER (ORDER BY ...) or"
+        " operators/windows.py:running_difference",
+    "neighbor": "lead(x, n)/lag(x, n) OVER (ORDER BY ...) windows",
 }
 
 # ClickHouse aggregate spellings with a same-shape Spark builtin.
@@ -2488,6 +2620,9 @@ _AGG_IF_BASES = {
     "avg": "avg",
     "min": "min",
     "max": "max",
+    # {} bases are templates (the DISTINCT keyword can't follow a paren)
+    "sumDistinct": "sum(DISTINCT {})",
+    "avgDistinct": "avg(DISTINCT {})",
 }
 
 
@@ -2691,7 +2826,7 @@ def _rewrite_agg_spellings(sql: str) -> str:
     # strictly better at this per-group shape). Ties break by value asc
     # so the DuckDB oracle can reproduce the pick. topKWeighted keeps its
     # documented pass-through (operators/functions cover it).
-    topk_rx = re.compile(r"\btopK\s*\(")  # case-exact (CH names are)
+    topk_rx = re.compile(r"\btopK(If)?\s*\(")  # case-exact (CH names are)
     while True:
         m = None
         instr_at = {i: q for i, _, _, q in _scan_level(sql)}
@@ -2709,7 +2844,13 @@ def _rewrite_agg_spellings(sql: str) -> str:
         open2 = close1 + 1 + (len(sql[close1 + 1:]) - len(rest))
         close2 = _call_end(sql, open2)
         k = sql[open1 + 1: close1].strip()
-        x = sql[open2 + 1: close2]
+        if m.group(1):  # topKIf(k)(x, cond): collect_list skips NULLs
+            ifargs = _split_top_commas(sql[open2 + 1: close2])
+            if len(ifargs) != 2:
+                raise ValueError("topKIf expects topKIf(k)(x, cond)")
+            x = f"if({ifargs[1]}, {ifargs[0]}, NULL)"
+        else:
+            x = sql[open2 + 1: close2]
         arr = f"collect_list({x})"
         # {arr} carries user text inside both lambda bodies —
         # collision-improbable lambda vars required
@@ -2922,7 +3063,11 @@ def _rewrite_agg_spellings(sql: str) -> str:
                 raise ValueError(f"{name}If expects (args..., cond)")
             cond = args[-1]
             wrapped = ", ".join(f"if({cond}, {a}, NULL)" for a in args[:-1])
-            sql = sql[: hit.start()] + f"{base}({wrapped})" + sql[close1 + 1:]
+            repl = (
+                base.format(wrapped) if "{}" in base
+                else f"{base}({wrapped})"
+            )
+            sql = sql[: hit.start()] + repl + sql[close1 + 1:]
     # uniqMerge(state): merge HLL partials, then estimate — the read
     # side of the matview/projection uniqState storage (hll_sketch_agg)
     while True:
@@ -3372,6 +3517,12 @@ def translate(
         "",
     )
     sql = _rewrite_system(sql)
+    cm = _find_top_anywhere(sql, r"(?i)\bCOLLATE\b")
+    if cm:
+        raise ValueError(
+            "ORDER BY ... COLLATE is not translatable — Spark sorts"
+            " binary; drop COLLATE or sort a lower()/normalized key"
+        )
     # ClickHouse 3-arg dateDiff('unit', a, b): Spark's 2-arg datediff
     # builtin owns the lowercase name, so the camel spelling maps to the
     # registered chDateDiff SQL function (case-sensitive on purpose).
@@ -3416,7 +3567,48 @@ def _apply_clause_rewrites(sql: str, specs: dict | None) -> str:
     sql = _rewrite_limit_by(sql)
     sql = _rewrite_limit_offset(sql)
     sql = _rewrite_with_fill(sql)
+    sql = _rewrite_qualify(sql)
     return sql
+
+
+def _rewrite_qualify(sql: str) -> str:
+    """ClickHouse ``QUALIFY <cond>`` (filter on window results) → a
+    wrapper subquery: the condition is computed as an extra select-list
+    column, filtered in the outer query, and dropped with
+    ``* EXCEPT``. Runs LAST in the clause chain so the head it wraps is
+    already fully rewritten at this nesting level."""
+    m = _find_top(sql, r"(?i)\bQUALIFY\b")
+    if not m:
+        return sql
+    tail_m = _find_top(
+        sql[m.end():],
+        r"(?i)\b(ORDER\s+BY|LIMIT|OFFSET|UNION|EXCEPT|INTERSECT|FORMAT|"
+        r"SETTINGS)\b",
+    )
+    if tail_m:
+        cond = sql[m.end(): m.end() + tail_m.start()].strip()
+        tail = " " + sql[m.end() + tail_m.start():]
+    else:
+        cond = sql[m.end():].strip()
+        tail = ""
+    head = sql[: m.start()].rstrip()
+    if re.match(r"(?is)^\s*SELECT\s+DISTINCT\b", head):
+        raise ValueError(
+            "QUALIFY with SELECT DISTINCT is not translatable — apply"
+            " the window filter in a subquery first"
+        )
+    fm = _find_top(head, r"(?i)\bFROM\b")
+    if not fm:
+        raise ValueError("QUALIFY requires a FROM clause")
+    head2 = (
+        head[: fm.start()].rstrip()
+        + f", ({cond}) AS __ch_qualify "
+        + head[fm.start():]
+    )
+    return (
+        f"SELECT * EXCEPT (__ch_qualify) FROM ({head2})"
+        f" WHERE __ch_qualify{tail}"
+    )
 
 
 def _rewrite_clauses_recursive(sql: str, specs: dict | None) -> str:

@@ -1866,3 +1866,67 @@ def test_parametric_weighted_quantiles_and_folds(views):
         translate("SELECT mannWhitneyUTest(v, idx) FROM __pw_t")
     with _pytest.raises(ValueError, match="lttb_downsample"):
         translate("SELECT largestTriangleThreeBuckets(4)(v, w) FROM __pw_t")
+
+
+def test_qualify_and_window_dialect(views):
+    """QUALIFY wrapper, lagInFrame frame-strip, nonNegativeDerivative
+    as a window expression, generate_series / system.numbers TVFs."""
+    views.createDataFrame(
+        [(i, float(i * i)) for i in range(10)], "k int, v double"
+    ).createOrReplaceTempView("__qw_t")
+    rows = views.sql(
+        translate(
+            "SELECT k, sum(v) OVER (ORDER BY k) AS s FROM __qw_t"
+            " QUALIFY s > 5 ORDER BY k LIMIT 3"
+        ).sql
+    ).collect()
+    assert [r["k"] for r in rows] == [3, 4, 5]  # cumsum(k^2) > 5
+    assert "__ch_qualify" not in rows[0].asDict()
+    r = views.sql(
+        translate(
+            "SELECT k, lagInFrame(v) OVER (ORDER BY k ROWS BETWEEN"
+            " UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS p"
+            " FROM __qw_t ORDER BY k"
+        ).sql
+    ).collect()
+    assert r[0]["p"] is None and r[2]["p"] == 1.0
+    d = views.sql(
+        translate(
+            "SELECT nonNegativeDerivative(v, k) OVER (ORDER BY k) AS d"
+            " FROM __qw_t ORDER BY k"
+        ).sql
+    ).collect()
+    # v = k^2: derivative (k^2-(k-1)^2)/1 = 2k-1; first row NULL
+    assert d[0]["d"] is None and d[3]["d"] == 5.0
+    assert views.sql(
+        translate("SELECT count() AS n FROM generate_series(1, 5)").sql
+    ).first()["n"] == 5
+    assert views.sql(
+        translate(
+            "SELECT max(number) AS m FROM"
+            " (SELECT number FROM system.numbers LIMIT 4)"
+        ).sql
+    ).first()["m"] == 3
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="COLLATE"):
+        translate("SELECT k FROM __qw_t ORDER BY k COLLATE 'en'")
+    with _pytest.raises(ValueError, match="lead"):
+        translate("SELECT neighbor(v, 1) FROM __qw_t")
+
+
+def test_distinct_if_and_topk_if(views):
+    """sumDistinctIf/avgDistinctIf template bases and topKIf."""
+    views.createDataFrame(
+        [(i % 4, i % 2 == 0) for i in range(12)], "k int, flag boolean"
+    ).createOrReplaceTempView("__di_t")
+    r = views.sql(
+        translate(
+            "SELECT sumDistinctIf(k, flag) AS a,"
+            " avgDistinctIf(k, flag) AS b,"
+            " topKIf(1)(CAST(k AS STRING), flag) AS c FROM __di_t"
+        ).sql
+    ).first()
+    assert r["a"] == 2  # flag rows have k in {0, 2}
+    assert r["b"] == 1.0
+    assert r["c"] in (["0"], ["2"])  # both appear 3x; tie -> value asc
+    assert r["c"] == ["0"]
