@@ -129,6 +129,28 @@ top-level token scanning (never inside strings/parens):
                          bitmask decomposition, detectLanguage twin
                          of operators/text.language_id, typed empty
                          arrays, rand* distributions)
+  aggregate batch (r4)   quantileExactWeighted/InterpolatedWeighted →
+                         percentile with frequency; quantileGK /
+                         Deterministic; studentTTest/welchTTest from
+                         -If moments (inlined-erfc normal p);
+                         intervalLengthSum / maxIntersections(
+                         Position) sweep folds; deltaSum(Timestamp);
+                         entropy; sumCount; simpleLinearRegression;
+                         boundingRatio; avgWeighted; skew/kurt
+                         Samp↔Pop bridges; groupArrayLast(n)(x);
+                         groupConcat; topK[Weighted][If];
+                         sumDistinctIf/avgDistinctIf; Stable renames;
+                         operator-only aggregates raise with the
+                         DataFrame operator to use
+  QUALIFY cond           wrapper subquery (cond as a select column,
+                         filtered, dropped via * EXCEPT)
+  lagInFrame + frame     frame stripped on rename (Spark lag/lead
+  nonNegativeDerivative  reject frames); the derivative becomes a
+  OVER (...)             clamped lag-rate with first-row NULL
+  generate_series /      lazy range() TVFs (inclusive end, step;
+  system.numbers         the LIMIT stops the unbounded stream)
+  COLLATE / neighbor /   raise with the supported spelling (binary
+  runningAccumulate/...  sort; lead/lag; sum() OVER) — never silent
   =====================  ==========================================
 
 Clause-level rewrites apply AT EVERY NESTING LEVEL: translate recurses
