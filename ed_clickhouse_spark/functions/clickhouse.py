@@ -843,28 +843,45 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
     ),
     # two-proportion z-test over pre-aggregated counts, the ClickHouse
     # tuple re-expressed as a named struct; two-sided p via erfc
+    # nullif guards: a degenerate input (zero trials, or zero variance
+    # when every/no trial converts) yields NULL fields, never an ANSI
+    # divide-by-zero
     "proportionsZTest": (
         "(sx DOUBLE, sy DOUBLE, tx DOUBLE, ty DOUBLE, conf DOUBLE,"
         " usevar STRING) RETURNS"
         " STRUCT<z_statistic: DOUBLE, p_value: DOUBLE,"
         " ci_lower: DOUBLE, ci_upper: DOUBLE>",
         "named_struct("
-        " 'z_statistic', (sx / tx - sy / ty) / (CASE lower(usevar)"
-        "   WHEN 'pooled' THEN sqrt(((sx + sy) / (tx + ty))"
-        "     * (1.0 - (sx + sy) / (tx + ty)) * (1.0 / tx + 1.0 / ty))"
-        "   ELSE sqrt((sx / tx) * (1.0 - sx / tx) / tx"
-        "     + (sy / ty) * (1.0 - sy / ty) / ty) END),"
-        " 'p_value', erfc(abs((sx / tx - sy / ty) / (CASE lower(usevar)"
-        "   WHEN 'pooled' THEN sqrt(((sx + sy) / (tx + ty))"
-        "     * (1.0 - (sx + sy) / (tx + ty)) * (1.0 / tx + 1.0 / ty))"
-        "   ELSE sqrt((sx / tx) * (1.0 - sx / tx) / tx"
-        "     + (sy / ty) * (1.0 - sy / ty) / ty) END)) / sqrt(2.0)),"
-        " 'ci_lower', (sx / tx - sy / ty) - normalQuantile(1.0 - (1.0 - conf) / 2.0)"
-        "   * sqrt((sx / tx) * (1.0 - sx / tx) / tx"
-        "     + (sy / ty) * (1.0 - sy / ty) / ty),"
-        " 'ci_upper', (sx / tx - sy / ty) + normalQuantile(1.0 - (1.0 - conf) / 2.0)"
-        "   * sqrt((sx / tx) * (1.0 - sx / tx) / tx"
-        "     + (sy / ty) * (1.0 - sy / ty) / ty))",
+        " 'z_statistic', (sx / nullif(tx, 0.0) - sy / nullif(ty, 0.0))"
+        " / nullif(CASE lower(usevar)"
+        "   WHEN 'pooled' THEN sqrt(((sx + sy) / nullif(tx + ty, 0.0))"
+        "     * (1.0 - (sx + sy) / nullif(tx + ty, 0.0))"
+        "     * (1.0 / nullif(tx, 0.0) + 1.0 / nullif(ty, 0.0)))"
+        "   ELSE sqrt((sx / nullif(tx, 0.0)) * (1.0 - sx / nullif(tx, 0.0))"
+        "     / nullif(tx, 0.0)"
+        "     + (sy / nullif(ty, 0.0)) * (1.0 - sy / nullif(ty, 0.0))"
+        "     / nullif(ty, 0.0)) END, 0.0),"
+        " 'p_value', erfc(abs((sx / nullif(tx, 0.0) - sy / nullif(ty, 0.0))"
+        " / nullif(CASE lower(usevar)"
+        "   WHEN 'pooled' THEN sqrt(((sx + sy) / nullif(tx + ty, 0.0))"
+        "     * (1.0 - (sx + sy) / nullif(tx + ty, 0.0))"
+        "     * (1.0 / nullif(tx, 0.0) + 1.0 / nullif(ty, 0.0)))"
+        "   ELSE sqrt((sx / nullif(tx, 0.0)) * (1.0 - sx / nullif(tx, 0.0))"
+        "     / nullif(tx, 0.0)"
+        "     + (sy / nullif(ty, 0.0)) * (1.0 - sy / nullif(ty, 0.0))"
+        "     / nullif(ty, 0.0)) END, 0.0)) / sqrt(2.0)),"
+        " 'ci_lower', (sx / nullif(tx, 0.0) - sy / nullif(ty, 0.0))"
+        " - normalQuantile(1.0 - (1.0 - conf) / 2.0)"
+        "   * sqrt((sx / nullif(tx, 0.0)) * (1.0 - sx / nullif(tx, 0.0))"
+        "     / nullif(tx, 0.0)"
+        "     + (sy / nullif(ty, 0.0)) * (1.0 - sy / nullif(ty, 0.0))"
+        "     / nullif(ty, 0.0)),"
+        " 'ci_upper', (sx / nullif(tx, 0.0) - sy / nullif(ty, 0.0))"
+        " + normalQuantile(1.0 - (1.0 - conf) / 2.0)"
+        "   * sqrt((sx / nullif(tx, 0.0)) * (1.0 - sx / nullif(tx, 0.0))"
+        "     / nullif(tx, 0.0)"
+        "     + (sy / nullif(ty, 0.0)) * (1.0 - sy / nullif(ty, 0.0))"
+        "     / nullif(ty, 0.0)))",
     ),
     "SHA256": ("(s STRING) RETURNS BINARY", "unhex(sha2(s, 256))"),
     # bit-shift spellings

@@ -709,3 +709,79 @@ def q179_median_abs_deviation(spark, sf_dir):
         F.round(F.expr("percentile(ad, 0.5)"), 6).alias("mad"),
         F.round(F.first("m"), 6).alias("median"),
     )
+
+
+@query(
+    "q212_ab_test_ztest",
+    oracle="""
+    WITH v AS (
+      SELECT CAST(SUM(CASE WHEN user_id % 2 = 0
+                            AND event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS DOUBLE) AS s_a,
+             CAST(SUM(CASE WHEN user_id % 2 = 1
+                            AND event_type = 'purchase'
+                           THEN 1 ELSE 0 END) AS DOUBLE) AS s_b,
+             CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS t_a,
+             CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END)
+                  AS DOUBLE) AS t_b
+      FROM events
+    ),
+    z AS (
+      SELECT s_a, s_b, t_a, t_b,
+             (s_a / t_a - s_b / t_b)
+             / sqrt((s_a / t_a) * (1 - s_a / t_a) / t_a
+                    + (s_b / t_b) * (1 - s_b / t_b) / t_b) AS zs
+      FROM v
+    ),
+    q AS (SELECT *, abs(zs) / sqrt(2.0) AS qq FROM z),
+    u AS (SELECT *, 1.0 / (1.0 + 0.3275911 * qq) AS uu FROM q)
+    SELECT CAST(s_a AS BIGINT) AS conv_a, CAST(s_b AS BIGINT) AS conv_b,
+           CAST(t_a AS BIGINT) AS events_a, CAST(t_b AS BIGINT) AS events_b,
+           ROUND(zs, 6) AS z_statistic,
+           ROUND((0.254829592 * uu - 0.284496736 * pow(uu, 2)
+                  + 1.421413741 * pow(uu, 3) - 1.453152027 * pow(uu, 4)
+                  + 1.061405429 * pow(uu, 5)) * exp(-qq * qq), 6) AS p_value
+    FROM u
+    """,
+)
+def q212_ab_test_ztest(spark, sf_dir):
+    """A/B purchase-share z-test, spelled END-TO-END in the ClickHouse
+    dialect: events split into two variants by user-id parity, success
+    = a purchase event, then ``proportionsZTest`` over the aggregated
+    counts (functions/clickhouse.py — two-sided p via the A&S erfc
+    polynomial the DuckDB oracle reproduces literally). One partial-
+    aggregated scan reduces the corpus to a single 4-number row; the
+    test itself is scalar math — nothing here grows with corpus size
+    except the first scan."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(
+        translate(
+            """
+            WITH v AS (
+              SELECT CAST(countIf(user_id % 2 = 0
+                                  AND event_type = 'purchase')
+                          AS DOUBLE) AS s_a,
+                     CAST(countIf(user_id % 2 = 1
+                                  AND event_type = 'purchase')
+                          AS DOUBLE) AS s_b,
+                     CAST(countIf(user_id % 2 = 0) AS DOUBLE) AS t_a,
+                     CAST(countIf(user_id % 2 = 1) AS DOUBLE) AS t_b
+              FROM events
+            )
+            SELECT CAST(s_a AS BIGINT) AS conv_a,
+                   CAST(s_b AS BIGINT) AS conv_b,
+                   CAST(t_a AS BIGINT) AS events_a,
+                   CAST(t_b AS BIGINT) AS events_b,
+                   round((proportionsZTest(s_a, s_b, t_a, t_b, 0.95,
+                          'unpooled')).z_statistic, 6) AS z_statistic,
+                   round((proportionsZTest(s_a, s_b, t_a, t_b, 0.95,
+                          'unpooled')).p_value, 6) AS p_value
+            FROM v
+            """
+        ).sql
+    )
