@@ -133,9 +133,13 @@ def jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    # NOT broadcast: `sizes` is one row per document (corpus cardinality),
+    # so forcing it into a broadcast would OOM the driver at 10^9 docs even
+    # when the pair set itself is tiny post-LSH. Plain equi-joins on the
+    # 8-byte id let AQE pick broadcast at runtime when sizes measures small.
     return (
-        pairs.join(F.broadcast(sa), "id_a")
-        .join(F.broadcast(sb), "id_b")
+        pairs.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn(
             "jaccard",
             F.round(F.col("inter") / (F.col("n_a") + F.col("n_b") - F.col("inter")), 6),

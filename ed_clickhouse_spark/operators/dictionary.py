@@ -64,6 +64,7 @@ def dict_get(df: DataFrame, name: str, attrs: str | list[str], key: str | Column
         _SIZE_OK.add(name)  # checked once per registration (re-register to recheck)
     kc = F.col(key) if isinstance(key, str) else key
     side = dic.select(F.col(key_col).alias("__dk"), *attr_list)
+    # bounded: dictionaries are _MAX_DICT_ROWS-guarded at registration
     out = df.join(F.broadcast(side), kc.eqNullSafe(F.col("__dk")), "left").drop("__dk")
     if default:
         for a, v in default.items():
@@ -81,6 +82,7 @@ def dict_has(df: DataFrame, name: str, key: str | Column, alias: str = "has") ->
     kc = F.col(key) if isinstance(key, str) else key
     side = dic.select(F.col(key_col).alias("__dk"), F.lit(True).alias("__hit"))
     return (
+        # bounded: dictionaries are _MAX_DICT_ROWS-guarded at registration
         df.join(F.broadcast(side), kc.eqNullSafe(F.col("__dk")), "left")
         .withColumn(alias, F.coalesce(F.col("__hit"), F.lit(False)))
         .drop("__dk", "__hit")

@@ -101,6 +101,7 @@ def mixture_weights(
         F.sum("n_docs").alias("__total"), F.count("*").alias("__groups")
     )
     return (
+        # bounded: total is a 1-row global aggregate
         counts.crossJoin(F.broadcast(total))
         .select(
             dim,
@@ -127,6 +128,7 @@ def temperature_mixture(
     a broadcast of the per-group powers — no data-sized shuffle."""
     counts = df.groupBy(dim).agg(F.count("*").alias("n_docs"))
     tot = counts.agg(F.sum("n_docs").alias("__total"))
+    # bounded: tot and powsum are 1-row global aggregates
     shared = counts.crossJoin(F.broadcast(tot)).withColumn(
         "__share", F.col("n_docs") / F.col("__total")
     )
@@ -182,12 +184,20 @@ def chunk_documents(
     text_col: str = "text",
     id_col: str = "doc_id",
     keep_text: bool = True,
+    carry_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Sliding-window document chunking: split each doc into token
     windows of ``chunk_tokens`` starting every ``stride`` tokens
     (``stride < chunk_tokens`` ⇒ overlapping chunks — the standard
     context-window / RAG-passage chunker). Returns one row per chunk:
-    (id_col, chunk_idx, chunk_start, n_tok, [chunk_text]).
+    (id_col, [carry_cols...], chunk_idx, chunk_start, n_tok,
+    [chunk_text]).
+
+    ``carry_cols``: extra per-document columns replicated onto every
+    chunk row inside the same per-row projection — zero additional
+    shuffle, so carrying a dimension (e.g. ``source``) through the
+    chunker is strictly cheaper at scale than re-attaching it with a
+    corpus-cardinality join afterwards.
 
     Every doc yields >= 1 chunk (short docs produce one partial chunk);
     the final window may be shorter than ``chunk_tokens``. Chunk
@@ -211,10 +221,12 @@ def chunk_documents(
     chunks = F.transform(starts, lambda s: F.slice(toks, s + 1, chunk_tokens))
     ex = df.select(
         F.col(id_col),
+        *[F.col(c) for c in carry_cols],
         F.posexplode(chunks).alias("chunk_idx", "__chunk"),
     )
     out = ex.select(
         id_col,
+        *carry_cols,
         F.col("chunk_idx").cast("bigint").alias("chunk_idx"),
         (F.col("chunk_idx") * stride).cast("bigint").alias("chunk_start"),
         F.size("__chunk").cast("bigint").alias("n_tok"),
@@ -305,6 +317,7 @@ def decontaminate(
     bench_grams = grams(benchmark).select("__g16").distinct()
     hits = (
         grams(corpus)
+        # bounded: the benchmark side is max_bench-guarded upstream
         .join(F.broadcast(bench_grams), "__g16")
         .groupBy(id_col)
         .agg(F.count("*").alias("n_hits"))

@@ -238,6 +238,8 @@ def pq_topk(
     dtab = pq_distance_tables(queries, books, q_id, q_vec)
     exploded = codes.select(c_id, F.posexplode("codes").alias("sub", "cid"))
     adc = (
+        # bounded: dtab is n_queries x m x n_codes distance entries
+        # (queries are max_queries-guarded; m*n_codes is a constant)
         exploded.join(F.broadcast(dtab), ["sub", "cid"])
         .groupBy(q_id, c_id)
         .agg(F.round(F.sum("d"), round_to).alias("adc_d"))

@@ -66,6 +66,7 @@ def bm25_topk(
     dfreq = postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
 
     scored = (
+        # bounded: dfreq has one row per query term; stats is 1 row
         postings.join(F.broadcast(dfreq), "term")
         .join(lens, "doc_id")
         .crossJoin(F.broadcast(stats))

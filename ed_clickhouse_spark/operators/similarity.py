@@ -325,6 +325,7 @@ def lsh_bucket_topk(
     )
     cb = corpus.withColumn("__b", _hyperplane_sig_expr(c_vec, dim, n_planes, n_tables))
     cand = (
+        # bounded: the query side is max_queries-guarded upstream
         cb.join(F.broadcast(qb), cb["__b"] == qb["__b"])
         .filter(F.col(q_id) != F.col(c_id))
         .select(q_id, c_id, q_vec, c_vec)
@@ -419,6 +420,7 @@ def quantize_embeddings(
         / F.size(vec_col)
     )
     quantized = (
+        # bounded: params is a 1-row min/max aggregate
         df.crossJoin(F.broadcast(params))
         .withColumn("qvec", q)
         .withColumn("recon_err", err)

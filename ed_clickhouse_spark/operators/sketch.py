@@ -58,7 +58,12 @@ def cm_query(sketch: DataFrame, keys: DataFrame, key_col: str, width: int = 2048
         )
         out = out.withColumn(
             f"__b{i}", F.pmod(F.xxhash64(F.col(key_col), F.lit(i)), F.lit(width))
-        ).join(F.broadcast(s_i), f"__b{i}", "left")
+        ).join(
+            # bounded: one sketch row per bucket (width is a constant)
+            F.broadcast(s_i),
+            f"__b{i}",
+            "left",
+        )
         c = F.coalesce(F.col(f"__c{i}"), F.lit(0))
         est = c if est is None else F.least(est, c)
     return out.select(key_col, est.alias("est_count")).withColumn(

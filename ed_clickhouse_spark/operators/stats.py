@@ -73,6 +73,7 @@ def cramers_v(
         F.countDistinct(col_b).alias("c"),
     )
     joined = (
+        # bounded: marginals have one row per category; tot is 1 row
         cells.join(F.broadcast(ra), col_a)
         .join(F.broadcast(cb), col_b)
         .crossJoin(F.broadcast(tot))
@@ -185,6 +186,7 @@ def _range_cumsum(
     off = (
         tot.alias("a")
         .join(
+            # bounded: tot has one row per shuffle partition
             F.broadcast(tot.alias("b")),
             F.col("b.__pid") < F.col("a.__pid"),
             "left",
@@ -203,6 +205,7 @@ def _range_cumsum(
         .orderBy(value_col)
         .rowsBetween(W.unboundedPreceding, end)
     )
+    # bounded: off has one row per shuffle partition
     out = parts.join(F.broadcast(off), "__pid")
     for c in sum_cols:
         out = out.withColumn(
@@ -339,6 +342,7 @@ def kolmogorov_smirnov(
         F.count(F.when(F.col(group_col) == group_a, 1)).alias("n_a"),
         F.count(F.when(F.col(group_col) == group_b, 1)).alias("n_b"),
     )
+    # bounded: tot is a 1-row aggregate
     d = cum.crossJoin(F.broadcast(tot)).agg(
         F.first("n_a").alias("n_a"),
         F.first("n_b").alias("n_b"),
@@ -383,6 +387,7 @@ def theils_u(df: DataFrame, col_a: str, col_b: str, round_to: int = 6) -> DataFr
         .agg(F.sum("o").alias("c"))
         .agg(F.sum(F.col("c") * F.log("c")).alias("__cb"))
     )
+    # bounded: ma/mb are 1-row aggregates
     j = agg.crossJoin(F.broadcast(ma)).crossJoin(F.broadcast(mb))
     h_a = F.log("n") - F.col("__ca") / F.col("n")
     h_a_given_b = (F.col("__cb") - F.col("__cab")) / F.col("n")
@@ -660,6 +665,7 @@ def contingency_coefficients(
         F.countDistinct(col_b).alias("c"),
     )
     joined = (
+        # bounded: marginals have one row per category; tot is 1 row
         cells.join(F.broadcast(ra), col_a)
         .join(F.broadcast(cb), col_b)
         .crossJoin(F.broadcast(tot))

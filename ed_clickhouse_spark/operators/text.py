@@ -151,6 +151,7 @@ def unigram_logprob(
     total = vocab.agg(F.sum("cf").alias("__total"))
     scored = (
         doc_words.join(vocab, "w")
+        # bounded: total is a 1-row aggregate
         .crossJoin(F.broadcast(total))
         .groupBy("id")
         .agg(

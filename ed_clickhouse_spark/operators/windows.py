@@ -379,6 +379,7 @@ def lttb_downsample(
     env = df.groupBy(*group_cols).agg(
         F.min(x).alias("__lo"), F.max(x).alias("__hi")
     )
+    # bounded: env is one min/max row per series key (plot-sized groups)
     pts = df.join(F.broadcast(env), group_cols or None) if group_cols else (
         df.crossJoin(F.broadcast(env))
     )
@@ -407,6 +408,7 @@ def lttb_downsample(
         F.lead("__mx").over(wb).alias("__nx"),
         F.lead("__my").over(wb).alias("__ny"),
     )
+    # bounded: anchors has n_buckets rows per series key (output-sized)
     j = pts.join(F.broadcast(anchors), [*group_cols, "__b"])
     area = F.abs(
         (F.col("__px") - F.col("__nx")) * (F.col(y_col) - F.col("__py"))

@@ -227,6 +227,7 @@ def q183_cohort_retention_matrix(spark, sf_dir):
         .agg(F.countDistinct("user_id").alias("n"))
     )
     return (
+        # bounded: sizes has one row per cohort week (timeline-sized)
         cells.join(F.broadcast(sizes), "c")
         .filter(F.col("k") <= 8)
         .select(

@@ -103,6 +103,7 @@ def q68_calendar_gapfill(spark, sf_dir):
         F.count("*").alias("n"), dsum("value", "v")
     )
     return (
+        # bounded: cal is a generated day spine (one row per calendar day)
         F.broadcast(cal)
         .join(daily, "day", "left")
         .select(

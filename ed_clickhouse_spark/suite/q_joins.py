@@ -42,7 +42,9 @@ def q20_star_join_revenue(spark, sf_dir):
     revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer is sf-proportional — un-forced (AQE broadcasts when
+        # small); bounded: nation (25 rows) / region (5 rows) are fixed
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
         .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))

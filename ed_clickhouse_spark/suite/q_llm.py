@@ -477,6 +477,7 @@ def q100_weighted_sample(spark, sf_dir):
     )
     p = F.least(F.lit(1.0), F.lit(0.3) * F.col("n_chars") / F.col("avg_chars"))
     return (
+        # bounded: stats is a 1-row global aggregate
         d.crossJoin(F.broadcast(stats))
         .withColumn("unif", unif)
         .withColumn("p", p)

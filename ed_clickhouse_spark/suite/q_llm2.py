@@ -363,6 +363,7 @@ def q138_value_histogram(spark, sf_dir):
         F.floor((F.col("value") - F.col("vmin")) / width).cast("bigint"), F.lit(9)
     )
     return (
+        # bounded: r is a 1-row min/max aggregate
         e.crossJoin(F.broadcast(r))
         .select(bucket.alias("bucket"), "value")
         .groupBy("bucket")
@@ -439,10 +440,11 @@ def q180_intake_pipeline(spark, sf_dir):
     from ed_clickhouse_spark.operators.llmdata import chunk_documents
 
     d = t(spark, sf_dir, "documents")
-    # chunk_documents emits only (doc_id, chunk_*): re-attach the source
-    # dimension by doc key (broadcast — it's the doc table's id+source)
-    ch = chunk_documents(d.select("doc_id", "text"), 32, 24).join(
-        F.broadcast(d.select("doc_id", "source")), "doc_id"
+    # `source` rides through the chunker's per-row projection
+    # (carry_cols) — zero extra shuffle, and no corpus-cardinality
+    # broadcast of the doc-id table to re-attach it afterwards.
+    ch = chunk_documents(
+        d.select("doc_id", "source", "text"), 32, 24, carry_cols=("source",)
     )
     toks = F.split("chunk_text", " ")
     en_stop = F.array(*[F.lit(w) for w in ("the", "a", "of", "and", "to", "in")])

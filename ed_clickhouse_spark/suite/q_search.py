@@ -172,6 +172,7 @@ def q204_hybrid_search_rrf(spark, sf_dir):
         F.col("vec_id").alias("doc_id"),
         F.col("embedding").cast("array<double>").alias("vec"),
     )
+    # bounded: a single query vector (one row after the id filter)
     qv = F.broadcast(
         emb.filter(F.col("doc_id") == 0).select(F.col("vec").alias("q_vec"))
     )

@@ -702,6 +702,7 @@ def q179_median_abs_deviation(spark, sf_dir):
     med = e.groupBy("event_type").agg(
         F.expr("percentile(value, 0.5)").alias("m")
     )
+    # bounded: med has one row per event type (5-value group column)
     dev = e.join(F.broadcast(med), "event_type").select(
         "event_type", F.abs(F.col("value") - F.col("m")).alias("ad"), "m"
     )

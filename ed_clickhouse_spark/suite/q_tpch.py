@@ -38,8 +38,10 @@ def q73_shipping_priority(spark, sf_dir):
         F.col("l_shipdate") > F.lit("1995-03-15 00:00:00").cast("timestamp")
     )
     revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    # customer is sf-proportional — not force-broadcast; AQE converts to
+    # broadcast at runtime whenever the filtered side measures small.
     return (
-        F.broadcast(c)
+        c
         .join(o, c.c_custkey == o.o_custkey)
         .join(li, li.l_orderkey == o.o_orderkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
@@ -74,9 +76,11 @@ def q74_returned_items(spark, sf_dir):
     li = t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     n = t(spark, sf_dir, "nation")
     revenue = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
+    # customer is sf-proportional — un-forced (AQE decides); nation is a
+    # bounded: fixed 25-row dimension, safely forced.
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "c_acctbal", F.col("n_name").alias("nation"))
         .agg(F.sum(revenue).cast("double").alias("revenue"))
@@ -119,7 +123,8 @@ def q75_large_volume_customers(spark, sf_dir):
     )
     return (
         o.join(big.withColumnRenamed("l_orderkey", "o_orderkey"), "o_orderkey", "left_semi")
-        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        # customer is sf-proportional — un-forced (AQE decides)
+        .join(c, o.o_custkey == c.c_custkey)
         .join(li, F.col("o_orderkey") == li.l_orderkey)
         .groupBy(
             "c_custkey",

@@ -155,8 +155,9 @@ def q118_promo_revenue(spark, sf_dir):
     aggregate). p_type here is single-word ('PROMO'), vs TPC-H's
     'PROMO%' prefix — equality instead of LIKE, same shape.
 
-    Plan: part broadcasts (it is the canonical small dim), lineitem
-    never shuffles — the conditional sums reduce map-side to one row."""
+    Plan: part joins un-forced (sf-proportional — AQE broadcasts it at
+    runtime when it measures small), lineitem never shuffles beyond the
+    join — the conditional sums reduce map-side to one row."""
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1997-09-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1997-10-01").cast("timestamp"))
@@ -165,7 +166,7 @@ def q118_promo_revenue(spark, sf_dir):
     rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
     zero = F.lit(0).cast("decimal(18,2)")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .agg(
             F.round(
                 F.lit(100.0)
@@ -217,8 +218,10 @@ def q119_top_supplier(spark, sf_dir):
     mx = rev.agg(F.max("total_revenue").alias("__mx"))
     s = t(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
+        # bounded: mx is a 1-row global aggregate; supplier is
+        # sf-proportional so its join is un-forced (AQE decides)
         rev.join(F.broadcast(mx), rev.total_revenue == mx.__mx)
-        .join(F.broadcast(s), F.col("supplier_no") == F.col("s_suppkey"))
+        .join(s, F.col("supplier_no") == F.col("s_suppkey"))
         .select(
             "s_suppkey", "s_name", F.col("total_revenue").cast("double").alias("total_revenue")
         )
@@ -244,19 +247,28 @@ def q120_small_qty_revenue(spark, sf_dir):
     scalar AVG subquery per part.
 
     Plan: the correlated subquery decorrelates to a per-part AVG
-    aggregate joined back on partkey. The brand filter cannot be pushed
-    into the AVG side (the average is over ALL lineitems of the part,
-    exactly as TPC-H specifies), so this is one lineitem shuffle for the
-    per-part averages + one broadcast of the filtered part dim; the
-    per-part avg frame (one row per partkey) broadcasts too."""
+    aggregate joined back on partkey. The brand filter cannot change the
+    AVG itself (the average is over ALL lineitems of the part, exactly
+    as TPC-H specifies), but it DOES bound which parts' averages are
+    needed: semi-joining the avg frame against the filtered part dim
+    first shrinks it from |part| rows (a corpus-cardinality broadcast —
+    driver OOM at 100x) to the brand's part count, which is then safely
+    broadcast. One lineitem shuffle for the averages + two broadcasts of
+    brand-bounded frames."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").filter(F.col("p_brand") == "Brand#5").select("p_partkey")
-    avg_q = li.groupBy(F.col("l_partkey").alias("__pk")).agg(
-        (F.lit(0.2) * F.avg(dec("l_quantity"))).alias("__thresh")
+    avg_q = (
+        li.groupBy(F.col("l_partkey").alias("__pk"))
+        .agg((F.lit(0.2) * F.avg(dec("l_quantity"))).alias("__thresh"))
+        .join(p, F.col("__pk") == F.col("p_partkey"), "left_semi")
     )
+    # all joins un-forced: p (sf-proportional dim, filtered) and the
+    # brand-bounded avg frame both measure small at runtime, so AQE
+    # converts them to broadcasts without risking a forced
+    # corpus-cardinality broadcast at 100x.
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-        .join(F.broadcast(avg_q), F.col("l_partkey") == F.col("__pk"))
+        li.join(p, li.l_partkey == p.p_partkey)
+        .join(avg_q, F.col("l_partkey") == F.col("__pk"))
         .filter(dec("l_quantity") < F.col("__thresh"))
         .agg(
             F.round(F.sum(dec("l_extendedprice")) / 7.0, 2)
@@ -281,10 +293,12 @@ def q121_disjunctive_revenue(spark, sf_dir):
     attributes (brand/size from part, quantity from lineitem).
     Deviation: no p_container — bundles use brand+size only.
 
-    Plan: the join stays equi on partkey (broadcast part); the OR-of-ANDs
-    is a post-join filter inside the same codegen stage. A part-side-only
-    prefilter (brand IN the three values) IS pushed below the join so the
-    broadcast side shrinks — the standard Q19 rewrite."""
+    Plan: the join stays equi on partkey; the OR-of-ANDs is a post-join
+    filter inside the same codegen stage. A part-side-only prefilter
+    (brand IN the three values) IS pushed below the join so the part
+    side shrinks — the standard Q19 rewrite. The join is un-forced
+    (part is sf-proportional even after the brand filter); AQE
+    broadcasts it at runtime when it measures small."""
     bundles_part = F.col("p_brand").isin("Brand#12", "Brand#23", "Brand#3")
     p = t(spark, sf_dir, "part").filter(bundles_part).select("p_partkey", "p_brand", "p_size")
     li = t(spark, sf_dir, "lineitem")
@@ -296,7 +310,7 @@ def q121_disjunctive_revenue(spark, sf_dir):
     )
     rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .filter(disj)
         .agg(F.sum(rev).cast("double").alias("revenue"))
     )
@@ -336,7 +350,8 @@ def q122_waiting_suppliers(spark, sf_dir):
 
     Plan: one orderkey shuffle computes (n_supp, n_late) per order; the
     per-order frame is orders-sized-small (2 ints/row) and joins back on
-    the same key so AQE reuses the partitioning; supplier broadcasts."""
+    the same key so AQE reuses the partitioning; the supplier join is
+    un-forced (sf-proportional — AQE broadcasts when small)."""
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").select(
         "o_orderkey", "o_orderdate"
     )
@@ -352,7 +367,7 @@ def q122_waiting_suppliers(spark, sf_dir):
         lo.filter(late)
         .join(per_order, "l_orderkey")
         .filter((F.col("n_supp") > 1) & (F.col("n_late") == 1))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .groupBy("s_name")
         .agg(F.count("*").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
@@ -385,7 +400,7 @@ def q123_idle_customers(spark, sf_dir):
     date filter pushes into the orders scan).
 
     Plan: the scalar AVG is a 1-row aggregate joined as a broadcast
-    cross; the NOT EXISTS is a left_anti against orders' custkey
+    cross (bounded: single-row); the NOT EXISTS is a left_anti against orders' custkey
     projection (2 longs/row) — one anti-join shuffle, no distinct needed
     (anti joins are set-semantic on the probe side)."""
     nations = [1, 3, 5, 7, 9, 11, 13]
@@ -399,6 +414,7 @@ def q123_idle_customers(spark, sf_dir):
         .select("o_custkey")
     )
     return (
+        # bounded: avg_bal is a 1-row global aggregate
         c.join(F.broadcast(avg_bal), dec("c_acctbal") > F.col("__avg"))
         .join(o, F.col("c_custkey") == o.o_custkey, "left_anti")
         .groupBy("c_nationkey")
@@ -433,10 +449,11 @@ def q124_volume_shipping(spark, sf_dir):
     """TPC-H Q7: bilateral trade volume between two nations by ship
     year (two roles for the nation dim, disjunctive pair predicate).
 
-    Plan: supplier/customer/nation all broadcast; lineitem joins orders
-    on orderkey (the only fact-fact shuffle), then the pair filter and a
-    small groupBy. The nation-pair predicate applies after both
-    broadcast joins, inside one codegen stage."""
+    Plan: nation (fixed 25 rows) force-broadcasts; customer/supplier
+    are sf-proportional so their joins are un-forced (AQE broadcasts
+    them at runtime when small); lineitem joins orders on orderkey (the
+    only unavoidable fact-fact shuffle), then the pair filter and a
+    small groupBy."""
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -457,8 +474,9 @@ def q124_volume_shipping(spark, sf_dir):
     rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
+        # bounded: both nation roles are the fixed 25-row dimension
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("__nck"))
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("__nsk"))
         .filter(pair)
@@ -497,10 +515,11 @@ def q125_market_share(spark, sf_dir):
     """TPC-H Q8: one supplier-nation's share of a region's market for a
     part type, by order year (conditional-ratio over a 7-way snowflake).
 
-    Plan: every dimension (part filtered by type, customer, both nation
-    roles, region, supplier) broadcasts; the single fact-fact shuffle is
-    lineitem-orders on orderkey. The share ratio folds map-side into two
-    decimal sums per year."""
+    Plan: the fixed dims (both nation roles, region) force-broadcast;
+    part/customer/supplier are sf-proportional so their joins are
+    un-forced (AQE broadcasts them at runtime when small); the single
+    unavoidable fact-fact shuffle is lineitem-orders on orderkey. The
+    share ratio folds map-side into two decimal sums per year."""
     li = t(spark, sf_dir, "lineitem")
     p = t(spark, sf_dir, "part").filter(F.col("p_type") == "ECONOMY").select("p_partkey")
     o = t(spark, sf_dir, "orders").filter(
@@ -521,12 +540,13 @@ def q125_market_share(spark, sf_dir):
     rev = dec("l_extendedprice") * (F.lit(1) - dec("l_discount"))
     zero = F.lit(0).cast("decimal(18,2)")
     return (
-        li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+        li.join(p, li.l_partkey == p.p_partkey)
         .join(o, li.l_orderkey == o.o_orderkey)
-        .join(F.broadcast(c), F.col("o_custkey") == c.c_custkey)
+        .join(c, F.col("o_custkey") == c.c_custkey)
+        # bounded: nation (25 rows) and region (5 rows) are fixed dims
         .join(F.broadcast(nc), F.col("c_nationkey") == F.col("__nck"))
         .join(F.broadcast(r), F.col("__nrk") == F.col("r_regionkey"))
-        .join(F.broadcast(s), F.col("l_suppkey") == s.s_suppkey)
+        .join(s, F.col("l_suppkey") == s.s_suppkey)
         .join(F.broadcast(ns), F.col("s_nationkey") == F.col("__nsk"))
         .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
         .agg(
@@ -566,9 +586,10 @@ def q175_local_supplier_volume(spark, sf_dir):
     """TPC-H Q5 (local supplier volume): revenue served to ASIA
     customers by SAME-NATION suppliers, by nation, one year. The
     customer-supplier nation equality rides ON the supplier join — no
-    extra shuffle. Dims broadcast; the two fact shuffles
-    (orders⋈customer on custkey, lineitem⋈orders on orderkey) are the
-    semantic minimum."""
+    extra shuffle. Fixed dims (nation/region) force-broadcast;
+    customer/supplier joins are un-forced (sf-proportional — AQE
+    broadcasts when small); the two fact shuffles (orders⋈customer on
+    custkey, lineitem⋈orders on orderkey) are the semantic minimum."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01")
@@ -578,13 +599,14 @@ def q175_local_supplier_volume(spark, sf_dir):
     n = t(spark, sf_dir, "nation")
     r = t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     joined = (
-        o.join(F.broadcast(c), o["o_custkey"] == c["c_custkey"])
+        o.join(c, o["o_custkey"] == c["c_custkey"])
         .join(l, l["l_orderkey"] == o["o_orderkey"])
         .join(
-            F.broadcast(s),
+            s,
             (s["s_suppkey"] == l["l_suppkey"])
             & (s["s_nationkey"] == c["c_nationkey"]),
         )
+        # bounded: nation (25 rows) and region (5 rows) are fixed dims
         .join(F.broadcast(n), n["n_nationkey"] == s["s_nationkey"])
         .join(F.broadcast(r), r["r_regionkey"] == n["n_regionkey"])
     )
@@ -699,13 +721,14 @@ def q191_supplier_concentration(spark, sf_dir):
     """Supplier revenue concentration per nation — the Herfindahl index
     (Σ share², 1/n = perfectly even, 1 = monopoly): the
     market-structure audit a marketplace runs. One fact shuffle on
-    suppkey, a per-nation total broadcast back, one squared-share
-    aggregate."""
+    suppkey (the supplier join un-forced — sf-proportional, AQE
+    broadcasts when small), a per-nation total broadcast back, one
+    squared-share aggregate."""
     li = t(spark, sf_dir, "lineitem")
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     rev = (
-        li.join(F.broadcast(s), li["l_suppkey"] == s["s_suppkey"])
+        li.join(s, li["l_suppkey"] == s["s_suppkey"])
         .groupBy("s_nationkey", "l_suppkey")
         .agg(F.sum(dec("l_extendedprice")).alias("r"))
     )
@@ -714,6 +737,8 @@ def q191_supplier_concentration(spark, sf_dir):
         F.count("*").alias("n_suppliers"),
     )
     return (
+        # bounded: tot is a 25-rows-max per-nation aggregate; nation is
+        # the fixed 25-row dimension
         rev.join(F.broadcast(tot), "s_nationkey")
         .join(F.broadcast(n), F.col("n_nationkey") == F.col("s_nationkey"))
         .groupBy(F.col("n_name").alias("nation"), "n_suppliers")

@@ -342,6 +342,7 @@ def q130_gapfill_interpolate(spark, sf_dir):
         )
     )
     g = (
+        # bounded: cal is a generated day spine (one row per calendar day)
         F.broadcast(cal)
         .join(daily, "day", "left")
         .withColumn("h", F.datediff("day", F.lit("2024-01-01").cast("date")).cast("bigint"))
@@ -677,6 +678,7 @@ def q188_funnel_report(spark, sf_dir):
     steps = spark.createDataFrame([(1,), (2,), (3,)], "step int")
     reached = (
         steps.join(
+            # bounded: dist has one row per funnel depth (<= 4 rows)
             F.broadcast(dist), dist["funnel_steps"] >= steps["step"], "left"
         )
         .groupBy("step")
