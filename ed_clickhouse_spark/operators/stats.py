@@ -148,6 +148,20 @@ def welch_ttest(
     )
 
 
+def _plan_size_bytes(df: DataFrame) -> int:
+    """Catalyst's conservative size estimate for a frame — the
+    optimized plan's ``sizeInBytes`` statistic, which for file sources
+    derives from the scanned files' on-disk footprint and only shrinks
+    through explicit selectivity hints. Driver-side metadata only (no
+    job). Returns a huge sentinel when statistics are unavailable so
+    callers fall back to the scale-safe path."""
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        return int(str(stats.sizeInBytes()))
+    except Exception:
+        return 1 << 62
+
+
 def _range_cumsum(
     df: DataFrame,
     value_col: str,
@@ -172,10 +186,34 @@ def _range_cumsum(
     the same materialized shuffle and see identical partition ids.
     Adds one ``__cum_<col>`` per entry of ``sum_cols``; ``inclusive=
     False`` gives the exclusive prefix (the #[x < v] shape midranks
-    need)."""
+    need).
+
+    Adaptive small-input fast path: the two-pass shape pays a fixed
+    multi-stage cost (range sampling + triangular offset join) that a
+    small count-compressed input doesn't justify, so when Catalyst's
+    plan statistics bound the input below
+    ``spark.ed.rank_cumsum_small_bytes`` (default 64 MB — comfortably
+    one window task) the prefix sums run as a single ordered window
+    instead. The decision is driver-side and job-free: ``sizeInBytes``
+    propagates conservatively from the file-scan footprint, so a 100 TB
+    scan can never be misclassified as small, and both paths produce
+    identical results by construction. ``0`` disables the fast path
+    (the plan tests pin the range-partitioned shape this way)."""
     from pyspark.sql import Window as W
 
     spark = df.sparkSession
+    end = 0 if inclusive else -1
+    small_bytes = int(
+        spark.conf.get("spark.ed.rank_cumsum_small_bytes", str(64 * 1024 * 1024))
+    )
+    if small_bytes > 0 and _plan_size_bytes(df) <= small_bytes:
+        w = W.orderBy(value_col).rowsBetween(W.unboundedPreceding, end)
+        out = df
+        for c in sum_cols:
+            out = out.withColumn(
+                f"__cum_{c}", F.coalesce(F.sum(c).over(w), F.lit(0))
+            )
+        return out
     n_part = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     parts = df.repartitionByRange(n_part, F.col(value_col)).withColumn(
         "__pid", F.spark_partition_id()

@@ -187,20 +187,32 @@ def test_rank_stats_plan_shapes(spark):
     id, so it parallelizes even when distinct values ~= rows
     (continuous measures)."""
     sf = "/root/testdata/sf0.001"
-    for q in ("q142_mann_whitney", "q144_ks_test", "q148_auc"):
-        p = _plan(QUERIES[q](spark, sf))
-        assert "HashAggregate" in p, q          # count-compression first
-        assert "CartesianProduct" not in p, q
-        # the window input is the aggregated count table, never raw rows:
-        # Window appears after the aggregate in the formatted plan
-        assert p.index("HashAggregate") < p.index("Window"), q
-        # distributed cumsum: the window partitions on the range-bucket
-        # id (never an empty partition spec), fed by a range exchange
-        assert "rangepartitioning" in p.lower(), q
-        import re as _re
+    # pin the LARGE shape: disable the adaptive small-input fast path so
+    # the plan assertion covers the 100 TB branch regardless of test size
+    spark.conf.set("spark.ed.rank_cumsum_small_bytes", "0")
+    try:
+        for q in ("q142_mann_whitney", "q144_ks_test", "q148_auc"):
+            p = _plan(QUERIES[q](spark, sf))
+            assert "HashAggregate" in p, q      # count-compression first
+            assert "CartesianProduct" not in p, q
+            # the window input is the aggregated count table, never raw
+            # rows: Window appears after the aggregate in the plan
+            assert p.index("HashAggregate") < p.index("Window"), q
+            # distributed cumsum: the window partitions on the
+            # range-bucket id (never an empty partition spec), fed by a
+            # range exchange
+            assert "rangepartitioning" in p.lower(), q
+            import re as _re
 
-        for spec in _re.findall(r"partitionBy=\[([^\]]*)\]", p):
-            assert spec.strip(), f"{q}: unpartitioned window in plan"
+            for spec in _re.findall(r"partitionBy=\[([^\]]*)\]", p):
+                assert spec.strip(), f"{q}: unpartitioned window in plan"
+    finally:
+        spark.conf.unset("spark.ed.rank_cumsum_small_bytes")
+    # the adaptive fast path (default byte bound, decided job-free from
+    # Catalyst plan statistics) skips the range exchange for
+    # count-compressed inputs under the bound — a single ordered window
+    p = _plan(QUERIES["q142_mann_whitney"](spark, sf))
+    assert "rangepartitioning" not in p.lower()
     p = _plan(QUERIES["q152_zipf_slope"](spark, sf))
     assert "TakeOrderedAndProject" in p         # top-N, no global sort
     p = _plan(QUERIES["q159_topk_weighted"](spark, sf))
