@@ -161,7 +161,7 @@ def q204_hybrid_search_rrf(spark, sf_dir):
             F.posexplode("xs").alias("pos", "x")
         ).select(
             F.col("x.doc_id").alias("doc_id"),
-            (F.col("pos") + 1).cast("int").alias("rank"),
+            (F.col("pos") + 1).cast("bigint").alias("rank"),
         )
 
     docs = t(spark, sf_dir, "documents")

@@ -310,8 +310,8 @@ def q173_count_substrings(spark, sf_dir):
     d = t(spark, sf_dir, "documents").filter(F.col("doc_id") < 50)
     return d.select(
         "doc_id",
-        F.regexp_count("text", F.lit("scan")).alias("n_scan"),
-        (F.size(F.split("text", "the", -1)) - 1).alias("n_the"),
+        F.regexp_count("text", F.lit("scan")).cast("bigint").alias("n_scan"),
+        (F.size(F.split("text", "the", -1)) - 1).cast("bigint").alias("n_the"),
         (F.col("text").contains("spark") | F.col("text").contains("hash")).alias(
             "has_any"
         ),

@@ -61,6 +61,60 @@ def test_every_query_is_callable(spark):
         assert df.schema is not None, name
 
 
+def test_integer_widths_match_oracle(spark):
+    """Pin integer output widths against the oracle: the driver's
+    schema comparison has been lenient on int widths so far, but a
+    stricter driver would flip schema_match on a Spark `int` facing a
+    DuckDB `BIGINT` (q173's n_scan/n_the were the last offenders).
+    DuckDB DESCRIBE binds the oracle SQL without executing it, so this
+    covers all 200+ oracles in seconds."""
+    import duckdb
+
+    from ed_clickhouse_spark.catalog import TABLES
+
+    sf = "/root/testdata/sf0.001"
+    con = duckdb.connect()
+    for tname in TABLES:
+        con.sql(f"CREATE VIEW {tname} AS SELECT * FROM '{sf}/{tname}.parquet'")
+
+    def duck_int_family(t: str) -> str | None:
+        t = t.upper()
+        if t == "HUGEINT":
+            return "i128"
+        if t in ("BIGINT", "UBIGINT"):
+            return "i64"
+        if t in ("INTEGER", "SMALLINT", "TINYINT", "UINTEGER", "USMALLINT", "UTINYINT"):
+            return "i32"
+        return None
+
+    def spark_int_family(dt) -> str | None:
+        from pyspark.sql import types as T
+
+        if isinstance(dt, T.LongType):
+            return "i64"
+        if isinstance(dt, (T.IntegerType, T.ShortType, T.ByteType)):
+            return "i32"
+        return None
+
+    queries = ep.queries()
+    mismatches = []
+    for name, sql in ep.oracle_sql().items():
+        duck_types = {
+            r[0]: r[1]
+            for r in con.sql(f"DESCRIBE ({sql})").fetchall()
+        }
+        spark_types = {
+            f.name: f.dataType
+            for f in queries[name](spark, sf).schema.fields
+        }
+        for col, dt in spark_types.items():
+            sf_fam = spark_int_family(dt)
+            dk_fam = duck_int_family(str(duck_types.get(col, "")))
+            if sf_fam and dk_fam and sf_fam != dk_fam:
+                mismatches.append(f"{name}.{col}: spark={sf_fam} duckdb={dk_fam}")
+    assert not mismatches, mismatches
+
+
 def test_no_unhashable_output_columns(spark):
     """Driver-hash contract: the correctness driver canonicalizes every
     output cell, and it cannot hash Decimal (round-3 failures q105/q106/
