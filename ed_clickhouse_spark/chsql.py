@@ -1495,6 +1495,16 @@ def _rewrite_scalar_misc(sql: str) -> str:
             return True
         if a.upper().startswith("CAST(") and "ARRAY" in a.upper():
             return True
+        # reverse is string-polymorphic in BOTH engines (ClickHouse
+        # reverses strings too), so reverse(x) is array-ish only when
+        # its own argument is — routing every reverse() to size() would
+        # break length(reverse(s)) on strings. slice/transform/filter
+        # only appear here as our own rewrites of arraySlice/arrayMap/
+        # arrayFilter (none is a ClickHouse string function), so they
+        # stay prefix-matched.
+        m = re.match(r"^reverse\s*\((.*)\)\s*$", a, re.S)
+        if m:
+            return _arrayish(m.group(1))
         return bool(
             re.match(
                 r"^(?:array|splitBy\w*|groupArray\w*|groupUniqArray|"
@@ -1504,7 +1514,7 @@ def _rewrite_scalar_misc(sql: str) -> str:
                 r"arrayIntersect|arrayPushBack|arrayPushFront|"
                 r"arrayPopBack|arrayPopFront|extractAll|flatten|"
                 r"arrayFlatten|map_keys|mapKeys|map_values|mapValues|"
-                r"split|slice|transform|filter|reverse|topK)\s*\(",
+                r"split|slice|transform|filter|topK)\s*\(",
                 a,
             )
         )
@@ -2312,8 +2322,15 @@ def _rewrite_funnel_aggs(sql: str) -> str:
         close2 = _call_end(sql, open2)
         args = _split_top_commas(sql[open2 + 1: close2])
         ts, conds = args[0], args[1:]
-        # token grammar: (?N) condition refs, .* (any events between —
-        # always satisfied here), and (?t OP n) adjacent time gaps
+        # token grammar: (?N) condition refs, .* (any events between),
+        # and (?t OP n) time gaps.  Two refs with NOTHING between them
+        # ('(?1)(?2)') are ADJACENT in ClickHouse: the matched events
+        # must be consecutive among events matching ANY listed condition
+        # (the docs' example with a third matching condition returns 0)
+        # — translated exactly below via a no-event-between clause.
+        # Deviation note: a (?t op n) separator is treated as the time
+        # bound alone (intermediate matching events allowed), the
+        # funnel-with-deadline reading.
         tok_rx = re.compile(
             r"\(\?(\d+)\)"
             r"|\(\?t\s*(<=|>=|==|<|>)\s*(\d+(?:\.\d+)?)\)"
@@ -2328,19 +2345,27 @@ def _rewrite_funnel_aggs(sql: str) -> str:
                 toks.append(("ref", tm.group(1)))
             elif tm.group(2):
                 toks.append(("gap", tm.group(2), tm.group(3)))
+            else:
+                toks.append(("any",))
         order = [t[1] for t in toks if t[0] == "ref"]
         ok = bool(order) and pos2 == len(pat)
-        # align each (?t op n) to the adjacent ref pair it sits between
+        # align each (?t op n) to the adjacent ref pair it sits between;
+        # a ref directly following another ref marks that pair adjacent
         gaps: list[tuple[str, str] | None] = [None] * max(len(order) - 1, 0)
+        adjacent: list[bool] = [False] * max(len(order) - 1, 0)
         ref_i = -1
+        prev_tok = None
         for t in toks:
             if t[0] == "ref":
+                if prev_tok is not None and prev_tok[0] == "ref" and ref_i + 1 < len(order):
+                    adjacent[ref_i + 1 - 1] = True
                 ref_i += 1
             elif t[0] == "gap":
                 if ref_i < 0 or ref_i >= len(order) - 1 or gaps[ref_i]:
                     ok = False  # leading/trailing/doubled time condition
                 else:
                     gaps[ref_i] = (t[1], t[2])
+            prev_tok = t
         if toks and toks[-1][0] == "gap":
             ok = False
         if not ok:
@@ -2353,16 +2378,21 @@ def _rewrite_funnel_aggs(sql: str) -> str:
             [f"CAST(CAST({ts} AS TIMESTAMP) AS DOUBLE) AS t"]
             + [f"({c}) AS s{i + 1}" for i, c in enumerate(conds)]
         )
-        if any(gaps):
+        if any(gaps) or any(adjacent):
             # Time-bounded chains need EXACT re-anchoring (an upper
             # bound makes the greedy chain incomplete: A@0 A@100 B@105
-            # under t<=10 only matches via the second A), so emit the
+            # under t<=10 only matches via the second A), and adjacency
+            # needs backtracking a greedy fold can't do — so emit the
             # nested-exists search — the SQL spelling of
             # operators/windows.py:sequence_match_times.  Catalyst
             # dedupes the semantically-equal collect_list aggregates,
             # so the repeated {evs} text is one physical buffer.
             evs = f"collect_list(struct({fields}))"
             gap_op = {"==": "="}
+            # ClickHouse adjacency counts events matching ANY listed
+            # condition (referenced or not) as separators
+            def _anycond(var: str) -> str:
+                return " OR ".join(f"{var}.s{j + 1}" for j in range(len(conds)))
 
             def nest(i: int) -> str:
                 var = f"__ch_e{i}"
@@ -2374,6 +2404,12 @@ def _rewrite_funnel_aggs(sql: str) -> str:
                         op, n = gaps[i - 1]
                         c.append(
                             f"({var}.t - {prev}.t) {gap_op.get(op, op)} {n}"
+                        )
+                    if adjacent[i - 1]:
+                        z = f"__ch_z{i}"
+                        c.append(
+                            f"NOT exists({evs}, {z} -> ({_anycond(z)})"
+                            f" AND {z}.t > {prev}.t AND {z}.t < {var}.t)"
                         )
                 body = " AND ".join(c)
                 if i + 1 < len(order):
@@ -2410,7 +2446,7 @@ def _rewrite_funnel_aggs(sql: str) -> str:
         rest = sql[close1 + 1:].lstrip()
         if not rest.startswith("("):
             raise ValueError(
-                "sequenceCount expects sequenceCount('(?1)(?2)')(ts, conds...)"
+                "sequenceCount expects sequenceCount('(?1).*(?2)')(ts, conds...)"
             )
         open2 = close1 + 1 + (len(sql[close1 + 1:]) - len(rest))
         close2 = _call_end(sql, open2)
@@ -2421,6 +2457,26 @@ def _rewrite_funnel_aggs(sql: str) -> str:
             raise ValueError(
                 f"sequenceCount pattern {pat!r} is not the sequential"
                 " (?1).*(?2) form — use operators.windows.sequence_count"
+            )
+        if re.search(r"\(\?\d+\)\(\?\d+\)", pat) and (
+            len(conds) > len(set(order)) or len(order) != len(set(order))
+        ):
+            # ClickHouse adjacency ('(?1)(?2)': matched events must be
+            # CONSECUTIVE among events matching any listed condition).
+            # The greedy fold below implements adjacency exactly when
+            # every listed condition is referenced once (any matching
+            # event either advances or re-arms/resets the chain, so the
+            # armed event is always the latest candidate — no
+            # backtracking needed). An UNREFERENCED extra condition or a
+            # REPEATED ref breaks that equivalence (the docs' example
+            # with a third matching condition returns 0 where the fold
+            # would count) — reject instead of silently over-matching.
+            raise ValueError(
+                f"sequenceCount pattern {pat!r} uses ClickHouse adjacency"
+                " with unreferenced or repeated conditions, which this"
+                " translation cannot count faithfully — write"
+                " '(?1).*(?2)' for the unconstrained count, or use"
+                " operators.windows.sequence_count"
             )
         fields = ", ".join(
             [f"CAST(CAST({ts} AS TIMESTAMP) AS DOUBLE) AS t"]

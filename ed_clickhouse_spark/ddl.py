@@ -754,6 +754,50 @@ def final_read(df: DataFrame, spec: TableSpec) -> DataFrame:
     raise ValueError(f"unsupported table engine: {spec.engine}")
 
 
+def mutation_read_args(spec: TableSpec):
+    """(read_schema, conform) for path-level rewrites on this table.
+
+    RENAME COLUMN is metadata-only, so after a rename plus post-rename
+    inserts the directory holds files with BOTH spellings.  A rewrite
+    that reads with a footer-inferred schema sees only one of them and
+    silently drops the other vintage's values.  ``read_schema`` is the
+    declared schema plus every legacy stored name (exactly what
+    register_view reads); ``conform`` coalesces each declared column
+    with its stored twin and drops the twin, so the rewrite emits
+    canonical files carrying all vintages' values."""
+    read_schema = T.StructType(list(spec.schema.fields))
+    legacy: list[tuple[str, str]] = []
+    declared_names = [f.name for f in spec.schema.fields]
+    types = {f.name: f.dataType for f in spec.schema.fields}
+    for new_name, stored in spec.renames.items():
+        if stored != new_name and stored not in declared_names:
+            read_schema = read_schema.add(
+                T.StructField(stored, types.get(new_name, T.StringType()), True)
+            )
+            legacy.append((new_name, stored))
+    pc0 = spec.partition_column()
+    if pc0 and pc0[0] not in [f.name for f in read_schema.fields]:
+        ptype = {
+            "p_month": T.IntegerType(),
+            "p_date": T.DateType(),
+            "p_year": T.IntegerType(),
+        }.get(pc0[0])
+        if ptype is not None:
+            read_schema = read_schema.add(T.StructField(pc0[0], ptype, True))
+
+    if not legacy:
+        return read_schema, None
+
+    def conform(df: DataFrame) -> DataFrame:
+        for new_name, stored in legacy:
+            df = df.withColumn(
+                new_name, F.coalesce(F.col(new_name), F.col(stored))
+            ).drop(stored)
+        return df
+
+    return read_schema, conform
+
+
 def register_view(spark: SparkSession, spec: TableSpec, warehouse: str) -> None:
     """Register ``<name>`` as the FINAL view (merge semantics applied) and
     ``<name>_raw`` as the append log, if the table exists on disk."""
@@ -896,6 +940,11 @@ def apply_alter(
     order_by = list(spec.order_by)
     primary_key = list(spec.primary_key)
     sample_by = spec.sample_by
+    spec_ttl = spec.ttl
+    spec_partition_by = spec.partition_by
+    spec_bloom = list(spec.bloom_cols)
+    spec_col_exprs = dict(spec.col_exprs)
+    spec_alias_cols = list(spec.alias_cols)
     if action == "ADD":
         ctype = _COL_ATTR.sub("", rest).strip() or "String"
         dt, nullable = ch_type_to_spark(ctype)
@@ -928,6 +977,23 @@ def apply_alter(
         primary_key = [new_name if c == cname else c for c in primary_key]
         if sample_by == cname:
             sample_by = new_name
+        # every other spec field that references the column follows the
+        # rename too — a TTL/partition/bloom/DEFAULT policy pointing at
+        # the dead spelling would silently stop matching rows written
+        # after the rename (new files carry the new name)
+        _ref = re.compile(rf"\b{re.escape(cname)}\b")
+        if spec_ttl and spec_ttl[0] == cname:
+            spec_ttl = (new_name, spec_ttl[1], spec_ttl[2])
+        if spec_partition_by:
+            spec_partition_by = _ref.sub(new_name, spec_partition_by)
+        spec_bloom = [new_name if c == cname else c for c in spec_bloom]
+        spec_col_exprs = {
+            (new_name if k == cname else k): (kind, _ref.sub(new_name, expr))
+            for k, (kind, expr) in spec_col_exprs.items()
+        }
+        spec_alias_cols = [
+            new_name if c == cname else c for c in spec_alias_cols
+        ]
     else:  # MODIFY COLUMN c NewType — a mutation in ClickHouse too:
         # rewrite the stored data with the column cast (partition-
         # selective machinery degrades to full rewrite when needed)
@@ -948,12 +1014,18 @@ def apply_alter(
 
         path = os.path.join(warehouse, spec.name)
         if os.path.exists(path):
-            stored = renames.get(cname, cname)
+            # rename-aware rewrite: read BOTH column spellings and
+            # canonicalize (mutation_read_args), then cast the declared
+            # name — a footer-inferred read here would drop whichever
+            # vintage the sampled file lacks
+            rs, conform = mutation_read_args(spec)
             _mutate(
                 spark,
                 path,
                 F.lit(True),
-                lambda df: df.withColumn(stored, F.col(stored).cast(dt)),
+                lambda df: df.withColumn(cname, F.col(cname).cast(dt)),
+                read_schema=rs,
+                conform=conform,
             )
     new_spec = TableSpec(
         name=spec.name,
@@ -961,15 +1033,15 @@ def apply_alter(
         engine=spec.engine,
         engine_args=spec.engine_args,
         order_by=order_by,
-        partition_by=spec.partition_by,
+        partition_by=spec_partition_by,
         primary_key=primary_key,
         ch_types=ch_types,
-        ttl=spec.ttl,
+        ttl=spec_ttl,
         sample_by=sample_by,
-        bloom_cols=spec.bloom_cols,
+        bloom_cols=spec_bloom,
         projections=spec.projections,
-        col_exprs=spec.col_exprs,
-        alias_cols=spec.alias_cols,
+        col_exprs=spec_col_exprs,
+        alias_cols=spec_alias_cols,
         settings=spec.settings,
         renames=renames,
     )
@@ -997,8 +1069,13 @@ def apply_ttl(
     col, n, unit = spec.ttl
     now_col = F.current_timestamp() if now is None else F.lit(now).cast("timestamp")
     cutoff = now_col - F.expr(f"INTERVAL {n} {unit}")
+    rs, conform = mutation_read_args(spec)
     touched = delete_where(
-        spark, os.path.join(warehouse, spec.name), F.col(col) < cutoff
+        spark,
+        os.path.join(warehouse, spec.name),
+        F.col(col) < cutoff,
+        read_schema=rs,
+        conform=conform,
     )
     if touched:
         # the rewrite replaced files on disk — re-register so the served

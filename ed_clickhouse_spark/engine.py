@@ -472,6 +472,16 @@ class Engine:
                 raise KeyError(f"unknown table {name!r}")
             return spec, path
 
+        def _mutation_read_args(spec):
+            # rename-aware rewrite args (both column spellings read and
+            # canonicalized); path-only tables fall back to mergeSchema
+            # inside the mutation helpers
+            if spec is None:
+                return None, None
+            from ed_clickhouse_spark import ddl as _ddl
+
+            return _ddl.mutation_read_args(spec)
+
         def _done(table: str, op: str, n) -> DataFrame:
             spec = self.table_specs.get(table)
             if spec is not None:
@@ -604,7 +614,10 @@ class Engine:
         m = _re.match(r"^ALTER\s+TABLE\s+(\w+)\s+DELETE\s+WHERE\s+(.+)$", q, _re.I | _re.S)
         if m:
             _spec, path = _table(m.group(1))
-            n = _mut.delete_where(self.spark, path, F.expr(m.group(2)))
+            rs, cf = _mutation_read_args(_spec)
+            n = _mut.delete_where(
+                self.spark, path, F.expr(m.group(2)), read_schema=rs, conform=cf
+            )
             _rebuild_projections(m.group(1))
             return _done(m.group(1), "delete", n)
         m = _re.match(r"^ALTER\s+TABLE\s+(\w+)\s+UPDATE\s+(.+)\s+WHERE\s+(.+)$", q, _re.I | _re.S)
@@ -616,7 +629,15 @@ class Engine:
             for part in _split_top(m.group(2)):
                 col, expr = part.split("=", 1)
                 assignments[col.strip().strip("`")] = F.expr(expr.strip())
-            n = _mut.update_where(self.spark, path, F.expr(m.group(3)), assignments)
+            rs, cf = _mutation_read_args(_spec)
+            n = _mut.update_where(
+                self.spark,
+                path,
+                F.expr(m.group(3)),
+                assignments,
+                read_schema=rs,
+                conform=cf,
+            )
             _rebuild_projections(m.group(1))
             return _done(m.group(1), "update", n)
         m = _re.match(
@@ -672,6 +693,7 @@ class Engine:
                     for c in m.group(4).strip().strip("()").split(",")
                     if c.strip()
                 ]
+            rs, cf = _mutation_read_args(spec)
             n = _mut.compact_partitions(
                 self.spark,
                 path,
@@ -679,6 +701,8 @@ class Engine:
                 partitions=[m.group(2)] if m.group(2) else None,
                 dedup=bool(m.group(3)),
                 dedup_cols=dedup_cols,
+                read_schema=rs,
+                conform=cf,
             )
             # OPTIMIZE also merges projection partial states down to one
             # row per dims (ClickHouse's background merges do the same

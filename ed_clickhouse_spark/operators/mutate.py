@@ -55,16 +55,46 @@ def _affected_partitions(
     ]
 
 
-def delete_where(spark: SparkSession, path: str, predicate: Column) -> int:
+def _read_table(spark: SparkSession, path: str, read_schema=None, conform=None) -> DataFrame:
+    """Rewrite-safe table read.  After a metadata-only RENAME COLUMN the
+    directory holds files with BOTH column spellings; a footer-inferred
+    read sees only one and a rewrite would silently drop the other
+    vintage's values.  Spec-aware callers pass ``(read_schema, conform)``
+    from ``ddl.mutation_read_args`` (declared schema + legacy stored
+    names, coalesced to canonical columns); path-only callers get
+    ``mergeSchema`` so every spelling survives — the footer sweep is
+    noise next to the rewrite itself."""
+    if read_schema is not None:
+        df = spark.read.schema(read_schema).parquet(path)
+    else:
+        df = spark.read.option("mergeSchema", "true").parquet(path)
+    return conform(df) if conform is not None else df
+
+
+def delete_where(
+    spark: SparkSession,
+    path: str,
+    predicate: Column,
+    read_schema=None,
+    conform=None,
+) -> int:
     """``ALTER TABLE <path> DELETE WHERE predicate``: rewrite only the
     partitions that hold matching rows, dropping those rows.  Returns the
     number of partitions rewritten (0 = no row matched, nothing touched).
     """
-    return _mutate(spark, path, predicate, lambda df: df.filter(~predicate))
+    return _mutate(
+        spark, path, predicate, lambda df: df.filter(~predicate),
+        read_schema=read_schema, conform=conform,
+    )
 
 
 def update_where(
-    spark: SparkSession, path: str, predicate: Column, assignments: dict[str, Column]
+    spark: SparkSession,
+    path: str,
+    predicate: Column,
+    assignments: dict[str, Column],
+    read_schema=None,
+    conform=None,
 ) -> int:
     """``ALTER TABLE <path> UPDATE col = expr WHERE predicate``: rewrite
     matching partitions applying ``assignments`` to matching rows."""
@@ -75,12 +105,14 @@ def update_where(
             out = out.withColumn(col, F.when(predicate, expr).otherwise(F.col(col)))
         return out
 
-    return _mutate(spark, path, predicate, apply)
+    return _mutate(
+        spark, path, predicate, apply, read_schema=read_schema, conform=conform
+    )
 
 
-def _mutate(spark, path: str, predicate: Column, transform) -> int:
+def _mutate(spark, path: str, predicate: Column, transform, read_schema=None, conform=None) -> int:
     pcol = _partition_col(spark, path)
-    df = spark.read.parquet(path)
+    df = _read_table(spark, path, read_schema, conform)
     if pcol is None:
         # unpartitioned: full rewrite through a staging dir (never leave
         # the table half-written if the job dies mid-rewrite)
@@ -121,6 +153,8 @@ def compact_partitions(
     partitions: list | None = None,
     dedup: bool = False,
     dedup_cols: list[str] | None = None,
+    read_schema=None,
+    conform=None,
 ) -> int:
     """``OPTIMIZE TABLE``: bin-pack each partition's files into
     ~``target_mb`` outputs, re-sorting by ``sort_cols`` (the table's
@@ -147,7 +181,7 @@ def compact_partitions(
         return frame.dropDuplicates()
 
     pcol = _partition_col(spark, path)
-    df = spark.read.parquet(path)
+    df = _read_table(spark, path, read_schema, conform)
     if pcol is None:
         total = sum(
             f.stat().st_size

@@ -229,10 +229,24 @@ def connect_nats(
         def fetch(self, max_msgs: int, max_bytes: int) -> list:
             import nats.errors
 
+            # Cap the PULL REQUEST itself with the protocol's byte
+            # budget (the reference does the same via the pull request's
+            # max_bytes — src/nats.rs): messages the server never sends
+            # can't sit unacked. Older nats-py fetch() lacks the kwarg —
+            # fall back to an uncapped fetch there.
             try:
                 raw = self._loop.run_until_complete(
-                    self._sub.fetch(batch=max_msgs, timeout=5)
+                    self._sub.fetch(
+                        batch=max_msgs, timeout=5, max_bytes=max_bytes
+                    )
                 )
+            except TypeError:
+                try:
+                    raw = self._loop.run_until_complete(
+                        self._sub.fetch(batch=max_msgs, timeout=5)
+                    )
+                except nats.errors.TimeoutError:
+                    return []
             except nats.errors.TimeoutError:
                 return []
             loop = self._loop
@@ -247,11 +261,22 @@ def connect_nats(
                     loop.run_until_complete(self._m.ack())
 
             out, used = [], 0
+            overflow = []
             for m in raw:
+                if used >= max_bytes:
+                    overflow.append(m)
+                    continue
                 used += len(m.data)
                 out.append(_Msg(m))
-                if used >= max_bytes:
-                    break
+            # Anything past the byte budget (only possible on the
+            # uncapped fallback) was already DELIVERED to this consumer:
+            # dropping it silently would stall ingestion for ack_wait
+            # (120 s) until redelivery. nak() hands it back immediately.
+            for m in overflow:
+                try:
+                    loop.run_until_complete(m.nak())
+                except Exception:
+                    pass  # redelivers after ack_wait — degraded, not lost
             return out
 
         def close(self) -> None:

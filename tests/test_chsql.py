@@ -1115,6 +1115,64 @@ def test_sequence_match_time_conditions(views):
             translate(f"SELECT sequenceMatch({bad})(ts, a, b) FROM e")
 
 
+def test_sequence_match_adjacency(views):
+    """ClickHouse '(?1)(?2)' (nothing between the refs) means the
+    matched events are CONSECUTIVE among events matching any listed
+    condition — the docs' example: with a third condition matching an
+    intermediate event, the adjacent form returns 0 while '.*' matches."""
+    base = (
+        "WITH ev AS (SELECT * FROM VALUES "
+        "  ('u1', 1, 1), ('u1', 2, 3), ('u1', 3, 2) AS t(u, ts, n))"
+        " SELECT u, sequenceMatch({pat})("
+        "   CAST(ts AS TIMESTAMP), n = 1, n = 2, n = 3) AS m"
+        " FROM ev GROUP BY u"
+    )
+    loose = views.sql(translate(base.format(pat="'(?1).*(?2)'")).sql).collect()
+    assert loose[0]["m"] is True
+    strict = views.sql(translate(base.format(pat="'(?1)(?2)'")).sql).collect()
+    assert strict[0]["m"] is False  # the n=3 event sits between
+    # without an intermediate matching event, adjacency holds even
+    # across non-matching rows (n=4 is not a listed condition)
+    base2 = (
+        "WITH ev AS (SELECT * FROM VALUES "
+        "  ('u1', 1, 1), ('u1', 2, 4), ('u1', 3, 2) AS t(u, ts, n))"
+        " SELECT u, sequenceMatch('(?1)(?2)')("
+        "   CAST(ts AS TIMESTAMP), n = 1, n = 2, n = 3) AS m"
+        " FROM ev GROUP BY u"
+    )
+    assert views.sql(translate(base2).sql).collect()[0]["m"] is True
+    # re-anchoring composes with adjacency: A@0 (stale) then A@2 B@3
+    base3 = (
+        "WITH ev AS (SELECT * FROM VALUES "
+        "  ('u1', 0, 1), ('u1', 2, 1), ('u1', 3, 2) AS t(u, ts, n))"
+        " SELECT u, sequenceMatch('(?1)(?2)')("
+        "   CAST(ts AS TIMESTAMP), n = 1, n = 2) AS m"
+        " FROM ev GROUP BY u"
+    )
+    assert views.sql(translate(base3).sql).collect()[0]["m"] is True
+
+
+def test_sequence_count_adjacency_guard():
+    """sequenceCount's greedy fold equals ClickHouse adjacency only when
+    every condition is referenced exactly once; the unfaithful shapes
+    refuse loudly instead of over-matching."""
+    with pytest.raises(ValueError, match="adjacency"):
+        translate(
+            "SELECT sequenceCount('(?1)(?2)')(ts, a, b, c) FROM e"
+        )
+    with pytest.raises(ValueError, match="adjacency"):
+        translate(
+            "SELECT sequenceCount('(?1)(?2)(?1)')(ts, a, b) FROM e"
+        )
+    # referenced-once shapes stay translatable (both spellings)
+    assert translate(
+        "SELECT sequenceCount('(?1)(?2)')(ts, a, b) FROM e"
+    ).sql
+    assert translate(
+        "SELECT sequenceCount('(?1).*(?2)')(ts, a, b, c) FROM e"
+    ).sql
+
+
 def test_sequence_count_in_dialect(views):
     """sequenceCount('(?1)(?2)') counts greedy non-overlapping chains:
     A B A B -> 2, A A B B -> 1 (second B finds the matcher reset and no
@@ -1572,6 +1630,16 @@ def test_polymorphic_length_empty_over_arrays(views):
     assert (r["a"], r["b"], r["c"]) == (3, 3, 2)
     assert (r["d"], r["e"], r["f"], r["g"]) == (True, True, False, True)
     assert r["h"] == "ab"
+    # reverse is string-polymorphic in BOTH engines: length(reverse(s))
+    # must stay Spark's string length (size(reverse(s)) fails analysis),
+    # while reverse of an evident array still routes to size()
+    r2 = views.sql(
+        translate(
+            "SELECT length(reverse('abc')) AS s,"
+            " length(reverse([1, 2, 3])) AS a"
+        ).sql
+    ).first()
+    assert (r2["s"], r2["a"]) == (3, 3)
 
 
 def test_search_and_float_classifiers(views):

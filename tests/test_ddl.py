@@ -625,6 +625,56 @@ def test_alter_rename_and_modify_column(spark, tmp_path):
     eng.ch_sql("ALTER TABLE metrics MODIFY COLUMN id Int32")
     assert dict(spark.table("metrics").dtypes)["id"] == "int"
     assert spark.table("metrics").count() == 2
+    # CRITICAL: the rewrites above ran on a directory holding BOTH
+    # column spellings (pre-rename files store `val`, post-rename files
+    # store `score`) — a footer-inferred read would have dropped one
+    # vintage's values silently. Assert every vintage survived.
+    got = {x["id"]: (x["score"], x["tag"]) for x in spark.table("metrics").collect()}
+    assert got == {1: (1.5, "a"), 2: (2.5, "b")}
+    # OPTIMIZE (compaction rewrite) must preserve both vintages too
+    eng.ch_sql("OPTIMIZE TABLE metrics")
+    got = {x["id"]: x["score"] for x in spark.table("metrics").collect()}
+    assert got == {1: 1.5, 2: 2.5}
+
+
+def test_rename_column_follows_ttl_and_defaults(spark, tmp_path):
+    """RENAME COLUMN rewrites every spec field that references the old
+    name: a TTL policy pointing at the dead spelling would silently stop
+    evicting rows written after the rename."""
+    from ed_clickhouse_spark import ddl as _ddl
+    from ed_clickhouse_spark.engine import Engine
+
+    mdir = tmp_path / "migrations"
+    mdir.mkdir()
+    (mdir / "001_t.up.sql").write_text(
+        """
+        CREATE TABLE beacons (
+            id Int64,
+            ts DateTime,
+            src String DEFAULT concat('s-', toString(id))
+        ) ENGINE = MergeTree()
+        ORDER BY id
+        TTL ts + INTERVAL 30 DAY;
+        """
+    )
+    eng = Engine(str(tmp_path / "wh"), spark)
+    eng.migrate(str(mdir))
+    eng.ch_sql('INSERT INTO beacons FORMAT JSONEachRow\n'
+               '{"id": 1, "ts": "2020-01-01 00:00:00"}\n'
+               '{"id": 2, "ts": "2099-01-01 00:00:00"}')
+    eng.ch_sql("ALTER TABLE beacons RENAME COLUMN ts TO seen_at")
+    spec = eng.table_specs["beacons"]
+    assert spec.ttl == ("seen_at", 30, "DAY")
+    # DEFAULT expressions referencing a renamed column follow it too
+    eng.ch_sql("ALTER TABLE beacons RENAME COLUMN id TO key")
+    spec = eng.table_specs["beacons"]
+    assert "key" in spec.col_exprs["src"][1]
+    # TTL enforcement works against the renamed column: the rewrite
+    # reads pre-rename files (stored name `ts`) AND evicts by `seen_at`
+    _ddl.apply_ttl(spark, spec, eng.warehouse)
+    rows = spark.table("beacons").collect()
+    assert [r["key"] for r in rows] == [2]
+    assert rows[0]["seen_at"] is not None
 
 
 def test_alter_modify_ttl_and_comment(spark, tmp_path):
