@@ -2818,6 +2818,14 @@ def _rewrite_agg_spellings(sql: str) -> str:
     for name, template in (
         ("groupUniqArray", "slice(collect_set({x}), 1, {k})"),
         ("groupArraySorted", "slice(array_sort(collect_list({x})), 1, {k})"),
+        # deterministic pseudo-random sample: md5-keyed sort stands in
+        # for CH's RNG so reruns and the DuckDB oracle agree; the
+        # optional seed parameter is accepted and ignored (documented
+        # determinism deviation)
+        ("groupArraySample",
+         "transform(slice(array_sort(transform(collect_list({x}),"
+         " __ch_v -> struct(md5(CAST(__ch_v AS STRING)) AS h,"
+         " __ch_v AS v))), 1, {k}), __ch_s -> __ch_s.v)"),
         ("groupArrayLast",
          "slice(collect_list({x}),"
          " greatest(size(collect_list({x})) - ({k}) + 1, 1), ({k}))"),
@@ -2838,13 +2846,15 @@ def _rewrite_agg_spellings(sql: str) -> str:
             close1 = _call_end(sql, open1)
             rest = sql[close1 + 1:].lstrip()
             if not rest.startswith("("):
-                if name in ("uniqUpTo", "groupArrayLast"):
+                if name in ("uniqUpTo", "groupArrayLast", "groupArraySample"):
                     raise ValueError(f"{name} expects {name}(n)(x)")
                 pos = close1  # plain groupArray(x): the name map handles it
                 continue
             open2 = close1 + 1 + (len(sql[close1 + 1:]) - len(rest))
             close2 = _call_end(sql, open2)
             k = sql[open1 + 1: close1].strip()
+            if name == "groupArraySample":
+                k = _split_top_commas(k)[0].strip()  # drop optional seed
             x = sql[open2 + 1: close2]
             sql = (
                 sql[: m.start()]
@@ -3067,6 +3077,27 @@ def _rewrite_agg_spellings(sql: str) -> str:
             + f"count(DISTINCT {sql[open1 + 1: close1]})"
             + sql[close1 + 1:]
         )
+    # stacked -ArrayIf combinators reduce to -Array over a NULLed-out
+    # array (collect_list / the element folds all skip NULL rows), so
+    # they run FIRST and feed the -Array templates below
+    for base in (
+        "sum", "min", "max", "avg", "count", "uniq",
+        "groupArray", "groupUniqArray",
+    ):
+        while True:
+            m = _find_top_anywhere(sql, rf"\b{base}ArrayIf\s*\(")
+            if not m:
+                break
+            open1 = sql.index("(", m.end() - 1)
+            close1 = _call_end(sql, open1)
+            args = _split_top_commas(sql[open1 + 1: close1])
+            if len(args) != 2:
+                raise ValueError(f"{base}ArrayIf expects (array_expr, cond)")
+            sql = (
+                sql[: m.start()]
+                + f"{base}Array(if({args[1]}, {args[0]}, NULL))"
+                + sql[close1 + 1:]
+            )
     # -Array combinators: aggregate over all ELEMENTS across rows.
     # avgArray is sum-of-elements / count-of-elements, NOT avg of
     # per-row means — matching CH exactly.
@@ -3079,6 +3110,13 @@ def _rewrite_agg_spellings(sql: str) -> str:
             " / sum(size({e})))"
         ),
         "countArray": "sum(size({e}))",
+        # distinct ELEMENTS across all rows' arrays (CH uniqArray);
+        # exact, like the uniqExact translation
+        "uniqArray": "size(array_distinct(flatten(collect_list({e}))))",
+        "uniqExactArray": "size(array_distinct(flatten(collect_list({e}))))",
+        # concatenation / distinct-union of the group's arrays
+        "groupArrayArray": "flatten(collect_list({e}))",
+        "groupUniqArrayArray": "array_distinct(flatten(collect_list({e})))",
     }
     for name, template in array_forms.items():
         while True:
@@ -3089,6 +3127,59 @@ def _rewrite_agg_spellings(sql: str) -> str:
             close1 = _call_end(sql, open1)
             e = sql[open1 + 1: close1]
             sql = sql[: m.start()] + template.format(e=e) + sql[close1 + 1:]
+    # -ForEach combinators: aggregate POSITION-WISE across the group's
+    # arrays (result length = longest array; shorter arrays simply
+    # contribute nothing at the missing positions, matching CH's
+    # default-padding for sum/count and absent-value skip for min/max).
+    # One collect_list aggregate + a per-position fold — Catalyst
+    # dedupes the repeated semantically-equal collect_list text.
+    foreach_bases = {
+        "sum": (
+            "aggregate({v}, CAST(0.0 AS DOUBLE),"
+            " (__ch_s, __ch_t) -> __ch_s + __ch_t)"
+        ),
+        "min": "array_min({v})",
+        "max": "array_max({v})",
+        "avg": (
+            "(aggregate({v}, CAST(0.0 AS DOUBLE),"
+            " (__ch_s, __ch_t) -> __ch_s + __ch_t) / size({v}))"
+        ),
+        "count": "size({v})",
+    }
+    for base, combine in foreach_bases.items():
+        while True:
+            m = _find_top_anywhere(sql, rf"\b{base}ForEachIf\s*\(")
+            if not m:
+                break
+            open1 = sql.index("(", m.end() - 1)
+            close1 = _call_end(sql, open1)
+            args = _split_top_commas(sql[open1 + 1: close1])
+            if len(args) != 2:
+                raise ValueError(f"{base}ForEachIf expects (array_expr, cond)")
+            sql = (
+                sql[: m.start()]
+                + f"{base}ForEach(if({args[1]}, {args[0]}, NULL))"
+                + sql[close1 + 1:]
+            )
+        while True:
+            m = _find_top_anywhere(sql, rf"\b{base}ForEach\s*\(")
+            if not m:
+                break
+            open1 = sql.index("(", m.end() - 1)
+            close1 = _call_end(sql, open1)
+            e = sql[open1 + 1: close1]
+            ls = f"collect_list({e})"
+            vals = (
+                f"filter(transform({ls},"
+                f" __ch_a -> try_element_at(__ch_a, __ch_i)),"
+                f" __ch_x -> __ch_x IS NOT NULL)"
+            )
+            expr = (
+                f"transform(sequence(1,"
+                f" array_max(transform({ls}, __ch_a -> size(__ch_a)))),"
+                f" __ch_i -> {combine.format(v=vals)})"
+            )
+            sql = sql[: m.start()] + expr + sql[close1 + 1:]
     # -Distinct combinators (countDistinct is already the Spark name)
     for name, base in (("sumDistinct", "sum"), ("avgDistinct", "avg")):
         while True:
@@ -3573,6 +3664,178 @@ def _rewrite_ch_casts(sql: str) -> str:
     return sql
 
 
+_TUPLE_VECTOR_OPS = {
+    "tuplePlus": "+", "tupleMinus": "-", "tupleMultiply": "*",
+    "tupleDivide": "/", "tupleIntDiv": None, "tupleModulo": "%",
+}
+
+
+def _tuple_items(arg: str) -> list[str] | None:
+    """Split a literal ``tuple(...)`` argument into its items; None when
+    the argument is not a syntactically-evident tuple literal (a column
+    reference, subquery, ...) — arity is not knowable from text then."""
+    a = arg.strip()
+    m = re.match(r"^tuple\s*\(", a)
+    if not m:
+        return None
+    open1 = a.index("(", m.end() - 1)
+    if _call_end(a, open1) != len(a) - 1:
+        return None
+    return _split_top_commas(a[open1 + 1: len(a) - 1])
+
+
+def _rewrite_tuple_fns(sql: str) -> str:
+    """ClickHouse tuple algebra over LITERAL tuples: untuple expansion,
+    tupleConcat, element-wise tuplePlus/Minus/Multiply/Divide/IntDiv/
+    Modulo/Negate, and tupleHammingDistance.  Arity comes from the
+    tuple(...) literal text, so non-literal arguments raise with the
+    struct-field spelling to use instead (``(t).col1 + (u).col1``)."""
+    # untuple(tuple(a, b)) -> a, b (select-list expansion)
+    while True:
+        m = _find_top_anywhere(sql, r"\buntuple\s*\(")
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        items = _tuple_items(sql[open1 + 1: close1])
+        if items is None:
+            raise ValueError(
+                "untuple translates only for literal tuple(...) arguments"
+                " — select the struct fields directly ((t).col1, (t).col2)"
+            )
+        sql = sql[: m.start()] + ", ".join(items) + sql[close1 + 1:]
+    while True:
+        m = _find_top_anywhere(sql, r"\btupleConcat\s*\(")
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        parts: list[str] = []
+        for a in args:
+            items = _tuple_items(a)
+            if items is None:
+                raise ValueError(
+                    "tupleConcat translates only for literal tuple(...)"
+                    " arguments — build the struct directly"
+                )
+            parts.extend(items)
+        sql = sql[: m.start()] + f"tuple({', '.join(parts)})" + sql[close1 + 1:]
+    for name, op in _TUPLE_VECTOR_OPS.items():
+        while True:
+            m = _find_top_anywhere(sql, rf"\b{name}\s*\(")
+            if not m:
+                break
+            open1 = sql.index("(", m.end() - 1)
+            close1 = _call_end(sql, open1)
+            args = _split_top_commas(sql[open1 + 1: close1])
+            ta = _tuple_items(args[0]) if len(args) == 2 else None
+            tb = _tuple_items(args[1]) if len(args) == 2 else None
+            if ta is None or tb is None or len(ta) != len(tb):
+                raise ValueError(
+                    f"{name} translates only for equal-arity literal"
+                    " tuple(...) arguments — spell the element-wise"
+                    " arithmetic over struct fields instead"
+                )
+            if name == "tupleIntDiv":
+                items = [f"CAST(floor(({x}) / ({y})) AS BIGINT)" for x, y in zip(ta, tb)]
+            else:
+                items = [f"(({x}) {op} ({y}))" for x, y in zip(ta, tb)]
+            sql = sql[: m.start()] + f"tuple({', '.join(items)})" + sql[close1 + 1:]
+    while True:
+        m = _find_top_anywhere(sql, r"\btupleNegate\s*\(")
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        items = _tuple_items(sql[open1 + 1: close1])
+        if items is None:
+            raise ValueError(
+                "tupleNegate translates only for literal tuple(...) arguments"
+            )
+        sql = (
+            sql[: m.start()]
+            + f"tuple({', '.join(f'(-({x}))' for x in items)})"
+            + sql[close1 + 1:]
+        )
+    while True:
+        m = _find_top_anywhere(sql, r"\btupleHammingDistance\s*\(")
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        ta = _tuple_items(args[0]) if len(args) == 2 else None
+        tb = _tuple_items(args[1]) if len(args) == 2 else None
+        if ta is None or tb is None or len(ta) != len(tb):
+            raise ValueError(
+                "tupleHammingDistance translates only for equal-arity"
+                " literal tuple(...) arguments"
+            )
+        terms = " + ".join(
+            f"CAST(({x}) <> ({y}) AS INT)" for x, y in zip(ta, tb)
+        )
+        sql = sql[: m.start()] + f"({terms})" + sql[close1 + 1:]
+    return sql
+
+
+_DATE_UNIT_KW = re.compile(
+    r"^(?:SECOND|MINUTE|HOUR|DAY|WEEK|MONTH|QUARTER|YEAR)$", re.I
+)
+
+
+def _rewrite_date_unit_forms(sql: str) -> str:
+    """ClickHouse date_add/date_sub/timestamp_add/timestamp_sub corner
+    forms Spark lacks:
+
+    * ``date_sub(unit, n, x)`` / ``dateSub`` / ``timestamp_sub`` →
+      ``timestampadd(unit, -(n), x)`` (Spark's date_sub is days-only;
+      its 3-arg unit form exists only for *add*);
+    * ``date_add(x, INTERVAL n unit)`` (CH's interval overload, any of
+      the four spellings) → ``(x + INTERVAL n unit)`` / ``-`` for sub.
+
+    The native Spark forms (2-arg days, 3-arg unit add) pass through
+    untouched."""
+    for name, sign in (
+        ("date_add", "+"), ("dateAdd", "+"),
+        ("timestamp_add", "+"), ("timestampAdd", "+"),
+        ("date_sub", "-"), ("dateSub", "-"),
+        ("timestamp_sub", "-"), ("timestampSub", "-"),
+    ):
+        pos = 0
+        rx = re.compile(rf"\b{name}\s*\(", re.I if "_" in name else 0)
+        while True:
+            m = rx.search(sql, pos)
+            if not m:
+                break
+            instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+            if instr_at.get(m.start(), False):
+                pos = m.end()
+                continue
+            open1 = sql.index("(", m.end() - 1)
+            close1 = _call_end(sql, open1)
+            args = _split_top_commas(sql[open1 + 1: close1])
+            if len(args) == 2 and re.match(
+                r"(?i)^INTERVAL\b", args[1].strip()
+            ):
+                repl = f"(({args[0]}) {sign} {args[1].strip()})"
+            elif (
+                len(args) == 3
+                and _DATE_UNIT_KW.match(args[0].strip())
+                and sign == "-"
+            ):
+                repl = (
+                    f"timestampadd({args[0].strip()},"
+                    f" -({args[1]}), {args[2]})"
+                )
+            else:
+                pos = close1
+                continue  # native Spark form — leave untouched
+            sql = sql[: m.start()] + repl + sql[close1 + 1:]
+            pos = m.start()
+    return sql
+
+
 def translate(
     sql: str, specs: dict | None = None, params: dict | None = None
 ) -> Translated:
@@ -3605,6 +3868,7 @@ def translate(
     # builtin owns the lowercase name, so the camel spelling maps to the
     # registered chDateDiff SQL function (case-sensitive on purpose).
     sql = _sub_outside_strings(sql, re.compile(r"\bdateDiff\s*\("), "chDateDiff(")
+    sql = _rewrite_date_unit_forms(sql)
     # expression-level rewrites scan at every depth already
     sql = _rewrite_ch_casts(sql)
     sql = _rewrite_brackets(sql)
@@ -3614,12 +3878,31 @@ def translate(
     sql = _rewrite_scalar_misc(sql)
     sql = _rewrite_array_hofs(sql)
     sql = _rewrite_scalar_with(sql)
+    # tuple algebra (untuple/tupleConcat/tuplePlus/...) resolves over
+    # literal tuples BEFORE the rename below erases the tuple( spelling
+    sql = _rewrite_tuple_fns(sql)
     # tuple(a, b, ...) -> struct (any arity; a rename, string-literal safe)
     while True:
         tm = _find_top_anywhere(sql, r"\btuple\s*\(")
         if not tm:
             break
         sql = sql[: tm.start()] + "struct(" + sql[sql.index("(", tm.end() - 1) + 1:]
+    # ClickHouse positional tuple access t.1 / tuple(...).1 -> .colN
+    # (struct fields from the rename above are col1, col2, ...). Only
+    # the close-paren form is rewritten — `x.1` on a bare identifier is
+    # ambiguous with decimal literals and qualified names.
+    pos_t = 0
+    t_rx = re.compile(r"\)\.(\d+)(?![\d.])")
+    while True:
+        tm = t_rx.search(sql, pos_t)
+        if not tm:
+            break
+        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        if instr_at.get(tm.start(), False):
+            pos_t = tm.end()
+            continue
+        sql = sql[: tm.start()] + f").col{tm.group(1)}" + sql[tm.end():]
+        pos_t = tm.start() + 1
     sql = _rewrite_to_start_of_interval(sql)
     # clause-level rewrites apply per nesting level: subqueries first
     # (innermost-out), then this level — so PREWHERE / LIMIT BY / ARRAY

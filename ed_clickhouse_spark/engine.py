@@ -1153,6 +1153,26 @@ class Engine:
         rows += [(n, "aggregate") for n in chsql._AGG_NAME_MAP]
         rows += [(n, "aggregate") for n in chsql._AGG_IF_BASES]
         rows += [(n, "rewrite") for n in chsql._HOF_SWAP]
+        rows += [(n, "rewrite") for n in chsql._TUPLE_VECTOR_OPS]
+        rows += [
+            (n, "rewrite")
+            for n in (
+                "untuple", "tupleConcat", "tupleNegate",
+                "tupleHammingDistance",
+            )
+        ]
+        rows += [
+            (f"{b}{suffix}", "aggregate")
+            for b in ("sum", "min", "max", "avg", "count")
+            for suffix in ("ForEach", "ForEachIf")
+        ]
+        rows += [
+            (n, "aggregate")
+            for n in (
+                "uniqArray", "uniqExactArray", "groupArrayArray",
+                "groupUniqArrayArray", "groupArraySample",
+            )
+        ]
         seen: dict[str, str] = {}
         for name, origin in rows:
             seen.setdefault(name, origin)

@@ -1209,6 +1209,31 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
     "subtractHours": ("(x TIMESTAMP, n INT) RETURNS TIMESTAMP", "x - make_interval(0, 0, 0, 0, n)"),
     "subtractMinutes": ("(x TIMESTAMP, n INT) RETURNS TIMESTAMP", "x - make_interval(0, 0, 0, 0, 0, n)"),
     "subtractSeconds": ("(x TIMESTAMP, n INT) RETURNS TIMESTAMP", "x - make_interval(0, 0, 0, 0, 0, 0, n)"),
+    "addQuarters": ("(x TIMESTAMP, n INT) RETURNS TIMESTAMP", "x + make_interval(0, 3 * n)"),
+    "subtractQuarters": ("(x TIMESTAMP, n INT) RETURNS TIMESTAMP", "x - make_interval(0, 3 * n)"),
+    # ISO-year start = the Monday of the week containing Jan 4 of the
+    # ISO year (weekday(): Monday = 0); the ISO year itself is the
+    # calendar year of the week's Thursday (same anchor as toISOYear)
+    "toStartOfISOYear": (
+        "(x TIMESTAMP) RETURNS DATE",
+        "date_sub(make_date(year(date_add(CAST(date_trunc('WEEK', x) AS DATE), 3)), 1, 4),"
+        " weekday(make_date(year(date_add(CAST(date_trunc('WEEK', x) AS DATE), 3)), 1, 4)))",
+    ),
+    # proleptic-Gregorian day number: 1970-01-01 is day 719528 in
+    # ClickHouse's toDaysSinceYearZero
+    "toDaysSinceYearZero": (
+        "(x TIMESTAMP) RETURNS INT",
+        "CAST(datediff(CAST(x AS DATE), DATE'1970-01-01') + 719528 AS INT)",
+    ),
+    # Modified Julian Day epoch is 1858-11-17
+    "toModifiedJulianDay": (
+        "(s STRING) RETURNS INT",
+        "datediff(CAST(s AS DATE), DATE'1858-11-17')",
+    ),
+    "fromModifiedJulianDay": (
+        "(n INT) RETURNS DATE",
+        "date_add(DATE'1858-11-17', n)",
+    ),
     "toISOWeek": ("(x TIMESTAMP) RETURNS INT", "weekofyear(x)"),
     # toWeek default mode 0 (Sunday-based, 0..53): week 1 starts at the
     # year's first Sunday, earlier days are week 0 — NOT ISO weekofyear.

@@ -1998,3 +1998,113 @@ def test_distinct_if_and_topk_if(views):
     assert r["b"] == 1.0
     assert r["c"] in (["0"], ["2"])  # both appear 3x; tie -> value asc
     assert r["c"] == ["0"]
+
+
+def test_probe_batch5_date_corner_forms(views):
+    """Round-5 probe batch: date arithmetic corner modes — quarter
+    add/subtract, the unit-form date_sub Spark lacks, ClickHouse's
+    interval overloads of date_add/timestamp_add, ISO-year start,
+    days-since-year-zero, and Modified Julian Day round-trips."""
+    r = views.sql(
+        translate(
+            "SELECT addQuarters(toDate('2024-01-01'), 1) AS a,"
+            " date_sub(MONTH, 1, toDate('2024-03-31')) AS b,"
+            " date_add(toDate('2024-01-01'), INTERVAL 2 DAY) AS c,"
+            " timestamp_sub(toDate('2024-01-05'), INTERVAL 2 DAY) AS d,"
+            " date_add(DAY, 3, toDate('2024-01-01')) AS e,"
+            " date_sub(toDate('2024-01-10'), 3) AS f,"
+            " toStartOfISOYear(toDate('2024-12-30')) AS g,"
+            " toStartOfISOYear(toDate('2024-06-15')) AS h,"
+            " toDaysSinceYearZero(toDate('1970-01-01')) AS i,"
+            " toModifiedJulianDay('2024-01-01') AS j,"
+            " fromModifiedJulianDay(60310) AS k"
+        ).sql
+    ).first()
+    import datetime as dt
+
+    assert r["a"] == dt.datetime(2024, 4, 1)
+    assert r["b"] == dt.datetime(2024, 2, 29)  # month-end clamp
+    assert r["c"] == dt.date(2024, 1, 3)
+    assert r["d"] == dt.date(2024, 1, 3)
+    assert r["e"] == dt.datetime(2024, 1, 4)   # native 3-arg add survives
+    assert r["f"] == dt.date(2024, 1, 7)       # native 2-arg days survives
+    # 2024-12-30 opens ISO year 2025; mid-2024 anchors at 2024-01-01
+    assert r["g"] == dt.date(2024, 12, 30)
+    assert r["h"] == dt.date(2024, 1, 1)
+    assert r["i"] == 719528                    # CH's year-zero day count
+    assert r["j"] == 60310 and r["k"] == dt.date(2024, 1, 1)
+
+
+def test_probe_batch5_tuple_algebra(views):
+    """Round-5 probe batch: tuple algebra over literal tuples —
+    positional .N access, untuple expansion, concat, element-wise
+    vector arithmetic, and Hamming distance. Non-literal arguments
+    raise with the struct-field spelling to use."""
+    r = views.sql(
+        translate(
+            "SELECT tuple(1, 2).1 AS a,"
+            " tupleElement(tuple(7, 8), 2) AS b,"
+            " tupleConcat(tuple(1), tuple(2, 3)) AS c,"
+            " tuplePlus(tuple(1, 2), tuple(3, 4)) AS d,"
+            " tupleMinus(tuple(5, 6), tuple(1, 2)) AS e,"
+            " tupleMultiply(tuple(2, 3), tuple(4, 5)) AS f,"
+            " tupleIntDiv(tuple(7, 9), tuple(2, 4)) AS g,"
+            " tupleModulo(tuple(7, 9), tuple(2, 4)) AS h,"
+            " tupleNegate(tuple(1, -2)) AS i,"
+            " tupleHammingDistance(tuple(1, 2, 3), tuple(1, 9, 3)) AS j"
+        ).sql
+    ).first()
+    assert r["a"] == 1 and r["b"] == 8
+    assert tuple(r["c"]) == (1, 2, 3)
+    assert tuple(r["d"]) == (4, 6) and tuple(r["e"]) == (4, 4)
+    assert tuple(r["f"]) == (8, 15)
+    assert tuple(r["g"]) == (3, 2) and tuple(r["h"]) == (1, 1)
+    assert tuple(r["i"]) == (-1, 2)
+    assert r["j"] == 1
+    # untuple expands into the select list
+    u = views.sql(translate("SELECT untuple(tuple(4, 5))").sql).first()
+    assert (u[0], u[1]) == (4, 5)
+    # arity unknowable from text -> loud refusal, not silent mistranslation
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="literal"):
+        translate("SELECT tuplePlus(t, u) FROM x")
+
+
+def test_probe_batch5_combinator_stacking(views):
+    """Round-5 probe batch: stacked aggregate combinators — -ArrayIf,
+    uniqArray family, groupArrayArray flattening, position-wise
+    -ForEach (+If), and parameterized groupArraySample."""
+    views.sql(
+        "CREATE OR REPLACE TEMP VIEW __cb AS SELECT * FROM VALUES"
+        " (1, 'a', array(1, 2, 3), true),"
+        " (2, 'b', array(4, 5), false),"
+        " (3, 'a', array(6), true) AS t(id, g, arr, flag)"
+    )
+    r = views.sql(
+        translate(
+            "SELECT uniqArray(arr) AS a, uniqArrayIf(arr, flag) AS b,"
+            " sumArrayIf(arr, flag) AS c, avgArrayIf(arr, flag) AS d,"
+            " sort_array(groupArrayArray(arr)) AS e,"
+            " sort_array(groupUniqArrayArray(arr)) AS f,"
+            " sumForEach(arr) AS g, maxForEach(arr) AS h,"
+            " countForEach(arr) AS i, sumForEachIf(arr, flag) AS j"
+            " FROM __cb"
+        ).sql
+    ).first()
+    assert r["a"] == 6 and r["b"] == 4
+    assert r["c"] == 12.0 and r["d"] == 3.0
+    assert r["e"] == [1, 2, 3, 4, 5, 6] and r["f"] == [1, 2, 3, 4, 5, 6]
+    # position-wise: [1+4+6, 2+5, 3]
+    assert r["g"] == [11.0, 7.0, 3.0]
+    assert r["h"] == [6, 5, 3] and r["i"] == [3, 2, 1]
+    assert r["j"] == [7.0, 2.0, 3.0]  # rows 1 and 3 only
+    s = views.sql(
+        translate("SELECT groupArraySample(2)(g) AS s FROM __cb").sql
+    ).first()["s"]
+    assert len(s) == 2 and set(s) <= {"a", "b"}
+    # seed parameter accepted (determinism comes from the md5 key)
+    s2 = views.sql(
+        translate("SELECT groupArraySample(2, 42)(g) AS s FROM __cb").sql
+    ).first()["s"]
+    assert s2 == s
