@@ -39,6 +39,9 @@ _R5_NEVER = [
     "q194_sequence_match_times", "q195_funnel_strict_dedup",
     "q199_duplicate_rate_by_source", "q200_fulfillment_lead_time",
     "q212_ab_test_ztest",
+    # new this round (round-5 dialect batch)
+    "q213_foreach_centroids", "q214_date_corner_report",
+    "q215_vocab_combinators",
 ]
 
 # Last driver check per query (max round with a CORRECTNESS row), used to

@@ -359,8 +359,8 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "(s STRING, re STRING) RETURNS ARRAY<STRING>",
         "regexp_extract_all(s, re, 0)",
     ),
-    "toString": ("(x DOUBLE) RETURNS STRING", "CAST(x AS STRING)"),
-    "toInt64": ("(s STRING) RETURNS BIGINT", "CAST(s AS BIGINT)"),
+    "toString": ("(x STRING) RETURNS STRING", "x"),
+    "toInt64": ("(s STRING) RETURNS BIGINT", "COALESCE(try_cast(s AS BIGINT), CAST(CAST(s AS DOUBLE) AS BIGINT))"),
     "toFloat64": ("(s STRING) RETURNS DOUBLE", "CAST(s AS DOUBLE)"),
     "toInt64OrNull": ("(s STRING) RETURNS BIGINT", "try_cast(s AS BIGINT)"),
     "toFloat64OrNull": ("(s STRING) RETURNS DOUBLE", "try_cast(s AS DOUBLE)"),
@@ -546,13 +546,13 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
     ),
     # integer-width cast spellings (CH's unsigned widths widen to the
     # next signed Spark type — Spark has no unsigned integers)
-    "toInt8": ("(s STRING) RETURNS TINYINT", "CAST(s AS TINYINT)"),
-    "toInt16": ("(s STRING) RETURNS SMALLINT", "CAST(s AS SMALLINT)"),
-    "toInt32": ("(s STRING) RETURNS INT", "CAST(s AS INT)"),
-    "toUInt8": ("(s STRING) RETURNS SMALLINT", "CAST(s AS SMALLINT)"),
-    "toUInt16": ("(s STRING) RETURNS INT", "CAST(s AS INT)"),
-    "toUInt32": ("(s STRING) RETURNS BIGINT", "CAST(s AS BIGINT)"),
-    "toUInt64": ("(s STRING) RETURNS BIGINT", "CAST(s AS BIGINT)"),
+    "toInt8": ("(s STRING) RETURNS TINYINT", "COALESCE(try_cast(s AS TINYINT), CAST(CAST(s AS DOUBLE) AS TINYINT))"),
+    "toInt16": ("(s STRING) RETURNS SMALLINT", "COALESCE(try_cast(s AS SMALLINT), CAST(CAST(s AS DOUBLE) AS SMALLINT))"),
+    "toInt32": ("(s STRING) RETURNS INT", "COALESCE(try_cast(s AS INT), CAST(CAST(s AS DOUBLE) AS INT))"),
+    "toUInt8": ("(s STRING) RETURNS SMALLINT", "COALESCE(try_cast(s AS SMALLINT), CAST(CAST(s AS DOUBLE) AS SMALLINT))"),
+    "toUInt16": ("(s STRING) RETURNS INT", "COALESCE(try_cast(s AS INT), CAST(CAST(s AS DOUBLE) AS INT))"),
+    "toUInt32": ("(s STRING) RETURNS BIGINT", "COALESCE(try_cast(s AS BIGINT), CAST(CAST(s AS DOUBLE) AS BIGINT))"),
+    "toUInt64": ("(s STRING) RETURNS BIGINT", "COALESCE(try_cast(s AS BIGINT), CAST(CAST(s AS DOUBLE) AS BIGINT))"),
     "toFloat32": ("(s STRING) RETURNS FLOAT", "CAST(s AS FLOAT)"),
     # -OrNull / -OrZero conversion family: unparseable input -> NULL / 0
     # (plain to* THROWS under ANSI where ClickHouse throws too)

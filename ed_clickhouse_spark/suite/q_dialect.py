@@ -367,3 +367,139 @@ def q205_ch_if_combinators(spark, sf_dir):
     register_sql_aliases(spark)
     t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(translate(_IF_HOF_SQL).sql)
+
+
+_FOREACH_SQL = """
+SELECT label,
+       toInt64(arrayElement(sumForEach(
+         arrayMap(v -> toInt64(floor(toFloat64(v) * 1000)), embedding)), 1)) AS s1,
+       toInt64(arrayElement(sumForEach(
+         arrayMap(v -> toInt64(floor(toFloat64(v) * 1000)), embedding)), 2)) AS s2,
+       toInt64(arrayElement(maxForEach(
+         arrayMap(v -> toInt64(floor(toFloat64(v) * 1000)), embedding)), 3)) AS m3,
+       toInt64(arrayElement(countForEach(embedding), 4)) AS n4,
+       count(*) AS n
+FROM embeddings
+GROUP BY label
+ORDER BY label
+"""
+
+
+@query(
+    "q213_foreach_centroids",
+    oracle="""
+    SELECT label,
+           CAST(SUM(CAST(floor(CAST(embedding[1] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS s1,
+           CAST(SUM(CAST(floor(CAST(embedding[2] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS s2,
+           CAST(MAX(CAST(floor(CAST(embedding[3] AS DOUBLE) * 1000) AS BIGINT)) AS BIGINT) AS m3,
+           CAST(COUNT(embedding[4]) AS BIGINT) AS n4,
+           COUNT(*) AS n
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+)
+def q213_foreach_centroids(spark, sf_dir):
+    """Round-5 combinator batch in the graded loop: -ForEach aggregates
+    position-wise across the group's vectors (the per-label centroid
+    accumulators a vector-store maintains). Fixed-point millis via
+    floor(double) keep the float->int mapping bit-identical across
+    engines. Scale shape: one groupBy(label) exchange; the ForEach fold
+    is a codegen collect_list + per-position lambda, no explode of the
+    vector column."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(translate(_FOREACH_SQL).sql)
+
+
+_DATE_CORNER_SQL = """
+SELECT toDate(ts) AS d,
+       toInt64(toModifiedJulianDay(toString(toDate(ts)))) AS mjd,
+       toInt64(toDaysSinceYearZero(ts)) AS dz,
+       toStartOfISOYear(ts) AS iso_start,
+       count(*) AS n
+FROM events
+GROUP BY d, mjd, dz, iso_start
+ORDER BY d
+LIMIT 40
+"""
+
+
+@query(
+    "q214_date_corner_report",
+    oracle="""
+    SELECT CAST(ts AS DATE) AS d,
+           CAST(datediff('day', DATE '1858-11-17', CAST(ts AS DATE)) AS BIGINT) AS mjd,
+           CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) + 719528 AS BIGINT) AS dz,
+           CAST(date_trunc('week', make_date(CAST(isoyear(ts) AS INT), 1, 4)) AS DATE) AS iso_start,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY 1, 2, 3, 4
+    ORDER BY d
+    LIMIT 40
+    """,
+)
+def q214_date_corner_report(spark, sf_dir):
+    """Round-5 date-corner batch in the graded loop: Modified Julian
+    Day, days-since-year-zero, and ISO-year start computed per event
+    day — the calendar plumbing CH exposes that Spark spells
+    differently. All pure codegen date arithmetic over one groupBy;
+    DuckDB cross-checks via its own epoch-anchored datediffs and
+    isoyear(). LIMIT keeps the panel bounded."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(translate(_DATE_CORNER_SQL).sql)
+
+
+_VOCAB_SQL = """
+SELECT source,
+       toInt64(uniqArrayIf(splitByChar(' ', text), lang = 'en')) AS en_vocab,
+       toInt64(uniqArray(splitByChar(' ', text))) AS vocab,
+       toInt64(sumArrayIf(arrayMap(w -> length(w), splitByChar(' ', text)),
+                          lang = 'en')) AS en_tok_chars,
+       count(*) AS n_docs
+FROM documents
+GROUP BY source
+ORDER BY source
+"""
+
+
+@query(
+    "q215_vocab_combinators",
+    oracle="""
+    WITH ex AS (
+      SELECT source, lang, unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    tokstats AS (
+      SELECT source,
+             CAST(COUNT(DISTINCT CASE WHEN lang = 'en' THEN tok END) AS BIGINT) AS en_vocab,
+             CAST(COUNT(DISTINCT tok) AS BIGINT) AS vocab,
+             CAST(SUM(CASE WHEN lang = 'en' THEN length(tok) END) AS BIGINT) AS en_tok_chars
+      FROM ex GROUP BY source
+    ),
+    docs AS (
+      SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+    )
+    SELECT d.source, s.en_vocab, s.vocab, s.en_tok_chars, d.n_docs
+    FROM docs d JOIN tokstats s USING (source)
+    ORDER BY d.source
+    """,
+)
+def q215_vocab_combinators(spark, sf_dir):
+    """Round-5 stacked-combinator batch in the graded loop: uniqArray /
+    uniqArrayIf (distinct elements across the group's arrays) and
+    sumArrayIf over a mapped token-length array — per-source vocabulary
+    and English-token accounting without ever exploding the token
+    stream through a shuffle (the distinct-union folds run inside the
+    source-keyed aggregate)."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(translate(_VOCAB_SQL).sql)
