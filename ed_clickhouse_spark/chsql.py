@@ -975,6 +975,7 @@ _SCALAR_RENAMES = {
     "mapKeys": "map_keys",
     "mapValues": "map_values",
     "mapContains": "map_contains_key",
+    "substringIndex": "substring_index",
     # -OrNull combinators: Spark aggregates ALREADY return NULL over an
     # empty set (it's ClickHouse's plain sum that returns 0), so the
     # base function IS the OrNull behavior
@@ -1071,6 +1072,33 @@ _ARRAY_SPLICE: dict[str, dict[int, str]] = {
     # ClickHouse's map HOFs take the lambda FIRST; Spark's map_filter
     # takes it second with the same (k, v) shape
     "mapFilter": {2: "map_filter({1}, {0})"},
+    # predicate HOFs via map_filter (it accepts the same (k, v) lambda;
+    # Spark's exists/forall are array-only)
+    "mapExists": {2: "(size(map_filter({1}, {0})) > 0)"},
+    "mapAll": {2: "(size(map_filter({1}, {0})) = size({1}))"},
+    # right map wins on key collision (ClickHouse mapUpdate)
+    "mapUpdate": {
+        2: "map_from_entries(concat("
+           "filter(map_entries({0}),"
+           " __ch_e -> NOT array_contains(map_keys({1}), __ch_e.key)),"
+           " map_entries({1})))",
+    },
+    "mapSort": {1: "map_from_entries(array_sort(map_entries({0})))"},
+    "mapReverseSort": {
+        1: "map_from_entries(reverse(array_sort(map_entries({0}))))",
+    },
+    # fill missing integer keys from min key to max key (or to the
+    # explicit 2-arg bound) with zero values
+    "mapPopulateSeries": {
+        1: "map_from_entries(transform("
+           "sequence(array_min(map_keys({0})), array_max(map_keys({0}))),"
+           " __ch_k -> struct(__ch_k AS key,"
+           " coalesce(try_element_at({0}, __ch_k), 0) AS value)))",
+        2: "map_from_entries(transform("
+           "sequence(array_min(map_keys({0})), {1}),"
+           " __ch_k -> struct(__ch_k AS key,"
+           " coalesce(try_element_at({0}, __ch_k), 0) AS value)))",
+    },
     # ---- aggregate compositions (each {i} is an aggregate argument;
     # repeated aggregate subexpressions dedup in Catalyst) ----
     "medianExact": {1: "percentile({0}, 0.5)"},
@@ -1254,6 +1282,26 @@ _ARRAY_SPLICE["caseWithExpression"] = {
         + f" ELSE {{{2 * k + 1}}} END)"
     )
     for k in range(1, 6)
+}
+# bitTestAll/bitTestAny(x, b1, b2, ...): conjunction/disjunction of
+# single-bit probes, UInt8 0/1 result like ClickHouse. shiftright()
+# (not the >> operator) because Spark's parser mis-lexes >> appearing
+# after a lambda body that contains NOT.
+_ARRAY_SPLICE["bitTestAll"] = {
+    1 + k: "(CAST("
+    + " AND ".join(
+        f"((shiftright({{0}}, {{{j}}}) & 1) = 1)" for j in range(1, k + 1)
+    )
+    + " AS INT))"
+    for k in range(1, 7)
+}
+_ARRAY_SPLICE["bitTestAny"] = {
+    1 + k: "(CAST("
+    + " OR ".join(
+        f"((shiftright({{0}}, {{{j}}}) & 1) = 1)" for j in range(1, k + 1)
+    )
+    + " AS INT))"
+    for k in range(1, 7)
 }
 # pointInEllipses(x, y, x0, y0, a0, b0, ...) — inside ANY listed ellipse
 _ARRAY_SPLICE["pointInEllipses"] = {

@@ -686,6 +686,49 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
     # ClickHouse's (documented deviation, same as cityHash64/farmHash64)
     "murmurHash3_64": ("(s STRING) RETURNS BIGINT", "xxhash64(s)"),
     "murmurHash2_64": ("(s STRING) RETURNS BIGINT", "xxhash64(s)"),
+    "metroHash64": ("(s STRING) RETURNS BIGINT", "xxhash64(s)"),
+    # 32-bit family routed to Spark's hash() (Murmur3_32, seed 42 vs
+    # ClickHouse's seed — same documented value deviation as above)
+    "murmurHash3_32": ("(s STRING) RETURNS INT", "hash(s)"),
+    "murmurHash2_32": ("(s STRING) RETURNS INT", "hash(s)"),
+    "javaHash": ("(s STRING) RETURNS INT", "hash(s)"),
+    "hiveHash": ("(s STRING) RETURNS INT", "hash(s)"),
+    "normalizedQueryHash": (
+        "(s STRING) RETURNS BIGINT",
+        "xxhash64(normalizeQuery(s))",
+    ),
+    # consistent-bucket API shape (stable assignment in [0, n)); the
+    # bucket VALUES differ from ClickHouse's algorithms (jump/karger),
+    # same class of deviation as the 64-bit hash family
+    "jumpConsistentHash": ("(k BIGINT, n INT) RETURNS INT", "CAST(pmod(xxhash64(k), n) AS INT)"),
+    "kostikConsistentHash": ("(k BIGINT, n INT) RETURNS INT", "CAST(pmod(xxhash64(k), n) AS INT)"),
+    "yandexConsistentHash": ("(k BIGINT, n INT) RETURNS INT", "CAST(pmod(xxhash64(k), n) AS INT)"),
+    "intExp10": ("(n INT) RETURNS BIGINT", "CAST(pow(10, n) AS BIGINT)"),
+    # Lanczos approximation (g = 7, n = 9), |err| < 1e-13 for x > 0 —
+    # Spark has no gamma builtins. chLgammaPos is the positive-domain
+    # kernel (SQL UDFs cannot recurse, so the reflection branch calls
+    # the kernel, not lgamma itself); poles (x <= 0 integer) are NULL.
+    "chLgammaPos": (
+        "(x DOUBLE) RETURNS DOUBLE",
+        "0.5 * ln(2 * pi()) + (x - 0.5) * ln(x + 6.5) - (x + 6.5)"
+        " + ln(0.99999999999980993 + 676.5203681218851 / x"
+        "   - 1259.1392167224028 / (x + 1) + 771.32342877765313 / (x + 2)"
+        "   - 176.61502916214059 / (x + 3) + 12.507343278686905 / (x + 4)"
+        "   - 0.13857109526572012 / (x + 5) + 9.9843695780195716e-6 / (x + 6)"
+        "   + 1.5056327351493116e-7 / (x + 7))",
+    ),
+    "lgamma": (
+        "(x DOUBLE) RETURNS DOUBLE",
+        "CASE WHEN x > 0 THEN chLgammaPos(x)"
+        " WHEN x = CAST(floor(x) AS DOUBLE) THEN NULL"
+        " ELSE ln(pi() / abs(sin(pi() * x))) - chLgammaPos(1 - x) END",
+    ),
+    "tgamma": (
+        "(x DOUBLE) RETURNS DOUBLE",
+        "CASE WHEN x > 0 THEN exp(chLgammaPos(x))"
+        " WHEN x = CAST(floor(x) AS DOUBLE) THEN NULL"
+        " ELSE pi() / (sin(pi() * x) * exp(chLgammaPos(1 - x))) END",
+    ),
     "randCanonical": ("() RETURNS DOUBLE", "rand()"),
     "randUniform": (
         "(lo DOUBLE, hi DOUBLE) RETURNS DOUBLE",

@@ -2108,3 +2108,48 @@ def test_probe_batch5_combinator_stacking(views):
         translate("SELECT groupArraySample(2, 42)(g) AS s FROM __cb").sql
     ).first()["s"]
     assert s2 == s
+
+
+def test_probe_batch6_map_hash_math(views):
+    """Round-5 probe batch 6: map algebra (update/sort/populate-series/
+    predicate HOFs), variadic bit probes, substringIndex, consistent-
+    hash API shapes, intExp10, and the Lanczos lgamma/tgamma pair
+    (checked against Python's libm to 9-10 digits, reflection branch
+    included)."""
+    import math
+
+    r = views.sql(
+        translate(
+            "SELECT mapUpdate(map('a', 1), map('a', 9, 'b', 2)) AS a,"
+            " mapExists((k, v) -> v > 1, map('a', 1, 'b', 2)) AS b,"
+            " mapAll((k, v) -> v > 1, map('a', 1, 'b', 2)) AS c,"
+            " mapSort(map('b', 2, 'a', 1)) AS d,"
+            " mapPopulateSeries(map(1, 10, 4, 40)) AS e,"
+            " mapPopulateSeries(map(1, 10, 3, 30), 5) AS f,"
+            " substringIndex('www.example.com', '.', 2) AS g,"
+            " bitTestAll(7, 0, 1) AS h, bitTestAll(5, 0, 1) AS i,"
+            " bitTestAny(4, 0, 1) AS j, bitTestAny(5, 0, 1) AS k,"
+            " intExp10(3) AS l,"
+            " jumpConsistentHash(42, 8) AS m,"
+            " round(lgamma(3.5), 10) AS n,"
+            " round(tgamma(4.0), 9) AS o,"
+            " round(tgamma(-0.5), 9) AS p,"
+            " lgamma(-1.0) AS q,"
+            " normalizedQueryHash('SELECT 1')"
+            "   = normalizedQueryHash('SELECT 2') AS r"
+        ).sql
+    ).first()
+    assert r["a"] == {"a": 9, "b": 2}
+    assert r["b"] is True and r["c"] is False
+    assert r["d"] == {"a": 1, "b": 2}
+    assert r["e"] == {1: 10, 2: 0, 3: 0, 4: 40}
+    assert r["f"] == {1: 10, 2: 0, 3: 30, 4: 0, 5: 0}
+    assert r["g"] == "www.example"
+    assert (r["h"], r["i"], r["j"], r["k"]) == (1, 0, 0, 1)
+    assert r["l"] == 1000
+    assert 0 <= r["m"] < 8
+    assert r["n"] == round(math.lgamma(3.5), 10)
+    assert r["o"] == 6.0
+    assert r["p"] == round(math.gamma(-0.5), 9)
+    assert r["q"] is None  # pole
+    assert r["r"] is True  # literals normalize to the same shape
