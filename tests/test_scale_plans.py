@@ -219,6 +219,19 @@ def test_rank_stats_plan_shapes(spark):
     assert "TakeOrderedAndProject" in p
 
 
+def test_q17_avg_frame_is_brand_bounded(spark):
+    """q120 (TPC-H Q17): the per-partkey threshold frame is semi-joined
+    against the filtered brand dim BEFORE joining back, so no
+    corpus-cardinality frame is ever forced into a broadcast; the plan
+    carries the LeftSemi and no forced BroadcastExchange hint survives
+    analysis (AQE may still choose broadcast at runtime from measured
+    sizes — that is the point)."""
+    df = QUERIES["q120_small_qty_revenue"](spark, "/root/testdata/sf0.001")
+    p = df._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in p
+    assert "CartesianProduct" not in p
+
+
 def test_lttb_plan_broadcasts_anchors(spark):
     """LTTB joins points to bucket anchors via broadcast (n_buckets
     rows per group) — the raw series never shuffles twice."""
@@ -251,11 +264,15 @@ def test_chsql_sample_pushes_to_scan(spark):
 def test_intake_pipeline_two_shuffles(spark):
     """q180's whole chunk->dedup->gate->account DAG runs in exactly two
     shuffle exchanges: the fingerprint window and the tiny source
-    rollup. No join-induced extra exchanges, no cartesian."""
+    rollup. No join-induced extra exchanges, no cartesian — and since
+    round 5 the source dimension rides through the chunker's per-row
+    projection (carry_cols), so no broadcast of the corpus-cardinality
+    doc-id table appears anywhere in the plan either."""
     import re
 
     p = _plan(QUERIES["q180_intake_pipeline"](spark, "/root/testdata/sf0.001"))
     assert len(re.findall(r"^\(\d+\) Exchange", p, re.M)) == 2
+    assert "BroadcastExchange" not in p
     assert "CartesianProduct" not in p
 
 
