@@ -1283,6 +1283,32 @@ _ARRAY_SPLICE["caseWithExpression"] = {
     )
     for k in range(1, 6)
 }
+# N x N moment matrices over the listed columns (ClickHouse corrMatrix
+# and friends): an array-of-arrays of the pairwise builtin aggregates —
+# Catalyst dedupes the symmetric repeats
+for _mname, _mbase in (
+    ("corrMatrix", "corr"),
+    ("covarSampMatrix", "covar_samp"),
+    ("covarPopMatrix", "covar_pop"),
+):
+    _ARRAY_SPLICE[_mname] = {
+        k: "array("
+        + ", ".join(
+            "array("
+            + ", ".join(f"{_mbase}({{{i}}}, {{{j}}})" for j in range(k))
+            + ")"
+            for i in range(k)
+        )
+        + ")"
+        for k in range(2, 6)
+    }
+# intersection of the group's arrays: an element survives when every
+# collected array contains it
+_ARRAY_SPLICE["groupArrayIntersect"] = {
+    1: "filter(array_distinct(flatten(collect_list({0}))),"
+       " __ch_x -> size(filter(collect_list({0}),"
+       " __ch_a -> array_contains(__ch_a, __ch_x))) = count({0}))",
+}
 # bitTestAll/bitTestAny(x, b1, b2, ...): conjunction/disjunction of
 # single-bit probes, UInt8 0/1 result like ClickHouse. shiftright()
 # (not the >> operator) because Spark's parser mis-lexes >> appearing
@@ -2661,6 +2687,8 @@ _OPERATOR_ONLY_AGGS = {
     "theilsU": "operators/stats.py:theils_u",
     "contingency": "operators/stats.py:contingency_coefficients",
     "meanZTest": "the proportionsZTest scalar or operators/stats.py",
+    "categoricalInformationValue":
+        "weight-of-evidence sums over operators/stats.py:contingency_coefficients cells",
     "histogram": "the q138 equal-width histogram pattern",
     "sparkbar": "the bar() scalar over grouped buckets",
     "exponentialMovingAverage":
@@ -2925,10 +2953,12 @@ def _rewrite_agg_spellings(sql: str) -> str:
                   " greatest(__ch_s, __ch_e.value))",
     }
     while True:
-        m = _find_case_exact(sql, r"\b(sum|min|max)Map\s*\(")
+        # <agg>MappedArrays is ClickHouse's alias for the (keys, values)
+        # two-array form — same fold
+        m = _find_case_exact(sql, r"\b(sum|min|max)(?:Map|MappedArrays)\s*\(")
         if not m:
             break
-        fname = m.group(0).split("(")[0].strip()
+        fname = m.group(0).split("(")[0].strip().replace("MappedArrays", "Map")
         open1 = sql.index("(", m.end() - 1)
         close1 = _call_end(sql, open1)
         args = _split_top_commas(sql[open1 + 1: close1])

@@ -1171,6 +1171,7 @@ class Engine:
             for n in (
                 "uniqArray", "uniqExactArray", "groupArrayArray",
                 "groupUniqArrayArray", "groupArraySample",
+                "sumMappedArrays", "minMappedArrays", "maxMappedArrays",
             )
         ]
         seen: dict[str, str] = {}

@@ -2153,3 +2153,33 @@ def test_probe_batch6_map_hash_math(views):
     assert r["p"] == round(math.gamma(-0.5), 9)
     assert r["q"] is None  # pole
     assert r["r"] is True  # literals normalize to the same shape
+
+
+def test_probe_batch7_aggregate_corners(views):
+    """Round-5 probe batch 7: the aggregate corner spellings —
+    <agg>MappedArrays (the (keys, values) two-array form of sumMap),
+    N x N moment matrices (corrMatrix/covar*Matrix), and
+    groupArrayIntersect; categoricalInformationValue raises with the
+    operator path."""
+    views.sql(
+        "CREATE OR REPLACE TEMP VIEW __b7 AS SELECT * FROM VALUES"
+        " (1, 'a', 10.0, array(1, 2, 3)), (2, 'b', 20.0, array(2, 3, 4)),"
+        " (3, 'a', 30.0, array(2, 3)) AS t(id, g, v, arr)"
+    )
+    r = views.sql(
+        translate(
+            "SELECT sumMappedArrays([g], [v]) AS a,"
+            " maxMappedArrays([g], [v]) AS b,"
+            " corrMatrix(id, v) AS c,"
+            " covarSampMatrix(id, v) AS d,"
+            " groupArrayIntersect(arr) AS e"
+            " FROM __b7"
+        ).sql
+    ).first()
+    assert r["a"] == {"a": 40.0, "b": 20.0}
+    assert r["b"] == {"a": 30.0, "b": 20.0}
+    assert r["c"] == [[1.0, 1.0], [1.0, 1.0]]
+    assert r["d"] == [[1.0, 10.0], [10.0, 100.0]]
+    assert sorted(r["e"]) == [2, 3]
+    with pytest.raises(ValueError, match="contingency"):
+        translate("SELECT categoricalInformationValue(a, b) FROM t")
