@@ -209,3 +209,39 @@ FROM (
   SELECT event_type, toDate(ts) AS d, round(sum(value), 2) AS d_rev
   FROM events GROUP BY event_type, d ORDER BY event_type, d
 ) GROUP BY event_type ORDER BY event_type;
+
+-- 32. positional accumulators over per-row token vectors (-ForEach):
+-- char totals of each document's first three tokens, position-wise
+SELECT source,
+       sumForEach(arrayMap(w -> length(w),
+                           arraySlice(splitByChar(' ', text), 1, 3)))
+         AS first3_tok_chars
+FROM documents GROUP BY source ORDER BY source LIMIT 10;
+
+-- 33. calendar bookkeeping corner functions per day
+SELECT toDate(ts) AS d,
+       toInt64(toModifiedJulianDay(toString(toDate(ts)))) AS mjd,
+       toStartOfISOYear(ts) AS iso_year_start,
+       addQuarters(toStartOfYear(ts), 2) AS h2_start,
+       count() AS n
+FROM events GROUP BY d, mjd, iso_year_start, h2_start
+ORDER BY d LIMIT 10;
+
+-- 34. per-source vocabulary via stacked combinators (no token explode)
+SELECT source,
+       toInt64(uniqArray(splitByChar(' ', text))) AS vocab,
+       toInt64(uniqArrayIf(splitByChar(' ', text), lang = 'en')) AS en_vocab,
+       count() AS n_docs
+FROM documents GROUP BY source ORDER BY source LIMIT 10;
+
+-- 35. event-mix map report: per-day type->count maps, merged and
+-- gap-filled with map algebra
+SELECT mapSort(sumMap(m)) AS event_mix
+FROM (
+  SELECT map(event_type, count()) AS m
+  FROM events GROUP BY toDate(ts), event_type
+);
+
+-- 36. correlation matrix panel between value and hour-of-day
+SELECT corrMatrix(value, toHour(ts) + 0.0) AS m
+FROM events WHERE value IS NOT NULL;

@@ -38,7 +38,7 @@ def test_every_dashboard_statement_runs(dash_views):
     from ed_clickhouse_spark.chsql import translate
 
     stmts = _statements()
-    assert len(stmts) == 31
+    assert len(stmts) == 36
     for i, stmt in enumerate(stmts, start=1):
         tr = translate(stmt)
         rows = dash_views.sql(tr.sql).collect()
