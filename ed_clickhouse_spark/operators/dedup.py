@@ -360,6 +360,46 @@ def dedup_clusters(
     # materializes the persist) picks ~1 partition per 100k edges —
     # at 100 TB a billion-edge graph still gets thousands of partitions.
     n_edges = sym.count()
+    # Adaptive small-graph fast path: the iterative rounds each cost a
+    # full Spark job, which dominates when the pair graph is tiny (the
+    # common case — near-dup pairs are a sliver of the corpus). The
+    # edge count above is already materialized, so the branch is free:
+    # under the bound (default 1M edges ~ 16 MB of longs; 0 disables),
+    # collect the edges and run driver-side union-find with min-root
+    # labels — identical output (cluster_id = min reachable id) by
+    # construction. Above the bound, the distributed pointer-doubled
+    # propagation below is the scale path; this is a GUARDED collect in
+    # the max_queries style, never corpus-sized.
+    cc_max = int(spark.conf.get("spark.ed.cc_collect_max_edges", "1000000"))
+    if 0 < n_edges <= cc_max:
+        try:
+            rows = pairs.select(
+                F.col(id_a).cast("long"), F.col(id_b).cast("long")
+            ).collect()
+            parent: dict = {}
+
+            def find(x):
+                r = x
+                while parent.get(r, r) != r:
+                    r = parent[r]
+                while parent.get(x, x) != x:
+                    parent[x], x = r, parent[x]
+                return r
+
+            for a, b in rows:
+                ra, rb = find(a), find(b)
+                if ra != rb:
+                    # min root wins, preserving cluster_id = min id
+                    lo, hi = (ra, rb) if ra < rb else (rb, ra)
+                    parent[hi] = lo
+            out = [(n, find(n)) for n in
+                   {x for r in rows for x in r}]
+            return spark.createDataFrame(
+                out, "id long, cluster_id long"
+            )
+        finally:
+            sym.unpersist()
+            pairs.unpersist()
     iter_parts = str(
         max(
             2,

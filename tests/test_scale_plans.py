@@ -144,14 +144,21 @@ def test_search_and_sampling_plan_shapes(spark):
 def test_dedup_clusters_plan_is_copartitioned(spark):
     """One label-propagation round = joins keyed on the node id and a
     groupBy-min on the same key — no cartesian, no Python eval; the
-    iteration state is a localCheckpoint (lineage does not grow)."""
+    iteration state is a localCheckpoint (lineage does not grow).
+    Pinned with the small-graph fast path DISABLED so the assertion
+    covers the distributed (100 TB) branch; the fast path itself is
+    value-covered by the unit and oracle tests."""
     from ed_clickhouse_spark.operators.dedup import dedup_clusters
 
     pairs = spark.createDataFrame(
         [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
     )
-    out = dedup_clusters(pairs)
-    p = _plan(out)
+    spark.conf.set("spark.ed.cc_collect_max_edges", "0")
+    try:
+        out = dedup_clusters(pairs)
+        p = _plan(out)
+    finally:
+        spark.conf.unset("spark.ed.cc_collect_max_edges")
     assert "CartesianProduct" not in p and "BatchEvalPython" not in p
     # converged labels come from a checkpoint scan, not a re-planned loop
     assert "ExistingRDD" in p or "Scan" in p
