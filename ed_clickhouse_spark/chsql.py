@@ -976,6 +976,14 @@ _SCALAR_RENAMES = {
     "mapValues": "map_values",
     "mapContains": "map_contains_key",
     "substringIndex": "substring_index",
+    # UTF8-suffixed spellings: Spark's string builtins are already
+    # codepoint-aware, so the UTF8 variants are plain renames
+    "editDistanceUTF8": "levenshtein",
+    "initcapUTF8": "initcap",
+    "startsWithUTF8": "startswith",
+    "endsWithUTF8": "endswith",
+    "translateUTF8": "translate",
+    "regexpExtract": "regexp_extract",
     # -OrNull combinators: Spark aggregates ALREADY return NULL over an
     # empty set (it's ClickHouse's plain sum that returns 0), so the
     # base function IS the OrNull behavior
@@ -1282,6 +1290,41 @@ _ARRAY_SPLICE["caseWithExpression"] = {
         + f" ELSE {{{2 * k + 1}}} END)"
     )
     for k in range(1, 6)
+}
+# array geometry / sampling corners
+_ARRAY_SPLICE["arrayShingles"] = {
+    2: "transform(sequence(1, size({0}) - ({1}) + 1),"
+       " __ch_i -> slice({0}, __ch_i, {1}))",
+}
+# deterministic md5-keyed sample (ClickHouse's is RNG-seeded; the
+# deterministic pick reruns and oracles identically — same deviation
+# as groupArraySample)
+_ARRAY_SPLICE["arrayRandomSample"] = {
+    2: "transform(slice(array_sort(transform({0},"
+       " __ch_v -> struct(md5(CAST(__ch_v AS STRING)) AS h,"
+       " __ch_v AS v))), 1, {1}), __ch_s -> __ch_s.v)",
+}
+_ARRAY_SPLICE["arrayDotProduct"] = {
+    2: "aggregate(zip_with({0}, {1},"
+       " (__ch_x, __ch_y) -> CAST(__ch_x AS DOUBLE) * __ch_y),"
+       " CAST(0.0 AS DOUBLE), (__ch_s, __ch_t) -> __ch_s + __ch_t)",
+}
+# pairwise concordance AUC over (scores, labels) arrays: ties count
+# half, denominator = pos * neg pairs
+_ARRAY_SPLICE["arrayAUC"] = {
+    2: "(aggregate(flatten(transform(sequence(1, size({0})),"
+       " __ch_i -> transform(sequence(1, size({0})),"
+       " __ch_j -> CASE WHEN element_at({1}, __ch_i) = 1"
+       " AND element_at({1}, __ch_j) = 0 THEN"
+       " (CASE WHEN element_at({0}, __ch_i) > element_at({0}, __ch_j)"
+       " THEN 1.0 WHEN element_at({0}, __ch_i) = element_at({0}, __ch_j)"
+       " THEN 0.5 ELSE CAST(0.0 AS DOUBLE) END)"
+       " ELSE CAST(0.0 AS DOUBLE) END))),"
+       " CAST(0.0 AS DOUBLE), (__ch_s, __ch_t) -> __ch_s + __ch_t)"
+       " / (aggregate({1}, CAST(0.0 AS DOUBLE),"
+       " (__ch_s, __ch_t) -> __ch_s + __ch_t)"
+       " * (size({1}) - aggregate({1}, CAST(0.0 AS DOUBLE),"
+       " (__ch_s, __ch_t) -> __ch_s + __ch_t))))",
 }
 # N x N moment matrices over the listed columns (ClickHouse corrMatrix
 # and friends): an array-of-arrays of the pairwise builtin aggregates —

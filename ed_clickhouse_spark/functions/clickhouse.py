@@ -540,6 +540,41 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "(h STRING, n STRING) RETURNS INT",
         "CAST((length(h) - length(replace(h, n, ''))) / length(n) AS INT)",
     ),
+    "countSubstringsCaseInsensitive": (
+        "(h STRING, n STRING) RETURNS INT",
+        "CAST((length(h) - length(replace(lower(h), lower(n), '')))"
+        " / length(n) AS INT)",
+    ),
+    "isValidUTF8": (
+        "(s STRING) RETURNS BOOLEAN",
+        "try_validate_utf8(s) IS NOT NULL",
+    ),
+    # character-SET Jaccard (ClickHouse computes a byte-multiset index —
+    # documented granularity deviation, same [0, 1] scale)
+    "stringJaccardIndex": (
+        "(a STRING, b STRING) RETURNS DOUBLE",
+        "size(array_intersect(split(a, ''), split(b, '')))"
+        " / CAST(size(array_union(split(a, ''), split(b, ''))) AS DOUBLE)",
+    ),
+    # distinct 4-grams (strings shorter than 4 chars contribute their
+    # whole tail) — the shared kernel for ngramDistance/ngramSearch
+    "chFourGrams": (
+        "(s STRING) RETURNS ARRAY<STRING>",
+        "array_distinct(transform(sequence(1, greatest(length(s) - 3, 1)),"
+        " i -> substring(s, i, 4)))",
+    ),
+    # set-based 4-gram distance/search (ClickHouse counts multisets —
+    # documented deviation, same scale and ordering behavior)
+    "ngramDistance": (
+        "(a STRING, b STRING) RETURNS DOUBLE",
+        "1.0 - size(array_intersect(chFourGrams(a), chFourGrams(b)))"
+        " / CAST(size(array_union(chFourGrams(a), chFourGrams(b))) AS DOUBLE)",
+    ),
+    "ngramSearch": (
+        "(h STRING, n STRING) RETURNS DOUBLE",
+        "size(array_intersect(chFourGrams(n), chFourGrams(h)))"
+        " / CAST(size(chFourGrams(n)) AS DOUBLE)",
+    ),
     "multiSearchAny": (
         "(s STRING, pats ARRAY<STRING>) RETURNS BOOLEAN",
         "exists(pats, p -> instr(s, p) > 0)",

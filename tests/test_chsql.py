@@ -2183,3 +2183,35 @@ def test_probe_batch7_aggregate_corners(views):
     assert sorted(r["e"]) == [2, 3]
     with pytest.raises(ValueError, match="contingency"):
         translate("SELECT categoricalInformationValue(a, b) FROM t")
+
+
+def test_probe_batch8_array_string_corners(views):
+    """Round-5 probe batch 8: array geometry/sampling corners and the
+    UTF8-suffixed string spellings (Spark's builtins are already
+    codepoint-aware, so those are renames)."""
+    r = views.sql(
+        translate(
+            "SELECT arrayShingles([1, 2, 3, 4], 2) AS a,"
+            " arrayDotProduct([1, 2, 3], [4, 5, 6]) AS b,"
+            " arrayAUC([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1]) AS c,"
+            " size(arrayRandomSample([1, 2, 3, 4], 2)) AS d,"
+            " editDistanceUTF8('kitten', 'sitting') AS e,"
+            " startsWithUTF8('abc', 'ab') AS f,"
+            " translateUTF8('abc', 'ab', 'xy') AS g,"
+            " regexpExtract('a1b2', '[0-9]', 0) AS h,"
+            " countSubstringsCaseInsensitive('AbaB', 'ab') AS i,"
+            " isValidUTF8('abc') AS j,"
+            " round(stringJaccardIndex('apple', 'applet'), 4) AS k,"
+            " round(ngramDistance('hello', 'hello'), 4) AS l,"
+            " round(ngramSearch('hello world', 'world'), 4) AS m"
+        ).sql
+    ).first()
+    assert r["a"] == [[1, 2], [2, 3], [3, 4]]
+    assert r["b"] == 32.0
+    assert r["c"] == 0.75  # the ClickHouse docs' own example value
+    assert r["d"] == 2
+    assert r["e"] == 3
+    assert r["f"] is True and r["g"] == "xyc" and r["h"] == "1"
+    assert r["i"] == 2 and r["j"] is True
+    assert r["k"] == 0.8
+    assert r["l"] == 0.0 and r["m"] == 1.0
