@@ -3295,9 +3295,18 @@ def _rewrite_agg_spellings(sql: str) -> str:
                 f" __ch_a -> try_element_at(__ch_a, __ch_i)),"
                 f" __ch_x -> __ch_x IS NOT NULL)"
             )
+            # all-empty guard: Spark's sequence(1, 0) DESCENDS to
+            # [1, 0], so a zero max width must yield an empty spine
+            width = (
+                f"coalesce(array_max(transform({ls},"
+                f" __ch_a -> size(__ch_a))), 0)"
+            )
+            spine = (
+                f"(CASE WHEN {width} >= 1 THEN sequence(1, {width})"
+                f" ELSE CAST(array() AS ARRAY<INT>) END)"
+            )
             expr = (
-                f"transform(sequence(1,"
-                f" array_max(transform({ls}, __ch_a -> size(__ch_a)))),"
+                f"transform({spine},"
                 f" __ch_i -> {combine.format(v=vals)})"
             )
             sql = sql[: m.start()] + expr + sql[close1 + 1:]

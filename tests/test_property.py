@@ -278,3 +278,56 @@ def test_translate_literal_hazards():
     # {name:Type}-shaped literal text is not a parameter
     out = translate("SELECT '{x:Int64}' AS s FROM t", params={"x": 5}).sql
     assert "'{x:Int64}'" in out
+
+
+@given(
+    arrays=st.lists(
+        st.lists(st.integers(-50, 50), min_size=0, max_size=6),
+        min_size=1,
+        max_size=8,
+    )
+)
+@_SET
+def test_sum_foreach_matches_columnwise_reference(spark, arrays):
+    """The dialect's -ForEach fold equals literal position-wise sums
+    over ragged arrays (missing positions contribute nothing)."""
+    from ed_clickhouse_spark.chsql import translate
+
+    width = max((len(a) for a in arrays), default=0)
+    want = [
+        float(sum(a[i] for a in arrays if len(a) > i)) for i in range(width)
+    ]
+    df = spark.createDataFrame([(a,) for a in arrays], "arr array<int>")
+    df.createOrReplaceTempView("__pfe")
+    got = spark.sql(
+        translate("SELECT sumForEach(arr) AS s FROM __pfe").sql
+    ).first()["s"]
+    assert (got or []) == want
+
+
+@given(
+    seq=st.lists(st.sampled_from("ABCX"), min_size=0, max_size=12),
+)
+@_SET
+def test_sequence_match_adjacency_matches_reference(spark, seq):
+    """The '(?1)(?2)' nested-exists translation equals the literal
+    ClickHouse adjacency semantics: some A immediately followed by a B
+    among events matching ANY listed condition (A, B, or C — the third
+    condition breaks adjacency without ever matching refs)."""
+    from ed_clickhouse_spark.chsql import translate
+
+    matching = [s for s in seq if s in "ABC"]
+    want = any(
+        a == "A" and b == "B" for a, b in zip(matching, matching[1:])
+    )
+    rows = [("u", i, s) for i, s in enumerate(seq)] or [("u", 0, "X")]
+    df = spark.createDataFrame(rows, "u string, ts int, sym string")
+    df.createOrReplaceTempView("__padj")
+    got = spark.sql(
+        translate(
+            "SELECT sequenceMatch('(?1)(?2)')("
+            " CAST(ts AS TIMESTAMP), sym = 'A', sym = 'B', sym = 'C') AS m"
+            " FROM __padj GROUP BY u"
+        ).sql
+    ).first()["m"]
+    assert bool(got) == want
