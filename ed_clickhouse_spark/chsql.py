@@ -1930,6 +1930,47 @@ def _rewrite_scalar_misc(sql: str) -> str:
             + sql[close1 + 1:]
         )
         pos = m.start()
+    # JSON path folding BEFORE the splice table (these names keep their
+    # 1/2-arg SQL-alias forms, so an arity miss must pass through, not
+    # raise like the splice processor does):
+    # * multi-key JSONExtract*(j, 'a', 'b', ...) folds the trailing keys
+    #   into one dotted path for the 2-arg alias;
+    # * 2-arg JSONType(j, key) extracts the element as RAW JSON text
+    #   (the VARIANT round-trip keeps string quoting, which
+    #   get_json_object strips) and classifies it with the 1-arg alias.
+    for jname in (
+        "JSONExtractInt", "JSONExtractFloat", "JSONExtractBool",
+        "JSONExtractString", "JSONExtractRaw", "JSONExtractArrayRaw",
+        "JSONHas", "JSONType",
+    ):
+        pos = 0
+        jrx = re.compile(rf"\b{jname}\s*\(")
+        while True:
+            m = jrx.search(sql, pos)
+            if not m:
+                break
+            instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+            if instr_at.get(m.start(), False):
+                pos = m.end()
+                continue
+            open1 = sql.index("(", m.end() - 1)
+            close1 = _call_end(sql, open1)
+            args = _split_top_commas(sql[open1 + 1: close1])
+            if jname == "JSONType" and len(args) == 2:
+                repl = (
+                    f"JSONType(to_json(variant_get(try_parse_json({args[0]}),"
+                    f" concat('$.', {args[1]}), 'variant')))"
+                )
+            elif jname != "JSONType" and len(args) >= 3:
+                path = ", '.', ".join(args[1:])
+                repl = f"{jname}({args[0]}, concat({path}))"
+            else:
+                pos = close1  # alias-arity form — leave for CREATE FUNCTION
+                continue
+            sql = sql[: m.start()] + repl + sql[close1 + 1:]
+            # the rewritten call starts at m.start() and is final —
+            # advance past its name so it is never re-entered
+            pos = m.start() + 1
     for fname, forms in _ARRAY_SPLICE.items():
         pos = 0
         rx = re.compile(rf"\b{fname}\s*\(")

@@ -412,6 +412,47 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "parse_url(u, 'QUERY', k)",
     ),
     "cutQueryString": ("(u STRING) RETURNS STRING", "substring_index(u, '?', 1)"),
+    "cutFragment": ("(u STRING) RETURNS STRING", "substring_index(u, '#', 1)"),
+    "cutQueryStringAndFragment": (
+        "(u STRING) RETURNS STRING",
+        r"regexp_replace(u, '[?#].*$', '')",
+    ),
+    "cutWWW": (
+        "(u STRING) RETURNS STRING",
+        r"regexp_replace(u, '(^|//)www\\.', '$1')",
+    ),
+    "netloc": (
+        "(u STRING) RETURNS STRING",
+        r"regexp_extract(u, '^(?:[a-z][a-z0-9+.-]*:)?//([^/?#]*)', 1)",
+    ),
+    # ClickHouse's public-suffix heuristic: the label left of a
+    # second-level suffix (com/net/org/co/gov/mil/edu) when present,
+    # else the label left of the TLD
+    "firstSignificantSubdomain": (
+        "(u STRING) RETURNS STRING",
+        "CASE WHEN size(split(parse_url(u, 'HOST'), '\\\\.')) < 2 THEN ''"
+        " WHEN element_at(split(parse_url(u, 'HOST'), '\\\\.'), -2)"
+        "   IN ('com', 'net', 'org', 'co', 'gov', 'mil', 'edu')"
+        "   AND size(split(parse_url(u, 'HOST'), '\\\\.')) >= 3"
+        " THEN element_at(split(parse_url(u, 'HOST'), '\\\\.'), -3)"
+        " ELSE element_at(split(parse_url(u, 'HOST'), '\\\\.'), -2) END",
+    ),
+    "extractURLParameters": (
+        "(u STRING) RETURNS ARRAY<STRING>",
+        "filter(split(coalesce(parse_url(u, 'QUERY'), ''), '&'),"
+        " p -> p != '')",
+    ),
+    "extractURLParameterNames": (
+        "(u STRING) RETURNS ARRAY<STRING>",
+        "transform(filter(split(coalesce(parse_url(u, 'QUERY'), ''), '&'),"
+        " p -> p != ''), p -> substring_index(p, '=', 1))",
+    ),
+    # url_encode spells spaces '+'; ClickHouse uses %20
+    "encodeURLComponent": (
+        "(s STRING) RETURNS STRING",
+        "replace(url_encode(s), '+', '%20')",
+    ),
+    "decodeURLComponent": ("(s STRING) RETURNS STRING", "url_decode(s)"),
     "topLevelDomain": (
         "(u STRING) RETURNS STRING",
         r"regexp_extract(parse_url(u, 'HOST'), '\\.([^.]+)$', 1)",
@@ -429,6 +470,44 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "CAST(split(s, '\\\\.')[1] AS BIGINT) * 65536 + "
         "CAST(split(s, '\\\\.')[2] AS BIGINT) * 256 + "
         "CAST(split(s, '\\\\.')[3] AS BIGINT)",
+    ),
+    # the dotted-quad check is inlined (CREATE FUNCTION validates body
+    # references at creation, and isIPv4String registers later)
+    "IPv4StringToNumOrNull": (
+        "(s STRING) RETURNS BIGINT",
+        r"CASE WHEN s RLIKE '^(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+        r"(\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}$'"
+        " THEN IPv4StringToNum(s) END",
+    ),
+    "toIPv4": (
+        "(s STRING) RETURNS BIGINT",
+        "IPv4StringToNum(s)",
+    ),
+    "toIPv4OrNull": (
+        "(s STRING) RETURNS BIGINT",
+        r"CASE WHEN s RLIKE '^(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+        r"(\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}$'"
+        " THEN IPv4StringToNum(s) END",
+    ),
+    # (lo, hi) of the CIDR block as a struct — ClickHouse returns a
+    # tuple of IPv4 values, same numeric content
+    "IPv4CIDRToRange": (
+        "(ip BIGINT, bits INT) RETURNS STRUCT<lo: BIGINT, hi: BIGINT>",
+        "named_struct("
+        " 'lo', shiftleft(shiftright(ip, 32 - bits), 32 - bits),"
+        " 'hi', shiftleft(shiftright(ip, 32 - bits), 32 - bits)"
+        "       + CAST(pow(2, 32 - bits) AS BIGINT) - 1)",
+    ),
+    "toUUID": ("(s STRING) RETURNS STRING", "lower(s)"),
+    "UUIDStringToNum": (
+        "(s STRING) RETURNS BINARY",
+        "unhex(replace(s, '-', ''))",
+    ),
+    "UUIDNumToString": (
+        "(b BINARY) RETURNS STRING",
+        "concat_ws('-', substring(lower(hex(b)), 1, 8),"
+        " substring(lower(hex(b)), 9, 4), substring(lower(hex(b)), 13, 4),"
+        " substring(lower(hex(b)), 17, 4), substring(lower(hex(b)), 21, 12))",
     ),
     "arrayJaccardIndex": (
         "(a ARRAY<STRING>, b ARRAY<STRING>) RETURNS DOUBLE",
@@ -456,6 +535,18 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
     "JSONHas": (
         "(j STRING, k STRING) RETURNS BOOLEAN",
         "get_json_object(j, concat('$.', k)) IS NOT NULL",
+    ),
+    "JSONExtractKeys": (
+        "(j STRING) RETURNS ARRAY<STRING>",
+        "json_object_keys(j)",
+    ),
+    "isValidJSON": (
+        "(s STRING) RETURNS BOOLEAN",
+        "try_parse_json(s) IS NOT NULL",
+    ),
+    "JSONArrayLength": (
+        "(s STRING) RETURNS INT",
+        "json_array_length(s)",
     ),
     # simpleJSON* is ClickHouse's fast non-nested scanner — same answers
     # as JSONExtract* on the flat keys it supports

@@ -2215,3 +2215,41 @@ def test_probe_batch8_array_string_corners(views):
     assert r["i"] == 2 and r["j"] is True
     assert r["k"] == 0.8
     assert r["l"] == 0.0 and r["m"] == 1.0
+
+
+def test_probe_batch9_json_url_ip_uuid(views):
+    """Round-5 probe batch 9: JSON multi-key paths + element typing,
+    the URL cut/extract tails, IPv4 OrNull/CIDR forms, and UUID
+    binary round-trips."""
+    r = views.sql(
+        translate(
+            "SELECT JSONType('{\"b\": {\"x\": 2}}', 'b') AS a,"
+            " JSONType('{\"s\": \"y\"}', 's') AS b,"
+            " JSONExtractInt('{\"b\": {\"c\": 7}}', 'b', 'c') AS c,"
+            " JSONHas('{\"b\": {\"c\": 1}}', 'b', 'c') AS d,"
+            " JSONExtractKeys('{\"a\": 1, \"b\": 2}') AS e,"
+            " isValidJSON('nope') AS f,"
+            " JSONArrayLength('[1, 2, 3]') AS g,"
+            " cutQueryStringAndFragment('http://x.com/p?a=1#f') AS h,"
+            " cutWWW('http://www.x.com') AS i,"
+            " netloc('http://user@x.com:8080/p') AS j,"
+            " firstSignificantSubdomain('http://news.yandex.com.tr/p') AS k,"
+            " extractURLParameterNames('http://x.com/p?a=1&b=2') AS l,"
+            " encodeURLComponent('a b') AS m,"
+            " IPv4StringToNumOrNull('bad') AS n,"
+            " toIPv4('1.2.3.4') AS o,"
+            " IPv4CIDRToRange(toIPv4('192.168.5.2'), 16).lo AS p,"
+            " UUIDNumToString(UUIDStringToNum("
+            "   '61f0c404-5cb3-11e7-907b-a6006ad3dba0')) AS q"
+        ).sql
+    ).first()
+    assert r["a"] == "Object" and r["b"] == "String"
+    assert r["c"] == 7 and r["d"] is True
+    assert r["e"] == ["a", "b"]
+    assert r["f"] is False and r["g"] == 3
+    assert r["h"] == "http://x.com/p" and r["i"] == "http://x.com"
+    assert r["j"] == "user@x.com:8080" and r["k"] == "yandex"
+    assert r["l"] == ["a", "b"] and r["m"] == "a%20b"
+    assert r["n"] is None and r["o"] == 16909060
+    assert r["p"] == 3232235520  # 192.168.0.0
+    assert r["q"] == "61f0c404-5cb3-11e7-907b-a6006ad3dba0"
