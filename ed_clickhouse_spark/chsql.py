@@ -984,6 +984,10 @@ _SCALAR_RENAMES = {
     "endsWithUTF8": "endswith",
     "translateUTF8": "translate",
     "regexpExtract": "regexp_extract",
+    "makeDate": "make_date",
+    "makeDate32": "make_date",
+    "makeDateTime": "make_timestamp",
+    "makeDateTime64": "make_timestamp",
     # -OrNull combinators: Spark aggregates ALREADY return NULL over an
     # empty set (it's ClickHouse's plain sum that returns 0), so the
     # base function IS the OrNull behavior
@@ -1290,6 +1294,27 @@ _ARRAY_SPLICE["caseWithExpression"] = {
         + f" ELSE {{{2 * k + 1}}} END)"
     )
     for k in range(1, 6)
+}
+# element access that tolerates any index (ClickHouse's OrNull form;
+# Spark's try_element_at still rejects index 0)
+_ARRAY_SPLICE["arrayElementOrNull"] = {
+    2: "(CASE WHEN ({1}) = 0 THEN NULL"
+       " ELSE try_element_at({0}, {1}) END)",
+}
+# parameterized decimal casts (the scale must be a literal, as in CH)
+_ARRAY_SPLICE["toDecimal32"] = {2: "CAST({0} AS DECIMAL(9, {1}))"}
+_ARRAY_SPLICE["toDecimal64"] = {2: "CAST({0} AS DECIMAL(18, {1}))"}
+_ARRAY_SPLICE["toDecimal128"] = {2: "CAST({0} AS DECIMAL(38, {1}))"}
+# the half-hour (or custom-size) slot spine covering [start, start+dur]
+_ARRAY_SPLICE["timeSlots"] = {
+    2: "transform(sequence("
+       "CAST(floor(unix_timestamp({0}) / 1800) AS BIGINT),"
+       " CAST(floor((unix_timestamp({0}) + ({1})) / 1800) AS BIGINT)),"
+       " __ch_i -> to_timestamp(__ch_i * 1800))",
+    3: "transform(sequence("
+       "CAST(floor(unix_timestamp({0}) / ({2})) AS BIGINT),"
+       " CAST(floor((unix_timestamp({0}) + ({1})) / ({2})) AS BIGINT)),"
+       " __ch_i -> to_timestamp(__ch_i * ({2})))",
 }
 # array geometry / sampling corners
 _ARRAY_SPLICE["arrayShingles"] = {
@@ -1971,6 +1996,58 @@ def _rewrite_scalar_misc(sql: str) -> str:
             # the rewritten call starts at m.start() and is final —
             # advance past its name so it is never re-entered
             pos = m.start() + 1
+    # pointInPolygon((x, y), [(x1, y1), ...]) — even-odd ray casting
+    # unrolled over the LITERAL vertex list (the CH calling convention);
+    # the point coordinates may be arbitrary expressions
+    while True:
+        m = _find_top_anywhere(sql, r"\bpointInPolygon\s*\(")
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+
+        def _pip_pair(a: str) -> list[str]:
+            a = a.strip()
+            tm2 = re.match(r"^tuple\s*\(", a)
+            if tm2:
+                inner = a[a.index("(") + 1: -1]
+            elif a.startswith("(") and a.endswith(")"):
+                inner = a[1:-1]
+            else:
+                raise ValueError(
+                    "pointInPolygon expects (x, y) tuples for the point"
+                    " and a literal vertex list"
+                )
+            items = _split_top_commas(inner)
+            if len(items) != 2:
+                raise ValueError("pointInPolygon points must be 2-D")
+            return items
+
+        if len(args) != 2:
+            raise ValueError("pointInPolygon expects (point, polygon)")
+        px, py = _pip_pair(args[0])
+        poly = args[1].strip()
+        if poly.startswith("[") and poly.endswith("]"):
+            pinner = poly[1:-1]
+        elif re.match(r"^array\s*\(", poly):
+            pinner = poly[poly.index("(") + 1: -1]
+        else:
+            raise ValueError(
+                "pointInPolygon needs a literal [(x, y), ...] vertex list"
+            )
+        verts = [_pip_pair(v) for v in _split_top_commas(pinner)]
+        crossings = []
+        for i in range(len(verts)):
+            x1, y1 = verts[i]
+            x2, y2 = verts[i - 1]
+            crossings.append(
+                f"CAST(((({y1}) > ({py})) != (({y2}) > ({py}))"
+                f" AND ({px}) < ((({x2}) - ({x1})) * (({py}) - ({y1}))"
+                f" / (({y2}) - ({y1})) + ({x1}))) AS INT)"
+            )
+        expr = f"((({' + '.join(crossings)}) % 2) = 1)"
+        sql = sql[: m.start()] + expr + sql[close1 + 1:]
     for fname, forms in _ARRAY_SPLICE.items():
         pos = 0
         rx = re.compile(rf"\b{fname}\s*\(")

@@ -1488,6 +1488,39 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "      CAST(-chDDBucketKey(m, p) - 1048576 AS DOUBLE) - 0.5)"
         " END",
     ),
+    # ---- round-5 tail batch (defined last so bodies may reference any
+    # alias above) ----
+    # ClickHouse's fixed age buckets
+    "roundAge": (
+        "(a BIGINT) RETURNS BIGINT",
+        "CASE WHEN a < 1 THEN 0 WHEN a < 18 THEN 17 WHEN a < 25 THEN 18"
+        " WHEN a < 35 THEN 25 WHEN a < 45 THEN 35 WHEN a < 55 THEN 45"
+        " ELSE 55 END",
+    ),
+    # ClickHouse's fixed duration buckets (largest bucket <= d)
+    "roundDuration": (
+        "(d BIGINT) RETURNS BIGINT",
+        "coalesce(array_max(filter(array(1, 10, 30, 60, 120, 180, 240,"
+        " 300, 600, 1200, 1800, 3600, 7200, 18000, 36000),"
+        " __b -> __b <= d)), 0)",
+    ),
+    "formatReadableDecimalSize": (
+        "(b DOUBLE) RETURNS STRING",
+        "CASE WHEN b >= 1000000000 THEN concat(CAST(ROUND(b / 1000000000, 2) AS STRING), ' GB')"
+        "     WHEN b >= 1000000 THEN concat(CAST(ROUND(b / 1000000, 2) AS STRING), ' MB')"
+        "     WHEN b >= 1000 THEN concat(CAST(ROUND(b / 1000, 2) AS STRING), ' KB')"
+        "     ELSE concat(CAST(CAST(b AS BIGINT) AS STRING), ' B') END",
+    ),
+    # central angle in degrees: the haversine distance over the mean
+    # earth radius ClickHouse uses
+    "greatCircleAngle": (
+        "(lon1 DOUBLE, lat1 DOUBLE, lon2 DOUBLE, lat2 DOUBLE) RETURNS DOUBLE",
+        "degrees(greatCircleDistance(lon1, lat1, lon2, lat2) / 6372797.560856)",
+    ),
+    "parseDateTime64BestEffort": (
+        "(s STRING) RETURNS TIMESTAMP",
+        "parseDateTimeBestEffort(s)",
+    ),
 }
 
 

@@ -2253,3 +2253,40 @@ def test_probe_batch9_json_url_ip_uuid(views):
     assert r["n"] is None and r["o"] == 16909060
     assert r["p"] == 3232235520  # 192.168.0.0
     assert r["q"] == "61f0c404-5cb3-11e7-907b-a6006ad3dba0"
+
+
+def test_probe_batch10_round_geo_time_tails(views):
+    """Round-5 probe batch 10: the rounding buckets, readable decimal
+    sizes, central-angle geo, OrNull element access, parameterized
+    decimal casts, make_date spellings, time-slot spines, and
+    ray-casting pointInPolygon over literal vertex lists."""
+    import datetime as dt
+
+    r = views.sql(
+        translate(
+            "SELECT roundAge(20) AS a, roundDuration(250) AS b,"
+            " formatReadableDecimalSize(1234567) AS c,"
+            " round(greatCircleAngle(0.0, 0.0, 10.0, 0.0), 2) AS d,"
+            " arrayElementOrNull([1, 2], 0) AS e,"
+            " arrayElementOrNull([1, 2], -1) AS f,"
+            " CAST(toDecimal64('3.14159', 2) AS DOUBLE) AS g,"
+            " makeDate(2024, 2, 29) AS h,"
+            " makeDateTime(2024, 1, 2, 3, 4, 5) AS i,"
+            " size(timeSlots(toDateTime('2024-03-05 06:00:00'), 3600)) AS j,"
+            " pointInPolygon((0.5, 0.5),"
+            "   [(0, 0), (1, 0), (1, 1), (0, 1)]) AS k,"
+            " pointInPolygon((2.5, 0.5),"
+            "   [(0, 0), (1, 0), (1, 1), (0, 1)]) AS l,"
+            " parseDateTime64BestEffort('2024-01-02 03:04:05') AS m"
+        ).sql
+    ).first()
+    assert r["a"] == 18 and r["b"] == 240
+    assert r["c"] == "1.23 MB"
+    assert r["d"] == 10.0  # self-consistent haversine round-trip
+    assert r["e"] is None and r["f"] == 2
+    assert r["g"] == 3.14
+    assert r["h"] == dt.date(2024, 2, 29)
+    assert r["i"] == dt.datetime(2024, 1, 2, 3, 4, 5)
+    assert r["j"] == 3
+    assert r["k"] is True and r["l"] is False
+    assert r["m"] == dt.datetime(2024, 1, 2, 3, 4, 5)
