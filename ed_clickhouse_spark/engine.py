@@ -1158,7 +1158,7 @@ class Engine:
             (n, "rewrite")
             for n in (
                 "untuple", "tupleConcat", "tupleNegate",
-                "tupleHammingDistance",
+                "tupleHammingDistance", "pointInPolygon",
             )
         ]
         rows += [
