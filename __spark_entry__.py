@@ -41,7 +41,7 @@ _R5_NEVER = [
     "q212_ab_test_ztest",
     # new this round (round-5 dialect batch)
     "q213_foreach_centroids", "q214_date_corner_report",
-    "q215_vocab_combinators",
+    "q215_vocab_combinators", "q216_json_props_profile",
 ]
 
 # Last driver check per query (max round with a CORRECTNESS row), used to

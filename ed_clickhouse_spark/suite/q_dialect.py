@@ -503,3 +503,46 @@ def q215_vocab_combinators(spark, sf_dir):
     register_sql_aliases(spark)
     t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(translate(_VOCAB_SQL).sql)
+
+
+_JSON_PROFILE_SQL = """
+SELECT event_type,
+       sum(JSONExtractInt(props, 'k')) AS k_sum,
+       countIf(JSONHas(props, 'k')) AS n_with_k,
+       countIf(isValidJSON(props)) AS n_valid,
+       max(JSONExtractInt(concat('{"w": {"v": ',
+           toString(JSONExtractInt(props, 'k')), '}}'), 'w', 'v')) AS max_nested
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query(
+    "q216_json_props_profile",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(props ->> '$.k' AS BIGINT)) AS BIGINT) AS k_sum,
+           CAST(COUNT(*) FILTER (WHERE json_extract(props, '$.k') IS NOT NULL)
+                AS BIGINT) AS n_with_k,
+           CAST(COUNT(*) FILTER (WHERE json_valid(props)) AS BIGINT) AS n_valid,
+           CAST(MAX(CAST(
+             concat('{"w": {"v": ', CAST(props ->> '$.k' AS VARCHAR), '}}')
+               ->> '$.w.v' AS BIGINT)) AS BIGINT) AS max_nested
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
+def q216_json_props_profile(spark, sf_dir):
+    """Round-5 JSON batch in the graded loop: property-bag profiling
+    over the events.props JSON column — scalar extraction, key
+    presence, document validity, and a multi-key path walked through a
+    synthesized nested document (the flat fixture has single-key
+    props). All get_json_object/VARIANT codegen; one groupBy."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(translate(_JSON_PROFILE_SQL).sql)
