@@ -988,6 +988,8 @@ _SCALAR_RENAMES = {
     "makeDate32": "make_date",
     "makeDateTime": "make_timestamp",
     "makeDateTime64": "make_timestamp",
+    "arrayUnion": "array_union",
+    "indexOfAssumeSorted": "array_position",
     # -OrNull combinators: Spark aggregates ALREADY return NULL over an
     # empty set (it's ClickHouse's plain sum that returns 0), so the
     # base function IS the OrNull behavior
@@ -1011,7 +1013,12 @@ _SCALAR_RENAMES = {
 # arity; {0}/{1}/{2} are the raw argument texts. Lambda variables are
 # collision-improbable (__ch_*) because user text lands in lambda bodies.
 _ARRAY_SPLICE: dict[str, dict[int, str]] = {
-    "arrayIntersect": {2: "array_sort(array_intersect({0}, {1}))"},
+    "arrayIntersect": {
+        2: "array_sort(array_intersect({0}, {1}))",
+        3: "array_sort(array_intersect(array_intersect({0}, {1}), {2}))",
+        4: "array_sort(array_intersect(array_intersect("
+           "array_intersect({0}, {1}), {2}), {3}))",
+    },
     # 2-arg ClickHouse form slices to the end
     "arraySlice": {2: "slice({0}, {1}, size({0}))", 3: "slice({0}, {1}, {2})"},
     "arrayPushBack": {2: "concat({0}, array({1}))"},
@@ -1294,6 +1301,66 @@ _ARRAY_SPLICE["caseWithExpression"] = {
         + f" ELSE {{{2 * k + 1}}} END)"
     )
     for k in range(1, 6)
+}
+# fill-forward / fill-backward over the predicate's false stretches
+# (the user lambda is applied via the filter(array(x), λ) membership
+# trick, so arbitrary lambda text composes); O(n^2) per row — these run
+# over per-row arrays, not the corpus
+_ARRAY_SPLICE["arrayFill"] = {
+    2: "(CASE WHEN size({1}) = 0 THEN {1} ELSE"
+       " transform(sequence(1, size({1})), __ch_i ->"
+       " CASE WHEN size(filter(array(try_element_at({1}, __ch_i)), {0})) > 0"
+       " THEN try_element_at({1}, __ch_i)"
+       " ELSE coalesce(try_element_at(filter(slice({1}, 1, __ch_i), {0}), -1),"
+       " try_element_at({1}, __ch_i)) END) END)",
+}
+_ARRAY_SPLICE["arrayReverseFill"] = {
+    2: "(CASE WHEN size({1}) = 0 THEN {1} ELSE"
+       " transform(sequence(1, size({1})), __ch_i ->"
+       " CASE WHEN size(filter(array(try_element_at({1}, __ch_i)), {0})) > 0"
+       " THEN try_element_at({1}, __ch_i)"
+       " ELSE coalesce(try_element_at("
+       " filter(slice({1}, __ch_i, size({1})), {0}), 1),"
+       " try_element_at({1}, __ch_i)) END) END)",
+}
+_ARRAY_SPLICE["arrayFirstOrNull"] = {
+    2: "try_element_at(filter({1}, {0}), 1)",
+}
+_ARRAY_SPLICE["arrayLastOrNull"] = {
+    2: "try_element_at(filter({1}, {0}), -1)",
+}
+# dense first-occurrence ids (array_distinct preserves first-seen order)
+_ARRAY_SPLICE["arrayEnumerateDense"] = {
+    1: "transform({0}, __ch_x -> array_position(array_distinct({0}), __ch_x))",
+}
+# zip with NULL padding (Spark's zip_with pads the shorter side)
+_ARRAY_SPLICE["arrayZipUnaligned"] = {
+    2: "zip_with({0}, {1}, (__ch_a, __ch_b) -> struct(__ch_a, __ch_b))",
+}
+_ARRAY_SPLICE["arrayInsert"] = {
+    3: "concat(slice({0}, 1, ({1}) - 1), array({2}),"
+       " slice({0}, {1}, size({0})))",
+}
+_ARRAY_SPLICE["arraySymmetricDifference"] = {
+    2: "array_sort(array_distinct(concat(array_except({0}, {1}),"
+       " array_except({1}, {0}))))",
+}
+# deterministic md5 permutation (ClickHouse's shuffle is RNG-seeded;
+# any permutation satisfies the contract — same deviation as
+# arrayRandomSample). The sample-size parameter only bounds how much of
+# the prefix must be random, which the full permutation satisfies.
+_ARRAY_SPLICE["arrayPartialShuffle"] = {
+    1: "transform(array_sort(transform({0},"
+       " __ch_v -> struct(md5(CAST(__ch_v AS STRING)) AS h,"
+       " __ch_v AS v))), __ch_s -> __ch_s.v)",
+    2: "transform(array_sort(transform({0},"
+       " __ch_v -> struct(md5(CAST(__ch_v AS STRING)) AS h,"
+       " __ch_v AS v))), __ch_s -> __ch_s.v)",
+}
+_ARRAY_SPLICE["arrayShuffle"] = {
+    1: "transform(array_sort(transform({0},"
+       " __ch_v -> struct(md5(CAST(__ch_v AS STRING)) AS h,"
+       " __ch_v AS v))), __ch_s -> __ch_s.v)",
 }
 # element access that tolerates any index (ClickHouse's OrNull form;
 # Spark's try_element_at still rejects index 0)

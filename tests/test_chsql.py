@@ -2290,3 +2290,35 @@ def test_probe_batch10_round_geo_time_tails(views):
     assert r["j"] == 3
     assert r["k"] is True and r["l"] is False
     assert r["m"] == dt.datetime(2024, 1, 2, 3, 4, 5)
+
+
+def test_probe_batch11_array_hof_tails(views):
+    """Round-5 probe batch 11: fill-forward/backward over predicate
+    stretches, OrNull first/last, dense enumeration, unaligned zip,
+    insert/symmetric-difference/union, variadic intersect, and the
+    deterministic shuffle family."""
+    r = views.sql(
+        translate(
+            "SELECT arrayFill(x -> x IS NOT NULL, [1, NULL, NULL, 4]) AS a,"
+            " arrayReverseFill(x -> x IS NOT NULL, [1, NULL, NULL, 4]) AS b,"
+            " arrayFirstOrNull(x -> x > 9, [1, 2, 3]) AS c,"
+            " arrayLastOrNull(x -> x > 1, [1, 2, 3]) AS d,"
+            " arrayEnumerateDense([10, 20, 10]) AS e,"
+            " arrayInsert([1, 2], 2, 9) AS f,"
+            " arraySymmetricDifference([1, 2], [2, 3]) AS g,"
+            " arrayUnion([1, 2], [2, 3]) AS h,"
+            " arrayIntersect([1, 2, 3], [2, 3, 4], [3]) AS i,"
+            " sort_array(arrayShuffle([3, 1, 2])) AS j,"
+            " size(arrayZipUnaligned([1, 2], ['a'])) AS k"
+        ).sql
+    ).first()
+    assert r["a"] == [1, 1, 1, 4]
+    assert r["b"] == [1, 4, 4, 4]
+    assert r["c"] is None and r["d"] == 3
+    assert r["e"] == [1, 2, 1]
+    assert r["f"] == [1, 9, 2]
+    assert r["g"] == [1, 3]
+    assert sorted(r["h"]) == [1, 2, 3]
+    assert r["i"] == [3]
+    assert r["j"] == [1, 2, 3]
+    assert r["k"] == 2  # NULL-padded to the longer side
