@@ -3007,6 +3007,42 @@ _AGG_IF_BASES = {
     "avgDistinct": "avg(DISTINCT {})",
 }
 
+# The -If combinator composes with EVERY aggregate spelling (Spark
+# aggregates skip NULL inputs, so wrapping each argument in
+# if(cond, arg, NULL) is always the faithful rewrite). Derive the full
+# base set instead of hand-listing:
+#   * every renamed CH aggregate (_AGG_NAME_MAP) -> its Spark builtin;
+#   * same-name builtins CH also spells lowercase (corr, covar_*);
+#   * splice-composed aggregates (deltaSum, entropy, avgWeighted,
+#     moment corrections, sum/min/maxMap handled in their own block)
+#     keep their CH name — the If loop wraps the arguments and the
+#     later splice pass expands the base call;
+#   * the explicit _AGG_IF_BASES templates win on conflicts.
+_AGG_IF_ALL = {
+    **_AGG_NAME_MAP,
+    "corr": "corr",
+    "covarPop": "covar_pop",
+    "covarSamp": "covar_samp",
+    "deltaSum": "deltaSum",
+    "deltaSumTimestamp": "deltaSumTimestamp",
+    "entropy": "entropy",
+    "avgWeighted": "avgWeighted",
+    "kurtPop": "kurtPop",
+    "kurtSamp": "kurtSamp",
+    "skewSamp": "skewSamp",
+    "boundingRatio": "boundingRatio",
+    "sumCount": "sumCount",
+    "sumKahan": "sum",  # scalar-rename table entry, restated for -If
+    # -OrNull lives in the scalar-rename table (Spark aggregates are
+    # already NULL-over-empty); restated here so -OrNullIf stacks
+    "sumOrNull": "sum",
+    "avgOrNull": "avg",
+    "minOrNull": "min",
+    "maxOrNull": "max",
+    "anyOrNull": "any_value",
+    **_AGG_IF_BASES,
+}
+
 
 def _call_end(s: str, open_idx: int) -> int:
     """Index of the ``)`` matching the ``(`` at ``open_idx``
@@ -3182,14 +3218,24 @@ def _rewrite_agg_spellings(sql: str) -> str:
     }
     while True:
         # <agg>MappedArrays is ClickHouse's alias for the (keys, values)
-        # two-array form — same fold
-        m = _find_case_exact(sql, r"\b(sum|min|max)(?:Map|MappedArrays)\s*\(")
+        # two-array form — same fold; the -If combinator NULLs the map
+        # argument out on non-matching rows (collect_list skips NULLs)
+        m = _find_case_exact(
+            sql, r"\b(sum|min|max)(?:Map|MappedArrays)(If)?\s*\("
+        )
         if not m:
             break
-        fname = m.group(0).split("(")[0].strip().replace("MappedArrays", "Map")
+        head = m.group(0).split("(")[0].strip()
+        has_if = head.endswith("If")
+        fname = head.removesuffix("If").replace("MappedArrays", "Map")
         open1 = sql.index("(", m.end() - 1)
         close1 = _call_end(sql, open1)
         args = _split_top_commas(sql[open1 + 1: close1])
+        if has_if:
+            if len(args) < 2:
+                raise ValueError(f"{head} expects (args..., cond)")
+            cond = args[-1]
+            args = [f"if({cond}, {a}, NULL)" for a in args[:-1]]
         if len(args) == 1:
             entries = f"flatten(collect_list(map_entries({args[0]})))"
         elif len(args) == 2:
@@ -3528,7 +3574,7 @@ def _rewrite_agg_spellings(sql: str) -> str:
                 + template.format(a=args[0], c=args[1])
                 + sql[close1 + 1:]
             )
-    for name, base in _AGG_IF_BASES.items():
+    for name, base in _AGG_IF_ALL.items():
         while True:
             # case-sensitive (CH names are exact)
             rx = re.compile(rf"\b{name}If\s*\(")

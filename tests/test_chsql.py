@@ -2322,3 +2322,43 @@ def test_probe_batch11_array_hof_tails(views):
     assert r["i"] == [3]
     assert r["j"] == [1, 2, 3]
     assert r["k"] == 2  # NULL-padded to the longer side
+
+
+def test_probe_batch12_generalized_if_combinator(views):
+    """Round-5 probe batch 12: the -If combinator now composes with
+    EVERY aggregate spelling — renamed builtins, same-name builtins,
+    splice-composed aggregates (deltaSum/entropy/avgWeighted/moment
+    corrections), the sumMap family, -OrNull, and Kahan."""
+    views.sql(
+        "CREATE OR REPLACE TEMP VIEW __b12 AS SELECT * FROM VALUES"
+        " (1, 'a', 10.0, true), (2, 'b', 20.0, false),"
+        " (3, 'a', 30.0, true) AS t(id, g, v, flag)"
+    )
+    r = views.sql(
+        translate(
+            "SELECT uniqCombinedIf(g, flag) AS a,"
+            " stddevPopIf(v, flag) AS b,"
+            " corrIf(id, v, flag) AS c,"
+            " groupBitOrIf(id, flag) AS d,"
+            " sumKahanIf(v, flag) AS e,"
+            " deltaSumIf(v, flag) AS f,"
+            " round(entropyIf(g, flag), 6) AS g,"
+            " CAST(avgWeightedIf(v, id, flag) AS DOUBLE) AS h,"
+            " sumMapIf(map(g, v), flag) AS i,"
+            " sumMappedArraysIf([g], [v], flag) AS j,"
+            " sumOrNullIf(v, id > 99) AS k,"
+            " kurtPopIf(v, flag) AS l"
+            " FROM __b12"
+        ).sql
+    ).first()
+    assert r["a"] == 1
+    assert r["b"] == 10.0      # pop stddev of {10, 30}
+    assert r["c"] == 1.0
+    assert r["d"] == 3         # 1 | 3
+    assert float(r["e"]) == 40.0
+    assert r["f"] == 20.0      # 10 -> 30 positive delta
+    assert r["g"] == 0.0       # single symbol among matching rows
+    assert r["h"] == 25.0      # (10*1 + 30*3) / 4
+    assert r["i"] == {"a": 40.0} and r["j"] == {"a": 40.0}
+    assert r["k"] is None      # OrNull over an empty matching set
+    assert r["l"] == 1.0       # two equidistant points
