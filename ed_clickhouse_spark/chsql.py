@@ -990,6 +990,8 @@ _SCALAR_RENAMES = {
     "makeDateTime64": "make_timestamp",
     "arrayUnion": "array_union",
     "indexOfAssumeSorted": "array_position",
+    "toUTCTimestamp": "to_utc_timestamp",
+    "fromUTCTimestamp": "from_utc_timestamp",
     # -OrNull combinators: Spark aggregates ALREADY return NULL over an
     # empty set (it's ClickHouse's plain sum that returns 0), so the
     # base function IS the OrNull behavior
@@ -1361,6 +1363,21 @@ _ARRAY_SPLICE["arrayShuffle"] = {
     1: "transform(array_sort(transform({0},"
        " __ch_v -> struct(md5(CAST(__ch_v AS STRING)) AS h,"
        " __ch_v AS v))), __ch_s -> __ch_s.v)",
+}
+# names whose splice arities COEXIST with an SQL-alias arity: an
+# unmatched arity passes through instead of raising
+_SPLICE_PASSTHROUGH = {"toDayOfWeek"}
+# toDayOfWeek's mode argument (0: Mon=1..7, 1: Mon=0..6, 2: Sun=1..7,
+# 3: Sun=0..6); the 1-arg form stays an alias
+_ARRAY_SPLICE["toDayOfWeek"] = {
+    2: "(CASE ({1}) WHEN 0 THEN weekday({0}) + 1"
+       " WHEN 1 THEN weekday({0})"
+       " WHEN 2 THEN dayofweek({0})"
+       " WHEN 3 THEN dayofweek({0}) - 1 END)",
+    3: "(CASE ({1}) WHEN 0 THEN weekday({0}) + 1"
+       " WHEN 1 THEN weekday({0})"
+       " WHEN 2 THEN dayofweek({0})"
+       " WHEN 3 THEN dayofweek({0}) - 1 END)",
 }
 # element access that tolerates any index (ClickHouse's OrNull form;
 # Spark's try_element_at still rejects index 0)
@@ -2131,6 +2148,11 @@ def _rewrite_scalar_misc(sql: str) -> str:
             args = _split_top_commas(sql[open1 + 1: close1])
             tmpl = forms.get(len(args))
             if tmpl is None:
+                if fname in _SPLICE_PASSTHROUGH:
+                    # this name also has an SQL-alias arity — leave the
+                    # unmatched call for CREATE FUNCTION resolution
+                    pos = close1
+                    continue
                 raise ValueError(
                     f"{fname} expects {sorted(forms)} argument(s),"
                     f" got {len(args)}"

@@ -1521,6 +1521,45 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "(s STRING) RETURNS TIMESTAMP",
         "parseDateTimeBestEffort(s)",
     ),
+    # timezone introspection/conversion — the session is pinned UTC
+    # (session.py), so toTimeZone re-expresses the same instant in the
+    # target zone's wall clock via from_utc_timestamp
+    "timeZone": ("() RETURNS STRING", "current_timezone()"),
+    "serverTimeZone": ("() RETURNS STRING", "current_timezone()"),
+    "timeZoneOf": ("(x TIMESTAMP) RETURNS STRING", "current_timezone()"),
+    "toTimeZone": (
+        "(x TIMESTAMP, tz STRING) RETURNS TIMESTAMP",
+        "from_utc_timestamp(x, tz)",
+    ),
+    "UTCTimestamp": ("() RETURNS TIMESTAMP", "current_timestamp()"),
+    "nowInBlock": ("() RETURNS TIMESTAMP", "current_timestamp()"),
+    "toStartOfMillisecond": (
+        "(x TIMESTAMP) RETURNS TIMESTAMP",
+        "date_trunc('MILLISECOND', x)",
+    ),
+    "toStartOfMicrosecond": (
+        "(x TIMESTAMP) RETURNS TIMESTAMP",
+        "date_trunc('MICROSECOND', x)",
+    ),
+    "toMillisecond": (
+        "(x TIMESTAMP) RETURNS INT",
+        "CAST(date_format(x, 'SSS') AS INT)",
+    ),
+    # mode-0 weeks start Sunday, like toStartOfWeek; the last day is
+    # the following Saturday
+    "toLastDayOfWeek": (
+        "(x TIMESTAMP) RETURNS DATE",
+        "date_add(date_sub(CAST(x AS DATE), dayofweek(x) - 1), 6)",
+    ),
+    # MySQL-style YEARWEEK (mode 0): week-0 days belong to the previous
+    # year's final week, exactly like ClickHouse
+    "toYearWeek": (
+        "(x TIMESTAMP) RETURNS INT",
+        "CAST(CASE WHEN toWeek(x) = 0 THEN"
+        " (year(x) - 1) * 100"
+        "   + toWeek(make_date(year(x) - 1, 12, 31))"
+        " ELSE year(x) * 100 + toWeek(x) END AS INT)",
+    ),
 }
 
 

@@ -2362,3 +2362,36 @@ def test_probe_batch12_generalized_if_combinator(views):
     assert r["i"] == {"a": 40.0} and r["j"] == {"a": 40.0}
     assert r["k"] is None      # OrNull over an empty matching set
     assert r["l"] == 1.0       # two equidistant points
+
+
+def test_probe_batch13_timezone_week_tails(views):
+    """Round-5 probe batch 13: timezone introspection/conversion under
+    the pinned-UTC session, sub-second truncation, mode-parameterized
+    toDayOfWeek, last-day-of-week, and MySQL-style toYearWeek (week-0
+    days belong to the previous year's final week — 2023-12-31 is a
+    Sunday, so 2024-01-01 sits in week 53 of 2023)."""
+    import datetime as dt
+
+    r = views.sql(
+        translate(
+            "SELECT timeZone() AS a,"
+            " toTimeZone(toDateTime('2024-01-02 03:22:05'),"
+            "   'America/New_York') AS b,"
+            " toMillisecond(toDateTime64('2024-01-02 03:04:05.123', 3)) AS c,"
+            " toLastDayOfWeek(toDate('2024-03-05')) AS d,"
+            " toDayOfWeek(toDate('2024-03-05')) AS e,"
+            " toDayOfWeek(toDate('2024-03-05'), 1) AS f,"
+            " toDayOfWeek(toDate('2024-03-05'), 2) AS g,"
+            " toYearWeek(toDate('2024-01-01')) AS h,"
+            " toYearWeek(toDate('2024-03-05')) AS i,"
+            " toUTCTimestamp(toDateTime('2024-01-02 03:04:05'),"
+            "   'Asia/Shanghai') AS j"
+        ).sql
+    ).first()
+    assert r["a"] == "UTC"
+    assert r["b"] == dt.datetime(2024, 1, 1, 22, 22, 5)
+    assert r["c"] == 123
+    assert r["d"] == dt.date(2024, 3, 9)  # Saturday of the Sunday week
+    assert (r["e"], r["f"], r["g"]) == (2, 1, 3)  # Tue in three modes
+    assert r["h"] == 202353 and r["i"] == 202409
+    assert r["j"] == dt.datetime(2024, 1, 1, 19, 4, 5)
