@@ -499,6 +499,52 @@ def _rewrite_array_join(sql: str) -> str:
     return sql
 
 
+def _rewrite_star_modifiers(sql: str) -> str:
+    """ClickHouse SELECT-list star modifiers.
+
+    ``* REPLACE (expr AS col, ...)`` is schema-free: it becomes
+    ``* EXCEPT (col, ...), expr AS col, ...`` (Spark supports EXCEPT
+    natively). Position deviation: replaced columns move to the end of
+    the select list — ClickHouse keeps them in place — which is
+    invisible to name-keyed consumers (and the oracle compare sorts by
+    name). An existing EXCEPT merges with the replaced names.
+
+    ``* APPLY (f)`` and ``COLUMNS('re')`` need the table schema to
+    expand, which a textual rewrite does not have — they refuse loudly
+    with the explicit-column spelling instead of a cryptic parse error.
+    """
+    for bad, hint in (
+        (r"\bAPPLY\s*\(", "* APPLY (f) needs the schema to expand —"
+         " spell the aggregated columns explicitly"),
+        (r"\bCOLUMNS\s*\(", "COLUMNS('re') needs the schema to expand —"
+         " list the matching columns explicitly"),
+    ):
+        if _find_top_anywhere(sql, bad):
+            raise ValueError(hint)
+    while True:
+        m = _find_top_anywhere(
+            sql, r"\*\s*(EXCEPT\s*\(([^)]*)\)\s*)?REPLACE\s*\("
+        )
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        items = _split_top_commas(sql[open1 + 1: close1])
+        names = []
+        for it in items:
+            am = re.search(r"\bAS\s+`?(\w+)`?\s*$", it, re.I)
+            if not am:
+                raise ValueError(
+                    "* REPLACE items must be 'expr AS column'"
+                )
+            names.append(am.group(1))
+        existing = (m.group(2) or "").strip()
+        exc = ", ".join(([existing] if existing else []) + names)
+        repl = f"* EXCEPT ({exc}), {', '.join(items)}"
+        sql = sql[: m.start()] + repl + sql[close1 + 1:]
+    return sql
+
+
 def _rewrite_totals(sql: str) -> str:
     m = _find_top(sql, r"\bGROUP\s+BY\b")
     if not m:
@@ -4241,6 +4287,7 @@ def translate(
         "",
     )
     sql = _rewrite_system(sql)
+    sql = _rewrite_star_modifiers(sql)
     cm = _find_top_anywhere(sql, r"(?i)\bCOLLATE\b")
     if cm:
         raise ValueError(

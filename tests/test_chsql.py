@@ -2395,3 +2395,28 @@ def test_probe_batch13_timezone_week_tails(views):
     assert (r["e"], r["f"], r["g"]) == (2, 1, 3)  # Tue in three modes
     assert r["h"] == 202353 and r["i"] == 202409
     assert r["j"] == dt.datetime(2024, 1, 1, 19, 4, 5)
+
+
+def test_probe_batch14_star_replace_modifier(views):
+    """Round-5 probe batch 14: the SELECT-list star modifiers —
+    * REPLACE rewrites schema-free onto Spark's native * EXCEPT
+    (replaced columns move to the end, a name-invisible position
+    deviation); APPLY/COLUMNS need schema and refuse loudly."""
+    views.sql(
+        "CREATE OR REPLACE TEMP VIEW __b14 AS"
+        " SELECT * FROM VALUES (1, 2.0, 'x') AS t(id, aa, s)"
+    )
+    r = views.sql(
+        translate("SELECT * REPLACE (id * 10 AS id) FROM __b14").sql
+    ).first().asDict()
+    assert r["id"] == 10 and r["s"] == "x"
+    r2 = views.sql(
+        translate(
+            "SELECT * EXCEPT (s) REPLACE (id + 1 AS id) FROM __b14"
+        ).sql
+    ).first().asDict()
+    assert r2["id"] == 2 and "s" not in r2
+    with pytest.raises(ValueError, match="APPLY"):
+        translate("SELECT * APPLY (max) FROM t")
+    with pytest.raises(ValueError, match="COLUMNS"):
+        translate("SELECT COLUMNS('^a') FROM t")
