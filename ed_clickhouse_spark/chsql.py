@@ -1038,6 +1038,9 @@ _SCALAR_RENAMES = {
     "indexOfAssumeSorted": "array_position",
     "toUTCTimestamp": "to_utc_timestamp",
     "fromUTCTimestamp": "from_utc_timestamp",
+    # straight to typeof: the rename table is single-pass, so chaining
+    # through the toTypeName entry (earlier in the dict) would miss
+    "toColumnTypeName": "typeof",
     # -OrNull combinators: Spark aggregates ALREADY return NULL over an
     # empty set (it's ClickHouse's plain sum that returns 0), so the
     # base function IS the OrNull behavior
@@ -1413,6 +1416,7 @@ _ARRAY_SPLICE["arrayShuffle"] = {
 # names whose splice arities COEXIST with an SQL-alias arity: an
 # unmatched arity passes through instead of raising
 _SPLICE_PASSTHROUGH = {"toDayOfWeek"}
+_ARRAY_SPLICE["isNotDistinctFrom"] = {2: "({0} <=> {1})"}
 # toDayOfWeek's mode argument (0: Mon=1..7, 1: Mon=0..6, 2: Sun=1..7,
 # 3: Sun=0..6); the 1-arg form stays an alias
 _ARRAY_SPLICE["toDayOfWeek"] = {

@@ -1551,6 +1551,47 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "(x TIMESTAMP) RETURNS DATE",
         "date_add(date_sub(CAST(x AS DATE), dayofweek(x) - 1), 6)",
     ),
+    "ifNotFinite": (
+        "(x DOUBLE, y DOUBLE) RETURNS DOUBLE",
+        "CASE WHEN isnan(x) OR abs(x) = double('Infinity') THEN y"
+        " ELSE x END",
+    ),
+    "isZeroOrNull": (
+        "(x DOUBLE) RETURNS BOOLEAN",
+        "x IS NULL OR x = 0",
+    ),
+    "bitAnd": ("(a BIGINT, b BIGINT) RETURNS BIGINT", "a & b"),
+    "bitOr": ("(a BIGINT, b BIGINT) RETURNS BIGINT", "a | b"),
+    "bitXor": ("(a BIGINT, b BIGINT) RETURNS BIGINT", "a ^ b"),
+    "bitNot": ("(a BIGINT) RETURNS BIGINT", "~a"),
+    "bitRotateLeft": (
+        "(x BIGINT, n INT) RETURNS BIGINT",
+        "shiftleft(x, n) | shiftrightunsigned(x, 64 - n)",
+    ),
+    "bitRotateRight": (
+        "(x BIGINT, n INT) RETURNS BIGINT",
+        "shiftrightunsigned(x, n) | shiftleft(x, 64 - n)",
+    ),
+    "bitHammingDistance": (
+        "(a BIGINT, b BIGINT) RETURNS INT",
+        "bit_count(a ^ b)",
+    ),
+    # differing positions count; NULL-padded tails from the unaligned
+    # zip count as differences, covering unequal lengths
+    "byteHammingDistance": (
+        "(a STRING, b STRING) RETURNS INT",
+        "size(filter(zip_with(split(a, ''), split(b, ''),"
+        " (x, y) -> x <=> y), __v -> NOT __v))",
+    ),
+    "countMatchesCaseInsensitive": (
+        "(h STRING, p STRING) RETURNS INT",
+        "CAST(regexp_count(h, concat('(?i)', p)) AS INT)",
+    ),
+    "randomPrintableASCII": (
+        "(n INT) RETURNS STRING",
+        "concat_ws('', transform(sequence(1, n),"
+        " __i -> chr(33 + CAST(floor(rand() * 94) AS INT))))",
+    ),
     # MySQL-style YEARWEEK (mode 0): week-0 days belong to the previous
     # year's final week, exactly like ClickHouse
     "toYearWeek": (

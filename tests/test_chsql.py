@@ -2420,3 +2420,31 @@ def test_probe_batch14_star_replace_modifier(views):
         translate("SELECT * APPLY (max) FROM t")
     with pytest.raises(ValueError, match="COLUMNS"):
         translate("SELECT COLUMNS('^a') FROM t")
+
+
+def test_probe_batch15_nullable_bit_misc(views):
+    """Round-5 probe batch 15: finite/zero-null guards, the named
+    bitwise family (incl. 64-bit rotates and Hamming distances over
+    ints and byte strings), case-insensitive match counting, and
+    printable-random generation."""
+    r = views.sql(
+        translate(
+            "SELECT ifNotFinite(double('nan'), 9.0) AS a,"
+            " isZeroOrNull(0) AS b,"
+            " bitAnd(12, 10) AS c, bitXor(12, 10) AS d,"
+            " bitRotateLeft(1, 1) AS e, bitRotateRight(2, 1) AS f,"
+            " bitHammingDistance(5, 3) AS g,"
+            " byteHammingDistance('abc', 'abd') AS h,"
+            " byteHammingDistance('abc', 'ab') AS i,"
+            " countMatchesCaseInsensitive('AbAb', 'ab') AS j,"
+            " length(randomPrintableASCII(5)) AS k,"
+            " isNotDistinctFrom(NULL, NULL) AS l"
+        ).sql
+    ).first()
+    assert r["a"] == 9.0 and r["b"] is True
+    assert (r["c"], r["d"]) == (8, 6)
+    assert (r["e"], r["f"]) == (2, 1)
+    assert r["g"] == 2
+    assert (r["h"], r["i"]) == (1, 1)  # padded tail counts as a diff
+    assert r["j"] == 2 and r["k"] == 5
+    assert r["l"] is True
