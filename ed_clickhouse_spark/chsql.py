@@ -151,6 +151,33 @@ top-level token scanning (never inside strings/parens):
   system.numbers         the LIMIT stops the unbounded stream)
   COLLATE / neighbor /   raise with the supported spelling (binary
   runningAccumulate/...  sort; lead/lag; sum() OVER) — never silent
+  round-5 batches        date corners (addQuarters, unit-form
+                         date_sub, interval overloads of date_add/
+                         timestamp_add, toStartOfISOYear, Modified
+                         Julian Day, toYearWeek week-0 rollover,
+                         mode-parameterized toDayOfWeek, toTimeZone
+                         under the pinned-UTC session); tuple algebra
+                         over literals (.N access, untuple, concat,
+                         element-wise vector ops, Hamming); stacked
+                         combinators (-ArrayIf, position-wise
+                         -ForEach(+If), uniqArray/groupArrayArray,
+                         groupArraySample, sum/min/maxMappedArrays,
+                         and a GENERALIZED -If over every aggregate
+                         spelling incl. splice-composed bases); map
+                         algebra (mapUpdate/Sort/PopulateSeries/
+                         Exists/All); gamma kernel (Lanczos lgamma/
+                         tgamma with reflection); corrMatrix family;
+                         JSON multi-key paths + VARIANT JSONType;
+                         URL cut/extract tail; IPv4 OrNull/CIDR +
+                         UUID binary round-trips; array HOF tails
+                         (fills, OrNull picks, dense enumeration,
+                         shingles, dot product, AUC, deterministic
+                         shuffles); named bitwise family (rotates,
+                         bitTestAll/Any via shiftright, Hamming);
+                         ray-casting pointInPolygon over literal
+                         vertex lists; * REPLACE onto native
+                         * EXCEPT (APPLY/COLUMNS raise — schema
+                         needed); UTF8-suffixed string renames
   =====================  ==========================================
 
 Clause-level rewrites apply AT EVERY NESTING LEVEL: translate recurses
