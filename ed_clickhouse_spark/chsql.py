@@ -1068,6 +1068,8 @@ _SCALAR_RENAMES = {
     # straight to typeof: the rename table is single-pass, so chaining
     # through the toTypeName entry (earlier in the dict) would miss
     "toColumnTypeName": "typeof",
+    "currentDatabase": "current_database",
+    "currentUser": "current_user",
     # -OrNull combinators: Spark aggregates ALREADY return NULL over an
     # empty set (it's ClickHouse's plain sum that returns 0), so the
     # base function IS the OrNull behavior
@@ -1444,6 +1446,8 @@ _ARRAY_SPLICE["arrayShuffle"] = {
 # unmatched arity passes through instead of raising
 _SPLICE_PASSTHROUGH = {"toDayOfWeek"}
 _ARRAY_SPLICE["isNotDistinctFrom"] = {2: "({0} <=> {1})"}
+# CH's evaluate-and-discard helper (returns 0 regardless)
+_ARRAY_SPLICE["ignore"] = {k: "0" for k in range(1, 6)}
 # toDayOfWeek's mode argument (0: Mon=1..7, 1: Mon=0..6, 2: Sun=1..7,
 # 3: Sun=0..6); the 1-arg form stays an alias
 _ARRAY_SPLICE["toDayOfWeek"] = {
@@ -1606,7 +1610,12 @@ _ARRAY_SPLICE["studentTTest"] = {2: _ttest_template(pooled=True)}
 _ARRAY_SPLICE["welchTTest"] = {2: _ttest_template(pooled=False)}
 
 # wrappers that are the identity under Spark's nullability model
-_IDENTITY_FNS = ("assumeNotNull", "toNullable", "materialize")
+_IDENTITY_FNS = (
+    "assumeNotNull", "toNullable", "materialize",
+    # LowCardinality is a storage encoding, not a semantic type; and
+    # identity() is CH's optimization-barrier no-op
+    "toLowCardinality", "identity",
+)
 
 
 _CH_FMT_MAP = {

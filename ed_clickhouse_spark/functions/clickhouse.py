@@ -1592,6 +1592,29 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "concat_ws('', transform(sequence(1, n),"
         " __i -> chr(33 + CAST(floor(rand() * 94) AS INT))))",
     ),
+    # 128/256-bit integer spellings land on DECIMAL(38,0) — covers
+    # ±10^38 (beyond Int128's ±1.7e38 range only at the extreme tail;
+    # documented range deviation)
+    "toInt128": (
+        "(s STRING) RETURNS DECIMAL(38,0)",
+        "COALESCE(try_cast(s AS DECIMAL(38,0)),"
+        " CAST(CAST(s AS DOUBLE) AS DECIMAL(38,0)))",
+    ),
+    "toInt256": (
+        "(s STRING) RETURNS DECIMAL(38,0)",
+        "COALESCE(try_cast(s AS DECIMAL(38,0)),"
+        " CAST(CAST(s AS DOUBLE) AS DECIMAL(38,0)))",
+    ),
+    "toUInt128": (
+        "(s STRING) RETURNS DECIMAL(38,0)",
+        "COALESCE(try_cast(s AS DECIMAL(38,0)),"
+        " CAST(CAST(s AS DOUBLE) AS DECIMAL(38,0)))",
+    ),
+    "toUInt256": (
+        "(s STRING) RETURNS DECIMAL(38,0)",
+        "COALESCE(try_cast(s AS DECIMAL(38,0)),"
+        " CAST(CAST(s AS DOUBLE) AS DECIMAL(38,0)))",
+    ),
     # MySQL-style YEARWEEK (mode 0): week-0 days belong to the previous
     # year's final week, exactly like ClickHouse
     "toYearWeek": (

@@ -2448,3 +2448,22 @@ def test_probe_batch15_nullable_bit_misc(views):
     assert (r["h"], r["i"]) == (1, 1)  # padded tail counts as a diff
     assert r["j"] == 2 and r["k"] == 5
     assert r["l"] is True
+
+
+def test_probe_batch16_identity_introspection(views):
+    """Round-5 probe batch 16: encoding/no-op identities
+    (toLowCardinality/identity/ignore), session introspection renames,
+    and the 128/256-bit integer spellings on DECIMAL(38,0)."""
+    r = views.sql(
+        translate(
+            "SELECT toLowCardinality('x') AS a, identity(7) AS b,"
+            " ignore(1, 2) AS c, currentDatabase() AS d,"
+            " CAST(toInt128('123456789012345678901234567890')"
+            "   AS STRING) AS e,"
+            " CAST(toUInt256('5') AS INT) AS f"
+        ).sql
+    ).first()
+    assert r["a"] == "x" and r["b"] == 7 and r["c"] == 0
+    assert r["d"] == "default"
+    assert r["e"] == "123456789012345678901234567890"
+    assert r["f"] == 5
