@@ -1615,6 +1615,39 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "COALESCE(try_cast(s AS DECIMAL(38,0)),"
         " CAST(CAST(s AS DOUBLE) AS DECIMAL(38,0)))",
     ),
+    # string tail batch 17: UTF8-suffixed pads/slices are plain renames
+    # (Spark is codepoint-aware), token membership via word-boundary
+    # regex like ClickHouse's tokenizer
+    "leftPadUTF8": ("(s STRING, n INT, p STRING) RETURNS STRING", "lpad(s, n, p)"),
+    "rightPadUTF8": ("(s STRING, n INT, p STRING) RETURNS STRING", "rpad(s, n, p)"),
+    "leftUTF8": ("(s STRING, n INT) RETURNS STRING", "left(s, n)"),
+    "rightUTF8": ("(s STRING, n INT) RETURNS STRING", "right(s, n)"),
+    "mid": ("(s STRING, p INT, n INT) RETURNS STRING", "substring(s, p, n)"),
+    "byteSlice": ("(s STRING, p INT, n INT) RETURNS STRING", "substring(s, p, n)"),
+    "concatWithSeparatorAssumeInjective": (
+        "(sep STRING, a STRING, b STRING) RETURNS STRING",
+        "concat_ws(sep, a, b)",
+    ),
+    "toStringCutToZero": (
+        "(s STRING) RETURNS STRING",
+        "substring_index(s, chr(0), 1)",
+    ),
+    "hasToken": (
+        "(h STRING, t STRING) RETURNS BOOLEAN",
+        "h RLIKE concat('(^|[^A-Za-z0-9_])', t, '($|[^A-Za-z0-9_])')",
+    ),
+    "hasTokenCaseInsensitive": (
+        "(h STRING, t STRING) RETURNS BOOLEAN",
+        "lower(h) RLIKE concat('(^|[^a-z0-9_])', lower(t), '($|[^a-z0-9_])')",
+    ),
+    "multiSearchAllPositions": (
+        "(s STRING, pats ARRAY<STRING>) RETURNS ARRAY<INT>",
+        "transform(pats, __p -> instr(s, __p))",
+    ),
+    "multiSearchAnyCaseInsensitive": (
+        "(s STRING, pats ARRAY<STRING>) RETURNS BOOLEAN",
+        "exists(pats, __p -> instr(lower(s), lower(__p)) > 0)",
+    ),
     # MySQL-style YEARWEEK (mode 0): week-0 days belong to the previous
     # year's final week, exactly like ClickHouse
     "toYearWeek": (

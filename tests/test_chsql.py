@@ -2467,3 +2467,26 @@ def test_probe_batch16_identity_introspection(views):
     assert r["d"] == "default"
     assert r["e"] == "123456789012345678901234567890"
     assert r["f"] == 5
+
+
+def test_probe_batch17_string_token_tails(views):
+    """Round-5 probe batch 17: UTF8-suffixed pad/slice renames,
+    injective-concat alias, word-boundary hasToken membership, and the
+    multiSearch position/case-insensitive forms."""
+    r = views.sql(
+        translate(
+            "SELECT leftPadUTF8('x', 3, '_') AS a,"
+            " rightUTF8('hello', 2) AS b,"
+            " mid('hello', 2, 3) AS c,"
+            " hasToken('a bb c', 'bb') AS d,"
+            " hasToken('abbc', 'bb') AS e,"
+            " hasTokenCaseInsensitive('a BB c', 'bb') AS f,"
+            " multiSearchAllPositions('hello', ['l', 'he', 'zz']) AS g,"
+            " multiSearchAnyCaseInsensitive('Hello', ['HEL']) AS h,"
+            " concatWithSeparatorAssumeInjective('-', 'a', 'b') AS i"
+        ).sql
+    ).first()
+    assert r["a"] == "__x" and r["b"] == "lo" and r["c"] == "ell"
+    assert r["d"] is True and r["e"] is False and r["f"] is True
+    assert r["g"] == [3, 1, 0]  # 0 = not found, CH convention
+    assert r["h"] is True and r["i"] == "a-b"
