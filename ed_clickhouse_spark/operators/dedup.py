@@ -130,13 +130,31 @@ def jaccard_pairs(
         .select(F.explode(combos).alias("p"))
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("inter"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
-    sa = sizes.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
-    # NOT broadcast: `sizes` is one row per document (corpus cardinality),
-    # so forcing it into a broadcast would OOM the driver at 10^9 docs even
-    # when the pair set itself is tiny post-LSH. Plain equi-joins on the
-    # 8-byte id let AQE pick broadcast at runtime when sizes measures small.
+    # `sizes` is one row per document (corpus cardinality) — broadcasting it
+    # whole would OOM the driver at 10^9 docs.  But only ids that survived
+    # candidate generation matter for the jaccard denominator, so semi-join
+    # sizes down to the pair-id set first (post df-cap the pair set is the
+    # *output* scale, orders of magnitude below the corpus).  `pairs` is
+    # persisted above so the semi-join branch reuses the materialized pair
+    # frame instead of re-running the posting-list exchange.
+    pair_ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    # persisted: both the n_a and n_b lookups read it, and the persist
+    # keeps the semi-join from running once per branch (pair-set-sized,
+    # so the cache is output-scale).
+    sizes_small = sizes.join(pair_ids, "id", "left_semi").persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    # bounded: pair-set-sized — sizes semi-joined down to ids appearing in
+    # candidate pairs, <= 2x|pairs| rows (output-scale, never corpus-scale).
+    sa = F.broadcast(sizes_small).select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    # bounded: pair-set-sized (same semi-joined frame as sa above).
+    sb = F.broadcast(sizes_small).select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")

@@ -287,13 +287,17 @@ def test_jaccard_pairs_has_no_join_in_candidate_stage(spark):
     """q45's posting-list formulation: candidate pairs come from one
     groupBy(shingle) + in-partition HOF pair generation — no self-join
     (the former SortMergeJoin on the shingle hash), no cartesian. The
-    only joins left are the two broadcast size lookups."""
+    only joins left are the two pair-set-bounded broadcast size lookups
+    plus the semi-join that bounds them."""
     p = _plan(QUERIES["q45_jaccard_pairs"](spark, "/root/testdata/sf0.001"))
     import re
 
     assert "SortMergeJoin" not in p and "CartesianProduct" not in p
-    # only the two broadcast size lookups remain (details-section nodes)
-    assert len(re.findall(r"^\(\d+\) BroadcastHashJoin", p, re.M)) == 2
+    # the two broadcast size lookups + the left-semi that shrinks `sizes`
+    # to the pair-id set before the forced broadcast
+    joins = re.findall(r"^\(\d+\) BroadcastHashJoin", p, re.M)
+    assert len(joins) == 3
+    assert "LeftSemi" in p
 
 
 def test_any_join_sql_plan_shape(spark):
