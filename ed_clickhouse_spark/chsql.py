@@ -88,7 +88,11 @@ top-level token scanning (never inside strings/parens):
                          exists exact search (re-anchoring complete);
                          branching patterns raise → use the operator
   sequenceCount          sequential patterns via the fold with a
-                         greedy non-overlapping completion counter
+                         greedy non-overlapping completion counter;
+                         ClickHouse adjacency ('(?1)(?2)') counted
+                         exactly (break on intervening listed events,
+                         fall back to the adjacent run's start);
+                         (?t op n) time gaps raise → use the operator
   groupArray(n)(x)       size-capped collectors → slice(collect_*)
   uniqUpTo(n)(x)         least(count(DISTINCT x), n+1)
   quantile...If(p)(x,c)  parametric + -If combinators compose
@@ -2862,61 +2866,105 @@ def _rewrite_funnel_aggs(sql: str) -> str:
         close2 = _call_end(sql, open2)
         args = _split_top_commas(sql[open2 + 1: close2])
         ts, conds = args[0], args[1:]
-        order = re.findall(r"\(\?(\d+)\)", pat)
-        if re.sub(r"\(\?\d+\)|\.\*", "", pat) != "" or not order:
+        # same token grammar as sequenceMatch minus (?t op n): counting
+        # under a time bound needs the re-anchoring nested-exists search,
+        # which has no single-pass counting form — gaps stay a loud raise.
+        tok_rx = re.compile(r"\(\?(\d+)\)|\.\*")
+        toks, pos2 = [], 0
+        for tm in tok_rx.finditer(pat):
+            if tm.start() != pos2:
+                break
+            pos2 = tm.end()
+            toks.append(("ref", tm.group(1)) if tm.group(1) else ("any",))
+        order = [t[1] for t in toks if t[0] == "ref"]
+        if not order or pos2 != len(pat):
             raise ValueError(
-                f"sequenceCount pattern {pat!r} is not the sequential"
-                " (?1).*(?2) form — use operators.windows.sequence_count"
-            )
-        if re.search(r"\(\?\d+\)\(\?\d+\)", pat) and (
-            len(conds) > len(set(order)) or len(order) != len(set(order))
-        ):
-            # ClickHouse adjacency ('(?1)(?2)': matched events must be
-            # CONSECUTIVE among events matching any listed condition).
-            # The greedy fold below implements adjacency exactly when
-            # every listed condition is referenced once (any matching
-            # event either advances or re-arms/resets the chain, so the
-            # armed event is always the latest candidate — no
-            # backtracking needed). An UNREFERENCED extra condition or a
-            # REPEATED ref breaks that equivalence (the docs' example
-            # with a third matching condition returns 0 where the fold
-            # would count) — reject instead of silently over-matching.
-            raise ValueError(
-                f"sequenceCount pattern {pat!r} uses ClickHouse adjacency"
-                " with unreferenced or repeated conditions, which this"
-                " translation cannot count faithfully — write"
-                " '(?1).*(?2)' for the unconstrained count, or use"
+                f"sequenceCount pattern {pat!r} is not a sequential"
+                " (?1)[.*](?2)... form ((?t op n) time gaps are not"
+                " single-pass countable) — use"
                 " operators.windows.sequence_count"
             )
+        # adjacent[i]: ref i+1 directly follows ref i (nothing between) —
+        # ClickHouse adjacency: the two matched events must be CONSECUTIVE
+        # among events matching ANY listed condition (referenced or not).
+        adjacent, seen_any, started = [], False, False
+        for t in toks:
+            if t[0] == "ref":
+                if started:
+                    adjacent.append(not seen_any)
+                started, seen_any = True, False
+            else:
+                seen_any = True
         fields = ", ".join(
             [f"CAST(CAST({ts} AS TIMESTAMP) AS DOUBLE) AS t"]
             + [f"({c}) AS s{i + 1}" for i, c in enumerate(conds)]
         )
-        # greedy non-overlapping counter (CH semantics: after a chain
-        # completes, the search restarts from scratch): the completing
-        # step increments c and resets depth to 0 in the same fold the
-        # sequenceMatch rewrite uses
+        # Greedy non-overlapping counter (CH semantics: earliest-completing
+        # match first, then the search restarts after the match's last
+        # event).
         evs = f"array_sort(collect_list(struct({fields})))"
-        init = "named_struct('d', 0, 'p', CAST(0.0 AS DOUBLE), 'c', 0)"
-        cases = []
-        for k, ref in enumerate(order, start=1):
-            guard = "" if k == 1 else " AND __ch_e.t > __ch_ac.p"
-            if k < len(order):
+        L = len(order)
+        if any(adjacent):
+            # Adjacency makes a single live chain insufficient: an event
+            # can match BOTH the expected next ref and the anchor of a
+            # better chain (exhaustively confirmed: greedy-with-fallback
+            # miscounts '(?1)(?2)(?3)(?1)' on A B A B A A). Exact method:
+            # NFA subset simulation — the state is a bitmask of live
+            # depths (bit d = a chain has matched refs 1..d). Per listed
+            # event: a live depth advances when the event matches its
+            # expected ref; it also SURVIVES the event only if its
+            # incoming wait-edge is '.*' (an adjacent edge is broken by
+            # any other listed event); depth 0 is always live. Any chain
+            # reaching depth L completes: count += 1 and the frontier
+            # resets to {0} (non-overlapping restart, event consumed).
+            # Events matching no listed condition are invisible. Equal
+            # timestamps process in array-sort order (CH leaves tie order
+            # unspecified). Exactness is property-tested against a
+            # backtracking reference matcher (tests/test_property.py).
+            any_cond = " OR ".join(f"__ch_e.s{j + 1}" for j in range(len(conds)))
+            surv = 1  # bit 0
+            for d in range(1, L):
+                if not adjacent[d - 1]:
+                    surv |= 1 << d
+            adv = " | ".join(
+                f"(CASE WHEN (__ch_ac.s & {1 << d}) != 0"
+                f" AND __ch_e.s{order[d]} THEN {1 << (d + 1)} ELSE 0 END)"
+                for d in range(L)
+            )
+            expr = (
+                f"aggregate({evs}, named_struct('s', 1, 'c', 0),"
+                f" (__ch_ac, __ch_e) -> CASE"
+                f" WHEN NOT ({any_cond}) THEN __ch_ac"
+                f" WHEN (({adv}) & {1 << L}) != 0 THEN"
+                f" named_struct('s', 1, 'c', __ch_ac.c + 1)"
+                f" ELSE named_struct('s',"
+                f" CAST(1 | (__ch_ac.s & {surv}) | ({adv}) AS INT),"
+                f" 'c', __ch_ac.c) END,"
+                f" __ch_ac -> __ch_ac.c)"
+            )
+        else:
+            # Pure '.*' (subsequence) patterns: the scalar greedy fold is
+            # exact — consuming the expected ref at the earliest possible
+            # event never delays completion (exchange argument for
+            # subsequence matching), and the completing step resets depth
+            # for the non-overlapping restart.
+            init = "named_struct('d', 0, 'p', CAST(0.0 AS DOUBLE), 'c', 0)"
+            cases = []
+            for k, ref in enumerate(order, start=1):
+                guard = "" if k == 1 else " AND __ch_e.t > __ch_ac.p"
+                if k < L:
+                    nxt = f"named_struct('d', {k}, 'p', __ch_e.t, 'c', __ch_ac.c)"
+                else:
+                    nxt = "named_struct('d', 0, 'p', __ch_e.t, 'c', __ch_ac.c + 1)"
                 cases.append(
-                    f"WHEN __ch_ac.d = {k - 1} AND __ch_e.s{ref}{guard} THEN"
-                    f" named_struct('d', {k}, 'p', __ch_e.t, 'c', __ch_ac.c)"
+                    f"WHEN __ch_ac.d = {k - 1} AND __ch_e.s{ref}{guard} THEN {nxt}"
                 )
-            else:
-                cases.append(
-                    f"WHEN __ch_ac.d = {k - 1} AND __ch_e.s{ref}{guard} THEN"
-                    f" named_struct('d', 0, 'p', __ch_e.t, 'c', __ch_ac.c + 1)"
-                )
-        expr = (
-            f"aggregate({evs}, {init},"
-            f" (__ch_ac, __ch_e) -> CASE {' '.join(cases)}"
-            f" ELSE __ch_ac END,"
-            f" __ch_ac -> __ch_ac.c)"
-        )
+            expr = (
+                f"aggregate({evs}, {init},"
+                f" (__ch_ac, __ch_e) -> CASE {' '.join(cases)}"
+                f" ELSE __ch_ac END,"
+                f" __ch_ac -> __ch_ac.c)"
+            )
         sql = sql[: m.start()] + expr + sql[close2 + 1:]
     while True:
         m = _find_case_exact(sql, r"\bwindowFunnel\s*\(")

@@ -532,3 +532,64 @@ def q208_sql_sequence_times(spark, sf_dir):
     register_sql_aliases(spark)
     t(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(translate(_CH_SEQ_TIMES_SQL).sql)
+
+
+_CH_SEQ_COUNT_SQL = """
+SELECT c_pairs, c_trips, count() AS n_users
+FROM (
+  SELECT user_id,
+         sequenceCount('(?1)(?2)')(
+           ts, event_type = 'click', event_type = 'purchase',
+           event_type = 'view') AS c_pairs,
+         sequenceCount('(?1)(?2)(?3)')(
+           ts, event_type = 'click', event_type = 'purchase',
+           event_type = 'view') AS c_trips
+  FROM events
+  WHERE event_type IN ('click', 'purchase', 'view')
+  GROUP BY user_id
+) GROUP BY c_pairs, c_trips ORDER BY c_pairs, c_trips
+"""
+
+
+@query(
+    "q217_sequence_count_adjacent",
+    oracle="""
+    WITH f AS (
+      SELECT user_id, event_type,
+             LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts) AS p1,
+             LAG(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts) AS p2
+      FROM events WHERE event_type IN ('click', 'purchase', 'view')
+    ),
+    pu AS (
+      SELECT user_id,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase'
+                                     AND p1 = 'click' THEN 1 END), 0)
+                  AS INTEGER) AS c_pairs,
+             CAST(COALESCE(SUM(CASE WHEN event_type = 'view'
+                                     AND p1 = 'purchase'
+                                     AND p2 = 'click' THEN 1 END), 0)
+                  AS INTEGER) AS c_trips
+      FROM f GROUP BY user_id
+    )
+    SELECT c_pairs, c_trips, COUNT(*) AS n_users
+    FROM pu GROUP BY 1, 2 ORDER BY 1, 2
+    """,
+)
+def q217_sequence_count_adjacent(spark, sf_dir):
+    """ClickHouse ADJACENCY counting spelled VERBATIM in the dialect:
+    ``sequenceCount('(?1)(?2)')`` / ``'(?1)(?2)(?3)'`` — the matched
+    events must be CONSECUTIVE among events matching ANY listed
+    condition (the unreferenced 'view' condition in c_pairs breaks
+    adjacency without ever matching a ref). Translated to the NFA
+    subset-simulation fold over each user's time-sorted event array
+    (chsql.py sequenceCount rewrite): pure JVM, one shuffle on user_id,
+    linear per group. The oracle is exact because click/purchase/view
+    are disjoint, so adjacent candidate chains can never overlap and
+    the greedy non-overlapping count equals the plain LAG pair/triple
+    count."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(translate(_CH_SEQ_COUNT_SQL).sql)

@@ -1152,25 +1152,41 @@ def test_sequence_match_adjacency(views):
     assert views.sql(translate(base3).sql).collect()[0]["m"] is True
 
 
-def test_sequence_count_adjacency_guard():
-    """sequenceCount's greedy fold equals ClickHouse adjacency only when
-    every condition is referenced exactly once; the unfaithful shapes
-    refuse loudly instead of over-matching."""
-    with pytest.raises(ValueError, match="adjacency"):
-        translate(
-            "SELECT sequenceCount('(?1)(?2)')(ts, a, b, c) FROM e"
-        )
-    with pytest.raises(ValueError, match="adjacency"):
-        translate(
-            "SELECT sequenceCount('(?1)(?2)(?1)')(ts, a, b) FROM e"
-        )
-    # referenced-once shapes stay translatable (both spellings)
-    assert translate(
-        "SELECT sequenceCount('(?1)(?2)')(ts, a, b) FROM e"
-    ).sql
-    assert translate(
-        "SELECT sequenceCount('(?1).*(?2)')(ts, a, b, c) FROM e"
-    ).sql
+def test_sequence_count_adjacency_exact(views):
+    """ClickHouse adjacency in sequenceCount counts exactly: an
+    intervening event matching ANY listed condition breaks the adjacent
+    run (the docs' third-condition example), including the 3-ref,
+    repeated-ref, and mixed shapes the pre-r6 fold refused or — for
+    all-referenced 3-ref patterns — silently over-counted."""
+    # (?t op n) gaps remain a loud refusal — no single-pass count exists
+    with pytest.raises(ValueError, match="sequential"):
+        translate("SELECT sequenceCount('(?1)(?t>10)(?2)')(ts, a, b) FROM e")
+
+    def run(pattern, conds, events):
+        rows = ", ".join(f"('u', {i + 1}, '{e}')" for i, e in enumerate(events))
+        q = translate(
+            f"WITH ev AS (SELECT * FROM VALUES {rows} AS t(u, ts, e))"
+            f" SELECT u, sequenceCount('{pattern}')("
+            f"   CAST(ts AS TIMESTAMP), {conds}) AS c"
+            " FROM ev GROUP BY u"
+        ).sql
+        return views.sql(q).first()["c"]
+
+    abc = "e = 'A', e = 'B', e = 'C'"
+    # docs example: C matches the (unreferenced) third condition and sits
+    # between A and B -> adjacency broken
+    assert run("(?1)(?2)", abc, "ACB") == 0
+    assert run("(?1)(?2)", abc, "ABC") == 1
+    # 3-ref all-referenced: the pre-r6 fold returned 1 here (the second
+    # A intervenes between B and C among listed events -> CH counts 0)
+    assert run("(?1)(?2)(?3)", abc, "ABAC") == 0
+    assert run("(?1)(?2)(?3)", abc, "ABC") == 1
+    # break + immediate re-entry: the breaking A re-anchors, ABC at 3..5
+    assert run("(?1)(?2)(?3)", abc, "ABABC") == 1
+    # repeated ref, non-overlapping greedy restart
+    assert run("(?1)(?2)(?1)", "e = 'A', e = 'B'", "ABAABA") == 2
+    # mixed .*-then-adjacent: fallback keeps the anchor, re-enters on B
+    assert run("(?1).*(?2)(?3)", abc, "ABBC") == 1
 
 
 def test_sequence_count_in_dialect(views):

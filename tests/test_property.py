@@ -331,3 +331,83 @@ def test_sequence_match_adjacency_matches_reference(spark, seq):
         ).sql
     ).first()["m"]
     assert bool(got) == want
+
+
+def _ref_sequence_count(listed, refs, adjacent, match):
+    """Backtracking reference for ClickHouse sequenceCount: repeatedly
+    find the earliest-completing match among the listed events (the
+    leftmost-anchor match of CH's engine ends at the same event for this
+    pattern grammar), then restart after its last event."""
+    from itertools import combinations
+
+    def earliest_end(start):
+        best = None
+        for combo in combinations(range(start, len(listed)), len(refs)):
+            if not all(match(listed[c], r) for c, r in zip(combo, refs)):
+                continue
+            if any(
+                adj and combo[k + 1] != combo[k] + 1
+                for k, adj in enumerate(adjacent)
+            ):
+                continue
+            if best is None or combo[-1] < best:
+                best = combo[-1]
+        return best
+
+    cnt, start = 0, 0
+    while True:
+        end = earliest_end(start)
+        if end is None:
+            return cnt
+        cnt, start = cnt + 1, end + 1
+
+
+@given(
+    seq=st.lists(st.sampled_from("ABCX"), min_size=0, max_size=12),
+    pat=st.sampled_from(
+        [
+            "(?1)(?2)",
+            "(?1)(?2)(?3)",
+            "(?1).*(?2)(?3)",
+            "(?1)(?2).*(?3)",
+            "(?1).*(?2)",
+            "(?1)(?1)",
+            "(?3)(?2)",
+            "(?2)(?1)(?2)",
+            # the pattern that killed the single-chain greedy fold: an A
+            # can serve as ref 3 of a live chain or ref 1 of a better one
+            "(?1)(?2)(?3)(?1)",
+        ]
+    ),
+)
+@_SET
+def test_sequence_count_adjacency_matches_reference(spark, seq, pat):
+    """The single-pass adjacency-aware counting fold equals the literal
+    backtracking matcher on random event strings — including overlapping
+    conditions (cond3 = A-or-C also matches every A) and the unlisted
+    symbol X, which is invisible to adjacency."""
+    import re as _re
+
+    from ed_clickhouse_spark.chsql import translate
+
+    # cond1: A, cond2: B, cond3: A or C (overlaps cond1)
+    preds = [lambda s: s == "A", lambda s: s == "B", lambda s: s in "AC"]
+    listed = [s for s in seq if any(p(s) for p in preds)]
+    refs = [int(r) for r in _re.findall(r"\(\?(\d+)\)", pat)]
+    parts = _re.split(r"\(\?\d+\)", pat)[1:-1]
+    adjacent = [p == "" for p in parts]
+    want = _ref_sequence_count(
+        listed, refs, adjacent, lambda s, r: preds[r - 1](s)
+    )
+    rows = [("u", i, s) for i, s in enumerate(seq)] or [("u", 0, "X")]
+    df = spark.createDataFrame(rows, "u string, ts int, sym string")
+    df.createOrReplaceTempView("__pcnt")
+    got = spark.sql(
+        translate(
+            f"SELECT sequenceCount('{pat}')("
+            " CAST(ts AS TIMESTAMP), sym = 'A', sym = 'B',"
+            " sym IN ('A', 'C')) AS c"
+            " FROM __pcnt GROUP BY u"
+        ).sql
+    ).first()["c"]
+    assert got == want
