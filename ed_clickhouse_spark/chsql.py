@@ -530,7 +530,7 @@ def _rewrite_array_join(sql: str) -> str:
     return sql
 
 
-def _rewrite_star_modifiers(sql: str) -> str:
+def _rewrite_star_modifiers(sql: str, specs: dict | None = None) -> str:
     """ClickHouse SELECT-list star modifiers.
 
     ``* REPLACE (expr AS col, ...)`` is schema-free: it becomes
@@ -541,17 +541,12 @@ def _rewrite_star_modifiers(sql: str) -> str:
     name). An existing EXCEPT merges with the replaced names.
 
     ``* APPLY (f)`` and ``COLUMNS('re')`` need the table schema to
-    expand, which a textual rewrite does not have — they refuse loudly
-    with the explicit-column spelling instead of a cryptic parse error.
+    expand: when the enclosing SELECT reads ONE table registered in
+    ``specs`` (the same table metadata SAMPLE/FINAL use), they expand
+    against that schema (_expand_apply_columns); otherwise they refuse
+    loudly with the explicit-column spelling instead of a cryptic parse
+    error.
     """
-    for bad, hint in (
-        (r"\bAPPLY\s*\(", "* APPLY (f) needs the schema to expand —"
-         " spell the aggregated columns explicitly"),
-        (r"\bCOLUMNS\s*\(", "COLUMNS('re') needs the schema to expand —"
-         " list the matching columns explicitly"),
-    ):
-        if _find_top_anywhere(sql, bad):
-            raise ValueError(hint)
     while True:
         m = _find_top_anywhere(
             sql, r"\*\s*(EXCEPT\s*\(([^)]*)\)\s*)?REPLACE\s*\("
@@ -573,7 +568,147 @@ def _rewrite_star_modifiers(sql: str) -> str:
         exc = ", ".join(([existing] if existing else []) + names)
         repl = f"* EXCEPT ({exc}), {', '.join(items)}"
         sql = sql[: m.start()] + repl + sql[close1 + 1:]
+    sql = _expand_apply_columns(sql, specs)
+    for bad, hint in (
+        (r"\bAPPLY\s*\(", "* APPLY (f) expands only against a SELECT"
+         " reading one registered table — spell the aggregated columns"
+         " explicitly"),
+        (r"\bCOLUMNS\s*\(", "COLUMNS('re') expands only against a SELECT"
+         " reading one registered table — list the matching columns"
+         " explicitly"),
+    ):
+        if _find_top_anywhere(sql, bad):
+            raise ValueError(hint)
     return sql
+
+
+def _level_star_columns(sql: str, specs: dict | None) -> list[str] | None:
+    """The ``SELECT *`` column set of ONE query level: resolvable when
+    the top-level FROM names a single table found in ``specs`` (no
+    join, no derived table). Per ClickHouse semantics the star set
+    excludes MATERIALIZED and ALIAS columns. ``specs`` values are
+    ddl.TableSpec (the engine path) or a plain list of column names
+    (the ad-hoc path)."""
+    if not specs:
+        return None
+    fm = _find_top(sql, r"(?i)\bFROM\s+")
+    if not fm:
+        return None
+    tail = sql[fm.end():]
+    tm = re.match(r"`?(\w+)`?", tail)
+    if not tm:
+        return None
+    if _find_top(sql, r"(?i)\b(JOIN|UNION)\b") or _find_top(
+        tail[tm.end():], r"^\s*,"
+    ):
+        return None
+    spec = specs.get(tm.group(1))
+    if spec is None:
+        return None
+    if isinstance(spec, (list, tuple)):
+        return list(spec)
+    hidden = set(getattr(spec, "alias_cols", ()) or ())
+    for c, (kind, _expr) in (getattr(spec, "col_exprs", {}) or {}).items():
+        if kind in ("MATERIALIZED", "ALIAS"):
+            hidden.add(c)
+    return [f.name for f in spec.schema.fields if f.name not in hidden]
+
+
+def _apply_chain(sql: str, pos: int) -> tuple[list[str], list[str], int]:
+    """Parse trailing ``[EXCEPT (cols)] [APPLY (fn)]...`` modifiers
+    starting at ``pos``; returns (except_names, apply_fns, end)."""
+    excepts: list[str] = []
+    fns: list[str] = []
+    while True:
+        em = re.match(r"\s*EXCEPT\s*\(", sql[pos:], re.I)
+        am = re.match(r"\s*APPLY\s*\(", sql[pos:], re.I)
+        if not em and not am:
+            return excepts, fns, pos
+        open1 = sql.index("(", pos + (em or am).end() - 1)
+        close1 = _call_end(sql, open1)
+        body = sql[open1 + 1: close1].strip()
+        if em:
+            excepts += [c.strip().strip("`") for c in body.split(",")]
+        else:
+            if "->" in body:
+                raise ValueError(
+                    "APPLY with a lambda is not translatable — apply the"
+                    " expression to explicit columns instead"
+                )
+            fns.append(body)
+        pos = close1 + 1
+
+
+def _expand_apply_columns(sql: str, specs: dict | None) -> str:
+    """Expand ``* [EXCEPT (...)] APPLY (f)...`` and ``COLUMNS('re')
+    [EXCEPT (...)|APPLY (f)]...`` against the level's registered table
+    schema (_level_star_columns). Output columns are named exactly as
+    ClickHouse names them — ``f(col)`` / ``g(f(col))`` — via backquoted
+    aliases, so a migrated monitoring query keeps its column names.
+    Parametric fns (``quantile(0.5)``) expand to the CH parametric
+    spelling and are translated by the later agg-spelling pass.
+    Unresolvable sites are left in place for the loud refusal in
+    _rewrite_star_modifiers."""
+    # subqueries first (each level resolves its own FROM)
+    pos = 0
+    while True:
+        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        idx = None
+        for i in range(pos, len(sql)):
+            if sql[i] == "(" and not instr_at.get(i, False):
+                after = sql[i + 1:].lstrip()
+                if re.match(r"(?i)(SELECT|WITH)\b", after):
+                    idx = i
+                    break
+        if idx is None:
+            break
+        close = _call_end(sql, idx)
+        inner = _expand_apply_columns(sql[idx + 1: close], specs)
+        sql = sql[: idx + 1] + inner + sql[close:]
+        pos = idx + 1 + len(inner) + 1
+    if not (
+        _find_top(sql, r"\bAPPLY\s*\(") or _find_top(sql, r"\bCOLUMNS\s*\(")
+    ):
+        return sql
+    cols = _level_star_columns(sql, specs)
+    if cols is None:
+        return sql
+    while True:
+        m = _find_top(sql, r"\bCOLUMNS\s*\(")
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        rx = sql[open1 + 1: close1].strip().strip("'\"")
+        excepts, fns, end = _apply_chain(sql, close1 + 1)
+        base = [c for c in cols if re.search(rx, c) and c not in excepts]
+        if not base:
+            raise ValueError(
+                f"COLUMNS({rx!r}) matches no column of the FROM table"
+            )
+        sql = sql[: m.start()] + _render_applied(base, fns) + sql[end:]
+    while True:
+        m = _find_top(sql, r"\*\s*(?:EXCEPT\s*\(([^)]*)\)\s*)?(?=APPLY\s*\()")
+        if not m:
+            break
+        excepts = [
+            c.strip().strip("`") for c in (m.group(1) or "").split(",") if c.strip()
+        ]
+        more_exc, fns, end = _apply_chain(sql, m.end())
+        base = [c for c in cols if c not in excepts and c not in more_exc]
+        sql = sql[: m.start()] + _render_applied(base, fns) + sql[end:]
+    return sql
+
+
+def _render_applied(base: list[str], fns: list[str]) -> str:
+    items = []
+    for c in base:
+        expr, name = c, c
+        for fn in fns:
+            expr = f"{fn}({expr})"
+            name = f"{fn}({name})"
+        items.append(expr if not fns else f"{expr} AS `{name}`")
+    return ", ".join(items)
 
 
 def _rewrite_totals(sql: str) -> str:
@@ -4375,7 +4510,7 @@ def translate(
         "",
     )
     sql = _rewrite_system(sql)
-    sql = _rewrite_star_modifiers(sql)
+    sql = _rewrite_star_modifiers(sql, specs)
     cm = _find_top_anywhere(sql, r"(?i)\bCOLLATE\b")
     if cm:
         raise ValueError(

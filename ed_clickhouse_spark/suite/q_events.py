@@ -593,3 +593,39 @@ def q217_sequence_count_adjacent(spark, sf_dir):
     register_sql_aliases(spark)
     t(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(translate(_CH_SEQ_COUNT_SQL).sql)
+
+
+_CH_STAR_APPLY_SQL = """
+SELECT event_type,
+       * EXCEPT (event_type, ts, props) APPLY (max),
+       COLUMNS('^value$') APPLY (min)
+FROM events GROUP BY event_type ORDER BY event_type
+"""
+
+
+@query(
+    "q218_star_apply_monitoring",
+    oracle="""
+    SELECT event_type,
+           MAX(event_id) AS "max(event_id)",
+           MAX(user_id)  AS "max(user_id)",
+           MAX(value)    AS "max(value)",
+           MIN(value)    AS "min(value)"
+    FROM events GROUP BY 1 ORDER BY 1
+    """,
+)
+def q218_star_apply_monitoring(spark, sf_dir):
+    """The monitoring-style star-modifier query a ClickHouse operator
+    pastes in VERBATIM: ``* EXCEPT (...) APPLY (max)`` and
+    ``COLUMNS('re') APPLY (min)`` expand against the registered table
+    schema (chsql._expand_apply_columns, r6) with ClickHouse's literal
+    output names (`max(value)`), then run as one codegen aggregate —
+    single shuffle on the group key, no Python. Unknown tables and
+    join-ambiguous FROMs keep the pre-r6 loud refusal."""
+    from ed_clickhouse_spark.chsql import translate
+
+    ev = t(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("events")
+    return spark.sql(
+        translate(_CH_STAR_APPLY_SQL, {"events": ev.columns}).sql
+    )

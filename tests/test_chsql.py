@@ -2432,10 +2432,84 @@ def test_probe_batch14_star_replace_modifier(views):
         ).sql
     ).first().asDict()
     assert r2["id"] == 2 and "s" not in r2
+    # without a registered schema the star modifiers still refuse loudly
     with pytest.raises(ValueError, match="APPLY"):
         translate("SELECT * APPLY (max) FROM t")
     with pytest.raises(ValueError, match="COLUMNS"):
         translate("SELECT COLUMNS('^a') FROM t")
+
+
+def test_star_apply_columns_expand_with_schema(views):
+    """* APPLY (f) and COLUMNS('re') expand against the registered
+    table schema (r6): output columns keep ClickHouse's literal names
+    (`max(col)`), EXCEPT composes on either side of APPLY, APPLY
+    chains nest, parametric fns route through the agg-spelling pass,
+    and unknown tables / joins / lambdas keep the loud refusal."""
+    views.sql(
+        "CREATE OR REPLACE TEMP VIEW __sapp AS"
+        " SELECT * FROM VALUES (1, 2.0, 'x'), (3, 4.0, 'y') AS t(id, val, s)"
+    )
+    specs = {"__sapp": ["id", "val", "s"]}
+    r = views.sql(
+        translate(
+            "SELECT * EXCEPT (s) APPLY (max) FROM __sapp", specs
+        ).sql
+    ).first().asDict()
+    assert r == {"max(id)": 3, "max(val)": 4.0}
+    r2 = views.sql(
+        translate(
+            "SELECT s, COLUMNS('^(id|val)$') APPLY (sum) FROM __sapp"
+            " GROUP BY s ORDER BY s",
+            specs,
+        ).sql
+    ).first().asDict()
+    assert r2 == {"s": "x", "sum(id)": 1, "sum(val)": 2.0}
+    # plain COLUMNS projection, no APPLY
+    assert views.sql(
+        translate("SELECT COLUMNS('^id$') FROM __sapp", specs).sql
+    ).columns == ["id"]
+    # APPLY chain nests outermost-last
+    r3 = views.sql(
+        translate(
+            "SELECT * EXCEPT (id, s) APPLY (max) APPLY (toString)"
+            " FROM __sapp",
+            specs,
+        ).sql
+    ).first().asDict()
+    assert r3 == {"toString(max(val))": "4.0"}
+    # refusals survive: unknown table, join ambiguity, lambda
+    with pytest.raises(ValueError, match="APPLY"):
+        translate("SELECT * APPLY (max) FROM elsewhere", specs)
+    with pytest.raises(ValueError, match="APPLY"):
+        translate(
+            "SELECT * APPLY (max) FROM __sapp a JOIN __sapp b ON a.id = b.id",
+            specs,
+        )
+    with pytest.raises(ValueError, match="lambda"):
+        translate("SELECT * APPLY (x -> round(x, 2)) FROM __sapp", specs)
+    with pytest.raises(ValueError, match="no column"):
+        translate("SELECT COLUMNS('zzz') FROM __sapp", specs)
+
+
+def test_star_apply_tablespec_hides_computed_columns():
+    """Through the engine path (specs = ddl.TableSpec) the star set
+    matches ClickHouse's: MATERIALIZED and ALIAS columns are excluded
+    from * expansion."""
+    from ed_clickhouse_spark.ddl import parse_clickhouse_ddl
+
+    spec = parse_clickhouse_ddl(
+        """
+        CREATE TABLE docs (
+            id UInt64,
+            title String,
+            title_upper String MATERIALIZED upper(title),
+            n_chars Int64 ALIAS length(title)
+        ) ENGINE = MergeTree ORDER BY id
+        """
+    )
+    out = translate("SELECT * APPLY (max) FROM docs", {"docs": spec}).sql
+    assert "max(id)" in out and "max(title)" in out
+    assert "title_upper" not in out and "n_chars" not in out
 
 
 def test_probe_batch15_nullable_bit_misc(views):
