@@ -256,33 +256,35 @@ def q101_repeated_passages(spark, sf_dir):
     is scalar); at 100 TB the same plan runs with a df-cap like
     jaccard_pairs. Passages, not docs, are the unit — this catches
     partial duplication that whole-doc fingerprints miss."""
-    d = t(spark, sf_dir, "documents")
+    from ed_clickhouse_spark.operators.dedup import _spread
+
+    # _spread: the gram build is compute-bound and documents arrives as
+    # one or two parquet splits at small SF — without it the whole
+    # projection runs on one core (measured 2.1s -> 0.9s steady at
+    # sf0.1/local[32]); a no-op at 100 TB where the input has thousands
+    # of splits.
+    d = _spread(t(spark, sf_dir, "documents"))
     toks = F.split(F.col("text"), " ")
+    # hash INSIDE the transform: distinct + explode then carry the fixed
+    # 16-hex md5 prefix (the engine-portable key decontaminate() also
+    # uses) instead of ~70-byte passage strings, so both the explode and
+    # the exchange are bound-width. md5-before-distinct is equivalent to
+    # distinct-before-md5 (the hash is deterministic per gram).
     g10 = F.array_distinct(
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(toks) - 10, F.lit(0))),
-            lambda i: F.concat_ws(" ", F.slice(toks, i + 1, 10)),
+            lambda i: F.substring(
+                F.md5(F.concat_ws(" ", F.slice(toks, i + 1, 10))), 1, 16
+            ),
         )
     )
     # every gram has exactly 10 tokens except the single whole-doc gram
     # of a <10-word doc — so n_tok is a per-DOC constant, computed once
     # instead of re-splitting every exploded gram.
-    grams = d.select(
+    keyed = d.select(
         "doc_id",
         F.least(F.lit(10), F.size(toks)).alias("n_tok"),
-        F.explode(g10).alias("gram"),
-    )
-    # hash BEFORE the shuffle: the aggregation key is a fixed 16-hex md5
-    # prefix (the engine-portable key decontaminate() also uses), so the
-    # exchange carries 16 bytes + a tiny int per gram instead of ~70-byte
-    # passage strings. At sf0.1/local[32] the query is compute-bound on
-    # gram construction (no measured change); the bound exchange width
-    # is what matters on a real cluster where the shuffle crosses the
-    # network.
-    keyed = grams.select(
-        "doc_id",
-        F.substring(F.md5("gram"), 1, 16).alias("gram_key"),
-        "n_tok",
+        F.explode(g10).alias("gram_key"),
     )
     return (
         keyed.groupBy("gram_key")
