@@ -299,10 +299,13 @@ class TableSpec:
     col_exprs: dict[str, tuple[str, str]] = field(default_factory=dict)
     alias_cols: list[str] = field(default_factory=list)  # ALIAS column names
     settings: dict[str, str] = field(default_factory=dict)  # SETTINGS k = v
-    # ALTER ... RENAME COLUMN history: current name -> the ORIGINAL
-    # stored name (files written before the rename carry it; the served
-    # view coalesces both spellings)
-    renames: dict[str, str] = field(default_factory=dict)
+    # ALTER ... RENAME COLUMN history: current name -> ALL legacy stored
+    # spellings, oldest first (files written before each rename carry
+    # one of them; the served view coalesces every spelling). A single
+    # original name is insufficient: rename -> insert -> rename leaves
+    # files on disk under the INTERMEDIATE spelling too (r6 property
+    # test found the vintage loss).
+    renames: dict[str, list[str]] = field(default_factory=dict)
 
     @property
     def key_cols(self) -> list[str]:
@@ -766,15 +769,20 @@ def mutation_read_args(spec: TableSpec):
     with its stored twin and drops the twin, so the rewrite emits
     canonical files carrying all vintages' values."""
     read_schema = T.StructType(list(spec.schema.fields))
-    legacy: list[tuple[str, str]] = []
+    legacy: list[tuple[str, list[str]]] = []
     declared_names = [f.name for f in spec.schema.fields]
     types = {f.name: f.dataType for f in spec.schema.fields}
-    for new_name, stored in spec.renames.items():
-        if stored != new_name and stored not in declared_names:
+    for new_name, stored_names in spec.renames.items():
+        keep = [
+            s for s in stored_names
+            if s != new_name and s not in declared_names
+        ]
+        for stored in keep:
             read_schema = read_schema.add(
                 T.StructField(stored, types.get(new_name, T.StringType()), True)
             )
-            legacy.append((new_name, stored))
+        if keep:
+            legacy.append((new_name, keep))
     pc0 = spec.partition_column()
     if pc0 and pc0[0] not in [f.name for f in read_schema.fields]:
         ptype = {
@@ -789,10 +797,15 @@ def mutation_read_args(spec: TableSpec):
         return read_schema, None
 
     def conform(df: DataFrame) -> DataFrame:
-        for new_name, stored in legacy:
+        for new_name, stored_names in legacy:
+            # each row carries the value under exactly one spelling
+            # (newest spelling wins on the impossible overlap)
             df = df.withColumn(
-                new_name, F.coalesce(F.col(new_name), F.col(stored))
-            ).drop(stored)
+                new_name,
+                F.coalesce(
+                    F.col(new_name), *[F.col(s) for s in reversed(stored_names)]
+                ),
+            ).drop(*stored_names)
         return df
 
     return read_schema, conform
@@ -809,16 +822,18 @@ def register_view(spark: SparkSession, spec: TableSpec, warehouse: str) -> None:
     # files written before a DROP carry the dead bytes (ignored). This is
     # also the 100 TB-friendly choice — no mergeSchema footer sweep.
     read_schema = T.StructType(list(spec.schema.fields))
-    # RENAMEd columns: files written before the rename carry the stored
-    # name — read it too (same type) so the conform step can coalesce
-    for new_name, stored in spec.renames.items():
-        if stored != new_name and stored not in [
-            f.name for f in read_schema.fields
-        ]:
-            dt = dict(
-                (f.name, f.dataType) for f in spec.schema.fields
-            ).get(new_name, T.StringType())
-            read_schema = read_schema.add(T.StructField(stored, dt, True))
+    # RENAMEd columns: files written before EACH rename carry one of the
+    # legacy stored spellings — read them all (same type) so the serve
+    # step can coalesce every vintage
+    for new_name, stored_names in spec.renames.items():
+        for stored in stored_names:
+            if stored != new_name and stored not in [
+                f.name for f in read_schema.fields
+            ]:
+                dt = dict(
+                    (f.name, f.dataType) for f in spec.schema.fields
+                ).get(new_name, T.StringType())
+                read_schema = read_schema.add(T.StructField(stored, dt, True))
     pc0 = spec.partition_column()
     if pc0 and pc0[0] not in [f.name for f in read_schema.fields]:
         ptype = {
@@ -845,10 +860,16 @@ def register_view(spark: SparkSession, spec: TableSpec, warehouse: str) -> None:
     declared = [f.name for f in spec.schema.fields]
 
     def _serve(f):
-        stored = spec.renames.get(f.name)
-        if stored and stored != f.name and stored in raw.columns:
-            # rows written before the RENAME carry the stored name
-            return F.coalesce(F.col(f.name), F.col(stored)).alias(f.name)
+        stored_names = [
+            s for s in spec.renames.get(f.name, [])
+            if s != f.name and s in raw.columns
+        ]
+        if stored_names:
+            # rows written before each RENAME carry one of the legacy
+            # spellings; newest spelling wins on the impossible overlap
+            return F.coalesce(
+                F.col(f.name), *[F.col(s) for s in reversed(stored_names)]
+            ).alias(f.name)
         if f.name in raw.columns:
             return F.col(f.name)
         return F.lit(None).cast(f.dataType).alias(f.name)
@@ -972,7 +993,9 @@ def apply_alter(
             for f in fields
         ]
         ch_types[new_name] = ch_types.pop(cname, "String")
-        renames[new_name] = renames.pop(cname, cname)
+        # carry the FULL spelling history: files inserted between two
+        # renames sit on disk under the intermediate name
+        renames[new_name] = renames.pop(cname, []) + [cname]
         order_by = [new_name if c == cname else c for c in order_by]
         primary_key = [new_name if c == cname else c for c in primary_key]
         if sample_by == cname:

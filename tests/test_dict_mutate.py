@@ -416,3 +416,102 @@ def test_optimize_deduplicate(spark, tmp_path):
     )
     assert per == 0
     assert spark.table("hits").count() == 3  # (01-01,1), (01-02,1), (01-02,2)
+
+
+# --- mutation-lifecycle property test (r6) -------------------------------
+# The r5 ADVICE class (RENAME + post-rename inserts + a rewrite losing a
+# column vintage) was found by inspection and example-tested; this drives
+# random op sequences through the engine's ch_sql surface and asserts the
+# served view always equals a plain Python model of the table.
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_DAYS = ["2024-01-01", "2024-01-02"]
+
+_OPS = st.lists(
+    st.one_of(
+        st.tuples(st.just("ins"), st.integers(0, 1), st.integers(-50, 50)),
+        st.tuples(st.just("upd"), st.integers(0, 1), st.integers(1, 9)),
+        st.tuples(st.just("del"), st.integers(0, 2), st.just(0)),
+        st.tuples(st.just("ren"), st.just(0), st.just(0)),
+        st.tuples(st.just("opt"), st.just(0), st.just(0)),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@given(ops=_OPS)
+@settings(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[
+        HealthCheck.too_slow,
+        HealthCheck.function_scoped_fixture,
+    ],
+)
+def test_mutation_lifecycle_matches_model(spark, ops):
+    """Random RENAME/INSERT/UPDATE/DELETE/OPTIMIZE sequences: every
+    column vintage's values survive every rewrite, and the served view
+    equals the literal row model after each full sequence."""
+    import shutil
+    import tempfile
+
+    from ed_clickhouse_spark.engine import Engine
+
+    root = tempfile.mkdtemp(prefix="mutprop")
+    try:
+        mdir = os.path.join(root, "migrations")
+        os.makedirs(mdir)
+        with open(os.path.join(mdir, "001_pt.up.sql"), "w") as fh:
+            fh.write(
+                "CREATE TABLE pt (day Date, k Int64, val Int64)"
+                " ENGINE = MergeTree() PARTITION BY day ORDER BY k;"
+            )
+        eng = Engine(os.path.join(root, "wh"), spark)
+        eng.migrate(mdir)
+
+        rows: dict[int, tuple[str, int]] = {}
+        cur, n_ren, next_k = "val", 0, 0
+
+        def insert(day_idx: int, v: int):
+            nonlocal next_k
+            d = _DAYS[day_idx]
+            eng.ch_sql(
+                "INSERT INTO pt FORMAT JSONEachRow\n"
+                f'{{"day":"{d}","k":{next_k},"{cur}":{v}}}'
+            )
+            rows[next_k] = (d, v)
+            next_k += 1
+
+        insert(0, 1)  # ensure the table exists on disk
+        for op, x, y in ops:
+            if op == "ins":
+                insert(x, y)
+            elif op == "upd":
+                d = _DAYS[x]
+                eng.ch_sql(
+                    f"ALTER TABLE pt UPDATE {cur} = {cur} + {y}"
+                    f" WHERE day = '{d}'"
+                )
+                for k, (rd, rv) in rows.items():
+                    if rd == d:
+                        rows[k] = (rd, rv + y)
+            elif op == "del":
+                eng.ch_sql(f"ALTER TABLE pt DELETE WHERE k % 3 = {x}")
+                rows = {k: v for k, v in rows.items() if k % 3 != x}
+            elif op == "ren":
+                n_ren += 1
+                new = f"val{n_ren}"
+                eng.ch_sql(f"ALTER TABLE pt RENAME COLUMN {cur} TO {new}")
+                cur = new
+            elif op == "opt":
+                eng.ch_sql("OPTIMIZE TABLE pt FINAL")
+        got = {
+            r["k"]: (str(r["day"]), r[cur])
+            for r in spark.table("pt").collect()
+        }
+        assert got == rows
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
