@@ -5,11 +5,14 @@ metadata struct; decode / feature-extraction run as Arrow-batched
 Pandas UDFs over ``mapInPandas`` so bytes never cross the Python
 boundary row-at-a-time.
 
-The actual codec step is STUBBED (image/audio libraries are not in this
-environment): ``decode_image`` raises ``NotImplementedError`` unless a
-decoder callable is injected, and ``fake_decode`` provides the
-deterministic stand-in used by tests. Everything Spark-side — schema,
-batch iteration, partition sizing — is real and tested.
+Codecs: ``decode_image`` really decodes the uncompressed formats a
+dependency-free engine can own (24-bit BI_RGB BMP, binary P6 PPM) and
+``image_features`` is the real bytes->pixels->features path over it;
+compressed formats (JPEG/PNG/...) raise ``NotImplementedError`` unless
+a decoder callable is injected (image/audio libraries are not in this
+environment), and ``fake_decode`` remains the format-agnostic
+deterministic stand-in. Everything Spark-side — schema, batch
+iteration, partition sizing — is real and tested.
 """
 
 from __future__ import annotations
@@ -68,12 +71,93 @@ def fake_decode(payload: bytes) -> list[float]:
     ]
 
 
-def decode_image(payload: bytes) -> Any:  # pragma: no cover - stub
-    """Real image decode — requires an imaging library not present in
-    this environment. Inject your decoder into extract_features()."""
+def decode_image(payload: bytes) -> tuple[int, int, bytes]:
+    """Real image decode for the UNCOMPRESSED formats a dependency-free
+    engine can own: 24-bit BI_RGB BMP and binary PPM (P6). Returns
+    (width, height, row-major RGB bytes). Compressed formats (JPEG/PNG/
+    WebP/...) still raise — decoding those honestly needs a codec
+    library, and a fake would poison downstream features."""
+    if payload[:2] == b"BM":
+        import struct
+
+        if len(payload) < 54:
+            raise ValueError("truncated BMP header")
+        data_off = struct.unpack_from("<I", payload, 10)[0]
+        hdr_size, width, height = struct.unpack_from("<Iii", payload, 14)
+        planes, bpp = struct.unpack_from("<HH", payload, 26)
+        compression = struct.unpack_from("<I", payload, 30)[0]
+        if hdr_size < 40 or bpp != 24 or compression != 0:
+            raise NotImplementedError(
+                f"only 24-bit uncompressed BI_RGB BMP decodes here"
+                f" (got bpp={bpp}, compression={compression});"
+                " pass decoder=... for other formats"
+            )
+        flipped = height > 0  # positive height = bottom-up row order
+        height = abs(height)
+        stride = (width * 3 + 3) & ~3  # rows pad to 4 bytes
+        out = bytearray(width * height * 3)
+        for y in range(height):
+            src = data_off + (height - 1 - y if flipped else y) * stride
+            row = payload[src: src + width * 3]
+            if len(row) < width * 3:
+                raise ValueError("truncated BMP pixel data")
+            # BMP stores BGR; emit RGB
+            for x in range(width):
+                o = (y * width + x) * 3
+                out[o] = row[x * 3 + 2]
+                out[o + 1] = row[x * 3 + 1]
+                out[o + 2] = row[x * 3]
+        return width, height, bytes(out)
+    if payload[:2] == b"P6":
+        import re as _re
+
+        m = _re.match(
+            rb"P6\s+(?:#[^\n]*\n\s*)*(\d+)\s+(\d+)\s+(\d+)\s", payload
+        )
+        if not m:
+            raise ValueError("malformed PPM header")
+        width, height, maxval = (int(g) for g in m.groups())
+        if maxval > 255:
+            raise NotImplementedError("16-bit PPM not supported")
+        pix = payload[m.end(): m.end() + width * height * 3]
+        if len(pix) < width * height * 3:
+            raise ValueError("truncated PPM pixel data")
+        return width, height, pix
     raise NotImplementedError(
-        "no image codec in this environment; pass decoder=... explicitly"
+        "no codec for this format in this environment (built-in decode"
+        " covers uncompressed BMP/P6-PPM); pass decoder=... explicitly"
     )
+
+
+def image_features(payload: bytes) -> list[float]:
+    """The real bytes -> pixels -> features path over the built-in
+    BMP/PPM decoder: 8 features [width, height, mean R, mean G, mean B,
+    min/max/mean luma (Rec.601)], channel means in [0, 1]."""
+    width, height, rgb = decode_image(payload)
+    n = width * height
+    if n == 0:
+        return [0.0] * 8
+    sr = sg = sb = 0
+    lmin, lmax, lsum = 255.0, 0.0, 0.0
+    for i in range(0, n * 3, 3):
+        r, g, b = rgb[i], rgb[i + 1], rgb[i + 2]
+        sr += r
+        sg += g
+        sb += b
+        luma = 0.299 * r + 0.587 * g + 0.114 * b
+        lmin = min(lmin, luma)
+        lmax = max(lmax, luma)
+        lsum += luma
+    return [
+        float(width),
+        float(height),
+        sr / (n * 255.0),
+        sg / (n * 255.0),
+        sb / (n * 255.0),
+        lmin / 255.0,
+        lmax / 255.0,
+        lsum / (n * 255.0),
+    ]
 
 
 def extract_features(

@@ -298,3 +298,75 @@ def test_sql_alias_geohash(spark):
         "SELECT geohashEncode(geohashDecode('ezs42')[0], geohashDecode('ezs42')[1], 5) AS g"
     ).collect()[0]
     assert r2["g"] == "ezs42"
+
+
+def _bmp_bytes(width, height, pixels):
+    """Minimal 24-bit BI_RGB BMP (bottom-up rows, 4-byte padded) from a
+    row-major [(r,g,b), ...] pixel list — pure struct packing, no
+    imaging library."""
+    import struct
+
+    stride = (width * 3 + 3) & ~3
+    body = bytearray()
+    for y in range(height - 1, -1, -1):  # bottom-up
+        row = bytearray()
+        for x in range(width):
+            r, g, b = pixels[y * width + x]
+            row += bytes((b, g, r))  # BGR on disk
+        row += b"\x00" * (stride - len(row))
+        body += row
+    dib = struct.pack("<IiiHHIIiiII", 40, width, height, 1, 24, 0,
+                      len(body), 2835, 2835, 0, 0)
+    hdr = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(body), 0, 0, 14 + 40)
+    return bytes(hdr + dib + body)
+
+
+def _ppm_bytes(width, height, pixels):
+    body = b"".join(bytes(p) for p in pixels)
+    return f"P6\n{width} {height}\n255\n".encode() + body
+
+
+def test_decode_image_bmp_ppm_pixel_exact():
+    """The built-in pure-Python codec round-trips pixels exactly for
+    24-bit BMP (incl. row padding and bottom-up flip) and P6 PPM, and
+    still refuses compressed formats loudly."""
+    import pytest as _pytest
+
+    from ed_clickhouse_spark.operators.multimodal import decode_image
+
+    px = [(255, 0, 0), (0, 255, 0), (0, 0, 255),
+          (10, 20, 30), (40, 50, 60), (70, 80, 90)]
+    for payload in (_bmp_bytes(3, 2, px), _ppm_bytes(3, 2, px)):
+        w, h, rgb = decode_image(payload)
+        assert (w, h) == (3, 2)
+        got = [(rgb[i], rgb[i + 1], rgb[i + 2]) for i in range(0, 18, 3)]
+        assert got == px
+    with _pytest.raises(NotImplementedError, match="codec"):
+        decode_image(b"\x89PNG\r\n\x1a\n" + b"\x00" * 64)
+
+
+def test_extract_features_real_codec_end_to_end(spark):
+    """bytes -> pixels -> features through the Spark plumbing with the
+    REAL built-in codec (no injected fake): a solid red BMP and a solid
+    gray PPM produce the exact channel means."""
+    from ed_clickhouse_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_features,
+        image_features,
+    )
+
+    red = _bmp_bytes(4, 3, [(255, 0, 0)] * 12)
+    gray = _ppm_bytes(2, 2, [(128, 128, 128)] * 4)
+    rows = [
+        (1, "image", "image/bmp", bytearray(red), (4, 3, None)),
+        (2, "image", "image/x-portable-pixmap", bytearray(gray), (2, 2, None)),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = {
+        r["media_id"]: r["feat"]
+        for r in extract_features(media, decoder=image_features).collect()
+    }
+    assert out[1][:5] == [4.0, 3.0, 1.0, 0.0, 0.0]
+    assert out[2][0:2] == [2.0, 2.0]
+    assert abs(out[2][2] - 128 / 255) < 1e-9
+    assert out[1] == image_features(red)  # UDF path == direct call
