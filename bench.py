@@ -75,18 +75,32 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     total = 0.0
+    total_best = 0.0
     for name in HEADLINE:
         fn = QUERIES[name]
         t0 = time.perf_counter()
         # count() executes the full plan without driver-side row transfer
         n = fn(spark, sf_dir).count()
         cold = round(time.perf_counter() - t0, 3)
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
-        dt = round(time.perf_counter() - t0, 3)
-        per_query[name] = dt
-        total += dt
-        print(f"# {name}: {dt:.3f}s steady ({cold:.3f}s cold, {n} rows)", file=sys.stderr)
+        # FIRST steady run is the primary per-query number (comparable
+        # across rounds); two more runs feed a best-of-3 total that
+        # bounds JIT/GC run-to-run noise (same-build spread measured at
+        # ~25% of the headline total — see COVERAGE.md variance note),
+        # so round-over-round deltas inside the noise band are visible
+        # as such without re-benching.
+        runs = []
+        for _ in range(3):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).count()
+            runs.append(round(time.perf_counter() - t0, 3))
+        per_query[name] = runs[0]
+        total += runs[0]
+        total_best += min(runs)
+        print(
+            f"# {name}: {runs[0]:.3f}s steady, {min(runs):.3f}s best"
+            f" ({cold:.3f}s cold, {n} rows)",
+            file=sys.stderr,
+        )
         # Dedup/LSH operators pin intermediate caches (documented in their
         # docstrings); release between queries so ~20 bench queries don't
         # accumulate cached blocks in one long-lived session.
@@ -110,6 +124,7 @@ def main() -> None:
             {
                 "metric": "headline_queries_total_time",
                 "value": round(total, 3),
+                "value_best_of_3": round(total_best, 3),
                 "unit": "sec",
                 "queries": per_query,
                 "extra_queries": extra,
