@@ -3017,7 +3017,7 @@ def _rewrite_funnel_aggs(sql: str) -> str:
                 f"sequenceCount pattern {pat!r} is not a sequential"
                 " (?1)[.*](?2)... form ((?t op n) time gaps are not"
                 " single-pass countable) — use"
-                " operators.windows.sequence_count"
+                " operators.stats.sequence_count"
             )
         # adjacent[i]: ref i+1 directly follows ref i (nothing between) —
         # ClickHouse adjacency: the two matched events must be CONSECUTIVE
