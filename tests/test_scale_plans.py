@@ -289,6 +289,10 @@ def test_jaccard_pairs_has_no_join_in_candidate_stage(spark):
     (the former SortMergeJoin on the shingle hash), no cartesian. The
     only joins left are the two pair-set-bounded broadcast size lookups
     plus the semi-join that bounds them."""
+    # cache-independent plan shape: earlier tests (entry contract) may
+    # leave q45's persisted frames pinned, which would swap the asserted
+    # joins for InMemoryTableScan nodes
+    spark.catalog.clearCache()
     p = _plan(QUERIES["q45_jaccard_pairs"](spark, "/root/testdata/sf0.001"))
     import re
 
