@@ -90,9 +90,10 @@ top-level token scanning (never inside strings/parens):
   sequenceCount          sequential patterns via the fold with a
                          greedy non-overlapping completion counter;
                          ClickHouse adjacency ('(?1)(?2)') counted
-                         exactly (break on intervening listed events,
-                         fall back to the adjacent run's start);
-                         (?t op n) time gaps raise → use the operator
+                         exactly (NFA subset simulation); (?t op n)
+                         time gaps counted exactly too (timed NFA,
+                         one dominant timestamp per depth); only
+                         (?t == n) raises (no dominance order)
   groupArray(n)(x)       size-capped collectors → slice(collect_*)
   uniqUpTo(n)(x)         least(count(DISTINCT x), n+1)
   quantile...If(p)(x,c)  parametric + -If combinators compose
@@ -3001,35 +3002,59 @@ def _rewrite_funnel_aggs(sql: str) -> str:
         close2 = _call_end(sql, open2)
         args = _split_top_commas(sql[open2 + 1: close2])
         ts, conds = args[0], args[1:]
-        # same token grammar as sequenceMatch minus (?t op n): counting
-        # under a time bound needs the re-anchoring nested-exists search,
-        # which has no single-pass counting form — gaps stay a loud raise.
-        tok_rx = re.compile(r"\(\?(\d+)\)|\.\*")
+        # same token grammar as sequenceMatch: (?N) refs, .* separators,
+        # and (?t op n) time gaps
+        tok_rx = re.compile(
+            r"\(\?(\d+)\)"
+            r"|\(\?t\s*(<=|>=|==|<|>)\s*(\d+(?:\.\d+)?)\)"
+            r"|\.\*"
+        )
         toks, pos2 = [], 0
         for tm in tok_rx.finditer(pat):
             if tm.start() != pos2:
                 break
             pos2 = tm.end()
-            toks.append(("ref", tm.group(1)) if tm.group(1) else ("any",))
+            if tm.group(1):
+                toks.append(("ref", tm.group(1)))
+            elif tm.group(2):
+                toks.append(("gap", tm.group(2), tm.group(3)))
+            else:
+                toks.append(("any",))
         order = [t[1] for t in toks if t[0] == "ref"]
-        if not order or pos2 != len(pat):
+        if not order or pos2 != len(pat) or toks[0][0] == "gap" or toks[-1][0] == "gap":
             raise ValueError(
                 f"sequenceCount pattern {pat!r} is not a sequential"
-                " (?1)[.*](?2)... form ((?t op n) time gaps are not"
-                " single-pass countable) — use"
+                " (?1)[.*|(?t op n)](?2)... form — use"
                 " operators.stats.sequence_count"
             )
-        # adjacent[i]: ref i+1 directly follows ref i (nothing between) —
-        # ClickHouse adjacency: the two matched events must be CONSECUTIVE
-        # among events matching ANY listed condition (referenced or not).
-        adjacent, seen_any, started = [], False, False
+        # edges[i] (between ref i+1 and ref i+2, 0-indexed): "adj" when
+        # the refs are directly adjacent (ClickHouse adjacency: the two
+        # matched events must be CONSECUTIVE among events matching ANY
+        # listed condition), ("gap", op, n) for a (?t op n) separator
+        # (the r5-documented funnel-with-deadline reading: time bound
+        # alone, intermediate matching events allowed), "any" for .*
+        edges: list = []
+        pend: list = []
+        started = False
         for t in toks:
             if t[0] == "ref":
                 if started:
-                    adjacent.append(not seen_any)
-                started, seen_any = True, False
+                    if any(p[0] == "gap" for p in pend):
+                        gaps_here = [p for p in pend if p[0] == "gap"]
+                        if len(gaps_here) > 1:
+                            raise ValueError(
+                                f"sequenceCount pattern {pat!r}: doubled"
+                                " time condition between two refs"
+                            )
+                        edges.append(("gap", gaps_here[0][1], gaps_here[0][2]))
+                    elif pend:
+                        edges.append(("any",))
+                    else:
+                        edges.append(("adj",))
+                started, pend = True, []
             else:
-                seen_any = True
+                pend.append(t)
+        adjacent = [e[0] == "adj" for e in edges]
         fields = ", ".join(
             [f"CAST(CAST({ts} AS TIMESTAMP) AS DOUBLE) AS t"]
             + [f"({c}) AS s{i + 1}" for i, c in enumerate(conds)]
@@ -3039,7 +3064,85 @@ def _rewrite_funnel_aggs(sql: str) -> str:
         # event).
         evs = f"array_sort(collect_list(struct({fields})))"
         L = len(order)
-        if any(adjacent):
+        has_gap = any(e[0] == "gap" for e in edges)
+        if any(e[0] == "gap" and e[1] == "==" for e in edges):
+            raise ValueError(
+                f"sequenceCount pattern {pat!r}: a (?t == n) gap admits"
+                " no dominance order between live chains, so the"
+                " single-pass counter cannot be exact — use"
+                " sequenceMatch for existence or restate the bound"
+            )
+        if has_gap:
+            # Timed NFA: time bounds need re-anchoring (an upper bound
+            # makes a greedy single chain incomplete: A@0 A@100 B@105
+            # under t<=10 only matches via the second A), and counting
+            # forbids the nested-exists search sequenceMatch uses. The
+            # state is one BEST timestamp per depth d (the time of ref
+            # d's matched event), NULL = no live chain there. Per-depth
+            # dominance makes one slot exact: for a '<='/'<' outgoing
+            # edge a LATER timestamp satisfies everything an earlier one
+            # does (keep greatest); for '>'/'>=' an EARLIER one does
+            # (keep least); '.*'/adjacency edges are time-free (either
+            # works). Events arrive in time order, so stored times never
+            # exceed the current event's (ties resolve in array-sort
+            # order). Depths waiting on an ADJACENT outgoing edge are
+            # killed by any other listed event, exactly as in the
+            # bitmask NFA below; completion resets every slot (CH's
+            # non-overlapping restart). Exactness is property-tested
+            # against the backtracking reference (tests/test_property.py)
+            # and was exhaustively validated offline on all short event
+            # strings; (?t == n) has no dominance order and raises above.
+            any_cond = " OR ".join(f"__ch_e.s{j + 1}" for j in range(len(conds)))
+            null_arr = "array(" + ", ".join(
+                ["CAST(NULL AS DOUBLE)"] * (L - 1)
+            ) + ")"
+
+            def gapok(i: int, p: str) -> str:
+                # edge e_{i+1} (edges[i], 0-indexed) traversed at __ch_e.t
+                # from a chain whose previous ref matched at time `p`
+                e = edges[i]
+                if e[0] == "gap":
+                    op = {"==": "="}.get(e[1], e[1])
+                    return (
+                        f"(__ch_e.t > {p} AND __ch_e.t - {p} {op} {e[2]})"
+                    )
+                return f"__ch_e.t > {p}"
+
+            p_exprs = []
+            for d in range(1, L):  # depth d lives in 0-indexed slot d-1
+                if d == 1:
+                    adv = f"CASE WHEN __ch_e.s{order[0]} THEN __ch_e.t END"
+                else:
+                    adv = (
+                        f"CASE WHEN __ch_e.s{order[d - 1]}"
+                        f" AND {gapok(d - 2, f'__ch_ac.p[{d - 2}]')}"
+                        f" THEN __ch_e.t END"
+                    )
+                out_edge = edges[d - 1]  # outgoing edge of depth d
+                if out_edge[0] == "adj":
+                    keep = "CAST(NULL AS DOUBLE)"  # killed by this event
+                else:
+                    keep = f"__ch_ac.p[{d - 1}]"
+                comb = (
+                    "least" if out_edge[0] == "gap" and out_edge[1] in (">", ">=")
+                    else "greatest"
+                )
+                p_exprs.append(f"{comb}({adv}, {keep})")
+            complete = (
+                f"__ch_e.s{order[L - 1]}"
+                f" AND {gapok(L - 2, f'__ch_ac.p[{L - 2}]')}"
+            )
+            expr = (
+                f"aggregate({evs}, named_struct('c', 0, 'p', {null_arr}),"
+                f" (__ch_ac, __ch_e) -> CASE"
+                f" WHEN NOT ({any_cond}) THEN __ch_ac"
+                f" WHEN {complete} THEN"
+                f" named_struct('c', __ch_ac.c + 1, 'p', {null_arr})"
+                f" ELSE named_struct('c', __ch_ac.c,"
+                f" 'p', array({', '.join(p_exprs)})) END,"
+                f" __ch_ac -> __ch_ac.c)"
+            )
+        elif any(adjacent):
             # Adjacency makes a single live chain insufficient: an event
             # can match BOTH the expected next ref and the anchor of a
             # better chain (exhaustively confirmed: greedy-with-fallback

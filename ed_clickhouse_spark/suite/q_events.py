@@ -629,3 +629,71 @@ def q218_star_apply_monitoring(spark, sf_dir):
     return spark.sql(
         translate(_CH_STAR_APPLY_SQL, {"events": ev.columns}).sql
     )
+
+
+_CH_SEQ_COUNT_DEADLINE_SQL = """
+SELECT conversions, count() AS n_users
+FROM (
+  SELECT user_id,
+         sequenceCount('(?1)(?t<=3600)(?2)')(
+           ts, event_type = 'click', event_type = 'purchase') AS conversions
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY user_id
+) GROUP BY conversions ORDER BY conversions
+"""
+
+
+@query(
+    "q219_sequence_count_deadline",
+    oracle="""
+    WITH RECURSIVE f AS (
+      SELECT user_id, ts,
+             event_type = 'click' AS is_a,
+             event_type = 'purchase' AS is_b,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    walk AS (
+      SELECT user_id, 0 AS rn, CAST(NULL AS TIMESTAMP) AS last_a, 0 AS cnt
+      FROM (SELECT DISTINCT user_id FROM f)
+      UNION ALL
+      SELECT f.user_id, f.rn,
+             CASE WHEN f.is_b AND w.last_a IS NOT NULL
+                       AND f.ts > w.last_a
+                       AND f.ts <= w.last_a + INTERVAL 1 HOUR THEN NULL
+                  WHEN f.is_a THEN f.ts
+                  ELSE w.last_a END,
+             w.cnt + CASE WHEN f.is_b AND w.last_a IS NOT NULL
+                       AND f.ts > w.last_a
+                       AND f.ts <= w.last_a + INTERVAL 1 HOUR
+                      THEN 1 ELSE 0 END
+      FROM walk w JOIN f ON f.user_id = w.user_id AND f.rn = w.rn + 1
+    ),
+    final AS (
+      SELECT w.user_id, CAST(w.cnt AS INTEGER) AS conversions
+      FROM walk w
+      JOIN (SELECT user_id, MAX(rn) AS mx FROM f GROUP BY 1) m
+        ON w.user_id = m.user_id AND w.rn = m.mx
+    )
+    SELECT conversions, COUNT(*) AS n_users
+    FROM final GROUP BY 1 ORDER BY 1
+    """,
+)
+def q219_sequence_count_deadline(spark, sf_dir):
+    """Time-bounded conversion counting spelled VERBATIM in the dialect:
+    ``sequenceCount('(?1)(?t<=3600)(?2)')`` — click-to-purchase chains
+    completing within an hour, greedy non-overlapping with exact
+    re-anchoring (A@0 A@100 B@105 under t<=10 counts via the second A).
+    Translated to the timed-NFA fold (chsql.py): one dominant timestamp
+    per pattern depth folded over each user's time-sorted event array —
+    pure JVM, one shuffle on user_id, linear per group, validated
+    against a backtracking reference on 190k exhaustive+random cases.
+    The DuckDB oracle walks the same greedy state machine with a
+    recursive CTE (latest unconsumed click; consume on fire)."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(translate(_CH_SEQ_COUNT_DEADLINE_SQL).sql)

@@ -1158,9 +1158,13 @@ def test_sequence_count_adjacency_exact(views):
     run (the docs' third-condition example), including the 3-ref,
     repeated-ref, and mixed shapes the pre-r6 fold refused or — for
     all-referenced 3-ref patterns — silently over-counted."""
-    # (?t op n) gaps remain a loud refusal — no single-pass count exists
-    with pytest.raises(ValueError, match="sequential"):
-        translate("SELECT sequenceCount('(?1)(?t>10)(?2)')(ts, a, b) FROM e")
+    # (?t op n) gaps translate via the timed NFA; only (?t == n) raises
+    # (no dominance order between live chains)
+    assert translate(
+        "SELECT sequenceCount('(?1)(?t>10)(?2)')(ts, a, b) FROM e"
+    ).sql
+    with pytest.raises(ValueError, match="dominance"):
+        translate("SELECT sequenceCount('(?1)(?t==5)(?2)')(ts, a, b) FROM e")
 
     def run(pattern, conds, events):
         rows = ", ".join(f"('u', {i + 1}, '{e}')" for i, e in enumerate(events))

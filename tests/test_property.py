@@ -411,3 +411,133 @@ def test_sequence_count_adjacency_matches_reference(spark, seq, pat):
         ).sql
     ).first()["c"]
     assert got == want
+
+
+def _parse_seq_pattern(pat):
+    """(refs, edges) from a sequenceCount pattern: edge is 'adj', 'any',
+    or ('gap', op, n)."""
+    import re as _re
+
+    tok_rx = _re.compile(
+        r"\(\?(\d+)\)|\(\?t\s*(<=|>=|<|>)\s*(\d+(?:\.\d+)?)\)|\.\*"
+    )
+    toks = []
+    for tm in tok_rx.finditer(pat):
+        if tm.group(1):
+            toks.append(("ref", int(tm.group(1))))
+        elif tm.group(2):
+            toks.append(("gap", tm.group(2), float(tm.group(3))))
+        else:
+            toks.append(("any",))
+    refs = [t[1] for t in toks if t[0] == "ref"]
+    edges, pend, started = [], [], False
+    for t in toks:
+        if t[0] == "ref":
+            if started:
+                g = [p for p in pend if p[0] == "gap"]
+                edges.append(g[0] if g else (("any",) if pend else ("adj",)))
+            started, pend = True, []
+        else:
+            pend.append(t)
+    return refs, edges
+
+
+def _ref_sequence_count_timed(listed, refs, edges, match):
+    """Backtracking reference with time-gap edges: earliest-completing
+    valid match among listed (index, time, symbol) events, restart after
+    its last event."""
+    from itertools import combinations
+
+    def gapok(e, t1, t2):
+        if e[0] == "gap":
+            d = t2 - t1
+            return {
+                "<=": t2 > t1 and d <= e[2],
+                "<": t2 > t1 and d < e[2],
+                ">=": t2 > t1 and d >= e[2],
+                ">": d > e[2],
+            }[e[1]]
+        return t2 > t1
+
+    def earliest_end(start):
+        best = None
+        for combo in combinations(range(start, len(listed)), len(refs)):
+            if not all(
+                match(listed[c][2], r) for c, r in zip(combo, refs)
+            ):
+                continue
+            ok = True
+            for k, e in enumerate(edges):
+                i1, i2 = combo[k], combo[k + 1]
+                if e[0] == "adj" and i2 != i1 + 1:
+                    ok = False
+                    break
+                if not gapok(e, listed[i1][1], listed[i2][1]):
+                    ok = False
+                    break
+            if ok and (best is None or combo[-1] < best):
+                best = combo[-1]
+        return best
+
+    cnt, start = 0, 0
+    while True:
+        end = earliest_end(start)
+        if end is None:
+            return cnt
+        cnt, start = cnt + 1, end + 1
+
+
+@given(
+    ev=st.lists(
+        st.tuples(st.sampled_from("ABCX"), st.integers(1, 4)),
+        min_size=0,
+        max_size=10,
+    ),
+    pat=st.sampled_from(
+        [
+            "(?1)(?t<=2)(?2)",
+            "(?1)(?t>2)(?2)",
+            "(?1)(?t<3)(?2)(?t>=1)(?3)",
+            "(?1).*(?2)(?t<=3)(?3)",
+            "(?1)(?2)(?t<=4)(?3)",
+            "(?1)(?t<=2)(?1)",
+        ]
+    ),
+)
+@_SET
+def test_sequence_count_timed_matches_reference(spark, ev, pat):
+    """The timed-NFA counting fold (per-depth dominant timestamp) equals
+    the backtracking reference under (?t op n) gaps mixed with .* and
+    adjacency edges, on irregular event spacing with overlapping
+    conditions."""
+    from ed_clickhouse_spark.chsql import translate
+
+    preds = [lambda s: s == "A", lambda s: s == "B", lambda s: s in "AC"]
+    times, cur = [], 0
+    for _sym, delta in ev:
+        cur += delta
+        times.append(cur)
+    seq = [sym for sym, _ in ev]
+    listed = [
+        (i, float(times[i]), s)
+        for i, s in enumerate(seq)
+        if any(p(s) for p in preds)
+    ]
+    # re-index adjacency positions within the listed subsequence
+    listed = [(j, t, s) for j, (_, t, s) in enumerate(listed)]
+    refs, edges = _parse_seq_pattern(pat)
+    want = _ref_sequence_count_timed(
+        listed, refs, edges, lambda s, r: preds[r - 1](s)
+    )
+    rows = [("u", times[i], s) for i, s in enumerate(seq)] or [("u", 0, "X")]
+    df = spark.createDataFrame(rows, "u string, ts int, sym string")
+    df.createOrReplaceTempView("__ptimed")
+    got = spark.sql(
+        translate(
+            f"SELECT sequenceCount('{pat}')("
+            " CAST(ts AS TIMESTAMP), sym = 'A', sym = 'B',"
+            " sym IN ('A', 'C')) AS c"
+            " FROM __ptimed GROUP BY u"
+        ).sql
+    ).first()["c"]
+    assert got == want
