@@ -245,3 +245,34 @@ FROM (
 -- 36. correlation matrix panel between value and hour-of-day
 SELECT corrMatrix(value, toHour(ts) + 0.0) AS m
 FROM events WHERE value IS NOT NULL;
+
+-- 37. ops monitoring via star modifiers: per-type extrema for every
+-- metric column without spelling the schema (expands server-side)
+SELECT event_type,
+       * EXCEPT (event_type, ts, props) APPLY (max),
+       COLUMNS('^value$') APPLY (min)
+FROM events GROUP BY event_type ORDER BY event_type LIMIT 10;
+
+-- 38. strict adjacency conversions: click immediately followed by
+-- purchase with NO other tracked event in between (sequenceCount NFA)
+SELECT c_adjacent, count() AS n_users FROM (
+  SELECT user_id,
+         sequenceCount('(?1)(?2)')(ts, event_type = 'click',
+                                   event_type = 'purchase',
+                                   event_type = 'view') AS c_adjacent
+  FROM events WHERE event_type IN ('click', 'purchase', 'view')
+  GROUP BY user_id
+) GROUP BY c_adjacent ORDER BY c_adjacent;
+
+-- 39. deadline conversions: click-to-purchase chains completing within
+-- an hour, greedy non-overlapping with exact re-anchoring (timed NFA)
+SELECT countIf(c > 0) AS converting_users,
+       count() AS tracked_users,
+       round(avg(c), 4) AS avg_conversions
+FROM (
+  SELECT user_id,
+         sequenceCount('(?1)(?t<=3600)(?2)')(
+           ts, event_type = 'click', event_type = 'purchase') AS c
+  FROM events WHERE event_type IN ('click', 'purchase')
+  GROUP BY user_id
+);

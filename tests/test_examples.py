@@ -29,8 +29,12 @@ def dash_views(spark, sf_dir):
     from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
 
     register_sql_aliases(spark)
+    specs = {}
     for name in ("events", "documents", "orders", "customer", "lineitem"):
-        read_table(spark, sf_dir, name).createOrReplaceTempView(name)
+        df = read_table(spark, sf_dir, name)
+        df.createOrReplaceTempView(name)
+        specs[name] = df.columns  # star-modifier expansion (panel 37)
+    spark.__dash_specs = specs
     return spark
 
 
@@ -38,9 +42,9 @@ def test_every_dashboard_statement_runs(dash_views):
     from ed_clickhouse_spark.chsql import translate
 
     stmts = _statements()
-    assert len(stmts) == 36
+    assert len(stmts) == 39
     for i, stmt in enumerate(stmts, start=1):
-        tr = translate(stmt)
+        tr = translate(stmt, dash_views.__dash_specs)
         rows = dash_views.sql(tr.sql).collect()
         assert rows, f"statement {i} returned no rows: {stmt[:80]}"
 

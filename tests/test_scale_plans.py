@@ -350,3 +350,24 @@ def test_passage_excision_plan_shape(spark):
     # gram keys are md5-prefixed BEFORE any exchange: the join condition
     # mentions gram_key, never a raw gram string
     assert "gram_key" in p
+
+
+def test_round6_queries_plan_shapes(spark):
+    """The three round-6 queries keep the shapes their docstrings claim:
+    pushed-down type filters, pruned scans, no joins or cartesians —
+    each is collect_list-fold (q217/q219) or pure aggregation (q218)."""
+    import re
+
+    spark.catalog.clearCache()
+    for name, max_exchanges in [
+        ("q217_sequence_count_adjacent", 3),  # group, histogram, sort
+        ("q218_star_apply_monitoring", 2),    # group, sort
+        ("q219_sequence_count_deadline", 3),
+    ]:
+        p = _plan(QUERIES[name](spark, "/root/testdata/sf0.001"))
+        assert "Join" not in p and "CartesianProduct" not in p, name
+        n_ex = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+        assert n_ex <= max_exchanges, (name, n_ex)
+    # the sequence folds push their event-type filters into the scan
+    p = _plan(QUERIES["q219_sequence_count_deadline"](spark, "/root/testdata/sf0.001"))
+    assert "PushedFilters: [In(event_type" in p
