@@ -29,7 +29,7 @@ def entry(spark: SparkSession) -> DataFrame:
 #   3. round-3, then round-4, then round-5 cohorts (freshest last).
 _R6_NEW = [
     "q217_sequence_count_adjacent", "q218_star_apply_monitoring",
-    "q219_sequence_count_deadline",
+    "q219_sequence_count_deadline", "q220_funnel_exact_depth",
 ]
 
 _LAST_R1 = {

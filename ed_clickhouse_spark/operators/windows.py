@@ -130,6 +130,74 @@ def funnel(
     return out.select(user_col, expr.alias("funnel_steps"))
 
 
+def funnel_exact(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    steps: list[str],
+    window_seconds: int,
+) -> DataFrame:
+    """ClickHouse ``windowFunnel(W)(ts, conds...)`` with the EXACT
+    re-anchoring semantics of ClickHouse's own DP — the variant
+    :func:`funnel` deliberately trades away for SQL-oracle-able greedy
+    anchoring (documented deviation there). Here the chain may anchor
+    at ANY step-1 event: depth = max k such that some increasing event
+    subsequence matches steps 1..k with ``ts_k - ts_1 <= W``.
+
+    Implementation mirrors ClickHouse's algorithm: fold the time-sorted
+    event array keeping, per depth d, the LATEST chain-anchor timestamp
+    among chains reaching d (later anchors dominate — they satisfy every
+    window a smaller one does, so one slot per depth is exact). A step-d
+    event propagates the depth-(d-1) anchor when it lands within W of
+    it; a step-1 event refreshes the depth-1 anchor. Slots only grow, so
+    the final depth is the filled-prefix length. Equal timestamps
+    process in array order (ClickHouse's default mode also admits
+    equal-timestamp chains; only ``strict_increase`` forbids them).
+
+    One shuffle on ``user_col``; the fold is a single JVM ``aggregate``
+    over the collected struct array. Property-tested against a
+    brute-force subsequence matcher (tests/test_property.py); q220
+    oracle-checks it against nested-EXISTS chains in DuckDB.
+
+    Returns (user_col, funnel_steps) with funnel_steps in 0..len(steps).
+    """
+    K = len(steps)
+    fields = ", ".join(
+        [f"CAST(CAST({ts_col} AS TIMESTAMP) AS DOUBLE) AS t"]
+        + [f"(__ev = {_sql_str(s)}) AS s{i + 1}" for i, s in enumerate(steps)]
+    )
+    evs = f"array_sort(collect_list(struct({fields})))"
+    init = "array(" + ", ".join(["CAST(NULL AS DOUBLE)"] * K) + ")"
+    slots = []
+    for d in range(1, K + 1):
+        if d == 1:
+            cand = "CASE WHEN __e.s1 THEN __e.t END"
+        else:
+            cand = (
+                f"CASE WHEN __e.s{d} AND __a[{d - 2}] IS NOT NULL"
+                f" AND __e.t - __a[{d - 2}] <= {int(window_seconds)}"
+                f" THEN __a[{d - 2}] END"  # propagate the chain ANCHOR
+            )
+        slots.append(f"greatest(__a[{d - 1}], {cand})")
+    expr = (
+        f"size(filter(aggregate({evs}, {init},"
+        f" (__a, __e) -> array({', '.join(slots)})),"
+        f" __x -> __x IS NOT NULL))"
+    )
+    return (
+        df.filter(F.col(event_col).isin(steps))
+        .select(F.col(user_col), F.col(ts_col), F.col(event_col).alias("__ev"))
+        .groupBy(user_col)
+        .agg(F.expr(expr).alias("funnel_steps"))
+    )
+
+
+def _sql_str(s: str) -> str:
+    """SQL string literal with quotes escaped (step names are data)."""
+    return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
 def retention(
     df: DataFrame,
     user_col: str,

@@ -697,3 +697,66 @@ def q219_sequence_count_deadline(spark, sf_dir):
     register_sql_aliases(spark)
     t(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(translate(_CH_SEQ_COUNT_DEADLINE_SQL).sql)
+
+
+@query(
+    "q220_funnel_exact_depth",
+    oracle="""
+    WITH su AS (
+      SELECT DISTINCT user_id FROM events
+      WHERE event_type IN ('signup', 'click', 'purchase')
+    ),
+    d AS (
+      SELECT user_id,
+        CASE
+          WHEN EXISTS (
+            SELECT 1 FROM events a
+            JOIN events b ON b.user_id = a.user_id
+            JOIN events c ON c.user_id = a.user_id
+            WHERE a.user_id = su.user_id
+              AND a.event_type = 'signup' AND b.event_type = 'click'
+              AND c.event_type = 'purchase'
+              AND b.ts >= a.ts AND c.ts >= b.ts
+              AND c.ts <= a.ts + INTERVAL 1 DAY
+          ) THEN 3
+          WHEN EXISTS (
+            SELECT 1 FROM events a
+            JOIN events b ON b.user_id = a.user_id
+            WHERE a.user_id = su.user_id
+              AND a.event_type = 'signup' AND b.event_type = 'click'
+              AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 DAY
+          ) THEN 2
+          WHEN EXISTS (
+            SELECT 1 FROM events a
+            WHERE a.user_id = su.user_id AND a.event_type = 'signup'
+          ) THEN 1
+          ELSE 0
+        END AS funnel_steps
+      FROM su
+    )
+    SELECT funnel_steps, COUNT(*) AS n_users
+    FROM d GROUP BY 1 ORDER BY 1
+    """,
+)
+def q220_funnel_exact_depth(spark, sf_dir):
+    """windowFunnel with ClickHouse's EXACT re-anchoring semantics
+    (operators/windows.py:funnel_exact — latest-anchor DP, the
+    algorithm ClickHouse itself runs): per-user max funnel depth for
+    signup -> click -> purchase within a day, where the chain may
+    anchor at ANY signup. The sibling q95/q32 keep funnel()'s greedy
+    first-anchor semantics (documented deviation, SQL-oracle-able with
+    MIN-chains); here the oracle is the literal existence formula —
+    depth >= k iff an increasing event chain matching steps 1..k fits
+    in the window — spelled as nested EXISTS joins."""
+    from ed_clickhouse_spark.operators.windows import funnel_exact
+
+    e = t(spark, sf_dir, "events")
+    depths = funnel_exact(
+        e, "user_id", "ts", "event_type",
+        ["signup", "click", "purchase"], 86400,
+    )
+    return (
+        depths.groupBy("funnel_steps")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("funnel_steps")
+    )

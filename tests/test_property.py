@@ -541,3 +541,47 @@ def test_sequence_count_timed_matches_reference(spark, ev, pat):
         ).sql
     ).first()["c"]
     assert got == want
+
+
+@given(
+    ev=st.lists(
+        st.tuples(st.sampled_from("ABCX"), st.integers(1, 5)),
+        min_size=0,
+        max_size=10,
+    ),
+    w=st.sampled_from([3, 6, 12, 1000]),
+)
+@_SET
+def test_funnel_exact_matches_brute_force(spark, ev, w):
+    """funnel_exact's latest-anchor DP (ClickHouse's windowFunnel
+    algorithm) equals the brute-force max-depth subsequence matcher:
+    max k with an increasing event subsequence matching steps 1..k and
+    last - first <= W."""
+    from itertools import combinations
+
+    from ed_clickhouse_spark.operators.windows import funnel_exact
+
+    steps = ["A", "B", "C"]
+    times, cur = [], 0
+    for _sym, d in ev:
+        cur += d
+        times.append(cur)
+    seq = [sym for sym, _ in ev]
+
+    def brute():
+        for k in range(len(steps), 0, -1):
+            for combo in combinations(range(len(seq)), k):
+                if (
+                    all(seq[combo[j]] == steps[j] for j in range(k))
+                    and times[combo[-1]] - times[combo[0]] <= w
+                ):
+                    return k
+        return 0
+
+    rows = [("u", times[i], s) for i, s in enumerate(seq)] or [("u", 0, "X")]
+    df = spark.createDataFrame(rows, "u string, ts int, ev string").selectExpr(
+        "u", "CAST(ts AS TIMESTAMP) AS ts", "ev"
+    )
+    got = funnel_exact(df, "u", "ts", "ev", steps, w).collect()
+    depth = got[0]["funnel_steps"] if got else 0
+    assert depth == brute()
