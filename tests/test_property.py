@@ -585,3 +585,33 @@ def test_funnel_exact_matches_brute_force(spark, ev, w):
     got = funnel_exact(df, "u", "ts", "ev", steps, w).collect()
     depth = got[0]["funnel_steps"] if got else 0
     assert depth == brute()
+
+
+@given(
+    parts=st.lists(
+        st.sampled_from(
+            [
+                "(", ")", "'", '"', ",", ".*", "(?1)", "(?t<=3)", "*",
+                "SELECT", "FROM", "WHERE", "GROUP BY", "ORDER BY",
+                "APPLY", "COLUMNS", "REPLACE", "EXCEPT", "sequenceCount",
+                "windowFunnel", "LIMIT 1 BY x", "ARRAY JOIN", "WITH FILL",
+                "SAMPLE 0.1", "FINAL", "PREWHERE", "QUALIFY", "'x'",
+                "tuple(", "[1,2]", "t", "x", "1", "--c", "::Int64",
+            ]
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@_SET
+def test_translate_never_crashes_unstructured(parts):
+    """Malformed dialect input must surface as ValueError (a loud,
+    actionable refusal), never an internal IndexError/KeyError from the
+    token scanner — the contract a front-end needs to show users their
+    own syntax error."""
+    from ed_clickhouse_spark.chsql import translate
+
+    try:
+        translate(" ".join(parts))
+    except ValueError:
+        pass  # loud refusal is the contract for malformed input
