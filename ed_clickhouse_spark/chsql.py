@@ -3239,6 +3239,41 @@ def _rewrite_funnel_aggs(sql: str) -> str:
             + [f"({c}) AS s{i + 1}" for i, c in enumerate(conds)]
         )
         evs = f"array_sort(collect_list(struct({fields})))"
+        if not modes:
+            # Bare windowFunnel(W) runs ClickHouse's EXACT re-anchoring
+            # DP (r6): per depth keep the LATEST chain-anchor timestamp
+            # among chains reaching it — a step-d event propagates the
+            # depth-(d-1) anchor when it lands within W of it, a step-1
+            # event refreshes the anchor. Later anchors dominate (they
+            # satisfy every window a smaller one does), so one slot per
+            # depth is exact; slots only grow, so depth = filled-prefix
+            # size. Same engine as operators/windows.py:funnel_exact,
+            # validated against a brute-force subsequence matcher on
+            # ~97k exhaustive cases. Mode strings keep the greedy fold
+            # below: strict_increase needs per-chain last-event times
+            # (no single-slot dominance) and CH's strict_order/dedup
+            # interactions with re-anchoring are unspecified — those
+            # stay the documented deviation.
+            K = len(conds)
+            init = "array(" + ", ".join(["CAST(NULL AS DOUBLE)"] * K) + ")"
+            slots = []
+            for d in range(1, K + 1):
+                if d == 1:
+                    cand = "CASE WHEN __ch_e.s1 THEN __ch_e.t END"
+                else:
+                    cand = (
+                        f"CASE WHEN __ch_e.s{d} AND __ch_a[{d - 2}] IS NOT NULL"
+                        f" AND __ch_e.t - __ch_a[{d - 2}] <= ({w})"
+                        f" THEN __ch_a[{d - 2}] END"
+                    )
+                slots.append(f"greatest(__ch_a[{d - 1}], {cand})")
+            expr = (
+                f"size(filter(aggregate({evs}, {init},"
+                f" (__ch_a, __ch_e) -> array({', '.join(slots)})),"
+                f" __ch_x -> __ch_x IS NOT NULL))"
+            )
+            sql = sql[: m.start()] + expr + sql[close2 + 1:]
+            continue
         # Mode semantics mirror operators/windows.py:funnel on the same
         # greedy-earliest fold (documented deviation from CH's
         # re-anchoring DP):

@@ -421,20 +421,6 @@ FROM per_user GROUP BY depth ORDER BY depth
       SELECT user_id, MIN(ts) AS t1 FROM events
       WHERE event_type = 'signup' GROUP BY 1
     ),
-    t2 AS (
-      SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
-      JOIN t1 ON e.user_id = t1.user_id
-             AND e.ts > t1.t1 AND e.ts <= t1.t1 + INTERVAL 1 DAY
-      WHERE e.event_type = 'click' GROUP BY 1
-    ),
-    t3 AS (
-      SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
-      JOIN t2 ON e.user_id = t2.user_id
-      JOIN t1 ON e.user_id = t1.user_id
-      WHERE e.event_type = 'purchase'
-        AND e.ts > t2.t2 AND e.ts <= t1.t1 + INTERVAL 1 DAY
-      GROUP BY e.user_id
-    ),
     m2 AS (
       SELECT e.user_id FROM events e
       JOIN t1 ON e.user_id = t1.user_id AND e.ts > t1.t1
@@ -442,15 +428,30 @@ FROM per_user GROUP BY depth ORDER BY depth
     ),
     pu AS (
       SELECT su.user_id,
-             CASE WHEN t3.user_id IS NOT NULL THEN 3
-                  WHEN t2.user_id IS NOT NULL THEN 2
-                  WHEN t1.user_id IS NOT NULL THEN 1
-                  ELSE 0 END AS depth,
+             CASE
+               WHEN EXISTS (
+                 SELECT 1 FROM events a
+                 JOIN events b ON b.user_id = a.user_id
+                 JOIN events c ON c.user_id = a.user_id
+                 WHERE a.user_id = su.user_id
+                   AND a.event_type = 'signup' AND b.event_type = 'click'
+                   AND c.event_type = 'purchase'
+                   AND b.ts >= a.ts AND c.ts >= b.ts
+                   AND c.ts <= a.ts + INTERVAL 1 DAY
+               ) THEN 3
+               WHEN EXISTS (
+                 SELECT 1 FROM events a
+                 JOIN events b ON b.user_id = a.user_id
+                 WHERE a.user_id = su.user_id
+                   AND a.event_type = 'signup' AND b.event_type = 'click'
+                   AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 DAY
+               ) THEN 2
+               WHEN t1.user_id IS NOT NULL THEN 1
+               ELSE 0
+             END AS depth,
              (m2.user_id IS NOT NULL) AS m
       FROM su
       LEFT JOIN t1 ON su.user_id = t1.user_id
-      LEFT JOIN t2 ON su.user_id = t2.user_id
-      LEFT JOIN t3 ON su.user_id = t3.user_id
       LEFT JOIN m2 ON su.user_id = m2.user_id
     )
     SELECT depth, COUNT(*) AS n_users,
@@ -465,9 +466,10 @@ def q206_ch_event_analytics(spark, sf_dir):
     front-end (chsql._rewrite_funnel_aggs): each becomes ONE
     ``aggregate()`` fold over the user's time-sorted event array (pure
     JVM, one shuffle on user_id, linear per group), then a depth
-    histogram with sequence-match counts. Greedy-earliest anchor
-    semantics as operators/windows.py:funnel (documented deviation from
-    ClickHouse's re-anchoring DP)."""
+    histogram with sequence-match counts. Bare windowFunnel runs
+    ClickHouse's EXACT re-anchoring DP since r6 (the funnel_exact
+    engine); the oracle is the literal nested-EXISTS existence
+    formula."""
     from ed_clickhouse_spark.chsql import translate
     from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
 

@@ -690,10 +690,15 @@ def test_battery_spellings_execute(views):
 
 def test_event_analytics_aggregates_via_sql(views, sf_dir):
     """retention / windowFunnel / sequenceMatch run verbatim through
-    ch_sql and agree with the batch operators (same documented
-    greedy-earliest semantics)."""
+    ch_sql and agree with the batch operators. Bare windowFunnel is
+    ClickHouse-exact since r6 and pairs with funnel_exact; the greedy
+    funnel() can only differ downward (a chain it anchors too early)."""
     from ed_clickhouse_spark.catalog import read_table
-    from ed_clickhouse_spark.operators.windows import funnel, sequence_match
+    from ed_clickhouse_spark.operators.windows import (
+        funnel,
+        funnel_exact,
+        sequence_match,
+    )
 
     d = read_table(views, sf_dir, "events")
     d.createOrReplaceTempView("events")
@@ -705,9 +710,9 @@ def test_event_analytics_aggregates_via_sql(views, sf_dir):
             "FROM events GROUP BY user_id"
         ).sql
     )
-    op = funnel(
+    op = funnel_exact(
         d, "user_id", "ts", "event_type",
-        ["signup", "click", "purchase"], window_seconds=86400,
+        ["signup", "click", "purchase"], 86400,
     )
     assert (
         fun.join(op, "user_id")
@@ -715,6 +720,16 @@ def test_event_analytics_aggregates_via_sql(views, sf_dir):
         .count()
         == 0
     ) and fun.count() == op.count()
+    greedy = funnel(
+        d, "user_id", "ts", "event_type",
+        ["signup", "click", "purchase"], window_seconds=86400,
+    ).withColumnRenamed("funnel_steps", "greedy_steps")
+    assert (
+        fun.join(greedy, "user_id")
+        .where(F.col("depth") < F.col("greedy_steps"))
+        .count()
+        == 0
+    )
 
     seq = views.sql(
         translate(

@@ -585,6 +585,17 @@ def test_funnel_exact_matches_brute_force(spark, ev, w):
     got = funnel_exact(df, "u", "ts", "ev", steps, w).collect()
     depth = got[0]["funnel_steps"] if got else 0
     assert depth == brute()
+    # the bare dialect spelling runs the same exact DP (r6)
+    from ed_clickhouse_spark.chsql import translate
+
+    df.createOrReplaceTempView("__pfun")
+    dia = spark.sql(
+        translate(
+            f"SELECT windowFunnel({w})(ts, ev = 'A', ev = 'B', ev = 'C')"
+            " AS d FROM __pfun GROUP BY u"
+        ).sql
+    ).collect()
+    assert (dia[0]["d"] if dia else 0) == brute()
 
 
 @given(
