@@ -127,10 +127,11 @@ def q94_sequence_match(spark, sf_dir):
 )
 def q95_window_funnel(spark, sf_dir):
     """``windowFunnel(86400)``-style: funnel depth per user where every
-    later step must land within 1 day of the step-1 match (greedy-
-    earliest anchor — see operators/windows.py:funnel for the documented
-    deviation from ClickHouse's re-anchoring DP). Output: histogram of
-    funnel depth."""
+    later step must land within 1 day of the step-1 match, under
+    funnel()'s greedy-earliest anchor (the SQL-tractable MIN-chain
+    semantics). q220_funnel_exact_depth computes the SAME funnel under
+    ClickHouse's exact re-anchoring DP — the pair quantifies the
+    documented deviation on real data. Output: histogram of depth."""
     d = t(spark, sf_dir, "events")
     f = funnel(
         d, "user_id", "ts", "event_type",
