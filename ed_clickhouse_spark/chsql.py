@@ -2676,7 +2676,127 @@ def _rewrite_scalar_misc(sql: str) -> str:
                 " tupleElement(t, N) -> (t).colN"
             )
         sql = sql[: m.start()] + f"({args[0]}).col{args[1]}" + sql[close1 + 1:]
+    # r6 execution-probe tail: spellings that previously translated
+    # untouched and died at run time with UNRESOLVED_ROUTINE
+    while True:
+        m = _find_case_exact(sql, r"\baddInterval\s*\(")
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        if len(args) != 2:
+            raise ValueError("addInterval expects (datetime, INTERVAL expr)")
+        sql = sql[: m.start()] + f"({args[0]} + {args[1]})" + sql[close1 + 1:]
+    while True:
+        m = _find_case_exact(sql, r"\btoDecimalString\s*\(")
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        if len(args) != 2 or not re.fullmatch(r"\d+", args[1].strip()):
+            raise ValueError(
+                "toDecimalString translates only with a literal scale:"
+                " toDecimalString(x, N)"
+            )
+        n = min(int(args[1].strip()), 30)  # double precision ceiling
+        sql = (
+            sql[: m.start()]
+            + f"format_string('%.{n}f', CAST({args[0]} AS DOUBLE))"
+            + sql[close1 + 1:]
+        )
+    for fname, vertical in (
+        ("extractAllGroupsVertical", True),
+        ("extractAllGroupsHorizontal", False),
+    ):
+        while True:
+            m = _find_case_exact(sql, rf"\b{fname}\s*\(")
+            if not m:
+                break
+            open1 = sql.index("(", m.end() - 1)
+            close1 = _call_end(sql, open1)
+            args = _split_top_commas(sql[open1 + 1: close1])
+            ncap = _count_capture_groups(args[1].strip()) if len(args) == 2 else None
+            if not ncap:
+                raise ValueError(
+                    f"{fname} translates only with a literal pattern"
+                    " containing capture groups"
+                )
+            s_arg, p_arg = args[0], args[1]
+            per_group = [
+                f"regexp_extract_all({s_arg}, {p_arg}, {k})"
+                for k in range(1, ncap + 1)
+            ]
+            if vertical:
+                # one row per match, one element per group: walk group 1's
+                # matches by index and pick the same position from each
+                # group's extraction (exact — no re-matching of substrings)
+                others = ", ".join(
+                    f"element_at({g}, __ch_i + 1)" for g in per_group[1:]
+                )
+                tail = f", {others}" if others else ""
+                repl = (
+                    f"transform({per_group[0]},"
+                    f" (__ch_x, __ch_i) -> array(__ch_x{tail}))"
+                )
+            else:
+                repl = f"array({', '.join(per_group)})"
+            sql = sql[: m.start()] + repl + sql[close1 + 1:]
+    while True:
+        m = _find_case_exact(sql, r"\bmortonDecode\s*\(")
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        if len(args) != 2 or args[0].strip() != "2":
+            raise ValueError(
+                "mortonDecode translates only for 2 dimensions:"
+                " mortonDecode(2, code)"
+            )
+        # BIGINT cast matters: an INT code would wrap its shift count
+        # mod 32 at bit positions >= 16 (2*i >= 32)
+        z = f"CAST({args[1]} AS BIGINT)"
+        de = (
+            "named_struct("
+            f"'col1', aggregate(sequence(0, 31), CAST(0 AS BIGINT),"
+            f" (__ch_ac, __ch_i) -> __ch_ac"
+            f" + shiftleft((({z}) >> (2 * __ch_i)) & 1, __ch_i)),"
+            f"'col2', aggregate(sequence(0, 31), CAST(0 AS BIGINT),"
+            f" (__ch_ac, __ch_i) -> __ch_ac"
+            f" + shiftleft((({z}) >> (2 * __ch_i + 1)) & 1, __ch_i)))"
+        )
+        sql = sql[: m.start()] + de + sql[close1 + 1:]
     return sql
+
+
+def _count_capture_groups(pat: str) -> int | None:
+    """Capturing-group count of a literal SQL string pattern (both
+    escape layers undone), or None when the pattern is not a literal."""
+    if not re.fullmatch(r"'(?:[^'\\]|\\.|'')*'", pat):
+        return None
+    body, chars, i = pat[1:-1], [], 0
+    while i < len(body):
+        if body[i] == "\\" and i + 1 < len(body):
+            chars.append(body[i + 1])
+            i += 2
+            continue
+        if body[i: i + 2] == "''":
+            chars.append("'")
+            i += 2
+            continue
+        chars.append(body[i])
+        i += 1
+    rx, ncap, i = "".join(chars), 0, 0
+    while i < len(rx):
+        if rx[i] == "\\":
+            i += 2
+            continue
+        if rx[i] == "(" and rx[i + 1: i + 2] != "?":
+            ncap += 1
+        i += 1
+    return ncap
 
 
 def _bracket_end(s: str, open_idx: int) -> int:
@@ -3356,6 +3476,27 @@ _OPERATOR_ONLY_AGGS = {
     "groupBitmapAnd": "operators/sketch.py set algebra",
     "groupBitmapOr": "operators/sketch.py set algebra",
     "groupBitmapXor": "operators/sketch.py set algebra",
+    # time-decayed states need the max timestamp BEFORE the weights can
+    # be computed without overflow (exp(t/x) at epoch scale) — a
+    # two-phase pass no inline aggregate rewrite can express
+    "exponentialTimeDecayedAvg":
+        "operators/windows.py:exponential_moving_average"
+        " (time-decayed weights need a max-anchored two-phase pass)",
+    "exponentialTimeDecayedSum":
+        "operators/windows.py:exponential_moving_average",
+    "exponentialTimeDecayedCount":
+        "operators/windows.py:exponential_moving_average",
+    "exponentialTimeDecayedMax":
+        "operators/windows.py:exponential_moving_average",
+    # per-row DP string metrics with no codegen spelling — refuse with
+    # the supported metric instead of an unresolved-routine error
+    "damerauLevenshteinDistance":
+        "editDistance/levenshtein (transposition-aware DP has no"
+        " codegen spelling)",
+    "jaroSimilarity": "editDistance/levenshtein",
+    "jaroWinklerSimilarity": "editDistance/levenshtein",
+    "base58Encode": "base64Encode or hex (base58 needs bignum division)",
+    "base58Decode": "base64Decode or unhex",
     # block-order functions: no deterministic block order exists in a
     # distributed plan — the window spelling is the supported path
     "runningAccumulate": "a sum(x) OVER (ORDER BY ...) window",

@@ -1497,6 +1497,44 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         r"filter(split(s, '\\s+'), x -> x != '')",
     ),
     "generateUUIDv4": ("() RETURNS STRING", "uuid()"),
+    # UUIDv7 (RFC 9562): 48-bit unix-ms timestamp, version nibble 7 +
+    # 12 random bits, variant nibble (8..b) + 60 random bits. Assembled
+    # from hex pieces so the id stays time-ordered like ClickHouse's.
+    "generateUUIDv7": (
+        "() RETURNS STRING",
+        "lower(concat("
+        " substr(lpad(hex(unix_millis(current_timestamp())), 12, '0'), 1, 8), '-',"
+        " substr(lpad(hex(unix_millis(current_timestamp())), 12, '0'), 9, 4),"
+        " '-7', lpad(hex(CAST(rand() * 4096 AS INT)), 3, '0'),"
+        " '-', hex(8 + CAST(rand() * 4 AS INT)),"
+        " lpad(hex(CAST(rand() * 4096 AS INT)), 3, '0'),"
+        " '-', lpad(hex(CAST(rand() * 281474976710656 AS BIGINT)), 12, '0')))",
+    ),
+    # 64-bit epoch spellings: Spark keeps micros natively; nanos render
+    # as micros * 1000 (sub-microsecond digits are not stored)
+    "toUnixTimestamp64Milli": ("(x TIMESTAMP) RETURNS BIGINT", "unix_millis(x)"),
+    "toUnixTimestamp64Micro": ("(x TIMESTAMP) RETURNS BIGINT", "unix_micros(x)"),
+    "toUnixTimestamp64Nano": (
+        "(x TIMESTAMP) RETURNS BIGINT",
+        "unix_micros(x) * CAST(1000 AS BIGINT)",
+    ),
+    "fromUnixTimestamp64Milli": (
+        "(x BIGINT) RETURNS TIMESTAMP", "timestamp_millis(x)"
+    ),
+    "fromUnixTimestamp64Micro": (
+        "(x BIGINT) RETURNS TIMESTAMP", "timestamp_micros(x)"
+    ),
+    "fromUnixTimestamp64Nano": (
+        "(x BIGINT) RETURNS TIMESTAMP", "timestamp_micros(x div 1000)"
+    ),
+    # 2-D Morton (Z-order) interleave over 32 bits per coordinate — the
+    # same curve sources/zorder.py clusters by; pure codegen bit fold
+    "mortonEncode": (
+        "(x BIGINT, y BIGINT) RETURNS BIGINT",
+        "aggregate(sequence(0, 31), CAST(0 AS BIGINT),"
+        " (acc, i) -> acc + shiftleft((x >> i) & 1, 2 * i)"
+        " + shiftleft((y >> i) & 1, 2 * i + 1))",
+    ),
     # DDSketch quantile read-out (the quantileMerge read side of the
     # engine's quantileState MV states; see streaming/matview.py).
     # The map is a log-bucket histogram: key 0 = exact zero, key

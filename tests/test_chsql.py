@@ -2599,3 +2599,54 @@ def test_probe_batch17_string_token_tails(views):
     assert r["d"] is True and r["e"] is False and r["f"] is True
     assert r["g"] == [3, 1, 0]  # 0 = not found, CH convention
     assert r["h"] is True and r["i"] == "a-b"
+
+
+def test_probe_batch18_runtime_tails(views):
+    """Round-6 execution probe: spellings that TRANSLATED but died at
+    run time with UNRESOLVED_ROUTINE (the probe ran every candidate
+    end-to-end, not just through translate). 64-bit epoch spellings,
+    addInterval, toDecimalString, extractAllGroups*, 2-D Morton
+    round-trip, UUIDv7 shape — plus the per-row-DP string metrics and
+    time-decayed aggregates now refusing loudly with pointers."""
+    import re as _re
+
+    views.sql(
+        "SELECT CAST('2024-03-05 10:22:33' AS TIMESTAMP) AS ts,"
+        " 0.5 AS w, 3 AS x, 5 AS y"
+    ).createOrReplaceTempView("__b18")
+
+    def run(expr):
+        return views.sql(
+            translate(f"SELECT {expr} AS r FROM __b18").sql
+        ).first()["r"]
+
+    assert run("toUnixTimestamp64Milli(ts)") == 1709634153000
+    assert run("toUnixTimestamp64Nano(ts)") == 1709634153000000000
+    assert str(run("fromUnixTimestamp64Milli(toInt64(1709634153000))")) \
+        == "2024-03-05 10:22:33"
+    assert str(run("addInterval(ts, INTERVAL 1 DAY)")).startswith("2024-03-06")
+    assert run("toDecimalString(w, 3)") == "0.500"
+    assert run("extractAllGroupsVertical('a1 b2', '([a-z])(\\\\d)')") \
+        == [["a", "1"], ["b", "2"]]
+    assert run("extractAllGroupsHorizontal('a1 b2', '([a-z])(\\\\d)')") \
+        == [["a", "b"], ["1", "2"]]
+    assert run("mortonEncode(toUInt32(x), toUInt32(y))") == 39
+    assert run("mortonDecode(2, 39).col1") == 3
+    assert run("mortonDecode(2, 39).col2") == 5
+    u = run("generateUUIDv7()")
+    assert _re.fullmatch(
+        r"[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}",
+        u,
+    )
+    # loud refusals with pointers (previously UNRESOLVED_ROUTINE/parse)
+    for bad, hint in [
+        ("damerauLevenshteinDistance(a, b)", "levenshtein"),
+        ("jaroSimilarity(a, b)", "levenshtein"),
+        ("base58Encode('x')", "base64"),
+        ("exponentialTimeDecayedAvg(10)(w, ts)", "exponential_moving_average"),
+        ("mortonDecode(3, x)", "2 dimensions"),
+        ("toDecimalString(w, y)", "literal scale"),
+        ("extractAllGroupsVertical(s, concat(a, b))", "literal pattern"),
+    ]:
+        with pytest.raises(ValueError, match=hint):
+            translate(f"SELECT {bad} FROM t")
