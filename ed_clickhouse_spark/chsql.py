@@ -1584,7 +1584,41 @@ _ARRAY_SPLICE["arrayShuffle"] = {
 }
 # names whose splice arities COEXIST with an SQL-alias arity: an
 # unmatched arity passes through instead of raising
-_SPLICE_PASSTHROUGH = {"toDayOfWeek"}
+_SPLICE_PASSTHROUGH = {
+    "toDayOfWeek",
+    # 2-arg pad forms splice a default ' '; 3-arg falls through to the
+    # SQL alias. trunc's 2-arg form is Spark's own date trunc.
+    "leftPad", "rightPad", "leftPadUTF8", "rightPadUTF8", "trunc",
+}
+# r6 execution-probe batch 19: spellings that died at run time
+_ARRAY_SPLICE["leftPad"] = {2: "lpad({0}, {1}, ' ')"}
+_ARRAY_SPLICE["rightPad"] = {2: "rpad({0}, {1}, ' ')"}
+_ARRAY_SPLICE["leftPadUTF8"] = {2: "lpad({0}, {1}, ' ')"}
+_ARRAY_SPLICE["rightPadUTF8"] = {2: "rpad({0}, {1}, ' ')"}
+# numeric truncation toward zero (the 1-arg CH form; CH's 2-arg decimal
+# truncation collides with Spark's 2-arg DATE trunc and stays refused
+# by Spark's own type error)
+_ARRAY_SPLICE["trunc"] = {
+    1: "(CASE WHEN {0} >= 0 THEN floor({0}) ELSE ceil({0}) END)",
+}
+# clamped running sum (negative prefixes reset to zero); DOUBLE
+# accumulator for the same reason as arrayCumSum above
+_ARRAY_SPLICE["arrayCumSumNonNegative"] = {
+    1: "(CASE WHEN size({0}) = 0 THEN CAST(array() AS ARRAY<DOUBLE>)"
+       " ELSE transform(sequence(0, size({0}) - 1),"
+       " __ch_i -> aggregate(slice({0}, 1, __ch_i + 1),"
+       " CAST(0.0 AS DOUBLE),"
+       " (__ch_s, __ch_t) -> greatest(__ch_s + __ch_t,"
+       " CAST(0.0 AS DOUBLE)))) END)",
+}
+# first-occurrence plain-string replace: locate + substring surgery
+# (Spark's replace/regexp_replace are replace-ALL)
+_ARRAY_SPLICE["replaceOne"] = {
+    3: "(CASE WHEN locate({1}, {0}) > 0 THEN"
+       " concat(substr({0}, 1, locate({1}, {0}) - 1), {2},"
+       " substr({0}, locate({1}, {0}) + length({1})))"
+       " ELSE {0} END)",
+}
 _ARRAY_SPLICE["isNotDistinctFrom"] = {2: "({0} <=> {1})"}
 # CH's evaluate-and-discard helper (returns 0 regardless)
 _ARRAY_SPLICE["ignore"] = {k: "0" for k in range(1, 6)}
@@ -2743,6 +2777,65 @@ def _rewrite_scalar_misc(sql: str) -> str:
             else:
                 repl = f"array({', '.join(per_group)})"
             sql = sql[: m.start()] + repl + sql[close1 + 1:]
+    while True:
+        m = _find_case_exact(sql, r"\breplaceRegexpOne\s*\(")
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        if len(args) != 3:
+            raise ValueError("replaceRegexpOne expects (s, pattern, replacement)")
+        s_arg, p_arg, r_arg = (a.strip() for a in args)
+        # first-match surgery: extract the leftmost match, splice the
+        # replacement over its first occurrence. Exact for position-
+        # independent patterns (an earlier occurrence of the matched
+        # text would itself have been the leftmost match); context-
+        # dependent constructs and backreference replacements refuse.
+        ncap = _count_capture_groups(p_arg)
+        if ncap is None:
+            raise ValueError(
+                "replaceRegexpOne translates only with a literal pattern"
+            )
+        if re.search(r"\\b|\(\?<|\(\?=|\(\?!|\^|\$", p_arg):
+            raise ValueError(
+                "replaceRegexpOne: context-dependent patterns (anchors,"
+                " lookaround, word boundaries) do not survive the"
+                " first-match splice — use regexp_replace semantics or"
+                " restate the pattern"
+            )
+        if "\\" in r_arg:
+            raise ValueError(
+                "replaceRegexpOne: backreference replacements are not"
+                " supported — use replaceRegexpAll/regexp_replace"
+            )
+        mvar = f"regexp_extract({s_arg}, {p_arg}, 0)"
+        repl = (
+            f"(CASE WHEN {mvar} != '' AND locate({mvar}, {s_arg}) > 0 THEN"
+            f" concat(substr({s_arg}, 1, locate({mvar}, {s_arg}) - 1), {r_arg},"
+            f" substr({s_arg}, locate({mvar}, {s_arg}) + length({mvar})))"
+            f" ELSE {s_arg} END)"
+        )
+        sql = sql[: m.start()] + repl + sql[close1 + 1:]
+    while True:
+        # timestampDiff = dateDiff with the unit possibly UNQUOTED
+        # (the MySQL-compatible spelling ClickHouse also accepts)
+        m = _find_case_exact(sql, r"\btimestampDiff\s*\(")
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        if len(args) != 3:
+            raise ValueError("timestampDiff expects (unit, start, end)")
+        unit = args[0].strip()
+        if re.fullmatch(r"\w+", unit):
+            unit = f"'{unit}'"
+        sql = (
+            sql[: m.start()]
+            + f"chDateDiff({unit}, {args[1]}, {args[2]})"
+            + sql[close1 + 1:]
+        )
     while True:
         m = _find_case_exact(sql, r"\bmortonDecode\s*\(")
         if not m:

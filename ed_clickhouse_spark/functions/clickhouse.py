@@ -446,6 +446,19 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
     # absolute URLs where parse_url and a plain regex agree.
     "protocol": ("(u STRING) RETURNS STRING", "parse_url(u, 'PROTOCOL')"),
     "domain": ("(u STRING) RETURNS STRING", "parse_url(u, 'HOST')"),
+    # public-suffix-list-free simplification (documented): significant
+    # subdomain = second-to-last host label; the cut keeps the last two
+    "firstSignificantSubdomain": (
+        "(u STRING) RETURNS STRING",
+        r"coalesce(try_element_at(split(parse_url(u, 'HOST'), '\\.'), -2), '')",
+    ),
+    "cutToFirstSignificantSubdomain": (
+        "(u STRING) RETURNS STRING",
+        r"(CASE WHEN size(split(parse_url(u, 'HOST'), '\\.')) < 2"
+        r" THEN coalesce(parse_url(u, 'HOST'), '')"
+        r" ELSE concat_ws('.', slice(split(parse_url(u, 'HOST'), '\\.'), -2, 2))"
+        r" END)",
+    ),
     "path": ("(u STRING) RETURNS STRING", "parse_url(u, 'PATH')"),
     "pathFull": ("(u STRING) RETURNS STRING", "parse_url(u, 'FILE')"),
     "queryString": ("(u STRING) RETURNS STRING", "parse_url(u, 'QUERY')"),
@@ -761,6 +774,13 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
     "sipHash64": ("(s STRING) RETURNS BIGINT", "xxhash64(s)"),
     "cityHash64": ("(s STRING) RETURNS BIGINT", "xxhash64(s)"),
     "farmHash64": ("(s STRING) RETURNS BIGINT", "xxhash64(s)"),
+    "intHash64": ("(x BIGINT) RETURNS BIGINT", "xxhash64(x)"),
+    # UInt32 range like ClickHouse's (role parity, not bit parity)
+    "intHash32": (
+        "(x BIGINT) RETURNS BIGINT", "pmod(xxhash64(x), 4294967296)"
+    ),
+    "max2": ("(a DOUBLE, b DOUBLE) RETURNS DOUBLE", "greatest(a, b)"),
+    "min2": ("(a DOUBLE, b DOUBLE) RETURNS DOUBLE", "least(a, b)"),
     # Spark strings are already valid UTF-8 at this boundary
     "toValidUTF8": ("(s STRING) RETURNS STRING", "s"),
     "countMatches": (
@@ -1768,6 +1788,20 @@ def _detect_language_body() -> str:
 _SQL_SCALAR_ALIASES["detectLanguage"] = (
     "(s STRING) RETURNS STRING",
     _detect_language_body(),
+)
+
+
+def _hostname_literal() -> str:
+    """The engine host, embedded at registration time — in local mode
+    the driver IS the server, matching ClickHouse's server-side
+    hostName(); escape quotes defensively."""
+    import socket
+
+    return socket.gethostname().replace("'", "''")
+
+
+_SQL_SCALAR_ALIASES["hostName"] = (
+    "() RETURNS STRING", f"'{_hostname_literal()}'"
 )
 
 

@@ -2650,3 +2650,48 @@ def test_probe_batch18_runtime_tails(views):
     ]:
         with pytest.raises(ValueError, match=hint):
             translate(f"SELECT {bad} FROM t")
+
+
+def test_probe_batch19_runtime_tails(views):
+    """Round-6 execution probe, batch 19 (~117 spellings end-to-end):
+    2-arg pads, first-occurrence replaces, numeric trunc, clamped
+    cumsum, max2/min2, intHash32/64, hostName, timestampDiff (quoted
+    and unquoted units), significant-subdomain family, and interval
+    arithmetic via toIntervalDay."""
+    views.sql(
+        "SELECT 7 AS x, 3 AS y,"
+        " CAST('2024-03-05 10:22:33' AS TIMESTAMP) AS ts,"
+        " 'hello world' AS s"
+    ).createOrReplaceTempView("__b19")
+
+    def run(expr):
+        return views.sql(
+            translate(f"SELECT {expr} AS r FROM __b19").sql
+        ).first()["r"]
+
+    assert run("arrayCumSumNonNegative([1,-2,3])") == [1.0, 0.0, 3.0]
+    assert run("rightPad(s, 13)") == "hello world  "
+    assert run("leftPad(s, 13)") == "  hello world"
+    assert run("replaceOne('ababab', 'ab', 'X')") == "Xabab"
+    assert run("replaceRegexpOne('a11b22', '[0-9]+', '#')") == "a#b22"
+    assert run("trunc(-2.7)") == -2.0 and run("trunc(2.7)") == 2.0
+    assert run("max2(x, y)") == 7.0 and run("min2(x, y)") == 3.0
+    assert 0 <= run("intHash32(x)") < 2**32
+    assert run("intHash64(x)") is not None
+    assert len(run("hostName()")) > 0
+    assert run("timestampDiff(hour, ts, addHours(ts, 5))") == 5
+    assert run("timestampDiff('hour', ts, addHours(ts, 5))") == 5
+    assert run(
+        "firstSignificantSubdomain('https://news.example.com/x')"
+    ) == "example"
+    assert run(
+        "cutToFirstSignificantSubdomain('https://news.example.com/x')"
+    ) == "example.com"
+    assert run("ts + toIntervalDay(2) > ts") is True
+    # first-match splice limits refuse loudly
+    with pytest.raises(ValueError, match="context"):
+        translate("SELECT replaceRegexpOne(s, '^a', 'X') FROM t")
+    with pytest.raises(ValueError, match="literal"):
+        translate("SELECT replaceRegexpOne(s, p, 'X') FROM t")
+    with pytest.raises(ValueError, match="backreference"):
+        translate("SELECT replaceRegexpOne(s, 'a', '\\\\1') FROM t")
