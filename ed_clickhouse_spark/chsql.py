@@ -1226,6 +1226,9 @@ _SCALAR_RENAMES = {
     "toLastDayOfMonth": "last_day",
     "widthBucket": "width_bucket",
     "mapFromArrays": "map_from_arrays",
+    # complex types render as JSON text; scalar args raise Spark's own
+    # loud to_json type error
+    "toJSONString": "to_json",
 }
 
 # Element-type-preserving argument-splicing rewrites: ClickHouse array
@@ -1611,6 +1614,26 @@ _ARRAY_SPLICE["arrayCumSumNonNegative"] = {
        " (__ch_s, __ch_t) -> greatest(__ch_s + __ch_t,"
        " CAST(0.0 AS DOUBLE)))) END)",
 }
+# new-style snowflake IDs: explicit epoch (ms) or the 0-epoch default
+_ARRAY_SPLICE["snowflakeIDToDateTime"] = {
+    1: "timestamp_millis(CAST({0} AS BIGINT) >> 22)",
+    2: "timestamp_millis((CAST({0} AS BIGINT) >> 22) + {1})",
+}
+_ARRAY_SPLICE["dateTimeToSnowflakeID"] = {
+    1: "shiftleft(unix_millis({0}), 22)",
+    2: "shiftleft(unix_millis({0}) - {1}, 22)",
+}
+# toXOrDefault family: try_cast falling back to the caller's default
+for _ch_t, _sp_t in [
+    ("Int8", "TINYINT"), ("Int16", "SMALLINT"), ("Int32", "INT"),
+    ("Int64", "BIGINT"), ("UInt8", "SMALLINT"), ("UInt16", "INT"),
+    ("UInt32", "BIGINT"), ("UInt64", "BIGINT"),
+    ("Float32", "FLOAT"), ("Float64", "DOUBLE"),
+    ("Date", "DATE"), ("DateTime", "TIMESTAMP"),
+]:
+    _ARRAY_SPLICE[f"to{_ch_t}OrDefault"] = {
+        2: f"coalesce(try_cast({{0}} AS {_sp_t}), {{1}})",
+    }
 # first-occurrence plain-string replace: locate + substring surgery
 # (Spark's replace/regexp_replace are replace-ALL)
 _ARRAY_SPLICE["replaceOne"] = {
@@ -3590,6 +3613,13 @@ _OPERATOR_ONLY_AGGS = {
     "jaroWinklerSimilarity": "editDistance/levenshtein",
     "base58Encode": "base64Encode or hex (base58 needs bignum division)",
     "base58Decode": "base64Decode or unhex",
+    "byteSize": "length/octet_length (in-memory layout size has no"
+                " Spark equivalent)",
+    "bitSlice": "substring for byte-aligned slices (bit-level offsets"
+                " have no codegen spelling)",
+    "tupleToNameValuePairs": "map()/map_entries over explicit fields"
+                             " (struct field names are not values in"
+                             " Spark SQL)",
     # block-order functions: no deterministic block order exists in a
     # distributed plan — the window spelling is the supported path
     "runningAccumulate": "a sum(x) OVER (ORDER BY ...) window",

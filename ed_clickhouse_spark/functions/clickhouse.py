@@ -1693,6 +1693,44 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "concat_ws('', transform(sequence(1, n),"
         " __i -> chr(33 + CAST(floor(rand() * 94) AS INT))))",
     ),
+    # CH randomString emits arbitrary BYTES; Spark strings must stay
+    # valid UTF-8 (same boundary note as toValidUTF8), so this lands on
+    # the printable generator — documented deviation
+    "randomString": (
+        "(n INT) RETURNS STRING",
+        "concat_ws('', transform(sequence(1, n),"
+        " __i -> chr(33 + CAST(floor(rand() * 94) AS INT))))",
+    ),
+    # vector normalization over embedding arrays (zero vectors yield
+    # NaN elements, matching the division CH performs)
+    "normalizeL2": (
+        "(v ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE>",
+        "transform(v, __e -> __e / sqrt(aggregate(v, CAST(0.0 AS DOUBLE),"
+        " (__a, __b) -> __a + __b * __b)))",
+    ),
+    "normalizeL1": (
+        "(v ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE>",
+        "transform(v, __e -> __e / aggregate(v, CAST(0.0 AS DOUBLE),"
+        " (__a, __b) -> __a + abs(__b)))",
+    ),
+    "normalizeLinf": (
+        "(v ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE>",
+        "transform(v, __e -> __e / array_max(transform(v, __b -> abs(__b))))",
+    ),
+    # inverse of toDaysSinceYearZero (1970-01-01 = day 719528)
+    "fromDaysSinceYearZero": (
+        "(n INT) RETURNS DATE", "date_add(DATE'1970-01-01', n - 719528)"
+    ),
+    # legacy Twitter-epoch snowflake pair (epoch 1288834974657 ms); the
+    # new *ID functions take an explicit epoch via the splice rewrites
+    "snowflakeToDateTime": (
+        "(x BIGINT) RETURNS TIMESTAMP",
+        "timestamp_millis((x >> 22) + 1288834974657)",
+    ),
+    "dateTimeToSnowflake": (
+        "(x TIMESTAMP) RETURNS BIGINT",
+        "shiftleft(unix_millis(x) - 1288834974657, 22)",
+    ),
     # 128/256-bit integer spellings land on DECIMAL(38,0) — covers
     # ±10^38 (beyond Int128's ±1.7e38 range only at the extreme tail;
     # documented range deviation)

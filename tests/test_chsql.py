@@ -2695,3 +2695,40 @@ def test_probe_batch19_runtime_tails(views):
         translate("SELECT replaceRegexpOne(s, p, 'X') FROM t")
     with pytest.raises(ValueError, match="backreference"):
         translate("SELECT replaceRegexpOne(s, 'a', '\\\\1') FROM t")
+
+
+def test_probe_batch20_vector_and_id_tails(views):
+    """Round-6 execution probe, batch 20: vector normalization, the
+    snowflake-ID pairs (legacy Twitter epoch + new explicit-epoch
+    forms, round-tripped), toXOrDefault try-casts, toJSONString, and
+    days-since-year-zero inversion. byteSize/bitSlice/
+    tupleToNameValuePairs refuse loudly."""
+    import datetime as _dt
+
+    views.sql(
+        "SELECT CAST('2024-03-05 10:22:33' AS TIMESTAMP) AS ts,"
+        " array(3.0, 4.0) AS v"
+    ).createOrReplaceTempView("__b20")
+
+    def run(expr):
+        return views.sql(
+            translate(f"SELECT {expr} AS r FROM __b20").sql
+        ).first()["r"]
+
+    assert run("normalizeL2(v)") == [0.6, 0.8]
+    assert run("normalizeLinf(v)") == [0.75, 1.0]
+    assert run("fromDaysSinceYearZero(toDaysSinceYearZero(ts))") == _dt.date(2024, 3, 5)
+    want_ts = _dt.datetime(2024, 3, 5, 10, 22, 33)
+    assert run("snowflakeToDateTime(dateTimeToSnowflake(ts))") == want_ts
+    assert run("snowflakeIDToDateTime(dateTimeToSnowflakeID(ts))") == want_ts
+    assert run(
+        "snowflakeIDToDateTime(dateTimeToSnowflakeID(ts, 1000), 1000)"
+    ) == want_ts
+    assert run("toInt64OrDefault('bad', toInt64(9))") == 9
+    assert run("toInt64OrDefault('42', toInt64(9))") == 42
+    assert run("toJSONString(map('a', 1))") == '{"a":1}'
+    assert run("length(randomString(5))") == 5
+    for bad in ["byteSize(v)", "bitSlice('a', 1, 2)",
+                "tupleToNameValuePairs(tuple(1, 2))"]:
+        with pytest.raises(ValueError, match="not SQL-translatable"):
+            translate(f"SELECT {bad} FROM t")
