@@ -1229,6 +1229,9 @@ _SCALAR_RENAMES = {
     # complex types render as JSON text; scalar args raise Spark's own
     # loud to_json type error
     "toJSONString": "to_json",
+    # window-function camel aliases
+    "denseRank": "dense_rank",
+    "percentRank": "percent_rank",
 }
 
 # Element-type-preserving argument-splicing rewrites: ClickHouse array
@@ -1634,6 +1637,10 @@ for _ch_t, _sp_t in [
     _ARRAY_SPLICE[f"to{_ch_t}OrDefault"] = {
         2: f"coalesce(try_cast({{0}} AS {_sp_t}), {{1}})",
     }
+# -If on the COUNT(DISTINCT) spelling (uniqExactIf's alias)
+_ARRAY_SPLICE["countDistinctIf"] = {
+    2: "count(DISTINCT CASE WHEN {1} THEN {0} END)",
+}
 # first-occurrence plain-string replace: locate + substring surgery
 # (Spark's replace/regexp_replace are replace-ALL)
 _ARRAY_SPLICE["replaceOne"] = {
@@ -3954,6 +3961,29 @@ def _rewrite_agg_spellings(sql: str) -> str:
             f" (__ch_s, __ch_e) -> {_MAP_MERGE[fname]}) AS value))))"
         )
         sql = sql[: m.start()] + expr + sql[close1 + 1:]
+    # approx_top_* aliases of the topK family — rename only the
+    # PARAMETRIC form f(k)(x); the plain 2-arg approx_top_k(x, k) is
+    # Spark's own native function and passes through untouched
+    for alias, target in (
+        ("approx_top_k", "topK"),
+        ("approx_top_count", "topK"),
+        ("approx_top_sum", "topKWeighted"),
+    ):
+        pos_a = 0
+        a_rx = re.compile(rf"\b{alias}\s*\(")
+        while True:
+            m = a_rx.search(sql, pos_a)
+            if not m:
+                break
+            instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+            if instr_at.get(m.start(), False):
+                pos_a = m.end()
+                continue
+            open1 = sql.index("(", m.end() - 1)
+            close1 = _call_end(sql, open1)
+            if sql[close1 + 1:].lstrip().startswith("("):
+                sql = sql[: m.start()] + target + sql[open1:]
+            pos_a = m.start() + len(target)
     # parametric topK(k)(x): EXACT most-frequent-k as a pure-SQL fold
     # over collect_list (CH's SpaceSaving sketch is approximate; exact is
     # strictly better at this per-group shape). Ties break by value asc

@@ -2732,3 +2732,26 @@ def test_probe_batch20_vector_and_id_tails(views):
                 "tupleToNameValuePairs(tuple(1, 2))"]:
         with pytest.raises(ValueError, match="not SQL-translatable"):
             translate(f"SELECT {bad} FROM t")
+
+
+def test_probe_batch21_aggregate_tails(views):
+    """Round-6 execution probe, batch 21 (~60 aggregate spellings):
+    countDistinctIf, the parametric approx_top_* aliases of the topK
+    family (Spark's own 2-arg approx_top_k passes through untouched),
+    and the camel window-function aliases."""
+    views.sql(
+        "SELECT * FROM VALUES (1, 2.0, 'a'), (2, 3.0, 'b'),"
+        " (3, 5.0, 'a') AS t(x, w, s)"
+    ).createOrReplaceTempView("__b21")
+
+    def run(expr, tail=""):
+        return views.sql(
+            translate(f"SELECT {expr} AS r FROM __b21{tail}").sql
+        ).first()["r"]
+
+    assert run("countDistinctIf(s, x > 1)") == 2
+    assert run("approx_top_k(2)(s)") == ["a", "b"]
+    assert run("approx_top_sum(1)(s, w)") == ["a"]
+    assert run("approx_top_k(s, 2) IS NOT NULL") is True
+    assert run("denseRank() OVER (ORDER BY x)", " LIMIT 1") == 1
+    assert run("percentRank() OVER (ORDER BY x)", " LIMIT 1") == 0.0
