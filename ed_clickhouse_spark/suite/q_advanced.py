@@ -319,9 +319,16 @@ def q61_grouping_sets(spark, sf_dir):
     "q62_session_window",
     oracle="""
     WITH g AS (
+      -- MICROSECOND comparison, not date_diff('second'): Spark's native
+      -- session_window gaps at full timestamp precision, while
+      -- date_diff('second') counts boundary crossings (a 1799.34s gap
+      -- spans 1800 boundaries and would split a session Spark merges —
+      -- caught by the sf0.1 sweep, one such pair in the data)
       SELECT user_id, ts,
-             CASE WHEN date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) IS NULL
-                       OR date_diff('second', LAG(ts) OVER (PARTITION BY user_id ORDER BY ts), ts) >= 1800
+             CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                       OR epoch_ns(ts) // 1000
+                          - epoch_ns(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)) // 1000
+                          >= 1800000000
                   THEN 1 ELSE 0 END AS is_start
       FROM events
     ),

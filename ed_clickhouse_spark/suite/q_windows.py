@@ -278,9 +278,11 @@ def q129_moving_window_aggs(spark, sf_dir):
       FROM generate_series(DATE '2024-01-01', DATE '2024-01-30', INTERVAL 1 DAY) t(d)
     ),
     daily AS (
+      -- exact integer round-half-up of avg*10000 (see the Spark side:
+      -- avg-of-decimal double-rounds)
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
-             CAST(ROUND(ROUND(AVG(CAST(value AS DECIMAL(18,2))), 4) * 10000)
-                  AS BIGINT) AS v4
+             (200 * SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+              + COUNT(value)) // (2 * COUNT(value)) AS v4
       FROM events
       WHERE day(ts) % 3 <> 0
       GROUP BY 1
@@ -330,15 +332,22 @@ def q130_gapfill_interpolate(spark, sf_dir):
     daily = (
         e.where(F.dayofmonth("ts") % 3 != 0)
         .groupBy(F.date_trunc("day", "ts").cast("date").alias("day"))
-        # exact scaled-integer values (1e-4 units): the interpolation
-        # below stays in integer arithmetic, so midpoints can never land
-        # on a float rounding boundary that engines resolve differently
+        # exact scaled-integer values (1e-4 units) computed ENTIRELY in
+        # integer arithmetic: v4 = round_half_up(sum_hundredths * 100 /
+        # count) = (200*S + C) div (2*C) for the non-negative values
+        # here. The previous round(avg(decimal), 4) DOUBLE-ROUNDED:
+        # Spark's decimal avg is itself rounded to scale 6, so
+        # 49.92514952 became 49.925150 then 49.9252, while the true
+        # 4-dp rounding is 49.9251 (caught by the sf0.1 sweep).
         .agg(
-            F.round(
-                F.round(F.avg(F.col("value").cast("decimal(18,2)")), 4) * 10000
-            )
-            .cast("bigint")
-            .alias("v4")
+            F.sum(
+                (F.col("value").cast("decimal(18,2)") * 100).cast("bigint")
+            ).alias("__s"),
+            F.count("value").alias("__c"),
+        )
+        .select(
+            "day",
+            F.expr("(200 * __s + __c) div (2 * __c)").alias("v4"),
         )
     )
     g = (
