@@ -626,3 +626,39 @@ def test_translate_never_crashes_unstructured(parts):
         translate(" ".join(parts))
     except ValueError:
         pass  # loud refusal is the contract for malformed input
+
+
+def test_equal_timestamp_events_are_order_invariant(spark):
+    """Tie semantics pin: the synthetic tables never carry equal
+    timestamps, so the oracle sweep cannot exercise ties — this pins
+    that the collected-array folds (sequenceCount NFA, windowFunnel
+    exact DP, funnel_exact) normalize equal-timestamp events via
+    array_sort: INPUT ROW ORDER of tied events never changes a result,
+    and the documented tie behavior holds (an equal-timestamp event
+    does not 'intervene' for adjacency, does not advance a strict-after
+    edge, and CAN extend the tie-tolerant exact funnel)."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.operators.windows import funnel_exact
+
+    rows_ab = [("u", 1.0, "A"), ("u", 2.0, "A"), ("u", 2.0, "B"), ("u", 3.0, "B")]
+    rows_ba = [rows_ab[0], rows_ab[2], rows_ab[1], rows_ab[3]]
+    results = []
+    for rows in (rows_ab, rows_ba):
+        df = spark.createDataFrame(rows, "u string, ts double, ev string")
+        df.createOrReplaceTempView("__ties")
+        cnt = spark.sql(
+            translate(
+                "SELECT sequenceCount('(?1)(?2)')("
+                " CAST(ts AS TIMESTAMP), ev = 'A', ev = 'B') AS c"
+                " FROM __ties GROUP BY u"
+            ).sql
+        ).first()["c"]
+        fd = funnel_exact(
+            df.selectExpr("u", "CAST(ts AS TIMESTAMP) AS ts", "ev"),
+            "u", "ts", "ev", ["A", "B"], 100,
+        ).first()["funnel_steps"]
+        results.append((cnt, fd))
+    assert results[0] == results[1]  # input order of ties is invisible
+    # exact funnel tolerates the tie (CH default admits equal
+    # timestamps); the strict-after sequence fold does not advance on it
+    assert results[0][1] == 2
