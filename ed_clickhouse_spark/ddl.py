@@ -179,6 +179,26 @@ def ch_type_to_spark(ch: str) -> tuple[T.DataType, bool]:
         return T.DecimalType(_DECIMAL_SCALED[m.group(1)], int(m.group(2))), False
     if low in _SIMPLE_TYPES:
         return _SIMPLE_TYPES[low], False
+    if low in ("json", "object('json')"):
+        # the JSON column type stores raw text here; the engine's JSON
+        # function family (JSONExtract*/JSONHas/variant typing) parses
+        # on read, exactly as it does for String-typed JSON columns
+        return T.StringType(), True
+    if low.startswith("aggregatefunction") or low.startswith(
+        "simpleaggregatefunction"
+    ):
+        raise ValueError(
+            f"unsupported ClickHouse type: {ch!r} — aggregate-state"
+            " columns are served by the materialized-view path"
+            " (streaming/matview.py: CREATE MATERIALIZED VIEW with"
+            " -State aggregates; read with -Merge)"
+        )
+    if low.startswith("nested"):
+        raise ValueError(
+            f"unsupported ClickHouse type: {ch!r} — declare the parallel"
+            " arrays explicitly (k Array(String), v Array(UInt32)) and"
+            " query them with ARRAY JOIN"
+        )
     raise ValueError(f"unsupported ClickHouse type: {ch!r}")
 
 

