@@ -1229,6 +1229,7 @@ _SCALAR_RENAMES = {
     # complex types render as JSON text; scalar args raise Spark's own
     # loud to_json type error
     "toJSONString": "to_json",
+    "arrayDistinct": "array_distinct",
     # window-function camel aliases
     "denseRank": "dense_rank",
     "percentRank": "percent_rank",
@@ -1637,6 +1638,11 @@ for _ch_t, _sp_t in [
     _ARRAY_SPLICE[f"to{_ch_t}OrDefault"] = {
         2: f"coalesce(try_cast({{0}} AS {_sp_t}), {{1}})",
     }
+# conditional raise: 0 when the condition is false, error otherwise
+_ARRAY_SPLICE["throwIf"] = {
+    1: "(CASE WHEN {0} THEN CAST(raise_error('throwIf') AS INT) ELSE 0 END)",
+    2: "(CASE WHEN {0} THEN CAST(raise_error({1}) AS INT) ELSE 0 END)",
+}
 # -If on the COUNT(DISTINCT) spelling (uniqExactIf's alias)
 _ARRAY_SPLICE["countDistinctIf"] = {
     2: "count(DISTINCT CASE WHEN {1} THEN {0} END)",

@@ -1516,6 +1516,31 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "(s STRING) RETURNS ARRAY<STRING>",
         r"filter(split(s, '\\s+'), x -> x != '')",
     ),
+    "toBool": ("(s STRING) RETURNS BOOLEAN", "CAST(s AS BOOLEAN)"),
+    "YYYYMMDDToDate": (
+        "(n BIGINT) RETURNS DATE",
+        "to_date(CAST(n AS STRING), 'yyyyMMdd')",
+    ),
+    "YYYYMMDDhhmmssToDateTime": (
+        "(n BIGINT) RETURNS TIMESTAMP",
+        "to_timestamp(CAST(n AS STRING), 'yyyyMMddHHmmss')",
+    ),
+    # OrZero date forms land on the epoch like ClickHouse's
+    "toDateOrZero": (
+        "(s STRING) RETURNS DATE",
+        "coalesce(try_cast(s AS DATE), DATE'1970-01-01')",
+    ),
+    "toDateTimeOrZero": (
+        "(s STRING) RETURNS TIMESTAMP",
+        "coalesce(try_cast(s AS TIMESTAMP), TIMESTAMP'1970-01-01 00:00:00')",
+    ),
+    "parseDateTimeBestEffortOrNull": (
+        "(s STRING) RETURNS TIMESTAMP", "try_cast(s AS TIMESTAMP)"
+    ),
+    "parseDateTimeBestEffortOrZero": (
+        "(s STRING) RETURNS TIMESTAMP",
+        "coalesce(try_cast(s AS TIMESTAMP), TIMESTAMP'1970-01-01 00:00:00')",
+    ),
     "generateUUIDv4": ("() RETURNS STRING", "uuid()"),
     # UUIDv7 (RFC 9562): 48-bit unix-ms timestamp, version nibble 7 +
     # 12 random bits, variant nibble (8..b) + 60 random bits. Assembled

@@ -2755,3 +2755,29 @@ def test_probe_batch21_aggregate_tails(views):
     assert run("approx_top_k(s, 2) IS NOT NULL") is True
     assert run("denseRank() OVER (ORDER BY x)", " LIMIT 1") == 1
     assert run("percentRank() OVER (ORDER BY x)", " LIMIT 1") == 0.0
+
+
+def test_probe_batch23_conversion_tails(views):
+    """Round-6 execution probe, batch 23: date-number conversions,
+    OrZero/BestEffortOrNull parse forms, arrayDistinct, and throwIf."""
+    import datetime as _dt
+
+    views.sql("SELECT 7 AS x").createOrReplaceTempView("__b23")
+
+    def run(expr):
+        return views.sql(
+            translate(f"SELECT {expr} AS r FROM __b23").sql
+        ).first()["r"]
+
+    assert run("toBool('true')") is True
+    assert run("YYYYMMDDToDate(20240305)") == _dt.date(2024, 3, 5)
+    assert run("YYYYMMDDhhmmssToDateTime(20240305102233)") == \
+        _dt.datetime(2024, 3, 5, 10, 22, 33)
+    assert run("toDateTimeOrZero('bad')") == _dt.datetime(1970, 1, 1)
+    assert run("parseDateTimeBestEffortOrNull('garbage')") is None
+    assert run("arrayDistinct([1,1,2])") == [1, 2]
+    assert run("throwIf(x = 99, 'boom')") == 0
+    with pytest.raises(Exception, match="boom"):
+        views.sql(
+            translate("SELECT throwIf(x = 7, 'boom') AS r FROM __b23").sql
+        ).collect()
