@@ -599,10 +599,23 @@ def _level_star_columns(sql: str, specs: dict | None) -> list[str] | None:
     tm = re.match(r"`?(\w+)`?", tail)
     if not tm:
         return None
-    if _find_top(sql, r"(?i)\b(JOIN|UNION)\b") or _find_top(
-        tail[tm.end():], r"^\s*,"
-    ):
+    if _find_top(sql, r"(?i)\b(JOIN|UNION)\b"):
         return None
+    # comma join (`FROM a, b` / `FROM a x, b y`): any top-level comma in
+    # the FROM tail before the next clause keyword means more than one
+    # table contributes to the star set — not resolvable from one spec,
+    # so bail out to the loud refusal.  The former `^\s*,` check missed
+    # aliased comma joins (`FROM events e, users u`).
+    rest = tail[tm.end():]
+    cm = _find_top(rest, ",")
+    if cm:
+        bm = _find_top(
+            rest,
+            r"(?i)\b(WHERE|PREWHERE|GROUP|HAVING|WINDOW|QUALIFY|ORDER"
+            r"|LIMIT|OFFSET|SETTINGS|FORMAT)\b",
+        )
+        if bm is None or cm.start() < bm.start():
+            return None
     spec = specs.get(tm.group(1))
     if spec is None:
         return None
@@ -2921,6 +2934,19 @@ def _count_capture_groups(pat: str) -> int | None:
     while i < len(rx):
         if rx[i] == "\\":
             i += 2
+            continue
+        if rx[i] == "[":
+            # bracket expression: '(' inside [...] is a literal, not a
+            # group.  Regex class rules: ']' is literal when it is the
+            # first member (after optional '^').
+            j = i + 1
+            if j < len(rx) and rx[j] == "^":
+                j += 1
+            if j < len(rx) and rx[j] == "]":
+                j += 1
+            while j < len(rx) and rx[j] != "]":
+                j += 2 if rx[j] == "\\" else 1
+            i = j + 1
             continue
         if rx[i] == "(" and rx[i + 1: i + 2] != "?":
             ncap += 1

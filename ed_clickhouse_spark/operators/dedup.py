@@ -150,11 +150,14 @@ def jaccard_pairs(
     sizes_small = sizes.join(pair_ids, "id", "left_semi").persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    # bounded: pair-set-sized — sizes semi-joined down to ids appearing in
-    # candidate pairs, <= 2x|pairs| rows (output-scale, never corpus-scale).
-    sa = F.broadcast(sizes_small).select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
-    # bounded: pair-set-sized (same semi-joined frame as sa above).
-    sb = F.broadcast(sizes_small).select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
+    # No forced broadcast: the semi-joined frame is usually tiny
+    # (<= 2x|pairs| ids), but that bound is data-dependent — on a
+    # pathologically duplicate-heavy corpus the pair set itself is large
+    # and a forced hint would OOM where a plain equi-join degrades
+    # gracefully.  AQE sees the materialized (persisted) size at runtime
+    # and picks broadcast exactly when it is safe.
+    sa = sizes_small.select(F.col("id").alias("id_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes_small.select(F.col("id").alias("id_b"), F.col("n_sh").alias("n_b"))
     return (
         pairs.join(sa, "id_a")
         .join(sb, "id_b")

@@ -2508,6 +2508,22 @@ def test_star_apply_columns_expand_with_schema(views):
         translate("SELECT * APPLY (x -> round(x, 2)) FROM __sapp", specs)
     with pytest.raises(ValueError, match="no column"):
         translate("SELECT COLUMNS('zzz') FROM __sapp", specs)
+    # aliased comma join: `FROM a x, b y` is a multi-table FROM even
+    # though no comma directly follows the first table token — must
+    # refuse, not silently expand against the first table only
+    specs2 = dict(specs, __other=["oid"])
+    for sql in (
+        "SELECT * APPLY (max) FROM __sapp a, __other b",
+        "SELECT * APPLY (max) FROM __sapp, __other",
+        "SELECT COLUMNS('^id$') APPLY (max) FROM __sapp a, __other b",
+    ):
+        with pytest.raises(ValueError, match="APPLY|COLUMNS"):
+            translate(sql, specs2)
+    # ...but commas later in the statement (IN lists, ORDER BY) don't
+    # trip the comma-join guard
+    assert "max(id)" in translate(
+        "SELECT * APPLY (max) FROM __sapp WHERE id IN (1, 2, 3)", specs
+    ).sql
 
 
 def test_star_apply_tablespec_hides_computed_columns():
@@ -2630,6 +2646,13 @@ def test_probe_batch18_runtime_tails(views):
         == [["a", "1"], ["b", "2"]]
     assert run("extractAllGroupsHorizontal('a1 b2', '([a-z])(\\\\d)')") \
         == [["a", "b"], ["1", "2"]]
+    # '(' inside a character class is a literal, not a capturing group —
+    # the group counter must skip bracket expressions or it emits an
+    # out-of-range regexp_extract_all group index that dies at run time
+    assert run("extractAllGroupsVertical('(a (b', '[(](\\\\w)')") \
+        == [["a"], ["b"]]
+    assert run("extractAllGroupsHorizontal('x=1;y=2', '([a-z])[=](\\\\d)')") \
+        == [["x", "y"], ["1", "2"]]
     assert run("mortonEncode(toUInt32(x), toUInt32(y))") == 39
     assert run("mortonDecode(2, 39).col1") == 3
     assert run("mortonDecode(2, 39).col2") == 5
