@@ -78,11 +78,11 @@ top-level token scanning (never inside strings/parens):
   retention(c1, ..)      array(r1, r1*r2, ...), ri = max(if(ci,1,0))
                          (exact ClickHouse semantics)
   windowFunnel(W)(..)    single aggregate() fold over the time-sorted
-                         event array (greedy-earliest anchor — the
-                         operators/windows.py:funnel semantics; CH's
-                         re-anchoring DP deviation documented there);
-                         strict_order / strict_deduplication /
-                         strict_increase mode strings translate too
+                         event array running ClickHouse's EXACT
+                         re-anchoring DP; strict_order /
+                         strict_deduplication / strict_increase mode
+                         strings run the exact event loop too
+                         (operators/windows.py:funnel_ch_fold_sql)
   sequenceMatch          sequential (?1).*(?2) patterns via the same
                          fold; (?t op n) time gaps via the nested-
                          exists exact search (re-anchoring complete);
@@ -92,8 +92,9 @@ top-level token scanning (never inside strings/parens):
                          ClickHouse adjacency ('(?1)(?2)') counted
                          exactly (NFA subset simulation); (?t op n)
                          time gaps counted exactly too (timed NFA,
-                         one dominant timestamp per depth); only
-                         (?t == n) raises (no dominance order)
+                         one dominant timestamp per depth);
+                         (?t == n) via a bounded multi-slot NFA
+                         (distinct live times per depth, cap 64)
   groupArray(n)(x)       size-capped collectors → slice(collect_*)
   uniqUpTo(n)(x)         least(count(DISTINCT x), n+1)
   quantile...If(p)(x,c)  parametric + -If combinators compose
@@ -3111,13 +3112,14 @@ def _rewrite_funnel_aggs(sql: str) -> str:
       (``r[i] = cond1 ever held AND cond_i ever held``, independent
       rows).
     - ``windowFunnel(W)(ts, c1, ..., cn)`` → a single ``aggregate()``
-      fold over the group's time-sorted events carrying
-      (depth, anchor, prev): greedy-earliest anchor, each step strictly
-      after the previous, within W seconds of the anchor — the same
-      documented semantics as operators/windows.py:funnel (ClickHouse's
-      DP re-anchors; deviation documented there). Pure JVM, one shuffle,
-      linear in the group's event count. Mode strings
-      ('strict_order', ...) are not translatable — use the operator.
+      fold over the group's time-sorted events running ClickHouse's
+      EXACT re-anchoring DP (latest chain anchor per depth). Mode
+      strings ('strict_order', 'strict_deduplication',
+      'strict_increase', any combination) run the exact ClickHouse
+      event loop via operators/windows.py:funnel_ch_fold_sql —
+      validated against a pure-Python transliteration on a ~98k-case
+      exhaustive grid. Pure JVM, one shuffle, linear in the group's
+      event count.
     """
     while True:
         m = _find_case_exact(sql, r"\bretention\s*\(")
@@ -3340,14 +3342,102 @@ def _rewrite_funnel_aggs(sql: str) -> str:
         evs = f"array_sort(collect_list(struct({fields})))"
         L = len(order)
         has_gap = any(e[0] == "gap" for e in edges)
-        if any(e[0] == "gap" and e[1] == "==" for e in edges):
-            raise ValueError(
-                f"sequenceCount pattern {pat!r}: a (?t == n) gap admits"
-                " no dominance order between live chains, so the"
-                " single-pass counter cannot be exact — use"
-                " sequenceMatch for existence or restate the bound"
+        has_eq = any(e[0] == "gap" and e[1] == "==" for e in edges)
+        if has_eq:
+            # (?t == n) admits NO dominance order between live chains
+            # (a chain with previous-ref time p can only traverse the
+            # edge at exactly p + n, so distinct p values are
+            # incomparable) — the single-slot timed NFA below cannot be
+            # exact. Generalization (r7): per depth keep the SET of live
+            # previous-ref timestamps. All chains advancing on one event
+            # share its time t, so each depth's set holds distinct event
+            # times — bounded by events since the last completion reset.
+            # Depths whose OUTGOING edge admits dominance still compress
+            # to one slot ('<='/'<'/'.*' keep latest, '>'/'>=' keep
+            # earliest, adjacency killed by any listed event as in the
+            # single-slot NFA); only depths feeding a '==' edge grow,
+            # capped at 64 with a loud runtime error naming the rewrite
+            # (dedup on equal times keeps ties from inflating the set).
+            # Completion resets every slot (CH's non-overlapping
+            # restart). Validated against the same backtracking
+            # reference as the single-slot NFA (tests/test_property.py).
+            any_cond = " OR ".join(
+                f"__ch_e.s{j + 1}" for j in range(len(conds))
             )
-        if has_gap:
+            empty = "CAST(array() AS ARRAY<DOUBLE>)"
+            init_arr = "array(" + ", ".join([empty] * (L - 1)) + ")"
+
+            def gapok_eq(i: int, p: str) -> str:
+                e = edges[i]
+                if e[0] == "gap":
+                    op = {"==": "="}.get(e[1], e[1])
+                    return (
+                        f"(__ch_e.t > {p} AND __ch_e.t - {p} {op} {e[2]})"
+                    )
+                return f"__ch_e.t > {p}"
+
+            slot_exprs = []
+            for d in range(1, L):  # depth d lives in 0-indexed slot d-1
+                if d == 1:
+                    adv = f"__ch_e.s{order[0]}"
+                else:
+                    adv = (
+                        f"(__ch_e.s{order[d - 1]} AND"
+                        f" exists(__ch_ac.p[{d - 2}],"
+                        f" __ch_q -> {gapok_eq(d - 2, '__ch_q')}))"
+                    )
+                out_edge = edges[d - 1]
+                if out_edge[0] == "adj":
+                    ns = (
+                        f"CASE WHEN {adv} THEN array(__ch_e.t)"
+                        f" ELSE {empty} END"
+                    )
+                elif out_edge[0] == "gap" and out_edge[1] == "==":
+                    base = f"__ch_ac.p[{d - 1}]"
+                    grown = (
+                        f"CASE WHEN {adv} THEN"
+                        f" CASE WHEN array_contains({base}, __ch_e.t)"
+                        f" THEN {base}"
+                        f" ELSE concat({base}, array(__ch_e.t)) END"
+                        f" ELSE {base} END"
+                    )
+                    ns = (
+                        f"CASE WHEN size({grown}) > 64 THEN"
+                        f" array(CAST(assert_true(false,"
+                        f" 'sequenceCount (?t == n): more than 64 live"
+                        f" chains at depth {d} — restate the bound as a"
+                        f" range or use operators.stats.sequence_count')"
+                        f" AS DOUBLE))"
+                        f" ELSE {grown} END"
+                    )
+                elif out_edge[0] == "gap" and out_edge[1] in (">", ">="):
+                    base = f"__ch_ac.p[{d - 1}]"
+                    ns = (
+                        f"CASE WHEN {adv} AND size({base}) = 0"
+                        f" THEN array(__ch_e.t) ELSE {base} END"
+                    )
+                else:  # '.*' or '<='/'<' gap: latest dominates
+                    ns = (
+                        f"CASE WHEN {adv} THEN array(__ch_e.t)"
+                        f" ELSE __ch_ac.p[{d - 1}] END"
+                    )
+                slot_exprs.append(ns)
+            complete = (
+                f"__ch_e.s{order[L - 1]} AND"
+                f" exists(__ch_ac.p[{L - 2}],"
+                f" __ch_q -> {gapok_eq(L - 2, '__ch_q')})"
+            )
+            expr = (
+                f"aggregate({evs}, named_struct('c', 0, 'p', {init_arr}),"
+                f" (__ch_ac, __ch_e) -> CASE"
+                f" WHEN NOT ({any_cond}) THEN __ch_ac"
+                f" WHEN {complete} THEN"
+                f" named_struct('c', __ch_ac.c + 1, 'p', {init_arr})"
+                f" ELSE named_struct('c', __ch_ac.c,"
+                f" 'p', array({', '.join(slot_exprs)})) END,"
+                f" __ch_ac -> __ch_ac.c)"
+            )
+        elif has_gap:
             # Timed NFA: time bounds need re-anchoring (an upper bound
             # makes a greedy single chain incomplete: A@0 A@100 B@105
             # under t<=10 only matches via the second A), and counting
@@ -3366,7 +3456,8 @@ def _rewrite_funnel_aggs(sql: str) -> str:
             # non-overlapping restart). Exactness is property-tested
             # against the backtracking reference (tests/test_property.py)
             # and was exhaustively validated offline on all short event
-            # strings; (?t == n) has no dominance order and raises above.
+            # strings; (?t == n) has no dominance order and takes the
+            # bounded multi-slot branch above instead.
             any_cond = " OR ".join(f"__ch_e.s{j + 1}" for j in range(len(conds)))
             null_arr = "array(" + ", ".join(
                 ["CAST(NULL AS DOUBLE)"] * (L - 1)
@@ -3524,11 +3615,8 @@ def _rewrite_funnel_aggs(sql: str) -> str:
             # depth is exact; slots only grow, so depth = filled-prefix
             # size. Same engine as operators/windows.py:funnel_exact,
             # validated against a brute-force subsequence matcher on
-            # ~97k exhaustive cases. Mode strings keep the greedy fold
-            # below: strict_increase needs per-chain last-event times
-            # (no single-slot dominance) and CH's strict_order/dedup
-            # interactions with re-anchoring are unspecified — those
-            # stay the documented deviation.
+            # ~97k exhaustive cases. Mode strings take the full
+            # event-loop simulation below instead (r7).
             K = len(conds)
             init = "array(" + ", ".join(["CAST(NULL AS DOUBLE)"] * K) + ")"
             slots = []
@@ -3549,61 +3637,20 @@ def _rewrite_funnel_aggs(sql: str) -> str:
             )
             sql = sql[: m.start()] + expr + sql[close2 + 1:]
             continue
-        # Mode semantics mirror operators/windows.py:funnel on the same
-        # greedy-earliest fold (documented deviation from CH's
-        # re-anchoring DP):
-        #   strict_order — once the chain has started, any event that
-        #     does not advance it freezes the depth permanently (the
-        #     docs' A->B->D->C stops at D with depth 2);
-        #   strict_dedup(lication) — a repeat of an already-matched
-        #     condition freezes the chain (advance cases run first, so
-        #     an event that both repeats and advances still advances);
-        #   strict_increase — the base fold already requires
-        #     e.t > prev (strictly increasing), so this mode is the
-        #     default here; accepted as a no-op.
-        strict = modes & {"strict_order", "strict_dedup"}
-        f_fields = ", 'f', 0" if strict else ""
-        init = (
-            "named_struct('d', 0, 'a', CAST(0.0 AS DOUBLE),"
-            f" 'p', CAST(0.0 AS DOUBLE){f_fields})"
-        )
+        # Mode strings run ClickHouse's EXACT event loop (r7) — the
+        # shared fold in operators/windows.py:funnel_ch_fold_sql, a
+        # direct transliteration of the published windowFunnel algorithm
+        # (per-level (anchor, last) slots, level-1 refresh preceding the
+        # dedup/order checks, early termination on dedup repeat /
+        # order violation / full depth, strict_increase on the previous
+        # level's LAST event time). Validated against a pure-Python
+        # model of the same loop on a ~98k-case exhaustive grid
+        # (tests/test_property.py). Equal-timestamp ties keep the
+        # funnel family's pinned (t asc, cond DESC) order; ClickHouse's
+        # own tie order is merge-order nondeterministic.
+        from .operators.windows import funnel_ch_fold_sql
 
-        def _st(d: str, a: str, p: str, f: str = "0") -> str:
-            tail = f", 'f', {f}" if strict else ""
-            return f"named_struct('d', {d}, 'a', {a}, 'p', {p}{tail})"
-
-        # ({w}) is user text inside the lambda body — collision-
-        # improbable lambda vars required
-        cases = []
-        if strict:
-            cases.append("WHEN __ch_ac.f = 1 THEN __ch_ac")
-        cases.append(
-            "WHEN __ch_ac.d = 0 AND __ch_e.s1 THEN"
-            f" {_st('1', '__ch_e.t', '__ch_e.t')}"
-        )
-        for k in range(2, len(conds) + 1):
-            cases.append(
-                f"WHEN __ch_ac.d = {k - 1} AND __ch_e.s{k}"
-                f" AND __ch_e.t > __ch_ac.p"
-                f" AND __ch_e.t <= __ch_ac.a + ({w}) THEN"
-                f" {_st(str(k), '__ch_ac.a', '__ch_e.t')}"
-            )
-        frozen = _st("__ch_ac.d", "__ch_ac.a", "__ch_ac.p", "1")
-        if "strict_order" in modes:
-            # chain started + event didn't advance (no earlier WHEN hit)
-            cases.append(f"WHEN __ch_ac.d >= 1 THEN {frozen}")
-        elif "strict_dedup" in modes:
-            for k in range(1, len(conds) + 1):
-                dup = " OR ".join(f"__ch_e.s{j}" for j in range(1, k + 1))
-                cases.append(
-                    f"WHEN __ch_ac.d = {k} AND ({dup}) THEN {frozen}"
-                )
-        expr = (
-            f"aggregate({evs}, {init},"
-            f" (__ch_ac, __ch_e) -> CASE {' '.join(cases)}"
-            f" ELSE __ch_ac END,"
-            f" __ch_ac -> __ch_ac.d)"
-        )
+        expr = funnel_ch_fold_sql(ts, conds, w, modes)
         sql = sql[: m.start()] + expr + sql[close2 + 1:]
     return sql
 

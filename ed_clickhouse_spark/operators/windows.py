@@ -52,10 +52,13 @@ def funnel(
     SQL-oracle-able; ClickHouse's DP re-anchors to any step-1 event, so
     it can count deeper on pathological sequences — documented deviation).
 
-    With ``strict_dedup`` (ClickHouse's ``'strict_deduplication'`` mode),
-    a repeat of any already-matched step condition interrupts the chain:
-    after step k matches at ``t_k``, an event of steps 1..k falling
-    strictly before the step-k+1 candidate stops the funnel at depth k.
+    With ``strict_dedup``, a repeat of any already-matched step condition
+    interrupts the chain: after step k matches at ``t_k``, an event of
+    steps 1..k falling strictly before the step-k+1 candidate stops the
+    funnel at depth k. (This is the greedy-anchor variant of the idea —
+    for ClickHouse's exact ``'strict_deduplication'`` semantics, which
+    differ on level-1 repeats and on scan termination, use
+    :func:`funnel_ch`.)
 
     Pure aggregation — no UDF: step 1 time is ``min(ts) filter step1``;
     step k time is ``min(ts) filter (event=step_k and ts > t_{k-1})``,
@@ -196,6 +199,183 @@ def funnel_exact(
 def _sql_str(s: str) -> str:
     """SQL string literal with quotes escaped (step names are data)."""
     return "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+
+
+_FUNNEL_MODES = frozenset({"strict_order", "strict_dedup", "strict_increase"})
+
+
+def funnel_ch_fold_sql(
+    ts_sql: str, conds_sql: list[str], window_sql: str, modes: frozenset | set
+) -> str:
+    """SQL aggregate expression simulating ClickHouse's ``windowFunnel``
+    event loop EXACTLY, mode flags included — a direct transliteration of
+    the published algorithm (ClickHouse ``AggregateFunctionWindowFunnel``):
+
+    - one list entry per (event, matched condition), conditions added in
+      DESCENDING index order so a single event can never chain with
+      itself across two consecutive steps;
+    - in ``strict_order`` mode, events matching NO condition are kept as
+      level-0 entries (they interrupt a started chain);
+    - the scan keeps one ``(chain anchor, last event time)`` pair per
+      level; a level-1 event always refreshes slot 1 (it never triggers
+      dedup or order interruption — the level-1 branch precedes both
+      checks); a level-k event with a filled own slot ends the scan at
+      ``k`` under ``strict_dedup``; an out-of-order level-k event (empty
+      slot k-1 after the chain started) ends the scan at the filled
+      prefix under ``strict_order``; otherwise it propagates the level
+      k-1 anchor when within the window (``strict_increase`` additionally
+      requires the level k-1 LAST event time strictly before it);
+      reaching full depth ends the scan (later duplicates can no longer
+      interrupt).
+
+    Equal timestamps: ClickHouse's cross-row order for tied events is
+    insertion/merge-order dependent (nondeterministic under distributed
+    aggregation); this fold pins the deterministic tiebreak the rest of
+    the funnel family uses — time ascending, condition index DESCENDING
+    (matching ClickHouse's within-row insertion order).
+
+    The returned expression is a single JVM ``aggregate()`` over the
+    collected per-group entry array — one shuffle on the group key, no
+    Python. Validated against a pure-Python transliteration of the same
+    loop on an exhaustive case grid (tests/test_property.py).
+    """
+    modes = set(modes)
+    unknown = modes - _FUNNEL_MODES
+    if unknown:
+        raise ValueError(f"windowFunnel: unknown mode {sorted(unknown)!r}")
+    so = "strict_order" in modes
+    sd = "strict_dedup" in modes
+    si = "strict_increase" in modes
+    K = len(conds_sql)
+    T = f"CAST(CAST({ts_sql} AS TIMESTAMP) AS DOUBLE)"
+    # per-row entries, condition indexes descending (stored negated so the
+    # struct sort's ascending second field gives condition-DESC ties)
+    entries = [
+        f"CASE WHEN ({conds_sql[k - 1]}) THEN"
+        f" named_struct('t', {T}, 'nc', {-k}) END"
+        for k in range(K, 0, -1)
+    ]
+    if so:
+        anycond = " OR ".join(f"({c})" for c in conds_sql)
+        entries.append(
+            f"CASE WHEN NOT coalesce({anycond}, false) THEN"
+            f" named_struct('t', {T}, 'nc', 0) END"
+        )
+    evs = (
+        "array_sort(flatten(collect_list(filter(array("
+        + ", ".join(entries)
+        + "), __wf_n -> __wf_n IS NOT NULL))))"
+    )
+    nulls = ", ".join(["CAST(NULL AS DOUBLE)"] * K)
+    init = (
+        "named_struct('r', CAST(NULL AS INT), 'fe', false,"
+        f" 'f', array({nulls}), 'l', array({nulls}))"
+    )
+
+    def arr_set(arr: str, idx: int, val: str) -> str:
+        elems = ", ".join(
+            val if i == idx else f"{arr}[{i}]" for i in range(K)
+        )
+        return f"array({elems})"
+
+    def st(r: str, fe: str, f: str, l: str) -> str:
+        return f"named_struct('r', {r}, 'fe', {fe}, 'f', {f}, 'l', {l})"
+
+    keep = st("__wf_a.r", "__wf_a.fe", "__wf_a.f", "__wf_a.l")
+    prefix = (
+        "CAST(size(filter(__wf_a.f, __wf_p -> __wf_p IS NOT NULL)) AS INT)"
+    )
+    branches = ["WHEN __wf_a.r IS NOT NULL THEN __wf_a"]
+    if so:
+        branches.append(
+            "WHEN __wf_e.nc = 0 THEN CASE WHEN __wf_a.fe THEN "
+            + st(prefix, "__wf_a.fe", "__wf_a.f", "__wf_a.l")
+            + " ELSE __wf_a END"
+        )
+    branches.append(
+        "WHEN __wf_e.nc = -1 THEN "
+        + st(
+            "CAST(NULL AS INT)", "true",
+            arr_set("__wf_a.f", 0, "__wf_e.t"),
+            arr_set("__wf_a.l", 0, "__wf_e.t"),
+        )
+    )
+    for k in range(2, K + 1):
+        inner = []
+        if sd:
+            inner.append(
+                f"WHEN __wf_a.f[{k - 1}] IS NOT NULL THEN "
+                + st(str(k), "__wf_a.fe", "__wf_a.f", "__wf_a.l")
+            )
+        if so:
+            inner.append(
+                f"WHEN __wf_a.fe AND __wf_a.f[{k - 2}] IS NULL THEN "
+                + st(prefix, "__wf_a.fe", "__wf_a.f", "__wf_a.l")
+            )
+        cond = (
+            f"__wf_a.f[{k - 2}] IS NOT NULL"
+            f" AND __wf_e.t <= __wf_a.f[{k - 2}] + ({window_sql})"
+        )
+        if si:
+            cond += f" AND __wf_a.l[{k - 2}] < __wf_e.t"
+        done = str(K) if k == K else "CAST(NULL AS INT)"
+        inner.append(
+            f"WHEN {cond} THEN "
+            + st(
+                done, "__wf_a.fe",
+                arr_set("__wf_a.f", k - 1, f"__wf_a.f[{k - 2}]"),
+                arr_set("__wf_a.l", k - 1, "__wf_e.t"),
+            )
+        )
+        branches.append(
+            f"WHEN __wf_e.nc = {-k} THEN"
+            f" CASE {' '.join(inner)} ELSE {keep} END"
+        )
+    return (
+        f"aggregate({evs}, {init},"
+        f" (__wf_a, __wf_e) -> CASE {' '.join(branches)} ELSE __wf_a END,"
+        f" __wf_a -> coalesce(__wf_a.r, {prefix}))"
+    )
+
+
+def funnel_ch(
+    df: DataFrame,
+    user_col: str,
+    ts_col: str,
+    event_col: str,
+    steps: list[str],
+    window_seconds: int,
+    modes: frozenset | set = frozenset(),
+) -> DataFrame:
+    """ClickHouse ``windowFunnel(W[, modes...])(ts, conds...)`` with the
+    EXACT semantics of ClickHouse's own event loop for every mode string
+    (``'strict_order'``, ``'strict_deduplication'``, ``'strict_increase'``,
+    any combination) — see :func:`funnel_ch_fold_sql` for the algorithm
+    and the pinned equal-timestamp tiebreak. The bare (no-mode) result
+    equals :func:`funnel_exact` (kept as the leaner single-array fold).
+
+    ``strict_order`` keeps events matching NO step: they interrupt a
+    started chain, so the input is NOT pre-filtered in that mode (at
+    100 TB prefer a cheap predicate that retains only the user's event
+    types of interest if the condition set allows it). All other modes
+    pre-filter to step events before the shuffle.
+
+    Returns (user_col, funnel_steps) with funnel_steps in 0..len(steps).
+    """
+    modes = {
+        "strict_dedup" if m == "strict_deduplication" else m for m in modes
+    }
+    conds = [f"__ev = {_sql_str(s)}" for s in steps]
+    expr = funnel_ch_fold_sql(
+        "__ts", conds, str(int(window_seconds)), modes
+    )
+    base = df.select(
+        F.col(user_col), F.col(ts_col).alias("__ts"),
+        F.col(event_col).alias("__ev"),
+    )
+    if "strict_order" not in modes:
+        base = base.filter(F.col("__ev").isin(steps))
+    return base.groupBy(user_col).agg(F.expr(expr).alias("funnel_steps"))
 
 
 def retention(

@@ -763,3 +763,193 @@ def q220_funnel_exact_depth(spark, sf_dir):
         .agg(F.count("*").alias("n_users"))
         .orderBy("funnel_steps")
     )
+
+
+def _duckdb_funnel_ch_oracle(conds, window, modes, source):
+    """DuckDB transliteration of ClickHouse's windowFunnel event loop —
+    the oracle twin of operators/windows.py:funnel_ch_fold_sql, written
+    independently as a RECURSIVE CTE over scalar state columns
+    (r, fe, f1..fK, l1..lK — early-return value, first-event flag,
+    per-level chain anchors, per-level last event times), one recursion
+    step per (event, matched condition) entry. Entries carry nc = -cond
+    so the (t, nc) ordering reproduces the pinned (t asc, cond DESC)
+    tie order of the Spark side; condition expansion per event mirrors
+    ClickHouse's descending-condition insertion. Validated against the
+    same pure-Python model as the Spark fold on a ~24k-case exhaustive
+    grid before being adopted as an oracle
+    (tests/test_property.py:_ch_window_funnel_model).
+
+    (A first formulation on DuckDB 1.0's list_reduce was semantically
+    identical but exploded exponentially in list length once a vector
+    held rows taking divergent lambda branches — 3 users x 40 events
+    never finished. The recursive CTE is linear: step rows = total
+    entries.)"""
+    so = "strict_order" in modes
+    sd = "strict_dedup" in modes
+    si = "strict_increase" in modes
+    K = len(conds)
+    sels = [
+        f"SELECT user_id AS u, epoch(ts) AS t, {-k} AS nc"
+        f" FROM {source} AS __src WHERE ({conds[k - 1]})"
+        for k in range(K, 0, -1)
+    ]
+    if so:
+        anycond = " OR ".join(f"({c})" for c in conds)
+        sels.append(
+            f"SELECT user_id AS u, epoch(ts) AS t, 0 AS nc"
+            f" FROM {source} AS __src"
+            f" WHERE NOT coalesce({anycond}, false)"
+        )
+    entries_sql = " UNION ALL ".join(sels)
+    cols = ["r", "fe"] + [f"f{k}" for k in range(1, K + 1)] + [
+        f"l{k}" for k in range(1, K + 1)
+    ]
+
+    def prefix(q):
+        cases = " ".join(
+            f"WHEN {q}.f{k} IS NULL THEN {k - 1}.0" for k in range(1, K + 1)
+        )
+        return f"(CASE {cases} ELSE {K}.0 END)"
+
+    # ordered transition branches: (condition, {col: new value}); a
+    # branch that fires but does not name a column keeps it — so every
+    # branch appears in every column's CASE with the keep as default
+    branches = [("st.r IS NOT NULL", {})]
+    if so:
+        branches.append(("ev.nc = 0 AND st.fe = 1", {"r": prefix("st")}))
+    branches.append(
+        ("ev.nc = -1", {"f1": "ev.t", "l1": "ev.t", "fe": "1.0"})
+    )
+    for k in range(2, K + 1):
+        if sd:
+            branches.append(
+                (f"ev.nc = {-k} AND st.f{k} IS NOT NULL", {"r": f"{k}.0"})
+            )
+        if so:
+            branches.append(
+                (
+                    f"ev.nc = {-k} AND st.fe = 1 AND st.f{k - 1} IS NULL",
+                    {"r": prefix("st")},
+                )
+            )
+        adv = (
+            f"ev.nc = {-k} AND st.f{k - 1} IS NOT NULL"
+            f" AND ev.t <= st.f{k - 1} + ({window})"
+        )
+        if si:
+            adv += f" AND st.l{k - 1} < ev.t"
+        upd = {f"f{k}": f"st.f{k - 1}", f"l{k}": "ev.t"}
+        if k == K:
+            upd["r"] = f"{K}.0"
+        branches.append((adv, upd))
+
+    def colexpr(col):
+        whens = " ".join(
+            f"WHEN {cond} THEN {upd.get(col, 'st.' + col)}"
+            for cond, upd in branches
+        )
+        return f"CASE {whens} ELSE st.{col} END AS {col}"
+
+    init_cols = ", ".join(
+        {"r": "CAST(NULL AS DOUBLE) AS r", "fe": "0.0 AS fe"}.get(
+            c, f"CAST(NULL AS DOUBLE) AS {c}"
+        )
+        for c in cols
+    )
+    step_cols = ", ".join(colexpr(c) for c in cols)
+    return f"""WITH RECURSIVE
+    __wf_raw AS (
+      {entries_sql}
+    ),
+    __wf_ev AS (
+      SELECT u, t, nc,
+             row_number() OVER (PARTITION BY u ORDER BY t, nc) AS i
+      FROM __wf_raw
+    ),
+    __wf_n AS (SELECT u, COUNT(*) AS cnt FROM __wf_ev GROUP BY u),
+    __wf_step AS (
+      SELECT u, 0 AS i, {init_cols} FROM __wf_n
+      UNION ALL
+      SELECT st.u, st.i + 1, {step_cols}
+      FROM __wf_step st JOIN __wf_ev ev ON ev.u = st.u AND ev.i = st.i + 1
+    ),
+    depths AS (
+      SELECT st.u,
+             CAST(coalesce(st.r, {prefix("st")}) AS INT) AS funnel_steps
+      FROM __wf_step st JOIN __wf_n n ON n.u = st.u AND st.i = n.cnt
+    )
+    SELECT funnel_steps, COUNT(*) AS n_users
+    FROM depths GROUP BY 1 ORDER BY 1
+    """
+
+
+_FUNNEL_CONDS = [
+    "event_type = 'signup'",
+    "event_type = 'click'",
+    "event_type = 'purchase'",
+]
+_FUNNEL_STEP_SRC = (
+    "(SELECT * FROM events"
+    " WHERE event_type IN ('signup', 'click', 'purchase'))"
+)
+
+
+def _funnel_mode_depths(spark, sf_dir, mode):
+    """Spark side of q221-q223: funnel_ch depth histogram under one
+    ClickHouse mode string (signup -> click -> purchase, 1-day window).
+    strict_order keeps every event (non-matching events interrupt, so
+    funnel_ch reads the unfiltered table in that mode); the other modes
+    pre-filter to step events before the shuffle."""
+    from ed_clickhouse_spark.operators.windows import funnel_ch
+
+    e = t(spark, sf_dir, "events")
+    depths = funnel_ch(
+        e, "user_id", "ts", "event_type",
+        ["signup", "click", "purchase"], 86400, {mode},
+    )
+    return (
+        depths.groupBy("funnel_steps")
+        .agg(F.count("*").alias("n_users"))
+        .orderBy("funnel_steps")
+    )
+
+
+@query(
+    "q221_funnel_strict_order",
+    oracle=_duckdb_funnel_ch_oracle(
+        _FUNNEL_CONDS, 86400, {"strict_order"}, "events"
+    ),
+)
+def q221_funnel_strict_order(spark, sf_dir):
+    """windowFunnel(86400, 'strict_order') with ClickHouse's exact
+    event-loop semantics (operators/windows.py:funnel_ch): an event
+    matching no step after the chain starts, or an out-of-order step,
+    ends the scan."""
+    return _funnel_mode_depths(spark, sf_dir, "strict_order")
+
+
+@query(
+    "q222_funnel_strict_dedup",
+    oracle=_duckdb_funnel_ch_oracle(
+        _FUNNEL_CONDS, 86400, {"strict_dedup"}, _FUNNEL_STEP_SRC
+    ),
+)
+def q222_funnel_strict_dedup(spark, sf_dir):
+    """windowFunnel(86400, 'strict_deduplication') with ClickHouse's
+    exact semantics: a repeat of an already-matched condition (levels
+    2+; level-1 repeats refresh the anchor) ends the scan at that
+    level."""
+    return _funnel_mode_depths(spark, sf_dir, "strict_deduplication")
+
+
+@query(
+    "q223_funnel_strict_increase",
+    oracle=_duckdb_funnel_ch_oracle(
+        _FUNNEL_CONDS, 86400, {"strict_increase"}, _FUNNEL_STEP_SRC
+    ),
+)
+def q223_funnel_strict_increase(spark, sf_dir):
+    """windowFunnel(86400, 'strict_increase') with ClickHouse's exact
+    semantics: each step's timestamp must be strictly after the
+    previous level's LAST matched event time."""
+    return _funnel_mode_depths(spark, sf_dir, "strict_increase")

@@ -1072,16 +1072,22 @@ def test_week_and_iso_year_boundaries(views):
 
 
 def test_window_funnel_modes_in_dialect(views):
-    """windowFunnel mode strings translate: strict_order freezes on the
-    first non-advancing event after the chain starts, strict_dedup on a
-    repeat of an already-matched condition, strict_increase is the base
-    fold (strictly increasing times already required)."""
+    """windowFunnel mode strings run ClickHouse's EXACT event loop (r7):
+    strict_order ends the scan when a no-condition event follows a
+    started chain or a step arrives out of order; strict_deduplication
+    ends it at the level of a repeated already-matched condition (level
+    1 repeats refresh the anchor instead — the level-1 branch precedes
+    both checks, so A,B,A,C reaches 3 under every mode);
+    strict_increase requires the previous level's LAST event time
+    strictly earlier."""
     base = (
         "WITH ev AS ("
         "  SELECT * FROM VALUES "
         "    ('u1', 1, 'A'), ('u1', 2, 'B'), ('u1', 3, 'C'),"
         "    ('u2', 1, 'A'), ('u2', 2, 'X'), ('u2', 3, 'B'), ('u2', 4, 'C'),"
-        "    ('u3', 1, 'A'), ('u3', 2, 'B'), ('u3', 3, 'A'), ('u3', 4, 'C')"
+        "    ('u3', 1, 'A'), ('u3', 2, 'B'), ('u3', 3, 'A'), ('u3', 4, 'C'),"
+        "    ('u4', 1, 'A'), ('u4', 2, 'B'), ('u4', 3, 'B'), ('u4', 4, 'C'),"
+        "    ('u5', 1, 'A'), ('u5', 3, 'C'), ('u5', 4, 'B'), ('u5', 5, 'C')"
         "  AS t(u, ts, e))"
         " SELECT u, windowFunnel(100{modes})("
         "   CAST(ts AS TIMESTAMP), e = 'A', e = 'B', e = 'C') AS d"
@@ -1092,14 +1098,26 @@ def test_window_funnel_modes_in_dialect(views):
         q = translate(base.format(modes=modes)).sql
         return {r["u"]: r["d"] for r in views.sql(q).collect()}
 
-    assert run("") == {"u1": 3, "u2": 3, "u3": 3}
-    # u2: X interrupts after depth 1; u3: nothing but funnel events, but
-    # the repeated A at t=3 is also non-advancing -> frozen at 2
-    assert run(", 'strict_order'") == {"u1": 3, "u2": 1, "u3": 2}
-    # u2: X matches no condition -> no dedup freeze, full depth;
-    # u3: repeat of matched A freezes at 2
-    assert run(", 'strict_deduplication'") == {"u1": 3, "u2": 3, "u3": 2}
-    assert run(", 'strict_increase'") == {"u1": 3, "u2": 3, "u3": 3}
+    assert run("") == {"u1": 3, "u2": 3, "u3": 3, "u4": 3, "u5": 3}
+    # u2: X after the chain started -> scan ends at depth 1; u3: the
+    # repeated A refreshes the anchor (no interruption), C completes;
+    # u5: C arrives before B (out of order) -> ends at the filled prefix
+    assert run(", 'strict_order'") == {
+        "u1": 3, "u2": 1, "u3": 3, "u4": 3, "u5": 1,
+    }
+    # u4: second B repeats a matched condition -> scan ends returning 2;
+    # u3: level-1 repeat never triggers dedup; u5: first C is ignored
+    # (level 2 empty), so no repeat when the second C lands
+    assert run(", 'strict_deduplication'") == {
+        "u1": 3, "u2": 3, "u3": 3, "u4": 2, "u5": 3,
+    }
+    assert run(", 'strict_increase'") == {
+        "u1": 3, "u2": 3, "u3": 3, "u4": 3, "u5": 3,
+    }
+    # modes compose with the same else-if precedence ClickHouse uses
+    assert run(", 'strict_order', 'strict_deduplication'") == {
+        "u1": 3, "u2": 1, "u3": 3, "u4": 2, "u5": 1,
+    }
     with pytest.raises(ValueError, match="unknown mode"):
         translate(base.format(modes=", 'bogus'"))
 
@@ -1173,13 +1191,14 @@ def test_sequence_count_adjacency_exact(views):
     run (the docs' third-condition example), including the 3-ref,
     repeated-ref, and mixed shapes the pre-r6 fold refused or — for
     all-referenced 3-ref patterns — silently over-counted."""
-    # (?t op n) gaps translate via the timed NFA; only (?t == n) raises
-    # (no dominance order between live chains)
+    # (?t op n) gaps translate via the timed NFA; (?t == n) takes the
+    # bounded multi-slot branch (r7 — it used to raise)
     assert translate(
         "SELECT sequenceCount('(?1)(?t>10)(?2)')(ts, a, b) FROM e"
     ).sql
-    with pytest.raises(ValueError, match="dominance"):
-        translate("SELECT sequenceCount('(?1)(?t==5)(?2)')(ts, a, b) FROM e")
+    assert translate(
+        "SELECT sequenceCount('(?1)(?t==5)(?2)')(ts, a, b) FROM e"
+    ).sql
 
     def run(pattern, conds, events):
         rows = ", ".join(f"('u', {i + 1}, '{e}')" for i, e in enumerate(events))

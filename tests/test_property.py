@@ -419,7 +419,7 @@ def _parse_seq_pattern(pat):
     import re as _re
 
     tok_rx = _re.compile(
-        r"\(\?(\d+)\)|\(\?t\s*(<=|>=|<|>)\s*(\d+(?:\.\d+)?)\)|\.\*"
+        r"\(\?(\d+)\)|\(\?t\s*(<=|>=|==|<|>)\s*(\d+(?:\.\d+)?)\)|\.\*"
     )
     toks = []
     for tm in tok_rx.finditer(pat):
@@ -456,6 +456,7 @@ def _ref_sequence_count_timed(listed, refs, edges, match):
                 "<": t2 > t1 and d < e[2],
                 ">=": t2 > t1 and d >= e[2],
                 ">": d > e[2],
+                "==": t2 > t1 and d == e[2],
             }[e[1]]
         return t2 > t1
 
@@ -501,6 +502,11 @@ def _ref_sequence_count_timed(listed, refs, edges, match):
             "(?1).*(?2)(?t<=3)(?3)",
             "(?1)(?2)(?t<=4)(?3)",
             "(?1)(?t<=2)(?1)",
+            "(?1)(?t==2)(?2)",
+            "(?1)(?t==1)(?1)(?t==1)(?1)",
+            "(?1)(?t==2)(?2)(?t<=3)(?3)",
+            "(?1).*(?2)(?t==1)(?3)",
+            "(?1)(?t>=1)(?2)(?t==2)(?3)",
         ]
     ),
 )
@@ -662,3 +668,282 @@ def test_equal_timestamp_events_are_order_invariant(spark):
     # exact funnel tolerates the tie (CH default admits equal
     # timestamps); the strict-after sequence fold does not advance on it
     assert results[0][1] == 2
+
+
+def _ch_window_funnel_model(events, n_conds, window, modes):
+    """Pure-Python transliteration of ClickHouse's windowFunnel event
+    loop (the published AggregateFunctionWindowFunnel algorithm),
+    including mode flags and the pinned (t asc, cond DESC) tie order.
+    ``events``: list of (t, matched_cond_indexes_1based)."""
+    so = "strict_order" in modes
+    sd = "strict_dedup" in modes
+    si = "strict_increase" in modes
+    entries = []
+    for t, matched in events:
+        hit = False
+        for c in range(n_conds, 0, -1):
+            if c in matched:
+                entries.append((t, c))
+                hit = True
+        if so and not hit:
+            entries.append((t, 0))
+    entries.sort(key=lambda e: (e[0], -e[1]))
+    slots = [None] * n_conds  # (chain anchor, last event time) per level
+    first_event = False
+    for t, c in entries:
+        idx = c - 1
+        if so and idx == -1:
+            if first_event:
+                break
+            continue
+        elif idx == 0:
+            slots[0] = (t, t)
+            first_event = True
+        elif sd and slots[idx] is not None:
+            return c
+        elif so and first_event and slots[idx - 1] is None:
+            for j in range(n_conds):
+                if slots[j] is None:
+                    return j
+        elif slots[idx - 1] is not None:
+            anchor, last = slots[idx - 1]
+            ok = t <= anchor + window
+            if si:
+                ok = ok and last < t
+            if ok:
+                slots[idx] = (anchor, t)
+                if idx + 1 == n_conds:
+                    return n_conds
+    for j in range(n_conds, 0, -1):
+        if slots[j - 1] is not None:
+            return j
+    return 0
+
+
+def test_funnel_ch_modes_match_model_exhaustive(spark):
+    """funnel_ch's SQL fold equals the pure-Python transliteration of
+    ClickHouse's windowFunnel loop on an exhaustive grid: every event
+    sequence over {A, B, C, X} (X matches no step) up to length 5, three
+    time patterns (spread, bursty, with exact ties), windows {2, 5,
+    1000}, and all 8 mode combinations — ~98k case evaluations, batched
+    through Spark as one grouped aggregate per (modes, window)."""
+    from itertools import product
+
+    from ed_clickhouse_spark.operators.windows import funnel_ch
+
+    steps = ["A", "B", "C"]
+    deltas = {"d1": [1, 1, 1, 1, 1], "d2": [1, 3, 1, 3, 1], "d0": [1, 0, 1, 0, 1]}
+    cases, rows = {}, []
+    for n in range(6):
+        for seq in product("ABCX", repeat=n):
+            for dname, ds in deltas.items():
+                cid = f"{''.join(seq)}|{dname}"
+                t, times = 0, []
+                for i in range(n):
+                    t += ds[i]
+                    times.append(t)
+                cases[cid] = [
+                    (times[i], {steps.index(s) + 1} if s in steps else set())
+                    for i, s in enumerate(seq)
+                ]
+                rows += [(cid, float(times[i]), seq[i]) for i in range(n)]
+    df = spark.createDataFrame(
+        rows, "u string, ts double, ev string"
+    ).selectExpr("u", "CAST(ts AS TIMESTAMP) AS ts", "ev")
+    mode_combos = [
+        set(c)
+        for r in range(4)
+        for c in __import__("itertools").combinations(
+            ["strict_order", "strict_dedup", "strict_increase"], r
+        )
+    ]
+    checked = 0
+    for modes in mode_combos:
+        for w in (2, 5, 1000):
+            got = {
+                r["u"]: r["funnel_steps"]
+                for r in funnel_ch(
+                    df, "u", "ts", "ev", steps, w, modes
+                ).collect()
+            }
+            for cid, evs in cases.items():
+                want = _ch_window_funnel_model(evs, 3, w, modes)
+                assert got.get(cid, 0) == want, (cid, sorted(modes), w)
+                checked += 1
+    assert checked == len(cases) * len(mode_combos) * 3
+
+
+def test_sequence_count_eq_gap_matches_reference_exhaustive(spark):
+    """The bounded multi-slot NFA for (?t == n) gaps equals the
+    backtracking earliest-completion reference on an exhaustive grid:
+    every event string over {A, B, C, X} up to length 5, three time
+    patterns (including one with equal gaps the == edge can hit), five
+    ==-bearing patterns mixing adjacency, '.*' and range gaps — batched
+    through Spark as one grouped aggregate per pattern."""
+    from itertools import product
+
+    from ed_clickhouse_spark.chsql import translate
+
+    preds = [lambda s: s == "A", lambda s: s == "B", lambda s: s in "AC"]
+    pats = [
+        "(?1)(?t==2)(?2)",
+        "(?1)(?t==1)(?1)(?t==1)(?1)",
+        "(?1)(?t==2)(?2)(?t<=3)(?3)",
+        "(?1).*(?2)(?t==1)(?3)",
+        "(?1)(?2)(?t==2)(?3)",
+    ]
+    deltas = {"d1": [1, 1, 1, 1, 1], "d2": [1, 2, 1, 2, 1], "d3": [2, 2, 2, 2, 2]}
+    rows, cases = [], {}
+    for n in range(6):
+        for seq in product("ABCX", repeat=n):
+            for dn, ds in deltas.items():
+                cid = f"{''.join(seq)}|{dn}"
+                t, times = 0, []
+                for i in range(n):
+                    t += ds[i]
+                    times.append(float(t))
+                cases[cid] = (list(seq), times)
+                rows += [(cid, times[i], seq[i]) for i in range(n)]
+    df = spark.createDataFrame(rows, "u string, ts double, e string")
+    df.createOrReplaceTempView("__eqgrid")
+    checked = 0
+    for pat in pats:
+        refs, edges = _parse_seq_pattern(pat)
+        got = {
+            r["u"]: r["c"]
+            for r in spark.sql(
+                translate(
+                    f"SELECT u, sequenceCount('{pat}')("
+                    " CAST(ts AS TIMESTAMP), e = 'A', e = 'B',"
+                    " e IN ('A', 'C')) AS c"
+                    " FROM __eqgrid GROUP BY u"
+                ).sql
+            ).collect()
+        }
+        for cid, (seq, times) in cases.items():
+            listed = [
+                (i, times[i], s)
+                for i, s in enumerate(seq)
+                if any(p(s) for p in preds)
+            ]
+            listed = [(j, t, s) for j, (_, t, s) in enumerate(listed)]
+            want = _ref_sequence_count_timed(
+                listed, refs, edges, lambda s, r: preds[r - 1](s)
+            )
+            assert got.get(cid, 0) == want, (cid, pat, got.get(cid, 0), want)
+            checked += 1
+    assert checked == len(cases) * len(pats)
+
+
+def test_sequence_count_eq_gap_cap_overflow_is_loud(spark):
+    """More than 64 live chains at an ==-fed depth raises a runtime
+    error naming the rewrite instead of silently miscounting."""
+    import pytest
+
+    from ed_clickhouse_spark.chsql import translate
+
+    rows = [("u", float(i), "A") for i in range(70)]
+    df = spark.createDataFrame(rows, "u string, ts double, e string")
+    df.createOrReplaceTempView("__eqcap")
+    q = translate(
+        "SELECT u, sequenceCount('(?1)(?t==1000)(?2)')("
+        " CAST(ts AS TIMESTAMP), e = 'A', e = 'B') AS c"
+        " FROM __eqcap GROUP BY u"
+    ).sql
+    with pytest.raises(Exception, match="64 live chains"):
+        spark.sql(q).collect()
+
+
+def test_sequence_family_tie_order_invariance(spark):
+    """Extends the r6 funnel tie pin to the whole family: for inputs
+    with EQUAL timestamps, the INPUT ROW ORDER never changes a result —
+    every operator sorts its collected struct array on a total key
+    (time plus all condition fields), so ties land in one pinned order
+    regardless of arrival. Covered: sequenceMatch (adjacency + timed),
+    sequenceCount (greedy, adjacency-NFA, timed single-slot, timed
+    multi-slot ==), retention, windowFunnel (bare + every mode
+    string). Three arrival orders of a tie-rich event set must agree."""
+    import random
+
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.operators.windows import funnel_ch, retention
+
+    base_rows = [
+        ("u1", 1.0, "A"), ("u1", 1.0, "B"), ("u1", 1.0, "X"),
+        ("u1", 2.0, "A"), ("u1", 2.0, "C"), ("u1", 3.0, "B"),
+        ("u1", 3.0, "B"), ("u1", 3.0, "C"),
+        ("u2", 1.0, "A"), ("u2", 1.0, "A"), ("u2", 2.0, "B"),
+        ("u2", 2.0, "X"), ("u2", 2.0, "C"), ("u2", 4.0, "C"),
+        ("u3", 5.0, "C"), ("u3", 5.0, "B"), ("u3", 5.0, "A"),
+    ]
+    orders = [
+        base_rows,
+        list(reversed(base_rows)),
+        random.Random(7).sample(base_rows, len(base_rows)),
+    ]
+    sqls = [
+        "SELECT u, sequenceMatch('(?1)(?2)')("
+        " CAST(ts AS TIMESTAMP), e = 'A', e = 'B') AS r FROM __tieperm"
+        " GROUP BY u",
+        "SELECT u, sequenceMatch('(?1)(?t<=2)(?2)')("
+        " CAST(ts AS TIMESTAMP), e = 'A', e = 'C') AS r FROM __tieperm"
+        " GROUP BY u",
+        "SELECT u, sequenceCount('(?1).*(?2)')("
+        " CAST(ts AS TIMESTAMP), e = 'A', e = 'B') AS r FROM __tieperm"
+        " GROUP BY u",
+        "SELECT u, sequenceCount('(?1)(?2)')("
+        " CAST(ts AS TIMESTAMP), e = 'A', e = 'B') AS r FROM __tieperm"
+        " GROUP BY u",
+        "SELECT u, sequenceCount('(?1)(?t<=2)(?2)')("
+        " CAST(ts AS TIMESTAMP), e = 'A', e = 'B') AS r FROM __tieperm"
+        " GROUP BY u",
+        "SELECT u, sequenceCount('(?1)(?t==1)(?2)')("
+        " CAST(ts AS TIMESTAMP), e = 'A', e = 'B') AS r FROM __tieperm"
+        " GROUP BY u",
+        "SELECT u, windowFunnel(10)("
+        " CAST(ts AS TIMESTAMP), e = 'A', e = 'B', e = 'C') AS r"
+        " FROM __tieperm GROUP BY u",
+        "SELECT u, windowFunnel(10, 'strict_order')("
+        " CAST(ts AS TIMESTAMP), e = 'A', e = 'B', e = 'C') AS r"
+        " FROM __tieperm GROUP BY u",
+        "SELECT u, windowFunnel(10, 'strict_deduplication')("
+        " CAST(ts AS TIMESTAMP), e = 'A', e = 'B', e = 'C') AS r"
+        " FROM __tieperm GROUP BY u",
+        "SELECT u, windowFunnel(10, 'strict_increase')("
+        " CAST(ts AS TIMESTAMP), e = 'A', e = 'B', e = 'C') AS r"
+        " FROM __tieperm GROUP BY u",
+    ]
+    results = []
+    for rows in orders:
+        # coalesce(1) pins a single partition so collect_list arrival
+        # order really does follow the row order under test
+        df = spark.createDataFrame(
+            rows, "u string, ts double, e string"
+        ).coalesce(1)
+        df.createOrReplaceTempView("__tieperm")
+        snap = []
+        for q in sqls:
+            snap.append(
+                sorted(
+                    (r["u"], r["r"])
+                    for r in spark.sql(translate(q).sql).collect()
+                )
+            )
+        tdf = df.withColumn("ts", F.col("ts").cast("timestamp"))
+        snap.append(
+            sorted(
+                (r["u"], r["funnel_steps"])
+                for r in funnel_ch(
+                    tdf, "u", "ts", "e", ["A", "B", "C"], 10,
+                    {"strict_order", "strict_dedup"},
+                ).collect()
+            )
+        )
+        snap.append(
+            sorted(
+                (r["u"], str(r["cohort_date"]), r["d1"])
+                for r in retention(tdf, "u", "ts", offsets=(1,)).collect()
+            )
+        )
+        results.append(snap)
+    assert results[0] == results[1] == results[2]
