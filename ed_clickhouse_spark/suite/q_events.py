@@ -953,3 +953,77 @@ def q223_funnel_strict_increase(spark, sf_dir):
     semantics: each step's timestamp must be strictly after the
     previous level's LAST matched event time."""
     return _funnel_mode_depths(spark, sf_dir, "strict_increase")
+
+
+_CH_SEQ_COUNT_EXACT_GAP_SQL = """
+SELECT conversions, count() AS n_users
+FROM (
+  SELECT user_id,
+         sequenceCount('(?1)(?t==3600)(?2)')(
+           toStartOfHour(ts), event_type = 'click',
+           event_type = 'purchase') AS conversions
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+  GROUP BY user_id
+) GROUP BY conversions ORDER BY conversions
+"""
+
+
+@query(
+    "q224_sequence_count_exact_gap",
+    oracle="""
+    WITH RECURSIVE f AS (
+      SELECT user_id,
+             epoch(date_trunc('hour', ts)) AS t,
+             CASE WHEN event_type = 'click' THEN -1 ELSE -2 END AS nc
+      FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    o AS (
+      SELECT user_id, t, nc,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY t, nc) AS rn
+      FROM f
+    ),
+    walk AS (
+      SELECT user_id, 0 AS rn, CAST([] AS DOUBLE[]) AS slot, 0 AS cnt
+      FROM (SELECT DISTINCT user_id FROM o)
+      UNION ALL
+      SELECT o.user_id, o.rn,
+             CASE WHEN o.nc = -2 AND len(list_filter(w.slot,
+                       __p -> o.t > __p AND o.t - __p = 3600)) > 0
+                  THEN CAST([] AS DOUBLE[])
+                  WHEN o.nc = -1 AND NOT list_contains(w.slot, o.t)
+                  THEN list_append(w.slot, o.t)
+                  ELSE w.slot END,
+             w.cnt + CASE WHEN o.nc = -2 AND len(list_filter(w.slot,
+                       __p -> o.t > __p AND o.t - __p = 3600)) > 0
+                     THEN 1 ELSE 0 END
+      FROM walk w JOIN o ON o.user_id = w.user_id AND o.rn = w.rn + 1
+    ),
+    final AS (
+      SELECT w.user_id, CAST(w.cnt AS INTEGER) AS conversions
+      FROM walk w JOIN (SELECT user_id, MAX(rn) AS mx FROM o GROUP BY 1) m
+        ON w.user_id = m.user_id AND w.rn = m.mx
+    )
+    SELECT conversions, COUNT(*) AS n_users
+    FROM final GROUP BY 1 ORDER BY 1
+    """,
+)
+def q224_sequence_count_exact_gap(spark, sf_dir):
+    """EXACT-gap conversion counting spelled VERBATIM in the dialect:
+    ``sequenceCount('(?1)(?t==3600)(?2)')`` over hour-truncated times —
+    clicks followed by a purchase exactly one hour-bucket later, greedy
+    non-overlapping. == gaps admit no dominance order between live
+    chains, so the translation runs the bounded multi-slot NFA (chsql
+    r7): the live SET of distinct click hours per user folds JVM-side,
+    purchases fire on any member at exactly +3600 s and reset the set.
+    Hour truncation makes the == gap realizable on real data (32 raw
+    pairs at sf0.01) while keeping the live set calendar-bounded (max
+    26 distinct click hours per user at sf0.1 — far under the 64 cap).
+    The DuckDB oracle walks the same multi-slot machine with a
+    recursive CTE over a list-typed state column."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(translate(_CH_SEQ_COUNT_EXACT_GAP_SQL).sql)
