@@ -91,10 +91,9 @@ top-level token scanning (never inside strings/parens):
                          greedy non-overlapping completion counter;
                          ClickHouse adjacency ('(?1)(?2)') counted
                          exactly (NFA subset simulation); (?t op n)
-                         time gaps counted exactly too (timed NFA,
-                         one dominant timestamp per depth);
-                         (?t == n) via a bounded multi-slot NFA
-                         (distinct live times per depth, cap 64)
+                         time gaps counted exactly too (timed
+                         multi-slot NFA: min / 2-max / full-set live
+                         times per depth by edge op, == capped at 64)
   groupArray(n)(x)       size-capped collectors → slice(collect_*)
   uniqUpTo(n)(x)         least(count(DISTINCT x), n+1)
   quantile...If(p)(x,c)  parametric + -If combinators compose
@@ -3342,32 +3341,41 @@ def _rewrite_funnel_aggs(sql: str) -> str:
         evs = f"array_sort(collect_list(struct({fields})))"
         L = len(order)
         has_gap = any(e[0] == "gap" for e in edges)
-        has_eq = any(e[0] == "gap" and e[1] == "==" for e in edges)
-        if has_eq:
-            # (?t == n) admits NO dominance order between live chains
-            # (a chain with previous-ref time p can only traverse the
-            # edge at exactly p + n, so distinct p values are
-            # incomparable) — the single-slot timed NFA below cannot be
-            # exact. Generalization (r7): per depth keep the SET of live
-            # previous-ref timestamps. All chains advancing on one event
-            # share its time t, so each depth's set holds distinct event
-            # times — bounded by events since the last completion reset.
-            # Depths whose OUTGOING edge admits dominance still compress
-            # to one slot ('<='/'<'/'.*' keep latest, '>'/'>=' keep
-            # earliest, adjacency killed by any listed event as in the
-            # single-slot NFA); only depths feeding a '==' edge grow,
-            # capped at 64 with a loud runtime error naming the rewrite
-            # (dedup on equal times keeps ties from inflating the set).
+        if has_gap:
+            # Timed multi-slot NFA (r7, replacing the r6 single-slot
+            # fold): per depth keep the live SET of previous-ref
+            # timestamps, compressed by what the depth's OUTGOING edge
+            # can distinguish. All chains advancing on one event share
+            # its time t, so each set holds distinct event times.
+            #   '>'/'>=' edges: the EARLIEST time strictly dominates
+            #     (both the strict-after guard and the lower bound favor
+            #     smaller p, ties included) — one slot.
+            #   '<='/'<'/'.*' edges: the latest time dominates EXCEPT
+            #     at equal timestamps — the strict t > p guard can fail
+            #     for the max while a discarded smaller value passes
+            #     (found by a tie repro: '(?2)(?t<=5)(?1)' on B@1 B@2
+            #     A@2 — the r6 single-slot fold answered 0, reference
+            #     1). Keeping the TWO largest distinct values is exact:
+            #     any future event time t' >= max, so the best usable
+            #     p is max (when max < t') or the second-max (when
+            #     max == t', and second-max < max <= t' always passes).
+            #   '==' edges: NO dominance order exists (a chain with
+            #     time p fires only at exactly p + n), so the full
+            #     distinct set is kept, capped at 64 with a loud
+            #     runtime error naming the rewrite.
+            #   adjacency edges: killed by any listed event, as in the
+            #     bitmask NFA.
             # Completion resets every slot (CH's non-overlapping
-            # restart). Validated against the same backtracking
-            # reference as the single-slot NFA (tests/test_property.py).
+            # restart). Validated against the backtracking reference on
+            # exhaustive grids with and without ties
+            # (tests/test_property.py).
             any_cond = " OR ".join(
                 f"__ch_e.s{j + 1}" for j in range(len(conds))
             )
             empty = "CAST(array() AS ARRAY<DOUBLE>)"
             init_arr = "array(" + ", ".join([empty] * (L - 1)) + ")"
 
-            def gapok_eq(i: int, p: str) -> str:
+            def gapok(i: int, p: str) -> str:
                 e = edges[i]
                 if e[0] == "gap":
                     op = {"==": "="}.get(e[1], e[1])
@@ -3384,7 +3392,7 @@ def _rewrite_funnel_aggs(sql: str) -> str:
                     adv = (
                         f"(__ch_e.s{order[d - 1]} AND"
                         f" exists(__ch_ac.p[{d - 2}],"
-                        f" __ch_q -> {gapok_eq(d - 2, '__ch_q')}))"
+                        f" __ch_q -> {gapok(d - 2, '__ch_q')}))"
                     )
                 out_edge = edges[d - 1]
                 if out_edge[0] == "adj":
@@ -3416,16 +3424,24 @@ def _rewrite_funnel_aggs(sql: str) -> str:
                         f"CASE WHEN {adv} AND size({base}) = 0"
                         f" THEN array(__ch_e.t) ELSE {base} END"
                     )
-                else:  # '.*' or '<='/'<' gap: latest dominates
+                else:
+                    # '.*' or '<='/'<' gap: keep the TWO largest
+                    # distinct times (max may be blocked by the strict
+                    # t > p guard at a tie; second-max always passes it)
+                    base = f"__ch_ac.p[{d - 1}]"
                     ns = (
-                        f"CASE WHEN {adv} THEN array(__ch_e.t)"
-                        f" ELSE __ch_ac.p[{d - 1}] END"
+                        f"CASE WHEN NOT ({adv}) THEN {base}"
+                        f" WHEN size({base}) = 0 THEN array(__ch_e.t)"
+                        f" WHEN element_at({base}, -1) = __ch_e.t"
+                        f" THEN {base}"
+                        f" ELSE array(element_at({base}, -1), __ch_e.t)"
+                        f" END"
                     )
                 slot_exprs.append(ns)
             complete = (
                 f"__ch_e.s{order[L - 1]} AND"
                 f" exists(__ch_ac.p[{L - 2}],"
-                f" __ch_q -> {gapok_eq(L - 2, '__ch_q')})"
+                f" __ch_q -> {gapok(L - 2, '__ch_q')})"
             )
             expr = (
                 f"aggregate({evs}, named_struct('c', 0, 'p', {init_arr}),"
@@ -3435,77 +3451,6 @@ def _rewrite_funnel_aggs(sql: str) -> str:
                 f" named_struct('c', __ch_ac.c + 1, 'p', {init_arr})"
                 f" ELSE named_struct('c', __ch_ac.c,"
                 f" 'p', array({', '.join(slot_exprs)})) END,"
-                f" __ch_ac -> __ch_ac.c)"
-            )
-        elif has_gap:
-            # Timed NFA: time bounds need re-anchoring (an upper bound
-            # makes a greedy single chain incomplete: A@0 A@100 B@105
-            # under t<=10 only matches via the second A), and counting
-            # forbids the nested-exists search sequenceMatch uses. The
-            # state is one BEST timestamp per depth d (the time of ref
-            # d's matched event), NULL = no live chain there. Per-depth
-            # dominance makes one slot exact: for a '<='/'<' outgoing
-            # edge a LATER timestamp satisfies everything an earlier one
-            # does (keep greatest); for '>'/'>=' an EARLIER one does
-            # (keep least); '.*'/adjacency edges are time-free (either
-            # works). Events arrive in time order, so stored times never
-            # exceed the current event's (ties resolve in array-sort
-            # order). Depths waiting on an ADJACENT outgoing edge are
-            # killed by any other listed event, exactly as in the
-            # bitmask NFA below; completion resets every slot (CH's
-            # non-overlapping restart). Exactness is property-tested
-            # against the backtracking reference (tests/test_property.py)
-            # and was exhaustively validated offline on all short event
-            # strings; (?t == n) has no dominance order and takes the
-            # bounded multi-slot branch above instead.
-            any_cond = " OR ".join(f"__ch_e.s{j + 1}" for j in range(len(conds)))
-            null_arr = "array(" + ", ".join(
-                ["CAST(NULL AS DOUBLE)"] * (L - 1)
-            ) + ")"
-
-            def gapok(i: int, p: str) -> str:
-                # edge e_{i+1} (edges[i], 0-indexed) traversed at __ch_e.t
-                # from a chain whose previous ref matched at time `p`
-                e = edges[i]
-                if e[0] == "gap":
-                    op = {"==": "="}.get(e[1], e[1])
-                    return (
-                        f"(__ch_e.t > {p} AND __ch_e.t - {p} {op} {e[2]})"
-                    )
-                return f"__ch_e.t > {p}"
-
-            p_exprs = []
-            for d in range(1, L):  # depth d lives in 0-indexed slot d-1
-                if d == 1:
-                    adv = f"CASE WHEN __ch_e.s{order[0]} THEN __ch_e.t END"
-                else:
-                    adv = (
-                        f"CASE WHEN __ch_e.s{order[d - 1]}"
-                        f" AND {gapok(d - 2, f'__ch_ac.p[{d - 2}]')}"
-                        f" THEN __ch_e.t END"
-                    )
-                out_edge = edges[d - 1]  # outgoing edge of depth d
-                if out_edge[0] == "adj":
-                    keep = "CAST(NULL AS DOUBLE)"  # killed by this event
-                else:
-                    keep = f"__ch_ac.p[{d - 1}]"
-                comb = (
-                    "least" if out_edge[0] == "gap" and out_edge[1] in (">", ">=")
-                    else "greatest"
-                )
-                p_exprs.append(f"{comb}({adv}, {keep})")
-            complete = (
-                f"__ch_e.s{order[L - 1]}"
-                f" AND {gapok(L - 2, f'__ch_ac.p[{L - 2}]')}"
-            )
-            expr = (
-                f"aggregate({evs}, named_struct('c', 0, 'p', {null_arr}),"
-                f" (__ch_ac, __ch_e) -> CASE"
-                f" WHEN NOT ({any_cond}) THEN __ch_ac"
-                f" WHEN {complete} THEN"
-                f" named_struct('c', __ch_ac.c + 1, 'p', {null_arr})"
-                f" ELSE named_struct('c', __ch_ac.c,"
-                f" 'p', array({', '.join(p_exprs)})) END,"
                 f" __ch_ac -> __ch_ac.c)"
             )
         elif any(adjacent):

@@ -688,8 +688,9 @@ def q219_sequence_count_deadline(spark, sf_dir):
     ``sequenceCount('(?1)(?t<=3600)(?2)')`` — click-to-purchase chains
     completing within an hour, greedy non-overlapping with exact
     re-anchoring (A@0 A@100 B@105 under t<=10 counts via the second A).
-    Translated to the timed-NFA fold (chsql.py): one dominant timestamp
-    per pattern depth folded over each user's time-sorted event array —
+    Translated to the timed multi-slot NFA fold (chsql.py): live
+    previous-ref times per pattern depth (dominance-compressed per
+    edge op) folded over each user's time-sorted event array —
     pure JVM, one shuffle on user_id, linear per group, validated
     against a backtracking reference on 190k exhaustive+random cases.
     The DuckDB oracle walks the same greedy state machine with a

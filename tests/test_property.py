@@ -791,6 +791,15 @@ def test_sequence_count_eq_gap_matches_reference_exhaustive(spark):
         "(?1)(?t==2)(?2)(?t<=3)(?3)",
         "(?1).*(?2)(?t==1)(?3)",
         "(?1)(?2)(?t==2)(?3)",
+        # swapped-ref patterns with ties: the shape that exposed the r6
+        # single-slot tie bug (higher cond feeding a lower-cond ref
+        # processes first at a tie and overwrote the only slot; the
+        # 2-max compression keeps the usable second value)
+        "(?2)(?t<=3)(?1)",
+        "(?2)(?t<2)(?1)",
+        "(?3).*(?1)(?t<=3)(?2)",
+        "(?2)(?t>=1)(?1)",
+        "(?2)(?t<=2)(?1)(?t<=2)(?2)",
     ]
     deltas = {"d1": [1, 1, 1, 1, 1], "d2": [1, 2, 1, 2, 1], "d3": [2, 2, 2, 2, 2]}
     rows, cases = [], {}
