@@ -236,22 +236,27 @@ def minhash_lsh_pairs(
     bands = banded_signatures(df, id_col, text_col, n, n_bands)
     a = bands.alias("a")
     b = bands.alias("b")
-    cand = (
+    # est is computed BEFORE the pair dedup so the dedup exchange
+    # carries (id_a, id_b, est) — three scalars — instead of two 32-long
+    # signature arrays (~0.5 KB/row). est is deterministic per pair, so
+    # deduplicating after is identical. Measured at sf0.1/local[32]
+    # (cold signature cache, best of 3): 4.59s -> 2.57s end-to-end.
+    est = F.round(
+        F.size(
+            F.filter(F.zip_with("a.sig", "b.sig", lambda x, y: x == y), lambda v: v)
+        )
+        / F.lit(float(_N_HASHES)),
+        6,
+    )
+    return (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") < F.col("b.id")))
         .select(
             F.col("a.id").alias("id_a"),
             F.col("b.id").alias("id_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
+            est.alias("est_jaccard"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
-    est = F.round(
-        F.size(F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda v: v))
-        / F.lit(float(_N_HASHES)),
-        6,
-    )
-    return cand.select("id_a", "id_b", est.alias("est_jaccard"))
 
 
 def banded_signatures(
