@@ -3644,6 +3644,20 @@ _OPERATOR_ONLY_AGGS = {
     "jaroWinklerSimilarity": "editDistance/levenshtein",
     "base58Encode": "base64Encode or hex (base58 needs bignum division)",
     "base58Decode": "base64Decode or unhex",
+    # algorithmic codecs with no codegen spelling (probe batch 24)
+    "punycodeEncode": "the ASCII hostname directly (punycode bootstring"
+                      " arithmetic has no codegen spelling)",
+    "punycodeDecode": "the ASCII hostname directly",
+    "idnaEncode": "lower(hostname) for ASCII domains (IDNA mapping has"
+                  " no codegen spelling)",
+    "idnaDecode": "the ASCII hostname directly",
+    "tryIdnaEncode": "lower(hostname) for ASCII domains",
+    "tryPunycodeDecode": "the ASCII hostname directly",
+    "sqidEncode": "conv()/base64 for id obfuscation (sqids shuffling"
+                  " has no codegen spelling)",
+    "sqidDecode": "conv()/base64",
+    "arrayNormalizedGini": "operators/stats.py:auc (rank-based Gini"
+                           " needs the distributed midrank machinery)",
     "byteSize": "length/octet_length (in-memory layout size has no"
                 " Spark equivalent)",
     "bitSlice": "substring for byte-aligned slices (bit-level offsets"

@@ -1868,6 +1868,193 @@ _SQL_SCALAR_ALIASES["hostName"] = (
 )
 
 
+def _server_uuid_literal() -> str:
+    """Stable per-host stand-in for ClickHouse serverUUID(): uuid5 of
+    the hostname — deterministic across sessions on one machine (CH
+    persists its UUID in the data dir; local mode has no such dir)."""
+    import uuid
+
+    return str(uuid.uuid5(uuid.NAMESPACE_DNS, _hostname_literal()))
+
+
+_ULID_ALPHABET = "0123456789ABCDEFGHJKMNPQRSTVWXYZ"  # Crockford base32
+
+# --- probe batch 24 (round 7): spellings that translated untouched and
+# died at run time with UNRESOLVED_ROUTINE — each gets a pure-SQL twin
+# (the algorithmic codecs punycode/idna/sqids refuse loudly instead;
+# see chsql._OPERATOR_ONLY_AGGS) ---
+_SQL_SCALAR_ALIASES.update(
+    {
+        "toFirstDayOfMonth": (
+            "(x TIMESTAMP) RETURNS DATE",
+            "CAST(date_trunc('MONTH', x) AS DATE)",
+        ),
+        # ClickHouse timeDiff(first, second) = second - first in seconds
+        "timeDiff": (
+            "(x TIMESTAMP, y TIMESTAMP) RETURNS BIGINT",
+            "unix_timestamp(y) - unix_timestamp(x)",
+        ),
+        "stringCompare": (
+            "(a STRING, b STRING) RETURNS INT",
+            "CASE WHEN a < b THEN -1 WHEN a > b THEN 1 ELSE 0 END",
+        ),
+        "scalarProduct": (
+            "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE",
+            "aggregate(zip_with(a, b, (x, y) -> x * y),"
+            " CAST(0.0 AS DOUBLE), (s, v) -> s + v)",
+        ),
+        "positionCaseInsensitiveUTF8": (
+            "(h STRING, n STRING) RETURNS INT",
+            "locate(lower(n), lower(h))",
+        ),
+        # subsequence check: fold the needle chars, advancing a search
+        # cursor through the haystack; cursor 0 = dead. Empty needle is
+        # a subsequence of anything (CH returns 1).
+        "hasSubsequence": (
+            "(h STRING, n STRING) RETURNS BOOLEAN",
+            "aggregate(filter(split(n, ''), __c -> __c != ''), 1,"
+            " (__p, __c) -> CASE WHEN __p = 0 THEN 0"
+            " WHEN locate(__c, h, __p) = 0 THEN 0"
+            " ELSE locate(__c, h, __p) + 1 END) > 0",
+        ),
+        "hasSubsequenceCaseInsensitive": (
+            "(h STRING, n STRING) RETURNS BOOLEAN",
+            "aggregate(filter(split(lower(n), ''), __c -> __c != ''), 1,"
+            " (__p, __c) -> CASE WHEN __p = 0 THEN 0"
+            " WHEN locate(__c, lower(h), __p) = 0 THEN 0"
+            " ELSE locate(__c, lower(h), __p) + 1 END) > 0",
+        ),
+        "hasSubsequenceUTF8": (
+            "(h STRING, n STRING) RETURNS BOOLEAN",
+            "hasSubsequence(h, n)",
+        ),
+        "hasSubsequenceCaseInsensitiveUTF8": (
+            "(h STRING, n STRING) RETURNS BOOLEAN",
+            "hasSubsequenceCaseInsensitive(h, n)",
+        ),
+        # NULL when the needle is not one whole token (CH semantics);
+        # otherwise exactly hasToken
+        "hasTokenOrNull": (
+            "(h STRING, t STRING) RETURNS BOOLEAN",
+            "CASE WHEN t = '' OR t RLIKE '[^A-Za-z0-9_]'"
+            " THEN CAST(NULL AS BOOLEAN)"
+            " ELSE h RLIKE concat('(^|[^A-Za-z0-9_])', t,"
+            " '($|[^A-Za-z0-9_])') END",
+        ),
+        "hasTokenCaseInsensitiveOrNull": (
+            "(h STRING, t STRING) RETURNS BOOLEAN",
+            "CASE WHEN t = '' OR t RLIKE '[^A-Za-z0-9_]'"
+            " THEN CAST(NULL AS BOOLEAN)"
+            " ELSE lower(h) RLIKE concat('(^|[^a-z0-9_])', lower(t),"
+            " '($|[^a-z0-9_])') END",
+        ),
+        # 1-based index of the needle with the LEFTMOST occurrence
+        # (ties -> smallest index), 0 when none found — struct sort on
+        # (position, index)
+        "multiSearchFirstIndex": (
+            "(s STRING, pats ARRAY<STRING>) RETURNS INT",
+            "coalesce(try_element_at(array_sort(filter(transform(pats,"
+            " (__p, __i) -> named_struct('p', instr(s, __p),"
+            " 'i', __i + 1)), __s -> __s.p > 0)), 1).i, 0)",
+        ),
+        "multiSearchFirstIndexCaseInsensitive": (
+            "(s STRING, pats ARRAY<STRING>) RETURNS INT",
+            "multiSearchFirstIndex(lower(s),"
+            " transform(pats, __p -> lower(__p)))",
+        ),
+    }
+)
+
+
+def _parse_readable_size_expr(on_bad: str) -> str:
+    """Bytes from a human-readable size ('1.5 KiB', '23 MB'): decimal
+    units are powers of 1000, binary (\*iB) powers of 1024, rounded up
+    (ceiling) exactly like ClickHouse. ``on_bad`` supplies the
+    unparseable-input branch."""
+    rx = "'^ *([0-9]+(?:[.][0-9]+)?) *([A-Za-z]+) *$'"
+    mult = (
+        "CASE lower(regexp_extract(s, " + rx + ", 2))"
+        " WHEN 'b' THEN 1.0"
+        " WHEN 'kb' THEN 1e3 WHEN 'mb' THEN 1e6 WHEN 'gb' THEN 1e9"
+        " WHEN 'tb' THEN 1e12 WHEN 'pb' THEN 1e15 WHEN 'eb' THEN 1e18"
+        " WHEN 'kib' THEN 1024.0 WHEN 'mib' THEN pow(1024.0, 2)"
+        " WHEN 'gib' THEN pow(1024.0, 3) WHEN 'tib' THEN pow(1024.0, 4)"
+        " WHEN 'pib' THEN pow(1024.0, 5) WHEN 'eib' THEN pow(1024.0, 6)"
+        " END"
+    )
+    return (
+        f"CASE WHEN s RLIKE {rx} AND ({mult}) IS NOT NULL"
+        f" THEN CAST(ceil(CAST(regexp_extract(s, {rx}, 1) AS DOUBLE)"
+        f" * ({mult})) AS BIGINT)"
+        f" ELSE {on_bad} END"
+    )
+
+
+_SQL_SCALAR_ALIASES.update(
+    {
+        "parseReadableSize": (
+            "(s STRING) RETURNS BIGINT",
+            _parse_readable_size_expr(
+                "CAST(raise_error(concat('parseReadableSize: cannot"
+                " parse ', s)) AS BIGINT)"
+            ),
+        ),
+        "parseReadableSizeOrNull": (
+            "(s STRING) RETURNS BIGINT",
+            _parse_readable_size_expr("CAST(NULL AS BIGINT)"),
+        ),
+        "parseReadableSizeOrZero": (
+            "(s STRING) RETURNS BIGINT",
+            _parse_readable_size_expr("CAST(0 AS BIGINT)"),
+        ),
+        # ULID: 48-bit unix-ms timestamp + 80 random bits in Crockford
+        # base32 (26 chars). Randomness from rand() per char — the
+        # monotonicity-within-ms guarantee of reference implementations
+        # is NOT provided (documented; CH's generateULID does not
+        # guarantee it across threads either).
+        "generateULID": (
+            "() RETURNS STRING",
+            "concat("
+            "concat_ws('', transform(sequence(9, 0, -1),"
+            f" __i -> substr('{_ULID_ALPHABET}',"
+            " 1 + CAST((unix_millis(now()) >> (5 * __i)) & 31 AS INT),"
+            " 1))),"
+            " concat_ws('', transform(sequence(1, 16),"
+            f" __i -> substr('{_ULID_ALPHABET}',"
+            " 1 + CAST(floor(rand() * 32) AS INT), 1))))",
+        ),
+        "ULIDStringToDateTime": (
+            "(s STRING) RETURNS TIMESTAMP",
+            "timestamp_millis(aggregate(sequence(1, 10),"
+            " CAST(0 AS BIGINT), (__a, __i) -> __a * 32"
+            f" + CAST(locate(substr(upper(s), __i, 1),"
+            f" '{_ULID_ALPHABET}') - 1 AS BIGINT)))",
+        ),
+        "serverUUID": (
+            "() RETURNS STRING", f"'{_server_uuid_literal()}'"
+        ),
+        # display_name defaults to the hostname in ClickHouse config
+        "displayName": (
+            "() RETURNS STRING", f"'{_hostname_literal()}'"
+        ),
+    }
+)
+
+
+def _uptime_anchor() -> int:
+    """Engine start stand-in: module import time (local mode has no
+    long-lived server process; uptime() measures this session's age)."""
+    import time
+
+    return int(time.time())
+
+
+_SQL_SCALAR_ALIASES["uptime"] = (
+    "() RETURNS BIGINT",
+    f"unix_timestamp(now()) - {_uptime_anchor()}",
+)
+
+
 # sessions already carrying the aliases — registration is ~165 driver
 # round-trips (~1.4 s), and suite/dialect entry points call this per
 # query, so repeat calls must be free. WeakSet: a stopped session's

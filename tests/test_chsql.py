@@ -2823,3 +2823,83 @@ def test_probe_batch23_conversion_tails(views):
         views.sql(
             translate("SELECT throwIf(x = 7, 'boom') AS r FROM __b23").sql
         ).collect()
+
+
+def test_probe_batch24_runtime_tails(views):
+    """Round-7 execution probe, batch 24: spellings that translated
+    untouched and died at run time (UNRESOLVED_ROUTINE). Pure-SQL twins
+    for date/string/search/size helpers, ULID generation/decode, server
+    introspection stand-ins; algorithmic codecs (punycode/idna/sqids)
+    and rank-based Gini refuse loudly with pointers."""
+    views.sql(
+        "SELECT 'hello world' AS s, 'abc' AS s2, 7 AS x,"
+        " CAST('2024-03-05 10:22:33' AS TIMESTAMP) AS ts,"
+        " CAST(array(1, 2, 3) AS ARRAY<DOUBLE>) AS arr"
+    ).createOrReplaceTempView("__b24")
+
+    def run(expr):
+        return views.sql(
+            translate(f"SELECT {expr} AS r FROM __b24").sql
+        ).first()["r"]
+
+    assert str(run("toFirstDayOfMonth(ts)")) == "2024-03-01"
+    assert run("timeDiff(ts, ts + INTERVAL 90 SECONDS)") == 90
+    assert run("stringCompare(s, s2)") == 1
+    assert run("stringCompare(s, s)") == 0
+    assert run("scalarProduct(arr, arr)") == 14.0
+    assert run("positionCaseInsensitiveUTF8(s, 'WORLD')") == 7
+    assert run("hasSubsequence(s, 'hwd')") is True
+    assert run("hasSubsequence(s, 'dwh')") is False
+    assert run("hasSubsequence(s, '')") is True
+    assert run("hasSubsequenceCaseInsensitive(s, 'HWD')") is True
+    assert run("hasSubsequenceUTF8(s, 'hwd')") is True
+    assert run("hasTokenOrNull(s, 'hello')") is True
+    assert run("hasTokenOrNull(s, 'hel lo')") is None
+    assert run("hasTokenCaseInsensitiveOrNull(s, 'HELLO')") is True
+    # leftmost occurrence wins, not array order; 0 when absent
+    assert run("multiSearchFirstIndex(s, ['world', 'hello'])") == 2
+    assert run("multiSearchFirstIndex(s, ['zz'])") == 0
+    assert run(
+        "multiSearchFirstIndexCaseInsensitive(s, ['WORLD', 'zz'])"
+    ) == 1
+    # readable sizes: decimal powers of 1000, binary powers of 1024,
+    # ceiling — the documented ClickHouse example 1.11 KiB -> 1137
+    assert run("parseReadableSize('1 KiB')") == 1024
+    assert run("parseReadableSize('1.11 KiB')") == 1137
+    assert run("parseReadableSize('23 MB')") == 23_000_000
+    assert run("parseReadableSize('5 GiB')") == 5 * 1024**3
+    assert run("parseReadableSizeOrNull('bad')") is None
+    assert run("parseReadableSizeOrZero('bad')") == 0
+    with pytest.raises(Exception, match="cannot parse"):
+        run("parseReadableSize('bad')")
+    # ULID: 26 Crockford chars, decode round-trips the time part
+    import re as _re
+
+    u = run("generateULID()")
+    assert _re.fullmatch(r"[0-9A-HJKMNP-TV-Z]{26}", u)
+    assert (
+        str(run("ULIDStringToDateTime('01GNB2S2FGN2P93QPXDNB4EN2R')"))
+        == "2022-12-28 00:40:37.616000"
+    )
+    got_ms = views.sql(
+        translate(
+            "SELECT unix_millis(ULIDStringToDateTime(generateULID()))"
+            " AS r FROM __b24"
+        ).sql
+    ).first()["r"]
+    import time as _time
+
+    assert abs(got_ms / 1000.0 - _time.time()) < 600
+    assert _re.fullmatch(r"[0-9a-f-]{36}", run("serverUUID()"))
+    assert run("displayName()") == run("hostName()")
+    assert run("uptime()") >= 0
+    # algorithmic codecs refuse loudly with pointers
+    for bad, hint in [
+        ("punycodeEncode(s)", "punycode"),
+        ("punycodeDecode(s)", "hostname"),
+        ("idnaEncode(s)", "IDNA"),
+        ("sqidEncode(x)", "sqids"),
+        ("arrayNormalizedGini(arr, arr)", "auc"),
+    ]:
+        with pytest.raises(ValueError, match=hint):
+            translate(f"SELECT {bad} FROM t")
