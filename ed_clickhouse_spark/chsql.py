@@ -1364,6 +1364,13 @@ _ARRAY_SPLICE: dict[str, dict[int, str]] = {
     "medianTiming": {1: "approx_percentile({0}, 0.5)"},
     "medianTDigest": {1: "approx_percentile({0}, 0.5)"},
     "medianBFloat16": {1: "approx_percentile({0}, 0.5)"},
+    "medianDD": {1: "approx_percentile({0}, 0.5)"},
+    "medianTimingWeighted": {
+        2: "percentile({0}, 0.5, CAST({1} AS BIGINT))"
+    },
+    "medianBFloat16Weighted": {
+        2: "percentile({0}, 0.5, CAST({1} AS BIGINT))"
+    },
     "sumCount": {1: "named_struct('sum', sum({0}), 'count', count({0}))"},
     "countDistinct": {
         1: "count(DISTINCT {0})",
@@ -1805,7 +1812,8 @@ def _ttest_template(pooled: bool) -> str:
     Welch df for small-sample work). Inlined rather than calling the
     erfc SQL UDF: Spark 4.1's analyzer mis-flags struct field names as
     non-foldable when a SQL UDF inlines inside a struct constructor."""
-    x, g = "{0}", "{1}"
+    # the population index is UInt8 0/1 in CH; accept booleans too
+    x, g = "{0}", "CAST(({1}) AS INT)"
     n0, n1 = f"count_if(({g}) = 0)", f"count_if(({g}) = 1)"
     m0 = f"avg(IF(({g}) = 0, CAST({x} AS DOUBLE), NULL))"
     m1 = f"avg(IF(({g}) = 1, CAST({x} AS DOUBLE), NULL))"
@@ -3614,6 +3622,12 @@ _OPERATOR_ONLY_AGGS = {
     "categoricalInformationValue":
         "weight-of-evidence sums over operators/stats.py:contingency_coefficients cells",
     "histogram": "the q138 equal-width histogram pattern",
+    "aggThrow": "nothing — a ClickHouse fault-injection testing"
+                " aggregate with no analytics semantics",
+    "analysisOfVariance": "operators/stats.py:welch_ttest for two"
+                          " groups (the F-distribution CDF the ANOVA"
+                          " p-value needs has no codegen spelling)",
+    "anovaTest": "operators/stats.py:welch_ttest for two groups",
     "sparkbar": "the bar() scalar over grouped buckets",
     "exponentialMovingAverage":
         "operators/windows.py:exponential_moving_average",
@@ -3830,14 +3844,20 @@ def _rewrite_agg_spellings(sql: str) -> str:
     while True:
         m = _find_top_anywhere(
             sql,
-            r"\b(quantiles?)((?:Exact(?:Weighted|Low|High|Inclusive|Exclusive)?|InterpolatedWeighted|TDigest|Timing|BFloat16|Deterministic|GK)?)(If)?\s*\(",
+            r"\b(quantiles?)((?:Exact(?:Weighted|Low|High|Inclusive|Exclusive)?|InterpolatedWeighted|TDigest(?:Weighted)?|Timing(?:Weighted)?|BFloat16(?:Weighted)?|Deterministic|DD|GK)?)(If)?\s*\(",
         )
         if not m:
             break
         plural = m.group(1) == "quantiles"
         variant = m.group(2)
         exact = variant.startswith("Exact") or variant == "InterpolatedWeighted"
-        weighted = variant in ("ExactWeighted", "InterpolatedWeighted")
+        # weighted approximate variants (Timing/BFloat16/TDigest
+        # Weighted) map to Spark's exact weighted percentile — a more
+        # precise stand-in for CH's approximation
+        weighted = variant in (
+            "ExactWeighted", "InterpolatedWeighted", "TDigestWeighted",
+            "TimingWeighted", "BFloat16Weighted",
+        )
         has_if = bool(m.group(3))
         open1 = sql.index("(", m.end() - 1)
         close1 = _call_end(sql, open1)
@@ -3856,6 +3876,16 @@ def _rewrite_agg_spellings(sql: str) -> str:
                         "quantileGK expects quantileGK(accuracy, level)(x)"
                     )
                 acc, ps = ps[0], ps[1:]
+            if variant == "DD":
+                # quantileDD(relative_accuracy, levels...)(x): the
+                # DDSketch accuracy knob has no approx_percentile
+                # analogue — drop it, keep the levels
+                if len(ps) < 2:
+                    raise ValueError(
+                        "quantileDD expects"
+                        " quantileDD(relative_accuracy, level...)(x)"
+                    )
+                ps = ps[1:]
             if variant == "Deterministic" and not has_if and len(args) == 2:
                 args = args[:1]  # the determinism seed has no Spark role
             if has_if:
@@ -3954,6 +3984,45 @@ def _rewrite_agg_spellings(sql: str) -> str:
         "maxMap": "IF(__ch_s IS NULL, CAST(__ch_e.value AS DOUBLE),"
                   " greatest(__ch_s, __ch_e.value))",
     }
+    while True:
+        # sumMapFiltered(keep)(keys, values): filter the parallel
+        # arrays by key membership FIRST, then fall through to the
+        # plain sumMap fold below (WithOverflow differs only in CH's
+        # fixed-width arithmetic — Spark's BIGINT/DOUBLE never
+        # overflows here, documented no-op)
+        m = _find_case_exact(
+            sql, r"\bsumMapFiltered(WithOverflow)?\s*\("
+        )
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        keep = sql[open1 + 1: close1].strip()
+        rest = sql[close1 + 1:].lstrip()
+        if not rest.startswith("("):
+            raise ValueError(
+                "sumMapFiltered expects sumMapFiltered(keys_to_keep)"
+                "(keys, values)"
+            )
+        open2 = close1 + 1 + (len(sql[close1 + 1:]) - len(rest))
+        close2 = _call_end(sql, open2)
+        args = _split_top_commas(sql[open2 + 1: close2])
+        if len(args) != 2:
+            raise ValueError(
+                "sumMapFiltered expects sumMapFiltered(keys_to_keep)"
+                "(keys, values)"
+            )
+        pairs = (
+            f"filter(zip_with({args[0]}, {args[1]},"
+            f" (__ch_fk, __ch_fv) -> struct(__ch_fk AS k,"
+            f" __ch_fv AS v)), __ch_fp ->"
+            f" array_contains({keep}, __ch_fp.k))"
+        )
+        call = (
+            f"sumMap(transform({pairs}, __ch_fp -> __ch_fp.k),"
+            f" transform({pairs}, __ch_fp -> __ch_fp.v))"
+        )
+        sql = sql[: m.start()] + call + sql[close2 + 1:]
     while True:
         # <agg>MappedArrays is ClickHouse's alias for the (keys, values)
         # two-array form — same fold; the -If combinator NULLs the map

@@ -2903,3 +2903,55 @@ def test_probe_batch24_runtime_tails(views):
     ]:
         with pytest.raises(ValueError, match=hint):
             translate(f"SELECT {bad} FROM t")
+
+
+def test_probe_batch25_aggregate_tails(views):
+    """Round-7 execution probe, batch 25 (aggregate spellings): weighted
+    approximate quantiles (Timing/BFloat16/TDigest Weighted) map to the
+    exact weighted percentile, quantileDD drops the DDSketch accuracy
+    knob, sumMapFiltered filters the parallel arrays before the sumMap
+    fold, and the t-tests accept a BOOLEAN population index (CH's UInt8
+    0/1 convention). aggThrow / analysisOfVariance refuse loudly."""
+    views.sql(
+        "SELECT * FROM VALUES"
+        " (1, CAST(1.5 AS DOUBLE)), (2, CAST(2.5 AS DOUBLE)),"
+        " (3, CAST(3.5 AS DOUBLE)), (4, CAST(4.5 AS DOUBLE)),"
+        " (5, CAST(5.5 AS DOUBLE)), (6, CAST(6.5 AS DOUBLE))"
+        " AS t(x, w)"
+    ).createOrReplaceTempView("__b25")
+
+    def run(expr):
+        return views.sql(
+            translate(f"SELECT {expr} AS r FROM __b25").sql
+        ).first()["r"]
+
+    # weighted median via Spark's frequency-expanded percentile
+    # (weights 1..6 expand to 21 elements; the (n-1)*p = 10th element
+    # is 5.5 for w, 5 for x) — interpolated semantics, same documented
+    # mapping quantileExactWeighted uses
+    assert run("quantileBFloat16Weighted(0.5)(w, x)") == 5.5
+    assert run("quantileTimingWeighted(0.5)(x, x)") == 5.0
+    assert run("quantileTDigestWeighted(0.5)(w, x)") == 5.5
+    assert run("medianBFloat16Weighted(w, x)") == 5.5
+    assert run("quantileDD(0.01, 0.5)(w)") == 3.5
+    assert run("medianDD(w)") == 3.5
+    assert [float(v) for v in run("quantilesDD(0.01, 0.25, 0.75)(w)")] \
+        == [2.5, 5.5]
+    # boolean population index: group 0 = {1.5,2.5,3.5} (mean 2.5),
+    # group 1 = {4.5,5.5,6.5} (mean 5.5); t = (m0-m1)/se < 0
+    r = run("welchTTest(w, x > 3)")
+    assert round(r["t_statistic"], 4) == -3.6742
+    r2 = run("studentTTest(w, x > 3)")
+    assert round(r2["t_statistic"], 4) == -3.6742
+    # per-row arrays filtered by key membership, then per-key sums
+    assert run("sumMapFiltered([1, 2])([x, x + 1], [w, w])") \
+        == {1: 1.5, 2: 4.0}
+    assert run("sumMapFilteredWithOverflow([2])([x], [w])") == {2: 2.5}
+    for bad, hint in [
+        ("aggThrow(0.5)(x)", "testing"),
+        ("analysisOfVariance(w, x)", "welch_ttest"),
+        ("anovaTest(w, x)", "welch_ttest"),
+        ("sumMapFiltered([1])(x)", "keys, values"),
+    ]:
+        with pytest.raises(ValueError, match=hint):
+            translate(f"SELECT {bad} FROM __b25")
