@@ -1700,6 +1700,17 @@ _ARRAY_SPLICE["arrayElementOrNull"] = {
 _ARRAY_SPLICE["toDecimal32"] = {2: "CAST({0} AS DECIMAL(9, {1}))"}
 _ARRAY_SPLICE["toDecimal64"] = {2: "CAST({0} AS DECIMAL(18, {1}))"}
 _ARRAY_SPLICE["toDecimal128"] = {2: "CAST({0} AS DECIMAL(38, {1}))"}
+# Decimal256 callers get Spark's widest decimal (38 digits — the
+# 39..76-digit tail is the documented Int256 deviation)
+_ARRAY_SPLICE["toDecimal256"] = {2: "CAST({0} AS DECIMAL(38, {1}))"}
+for _w, _p in (("32", 9), ("64", 18), ("128", 38), ("256", 38)):
+    _ARRAY_SPLICE[f"toDecimal{_w}OrNull"] = {
+        2: f"TRY_CAST({{0}} AS DECIMAL({_p}, {{1}}))"
+    }
+    _ARRAY_SPLICE[f"toDecimal{_w}OrZero"] = {
+        2: f"coalesce(TRY_CAST({{0}} AS DECIMAL({_p}, {{1}})),"
+           f" CAST(0 AS DECIMAL({_p}, {{1}})))"
+    }
 # the half-hour (or custom-size) slot spine covering [start, start+dur]
 _ARRAY_SPLICE["timeSlots"] = {
     2: "transform(sequence("
@@ -2797,6 +2808,72 @@ def _rewrite_scalar_misc(sql: str) -> str:
             + f"format_string('%.{n}f', CAST({args[0]} AS DOUBLE))"
             + sql[close1 + 1:]
         )
+    while True:
+        # extractGroups(s, 'pat'): the capture groups of the FIRST
+        # match as an array; [] when the pattern does not match (CH
+        # semantics). Literal pattern only (group count drives the
+        # expansion, via the same class-aware counter as extract).
+        m = _find_case_exact(sql, r"\bextractGroups\s*\(")
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        ncap = _count_capture_groups(args[1].strip()) if len(args) == 2 else None
+        if not ncap:
+            raise ValueError(
+                "extractGroups translates only with a literal pattern"
+                " containing capture groups"
+            )
+        s_arg, p_arg = args[0], args[1]
+        groups = ", ".join(
+            f"regexp_extract({s_arg}, {p_arg}, {k})"
+            for k in range(1, ncap + 1)
+        )
+        expr = (
+            f"CASE WHEN {s_arg} RLIKE {p_arg} THEN array({groups})"
+            f" ELSE CAST(array() AS ARRAY<STRING>) END"
+        )
+        sql = sql[: m.start()] + expr + sql[close1 + 1:]
+    while True:
+        # defaultValueOfTypeName('T') -> the type's zero value, mapped
+        # at translate time from the literal type name
+        m = _find_case_exact(sql, r"\bdefaultValueOfTypeName\s*\(")
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        tname = sql[open1 + 1: close1].strip().strip("'\"")
+        base = tname
+        nullable = False
+        nm = re.fullmatch(r"Nullable\((.*)\)", base)
+        if nm:
+            nullable, base = True, nm.group(1).strip()
+        if re.fullmatch(r"U?Int\d+", base):
+            lit = "CAST(NULL AS BIGINT)" if nullable else "CAST(0 AS BIGINT)"
+        elif re.fullmatch(r"Float\d+", base):
+            lit = "CAST(NULL AS DOUBLE)" if nullable else "CAST(0.0 AS DOUBLE)"
+        elif base in ("String", "FixedString"):
+            lit = "CAST(NULL AS STRING)" if nullable else "''"
+        elif base in ("Date", "Date32"):
+            lit = "CAST(NULL AS DATE)" if nullable else "DATE'1970-01-01'"
+        elif base.startswith("DateTime"):
+            lit = (
+                "CAST(NULL AS TIMESTAMP)" if nullable
+                else "TIMESTAMP'1970-01-01 00:00:00'"
+            )
+        elif base == "Bool":
+            lit = "CAST(NULL AS BOOLEAN)" if nullable else "false"
+        elif base == "UUID":
+            lit = "'00000000-0000-0000-0000-000000000000'"
+        elif base.startswith("Array("):
+            lit = "array()"
+        else:
+            raise ValueError(
+                f"defaultValueOfTypeName: unmapped type {tname!r} — use"
+                " an explicit literal"
+            )
+        sql = sql[: m.start()] + lit + sql[close1 + 1:]
     for fname, vertical in (
         ("extractAllGroupsVertical", True),
         ("extractAllGroupsHorizontal", False),
@@ -3067,15 +3144,22 @@ def _rewrite_brackets(sql: str) -> str:
 
 # toIntervalX(n) → make_interval slot (years, months, weeks, days,
 # hours, mins, secs)
+# templates produce ANSI year-month / day-time intervals
+# (make_ym_interval / make_dt_interval) rather than the legacy
+# make_interval CalendarIntervalType: arithmetic semantics are the
+# same, but day-time intervals are collectable through PySpark (a bare
+# SELECT toIntervalDay(2) returns a timedelta instead of dying in
+# fromInternal; year-month collection is still unimplemented in
+# PySpark itself — arithmetic is the supported use there)
 _INTERVAL_FNS = {
-    "toIntervalYear": 0,
-    "toIntervalQuarter": None,  # 3 months — handled specially
-    "toIntervalMonth": 1,
-    "toIntervalWeek": 2,
-    "toIntervalDay": 3,
-    "toIntervalHour": 4,
-    "toIntervalMinute": 5,
-    "toIntervalSecond": 6,
+    "toIntervalYear": "make_ym_interval(({x}), 0)",
+    "toIntervalQuarter": "make_ym_interval(0, 3 * ({x}))",
+    "toIntervalMonth": "make_ym_interval(0, ({x}))",
+    "toIntervalWeek": "make_dt_interval(7 * ({x}))",
+    "toIntervalDay": "make_dt_interval(({x}))",
+    "toIntervalHour": "make_dt_interval(0, ({x}))",
+    "toIntervalMinute": "make_dt_interval(0, 0, ({x}))",
+    "toIntervalSecond": "make_dt_interval(0, 0, 0, ({x}))",
 }
 
 
@@ -3083,7 +3167,7 @@ def _rewrite_intervals(sql: str) -> str:
     """``toIntervalDay(n)`` family → ``make_interval`` (argument can be
     any expression, so a typed SQL-UDF alias can't cover it — intervals
     are not a UDF return type)."""
-    for name, slot in _INTERVAL_FNS.items():
+    for name, template in _INTERVAL_FNS.items():
         while True:
             m = _find_case_exact(sql, rf"\b{name}\s*\(")
             if not m:
@@ -3091,12 +3175,9 @@ def _rewrite_intervals(sql: str) -> str:
             open1 = sql.index("(", m.end() - 1)
             close1 = _call_end(sql, open1)
             x = sql[open1 + 1: close1]
-            if slot is None:  # quarter = 3 months
-                repl = f"make_interval(0, 3 * ({x}))"
-            else:
-                args = ["0"] * slot + [f"({x})"]
-                repl = f"make_interval({', '.join(args)})"
-            sql = sql[: m.start()] + repl + sql[close1 + 1:]
+            sql = (
+                sql[: m.start()] + template.format(x=x) + sql[close1 + 1:]
+            )
     return sql
 
 
@@ -3622,6 +3703,9 @@ _OPERATOR_ONLY_AGGS = {
     "categoricalInformationValue":
         "weight-of-evidence sums over operators/stats.py:contingency_coefficients cells",
     "histogram": "the q138 equal-width histogram pattern",
+    "isDecimalOverflow": "countDigits against the target precision"
+                         " (Spark decimals saturate at 38 digits;"
+                         " there is no runtime overflow flag)",
     "aggThrow": "nothing — a ClickHouse fault-injection testing"
                 " aggregate with no analytics semantics",
     "analysisOfVariance": "operators/stats.py:welch_ttest for two"

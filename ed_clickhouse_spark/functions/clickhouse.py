@@ -2055,6 +2055,108 @@ _SQL_SCALAR_ALIASES["uptime"] = (
 )
 
 
+def _reinterpret_uint_body(n_bytes: int) -> str:
+    """Little-endian unsigned int from the first ``n_bytes`` of the
+    string's bytes: hex the bytes, reverse the hex PAIRS (byte order,
+    not nibble order), conv base 16 -> 10."""
+    return (
+        "CAST(coalesce(conv(concat_ws('', reverse(regexp_extract_all("
+        f"hex(CAST(left(s, {n_bytes}) AS BINARY)), '(..)'))), 16, 10), '0')"
+        " AS BIGINT)"
+    )
+
+
+# --- probe batch 26 (round 7): conversion / date / string tails that
+# translated untouched and died at run time ---
+_SQL_SCALAR_ALIASES.update(
+    {
+        "parseDateTime64BestEffortOrNull": (
+            "(s STRING) RETURNS TIMESTAMP", "try_cast(s AS TIMESTAMP)"
+        ),
+        "parseDateTime64BestEffortOrZero": (
+            "(s STRING) RETURNS TIMESTAMP",
+            "coalesce(try_cast(s AS TIMESTAMP),"
+            " TIMESTAMP'1970-01-01 00:00:00')",
+        ),
+        "toModifiedJulianDayOrNull": (
+            "(s STRING) RETURNS INT",
+            "datediff(try_cast(s AS DATE), DATE'1858-11-17')",
+        ),
+        "toRelativeYearNum": (
+            "(x TIMESTAMP) RETURNS INT", "year(x)"
+        ),
+        "toRelativeQuarterNum": (
+            "(x TIMESTAMP) RETURNS INT", "year(x) * 4 + quarter(x) - 1"
+        ),
+        "toRelativeMonthNum": (
+            "(x TIMESTAMP) RETURNS INT", "year(x) * 12 + month(x) - 1"
+        ),
+        "toRelativeWeekNum": (
+            "(x TIMESTAMP) RETURNS INT",
+            "CAST((unix_timestamp(x) + 345600) div 604800 AS INT)",
+        ),
+        "toRelativeSecondNum": (
+            "(x TIMESTAMP) RETURNS BIGINT", "unix_timestamp(x)"
+        ),
+        "toUnixTimestamp64Second": (
+            "(x TIMESTAMP) RETURNS BIGINT", "unix_timestamp(x)"
+        ),
+        # escape every regex metacharacter (including backslash itself)
+        "regexpQuoteMeta": (
+            "(s STRING) RETURNS STRING",
+            r"regexp_replace(s, r'([\\^$.|?*+()\[\]{}-])', r'\\$1')",
+        ),
+        # decimal digits of the integer magnitude (CH counts the digits
+        # of the underlying representation; fractional digits of
+        # decimals are counted via the string form)
+        "countDigits": (
+            "(x DOUBLE) RETURNS INT",
+            "length(replace(replace(replace(CAST("
+            "CASE WHEN x = CAST(x AS BIGINT) THEN"
+            " CAST(abs(CAST(x AS BIGINT)) AS STRING)"
+            " ELSE CAST(abs(x) AS STRING) END AS STRING),"
+            " '.', ''), '-', ''), 'E', ''))",
+        ),
+        # reinterpret*: little-endian byte reinterpretation, the CH wire
+        # debugging helpers. Signed variants share the unsigned body
+        # (values above 2^63-1 are out of scope, documented).
+        "reinterpretAsUInt8": (
+            "(s STRING) RETURNS BIGINT", _reinterpret_uint_body(1)
+        ),
+        "reinterpretAsUInt16": (
+            "(s STRING) RETURNS BIGINT", _reinterpret_uint_body(2)
+        ),
+        "reinterpretAsUInt32": (
+            "(s STRING) RETURNS BIGINT", _reinterpret_uint_body(4)
+        ),
+        "reinterpretAsUInt64": (
+            "(s STRING) RETURNS BIGINT", _reinterpret_uint_body(8)
+        ),
+        "reinterpretAsInt8": (
+            "(s STRING) RETURNS BIGINT", _reinterpret_uint_body(1)
+        ),
+        "reinterpretAsInt16": (
+            "(s STRING) RETURNS BIGINT", _reinterpret_uint_body(2)
+        ),
+        "reinterpretAsInt32": (
+            "(s STRING) RETURNS BIGINT", _reinterpret_uint_body(4)
+        ),
+        "reinterpretAsInt64": (
+            "(s STRING) RETURNS BIGINT", _reinterpret_uint_body(8)
+        ),
+        # int -> its little-endian bytes as text (trailing zero bytes
+        # drop out of hex() naturally)
+        "reinterpretAsString": (
+            "(x BIGINT) RETURNS STRING",
+            "CASE WHEN x = 0 THEN ''"
+            " ELSE decode(unhex(concat_ws('', reverse(regexp_extract_all("
+            "lpad(hex(x), CAST(ceil(length(hex(x)) / 2.0) * 2 AS INT),"
+            " '0'), '(..)')))), 'UTF-8') END",
+        ),
+    }
+)
+
+
 # sessions already carrying the aliases — registration is ~165 driver
 # round-trips (~1.4 s), and suite/dialect entry points call this per
 # query, so repeat calls must be free. WeakSet: a stopped session's

@@ -2955,3 +2955,76 @@ def test_probe_batch25_aggregate_tails(views):
     ]:
         with pytest.raises(ValueError, match=hint):
             translate(f"SELECT {bad} FROM __b25")
+
+
+def test_probe_batch26_conversion_tails(views):
+    """Round-7 execution probe, batch 26 (conversions / date / string):
+    OrNull/OrZero decimal casts (+ Decimal256 at Spark's 38-digit
+    ceiling), toIntervalX emitting ANSI intervals (day-time side
+    collectable; arithmetic everywhere), parseDateTime64BestEffort
+    OrNull/OrZero, toModifiedJulianDayOrNull, the missing toRelative*
+    family members, toUnixTimestamp64Second, regexpQuoteMeta,
+    countDigits, extractGroups (first-match groups, [] on no match),
+    defaultValueOfTypeName (literal type names), and little-endian
+    reinterpretAs{UIntN,String}."""
+    views.sql(
+        "SELECT 'hello world' AS s, CAST(3.75 AS DOUBLE) AS w,"
+        " CAST('2024-03-05 10:22:33' AS TIMESTAMP) AS ts"
+    ).createOrReplaceTempView("__b26")
+
+    def run(expr):
+        return views.sql(
+            translate(f"SELECT {expr} AS r FROM __b26").sql
+        ).first()["r"]
+
+    from decimal import Decimal
+
+    assert run("toDecimal32OrNull('bad', 2)") is None
+    assert run("toDecimal64OrZero('bad', 2)") == Decimal("0.00")
+    assert run("toDecimal128OrNull('2.5', 3)") == Decimal("2.500")
+    assert run("toDecimal256(w, 4)") == Decimal("3.7500")
+    import datetime
+
+    assert run("toIntervalSecond(5)") == datetime.timedelta(seconds=5)
+    assert run("toIntervalWeek(2)") == datetime.timedelta(days=14)
+    assert str(run("ts + toIntervalDay(1)")).startswith("2024-03-06")
+    assert str(run("ts + toIntervalMonth(1)")).startswith("2024-04-05")
+    assert str(run("ts + toIntervalQuarter(1)")).startswith("2024-06-05")
+    assert run("parseDateTime64BestEffortOrNull('bad')") is None
+    assert str(run("parseDateTime64BestEffortOrZero('bad')")).startswith(
+        "1970-01-01"
+    )
+    assert run("toModifiedJulianDayOrNull('2024-03-05')") == 60374
+    assert run("toModifiedJulianDayOrNull('bad')") is None
+    assert run("toRelativeYearNum(ts)") == 2024
+    assert run("toRelativeMonthNum(ts)") == 2024 * 12 + 2
+    assert run("toRelativeQuarterNum(ts)") == 2024 * 4
+    assert run("toRelativeSecondNum(ts)") == 1709634153
+    assert run("toUnixTimestamp64Second(ts)") == 1709634153
+    # quoted pattern matches its own literal and nothing else
+    assert run(
+        "s RLIKE concat('^', regexpQuoteMeta(s), '$')"
+    ) is True
+    assert run("regexpQuoteMeta('a.b(x)')") == "a\\.b\\(x\\)"
+    assert run("countDigits(12345)") == 5
+    assert run("countDigits(0)") == 1
+    assert run("countDigits(-12.25)") == 4
+    assert run("extractGroups(s, '(h\\\\w+) (w\\\\w+)')") == [
+        "hello", "world",
+    ]
+    assert run("extractGroups(s, '(zz)(qq)')") == []
+    assert run("defaultValueOfTypeName('Int64')") == 0
+    assert run("defaultValueOfTypeName('String')") == ""
+    assert run("defaultValueOfTypeName('Nullable(Float64)')") is None
+    assert str(run("defaultValueOfTypeName('Date')")) == "1970-01-01"
+    assert run("reinterpretAsUInt32('abcd')") == 1684234849
+    assert run("reinterpretAsUInt8('abcd')") == 97
+    assert run("reinterpretAsString(97)") == "a"
+    assert run("reinterpretAsString(CAST(1684234849 AS BIGINT))") == "abcd"
+    for bad, hint in [
+        ("isDecimalOverflow(w)", "countDigits"),
+        ("extractGroups(s, concat(s, s))", "literal pattern"),
+        ("defaultValueOfTypeName('Tuple(Int8)')", "unmapped type"),
+    ]:
+        with pytest.raises(ValueError, match=hint):
+            translate(f"SELECT {bad} FROM __b26")

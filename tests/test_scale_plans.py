@@ -374,3 +374,19 @@ def test_round6_queries_plan_shapes(spark):
     # the sequence folds push their event-type filters into the scan
     p = _plan(QUERIES["q219_sequence_count_deadline"](spark, "/root/testdata/sf0.001"))
     assert "PushedFilters: [In(event_type" in p
+
+
+def test_funnel_ch_plan_single_user_shuffle(spark):
+    """funnel_ch (q221-q223): one shuffle on the group key feeding a
+    single JVM aggregate() fold — no join, no cartesian, and the scan
+    prunes to exactly (ts, user_id, event_type) even in strict_order
+    mode where the input is NOT pre-filtered."""
+    df = QUERIES["q221_funnel_strict_order"](spark, "/root/testdata/sf0.001")
+    p = _plan(df)
+    assert "CartesianProduct" not in p and "Join" not in p
+    import re
+
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and set(
+        f.split(":")[0] for f in m.group(1).split(",")
+    ) == {"ts", "user_id", "event_type"}
