@@ -2054,6 +2054,24 @@ _SQL_SCALAR_ALIASES["uptime"] = (
     f"unix_timestamp(now()) - {_uptime_anchor()}",
 )
 
+# remaining server-introspection spellings: stable stand-ins (local
+# mode has no ClickHouse build number, connection registry, or
+# ZooKeeper — each returns the documented neutral value)
+_SQL_SCALAR_ALIASES.update(
+    {
+        # a fixed protocol-revision stand-in (CH 24.x era); monitoring
+        # dashboards only compare it for change
+        "revision": ("() RETURNS BIGINT", "54500"),
+        "connectionId": ("() RETURNS BIGINT", "0"),
+        "currentSchemas": (
+            "(b BOOLEAN) RETURNS ARRAY<STRING>", "array(current_schema())"
+        ),
+        "zookeeperSessionUptime": (
+            "() RETURNS BIGINT", "CAST(NULL AS BIGINT)"
+        ),
+    }
+)
+
 
 def _reinterpret_uint_body(n_bytes: int) -> str:
     """Little-endian unsigned int from the first ``n_bytes`` of the
