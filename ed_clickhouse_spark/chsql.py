@@ -1027,7 +1027,11 @@ def _rewrite_numbers(sql: str) -> str:
     the latter to a max-range TVF, lazily generated, so the LIMIT a
     sane query carries stops the scan after its first rows."""
     while True:
-        m = _find_top(sql, r"\bnumbers\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)")
+        # numbers_mt is the multithreaded spelling (order not
+        # guaranteed) — range() parallelizes anyway, same rewrite
+        m = _find_top(
+            sql, r"\bnumbers(?:_mt)?\s*\(\s*(\d+)\s*(?:,\s*(\d+)\s*)?\)"
+        )
         if not m:
             break
         if m.group(2) is not None:
@@ -1036,6 +1040,16 @@ def _rewrite_numbers(sql: str) -> str:
         else:
             rng = f"range({m.group(1)})"
         sub = f"(SELECT id AS number FROM {rng})"
+        sql = sql[: m.start()] + sub + sql[m.end():]
+    while True:
+        # zeros(N) / zeros_mt(N): the constant-0 generator table
+        m = _find_top(sql, r"\bzeros(?:_mt)?\s*\(\s*(\d+)\s*\)")
+        if not m:
+            break
+        sub = (
+            f"(SELECT CAST(0 AS TINYINT) AS zero"
+            f" FROM range({m.group(1)}))"
+        )
         sql = sql[: m.start()] + sub + sql[m.end():]
     while True:
         m = _find_top(
@@ -4748,6 +4762,14 @@ def _rewrite_any_join(sql: str, specs: dict | None) -> str:
             "rewrite as a reversed LEFT ANY JOIN or use "
             "operators/joins.py:any_join"
         )
+    if _find_top_anywhere(sql, r"\bPASTE\s+JOIN\b"):
+        # without this check Spark parses `t PASTE JOIN u` as table t
+        # ALIASED 'PASTE' inner-joined to u — silently wrong, not loud
+        raise ValueError(
+            "PASTE JOIN pairs rows by physical block order, which is"
+            " undefined under a distributed scan — join on an explicit"
+            " row_number() window instead"
+        )
     while True:
         m = _find_top_anywhere(
             sql,
@@ -5196,6 +5218,7 @@ def _apply_clause_rewrites(sql: str, specs: dict | None) -> str:
     sql = _rewrite_any_join(sql, specs)
     sql = _rewrite_final(sql)
     sql = _rewrite_prewhere(sql)
+    sql = _inline_select_aliases_in_where(sql)
     sql = _rewrite_array_join_fn(sql)
     sql = _rewrite_array_join(sql)
     sql = _rewrite_totals(sql)
@@ -5206,6 +5229,76 @@ def _apply_clause_rewrites(sql: str, specs: dict | None) -> str:
     sql = _rewrite_with_fill(sql)
     sql = _rewrite_qualify(sql)
     return sql
+
+
+def _inline_select_aliases_in_where(sql: str) -> str:
+    """ClickHouse lets WHERE reference SELECT-list aliases
+    (``SELECT x + 1 AS y ... WHERE y > 2``) and resolves the ALIAS in
+    preference to a same-named column (prefer_column_name_to_alias = 0,
+    the default). Spark resolves WHERE strictly against the input
+    columns, so referenced aliases are inlined here as parenthesized
+    expressions — matching ClickHouse's preference order. Runs per
+    nesting level (after the PREWHERE merge, so PREWHERE conditions get
+    the same treatment). Guards: qualified names (``t.y``), calls
+    (``y(...)``), backquoted identifiers, string literals, and
+    sub-SELECTs inside the WHERE are left alone. Single-pass splice:
+    an inlined expression's own tokens are NOT re-scanned, so
+    alias-referencing-alias chains stay column-resolved (documented
+    corner), and a self-shadowing alias (``x + 1 AS x``) inlines one
+    level with the inner ``x`` meaning the column."""
+    fm = _find_top(sql, r"(?i)\bFROM\b")
+    wm = _find_top(sql, r"(?i)\bWHERE\b")
+    sm = re.match(r"(?is)^\s*SELECT\s+", sql)
+    if not (sm and fm and wm) or wm.start() < fm.end():
+        return sql
+    aliases: dict[str, str] = {}
+    for item in _split_top_commas(sql[sm.end(): fm.start()]):
+        am = re.match(r"(?s)^\s*(.*\S)\s+AS\s+`?(\w+)`?\s*$", item, re.I)
+        if am:
+            aliases[am.group(2)] = am.group(1).strip()
+    if not aliases:
+        return sql
+    wstart = wm.end()
+    tail_m = _find_top(
+        sql[wstart:],
+        r"(?i)\b(GROUP\s+BY|HAVING|WINDOW|QUALIFY|ORDER\s+BY|LIMIT|"
+        r"OFFSET|SETTINGS|FORMAT|UNION|INTERSECT|EXCEPT)\b",
+    )
+    wend = wstart + tail_m.start() if tail_m else len(sql)
+    wseg = sql[wstart:wend]
+    # positions to leave alone: string literals + sub-SELECT bodies
+    instr_at = {i: q for i, _, _, q in _scan_level(wseg)}
+    blocked = [bool(instr_at.get(i, False)) for i in range(len(wseg))]
+    i = 0
+    while i < len(wseg):
+        if wseg[i] == "(" and not blocked[i]:
+            after = wseg[i + 1:].lstrip()
+            if re.match(r"(?i)(SELECT|WITH)\b", after):
+                j = _call_end(wseg, i)
+                for k in range(i, j + 1):
+                    blocked[k] = True
+                i = j
+        i += 1
+    spans: list[tuple[int, int, str]] = []
+    for name, expr in aliases.items():
+        rx = re.compile(
+            rf"(?<![\w.`$]){re.escape(name)}(?![\w`])(?!\s*\()"
+        )
+        for m in rx.finditer(wseg):
+            if not blocked[m.start()]:
+                spans.append((m.start(), m.end(), f"({expr})"))
+    if not spans:
+        return sql
+    spans.sort()
+    out, pos = [], 0
+    for s, e, repl in spans:
+        if s < pos:
+            continue  # overlapping alias names — keep the first
+        out.append(wseg[pos:s])
+        out.append(repl)
+        pos = e
+    out.append(wseg[pos:])
+    return sql[:wstart] + "".join(out) + sql[wend:]
 
 
 def _rewrite_qualify(sql: str) -> str:

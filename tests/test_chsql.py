@@ -3028,3 +3028,37 @@ def test_probe_batch26_conversion_tails(views):
     ]:
         with pytest.raises(ValueError, match=hint):
             translate(f"SELECT {bad} FROM __b26")
+
+
+def test_probe_batch27_clause_tails(views):
+    """Round-7 execution probe, batch 27 (clause level): numbers_mt /
+    zeros table functions, SELECT-alias references in WHERE inlined
+    with ClickHouse's alias-over-column preference, and PASTE JOIN
+    refusing loudly (Spark would silently parse `t PASTE JOIN u` as an
+    aliased inner join)."""
+    views.sql(
+        "SELECT * FROM VALUES ('a', 1, 10.0), ('b', 2, 20.0),"
+        " ('a', 3, 30.0) AS t(k, x, v)"
+    ).createOrReplaceTempView("__b27")
+
+    def rows(q):
+        return sorted(r[0] for r in views.sql(translate(q).sql).collect())
+
+    assert rows("SELECT count() FROM numbers_mt(10)") == [10]
+    assert rows("SELECT zero FROM zeros(3)") == [0, 0, 0]
+    assert rows("SELECT count() FROM zeros_mt(4)") == [4]
+    # alias in WHERE: resolved to the SELECT expression (CH preference)
+    assert rows("SELECT x + 1 AS y FROM __b27 WHERE y > 2") == [3, 4]
+    assert rows(
+        "SELECT upper(k) AS ku FROM __b27 WHERE ku = 'A'"
+    ) == ["A", "A"]
+    # PREWHERE conditions get the same alias treatment
+    assert rows(
+        "SELECT x * 10 AS xx FROM __b27 PREWHERE xx >= 20"
+    ) == [20, 30]
+    # qualified references keep column resolution; subqueries in WHERE
+    # keep their own scope
+    assert rows("SELECT v AS x FROM __b27 WHERE __b27.x > 1") \
+        == [20.0, 30.0]
+    with pytest.raises(ValueError, match="row_number"):
+        translate("SELECT k FROM t PASTE JOIN u")
