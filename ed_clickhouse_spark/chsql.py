@@ -1250,6 +1250,15 @@ _SCALAR_RENAMES = {
     "sumKahan": "sum",
     "editDistance": "levenshtein",
     "levenshteinDistance": "levenshtein",
+    # DP string metrics + base58: Arrow-batched pandas UDFs registered
+    # by functions/strdist.register_strdist (session.get_spark does it);
+    # semantics fuzz-pinned against DuckDB's implementations
+    "damerauLevenshteinDistance": "ch_damerau_levenshtein",
+    "jaroSimilarity": "ch_jaro_similarity",
+    "jaroWinklerSimilarity": "ch_jaro_winkler",
+    "base58Encode": "ch_base58_encode",
+    "base58Decode": "ch_base58_decode",
+    "tryBase58Decode": "ch_try_base58_decode",
     "toLastDayOfMonth": "last_day",
     "widthBucket": "width_bucket",
     "mapFromArrays": "map_from_arrays",
@@ -3747,15 +3756,6 @@ _OPERATOR_ONLY_AGGS = {
         "operators/windows.py:exponential_moving_average",
     "exponentialTimeDecayedMax":
         "operators/windows.py:exponential_moving_average",
-    # per-row DP string metrics with no codegen spelling — refuse with
-    # the supported metric instead of an unresolved-routine error
-    "damerauLevenshteinDistance":
-        "editDistance/levenshtein (transposition-aware DP has no"
-        " codegen spelling)",
-    "jaroSimilarity": "editDistance/levenshtein",
-    "jaroWinklerSimilarity": "editDistance/levenshtein",
-    "base58Encode": "base64Encode or hex (base58 needs bignum division)",
-    "base58Decode": "base64Decode or unhex",
     # algorithmic codecs with no codegen spelling (probe batch 24)
     "punycodeEncode": "the ASCII hostname directly (punycode bootstring"
                       " arithmetic has no codegen spelling)",

@@ -1,0 +1,270 @@
+"""String-distance and base58 scalars with no Spark builtin, as
+Arrow-batched pandas UDFs (SURVEY.md §2 B8 tail).
+
+ClickHouse ships ``damerauLevenshteinDistance`` / ``jaroSimilarity`` /
+``jaroWinklerSimilarity`` (byte-oriented DP metrics) and
+``base58Encode`` / ``base58Decode`` (Bitcoin alphabet).  None of these
+have a codegen spelling in Spark — ``levenshtein`` is the only builtin
+edit metric — and the DPs are inherently per-pair scalar work, so the
+right Spark shape is a *scalar pandas UDF*: Arrow moves the column
+batches, Python computes the DP per element, and the work distributes
+with the rows (no shuffle, no state).  At 100 TB the pattern that keeps
+this cheap is vocabulary reduction first — dedupe the token/string
+column (`groupBy`/`distinct`, shuffle scales with vocabulary not corpus)
+and join the scored vocabulary back; see ``suite/q_text.py`` q225/q226.
+
+Semantics follow ClickHouse's documented behavior:
+
+- distances operate on the UTF-8 **bytes** of the input (ClickHouse's
+  editDistance family is byte-oriented; the UTF8-suffixed variants are
+  the codepoint ones), which also matches DuckDB's ASCII behavior so
+  the DuckDB oracle can check end-to-end results.
+- ``damerauLevenshteinDistance`` is the FULL Damerau-Levenshtein
+  ("distance with adjacent transpositions", alphabet-table DP), not the
+  cheaper optimal-string-alignment restriction: DL('CA','ABC') = 2.
+  DuckDB's ``damerau_levenshtein`` agrees (probed: 2), so both engines
+  compute the same function.
+- ``jaroWinklerSimilarity`` applies the 0.1 prefix boost (prefix capped
+  at 4) only when the Jaro similarity exceeds the standard 0.7
+  threshold.
+- NULL in -> NULL out; both-empty -> 1.0 similarity / 0 distance.
+- inputs longer than ``MAX_BYTES`` raise loudly: the DPs are O(n*m) and
+  ClickHouse enforces the same cap (max_string_size = 2^16) rather than
+  silently burning CPU.
+
+Registration: ``register_strdist(spark)`` is idempotent and cheap; it
+is called from ``session.get_spark`` and from the suite queries that
+emit these names, so both the DataFrame path and ``chsql.translate``
+output (which renames the ClickHouse spellings to the ``ch_*``
+registered names) resolve.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+from pyspark.sql.types import DoubleType, LongType, StringType
+
+MAX_BYTES = 1 << 16  # ClickHouse max_string_size for the DP metrics
+
+_B58_ALPHABET = b"123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+_B58_INDEX = {c: i for i, c in enumerate(_B58_ALPHABET)}
+
+
+def _as_bytes(s) -> bytes:
+    return s.encode("utf-8") if isinstance(s, str) else bytes(s)
+
+
+def _check_len(a: bytes, b: bytes, fn: str) -> None:
+    if len(a) > MAX_BYTES or len(b) > MAX_BYTES:
+        raise ValueError(
+            f"{fn}: input exceeds {MAX_BYTES} bytes — the O(n*m) DP is "
+            "capped like ClickHouse's max_string_size; pre-truncate or "
+            "fingerprint long documents instead"
+        )
+
+
+def damerau_levenshtein(a, b) -> int:
+    """Full Damerau-Levenshtein distance (adjacent-transposition DP
+    with the alphabet table) over UTF-8 bytes."""
+    a, b = _as_bytes(a), _as_bytes(b)
+    _check_len(a, b, "damerauLevenshteinDistance")
+    la, lb = len(a), len(b)
+    if la == 0:
+        return lb
+    if lb == 0:
+        return la
+    inf = la + lb
+    # (la+2) x (lb+2) DP with a sentinel row/col for the transposition
+    # lookback; d[i+1][j+1] is the distance over prefixes a[:i], b[:j]
+    d = [[inf] * (lb + 2) for _ in range(la + 2)]
+    for i in range(la + 1):
+        d[i + 1][1] = i
+    for j in range(lb + 1):
+        d[1][j + 1] = j
+    last_row = {}  # byte -> last row index where it occurred in a
+    for i in range(1, la + 1):
+        last_col = 0  # last column where b[j-1] == a[i-1] in this row
+        for j in range(1, lb + 1):
+            k = last_row.get(b[j - 1], 0)
+            l = last_col
+            if a[i - 1] == b[j - 1]:
+                cost = 0
+                last_col = j
+            else:
+                cost = 1
+            d[i + 1][j + 1] = min(
+                d[i][j] + cost,  # substitute / match
+                d[i + 1][j] + 1,  # insert
+                d[i][j + 1] + 1,  # delete
+                d[k][l] + (i - k - 1) + 1 + (j - l - 1),  # transpose
+            )
+        last_row[a[i - 1]] = i
+    return d[la + 1][lb + 1]
+
+
+def jaro_similarity(a, b) -> float:
+    """Jaro similarity over UTF-8 bytes (match window
+    max(|a|,|b|)/2 - 1, floored transposition count — the original
+    strcmp95 reference behavior, which DuckDB's vendored RapidFuzz
+    implements too, so oracle comparisons are exact).  Either input
+    empty -> 0.0 (also strcmp95/DuckDB; the both-empty corner is the
+    one place a 1.0-returning implementation would differ)."""
+    a, b = _as_bytes(a), _as_bytes(b)
+    _check_len(a, b, "jaroSimilarity")
+    la, lb = len(a), len(b)
+    if la == 0 or lb == 0:
+        return 0.0
+    window = max(max(la, lb) // 2 - 1, 0)
+    a_match = [False] * la
+    b_match = [False] * lb
+    matches = 0
+    for i in range(la):
+        lo = max(0, i - window)
+        hi = min(lb, i + window + 1)
+        for j in range(lo, hi):
+            if not b_match[j] and a[i] == b[j]:
+                a_match[i] = True
+                b_match[j] = True
+                matches += 1
+                break
+    if matches == 0:
+        return 0.0
+    half_transpositions = 0
+    j = 0
+    for i in range(la):
+        if a_match[i]:
+            while not b_match[j]:
+                j += 1
+            if a[i] != b[j]:
+                half_transpositions += 1
+            j += 1
+    t = half_transpositions // 2  # strcmp95 floors the half-count
+    m = float(matches)
+    return (m / la + m / lb + (m - t) / m) / 3.0
+
+
+def jaro_winkler_similarity(a, b) -> float:
+    """Jaro-Winkler: Jaro plus 0.1 * common-prefix (<=4) boost, applied
+    only above the standard 0.7 threshold (ClickHouse and DuckDB both
+    use this gate)."""
+    sim = jaro_similarity(a, b)
+    if sim <= 0.7:
+        return sim
+    ab, bb = _as_bytes(a), _as_bytes(b)
+    prefix = 0
+    for x, y in zip(ab[:4], bb[:4]):
+        if x != y:
+            break
+        prefix += 1
+    return sim + prefix * 0.1 * (1.0 - sim)
+
+
+def base58_encode(data) -> str:
+    """Base58 (Bitcoin alphabet) of the UTF-8 bytes; leading zero bytes
+    become leading '1's, like ClickHouse base58Encode."""
+    raw = _as_bytes(data)
+    zeros = 0
+    for byte in raw:
+        if byte:
+            break
+        zeros += 1
+    n = int.from_bytes(raw, "big")
+    out = bytearray()
+    while n:
+        n, rem = divmod(n, 58)
+        out.append(_B58_ALPHABET[rem])
+    out.extend(b"1" * zeros)
+    out.reverse()
+    return out.decode("ascii")
+
+
+def base58_decode(text) -> str:
+    """Inverse of :func:`base58_encode`; raises on a character outside
+    the Bitcoin alphabet (ClickHouse base58Decode throws too — the
+    ``try`` spelling maps invalid input to NULL instead)."""
+    s = text.encode("ascii") if isinstance(text, str) else bytes(text)
+    n = 0
+    for c in s:
+        idx = _B58_INDEX.get(c)
+        if idx is None:
+            raise ValueError(
+                f"base58Decode: invalid base58 character {chr(c)!r} — "
+                "use tryBase58Decode for NULL-on-invalid"
+            )
+        n = n * 58 + idx
+    zeros = 0
+    for c in s:
+        if c == _B58_ALPHABET[0]:
+            zeros += 1
+        else:
+            break
+    body = n.to_bytes((n.bit_length() + 7) // 8, "big") if n else b""
+    return (b"\x00" * zeros + body).decode("utf-8", errors="replace")
+
+
+def _pairwise(fn, s1: pd.Series, s2: pd.Series, na):
+    out = []
+    for a, b in zip(s1, s2):
+        out.append(na if a is None or b is None else fn(a, b))
+    return out
+
+
+@pandas_udf(LongType())
+def _udf_damerau(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    return pd.Series(_pairwise(damerau_levenshtein, s1, s2, None), dtype="object")
+
+
+@pandas_udf(DoubleType())
+def _udf_jaro(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    return pd.Series(_pairwise(jaro_similarity, s1, s2, None), dtype="object")
+
+
+@pandas_udf(DoubleType())
+def _udf_jaro_winkler(s1: pd.Series, s2: pd.Series) -> pd.Series:
+    return pd.Series(
+        _pairwise(jaro_winkler_similarity, s1, s2, None), dtype="object"
+    )
+
+
+@pandas_udf(StringType())
+def _udf_base58_encode(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: None if v is None else base58_encode(v))
+
+
+@pandas_udf(StringType())
+def _udf_base58_decode(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: None if v is None else base58_decode(v))
+
+
+@pandas_udf(StringType())
+def _udf_try_base58_decode(s: pd.Series) -> pd.Series:
+    def _try(v):
+        if v is None:
+            return None
+        try:
+            return base58_decode(v)
+        except ValueError:
+            return None
+
+    return s.map(_try)
+
+
+_REGISTRY = {
+    "ch_damerau_levenshtein": _udf_damerau,
+    "ch_jaro_similarity": _udf_jaro,
+    "ch_jaro_winkler": _udf_jaro_winkler,
+    "ch_base58_encode": _udf_base58_encode,
+    "ch_base58_decode": _udf_base58_decode,
+    "ch_try_base58_decode": _udf_try_base58_decode,
+}
+
+
+def register_strdist(spark: SparkSession) -> None:
+    """Idempotently register the ``ch_*`` SQL names on this session so
+    ``chsql.translate`` output resolves (the dialect renames the
+    ClickHouse spellings to these)."""
+    for name, udf in _REGISTRY.items():
+        spark.udf.register(name, udf)

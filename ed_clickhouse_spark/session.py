@@ -52,4 +52,9 @@ def get_spark(
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # the ch_* SQL names chsql.translate emits for the DP string
+    # metrics / base58 resolve on every engine session (idempotent)
+    from ed_clickhouse_spark.functions.strdist import register_strdist
+
+    register_strdist(spark)
     return spark

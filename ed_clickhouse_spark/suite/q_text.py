@@ -396,3 +396,101 @@ def q210_char_entropy(spark, sf_dir):
         "entropy",
         (F.col("entropy") < 3.0).alias("low_entropy"),
     )
+
+
+_FUZZY_PROBES = ["custmer", "filtre", "mrege", "qurey", "striam", "wndow"]
+
+
+@query(
+    "q225_fuzzy_vocab_match",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    probes(probe) AS (
+      VALUES ('custmer'), ('filtre'), ('mrege'),
+             ('qurey'), ('striam'), ('wndow')
+    )
+    SELECT probe,
+           min(damerau_levenshtein(tok, probe)) AS best_dist,
+           count(CASE WHEN damerau_levenshtein(tok, probe) <= 1 THEN 1 END)
+             AS near1,
+           count(CASE WHEN damerau_levenshtein(tok, probe) <= 2 THEN 1 END)
+             AS near2
+    FROM toks CROSS JOIN probes
+    GROUP BY probe
+    """,
+)
+def q225_fuzzy_vocab_match(spark, sf_dir):
+    """Typo-tolerant vocabulary match via full Damerau-Levenshtein
+    (ClickHouse damerauLevenshteinDistance; transpositions like
+    'mrege'->'merge' cost 1 where plain levenshtein charges 2). The
+    100 TB shape: dedupe the token column FIRST — the distinct shuffle
+    scales with vocabulary, not corpus — then score vocab x probes with
+    the Arrow-batched pandas UDF (functions/strdist.py) and aggregate.
+    Fuzz-pinned byte-exact against DuckDB's damerau_levenshtein."""
+    from ed_clickhouse_spark.functions.strdist import register_strdist
+
+    register_strdist(spark)
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    probes = spark.createDataFrame(
+        [(p,) for p in _FUZZY_PROBES], "probe string"
+    )
+    # bounded: 6 literal probe rows
+    scored = toks.crossJoin(F.broadcast(probes)).select(
+        "probe",
+        F.call_udf("ch_damerau_levenshtein", F.col("tok"), F.col("probe")).alias(
+            "dist"
+        ),
+    )
+    return scored.groupBy("probe").agg(
+        F.min("dist").alias("best_dist"),
+        F.count(F.when(F.col("dist") <= 1, 1)).alias("near1"),
+        F.count(F.when(F.col("dist") <= 2, 1)).alias("near2"),
+    )
+
+
+@query(
+    "q226_jaro_winkler_rank",
+    oracle="""
+    WITH toks AS (
+      SELECT DISTINCT unnest(string_split(text, ' ')) AS tok
+      FROM documents
+    ),
+    probes(probe) AS (VALUES ('qurey'), ('custmer'))
+    SELECT probe, tok,
+           round(jaro_winkler_similarity(tok, probe), 4) AS sim
+    FROM toks CROSS JOIN probes
+    WHERE jaro_winkler_similarity(tok, probe) > 0.7
+    """,
+)
+def q226_jaro_winkler_rank(spark, sf_dir):
+    """Jaro-Winkler candidate ranking for fuzzy entity resolution
+    (ClickHouse jaroWinklerSimilarity: 0.1 prefix boost above the 0.7
+    Jaro gate, strcmp95 floored transpositions — bit-exact with
+    DuckDB's vendored RapidFuzz, so the 4-dp rounding and the 0.7
+    filter agree between engines). Same vocabulary-first reduction as
+    q225; the similarity filter runs AFTER the distinct, so the UDF
+    touches |vocab| x |probes| rows only."""
+    from ed_clickhouse_spark.functions.strdist import register_strdist
+
+    register_strdist(spark)
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split("text", " ")).alias("tok")
+    ).distinct()
+    probes = spark.createDataFrame(
+        [("qurey",), ("custmer",)], "probe string"
+    )
+    # bounded: 2 literal probe rows
+    sim = F.call_udf("ch_jaro_winkler", F.col("tok"), F.col("probe"))
+    return (
+        toks.crossJoin(F.broadcast(probes))
+        .select("probe", "tok", sim.alias("sim_raw"))
+        .filter(F.col("sim_raw") > 0.7)
+        .select("probe", "tok", F.round("sim_raw", 4).alias("sim"))
+    )

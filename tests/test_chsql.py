@@ -2680,11 +2680,20 @@ def test_probe_batch18_runtime_tails(views):
         r"[0-9a-f]{8}-[0-9a-f]{4}-7[0-9a-f]{3}-[89ab][0-9a-f]{3}-[0-9a-f]{12}",
         u,
     )
+    # damerau/jaro/base58 graduated from refusals to registered pandas
+    # UDFs (functions/strdist.py) — the rename is pinned here, execution
+    # in tests/test_strdist.py
+    assert "ch_damerau_levenshtein(" in translate(
+        "SELECT damerauLevenshteinDistance(a, b) FROM t"
+    ).sql
+    assert "ch_jaro_winkler(" in translate(
+        "SELECT jaroWinklerSimilarity(a, b) FROM t"
+    ).sql
+    assert "ch_base58_encode(" in translate(
+        "SELECT base58Encode('x') FROM t"
+    ).sql
     # loud refusals with pointers (previously UNRESOLVED_ROUTINE/parse)
     for bad, hint in [
-        ("damerauLevenshteinDistance(a, b)", "levenshtein"),
-        ("jaroSimilarity(a, b)", "levenshtein"),
-        ("base58Encode('x')", "base64"),
         ("exponentialTimeDecayedAvg(10)(w, ts)", "exponential_moving_average"),
         ("mortonDecode(3, x)", "2 dimensions"),
         ("toDecimalString(w, y)", "literal scale"),

@@ -1,0 +1,153 @@
+"""String-distance + base58 scalars (functions/strdist.py).
+
+The strongest oracle available here is DuckDB itself: its
+``damerau_levenshtein`` / ``jaro_similarity`` / ``jaro_winkler_similarity``
+are the same functions the driver's oracle harness evaluates, so the
+fuzz tests pin the Python implementations BIT-EXACT against DuckDB —
+that equality is what lets q225/q226 hash-match end-to-end.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from ed_clickhouse_spark.chsql import translate
+from ed_clickhouse_spark.functions.strdist import (
+    MAX_BYTES,
+    base58_decode,
+    base58_encode,
+    damerau_levenshtein,
+    jaro_similarity,
+    jaro_winkler_similarity,
+    register_strdist,
+)
+
+_SET = settings(max_examples=300, deadline=None)
+
+
+def test_known_vectors():
+    # full Damerau-Levenshtein, NOT optimal-string-alignment: the
+    # CA->ABC case distinguishes them (OSA says 3)
+    assert damerau_levenshtein("CA", "ABC") == 2
+    assert damerau_levenshtein("ab", "ba") == 1
+    assert damerau_levenshtein("kitten", "sitting") == 3
+    assert damerau_levenshtein("", "abc") == 3
+    assert damerau_levenshtein("abc", "") == 3
+    assert damerau_levenshtein("", "") == 0
+    # textbook Jaro/Winkler values
+    assert jaro_similarity("MARTHA", "MARHTA") == pytest.approx(
+        0.9444444444444445, abs=0
+    )
+    assert jaro_winkler_similarity("MARTHA", "MARHTA") == pytest.approx(
+        0.9611111111111111, abs=0
+    )
+    assert jaro_similarity("DIXON", "DICKSONX") == pytest.approx(
+        0.7666666666666666, abs=0
+    )
+    assert jaro_similarity("abc", "abc") == 1.0
+    # strcmp95/DuckDB empty-string convention (0.0, even both-empty)
+    assert jaro_similarity("", "") == 0.0
+    assert jaro_similarity("", "a") == 0.0
+    # below the 0.7 gate the Winkler boost must NOT apply
+    assert jaro_winkler_similarity("CRATE", "TRACE") == jaro_similarity(
+        "CRATE", "TRACE"
+    )
+
+
+@given(
+    st.text(alphabet="abcdef", max_size=10),
+    st.text(alphabet="abcdef", max_size=10),
+)
+@_SET
+def test_damerau_matches_duckdb(a, b):
+    con = duckdb.connect()
+    assert (
+        con.execute("select damerau_levenshtein(?, ?)", [a, b]).fetchone()[0]
+        == damerau_levenshtein(a, b)
+    )
+
+
+@given(
+    st.text(alphabet="abcdefgh", max_size=12),
+    st.text(alphabet="abcdefgh", max_size=12),
+)
+@_SET
+def test_jaro_family_bit_exact_vs_duckdb(a, b):
+    con = duckdb.connect()
+    dj, djw = con.execute(
+        "select jaro_similarity(?, ?), jaro_winkler_similarity(?, ?)",
+        [a, b, a, b],
+    ).fetchone()
+    # == on doubles on purpose: bit-exactness is what makes the 4-dp
+    # rounding in q226 engine-independent
+    assert dj == jaro_similarity(a, b)
+    assert djw == jaro_winkler_similarity(a, b)
+
+
+@given(st.binary(max_size=40))
+@_SET
+def test_base58_roundtrip(raw):
+    enc = base58_encode(raw)
+    assert set(enc) <= set(
+        "123456789ABCDEFGHJKLMNPQRSTUVWXYZabcdefghijkmnopqrstuvwxyz"
+    )
+    dec = base58_decode(enc)
+    assert dec.encode("utf-8", errors="replace") == raw or dec == raw.decode(
+        "utf-8", errors="replace"
+    )
+
+
+def test_base58_known_vectors():
+    # the standard test vector (Bitcoin wiki)
+    assert base58_encode("Hello World!") == "2NEpo7TZRRrLZSi2U"
+    assert base58_decode("2NEpo7TZRRrLZSi2U") == "Hello World!"
+    # leading zero bytes -> leading '1's
+    assert base58_encode(b"\x00\x00abc") == "11ZiCa"
+    assert base58_encode("") == ""
+    assert base58_decode("") == ""
+    with pytest.raises(ValueError, match="tryBase58Decode"):
+        base58_decode("0OIl")  # chars outside the Bitcoin alphabet
+
+
+def test_length_guard():
+    with pytest.raises(ValueError, match="fingerprint"):
+        damerau_levenshtein("x" * (MAX_BYTES + 1), "y")
+    with pytest.raises(ValueError, match="fingerprint"):
+        jaro_similarity("y", "x" * (MAX_BYTES + 1))
+
+
+def test_sql_end_to_end(spark):
+    """The dialect renames the ClickHouse spellings to the registered
+    ch_* pandas UDFs; a translated query must execute and agree with
+    the Python reference, and NULLs must propagate."""
+    register_strdist(spark)
+    spark.sql(
+        "SELECT * FROM VALUES ('query', 'qurey'), ('merge', 'mrege'),"
+        " (NULL, 'x') AS t(a, b)"
+    ).createOrReplaceTempView("__strdist")
+    rows = spark.sql(
+        translate(
+            "SELECT a, b, damerauLevenshteinDistance(a, b) AS d,"
+            " jaroSimilarity(a, b) AS j,"
+            " jaroWinklerSimilarity(a, b) AS jw,"
+            " base58Encode(b) AS enc,"
+            " tryBase58Decode(base58Encode(b)) AS dec,"
+            " tryBase58Decode('0invalid') AS bad"
+            " FROM __strdist"
+        ).sql
+    ).collect()
+    by_b = {r["b"]: r for r in rows}
+    assert by_b["qurey"]["d"] == 1
+    assert by_b["qurey"]["j"] == jaro_similarity("query", "qurey")
+    assert by_b["mrege"]["jw"] == jaro_winkler_similarity("merge", "mrege")
+    assert by_b["mrege"]["dec"] == "mrege"
+    assert by_b["x"]["d"] is None and by_b["x"]["j"] is None
+    assert all(r["bad"] is None for r in rows)
+    # base58Decode (non-try) surfaces the loud error through the UDF
+    with pytest.raises(Exception, match="base58"):
+        spark.sql(
+            translate("SELECT base58Decode('0x') FROM __strdist").sql
+        ).collect()
