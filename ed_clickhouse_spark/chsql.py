@@ -3215,6 +3215,137 @@ def _find_case_exact(sql: str, pattern: str) -> re.Match | None:
     return None
 
 
+def _rewrite_time_decayed(sql: str) -> str:
+    """ClickHouse ``exponentialTimeDecayed{Sum,Count,Max,Avg}(x)(v, t)
+    OVER (spec)`` window functions → a collect_list window + HOF fold.
+
+    Semantics (ClickHouse AggregateFunctionExponentialTimeDecayed*):
+    per row, each frame event carries weight ``exp((t_i - T) / x)``
+    where ``T`` is the MAX time in the frame (for the usual ORDER BY
+    time ascending frame, the current row's time) — Sum returns
+    ``sum(v_i * w_i)``, Count ``sum(w_i)`` (time is its only argument),
+    Max ``max(v_i * w_i)``, Avg ``sum(v_i * w_i) / sum(w_i)``.
+
+    Anchoring at the frame max is also what makes the fold numerically
+    safe at any epoch scale: every weight exponent is <= 0, so the
+    rewrite never computes ``exp(huge)`` — the reason the previous
+    refusal called this "a two-phase pass no inline rewrite can
+    express".  The two phases are expressed as nested single-element
+    ``transform`` bindings: the collected frame array binds once to a
+    lambda variable, its max time binds next, then the O(n) fold runs —
+    one window evaluation per call, no quadratic re-scan.
+
+    Timestamps are CAST AS DOUBLE (epoch seconds, same convention as
+    nonNegativeDerivative), so ``x`` is in seconds for timestamp
+    columns and in the column's own units for numerics.  The decay
+    length must be a numeric literal.  Without an OVER clause these
+    raise (ClickHouse documents the family as window functions; the
+    grouped-aggregate path is operators/windows.py:
+    exponential_moving_average).
+    """
+    rx = re.compile(r"\bexponentialTimeDecayed(Sum|Count|Max|Avg)\s*\(")
+    pos = 0
+    while True:
+        m = rx.search(sql, pos)
+        if not m:
+            break
+        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        if instr_at.get(m.start(), False):
+            pos = m.end()
+            continue
+        kind = m.group(1)
+        name = f"exponentialTimeDecayed{kind}"
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        lam = sql[open1 + 1: close1].strip()
+        if not re.fullmatch(r"[0-9]+(?:\.[0-9]+)?", lam):
+            raise ValueError(
+                f"{name} needs a literal numeric decay length"
+                " (in the time column's units; seconds for timestamps)"
+            )
+        cm = re.match(r"(?s)\s*\(", sql[close1 + 1:])
+        if not cm:
+            raise ValueError(
+                f"{name} uses the parametric spelling: {name}(x)("
+                + ("time)" if kind == "Count" else "value, time)")
+            )
+        open2 = close1 + 1 + cm.end() - 1
+        close2 = _call_end(sql, open2)
+        args = _split_top_commas(sql[open2 + 1: close2])
+        want = 1 if kind == "Count" else 2
+        if len(args) != want:
+            raise ValueError(
+                f"{name}(x) takes {want} argument(s): "
+                + ("(time)" if kind == "Count" else "(value, time)")
+            )
+        om = re.match(r"(?is)\s*OVER\s*\(", sql[close2 + 1:])
+        nm = re.match(r"(?is)\s*OVER\s+`?(\w+)`?", sql[close2 + 1:])
+        if om:
+            open3 = close2 + 1 + om.end() - 1
+            close3 = _call_end(sql, open3)
+            spec = sql[open3 + 1: close3]
+        elif nm:
+            # OVER <name>: resolve the named window from the WINDOW
+            # clause — the emitted collect_list needs the spec inline
+            # (the WINDOW clause itself stays; Spark supports it)
+            wname = nm.group(1)
+            wm = _find_top(sql, rf"(?i)\bWINDOW\s+`?{wname}`?\s+AS\s*\(")
+            if not wm:
+                raise ValueError(
+                    f"{name} OVER {wname}: no WINDOW {wname} AS (...)"
+                    " clause found to resolve the named window"
+                )
+            wopen = sql.index("(", wm.end() - 1)
+            spec = sql[wopen + 1: _call_end(sql, wopen)]
+            close3 = close2 + nm.end()
+        else:
+            raise ValueError(
+                f"{name} translates as a window function — add an OVER"
+                " clause, or use operators/windows.py:"
+                "exponential_moving_average for grouped smoothing"
+            )
+        # via TIMESTAMP first: NTZ (parquet naive times) cannot cast
+        # straight to DOUBLE; LTZ is identity; numerics read as seconds
+        # (µs-quantized — exact for any realistic epoch value)
+        texpr = f"CAST(CAST(({args[-1].strip()}) AS TIMESTAMP) AS DOUBLE)"
+        vexpr = (
+            "CAST(1 AS DOUBLE)"
+            if kind == "Count"
+            else f"CAST(({args[0].strip()}) AS DOUBLE)"
+        )
+        arr = (
+            f"collect_list(named_struct('v', {vexpr}, 't', {texpr}))"
+            f" OVER ({spec})"
+        )
+        w = f"exp((e.t - __edt) / ({lam}))"
+        if kind in ("Sum", "Count"):
+            body = (
+                "aggregate(__eda, CAST(0 AS DOUBLE),"
+                f" (acc, e) -> acc + e.v * {w})"
+            )
+        elif kind == "Max":
+            body = (
+                "aggregate(__eda, CAST('-Infinity' AS DOUBLE),"
+                f" (acc, e) -> greatest(acc, e.v * {w}))"
+            )
+        else:  # Avg
+            body = (
+                "aggregate(__eda,"
+                " named_struct('n', CAST(0 AS DOUBLE), 'd', CAST(0 AS DOUBLE)),"
+                f" (acc, e) -> named_struct('n', acc.n + e.v * {w},"
+                f" 'd', acc.d + {w}),"
+                " acc -> acc.n / acc.d)"
+            )
+        expr = (
+            f"element_at(transform(array({arr}), __eda -> "
+            "element_at(transform(array(array_max(transform(__eda,"
+            f" __edq -> __edq.t))), __edt -> {body}), 1)), 1)"
+        )
+        sql = sql[: m.start()] + expr + sql[close3 + 1:]
+        pos = m.start()
+    return sql
+
+
 def _rewrite_funnel_aggs(sql: str) -> str:
     """ClickHouse event-analytics aggregates → Spark compositions:
 
@@ -3744,18 +3875,6 @@ _OPERATOR_ONLY_AGGS = {
     "groupBitmapAnd": "operators/sketch.py set algebra",
     "groupBitmapOr": "operators/sketch.py set algebra",
     "groupBitmapXor": "operators/sketch.py set algebra",
-    # time-decayed states need the max timestamp BEFORE the weights can
-    # be computed without overflow (exp(t/x) at epoch scale) — a
-    # two-phase pass no inline aggregate rewrite can express
-    "exponentialTimeDecayedAvg":
-        "operators/windows.py:exponential_moving_average"
-        " (time-decayed weights need a max-anchored two-phase pass)",
-    "exponentialTimeDecayedSum":
-        "operators/windows.py:exponential_moving_average",
-    "exponentialTimeDecayedCount":
-        "operators/windows.py:exponential_moving_average",
-    "exponentialTimeDecayedMax":
-        "operators/windows.py:exponential_moving_average",
     # algorithmic codecs with no codegen spelling (probe batch 24)
     "punycodeEncode": "the ASCII hostname directly (punycode bootstring"
                       " arithmetic has no codegen spelling)",
@@ -5172,6 +5291,7 @@ def translate(
     sql = _rewrite_brackets(sql)
     sql = _rewrite_intervals(sql)
     sql = _rewrite_funnel_aggs(sql)
+    sql = _rewrite_time_decayed(sql)
     sql = _rewrite_agg_spellings(sql)
     sql = _rewrite_scalar_misc(sql)
     sql = _rewrite_array_hofs(sql)

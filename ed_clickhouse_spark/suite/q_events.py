@@ -1028,3 +1028,70 @@ def q224_sequence_count_exact_gap(spark, sf_dir):
     register_sql_aliases(spark)
     t(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(translate(_CH_SEQ_COUNT_EXACT_GAP_SQL).sql)
+
+
+_CH_TIME_DECAYED_SQL = """
+SELECT user_id, event_id,
+       round(exponentialTimeDecayedSum(3600)(value, ts) OVER w, 4)
+         AS decayed_sum,
+       round(exponentialTimeDecayedCount(3600)(ts) OVER w, 4)
+         AS decayed_count,
+       round(exponentialTimeDecayedMax(3600)(value, ts) OVER w, 4)
+         AS decayed_max,
+       round(exponentialTimeDecayedAvg(3600)(value, ts) OVER w, 4)
+         AS decayed_avg
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+"""
+
+
+@query(
+    "q227_time_decayed_windows",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, epoch(ts) AS tsec,
+             list(struct_pack(v := CAST(value AS DOUBLE), t := epoch(ts)))
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS arr
+      FROM events
+    )
+    SELECT user_id, event_id,
+           round(list_sum(list_transform(
+             arr, e -> e.v * exp((e.t - tsec) / 3600.0))), 4)
+             AS decayed_sum,
+           round(list_sum(list_transform(
+             arr, e -> exp((e.t - tsec) / 3600.0))), 4)
+             AS decayed_count,
+           round(list_max(list_transform(
+             arr, e -> e.v * exp((e.t - tsec) / 3600.0))), 4)
+             AS decayed_max,
+           round(list_sum(list_transform(
+                   arr, e -> e.v * exp((e.t - tsec) / 3600.0)))
+                 / list_sum(list_transform(
+                   arr, e -> exp((e.t - tsec) / 3600.0))), 4)
+             AS decayed_avg
+    FROM w
+    """,
+)
+def q227_time_decayed_windows(spark, sf_dir):
+    """ClickHouse's exponentialTimeDecayed{Sum,Count,Max,Avg} window
+    family spelled VERBATIM in the dialect (chsql r7 rewrite): per
+    user, every event weighted exp((t_i - t_now)/3600) over the
+    running frame — the freshness-weighted activity score shape. The
+    rewrite anchors weights at the frame-max time so every exponent is
+    <= 0 (no epoch-scale overflow) and binds the collected frame array
+    once via nested single-element transform lambdas (one window
+    evaluation, O(frame) fold, all JVM-side codegen — no UDF). The
+    DuckDB oracle computes the same fold with list lambdas anchored at
+    the current row's epoch — equal by construction since the frame
+    ends at the current row. Both engines fold the frame in the same
+    deterministic (ts, event_id) order, so the doubles agree bit-exact
+    before the 4-dp rounding."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(translate(_CH_TIME_DECAYED_SQL).sql)

@@ -3071,3 +3071,65 @@ def test_probe_batch27_clause_tails(views):
         == [20.0, 30.0]
     with pytest.raises(ValueError, match="row_number"):
         translate("SELECT k FROM t PASTE JOIN u")
+
+
+def test_time_decayed_window_family(views):
+    """exponentialTimeDecayed{Sum,Count,Max,Avg}(x)(...) OVER — the r7
+    max-anchored window rewrite: values vs a Python reference, named
+    WINDOW resolution, and the loud paths (no OVER, non-literal decay,
+    wrong arity)."""
+    import math
+
+    views.sql(
+        "SELECT * FROM VALUES ('a', 1.0, 10.0), ('a', 3.0, 20.0),"
+        " ('a', 7.0, 5.0), ('b', 2.0, 4.0) AS t(g, ts, v)"
+    ).createOrReplaceTempView("__etd")
+    spec = ("PARTITION BY g ORDER BY ts"
+            " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW")
+    q = (
+        "SELECT g, ts,"
+        f" exponentialTimeDecayedSum(5)(v, ts) OVER ({spec}) AS s,"
+        f" exponentialTimeDecayedCount(5)(ts) OVER ({spec}) AS c,"
+        f" exponentialTimeDecayedMax(5)(v, ts) OVER ({spec}) AS mx,"
+        f" exponentialTimeDecayedAvg(5)(v, ts) OVER ({spec}) AS av"
+        " FROM __etd"
+    )
+    got = {
+        (r["g"], r["ts"]): (r["s"], r["c"], r["mx"], r["av"])
+        for r in views.sql(translate(q).sql).collect()
+    }
+    series = {"a": [(1.0, 10.0), (3.0, 20.0), (7.0, 5.0)], "b": [(2.0, 4.0)]}
+    for g, pts in series.items():
+        for i in range(len(pts)):
+            frame = pts[: i + 1]
+            T = max(t_ for t_, _ in frame)
+            ws = [(v * math.exp((t_ - T) / 5.0), math.exp((t_ - T) / 5.0))
+                  for t_, v in frame]
+            s = sum(x for x, _ in ws)
+            c = sum(w for _, w in ws)
+            want = (s, c, max(x for x, _ in ws), s / c)
+            have = got[(g, pts[i][0])]
+            assert have == pytest.approx(want, rel=1e-12), (g, i)
+    # named WINDOW resolves; result matches the inline-spec spelling
+    qn = (
+        "SELECT g, ts, exponentialTimeDecayedSum(5)(v, ts) OVER w AS s"
+        f" FROM __etd WINDOW w AS ({spec})"
+    )
+    got_named = {
+        (r["g"], r["ts"]): r["s"]
+        for r in views.sql(translate(qn).sql).collect()
+    }
+    assert got_named == {k: v[0] for k, v in got.items()}
+    for bad, hint in [
+        ("exponentialTimeDecayedSum(5)(v, ts)", "OVER"),
+        ("exponentialTimeDecayedAvg(x)(v, ts) OVER (ORDER BY ts)",
+         "literal numeric decay"),
+        ("exponentialTimeDecayedCount(5)(v, ts) OVER (ORDER BY ts)",
+         "1 argument"),
+        ("exponentialTimeDecayedSum(5)(ts) OVER (ORDER BY ts)",
+         "2 argument"),
+        ("exponentialTimeDecayedSum(5)(v, ts) OVER nope FROM __etd",
+         "no WINDOW"),
+    ]:
+        with pytest.raises(ValueError, match=hint):
+            translate(f"SELECT {bad} FROM __etd")
