@@ -1984,6 +1984,32 @@ def _rewrite_scalar_misc(sql: str) -> str:
             + f" OVER ({body})" + sql[close2 + 1:]
         )
         pos = m.start()
+    # bitSlice(s, offset[, length]) -> the registered ch_bit_slice
+    # pandas UDF (functions/strdist.py, returns BINARY); the UDF takes
+    # exactly 3 args, so the 2-arg spelling pads a NULL length
+    pos = 0
+    bs_rx = re.compile(r"\bbitSlice\s*\(")
+    while True:
+        m = bs_rx.search(sql, pos)
+        if not m:
+            break
+        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        if instr_at.get(m.start(), False):
+            pos = m.end()
+            continue
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        if len(args) == 2:
+            args.append("CAST(NULL AS BIGINT)")
+        if len(args) != 3:
+            raise ValueError("bitSlice takes (s, offset[, length])")
+        sql = (
+            sql[: m.start()]
+            + f"ch_bit_slice({', '.join(a.strip() for a in args)})"
+            + sql[close1 + 1:]
+        )
+        pos = m.start()
     # nonNegativeDerivative(metric, ts[, INTERVAL n unit]) OVER (spec):
     # lag-based rate with resets clamped to 0 and the first row NULL —
     # the operators/windows.py:non_negative_derivative semantics.
@@ -3891,8 +3917,6 @@ _OPERATOR_ONLY_AGGS = {
                            " needs the distributed midrank machinery)",
     "byteSize": "length/octet_length (in-memory layout size has no"
                 " Spark equivalent)",
-    "bitSlice": "substring for byte-aligned slices (bit-level offsets"
-                " have no codegen spelling)",
     "tupleToNameValuePairs": "map()/map_entries over explicit fields"
                              " (struct field names are not values in"
                              " Spark SQL)",

@@ -27,7 +27,8 @@ Semantics follow ClickHouse's documented behavior:
 - ``jaroWinklerSimilarity`` applies the 0.1 prefix boost (prefix capped
   at 4) only when the Jaro similarity exceeds the standard 0.7
   threshold.
-- NULL in -> NULL out; both-empty -> 1.0 similarity / 0 distance.
+- NULL in -> NULL out; an empty input gives 0.0 similarity (strcmp95
+  convention, matching DuckDB) and plain-length distance.
 - inputs longer than ``MAX_BYTES`` raise loudly: the DPs are O(n*m) and
   ClickHouse enforces the same cap (max_string_size = 2^16) rather than
   silently burning CPU.
@@ -45,7 +46,7 @@ import pandas as pd
 
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import DoubleType, LongType, StringType
+from pyspark.sql.types import BinaryType, DoubleType, LongType, StringType
 
 MAX_BYTES = 1 << 16  # ClickHouse max_string_size for the DP metrics
 
@@ -205,6 +206,40 @@ def base58_decode(text) -> str:
     return (b"\x00" * zeros + body).decode("utf-8", errors="replace")
 
 
+def bit_slice(s, offset: int, length=None) -> bytes:
+    """ClickHouse ``bitSlice(s, offset[, length])``: the substring of
+    the value's BITS — 1-based bit offset, negative offset counts from
+    the end, negative length leaves that many bits off the end, and a
+    partial final byte is zero-padded on the right.  Returns bytes
+    (Spark BINARY — an arbitrary bit pattern is not valid UTF-8, so
+    the String return ClickHouse uses has no lossless Spark spelling;
+    hex()/bin() the result to compare)."""
+    data = _as_bytes(s)
+    nbits = len(data) * 8
+    if offset > 0:
+        start = offset - 1
+    elif offset < 0:
+        start = nbits + offset
+    else:
+        start = 0  # 1-based; offset 0 reads like offset 1 (substring)
+    if length is None:
+        end = nbits
+    elif length >= 0:
+        end = start + length
+    else:
+        end = nbits + length
+    start = max(0, min(start, nbits))
+    end = max(start, min(end, nbits))
+    width = end - start
+    if width == 0:
+        return b""
+    n = int.from_bytes(data, "big")
+    val = (n >> (nbits - end)) & ((1 << width) - 1)
+    pad = (-width) % 8  # zero-fill the final partial byte's low bits
+    val <<= pad
+    return val.to_bytes((width + pad) // 8, "big")
+
+
 def _pairwise(fn, s1: pd.Series, s2: pd.Series, na):
     out = []
     for a, b in zip(s1, s2):
@@ -252,6 +287,19 @@ def _udf_try_base58_decode(s: pd.Series) -> pd.Series:
     return s.map(_try)
 
 
+@pandas_udf(BinaryType())
+def _udf_bit_slice(
+    s: pd.Series, offset: pd.Series, length: pd.Series
+) -> pd.Series:
+    out = []
+    for v, o, n in zip(s, offset, length):
+        if v is None or o is None:
+            out.append(None)
+        else:
+            out.append(bit_slice(v, int(o), None if n is None else int(n)))
+    return pd.Series(out, dtype="object")
+
+
 _REGISTRY = {
     "ch_damerau_levenshtein": _udf_damerau,
     "ch_jaro_similarity": _udf_jaro,
@@ -259,6 +307,7 @@ _REGISTRY = {
     "ch_base58_encode": _udf_base58_encode,
     "ch_base58_decode": _udf_base58_decode,
     "ch_try_base58_decode": _udf_try_base58_decode,
+    "ch_bit_slice": _udf_bit_slice,
 }
 
 

@@ -151,3 +151,57 @@ def test_sql_end_to_end(spark):
         spark.sql(
             translate("SELECT base58Decode('0x') FROM __strdist").sql
         ).collect()
+
+
+def test_bit_slice_vectors():
+    from ed_clickhouse_spark.functions.strdist import bit_slice
+
+    def bits(x):
+        return "".join(f"{c:08b}" for c in x)
+
+    # ClickHouse doc semantics: 1-based bit offset, right-zero-padded
+    assert bit_slice("Hello", 1, 8) == b"H"
+    assert bits(bit_slice("Hello", 1, 2)) == "01000000"
+    assert bits(bit_slice("Hello", 3, 4)) == "00100000"
+    assert bit_slice("Hello", -8) == b"o"  # negative offset: from end
+    assert bit_slice("Hello", 9, -8) == b"ell"  # negative len: trim end
+    assert bit_slice("Hi", 20) == b""  # past the end
+    assert bit_slice("Hi", 1, 0) == b""
+
+
+@given(
+    st.binary(min_size=0, max_size=6),
+    st.integers(min_value=-60, max_value=60),
+    st.one_of(st.none(), st.integers(min_value=-60, max_value=60)),
+)
+@_SET
+def test_bit_slice_matches_bitstring_reference(raw, offset, length):
+    """The int-shift implementation equals a naive '0'/'1'-string
+    slicer for every (offset, length) shape."""
+    from ed_clickhouse_spark.functions.strdist import bit_slice
+
+    s = "".join(f"{c:08b}" for c in raw)
+    start = (offset - 1) if offset > 0 else (len(s) + offset if offset < 0 else 0)
+    end = (
+        len(s)
+        if length is None
+        else (start + length if length >= 0 else len(s) + length)
+    )
+    start = max(0, min(start, len(s)))
+    end = max(start, min(end, len(s)))
+    sel = s[start:end]
+    sel += "0" * ((-len(sel)) % 8)
+    want = bytes(int(sel[i: i + 8], 2) for i in range(0, len(sel), 8))
+    assert bit_slice(raw, offset, length) == want
+
+
+def test_bit_slice_sql(spark):
+    register_strdist(spark)
+    spark.sql("SELECT 'Hello' AS s").createOrReplaceTempView("__bs")
+    rows = spark.sql(
+        translate(
+            "SELECT hex(bitSlice(s, 9, -8)) AS mid,"
+            " hex(bitSlice(s, 1, 8)) AS first FROM __bs"
+        ).sql
+    ).collect()
+    assert rows[0]["mid"] == "656C6C" and rows[0]["first"] == "48"
