@@ -1259,6 +1259,16 @@ _SCALAR_RENAMES = {
     "base58Encode": "ch_base58_encode",
     "base58Decode": "ch_base58_decode",
     "tryBase58Decode": "ch_try_base58_decode",
+    # punycode via the stdlib RFC 3492 codec; IDNA via the idna
+    # package (IDNA2008+UTS46, the same mapping ClickHouse's ada-idna
+    # applies — 'straße.de' -> 'xn--strae-oqa.de', not the IDNA2003
+    # transitional 'strasse.de')
+    "punycodeEncode": "ch_punycode_encode",
+    "punycodeDecode": "ch_punycode_decode",
+    "tryPunycodeDecode": "ch_try_punycode_decode",
+    "idnaEncode": "ch_idna_encode",
+    "idnaDecode": "ch_idna_decode",
+    "tryIdnaEncode": "ch_try_idna_encode",
     "toLastDayOfMonth": "last_day",
     "widthBucket": "width_bucket",
     "mapFromArrays": "map_from_arrays",
@@ -3901,15 +3911,6 @@ _OPERATOR_ONLY_AGGS = {
     "groupBitmapAnd": "operators/sketch.py set algebra",
     "groupBitmapOr": "operators/sketch.py set algebra",
     "groupBitmapXor": "operators/sketch.py set algebra",
-    # algorithmic codecs with no codegen spelling (probe batch 24)
-    "punycodeEncode": "the ASCII hostname directly (punycode bootstring"
-                      " arithmetic has no codegen spelling)",
-    "punycodeDecode": "the ASCII hostname directly",
-    "idnaEncode": "lower(hostname) for ASCII domains (IDNA mapping has"
-                  " no codegen spelling)",
-    "idnaDecode": "the ASCII hostname directly",
-    "tryIdnaEncode": "lower(hostname) for ASCII domains",
-    "tryPunycodeDecode": "the ASCII hostname directly",
     "sqidEncode": "conv()/base64 for id obfuscation (sqids shuffling"
                   " has no codegen spelling)",
     "sqidDecode": "conv()/base64",

@@ -240,6 +240,64 @@ def bit_slice(s, offset: int, length=None) -> bytes:
     return val.to_bytes((width + pad) // 8, "big")
 
 
+def punycode_encode(s: str) -> str:
+    """RFC 3492 punycode of the whole string (ClickHouse
+    punycodeEncode: 'München' -> 'Mnchen-3ya') via the stdlib codec."""
+    return s.encode("punycode").decode("ascii")
+
+
+def punycode_decode(s: str) -> str:
+    """Inverse of :func:`punycode_encode`; raises on malformed input
+    (ClickHouse punycodeDecode throws too; the try spelling maps to
+    NULL)."""
+    try:
+        return s.encode("ascii").decode("punycode")
+    except (UnicodeDecodeError, UnicodeEncodeError) as exc:
+        raise ValueError(
+            f"punycodeDecode: not valid punycode ({s!r}) — use"
+            " tryPunycodeDecode for NULL-on-invalid"
+        ) from exc
+
+
+def _idna():
+    try:
+        import idna
+    except ImportError as exc:  # pragma: no cover - present in env
+        raise NotImplementedError(
+            "idnaEncode/idnaDecode need the 'idna' package (IDNA2008 +"
+            " UTS46, matching ClickHouse's ada-idna); punycodeEncode/"
+            "punycodeDecode cover the bare bootstring codec"
+        ) from exc
+    return idna
+
+
+def idna_encode(s: str) -> str:
+    """IDNA2008 + UTS46 ASCII form of a domain (ClickHouse idnaEncode:
+    'straße.münchen.de' -> 'xn--strae-oqa.xn--mnchen-3ya.de' — the
+    nontransitional mapping, NOT IDNA2003's 'strasse')."""
+    if s == "":
+        return ""
+    idna = _idna()
+    try:
+        return idna.encode(s, uts46=True).decode("ascii")
+    except idna.IDNAError as exc:
+        raise ValueError(
+            f"idnaEncode: invalid domain ({s!r}): {exc} — use"
+            " tryIdnaEncode for NULL-on-invalid"
+        ) from exc
+
+
+def idna_decode(s: str) -> str:
+    """Unicode form of an IDNA ASCII domain; invalid labels raise."""
+    if s == "":
+        return ""
+    idna = _idna()
+    try:
+        return idna.decode(s)
+    except idna.IDNAError as exc:
+        raise ValueError(f"idnaDecode: invalid domain ({s!r}): {exc}") from exc
+
+
 def _pairwise(fn, s1: pd.Series, s2: pd.Series, na):
     out = []
     for a, b in zip(s1, s2):
@@ -287,6 +345,32 @@ def _udf_try_base58_decode(s: pd.Series) -> pd.Series:
     return s.map(_try)
 
 
+def _mapper(fn, try_mode=False):
+    def _one(v):
+        if v is None:
+            return None
+        if try_mode:
+            try:
+                return fn(v)
+            except ValueError:
+                return None
+        return fn(v)
+
+    return lambda s: s.map(_one)
+
+
+_udf_punycode_encode = pandas_udf(_mapper(punycode_encode), StringType())
+_udf_punycode_decode = pandas_udf(_mapper(punycode_decode), StringType())
+_udf_try_punycode_decode = pandas_udf(
+    _mapper(punycode_decode, try_mode=True), StringType()
+)
+_udf_idna_encode = pandas_udf(_mapper(idna_encode), StringType())
+_udf_idna_decode = pandas_udf(_mapper(idna_decode), StringType())
+_udf_try_idna_encode = pandas_udf(
+    _mapper(idna_encode, try_mode=True), StringType()
+)
+
+
 @pandas_udf(BinaryType())
 def _udf_bit_slice(
     s: pd.Series, offset: pd.Series, length: pd.Series
@@ -308,6 +392,12 @@ _REGISTRY = {
     "ch_base58_decode": _udf_base58_decode,
     "ch_try_base58_decode": _udf_try_base58_decode,
     "ch_bit_slice": _udf_bit_slice,
+    "ch_punycode_encode": _udf_punycode_encode,
+    "ch_punycode_decode": _udf_punycode_decode,
+    "ch_try_punycode_decode": _udf_try_punycode_decode,
+    "ch_idna_encode": _udf_idna_encode,
+    "ch_idna_decode": _udf_idna_decode,
+    "ch_try_idna_encode": _udf_try_idna_encode,
 }
 
 

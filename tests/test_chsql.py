@@ -2779,7 +2779,9 @@ def test_probe_batch20_vector_and_id_tails(views):
     assert run("toInt64OrDefault('42', toInt64(9))") == 42
     assert run("toJSONString(map('a', 1))") == '{"a":1}'
     assert run("length(randomString(5))") == 5
-    for bad in ["byteSize(v)", "bitSlice('a', 1, 2)",
+    # bitSlice graduated to the ch_bit_slice pandas UDF in r7
+    # (tests/test_strdist.py); the remaining two still refuse
+    for bad in ["byteSize(v)",
                 "tupleToNameValuePairs(tuple(1, 2))"]:
         with pytest.raises(ValueError, match="not SQL-translatable"):
             translate(f"SELECT {bad} FROM t")
@@ -2902,11 +2904,13 @@ def test_probe_batch24_runtime_tails(views):
     assert _re.fullmatch(r"[0-9a-f-]{36}", run("serverUUID()"))
     assert run("displayName()") == run("hostName()")
     assert run("uptime()") >= 0
-    # algorithmic codecs refuse loudly with pointers
+    # punycode/idna graduated to registered pandas UDFs (r7,
+    # tests/test_strdist.py runs them); sqids/gini still refuse
+    assert "ch_punycode_encode(" in translate(
+        "SELECT punycodeEncode(s) FROM t"
+    ).sql
+    assert "ch_idna_encode(" in translate("SELECT idnaEncode(s) FROM t").sql
     for bad, hint in [
-        ("punycodeEncode(s)", "punycode"),
-        ("punycodeDecode(s)", "hostname"),
-        ("idnaEncode(s)", "IDNA"),
         ("sqidEncode(x)", "sqids"),
         ("arrayNormalizedGini(arr, arr)", "auc"),
     ]:

@@ -205,3 +205,66 @@ def test_bit_slice_sql(spark):
         ).sql
     ).collect()
     assert rows[0]["mid"] == "656C6C" and rows[0]["first"] == "48"
+
+
+def test_punycode_idna_vectors():
+    from ed_clickhouse_spark.functions.strdist import (
+        idna_decode,
+        idna_encode,
+        punycode_decode,
+        punycode_encode,
+    )
+
+    assert punycode_encode("München") == "Mnchen-3ya"
+    assert punycode_decode("Mnchen-3ya") == "München"
+    assert punycode_encode("abc") == "abc-"
+    assert punycode_encode("") == ""  # empty in, empty out
+    # IDNA2008 + UTS46 (ClickHouse's ada-idna behavior): sharp s is
+    # NOT transitionally mapped to 'ss'
+    assert idna_encode("straße.münchen.de") == (
+        "xn--strae-oqa.xn--mnchen-3ya.de"
+    )
+    assert idna_encode("München.DE") == "xn--mnchen-3ya.de"  # UTS46 fold
+    assert idna_decode("xn--strae-oqa.de") == "straße.de"
+    assert idna_encode("plain.example.com") == "plain.example.com"
+    assert idna_encode("") == "" and idna_decode("") == ""
+    with pytest.raises(ValueError, match="tryIdnaEncode"):
+        idna_encode("bad..domain")
+    with pytest.raises(ValueError, match="tryPunycodeDecode"):
+        punycode_decode("München")  # non-ASCII input is not punycode
+
+
+@given(st.text(max_size=20))
+@_SET
+def test_punycode_roundtrip(s):
+    from ed_clickhouse_spark.functions.strdist import (
+        punycode_decode,
+        punycode_encode,
+    )
+
+    try:
+        enc = punycode_encode(s)
+    except UnicodeError:
+        return  # surrogates etc. — codec refuses, nothing to pin
+    assert punycode_decode(enc) == s
+
+
+def test_punycode_idna_sql(spark):
+    register_strdist(spark)
+    spark.sql(
+        "SELECT * FROM VALUES ('München.de'), ('plain.org'), (NULL)"
+        " AS t(h)"
+    ).createOrReplaceTempView("__puny")
+    rows = spark.sql(
+        translate(
+            "SELECT h, idnaEncode(h) AS a, tryIdnaEncode('x..y') AS bad,"
+            " punycodeDecode(punycodeEncode(h)) AS rt,"
+            " tryPunycodeDecode('ü') AS badp"
+            " FROM __puny WHERE h IS NOT NULL"
+        ).sql
+    ).collect()
+    by_h = {r["h"]: r for r in rows}
+    assert by_h["München.de"]["a"] == "xn--mnchen-3ya.de"
+    assert by_h["plain.org"]["a"] == "plain.org"
+    assert all(r["bad"] is None and r["badp"] is None for r in rows)
+    assert by_h["München.de"]["rt"] == "München.de"
