@@ -390,3 +390,32 @@ def test_funnel_ch_plan_single_user_shuffle(spark):
     assert m and set(
         f.split(":")[0] for f in m.group(1).split(",")
     ) == {"ts", "user_id", "event_type"}
+
+
+def test_round7_queries_plan_shapes(spark):
+    """Round-7 query shapes: the strdist pair (q225/q226) reduce to
+    vocabulary FIRST (one distinct exchange chain) and cross only the
+    broadcast literal probe rows (BroadcastNestedLoopJoin over <=6 rows
+    — never a shuffled or cartesian product); the time-decayed window
+    family (q227) is a single user-keyed Window with zero joins, its
+    scan pruned to the four columns the fold needs."""
+    import re
+
+    spark.catalog.clearCache()
+    for name in ("q225_fuzzy_vocab_match", "q226_jaro_winkler_rank"):
+        p = _plan(QUERIES[name](spark, "/root/testdata/sf0.001"))
+        assert "CartesianProduct" not in p, name
+        assert "BroadcastNestedLoopJoin" in p, name
+        assert "SortMergeJoin" not in p and "ShuffledHashJoin" not in p, name
+        # scan reads only the text column being tokenized
+        m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+        assert m and m.group(1).split(":")[0] == "text", name
+    p = _plan(QUERIES["q227_time_decayed_windows"](spark, "/root/testdata/sf0.001"))
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert len(re.findall(r"^\(\d+\) Window", p, re.M)) == 1
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+    assert n_ex <= 1, n_ex  # the user_id hash partitioning only
+    m = re.search(r"ReadSchema: struct<([^>]*)>", p)
+    assert m and set(f.split(":")[0] for f in m.group(1).split(",")) == {
+        "event_id", "ts", "user_id", "value",
+    }
