@@ -1269,6 +1269,14 @@ _SCALAR_RENAMES = {
     "idnaEncode": "ch_idna_encode",
     "idnaDecode": "ch_idna_decode",
     "tryIdnaEncode": "ch_try_idna_encode",
+    # batch-28 tails: stdlib-ipaddress-exact CIDR checks and the array
+    # edit distance (pandas UDFs); concat spellings are plain renames
+    "isIPAddressInRange": "ch_ip_in_range",
+    "IPv6CIDRToRange": "ch_ipv6_cidr_to_range",
+    "toIPv6": "ch_ipv6_normalize",
+    "arrayLevenshteinDistance": "ch_array_levenshtein",
+    "concatAssumeInjective": "concat",
+    "mapConcat": "map_concat",
     "toLastDayOfMonth": "last_day",
     "widthBucket": "width_bucket",
     "mapFromArrays": "map_from_arrays",
@@ -3918,6 +3926,13 @@ _OPERATOR_ONLY_AGGS = {
                            " needs the distributed midrank machinery)",
     "byteSize": "length/octet_length (in-memory layout size has no"
                 " Spark equivalent)",
+    "byteSwap": "reverse over unhex(hex(x)) at a fixed width — CH's"
+                " swap width comes from the integer TYPE, which a"
+                " textual translation cannot see",
+    "hilbertEncode": "mortonEncode (Z-order, the curve zorder.py"
+                     " clusters by) — CH's Hilbert rotation convention"
+                     " has no verifiable vectors in this environment",
+    "hilbertDecode": "mortonDecode(2, code)",
     "tupleToNameValuePairs": "map()/map_entries over explicit fields"
                              " (struct field names are not values in"
                              " Spark SQL)",

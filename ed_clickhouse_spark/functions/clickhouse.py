@@ -509,6 +509,48 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "replace(url_encode(s), '+', '%20')",
     ),
     "decodeURLComponent": ("(s STRING) RETURNS STRING", "url_decode(s)"),
+    # form-encoding variants: x-www-form-urlencoded spells spaces '+',
+    # which is exactly what Spark's url_encode/url_decode do natively
+    "encodeURLFormComponent": ("(s STRING) RETURNS STRING", "url_encode(s)"),
+    "decodeURLFormComponent": ("(s STRING) RETURNS STRING", "url_decode(s)"),
+    "queryStringAndFragment": (
+        "(u STRING) RETURNS STRING",
+        "concat(coalesce(parse_url(u, 'QUERY'), ''),"
+        " CASE WHEN parse_url(u, 'REF') IS NOT NULL"
+        " THEN concat('#', parse_url(u, 'REF')) ELSE '' END)",
+    ),
+    # cumulative path prefixes chopped at each '/' — ClickHouse's
+    # URLPathHierarchy('https://x/browse/CONV-6788') =
+    # ['/browse/', '/browse/CONV-6788']; elements end AT each break, a
+    # trailing element only when the path doesn't end in '/'
+    "URLPathHierarchy": (
+        "(u STRING) RETURNS ARRAY<STRING>",
+        "(CASE WHEN coalesce(parse_url(u, 'PATH'), '') IN ('', '/')"
+        " THEN CAST(array() AS ARRAY<STRING>)"
+        " ELSE concat("
+        "   filter(transform(sequence(2, length(parse_url(u, 'PATH'))),"
+        "     i -> CASE WHEN substring(parse_url(u, 'PATH'), i, 1) = '/'"
+        "          THEN substring(parse_url(u, 'PATH'), 1, i) END),"
+        "     x -> x IS NOT NULL),"
+        "   CASE WHEN substring(parse_url(u, 'PATH'), -1, 1) != '/'"
+        "        THEN array(parse_url(u, 'PATH'))"
+        "        ELSE CAST(array() AS ARRAY<STRING>) END)"
+        " END)",
+    ),
+    # same prefixes anchored at protocol+host; first element is the
+    # site root (ClickHouse returns ['https://x/', 'https://x/a/', ...])
+    "URLHierarchy": (
+        "(u STRING) RETURNS ARRAY<STRING>",
+        "(CASE WHEN regexp_extract(u,"
+        " '^((?:[a-z][a-z0-9+.-]*:)?//[^/?#]*)', 1) = ''"
+        " THEN CAST(array() AS ARRAY<STRING>)"
+        " ELSE concat("
+        "   array(concat(regexp_extract(u,"
+        "     '^((?:[a-z][a-z0-9+.-]*:)?//[^/?#]*)', 1), '/')),"
+        "   transform(URLPathHierarchy(u), e -> concat(regexp_extract(u,"
+        "     '^((?:[a-z][a-z0-9+.-]*:)?//[^/?#]*)', 1), e)))"
+        " END)",
+    ),
     "topLevelDomain": (
         "(u STRING) RETURNS STRING",
         r"regexp_extract(parse_url(u, 'HOST'), '\\.([^.]+)$', 1)",
@@ -1571,6 +1613,38 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
     ),
     "fromUnixTimestamp64Nano": (
         "(x BIGINT) RETURNS TIMESTAMP", "timestamp_micros(x div 1000)"
+    ),
+    # per element, its occurrence ordinal among equal values so far:
+    # arrayEnumerateUniq(['a','b','a']) = [1, 1, 2]. Implicit cast to
+    # ARRAY<STRING> is injective for the numeric element types, so
+    # counts are type-independent. O(n^2) per array — CH arrays are
+    # row-local, never the distributed axis.
+    "arrayEnumerateUniq": (
+        "(a ARRAY<STRING>) RETURNS ARRAY<INT>",
+        "transform(sequence(1, size(a)),"
+        " i -> size(filter(slice(a, 1, i), x -> x <=> element_at(a, i))))",
+    ),
+    # inverse of bin(): 8-bit chunks (left-padded to a byte boundary)
+    # decoded to their characters
+    "unbin": (
+        "(s STRING) RETURNS STRING",
+        "(CASE WHEN s = '' THEN ''"
+        " ELSE concat_ws('', transform("
+        "   sequence(1, CAST(ceil(length(s) / 8.0) AS INT)),"
+        "   i -> char(CAST(conv(substring("
+        "     lpad(s, CAST(ceil(length(s) / 8.0) * 8 AS INT), '0'),"
+        "     (i - 1) * 8 + 1, 8), 2, 10) AS INT)))) END)",
+    ),
+    "randBernoulli": (
+        "(p DOUBLE) RETURNS INT", "CAST(rand() < p AS INT)"
+    ),
+    # ClickHouse default delimiters (':' key-value; ',', ';', space as
+    # pair separators). The quoting_character escape syntax is NOT
+    # parsed — quoted values keep their quotes; pre-clean if you need
+    # CH's quoted form.
+    "extractKeyValuePairs": (
+        "(s STRING) RETURNS MAP<STRING, STRING>",
+        "str_to_map(s, '[,; ]+', ':')",
     ),
     # 2-D Morton (Z-order) interleave over 32 bits per coordinate — the
     # same curve sources/zorder.py clusters by; pure codegen bit fold

@@ -46,7 +46,14 @@ import pandas as pd
 
 from pyspark.sql import SparkSession
 from pyspark.sql.functions import pandas_udf
-from pyspark.sql.types import BinaryType, DoubleType, LongType, StringType
+from pyspark.sql.types import (
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
 
 MAX_BYTES = 1 << 16  # ClickHouse max_string_size for the DP metrics
 
@@ -345,6 +352,82 @@ def _udf_try_base58_decode(s: pd.Series) -> pd.Series:
     return s.map(_try)
 
 
+def ip_in_range(addr: str, cidr: str) -> int:
+    """ClickHouse ``isIPAddressInRange(addr, prefix)``: 1 when the
+    address (v4 or v6) falls inside the CIDR block, 0 otherwise —
+    mixed families are 0, malformed input raises (CH throws too).
+    Exact via the stdlib ipaddress module."""
+    import ipaddress
+
+    try:
+        a = ipaddress.ip_address(addr)
+        n = ipaddress.ip_network(cidr, strict=False)
+    except ValueError as exc:
+        raise ValueError(
+            f"isIPAddressInRange: invalid address/CIDR"
+            f" ({addr!r}, {cidr!r}): {exc}"
+        ) from exc
+    return int(a.version == n.version and a in n)
+
+
+def ipv6_cidr_to_range(addr: str, prefix: int) -> tuple[str, str]:
+    """ClickHouse ``IPv6CIDRToRange``: (lowest, highest) address of the
+    block, RFC 5952 compressed text (CH renders the same form)."""
+    import ipaddress
+
+    try:
+        net = ipaddress.IPv6Network((addr, int(prefix)), strict=False)
+    except ValueError as exc:
+        raise ValueError(
+            f"IPv6CIDRToRange: invalid ({addr!r}, {prefix}): {exc}"
+        ) from exc
+    return net.network_address.compressed, net.broadcast_address.compressed
+
+
+def ipv6_normalize(addr: str) -> str:
+    """ClickHouse ``toIPv6``/``IPv6StringToNum`` text form: parse and
+    re-render RFC 5952 compressed (CH renders the same); an IPv4
+    string maps into ::ffff:a.b.c.d like CH.  Invalid input raises."""
+    import ipaddress
+
+    try:
+        a = ipaddress.ip_address(addr)
+    except ValueError as exc:
+        raise ValueError(f"toIPv6: invalid address {addr!r}: {exc}") from exc
+    if a.version == 4:
+        a = ipaddress.IPv6Address(f"::ffff:{addr}")
+    mapped = a.ipv4_mapped
+    if mapped is not None:
+        # CH keeps the dotted quad in the mapped form; Python's
+        # .compressed would hex it (::ffff:c0a8:105)
+        return f"::ffff:{mapped.compressed}"
+    return a.compressed
+
+
+def array_levenshtein(a, b) -> int:
+    """ClickHouse ``arrayLevenshteinDistance``: plain Levenshtein DP
+    over the element SEQUENCES (any element type; equality is the edit
+    predicate).  Two rolling rows — O(len(a)*len(b)) per pair, row-local
+    work that distributes with the rows."""
+    a = list(a)
+    b = list(b)
+    if not a:
+        return len(b)
+    if not b:
+        return len(a)
+    prev = list(range(len(b) + 1))
+    for i, x in enumerate(a, 1):
+        cur = [i] + [0] * len(b)
+        for j, y in enumerate(b, 1):
+            cur[j] = min(
+                prev[j] + 1,
+                cur[j - 1] + 1,
+                prev[j - 1] + (0 if x == y else 1),
+            )
+        prev = cur
+    return prev[-1]
+
+
 def _mapper(fn, try_mode=False):
     def _one(v):
         if v is None:
@@ -364,10 +447,47 @@ _udf_punycode_decode = pandas_udf(_mapper(punycode_decode), StringType())
 _udf_try_punycode_decode = pandas_udf(
     _mapper(punycode_decode, try_mode=True), StringType()
 )
+_udf_ipv6_normalize = pandas_udf(_mapper(ipv6_normalize), StringType())
 _udf_idna_encode = pandas_udf(_mapper(idna_encode), StringType())
 _udf_idna_decode = pandas_udf(_mapper(idna_decode), StringType())
 _udf_try_idna_encode = pandas_udf(
     _mapper(idna_encode, try_mode=True), StringType()
+)
+
+
+@pandas_udf(LongType())
+def _udf_ip_in_range(addr: pd.Series, cidr: pd.Series) -> pd.Series:
+    return pd.Series(_pairwise(ip_in_range, addr, cidr, None), dtype="object")
+
+
+@pandas_udf(LongType())
+def _udf_array_levenshtein(a: pd.Series, b: pd.Series) -> pd.Series:
+    return pd.Series(
+        _pairwise(array_levenshtein, a, b, None), dtype="object"
+    )
+
+
+def _ipv6_range_frame(addr: pd.Series, prefix: pd.Series) -> pd.DataFrame:
+    lows, highs = [], []
+    for a, p in zip(addr, prefix):
+        if a is None or p is None:
+            lows.append(None)
+            highs.append(None)
+        else:
+            lo, hi = ipv6_cidr_to_range(a, p)
+            lows.append(lo)
+            highs.append(hi)
+    return pd.DataFrame({"col1": lows, "col2": highs})
+
+
+_udf_ipv6_cidr_to_range = pandas_udf(
+    _ipv6_range_frame,
+    StructType(
+        [
+            StructField("col1", StringType()),
+            StructField("col2", StringType()),
+        ]
+    ),
 )
 
 
@@ -398,6 +518,10 @@ _REGISTRY = {
     "ch_idna_encode": _udf_idna_encode,
     "ch_idna_decode": _udf_idna_decode,
     "ch_try_idna_encode": _udf_try_idna_encode,
+    "ch_ip_in_range": _udf_ip_in_range,
+    "ch_ipv6_normalize": _udf_ipv6_normalize,
+    "ch_array_levenshtein": _udf_array_levenshtein,
+    "ch_ipv6_cidr_to_range": _udf_ipv6_cidr_to_range,
 }
 
 

@@ -3137,3 +3137,67 @@ def test_time_decayed_window_family(views):
     ]:
         with pytest.raises(ValueError, match=hint):
             translate(f"SELECT {bad} FROM __etd")
+
+
+def test_probe_batch28_url_ip_array_tails(views):
+    """Round-7 execution probe, batch 28 (~120 spellings end-to-end;
+    102 already passed — this pins the 15 newly closed ones): URL
+    hierarchy/form-encoding/query+fragment, stdlib-ipaddress-exact
+    CIDR checks and IPv6 normalization, arrayEnumerateUniq, unbin,
+    extractKeyValuePairs, array Levenshtein, concat renames — plus the
+    three deliberate loud refusals (byteSwap's width is type-derived,
+    Hilbert's rotation convention has no verifiable vectors here)."""
+    from ed_clickhouse_spark.functions.strdist import register_strdist
+
+    register_strdist(views)
+    views.sql(
+        "SELECT 'https://ab.example.co.uk/browse/CONV-6788?q=1&r=2#frag'"
+        " AS url, array(3, 1, 3, 1, 1) AS arr, map('a', 1) AS m"
+    ).createOrReplaceTempView("__b28")
+
+    def run(expr):
+        return views.sql(
+            translate(f"SELECT {expr} AS r FROM __b28").sql
+        ).first()["r"]
+
+    assert run("queryStringAndFragment(url)") == "q=1&r=2#frag"
+    assert run("queryStringAndFragment('http://x/p')") == ""
+    assert run("URLPathHierarchy(url)") == [
+        "/browse/", "/browse/CONV-6788",
+    ]
+    assert run("URLHierarchy(url)") == [
+        "https://ab.example.co.uk/",
+        "https://ab.example.co.uk/browse/",
+        "https://ab.example.co.uk/browse/CONV-6788",
+    ]
+    assert run("encodeURLFormComponent('a b+c')") == "a+b%2Bc"
+    assert run("decodeURLFormComponent('a+b%2Bc')") == "a b+c"
+    assert run("arrayEnumerateUniq(['a', 'b', 'a'])") == [1, 1, 2]
+    assert run("arrayEnumerateUniq(arr)") == [1, 1, 2, 2, 3]
+    assert run("unbin('0100100001101001')") == "Hi"
+    assert run("unbin('101')") == "\x05"  # left-padded to a byte
+    assert run("extractKeyValuePairs('a:1, b:2;c:3')") == {
+        "a": "1", "b": "2", "c": "3",
+    }
+    assert run("isIPAddressInRange('192.168.1.5', '192.168.0.0/16')") == 1
+    assert run("isIPAddressInRange('10.0.0.1', '192.168.0.0/16')") == 0
+    assert run("isIPAddressInRange('::1', '192.168.0.0/16')") == 0
+    assert run("toIPv6('2001:0db8:0000::0001')") == "2001:db8::1"
+    assert run("toIPv6('192.168.1.5')") == "::ffff:192.168.1.5"
+    r6 = run("IPv6CIDRToRange(toIPv6('2001:db8::1'), 32)")
+    assert (r6["col1"], r6["col2"]) == (
+        "2001:db8::",
+        "2001:db8:ffff:ffff:ffff:ffff:ffff:ffff",
+    )
+    assert run("arrayLevenshteinDistance([1, 2, 3], [2, 3, 4])") == 2
+    assert run("arrayLevenshteinDistance(['a'], ['a'])") == 0
+    assert run("concatAssumeInjective('a', 'b')") == "ab"
+    assert run("mapConcat(m, map('c', 3))") == {"a": 1, "c": 3}
+    assert run("randBernoulli(1.0)") == 1 and run("randBernoulli(0.0)") == 0
+    for bad, hint in [
+        ("byteSwap(7)", "fixed width"),
+        ("hilbertEncode(3, 4)", "mortonEncode"),
+        ("hilbertDecode(2, 31)", "mortonDecode"),
+    ]:
+        with pytest.raises(ValueError, match=hint):
+            translate(f"SELECT {bad} FROM __b28")
