@@ -546,3 +546,46 @@ def q216_json_props_profile(spark, sf_dir):
     register_sql_aliases(spark)
     t(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(translate(_JSON_PROFILE_SQL).sql)
+
+
+_CH_ALIAS_WHERE = """
+SELECT l_orderkey,
+       round(l_extendedprice * (1 - l_discount), 6) AS net,
+       upper(l_returnflag) AS rf
+FROM lineitem
+PREWHERE net > 90000
+WHERE l_quantity < 10 AND rf != 'N'
+"""
+
+
+@query(
+    "q228_alias_in_where",
+    oracle="""
+    SELECT l_orderkey,
+           round(l_extendedprice * (1 - l_discount), 6) AS net,
+           upper(l_returnflag) AS rf
+    FROM lineitem
+    WHERE round(l_extendedprice * (1 - l_discount), 6) > 90000
+      AND l_quantity < 10 AND upper(l_returnflag) != 'N'
+    """,
+)
+def q228_alias_in_where(spark, sf_dir):
+    """ClickHouse lets WHERE/PREWHERE reference SELECT-list aliases
+    with alias-over-column preference (prefer_column_name_to_alias = 0)
+    — idiomatic CH that Spark rejects outright. The r7 clause rewrite
+    (chsql._inline_select_aliases_in_where) inlines the referenced
+    aliases as parenthesized expressions AFTER the PREWHERE merge, so
+    this query runs verbatim. Inlining (not subquery-wrapping) keeps
+    the filter adjacent to the scan: the simple predicates
+    (l_quantity, l_returnflag) push down to the parquet reader, and
+    the computed net condition runs in the same codegen stage with no
+    subquery barrier. 6-dp rounding on purpose: the
+    price product has 4 decimal digits, so 6-dp is exact in both
+    engines, while 2-dp would sit ON the .xx5 midpoints where Spark
+    (shortest-string HALF_UP) and DuckDB (exact-binary) disagree."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(translate(_CH_ALIAS_WHERE).sql)
