@@ -268,3 +268,44 @@ def test_punycode_idna_sql(spark):
     assert by_h["plain.org"]["a"] == "plain.org"
     assert all(r["bad"] is None and r["badp"] is None for r in rows)
     assert by_h["München.de"]["rt"] == "München.de"
+
+
+@given(
+    st.text(alphabet="abcd", max_size=10),
+    st.text(alphabet="abcd", max_size=10),
+)
+@_SET
+def test_array_levenshtein_matches_duckdb_string_form(a, b):
+    """arrayLevenshteinDistance over single-char element lists must
+    equal DuckDB's string levenshtein — the same DP, different carrier."""
+    from ed_clickhouse_spark.functions.strdist import array_levenshtein
+
+    con = duckdb.connect()
+    want = con.execute("select levenshtein(?, ?)", [a, b]).fetchone()[0]
+    assert array_levenshtein(list(a), list(b)) == want
+
+
+def test_ip_range_and_ipv6_vectors():
+    from ed_clickhouse_spark.functions.strdist import (
+        ip_in_range,
+        ipv6_cidr_to_range,
+        ipv6_normalize,
+    )
+
+    assert ip_in_range("192.168.1.5", "192.168.0.0/16") == 1
+    assert ip_in_range("192.169.0.1", "192.168.0.0/16") == 0
+    assert ip_in_range("2001:db8::7", "2001:db8::/32") == 1
+    assert ip_in_range("::1", "192.168.0.0/16") == 0  # mixed families
+    with pytest.raises(ValueError, match="isIPAddressInRange"):
+        ip_in_range("not-an-ip", "10.0.0.0/8")
+    assert ipv6_cidr_to_range("2001:db8::1", 32) == (
+        "2001:db8::",
+        "2001:db8:ffff:ffff:ffff:ffff:ffff:ffff",
+    )
+    # full-width and zero-width prefixes
+    assert ipv6_cidr_to_range("::1", 128) == ("::1", "::1")
+    assert ipv6_cidr_to_range("::", 0)[1] == (
+        "ffff:ffff:ffff:ffff:ffff:ffff:ffff:ffff"
+    )
+    assert ipv6_normalize("2001:0DB8::0001") == "2001:db8::1"
+    assert ipv6_normalize("10.1.2.3") == "::ffff:10.1.2.3"
