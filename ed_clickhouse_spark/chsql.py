@@ -1277,6 +1277,13 @@ _SCALAR_RENAMES = {
     "arrayLevenshteinDistance": "ch_array_levenshtein",
     "concatAssumeInjective": "concat",
     "mapConcat": "map_concat",
+    # batch-29 tails: Joda-syntax date spellings ARE Spark's native
+    # JDK-pattern builtins; arithmetic camel names map 1:1
+    "formatDateTimeInJodaSyntax": "date_format",
+    "parseDateTimeInJodaSyntax": "to_timestamp",
+    "positiveModulo": "pmod",
+    "positive_modulo": "pmod",
+    "negate": "negative",
     "toLastDayOfMonth": "last_day",
     "widthBucket": "width_bucket",
     "mapFromArrays": "map_from_arrays",
@@ -1431,9 +1438,12 @@ _ARRAY_SPLICE: dict[str, dict[int, str]] = {
     "avgWeighted": {2: "(sum(({0}) * ({1})) / sum({1}))"},
     # chord slope over the x-extent — max_by/min_by pick y at the
     # extreme x, one aggregate pass (operators/stats.py:bounding_ratio)
+    # nullif guard: a single point (or constant x) has zero extent —
+    # NULL result (the Spark idiom; CH emits nan) instead of an ANSI
+    # divide-by-zero error
     "boundingRatio": {
         2: "((max_by({1}, {0}) - min_by({1}, {0}))"
-           " / (max({0}) - min({0})))",
+           " / nullif(CAST(max({0}) - min({0}) AS DOUBLE), 0.0))",
     },
     # least-squares (k, b) from moment sums (ClickHouse's tuple shape)
     "simpleLinearRegression": {
@@ -2434,6 +2444,42 @@ def _rewrite_scalar_misc(sql: str) -> str:
             + sql[close1 + 1:]
         )
         pos = m.start()
+    # JSONExtractKeysAndValues(j, 'T') -> array of (key, value) structs
+    # via a typed MAP parse; the trailing argument is CH's type literal
+    pos = 0
+    kv_rx = re.compile(r"\bJSONExtractKeysAndValues\s*\(")
+    _JSON_T = {
+        "Int8": "TINYINT", "Int16": "SMALLINT", "Int32": "INT",
+        "Int64": "BIGINT", "UInt8": "INT", "UInt16": "INT",
+        "UInt32": "BIGINT", "UInt64": "BIGINT", "Float32": "FLOAT",
+        "Float64": "DOUBLE", "String": "STRING", "Bool": "BOOLEAN",
+    }
+    while True:
+        m = kv_rx.search(sql, pos)
+        if not m:
+            break
+        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        if instr_at.get(m.start(), False):
+            pos = m.end()
+            continue
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        tm = re.fullmatch(r"\s*'(\w+)'\s*", args[-1]) if args else None
+        if len(args) != 2 or not tm or tm.group(1) not in _JSON_T:
+            raise ValueError(
+                "JSONExtractKeysAndValues expects (json, 'Type') with a"
+                f" literal type of {sorted(_JSON_T)}"
+            )
+        spark_t = _JSON_T[tm.group(1)]
+        repl = (
+            f"transform(map_entries(from_json({args[0]},"
+            f" 'MAP<STRING, {spark_t}>')),"
+            " __ch_e -> named_struct('col1', __ch_e.key,"
+            " 'col2', __ch_e.value))"
+        )
+        sql = sql[: m.start()] + repl + sql[close1 + 1:]
+        pos = m.start()
     # JSON path folding BEFORE the splice table (these names keep their
     # 1/2-arg SQL-alias forms, so an arity miss must pass through, not
     # raise like the splice processor does):
@@ -2541,6 +2587,35 @@ def _rewrite_scalar_misc(sql: str) -> str:
             open1 = sql.index("(", m.end() - 1)
             close1 = _call_end(sql, open1)
             args = _split_top_commas(sql[open1 + 1: close1])
+            if fname == "groupArrayInsertAt":
+                # parametric spelling groupArrayInsertAt(default, size)
+                # (x, pos): exactly `size` slots, holes -> `default`
+                # (the arity-2 template below is the bare spelling,
+                # which sizes to max(pos) and leaves holes NULL)
+                pm = re.match(r"\s*\(", sql[close1 + 1:])
+                if pm:
+                    if len(args) != 2:
+                        raise ValueError(
+                            "groupArrayInsertAt(default, size)(x, pos)"
+                        )
+                    open2 = close1 + 1 + pm.end() - 1
+                    close2 = _call_end(sql, open2)
+                    a2 = _split_top_commas(sql[open2 + 1: close2])
+                    if len(a2) != 2:
+                        raise ValueError(
+                            "groupArrayInsertAt(default, size)(x, pos)"
+                        )
+                    expr = (
+                        f"transform(sequence(0, CAST(({args[1]}) AS INT)"
+                        " - 1), __ch_i -> coalesce(try_element_at(filter("
+                        f"collect_list(named_struct('p',"
+                        f" CAST(({a2[1]}) AS INT), 'v', ({a2[0]}))),"
+                        " __ch_e -> __ch_e.p = __ch_i), 1).v,"
+                        f" ({args[0]})))"
+                    )
+                    sql = sql[: m.start()] + expr + sql[close2 + 1:]
+                    pos = m.start()
+                    continue
             tmpl = forms.get(len(args))
             if tmpl is None:
                 if fname in _SPLICE_PASSTHROUGH:
@@ -3259,6 +3334,126 @@ def _find_case_exact(sql: str, pattern: str) -> re.Match | None:
     return None
 
 
+_RESAMPLE_MAX_BUCKETS = 1000  # bounded textual expansion
+
+
+def _rewrite_resample(sql: str) -> str:
+    """ClickHouse's ``-Resample`` combinator:
+    ``aggResample(start, end, step)(args..., key)`` buckets the rows by
+    ``key`` into ``[start + i*step, min(start + (i+1)*step, end))`` and
+    returns the array of per-bucket aggregates.  The rewrite expands to
+    ``array(aggIf(args..., bucket_cond_0), ...)`` — the ``-If``
+    spellings then translate through the same passes every other CH
+    aggregate uses, so ANY base aggregate the dialect supports composes
+    (sum/count/avg/uniq/argMax/sumMap/...).  Params must be integer
+    literals (the expansion is textual, capped at
+    ``_RESAMPLE_MAX_BUCKETS`` buckets with a loud raise).  Empty
+    buckets follow each base aggregate's documented empty-set stance
+    (sum family coalesces to 0 like CH; the rest keep Spark's NULL).
+
+    Also here: ``studentTTestOneSample(mean)(x)`` — one-sample t from
+    plain moment aggregates, p-value via the same A&S erfc normal
+    approximation the two-sample template uses."""
+    rx = re.compile(r"\b([a-zA-Z][a-zA-Z0-9]*?)Resample\s*\(")
+    pos = 0
+    while True:
+        m = rx.search(sql, pos)
+        if not m:
+            break
+        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        if instr_at.get(m.start(), False):
+            pos = m.end()
+            continue
+        base = m.group(1)
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        params = [p.strip() for p in _split_top_commas(sql[open1 + 1: close1])]
+        if len(params) != 3 or not all(
+            re.fullmatch(r"-?\d+", p) for p in params
+        ):
+            raise ValueError(
+                f"{base}Resample expects three integer literal"
+                " parameters: (start, end, step)"
+            )
+        start, end, step = (int(p) for p in params)
+        if step <= 0 or end <= start:
+            raise ValueError(
+                f"{base}Resample: need step > 0 and end > start"
+            )
+        n_buckets = -(-(end - start) // step)
+        if n_buckets > _RESAMPLE_MAX_BUCKETS:
+            raise ValueError(
+                f"{base}Resample: {n_buckets} buckets exceeds the"
+                f" {_RESAMPLE_MAX_BUCKETS}-bucket textual-expansion cap"
+                " — bucket with width_bucket + groupBy instead"
+            )
+        am = re.match(r"\s*\(", sql[close1 + 1:])
+        if not am:
+            raise ValueError(
+                f"{base}Resample(start, end, step)(args..., key)"
+            )
+        open2 = close1 + 1 + am.end() - 1
+        close2 = _call_end(sql, open2)
+        args = _split_top_commas(sql[open2 + 1: close2])
+        if not args:
+            raise ValueError(
+                f"{base}Resample(start, end, step)(args..., key)"
+            )
+        key = args[-1].strip()
+        lead = ", ".join(a.strip() for a in args[:-1])
+        lead = f"{lead}, " if lead else ""
+        cells = []
+        for i in range(n_buckets):
+            lo = start + i * step
+            hi = min(lo + step, end)
+            cond = f"({key}) >= {lo} AND ({key}) < {hi}"
+            cell = f"{base}If({lead}{cond})"
+            if base.startswith("sum") or base == "count":
+                cell = f"coalesce({cell}, 0)"
+            cells.append(cell)
+        sql = sql[: m.start()] + f"array({', '.join(cells)})" + sql[close2 + 1:]
+        pos = m.start()
+    # studentTTestOneSample(population_mean)(x)
+    pos = 0
+    os_rx = re.compile(r"\bstudentTTestOneSample\s*\(")
+    while True:
+        m = os_rx.search(sql, pos)
+        if not m:
+            break
+        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        if instr_at.get(m.start(), False):
+            pos = m.end()
+            continue
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        mu = sql[open1 + 1: close1].strip()
+        am = re.match(r"\s*\(", sql[close1 + 1:])
+        if not am or not mu:
+            raise ValueError(
+                "studentTTestOneSample expects"
+                " studentTTestOneSample(population_mean)(sample)"
+            )
+        open2 = close1 + 1 + am.end() - 1
+        close2 = _call_end(sql, open2)
+        x = sql[open2 + 1: close2].strip()
+        xd = f"CAST(({x}) AS DOUBLE)"
+        t = (
+            f"((avg({xd}) - ({mu}))"
+            f" / (stddev_samp({xd}) / sqrt(count({xd}))))"
+        )
+        z = f"(abs({t}) / sqrt(2.0))"
+        u = f"(1.0 / (1.0 + 0.3275911 * {z}))"
+        p = (
+            f"((0.254829592 * {u} - 0.284496736 * pow({u}, 2)"
+            f" + 1.421413741 * pow({u}, 3) - 1.453152027 * pow({u}, 4)"
+            f" + 1.061405429 * pow({u}, 5)) * exp(-{z} * {z}))"
+        )
+        expr = f"struct({t} AS t_statistic, {p} AS p_value)"
+        sql = sql[: m.start()] + expr + sql[close2 + 1:]
+        pos = m.start()
+    return sql
+
+
 def _rewrite_time_decayed(sql: str) -> str:
     """ClickHouse ``exponentialTimeDecayed{Sum,Count,Max,Avg}(x)(v, t)
     OVER (spec)`` window functions → a collect_list window + HOF fold.
@@ -3814,13 +4009,19 @@ def _rewrite_funnel_aggs(sql: str) -> str:
             "strict_deduplication",
             "strict_dedup",
             "strict_increase",
+            # pre-21.x spelling, deprecated alias of strict_deduplication
+            "strict",
         }
         modes = set()
         for p in params[1:]:
             mode = p.strip().strip("'\"")
             if mode not in known_modes:
                 raise ValueError(f"windowFunnel: unknown mode {mode!r}")
-            modes.add("strict_dedup" if mode == "strict_deduplication" else mode)
+            modes.add(
+                "strict_dedup"
+                if mode in ("strict_deduplication", "strict")
+                else mode
+            )
         rest = sql[close1 + 1:].lstrip()
         if not rest.startswith("("):
             raise ValueError("windowFunnel expects windowFunnel(W)(ts, conds...)")
@@ -3919,6 +4120,11 @@ _OPERATOR_ONLY_AGGS = {
     "groupBitmapAnd": "operators/sketch.py set algebra",
     "groupBitmapOr": "operators/sketch.py set algebra",
     "groupBitmapXor": "operators/sketch.py set algebra",
+    "sequenceMatchEvents":
+        "operators/windows.py:sequence_match_times (which chain's"
+        " timestamps ClickHouse's backtracking surfaces is"
+        " implementation-defined; the operator returns the exact"
+        " earliest chain per step)",
     "sqidEncode": "conv()/base64 for id obfuscation (sqids shuffling"
                   " has no codegen spelling)",
     "sqidDecode": "conv()/base64",
@@ -4285,13 +4491,20 @@ def _rewrite_agg_spellings(sql: str) -> str:
         # two-array form — same fold; the -If combinator NULLs the map
         # argument out on non-matching rows (collect_list skips NULLs)
         m = _find_case_exact(
-            sql, r"\b(sum|min|max)(?:Map|MappedArrays)(If)?\s*\("
+            sql,
+            r"\b(sum|min|max)(?:Map|MappedArrays)(?:WithOverflow)?(If)?\s*\(",
         )
         if not m:
             break
         head = m.group(0).split("(")[0].strip()
         has_if = head.endswith("If")
-        fname = head.removesuffix("If").replace("MappedArrays", "Map")
+        # WithOverflow differs only in CH's fixed-width arithmetic;
+        # BIGINT/DOUBLE folds never overflow here (documented no-op)
+        fname = (
+            head.removesuffix("If")
+            .removesuffix("WithOverflow")
+            .replace("MappedArrays", "Map")
+        )
         open1 = sql.index("(", m.end() - 1)
         close1 = _call_end(sql, open1)
         args = _split_top_commas(sql[open1 + 1: close1])
@@ -5330,6 +5543,7 @@ def translate(
     sql = _rewrite_ch_casts(sql)
     sql = _rewrite_brackets(sql)
     sql = _rewrite_intervals(sql)
+    sql = _rewrite_resample(sql)
     sql = _rewrite_funnel_aggs(sql)
     sql = _rewrite_time_decayed(sql)
     sql = _rewrite_agg_spellings(sql)

@@ -597,6 +597,18 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "       + CAST(pow(2, 32 - bits) AS BIGINT) - 1)",
     ),
     "toUUID": ("(s STRING) RETURNS STRING", "lower(s)"),
+    "toUUIDOrNull": (
+        "(s STRING) RETURNS STRING",
+        "CASE WHEN s RLIKE"
+        " '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}"
+        "-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$'"
+        " THEN lower(s) END",
+    ),
+    "toUUIDOrZero": (
+        "(s STRING) RETURNS STRING",
+        "coalesce(toUUIDOrNull(s),"
+        " '00000000-0000-0000-0000-000000000000')",
+    ),
     "UUIDStringToNum": (
         "(s STRING) RETURNS BINARY",
         "unhex(replace(s, '-', ''))",

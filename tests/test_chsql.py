@@ -3201,3 +3201,92 @@ def test_probe_batch28_url_ip_array_tails(views):
     ]:
         with pytest.raises(ValueError, match=hint):
             translate(f"SELECT {bad} FROM __b28")
+
+
+def test_probe_batch29_agg_and_date_tails(views):
+    """Round-7 execution probe, batch 29 (~90 spellings; 75 already
+    passed): the -Resample combinator (generic textual expansion onto
+    -If spellings), the parametric groupArrayInsertAt form (whose
+    bare-template collision emitted unparseable SQL before this round
+    — a real translator bug), one-sample t-test, legacy 'strict'
+    funnel mode, sumMapWithOverflow, Joda-syntax date spellings,
+    UUID Or-forms, JSONExtractKeysAndValues, boundingRatio's
+    zero-extent guard, and camel arithmetic renames."""
+    views.sql(
+        "SELECT * FROM VALUES (1, 2.0), (3, 4.0), (7, 9.0), (12, 1.0)"
+        " AS t(k, v)"
+    ).createOrReplaceTempView("__b29")
+
+    def run(expr, src="__b29"):
+        return views.sql(
+            translate(f"SELECT {expr} AS r FROM {src}").sql
+        ).first()["r"]
+
+    # -Resample: buckets [0,5) [5,10) [10,15) over key k
+    assert run("sumResample(0, 15, 5)(v, k)") == [6.0, 9.0, 1.0]
+    assert run("countResample(0, 15, 5)(k)") == [2, 1, 1]
+    assert run("avgResample(0, 10, 5)(v, k)") == [3.0, 9.0]
+    # empty bucket: sum family -> 0 like CH, avg keeps NULL
+    assert run("sumResample(20, 30, 5)(v, k)") == [0, 0]
+    assert run("avgResample(20, 30, 5)(v, k)") == [None, None]
+    with pytest.raises(ValueError, match="bucket"):
+        translate("SELECT sumResample(0, 100000, 1)(v, k) FROM __b29")
+    # groupArrayInsertAt: bare and parametric forms
+    assert run("groupArrayInsertAt(v, k)", "__b29 WHERE k < 4") \
+        == [None, 2.0, None, 4.0]
+    assert run("groupArrayInsertAt(0.0, 3)(v, k)", "__b29 WHERE k < 4") \
+        == [0.0, 2.0, 0.0]
+    # one-sample t-test: x=[2,4,9,1], mean 4, s^2 = 38/3, mu=2
+    r = run("studentTTestOneSample(2.0)(v)")
+    import math
+
+    s = math.sqrt(38.0 / 3.0)
+    want_t = (4.0 - 2.0) / (s / 2.0)
+    assert r["t_statistic"] == pytest.approx(want_t, rel=1e-12)
+    assert 0.0 < r["p_value"] < 1.0
+    # legacy 'strict' mode = strict_deduplication
+    views.sql(
+        "SELECT * FROM VALUES ('u', TIMESTAMP '2024-01-01 00:00:01', 'a'),"
+        " ('u', TIMESTAMP '2024-01-01 00:00:02', 'a'),"
+        " ('u', TIMESTAMP '2024-01-01 00:00:03', 'b')"
+        " AS t(u, ts, e)"
+    ).createOrReplaceTempView("__b29f")
+    q = (
+        "SELECT windowFunnel(10, '{m}')(ts, e = 'a', e = 'b') AS r"
+        " FROM __b29f GROUP BY u"
+    )
+    assert (
+        views.sql(translate(q.format(m="strict")).sql).first()["r"]
+        == views.sql(
+            translate(q.format(m="strict_deduplication")).sql
+        ).first()["r"]
+    )
+    # sumMapWithOverflow == sumMap fold
+    assert run("sumMapWithOverflow(map('a', v))") == {"a": 16.0}
+    # Joda-syntax spellings are the native JDK-pattern builtins
+    assert run(
+        "formatDateTimeInJodaSyntax(TIMESTAMP '2024-03-05 10:20:30',"
+        " 'yyyy-MM-dd')"
+    ) == "2024-03-05"
+    assert str(run(
+        "parseDateTimeInJodaSyntax('2024-03-05', 'yyyy-MM-dd')"
+    )).startswith("2024-03-05")
+    # UUID Or-forms
+    u = "612f3c40-5d3b-217e-707b-6a546a3d7b29"
+    assert run(f"toUUIDOrNull('{u.upper()}')") == u
+    assert run("toUUIDOrNull('nope')") is None
+    assert run("toUUIDOrZero('nope')") \
+        == "00000000-0000-0000-0000-000000000000"
+    # typed keys-and-values over JSON text (CH tuple -> col1/col2)
+    kv = run("""JSONExtractKeysAndValues('{"a": 3, "b": 7}', 'Int64')""")
+    assert [(e["col1"], e["col2"]) for e in kv] == [("a", 3), ("b", 7)]
+    with pytest.raises(ValueError, match="literal type"):
+        translate("SELECT JSONExtractKeysAndValues(j, x) FROM t")
+    # zero-extent boundingRatio -> NULL, not an ANSI error
+    assert run("boundingRatio(k, v)", "__b29 WHERE k = 1") is None
+    assert run("boundingRatio(k, v)") == pytest.approx(-1.0 / 11.0)
+    assert run("positiveModulo(-7, 3)") == 2
+    assert run("negate(k)", "__b29 WHERE k = 3") == -3
+    # loud refusal keeps the pointer
+    with pytest.raises(ValueError, match="sequence_match_times"):
+        translate("SELECT sequenceMatchEvents('(?1)')(ts, e='a') FROM t")
