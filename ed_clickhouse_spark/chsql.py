@@ -3337,7 +3337,7 @@ def _find_case_exact(sql: str, pattern: str) -> re.Match | None:
 _RESAMPLE_MAX_BUCKETS = 1000  # bounded textual expansion
 
 
-def _rewrite_resample(sql: str) -> str:
+def _rewrite_resample(sql: str) -> str:  # noqa: C901
     """ClickHouse's ``-Resample`` combinator:
     ``aggResample(start, end, step)(args..., key)`` buckets the rows by
     ``key`` into ``[start + i*step, min(start + (i+1)*step, end))`` and
