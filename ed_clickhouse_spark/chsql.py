@@ -3528,7 +3528,20 @@ def _rewrite_time_decayed(sql: str) -> str:
             # clause — the emitted collect_list needs the spec inline
             # (the WINDOW clause itself stays; Spark supports it)
             wname = nm.group(1)
-            wm = _find_top(sql, rf"(?i)\bWINDOW\s+`?{wname}`?\s+AS\s*\(")
+            # the WINDOW clause sits after the SELECT list that uses
+            # OVER <name>, at the same nesting depth — which is NOT
+            # top level for subqueries, so scan string-safely at any
+            # depth and take the first definition past the call site
+            wrx = re.compile(rf"(?i)\bWINDOW\s+`?{wname}`?\s+AS\s*\(")
+            instr_w = {i: q for i, _, _, q in _scan_level(sql)}
+            wm = next(
+                (
+                    c
+                    for c in wrx.finditer(sql)
+                    if c.start() > close2 and not instr_w.get(c.start(), False)
+                ),
+                None,
+            )
             if not wm:
                 raise ValueError(
                     f"{name} OVER {wname}: no WINDOW {wname} AS (...)"

@@ -276,3 +276,51 @@ FROM (
   FROM events WHERE event_type IN ('click', 'purchase')
   GROUP BY user_id
 );
+
+-- 40. freshness-weighted activity score: each user's running
+-- exponentially-decayed event count/value (1-hour decay) at their
+-- latest event — the "how hot is this user right now" panel (r7
+-- exponentialTimeDecayed window family)
+SELECT user_id,
+       round(max(decayed_count), 4) AS hotness,
+       round(max(decayed_value), 4) AS weighted_value
+FROM (
+  SELECT user_id,
+         exponentialTimeDecayedCount(3600)(ts)
+           OVER w AS decayed_count,
+         exponentialTimeDecayedSum(3600)(coalesce(value, 0), ts)
+           OVER w AS decayed_value
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+GROUP BY user_id ORDER BY hotness DESC, user_id LIMIT 10;
+
+-- 41. value histogram per fixed bucket, one row per event type — the
+-- -Resample combinator expanding onto -If spellings (r7)
+SELECT event_type,
+       countResample(0, 100, 25)(value) AS bucket_counts,
+       sumResample(0, 100, 25)(value, value) AS bucket_sums
+FROM events WHERE value IS NOT NULL
+GROUP BY event_type ORDER BY event_type;
+
+-- 42. typo-tolerant search-term triage: closest vocabulary token for
+-- misspelled queries (r7 damerauLevenshteinDistance pandas UDF;
+-- vocabulary-first so the DP runs on distinct tokens only)
+SELECT probe,
+       min(damerauLevenshteinDistance(tok, probe)) AS best_dist,
+       countIf(damerauLevenshteinDistance(tok, probe) <= 1) AS near_hits
+FROM (
+  SELECT DISTINCT arrayJoin(splitByChar(' ', text)) AS tok
+  FROM documents
+) CROSS JOIN (
+  SELECT arrayJoin(['qurey', 'custmer', 'striam']) AS probe
+)
+GROUP BY probe ORDER BY probe;
+
+-- 43. hostname hygiene for crawl intake: IDNA-normalized domains and
+-- CIDR membership for a allow-range (r7 idnaEncode / isIPAddressInRange)
+SELECT idnaEncode('München.DE') AS ascii_host,
+       punycodeEncode('München') AS puny_label,
+       isIPAddressInRange('192.168.1.5', '192.168.0.0/16') AS in_cidr,
+       toIPv6('2001:0db8::0001') AS v6_norm;
