@@ -1245,6 +1245,8 @@ _SCALAR_RENAMES = {
     "minOrNull": "min",
     "maxOrNull": "max",
     "anyOrNull": "any_value",
+    "argMaxOrNull": "max_by",
+    "argMinOrNull": "min_by",
     # Kahan compensation is moot: Spark sums DOUBLE in the JVM the same
     # way ClickHouse's plain sum does — map to sum
     "sumKahan": "sum",
@@ -1373,6 +1375,9 @@ _ARRAY_SPLICE: dict[str, dict[int, str]] = {
     # first-n-sorted with the remainder unspecified: a full sort
     # satisfies the contract (and is what Catalyst would plan anyway)
     "arrayPartialSort": {2: "array_sort({1})"},
+    # full descending sort refines CH's "first n sorted, rest
+    # unspecified" contract, same as arrayPartialSort above
+    "arrayPartialReverseSort": {2: "reverse(array_sort({1}))"},
     "arrayReversePartialSort": {2: "reverse(array_sort({1}))"},
     "splitByRegexp": {2: "split({1}, {0})"},
     "monthName": {1: "date_format({0}, 'MMMM')"},
@@ -2012,6 +2017,12 @@ def _rewrite_scalar_misc(sql: str) -> str:
             + f" OVER ({body})" + sql[close2 + 1:]
         )
         pos = m.start()
+    # now64(precision[, tz]) -> now64(): Spark timestamps are fixed
+    # µs precision, so the precision digit only picks a display scale
+    # CH-side; sub-µs (7-9) requests resolve to the same µs clock
+    sql = _sub_outside_strings(
+        sql, re.compile(r"\bnow64\s*\(\s*\d\s*\)"), "now64()"
+    )
     # bitSlice(s, offset[, length]) -> the registered ch_bit_slice
     # pandas UDF (functions/strdist.py, returns BINARY); the UDF takes
     # exactly 3 args, so the 2-arg spelling pads a NULL length
@@ -4133,6 +4144,26 @@ _OPERATOR_ONLY_AGGS = {
     "groupBitmapAnd": "operators/sketch.py set algebra",
     "groupBitmapOr": "operators/sketch.py set algebra",
     "groupBitmapXor": "operators/sketch.py set algebra",
+    # batch-30 tails that genuinely need models/DSP or CH internals
+    "kolmogorovSmirnovTest": "operators/stats.py:kolmogorov_smirnov",
+    "decodeHTMLComponent": "decodeXMLComponent (the five XML entities"
+                           " + numeric forms; the full HTML5 entity"
+                           " table has no SQL spelling)",
+    "seriesDecomposeSTL": "precomputing the decomposition offline"
+                          " (STL's loess loops have no codegen"
+                          " spelling)",
+    "seriesPeriodDetectFFT": "autocorrelation via arrayDifference/"
+                             "arrayRotateLeft compositions (no FFT"
+                             " codegen spelling)",
+    "stem": "operators/text.py language heuristics (stemming needs"
+            " per-language dictionaries)",
+    "synonyms": "a dictionary join (synonym sets are extension data)",
+    "detectCharset": "detectLanguage (charset models are CH extension"
+                     " data)",
+    "toIntervalNanosecond": "toIntervalMicrosecond (Spark intervals"
+                            " are microsecond-resolution)",
+    "isConstant": "nothing — constant-folding introspection has no"
+                  " Spark meaning (Catalyst folds before execution)",
     "sequenceMatchEvents":
         "operators/windows.py:sequence_match_times (which chain's"
         " timestamps ClickHouse's backtracking surfaces is"
@@ -4268,6 +4299,8 @@ _AGG_IF_ALL = {
     "minOrNull": "min",
     "maxOrNull": "max",
     "anyOrNull": "any_value",
+    "argMaxOrNull": "max_by",
+    "argMinOrNull": "min_by",
     **_AGG_IF_BASES,
 }
 

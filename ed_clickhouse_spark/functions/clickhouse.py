@@ -1626,6 +1626,86 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
     "fromUnixTimestamp64Nano": (
         "(x BIGINT) RETURNS TIMESTAMP", "timestamp_micros(x div 1000)"
     ),
+    # XML entity escaping: & first so encoded entities don't re-encode
+    "encodeXMLComponent": (
+        "(s STRING) RETURNS STRING",
+        "replace(replace(replace(replace(replace(s,"
+        " '&', '&amp;'), '<', '&lt;'), '>', '&gt;'),"
+        " '\"', '&quot;'), \"'\", '&apos;')",
+    ),
+    # numeric entities (decimal + hex) via a reduce over the distinct
+    # matches — Character.toString handles full Unicode codepoints
+    # (Spark's char() wraps mod 256) — then the five named entities,
+    # amp last so freshly decoded '&' cannot re-form an entity. Known
+    # corner vs CH's single-pass scan: '&#38;lt;' double-decodes to
+    # '<' where CH leaves '&lt;'; the encode path never emits it.
+    "decodeXMLComponent": (
+        "(s STRING) RETURNS STRING",
+        "replace(replace(replace(replace(replace("
+        " aggregate(array_distinct(regexp_extract_all("
+        "   aggregate(array_distinct(regexp_extract_all(s,"
+        "     '&#[0-9]+;', 0)), s, (acc, m) -> replace(acc, m,"
+        "     reflect('java.lang.Character', 'toString',"
+        "       CAST(substring(m, 3, length(m) - 3) AS INT)))),"
+        "   '&#x[0-9a-fA-F]+;', 0)),"
+        "   aggregate(array_distinct(regexp_extract_all(s,"
+        "     '&#[0-9]+;', 0)), s, (acc, m) -> replace(acc, m,"
+        "     reflect('java.lang.Character', 'toString',"
+        "       CAST(substring(m, 3, length(m) - 3) AS INT)))),"
+        "   (acc, m) -> replace(acc, m,"
+        "     reflect('java.lang.Character', 'toString',"
+        "       CAST(conv(substring(m, 4, length(m) - 4), 16, 10)"
+        "         AS INT)))),"
+        " '&lt;', '<'), '&gt;', '>'), '&quot;', '\"'),"
+        " '&apos;', \"'\"), '&amp;', '&')",
+    ),
+    # Tukey fences outlier flags (ClickHouse seriesOutliersDetectTukey
+    # default form: k = 1.5 over the 25/75 quartiles, linear-
+    # interpolation quantiles); <4 points -> NULL (CH raises)
+    "seriesOutliersDetectTukey": (
+        "(a ARRAY<DOUBLE>) RETURNS ARRAY<DOUBLE>",
+        "(CASE WHEN size(a) >= 4 THEN"
+        " element_at(transform(array(array_sort(a)), __s ->"
+        "  element_at(transform(array(named_struct("
+        "   'q1', element_at(__s, CAST(floor((size(__s) - 1) * 0.25)"
+        "      AS INT) + 1)"
+        "    + ((size(__s) - 1) * 0.25"
+        "       - floor((size(__s) - 1) * 0.25))"
+        "      * (element_at(__s, least(CAST(floor((size(__s) - 1)"
+        "          * 0.25) AS INT) + 2, size(__s)))"
+        "         - element_at(__s, CAST(floor((size(__s) - 1) * 0.25)"
+        "            AS INT) + 1)),"
+        "   'q3', element_at(__s, CAST(floor((size(__s) - 1) * 0.75)"
+        "      AS INT) + 1)"
+        "    + ((size(__s) - 1) * 0.75"
+        "       - floor((size(__s) - 1) * 0.75))"
+        "      * (element_at(__s, least(CAST(floor((size(__s) - 1)"
+        "          * 0.75) AS INT) + 2, size(__s)))"
+        "         - element_at(__s, CAST(floor((size(__s) - 1) * 0.75)"
+        "            AS INT) + 1)))), __q ->"
+        "   transform(a, __x -> IF("
+        "     __x < __q.q1 - 1.5 * (__q.q3 - __q.q1)"
+        "     OR __x > __q.q3 + 1.5 * (__q.q3 - __q.q1),"
+        "     1.0, 0.0))), 1)), 1)"
+        " END)",
+    ),
+    # introspection stand-ins (the serverUUID/uptime family): values a
+    # dashboard can render without a ClickHouse server behind them
+    "buildId": ("() RETURNS STRING", "md5(version())"),
+    "tcpPort": ("() RETURNS INT", "9000"),  # CH default port stand-in
+    "getOSKernelVersion": (
+        "() RETURNS STRING",
+        "reflect('java.lang.System', 'getProperty', 'os.version')",
+    ),
+    # result-compatible no-ops: return 0 like CH without throttling
+    # (Spark has no per-row sleep; bench pacing belongs outside SQL)
+    "sleep": ("(n DOUBLE) RETURNS INT", "CAST(n * 0 AS INT)"),
+    "sleepEachRow": ("(n DOUBLE) RETURNS INT", "CAST(n * 0 AS INT)"),
+    # the predicate is a pruning HINT in CH; result is constant 1
+    "indexHint": (
+        "(c BOOLEAN) RETURNS INT",
+        "IF(c IS NULL OR c IS NOT NULL, 1, 1)",
+    ),
     # per element, its occurrence ordinal among equal values so far:
     # arrayEnumerateUniq(['a','b','a']) = [1, 1, 2]. Implicit cast to
     # ARRAY<STRING> is injective for the numeric element types, so

@@ -3290,3 +3290,59 @@ def test_probe_batch29_agg_and_date_tails(views):
     # loud refusal keeps the pointer
     with pytest.raises(ValueError, match="sequence_match_times"):
         translate("SELECT sequenceMatchEvents('(?1)')(ts, e='a') FROM t")
+
+
+def test_probe_batch30_xml_series_introspection_tails(views):
+    """Round-7 execution probe, batch 30 (~75 spellings; 53 already
+    passed): XML entity codec (full-Unicode numeric entities via
+    Character.toString — Spark's char() wraps mod 256), Tukey-fence
+    series outliers, argMin/MaxOrNull renames, now64(precision),
+    arrayPartialReverseSort, and the introspection stand-in family —
+    plus nine new loud refusals for model/DSP-backed functions."""
+    views.sql(
+        "SELECT * FROM VALUES (1, 'a', 2.5), (3, 'b', 9.0)"
+        " AS t(x, ev, f)"
+    ).createOrReplaceTempView("__b30")
+
+    def run(expr, src="__b30"):
+        return views.sql(
+            translate(f"SELECT {expr} AS r FROM {src}").sql
+        ).first()["r"]
+
+    assert run("encodeXMLComponent('<a & \"b\">')") \
+        == "&lt;a &amp; &quot;b&quot;&gt;"
+    assert run("decodeXMLComponent('&lt;a &amp; b&gt;')") == "<a & b>"
+    # numeric entities, decimal + hex, full Unicode codepoints
+    assert run("decodeXMLComponent('&#72;&#x69;')") == "Hi"
+    assert run("decodeXMLComponent('&#955;')") == "λ"
+    assert run(
+        "decodeXMLComponent(encodeXMLComponent('x < y & \"z\"'))"
+    ) == 'x < y & "z"'
+    # Tukey fences: the 50.0 point is the only outlier
+    assert run(
+        "seriesOutliersDetectTukey([2.0, 2.1, 50.0, 2.2, 2.0])"
+    ) == [0.0, 0.0, 1.0, 0.0, 0.0]
+    assert run("seriesOutliersDetectTukey([1.0, 2.0])") is None  # <4 pts
+    assert run("argMaxOrNull(ev, f)") == "b"
+    assert run("argMinOrNull(ev, f)") == "a"
+    assert run("arrayPartialReverseSort(2, [3, 1, 2])") == [3, 2, 1]
+    # now64 precision digit resolves to the same µs clock
+    assert str(run("now64(3)")).startswith("20")
+    # introspection stand-ins execute and type correctly
+    assert len(run("buildId()")) == 32
+    assert run("tcpPort()") == 9000
+    assert isinstance(run("getOSKernelVersion()"), str)
+    assert run("sleep(0.1)") == 0 and run("sleepEachRow(0)") == 0
+    assert run("indexHint(x > 0)") == 1
+    for bad, hint in [
+        ("kolmogorovSmirnovTest(f, x)", "kolmogorov_smirnov"),
+        ("decodeHTMLComponent(ev)", "decodeXMLComponent"),
+        ("seriesDecomposeSTL([1.0], 2)", "loess|offline"),
+        ("seriesPeriodDetectFFT([1.0])", "FFT"),
+        ("stem('en', ev)", "text.py"),
+        ("detectCharset(ev)", "detectLanguage"),
+        ("toIntervalNanosecond(5)", "microsecond"),
+        ("isConstant(x)", "Catalyst"),
+    ]:
+        with pytest.raises(ValueError, match=hint):
+            translate(f"SELECT {bad} FROM __b30")
