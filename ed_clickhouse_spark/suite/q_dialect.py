@@ -589,3 +589,45 @@ def q228_alias_in_where(spark, sf_dir):
     register_sql_aliases(spark)
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(translate(_CH_ALIAS_WHERE).sql)
+
+
+_CH_RESAMPLE = """
+SELECT l_returnflag, CAST(idx - 1 AS Int64) AS bucket, counts[idx] AS cnt
+FROM (
+  SELECT l_returnflag,
+         countResample(1, 51, 10)(toInt64(l_quantity)) AS counts
+  FROM lineitem GROUP BY l_returnflag
+)
+ARRAY JOIN arrayEnumerate(counts) AS idx
+"""
+
+
+@query(
+    "q229_resample_histogram",
+    oracle="""
+    SELECT l_returnflag, CAST(b.bucket AS BIGINT) AS bucket,
+           count(CASE WHEN CAST(l_quantity AS BIGINT) >= b.lo
+                       AND CAST(l_quantity AS BIGINT) < b.hi
+                      THEN 1 END) AS cnt
+    FROM lineitem CROSS JOIN (
+      VALUES (0, 1, 11), (1, 11, 21), (2, 21, 31),
+             (3, 31, 41), (4, 41, 51)
+    ) AS b(bucket, lo, hi)
+    GROUP BY l_returnflag, b.bucket
+    """,
+)
+def q229_resample_histogram(spark, sf_dir):
+    """The -Resample combinator spelled VERBATIM (r7 rewrite): per-flag
+    quantity histogram as countResample buckets, flattened back to
+    rows through ARRAY JOIN over arrayEnumerate with bracket indexing
+    — three dialect features composing in one statement. The rewrite
+    expands the combinator onto countIf spellings BEFORE aggregate
+    translation, so the whole thing stays one groupBy aggregate (five
+    conditional counts, no join, no second shuffle beyond the
+    explode); the DuckDB oracle cross-joins an explicit bucket spine."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(translate(_CH_RESAMPLE).sql)
