@@ -419,3 +419,24 @@ def test_round7_queries_plan_shapes(spark):
     assert m and set(f.split(":")[0] for f in m.group(1).split(",")) == {
         "event_id", "ts", "user_id", "value",
     }
+
+
+def test_q228_q229_plan_shapes(spark):
+    """q228: alias inlining (not subquery wrapping) keeps the simple
+    predicates eligible for parquet pushdown — the scan must carry
+    l_quantity/l_returnflag filters. q229: the -Resample expansion is
+    ONE aggregate over the base scan (five conditional counts), the
+    explode a Generate on the aggregated 15-ish rows — exactly one
+    exchange, no join."""
+    import re
+
+    spark.catalog.clearCache()
+    p = _plan(QUERIES["q228_alias_in_where"](spark, "/root/testdata/sf0.001"))
+    assert "Join" not in p
+    m = re.search(r"PushedFilters: \[([^\]]*)\]", p)
+    assert m and "l_quantity" in m.group(1) and "l_returnflag" in m.group(1)
+    p = _plan(QUERIES["q229_resample_histogram"](spark, "/root/testdata/sf0.001"))
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "Generate" in p  # the ARRAY JOIN explode
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+    assert n_ex <= 1, n_ex
