@@ -3346,3 +3346,57 @@ def test_probe_batch30_xml_series_introspection_tails(views):
     ]:
         with pytest.raises(ValueError, match=hint):
             translate(f"SELECT {bad} FROM __b30")
+
+
+def test_tukey_outliers_match_python_reference(views):
+    """The hand-spliced quartile-interpolation SQL in
+    seriesOutliersDetectTukey equals a NumPy type-7 reference on random
+    arrays (the alias body is the most interpolation-heavy SQL in the
+    repo — worth a property, not just vectors)."""
+    import random
+
+    import numpy as np
+
+    rng = random.Random(31)
+    for trial in range(12):
+        n = rng.randint(4, 20)
+        arr = [round(rng.uniform(-50, 50), 3) for _ in range(n)]
+        if trial % 3 == 0:
+            arr[rng.randrange(n)] = 500.0  # guaranteed outlier
+        lit = ", ".join(f"CAST({x} AS DOUBLE)" for x in arr)
+        got = views.sql(
+            translate(
+                f"SELECT seriesOutliersDetectTukey(array({lit})) AS r"
+            ).sql
+        ).first()["r"]
+        q1, q3 = np.quantile(np.array(arr), [0.25, 0.75])  # type 7
+        lo, hi = q1 - 1.5 * (q3 - q1), q3 + 1.5 * (q3 - q1)
+        want = [1.0 if (x < lo or x > hi) else 0.0 for x in arr]
+        assert got == pytest.approx(want), (arr, got, want)
+
+
+def test_xml_codec_roundtrip_property(views):
+    """decode(encode(s)) == s for strings mixing specials, quotes and
+    non-ASCII — one batched Spark evaluation over all cases."""
+    import random
+
+    rng = random.Random(7)
+    alphabet = list("ab<>&\"'λ;# x&#38;")
+    cases = [
+        "".join(rng.choice(alphabet) for _ in range(rng.randint(0, 14)))
+        for _ in range(60)
+    ]
+    rows = ", ".join(
+        "(" + "'" + c.replace("'", "''") + "')" for c in cases
+    )
+    views.sql(
+        f"SELECT * FROM VALUES {rows} AS t(s)"
+    ).createOrReplaceTempView("__xmlrt")
+    got = views.sql(
+        translate(
+            "SELECT s, decodeXMLComponent(encodeXMLComponent(s)) AS rt"
+            " FROM __xmlrt"
+        ).sql
+    ).collect()
+    for r in got:
+        assert r["rt"] == r["s"], r["s"]
