@@ -1281,6 +1281,15 @@ _SCALAR_RENAMES = {
     "mapConcat": "map_concat",
     # batch-29 tails: Joda-syntax date spellings ARE Spark's native
     # JDK-pattern builtins; arithmetic camel names map 1:1
+    "countSubstringsCaseInsensitiveUTF8": "countSubstringsCaseInsensitive",
+    # RESPECT NULLS spellings: Spark's first/last_value default to
+    # respecting NULLs (it's CH's any/anyLast that skip them)
+    "any_respect_nulls": "first_value",
+    "anyRespectNulls": "first_value",
+    "anyLast_respect_nulls": "last_value",
+    "anyLastRespectNulls": "last_value",
+    "first_value_respect_nulls": "first_value",
+    "last_value_respect_nulls": "last_value",
     "formatDateTimeInJodaSyntax": "date_format",
     "parseDateTimeInJodaSyntax": "to_timestamp",
     "positiveModulo": "pmod",
@@ -2016,6 +2025,99 @@ def _rewrite_scalar_misc(sql: str) -> str:
             sql[: m.start()] + target + sql[open1: close1 + 1]
             + f" OVER ({body})" + sql[close2 + 1:]
         )
+        pos = m.start()
+    # multiMatchAny / multiMatchAnyIndex over a LITERAL pattern array:
+    # an OR-chain / first-match CASE of RLIKEs (CH runs hyperscan; the
+    # index CH returns for multiple hits is unspecified — first-match
+    # is this translation's pinned choice). Non-literal pattern sets
+    # refuse: the chain must be built at translate time.
+    for mm_name, mm_kind in (
+        ("multiMatchAnyIndex", "index"),
+        ("multiMatchAny", "any"),
+    ):
+        pos = 0
+        mm_rx = re.compile(rf"\b{mm_name}\s*\(")
+        while True:
+            m = mm_rx.search(sql, pos)
+            if not m:
+                break
+            instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+            if instr_at.get(m.start(), False):
+                pos = m.end()
+                continue
+            open1 = sql.index("(", m.end() - 1)
+            close1 = _call_end(sql, open1)
+            args = _split_top_commas(sql[open1 + 1: close1])
+            pats = None
+            if len(args) == 2:
+                am = re.fullmatch(r"\s*array\s*\((.*)\)\s*", args[1], re.S)
+                if am:
+                    items = _split_top_commas(am.group(1))
+                    if all(
+                        re.fullmatch(r"\s*'(?:[^']|'')*'\s*", it)
+                        for it in items
+                    ):
+                        pats = [it.strip() for it in items]
+            if pats is None:
+                raise ValueError(
+                    f"{mm_name} translates only for a literal pattern"
+                    " array — build the RLIKE chain yourself for"
+                    " computed pattern sets"
+                )
+            hay = args[0]
+            if mm_kind == "any":
+                body = " OR ".join(f"({hay}) RLIKE {p}" for p in pats)
+                expr = f"CAST(({body}) AS INT)"
+            else:
+                whens = " ".join(
+                    f"WHEN ({hay}) RLIKE {p} THEN {i + 1}"
+                    for i, p in enumerate(pats)
+                )
+                expr = f"(CASE {whens} ELSE 0 END)"
+            sql = sql[: m.start()] + expr + sql[close1 + 1:]
+            pos = m.start()
+    # formatRow('Format', exprs...): literal CSV / TSV / JSONEachRow
+    # render through to_csv / concat_ws / to_json (formatRow appends
+    # the row terminator, the NoNewline spelling does not)
+    pos = 0
+    fr_rx = re.compile(r"\bformatRow(NoNewline)?\s*\(")
+    while True:
+        m = fr_rx.search(sql, pos)
+        if not m:
+            break
+        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        if instr_at.get(m.start(), False):
+            pos = m.end()
+            continue
+        no_nl = bool(m.group(1))
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        fm = re.fullmatch(r"\s*'(\w+)'\s*", args[0]) if args else None
+        if not fm or len(args) < 2:
+            raise ValueError(
+                "formatRow expects a literal format name first:"
+                " formatRow('CSV'|'TSV'|'JSONEachRow', exprs...)"
+            )
+        fmt = fm.group(1)
+        cols = ", ".join(a.strip() for a in args[1:])
+        if fmt == "CSV":
+            body = f"to_csv(struct({cols}))"
+        elif fmt in ("TSV", "TabSeparated"):
+            casts = ", ".join(
+                f"CAST(({a.strip()}) AS STRING)" for a in args[1:]
+            )
+            body = f"concat_ws('\\t', {casts})"
+        elif fmt == "JSONEachRow":
+            body = f"to_json(struct({cols}))"
+        else:
+            raise ValueError(
+                f"formatRow: format {fmt!r} has no SQL spelling —"
+                " CSV, TSV and JSONEachRow translate"
+            )
+        if not no_nl:
+            body = f"concat({body}, '\\n')"
+        sql = sql[: m.start()] + body + sql[close1 + 1:]
         pos = m.start()
     # now64(precision[, tz]) -> now64(): Spark timestamps are fixed
     # µs precision, so the precision digit only picks a display scale
@@ -4144,6 +4246,31 @@ _OPERATOR_ONLY_AGGS = {
     "groupBitmapAnd": "operators/sketch.py set algebra",
     "groupBitmapOr": "operators/sketch.py set algebra",
     "groupBitmapXor": "operators/sketch.py set algebra",
+    # batch-31 tails: dictionary reads are DataFrame joins here, and
+    # the shingle-hash fingerprints live in the dedup operators
+    "dictGet": "operators/dictionary.py:dict_get (dictionaries are"
+               " registered DataFrames; the read is a broadcast join)",
+    "dictGetOrDefault": "operators/dictionary.py:dict_get with a"
+                        " coalesce over the default",
+    "dictHas": "operators/dictionary.py:dict_has",
+    "dictGetHierarchy": "operators/dictionary.py:dict_get iterated"
+                        " (hierarchies need a recursive join)",
+    "joinGet": "a broadcast left join (Join-engine tables are plain"
+               " DataFrames here)",
+    "wordShingleMinHash": "operators/dedup.py minhash_signatures",
+    "wordShingleSimHash": "operators/dedup.py:simhash",
+    "ngramSimHash": "operators/dedup.py:simhash",
+    "ngramMinHash": "operators/dedup.py minhash_signatures",
+    "runningConcurrency": "the interval sweep shape"
+                          " (operators/windows.py:interval_length_sum"
+                          " over a window) — block order is undefined"
+                          " in a distributed scan",
+    "getSetting": "spark.conf.get outside SQL (CH settings have no"
+                  " SQL-readable store in this engine)",
+    "multiFuzzyMatchAny": "multiMatchAny (constant edit-distance fuzzy"
+                          " regex sets need hyperscan)",
+    "arrayEnumerateUniqRanked": "arrayEnumerateUniq applied per"
+                                " nesting level",
     # batch-30 tails that genuinely need models/DSP or CH internals
     "kolmogorovSmirnovTest": "operators/stats.py:kolmogorov_smirnov",
     "decodeHTMLComponent": "decodeXMLComponent (the five XML entities"

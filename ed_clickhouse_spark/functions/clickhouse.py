@@ -1689,6 +1689,19 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "     1.0, 0.0))), 1)), 1)"
         " END)",
     ),
+    # 0-based positions of set bits, ascending (64-bit range)
+    "bitPositionsToArray": (
+        "(n BIGINT) RETURNS ARRAY<INT>",
+        "filter(sequence(0, 63),"
+        " __i -> ((n >> __i) & 1) = 1)",
+    ),
+    # CH port(url): the explicit port or 0 when absent
+    "port": (
+        "(u STRING) RETURNS INT",
+        "coalesce(CAST(nullif(regexp_extract(u,"
+        " '^(?:[a-z][a-z0-9+.-]*:)?//[^/?#]*?:([0-9]+)(?:[/?#]|$)', 1),"
+        " '') AS INT), 0)",
+    ),
     # introspection stand-ins (the serverUUID/uptime family): values a
     # dashboard can render without a ClickHouse server behind them
     "buildId": ("() RETURNS STRING", "md5(version())"),

@@ -3400,3 +3400,58 @@ def test_xml_codec_roundtrip_property(views):
     ).collect()
     for r in got:
         assert r["rt"] == r["s"], r["s"]
+
+
+def test_probe_batch31_regex_sets_and_format_row(views):
+    """Round-7 execution probe, batch 31 (~50 spellings; 32 already
+    passed incl. tuple-IN, GLOBAL IN, extractGroups, bitmask helpers,
+    UTF8 strings, URL domains): multiMatchAny/AnyIndex over literal
+    pattern arrays (first-match index pinned), formatRow for
+    CSV/TSV/JSONEachRow, bitPositionsToArray, port(), RESPECT NULLS
+    spellings — plus ten loud refusals (dictionary reads are joins,
+    shingle hashes live in dedup, hyperscan/Join-engine internals)."""
+    views.sql(
+        "SELECT * FROM VALUES (1, 'hello world', NULL),"
+        " (2, 'abc', 'v') AS t(x, s, nv)"
+    ).createOrReplaceTempView("__b31")
+
+    def run(expr, src="__b31 WHERE x = 1"):
+        return views.sql(
+            translate(f"SELECT {expr} AS r FROM {src}").sql
+        ).first()["r"]
+
+    assert run("multiMatchAny(s, ['hel+o', 'xyz'])") == 1
+    assert run("multiMatchAny(s, ['^z', 'q'])") == 0
+    assert run("multiMatchAnyIndex(s, ['xyz', 'world', 'hello'])") == 2
+    assert run("multiMatchAnyIndex(s, ['no', 'nope'])") == 0
+    with pytest.raises(ValueError, match="literal pattern"):
+        translate("SELECT multiMatchAny(s, pats) FROM t")
+    assert run("formatRow('CSV', x, s)") == "1,hello world\n"
+    assert run("formatRowNoNewline('TSV', x, s)") == "1\thello world"
+    assert run("formatRowNoNewline('JSONEachRow', x, s)") \
+        == '{"x":1,"s":"hello world"}'
+    with pytest.raises(ValueError, match="CSV, TSV"):
+        translate("SELECT formatRow('Parquet', x) FROM t")
+    assert run("bitPositionsToArray(10)") == [1, 3]
+    assert run("bitPositionsToArray(0)") == []
+    assert run("port('https://h.example.com:8443/p')") == 8443
+    assert run("port('https://h.example.com/p')") == 0
+    assert run("countSubstringsCaseInsensitiveUTF8(s, 'L')") == 3
+    # RESPECT NULLS: first_value keeps the NULL that any() would skip
+    rows = views.sql(
+        translate(
+            "SELECT any_respect_nulls(nv) AS a FROM"
+            " (SELECT nv FROM __b31 ORDER BY x) "
+        ).sql
+    ).collect()
+    assert rows[0]["a"] is None
+    for bad, hint in [
+        ("dictGet('d', 'a', x)", "dict_get"),
+        ("joinGet('t', 'v', x)", "broadcast left join"),
+        ("wordShingleMinHash(s)", "minhash"),
+        ("runningConcurrency(x, x)", "interval"),
+        ("getSetting('mt')", "spark.conf"),
+        ("arrayEnumerateUniqRanked([[1]])", "nesting level"),
+    ]:
+        with pytest.raises(ValueError, match=hint):
+            translate(f"SELECT {bad} FROM __b31")
