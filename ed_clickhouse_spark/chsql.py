@@ -4284,6 +4284,11 @@ _OPERATOR_ONLY_AGGS = {
                              " codegen spelling)",
     "stem": "operators/text.py language heuristics (stemming needs"
             " per-language dictionaries)",
+    "lemmatize": "operators/text.py language heuristics (lemma"
+                 " dictionaries are CH extension data)",
+    "hasColumnInTable": "spark.catalog.listColumns outside SQL"
+                        " (catalog introspection is not an expression"
+                        " here)",
     "synonyms": "a dictionary join (synonym sets are extension data)",
     "detectCharset": "detectLanguage (charset models are CH extension"
                      " data)",

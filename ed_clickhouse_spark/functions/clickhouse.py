@@ -827,6 +827,25 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
     # contracts (persist the md5 fingerprint column for that).
     "sipHash64": ("(s STRING) RETURNS BIGINT", "xxhash64(s)"),
     "cityHash64": ("(s STRING) RETURNS BIGINT", "xxhash64(s)"),
+    "farmFingerprint64": ("(s STRING) RETURNS BIGINT", "xxhash64(s)"),
+    "gccMurmurHash": ("(s STRING) RETURNS BIGINT", "xxhash64(s)"),
+    # 128-bit family: 16 raw bytes like CH's FixedString(16)
+    "sipHash128": ("(s STRING) RETURNS BINARY", "unhex(md5(s))"),
+    "murmurHash3_128": ("(s STRING) RETURNS BINARY", "unhex(md5(s))"),
+    # session-timezone offset of a timestamp, in seconds (0 under the
+    # engine's pinned-UTC sessions; correct under any other tz)
+    "timeZoneOffset": (
+        "(t TIMESTAMP) RETURNS INT",
+        "CAST(CAST(t AS DOUBLE)"
+        " - CAST(to_utc_timestamp(t, current_timezone()) AS DOUBLE)"
+        " AS INT)",
+    ),
+    # access-control introspection stand-ins (single-tenant engine)
+    "currentRoles": (
+        "() RETURNS ARRAY<STRING>", "array(current_user())"
+    ),
+    "currentProfiles": ("() RETURNS ARRAY<STRING>", "array('default')"),
+    "initialQueryStartTime": ("() RETURNS TIMESTAMP", "now()"),
     "farmHash64": ("(s STRING) RETURNS BIGINT", "xxhash64(s)"),
     "intHash64": ("(x BIGINT) RETURNS BIGINT", "xxhash64(x)"),
     # UInt32 range like ClickHouse's (role parity, not bit parity)

@@ -3455,3 +3455,45 @@ def test_probe_batch31_regex_sets_and_format_row(views):
     ]:
         with pytest.raises(ValueError, match=hint):
             translate(f"SELECT {bad} FROM __b31")
+
+
+def test_probe_batch32_partition_keys_and_hash_tails(views):
+    """Round-7 execution probe, batch 32 (~48 spellings; 36 already
+    passed — the toYYYYMM* partition-key helpers, toRelative*Num
+    family, week modes, timezone scalars, and most of the hash family
+    were already live): closes timeZoneOffset, the 64-bit hash
+    stand-ins farmFingerprint64/gccMurmurHash (xxhash64 role-
+    equivalents per the documented cityHash64 convention), the
+    128-bit sipHash128/murmurHash3_128 (16 raw bytes), and the
+    access-control introspection stand-ins."""
+    views.sql(
+        "SELECT TIMESTAMP '2024-03-05 10:20:30' AS ts, 'hello' AS s"
+    ).createOrReplaceTempView("__b32")
+
+    def run(expr):
+        return views.sql(
+            translate(f"SELECT {expr} AS r FROM __b32").sql
+        ).first()["r"]
+
+    assert run("toYYYYMM(ts)") == 202403
+    assert run("toYYYYMMDD(ts)") == 20240305
+    assert run("toYYYYMMDDhhmmss(ts)") == 20240305102030
+    # relative-number family is monotone day arithmetic
+    assert run("toRelativeDayNum(ts)") - run(
+        "toRelativeDayNum(ts - INTERVAL 3 DAY)"
+    ) == 3
+    assert run("toRelativeHourNum(ts)") % 24 == 10
+    assert run("timeZoneOffset(ts)") == 0  # pinned-UTC session
+    assert isinstance(run("farmFingerprint64(s)"), int)
+    assert run("farmFingerprint64(s)") == run("cityHash64(s)")  # role twin
+    assert len(run("sipHash128(s)")) == 16
+    assert len(run("murmurHash3_128(s)")) == 16
+    assert run("currentRoles()") == [run("currentUser()")]
+    assert run("currentProfiles()") == ["default"]
+    assert str(run("initialQueryStartTime()")).startswith("20")
+    for bad, hint in [
+        ("lemmatize('en', s)", "text.py"),
+        ("hasColumnInTable('d', 't', 'c')", "listColumns"),
+    ]:
+        with pytest.raises(ValueError, match=hint):
+            translate(f"SELECT {bad} FROM __b32")
