@@ -631,3 +631,50 @@ def q229_resample_histogram(spark, sf_dir):
     register_sql_aliases(spark)
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(translate(_CH_RESAMPLE).sql)
+
+
+_CH_TAGGING = """
+SELECT multiIf(multiMatchAny(text, ['spark', 'stream.*', 'window']) = 1,
+               'engine',
+               multiMatchAny(text, ['customer', 'order']) = 1,
+               'commerce',
+               'other') AS category,
+       count() AS docs,
+       sum(n_chars) AS chars
+FROM documents
+GROUP BY category
+"""
+
+
+@query(
+    "q230_regex_set_tagging",
+    oracle="""
+    SELECT CASE
+             WHEN regexp_matches(text, 'spark')
+               OR regexp_matches(text, 'stream.*')
+               OR regexp_matches(text, 'window') THEN 'engine'
+             WHEN regexp_matches(text, 'customer')
+               OR regexp_matches(text, 'order') THEN 'commerce'
+             ELSE 'other'
+           END AS category,
+           count(*) AS docs,
+           CAST(sum(n_chars) AS BIGINT) AS chars
+    FROM documents
+    GROUP BY category
+    """,
+)
+def q230_regex_set_tagging(spark, sf_dir):
+    """Regex-set content tagging (the crawl-routing shape): ClickHouse
+    multiMatchAny over literal pattern arrays inside multiIf, spelled
+    VERBATIM. The r7 rewrite expands the pattern set to an RLIKE
+    OR-chain at translate time, so the tagging runs inside whole-stage
+    codegen over the scan — one groupBy aggregate, no UDF, no join;
+    hyperscan's role at 100 TB is played by Spark's code-generated
+    regex alternation (pattern-count is literal and small by
+    construction)."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(translate(_CH_TAGGING).sql)
