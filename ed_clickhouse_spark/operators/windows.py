@@ -827,3 +827,98 @@ def sequence_match_times(
         return F.exists("evs", lam)
 
     return agg.select(user_col, chain(0, None).alias("matched"))
+
+
+def time_decayed(
+    df: DataFrame,
+    part_cols: list[str],
+    ts_col: str,
+    value_col: str,
+    decay_seconds: float,
+) -> DataFrame:
+    """ClickHouse's ``exponentialTimeDecayed{Sum,Count,Max,Avg}`` window
+    family as an O(rows) per-partition recurrence — the 100 TB path for
+    unbounded running frames.
+
+    The chsql window rewrite (``exponentialTimeDecayedSum(x)(v, t)
+    OVER (...)``) is exact and frame-general, but it materializes the
+    collected frame array per row: O(frame²) memory per partition,
+    fine for dashboard-sized frames, a hazard for power users with
+    millions of events. This operator covers the common shape those
+    queries actually use — per-key ORDER BY time, UNBOUNDED PRECEDING
+    TO CURRENT ROW — with a sequential recurrence instead:
+
+        state' = state * exp((t_prev - t_now)/x) + contribution
+
+    Rescaling the state to the CURRENT row's time keeps every
+    intermediate in [0, running_total]: no ``exp(epoch/x)`` blow-up at
+    any time span (old mass underflows toward 0 exactly as the weights
+    themselves do), unlike the two-running-sums factoring, which
+    overflows past ~700x of span. One shuffle on ``part_cols``; the
+    per-group pass is a vectorized-in, sequential-fold Arrow batch
+    (pandas), not per-row Python UDF calls.
+
+    Adds ``decayed_sum``, ``decayed_count``, ``decayed_max``,
+    ``decayed_avg`` to the input columns. Ties on ``ts_col`` fold in
+    ascending-timestamp order with input order broken deterministically
+    by the remaining sort (stable sort on ts only) — same totals either
+    way, since tied events share one decay factor.
+    """
+    import math
+
+    import pandas as pd
+    from pyspark.sql.types import DoubleType, StructField, StructType
+
+    # a fresh StructType: StructType.add MUTATES in place, and
+    # df.schema hands back the DataFrame's own cached object
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField(name, DoubleType())
+            for name in (
+                "decayed_sum",
+                "decayed_count",
+                "decayed_max",
+                "decayed_avg",
+            )
+        ]
+    )
+    lam = float(decay_seconds)
+
+    def fold(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(ts_col, kind="stable").reset_index(drop=True)
+        # normalize to ns first: pandas 2 may deliver datetime64[us],
+        # whose int64 view would be µs and silently shrink every gap
+        ts = (
+            pd.to_datetime(pdf[ts_col])
+            .astype("datetime64[ns]")
+            .astype("int64")
+            / 1e9
+        )
+        vals = pdf[value_col].astype(float)
+        s = c = 0.0
+        mx = float("-inf")
+        prev_t = None
+        sums, cnts, maxs = [], [], []
+        for t, v in zip(ts, vals):
+            if prev_t is not None:
+                f = math.exp((prev_t - t) / lam)
+                s *= f
+                c *= f
+                mx *= f
+            s += v
+            c += 1.0
+            mx = max(mx, v)
+            prev_t = t
+            sums.append(s)
+            cnts.append(c)
+            maxs.append(mx)
+        pdf["decayed_sum"] = sums
+        pdf["decayed_count"] = cnts
+        pdf["decayed_max"] = maxs
+        pdf["decayed_avg"] = [
+            (a / b if b else None) for a, b in zip(sums, cnts)
+        ]
+        return pdf
+
+    return df.groupBy(*part_cols).applyInPandas(fold, out_schema)

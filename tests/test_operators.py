@@ -5,6 +5,7 @@ from __future__ import annotations
 
 from datetime import datetime
 
+import pytest
 from pyspark.sql import functions as F
 
 from ed_clickhouse_spark.operators.joins import (
@@ -443,3 +444,77 @@ def test_rrf_fuse_contributions_and_ties(spark):
     # fused order: doc 2 (both) first
     order = [r["doc_id"] for r in rrf_fuse([lex, sem], k=10).collect()]
     assert order[0] == 2
+
+
+def test_time_decayed_recurrence_matches_sql_rewrite(spark):
+    """The O(rows) applyInPandas recurrence (operators/windows.py:
+    time_decayed — the 100 TB path) must agree with the chsql window
+    rewrite (exact frame fold) on random data: two independent
+    implementations cross-validating each other."""
+    import random
+
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.operators.windows import time_decayed
+
+    rng = random.Random(77)
+    rows = []
+    base = 1_700_000_000
+    for u in ("a", "b", "c"):
+        t = base
+        for _ in range(rng.randint(1, 25)):
+            t += rng.randint(1, 5000)
+            rows.append((u, float(t), rng.uniform(-5, 20)))
+    df = spark.createDataFrame(rows, "u string, tsec double, v double").selectExpr(
+        "u", "CAST(tsec AS TIMESTAMP) AS ts", "v"
+    )
+    df.createOrReplaceTempView("__td")
+    want = {
+        (r["u"], str(r["ts"])): (r["s"], r["c"], r["m"], r["a"])
+        for r in spark.sql(
+            translate(
+                "SELECT u, ts,"
+                " exponentialTimeDecayedSum(600)(v, ts) OVER w AS s,"
+                " exponentialTimeDecayedCount(600)(ts) OVER w AS c,"
+                " exponentialTimeDecayedMax(600)(v, ts) OVER w AS m,"
+                " exponentialTimeDecayedAvg(600)(v, ts) OVER w AS a"
+                " FROM __td WINDOW w AS (PARTITION BY u ORDER BY ts"
+                " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)"
+            ).sql
+        ).collect()
+    }
+    got = time_decayed(df, ["u"], "ts", "v", 600).collect()
+    assert len(got) == len(want)
+    for r in got:
+        w = want[(r["u"], str(r["ts"]))]
+        assert r["decayed_sum"] == pytest.approx(w[0], rel=1e-9)
+        assert r["decayed_count"] == pytest.approx(w[1], rel=1e-9)
+        assert r["decayed_max"] == pytest.approx(w[2], rel=1e-9)
+        assert r["decayed_avg"] == pytest.approx(w[3], rel=1e-9)
+
+
+def test_time_decayed_survives_epoch_scale_spans(spark):
+    """Decades-long spans with a tiny decay length: the rescaled
+    recurrence must neither overflow nor NaN — old mass underflows to
+    exactly the weights' own 0, and the newest event dominates."""
+    from ed_clickhouse_spark.operators.windows import time_decayed
+
+    rows = [
+        ("u", 0.0, 7.0),
+        ("u", 1.0e9, 3.0),  # ~31 years later, decay length 10 s
+        ("u", 2.0e9, 5.0),
+    ]
+    df = spark.createDataFrame(rows, "u string, tsec double, v double").selectExpr(
+        "u", "CAST(tsec AS TIMESTAMP) AS ts", "v"
+    )
+    out = {
+        r["tsec"]: r
+        for r in time_decayed(df, ["u"], "ts", "v", 10.0)
+        .selectExpr("CAST(ts AS DOUBLE) AS tsec", "decayed_sum",
+                    "decayed_count", "decayed_max", "decayed_avg")
+        .collect()
+    }
+    assert out[2.0e9]["decayed_sum"] == pytest.approx(5.0)
+    assert out[2.0e9]["decayed_count"] == pytest.approx(1.0)
+    assert out[2.0e9]["decayed_max"] == pytest.approx(5.0)
+    assert out[2.0e9]["decayed_avg"] == pytest.approx(5.0)
+    assert out[0.0]["decayed_sum"] == pytest.approx(7.0)
