@@ -3594,6 +3594,13 @@ def _rewrite_time_decayed(sql: str) -> str:
     raise (ClickHouse documents the family as window functions; the
     grouped-aggregate path is operators/windows.py:
     exponential_moving_average).
+
+    Scale note: the per-row frame array is O(frame) memory, O(frame²)
+    per partition across rows — exact and fine for dashboard-sized
+    frames; for power users with very long unbounded frames, use
+    operators/windows.py:time_decayed, the O(rows) rescaled-recurrence
+    twin (cross-validated against this rewrite in
+    tests/test_operators.py).
     """
     rx = re.compile(r"\bexponentialTimeDecayed(Sum|Count|Max|Avg)\s*\(")
     pos = 0
