@@ -3467,6 +3467,19 @@ def _rewrite_resample(sql: str) -> str:  # noqa: C901
     Also here: ``studentTTestOneSample(mean)(x)`` — one-sample t from
     plain moment aggregates, p-value via the same A&S erfc normal
     approximation the two-sample template uses."""
+    # uniqCombined[64](precision)(x) -> the plain spelling: the HLL
+    # precision knob has no approx_count_distinct equivalent (Spark
+    # tunes by relative error, and the default is the same 2-3% class)
+    sql = _sub_outside_strings(
+        sql,
+        re.compile(r"\buniqCombined64\s*\(\s*\d+\s*\)\s*\("),
+        "uniqCombined64(",
+    )
+    sql = _sub_outside_strings(
+        sql,
+        re.compile(r"\buniqCombined\s*\(\s*\d+\s*\)\s*\("),
+        "uniqCombined(",
+    )
     rx = re.compile(r"\b([a-zA-Z][a-zA-Z0-9]*?)Resample\s*\(")
     pos = 0
     while True:
@@ -4293,6 +4306,13 @@ _OPERATOR_ONLY_AGGS = {
             " per-language dictionaries)",
     "lemmatize": "operators/text.py language heuristics (lemma"
                  " dictionaries are CH extension data)",
+    "minSampleSizeConversion": "the closed-form A/B calculator outside"
+                               " SQL (the probit quantile has no"
+                               " codegen spelling)",
+    "minSampleSizeContinous": "the closed-form A/B calculator outside"
+                              " SQL",
+    "minSampleSizeContinuous": "the closed-form A/B calculator outside"
+                               " SQL",
     "hasColumnInTable": "spark.catalog.listColumns outside SQL"
                         " (catalog introspection is not an expression"
                         " here)",
@@ -5257,6 +5277,59 @@ def _rewrite_array_hofs(sql: str) -> str:
                 raise ValueError(f"{name}: expected one array argument")
             else:
                 repl = f"{target}({arrs[0]}, {lam})"
+            sql = sql[: m.start()] + repl + sql[close1 + 1:]
+    # arraySplit / arrayReverseSplit (lambda-first): segment the data
+    # array at flagged positions — Split cuts BEFORE a flagged element
+    # (the flag marks a segment head; position 1's flag is a no-op),
+    # ReverseSplit cuts AFTER one (flag marks a segment tail; the last
+    # position's flag is a no-op) — the ClickHouse doc examples
+    # verbatim. Data + computed flags bind once via the single-element
+    # transform trick; cut positions become slice() bounds.
+    for sp_name, sp_after in (("arrayReverseSplit", True), ("arraySplit", False)):
+        while True:
+            m = _find_top_anywhere(sql, rf"\b{sp_name}\s*\(")
+            if not m:
+                break
+            open1 = sql.index("(", m.end() - 1)
+            close1 = _call_end(sql, open1)
+            args = _split_top_commas(sql[open1 + 1: close1])
+            if len(args) not in (2, 3):
+                raise ValueError(
+                    f"{sp_name} expects (lambda, data[, flags])"
+                )
+            lam = _inline_ch_macros(args[0])
+            d = args[1].strip()
+            if len(args) == 2:
+                flags = f"transform({d}, {lam})"
+            else:
+                flags = f"zip_with({d}, {args[2].strip()}, {lam})"
+            if sp_after:
+                cond = (
+                    "__i < size(__sp.d)"
+                    " AND CAST(element_at(__sp.f, __i) AS BOOLEAN)"
+                )
+                cutpos = "__i + 1"
+            else:
+                cond = (
+                    "__i > 1"
+                    " AND CAST(element_at(__sp.f, __i) AS BOOLEAN)"
+                )
+                cutpos = "__i"
+            repl = (
+                f"(CASE WHEN size({d}) <= 0"
+                f" THEN transform({d}, __sp0 -> {d}) ELSE"
+                f" element_at(transform(array(named_struct('d', {d},"
+                f" 'f', {flags})), __sp ->"
+                " element_at(transform(array(concat(array(1),"
+                " filter(transform(sequence(1, size(__sp.d)),"
+                f" __i -> IF({cond}, {cutpos}, CAST(NULL AS INT))),"
+                " __p -> __p IS NOT NULL),"
+                " array(size(__sp.d) + 1))), __cuts ->"
+                " transform(sequence(1, size(__cuts) - 1),"
+                " __k -> slice(__sp.d, element_at(__cuts, __k),"
+                " element_at(__cuts, __k + 1)"
+                " - element_at(__cuts, __k)))), 1)), 1) END)"
+            )
             sql = sql[: m.start()] + repl + sql[close1 + 1:]
     # try_element_at everywhere: under ANSI mode a plain element_at
     # THROWS when no element matches (empty filter result); NULL is the

@@ -1721,6 +1721,9 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         " '^(?:[a-z][a-z0-9+.-]*:)?//[^/?#]*?:([0-9]+)(?:[/?#]|$)', 1),"
         " '') AS INT), 0)",
     ),
+    # single-node topology stand-ins: one shard, number 1
+    "shardNum": ("() RETURNS INT", "1"),
+    "shardCount": ("() RETURNS INT", "1"),
     # introspection stand-ins (the serverUUID/uptime family): values a
     # dashboard can render without a ClickHouse server behind them
     "buildId": ("() RETURNS STRING", "md5(version())"),
@@ -2062,6 +2065,10 @@ def _hostname_literal() -> str:
 
 
 _SQL_SCALAR_ALIASES["hostName"] = (
+    "() RETURNS STRING", f"'{_hostname_literal()}'"
+)
+# FQDN is hostName's fully-qualified twin; same stand-in value here
+_SQL_SCALAR_ALIASES["FQDN"] = (
     "() RETURNS STRING", f"'{_hostname_literal()}'"
 )
 

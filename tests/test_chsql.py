@@ -3497,3 +3497,41 @@ def test_probe_batch32_partition_keys_and_hash_tails(views):
     ]:
         with pytest.raises(ValueError, match=hint):
             translate(f"SELECT {bad} FROM __b32")
+
+
+def test_probe_batch33_array_split_and_topology_tails(views):
+    """Round-7 execution probe, batch 33 (~38 spellings; 29 already
+    passed — arrayFill/ReverseFill, arrayFirst/Last/Index, anyHeavy,
+    the *Stable variance renames, roundToExp2/Duration/Age, toMonday,
+    timeSlots, topKWeighted, nth_value/ntile were live): closes
+    arraySplit/arrayReverseSplit (segmenting at flagged positions, the
+    ClickHouse doc vectors verbatim), the parametric uniqCombined
+    precision form, and the single-node topology stand-ins."""
+    views.sql("SELECT 1 AS x, 'a' AS s").createOrReplaceTempView("__b33")
+
+    def run(expr):
+        return views.sql(
+            translate(f"SELECT {expr} AS r FROM __b33").sql
+        ).first()["r"]
+
+    # ClickHouse doc examples: Split cuts BEFORE flagged, Reverse AFTER
+    assert run(
+        "arraySplit((x, y) -> y, [1, 2, 3, 4, 5], [1, 0, 0, 1, 0])"
+    ) == [[1, 2, 3], [4, 5]]
+    assert run(
+        "arrayReverseSplit((x, y) -> y, [1, 2, 3, 4, 5], [1, 0, 0, 1, 0])"
+    ) == [[1], [2, 3, 4], [5]]
+    # 1-array lambda form; flag on position 1 / last are no-ops
+    assert run("arraySplit(v -> v < 0, [1, -2, 3, -4])") \
+        == [[1], [-2, 3], [-4]]
+    assert run("arrayReverseSplit(v -> v < 0, [-1, 2, -3, 4])") \
+        == [[-1], [2, -3], [4]]
+    assert run("arraySplit(v -> v > 0, [7])") == [[7]]
+    assert run("arraySplit(v -> v > 0, CAST(array() AS ARRAY<INT>))") == []
+    # parametric uniqCombined strips the precision knob
+    assert run("uniqCombined(15)('a')") == 1
+    assert run("uniqCombined64(15)('a')") == 1
+    assert run("shardNum()") == 1 and run("shardCount()") == 1
+    assert run("FQDN()") == run("hostName()")
+    with pytest.raises(ValueError, match="probit"):
+        translate("SELECT minSampleSizeConversion(0.2, 0.01, 0.8, 0.05)")
