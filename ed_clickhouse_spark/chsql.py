@@ -1019,6 +1019,34 @@ def _rewrite_with_fill(sql: str) -> str:
     )
 
 
+# remote-IO table functions: without this check Spark would die on an
+# opaque unresolved-TVF error; the engine's read path is sources/io.py
+# (spark.read with options) — refuse with that pointer
+_IO_TABLE_FUNCTIONS = (
+    "file", "url", "s3", "s3Cluster", "hdfs", "azureBlobStorage",
+    "gcs", "remote", "remoteSecure", "cluster", "clusterAllReplicas",
+    "merge", "mysql", "postgresql", "mongodb", "jdbc", "odbc",
+    "deltaLake", "iceberg", "hudi",
+)
+
+
+def _refuse_io_table_functions(sql: str) -> str:
+    """``FROM file(...)/s3(...)/remote(...)`` and friends raise loudly
+    naming sources/io.py — a reference user's federated reads map to
+    spark.read (format/options/JDBC), not to a SQL spelling here."""
+    for name in _IO_TABLE_FUNCTIONS:
+        m = _find_top_anywhere(
+            sql, rf"\b(?:FROM|JOIN)\s+{name}\s*\("
+        )
+        if m:
+            raise ValueError(
+                f"the {name}() table function is not SQL-translatable"
+                " — read the source with sources/io.py / spark.read"
+                " and register a view"
+            )
+    return sql
+
+
 def _rewrite_numbers(sql: str) -> str:
     """``numbers(N)`` / ``numbers(off, N)`` table function → Spark's
     range() TVF, with the column renamed to ClickHouse's ``number``.
@@ -3539,6 +3567,67 @@ def _rewrite_resample(sql: str) -> str:  # noqa: C901
             cells.append(cell)
         sql = sql[: m.start()] + f"array({', '.join(cells)})" + sql[close2 + 1:]
         pos = m.start()
+    # -ArgMin / -ArgMax combinators: agg(x) restricted to the rows
+    # whose key attains the group extreme — ALL tied rows contribute
+    # (min_by/max_by would pick one). One collect_list bound via the
+    # single-element transform trick, extreme key from the same array,
+    # then the per-base fold over the filtered entries. sum/avg fold
+    # in DOUBLE (the documented numeric-fold deviation); min/max/any
+    # are type-preserving.
+    am_rx = re.compile(
+        r"\b(sum|count|min|max|avg|any)Arg(Min|Max)\s*\("
+    )
+    pos = 0
+    while True:
+        m = am_rx.search(sql, pos)
+        if not m:
+            break
+        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        if instr_at.get(m.start(), False):
+            pos = m.end()
+            continue
+        base, direction = m.group(1), m.group(2)
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        want = 1 if base == "count" else 2
+        if len(args) != want:
+            raise ValueError(
+                f"{base}Arg{direction} expects "
+                + ("(key)" if base == "count" else "(x, key)")
+            )
+        key = args[-1].strip()
+        val = key if base == "count" else args[0].strip()
+        arr = f"collect_list(named_struct('v', ({val}), 'k', ({key})))"
+        ext = "array_min" if direction == "Min" else "array_max"
+        if base == "sum":
+            body = (
+                "aggregate(__amf, CAST(0 AS DOUBLE),"
+                " (acc, e) -> acc + CAST(e.v AS DOUBLE))"
+            )
+        elif base == "count":
+            body = "CAST(size(__amf) AS BIGINT)"
+        elif base == "avg":
+            body = (
+                "aggregate(__amf, CAST(0 AS DOUBLE),"
+                " (acc, e) -> acc + CAST(e.v AS DOUBLE))"
+                " / CAST(size(__amf) AS DOUBLE)"
+            )
+        elif base == "any":
+            body = "element_at(__amf, 1).v"
+        else:  # min / max over the tied rows, type-preserving
+            fn = "array_min" if base == "min" else "array_max"
+            body = f"{fn}(transform(__amf, __ame -> __ame.v))"
+        expr = (
+            f"element_at(transform(array({arr}), __ama -> "
+            f"element_at(transform(array({ext}(transform(__ama,"
+            " __amq -> __amq.k))), __amm -> "
+            "element_at(transform(array(filter(__ama,"
+            " __ame -> __ame.k <=> __amm)), __amf -> "
+            f"{body}), 1)), 1)), 1)"
+        )
+        sql = sql[: m.start()] + expr + sql[close1 + 1:]
+        pos = m.start()
     # studentTTestOneSample(population_mean)(x)
     pos = 0
     os_rx = re.compile(r"\bstudentTTestOneSample\s*\(")
@@ -5845,6 +5934,7 @@ def translate(
 def _apply_clause_rewrites(sql: str, specs: dict | None) -> str:
     """The clause-level rewrite chain for ONE nesting level (each
     rewriter scans top-level tokens of the string it is given)."""
+    sql = _refuse_io_table_functions(sql)
     sql = _rewrite_numbers(sql)
     sql = _rewrite_sample(sql, specs)
     sql = _rewrite_any_join(sql, specs)

@@ -3535,3 +3535,40 @@ def test_probe_batch33_array_split_and_topology_tails(views):
     assert run("FQDN()") == run("hostName()")
     with pytest.raises(ValueError, match="probit"):
         translate("SELECT minSampleSizeConversion(0.2, 0.01, 0.8, 0.05)")
+
+
+def test_probe_batch34_argminmax_combinators_and_io_refusals(views):
+    """Round-7 execution probe, batch 34: the -ArgMin/-ArgMax
+    combinator family — agg(x) over ALL rows whose key attains the
+    group extreme (min_by/max_by would drop key ties), type-preserving
+    for min/max/any — and loud refusals for the remote-IO table
+    functions (file/s3/remote/... previously died on Spark's opaque
+    unresolved-TVF error; now they name sources/io.py)."""
+    views.sql(
+        "SELECT * FROM VALUES (1, 'a', 2.5, 10), (1, 'b', 9.0, 5),"
+        " (1, 'z', 4.0, 5), (2, 'c', 1.0, 7) AS t(g, s, v, k)"
+    ).createOrReplaceTempView("__b34")
+
+    def run(expr):
+        return {
+            r["g"]: r["r"]
+            for r in views.sql(
+                translate(
+                    f"SELECT g, {expr} AS r FROM __b34 GROUP BY g"
+                ).sql
+            ).collect()
+        }
+
+    # g=1: key-min 5 is attained by ('b', 9.0) AND ('z', 4.0)
+    assert run("sumArgMin(v, k)") == {1: 13.0, 2: 1.0}
+    assert run("countArgMin(k)") == {1: 2, 2: 1}
+    assert run("avgArgMax(v, k)") == {1: 2.5, 2: 1.0}
+    assert float(run("maxArgMin(v, k)")[1]) == 9.0
+    assert run("minArgMin(s, k)") == {1: "b", 2: "c"}  # type-preserving
+    assert run("anyArgMin(s, k)")[2] == "c"
+    with pytest.raises(ValueError, match="x, key"):
+        translate("SELECT sumArgMin(v) FROM t GROUP BY g")
+    for tf in ["file('x.csv')", "s3('s3://b/k', 'CSV')",
+               "remote('h', 'db.t')", "mysql('h:9004', 'd', 't', 'u', 'p')"]:
+        with pytest.raises(ValueError, match="sources/io.py"):
+            translate(f"SELECT * FROM {tf}")
