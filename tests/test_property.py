@@ -7,6 +7,7 @@ table can't enumerate."""
 
 from __future__ import annotations
 
+import pytest
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 from pyspark.sql import functions as F
@@ -956,3 +957,98 @@ def test_sequence_family_tie_order_invariance(spark):
         )
         results.append(snap)
     assert results[0] == results[1] == results[2]
+
+
+def test_argminmax_combinators_match_python_reference(spark):
+    """sumArgMin/avgArgMax/countArgMin/maxArgMin over 60 random groups
+    in ONE query equal a brute-force Python fold — ties at the key
+    extreme all contribute (the property min_by/max_by would break)."""
+    import random
+
+    from ed_clickhouse_spark.chsql import translate
+
+    rng = random.Random(34)
+    rows, want = [], {}
+    for g in range(60):
+        n = rng.randint(1, 8)
+        grp = [
+            (g, round(rng.uniform(-5, 5), 2), rng.randint(0, 3))
+            for _ in range(n)
+        ]
+        rows += grp
+        kmin = min(k for _, _, k in grp)
+        kmax = max(k for _, _, k in grp)
+        at_min = [v for _, v, k in grp if k == kmin]
+        at_max = [v for _, v, k in grp if k == kmax]
+        want[g] = (
+            sum(at_min),
+            sum(at_max) / len(at_max),
+            len(at_min),
+            max(at_min),
+        )
+    spark.createDataFrame(
+        rows, "g int, v double, k int"
+    ).createOrReplaceTempView("__amprop")
+    got = spark.sql(
+        translate(
+            "SELECT g, sumArgMin(v, k) AS s, avgArgMax(v, k) AS a,"
+            " countArgMin(k) AS c, maxArgMin(v, k) AS mx"
+            " FROM __amprop GROUP BY g"
+        ).sql
+    ).collect()
+    assert len(got) == 60
+    for r in got:
+        w = want[r["g"]]
+        assert r["s"] == pytest.approx(w[0], abs=1e-9), r["g"]
+        assert r["a"] == pytest.approx(w[1], abs=1e-9), r["g"]
+        assert r["c"] == w[2], r["g"]
+        assert float(r["mx"]) == pytest.approx(w[3], abs=1e-9), r["g"]
+
+
+def test_resample_combinator_matches_python_reference(spark):
+    """sumResample/countResample over 40 random groups equal the
+    Python bucket fold, including CH's truncated last bucket and the
+    sum-family zero for empty buckets."""
+    import random
+
+    from ed_clickhouse_spark.chsql import translate
+
+    rng = random.Random(35)
+    start, end, step = 2, 17, 4  # buckets [2,6) [6,10) [10,14) [14,17)
+    bounds = []
+    lo = start
+    while lo < end:
+        bounds.append((lo, min(lo + step, end)))
+        lo += step
+    rows, want = [], {}
+    for g in range(40):
+        grp = [
+            (g, round(rng.uniform(0, 10), 2), rng.randint(-2, 20))
+            for _ in range(rng.randint(1, 10))
+        ]
+        rows += grp
+        want[g] = (
+            [
+                sum(v for _, v, k in grp if lo_ <= k < hi_)
+                for lo_, hi_ in bounds
+            ],
+            [
+                sum(1 for _, _, k in grp if lo_ <= k < hi_)
+                for lo_, hi_ in bounds
+            ],
+        )
+    spark.createDataFrame(
+        rows, "g int, v double, k int"
+    ).createOrReplaceTempView("__rsprop")
+    got = spark.sql(
+        translate(
+            f"SELECT g, sumResample({start}, {end}, {step})(v, k) AS s,"
+            f" countResample({start}, {end}, {step})(k) AS c"
+            " FROM __rsprop GROUP BY g"
+        ).sql
+    ).collect()
+    assert len(got) == 40
+    for r in got:
+        ws, wc = want[r["g"]]
+        assert list(r["c"]) == wc, r["g"]
+        assert list(r["s"]) == pytest.approx(ws, abs=1e-9), r["g"]
