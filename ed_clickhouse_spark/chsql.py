@@ -2132,8 +2132,11 @@ def _rewrite_scalar_misc(sql: str) -> str:
         if fmt == "CSV":
             body = f"to_csv(struct({cols}))"
         elif fmt in ("TSV", "TabSeparated"):
+            # NULLs render as \N like CH (bare concat_ws would SKIP
+            # the NULL and silently shift every later column left)
             casts = ", ".join(
-                f"CAST(({a.strip()}) AS STRING)" for a in args[1:]
+                f"coalesce(CAST(({a.strip()}) AS STRING), '\\\\N')"
+                for a in args[1:]
             )
             body = f"concat_ws('\\t', {casts})"
         elif fmt == "JSONEachRow":
@@ -3562,7 +3565,9 @@ def _rewrite_resample(sql: str) -> str:  # noqa: C901
             hi = min(lo + step, end)
             cond = f"({key}) >= {lo} AND ({key}) < {hi}"
             cell = f"{base}If({lead}{cond})"
-            if base.startswith("sum") or base == "count":
+            # scalar sum family only: a map-typed cell (sumMapResample)
+            # must NOT be coalesced against numeric 0
+            if base in ("sum", "sumKahan", "sumWithOverflow", "count"):
                 cell = f"coalesce({cell}, 0)"
             cells.append(cell)
         sql = sql[: m.start()] + f"array({', '.join(cells)})" + sql[close2 + 1:]

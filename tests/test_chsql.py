@@ -3572,3 +3572,28 @@ def test_probe_batch34_argminmax_combinators_and_io_refusals(views):
                "remote('h', 'db.t')", "mysql('h:9004', 'd', 't', 'u', 'p')"]:
         with pytest.raises(ValueError, match="sources/io.py"):
             translate(f"SELECT * FROM {tf}")
+
+
+def test_format_row_tsv_null_and_map_resample_guard(views):
+    """Corner pins for the r7 rewrites: TSV NULLs render as \\N (bare
+    concat_ws would silently drop the column and shift the row), and
+    the -Resample empty-bucket zero-coalesce applies to the SCALAR sum
+    family only (a map-typed sumMapResample cell must stay a map)."""
+    views.sql(
+        "SELECT 1 AS x, CAST(NULL AS STRING) AS s, 'z' AS z,"
+        " map('a', 2.0) AS m, 5 AS k"
+    ).createOrReplaceTempView("__b35")
+    r = views.sql(
+        translate(
+            "SELECT formatRowNoNewline('TSV', x, s, z) AS r FROM __b35"
+        ).sql
+    ).first()["r"]
+    assert r == "1\t\\N\tz"
+    rows = views.sql(
+        translate(
+            "SELECT x, sumMapResample(0, 10, 5)(m, k) AS r"
+            " FROM __b35 GROUP BY x"
+        ).sql
+    ).first()["r"]
+    # empty bucket -> empty map (the fold's own empty value, like CH)
+    assert rows[0] == {} and rows[1] == {"a": 2.0}
