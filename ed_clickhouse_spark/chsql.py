@@ -1283,6 +1283,16 @@ _SCALAR_RENAMES = {
     # DP string metrics + base58: Arrow-batched pandas UDFs registered
     # by functions/strdist.register_strdist (session.get_spark does it);
     # semantics fuzz-pinned against DuckDB's implementations
+    # parametric random-distribution samplers: numpy pandas UDFs
+    # (functions/randdist.register_randdist; randUniform/randNormal/
+    # randExponential/randLogNormal stay JVM-side as rand()/randn()
+    # transforms)
+    "randPoisson": "ch_rand_poisson",
+    "randBinomial": "ch_rand_binomial",
+    "randNegativeBinomial": "ch_rand_negative_binomial",
+    "randChiSquared": "ch_rand_chi_squared",
+    "randStudentT": "ch_rand_student_t",
+    "randFisherF": "ch_rand_fisher_f",
     "damerauLevenshteinDistance": "ch_damerau_levenshtein",
     "jaroSimilarity": "ch_jaro_similarity",
     "jaroWinklerSimilarity": "ch_jaro_winkler",
@@ -1418,6 +1428,9 @@ _ARRAY_SPLICE: dict[str, dict[int, str]] = {
     "arrayReversePartialSort": {2: "reverse(array_sort({1}))"},
     "splitByRegexp": {2: "split({1}, {0})"},
     "monthName": {1: "date_format({0}, 'MMMM')"},
+    # lognormal is a pure randn() transform — stays JVM-side (the
+    # sampler-loop distributions live in functions/randdist.py)
+    "randLogNormal": {2: "exp(({0}) + ({1}) * randn())"},
     # ClickHouse's map HOFs take the lambda FIRST; Spark's map_filter
     # takes it second with the same (k, v) shape
     "mapFilter": {2: "map_filter({1}, {0})"},
@@ -1943,6 +1956,25 @@ def _ttest_template(pooled: bool) -> str:
 
 _ARRAY_SPLICE["studentTTest"] = {2: _ttest_template(pooled=True)}
 _ARRAY_SPLICE["welchTTest"] = {2: _ttest_template(pooled=False)}
+
+# Splice-composed aggregates used as WINDOW functions: the bare
+# templates above emit compound expressions (`(kurtosis(x) + 3.0)`)
+# that cannot take a trailing OVER, so `kurtPop(x) OVER (...)` —
+# valid ClickHouse — parsed into garbage. These variants thread the
+# captured OVER clause onto EVERY internal aggregate call ({w} slots),
+# which is exactly the algebra: each moment is windowed independently.
+_WINDOWED_MOMENTS: dict[str, dict[int, str]] = {
+    "kurtPop": {1: "(kurtosis({0}){w} + 3.0)"},
+    "kurtSamp": {
+        1: "((kurtosis({0}){w} + 3.0)"
+           " * (count({0}){w} - 1.0) / count({0}){w})",
+    },
+    "skewSamp": {
+        1: "(skewness({0}){w}"
+           " * sqrt((count({0}){w} - 1.0) / count({0}){w}))",
+    },
+    "avgWeighted": {2: "(sum(({0}) * ({1})){w} / sum({1}){w})"},
+}
 
 # wrappers that are the identity under Spark's nullability model
 _IDENTITY_FNS = (
@@ -2731,6 +2763,35 @@ def _rewrite_scalar_misc(sql: str) -> str:
             open1 = sql.index("(", m.end() - 1)
             close1 = _call_end(sql, open1)
             args = _split_top_commas(sql[open1 + 1: close1])
+            if fname in _WINDOWED_MOMENTS:
+                om = re.match(r"\s*OVER\b\s*", sql[close1 + 1:], re.I)
+                if om:
+                    wstart = close1 + 1 + om.end()
+                    if wstart < len(sql) and sql[wstart] == "(":
+                        wclose = _call_end(sql, wstart)
+                        wtxt = " OVER " + sql[wstart: wclose + 1]
+                        wend = wclose
+                    else:
+                        wm = re.match(r"`?\w+`?", sql[wstart:])
+                        if not wm:
+                            raise ValueError(
+                                f"{fname} OVER: malformed window"
+                            )
+                        wtxt = " OVER " + sql[wstart: wstart + wm.end()]
+                        wend = wstart + wm.end() - 1
+                    wtpl = _WINDOWED_MOMENTS[fname].get(len(args))
+                    if wtpl is None:
+                        raise ValueError(
+                            f"{fname} with {len(args)} args has no"
+                            " windowed form"
+                        )
+                    sql = (
+                        sql[: m.start()]
+                        + wtpl.format(*args, w=wtxt)
+                        + sql[wend + 1:]
+                    )
+                    pos = m.start()
+                    continue
             if fname == "groupArrayInsertAt":
                 # parametric spelling groupArrayInsertAt(default, size)
                 # (x, pos): exactly `size` slots, holes -> `default`
@@ -3121,6 +3182,50 @@ def _rewrite_scalar_misc(sql: str) -> str:
             f" ELSE CAST(array() AS ARRAY<STRING>) END"
         )
         sql = sql[: m.start()] + expr + sql[close1 + 1:]
+    # encrypt/decrypt family: only aes-{128,192,256}-ecb translates.
+    # ECB is deterministic, so Spark's aes_encrypt output is byte-exact
+    # vs ClickHouse/OpenSSL (PKCS7 padding both sides — NIST-vector
+    # pinned in tests). CBC/GCM refuse loudly: Spark prepends its IV to
+    # the ciphertext, ClickHouse does not, so the wire bytes can never
+    # agree. aes_*_mysql with a standard-length key is identical to
+    # encrypt; MySQL's XOR-fold of over-length keys has no Spark
+    # spelling (Spark raises on key length instead of folding).
+    for _ename, _efn, _edec in (
+        ("tryDecrypt", "try_aes_decrypt", True),
+        ("decrypt", "aes_decrypt", True),
+        ("encrypt", "aes_encrypt", False),
+        ("aes_decrypt_mysql", "aes_decrypt", True),
+        ("aes_encrypt_mysql", "aes_encrypt", False),
+    ):
+        while True:
+            m = _find_case_exact(sql, rf"\b{_ename}\s*\(")
+            if not m:
+                break
+            open1 = sql.index("(", m.end() - 1)
+            close1 = _call_end(sql, open1)
+            args = _split_top_commas(sql[open1 + 1: close1])
+            if len(args) != 3:
+                raise ValueError(
+                    f"{_ename} translates only as {_ename}(mode,"
+                    " input, key) with an aes-*-ecb mode — ECB takes"
+                    " no IV/AAD, and non-ECB modes do not translate"
+                    " (Spark prepends the IV to the ciphertext,"
+                    " ClickHouse does not)"
+                )
+            mmode = re.fullmatch(
+                r"'aes-(?:128|192|256)-([a-zA-Z0-9]+)'", args[0].strip()
+            )
+            if not mmode or mmode.group(1).lower() != "ecb":
+                raise ValueError(
+                    f"{_ename}: only a literal 'aes-<128|192|256>-ecb'"
+                    " mode translates — CBC/GCM/CTR ciphertext layouts"
+                    " differ (Spark prepends the IV, ClickHouse does"
+                    " not), so only ECB is byte-exact"
+                )
+            repl = f"{_efn}({args[1]}, {args[2]}, 'ECB', 'PKCS')"
+            if _edec:
+                repl = f"CAST({repl} AS STRING)"
+            sql = sql[: m.start()] + repl + sql[close1 + 1:]
     while True:
         # defaultValueOfTypeName('T') -> the type's zero value, mapped
         # at translate time from the literal type name
@@ -4352,6 +4457,28 @@ _OPERATOR_ONLY_AGGS = {
                           " p-value needs has no codegen spelling)",
     "anovaTest": "operators/stats.py:welch_ttest for two groups",
     "sparkbar": "the bar() scalar over grouped buckets",
+    "quantileState": "streaming/matview.py MatView quantiles (the"
+                     " DDSketch histogram-map state quantileMerge"
+                     " reads) or quantile(p) directly — the two-level"
+                     " bucket shuffle the sketch build needs has no"
+                     " single-aggregate SQL spelling",
+    "sequenceNextNode": "the q_chagg.py sequence_next_node pattern"
+                        " (groupArray-sorted event chains + array"
+                        " search — CH's base/direction matrix is a"
+                        " 4-way operator, not one aggregate)",
+    "initializeAggregation": "the -State aggregate spellings over a"
+                             " single-row group (uniqState/sumState/"
+                             "avgState... translate directly)",
+    "finalizeAggregation": "the -Merge aggregate spellings (the state"
+                           " kind is not visible at translate time;"
+                           " uniqMerge/avgMerge/sumMerge read every"
+                           " state this engine writes)",
+    "flattenTuple": "explicit struct field references (struct field"
+                    " names are schema, not values, in Spark SQL)",
+    "formatQuery": "normalizeQuery (pretty-printing needs the full CH"
+                   " grammar, which this translator deliberately"
+                   " does not model)",
+    "formatQuerySingleLine": "normalizeQuery",
     "exponentialMovingAverage":
         "operators/windows.py:exponential_moving_average",
     "largestTriangleThreeBuckets": "operators/windows.py:lttb_downsample",
@@ -4460,6 +4587,42 @@ _AGG_NAME_MAP = {
     "countMerge": "sum",
     "minMerge": "min",
     "maxMerge": "max",
+    "anyLastMerge": "last",
+    "anyMerge": "any_value",
+    # -State combinators: WRITING AggregatingMergeTree-role partials
+    # from ad-hoc SQL (the matview/projection layer writes the same
+    # shapes from DataFrame code). Simple-value states ARE the partial
+    # aggregate the -Merge spellings above read back; uniq states are
+    # the mergeable HLL sketches uniqMerge unions+estimates
+    # (hll_sketch_agg, matching streaming/matview.py storage).
+    # avgState/avgMergeState write the (s, c) struct avgMerge reads —
+    # splice-handled below, not a rename.
+    "uniqState": "hll_sketch_agg",
+    "uniqMergeState": "hll_union_agg",
+    "uniqExactState": "collect_set",
+    "sumState": "sum",
+    "countState": "count",
+    "minState": "min",
+    "maxState": "max",
+    "anyLastState": "last",
+    "anyState": "any_value",
+    "sumMergeState": "sum",
+    "countMergeState": "sum",
+    "minMergeState": "min",
+    "maxMergeState": "max",
+    "anyLastMergeState": "last",
+    "anyMergeState": "any_value",
+    # -SimpleState == the plain aggregated value (CH
+    # SimpleAggregateFunction columns store the value itself, so the
+    # base aggregate is the exact state)
+    "sumSimpleState": "sum",
+    "minSimpleState": "min",
+    "maxSimpleState": "max",
+    "anyLastSimpleState": "last",
+    "anySimpleState": "any_value",
+    "groupBitAndSimpleState": "bit_and",
+    "groupBitOrSimpleState": "bit_or",
+    "groupBitXorSimpleState": "bit_xor",
     "uniqCombined64": "approx_count_distinct",
     "uniqCombined": "approx_count_distinct",
     "uniqHLL12": "approx_count_distinct",
@@ -4554,6 +4717,9 @@ _AGG_IF_ALL = {
     "anyOrNull": "any_value",
     "argMaxOrNull": "max_by",
     "argMinOrNull": "min_by",
+    # splice-handled state writer: the If loop wraps the argument and
+    # the avgState splice below then sees avgState(if(cond, x, NULL))
+    "avgState": "avgState",
     **_AGG_IF_BASES,
 }
 
@@ -5262,6 +5428,39 @@ def _rewrite_agg_spellings(sql: str) -> str:
             + f"(sum(({x}).s) / sum(({x}).c))"
             + sql[close1 + 1:]
         )
+    # -State / -Merge splice forms whose state is not a plain value:
+    # avg states are the (s, c) structs avgMerge above reads back;
+    # groupArray states are the arrays themselves (merging
+    # concatenates); uniqExact states are exact element sets (merging
+    # is distinct union — memory-linear in distinct values, same as
+    # ClickHouse's uniqExact hash-set state).
+    for name, tpl in (
+        ("avgMergeState",
+         "named_struct('s', sum(({x}).s), 'c', sum(({x}).c))"),
+        ("avgState", "named_struct('s', sum({x}), 'c', count({x}))"),
+        ("uniqExactMergeState",
+         "array_distinct(flatten(collect_list({x})))"),
+        ("uniqExactMerge",
+         "CAST(size(array_distinct(flatten(collect_list({x}))))"
+         " AS BIGINT)"),
+        ("groupUniqArrayMergeState",
+         "array_distinct(flatten(collect_list({x})))"),
+        ("groupUniqArrayMerge",
+         "array_distinct(flatten(collect_list({x})))"),
+        ("groupArrayMergeState", "flatten(collect_list({x}))"),
+        ("groupArrayMerge", "flatten(collect_list({x}))"),
+    ):
+        while True:
+            m = _find_case_exact(sql, rf"\b{name}\s*\(")
+            if not m:
+                break
+            open1 = sql.index("(", m.end() - 1)
+            close1 = _call_end(sql, open1)
+            sql = (
+                sql[: m.start()]
+                + tpl.format(x=sql[open1 + 1: close1])
+                + sql[close1 + 1:]
+            )
     for name, target in _AGG_NAME_MAP.items():
         while True:
             # case-sensitive: compile without re.I (CH names are exact)

@@ -1242,6 +1242,17 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "(a ARRAY<DOUBLE>) RETURNS DOUBLE",
         "sqrt(aggregate(a, CAST(0.0 AS DOUBLE), (s, x) -> s + x * x))",
     ),
+    # general-p Minkowski forms (ClickHouse LpNorm/LpDistance)
+    "LpNorm": (
+        "(a ARRAY<DOUBLE>, p DOUBLE) RETURNS DOUBLE",
+        "power(aggregate(a, CAST(0.0 AS DOUBLE),"
+        " (s, x) -> s + power(abs(x), p)), 1.0 / p)",
+    ),
+    "LpDistance": (
+        "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>, p DOUBLE) RETURNS DOUBLE",
+        "power(aggregate(zip_with(a, b, (x, y) -> power(abs(x - y), p)),"
+        " CAST(0.0 AS DOUBLE), (s, v) -> s + v), 1.0 / p)",
+    ),
     "cosineDistance": (
         "(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>) RETURNS DOUBLE",
         "1.0 - aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (s, v) -> s + v)"
@@ -1591,6 +1602,12 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
     ),
     "toBool": ("(s STRING) RETURNS BOOLEAN", "CAST(s AS BOOLEAN)"),
     "YYYYMMDDToDate": (
+        "(n BIGINT) RETURNS DATE",
+        "to_date(CAST(n AS STRING), 'yyyyMMdd')",
+    ),
+    # Date32 only widens the representable range — same conversion
+    # (Spark DATE already covers the Date32 span)
+    "YYYYMMDDToDate32": (
         "(n BIGINT) RETURNS DATE",
         "to_date(CAST(n AS STRING), 'yyyyMMdd')",
     ),

@@ -54,7 +54,9 @@ def get_spark(
     spark.sparkContext.setLogLevel("WARN")
     # the ch_* SQL names chsql.translate emits for the DP string
     # metrics / base58 resolve on every engine session (idempotent)
+    from ed_clickhouse_spark.functions.randdist import register_randdist
     from ed_clickhouse_spark.functions.strdist import register_strdist
 
     register_strdist(spark)
+    register_randdist(spark)
     return spark

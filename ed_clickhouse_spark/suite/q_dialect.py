@@ -678,3 +678,55 @@ def q230_regex_set_tagging(spark, sf_dir):
     register_sql_aliases(spark)
     t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(translate(_CH_TAGGING).sql)
+
+
+_CH_STATE_ROLLUP = """
+SELECT l_returnflag,
+       CAST(sumMerge(sq) AS DOUBLE) AS sum_price,
+       avgMerge(aq) AS avg_qty,
+       uniqExactMerge(uo) AS n_orders,
+       countMerge(cn) AS n_rows
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         sumState(toDecimal64(l_extendedprice, 2)) AS sq,
+         avgState(l_quantity) AS aq,
+         uniqExactState(l_orderkey) AS uo,
+         countState() AS cn
+  FROM lineitem
+  GROUP BY l_returnflag, l_linestatus
+)
+GROUP BY l_returnflag
+"""
+
+
+@query(
+    "q231_state_merge_rollup",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           SUM(l_quantity) / COUNT(l_quantity) AS avg_qty,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q231_state_merge_rollup(spark, sf_dir):
+    """The AggregatingMergeTree write/read pair in ad-hoc SQL (round-7
+    batch 35): inner level writes -State partials per (flag, status) —
+    sumState / avgState (the (s, c) struct) / uniqExactState (exact
+    element set) / countState — and the outer level re-aggregates them
+    per flag with the -Merge spellings, the two-level rollup-tree
+    shape ClickHouse matviews feed. Every state here merges with plain
+    SQL aggregates (partial aggregation Catalyst already map-side
+    combines), so the rollup costs one exchange per level and no UDF.
+    Exactness by construction: l_quantity is integer-valued (double
+    sums stay exact), prices ride DECIMAL(18,2), and the avg division
+    is the same double / bigint in both engines."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(translate(_CH_STATE_ROLLUP).sql)

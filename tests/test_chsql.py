@@ -3597,3 +3597,146 @@ def test_format_row_tsv_null_and_map_resample_guard(views):
     ).first()["r"]
     # empty bucket -> empty map (the fold's own empty value, like CH)
     assert rows[0] == {} and rows[1] == {"a": 2.0}
+
+
+def test_probe_batch35_state_merge_combinators(views):
+    """Round-7 execution probe, batch 35: the -State / -SimpleState /
+    -MergeState write side of AggregatingMergeTree-role partials in
+    ad-hoc SQL (the -Merge read side predates this batch; the matview
+    layer writes the same shapes from DataFrame code). uniq states are
+    the mergeable HLL sketches uniqMerge unions + estimates; simple
+    states ARE the partial value; avg states are the (s, c) struct
+    avgMerge reads; uniqExact states are exact element sets."""
+    views.sql(
+        "SELECT * FROM VALUES (1, 'a', 10.0), (1, 'b', 20.0),"
+        " (1, 'a', 30.0), (2, 'c', 40.0), (2, NULL, 50.0) AS t(g, s, f)"
+    ).createOrReplaceTempView("__b35s")
+
+    def run(q):
+        return views.sql(translate(q).sql).collect()
+
+    r = run(
+        "SELECT uniqMerge(us) AS u, sumMerge(ss) AS sm,"
+        " avgMerge(avs) AS av, countMerge(cs) AS c,"
+        " minMerge(mns) AS mn, maxMerge(mxs) AS mx,"
+        " uniqExactMerge(ues) AS ue"
+        " FROM (SELECT g, uniqState(s) AS us, sumState(f) AS ss,"
+        "   avgState(f) AS avs, countState() AS cs,"
+        "   minState(f) AS mns, maxState(f) AS mxs,"
+        "   uniqExactState(s) AS ues FROM __b35s GROUP BY g)"
+    )[0]
+    assert r["u"] == 3 and float(r["sm"]) == 150.0
+    assert abs(float(r["av"]) - 30.0) < 1e-9 and r["c"] == 5
+    assert float(r["mn"]) == 10.0 and float(r["mx"]) == 50.0
+    assert r["ue"] == 3
+    # -SimpleState == the plain aggregated value
+    r = run("SELECT sumSimpleState(f) AS s, maxSimpleState(f) AS m"
+            " FROM __b35s")[0]
+    assert float(r["s"]) == 150.0 and float(r["m"]) == 50.0
+    # -StateIf stacking (If wraps the argument, the state agg skips
+    # NULLs) and the avgState splice under -If
+    assert run(
+        "SELECT uniqMerge(us) AS u FROM (SELECT g,"
+        " uniqStateIf(s, f < 25) AS us FROM __b35s GROUP BY g)"
+    )[0]["u"] == 2
+    assert abs(float(run(
+        "SELECT avgMerge(a) AS av FROM (SELECT g,"
+        " avgStateIf(f, f > 15) AS a FROM __b35s GROUP BY g)"
+    )[0]["av"]) - 35.0) < 1e-9
+    # -MergeState relay: merge partials WITHOUT finalizing, then merge
+    # again (a three-level rollup tree)
+    assert run(
+        "SELECT uniqMerge(us2) AS u FROM (SELECT uniqMergeState(us)"
+        " AS us2 FROM (SELECT g, uniqState(s) AS us FROM __b35s"
+        " GROUP BY g) GROUP BY 'all')"
+    )[0]["u"] == 3
+    # groupArray states merge by concatenation
+    assert run(
+        "SELECT sort_array(groupArrayMerge(ga)) AS a FROM"
+        " (SELECT g, groupArray(s) AS ga FROM __b35s GROUP BY g)"
+    )[0]["a"] == ["a", "a", "b", "c"]
+    # ad-hoc quantileState refuses to the matview sketch path
+    with pytest.raises(ValueError, match="matview"):
+        translate("SELECT quantileState(0.5)(f) FROM t GROUP BY g")
+    for fn in ("finalizeAggregation(x)", "initializeAggregation('s', 1)",
+               "runningAccumulate(x)"):
+        with pytest.raises(ValueError, match="not SQL-translatable"):
+            translate(f"SELECT {fn} FROM t")
+
+
+def test_probe_batch35_encrypt_lp_rand_tails(views):
+    """Round-7 execution probe, batch 35 (scalar tails): AES-ECB
+    encrypt/decrypt byte-exact vs the NIST AESAVS vector, Minkowski
+    LpNorm/LpDistance, YYYYMMDDToDate32, numpy-backed parametric
+    random distributions (moment-checked), and windowed moment
+    aggregates (kurtPop(x) OVER (...) — valid ClickHouse — previously
+    emitted unparseable SQL)."""
+
+    def run(q):
+        return views.sql(translate(q).sql).collect()
+
+    # NIST SP 800-38A F.1.1 AES-128-ECB block 1: the first ciphertext
+    # block must match exactly (PKCS adds one more padding block)
+    h = run(
+        "SELECT hex(encrypt('aes-128-ecb',"
+        " unhex('6bc1bee22e409f96e93d7e117393172a'),"
+        " unhex('2b7e151628aed2a6abf7158809cf4f3c'))) AS h"
+    )[0]["h"]
+    assert h.upper().startswith("3AD77BB40D7A3660A89ECAF32466EF97")
+    r = run(
+        "SELECT decrypt('aes-128-ecb', encrypt('aes-128-ecb',"
+        " 'secret', '0123456789abcdef'), '0123456789abcdef') AS d,"
+        " tryDecrypt('aes-128-ecb',"
+        " unhex('00112233445566778899aabbccddeeff'),"
+        " '0123456789abcdef') AS t,"
+        " aes_decrypt_mysql('aes-128-ecb', aes_encrypt_mysql("
+        " 'aes-128-ecb', 'abc', '0123456789abcdef'),"
+        " '0123456789abcdef') AS m"
+    )[0]
+    assert r["d"] == "secret" and r["t"] is None and r["m"] == "abc"
+    with pytest.raises(ValueError, match="ecb"):
+        translate("SELECT encrypt('aes-128-cbc', 'x', 'k', 'iv')")
+    with pytest.raises(ValueError, match="ecb"):
+        translate("SELECT encrypt('aes-256-gcm', 'x', 'k')")
+    r = run(
+        "SELECT LpNorm([3.0, 4.0], 2) AS n2,"
+        " LpDistance([1.0, 2.0], [4.0, 6.0], 2) AS d2,"
+        " YYYYMMDDToDate32(20240305) AS d"
+    )[0]
+    assert abs(r["n2"] - 5.0) < 1e-9 and abs(r["d2"] - 5.0) < 1e-9
+    assert str(r["d"]) == "2024-03-05"
+    # parametric samplers: mean within 6 sigma of the standard error
+    # over 8k draws (poisson 5: se ~0.025; binomial(10,.5): se ~0.018)
+    views.range(8000).createOrReplaceTempView("__b35r")
+    m = run(
+        "SELECT avg(p) AS mp, avg(b) AS mb, avg(c) AS mc, avg(t) AS mt,"
+        " avg(l) AS ml, avg(nb) AS mn, avg(ff) AS mf FROM"
+        " (SELECT randPoisson(5) AS p, randBinomial(10, 0.5) AS b,"
+        " randChiSquared(3.0) AS c, randStudentT(10.0) AS t,"
+        " randLogNormal(0, 0.5) AS l, randNegativeBinomial(10, 0.5)"
+        " AS nb, randFisherF(10.0, 10.0) AS ff FROM __b35r)"
+    )[0]
+    assert abs(m["mp"] - 5) < 0.4 and abs(m["mb"] - 5) < 0.4
+    assert abs(m["mc"] - 3) < 0.4 and abs(m["mt"]) < 0.3
+    assert abs(m["ml"] - 1.1331) < 0.2 and abs(m["mn"] - 10) < 1.0
+    assert abs(m["mf"] - 1.25) < 0.4
+    # NULL parameter -> NULL draw
+    r = run("SELECT randPoisson(CAST(NULL AS DOUBLE)) AS p,"
+            " randChiSquared(CAST(NULL AS DOUBLE)) AS c")[0]
+    assert r["p"] is None and r["c"] is None
+    # windowed moments agree with the grouped spelling
+    views.sql(
+        "SELECT * FROM VALUES (1, 10.0), (1, 20.0), (1, 30.0),"
+        " (2, 40.0), (2, 50.0) AS t(g, f)"
+    ).createOrReplaceTempView("__b35w")
+    w = run("SELECT g, kurtPop(f) OVER (PARTITION BY g) AS k,"
+            " skewSamp(f) OVER (PARTITION BY g) AS sk FROM __b35w"
+            " ORDER BY g, f")
+    ggrp = run("SELECT g, kurtPop(f) AS k FROM __b35w GROUP BY g"
+               " ORDER BY g")
+    assert abs(w[0]["k"] - ggrp[0]["k"]) < 1e-9
+    for fn in ("sequenceNextNode('forward', 'first_match')(ts, s,"
+               " s = 'a', s = 'b')",
+               "flattenTuple((1, 2))", "formatQuery('select 1')"):
+        with pytest.raises(ValueError, match="not SQL-translatable"):
+            translate(f"SELECT {fn} FROM t")
