@@ -1193,8 +1193,11 @@ def _rewrite_to_start_of_interval(sql: str) -> str:
         open1 = sql.index("(", m.end() - 1)
         close1 = _call_end(sql, open1)
         args = _split_top_commas(sql[open1 + 1: close1])
-        if len(args) != 2:
-            raise ValueError("toStartOfInterval expects (expr, INTERVAL n unit)")
+        if len(args) not in (2, 3):
+            raise ValueError(
+                "toStartOfInterval expects (expr, INTERVAL n unit"
+                "[, origin])"
+            )
         im = re.match(r"^INTERVAL\s+(\d+)\s+(\w+?)s?$", args[1].strip(), re.I)
         if not im:
             raise ValueError(
@@ -1203,8 +1206,26 @@ def _rewrite_to_start_of_interval(sql: str) -> str:
         n, unit = int(im.group(1)), im.group(2).lower()
         if unit in _INTERVAL_SECONDS:
             s = n * _INTERVAL_SECONDS[unit]
-            repl = f"to_timestamp(floor(unix_timestamp({args[0]}) / {s}) * {s})"
+            if len(args) == 3:
+                # origin-anchored buckets: floor the offset FROM the
+                # origin, then shift back
+                o = f"unix_timestamp({args[2]})"
+                repl = (
+                    f"to_timestamp(floor((unix_timestamp({args[0]})"
+                    f" - {o}) / {s}) * {s} + {o})"
+                )
+            else:
+                repl = (
+                    f"to_timestamp(floor(unix_timestamp({args[0]})"
+                    f" / {s}) * {s})"
+                )
         elif unit in ("month", "quarter", "year") and n == 1:
+            if len(args) == 3:
+                raise ValueError(
+                    "toStartOfInterval: origin is only supported for"
+                    " fixed-length units (a month is not a constant"
+                    " number of seconds)"
+                )
             repl = f"date_trunc('{unit.upper()}', {args[0]})"
         else:
             raise ValueError(
@@ -1212,6 +1233,50 @@ def _rewrite_to_start_of_interval(sql: str) -> str:
                 f"length units only bucket with n=1)"
             )
         sql = sql[: m.start()] + repl + sql[close1 + 1:]
+
+
+def _rewrite_tumble(sql: str) -> str:
+    """ClickHouse window-view tumbling-window functions:
+    ``tumbleStart/tumbleEnd(t, INTERVAL n unit)`` → epoch-floor bucket
+    bounds; ``tumble(t, I)`` → the (start, end) tuple (a 2-field
+    struct, same shape the dialect's tuple literals take). Fixed-length
+    units only, like toStartOfInterval. The hopping-window family
+    refuses via _OPERATOR_ONLY_AGGS: a record belongs to SEVERAL hop
+    windows, so the scalar spelling has no single value outside a
+    WINDOW VIEW — streaming/pipeline.py sliding windows are the
+    supported path."""
+    for name in ("tumbleStart", "tumbleEnd", "tumble"):
+        while True:
+            m = _find_case_exact(sql, rf"\b{name}\s*\(")
+            if not m:
+                break
+            open1 = sql.index("(", m.end() - 1)
+            close1 = _call_end(sql, open1)
+            args = _split_top_commas(sql[open1 + 1: close1])
+            if len(args) != 2:
+                raise ValueError(f"{name} expects (expr, INTERVAL n unit)")
+            im = re.match(
+                r"^INTERVAL\s+(\d+)\s+(\w+?)s?$", args[1].strip(), re.I
+            )
+            if not im:
+                raise ValueError(f"{name}: cannot parse interval {args[1]!r}")
+            n, unit = int(im.group(1)), im.group(2).lower()
+            if unit not in _INTERVAL_SECONDS:
+                raise ValueError(
+                    f"{name}: fixed-length units only (got {unit};"
+                    " month/year windows have no constant width)"
+                )
+            s = n * _INTERVAL_SECONDS[unit]
+            base = f"floor(unix_timestamp({args[0]}) / {s}) * {s}"
+            start = f"to_timestamp({base})"
+            end = f"to_timestamp({base} + {s})"
+            repl = {
+                "tumbleStart": start,
+                "tumbleEnd": end,
+                "tumble": f"struct({start}, {end})",
+            }[name]
+            sql = sql[: m.start()] + repl + sql[close1 + 1:]
+    return sql
 
 
 # polymorphic ClickHouse scalar spellings with a same-shape Spark
@@ -1862,6 +1927,52 @@ _ARRAY_SPLICE["arrayAUC"] = {
        " (__ch_s, __ch_t) -> __ch_s + __ch_t)"
        " * (size({1}) - aggregate({1}, CAST(0.0 AS DOUBLE),"
        " (__ch_s, __ch_t) -> __ch_s + __ch_t))))",
+}
+# renamed spelling of the same ROC fold (ClickHouse 24.x+ name)
+_ARRAY_SPLICE["arrayROCAUC"] = dict(_ARRAY_SPLICE["arrayAUC"])
+# precision-recall AUC: sort (score, label) pairs by score DESC
+# (ties: negatives first — deterministic; CH leaves tie order
+# unspecified), then sum precision-at-i over the positives and divide
+# by the positive count (the rectangle rule on recall increments —
+# matches the ClickHouse doc vector 0.8333...). Zero positives -> 0.
+_PRAUC = (
+    "(CASE WHEN aggregate({1}, 0, (__ch_s, __ch_t) -> __ch_s + __ch_t)"
+    " = 0 THEN CAST(0.0 AS DOUBLE) ELSE"
+    " aggregate(array_sort(zip_with({0}, {1},"
+    " (__ch_sc, __ch_lb) -> struct(__ch_sc AS sc, __ch_lb AS lb)),"
+    " (__ch_a, __ch_b) -> CASE"
+    " WHEN __ch_a.sc > __ch_b.sc THEN -1"
+    " WHEN __ch_a.sc < __ch_b.sc THEN 1"
+    " WHEN __ch_a.lb < __ch_b.lb THEN -1"
+    " WHEN __ch_a.lb > __ch_b.lb THEN 1 ELSE 0 END),"
+    " named_struct('i', 0, 'tp', 0, 'acc', CAST(0.0 AS DOUBLE)),"
+    " (__ch_st, __ch_e) -> named_struct("
+    " 'i', __ch_st.i + 1,"
+    " 'tp', __ch_st.tp + __ch_e.lb,"
+    " 'acc', __ch_st.acc + CASE WHEN __ch_e.lb = 1 THEN"
+    " CAST(__ch_st.tp + 1 AS DOUBLE) / (__ch_st.i + 1)"
+    " ELSE CAST(0.0 AS DOUBLE) END),"
+    " __ch_st -> __ch_st.acc)"
+    " / aggregate({1}, 0, (__ch_s, __ch_t) -> __ch_s + __ch_t) END)"
+)
+_ARRAY_SPLICE["arrayPRAUC"] = {2: _PRAUC}
+_ARRAY_SPLICE["arrayAUCPR"] = {2: _PRAUC}
+# keyed sipHash spellings: role-equivalent keyed fingerprints (the
+# repo's documented xxhash64 hash-role convention — the KEY
+# participates in the input, so distinct keys give distinct streams;
+# not SipHash bit-compat, like every other hash stand-in here). The
+# key tuple arrives as one struct argument and hashes as a unit.
+_ARRAY_SPLICE["sipHash64Keyed"] = {
+    k: "xxhash64(" + ", ".join("{" + str(i) + "}" for i in range(k)) + ")"
+    for k in range(2, 6)
+}
+_ARRAY_SPLICE["sipHash128Keyed"] = {
+    k: "unhex(md5(concat_ws('\\u0001', "
+       + ", ".join(
+           "CAST({" + str(i) + "} AS STRING)" for i in range(k)
+       )
+       + ")))"
+    for k in range(2, 6)
 }
 # N x N moment matrices over the listed columns (ClickHouse corrMatrix
 # and friends): an array-of-arrays of the pairwise builtin aggregates —
@@ -4475,6 +4586,25 @@ _OPERATOR_ONLY_AGGS = {
                            " state this engine writes)",
     "flattenTuple": "explicit struct field references (struct field"
                     " names are schema, not values, in Spark SQL)",
+    # hopping windows: a record belongs to SEVERAL hop windows, so the
+    # scalar spelling has no single value outside a WINDOW VIEW
+    "hopStart": "tumbleStart (single-assignment windows) or"
+                " streaming/pipeline.py sliding windows",
+    "hopEnd": "tumbleEnd or streaming/pipeline.py sliding windows",
+    "hop": "tumble (single-assignment windows) or"
+           " streaming/pipeline.py sliding windows",
+    "geohashesInBox": "geohashEncode over an explicit lat/lon grid"
+                      " (box coverage enumeration has no SQL"
+                      " spelling here)",
+    "sparseGrams": "ngrams(s, n) / arrayShingles (the sparse-gram"
+                   " hash-pivot selection is CH-internal)",
+    "arrayEnumerateRanked": "arrayEnumerateUniq applied per nesting"
+                            " level",
+    "estimateCompressionRatio": "nothing — storage-codec"
+                                " introspection has no Spark meaning",
+    "dynamicType": "toTypeName (Dynamic columns do not exist here;"
+                   " schemas are static)",
+    "variantType": "toTypeName (Variant columns do not exist here)",
     "formatQuery": "normalizeQuery (pretty-printing needs the full CH"
                    " grammar, which this translator deliberately"
                    " does not model)",
@@ -6127,6 +6257,7 @@ def translate(
         sql = sql[: tm.start()] + f").col{tm.group(1)}" + sql[tm.end():]
         pos_t = tm.start() + 1
     sql = _rewrite_to_start_of_interval(sql)
+    sql = _rewrite_tumble(sql)
     # clause-level rewrites apply per nesting level: subqueries first
     # (innermost-out), then this level — so PREWHERE / LIMIT BY / ARRAY
     # JOIN / WITH TOTALS / SAMPLE / FINAL inside a derived table or CTE

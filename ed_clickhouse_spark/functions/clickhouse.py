@@ -757,6 +757,13 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "size(array_intersect(split(a, ''), split(b, '')))"
         " / CAST(size(array_union(split(a, ''), split(b, ''))) AS DOUBLE)",
     ),
+    # the UTF8 spelling IS this codepoint-set computation (Spark
+    # strings split per codepoint), so both names share it
+    "stringJaccardIndexUTF8": (
+        "(a STRING, b STRING) RETURNS DOUBLE",
+        "size(array_intersect(split(a, ''), split(b, '')))"
+        " / CAST(size(array_union(split(a, ''), split(b, ''))) AS DOUBLE)",
+    ),
     # distinct 4-grams (strings shorter than 4 chars contribute their
     # whole tail) — the shared kernel for ngramDistance/ngramSearch
     "chFourGrams": (
@@ -831,6 +838,19 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
     "gccMurmurHash": ("(s STRING) RETURNS BIGINT", "xxhash64(s)"),
     # 128-bit family: 16 raw bytes like CH's FixedString(16)
     "sipHash128": ("(s STRING) RETURNS BINARY", "unhex(md5(s))"),
+    # cryptographic 256-bit digest role-equivalent (SHA-256 — blake3
+    # itself has no JVM spelling; same 32-byte contract)
+    "blake3": ("(s STRING) RETURNS BINARY", "unhex(sha2(s, 256))"),
+    # 64-bit non-crypto fingerprints: the documented xxhash64 role
+    # convention (bit-compat with wyhash is not promised, the 64-bit
+    # avalanche contract is)
+    "wyHash64": ("(s STRING) RETURNS BIGINT", "xxhash64(s)"),
+    # Kafka's partitioner hash contract: NON-NEGATIVE 32-bit (Kafka
+    # masks the sign bit); murmur3 plays murmur2's role
+    "kafkaMurmurHash": (
+        "(s STRING) RETURNS INT",
+        "CAST(hash(s) & 2147483647 AS INT)",
+    ),
     "murmurHash3_128": ("(s STRING) RETURNS BINARY", "unhex(md5(s))"),
     # session-timezone offset of a timestamp, in seconds (0 under the
     # engine's pinned-UTC sessions; correct under any other tz)
@@ -2258,6 +2278,15 @@ _SQL_SCALAR_ALIASES.update(
         # display_name defaults to the hostname in ClickHouse config
         "displayName": (
             "() RETURNS STRING", f"'{_hostname_literal()}'"
+        ),
+        # query-id stand-ins: one UUID per REGISTRATION (constant
+        # within a session, like CH's constant-within-a-query id;
+        # local mode has no per-query id to surface)
+        "queryID": (
+            "() RETURNS STRING", f"'{__import__('uuid').uuid4()}'"
+        ),
+        "initialQueryID": (
+            "() RETURNS STRING", f"'{__import__('uuid').uuid4()}'"
         ),
     }
 )

@@ -3740,3 +3740,74 @@ def test_probe_batch35_encrypt_lp_rand_tails(views):
                "flattenTuple((1, 2))", "formatQuery('select 1')"):
         with pytest.raises(ValueError, match="not SQL-translatable"):
             translate(f"SELECT {fn} FROM t")
+
+
+def test_probe_batch36_windows_hashes_prauc(views):
+    """Round-7 execution probe, batch 36: window-view tumble family
+    (epoch-floor bounds; the (start, end) tuple indexes with .1/.2),
+    origin-anchored toStartOfInterval, arrayPRAUC (pinned to the
+    ClickHouse doc vector) + the arrayROCAUC rename, keyed/extra hash
+    stand-ins under the documented role conventions, UTF8 jaccard,
+    query-id stand-ins, and loud refusals for the hop family (a record
+    belongs to several hop windows — no scalar value outside a WINDOW
+    VIEW) and the Dynamic/Variant introspection tails."""
+
+    def run(q):
+        return views.sql(translate(q).sql).collect()
+
+    r = run(
+        "SELECT tumbleStart(toDateTime('2024-03-05 10:23:30'),"
+        " INTERVAL 5 MINUTE) AS s,"
+        " tumbleEnd(toDateTime('2024-03-05 10:23:30'),"
+        " INTERVAL 5 MINUTE) AS e,"
+        " tumble(toDateTime('2024-03-05 10:23:30'),"
+        " INTERVAL 5 MINUTE).2 AS t2,"
+        " toStartOfInterval(toDateTime('2024-03-05 10:23:30'),"
+        " INTERVAL 15 MINUTE, toDateTime('2024-01-01 00:10:00')) AS o"
+    )[0]
+    assert str(r["s"]) == "2024-03-05 10:20:00"
+    assert str(r["e"]) == "2024-03-05 10:25:00" and r["t2"] == r["e"]
+    # 15-min buckets anchored at :10 past the hour
+    assert str(r["o"]) == "2024-03-05 10:10:00"
+    # PR-AUC: the ClickHouse documentation vector; ROC rename agrees
+    # with arrayAUC; all-positive and no-positive edges
+    r = run(
+        "SELECT arrayPRAUC([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1]) AS pr,"
+        " arrayAUCPR([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1]) AS pr2,"
+        " arrayROCAUC([0.1, 0.4, 0.35, 0.8], [0, 0, 1, 1]) AS roc,"
+        " arrayPRAUC([0.3, 0.9], [1, 1]) AS allp,"
+        " arrayPRAUC([0.3, 0.9], [0, 0]) AS nop"
+    )[0]
+    assert abs(r["pr"] - 0.8333333333333333) < 1e-12
+    assert r["pr2"] == r["pr"] and abs(r["roc"] - 0.75) < 1e-12
+    assert r["allp"] == 1.0 and r["nop"] == 0.0
+    # keyed hashes: key participates (distinct keys -> distinct
+    # streams), stable across calls; blake3 stand-in = SHA-256 bytes
+    r = run(
+        "SELECT sipHash64Keyed((toUInt64(1), toUInt64(2)), 'x') AS a,"
+        " sipHash64Keyed((toUInt64(1), toUInt64(3)), 'x') AS b,"
+        " sipHash64Keyed((toUInt64(1), toUInt64(2)), 'x') AS c,"
+        " hex(sipHash128Keyed((toUInt64(1), toUInt64(2)), 'x')) AS d,"
+        " hex(blake3('abc')) AS bl, kafkaMurmurHash('abc') AS k,"
+        " stringJaccardIndexUTF8('hello', 'world') AS j,"
+        " length(queryID()) AS q"
+    )[0]
+    assert r["a"] != r["b"] and r["a"] == r["c"] and len(r["d"]) == 32
+    assert r["bl"] == (
+        "BA7816BF8F01CFEA414140DE5DAE2223B00361A396177A9CB410FF61F20015AD"
+    )
+    assert r["k"] >= 0 and abs(r["j"] - 2.0 / 7.0) < 1e-12
+    assert r["q"] == 36
+    for fn, alt in (
+        ("hop(ts, INTERVAL 1 MINUTE, INTERVAL 5 MINUTE)", "tumble"),
+        ("hopStart(ts, INTERVAL 1 MINUTE, INTERVAL 5 MINUTE)",
+         "tumbleStart"),
+        ("geohashesInBox(-1.0, -1.0, 1.0, 1.0, 3)", "geohashEncode"),
+        ("sparseGrams(s)", "ngrams"),
+        ("dynamicType(x)", "toTypeName"),
+        ("estimateCompressionRatio('lz4')(s)", "storage-codec"),
+    ):
+        with pytest.raises(ValueError, match=alt):
+            translate(f"SELECT {fn} FROM t")
+    with pytest.raises(ValueError, match="fixed-length"):
+        translate("SELECT tumble(ts, INTERVAL 1 MONTH) FROM t")
