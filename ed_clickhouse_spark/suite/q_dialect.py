@@ -730,3 +730,68 @@ def q231_state_merge_rollup(spark, sf_dir):
     register_sql_aliases(spark)
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(translate(_CH_STATE_ROLLUP).sql)
+
+_CH_PRAUC = """
+SELECT user_id % 4 AS cohort,
+       round(arrayPRAUC(groupArray(value),
+                        groupArray(if(event_type = 'purchase', 1, 0))),
+             6) AS pr_auc,
+       round(arrayROCAUC(groupArray(value),
+                         groupArray(if(event_type = 'purchase', 1, 0))),
+             6) AS roc_auc,
+       count() AS n
+FROM events
+GROUP BY cohort
+"""
+
+
+@query(
+    "q232_pr_auc_eval",
+    oracle="""
+    WITH scored AS (
+      SELECT user_id % 4 AS cohort, value AS score,
+             CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS lbl
+      FROM events
+    ), ranked AS (
+      SELECT cohort, lbl,
+             ROW_NUMBER() OVER (PARTITION BY cohort
+                                ORDER BY score DESC, lbl ASC) AS i,
+             SUM(lbl) OVER (PARTITION BY cohort
+                            ORDER BY score DESC, lbl ASC
+                            ROWS UNBOUNDED PRECEDING) AS tp,
+             RANK() OVER (PARTITION BY cohort ORDER BY score ASC)
+               AS rk_asc,
+             COUNT(*) OVER (PARTITION BY cohort, score) AS ties
+      FROM scored
+    )
+    SELECT cohort,
+           ROUND(SUM(CASE WHEN lbl = 1 THEN CAST(tp AS DOUBLE) / i END)
+                 / SUM(lbl), 6) AS pr_auc,
+           ROUND((SUM(CASE WHEN lbl = 1
+                           THEN rk_asc + (ties - 1) / 2.0 END)
+                  - SUM(lbl) * (SUM(lbl) + 1) / 2.0)
+                 / (SUM(lbl) * (COUNT(*) - SUM(lbl))), 6) AS roc_auc,
+           COUNT(*) AS n
+    FROM ranked
+    GROUP BY cohort
+    """,
+)
+def q232_pr_auc_eval(spark, sf_dir):
+    """Classifier-evaluation shape over event scores (round-7 batch
+    36): per-cohort precision-recall AUC and ROC AUC through the
+    ClickHouse arrayPRAUC / arrayROCAUC array aggregates, spelled
+    VERBATIM over groupArray pairs. The PR fold is one sorted
+    aggregate per group (rectangle rule on recall increments,
+    negatives-first at score ties); ROC uses the 0.5-per-tie pair
+    convention, which the oracle cross-checks through the
+    Mann-Whitney midrank identity — two independently-derived
+    formulas agreeing end-to-end. Scale shape: per-cohort arrays ride
+    one exchange (map-side-combined collect_list), the folds are pure
+    JVM codegen; at 100 TB the cohort count bounds state, not the
+    corpus (same contract as every groupArray aggregate here)."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(translate(_CH_PRAUC).sql)
