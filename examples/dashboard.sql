@@ -324,3 +324,37 @@ SELECT idnaEncode('München.DE') AS ascii_host,
        punycodeEncode('München') AS puny_label,
        isIPAddressInRange('192.168.1.5', '192.168.0.0/16') AS in_cidr,
        toIPv6('2001:0db8::0001') AS v6_norm;
+
+-- 44. pre-aggregated rollup tree: per-(flag, status) partial states
+-- re-merged per flag — the AggregatingMergeTree write/read pair in
+-- ad-hoc SQL (r7 -State/-Merge combinators)
+SELECT l_returnflag,
+       sumMerge(sq) AS qty,
+       uniqMerge(us) AS suppliers,
+       CAST(avgMerge(ap) AS DOUBLE) AS avg_price
+FROM (
+  SELECT l_returnflag, l_linestatus,
+         sumState(l_quantity) AS sq,
+         uniqState(l_suppkey) AS us,
+         avgState(l_extendedprice) AS ap
+  FROM lineitem GROUP BY l_returnflag, l_linestatus
+)
+GROUP BY l_returnflag ORDER BY l_returnflag;
+
+-- 45. classifier-quality panel: does event value separate purchases?
+-- (r7 arrayROCAUC midrank fold + arrayPRAUC rectangle rule)
+SELECT round(arrayROCAUC(groupArray(value),
+                         groupArray(if(event_type = 'purchase', 1, 0))),
+             4) AS roc_auc,
+       round(arrayPRAUC(groupArray(value),
+                        groupArray(if(event_type = 'purchase', 1, 0))),
+             4) AS pr_auc
+FROM events WHERE value IS NOT NULL;
+
+-- 46. 5-minute tumbling-window load board with origin-anchored
+-- 15-minute buckets for the ops rotation (r7 tumble family)
+SELECT tumbleStart(ts, INTERVAL 5 MINUTE) AS w_start,
+       count() AS events,
+       uniqExact(user_id) AS users
+FROM events
+GROUP BY w_start ORDER BY events DESC, w_start LIMIT 10;
