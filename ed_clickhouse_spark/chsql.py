@@ -3687,7 +3687,28 @@ _INTERVAL_FNS = {
 def _rewrite_intervals(sql: str) -> str:
     """``toIntervalDay(n)`` family → ``make_interval`` (argument can be
     any expression, so a typed SQL-UDF alias can't cover it — intervals
-    are not a UDF return type)."""
+    are not a UDF return type). The generic ``toInterval(n, 'Unit')``
+    spelling resolves its literal unit here first; a computed unit has
+    no static interval type and refuses."""
+    while True:
+        m = _find_case_exact(sql, r"\btoInterval\s*\(")
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        um = (
+            re.fullmatch(r"'(\w+?)s?'", args[1].strip(), re.I)
+            if len(args) == 2 else None
+        )
+        target = f"toInterval{um.group(1).capitalize()}" if um else None
+        if target not in _INTERVAL_FNS:
+            raise ValueError(
+                "toInterval translates only with a literal unit in"
+                " Year/Quarter/Month/Week/Day/Hour/Minute/Second —"
+                " a computed unit has no static interval type"
+            )
+        sql = sql[: m.start()] + f"{target}({args[0]})" + sql[close1 + 1:]
     for name, template in _INTERVAL_FNS.items():
         while True:
             m = _find_case_exact(sql, rf"\b{name}\s*\(")
@@ -4624,6 +4645,59 @@ _OPERATOR_ONLY_AGGS = {
     "dynamicType": "toTypeName (Dynamic columns do not exist here;"
                    " schemas are static)",
     "variantType": "toTypeName (Variant columns do not exist here)",
+    # sketch-state writers with no mergeable Spark twin
+    "topKState": "topK(k)(x) directly (the heavy-hitters sketch has"
+                 " no mergeable Spark representation)",
+    "histogramState": "the q138 equal-width histogram pattern",
+    # H3/S2 cell indexing needs the vendor libraries; geohash/morton
+    # are the supported spatial keys
+    "geoToH3": "geohashEncode or mortonEncode (H3 needs the h3 lib)",
+    "h3ToGeo": "geohashDecode or mortonDecode",
+    "h3ToGeoBoundary": "geohashDecode cell corners",
+    "geoToS2": "geohashEncode or mortonEncode (S2 needs the s2 lib)",
+    "s2ToGeo": "geohashDecode or mortonDecode",
+    # boost::geometry polygon algebra has no SQL spelling here;
+    # pointInPolygon is the supported predicate
+    "polygonAreaCartesian": "pointInPolygon for membership (polygon"
+                            " algebra needs a geometry kernel)",
+    "polygonAreaSpherical": "pointInPolygon",
+    "polygonPerimeterCartesian": "pointInPolygon",
+    "polygonPerimeterSpherical": "pointInPolygon",
+    "polygonsIntersectionCartesian": "pointInPolygon",
+    "polygonsIntersectionSpherical": "pointInPolygon",
+    "polygonsUnionCartesian": "pointInPolygon",
+    "polygonsUnionSpherical": "pointInPolygon",
+    "wkt": "concat() over explicit coordinates (no geometry types"
+           " here)",
+    "svg": "concat() over explicit coordinates",
+    "readWKTPoint": "a (lon, lat) tuple literal",
+    "readWKTLineString": "an array of (lon, lat) tuples",
+    "readWKTMultiLineString": "arrays of (lon, lat) tuple arrays",
+    "readWKTPolygon": "arrays of (lon, lat) tuple rings",
+    "readWKTMultiPolygon": "arrays of polygon rings",
+    "readWKTRing": "an array of (lon, lat) tuples",
+    # the 25.x PromQL-style grid resample family: the engine's
+    # time-bucketing operators are the supported path
+    "timeSeriesRateToGrid": "the -Resample combinator or"
+                            " operators/windows.py:time_decayed",
+    "timeSeriesInstantRateToGrid": "the -Resample combinator",
+    "timeSeriesDeltaToGrid": "the -Resample combinator",
+    "timeSeriesInstantDeltaToGrid": "the -Resample combinator",
+    "timeSeriesResampleToGridWithStaleness": "the -Resample"
+                                             " combinator",
+    "evalMLMethod": "Spark MLlib model scoring outside SQL",
+    "catboostEvaluate": "Spark MLlib model scoring outside SQL",
+    "globalVariable": "spark.conf.get outside SQL (like getSetting)",
+    "transactionID": "nothing — this engine has no interactive"
+                     " transactions (writes are atomic per batch)",
+    "transactionLatestSnapshot": "nothing — no interactive"
+                                 " transactions",
+    "icebergTruncate": "substring(s, 1, w) for strings or"
+                       " x - pmod(x, w) for integers (the transform"
+                       " is type-dispatched in Iceberg, which a"
+                       " textual translation cannot see)",
+    "arrayLevenshteinDistanceWeighted": "arrayLevenshteinDistance"
+                                        " (uniform costs)",
     "formatQuery": "normalizeQuery (pretty-printing needs the full CH"
                    " grammar, which this translator deliberately"
                    " does not model)",
@@ -4749,6 +4823,21 @@ _AGG_NAME_MAP = {
     "uniqState": "hll_sketch_agg",
     "uniqMergeState": "hll_union_agg",
     "uniqExactState": "collect_set",
+    # the uniq VARIANT spellings (Combined/HLL12/Theta) all write the
+    # same mergeable HLL sketch family here (their -Merge reads are
+    # wrapped above); accuracy class matches the plain uniq mapping
+    "uniqCombined64State": "hll_sketch_agg",
+    "uniqCombinedState": "hll_sketch_agg",
+    "uniqHLL12State": "hll_sketch_agg",
+    "uniqThetaState": "hll_sketch_agg",
+    "uniqCombined64MergeState": "hll_union_agg",
+    "uniqCombinedMergeState": "hll_union_agg",
+    "uniqHLL12MergeState": "hll_union_agg",
+    "uniqThetaMergeState": "hll_union_agg",
+    # groupArray states ARE the collected arrays (their -Merge
+    # concatenation forms are spliced below)
+    "groupArrayState": "collect_list",
+    "groupUniqArrayState": "collect_set",
     "sumState": "sum",
     "countState": "count",
     "minState": "min",
@@ -4921,7 +5010,7 @@ def _rewrite_agg_spellings(sql: str) -> str:
     while True:
         m = _find_top_anywhere(
             sql,
-            r"\b(quantiles?)((?:Exact(?:Weighted|Low|High|Inclusive|Exclusive)?|InterpolatedWeighted|TDigest(?:Weighted)?|Timing(?:Weighted)?|BFloat16(?:Weighted)?|Deterministic|DD|GK)?)(If)?\s*\(",
+            r"\b(quantiles?)((?:Exact(?:WeightedInterpolated|Weighted|Low|High|Inclusive|Exclusive)?|InterpolatedWeighted|TDigest(?:Weighted)?|Timing(?:Weighted)?|BFloat16(?:Weighted)?|Deterministic|DD|GK)?)(If)?\s*\(",
         )
         if not m:
             break
@@ -4932,7 +5021,8 @@ def _rewrite_agg_spellings(sql: str) -> str:
         # Weighted) map to Spark's exact weighted percentile — a more
         # precise stand-in for CH's approximation
         weighted = variant in (
-            "ExactWeighted", "InterpolatedWeighted", "TDigestWeighted",
+            "ExactWeighted", "ExactWeightedInterpolated",
+            "InterpolatedWeighted", "TDigestWeighted",
             "TimingWeighted", "BFloat16Weighted",
         )
         has_if = bool(m.group(3))
@@ -5106,7 +5196,8 @@ def _rewrite_agg_spellings(sql: str) -> str:
         # argument out on non-matching rows (collect_list skips NULLs)
         m = _find_case_exact(
             sql,
-            r"\b(sum|min|max)(?:Map|MappedArrays)(?:WithOverflow)?(If)?\s*\(",
+            r"\b(sum|min|max|avg|count|uniq)(?:Map|MappedArrays)"
+            r"(?:WithOverflow)?(If)?\s*\(",
         )
         if not m:
             break
@@ -5137,19 +5228,41 @@ def _rewrite_agg_spellings(sql: str) -> str:
             )
         else:
             raise ValueError(f"{fname} expects (map) or (keys, values)")
-        init = (
-            "CAST(0.0 AS DOUBLE)" if fname == "sumMap"
-            else "CAST(NULL AS DOUBLE)"
-        )
+        # per-key value expression: sum/min/max are _MAP_MERGE folds;
+        # the r7 -Map combinator extensions derive from the same
+        # filtered-entries frame (count = entry count, avg = sum/count,
+        # uniq = exact distinct values — deterministic, and a per-key
+        # array is already materialized here)
+        keyed = f"filter({entries}, __ch_e -> __ch_e.key = __ch_k)"
+        if fname in _MAP_MERGE:
+            init = (
+                "CAST(0.0 AS DOUBLE)" if fname == "sumMap"
+                else "CAST(NULL AS DOUBLE)"
+            )
+            value = (
+                f"aggregate({keyed}, {init},"
+                f" (__ch_s, __ch_e) -> {_MAP_MERGE[fname]})"
+            )
+        elif fname == "countMap":
+            value = f"size({keyed})"
+        elif fname == "avgMap":
+            value = (
+                f"aggregate({keyed}, CAST(0.0 AS DOUBLE),"
+                f" (__ch_s, __ch_e) -> __ch_s + __ch_e.value)"
+                f" / size({keyed})"
+            )
+        else:  # uniqMap
+            value = (
+                f"size(array_distinct(transform({keyed},"
+                f" __ch_e -> __ch_e.value)))"
+            )
         # {entries} carries user text inside lambda bodies below, so the
         # lambda vars must be collision-improbable names
         expr = (
             f"map_from_entries(array_sort(transform("
             f"array_distinct(transform({entries}, __ch_e -> __ch_e.key)),"
             f" __ch_k -> struct(__ch_k AS key,"
-            f" aggregate(filter({entries}, __ch_e -> __ch_e.key = __ch_k),"
-            f" {init},"
-            f" (__ch_s, __ch_e) -> {_MAP_MERGE[fname]}) AS value))))"
+            f" {value} AS value))))"
         )
         sql = sql[: m.start()] + expr + sql[close1 + 1:]
     # approx_top_* aliases of the topK family — rename only the
@@ -5513,18 +5626,26 @@ def _rewrite_agg_spellings(sql: str) -> str:
             )
             sql = sql[: hit.start()] + repl + sql[close1 + 1:]
     # uniqMerge(state): merge HLL partials, then estimate — the read
-    # side of the matview/projection uniqState storage (hll_sketch_agg)
-    while True:
-        m = _find_case_exact(sql, r"\buniqMerge\s*\(")
-        if not m:
-            break
-        open1 = sql.index("(", m.end() - 1)
-        close1 = _call_end(sql, open1)
-        sql = (
-            sql[: m.start()]
-            + f"hll_sketch_estimate(hll_union_agg({sql[open1 + 1: close1]}))"
-            + sql[close1 + 1:]
-        )
+    # side of the matview/projection uniqState storage (hll_sketch_agg).
+    # The uniq VARIANT spellings (Combined/HLL12/Theta) write the same
+    # sketch family here, so their -Merge forms read identically.
+    for _umerge in (
+        "uniqCombined64Merge", "uniqCombinedMerge", "uniqHLL12Merge",
+        "uniqThetaMerge", "uniqMerge",
+    ):
+        while True:
+            m = _find_case_exact(sql, rf"\b{_umerge}\s*\(")
+            if not m:
+                break
+            open1 = sql.index("(", m.end() - 1)
+            close1 = _call_end(sql, open1)
+            sql = (
+                sql[: m.start()]
+                + "hll_sketch_estimate(hll_union_agg("
+                + sql[open1 + 1: close1]
+                + "))"
+                + sql[close1 + 1:]
+            )
     # quantileMerge(p)(state): states are DDSketch log-bucket histogram
     # maps (streaming/matview.py) — merge cell-wise across rows, then
     # walk with the registered chDDQuantile read-out
@@ -5598,6 +5719,22 @@ def _rewrite_agg_spellings(sql: str) -> str:
          "array_distinct(flatten(collect_list({x})))"),
         ("groupArrayMergeState", "flatten(collect_list({x}))"),
         ("groupArrayMerge", "flatten(collect_list({x}))"),
+        # argMax/argMin states carry (value-at-extreme, extreme-key);
+        # re-merging picks the value whose stored key wins again.
+        # Ties break like the base argMax/argMin mapping (max_by/min_by,
+        # arbitrary among tied keys).
+        ("argMaxMergeState",
+         "named_struct('v', max_by(({0}).v, ({0}).k),"
+         " 'k', max(({0}).k))"),
+        ("argMinMergeState",
+         "named_struct('v', min_by(({0}).v, ({0}).k),"
+         " 'k', min(({0}).k))"),
+        ("argMaxMerge", "max_by(({0}).v, ({0}).k)"),
+        ("argMinMerge", "min_by(({0}).v, ({0}).k)"),
+        ("argMaxState",
+         "named_struct('v', max_by({0}, {1}), 'k', max({1}))"),
+        ("argMinState",
+         "named_struct('v', min_by({0}, {1}), 'k', min({1}))"),
     ):
         while True:
             m = _find_case_exact(sql, rf"\b{name}\s*\(")
@@ -5605,11 +5742,16 @@ def _rewrite_agg_spellings(sql: str) -> str:
                 break
             open1 = sql.index("(", m.end() - 1)
             close1 = _call_end(sql, open1)
-            sql = (
-                sql[: m.start()]
-                + tpl.format(x=sql[open1 + 1: close1])
-                + sql[close1 + 1:]
-            )
+            body = sql[open1 + 1: close1]
+            if "{0}" in tpl:
+                args = _split_top_commas(body)
+                need = 2 if "{1}" in tpl else 1
+                if len(args) != need:
+                    raise ValueError(f"{name} expects {need} argument(s)")
+                repl = tpl.format(*args)
+            else:
+                repl = tpl.format(x=body)
+            sql = sql[: m.start()] + repl + sql[close1 + 1:]
     for name, target in _AGG_NAME_MAP.items():
         while True:
             # case-sensitive: compile without re.I (CH names are exact)

@@ -3811,3 +3811,79 @@ def test_probe_batch36_windows_hashes_prauc(views):
             translate(f"SELECT {fn} FROM t")
     with pytest.raises(ValueError, match="fixed-length"):
         translate("SELECT tumble(ts, INTERVAL 1 MONTH) FROM t")
+
+
+def test_probe_batch37_map_combinators_and_state_tails(views):
+    """Round-7 execution probe, batch 37: the -Map combinator extends
+    to avg/count/uniq (per-key aggregation of map columns), the uniq
+    VARIANT -State/-Merge spellings ride the same HLL sketch family as
+    uniqState, argMax/argMin states carry (value, key) structs that
+    re-merge exactly, the generic toInterval('Unit') resolves literal
+    units, quantileExactWeightedInterpolated joins the weighted-exact
+    family, and the h3/s2/polygon/WKT/PromQL-grid tails refuse loudly
+    with pointers."""
+    views.sql(
+        "SELECT * FROM VALUES (1, 'a', 10.0, map('x', 1, 'y', 2)),"
+        " (1, 'b', 20.0, map('x', 3)), (2, 'c', 40.0, map('y', 5))"
+        " AS t(g, s, f, m)"
+    ).createOrReplaceTempView("__b37")
+
+    def run(q):
+        return views.sql(translate(q).sql).collect()
+
+    r = run(
+        "SELECT avgMap(m) AS a, countMap(m) AS c, uniqMap(m) AS u"
+        " FROM __b37"
+    )[0]
+    assert r["a"] == {"x": 2.0, "y": 3.5}
+    assert r["c"] == {"x": 2, "y": 2} and r["u"] == {"x": 2, "y": 2}
+    # uniq variant states merge through the same sketch family
+    assert run(
+        "SELECT uniqCombinedMerge(st) AS u FROM (SELECT g,"
+        " uniqCombinedState(s) AS st FROM __b37 GROUP BY g)"
+    )[0]["u"] == 3
+    assert run(
+        "SELECT uniqThetaMerge(st) AS u FROM (SELECT g,"
+        " uniqHLL12State(s) AS st FROM __b37 GROUP BY g)"
+    )[0]["u"] == 3
+    # argMax state/merge roundtrip equals the direct aggregate
+    r = run(
+        "SELECT argMaxMerge(st) AS v FROM (SELECT g,"
+        " argMaxState(s, f) AS st FROM __b37 GROUP BY g)"
+    )[0]
+    direct = run("SELECT argMax(s, f) AS v FROM __b37")[0]
+    assert r["v"] == direct["v"] == "c"
+    r = run(
+        "SELECT argMinMerge(st) AS v FROM (SELECT g,"
+        " argMinState(s, f) AS st FROM __b37 GROUP BY g)"
+    )[0]
+    assert r["v"] == "a"
+    # groupArray state relays
+    assert sorted(run(
+        "SELECT groupArrayMerge(st) AS a FROM (SELECT g,"
+        " groupArrayState(s) AS st FROM __b37 GROUP BY g)"
+    )[0]["a"]) == ["a", "b", "c"]
+    # weighted-interpolated quantile joins the exact-weighted family
+    assert run(
+        "SELECT quantileExactWeightedInterpolated(0.5)(f, g) AS q"
+        " FROM __b37"
+    )[0]["q"] is not None
+    # generic toInterval with a literal unit
+    r = run(
+        "SELECT toDateTime('2024-03-05 10:00:00')"
+        " + toInterval(90, 'Minute') AS t"
+    )[0]
+    assert str(r["t"]) == "2024-03-05 11:30:00"
+    with pytest.raises(ValueError, match="literal unit"):
+        translate("SELECT toInterval(1, s) FROM t")
+    for fn, alt in (
+        ("geoToH3(37.79, 55.71, 15)", "h3 lib"),
+        ("polygonAreaCartesian([[(0., 0.)]])", "pointInPolygon"),
+        ("readWKTPoint('POINT (1 2)')", "tuple"),
+        ("timeSeriesRateToGrid(1, 10, 2, 5)([1], [1.0])", "Resample"),
+        ("evalMLMethod(f)", "MLlib"),
+        ("topKState(2)(s)", "topK"),
+        ("icebergTruncate(3, s)", "substring"),
+    ):
+        with pytest.raises(ValueError, match=alt):
+            translate(f"SELECT {fn} FROM t")
