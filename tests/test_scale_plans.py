@@ -440,3 +440,30 @@ def test_q228_q229_plan_shapes(spark):
     assert "Generate" in p  # the ARRAY JOIN explode
     n_ex = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
     assert n_ex <= 1, n_ex
+
+
+def test_q231_q232_plan_shapes(spark):
+    """q231 (state/merge rollup tree): exactly the two aggregation
+    levels its docstring claims — two exchanges (one per GROUP BY),
+    both map-side combined, no joins, no Python. q232 (PR/ROC AUC):
+    one group-key exchange feeding collect_list partials, the AUC
+    folds pure codegen over the grouped arrays — no O(n^2) shape, no
+    joins, no Python (the old pair-matrix arrayAUC died here at
+    sf0.1's 250k-score cohorts)."""
+    import re
+
+    spark.catalog.clearCache()
+    p = _plan(QUERIES["q231_state_merge_rollup"](spark, "/root/testdata/sf0.001"))
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "Python" not in p and "BatchEvalPython" not in p
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+    assert n_ex == 2, n_ex
+    # partial aggregation on both levels: at least two HashAggregate
+    # pairs (partial + final per GROUP BY)
+    n_agg = len(re.findall(r"HashAggregate", p))
+    assert n_agg >= 4, n_agg
+    p = _plan(QUERIES["q232_pr_auc_eval"](spark, "/root/testdata/sf0.001"))
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "Python" not in p and "BatchEvalPython" not in p
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+    assert n_ex <= 2, n_ex  # group-key shuffle (+AQE final coalesce)
