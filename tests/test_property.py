@@ -1052,3 +1052,104 @@ def test_resample_combinator_matches_python_reference(spark):
         ws, wc = want[r["g"]]
         assert list(r["c"]) == wc, r["g"]
         assert list(r["s"]) == pytest.approx(ws, abs=1e-9), r["g"]
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 3),          # outer group
+            st.integers(0, 2),          # inner split
+            st.integers(-50, 50),       # value
+            st.sampled_from("abcdef"),  # entity
+        ),
+        min_size=1,
+        max_size=30,
+    )
+)
+@_SET
+def test_state_merge_roundtrip_equals_direct(spark, rows):
+    """The r7 -State/-Merge combinator pair is a homomorphism: writing
+    per-(g, h) partial states and re-merging per g must equal the
+    direct one-level aggregate for EVERY split of the data — the
+    algebraic contract AggregatingMergeTree relies on. Checked for
+    sum/count/min/max/avg/uniqExact (exact) and uniq (HLL — exact at
+    these cardinalities, <= 6 distinct entities)."""
+    from ed_clickhouse_spark.chsql import translate
+
+    df = spark.createDataFrame(rows, "g int, h int, v int, s string")
+    df.createOrReplaceTempView("__prop_sm")
+    merged = {
+        r["g"]: r
+        for r in spark.sql(
+            translate(
+                "SELECT g, sumMerge(ss) AS sm, countMerge(cs) AS c,"
+                " minMerge(mns) AS mn, maxMerge(mxs) AS mx,"
+                " avgMerge(avs) AS av, uniqExactMerge(ues) AS ue,"
+                " uniqMerge(us) AS u"
+                " FROM (SELECT g, h, sumState(v) AS ss,"
+                "   countState() AS cs, minState(v) AS mns,"
+                "   maxState(v) AS mxs, avgState(v) AS avs,"
+                "   uniqExactState(s) AS ues, uniqState(s) AS us"
+                "   FROM __prop_sm GROUP BY g, h)"
+                " GROUP BY g"
+            ).sql
+        ).collect()
+    }
+    from collections import defaultdict
+
+    model = defaultdict(list)
+    for g, _h, v, s in rows:
+        model[g].append((v, s))
+    assert set(merged) == set(model)
+    for g, vals in model.items():
+        vs = [v for v, _ in vals]
+        got = merged[g]
+        assert got["sm"] == sum(vs) and got["c"] == len(vs)
+        assert got["mn"] == min(vs) and got["mx"] == max(vs)
+        assert abs(float(got["av"]) - sum(vs) / len(vs)) < 1e-9
+        n_distinct = len({s for _, s in vals})
+        assert got["ue"] == n_distinct
+        assert got["u"] == n_distinct  # HLL exact at <= 6 entities
+
+
+@given(
+    maps=st.lists(
+        st.dictionaries(
+            st.sampled_from("xyz"), st.integers(-20, 20), max_size=3
+        ),
+        min_size=1,
+        max_size=12,
+    )
+)
+@_SET
+def test_map_combinator_matches_python_model(spark, maps):
+    """The r7 -Map combinator extensions (avgMap/countMap/uniqMap)
+    and the preexisting sumMap/minMap/maxMap against a literal per-key
+    Python model over random map rows."""
+    from ed_clickhouse_spark.chsql import translate
+
+    df = spark.createDataFrame(
+        [(m,) for m in maps], "m map<string, int>"
+    )
+    df.createOrReplaceTempView("__prop_map")
+    got = spark.sql(
+        translate(
+            "SELECT sumMap(m) AS s, minMap(m) AS mn, maxMap(m) AS mx,"
+            " avgMap(m) AS av, countMap(m) AS c, uniqMap(m) AS u"
+            " FROM __prop_map"
+        ).sql
+    ).collect()[0]
+    from collections import defaultdict
+
+    per_key = defaultdict(list)
+    for m in maps:
+        for k, v in m.items():
+            per_key[k].append(v)
+    want_keys = set(per_key)
+    for field in ("s", "mn", "mx", "av", "c", "u"):
+        assert set(got[field] or {}) == want_keys, field
+    for k, vs in per_key.items():
+        assert got["s"][k] == sum(vs) and got["c"][k] == len(vs)
+        assert got["mn"][k] == min(vs) and got["mx"][k] == max(vs)
+        assert abs(got["av"][k] - sum(vs) / len(vs)) < 1e-9
+        assert got["u"][k] == len(set(vs))
