@@ -1044,6 +1044,161 @@ def _refuse_io_table_functions(sql: str) -> str:
                 " — read the source with sources/io.py / spark.read"
                 " and register a view"
             )
+    # generator/testing TVFs and statement forms with no Spark twin
+    for name, alt in (
+        ("generateRandom", "the rand/randNormal/randPoisson scalar"
+                           " family over numbers(N)"),
+        ("input", "transforming the DataFrame before Engine.insert"
+                  " (input() is an insert-time cast)"),
+        ("loop", "CROSS JOIN numbers(N) for bounded repetition"),
+        ("fuzzQuery", "nothing — a ClickHouse testing TVF"),
+        ("fuzzJSON", "nothing — a ClickHouse testing TVF"),
+    ):
+        if _find_top_anywhere(sql, rf"\b(?:FROM|JOIN)\s+{name}\s*\("):
+            raise ValueError(
+                f"the {name}() table function is not SQL-translatable"
+                f" — use {alt}"
+            )
+    if re.match(r"\s*WATCH\b", sql, re.I):
+        raise ValueError(
+            "WATCH (live views) is not implemented — use"
+            " streaming/pipeline.py readStream + matview partials"
+        )
+    if re.match(r"\s*EXISTS\s+(TABLE|VIEW|DATABASE|DICTIONARY)?\s*\w",
+                sql, re.I):
+        raise ValueError(
+            "EXISTS TABLE is not SQL-translatable — use"
+            " spark.catalog.tableExists"
+        )
+    if _find_top_anywhere(sql, r"(?i)\bINTO\s+OUTFILE\b"):
+        raise ValueError(
+            "INTO OUTFILE is not SQL-translatable — write the result"
+            " with sources/io.py / df.write (format + path options)"
+        )
+    return sql
+
+
+def _parse_ch_schema_literal(lit: str, ctx: str) -> list[tuple[str, str]]:
+    """'x UInt8, s String' → [('x', 'SMALLINT'), ('s', 'STRING')] via
+    the cast-position type map; raises naming the context on an
+    unknown type (no silent STRING fallback)."""
+    cols = []
+    for item in _split_top_commas(lit):
+        pm = re.fullmatch(r"\s*`?(\w+)`?\s+(.+?)\s*", item)
+        if not pm:
+            raise ValueError(f"{ctx}: cannot parse schema item {item!r}")
+        tname = pm.group(2).strip()
+        nm = re.fullmatch(r"Nullable\s*\((.+)\)", tname, re.I)
+        if nm:
+            tname = nm.group(1).strip()
+        spark_t = _CH_TYPE_NAMES.get(tname.lower())
+        if spark_t is None:
+            raise ValueError(
+                f"{ctx}: unsupported column type {tname!r} in the"
+                " schema literal"
+            )
+        cols.append((pm.group(1), spark_t))
+    return cols
+
+
+def _rewrite_inline_table_functions(sql: str) -> str:
+    """ClickHouse's literal-schema table functions:
+
+    - ``values('x UInt8, ...', rows...)`` → an inline typed VALUES
+      subquery. Spark has a same-named TVF with DIFFERENT semantics
+      (each argument is a column of ONE row), so without this rewrite
+      the CH spelling runs and silently returns garbage — the one case
+      worse than an unresolved error. Only the CH form (first argument
+      a 'name Type' schema string literal) rewrites; Spark's own
+      ``FROM VALUES (...), (...)`` shape is left untouched.
+    - ``null('schema')`` → a typed ZERO-row relation (CH's null engine
+      discards; reading it is empty).
+    - ``view(SELECT ...)`` → a plain subquery."""
+    while True:
+        m = _find_top_anywhere(
+            sql, r"(?i)\b(?:FROM|JOIN)\s+(values|null)\s*\("
+        )
+        if not m:
+            break
+        fname = m.group(1).lower()
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        sm = re.fullmatch(r"\s*'([^']+)'\s*", args[0]) if args else None
+        cols = None
+        if sm and (fname == "null" or " " in sm.group(1)):
+            try:
+                cols = _parse_ch_schema_literal(sm.group(1), f"{fname}()")
+            except ValueError:
+                if fname == "null":
+                    raise
+                cols = None  # a string row value, not a CH schema
+        if cols is None:
+            if fname == "values":
+                # Spark's own VALUES clause / TVF — leave untouched
+                break
+            raise ValueError(
+                "null() expects a 'name Type, ...' schema string"
+            )
+        head = sql[m.start(): m.start(1)]
+        rows = [a.strip() for a in args[1:]]
+        if fname == "null" or not rows:
+            sel = ", ".join(
+                f"CAST(NULL AS {t}) AS {n}" for n, t in cols
+            )
+            repl = f"(SELECT {sel} WHERE false) AS __ch_{fname}"
+        else:
+            if len(cols) > 1:
+                bad = [r for r in rows if not r.startswith("(")]
+                if bad:
+                    raise ValueError(
+                        "values(): multi-column rows must be tuples"
+                    )
+                vals = ", ".join(rows)
+            else:
+                vals = ", ".join(f"({r})" for r in rows)
+            names = ", ".join(n for n, _ in cols)
+            sel = ", ".join(f"CAST({n} AS {t}) AS {n}" for n, t in cols)
+            repl = (
+                f"(SELECT {sel} FROM VALUES {vals}"
+                f" AS __ch_vrows({names})) AS __ch_values"
+            )
+        sql = sql[: m.start()] + head + repl + sql[close1 + 1:]
+    while True:
+        m = _find_top_anywhere(
+            sql, r"(?i)\b(?:FROM|JOIN)\s+view\s*\(\s*(?=SELECT|WITH\b)"
+        )
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        head = sql[m.start(): open1]
+        head = head[: head.lower().rindex("view")]
+        sql = (
+            sql[: m.start()] + head
+            + "(" + sql[open1 + 1: close1] + ")"
+            + sql[close1 + 1:]
+        )
+    # ANSI OFFSET ... FETCH (CH supports both spellings): LIMIT/OFFSET
+    # is the Spark form. FETCH ... WITH TIES refuses to the supported
+    # LIMIT n WITH TIES spelling (that rewrite has already run by now).
+    while True:
+        m = _find_top_anywhere(
+            sql,
+            r"(?i)\b(?:OFFSET\s+(\d+)\s+ROWS?\s+)?FETCH\s+(?:FIRST|NEXT)"
+            r"\s+(\d+)\s+ROWS?\s+(ONLY|WITH\s+TIES)",
+        )
+        if not m:
+            break
+        if m.group(3).upper() != "ONLY":
+            raise ValueError(
+                "FETCH ... WITH TIES: use LIMIT n WITH TIES (the"
+                " translated spelling)"
+            )
+        repl = f"LIMIT {m.group(2)}"
+        if m.group(1) is not None:
+            repl += f" OFFSET {m.group(1)}"
+        sql = sql[: m.start()] + repl + sql[m.end():]
     return sql
 
 
@@ -6431,6 +6586,7 @@ def _apply_clause_rewrites(sql: str, specs: dict | None) -> str:
     """The clause-level rewrite chain for ONE nesting level (each
     rewriter scans top-level tokens of the string it is given)."""
     sql = _refuse_io_table_functions(sql)
+    sql = _rewrite_inline_table_functions(sql)
     sql = _rewrite_numbers(sql)
     sql = _rewrite_sample(sql, specs)
     sql = _rewrite_any_join(sql, specs)

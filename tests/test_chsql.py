@@ -3887,3 +3887,49 @@ def test_probe_batch37_map_combinators_and_state_tails(views):
     ):
         with pytest.raises(ValueError, match=alt):
             translate(f"SELECT {fn} FROM t")
+
+
+def test_probe_batch38_inline_tvfs_and_statement_tails(views):
+    """Round-7 execution probe, batch 38: ClickHouse's literal-schema
+    values() TVF — which previously ran through Spark's same-named TVF
+    and silently returned ONE row of garbage (the worst failure class:
+    no error, wrong data) — now expands to a typed inline VALUES
+    subquery; null('schema') is a typed zero-row relation; view(...)
+    unwraps; ANSI OFFSET/FETCH becomes LIMIT/OFFSET; and
+    WATCH/EXISTS TABLE/INTO OUTFILE/generateRandom/input/loop refuse
+    loudly. Spark's own FROM VALUES shapes stay untouched."""
+
+    def run(q):
+        return views.sql(translate(q).sql).collect()
+
+    r = run("SELECT * FROM values('x UInt8', 1, 2, 3) ORDER BY x")
+    assert [row["x"] for row in r] == [1, 2, 3]
+    r = run("SELECT s FROM values('a UInt8, s String', (1, 'p'),"
+            " (2, 'q')) ORDER BY a")
+    assert [row["s"] for row in r] == ["p", "q"]
+    assert run("SELECT * FROM values('x UInt8')") == []
+    assert run("SELECT count(*) AS c FROM null('x UInt8, s String')"
+               )[0]["c"] == 0
+    # Spark-native VALUES forms must pass through untouched — even
+    # with a spacey string first element
+    r = run("SELECT * FROM VALUES ('x y', 1) AS t(a, b)")
+    assert r[0]["a"] == "x y"
+    r = run("SELECT * FROM view(SELECT 1 AS x UNION ALL SELECT 2)"
+            " ORDER BY x")
+    assert [row["x"] for row in r] == [1, 2]
+    r = run("SELECT x FROM (SELECT 1 AS x UNION ALL SELECT 2"
+            " UNION ALL SELECT 3) ORDER BY x"
+            " OFFSET 1 ROW FETCH FIRST 1 ROWS ONLY")
+    assert [row["x"] for row in r] == [2]
+    for stmt, alt in (
+        ("WATCH lv", "streaming/pipeline"),
+        ("EXISTS TABLE t", "tableExists"),
+        ("SELECT x FROM t INTO OUTFILE '/tmp/o.csv'", "df.write"),
+        ("SELECT * FROM generateRandom('x UInt8')", "randNormal"),
+        ("SELECT * FROM input('x UInt8')", "Engine.insert"),
+        ("SELECT * FROM loop(numbers(3))", "numbers"),
+        ("SELECT x FROM t ORDER BY x FETCH FIRST 2 ROWS WITH TIES",
+         "WITH TIES"),
+    ):
+        with pytest.raises(ValueError, match=alt):
+            translate(stmt)
