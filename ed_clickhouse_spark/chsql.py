@@ -1507,6 +1507,9 @@ _SCALAR_RENAMES = {
     # (functions/randdist.register_randdist; randUniform/randNormal/
     # randExponential/randLogNormal stay JVM-side as rand()/randn()
     # transforms)
+    "substringIndexUTF8": "substring_index",
+    "currentQueryID": "queryID",
+    "connection_id": "connectionId",
     "randPoisson": "ch_rand_poisson",
     "randBinomial": "ch_rand_binomial",
     "randNegativeBinomial": "ch_rand_negative_binomial",
@@ -1942,6 +1945,15 @@ _SPLICE_PASSTHROUGH = {
     # 2-arg pad forms splice a default ' '; 3-arg falls through to the
     # SQL alias. trunc's 2-arg form is Spark's own date trunc.
     "leftPad", "rightPad", "leftPadUTF8", "rightPadUTF8", "trunc",
+    # 1-arg fromUnixTimestamp is the SQL-alias timestamp conversion;
+    # the 2-arg formatted spellings splice below
+    "fromUnixTimestamp",
+}
+# the Joda spelling takes JDK patterns, which date_format speaks
+# natively (the %-format 2-arg fromUnixTimestamp rewrites ahead of the
+# formatDateTime %-conversion pass instead)
+_ARRAY_SPLICE["fromUnixTimestampInJodaSyntax"] = {
+    2: "date_format(timestamp_seconds({0}), {1})",
 }
 # r6 execution-probe batch 19: spellings that died at run time
 _ARRAY_SPLICE["leftPad"] = {2: "lpad({0}, {1}, ' ')"}
@@ -2685,6 +2697,38 @@ def _rewrite_scalar_misc(sql: str) -> str:
             expr = f"date_sub(CAST(({x}) AS DATE), dayofweek({x}) - 1)"
         sql = sql[: m.start()] + expr + sql[close1 + 1:]
         pos = m.start()
+    # 2-arg fromUnixTimestamp(x, '%F') formats with CH %-codes — spell
+    # it as formatDateTime over the converted timestamp HERE so the
+    # %-conversion pass just below picks it up (the 1-arg form is the
+    # plain SQL-alias conversion). now('tz') renders the instant in a
+    # named zone — convert_timezone from the pinned-UTC session.
+    pos = 0
+    fut_rx = re.compile(r"\bfromUnixTimestamp\s*\(")
+    while True:
+        m = fut_rx.search(sql, pos)
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        if len(args) != 2:
+            pos = m.end()
+            continue
+        sql = (
+            sql[: m.start()]
+            + f"formatDateTime(timestamp_seconds({args[0]}), {args[1]})"
+            + sql[close1 + 1:]
+        )
+        pos = m.start()
+    while True:
+        m = _find_top_anywhere(sql, r"\bnow\s*\(\s*('[^']+')\s*\)")
+        if not m:
+            break
+        sql = (
+            sql[: m.start()]
+            + f"convert_timezone('UTC', {m.group(1)}, now())"
+            + sql[m.end():]
+        )
     # formatDateTime with a LITERAL format converts the %-specifiers to
     # the Java pattern date_format understands (passing % through would
     # error or, worse, format the wrong fields); computed formats fall
@@ -3845,6 +3889,33 @@ def _rewrite_intervals(sql: str) -> str:
     are not a UDF return type). The generic ``toInterval(n, 'Unit')``
     spelling resolves its literal unit here first; a computed unit has
     no static interval type and refuses."""
+    # add/subtractTupleOfIntervals(d, (i1, i2, ...)) chains the
+    # interval arithmetic left-to-right over a LITERAL tuple (the
+    # elements are toIntervalX calls the templates below translate)
+    for _tname, _top in (
+        ("addTupleOfIntervals", "+"),
+        ("subtractTupleOfIntervals", "-"),
+    ):
+        while True:
+            m = _find_case_exact(sql, rf"\b{_tname}\s*\(")
+            if not m:
+                break
+            open1 = sql.index("(", m.end() - 1)
+            close1 = _call_end(sql, open1)
+            args = _split_top_commas(sql[open1 + 1: close1])
+            t = args[1].strip() if len(args) == 2 else ""
+            if not (t.startswith("(") and t.endswith(")")):
+                raise ValueError(
+                    f"{_tname} expects (date, (interval, ...)) with a"
+                    " literal tuple"
+                )
+            items = [
+                i for i in _split_top_commas(t[1:-1]) if i.strip()
+            ]
+            expr = f"({args[0]})"
+            for it in items:
+                expr = f"({expr} {_top} {it.strip()})"
+            sql = sql[: m.start()] + expr + sql[close1 + 1:]
     while True:
         m = _find_case_exact(sql, r"\btoInterval\s*\(")
         if not m:
@@ -4853,6 +4924,30 @@ _OPERATOR_ONLY_AGGS = {
                        " textual translation cannot see)",
     "arrayLevenshteinDistanceWeighted": "arrayLevenshteinDistance"
                                         " (uniform costs)",
+    # block introspection: no deterministic block structure exists in
+    # a distributed plan (same stance as runningDifference/neighbor)
+    "blockSize": "count() OVER () for group sizes",
+    "blockNumber": "row_number() OVER (ORDER BY ...) derived keys",
+    "rowNumberInBlock": "row_number() OVER (ORDER BY ...)",
+    "rowNumberInAllBlocks": "row_number() OVER (ORDER BY ...) (a"
+                            " stable global ordinal needs an explicit"
+                            " order)",
+    "getSizeOfEnumType": "nothing — Enum column types do not exist"
+                         " here (strings are dictionary-encoded by"
+                         " parquet)",
+    "getMacro": "spark.conf.get outside SQL (config macros have no"
+                " SQL-readable store)",
+    "dumpColumnStructure": "toTypeName (in-memory column layout is"
+                           " CH-internal)",
+    "transactionOldestSnapshot": "nothing — no interactive"
+                                 " transactions",
+    "partitionID": "the engine's date partition column directly"
+                   " (sources/writer.py partitions by day)",
+    "partitionId": "the engine's date partition column directly",
+    "structureToCapnProtoSchema": "nothing — schema-codegen helpers"
+                                  " for CH wire formats",
+    "structureToProtobufSchema": "sources/protodesc.py (the engine's"
+                                 " protobuf descriptors)",
     "formatQuery": "normalizeQuery (pretty-printing needs the full CH"
                    " grammar, which this translator deliberately"
                    " does not model)",

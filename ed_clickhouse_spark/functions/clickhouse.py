@@ -865,6 +865,29 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "() RETURNS ARRAY<STRING>", "array(current_user())"
     ),
     "currentProfiles": ("() RETURNS ARRAY<STRING>", "array('default')"),
+    "enabledProfiles": ("() RETURNS ARRAY<STRING>", "array('default')"),
+    "defaultRoles": (
+        "() RETURNS ARRAY<STRING>", "array(current_user())"
+    ),
+    "enabledRoles": (
+        "() RETURNS ARRAY<STRING>", "array(current_user())"
+    ),
+    # MAC address codecs (exact 48-bit hex formatting, CH's
+    # uppercase colon-separated rendering)
+    "MACNumToString": (
+        "(n BIGINT) RETURNS STRING",
+        "array_join(transform(sequence(5, 0, -1),"
+        " __i -> lpad(hex(shiftright(n, __i * 8) & 255), 2, '0')), ':')",
+    ),
+    "MACStringToNum": (
+        "(s STRING) RETURNS BIGINT",
+        "CAST(conv(replace(s, ':', ''), 16, 10) AS BIGINT)",
+    ),
+    "MACStringToOUI": (
+        "(s STRING) RETURNS BIGINT",
+        "CAST(conv(substring(replace(s, ':', ''), 1, 6), 16, 10)"
+        " AS BIGINT)",
+    ),
     "initialQueryStartTime": ("() RETURNS TIMESTAMP", "now()"),
     "farmHash64": ("(s STRING) RETURNS BIGINT", "xxhash64(s)"),
     "intHash64": ("(x BIGINT) RETURNS BIGINT", "xxhash64(x)"),
@@ -2287,6 +2310,22 @@ _SQL_SCALAR_ALIASES.update(
         ),
         "initialQueryID": (
             "() RETURNS STRING", f"'{__import__('uuid').uuid4()}'"
+        ),
+        # filesystem introspection stand-ins: the DRIVER host's disk at
+        # registration time (like uptime/serverUUID — local-mode values;
+        # a cluster has no single filesystem to report)
+        "filesystemAvailable": (
+            "() RETURNS BIGINT",
+            f"CAST({__import__('shutil').disk_usage('/').free} AS BIGINT)",
+        ),
+        "filesystemUnreserved": (
+            "() RETURNS BIGINT",
+            f"CAST({__import__('shutil').disk_usage('/').free} AS BIGINT)",
+        ),
+        "filesystemCapacity": (
+            "() RETURNS BIGINT",
+            f"CAST({__import__('shutil').disk_usage('/').total}"
+            " AS BIGINT)",
         ),
     }
 )

@@ -3933,3 +3933,54 @@ def test_probe_batch38_inline_tvfs_and_statement_tails(views):
     ):
         with pytest.raises(ValueError, match=alt):
             translate(stmt)
+
+
+def test_probe_batch39_mac_formats_and_introspection_tails(views):
+    """Round-7 execution probe, batch 39: MAC address codecs
+    (48-bit-exact, roundtrip-pinned), the 2-arg %-format
+    fromUnixTimestamp (+ Joda spelling), now('tz') zone rendering,
+    add/subtractTupleOfIntervals chaining, filesystem/role
+    introspection stand-ins, and loud refusals for the block-
+    introspection family (no deterministic block structure in a
+    distributed plan) and the partition/transaction/schema-codegen
+    tails."""
+
+    def run(q):
+        return views.sql(translate(q).sql).collect()
+
+    r = run(
+        "SELECT MACNumToString(MACStringToNum('4A:8F:3C:88:5B:78'))"
+        " AS rt, MACNumToString(1) AS one,"
+        " MACStringToOUI('4A:8F:3C:88:5B:78') AS oui,"
+        " fromUnixTimestamp(1709633630, '%Y-%m-%d') AS f,"
+        " fromUnixTimestampInJodaSyntax(1709633630, 'yyyy-MM-dd') AS j,"
+        " addTupleOfIntervals(toDate('2024-01-01'),"
+        " (toIntervalDay(1), toIntervalMonth(1))) AS a,"
+        " subtractTupleOfIntervals(toDate('2024-01-01'),"
+        " (toIntervalDay(1),)) AS s,"
+        " filesystemCapacity() AS fc, enabledRoles() AS er,"
+        " substringIndexUTF8('a.b.c', '.', 2) AS si,"
+        " length(currentQueryID()) AS cq"
+    )[0]
+    assert r["rt"] == "4A:8F:3C:88:5B:78"
+    assert r["one"] == "00:00:00:00:00:01"
+    assert r["oui"] == int("4A8F3C", 16)
+    assert r["f"] == "2024-03-05" and r["j"] == "2024-03-05"
+    assert str(r["a"]).startswith("2024-02-02")
+    assert str(r["s"]).startswith("2023-12-31")
+    assert r["fc"] > 0 and r["er"] == ["root"] and r["si"] == "a.b"
+    assert r["cq"] == 36
+    # now('tz') renders the instant in the named zone: the NY wall
+    # clock differs from UTC by 4-5 hours
+    r = run("SELECT hour(now('America/New_York')) AS ny,"
+            " hour(now()) AS utc")[0]
+    assert r["ny"] != r["utc"]
+    for fn, alt in (
+        ("blockSize()", "count"),
+        ("rowNumberInAllBlocks()", "row_number"),
+        ("partitionID(ts)", "partition column"),
+        ("getMacro('replica')", "spark.conf"),
+        ("structureToProtobufSchema('x UInt8')", "protodesc"),
+    ):
+        with pytest.raises(ValueError, match=alt):
+            translate(f"SELECT {fn} FROM t")
