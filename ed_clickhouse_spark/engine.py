@@ -37,6 +37,7 @@ class Engine:
         self.ingest_defaults: dict = {}
         self.table_specs: dict = {}
         self.matviews: dict = {}  # name -> ddl.MatView (insert triggers)
+        self._detached: dict = {}  # name -> TableSpec (DETACH TABLE)
         self._query_log: list = []
         register_sql_aliases(self.spark)
 
@@ -519,6 +520,298 @@ class Engine:
         )
         if m:
             return self._create_table_as(m.group(1), m.group(2), m.group(3))
+        m = _re.match(
+            r"^CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+            r"`?(\w+)`?\s+AS\s+`?(\w+)`?\s*(?:ENGINE\s*=.*)?$",
+            q,
+            _re.I | _re.S,
+        )
+        if m:
+            # structure clone (CREATE TABLE a AS b): same spec, empty data
+            from dataclasses import replace as _replace
+
+            from ed_clickhouse_spark import ddl as _ddl
+
+            src_spec, _sp = _table(m.group(4))
+            if src_spec is None:
+                raise KeyError(f"no spec for table {m.group(4)!r}")
+            name = m.group(3)
+            if name in self.table_specs:
+                if m.group(2):
+                    return _done(name, "create_table", 0)
+                if not m.group(1):
+                    raise ValueError(f"table {name!r} already exists")
+                self._maybe_mutation(f"DROP TABLE {name}")
+            spec = _replace(src_spec, name=name, projections=[])
+            _ddl.provision_table(self.spark, spec, self.warehouse)
+            self.table_specs[name] = spec
+            return _done(name, "create_table", 1)
+        m = _re.match(
+            r"^CREATE\s+(OR\s+REPLACE\s+)?TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+            r"`?(\w+)`?\s*\(",
+            q,
+            _re.I | _re.S,
+        )
+        if m:
+            # ad-hoc CREATE TABLE through ch_sql — the same ddl.py
+            # parse/provision path migrate() runs, so a reference
+            # user's interactive DDL works without a migration file
+            from ed_clickhouse_spark import ddl as _ddl
+
+            name = m.group(3)
+            if name in self.table_specs:
+                if m.group(2):
+                    return _done(name, "create_table", 0)
+                if not m.group(1):
+                    raise ValueError(
+                        f"table {name!r} already exists — use"
+                        " CREATE OR REPLACE TABLE or IF NOT EXISTS"
+                    )
+                self._maybe_mutation(f"DROP TABLE {name}")
+            stmt = _re.sub(
+                r"^CREATE\s+OR\s+REPLACE\s+TABLE",
+                "CREATE TABLE",
+                q,
+                flags=_re.I,
+            )
+            spec = _ddl.parse_clickhouse_ddl(stmt)
+            _ddl.provision_table(self.spark, spec, self.warehouse)
+            self.table_specs[spec.name] = spec
+            return _done(spec.name, "create_table", 1)
+        m = _re.match(r"^CREATE\s+MATERIALIZED\s+VIEW\b", q, _re.I)
+        if m:
+            # interactive MV creation; POPULATE backfills from the
+            # source's current contents (CH semantics: without it the
+            # MV only sees future inserts)
+            from ed_clickhouse_spark import ddl as _ddl
+
+            populate = bool(_re.search(r"\bPOPULATE\b", q, _re.I))
+            stmt = _re.sub(r"\bPOPULATE\b", "", q, flags=_re.I)
+            mspec = _ddl.parse_materialized_view(stmt)
+            mv = _ddl.MatView(self.spark, mspec, self.warehouse)
+            self.matviews[mspec.name] = mv
+            if populate:
+                mv.on_batch(self.spark.table(mspec.source))
+            return _done(mspec.name, "create_materialized_view",
+                         1 if populate else 0)
+        m = _re.match(
+            r"^CREATE\s+(?:OR\s+REPLACE\s+)?VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+            r"`?(\w+)`?\s+AS\s+(.+)$",
+            q,
+            _re.I | _re.S,
+        )
+        if m:
+            # plain views: the body is CLICKHOUSE dialect — translate
+            # it once and register the Spark SQL as a temp view
+            from ed_clickhouse_spark.chsql import translate as _tr
+
+            body = _tr(m.group(2), self.table_specs).sql
+            self.spark.sql(
+                f"CREATE OR REPLACE TEMPORARY VIEW {m.group(1)} AS {body}"
+            )
+            return _done(m.group(1), "create_view", 1)
+        m = _re.match(
+            r"^DROP\s+VIEW\s+(?:IF\s+EXISTS\s+)?`?(\w+)`?\s*$", q, _re.I
+        )
+        if m:
+            existed = self.spark.catalog.dropTempView(m.group(1))
+            return _done(m.group(1), "drop_view", 1 if existed else 0)
+        m = _re.match(
+            r"^EXCHANGE\s+TABLES\s+`?(\w+)`?\s+AND\s+`?(\w+)`?\s*$", q, _re.I
+        )
+        if m:
+            # atomic name swap: three directory renames + spec swap
+            from dataclasses import replace as _replace
+
+            from ed_clickhouse_spark import ddl as _ddl
+
+            a, b = m.group(1), m.group(2)
+            sa, pa = _table(a)
+            sb, pb = _table(b)
+            if sa is None or sb is None:
+                raise KeyError(f"EXCHANGE TABLES: no spec for {a!r}/{b!r}")
+            tmp = pa + ".__xchg"
+            os.rename(pa, tmp)
+            os.rename(pb, pa)
+            os.rename(tmp, pb)
+            na, nb = _replace(sb, name=a), _replace(sa, name=b)
+            self.table_specs[a], self.table_specs[b] = na, nb
+            _ddl.register_view(self.spark, na, self.warehouse)
+            _ddl.register_view(self.spark, nb, self.warehouse)
+            return _done(a, f"exchange_tables:{b}", 2)
+        m = _re.match(
+            r"^DETACH\s+TABLE\s+(?:IF\s+EXISTS\s+)?`?(\w+)`?"
+            r"(?:\s+PERMANENTLY)?\s*$",
+            q,
+            _re.I,
+        )
+        if m:
+            # metadata-only: the files stay, the name stops resolving
+            name = m.group(1)
+            spec = self.table_specs.pop(name, None)
+            if spec is None:
+                return _done(name, "detach_table", 0)
+            self._detached[name] = spec
+            self.spark.catalog.dropTempView(name)
+            self.spark.catalog.dropTempView(f"{name}_raw")
+            return self.spark.createDataFrame(
+                [(name, "detach_table", 1)],
+                "table string, op string, affected long",
+            )
+        m = _re.match(
+            r"^ATTACH\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s*$",
+            q,
+            _re.I,
+        )
+        if m:
+            from ed_clickhouse_spark import ddl as _ddl
+
+            name = m.group(1)
+            spec = self._detached.pop(name, None)
+            if spec is None:
+                raise KeyError(
+                    f"table {name!r} is not detached — ATTACH"
+                    " re-registers a DETACHed table's files"
+                )
+            self.table_specs[name] = spec
+            _ddl.register_view(self.spark, spec, self.warehouse)
+            return _done(name, "attach_table", 1)
+        m = _re.match(
+            r"^ALTER\s+TABLE\s+(\w+)\s+FREEZE"
+            r"(?:\s+WITH\s+NAME\s+'(\w+)')?\s*$",
+            q,
+            _re.I,
+        )
+        if m:
+            # snapshot via hardlinks under <warehouse>/shadow/<label>/,
+            # exactly ClickHouse's FREEZE mechanism (copy2 fallback for
+            # filesystems without link support)
+            spec, path = _table(m.group(1))
+            if spec is None and not os.path.isdir(path):
+                raise KeyError(f"no table {m.group(1)!r}")
+            shadow_root = os.path.join(self.warehouse, "shadow")
+            os.makedirs(shadow_root, exist_ok=True)
+            label = m.group(2) or str(len(os.listdir(shadow_root)) + 1)
+            dest_root = os.path.join(shadow_root, label, m.group(1))
+            n = 0
+            for root, _dirs, files in os.walk(path):
+                rel = os.path.relpath(root, path)
+                dest = os.path.join(dest_root, rel)
+                os.makedirs(dest, exist_ok=True)
+                for fn in files:
+                    dst = os.path.join(dest, fn)
+                    if os.path.exists(dst):
+                        continue
+                    try:
+                        os.link(os.path.join(root, fn), dst)
+                    except OSError:
+                        import shutil as _shutil
+
+                        _shutil.copy2(os.path.join(root, fn), dst)
+                    n += 1
+            return _done(m.group(1), f"freeze:{label}", n)
+        m = _re.match(
+            r"^ALTER\s+TABLE\s+(\w+)\s+MODIFY\s+COMMENT\s+'.*'\s*$",
+            q,
+            _re.I | _re.S,
+        )
+        if m:
+            # table comments are metadata-only, like COMMENT COLUMN
+            return _done(m.group(1), "modify_comment", 1)
+        m = _re.match(
+            r"^ALTER\s+TABLE\s+(\w+)\s+MATERIALIZE\s+COLUMN\s+`?(\w+)`?\s*$",
+            q,
+            _re.I,
+        )
+        if m:
+            # MATERIALIZED/DEFAULT expressions are computed on READ here
+            # (the served view), so a file backfill is semantically a
+            # no-op — accepted so CH maintenance scripts run unchanged
+            return _done(m.group(1), f"materialize_column:{m.group(2)}", 0)
+        if _re.match(r"^ALTER\s+TABLE\s+\w+\s+CLEAR\s+COLUMN\b", q, _re.I):
+            raise ValueError(
+                "ALTER ... CLEAR COLUMN is not implemented — run"
+                " ALTER TABLE t UPDATE col = <default> WHERE"
+                " <partition predicate> (the same rewrite ClickHouse"
+                " executes)"
+            )
+        m = _re.match(
+            r"^DELETE\s+FROM\s+(\w+)\s+WHERE\s+(.+)$", q, _re.I | _re.S
+        )
+        if m:
+            # lightweight DELETE: identical end state to ALTER DELETE
+            # here (no mask column — mutations are synchronous)
+            _spec, path = _table(m.group(1))
+            rs, cf = _mutation_read_args(_spec)
+            n = _mut.delete_where(
+                self.spark, path, F.expr(m.group(2)),
+                read_schema=rs, conform=cf,
+            )
+            _rebuild_projections(m.group(1))
+            return _done(m.group(1), "delete", n)
+        if _re.match(r"^KILL\s+MUTATION\b", q, _re.I):
+            # mutations run synchronously inside ch_sql — there is
+            # never a pending mutation to kill
+            return self.spark.createDataFrame(
+                [("", "kill_mutation", 0)],
+                "table string, op string, affected long",
+            )
+        m = _re.match(
+            r"^SYSTEM\s+(STOP|START)\s+MERGES(?:\s+`?(\w+)`?)?\s*$",
+            q,
+            _re.I,
+        )
+        if m:
+            # merges happen only inside OPTIMIZE here — no background
+            # scheduler to pause
+            return self.spark.createDataFrame(
+                [(m.group(2) or "", f"{m.group(1).lower()}_merges", 0)],
+                "table string, op string, affected long",
+            )
+        if _re.match(r"^SYSTEM\s+FLUSH\s+LOGS\s*$", q, _re.I):
+            # the query log is in-memory and always current
+            return self.spark.createDataFrame(
+                [("", "flush_logs", len(self._query_log))],
+                "table string, op string, affected long",
+            )
+        m = _re.match(
+            r"^SYSTEM\s+RELOAD\s+DICTIONAR(?:Y\s+`?(\w+)`?|IES)\s*$",
+            q,
+            _re.I,
+        )
+        if m:
+            # dictionaries snapshot their source at CREATE; re-running
+            # CREATE DICTIONARY is the refresh (LIFETIME stance)
+            from ed_clickhouse_spark.operators import dictionary as _dic
+
+            return self.spark.createDataFrame(
+                [(m.group(1) or "", "reload_dictionaries",
+                  len(_dic._DICTS))],
+                "table string, op string, affected long",
+            )
+        if _re.match(r"^SYSTEM\s+DROP\s+\w+\s+CACHE\s*$", q, _re.I):
+            self.spark.catalog.clearCache()
+            return self.spark.createDataFrame(
+                [("", "drop_cache", 1)],
+                "table string, op string, affected long",
+            )
+        if _re.match(r"^UNDROP\s+TABLE\b", q, _re.I):
+            raise ValueError(
+                "UNDROP TABLE is not implemented — DROP TABLE deletes"
+                " files immediately here (no detached-parts retention);"
+                " restore from an ALTER TABLE ... FREEZE snapshot under"
+                " <warehouse>/shadow/"
+            )
+        m = _re.match(r"^CHECK\s+TABLE\s+`?(\w+)`?\s*$", q, _re.I)
+        if m:
+            # readability pass over every file (the role CH's checksum
+            # verification plays); raises on a corrupt footer
+            _spec, path = _table(m.group(1))
+            self.spark.read.parquet(path).count()
+            return self.spark.createDataFrame(
+                [(m.group(1), "check_table", 1)],
+                "table string, op string, affected long",
+            )
         m = _re.match(r"^DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?(\w+)\s*$", q, _re.I)
         if m:
             name = m.group(1)

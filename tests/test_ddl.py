@@ -770,3 +770,90 @@ def test_ddl_type_corner_probe():
             "CREATE TABLE t (id UInt64, n Nested(k String, v UInt32))"
             " ENGINE = MergeTree ORDER BY id"
         )
+
+
+def test_ch_sql_operational_statement_surface(spark, tmp_path):
+    """Round-7 probe batch 40: the operational statement surface a
+    ClickHouse admin script uses, end-to-end through Engine.ch_sql —
+    interactive CREATE TABLE (the same ddl.py parse/provision path
+    migrate() runs), structure clones, EXCHANGE TABLES (atomic
+    three-rename swap), DETACH/ATTACH (metadata-only), FREEZE
+    (hardlink snapshot under shadow/, ClickHouse's own mechanism),
+    plain views over dialect bodies, lightweight DELETE FROM, CHECK
+    TABLE, and the SYSTEM/KILL no-op family. UNDROP and CLEAR COLUMN
+    refuse loudly with the supported path."""
+    import os
+
+    from ed_clickhouse_spark.engine import Engine
+
+    eng = Engine(str(tmp_path / "wh"), spark)
+    r = eng.ch_sql(
+        "CREATE TABLE ops (id String, ts DateTime, v Int32)"
+        " ENGINE = MergeTree() ORDER BY (ts)"
+    ).collect()[0]
+    assert r["op"] == "create_table" and r["affected"] == 1
+    eng.ch_sql(
+        'INSERT INTO ops FORMAT JSONEachRow\n'
+        '{"id":"a","ts":"2024-01-01 00:00:00","v":1}\n'
+        '{"id":"b","ts":"2024-01-02 00:00:00","v":2}'
+    )
+    # idempotent + duplicate handling
+    assert eng.ch_sql(
+        "CREATE TABLE IF NOT EXISTS ops (id String) ENGINE ="
+        " MergeTree() ORDER BY tuple()"
+    ).collect()[0]["affected"] == 0
+    with pytest.raises(ValueError, match="already exists"):
+        eng.ch_sql("CREATE TABLE ops (id String) ENGINE = MergeTree()"
+                   " ORDER BY tuple()")
+    # structure clone: same schema, zero rows
+    eng.ch_sql("CREATE TABLE ops2 AS ops")
+    assert spark.table("ops2").count() == 0
+    assert spark.table("ops2").schema == spark.table("ops").schema
+    # EXCHANGE swaps contents both ways
+    eng.ch_sql("EXCHANGE TABLES ops AND ops2")
+    assert spark.table("ops").count() == 0
+    assert spark.table("ops2").count() == 2
+    eng.ch_sql("EXCHANGE TABLES ops AND ops2")
+    assert spark.table("ops").count() == 2
+    # DETACH drops the name, keeps the files; ATTACH restores
+    eng.ch_sql("DETACH TABLE ops")
+    assert not spark.catalog.tableExists("ops")
+    eng.ch_sql("ATTACH TABLE ops")
+    assert spark.table("ops").count() == 2
+    with pytest.raises(KeyError, match="not detached"):
+        eng.ch_sql("ATTACH TABLE never_detached")
+    # FREEZE hardlinks every live file into shadow/<label>/
+    n = eng.ch_sql("ALTER TABLE ops FREEZE WITH NAME 'bk'").collect()[0]
+    assert n["affected"] > 0
+    shadow = str(tmp_path / "wh" / "shadow" / "bk" / "ops")
+    frozen = [
+        f for _r, _d, fs in os.walk(shadow) for f in fs
+        if f.endswith(".parquet")
+    ]
+    assert frozen, "no parquet files in the freeze snapshot"
+    # plain view over a dialect body
+    eng.ch_sql("CREATE VIEW v_ops AS SELECT id, v FROM ops WHERE v > 1")
+    assert [r["id"] for r in eng.ch_sql("SELECT id FROM v_ops").collect()] == ["b"]
+    assert eng.ch_sql("DROP VIEW v_ops").collect()[0]["affected"] == 1
+    # lightweight DELETE == ALTER DELETE end state
+    eng.ch_sql("DELETE FROM ops WHERE id = 'a'")
+    assert spark.table("ops").count() == 1
+    # CHECK TABLE reads every file
+    assert eng.ch_sql("CHECK TABLE ops").collect()[0]["affected"] == 1
+    # SYSTEM / KILL family returns status rows
+    assert eng.ch_sql("SYSTEM STOP MERGES ops").collect()[0]["op"] == "stop_merges"
+    assert eng.ch_sql("SYSTEM FLUSH LOGS").collect()[0]["op"] == "flush_logs"
+    assert eng.ch_sql("KILL MUTATION WHERE 1").collect()[0]["affected"] == 0
+    for bad, msg in (
+        ("UNDROP TABLE ops", "FREEZE snapshot"),
+        ("ALTER TABLE ops CLEAR COLUMN v IN PARTITION 'x'", "UPDATE"),
+    ):
+        with pytest.raises(ValueError, match=msg):
+            eng.ch_sql(bad)
+    # MV creation with POPULATE backfills from the current contents
+    r = eng.ch_sql(
+        "CREATE MATERIALIZED VIEW mv_ops ENGINE = SummingMergeTree()"
+        " ORDER BY (id) POPULATE AS SELECT id, sum(v) AS total"
+        " FROM ops GROUP BY id"
+    ).collect()[0]
+    assert r["op"] == "create_materialized_view"
