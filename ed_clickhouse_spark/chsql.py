@@ -267,7 +267,9 @@ def _strip_trailing(sql: str) -> tuple[str, str | None]:
     if m:
         fmt = m.group(1)
         sql = sql[: m.start()].rstrip()
-    m = _find_top(sql, r"\bSETTINGS\s+[\w\s=,.'\"]+$")
+    # (?<!\.) keeps the clause stripper off the system.settings TABLE —
+    # a dotted name is never the SETTINGS clause keyword
+    m = _find_top(sql, r"(?<!\.)\bSETTINGS\s+[\w\s=,.'\"]+$")
     if m:
         sql = sql[: m.start()].rstrip()
     return sql.rstrip(";").rstrip(), fmt
@@ -6277,7 +6279,10 @@ def _rewrite_system(sql: str) -> str:
     database qualifier). Token-level, never inside strings."""
     while True:
         m = _find_top(
-            sql, r"\bsystem\.(tables|columns|parts|query_log|functions)\b"
+            sql,
+            r"\bsystem\.(tables|columns|parts|query_log|functions"
+            r"|databases|mutations|processes|merges|replicas"
+            r"|dictionaries|disks|settings)\b",
         )
         if not m:
             return sql

@@ -349,6 +349,35 @@ class Engine:
         DESCRIBE TABLE accept the same spelling."""
         import re as _re
 
+        q0 = query.strip().rstrip(";").strip()
+        if _re.match(r"^SHOW\s+PROCESSLIST$", q0, _re.I):
+            self._refresh_system_views()
+            return self.spark.table("system_processes")
+        if _re.match(r"^SHOW\s+DICTIONARIES$", q0, _re.I):
+            self._refresh_system_views()
+            return self.spark.table("system_dictionaries").select("name")
+        m = _re.match(
+            r"^SHOW\s+SETTINGS(?:\s+(?:I?LIKE)\s+'([^']*)')?$", q0, _re.I
+        )
+        if m:
+            self._refresh_system_views()
+            df = self.spark.table("system_settings")
+            if m.group(1):
+                df = df.where(F.col("name").like(m.group(1)))
+            return df
+        if _re.match(r"^SHOW\s+GRANTS\b", q0, _re.I):
+            # single-tenant: the session user owns everything
+            return self.spark.createDataFrame(
+                [(f"GRANT ALL ON *.* TO {os.environ.get('USER', 'default')}"
+                  " WITH GRANT OPTION",)],
+                "grants string",
+            )
+        if _re.match(r"^(GRANT|REVOKE)\b", q0, _re.I):
+            raise ValueError(
+                "GRANT/REVOKE are not implemented — this engine is"
+                " single-tenant (no access-control store); enforce"
+                " permissions at the lakehouse/catalog layer"
+            )
         m = _re.match(r"^\s*SHOW\s+CREATE\s+TABLE\s+(\w+)\s*;?\s*$", query, _re.I)
         if m:
             from ed_clickhouse_spark.ddl import show_create
@@ -1504,6 +1533,67 @@ class Engine:
         )
         self.query_log().createOrReplaceTempView("system_query_log")
         self.system_functions().createOrReplaceTempView("system_functions")
+        # single-tenant / synchronous-engine introspection (round-7
+        # batch 41): databases is the one namespace; mutations and
+        # merges are always-empty (mutations run synchronously inside
+        # ch_sql, merges only inside OPTIMIZE); processes shows no
+        # concurrent queries; replicas is single-replica-empty;
+        # dictionaries/disks/settings carry real values
+        import shutil as _shutil
+
+        spark = self.spark
+        spark.createDataFrame(
+            [("default", "Atomic")], "name string, engine string"
+        ).createOrReplaceTempView("system_databases")
+        spark.createDataFrame(
+            [],
+            "database string, table string, mutation_id string,"
+            " command string, is_done int",
+        ).createOrReplaceTempView("system_mutations")
+        spark.createDataFrame(
+            [],
+            "query_id string, user string, query string,"
+            " elapsed double",
+        ).createOrReplaceTempView("system_processes")
+        spark.createDataFrame(
+            [],
+            "database string, table string, progress double,"
+            " is_mutation int",
+        ).createOrReplaceTempView("system_merges")
+        spark.createDataFrame(
+            [],
+            "database string, table string, is_leader int,"
+            " absolute_delay long",
+        ).createOrReplaceTempView("system_replicas")
+        from ed_clickhouse_spark.operators import dictionary as _dic
+
+        spark.createDataFrame(
+            [(n, "LOADED") for n in sorted(_dic._DICTS)] or [],
+            "name string, status string",
+        ).createOrReplaceTempView("system_dictionaries")
+        du = _shutil.disk_usage(
+            self.warehouse if os.path.isdir(self.warehouse) else "/"
+        )
+        spark.createDataFrame(
+            [("default", os.path.abspath(self.warehouse),
+              du.free, du.total)],
+            "name string, path string, free_space long,"
+            " total_space long",
+        ).createOrReplaceTempView("system_disks")
+        confs = sorted(
+            (k, v) for k, v in
+            ((k, spark.conf.get(k, None)) for k in (
+                "spark.sql.shuffle.partitions",
+                "spark.sql.adaptive.enabled",
+                "spark.sql.ansi.enabled",
+                "spark.sql.session.timeZone",
+                "spark.sql.files.maxPartitionBytes",
+                "spark.sql.autoBroadcastJoinThreshold",
+            )) if v is not None
+        )
+        spark.createDataFrame(
+            confs, "name string, value string"
+        ).createOrReplaceTempView("system_settings")
 
     def ping(self) -> bool:
         """≙ the reference's ClickHouse /ping startup check

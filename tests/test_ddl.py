@@ -857,3 +857,56 @@ def test_ch_sql_operational_statement_surface(spark, tmp_path):
         " FROM ops GROUP BY id"
     ).collect()[0]
     assert r["op"] == "create_materialized_view"
+
+
+def test_system_tables_and_show_surface(spark, tmp_path):
+    """Round-7 probe batch 41: the system.* introspection tables a
+    monitoring dashboard reads — databases / mutations (always empty:
+    mutations are synchronous) / processes / merges / replicas /
+    dictionaries (real contents) / disks (real disk usage) / settings
+    (live session confs) — plus SHOW PROCESSLIST / DICTIONARIES /
+    SETTINGS LIKE / GRANTS, a SETTINGS-clause-vs-system.settings
+    disambiguation pin, and the loud GRANT/REVOKE refusal
+    (single-tenant: silently accepting a GRANT would fake access
+    control)."""
+    import os as _os
+
+    from ed_clickhouse_spark.engine import Engine
+
+    mdir = tmp_path / "mig"
+    mdir.mkdir()
+    (mdir / "001_t.up.sql").write_text(
+        "CREATE TABLE st (id String, v Int32) ENGINE = MergeTree()"
+        " ORDER BY (id);"
+    )
+    eng = Engine(str(tmp_path / "wh"), spark)
+    eng.migrate(str(mdir))
+    eng.ch_sql(
+        "CREATE DICTIONARY sd (id String, v Int32) PRIMARY KEY id"
+        " SOURCE(CLICKHOUSE(TABLE 'st')) LAYOUT(FLAT()) LIFETIME(300)"
+    )
+    assert eng.ch_sql("SELECT * FROM system.databases").collect()[0][
+        "name"] == "default"
+    assert eng.ch_sql(
+        "SELECT count() AS c FROM system.mutations").collect()[0]["c"] == 0
+    assert eng.ch_sql(
+        "SELECT count() AS c FROM system.merges").collect()[0]["c"] == 0
+    d = eng.ch_sql(
+        "SELECT name, status FROM system.dictionaries").collect()
+    assert ("sd", "LOADED") in [(r["name"], r["status"]) for r in d]
+    disk = eng.ch_sql("SELECT * FROM system.disks").collect()[0]
+    assert disk["free_space"] > 0 and disk["total_space"] >= disk["free_space"]
+    st = eng.ch_sql("SHOW SETTINGS LIKE '%shuffle%'").collect()
+    assert st and st[0]["name"] == "spark.sql.shuffle.partitions"
+    assert eng.ch_sql("SHOW DICTIONARIES").collect()[0]["name"] == "sd"
+    assert eng.ch_sql("SHOW PROCESSLIST").collect() == []
+    assert "GRANT ALL" in eng.ch_sql("SHOW GRANTS").collect()[0]["grants"]
+    # the clause stripper must NOT eat the system.settings TABLE, and
+    # must still strip a real trailing SETTINGS clause
+    rows = eng.ch_sql(
+        "SELECT name FROM system.settings"
+        " SETTINGS max_threads = 4, join_algorithm = 'hash'"
+    ).collect()
+    assert rows
+    with pytest.raises(ValueError, match="single-tenant"):
+        eng.ch_sql("GRANT SELECT ON st TO bob")
