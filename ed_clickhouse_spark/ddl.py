@@ -678,8 +678,39 @@ def final_read(df: DataFrame, spec: TableSpec) -> DataFrame:
     pairs cancel per (key, version); uncancelled versions survive.
     """
     eng = spec.engine.lower()
-    if eng == "mergetree":
+    if eng in ("mergetree", "memory", "log", "tinylog", "stripelog"):
+        # append-only engines: identity read, no merge semantics (the
+        # keyless engines legitimately have no ORDER BY)
         return df
+    if eng == "null":
+        # the Null engine discards: reads are empty. Inserts still fire
+        # attached materialized views (ClickHouse's classic
+        # MV-over-Null ingestion pattern) because MV triggers run on
+        # the INSERTED batch, never on the table.
+        return df.limit(0)
+    infra = {
+        "kafka": "Engine.ingest_kafka (streaming/pipeline.py) — the"
+                 " streaming source is a pipeline here, not a table",
+        "rabbitmq": "streaming/pipeline.py sources",
+        "nats": "sources/nats.py + Engine.ingest",
+        "distributed": "the local table directly — Spark IS the"
+                       " distribution layer (tasks fan out per"
+                       " partition)",
+        "buffer": "the micro-batcher (streaming/pipeline.py"
+                  " rows/bytes/time triggers play Buffer's role)",
+        "join": "a broadcast join (operators/joins.py) or CREATE"
+                " DICTIONARY over the key table",
+        "dictionary": "CREATE DICTIONARY (operators/dictionary.py)",
+        "url": "sources/io.py / spark.read",
+        "file": "sources/io.py / spark.read",
+        "s3": "sources/io.py / spark.read",
+        "merge": "a UNION ALL view over the member tables",
+    }
+    if eng in infra:
+        raise ValueError(
+            f"the {spec.engine} table engine is infrastructure, not"
+            f" storage, in this architecture — use {infra[eng]}"
+        )
     keys = spec.key_cols
     if not keys:
         raise ValueError(f"{spec.engine} requires an ORDER BY key")

