@@ -184,14 +184,66 @@ def ch_type_to_spark(ch: str) -> tuple[T.DataType, bool]:
         # function family (JSONExtract*/JSONHas/variant typing) parses
         # on read, exactly as it does for String-typed JSON columns
         return T.StringType(), True
-    if low.startswith("aggregatefunction") or low.startswith(
-        "simpleaggregatefunction"
-    ):
+    if low.startswith("simpleaggregatefunction"):
+        # SimpleAggregateFunction(f, T) stores the plain value of T —
+        # the type IS the inner type (merge semantics live in
+        # final_read's AggregatingMergeTree branch)
+        inner = ch[ch.index("(") + 1: ch.rindex(")")]
+        args = _split_top(inner)
+        if len(args) != 2:
+            raise ValueError(
+                f"unsupported ClickHouse type: {ch!r} —"
+                " SimpleAggregateFunction takes (fname, Type)"
+            )
+        return ch_type_to_spark(args[1].strip())
+    if low.startswith("aggregatefunction"):
+        # AggregateFunction(f, T...) columns store this engine's own
+        # -State representations (chsql batch 35): uniq states are HLL
+        # sketches (BINARY), avg states (s, c) structs, argMax/argMin
+        # (v, k) structs, uniqExact/groupArray exact arrays, the
+        # simple-value states their base aggregate's type
+        inner = ch[ch.index("(") + 1: ch.rindex(")")]
+        args = [a.strip() for a in _split_top(inner) if a.strip()]
+        fl = args[0].split("(")[0].strip().lower()
+
+        def _arg_t(i: int, default: T.DataType = T.StringType()):
+            if len(args) > i:
+                return ch_type_to_spark(args[i])[0]
+            return default
+
+        if fl in ("uniq", "uniqcombined", "uniqcombined64",
+                  "uniqhll12", "uniqtheta"):
+            return T.BinaryType(), True
+        if fl in ("uniqexact", "groupuniqarray", "grouparray"):
+            return T.ArrayType(_arg_t(1)), True
+        if fl == "count":
+            return T.LongType(), True
+        if fl == "sum":
+            it = _arg_t(1, T.DoubleType())
+            if isinstance(it, (T.ByteType, T.ShortType,
+                               T.IntegerType, T.LongType)):
+                return T.LongType(), True
+            if isinstance(it, T.DecimalType):
+                return T.DecimalType(38, it.scale), True
+            return T.DoubleType(), True
+        if fl in ("min", "max", "any", "anylast"):
+            return _arg_t(1), True
+        if fl == "avg":
+            return T.StructType([
+                T.StructField("s", T.DoubleType()),
+                T.StructField("c", T.LongType()),
+            ]), True
+        if fl in ("argmax", "argmin"):
+            return T.StructType([
+                T.StructField("v", _arg_t(1)),
+                T.StructField("k", _arg_t(2)),
+            ]), True
         raise ValueError(
-            f"unsupported ClickHouse type: {ch!r} — aggregate-state"
-            " columns are served by the materialized-view path"
-            " (streaming/matview.py: CREATE MATERIALIZED VIEW with"
-            " -State aggregates; read with -Merge)"
+            f"unsupported ClickHouse type: {ch!r} — this engine's"
+            " mergeable states cover uniq*/uniqExact/sum/count/min/"
+            "max/any/anyLast/avg/argMax/argMin/groupArray/"
+            "groupUniqArray; quantile states are served by the"
+            " materialized-view path (streaming/matview.py)"
         )
     if low.startswith("nested"):
         raise ValueError(
@@ -714,6 +766,59 @@ def final_read(df: DataFrame, spec: TableSpec) -> DataFrame:
     keys = spec.key_cols
     if not keys:
         raise ValueError(f"{spec.engine} requires an ORDER BY key")
+    if eng == "aggregatingmergetree":
+        # FINAL merges each part's states per key; the columns stay
+        # STATES (read values with the -Merge spellings, exactly like
+        # ClickHouse). The merge-state agg per column comes from its
+        # declared AggregateFunction/SimpleAggregateFunction type.
+        aggs = []
+        for f in df.schema.fields:
+            if f.name in keys:
+                continue
+            cht = (spec.ch_types or {}).get(f.name, "")
+            m = re.match(
+                r"^\s*(Simple)?AggregateFunction\s*\(\s*(\w+)", cht, re.I
+            )
+            fl = m.group(2).lower() if m else None
+            c = f"`{f.name}`"
+            if fl in ("uniq", "uniqcombined", "uniqcombined64",
+                      "uniqhll12", "uniqtheta"):
+                e = F.expr(f"hll_union_agg({c})")
+            elif fl in ("uniqexact", "groupuniqarray"):
+                e = F.expr(f"array_distinct(flatten(collect_list({c})))")
+            elif fl == "grouparray":
+                e = F.expr(f"flatten(collect_list({c}))")
+            elif fl in ("sum", "count", "sumwithoverflow"):
+                e = F.sum(f.name)
+            elif fl == "min":
+                e = F.min(f.name)
+            elif fl == "max":
+                e = F.max(f.name)
+            elif fl == "any":
+                e = F.first(f.name, ignorenulls=True)
+            elif fl == "anylast":
+                e = F.last(f.name, ignorenulls=True)
+            elif fl == "avg":
+                e = F.expr(
+                    f"named_struct('s', sum({c}.s), 'c', sum({c}.c))"
+                )
+            elif fl == "argmax":
+                e = F.expr(
+                    f"named_struct('v', max_by({c}.v, {c}.k),"
+                    f" 'k', max({c}.k))"
+                )
+            elif fl == "argmin":
+                e = F.expr(
+                    f"named_struct('v', min_by({c}.v, {c}.k),"
+                    f" 'k', min({c}.k))"
+                )
+            else:
+                # plain columns ride like SummingMergeTree's "rest":
+                # any surviving value (CH keeps an arbitrary one)
+                e = F.first(f.name, ignorenulls=True)
+            aggs.append(e.cast(f.dataType).alias(f.name))
+        out = df.groupBy(*keys).agg(*aggs)
+        return out.select(*[f.name for f in df.schema.fields])
     if eng == "replacingmergetree":
         ver = spec.engine_args[0] if spec.engine_args else None
         if ver is None:

@@ -84,8 +84,17 @@ def test_type_mapping():
     assert t == T.StructType(
         [T.StructField("a", T.StringType(), False), T.StructField("b", T.LongType(), False)]
     )
-    with pytest.raises(ValueError):
-        ddl.ch_type_to_spark("AggregateFunction(uniq, String)")
+    # r7 batch 43: AggregateFunction columns map to the engine's own
+    # -State representations (was a refusal before the ad-hoc
+    # -State/-Merge spellings existed)
+    t, n = ddl.ch_type_to_spark("AggregateFunction(uniq, String)")
+    assert t == T.BinaryType() and n
+    t, _ = ddl.ch_type_to_spark("AggregateFunction(avg, Float64)")
+    assert t.fieldNames() == ["s", "c"]
+    t, _ = ddl.ch_type_to_spark("SimpleAggregateFunction(sum, Int64)")
+    assert t == T.LongType()
+    with pytest.raises(ValueError, match="matview"):
+        ddl.ch_type_to_spark("AggregateFunction(quantile, Float64)")
 
 
 def test_parse_reference_shape():
@@ -760,11 +769,13 @@ def test_ddl_type_corner_probe():
     got = {f.name: f.dataType.simpleString() for f in spec.schema.fields}
     assert got["j"] == "string" and got["m"] == "map<string,bigint>"
     assert got["p"] == "struct<lat:double,lon:double>"
-    with _pytest.raises(ValueError, match="materialized-view"):
-        parse_clickhouse_ddl(
-            "CREATE TABLE t (id UInt64, st AggregateFunction(uniq, UInt64))"
-            " ENGINE = AggregatingMergeTree ORDER BY id"
-        )
+    # r7 batch 43: uniq states are BINARY HLL sketches now
+    sp2 = parse_clickhouse_ddl(
+        "CREATE TABLE t (id UInt64, st AggregateFunction(uniq, UInt64))"
+        " ENGINE = AggregatingMergeTree ORDER BY id"
+    )
+    assert {f.name: f.dataType.simpleString()
+            for f in sp2.schema.fields}["st"] == "binary"
     with _pytest.raises(ValueError, match="ARRAY JOIN"):
         parse_clickhouse_ddl(
             "CREATE TABLE t (id UInt64, n Nested(k String, v UInt32))"
@@ -952,3 +963,60 @@ def test_keyless_and_infra_engines(spark, tmp_path):
     ):
         with pytest.raises(ValueError, match=ptr):
             eng.ch_sql(bad)
+
+
+def test_aggregating_merge_tree_state_loop(spark, tmp_path):
+    """Round-7 batch 43: the full AggregatingMergeTree loop —
+    AggregateFunction column types map onto this engine's own -State
+    representations (uniq → HLL sketch BINARY, avg → (s, c) struct,
+    argMax → (v, k) struct, sum/count → plain partials,
+    SimpleAggregateFunction → the inner type), INSERT SELECT -State
+    writes partials, the served view merges states per key (the
+    engine's merged-by-default convention, ≙ post-background-merge),
+    and the -Merge spellings read values back — two independently
+    inserted parts must merge to the direct aggregates."""
+    from ed_clickhouse_spark.engine import Engine
+
+    eng = Engine(str(tmp_path / "wh"), spark)
+    eng.ch_sql("CREATE TABLE fx (k String, u String, v Int64,"
+               " f Float64) ENGINE = MergeTree() ORDER BY (k)")
+    eng.ch_sql(
+        'INSERT INTO fx FORMAT JSONEachRow\n'
+        '{"k":"a","u":"u1","v":10,"f":1.0}\n'
+        '{"k":"a","u":"u2","v":20,"f":3.0}\n'
+        '{"k":"b","u":"u1","v":5,"f":2.0}'
+    )
+    eng.ch_sql("""CREATE TABLE aggx (
+      k String,
+      uniq_users AggregateFunction(uniq, String),
+      total AggregateFunction(sum, Int64),
+      avg_f AggregateFunction(avg, Float64),
+      top_u AggregateFunction(argMax, String, Int64),
+      n AggregateFunction(count, UInt64),
+      su SimpleAggregateFunction(sum, Int64)
+    ) ENGINE = AggregatingMergeTree() ORDER BY (k)""")
+    for pred in ("v < 15", "v >= 15"):
+        eng.ch_sql(
+            f"INSERT INTO aggx SELECT k, uniqState(u) AS uniq_users,"
+            f" sumState(v) AS total, avgState(f) AS avg_f,"
+            f" argMaxState(u, v) AS top_u, countState() AS n,"
+            f" sum(v) AS su FROM fx WHERE {pred} GROUP BY k"
+        )
+    r = eng.ch_sql(
+        "SELECT k, uniqMerge(uniq_users) AS uu, sumMerge(total) AS t,"
+        " avgMerge(avg_f) AS af, argMaxMerge(top_u) AS tu,"
+        " countMerge(n) AS c, sum(su) AS s"
+        " FROM aggx GROUP BY k ORDER BY k"
+    ).collect()
+    assert r[0]["uu"] == 2 and r[0]["t"] == 30
+    assert abs(float(r[0]["af"]) - 2.0) < 1e-9
+    assert r[0]["tu"] == "u2" and r[0]["c"] == 2 and r[0]["s"] == 30
+    assert r[1]["uu"] == 1 and r[1]["t"] == 5
+    # the served view merges the two inserted parts down to 1 row/key
+    assert eng.ch_sql(
+        "SELECT count() AS c FROM aggx").collect()[0]["c"] == 2
+    # quantile states keep the loud matview pointer
+    with pytest.raises(ValueError, match="matview"):
+        eng.ch_sql("CREATE TABLE badq (k String,"
+                   " q AggregateFunction(quantile, Float64))"
+                   " ENGINE = AggregatingMergeTree() ORDER BY (k)")
