@@ -25,6 +25,72 @@ from ed_clickhouse_spark.sources.registry import DLQ_TABLE, FAMILIES, BY_TABLE
 from ed_clickhouse_spark.streaming.pipeline import start_ingest
 
 
+class _ToTableMV:
+    """A ``CREATE MATERIALIZED VIEW mv TO target AS SELECT ...``
+    insert trigger: per inserted batch, the body (typically -State
+    aggregates) re-runs through the CLICKHOUSE dialect against the
+    batch and appends into the TARGET table under its write policy —
+    the classic MV → AggregatingMergeTree rollup pair. Reads then hit
+    the target's own merged view with the -Merge spellings, exactly
+    ClickHouse's TO semantics (the MV itself stores nothing).
+
+    Duck-types the ddl.MatView trigger surface (``spec.source``,
+    ``on_batch``) so both ch_sql INSERTs and the streaming ingest
+    hook fire it."""
+
+    def __init__(self, engine: "Engine", name: str, to_table: str,
+                 body: str):
+        import re as _re
+        from types import SimpleNamespace
+
+        fm = _re.search(r"\bFROM\s+`?(\w+)`?", body, _re.I)
+        if not fm:
+            raise ValueError(
+                "materialized view body must read FROM a source table"
+            )
+        self.engine = engine
+        self.to_table = to_table
+        self.body = body
+        self.spec = SimpleNamespace(name=name, source=fm.group(1))
+
+    def on_batch(self, batch: DataFrame, epoch_id=None) -> None:
+        import re as _re
+
+        from ed_clickhouse_spark import ddl as _ddl
+        from ed_clickhouse_spark.chsql import translate as _tr
+
+        view = f"__mv_batch_{self.spec.name}"
+        batch.createOrReplaceTempView(view)
+        # the trigger sees ONLY the inserted batch (CH semantics), so
+        # the body's FROM <source> rebinds to the batch view
+        body = _re.sub(
+            rf"\bFROM\s+`?{self.spec.source}`?\b",
+            f"FROM {view}",
+            self.body,
+            flags=_re.I,
+        )
+        out = self.engine.spark.sql(
+            _tr(body, self.engine.table_specs).sql
+        )
+        spec = self.engine.table_specs[self.to_table]
+        # align to the target's declared columns (positional SELECT
+        # aliases must already match, like a CH INSERT SELECT)
+        out = out.select(*[f.name for f in spec.schema.fields])
+        _ddl.append_rows(out, spec, self.engine.warehouse)
+        _ddl.register_view(
+            self.engine.spark, spec, self.engine.warehouse
+        )
+
+    # ClickHouse TO semantics: the MV name is an alias of the target
+    # table (the MV stores nothing itself) — both read surfaces serve
+    # the target's merged view, and -Merge queries read it directly
+    def read(self, keys=None) -> DataFrame:
+        return self.engine.spark.table(self.to_table)
+
+    def states(self) -> DataFrame:
+        return self.engine.spark.table(self.to_table)
+
+
 class Engine:
     """One warehouse of the nine event tables + DLQ, with the ClickHouse
     SQL vocabulary registered."""
@@ -616,6 +682,33 @@ class Engine:
 
             populate = bool(_re.search(r"\bPOPULATE\b", q, _re.I))
             stmt = _re.sub(r"\bPOPULATE\b", "", q, flags=_re.I)
+            tm = _re.match(
+                r"^CREATE\s+MATERIALIZED\s+VIEW\s+"
+                r"(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s+TO\s+`?(\w+)`?"
+                r"\s+AS\s+(SELECT\b.+)$",
+                stmt,
+                _re.I | _re.S,
+            )
+            if tm:
+                # the TO form: partials land in the NAMED table (the
+                # classic MV -> AggregatingMergeTree rollup pair). The
+                # body — typically -State aggregates — re-runs through
+                # the dialect per inserted batch and appends under the
+                # target's write policy; reads then hit the target
+                # table's own merged view with -Merge spellings.
+                mv = _ToTableMV(self, tm.group(1), tm.group(2),
+                                tm.group(3))
+                if mv.to_table not in self.table_specs:
+                    raise KeyError(
+                        f"TO table {mv.to_table!r} does not exist —"
+                        " CREATE it first (ClickHouse requires the"
+                        " same)"
+                    )
+                self.matviews[mv.spec.name] = mv
+                if populate:
+                    mv.on_batch(self.spark.table(mv.spec.source))
+                return _done(tm.group(1), "create_materialized_view",
+                             1 if populate else 0)
             mspec = _ddl.parse_materialized_view(stmt)
             mv = _ddl.MatView(self.spark, mspec, self.warehouse)
             self.matviews[mspec.name] = mv

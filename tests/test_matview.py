@@ -185,3 +185,47 @@ def test_streaming_topk_epoch_mode_replay_idempotent(spark, tmp_path):
     hh.on_batch(b, epoch_id=0)  # replay
     got = {r["tok"]: r["est_count"] for r in hh.topk(2).collect()}
     assert got == {"x": 7, "y": 2}  # counted once, not twice
+
+
+def test_materialized_view_to_table(spark, tmp_path):
+    """Round-7 batch 43 capstone: the ``CREATE MATERIALIZED VIEW mv TO
+    target`` form — ClickHouse's canonical rollup pair. The body's
+    -State aggregates re-run per inserted batch against the BATCH
+    (insert-trigger semantics) and append into the AggregatingMergeTree
+    target; -Merge reads over the target must equal the direct
+    aggregates across multiple inserted parts; the MV name aliases the
+    target. A TO table that does not exist refuses (CH requires the
+    same)."""
+    import pytest
+
+    from ed_clickhouse_spark.engine import Engine
+
+    eng = Engine(str(tmp_path / "wh"), spark)
+    eng.ch_sql("CREATE TABLE src (k String, u String, v Int64)"
+               " ENGINE = MergeTree() ORDER BY (k)")
+    eng.ch_sql(
+        "CREATE TABLE rollup (k String,"
+        " uu AggregateFunction(uniq, String),"
+        " total AggregateFunction(sum, Int64))"
+        " ENGINE = AggregatingMergeTree() ORDER BY (k)"
+    )
+    with pytest.raises(KeyError, match="does not exist"):
+        eng.ch_sql("CREATE MATERIALIZED VIEW mbad TO nope AS"
+                   " SELECT k, sumState(v) AS total FROM src GROUP BY k")
+    eng.ch_sql(
+        "CREATE MATERIALIZED VIEW mv_roll TO rollup AS SELECT k,"
+        " uniqState(u) AS uu, sumState(v) AS total FROM src GROUP BY k"
+    )
+    eng.ch_sql('INSERT INTO src FORMAT JSONEachRow\n'
+               '{"k":"a","u":"u1","v":10}\n{"k":"a","u":"u2","v":20}')
+    eng.ch_sql('INSERT INTO src FORMAT JSONEachRow\n'
+               '{"k":"a","u":"u1","v":5}\n{"k":"b","u":"u3","v":7}')
+    r = eng.ch_sql(
+        "SELECT k, uniqMerge(uu) AS uu, sumMerge(total) AS t"
+        " FROM rollup GROUP BY k ORDER BY k"
+    ).collect()
+    assert r[0]["uu"] == 2 and r[0]["t"] == 35
+    assert r[1]["uu"] == 1 and r[1]["t"] == 7
+    # the MV name aliases the target table (TO stores nothing itself)
+    assert eng.ch_sql("SELECT count() AS c FROM mv_roll"
+                      ).collect()[0]["c"] == 2
