@@ -816,7 +816,12 @@ def final_read(df: DataFrame, spec: TableSpec) -> DataFrame:
                 # plain columns ride like SummingMergeTree's "rest":
                 # any surviving value (CH keeps an arbitrary one)
                 e = F.first(f.name, ignorenulls=True)
-            aggs.append(e.cast(f.dataType).alias(f.name))
+            if not isinstance(f.dataType, (T.StructType, T.ArrayType)):
+                # struct/array states already carry the right field
+                # names; a cast would trip on nullability mismatches
+                # (sum() is nullable, the declared state is not)
+                e = e.cast(f.dataType)
+            aggs.append(e.alias(f.name))
         out = df.groupBy(*keys).agg(*aggs)
         return out.select(*[f.name for f in df.schema.fields])
     if eng == "replacingmergetree":

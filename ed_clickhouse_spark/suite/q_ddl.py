@@ -255,3 +255,76 @@ def q193_versioned_collapsing(spark, sf_dir):
     return fin.select(
         "o_orderkey", "ver", F.col("price").cast("double").alias("price")
     )
+
+
+_AGG_ROLLUP_DDL = """
+CREATE TABLE flag_rollup (
+    l_returnflag String,
+    uo AggregateFunction(uniqExact, Int64),
+    sp AggregateFunction(sum, Decimal(18, 2)),
+    aq AggregateFunction(avg, Float64),
+    n AggregateFunction(count, UInt64)
+) ENGINE = AggregatingMergeTree()
+ORDER BY (l_returnflag);
+"""
+
+
+@query(
+    "q233_aggregating_merge_tree",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS n_orders,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             AS sum_price,
+           SUM(l_quantity) / COUNT(l_quantity) AS avg_qty,
+           COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q233_aggregating_merge_tree(spark, sf_dir):
+    """The AggregatingMergeTree loop end-to-end (round-7 batch 43):
+    two -State partial batches (split by l_linestatus, ClickHouse's
+    two inserted parts) written through the dialect's combinator
+    spellings, merged per key by ddl.final_read's
+    AggregatingMergeTree branch (states stay states — the FINAL
+    semantics), then read back with the -Merge spellings. The values
+    must equal the direct one-level aggregates — the homomorphism
+    ClickHouse's whole matview architecture rests on. Exactness by
+    construction: uniqExact states are exact element sets, prices
+    ride DECIMAL(18,2), quantities are integer-valued doubles, and
+    the avg division is the same double / bigint in both engines.
+    Scale shape: each part is one map-side-combined exchange; the
+    merge is one more exchange on the key — never a re-read of
+    facts."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    spec = ddl.parse_clickhouse_ddl(_AGG_ROLLUP_DDL)
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    parts = [
+        spark.sql(
+            translate(
+                "SELECT l_returnflag,"
+                " uniqExactState(l_orderkey) AS uo,"
+                " sumState(toDecimal64(l_extendedprice, 2)) AS sp,"
+                " avgState(l_quantity) AS aq,"
+                " countState() AS n"
+                f" FROM lineitem WHERE {pred} GROUP BY l_returnflag"
+            ).sql
+        )
+        for pred in ("l_linestatus = 'O'", "l_linestatus <> 'O'")
+    ]
+    states = parts[0].unionByName(parts[1])
+    ddl.final_read(states, spec).createOrReplaceTempView("flag_rollup")
+    return spark.sql(
+        translate(
+            "SELECT l_returnflag,"
+            " uniqExactMerge(uo) AS n_orders,"
+            " CAST(sumMerge(sp) AS DOUBLE) AS sum_price,"
+            " avgMerge(aq) AS avg_qty,"
+            " countMerge(n) AS n_rows"
+            " FROM flag_rollup GROUP BY l_returnflag"
+        ).sql
+    )
