@@ -229,3 +229,57 @@ def test_materialized_view_to_table(spark, tmp_path):
     # the MV name aliases the target table (TO stores nothing itself)
     assert eng.ch_sql("SELECT count() AS c FROM mv_roll"
                       ).collect()[0]["c"] == 2
+
+
+def test_to_table_mv_batch_split_invariance(spark, tmp_path):
+    """The TO-MV trigger must be a homomorphism over insert batching:
+    any split of the fact rows into insert batches merges to the same
+    -Merge readback (the property AggregatingMergeTree's correctness
+    rests on — each batch writes one part, parts merge per key).
+    Three different splits of 12 rows cross-checked against the direct
+    aggregates."""
+    import json
+
+    from ed_clickhouse_spark.engine import Engine
+
+    rows = [
+        {"k": ["a", "b", "c"][i % 3], "u": f"u{i % 4}", "v": i * 3 + 1}
+        for i in range(12)
+    ]
+
+    def direct():
+        agg = {}
+        for r in rows:
+            users, tot = agg.setdefault(r["k"], (set(), 0))
+            agg[r["k"]] = (users | {r["u"]}, tot + r["v"])
+        return {k: (len(us), t) for k, (us, t) in agg.items()}
+
+    want = direct()
+    for si, split_at in enumerate([[12], [4, 12], [1, 2, 7, 12]]):
+        eng = Engine(str(tmp_path / f"wh{si}"), spark)
+        eng.ch_sql("CREATE TABLE src (k String, u String, v Int64)"
+                   " ENGINE = MergeTree() ORDER BY (k)")
+        eng.ch_sql(
+            "CREATE TABLE roll (k String,"
+            " uu AggregateFunction(uniqExact, String),"
+            " total AggregateFunction(sum, Int64))"
+            " ENGINE = AggregatingMergeTree() ORDER BY (k)"
+        )
+        eng.ch_sql(
+            "CREATE MATERIALIZED VIEW mvr TO roll AS SELECT k,"
+            " uniqExactState(u) AS uu, sumState(v) AS total"
+            " FROM src GROUP BY k"
+        )
+        lo = 0
+        for hi in split_at:
+            payload = "\n".join(json.dumps(r) for r in rows[lo:hi])
+            eng.ch_sql(f"INSERT INTO src FORMAT JSONEachRow\n{payload}")
+            lo = hi
+        got = {
+            r["k"]: (r["uu"], r["t"])
+            for r in eng.ch_sql(
+                "SELECT k, uniqExactMerge(uu) AS uu,"
+                " sumMerge(total) AS t FROM roll GROUP BY k"
+            ).collect()
+        }
+        assert got == want, (split_at, got, want)
