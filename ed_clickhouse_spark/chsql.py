@@ -1510,6 +1510,14 @@ _SCALAR_RENAMES = {
     # randExponential/randLogNormal stay JVM-side as rand()/randn()
     # transforms)
     "substringIndexUTF8": "substring_index",
+    # Unicode normalization via stdlib unicodedata (exact); HTML text
+    # extraction as the corpus-cleaning primitive (CDATA/script/style/
+    # comment-aware tag strip + whitespace collapse, strdist.py)
+    "normalizeUTF8NFC": "ch_normalize_nfc",
+    "normalizeUTF8NFD": "ch_normalize_nfd",
+    "normalizeUTF8NFKC": "ch_normalize_nfkc",
+    "normalizeUTF8NFKD": "ch_normalize_nfkd",
+    "extractTextFromHTML": "ch_extract_text_from_html",
     "currentQueryID": "queryID",
     "connection_id": "connectionId",
     "randPoisson": "ch_rand_poisson",

@@ -329,6 +329,77 @@ def _udf_jaro_winkler(s1: pd.Series, s2: pd.Series) -> pd.Series:
     )
 
 
+def _unicode_normalize(form: str):
+    import unicodedata
+
+    def _n(v):
+        return None if v is None else unicodedata.normalize(form, v)
+
+    return _n
+
+
+_HTML_STRIP = None
+
+
+def extract_text_from_html(v: str) -> str:
+    """ClickHouse ``extractTextFromHTML``: CDATA content kept verbatim,
+    script/style elements and comments removed whole, every other tag
+    dropped, whitespace runs collapsed to one space, ends trimmed.
+    Entity references stay verbatim (ClickHouse does the same —
+    decodeXMLComponent is the separate unescape step). Malformed-HTML
+    corners may differ from CH's streaming parser; the documented
+    contract (the corpus-cleaning role) is what is pinned in tests."""
+    global _HTML_STRIP
+    import re
+
+    if _HTML_STRIP is None:
+        _HTML_STRIP = (
+            re.compile(r"<!\[CDATA\[(.*?)\]\]>", re.S),
+            re.compile(r"<script\b.*?</script\s*>", re.S | re.I),
+            re.compile(r"<style\b.*?</style\s*>", re.S | re.I),
+            re.compile(r"<!--.*?-->", re.S),
+            re.compile(r"<[^>]*>"),
+            re.compile(r"\s+"),
+        )
+    cdata, script, style, comment, tag, ws = _HTML_STRIP
+    stash: list[str] = []
+
+    def _keep(m):
+        stash.append(m.group(1))
+        return f" \x00{len(stash) - 1}\x00 "
+
+    # CDATA content is text VERBATIM — shield it from the tag pass
+    v = cdata.sub(_keep, v)
+    v = script.sub(" ", v)
+    v = style.sub(" ", v)
+    v = comment.sub(" ", v)
+    v = tag.sub(" ", v)
+    v = ws.sub(" ", v).strip()
+    if stash:
+        import re
+
+        v = re.sub(
+            "\x00(\\d+)\x00", lambda m: stash[int(m.group(1))], v
+        )
+    return v
+
+
+_NORM_UDFS = {
+    f"ch_normalize_{form.lower()}": pandas_udf(
+        (lambda f: lambda s: s.map(_unicode_normalize(f)))(form),
+        StringType(),
+    )
+    for form in ("NFC", "NFD", "NFKC", "NFKD")
+}
+
+
+@pandas_udf(StringType())
+def _udf_extract_text_from_html(s: pd.Series) -> pd.Series:
+    return s.map(
+        lambda v: None if v is None else extract_text_from_html(v)
+    )
+
+
 @pandas_udf(StringType())
 def _udf_base58_encode(s: pd.Series) -> pd.Series:
     return s.map(lambda v: None if v is None else base58_encode(v))
@@ -518,6 +589,8 @@ _REGISTRY = {
     "ch_idna_encode": _udf_idna_encode,
     "ch_idna_decode": _udf_idna_decode,
     "ch_try_idna_encode": _udf_try_idna_encode,
+    "ch_extract_text_from_html": _udf_extract_text_from_html,
+    **_NORM_UDFS,
     "ch_ip_in_range": _udf_ip_in_range,
     "ch_ipv6_normalize": _udf_ipv6_normalize,
     "ch_array_levenshtein": _udf_array_levenshtein,

@@ -3984,3 +3984,36 @@ def test_probe_batch39_mac_formats_and_introspection_tails(views):
     ):
         with pytest.raises(ValueError, match=alt):
             translate(f"SELECT {fn} FROM t")
+
+
+def test_probe_batch44_unicode_and_html_tails(views):
+    """Round-7 execution probe, batch 44: ~28 candidates (bit shifts/
+    rotates, roundBankers/roundDown, arrayProduct/Count/Uniq,
+    indexOfAssumeSorted, UTF8 string forms, alphaTokens, UUIDv4/v7,
+    emptyArray*/arrayWithConstant, bar already executed —
+    value-verified). Closed: the **normalizeUTF8NFC/NFD/NFKC/NFKD**
+    family (stdlib unicodedata — exact) and **extractTextFromHTML**
+    (the HTML-corpus-cleaning primitive: CDATA kept verbatim,
+    script/style/comments removed whole, tags dropped, whitespace
+    collapsed)."""
+
+    def run(q):
+        return views.sql(translate(q).sql).collect()[0]
+
+    r = run(
+        "SELECT normalizeUTF8NFC('é') AS nfc,"
+        " normalizeUTF8NFD('é') AS nfd,"
+        " normalizeUTF8NFKC('①') AS nfkc,"
+        " normalizeUTF8NFKD('ﬁ') AS nfkd"
+    )
+    assert r["nfc"] == "é" and r["nfd"] == "é"
+    assert r["nfkc"] == "1" and r["nfkd"] == "fi"
+    r = run(
+        "SELECT extractTextFromHTML('<html><script>var x=1;</script>"
+        "<body><p>Hello <b>world</b></p><!-- gone --></body></html>')"
+        " AS t,"
+        " extractTextFromHTML('a <![CDATA[kept <raw>]]> b') AS cd,"
+        " extractTextFromHTML('plain') AS p"
+    )
+    assert r["t"] == "Hello world"
+    assert r["cd"] == "a kept <raw> b" and r["p"] == "plain"
