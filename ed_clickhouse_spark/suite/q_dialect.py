@@ -795,3 +795,46 @@ def q232_pr_auc_eval(spark, sf_dir):
     register_sql_aliases(spark)
     t(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(translate(_CH_PRAUC).sql)
+
+
+_CH_HTML_STRIP = """
+SELECT doc_id,
+       extractTextFromHTML(concat('<html><head><script>var x = 1;',
+                                  '</script></head><body><p>', text,
+                                  '</p><!-- crawler noise --></body>',
+                                  '</html>')) AS clean,
+       length(extractTextFromHTML(concat('<b>', text, '</b>')))
+         AS clean_len
+FROM documents
+WHERE doc_id <= 50
+"""
+
+
+@query(
+    "q234_html_text_extraction",
+    oracle="""
+    SELECT doc_id,
+           trim(regexp_replace(text, '\\s+', ' ', 'g')) AS clean,
+           length(trim(regexp_replace(text, '\\s+', ' ', 'g')))
+             AS clean_len
+    FROM documents
+    WHERE doc_id <= 50
+    """,
+)
+def q234_html_text_extraction(spark, sf_dir):
+    """HTML-corpus cleaning (round-7 batch 44): wrap each document in
+    a realistic page skeleton (script element, comment, tags) and run
+    extractTextFromHTML — the Arrow-batched strip UDF must recover
+    exactly the whitespace-collapsed original text, which the DuckDB
+    oracle computes independently (the corpus is verified
+    markup-free, so the expected output IS the collapsed text).
+    Cross-engine-pins the UDF's tag/script/comment handling on 50
+    real documents end-to-end through the dialect rename. Scale
+    shape: per-row scalar work, distributes with the rows; the WHERE
+    pushes into the scan."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
+    return spark.sql(translate(_CH_HTML_STRIP).sql)
