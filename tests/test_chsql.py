@@ -3730,11 +3730,15 @@ def test_probe_batch35_encrypt_lp_rand_tails(views):
         " (2, 40.0), (2, 50.0) AS t(g, f)"
     ).createOrReplaceTempView("__b35w")
     w = run("SELECT g, kurtPop(f) OVER (PARTITION BY g) AS k,"
-            " skewSamp(f) OVER (PARTITION BY g) AS sk FROM __b35w"
-            " ORDER BY g, f")
-    ggrp = run("SELECT g, kurtPop(f) AS k FROM __b35w GROUP BY g"
-               " ORDER BY g")
-    assert abs(w[0]["k"] - ggrp[0]["k"]) < 1e-9
+            " skewSamp(f) OVER (PARTITION BY g) AS sk,"
+            " kurtSamp(f) OVER (PARTITION BY g) AS ks,"
+            " avgWeighted(f, g) OVER (PARTITION BY g) AS aw"
+            " FROM __b35w ORDER BY g, f")
+    ggrp = run("SELECT g, kurtPop(f) AS k, skewSamp(f) AS sk,"
+               " kurtSamp(f) AS ks, avgWeighted(f, g) AS aw"
+               " FROM __b35w GROUP BY g ORDER BY g")
+    for col in ("k", "sk", "ks", "aw"):
+        assert abs(float(w[0][col]) - float(ggrp[0][col])) < 1e-9, col
     for fn in ("sequenceNextNode('forward', 'first_match')(ts, s,"
                " s = 'a', s = 'b')",
                "flattenTuple((1, 2))", "formatQuery('select 1')"):
