@@ -467,3 +467,22 @@ def test_q231_q232_plan_shapes(spark):
     assert "Python" not in p and "BatchEvalPython" not in p
     n_ex = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
     assert n_ex <= 2, n_ex  # group-key shuffle (+AQE final coalesce)
+
+
+def test_q233_q234_plan_shapes(spark):
+    """q233 (AggregatingMergeTree loop): pure aggregation tree — no
+    joins, no cartesian, no Python anywhere; the two -State parts and
+    the merge are all map-side-combinable aggregates. q234 (HTML
+    extraction): the UDF must ride Arrow (ArrowEvalPython), NEVER the
+    per-row BatchEvalPython, and the doc_id filter pushes into the
+    parquet scan."""
+    spark.catalog.clearCache()
+    p = _plan(QUERIES["q233_aggregating_merge_tree"](
+        spark, "/root/testdata/sf0.001"))
+    assert "Join" not in p and "CartesianProduct" not in p
+    assert "Python" not in p
+    p = _plan(QUERIES["q234_html_text_extraction"](
+        spark, "/root/testdata/sf0.001"))
+    assert "ArrowEvalPython" in p
+    assert "BatchEvalPython" not in p
+    assert "PushedFilters: [" in p and "doc_id" in p
