@@ -803,8 +803,8 @@ SELECT doc_id,
                                   '</script></head><body><p>', text,
                                   '</p><!-- crawler noise --></body>',
                                   '</html>')) AS clean,
-       length(extractTextFromHTML(concat('<b>', text, '</b>')))
-         AS clean_len
+       CAST(length(extractTextFromHTML(concat('<b>', text, '</b>')))
+            AS Int64) AS clean_len
 FROM documents
 WHERE doc_id <= 50
 """
