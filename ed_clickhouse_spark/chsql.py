@@ -4072,7 +4072,7 @@ def _rewrite_resample(sql: str) -> str:  # noqa: C901
     # in DOUBLE (the documented numeric-fold deviation); min/max/any
     # are type-preserving.
     am_rx = re.compile(
-        r"\b(sum|count|min|max|avg|any)Arg(Min|Max)\s*\("
+        r"\b(sum|count|min|max|avg|any)Arg(Min|Max)(If)?\s*\("
     )
     pos = 0
     while True:
@@ -4087,6 +4087,17 @@ def _rewrite_resample(sql: str) -> str:  # noqa: C901
         open1 = sql.index("(", m.end() - 1)
         close1 = _call_end(sql, open1)
         args = _split_top_commas(sql[open1 + 1: close1])
+        # -If stacking: the trailing condition NULLs the whole struct
+        # out (collect_list skips NULL elements, so non-matching rows
+        # never enter the extreme-key search)
+        cond = None
+        if m.group(3):
+            if len(args) < 2:
+                raise ValueError(
+                    f"{base}Arg{direction}If expects (args..., cond)"
+                )
+            cond = args[-1].strip()
+            args = args[:-1]
         want = 1 if base == "count" else 2
         if len(args) != want:
             raise ValueError(
@@ -4095,7 +4106,10 @@ def _rewrite_resample(sql: str) -> str:  # noqa: C901
             )
         key = args[-1].strip()
         val = key if base == "count" else args[0].strip()
-        arr = f"collect_list(named_struct('v', ({val}), 'k', ({key})))"
+        struct = f"named_struct('v', ({val}), 'k', ({key}))"
+        if cond is not None:
+            struct = f"if({cond}, {struct}, NULL)"
+        arr = f"collect_list({struct})"
         ext = "array_min" if direction == "Min" else "array_max"
         if base == "sum":
             body = (
@@ -4934,6 +4948,12 @@ _OPERATOR_ONLY_AGGS = {
                        " textual translation cannot see)",
     "arrayLevenshteinDistanceWeighted": "arrayLevenshteinDistance"
                                         " (uniform costs)",
+    # type-polymorphic -OrDefault forms: the return type's default
+    # ('' / 0 / epoch) is not visible to a textual translation
+    "minOrDefault": "coalesce(min(x), <your column's default value>)",
+    "maxOrDefault": "coalesce(max(x), <your column's default value>)",
+    "anyOrDefault": "coalesce(any_value(x), <default>)",
+    "anyLastOrDefault": "coalesce(last(x), <default>)",
     # block introspection: no deterministic block structure exists in
     # a distributed plan (same stance as runningDifference/neighbor)
     "blockSize": "count() OVER () for group sizes",
@@ -5218,6 +5238,14 @@ _AGG_IF_ALL = {
     # splice-handled state writer: the If loop wraps the argument and
     # the avgState splice below then sees avgState(if(cond, x, NULL))
     "avgState": "avgState",
+    # splice-handled -OrDefault forms (numeric type defaults) and the
+    # -ArgMin/-ArgMax combinators: keep the CH name through the If
+    # wrap; their own splices run after
+    "sumOrDefault": "sumOrDefault",
+    "avgOrDefault": "avgOrDefault",
+    "countOrDefault": "countOrDefault",
+    "uniqExactOrDefault": "uniqExactOrDefault",
+    "uniqOrDefault": "uniqOrDefault",
     **_AGG_IF_BASES,
 }
 
@@ -5995,6 +6023,15 @@ def _rewrite_agg_spellings(sql: str) -> str:
          "named_struct('v', max_by({0}, {1}), 'k', max({1}))"),
         ("argMinState",
          "named_struct('v', min_by({0}, {1}), 'k', min({1}))"),
+        # -OrDefault: the return type's DEFAULT over an empty set
+        # instead of NULL (numeric-returning bases — 0; the
+        # type-polymorphic min/max/any forms refuse, see
+        # _OPERATOR_ONLY_AGGS)
+        ("sumOrDefault", "coalesce(sum({x}), 0)"),
+        ("avgOrDefault", "coalesce(avg({x}), CAST(0.0 AS DOUBLE))"),
+        ("countOrDefault", "count({x})"),
+        ("uniqExactOrDefault", "coalesce(count(DISTINCT {x}), 0)"),
+        ("uniqOrDefault", "coalesce(approx_count_distinct({x}), 0)"),
     ):
         while True:
             m = _find_case_exact(sql, rf"\b{name}\s*\(")

@@ -4021,3 +4021,42 @@ def test_probe_batch44_unicode_and_html_tails(views):
     )
     assert r["t"] == "Hello world"
     assert r["cd"] == "a kept <raw> b" and r["p"] == "plain"
+
+
+def test_probe_batch45_ordefault_and_argmin_if_stacking(views):
+    """Round-7 execution probe, batch 45: the -OrDefault aggregate
+    combinator (the return type's DEFAULT over an empty set — 0 for
+    the numeric-returning bases; the type-polymorphic min/max/any
+    forms refuse naming the explicit COALESCE), its -If stacking, and
+    -ArgMin/-ArgMax stacking with -If (the condition NULLs the whole
+    (v, k) struct out, so non-matching rows never enter the
+    extreme-key search)."""
+    views.sql(
+        "SELECT * FROM VALUES (1, 'a', 10.0, 5), (1, 'b', 9.0, 5),"
+        " (1, 'c', 4.0, 7), (2, 'd', 1.0, 3) AS t(g, s, v, k)"
+    ).createOrReplaceTempView("__b45")
+
+    def run(q):
+        return views.sql(translate(q).sql).collect()
+
+    r = run(
+        "SELECT sumOrDefault(v) AS s, countOrDefault() AS c,"
+        " avgOrDefault(v) AS a, uniqOrDefault(s) AS u,"
+        " uniqExactOrDefault(s) AS ue FROM __b45 WHERE g > 9"
+    )[0]
+    assert float(r["s"]) == 0 and r["c"] == 0 and r["a"] == 0.0
+    assert r["u"] == 0 and r["ue"] == 0
+    assert float(run("SELECT sumOrDefaultIf(v, k > 10) AS s"
+                     " FROM __b45")[0]["s"]) == 0
+    # g=1, cond k<=5: keys {5, 5}; min key 5 ties rows a(10) + b(9)
+    r = run(
+        "SELECT g, sumArgMinIf(v, k, k <= 5) AS s,"
+        " countArgMaxIf(k, k <= 5) AS c,"
+        " minArgMinIf(s, k, v < 10) AS mn"
+        " FROM __b45 GROUP BY g ORDER BY g"
+    )
+    assert r[0]["s"] == 19.0 and r[0]["c"] == 2 and r[0]["mn"] == "b"
+    assert r[1]["s"] == 1.0 and r[1]["c"] == 1 and r[1]["mn"] == "d"
+    for fn in ("minOrDefault(v)", "maxOrDefault(v)", "anyOrDefault(s)"):
+        with pytest.raises(ValueError, match="coalesce"):
+            translate(f"SELECT {fn} FROM t")
