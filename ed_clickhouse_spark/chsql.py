@@ -4057,9 +4057,13 @@ def _rewrite_resample(sql: str) -> str:  # noqa: C901
             hi = min(lo + step, end)
             cond = f"({key}) >= {lo} AND ({key}) < {hi}"
             cell = f"{base}If({lead}{cond})"
-            # scalar sum family only: a map-typed cell (sumMapResample)
-            # must NOT be coalesced against numeric 0
-            if base in ("sum", "sumKahan", "sumWithOverflow", "count"):
+            # numeric sum family only: a map-typed cell
+            # (sumMapResample) must NOT be coalesced against numeric 0.
+            # The -Array sums count too (CH's sumArray default over an
+            # empty bucket is 0, and the NULLed-array -If rewrite
+            # yields NULL there)
+            if base in ("sum", "sumKahan", "sumWithOverflow", "count",
+                        "sumArray", "countArray"):
                 cell = f"coalesce({cell}, 0)"
             cells.append(cell)
         sql = sql[: m.start()] + f"array({', '.join(cells)})" + sql[close2 + 1:]

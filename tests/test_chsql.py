@@ -4060,3 +4060,26 @@ def test_probe_batch45_ordefault_and_argmin_if_stacking(views):
     for fn in ("minOrDefault(v)", "maxOrDefault(v)", "anyOrDefault(s)"):
         with pytest.raises(ValueError, match="coalesce"):
             translate(f"SELECT {fn} FROM t")
+
+
+def test_probe_batch46_foreach_and_array_resample(views):
+    """Round-7 probe batch 46: the deep stacking corners all execute —
+    -ForEach × -If (per-position aggregation restricted by the
+    condition), -Array × -Resample. One real fix: sumArrayResample's
+    empty buckets now coalesce to 0 like the scalar sum family (CH's
+    sumArray default; the NULLed-array -If rewrite yielded NULL)."""
+    views.sql(
+        "SELECT * FROM VALUES (1, array(1, 2), 5), (1, array(3, 4), 9),"
+        " (2, array(10, 20), 5) AS t(g, arr, k)"
+    ).createOrReplaceTempView("__b46")
+
+    def run(q):
+        return views.sql(translate(q).sql).collect()
+
+    r = run("SELECT g, sumForEachIf(arr, k < 7) AS fe,"
+            " sumArrayResample(0, 10, 5)(arr, k) AS rs,"
+            " countArrayResample(0, 10, 5)(arr, k) AS cr"
+            " FROM __b46 GROUP BY g ORDER BY g")
+    assert r[0]["fe"] == [1.0, 2.0] and r[1]["fe"] == [10.0, 20.0]
+    assert r[0]["rs"] == [0.0, 10.0] and r[1]["rs"] == [0.0, 30.0]
+    assert r[0]["cr"][0] == 0 and r[0]["cr"][1] == 4
