@@ -47,9 +47,24 @@ def _latest_checked_rounds() -> dict[str, int]:
         except (OSError, ValueError):
             continue  # a malformed round file must not break the driver
         rnd = int(m.group(1))
-        for name in rows:
-            latest[name] = max(rnd, latest.get(name, 0))
+        for name, row in rows.items():
+            if rnd < latest.get(name, -(10**9)) and latest.get(name) != _RED:
+                continue
+            # a red LATEST row (hard error, row/hash mismatch) must
+            # sort FIRST — before never-checked queries — so the
+            # driver confirms a fix the very next round instead of
+            # rotating the failure to the back of the queue.
+            # rows-only-by-design entries ("no_oracle") are green.
+            is_red = isinstance(row, dict) and (
+                (row.get("err") not in (None, "no_oracle"))
+                or row.get("rows_match") is False
+                or row.get("hash_match") is False
+            )
+            latest[name] = _RED if is_red else rnd
     return latest
+
+
+_RED = -2  # sorts before never-checked (-1) and any real round (>=1)
 
 
 _LATEST_CHECKED_ROUND = _latest_checked_rounds()

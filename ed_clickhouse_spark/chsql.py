@@ -1116,14 +1116,20 @@ def _rewrite_inline_table_functions(sql: str) -> str:
     - ``null('schema')`` → a typed ZERO-row relation (CH's null engine
       discards; reading it is empty).
     - ``view(SELECT ...)`` → a plain subquery."""
+    scan_from = 0
     while True:
         m = _find_top_anywhere(
-            sql, r"(?i)\b(?:FROM|JOIN)\s+(values|null)\s*\("
+            sql[scan_from:], r"(?i)\b(?:FROM|JOIN)\s+(values|null)\s*\("
         )
         if not m:
             break
+        # offsets are slice-relative: scan_from always sits just past
+        # a complete top-level TVF call (never inside a literal), so
+        # _scan_level on the suffix stays correct
+        mstart = scan_from + m.start()
+        mstart1 = scan_from + m.start(1)
         fname = m.group(1).lower()
-        open1 = sql.index("(", m.end() - 1)
+        open1 = sql.index("(", scan_from + m.end() - 1)
         close1 = _call_end(sql, open1)
         args = _split_top_commas(sql[open1 + 1: close1])
         sm = re.fullmatch(r"\s*'([^']+)'\s*", args[0]) if args else None
@@ -1137,12 +1143,16 @@ def _rewrite_inline_table_functions(sql: str) -> str:
                 cols = None  # a string row value, not a CH schema
         if cols is None:
             if fname == "values":
-                # Spark's own VALUES clause / TVF — leave untouched
-                break
+                # Spark's own VALUES clause / TVF — leave it untouched
+                # but KEEP SCANNING: a later CH-form values()/null()
+                # in the same statement must still translate (a break
+                # here left them unresolved / silently mis-parsed)
+                scan_from = close1 + 1
+                continue
             raise ValueError(
                 "null() expects a 'name Type, ...' schema string"
             )
-        head = sql[m.start(): m.start(1)]
+        head = sql[mstart:mstart1]
         rows = [a.strip() for a in args[1:]]
         if fname == "null" or not rows:
             sel = ", ".join(
@@ -1165,7 +1175,10 @@ def _rewrite_inline_table_functions(sql: str) -> str:
                 f"(SELECT {sel} FROM VALUES {vals}"
                 f" AS __ch_vrows({names})) AS __ch_values"
             )
-        sql = sql[: m.start()] + head + repl + sql[close1 + 1:]
+        sql = sql[:mstart] + head + repl + sql[close1 + 1:]
+        # the rewrite only touched text at/after scan_from, so the
+        # kept offset stays valid; the emitted FROM VALUES form is
+        # re-matched and skipped as a Spark form next iteration
     while True:
         m = _find_top_anywhere(
             sql, r"(?i)\b(?:FROM|JOIN)\s+view\s*\(\s*(?=SELECT|WITH\b)"
@@ -2718,6 +2731,12 @@ def _rewrite_scalar_misc(sql: str) -> str:
         m = fut_rx.search(sql, pos)
         if not m:
             break
+        # in-string-literal guard, like the neighboring rewrite loops:
+        # the token inside a quoted literal must not be spliced
+        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        if instr_at.get(m.start(), False):
+            pos = m.end()
+            continue
         open1 = sql.index("(", m.end() - 1)
         close1 = _call_end(sql, open1)
         args = _split_top_commas(sql[open1 + 1: close1])
@@ -4123,13 +4142,20 @@ def _rewrite_resample(sql: str) -> str:  # noqa: C901
         elif base == "count":
             body = "CAST(size(__amf) AS BIGINT)"
         elif base == "avg":
+            # nullif guard: a stacked -If with zero matching rows
+            # leaves __amf empty (collect_list drops the NULLed
+            # structs) and a bare division raises DIVIDE_BY_ZERO
+            # under the session's ANSI mode; CH yields nan — we emit
+            # NULL, the same stance as the boundingRatio guard.
             body = (
                 "aggregate(__amf, CAST(0 AS DOUBLE),"
                 " (acc, e) -> acc + CAST(e.v AS DOUBLE))"
-                " / CAST(size(__amf) AS DOUBLE)"
+                " / nullif(CAST(size(__amf) AS DOUBLE), 0.0D)"
             )
         elif base == "any":
-            body = "element_at(__amf, 1).v"
+            # try_element_at: empty-match groups return NULL instead
+            # of raising INVALID_ARRAY_INDEX_IN_ELEMENT_AT under ANSI
+            body = "try_element_at(__amf, 1).v"
         else:  # min / max over the tied rows, type-preserving
             fn = "array_min" if base == "min" else "array_max"
             body = f"{fn}(transform(__amf, __ame -> __ame.v))"
@@ -4184,6 +4210,81 @@ def _rewrite_resample(sql: str) -> str:  # noqa: C901
     return sql
 
 
+def _time_decayed_running_route(
+    kind: str, lam: str, texpr: str, vexpr: str, spec: str, targ: str
+) -> str | None:
+    """The O(1)-per-row plan for the UNBOUNDED running-frame spelling
+    of exponentialTimeDecayed* (see _rewrite_time_decayed's scale
+    note). Returns the replacement expression, or None when the spec
+    is not the routable shape (bounded frame, DESC time, or the time
+    argument not leading the ORDER BY) — the caller falls back to the
+    exact O(frame) HOF fold."""
+    sm = re.match(
+        r"(?is)^\s*(?:PARTITION\s+BY\s+(?P<part>.*?)\s+)?"
+        r"ORDER\s+BY\s+(?P<obys>.*?)\s*"
+        r"(?P<frame>(?:ROWS|RANGE)\s+(?:BETWEEN\s+)?UNBOUNDED\s+"
+        r"PRECEDING(?:\s+AND\s+CURRENT\s+ROW)?)?\s*$",
+        spec,
+    )
+    if not sm or not sm.group("obys"):
+        return None
+    # a frame that is NOT the unbounded running shape fails the lazy
+    # frame group and gets swallowed into obys — reject it there
+    if re.search(r"(?is)\b(?:ROWS|RANGE|GROUPS)\b", sm.group("obys")):
+        return None
+    okeys = _split_top_commas(sm.group("obys"))
+    k1 = re.sub(r"(?is)\s+ASC\s*$", "", okeys[0].strip()).strip()
+    if re.search(r"(?is)\b(DESC|NULLS)\b", okeys[0]):
+        return None
+
+    def _norm(s: str) -> str:
+        return re.sub(r"[\s`]+", "", s)
+
+    if _norm(k1) != _norm(targ):
+        return None
+    frame = (sm.group("frame") or "").strip().upper()
+    rows_frame = frame.startswith("ROWS")
+    part = (sm.group("part") or "").strip()
+    width = repr(600.0 * float(lam))
+    seg = f"CAST(FLOOR(({texpr}) / {width}) AS BIGINT)"
+    d = f"(({texpr}) - {seg} * {width})"
+    u = f"exp({d} / ({lam}))"
+    w = u if kind == "Count" else f"(({vexpr}) * {u})"
+    a_part = f"PARTITION BY {part + ', ' if part else ''}{seg}"
+    a_order = f"ORDER BY {sm.group('obys')}"
+    a_frame = (
+        " ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+        if rows_frame
+        else ""  # default RANGE frame: all ts-ties included, like CH
+    )
+    a_spec = f"{a_part} {a_order}{a_frame}"
+    p_spec = (
+        f"{'PARTITION BY ' + part + ' ' if part else ''}"
+        f"ORDER BY {seg} RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING"
+    )
+
+    def running(agg: str, weight: str, empty: str) -> str:
+        prev = f"coalesce({agg}({weight}) OVER ({p_spec}), {empty})"
+        mine = f"{agg}({weight}) OVER ({a_spec})"
+        if agg == "max":
+            return f"greatest({mine}, exp(-600.0D) * {prev})"
+        return f"({mine} + exp(-600.0D) * {prev})"
+
+    scale = f"exp(-({d}) / ({lam}))"
+    if kind in ("Sum", "Count"):
+        return f"({scale} * {running('sum', w, '0.0D')})"
+    if kind == "Max":
+        neg_inf = "CAST('-Infinity' AS DOUBLE)"
+        return f"({scale} * {running('max', w, neg_inf)})"
+    # Avg: decayed sum over decayed count — the shared scale cancels,
+    # so skip it (also dodges 0-adjacent rounding)
+    wc = u
+    return (
+        f"({running('sum', w, '0.0D')}"
+        f" / {running('sum', wc, '0.0D')})"
+    )
+
+
 def _rewrite_time_decayed(sql: str) -> str:
     """ClickHouse ``exponentialTimeDecayed{Sum,Count,Max,Avg}(x)(v, t)
     OVER (spec)`` window functions → a collect_list window + HOF fold.
@@ -4213,11 +4314,29 @@ def _rewrite_time_decayed(sql: str) -> str:
     exponential_moving_average).
 
     Scale note: the per-row frame array is O(frame) memory, O(frame²)
-    per partition across rows — exact and fine for dashboard-sized
-    frames; for power users with very long unbounded frames, use
-    operators/windows.py:time_decayed, the O(rows) rescaled-recurrence
-    twin (cross-validated against this rewrite in
-    tests/test_operators.py).
+    per partition across rows — exact and fine for bounded
+    dashboard-sized frames. The UNBOUNDED running spelling (frame
+    absent, or ROWS/RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW,
+    with the time argument leading the ORDER BY ascending) AUTO-ROUTES
+    to an O(1)-per-row segmented two-running-sums plan instead (round
+    8): anchor each event's weight at its absolute time segment of
+    width 600·x — ``u = exp(((t mod 600x))/x)`` stays in [1, e^600],
+    representable — then
+
+        result = e^(-d/x) · (Σ_same-segment v·u
+                             + e^(-600) · Σ_prev-segment v·u)
+
+    where both sums are plain incremental window aggregates (running
+    prefix within (partition, segment); previous segment via ORDER BY
+    segment RANGE BETWEEN 1 PRECEDING AND 1 PRECEDING). No per-row
+    frame array — the plan is pure Window exec with
+    UnboundedPreceding/Range frames, O(rows) total. Events two or more
+    segments back carry weight < e^(-600) ≈ 2.6e-261 and are truncated
+    (the HOF fold would keep their denormal dust); association differs
+    from the fold by ~1e-12 relative — callers rounding output (the
+    universal practice for decayed scores) see identical values. The
+    applyInPandas twin operators/windows.py:time_decayed remains for
+    DataFrame-API users.
     """
     rx = re.compile(r"\bexponentialTimeDecayed(Sum|Count|Max|Avg)\s*\(")
     pos = 0
@@ -4302,6 +4421,13 @@ def _rewrite_time_decayed(sql: str) -> str:
             if kind == "Count"
             else f"CAST(({args[0].strip()}) AS DOUBLE)"
         )
+        routed = _time_decayed_running_route(
+            kind, lam, texpr, vexpr, spec, args[-1].strip()
+        )
+        if routed is not None:
+            sql = sql[: m.start()] + routed + sql[close3 + 1:]
+            pos = m.start()
+            continue
         arr = (
             f"collect_list(named_struct('v', {vexpr}, 't', {texpr}))"
             f" OVER ({spec})"

@@ -62,11 +62,15 @@ class _ToTableMV:
         view = f"__mv_batch_{self.spec.name}"
         batch.createOrReplaceTempView(view)
         # the trigger sees ONLY the inserted batch (CH semantics), so
-        # the body's FROM <source> rebinds to the batch view
+        # the body's FROM <source> rebinds to the batch view — the
+        # FIRST reference only: ClickHouse feeds the inserted block to
+        # the leftmost table, while a self-join's other references
+        # read the stored table
         body = _re.sub(
             rf"\bFROM\s+`?{self.spec.source}`?\b",
             f"FROM {view}",
             self.body,
+            count=1,
             flags=_re.I,
         )
         out = self.engine.spark.sql(
@@ -704,11 +708,19 @@ class Engine:
                         " CREATE it first (ClickHouse requires the"
                         " same)"
                     )
-                self.matviews[mv.spec.name] = mv
                 if populate:
-                    mv.on_batch(self.spark.table(mv.spec.source))
-                return _done(tm.group(1), "create_materialized_view",
-                             1 if populate else 0)
+                    # ClickHouse rejects POPULATE with the TO clause
+                    # ("POPULATE is not supported with TO [db].[table]")
+                    # — match it; backfill with an explicit
+                    # INSERT INTO target SELECT ... instead
+                    raise ValueError(
+                        "POPULATE is not allowed with"
+                        " CREATE MATERIALIZED VIEW ... TO (ClickHouse"
+                        " rejects it too) — backfill the target with"
+                        " INSERT INTO ... SELECT"
+                    )
+                self.matviews[mv.spec.name] = mv
+                return _done(tm.group(1), "create_materialized_view", 0)
             mspec = _ddl.parse_materialized_view(stmt)
             mv = _ddl.MatView(self.spark, mspec, self.warehouse)
             self.matviews[mspec.name] = mv

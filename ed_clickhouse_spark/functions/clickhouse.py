@@ -2476,11 +2476,23 @@ _ALIASED_SESSIONS: "weakref.WeakSet[SparkSession]" = weakref.WeakSet()
 
 
 def register_sql_aliases(spark: SparkSession, force: bool = False) -> list[str]:
-    """Register the ClickHouse scalar spellings as temporary SQL
-    functions (idempotent and memoized per session). Returns the list
-    of registered names."""
+    """Register every ``ch_*`` name ``chsql.translate`` can emit on
+    this session: the ClickHouse scalar spellings as temporary SQL
+    functions plus the Arrow-batched pandas-UDF families
+    (string-distance/codec, random distributions). A translate()
+    consumer that calls this resolves ALL translated SQL on any
+    session — including a bare driver-provided one that never went
+    through ``session.get_spark`` (the q234 round-7 driver failure:
+    the SQL aliases were registered but ``ch_extract_text_from_html``
+    is a pandas UDF). Idempotent and memoized per session. Returns
+    the list of registered SQL-alias names."""
     if not force and spark in _ALIASED_SESSIONS:
         return list(_SQL_SCALAR_ALIASES)
+    from ed_clickhouse_spark.functions.randdist import register_randdist
+    from ed_clickhouse_spark.functions.strdist import register_strdist
+
+    register_strdist(spark)
+    register_randdist(spark)
     registered = []
     for name, (sig, body) in _SQL_SCALAR_ALIASES.items():
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}{sig} RETURN {body}")

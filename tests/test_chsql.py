@@ -4083,3 +4083,105 @@ def test_probe_batch46_foreach_and_array_resample(views):
     assert r[0]["fe"] == [1.0, 2.0] and r[1]["fe"] == [10.0, 20.0]
     assert r[0]["rs"] == [0.0, 10.0] and r[1]["rs"] == [0.0, 30.0]
     assert r[0]["cr"][0] == 0 and r[0]["cr"][1] == 4
+
+
+def test_argminmax_if_zero_match_groups(views):
+    """ADVICE r7: groups where NO row satisfies the stacked -If
+    condition must yield NULL, not crash — the any base raised
+    INVALID_ARRAY_INDEX_IN_ELEMENT_AT (element_at on the then-empty
+    filtered array under ANSI mode) and the avg base raised
+    DIVIDE_BY_ZERO (division by size 0). ClickHouse returns the
+    default / nan; we emit NULL (the boundingRatio nullif stance)."""
+    views.sql(
+        "SELECT * FROM VALUES (1, 5, 1), (1, 7, 2), (2, 200, 3)"
+        " AS t(k, v, o)"
+    ).createOrReplaceTempView("__zm")
+    r = views.sql(translate(
+        "SELECT k, anyArgMinIf(v, o, v > 100) AS a,"
+        " anyArgMaxIf(v, o, v > 100) AS a2,"
+        " avgArgMinIf(v, o, v > 100) AS b,"
+        " avgArgMaxIf(v, o, v > 100) AS b2"
+        " FROM __zm GROUP BY k ORDER BY k").sql).collect()
+    assert r[0]["a"] is None and r[0]["a2"] is None
+    assert r[0]["b"] is None and r[0]["b2"] is None
+    assert r[1]["a"] == 200 and r[1]["b2"] == 200.0
+
+
+def test_from_unix_timestamp_string_literal_guard(views):
+    """ADVICE r7: the 2-arg fromUnixTimestamp rewrite must skip
+    matches inside string literals (like the neighboring multiMatch/
+    formatRow passes) — the token in a quoted literal was spliced
+    into formatDateTime, corrupting the literal."""
+    r = views.sql(translate(
+        "SELECT 'fromUnixTimestamp(1, 2)' AS lit,"
+        " fromUnixTimestamp(0, '%F') AS d").sql).collect()[0]
+    assert r["lit"] == "fromUnixTimestamp(1, 2)"
+    assert r["d"] == "1970-01-01"
+
+
+def test_ch_values_after_spark_values_same_statement(views):
+    """ADVICE r7: a Spark-native FROM VALUES earlier in the statement
+    must not stop the scan — a later ClickHouse-form values('x T',…)
+    in the SAME statement still translates (the old `break` left it
+    as an unresolved/mis-parsed TVF)."""
+    sql = translate(
+        "SELECT a.c1 AS x, __ch_values.n AS y"
+        " FROM VALUES (1), (2) AS a(c1)"
+        " JOIN values('n UInt8', 1, 2) ON a.c1 = __ch_values.n").sql
+    assert "__ch_vrows" in sql  # the CH form was rewritten
+    rows = views.sql(sql).collect()
+    assert sorted((r["x"], r["y"]) for r in rows) == [(1, 1), (2, 2)]
+    # and a CH-form null() after a Spark VALUES also still translates
+    sql2 = translate(
+        "SELECT count(*) AS c FROM VALUES (1) AS a(c1)"
+        " CROSS JOIN null('z Int64')").sql
+    assert views.sql(sql2).collect()[0]["c"] == 0
+
+
+def test_time_decayed_running_route_matches_hof_fold(views):
+    """Round 8 (verdict #4): the segmented O(1)-per-row routing for
+    unbounded exponentialTimeDecayed* frames must agree with the
+    exact O(frame) HOF fold. The bounded spelling ROWS BETWEEN 100000
+    PRECEDING AND CURRENT ROW is NOT routable (it keeps the HOF fold)
+    but covers every row of this small grid — same frames, two
+    plans. Grid spans multiple 600x-wide segments (x=60 -> 36000 s
+    per segment; events spread over ~5 segments) so the cross-segment
+    carry and the >=2-segments-back truncation both exercise. Agree
+    to 6 dp (association differs by ~1e-12 relative)."""
+    views.sql(
+        "SELECT id, CAST(k AS STRING) AS g,"
+        " timestamp_seconds(1700000000 + id * 7919 % 180000) AS ts,"
+        " CAST(sin(id) * 100 AS DOUBLE) AS v"
+        " FROM range(300) JOIN (SELECT explode(array(0, 1)) AS k)"
+    ).createOrReplaceTempView("__td")
+
+    def both(fn, args):
+        unb = ("ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW",)
+        bnd = ("ROWS BETWEEN 100000 PRECEDING AND CURRENT ROW",)
+        out = []
+        for frame, in (unb, bnd):
+            q = translate(
+                f"SELECT g, id, round({fn}(60)({args}) OVER"
+                f" (PARTITION BY g ORDER BY ts, id {frame}), 6) AS r"
+                " FROM __td"
+            ).sql
+            out.append(q)
+        return out
+
+    for fn, args in [
+        ("exponentialTimeDecayedSum", "v, ts"),
+        ("exponentialTimeDecayedCount", "ts"),
+        ("exponentialTimeDecayedMax", "v, ts"),
+        ("exponentialTimeDecayedAvg", "v, ts"),
+    ]:
+        routed_sql, hof_sql = both(fn, args)
+        assert "collect_list" not in routed_sql, fn
+        assert "collect_list" in hof_sql, fn
+        routed = {(r["g"], r["id"]): r["r"]
+                  for r in views.sql(routed_sql).collect()}
+        hof = {(r["g"], r["id"]): r["r"]
+               for r in views.sql(hof_sql).collect()}
+        assert routed.keys() == hof.keys()
+        bad = [(k, routed[k], hof[k]) for k in routed
+               if abs((routed[k] or 0) - (hof[k] or 0)) > 1e-6]
+        assert not bad, (fn, bad[:5])

@@ -283,3 +283,55 @@ def test_to_table_mv_batch_split_invariance(spark, tmp_path):
             ).collect()
         }
         assert got == want, (split_at, got, want)
+
+
+def test_to_table_mv_refuses_populate(spark, tmp_path):
+    """ADVICE r7: ClickHouse rejects POPULATE with the TO clause
+    ("POPULATE is not supported with TO [db].[table]") — so do we,
+    pointing at the INSERT INTO ... SELECT backfill path."""
+    import pytest
+
+    from ed_clickhouse_spark.engine import Engine
+
+    eng = Engine(str(tmp_path / "wh"), spark)
+    eng.ch_sql("CREATE TABLE src (k String, v Int64)"
+               " ENGINE = MergeTree() ORDER BY (k)")
+    eng.ch_sql("CREATE TABLE roll (k String,"
+               " total AggregateFunction(sum, Int64))"
+               " ENGINE = AggregatingMergeTree() ORDER BY (k)")
+    with pytest.raises(ValueError, match="POPULATE is not allowed"):
+        eng.ch_sql("CREATE MATERIALIZED VIEW mvp TO roll POPULATE AS"
+                   " SELECT k, sumState(v) AS total FROM src GROUP BY k")
+    # and the refusal left no trigger behind
+    assert "mvp" not in eng.matviews
+
+
+def test_to_table_mv_self_join_rebinds_first_from_only(spark, tmp_path):
+    """ADVICE r7: a TO-MV body that self-joins its source must rebind
+    only the FIRST (leftmost) FROM reference to the inserted batch —
+    ClickHouse feeds the inserted block to the leftmost table while
+    the join's other references read the STORED table. Verified by
+    inserting two batches and checking the second batch joins against
+    the full stored contents, not just itself."""
+    from ed_clickhouse_spark.engine import Engine
+
+    eng = Engine(str(tmp_path / "wh"), spark)
+    eng.ch_sql("CREATE TABLE src (k String, v Int64)"
+               " ENGINE = MergeTree() ORDER BY (k)")
+    eng.ch_sql("CREATE TABLE pairs (k String, n AggregateFunction("
+               "count, UInt64)) ENGINE = AggregatingMergeTree()"
+               " ORDER BY (k)")
+    # per inserted row, count how many STORED rows share its key
+    eng.ch_sql(
+        "CREATE MATERIALIZED VIEW mvj TO pairs AS"
+        " SELECT b.k AS k, countState() AS n"
+        " FROM src AS b JOIN (SELECT k FROM src) AS s ON b.k = s.k"
+        " GROUP BY b.k"
+    )
+    eng.ch_sql('INSERT INTO src FORMAT JSONEachRow\n{"k":"a","v":1}')
+    # batch 2: joins against stored src (now 2 'a' rows incl itself)
+    eng.ch_sql('INSERT INTO src FORMAT JSONEachRow\n{"k":"a","v":2}')
+    r = eng.ch_sql("SELECT k, countMerge(n) AS c FROM pairs"
+                   " GROUP BY k").collect()
+    # batch1: 1 row x 1 stored; batch2: 1 row x 2 stored = 3 total
+    assert r[0]["k"] == "a" and r[0]["c"] == 3

@@ -486,3 +486,18 @@ def test_q233_q234_plan_shapes(spark):
     assert "ArrowEvalPython" in p
     assert "BatchEvalPython" not in p
     assert "PushedFilters: [" in p and "doc_id" in p
+
+
+def test_q227_time_decayed_routes_to_running_windows(spark):
+    """Round 8 (verdict #4): the UNBOUNDED running spelling of
+    exponentialTimeDecayed* must auto-route to the segmented
+    two-running-sums plan — pure incremental Window aggregates, NO
+    per-row collect_list frame (the HOF fold is O(frame^2) per
+    partition and stays only for bounded frames). Also: no Python, no
+    joins."""
+    spark.catalog.clearCache()
+    p = _plan(QUERIES["q227_time_decayed_windows"](
+        spark, "/root/testdata/sf0.001"))
+    assert "collect_list" not in p
+    assert "Window" in p
+    assert "Python" not in p and "Join" not in p
