@@ -123,38 +123,98 @@ def q79_nth_value(spark, sf_dir):
     ).distinct()
 
 
-@query("q103_uniq_merge")  # sketch-based — rows-only; error bound unit-tested
+@query(
+    "q103_uniq_merge",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_distinct,
+           true AS within_5pct
+    FROM events GROUP BY event_type
+    """,
+)
 def q103_uniq_merge(spark, sf_dir):
     """ClickHouse uniqState/uniqMerge parity: per (event_type, day) HLL
     states built once, then merged per event_type — the re-aggregatable
     distinct-users rollup. At 100 TB the states live in the rollup
     table; this query is the merge-at-read path (shuffle = one ~2KB
-    sketch per group, never user ids)."""
+    sketch per group, never user ids).
+
+    Tolerance-banded oracle (r8, verdict #7): the output carries the
+    EXACT distinct count (cross-engine-checked against DuckDB's
+    COUNT(DISTINCT)) plus a ``within_5pct`` band column that is true
+    iff the merged-HLL estimate lands within 5% of it — ~3 sigma for
+    the lg_k=12 sketch (RSE ≈ 1.6%), and deterministic: the sketch has
+    no RNG, so the band either always holds on this data or never
+    does. The driver's hash-match is now a real check on both the
+    exact arm and the sketch's error, not rows-only. The exact arm
+    exists only for the check; the production scale path remains the
+    states."""
     from ed_clickhouse_spark.operators.sketch import hll_merge, hll_state
 
     e = t(spark, sf_dir, "events").select(
         "event_type", F.to_date("ts").alias("day"), "user_id"
     )
     daily = hll_state(e, ["event_type", "day"], "user_id")
-    return hll_merge(daily, ["event_type"]).withColumn(
-        "est_distinct", F.col("est_distinct").cast("bigint")
+    merged = hll_merge(daily, ["event_type"])
+    exact = e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_distinct")
+    )
+    return merged.join(exact, "event_type").select(
+        "event_type",
+        "exact_distinct",
+        (
+            F.abs(F.col("est_distinct") - F.col("exact_distinct"))
+            <= F.col("exact_distinct") * F.lit(0.05)
+        ).alias("within_5pct"),
     )
 
 
-@query("q104_approx_quantiles")  # approximate — rows-only; tolerance unit-tested
+@query(
+    "q104_approx_quantiles",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n,
+           true AS p50_ok, true AS p90_ok, true AS p99_ok
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
 def q104_approx_quantiles(spark, sf_dir):
     """ClickHouse quantile()/quantiles() are approximate by default;
     this is the matching Spark surface (approx_percentile) over order
     totals per priority — the constant-memory path when exact q07-style
-    percentiles would need a full sort at 100 TB."""
-    o = t(spark, sf_dir, "orders")
-    return o.groupBy("o_orderpriority").agg(
+    percentiles would need a full sort at 100 TB.
+
+    Tolerance-banded oracle (r8, verdict #7): approx_percentile's
+    guarantee is on RANK (error <= n/accuracy = n/10000), so each
+    output carries the group size n (cross-engine-checked) plus per-
+    percentile booleans asserting the approximate value's actual rank —
+    count of rows <= it, recomputed against the data — sits within
+    10x slack of the target rank (greatest(2, 0.002*n)). The sketch is
+    deterministic on fixed data, so the booleans are stable at every
+    scale. The approx values stay the production output shape; the
+    rank audit exists for the check."""
+    o = t(spark, sf_dir, "orders").select("o_orderpriority", "o_totalprice")
+    a = o.groupBy("o_orderpriority").agg(
         F.expr(
             "approx_percentile(o_totalprice, array(0.5, 0.9, 0.99), 10000)"
         ).alias("q"),
-    ).select(
-        "o_orderpriority",
-        F.round(F.col("q")[0], 2).alias("p50"),
-        F.round(F.col("q")[1], 2).alias("p90"),
-        F.round(F.col("q")[2], 2).alias("p99"),
+        F.count("*").alias("n"),
+    )
+    j = o.join(F.broadcast(a), "o_orderpriority")
+    ranks = j.groupBy("o_orderpriority").agg(
+        F.max("n").alias("n"),
+        *[
+            F.sum(
+                F.when(F.col("o_totalprice") <= F.col("q")[i], 1).otherwise(0)
+            ).alias(f"r{i}")
+            for i in range(3)
+        ],
+    )
+
+    def ok(i: int, p: float):
+        tol = F.greatest(F.lit(2.0), F.col("n") * F.lit(0.002))
+        return (
+            F.abs(F.col(f"r{i}") - F.col("n") * F.lit(p)) <= tol
+        ).alias(f"p{int(p * 100)}_ok")
+
+    return ranks.select(
+        "o_orderpriority", "n", ok(0, 0.5), ok(1, 0.9), ok(2, 0.99)
     )
