@@ -4022,7 +4022,7 @@ def _rewrite_resample(sql: str) -> str:  # noqa: C901
         re.compile(r"\buniqCombined\s*\(\s*\d+\s*\)\s*\("),
         "uniqCombined(",
     )
-    rx = re.compile(r"\b([a-zA-Z][a-zA-Z0-9]*?)Resample\s*\(")
+    rx = re.compile(r"\b([a-zA-Z][a-zA-Z0-9]*?)Resample(If)?\s*\(")
     pos = 0
     while True:
         m = rx.search(sql, pos)
@@ -4033,6 +4033,7 @@ def _rewrite_resample(sql: str) -> str:  # noqa: C901
             pos = m.end()
             continue
         base = m.group(1)
+        outer_if = bool(m.group(2))  # aggResampleIf: -If applied LAST
         open1 = sql.index("(", m.end() - 1)
         close1 = _call_end(sql, open1)
         params = [p.strip() for p in _split_top_commas(sql[open1 + 1: close1])]
@@ -4067,6 +4068,32 @@ def _rewrite_resample(sql: str) -> str:  # noqa: C901
             raise ValueError(
                 f"{base}Resample(start, end, step)(args..., key)"
             )
+        # CH builds combinator names left to right, so both stacking
+        # orders are legal spellings: aggIfResample(s,e,p)(args, cond,
+        # key) (-If first: cond precedes the resample key) and
+        # aggResampleIf(s,e,p)(args, key, cond) (-If last: cond is the
+        # final argument). Either way the per-bucket cell is a single
+        # -If with the conditions ANDed — emitting a doubled
+        # ``<base>IfIf`` name would resolve nowhere.
+        extra_conds = []
+        if outer_if:
+            if len(args) < 2:
+                raise ValueError(
+                    f"{base}ResampleIf(start, end, step)"
+                    "(args..., key, cond)"
+                )
+            extra_conds.append(args[-1].strip())
+            args = args[:-1]
+        plain = base
+        if base.endswith("If") and len(base) > 2:
+            if len(args) < 2:
+                raise ValueError(
+                    f"{base}Resample(start, end, step)"
+                    "(args..., cond, key)"
+                )
+            plain = base[:-2]
+            extra_conds.append(args[-2].strip())
+            args = args[:-2] + args[-1:]
         key = args[-1].strip()
         lead = ", ".join(a.strip() for a in args[:-1])
         lead = f"{lead}, " if lead else ""
@@ -4075,14 +4102,16 @@ def _rewrite_resample(sql: str) -> str:  # noqa: C901
             lo = start + i * step
             hi = min(lo + step, end)
             cond = f"({key}) >= {lo} AND ({key}) < {hi}"
-            cell = f"{base}If({lead}{cond})"
+            for ec in extra_conds:
+                cond = f"({ec}) AND {cond}"
+            cell = f"{plain}If({lead}{cond})"
             # numeric sum family only: a map-typed cell
             # (sumMapResample) must NOT be coalesced against numeric 0.
             # The -Array sums count too (CH's sumArray default over an
             # empty bucket is 0, and the NULLed-array -If rewrite
             # yields NULL there)
-            if base in ("sum", "sumKahan", "sumWithOverflow", "count",
-                        "sumArray", "countArray"):
+            if plain in ("sum", "sumKahan", "sumWithOverflow", "count",
+                         "sumArray", "countArray"):
                 cell = f"coalesce({cell}, 0)"
             cells.append(cell)
         sql = sql[: m.start()] + f"array({', '.join(cells)})" + sql[close2 + 1:]
@@ -4130,32 +4159,45 @@ def _rewrite_resample(sql: str) -> str:  # noqa: C901
         key = args[-1].strip()
         val = key if base == "count" else args[0].strip()
         struct = f"named_struct('v', ({val}), 'k', ({key}))"
-        if cond is not None:
-            struct = f"if({cond}, {struct}, NULL)"
+        # CH skips rows whose ordering key is NULL (argMin/argMax
+        # NULL handling): guard them out of the collected candidate
+        # set alongside the -If condition, so a NULL key can never
+        # become the "extreme" nor poison the tie filter
+        knn = f"(({key}) IS NOT NULL)"
+        guard = knn if cond is None else f"(({cond}) AND {knn})"
+        struct = f"if({guard}, {struct}, NULL)"
         arr = f"collect_list({struct})"
         ext = "array_min" if direction == "Min" else "array_max"
+        # NULL values at the extreme key are skipped by the base
+        # aggregate (CH: sum/avg/any ignore NULLs), never poison the
+        # fold, and an all-NULL/empty tied set returns NULL (the
+        # nullif/NULL-init guards double as the ADVICE zero-match fix:
+        # ANSI mode neither divides by zero nor indexes into an empty
+        # array here)
         if base == "sum":
             body = (
-                "aggregate(__amf, CAST(0 AS DOUBLE),"
-                " (acc, e) -> acc + CAST(e.v AS DOUBLE))"
+                "aggregate(__amf, CAST(NULL AS DOUBLE),"
+                " (acc, e) -> CASE WHEN e.v IS NULL THEN acc"
+                " WHEN acc IS NULL THEN CAST(e.v AS DOUBLE)"
+                " ELSE acc + CAST(e.v AS DOUBLE) END)"
             )
         elif base == "count":
             body = "CAST(size(__amf) AS BIGINT)"
         elif base == "avg":
-            # nullif guard: a stacked -If with zero matching rows
-            # leaves __amf empty (collect_list drops the NULLed
-            # structs) and a bare division raises DIVIDE_BY_ZERO
-            # under the session's ANSI mode; CH yields nan — we emit
-            # NULL, the same stance as the boundingRatio guard.
             body = (
-                "aggregate(__amf, CAST(0 AS DOUBLE),"
-                " (acc, e) -> acc + CAST(e.v AS DOUBLE))"
-                " / nullif(CAST(size(__amf) AS DOUBLE), 0.0D)"
+                "aggregate(__amf,"
+                " named_struct('n', CAST(0 AS DOUBLE),"
+                " 'c', CAST(0 AS DOUBLE)),"
+                " (acc, e) -> if(e.v IS NULL, acc,"
+                " named_struct('n', acc.n + CAST(e.v AS DOUBLE),"
+                " 'c', acc.c + CAST(1 AS DOUBLE))),"
+                " acc -> acc.n / nullif(acc.c, CAST(0 AS DOUBLE)))"
             )
         elif base == "any":
-            # try_element_at: empty-match groups return NULL instead
-            # of raising INVALID_ARRAY_INDEX_IN_ELEMENT_AT under ANSI
-            body = "try_element_at(__amf, 1).v"
+            body = (
+                "try_element_at(filter(__amf,"
+                " __amn -> __amn.v IS NOT NULL), 1).v"
+            )
         else:  # min / max over the tied rows, type-preserving
             fn = "array_min" if base == "min" else "array_max"
             body = f"{fn}(transform(__amf, __ame -> __ame.v))"

@@ -1153,3 +1153,148 @@ def test_map_combinator_matches_python_model(spark, maps):
         assert got["mn"][k] == min(vs) and got["mx"][k] == max(vs)
         assert abs(got["av"][k] - sum(vs) / len(vs)) < 1e-9
         assert got["u"][k] == len(set(vs))
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 2),                            # group
+            st.one_of(st.none(), st.integers(-9, 9)),     # value v
+            st.one_of(st.none(), st.integers(-2, 6)),     # key k
+            st.one_of(st.none(), st.booleans()),          # condition c
+        ),
+        min_size=1,
+        max_size=25,
+    )
+)
+@_SET
+def test_combinator_stackings_null_shapes(spark, rows):
+    """Round-8 (verdict #8): every implemented combinator stacking
+    pair under adversarial NULL shapes — NULL values, NULL keys, NULL
+    conditions, groups where nothing matches, groups that are entirely
+    NULL — pinned against a Python model of the repo's documented
+    semantics (CH NULL-skipping for the bases; NULL ordering keys
+    never become the ArgMin/ArgMax extreme; -OrDefault backstops 0;
+    -Resample buckets drop NULL keys; empty sum/count buckets are 0).
+    The round-7 probe batches found two edge defaults by hand; this
+    suite exists so the next one is found here."""
+    from ed_clickhouse_spark.chsql import translate
+
+    # coalesce (not repartition): preserves insertion order so the
+    # order-dependent anyArgMinIf check is deterministic
+    spark.createDataFrame(
+        rows, "g int, v int, k int, c boolean"
+    ).coalesce(1).createOrReplaceTempView("__nullprop")
+
+    got = {
+        r["g"]: r
+        for r in spark.sql(
+            translate(
+                "SELECT g,"
+                " sumIf(v, c) AS s_if,"
+                " countIf(c) AS c_if,"
+                " avgIf(v, c) AS a_if,"
+                " minIf(v, c) AS mn_if,"
+                " maxIf(v, c) AS mx_if,"
+                " sumOrDefaultIf(v, c) AS s_od,"
+                " avgOrDefaultIf(v, c) AS a_od,"
+                " sumArgMinIf(v, k, c) AS s_am,"
+                " countArgMinIf(k, c) AS c_am,"
+                " avgArgMaxIf(v, k, c) AS a_ax,"
+                " minArgMaxIf(v, k, c) AS mn_ax,"
+                " anyArgMinIf(v, k, c) AS any_am,"
+                " sumResample(0, 4, 2)(v, k) AS s_rs,"
+                " countResample(0, 4, 2)(k) AS c_rs,"
+                " sumIfResample(0, 4, 2)(v, c, k) AS s_ifrs,"
+                " sumResampleIf(0, 4, 2)(v, k, c) AS s_rsif,"
+                " avgResampleIf(0, 4, 2)(v, k, c) AS a_rsif"
+                " FROM __nullprop GROUP BY g"
+            ).sql
+        ).collect()
+    }
+
+    def model(grp):
+        def s(vals):
+            nn = [v for v in vals if v is not None]
+            return sum(nn) if nn else None
+
+        def a(vals):
+            nn = [v for v in vals if v is not None]
+            return sum(nn) / len(nn) if nn else None
+
+        ct = [(v, k) for _, v, k, c in grp if c is True]
+        vs = [v for v, _ in ct]
+        out = {
+            "s_if": s(vs),
+            "c_if": len(ct),
+            "a_if": a(vs),
+            "mn_if": min((v for v in vs if v is not None), default=None),
+            "mx_if": max((v for v in vs if v is not None), default=None),
+        }
+        out["s_od"] = out["s_if"] if out["s_if"] is not None else 0
+        out["a_od"] = out["a_if"] if out["a_if"] is not None else 0.0
+        cands = [(v, k) for v, k in ct if k is not None]
+        if cands:
+            kmin = min(k for _, k in cands)
+            kmax = max(k for _, k in cands)
+            tmin = [v for v, k in cands if k == kmin]
+            tmax = [v for v, k in cands if k == kmax]
+        else:
+            tmin = tmax = []
+        out["s_am"] = s(tmin)
+        out["c_am"] = len(tmin)
+        out["a_ax"] = a(tmax)
+        out["mn_ax"] = min(
+            (v for v in tmax if v is not None), default=None
+        )
+        out["any_am"] = next((v for v in tmin if v is not None), None)
+        buckets = [(0, 2), (2, 4)]
+        allr = [(v, k) for _, v, k, _ in grp]
+
+        def in_b(k, lo, hi):
+            return k is not None and lo <= k < hi
+
+        out["s_rs"] = [
+            s([v for v, k in allr if in_b(k, lo, hi)]) or 0
+            for lo, hi in buckets
+        ]
+        out["c_rs"] = [
+            sum(1 for _, k in allr if in_b(k, lo, hi))
+            for lo, hi in buckets
+        ]
+        out["s_ifrs"] = [
+            s([v for v, k in ct if in_b(k, lo, hi)]) or 0
+            for lo, hi in buckets
+        ]
+        out["s_rsif"] = out["s_ifrs"]
+        out["a_rsif"] = [
+            a([v for v, k in ct if in_b(k, lo, hi)]) for lo, hi in buckets
+        ]
+        return out
+
+    groups = sorted({g for g, *_ in rows})
+    assert set(got) == set(groups)
+    for g in groups:
+        grp = [r for r in rows if r[0] == g]
+        want = model(grp)
+        have = got[g]
+        for col, w in want.items():
+            h = have[col]
+            if isinstance(w, float) or (
+                isinstance(w, list) and any(isinstance(x, float) for x in w if x is not None)
+            ) or col in ("a_if", "a_od", "a_ax", "a_rsif"):
+                if isinstance(w, list):
+                    assert len(h) == len(w), (g, col, h, w)
+                    for hx, wx in zip(h, w):
+                        if wx is None:
+                            assert hx is None, (g, col, h, w)
+                        else:
+                            assert hx == pytest.approx(wx), (g, col, h, w)
+                elif w is None:
+                    assert h is None, (g, col, h, w)
+                else:
+                    assert h == pytest.approx(w), (g, col, h, w)
+            elif isinstance(w, list):
+                assert list(h) == w, (g, col, h, w)
+            else:
+                assert h == w, (g, col, h, w)
