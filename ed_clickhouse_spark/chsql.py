@@ -2037,6 +2037,19 @@ _ARRAY_SPLICE["replaceOne"] = {
        " ELSE {0} END)",
 }
 _ARRAY_SPLICE["isNotDistinctFrom"] = {2: "({0} <=> {1})"}
+# r8 probe batch 47: bin over strings crashed (Spark's bin casts to
+# BIGINT). CH renders every hex nibble as 4 bits — exact for strings
+# (per-byte bits); numbers keep Spark's hex width (CH pads to the
+# declared integer width, unknowable post-translation)
+_ARRAY_SPLICE["bin"] = {
+    1: "concat_ws('', transform(split(hex({0}), '(?!$)'),"
+       " __ch_b -> lpad(conv(__ch_b, 16, 2), 4, '0')))",
+}
+# UUIDv7 carries unix-ms in its first 48 bits (12 hex chars)
+_ARRAY_SPLICE["UUIDv7ToDateTime"] = {
+    1: "timestamp_millis(CAST(conv(substr(replace("
+       "CAST({0} AS STRING), '-', ''), 1, 12), 16, 10) AS BIGINT))",
+}
 # CH's evaluate-and-discard helper (returns 0 regardless)
 _ARRAY_SPLICE["ignore"] = {k: "0" for k in range(1, 6)}
 # toDayOfWeek's mode argument (0: Mon=1..7, 1: Mon=0..6, 2: Sun=1..7,
@@ -5070,6 +5083,19 @@ _OPERATOR_ONLY_AGGS = {
     # sketch-state writers with no mergeable Spark twin
     "topKState": "topK(k)(x) directly (the heavy-hitters sketch has"
                  " no mergeable Spark representation)",
+    # r8 probe batch 47
+    "JSONAllPaths": "json_object_keys for top-level keys (recursive"
+                    " path enumeration needs schema_of_json + manual"
+                    " walking)",
+    "JSONAllPathsWithTypes": "json_object_keys + schema_of_json",
+    "JSONDynamicPaths": "json_object_keys",
+    "JSONSharedDataPaths": "json_object_keys",
+    "sparkBar": "the q138 equal-width histogram pattern (terminal"
+                " rendering is a client concern)",
+    "sparkbar": "the q138 equal-width histogram pattern (terminal"
+                " rendering is a client concern)",
+    "flameGraph": "system.query_log-style introspection is out of"
+                  " scope — use Spark UI / event logs",
     "histogramState": "the q138 equal-width histogram pattern",
     # H3/S2 cell indexing needs the vendor libraries; geohash/morton
     # are the supported spatial keys
@@ -6532,6 +6558,7 @@ _CH_TYPE_NAMES = {
     "date": "DATE",
     "date32": "DATE",
     "datetime": "TIMESTAMP",
+    "datetime64": "TIMESTAMP",  # the bare no-precision spelling
     "bool": "BOOLEAN",
     "boolean": "BOOLEAN",
 }

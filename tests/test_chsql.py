@@ -4185,3 +4185,31 @@ def test_time_decayed_running_route_matches_hof_fold(views):
         bad = [(k, routed[k], hof[k]) for k in routed
                if abs((routed[k] or 0) - (hof[k] or 0)) > 1e-6]
         assert not bad, (fn, bad[:5])
+
+
+def test_probe_batch47_bin_datetime64_uuid7(views):
+    """Round-8 execution probe, batch 47 (~100 spellings swept; the
+    rest already execute or refuse loudly). Real fixes: bin() over
+    strings crashed (Spark's bin casts to BIGINT — now every hex
+    nibble renders as 4 bits, CH-exact for strings, and unbin stays
+    its inverse); the bare no-precision CAST(x AS DateTime64) was
+    unsupported (only the parameterized spelling mapped); and
+    UUIDv7ToDateTime (unix-ms in the first 48 bits). JSONAllPaths /
+    sparkBar / flameGraph refuse loudly naming the supported path."""
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(views)
+    r = views.sql(translate(
+        "SELECT bin('AB') AS b, unbin(bin('hello')) AS ub,"
+        " bin(5) AS bn,"
+        " CAST(timestamp'2024-01-01' AS DateTime64) AS dt,"
+        " UUIDv7ToDateTime('01900000-0000-7000-8000-000000000000')"
+        " AS u7").sql).collect()[0]
+    assert r["b"] == "0100000101000010"
+    assert r["ub"] == "hello"
+    assert r["bn"] == "0101"  # Spark hex width; CH pads to type width
+    assert str(r["dt"]).startswith("2024-01-01")
+    assert str(r["u7"]).startswith("2024-06-10")
+    for fn in ("JSONAllPaths('{}')", "sparkBar(5)(g, g)", "flameGraph(g)"):
+        with pytest.raises(ValueError, match="not SQL-translatable"):
+            translate(f"SELECT {fn} FROM t")
