@@ -838,3 +838,148 @@ def q234_html_text_extraction(spark, sf_dir):
     register_sql_aliases(spark)
     t(spark, sf_dir, "documents").createOrReplaceTempView("documents")
     return spark.sql(translate(_CH_HTML_STRIP).sql)
+
+
+_CH_RESAMPLE_IF = """
+SELECT event_type,
+       round(CAST(element_at(sumIfResample(0, 24, 6)(
+         CAST(value AS DECIMAL(18, 2)), value > 1, toHour(ts)), 1)
+         AS Float64), 2) AS sum_h0,
+       round(CAST(element_at(sumIfResample(0, 24, 6)(
+         CAST(value AS DECIMAL(18, 2)), value > 1, toHour(ts)), 3)
+         AS Float64), 2) AS sum_h12,
+       element_at(countIfResample(0, 24, 6)(value > 1, toHour(ts)), 2)
+         AS cnt_h6,
+       element_at(countIfResample(0, 24, 6)(value > 1, toHour(ts)), 4)
+         AS cnt_h18
+FROM events
+GROUP BY event_type
+"""
+
+
+@query(
+    "q235_resample_if_buckets",
+    oracle="""
+    SELECT event_type,
+      CAST(COALESCE(SUM(CASE WHEN value > 1 AND hour(ts) >= 0
+        AND hour(ts) < 6 THEN CAST(value AS DECIMAL(18,2)) END), 0)
+        AS DOUBLE) AS sum_h0,
+      CAST(COALESCE(SUM(CASE WHEN value > 1 AND hour(ts) >= 12
+        AND hour(ts) < 18 THEN CAST(value AS DECIMAL(18,2)) END), 0)
+        AS DOUBLE) AS sum_h12,
+      COUNT(CASE WHEN value > 1 AND hour(ts) >= 6
+        AND hour(ts) < 12 THEN 1 END) AS cnt_h6,
+      COUNT(CASE WHEN value > 1 AND hour(ts) >= 18
+        AND hour(ts) < 24 THEN 1 END) AS cnt_h18
+    FROM events GROUP BY event_type
+    """,
+)
+def q235_resample_if_buckets(spark, sf_dir):
+    """Both -Resample/-If stacking orders in the graded loop (round-8
+    probe batch 47 follow-up): hour-of-day bucketed conditional sums
+    and counts per event type — sumIfResample buckets the
+    condition-filtered rows by toHour(ts) into four 6-hour windows.
+    DECIMAL(18,2) inner sums keep the doubles cross-engine-exact; the
+    bucket cells expand to single -If aggregates (one aggregation
+    pass, map-side combinable — no joins, no extra shuffle vs a plain
+    GROUP BY). Scale shape: aggregation tree over the group keys."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(translate(_CH_RESAMPLE_IF).sql)
+
+
+_CH_ARRAY_PIPE = """
+SELECT vec_id,
+       round(arraySum(arrayMap(x -> toFloat64(x), embedding)), 6)
+         AS vec_sum,
+       round(element_at(arrayCumSum(arrayMap(x -> toFloat64(x),
+         embedding)), size(embedding)), 6) AS cum_last,
+       round(arrayDotProduct(embedding, embedding), 4) AS norm2,
+       toInt64(countEqual(arrayMap(x -> if(x > 0, 1, 0), embedding),
+         1)) AS n_pos
+FROM embeddings
+WHERE vec_id < 200
+"""
+
+
+@query(
+    "q236_array_pipeline",
+    oracle="""
+    SELECT vec_id,
+      ROUND(list_sum(list_transform(embedding,
+        x -> CAST(x AS DOUBLE))), 6) AS vec_sum,
+      ROUND(list_sum(list_transform(embedding,
+        x -> CAST(x AS DOUBLE))), 6) AS cum_last,
+      ROUND(list_dot_product(
+        list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        list_transform(embedding, x -> CAST(x AS DOUBLE))), 4)
+        AS norm2,
+      len(list_filter(embedding, x -> x > 0)) AS n_pos
+    FROM embeddings WHERE vec_id < 200
+    """,
+)
+def q236_array_pipeline(spark, sf_dir):
+    """Array-HOF pipeline over real embeddings: arraySum/arrayCumSum
+    (last element == total, pinning the prefix fold), arrayDotProduct
+    (the rewrite folds zip_with in DOUBLE — the brute-force cosine
+    building block q48/q65 rest on), and countEqual over a mapped
+    indicator. The DuckDB oracle computes each from list lambdas on
+    the same float32 vectors, elements cast to DOUBLE on BOTH sides so
+    the fold runs in the same arithmetic (left-to-right over identical
+    values). Per-row scalar work, no shuffle; the vec_id filter pushes
+    into the scan."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "embeddings").createOrReplaceTempView("embeddings")
+    return spark.sql(translate(_CH_ARRAY_PIPE).sql)
+
+
+_CH_DECAY_DEFAULT_FRAME = """
+SELECT user_id, event_id,
+       round(exponentialTimeDecayedCount(7200)(ts) OVER
+         (PARTITION BY user_id ORDER BY ts), 4) AS decayed_n
+FROM events
+WHERE user_id <= 200
+"""
+
+
+@query(
+    "q237_decay_default_frame",
+    oracle="""
+    WITH w AS (
+      SELECT user_id, event_id, epoch(ts) AS tsec,
+             list(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS arr,
+             max(epoch(ts)) OVER (PARTITION BY user_id ORDER BY ts
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS tmax
+      FROM events WHERE user_id <= 200
+    )
+    SELECT user_id, event_id,
+           round(list_sum(list_transform(
+             arr, e -> exp((e - tmax) / 7200.0))), 4) AS decayed_n
+    FROM w
+    """,
+)
+def q237_decay_default_frame(spark, sf_dir):
+    """The DEFAULT-frame spelling of exponentialTimeDecayedCount (no
+    explicit frame -> RANGE UNBOUNDED PRECEDING AND CURRENT ROW):
+    timestamp TIES are all included in each other's frames, unlike
+    q227's ROWS spelling — this pins the routed segmented plan's
+    RANGE-frame arm cross-engine (weights anchor at the frame-max
+    time, which for a tie group is the shared timestamp). The DuckDB
+    oracle collects the RANGE frame and folds the same weights. Plan:
+    pure incremental Window aggregates, no per-row frame arrays (the
+    r8 auto-route)."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(translate(_CH_DECAY_DEFAULT_FRAME).sql)
