@@ -1482,6 +1482,15 @@ _SCALAR_RENAMES = {
     # UTF8-suffixed spellings: Spark's string builtins are already
     # codepoint-aware, so the UTF8 variants are plain renames
     "editDistanceUTF8": "levenshtein",
+    # visitParam* is the pre-rename spelling of the simpleJSON* fast
+    # scanner family (the SQL aliases carry the new names)
+    "visitParamHas": "simpleJSONHas",
+    "visitParamExtractString": "simpleJSONExtractString",
+    "visitParamExtractInt": "simpleJSONExtractInt",
+    "visitParamExtractUInt": "simpleJSONExtractUInt",
+    "visitParamExtractFloat": "simpleJSONExtractFloat",
+    "visitParamExtractBool": "simpleJSONExtractBool",
+    "visitParamExtractRaw": "simpleJSONExtractRaw",
     "initcapUTF8": "initcap",
     "startsWithUTF8": "startswith",
     "endsWithUTF8": "endswith",
@@ -1971,6 +1980,10 @@ _SPLICE_PASSTHROUGH = {
     # 1-arg fromUnixTimestamp is the SQL-alias timestamp conversion;
     # the 2-arg formatted spellings splice below
     "fromUnixTimestamp",
+    # 1-arg week spellings are SQL aliases (mode 0); the moded 2/3-arg
+    # forms splice — and the spliced template itself EMITS the 1-arg
+    # alias, which the rescan must pass through
+    "toWeek", "toYearWeek",
 }
 # the Joda spelling takes JDK patterns, which date_format speaks
 # natively (the %-format 2-arg fromUnixTimestamp rewrites ahead of the
@@ -2050,6 +2063,37 @@ _ARRAY_SPLICE["UUIDv7ToDateTime"] = {
     1: "timestamp_millis(CAST(conv(substr(replace("
        "CAST({0} AS STRING), '-', ''), 1, 12), 16, 10) AS BIGINT))",
 }
+# r8 probe batch 48: MySQL-style week modes. Mode 0 is the 1-arg SQL
+# alias (CH's default: Sunday-first, week 0 before the first Sunday);
+# mode 3 is ISO (Spark weekofyear); mode 1 is ISO clamped to the
+# calendar year (0 before ISO week 1, prior week + 1 for a December
+# date in next year's ISO week 1). Other modes raise at runtime
+# naming the supported set. The 3-arg timezone form rides the pinned
+# UTC session.
+_WEEK_MODE1 = (
+    "(CASE WHEN month({0}) = 1 AND weekofyear({0}) > 50 THEN 0"
+    " WHEN month({0}) = 12 AND weekofyear({0}) = 1"
+    " THEN weekofyear(date_sub(CAST({0} AS DATE), 7)) + 1"
+    " ELSE weekofyear({0}) END)"
+)
+_WEEK_MODED = (
+    "(CASE CAST(({1}) AS INT) WHEN 0 THEN toWeek({0})"
+    " WHEN 3 THEN weekofyear({0})"
+    f" WHEN 1 THEN {_WEEK_MODE1}"
+    " ELSE CAST(raise_error(concat('toWeek mode ',"
+    " CAST(({1}) AS STRING),"
+    " ' is not supported — modes 0, 1, 3')) AS INT) END)"
+)
+_ARRAY_SPLICE["toWeek"] = {2: _WEEK_MODED, 3: _WEEK_MODED}
+_YEARWEEK_MODED = (
+    "(CASE CAST(({1}) AS INT) WHEN 0 THEN toYearWeek({0})"
+    " WHEN 1 THEN toISOYear({0}) * 100 + weekofyear({0})"
+    " WHEN 3 THEN toISOYear({0}) * 100 + weekofyear({0})"
+    " ELSE CAST(raise_error(concat('toYearWeek mode ',"
+    " CAST(({1}) AS STRING),"
+    " ' is not supported — modes 0, 1, 3')) AS INT) END)"
+)
+_ARRAY_SPLICE["toYearWeek"] = {2: _YEARWEEK_MODED, 3: _YEARWEEK_MODED}
 # CH's evaluate-and-discard helper (returns 0 regardless)
 _ARRAY_SPLICE["ignore"] = {k: "0" for k in range(1, 6)}
 # toDayOfWeek's mode argument (0: Mon=1..7, 1: Mon=0..6, 2: Sun=1..7,

@@ -680,6 +680,24 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "(j STRING, k STRING) RETURNS BOOLEAN",
         "get_json_object(j, concat('$.', k)) IS NOT NULL",
     ),
+    # raw JSON of the value: objects/arrays/numbers/bools pass through,
+    # strings are re-quoted with to_json's own escaping (CH returns ''
+    # for a missing key, not NULL). The to_json(array(v)) bracket-strip
+    # is the escape-correct way to JSON-quote an arbitrary string.
+    "simpleJSONExtractRaw": (
+        "(j STRING, k STRING) RETURNS STRING",
+        "(CASE WHEN get_json_object(j, concat('$.', k)) IS NULL THEN ''"
+        " WHEN get_json_object(j, concat('$.', k)) RLIKE '^[\\\\[{]'"
+        "   OR try_cast(get_json_object(j, concat('$.', k)) AS DOUBLE)"
+        "     IS NOT NULL"
+        "   OR get_json_object(j, concat('$.', k))"
+        "     IN ('true', 'false', 'null')"
+        " THEN get_json_object(j, concat('$.', k))"
+        " ELSE substr(to_json(array(get_json_object(j,"
+        " concat('$.', k)))), 2,"
+        " length(to_json(array(get_json_object(j, concat('$.', k)))))"
+        " - 2) END)",
+    ),
     # raw elements of a SCALAR json array (nested-object elements need
     # the full parser; documents' props only carry scalars)
     "JSONExtractArrayRaw": (

@@ -4213,3 +4213,46 @@ def test_probe_batch47_bin_datetime64_uuid7(views):
     for fn in ("JSONAllPaths('{}')", "sparkBar(5)(g, g)", "flameGraph(g)"):
         with pytest.raises(ValueError, match="not SQL-translatable"):
             translate(f"SELECT {fn} FROM t")
+
+
+def test_probe_batch48_week_modes_visitparam(views):
+    """Round-8 execution probe, batch 48 (~50 spellings swept:
+    numbers()/zeros() TVFs, set ops, WITH RECURSIVE, SETTINGS,
+    GLOBAL IN, URL/IP tails — all already execute). Real fixes: the
+    MySQL-style week MODES (toWeek/toYearWeek 2- and 3-arg: mode 0 =
+    Sunday-first with week 0, mode 3 = ISO, mode 1 = ISO clamped to
+    the calendar year; others raise at runtime naming the set), and
+    the legacy visitParam* spellings of the simpleJSON* fast-scanner
+    family incl. the new simpleJSONExtractRaw (strings re-quoted via
+    to_json's own escaping; missing key -> '' like CH)."""
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(views)
+    r = views.sql(translate(
+        "SELECT toWeek(timestamp'2024-03-15', 0) AS w0,"
+        " toWeek(timestamp'2024-03-15', 1) AS w1,"
+        " toWeek(timestamp'2024-03-15', 3) AS w3,"
+        " toWeek(timestamp'2024-12-30', 1) AS we1,"
+        " toWeek(timestamp'2024-12-30', 3) AS we3,"
+        " toWeek(timestamp'2024-01-02', 1) AS wb1,"
+        " toYearWeek(timestamp'2024-12-30', 1) AS yw1,"
+        " toYearWeek(timestamp'2024-12-30', 0) AS yw0,"
+        " visitParamExtractRaw('{\"a\":\"x\",\"b\":2}', 'a') AS rs,"
+        " visitParamExtractRaw('{\"a\":\"x\",\"b\":2}', 'b') AS rn,"
+        " visitParamExtractRaw('{\"a\":1}', 'zz') AS rmiss,"
+        " visitParamHas('{\"a\":1}', 'a') AS h,"
+        " visitParamExtractInt('{\"a\":7}', 'a') AS i").sql
+    ).collect()[0]
+    # 2024-03-15: Sunday-mode week 10, ISO week 11
+    assert (r["w0"], r["w1"], r["w3"]) == (10, 11, 11)
+    # 2024-12-30 is ISO week 1 of 2025: mode 1 clamps to 53
+    assert (r["we1"], r["we3"]) == (53, 1)
+    assert r["wb1"] == 1
+    assert (r["yw1"], r["yw0"]) == (202501, 202452)
+    assert r["rs"] == '"x"' and r["rn"] == "2" and r["rmiss"] == ""
+    assert r["h"] is True and r["i"] == 7
+    import pytest as _pt
+    with _pt.raises(Exception, match="not supported"):
+        views.sql(translate(
+            "SELECT toWeek(timestamp'2024-03-15', 5) AS w").sql
+        ).collect()
