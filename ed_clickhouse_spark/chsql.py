@@ -1446,6 +1446,64 @@ def _rewrite_tumble(sql: str) -> str:
                 "tumble": f"struct({start}, {end})",
             }[name]
             sql = sql[: m.start()] + repl + sql[close1 + 1:]
+    # hopping windows (r8): ClickHouse hop(t, hop_interval,
+    # window_interval) IS Spark's sliding window(t, size, slide) —
+    # in a batch GROUP BY Spark multi-assigns each record to every
+    # window containing it, exactly the WINDOW VIEW hop semantics the
+    # old loud refusal claimed had no SQL spelling. hopStart/hopEnd
+    # project .start/.end; their 1-arg forms take the window struct
+    # (the GROUP BY alias spelling CH uses inside window views).
+    for name in ("hopStart", "hopEnd", "hop"):
+        while True:
+            m = _find_case_exact(sql, rf"\b{name}\s*\(")
+            if not m:
+                break
+            open1 = sql.index("(", m.end() - 1)
+            close1 = _call_end(sql, open1)
+            args = _split_top_commas(sql[open1 + 1: close1])
+            if len(args) == 1 and name != "hop":
+                field = "start" if name == "hopStart" else "end"
+                sql = (
+                    sql[: m.start()]
+                    + f"({args[0].strip()}).{field}"
+                    + sql[close1 + 1:]
+                )
+                continue
+            if len(args) != 3:
+                raise ValueError(
+                    f"{name} expects (expr, INTERVAL hop, INTERVAL"
+                    " window) — or the window struct for"
+                    " hopStart/hopEnd"
+                )
+            secs = []
+            for a in args[1:]:
+                im = re.match(
+                    r"^INTERVAL\s+(\d+)\s+(\w+?)s?$", a.strip(), re.I
+                )
+                if not im:
+                    raise ValueError(f"{name}: cannot parse interval {a!r}")
+                n, unit = int(im.group(1)), im.group(2).lower()
+                if unit not in _INTERVAL_SECONDS:
+                    raise ValueError(
+                        f"{name}: fixed-length units only (got {unit})"
+                    )
+                secs.append(n * _INTERVAL_SECONDS[unit])
+            slide, size = secs
+            if slide > size:
+                raise ValueError(
+                    f"{name}: the hop interval must not exceed the"
+                    " window interval"
+                )
+            win = (
+                f"window({args[0].strip()}, '{size} seconds',"
+                f" '{slide} seconds')"
+            )
+            repl = {
+                "hopStart": f"{win}.start",
+                "hopEnd": f"{win}.end",
+                "hop": win,
+            }[name]
+            sql = sql[: m.start()] + repl + sql[close1 + 1:]
     return sql
 
 
@@ -5105,13 +5163,8 @@ _OPERATOR_ONLY_AGGS = {
                            " state this engine writes)",
     "flattenTuple": "explicit struct field references (struct field"
                     " names are schema, not values, in Spark SQL)",
-    # hopping windows: a record belongs to SEVERAL hop windows, so the
-    # scalar spelling has no single value outside a WINDOW VIEW
-    "hopStart": "tumbleStart (single-assignment windows) or"
-                " streaming/pipeline.py sliding windows",
-    "hopEnd": "tumbleEnd or streaming/pipeline.py sliding windows",
-    "hop": "tumble (single-assignment windows) or"
-           " streaming/pipeline.py sliding windows",
+    # (hop/hopStart/hopEnd translate since r8: Spark's sliding
+    # window() multi-assigns in a batch GROUP BY — see _rewrite_tumble)
     "geohashesInBox": "geohashEncode over an explicit lat/lon grid"
                       " (box coverage enumeration has no SQL"
                       " spelling here)",

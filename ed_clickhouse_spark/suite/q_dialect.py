@@ -983,3 +983,52 @@ def q237_decay_default_frame(spark, sf_dir):
     register_sql_aliases(spark)
     t(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(translate(_CH_DECAY_DEFAULT_FRAME).sql)
+
+
+_CH_HOP = """
+SELECT event_type,
+       toUnixTimestamp(hopStart(hop(ts, INTERVAL 1 HOUR,
+         INTERVAL 2 HOUR))) AS ws,
+       round(CAST(sum(CAST(value AS DECIMAL(18, 2))) AS Float64), 2)
+         AS sv,
+       count(*) AS c
+FROM events
+WHERE user_id <= 500
+GROUP BY hop(ts, INTERVAL 1 HOUR, INTERVAL 2 HOUR), event_type
+"""
+
+
+@query(
+    "q238_hop_windows",
+    oracle="""
+    WITH ex AS (
+      SELECT event_type, value,
+             unnest([CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT),
+                     CAST(floor(epoch(ts) / 3600) * 3600 - 3600
+                       AS BIGINT)]) AS ws
+      FROM events WHERE user_id <= 500
+    )
+    SELECT event_type, ws,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE), 2)
+             AS sv,
+           COUNT(*) AS c
+    FROM ex GROUP BY event_type, ws
+    """,
+)
+def q238_hop_windows(spark, sf_dir):
+    """ClickHouse WINDOW VIEW hopping windows in plain batch SQL
+    (round 8 — previously a loud refusal): ``GROUP BY hop(ts, INTERVAL
+    1 HOUR, INTERVAL 2 HOUR)`` translates to Spark's sliding
+    ``window()``, which MULTI-ASSIGNS each record to every window
+    containing it in a batch GROUP BY — each event lands in exactly
+    size/hop = 2 windows here, which the DuckDB oracle reproduces by
+    unnesting the two enumerated window starts per event. Window
+    starts exported as epoch seconds (timezone-free cross-engine).
+    Scale: one shuffle on (window, event_type); the explode is
+    pipelined, row count x2 pre-aggregation with map-side combine."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(translate(_CH_HOP).sql)

@@ -4256,3 +4256,31 @@ def test_probe_batch48_week_modes_visitparam(views):
         views.sql(translate(
             "SELECT toWeek(timestamp'2024-03-15', 5) AS w").sql
         ).collect()
+
+
+def test_hop_windows_multi_assign(views):
+    """Round 8: hop/hopStart/hopEnd translate (previously a loud
+    refusal) — ClickHouse hop(t, hop_interval, window_interval) is
+    Spark's sliding window(t, size, slide), which multi-assigns each
+    record to every containing window in a batch GROUP BY. 10 events
+    a minute apart, 2-minute windows hopping by 1 minute: every event
+    lands in exactly 2 windows; hopStart/hopEnd project the struct
+    (including the 1-arg window-struct spelling CH uses in WINDOW
+    VIEWs). A hop longer than the window refuses."""
+    views.sql(
+        "SELECT timestamp_seconds(1700000000 + i * 60) AS ts, i AS v"
+        " FROM (SELECT explode(sequence(0, 9)) AS i)"
+    ).createOrReplaceTempView("__hop")
+    rows = views.sql(translate(
+        "SELECT hopStart(hop(ts, INTERVAL 1 MINUTE, INTERVAL 2 MINUTE))"
+        " AS ws, hopEnd(hop(ts, INTERVAL 1 MINUTE, INTERVAL 2 MINUTE))"
+        " AS we, count(*) AS c FROM __hop"
+        " GROUP BY hop(ts, INTERVAL 1 MINUTE, INTERVAL 2 MINUTE)"
+        " ORDER BY ws").sql).collect()
+    assert len(rows) == 11  # 10 minutes of events, 11 overlapping wins
+    assert sum(r["c"] for r in rows) == 20  # each event in exactly 2
+    for r in rows:
+        assert (r["we"] - r["ws"]).total_seconds() == 120
+    with pytest.raises(ValueError, match="must not exceed"):
+        translate("SELECT count(*) FROM t GROUP BY"
+                  " hop(ts, INTERVAL 3 MINUTE, INTERVAL 2 MINUTE)")
