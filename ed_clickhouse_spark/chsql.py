@@ -2108,6 +2108,54 @@ _ARRAY_SPLICE["replaceOne"] = {
        " ELSE {0} END)",
 }
 _ARRAY_SPLICE["isNotDistinctFrom"] = {2: "({0} <=> {1})"}
+# r8 probe batch 49: the scalar bitmap family. The roaring bitmap is
+# modeled as a SORTED DISTINCT ARRAY (bitmapToArray's contract is
+# ascending order, so the representation IS the readback); every CH
+# set operation maps onto a pure-JVM array builtin. The mergeable
+# groupBitmap*State aggregates stay refused (operators/sketch.py) —
+# these are the scalar compositions.
+_ARRAY_SPLICE["bitmapBuild"] = {1: "array_sort(array_distinct({0}))"}
+_ARRAY_SPLICE["bitmapToArray"] = {1: "({0})"}
+_ARRAY_SPLICE["bitmapCardinality"] = {1: "CAST(size({0}) AS BIGINT)"}
+_ARRAY_SPLICE["bitmapMin"] = {1: "array_min({0})"}
+_ARRAY_SPLICE["bitmapMax"] = {1: "array_max({0})"}
+_ARRAY_SPLICE["bitmapAnd"] = {2: "array_sort(array_intersect({0}, {1}))"}
+_ARRAY_SPLICE["bitmapOr"] = {2: "array_sort(array_union({0}, {1}))"}
+_ARRAY_SPLICE["bitmapXor"] = {
+    2: "array_sort(concat(array_except({0}, {1}),"
+       " array_except({1}, {0})))",
+}
+_ARRAY_SPLICE["bitmapAndnot"] = {2: "array_sort(array_except({0}, {1}))"}
+_ARRAY_SPLICE["bitmapAndCardinality"] = {
+    2: "CAST(size(array_intersect({0}, {1})) AS BIGINT)",
+}
+_ARRAY_SPLICE["bitmapOrCardinality"] = {
+    2: "CAST(size(array_union({0}, {1})) AS BIGINT)",
+}
+_ARRAY_SPLICE["bitmapXorCardinality"] = {
+    2: "CAST(size(array_except({0}, {1}))"
+       " + size(array_except({1}, {0})) AS BIGINT)",
+}
+_ARRAY_SPLICE["bitmapAndnotCardinality"] = {
+    2: "CAST(size(array_except({0}, {1})) AS BIGINT)",
+}
+_ARRAY_SPLICE["bitmapContains"] = {2: "array_contains({0}, {1})"}
+_ARRAY_SPLICE["bitmapHasAny"] = {2: "arrays_overlap({0}, {1})"}
+_ARRAY_SPLICE["bitmapHasAll"] = {
+    2: "(size(array_except({1}, {0})) = 0)",
+}
+_ARRAY_SPLICE["bitmapSubsetInRange"] = {
+    3: "array_sort(filter({0}, __ch_b -> __ch_b >= {1}"
+       " AND __ch_b < {2}))",
+}
+_ARRAY_SPLICE["bitmapSubsetLimit"] = {
+    3: "slice(array_sort(filter({0}, __ch_b -> __ch_b >= {1})),"
+       " 1, CAST({2} AS INT))",
+}
+_ARRAY_SPLICE["subBitmap"] = {
+    3: "slice(array_sort({0}), CAST({1} AS INT) + 1,"
+       " CAST({2} AS INT))",
+}
 # r8 probe batch 47: bin over strings crashed (Spark's bin casts to
 # BIGINT). CH renders every hex nibble as 4 bits — exact for strings
 # (per-byte bits); numbers keep Spark's hex width (CH pads to the

@@ -4284,3 +4284,40 @@ def test_hop_windows_multi_assign(views):
     with pytest.raises(ValueError, match="must not exceed"):
         translate("SELECT count(*) FROM t GROUP BY"
                   " hop(ts, INTERVAL 3 MINUTE, INTERVAL 2 MINUTE)")
+
+
+def test_probe_batch49_bitmap_family(views):
+    """Round-8 execution probe, batch 49: the scalar bitmap family,
+    modeled as sorted distinct arrays (bitmapToArray's ascending-order
+    contract makes the representation the readback). Every set
+    operation is a pure-JVM array builtin; the mergeable
+    groupBitmap*State aggregates stay refused toward
+    operators/sketch.py."""
+    r = views.sql(translate(
+        "SELECT bitmapCardinality(bitmapBuild(array(1,2,2,3))) AS c,"
+        " bitmapToArray(bitmapAnd(bitmapBuild(array(1,2,3)),"
+        "   bitmapBuild(array(2,3,4)))) AS a,"
+        " bitmapToArray(bitmapXor(bitmapBuild(array(1,2)),"
+        "   bitmapBuild(array(2,3)))) AS x,"
+        " bitmapOrCardinality(bitmapBuild(array(1,2)),"
+        "   bitmapBuild(array(2,3))) AS oc,"
+        " bitmapAndnotCardinality(bitmapBuild(array(1,2)),"
+        "   bitmapBuild(array(2))) AS nc,"
+        " bitmapContains(bitmapBuild(array(1,2)), 2) AS ct,"
+        " bitmapHasAny(bitmapBuild(array(1,2)),"
+        "   bitmapBuild(array(9))) AS ha,"
+        " bitmapHasAll(bitmapBuild(array(1,2,3)),"
+        "   bitmapBuild(array(2,3))) AS hl,"
+        " bitmapMin(bitmapBuild(array(3,1))) AS mn,"
+        " bitmapMax(bitmapBuild(array(3,1))) AS mx,"
+        " bitmapToArray(bitmapSubsetInRange(bitmapBuild("
+        "   array(1,5,9)), 2, 9)) AS sr,"
+        " bitmapToArray(bitmapSubsetLimit(bitmapBuild("
+        "   array(1,5,9,11)), 5, 2)) AS sl,"
+        " bitmapToArray(subBitmap(bitmapBuild("
+        "   array(10,20,30,40)), 1, 2)) AS sb").sql).collect()[0]
+    assert r["c"] == 3 and r["a"] == [2, 3] and r["x"] == [1, 3]
+    assert r["oc"] == 3 and r["nc"] == 1
+    assert r["ct"] is True and r["ha"] is False and r["hl"] is True
+    assert (r["mn"], r["mx"]) == (1, 3)
+    assert r["sr"] == [5] and r["sl"] == [5, 9] and r["sb"] == [20, 30]
