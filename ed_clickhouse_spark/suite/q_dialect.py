@@ -1032,3 +1032,58 @@ def q238_hop_windows(spark, sf_dir):
     register_sql_aliases(spark)
     t(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(translate(_CH_HOP).sql)
+
+
+_CH_BITMAP_RETENTION = """
+WITH daily AS (
+    SELECT toDate(ts) AS day,
+           bitmapBuild(groupUniqArray(user_id)) AS users
+    FROM events
+    GROUP BY toDate(ts)
+)
+SELECT a.day AS day,
+       bitmapCardinality(a.users) AS dau,
+       bitmapAndCardinality(a.users, b.users) AS retained,
+       bitmapOrCardinality(a.users, b.users) AS either_day,
+       bitmapAndnotCardinality(b.users, a.users) AS new_next_day
+FROM daily a
+JOIN daily b ON b.day = a.day + 1
+"""
+
+
+@query(
+    "q239_bitmap_retention",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day,
+             list_sort(list_distinct(list(user_id))) AS users
+      FROM events GROUP BY 1
+    )
+    SELECT a.day AS day,
+           len(a.users) AS dau,
+           len(list_intersect(a.users, b.users)) AS retained,
+           len(list_distinct(list_concat(a.users, b.users)))
+             AS either_day,
+           len(list_filter(b.users, u -> NOT list_contains(a.users, u)))
+             AS new_next_day
+    FROM daily a JOIN daily b ON b.day = a.day + INTERVAL 1 DAY
+    """,
+)
+def q239_bitmap_retention(spark, sf_dir):
+    """The classic ClickHouse bitmap-retention pattern (round-8 batch
+    49): per-day user-id bitmaps, then day-over-day retained / union /
+    new-user cardinalities via the bitmap set algebra — spelled with
+    groupBitmap-style bitmapBuild(groupUniqArray(...)) and the
+    bitmapAnd/Or/Andnot cardinality forms, all translating to
+    sorted-distinct-array builtins. DuckDB recomputes each from list
+    set operations. Scale note: per-day distinct user sets shuffle
+    once on day; the self-join is tiny (one row per day) and
+    AQE-broadcast. At 100 TB the same shape holds because the join
+    side is |days|, not |events| — the heavy lifting is the per-day
+    distinct aggregation, which is map-side combinable."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(translate(_CH_BITMAP_RETENTION).sql)
