@@ -471,14 +471,68 @@ class Engine:
             return self.spark.createDataFrame(
                 [(1 if known else 0,)], "result int"
             )
-        m = _re.match(r"^\s*EXPLAIN\s+(.+)$", query, _re.I | _re.S)
+        if _re.match(r"^KILL\s+(QUERY|MUTATION)\b", q0, _re.I):
+            # single-process engine: ch_sql calls are synchronous, so
+            # by the time KILL parses there is nothing in-flight —
+            # SHOW PROCESSLIST is empty for the same reason. CH's
+            # response shape: one row per matched query, so none.
+            return self.spark.createDataFrame(
+                [], "query_id string, result string"
+            )
+        m = _re.match(
+            r"^\s*EXPLAIN\s+(SYNTAX|AST|PIPELINE|PLAN|ESTIMATE)?\s*(.+)$",
+            query,
+            _re.I | _re.S,
+        )
         if m:
             # ClickHouse EXPLAIN SELECT ... -> Spark's plan for the
             # TRANSLATED query (including projection routing), so users
-            # see what actually executes.
+            # see what actually executes. Variants (r8 batch 50):
+            # SYNTAX/AST -> the translated SQL itself (CH returns the
+            # rewritten query — ours IS the rewrite output);
+            # PIPELINE -> the formatted physical plan; ESTIMATE ->
+            # per-table rows/parts/bytes from the warehouse metadata
+            # (the same numbers system.parts serves); PLAN/default ->
+            # Spark's EXPLAIN.
             from ed_clickhouse_spark.chsql import translate as _tr
 
-            inner = self._route_projection(_tr(m.group(1), self.table_specs).sql)
+            kind = (m.group(1) or "PLAN").upper()
+            inner = self._route_projection(
+                _tr(m.group(2), self.table_specs).sql
+            )
+            if kind in ("SYNTAX", "AST"):
+                return self.spark.createDataFrame(
+                    [(inner,)], "explain string"
+                )
+            if kind == "ESTIMATE":
+                # CH shape: (table, parts, rows, bytes) per scanned
+                # table. parts/bytes come from the warehouse metadata;
+                # rows is a parquet-footer count (metadata-only scan)
+                self._refresh_system_views()
+                tables = [
+                    t for t in self.table_specs
+                    if _re.search(rf"\b{t}\b", inner)
+                ]
+                meta = {
+                    r["name"]: (r["n_files"], r["bytes"])
+                    for r in self.spark.table("system_parts")
+                    .where(F.col("name").isin(tables)).collect()
+                }
+                rows = [
+                    (
+                        t,
+                        int(meta.get(t, (0, 0))[0]),
+                        self.spark.table(t).count(),
+                        int(meta.get(t, (0, 0))[1]),
+                    )
+                    for t in tables
+                ]
+                return self.spark.createDataFrame(
+                    rows,
+                    "table string, parts long, rows long, bytes long",
+                )
+            if kind == "PIPELINE":
+                return self.spark.sql(f"EXPLAIN FORMATTED {inner}")
             return self.spark.sql(f"EXPLAIN {inner}")
         return None
 

@@ -1020,3 +1020,27 @@ def test_aggregating_merge_tree_state_loop(spark, tmp_path):
         eng.ch_sql("CREATE TABLE badq (k String,"
                    " q AggregateFunction(quantile, Float64))"
                    " ENGINE = AggregatingMergeTree() ORDER BY (k)")
+
+
+def test_explain_variants_and_kill(spark, tmp_path):
+    """Round-8 probe batch 50: the EXPLAIN variants — SYNTAX/AST
+    return the TRANSLATED SQL (ours IS the rewrite CH would show),
+    PIPELINE the formatted physical plan, ESTIMATE per-table
+    parts/rows/bytes from warehouse metadata — and KILL QUERY returns
+    the CH response shape with zero matched rows (ch_sql is
+    synchronous, nothing is ever in flight)."""
+    from ed_clickhouse_spark.engine import Engine
+
+    eng = Engine(str(tmp_path / "wh"), spark)
+    eng.ch_sql("CREATE TABLE tk (a Int64) ENGINE = MergeTree() ORDER BY (a)")
+    eng.ch_sql('INSERT INTO tk FORMAT JSONEachRow\n{"a":1}\n{"a":2}')
+    syn = eng.ch_sql("EXPLAIN SYNTAX SELECT countIf(a > 0) FROM tk")
+    assert "count_if" in syn.collect()[0]["explain"]
+    est = eng.ch_sql("EXPLAIN ESTIMATE SELECT count() FROM tk").collect()
+    assert est[0]["table"] == "tk" and est[0]["rows"] == 2
+    assert est[0]["parts"] >= 1 and est[0]["bytes"] > 0
+    pipe = eng.ch_sql("EXPLAIN PIPELINE SELECT count() FROM tk").collect()
+    assert "Physical Plan" in pipe[0]["plan"]
+    assert eng.ch_sql("KILL QUERY WHERE query_id = 'x'").collect() == []
+    assert eng.ch_sql("KILL MUTATION WHERE mutation_id = 'm'"
+                      ).collect() == []
