@@ -1256,6 +1256,17 @@ class Engine:
         None when the statement is not an INSERT."""
         import re as _re
 
+        fm = _re.match(
+            r"^\s*INSERT\s+INTO\s+(\w+)\s+FORMAT\s+"
+            r"(CSVWithNames|CSV|TSVWithNames|TSV|TabSeparatedWithNames|"
+            r"TabSeparated|JSONCompactEachRow|TSKV|Values)\s*[\n ](.*)$",
+            query,
+            _re.I | _re.S,
+        )
+        if fm:
+            return self._insert_format(
+                fm.group(1), fm.group(2), fm.group(3)
+            )
         m = _re.match(
             r"^\s*INSERT\s+INTO\s+(\w+)\s+FORMAT\s+(JSONEachRow)\s*\n(.*)$",
             query,
@@ -1307,6 +1318,91 @@ class Engine:
                 self._register_mv(mv)
         return self.spark.createDataFrame(
             [(table, len(lines))], "table string, rows_inserted long"
+        )
+
+    def _insert_format(self, table: str, fmt: str, payload: str):
+        """The clickhouse-client inline-payload formats beyond
+        JSONEachRow (r8 probe batch 51): CSV[WithNames],
+        TSV/TabSeparated[WithNames], JSONCompactEachRow (positional
+        JSON arrays), TSKV (key=value pairs) and the Values form
+        (delegates to the VALUES literal parser). Text rows decode
+        against the declared schema positionally (WithNames headers
+        reorder by name), then append under the table's write policy —
+        the same path as JSONEachRow. RowBinary/Native stay refused:
+        binary wire formats belong to the streaming decode path."""
+        import csv as _csv
+        import io as _io
+        import json as _json
+
+        from ed_clickhouse_spark import ddl
+
+        spec = self.table_specs.get(table)
+        if spec is None:
+            raise KeyError(f"unknown table {table!r}; run migrate() first")
+        f = fmt.lower()
+        if f == "values":
+            return self._insert_values(table, None, payload)
+        declared = [fl.name for fl in spec.schema.fields]
+        lines = [ln for ln in payload.splitlines() if ln.strip()]
+        header: list[str] | None = None
+        rows: list[list] = []
+        if f in ("csv", "csvwithnames"):
+            parsed = list(_csv.reader(_io.StringIO("\n".join(lines))))
+            if f == "csvwithnames":
+                header, parsed = parsed[0], parsed[1:]
+            rows = parsed
+        elif f in ("tsv", "tabseparated", "tsvwithnames",
+                   "tabseparatedwithnames"):
+            parsed = [ln.split("\t") for ln in lines]
+            if f.endswith("withnames"):
+                header, parsed = parsed[0], parsed[1:]
+            rows = parsed
+        elif f == "jsoncompacteachrow":
+            rows = [_json.loads(ln) for ln in lines]
+        elif f == "tskv":
+            dicts = []
+            for ln in lines:
+                d = dict(
+                    kv.split("=", 1) for kv in ln.split("\t") if "=" in kv
+                )
+                dicts.append([d.get(c) for c in declared])
+            rows = dicts
+        if header is not None:
+            order = [header.index(c) for c in declared if c in header]
+            if len(order) != len(declared):
+                raise ValueError(
+                    f"FORMAT {fmt}: header {header} does not cover the"
+                    f" declared columns {declared}"
+                )
+            rows = [[r[i] for i in order] for r in rows]
+        bad = [r for r in rows if len(r) != len(declared)]
+        if bad:
+            raise ValueError(
+                f"FORMAT {fmt}: row arity {len(bad[0])} !="
+                f" {len(declared)} declared columns: {bad[0]!r}"
+            )
+        # all-string rows -> declared types via the same cast path a
+        # from_json decode takes (try-cast semantics stay loud: a bad
+        # literal fails the job, like clickhouse-client)
+        str_df = self.spark.createDataFrame(
+            [[None if v in ("", r"\N", None) else str(v) for v in r]
+             for r in rows],
+            ", ".join(f"{c} string" for c in declared),
+        )
+        decoded = str_df.select(
+            *[
+                F.col(fl.name).cast(fl.dataType).alias(fl.name)
+                for fl in spec.schema.fields
+            ]
+        )
+        written = ddl.append_rows(decoded, spec, self.warehouse)
+        ddl.register_view(self.spark, spec, self.warehouse)
+        for mv in self.matviews.values():
+            if mv.spec.source == table:
+                mv.on_batch(written)
+                self._register_mv(mv)
+        return self.spark.createDataFrame(
+            [(table, len(rows))], "table string, rows_inserted long"
         )
 
     def _insert_values(self, table: str, col_list: str | None, values: str) -> DataFrame:
@@ -1389,11 +1485,14 @@ class Engine:
         """``INSERT INTO t SELECT ...`` — the translated SELECT runs as
         one Catalyst job whose result appends under the table's write
         policy (partition dirs + ORDER BY sort), firing MV triggers.
-        Columns match by NAME against the declared schema (ClickHouse
-        positional inserts must still project matching names — the
-        fail-loud choice; a silent positional map misorders on ALTER).
-        The row count comes from an Observation on the append job — no
-        second scan."""
+        Columns match by NAME when every declared name is present
+        (robust to reordered SELECTs); otherwise, when the arity
+        matches the declared arity, by POSITION — ClickHouse's actual
+        INSERT SELECT rule, which the common computed-expression idiom
+        (SELECT a + 100, b) depends on. Arity mismatch (beyond
+        DEFAULT/MATERIALIZED backfill) stays fail-loud. The row count
+        comes from an Observation on the append job — no second
+        scan."""
         from pyspark.sql import Observation
 
         from ed_clickhouse_spark import ddl
@@ -1404,6 +1503,19 @@ class Engine:
             raise KeyError(f"unknown table {table!r}; run migrate() first")
         result = self.spark.sql(translate(select_sql, self.table_specs).sql)
         declared = [f.name for f in spec.schema.fields]
+        # positional mapping (r8): ClickHouse matches INSERT SELECT
+        # columns by POSITION, and the common idiom projects computed
+        # expressions (SELECT a + 100, b) whose generated names match
+        # nothing. When the arity equals the declared arity but the
+        # NAMES don't all line up, rename by position — exactly what
+        # CH executes. When every name lines up, keep the name map
+        # (robust to a reordered SELECT); arity mismatch stays the
+        # fail-loud path below.
+        if (
+            len(result.columns) == len(declared)
+            and set(result.columns) != set(declared)
+        ):
+            result = result.toDF(*declared)
         missing = [c for c in declared if c not in result.columns]
         computed = {
             c for c, (kind, _e) in spec.col_exprs.items() if kind == "MATERIALIZED"

@@ -1044,3 +1044,44 @@ def test_explain_variants_and_kill(spark, tmp_path):
     assert eng.ch_sql("KILL QUERY WHERE query_id = 'x'").collect() == []
     assert eng.ch_sql("KILL MUTATION WHERE mutation_id = 'm'"
                       ).collect() == []
+
+
+def test_insert_inline_formats_and_positional_select(spark, tmp_path):
+    """Round-8 probe batch 51: the clickhouse-client inline-payload
+    formats beyond JSONEachRow — CSV[WithNames] (headers reorder by
+    name), TSV/TabSeparated, JSONCompactEachRow (positional arrays),
+    TSKV, FORMAT Values — all decoding against the declared schema
+    and appending under the table's write policy; and INSERT SELECT
+    now maps by POSITION when the arity matches but the projected
+    names don't (CH's actual rule — the computed-expression idiom
+    SELECT a + 100, b previously failed the name check). Name mapping
+    stays when every name lines up; arity mismatch stays loud."""
+    import pytest
+
+    from ed_clickhouse_spark.engine import Engine
+
+    eng = Engine(str(tmp_path / "wh"), spark)
+    eng.ch_sql("CREATE TABLE ti (a Int64, b String)"
+               " ENGINE = MergeTree() ORDER BY (a)")
+    assert eng.ch_sql('INSERT INTO ti FORMAT CSV\n2,"y"\n22,yy'
+                      ).collect()[0]["rows_inserted"] == 2
+    eng.ch_sql("INSERT INTO ti FORMAT TSV\n3\tz")
+    eng.ch_sql("INSERT INTO ti FORMAT CSVWithNames\nb,a\nq,5")
+    eng.ch_sql("INSERT INTO ti FORMAT Values (6, 'v'), (7, 'u')")
+    eng.ch_sql('INSERT INTO ti FORMAT JSONCompactEachRow\n[10,"j"]')
+    eng.ch_sql("INSERT INTO ti FORMAT TSKV\na=11\tb=k")
+    # positional: computed first column, name 'b' coincidentally right
+    eng.ch_sql("INSERT INTO ti SELECT a + 100, b FROM ti WHERE a = 2")
+    got = sorted((r["a"], r["b"]) for r in
+                 eng.ch_sql("SELECT * FROM ti").collect())
+    assert got == [(2, "y"), (3, "z"), (5, "q"), (6, "v"), (7, "u"),
+                   (10, "j"), (11, "k"), (22, "yy"), (102, "y")]
+    # name mapping still wins when every declared name is projected
+    eng.ch_sql("INSERT INTO ti SELECT b, a FROM ti WHERE a = 3")
+    assert (3, "z") in [
+        (r["a"], r["b"])
+        for r in eng.ch_sql("SELECT * FROM ti WHERE b = 'z'").collect()
+    ]
+    # binary wire formats stay refused
+    with pytest.raises(ValueError, match="JSONEachRow"):
+        eng.ch_sql("INSERT INTO ti FORMAT RowBinary\nxx")
