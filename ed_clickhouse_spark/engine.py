@@ -471,11 +471,12 @@ class Engine:
             return self.spark.createDataFrame(
                 [(1 if known else 0,)], "result int"
             )
-        if _re.match(r"^KILL\s+(QUERY|MUTATION)\b", q0, _re.I):
+        if _re.match(r"^KILL\s+QUERY\b", q0, _re.I):
             # single-process engine: ch_sql calls are synchronous, so
             # by the time KILL parses there is nothing in-flight —
             # SHOW PROCESSLIST is empty for the same reason. CH's
             # response shape: one row per matched query, so none.
+            # (KILL MUTATION keeps its status-row handler below.)
             return self.spark.createDataFrame(
                 [], "query_id string, result string"
             )

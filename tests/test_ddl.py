@@ -1042,8 +1042,9 @@ def test_explain_variants_and_kill(spark, tmp_path):
     pipe = eng.ch_sql("EXPLAIN PIPELINE SELECT count() FROM tk").collect()
     assert "Physical Plan" in pipe[0]["plan"]
     assert eng.ch_sql("KILL QUERY WHERE query_id = 'x'").collect() == []
+    # KILL MUTATION keeps the synchronous-mutations status-row shape
     assert eng.ch_sql("KILL MUTATION WHERE mutation_id = 'm'"
-                      ).collect() == []
+                      ).collect()[0]["affected"] == 0
 
 
 def test_insert_inline_formats_and_positional_select(spark, tmp_path):
