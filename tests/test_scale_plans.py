@@ -501,3 +501,36 @@ def test_q227_time_decayed_routes_to_running_windows(spark):
     assert "collect_list" not in p
     assert "Window" in p
     assert "Python" not in p and "Join" not in p
+
+
+def test_q235_q239_round8_plan_shapes(spark):
+    """Round-8 additions keep the shapes their docstrings claim. q235
+    (resample-if buckets): a single aggregation pass — no joins, no
+    Python, map-side combinable. q236 (array pipeline): per-row HOF
+    work with the vec_id filter pushed into the parquet scan; no
+    shuffle at all. q238 (hop windows): the sliding-window explode +
+    one group-key exchange; no Python. q239 (bitmap retention): the
+    per-day distinct aggregation shuffles on day; the day-to-day
+    self-join is broadcast (AQE or static), never a sort-merge over
+    events."""
+    import re
+
+    spark.catalog.clearCache()
+    p = _plan(QUERIES["q235_resample_if_buckets"](
+        spark, "/root/testdata/sf0.001"))
+    assert "Join" not in p and "Python" not in p
+    p = _plan(QUERIES["q236_array_pipeline"](
+        spark, "/root/testdata/sf0.001"))
+    assert "Exchange" not in p and "Python" not in p
+    assert "PushedFilters: [" in p and "vec_id" in p
+    p = _plan(QUERIES["q238_hop_windows"](
+        spark, "/root/testdata/sf0.001"))
+    assert "Python" not in p
+    assert "Expand" in p  # the sliding-window multi-assignment
+    n_ex = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
+    assert n_ex <= 2, n_ex
+    p = _plan(QUERIES["q239_bitmap_retention"](
+        spark, "/root/testdata/sf0.001"))
+    assert "Python" not in p
+    assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
+    assert "SortMergeJoin" not in p
