@@ -1298,3 +1298,60 @@ def test_combinator_stackings_null_shapes(spark, rows):
                 assert list(h) == w, (g, col, h, w)
             else:
                 assert h == w, (g, col, h, w)
+
+
+@given(
+    days=st.lists(
+        st.integers(0, 1460),  # 4 years from 2022-01-01 incl. leap
+        min_size=1,
+        max_size=40,
+        unique=True,
+    )
+)
+@_SET
+def test_week_modes_match_python_calendar(spark, days):
+    """Round-8 batch 48 pin: toWeek modes against Python's calendar.
+    Mode 3 IS isocalendar week. Mode 0 counts Sundays: week 0 before
+    the year's first Sunday, then +1 per Sunday. Mode 1 is ISO clamped
+    to the calendar year (0 before ISO week 1; December dates in next
+    year's ISO week 1 get the prior week + 1)."""
+    import datetime as dt
+
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    dates = [dt.date(2022, 1, 1) + dt.timedelta(days=d) for d in days]
+
+    def mode0(d):
+        jan1 = dt.date(d.year, 1, 1)
+        # days until the first Sunday (Python: Monday=0 .. Sunday=6)
+        first_sunday = jan1 + dt.timedelta(days=(6 - jan1.weekday()) % 7)
+        if d < first_sunday:
+            return 0
+        return (d - first_sunday).days // 7 + 1
+
+    def mode3(d):
+        return d.isocalendar()[1]
+
+    def mode1(d):
+        iso_year, iso_week, _ = d.isocalendar()
+        if iso_year < d.year:
+            return 0
+        if iso_year > d.year:
+            return (d - dt.timedelta(days=7)).isocalendar()[1] + 1
+        return iso_week
+
+    spark.createDataFrame(
+        [(d.isoformat(),) for d in dates], "d string"
+    ).createOrReplaceTempView("__wk")
+    got = spark.sql(translate(
+        "SELECT d, toWeek(CAST(d AS DATE), 0) AS w0,"
+        " toWeek(CAST(d AS DATE), 1) AS w1,"
+        " toWeek(CAST(d AS DATE), 3) AS w3 FROM __wk").sql).collect()
+    by_d = {r["d"]: r for r in got}
+    for d in dates:
+        r = by_d[d.isoformat()]
+        assert r["w0"] == mode0(d), (d, r["w0"], mode0(d))
+        assert r["w1"] == mode1(d), (d, r["w1"], mode1(d))
+        assert r["w3"] == mode3(d), (d, r["w3"], mode3(d))
