@@ -2202,6 +2202,10 @@ _YEARWEEK_MODED = (
 _ARRAY_SPLICE["toYearWeek"] = {2: _YEARWEEK_MODED, 3: _YEARWEEK_MODED}
 # CH's evaluate-and-discard helper (returns 0 regardless)
 _ARRAY_SPLICE["ignore"] = {k: "0" for k in range(1, 6)}
+# the Nothing aggregate: always NULL (the aggThrow refusal points here)
+_ARRAY_SPLICE["nothing"] = {
+    k: "max(CAST(NULL AS STRING))" for k in range(0, 3)
+}
 # toDayOfWeek's mode argument (0: Mon=1..7, 1: Mon=0..6, 2: Sun=1..7,
 # 3: Sun=0..6); the 1-arg form stays an alias
 _ARRAY_SPLICE["toDayOfWeek"] = {
