@@ -198,6 +198,8 @@ def q104_approx_quantiles(spark, sf_dir):
         ).alias("q"),
         F.count("*").alias("n"),
     )
+    # bounded: one row per priority (5 groups) carrying a 3-element
+    # array — the approx-percentile frame is output-sized, never rows
     j = o.join(F.broadcast(a), "o_orderpriority")
     ranks = j.groupBy("o_orderpriority").agg(
         F.max("n").alias("n"),
