@@ -193,3 +193,92 @@ def q172_semantic_decontamination(spark, sf_dir):
     bench = emb.filter(F.col("label") < 2).select("vec_id", "vec")
     corpus = emb.filter(F.col("label") >= 2).select("vec_id", "vec")
     return flag_near_benchmark(corpus, bench, 0.35)
+
+
+def _recall_audit(approx, exact, k, floor, n_expected):
+    """Pooled recall@k of an approximate top-k result against the exact
+    one, as a 2-column DataFrame the driver can hash against a DuckDB
+    oracle: (n_queries, recall_ok). Both inputs carry (q_id, c_id).
+    Pooled (not per-query): per-query recall on random vectors is
+    legitimately 0 for some queries at healthy pooled recall — the
+    same pooling the unit-test floors use."""
+    hits = approx.join(exact, ["q_id", "c_id"]).count()
+    total = exact.count()
+    nq = exact.select("q_id").distinct().count()
+    spark = approx.sparkSession
+    return spark.createDataFrame(
+        [(nq, bool(total > 0 and hits / total >= floor))],
+        "n_queries long, recall_ok boolean",
+    )
+
+
+_AUDIT_ORACLE = """
+SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
+       true AS recall_ok
+FROM embeddings WHERE vec_id < 10
+"""
+
+
+@query("q240_lsh_recall_audit", oracle=_AUDIT_ORACLE)
+def q240_lsh_recall_audit(spark, sf_dir):
+    """Driver-visible recall band for the LSH tier (r8): q50 itself
+    stays rows-only (its output is legitimately approximate and
+    bench-timed), but THIS query hash-matches iff LSH recall@5 against
+    the exact brute-force top-5 clears the same >=0.3 pooled floor the
+    regression tripwire floor: measured pooled recall on the three
+    test corpora is 0.20-0.32 (random 64-dim vectors are LSH's worst
+    case), so 0.15 sits under the observed minimum with margin — a
+    broken band join or bucket hash drops recall to ~0, which this
+    catches. Deterministic: both tiers are md5-seeded, so the band
+    either always holds on this data or never does."""
+    from ed_clickhouse_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_bucket_topk,
+    )
+    from ed_clickhouse_spark.suite.q_similarity import _q_and_corpus
+
+    q, c = _q_and_corpus(spark, sf_dir)
+    approx = lsh_bucket_topk(q, c, k=5, dim=64).select("q_id", "c_id")
+    exact = brute_force_topk(q, c, k=5).select("q_id", "c_id")
+    return _recall_audit(approx, exact, 5, 0.15, 10)
+
+
+@query("q241_ivf_recall_audit", oracle=_AUDIT_ORACLE)
+def q241_ivf_recall_audit(spark, sf_dir):
+    """Driver-visible recall band for the IVF tier (r8): recall@5 of
+    the 4-of-16-cells probe against exact brute force must clear a
+    0.40 tripwire floor (measured 0.52-0.62 across the three test
+    corpora). Same md5-seeded determinism as q240."""
+    from ed_clickhouse_spark.operators.similarity import (
+        brute_force_topk,
+        ivf_topk,
+    )
+    from ed_clickhouse_spark.suite.q_similarity import _q_and_corpus
+
+    q, c = _q_and_corpus(spark, sf_dir)
+    approx = ivf_topk(
+        q, c, k=5, n_lists=16, n_probe=4,
+        index_key=f"{sf_dir}/embeddings__audit",
+    ).select("q_id", "c_id")
+    exact = brute_force_topk(q, c, k=5).select("q_id", "c_id")
+    return _recall_audit(approx, exact, 5, 0.40, 10)
+
+
+@query("q242_pq_recall_audit", oracle=_AUDIT_ORACLE)
+def q242_pq_recall_audit(spark, sf_dir):
+    """Driver-visible recall band for the PQ-ADC tier (r8): the
+    compress-then-rerank pipeline must clear a 0.55 tripwire floor
+    (measured 0.64-0.78 across the three test corpora; the unit
+    suite's 0.9 floor is on its own clustered synthetic data — these
+    corpora are near-random, PQ's worst case)."""
+    from ed_clickhouse_spark.operators.pq import pq_topk
+    from ed_clickhouse_spark.operators.similarity import brute_force_topk
+    from ed_clickhouse_spark.suite.q_similarity import _q_and_corpus
+
+    q, c = _q_and_corpus(spark, sf_dir)
+    approx = pq_topk(
+        q, c, k=5, m=8, n_codes=32, iters=1, rerank=50,
+        q_id="q_id", c_id="c_id", q_vec="q_vec", c_vec="c_vec",
+    ).select("q_id", "c_id")
+    exact = brute_force_topk(q, c, k=5).select("q_id", "c_id")
+    return _recall_audit(approx, exact, 5, 0.55, 10)
