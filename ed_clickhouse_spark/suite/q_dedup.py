@@ -409,3 +409,109 @@ def q209_passage_excision(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     return excise_repeated_passages(d, "doc_id", "text", n=10, min_docs=2)
+
+
+@query(
+    "q245_minhash_recall_audit",
+    oracle="""
+    WITH sh AS (
+      SELECT doc_id AS id, unnest(list_distinct(sh_list)) AS sh
+      FROM (
+        SELECT doc_id,
+               list_transform(
+                 range(1, GREATEST(len(string_split(text,' ')) - 3, 0) + 2),
+                 i -> array_to_string(string_split(text,' ')[i:i+2], ' ')
+               ) AS sh_list
+        FROM documents
+      )
+    ),
+    shc AS (
+      SELECT id, sh FROM sh
+      QUALIFY COUNT(*) OVER (PARTITION BY sh) <= 10
+    ),
+    sizes AS (SELECT id, COUNT(*) AS n_sh FROM shc GROUP BY id),
+    pairs AS (
+      SELECT a.id AS id_a, b.id AS id_b, COUNT(*) AS inter
+      FROM shc a JOIN shc b ON a.sh = b.sh AND a.id < b.id
+      GROUP BY 1, 2
+    ),
+    tru AS (
+      SELECT id_a, id_b
+      FROM pairs
+      JOIN sizes sa ON sa.id = id_a
+      JOIN sizes sb ON sb.id = id_b
+      WHERE inter * 1.0 / (sa.n_sh + sb.n_sh - inter) >= 0.7
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_true_pairs, true AS recall_ok
+    FROM tru
+    """,
+)
+def q245_minhash_recall_audit(spark, sf_dir):
+    """Driver-visible recall band for MinHash-LSH (r8): q46 stays
+    rows-only (its candidate list is legitimately approximate), but
+    THIS query hash-matches iff the LSH candidate set recovers >= 80%
+    of the TRUE >= 0.7-Jaccard pairs (the q45 exact-pair machinery
+    with a higher threshold — at 0.7, 8-band/4-row LSH collision
+    probability is ~1-(1-0.7^4)^8 ~ 0.91, so 0.8 is a tripwire with
+    margin, not a quality ceiling). The n_true_pairs arm is an EXACT
+    cross-engine check of the 0.7-threshold pair count. md5-seeded
+    determinism: the band either always holds on this corpus or never
+    does."""
+    from ed_clickhouse_spark.operators.dedup import (
+        jaccard_pairs,
+        minhash_lsh_pairs,
+    )
+
+    d = t(spark, sf_dir, "documents")
+    tru = jaccard_pairs(d, n=3, threshold=0.7, max_df=10).select(
+        "id_a", "id_b"
+    )
+    cand = minhash_lsh_pairs(d).select("id_a", "id_b")
+    n_true = tru.count()
+    hits = tru.join(cand, ["id_a", "id_b"]).count()
+    ok = bool(n_true == 0 or hits / n_true >= 0.8)
+    return spark.createDataFrame(
+        [(n_true, ok)], "n_true_pairs long, recall_ok boolean"
+    )
+
+
+@query(
+    "q246_simhash_dup_audit",
+    oracle="""
+    WITH g AS (
+      SELECT md5(text) AS h, COUNT(*) AS n FROM documents GROUP BY 1
+    )
+    SELECT CAST(COALESCE(SUM(n * (n - 1) / 2), 0) AS BIGINT)
+             AS n_dup_pairs,
+           true AS all_equal_ok
+    FROM g WHERE n > 1
+    """,
+)
+def q246_simhash_dup_audit(spark, sf_dir):
+    """SimHash invariant audit (r8): byte-identical documents MUST get
+    byte-identical 64-bit simhashes — the property every
+    hamming-neighbor lookup rests on. The exact-duplicate pair count
+    is cross-checked against DuckDB's md5-group count (an exact arm);
+    the band column asserts zero fingerprint disagreements inside any
+    duplicate group. q47's bucket histogram stays rows-only."""
+    from ed_clickhouse_spark.operators.dedup import simhash
+
+    d = t(spark, sf_dir, "documents")
+    s = simhash(d).select("id", "simhash").join(
+        t(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("id"), F.md5("text").alias("h")
+        ),
+        "id",
+    )
+    g = s.groupBy("h").agg(
+        F.count("*").alias("n"),
+        F.countDistinct("simhash").alias("n_fp"),
+    ).filter(F.col("n") > 1)
+    n_pairs = g.select(
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("p")
+    ).collect()[0]["p"] or 0
+    bad = g.filter(F.col("n_fp") > 1).count()
+    return spark.createDataFrame(
+        [(int(n_pairs), bool(bad == 0))],
+        "n_dup_pairs long, all_equal_ok boolean",
+    )

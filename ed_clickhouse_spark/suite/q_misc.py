@@ -220,3 +220,32 @@ def q104_approx_quantiles(spark, sf_dir):
     return ranks.select(
         "o_orderpriority", "n", ok(0, 0.5), ok(1, 0.9), ok(2, 0.99)
     )
+
+
+@query(
+    "q243_approx_distinct_audit",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS exact_users,
+           true AS within_15pct
+    FROM events GROUP BY event_type
+    """,
+)
+def q243_approx_distinct_audit(spark, sf_dir):
+    """Driver-visible error band for q06's approx_count_distinct (r8):
+    the exact distinct count per event type is cross-checked against
+    DuckDB, and the band column holds iff Spark's HLL++ estimate
+    (default rsd 0.05) lands within 15% (3 sigma) of it. q06 itself
+    stays rows-only so its output shape remains the production one.
+    Deterministic sketch — the band either always holds or never
+    does."""
+    e = t(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users"),
+        (
+            F.abs(
+                F.approx_count_distinct("user_id")
+                - F.countDistinct("user_id")
+            )
+            <= F.countDistinct("user_id") * F.lit(0.15)
+        ).alias("within_15pct"),
+    )

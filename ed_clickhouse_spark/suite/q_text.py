@@ -494,3 +494,58 @@ def q226_jaro_winkler_rank(spark, sf_dir):
         .filter(F.col("sim_raw") > 0.7)
         .select("probe", "tok", F.round("sim_raw", 4).alias("sim"))
     )
+
+
+@query(
+    "q244_heavy_hitters_audit",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(text), '[^a-z0-9]+')) AS token
+      FROM documents
+    ),
+    tc AS (
+      SELECT token, COUNT(*) AS true_count FROM tok
+      WHERE token != '' GROUP BY token
+    )
+    SELECT token, true_count, true AS cm_bounds_ok
+    FROM tc
+    ORDER BY true_count DESC, token
+    LIMIT 20
+    """,
+)
+def q244_heavy_hitters_audit(spark, sf_dir):
+    """Driver-visible bound check for q80's count-min sketch (r8): the
+    exact top-20 token counts are cross-checked against DuckDB (an
+    exact arm — deterministic tie-break by token), and the band holds
+    iff the sketch estimate obeys the CM guarantees on each: one-sided
+    (est >= true) and est <= true + (e/width) * N at 3x slack
+    (width=2048, depth=4 — the depth amplifies the per-row bound, so
+    3x over the single-row epsilon is a tripwire, not a ceiling).
+    q80 stays rows-only with the estimates as output."""
+    import math
+
+    from ed_clickhouse_spark.operators.sketch import cm_build, cm_query
+
+    d = t(spark, sf_dir, "documents")
+    tok = d.select(F.explode(tokens("text")).alias("token"))
+    n_total = tok.count()
+    eps = math.e / 2048.0
+    sketch = cm_build(tok, "token")
+    top = (
+        tok.groupBy("token")
+        .agg(F.count("*").alias("true_count"))
+        .orderBy(F.col("true_count").desc(), "token")
+        .limit(20)
+    )
+    est = cm_query(sketch, top, "token").join(top, "token")
+    return est.select(
+        "token",
+        "true_count",
+        (
+            (F.col("est_count") >= F.col("true_count"))
+            & (
+                F.col("est_count")
+                <= F.col("true_count") + F.lit(3.0 * eps * n_total)
+            )
+        ).alias("cm_bounds_ok"),
+    )
