@@ -358,3 +358,40 @@ SELECT tumbleStart(ts, INTERVAL 5 MINUTE) AS w_start,
        uniqExact(user_id) AS users
 FROM events
 GROUP BY w_start ORDER BY events DESC, w_start LIMIT 10;
+
+-- 47. sliding-window load board (r8 hop windows): 10-minute windows
+-- every 5 minutes — each event lands in 2 overlapping windows
+SELECT hopStart(hop(ts, INTERVAL 5 MINUTE, INTERVAL 10 MINUTE)) AS ws,
+       count() AS events
+FROM events
+GROUP BY hop(ts, INTERVAL 5 MINUTE, INTERVAL 10 MINUTE)
+ORDER BY events DESC, ws LIMIT 10;
+
+-- 48. day-over-day retention via the bitmap set algebra (r8)
+SELECT a.day AS day,
+       bitmapCardinality(a.users) AS dau,
+       bitmapAndCardinality(a.users, b.users) AS retained
+FROM (SELECT toDate(ts) AS day, bitmapBuild(groupUniqArray(user_id)) AS users
+      FROM events GROUP BY toDate(ts)) a
+JOIN (SELECT toDate(ts) AS day, bitmapBuild(groupUniqArray(user_id)) AS users
+      FROM events GROUP BY toDate(ts)) b ON b.day = a.day + 1
+ORDER BY day LIMIT 10;
+
+-- 49. hourly conditional revenue buckets in one aggregation pass
+-- (r8 -Resample x -If stacking)
+SELECT event_type,
+       sumIfResample(0, 24, 6)(value, value > 1, toHour(ts)) AS sums_6h
+FROM events GROUP BY event_type ORDER BY event_type;
+
+-- 50. freshness-weighted activity score per user, top 10 (r8 O(rows)
+-- running-window routing: no per-row frame arrays)
+SELECT user_id,
+       round(max(sc), 4) AS freshness_score
+FROM (
+  SELECT user_id,
+         exponentialTimeDecayedSum(86400)(value, ts)
+           OVER (PARTITION BY user_id ORDER BY ts
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sc
+  FROM events WHERE value IS NOT NULL
+)
+GROUP BY user_id ORDER BY freshness_score DESC, user_id LIMIT 10;

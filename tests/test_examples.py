@@ -42,7 +42,7 @@ def test_every_dashboard_statement_runs(dash_views):
     from ed_clickhouse_spark.chsql import translate
 
     stmts = _statements()
-    assert len(stmts) == 46
+    assert len(stmts) == 50
     for i, stmt in enumerate(stmts, start=1):
         tr = translate(stmt, dash_views.__dash_specs)
         rows = dash_views.sql(tr.sql).collect()
