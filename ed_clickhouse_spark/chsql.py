@@ -2206,6 +2206,10 @@ _ARRAY_SPLICE["ignore"] = {k: "0" for k in range(1, 6)}
 _ARRAY_SPLICE["nothing"] = {
     k: "max(CAST(NULL AS STRING))" for k in range(0, 3)
 }
+# r8 probe batch 53 tail
+_ARRAY_SPLICE["canonicalRand"] = {0: "rand()"}
+_ARRAY_SPLICE["nanOrNull"] = {0: "CAST('NaN' AS DOUBLE)"}
+_ARRAY_SPLICE["infOrNull"] = {0: "CAST('Infinity' AS DOUBLE)"}
 # toDayOfWeek's mode argument (0: Mon=1..7, 1: Mon=0..6, 2: Sun=1..7,
 # 3: Sun=0..6); the 1-arg form stays an alias
 _ARRAY_SPLICE["toDayOfWeek"] = {
@@ -5220,6 +5224,18 @@ _OPERATOR_ONLY_AGGS = {
     "geohashesInBox": "geohashEncode over an explicit lat/lon grid"
                       " (box coverage enumeration has no SQL"
                       " spelling here)",
+    # r8 batch 53: computational-geometry family (tuple-ring polygon
+    # types have no Spark representation; the geo stance is geohash/
+    # morton keys)
+    "polygonAreaCartesian": "a shoelace fold over explicit point"
+                            " arrays (geo polygon types are out of"
+                            " scope)",
+    "polygonPerimeterCartesian": "an explicit point-array fold",
+    "polygonsIntersectionCartesian": "explicit point-array geometry"
+                                     " outside the engine",
+    "polygonArea": "polygonAreaCartesian's refusal — same stance",
+    "randConstant": "rand() (per-row) or a literal seed — Spark has"
+                    " no per-block constant random",
     "sparseGrams": "ngrams(s, n) / arrayShingles (the sparse-gram"
                    " hash-pivot selection is CH-internal)",
     "arrayEnumerateRanked": "arrayEnumerateUniq applied per nesting"
