@@ -2207,7 +2207,9 @@ _ARRAY_SPLICE["nothing"] = {
     k: "max(CAST(NULL AS STRING))" for k in range(0, 3)
 }
 # r8 probe batch 53 tail
-_ARRAY_SPLICE["canonicalRand"] = {0: "rand()"}
+# uppercase RAND(): the CH rand()->UInt32 rewrite is case-exact and
+# must not re-map the canonical [0,1) form back to the integer one
+_ARRAY_SPLICE["canonicalRand"] = {0: "RAND()"}
 _ARRAY_SPLICE["nanOrNull"] = {0: "CAST('NaN' AS DOUBLE)"}
 _ARRAY_SPLICE["infOrNull"] = {0: "CAST('Infinity' AS DOUBLE)"}
 # toDayOfWeek's mode argument (0: Mon=1..7, 1: Mon=0..6, 2: Sun=1..7,

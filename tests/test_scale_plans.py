@@ -412,9 +412,13 @@ def test_round7_queries_plan_shapes(spark):
         assert m and m.group(1).split(":")[0] == "text", name
     p = _plan(QUERIES["q227_time_decayed_windows"](spark, "/root/testdata/sf0.001"))
     assert "Join" not in p and "CartesianProduct" not in p
-    assert len(re.findall(r"^\(\d+\) Window", p, re.M)) == 1
+    # r8: the unbounded spelling routes to the segmented running plan —
+    # TWO incremental Windows (within-segment prefix + previous-segment
+    # RANGE), no per-row collect_list frame
+    assert len(re.findall(r"^\(\d+\) Window", p, re.M)) == 2
+    assert "collect_list" not in p
     n_ex = len(re.findall(r"^\(\d+\) Exchange", p, re.M))
-    assert n_ex <= 1, n_ex  # the user_id hash partitioning only
+    assert n_ex <= 2, n_ex  # user_id hash (+ the per-segment sort)
     m = re.search(r"ReadSchema: struct<([^>]*)>", p)
     assert m and set(f.split(":")[0] for f in m.group(1).split(",")) == {
         "event_id", "ts", "user_id", "value",
