@@ -4321,3 +4321,21 @@ def test_probe_batch49_bitmap_family(views):
     assert r["ct"] is True and r["ha"] is False and r["hl"] is True
     assert (r["mn"], r["mx"]) == (1, 3)
     assert r["sr"] == [5] and r["sl"] == [5, 9] and r["sb"] == [20, 30]
+
+
+def test_probe_batch53_math_tail(views):
+    """Round-8 execution probe, batch 53 (~30 math/bit/rounding
+    spellings swept — the family was already essentially complete).
+    Additions: canonicalRand (uppercase RAND() so the CH rand->UInt32
+    rewrite doesn't re-map it back), nanOrNull/infOrNull constants;
+    polygon geometry + randConstant refuse loudly."""
+    r = views.sql(translate(
+        "SELECT canonicalRand() AS c, nanOrNull() AS na,"
+        " infOrNull() AS inf").sql).collect()[0]
+    assert 0 <= r["c"] < 1
+    import math
+    assert math.isnan(r["na"]) and math.isinf(r["inf"])
+    for fn in ("polygonArea([[0.0]])", "randConstant()",
+               "polygonAreaCartesian([[(0., 0.)]])"):
+        with pytest.raises(ValueError, match="not SQL-translatable"):
+            translate(f"SELECT {fn}")
