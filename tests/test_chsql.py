@@ -3802,10 +3802,10 @@ def test_probe_batch36_windows_hashes_prauc(views):
     )
     assert r["k"] >= 0 and abs(r["j"] - 2.0 / 7.0) < 1e-12
     assert r["q"] == 36
+    # (hop/hopStart/hopEnd left this refusal list in r8 — they
+    # translate to Spark's sliding window(); see
+    # test_hop_windows_multi_assign)
     for fn, alt in (
-        ("hop(ts, INTERVAL 1 MINUTE, INTERVAL 5 MINUTE)", "tumble"),
-        ("hopStart(ts, INTERVAL 1 MINUTE, INTERVAL 5 MINUTE)",
-         "tumbleStart"),
         ("geohashesInBox(-1.0, -1.0, 1.0, 1.0, 3)", "geohashEncode"),
         ("sparseGrams(s)", "ngrams"),
         ("dynamicType(x)", "toTypeName"),

@@ -25,8 +25,9 @@ def test_queries_and_oracles_align():
         "q80_heavy_hitters",
         "q87_ann_ivf",
         "q141_pq_ann",
-        "q103_uniq_merge",
-        "q104_approx_quantiles",
+        # q103/q104 carry tolerance-banded oracles since r8; the
+        # remaining seven are approximate/hash-based by design, each
+        # with an error-band audit twin (q240-q246)
     }
     assert set(q) - set(o) == allowed_no_oracle
 
