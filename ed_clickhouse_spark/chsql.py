@@ -2206,6 +2206,43 @@ _ARRAY_SPLICE["ignore"] = {k: "0" for k in range(1, 6)}
 _ARRAY_SPLICE["nothing"] = {
     k: "max(CAST(NULL AS STRING))" for k in range(0, 3)
 }
+# r8 probe batch 54: the change-one-field family rides timestampadd
+# deltas (preserves every other field incl. subseconds; out-of-range
+# targets clamp through the delta arithmetic), sub-second add/subtract
+# via fractional make_dt_interval, 2-arg makeDate (year, day-of-year),
+# and the snake-case 3-arg date_diff (Spark's own date_diff is the
+# 2-arg day difference; the CH alias resolves to the registered
+# chDateDiff SQL function)
+for _cf, _cu in [("changeYear", "YEAR"), ("changeMonth", "MONTH"),
+                 ("changeDay", "DAY"), ("changeHour", "HOUR"),
+                 ("changeMinute", "MINUTE"), ("changeSecond", "SECOND")]:
+    _fld = _cu.lower()
+    _ARRAY_SPLICE[_cf] = {
+        2: f"timestampadd({_cu}, CAST({{1}} AS INT)"
+           f" - {_fld}({{0}}), {{0}})",
+    }
+_ARRAY_SPLICE["addMilliseconds"] = {
+    2: "({0} + make_dt_interval(0, 0, 0, CAST({1} AS DOUBLE) / 1000.0))",
+}
+_ARRAY_SPLICE["subtractMilliseconds"] = {
+    2: "({0} - make_dt_interval(0, 0, 0, CAST({1} AS DOUBLE) / 1000.0))",
+}
+_ARRAY_SPLICE["addMicroseconds"] = {
+    2: "({0} + make_dt_interval(0, 0, 0, CAST({1} AS DOUBLE) / 1e6))",
+}
+_ARRAY_SPLICE["subtractMicroseconds"] = {
+    2: "({0} - make_dt_interval(0, 0, 0, CAST({1} AS DOUBLE) / 1e6))",
+}
+# under the RENAMED spelling: the makeDate->make_date rename runs
+# before this pass, so the 2-arg (year, day-of-year) CH form arrives
+# here as make_date; the 3-arg form is Spark's own and passes through
+_ARRAY_SPLICE["make_date"] = {
+    2: "date_add(make_date(CAST({0} AS INT), 1, 1),"
+       " CAST({1} AS INT) - 1)",
+}
+_SPLICE_PASSTHROUGH.add("make_date")
+_ARRAY_SPLICE["date_diff"] = {3: "chDateDiff({0}, {1}, {2})"}
+_SPLICE_PASSTHROUGH.add("date_diff")  # 2-arg form is Spark's own
 # r8 probe batch 53 tail
 # uppercase RAND(): the CH rand()->UInt32 rewrite is case-exact and
 # must not re-map the canonical [0,1) form back to the integer one

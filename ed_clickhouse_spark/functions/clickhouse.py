@@ -841,6 +841,12 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         ]
     },
     "toDateOrNull": ("(s STRING) RETURNS DATE", "TRY_CAST(s AS DATE)"),
+    # Date32 is the same calendar type here (no 1900 floor in Spark)
+    "toDate32OrNull": ("(s STRING) RETURNS DATE", "TRY_CAST(s AS DATE)"),
+    "toDate32OrZero": (
+        "(s STRING) RETURNS DATE",
+        "coalesce(TRY_CAST(s AS DATE), DATE'1970-01-01')",
+    ),
     "toDateTimeOrNull": (
         "(s STRING) RETURNS TIMESTAMP", "TRY_CAST(s AS TIMESTAMP)"
     ),
@@ -1524,7 +1530,19 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         " try_to_timestamp(s, 'dd.MM.yyyy HH:mm:ss'),"
         " try_to_timestamp(s, 'dd/MM/yyyy'),"
         " try_to_timestamp(s, 'dd.MM.yyyy'),"
-        " try_to_timestamp(s, 'yyyyMMdd'))",
+        " try_to_timestamp(s, 'yyyyMMdd'),"
+        # r8 batch 54: the month-name and RFC shapes CH's best-effort
+        # parser accepts ('15 Mar 2024' returned NULL before)
+        " try_to_timestamp(s, 'dd MMM yyyy HH:mm:ss'),"
+        " try_to_timestamp(s, 'dd MMM yyyy'),"
+        " try_to_timestamp(s, 'dd-MMM-yyyy'),"
+        " try_to_timestamp(s, 'MMM dd yyyy'),"
+        " try_to_timestamp(s, 'MMM dd, yyyy'),"
+        # RFC-1123 minus the weekday: Spark's new datetime parser
+        # rejects the 'EEE' pattern outright, so strip a leading
+        # 'Www, ' before the month-name retry
+        " try_to_timestamp(regexp_replace(s, '^[A-Za-z]{3}, ', ''),"
+        " 'dd MMM yyyy HH:mm:ss'))",
     ),
     "intDivOrZero": (
         "(a BIGINT, b BIGINT) RETURNS BIGINT",
@@ -1685,12 +1703,16 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "(s STRING) RETURNS TIMESTAMP",
         "coalesce(try_cast(s AS TIMESTAMP), TIMESTAMP'1970-01-01 00:00:00')",
     ),
+    # the variants share the base's whole format chain (CH's differ
+    # only in the unparseable fallback: NULL vs epoch zero)
     "parseDateTimeBestEffortOrNull": (
-        "(s STRING) RETURNS TIMESTAMP", "try_cast(s AS TIMESTAMP)"
+        "(s STRING) RETURNS TIMESTAMP",
+        "parseDateTimeBestEffort(s)",
     ),
     "parseDateTimeBestEffortOrZero": (
         "(s STRING) RETURNS TIMESTAMP",
-        "coalesce(try_cast(s AS TIMESTAMP), TIMESTAMP'1970-01-01 00:00:00')",
+        "coalesce(parseDateTimeBestEffort(s),"
+        " TIMESTAMP'1970-01-01 00:00:00')",
     ),
     "generateUUIDv4": ("() RETURNS STRING", "uuid()"),
     # UUIDv7 (RFC 9562): 48-bit unix-ms timestamp, version nibble 7 +

@@ -4339,3 +4339,45 @@ def test_probe_batch53_math_tail(views):
                "polygonAreaCartesian([[(0., 0.)]])"):
         with pytest.raises(ValueError, match="not SQL-translatable"):
             translate(f"SELECT {fn}")
+
+
+def test_probe_batch54_datetime_tail(views):
+    """Round-8 execution probe, batch 54 (~34 date/time spellings —
+    the family was already nearly complete). Real fixes:
+    parseDateTimeBestEffort returned NULL for month-name shapes like
+    '15 Mar 2024' (format chain widened; RFC-1123 handled by stripping
+    the weekday — Spark's new parser rejects 'EEE'); the OrNull/OrZero
+    variants now share the whole chain; changeYear..changeSecond via
+    timestampadd deltas (subseconds preserved); addMilliseconds/
+    addMicroseconds + subtract twins; 2-arg makeDate(year, doy);
+    3-arg snake date_diff; toDate32OrNull/OrZero."""
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(views)
+    r = views.sql(translate(
+        "SELECT parseDateTimeBestEffort('15 Mar 2024') AS a,"
+        " parseDateTimeBestEffortOrNull('garbage') AS b,"
+        " parseDateTimeBestEffortOrZero('garbage') AS z,"
+        " parseDateTimeBestEffort('Fri, 15 Mar 2024 10:00:00') AS rfc,"
+        " changeYear(timestamp'2024-03-15 10:37:23.25', 2030) AS cy,"
+        " changeMinute(timestamp'2024-03-15 10:37:23', 59) AS cmin,"
+        " addMilliseconds(timestamp'2024-03-15 10:37:23', 500) AS ams,"
+        " subtractMicroseconds(timestamp'2024-03-15 10:37:23.25',"
+        " 250000) AS sus,"
+        " makeDate(2024, 75) AS md2, makeDate(2024, 3, 15) AS md3,"
+        " date_diff('hour', timestamp'2024-03-15',"
+        " timestamp'2024-03-16') AS dd3,"
+        " toDate32OrNull('2024-03-15') AS d32,"
+        " toDate32OrZero('x') AS d32z").sql).collect()[0]
+    import datetime as dt
+    assert r["a"] == dt.datetime(2024, 3, 15)
+    assert r["b"] is None and r["z"] == dt.datetime(1970, 1, 1)
+    assert r["rfc"] == dt.datetime(2024, 3, 15, 10)
+    assert r["cy"] == dt.datetime(2030, 3, 15, 10, 37, 23, 250000)
+    assert r["cmin"].minute == 59 and r["cmin"].second == 23
+    assert r["ams"].microsecond == 500000
+    assert r["sus"] == dt.datetime(2024, 3, 15, 10, 37, 23)
+    assert r["md2"] == r["md3"] == dt.date(2024, 3, 15)
+    assert r["dd3"] == 24
+    assert r["d32"] == dt.date(2024, 3, 15)
+    assert r["d32z"] == dt.date(1970, 1, 1)
