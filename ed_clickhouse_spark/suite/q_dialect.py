@@ -1087,3 +1087,41 @@ def q239_bitmap_retention(spark, sf_dir):
     register_sql_aliases(spark)
     t(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(translate(_CH_BITMAP_RETENTION).sql)
+
+
+_CH_DT_SPELLINGS = """
+SELECT toInt64(toYYYYMM(ts)) AS ym,
+       count(*) AS n,
+       min(changeDay(ts, 1)) AS first_anchor,
+       max(addHours(ts, 3)) AS shifted_max,
+       min(subtractMilliseconds(ts, 1500)) AS ms_shift
+FROM events
+GROUP BY toYYYYMM(ts)
+"""
+
+
+@query(
+    "q247_datetime_spellings",
+    oracle="""
+    SELECT CAST(strftime(ts, '%Y%m') AS BIGINT) AS ym,
+           COUNT(*) AS n,
+           MIN(ts - (day(ts) - 1) * INTERVAL 1 DAY) AS first_anchor,
+           MAX(ts + INTERVAL 3 HOUR) AS shifted_max,
+           MIN(ts - INTERVAL 1500 MILLISECOND) AS ms_shift
+    FROM events GROUP BY 1
+    """,
+)
+def q247_datetime_spellings(spark, sf_dir):
+    """Round-8 batch-54 datetime tail in the graded loop: per-month
+    report using toYYYYMM grouping, the changeDay field setter
+    (timestampadd delta — every other field incl. microseconds
+    preserved), addHours, and sub-second subtractMilliseconds — each
+    recomputed independently by DuckDB's interval arithmetic. Scale
+    shape: one aggregation pass on the month key, all scalar work
+    codegen."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(translate(_CH_DT_SPELLINGS).sql)
