@@ -29,26 +29,34 @@ def entry(spark: SparkSession) -> DataFrame:
 # needed — the next round's files reorder the window automatically.
 
 
-def _latest_checked_rounds() -> dict[str, int]:
+def _latest_checked_rounds(here: str | None = None) -> dict[str, int]:
     import glob
     import json
     import os
     import re
 
-    here = os.path.dirname(os.path.abspath(__file__))
-    latest: dict[str, int] = {}
-    for path in sorted(glob.glob(os.path.join(here, "CORRECTNESS_r*.json"))):
+    if here is None:
+        here = os.path.dirname(os.path.abspath(__file__))
+    # Track, per query, the NUMERIC round of its most recent row and
+    # whether that row was red. Files are ordered by the parsed round
+    # number (lexicographic glob order would put r10 before r2), and a
+    # green row only clears a red verdict when it comes from a
+    # strictly newer round.
+    seen_round: dict[str, int] = {}
+    seen_red: dict[str, bool] = {}
+    paths = []
+    for path in glob.glob(os.path.join(here, "CORRECTNESS_r*.json")):
         m = re.search(r"_r(\d+)\.json$", path)
-        if not m:
-            continue
+        if m:
+            paths.append((int(m.group(1)), path))
+    for rnd, path in sorted(paths):
         try:
             with open(path) as fh:
                 rows = json.load(fh)
         except (OSError, ValueError):
             continue  # a malformed round file must not break the driver
-        rnd = int(m.group(1))
         for name, row in rows.items():
-            if rnd < latest.get(name, -(10**9)) and latest.get(name) != _RED:
+            if rnd < seen_round.get(name, -(10**9)):
                 continue
             # a red LATEST row (hard error, row/hash mismatch) must
             # sort FIRST — before never-checked queries — so the
@@ -60,8 +68,12 @@ def _latest_checked_rounds() -> dict[str, int]:
                 or row.get("rows_match") is False
                 or row.get("hash_match") is False
             )
-            latest[name] = _RED if is_red else rnd
-    return latest
+            seen_round[name] = rnd
+            seen_red[name] = is_red
+    return {
+        name: (_RED if seen_red[name] else rnd)
+        for name, rnd in seen_round.items()
+    }
 
 
 _RED = -2  # sorts before never-checked (-1) and any real round (>=1)

@@ -2174,8 +2174,8 @@ _ARRAY_SPLICE["UUIDv7ToDateTime"] = {
 # mode 3 is ISO (Spark weekofyear); mode 1 is ISO clamped to the
 # calendar year (0 before ISO week 1, prior week + 1 for a December
 # date in next year's ISO week 1). Other modes raise at runtime
-# naming the supported set. The 3-arg timezone form rides the pinned
-# UTC session.
+# naming the supported set. The 3-arg timezone form converts to the
+# named zone first (see _WEEK_TZ below).
 _WEEK_MODE1 = (
     "(CASE WHEN month({0}) = 1 AND weekofyear({0}) > 50 THEN 0"
     " WHEN month({0}) = 12 AND weekofyear({0}) = 1"
@@ -2190,7 +2190,17 @@ _WEEK_MODED = (
     " CAST(({1}) AS STRING),"
     " ' is not supported — modes 0, 1, 3')) AS INT) END)"
 )
-_ARRAY_SPLICE["toWeek"] = {2: _WEEK_MODED, 3: _WEEK_MODED}
+# The 3-arg timezone form evaluates the week in the NAMED zone: the
+# session is pinned UTC, so convert_timezone('UTC', tz, x) yields the
+# wall-clock in tz (same pattern as now(tz)). CH ignores the tz for
+# pure Date arguments; here a Date rides through as its UTC midnight,
+# which only diverges for zones west of UTC — acceptable vs silently
+# ignoring the argument (ADVICE r8).
+_WEEK_TZ = "convert_timezone('UTC', {2}, {0})"
+_ARRAY_SPLICE["toWeek"] = {
+    2: _WEEK_MODED,
+    3: _WEEK_MODED.replace("{0}", _WEEK_TZ),
+}
 _YEARWEEK_MODED = (
     "(CASE CAST(({1}) AS INT) WHEN 0 THEN toYearWeek({0})"
     " WHEN 1 THEN toISOYear({0}) * 100 + weekofyear({0})"
@@ -2199,7 +2209,10 @@ _YEARWEEK_MODED = (
     " CAST(({1}) AS STRING),"
     " ' is not supported — modes 0, 1, 3')) AS INT) END)"
 )
-_ARRAY_SPLICE["toYearWeek"] = {2: _YEARWEEK_MODED, 3: _YEARWEEK_MODED}
+_ARRAY_SPLICE["toYearWeek"] = {
+    2: _YEARWEEK_MODED,
+    3: _YEARWEEK_MODED.replace("{0}", _WEEK_TZ),
+}
 # CH's evaluate-and-discard helper (returns 0 regardless)
 _ARRAY_SPLICE["ignore"] = {k: "0" for k in range(1, 6)}
 # the Nothing aggregate: always NULL (the aggThrow refusal points here)

@@ -672,6 +672,14 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "(j STRING, k STRING) RETURNS DOUBLE",
         "TRY_CAST(get_json_object(j, concat('$.', k)) AS DOUBLE)",
     ),
+    # unsigned variant: CH's readUIntText fails on '-' and yields 0, and a
+    # missing key also yields 0 — greatest(0, NULL) = 0 covers both
+    # (Spark's greatest skips NULLs when another arg is non-null)
+    "simpleJSONExtractUInt": (
+        "(j STRING, k STRING) RETURNS BIGINT",
+        "greatest(CAST(0 AS BIGINT),"
+        " TRY_CAST(get_json_object(j, concat('$.', k)) AS BIGINT))",
+    ),
     "simpleJSONExtractBool": (
         "(j STRING, k STRING) RETURNS BOOLEAN",
         "TRY_CAST(get_json_object(j, concat('$.', k)) AS BOOLEAN)",

@@ -4241,7 +4241,16 @@ def test_probe_batch48_week_modes_visitparam(views):
         " visitParamExtractRaw('{\"a\":\"x\",\"b\":2}', 'b') AS rn,"
         " visitParamExtractRaw('{\"a\":1}', 'zz') AS rmiss,"
         " visitParamHas('{\"a\":1}', 'a') AS h,"
-        " visitParamExtractInt('{\"a\":7}', 'a') AS i").sql
+        " visitParamExtractInt('{\"a\":7}', 'a') AS i,"
+        " visitParamExtractUInt('{\"a\":7}', 'a') AS u,"
+        " visitParamExtractUInt('{\"a\":-7}', 'a') AS uneg,"
+        " visitParamExtractUInt('{\"a\":7}', 'zz') AS umiss,"
+        # 2023-12-31 17:00 UTC = 2024-01-01 02:00 Tokyo: the 3-arg tz
+        # form must evaluate the week in the named zone (ISO week 1)
+        " toWeek(timestamp'2023-12-31 17:00:00', 3, 'Asia/Tokyo') AS wtz,"
+        " toWeek(timestamp'2023-12-31 17:00:00', 3, 'UTC') AS wutc,"
+        " toYearWeek(timestamp'2023-12-31 17:00:00', 1, 'Asia/Tokyo')"
+        "   AS ywtz").sql
     ).collect()[0]
     # 2024-03-15: Sunday-mode week 10, ISO week 11
     assert (r["w0"], r["w1"], r["w3"]) == (10, 11, 11)
@@ -4251,6 +4260,9 @@ def test_probe_batch48_week_modes_visitparam(views):
     assert (r["yw1"], r["yw0"]) == (202501, 202452)
     assert r["rs"] == '"x"' and r["rn"] == "2" and r["rmiss"] == ""
     assert r["h"] is True and r["i"] == 7
+    # UInt: negative and missing both clamp to 0 (CH readUIntText semantics)
+    assert (r["u"], r["uneg"], r["umiss"]) == (7, 0, 0)
+    assert (r["wtz"], r["wutc"], r["ywtz"]) == (1, 52, 202401)
     import pytest as _pt
     with _pt.raises(Exception, match="not supported"):
         views.sql(translate(

@@ -132,3 +132,24 @@ def test_no_unhashable_output_columns(spark):
             if isinstance(field.dataType, banned):
                 offenders.append((name, field.name, str(field.dataType)))
     assert not offenders, offenders
+
+
+def test_red_rotation_numeric_rounds(tmp_path):
+    """A red verdict from round 10 must not be cleared by a green row
+    from round 2 (lexicographic glob order puts _r10 before _r2), and a
+    green row from a strictly NEWER round must clear it."""
+    import json
+
+    green = {"rows_match": True, "hash_match": True, "err": None}
+    red = {"rows_match": True, "hash_match": False, "err": None}
+    (tmp_path / "CORRECTNESS_r2.json").write_text(json.dumps({"qa": green}))
+    (tmp_path / "CORRECTNESS_r10.json").write_text(json.dumps({"qa": red}))
+    assert ep._latest_checked_rounds(str(tmp_path))["qa"] == ep._RED
+    # a newer green row clears the red and restores round-based aging
+    (tmp_path / "CORRECTNESS_r11.json").write_text(json.dumps({"qa": green}))
+    assert ep._latest_checked_rounds(str(tmp_path))["qa"] == 11
+    # rows-only-by-design entries are green, not red
+    (tmp_path / "CORRECTNESS_r12.json").write_text(
+        json.dumps({"qa": {"err": "no_oracle", "rows_match": True}})
+    )
+    assert ep._latest_checked_rounds(str(tmp_path))["qa"] == 12
