@@ -2112,8 +2112,8 @@ _ARRAY_SPLICE["isNotDistinctFrom"] = {2: "({0} <=> {1})"}
 # modeled as a SORTED DISTINCT ARRAY (bitmapToArray's contract is
 # ascending order, so the representation IS the readback); every CH
 # set operation maps onto a pure-JVM array builtin. The mergeable
-# groupBitmap*State aggregates stay refused (operators/sketch.py) —
-# these are the scalar compositions.
+# groupBitmapAnd/Or/Xor aggregates fold the same model (see the r9
+# block after subBitmap); only the raw -State byte forms stay refused.
 _ARRAY_SPLICE["bitmapBuild"] = {1: "array_sort(array_distinct({0}))"}
 _ARRAY_SPLICE["bitmapToArray"] = {1: "({0})"}
 _ARRAY_SPLICE["bitmapCardinality"] = {1: "CAST(size({0}) AS BIGINT)"}
@@ -2155,6 +2155,43 @@ _ARRAY_SPLICE["bitmapSubsetLimit"] = {
 _ARRAY_SPLICE["subBitmap"] = {
     3: "slice(array_sort({0}), CAST({1} AS INT) + 1,"
        " CAST({2} AS INT))",
+}
+# r9: the mergeable groupBitmap* AGGREGATES over bitmap (sorted
+# distinct array) columns — previously refused toward the HLL sketch
+# tier. Each folds the group's bitmaps with the matching set op and
+# returns the cardinality (CH's return type). OR short-circuits to
+# distinct-of-flatten (map-side combinable via partial collect);
+# AND/XOR fold with aggregate() over the collected list — correct at
+# any group count, and the SCALE path for huge groups is the bucketed
+# (key, id % 2^k) decomposition shown in q248_bitmap_retention_bucketed
+# (bucket-wise set ops are exact because buckets partition the id
+# space, and per-bucket cardinalities sum).
+_GB_CL = "collect_list({0})"
+_ARRAY_SPLICE["groupBitmapOr"] = {
+    1: "CAST(size(array_distinct(flatten(collect_list({0}))))"
+       " AS BIGINT)",
+}
+_ARRAY_SPLICE["groupBitmapAnd"] = {
+    1: (
+        "(CASE WHEN size(" + _GB_CL + ") = 0 THEN CAST(0 AS BIGINT)"
+        " ELSE CAST(size(aggregate("
+        "slice(" + _GB_CL + ", 2, size(" + _GB_CL + ") - 1),"
+        " element_at(" + _GB_CL + ", 1),"
+        " (__ch_a, __ch_x) -> array_intersect(__ch_a, __ch_x)))"
+        " AS BIGINT) END)"
+    ),
+}
+_ARRAY_SPLICE["groupBitmapXor"] = {
+    1: (
+        "(CASE WHEN size(" + _GB_CL + ") = 0 THEN CAST(0 AS BIGINT)"
+        " ELSE CAST(size(aggregate("
+        "slice(" + _GB_CL + ", 2, size(" + _GB_CL + ") - 1),"
+        " array_distinct(element_at(" + _GB_CL + ", 1)),"
+        " (__ch_a, __ch_x) -> concat("
+        "array_except(__ch_a, __ch_x),"
+        " array_except(array_distinct(__ch_x), __ch_a))))"
+        " AS BIGINT) END)"
+    ),
 }
 # r8 probe batch 47: bin over strings crashed (Spark's bin casts to
 # BIGINT). CH renders every hex nibble as 4 bits — exact for strings
@@ -5402,9 +5439,14 @@ _OPERATOR_ONLY_AGGS = {
     "largestTriangleThreeBuckets": "operators/windows.py:lttb_downsample",
     "stochasticLinearRegression": "simpleLinearRegression",
     "stochasticLogisticRegression": "Spark MLlib's LogisticRegression",
-    "groupBitmapAnd": "operators/sketch.py set algebra",
-    "groupBitmapOr": "operators/sketch.py set algebra",
-    "groupBitmapXor": "operators/sketch.py set algebra",
+    "groupBitmapAndState": "groupBitmapAnd (cardinality) or the"
+                           " bucketed array composition in"
+                           " suite/q_dialect.py:q248 — raw roaring"
+                           " state bytes have no Spark twin",
+    "groupBitmapOrState": "groupBitmapOr or the q248 bucketed"
+                          " composition",
+    "groupBitmapXorState": "groupBitmapXor or the q248 bucketed"
+                           " composition",
     # batch-31 tails: dictionary reads are DataFrame joins here, and
     # the shingle-hash fingerprints live in the dedup operators
     "dictGet": "operators/dictionary.py:dict_get (dictionaries are"

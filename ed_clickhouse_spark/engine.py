@@ -40,10 +40,20 @@ class _ToTableMV:
 
     def __init__(self, engine: "Engine", name: str, to_table: str,
                  body: str):
-        import re as _re
         from types import SimpleNamespace
 
-        fm = _re.search(r"\bFROM\s+`?(\w+)`?", body, _re.I)
+        from ed_clickhouse_spark.chsql import _find_top
+
+        # the SOURCE is the outer query's main FROM table — a depth-0
+        # match, so a scalar subquery in the SELECT list (e.g.
+        # SELECT (SELECT max(x) FROM other) ... FROM src) can't hijack
+        # the binding (ADVICE r8)
+        fm = _find_top(body, r"\bFROM\s+`?(\w+)`?")
+        if not fm:
+            # derived-table body (FROM (SELECT ...)): the leftmost
+            # textual table reference is the feeding source
+            import re as _re
+            fm = _re.search(r"\bFROM\s+`?(\w+)`?", body, _re.I)
         if not fm:
             raise ValueError(
                 "materialized view body must read FROM a source table"
@@ -63,15 +73,26 @@ class _ToTableMV:
         batch.createOrReplaceTempView(view)
         # the trigger sees ONLY the inserted batch (CH semantics), so
         # the body's FROM <source> rebinds to the batch view — the
-        # FIRST reference only: ClickHouse feeds the inserted block to
-        # the leftmost table, while a self-join's other references
-        # read the stored table
-        body = _re.sub(
-            rf"\bFROM\s+`?{self.spec.source}`?\b",
-            f"FROM {view}",
-            self.body,
-            count=1,
-            flags=_re.I,
+        # outer query's MAIN FROM only (depth-0, not a scalar subquery
+        # that happens to appear first textually): ClickHouse feeds the
+        # inserted block to the leftmost main-FROM table, while a
+        # self-join's other references read the stored table
+        from ed_clickhouse_spark.chsql import _find_top as _ft
+
+        fm = _ft(self.body, rf"\bFROM\s+`?{self.spec.source}`?\b")
+        if fm is None:
+            # derived-table body: same fallback __init__ took
+            fm = _re.search(
+                rf"\bFROM\s+`?{self.spec.source}`?\b", self.body, _re.I
+            )
+        if fm is None:  # unreachable: __init__ anchored the same match
+            raise ValueError(
+                f"MV {self.spec.name}: source {self.spec.source!r} not"
+                " found at the top level of the body"
+            )
+        body = (
+            self.body[: fm.start()] + f"FROM {view}"
+            + self.body[fm.end():]
         )
         out = self.engine.spark.sql(
             _tr(body, self.engine.table_specs).sql
@@ -1344,29 +1365,85 @@ class Engine:
         if f == "values":
             return self._insert_values(table, None, payload)
         declared = [fl.name for fl in spec.schema.fields]
-        lines = [ln for ln in payload.splitlines() if ln.strip()]
         header: list[str] | None = None
+        # rows hold str (literal value) or None (NULL); the per-format
+        # branches own the NULL spelling — quoted "" in CSV and a bare
+        # empty TSV/JSON field are empty STRINGS, not NULLs (they were
+        # conflated before; ADVICE r8)
         rows: list[list] = []
+
+        def _ch_unescape(v: str) -> str | None:
+            # clickhouse-client TSV escapes: \t \n \r \\ \0 \b \f \' \"
+            # and the \N NULL marker
+            if v == r"\N":
+                return None
+            if "\\" not in v:
+                return v
+            out, i = [], 0
+            sub = {"t": "\t", "n": "\n", "r": "\r", "\\": "\\", "0": "\0",
+                   "b": "\b", "f": "\f", "'": "'", '"': '"'}
+            while i < len(v):
+                if v[i] == "\\" and i + 1 < len(v):
+                    out.append(sub.get(v[i + 1], v[i + 1]))
+                    i += 2
+                else:
+                    out.append(v[i])
+                    i += 1
+            return "".join(out)
+
         if f in ("csv", "csvwithnames"):
-            parsed = list(_csv.reader(_io.StringIO("\n".join(lines))))
+            import re as _re
+
+            # quoted fields may span lines — feed the RAW payload to
+            # csv.reader (only shed the leading/trailing blank line from
+            # the FORMAT token). A quoted empty field ("") is an empty
+            # STRING; an unquoted empty field (or \N) is NULL — csv.reader
+            # erases the quoting, so mark quoted-empties first.
+            qempty = "\x00CH_QUOTED_EMPTY\x00"
+            raw = _re.sub(
+                r'(?m)(?<=,)""(?=,|\r?$)|^""(?=,|\r?$)',
+                qempty,
+                payload.lstrip("\r\n"),
+            )
+            parsed = [
+                r for r in _csv.reader(_io.StringIO(raw))
+                if r and r != [""]
+            ]
             if f == "csvwithnames":
                 header, parsed = parsed[0], parsed[1:]
-            rows = parsed
+            rows = [
+                [
+                    "" if v == qempty
+                    else None if v in ("", r"\N")
+                    else v
+                    for v in r
+                ]
+                for r in parsed
+            ]
         elif f in ("tsv", "tabseparated", "tsvwithnames",
                    "tabseparatedwithnames"):
-            parsed = [ln.split("\t") for ln in lines]
+            # real newlines separate rows (embedded ones are escaped \n)
+            lines = [ln for ln in payload.splitlines() if ln.strip()]
+            parsed = [
+                [_ch_unescape(v) for v in ln.split("\t")] for ln in lines
+            ]
             if f.endswith("withnames"):
-                header, parsed = parsed[0], parsed[1:]
+                header, parsed = [str(h) for h in parsed[0]], parsed[1:]
             rows = parsed
         elif f == "jsoncompacteachrow":
+            lines = [ln for ln in payload.splitlines() if ln.strip()]
             rows = [_json.loads(ln) for ln in lines]
         elif f == "tskv":
+            lines = [ln for ln in payload.splitlines() if ln.strip()]
             dicts = []
             for ln in lines:
                 d = dict(
                     kv.split("=", 1) for kv in ln.split("\t") if "=" in kv
                 )
-                dicts.append([d.get(c) for c in declared])
+                dicts.append([
+                    _ch_unescape(d[c]) if c in d else None
+                    for c in declared
+                ])
             rows = dicts
         if header is not None:
             order = [header.index(c) for c in declared if c in header]
@@ -1386,8 +1463,7 @@ class Engine:
         # from_json decode takes (try-cast semantics stay loud: a bad
         # literal fails the job, like clickhouse-client)
         str_df = self.spark.createDataFrame(
-            [[None if v in ("", r"\N", None) else str(v) for v in r]
-             for r in rows],
+            [[None if v is None else str(v) for v in r] for r in rows],
             ", ".join(f"{c} string" for c in declared),
         )
         decoded = str_df.select(

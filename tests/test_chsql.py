@@ -4393,3 +4393,40 @@ def test_probe_batch54_datetime_tail(views):
     assert r["dd3"] == 24
     assert r["d32"] == dt.date(2024, 3, 15)
     assert r["d32z"] == dt.date(1970, 1, 1)
+
+
+def test_bucketed_bitmap_matches_flat(views):
+    """q248 (bucketed bitmap retention) must return exactly q239's rows:
+    bucket-wise AND/OR/ANDNOT over an id-space PARTITION is exact, and
+    per-bucket cardinalities sum to the flat answer."""
+    from ed_clickhouse_spark.suite.q_dialect import (
+        q239_bitmap_retention,
+        q248_bitmap_retention_bucketed,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    flat = {r["day"]: (r["dau"], r["retained"], r["either_day"],
+                       r["new_next_day"])
+            for r in q239_bitmap_retention(views, sf).collect()}
+    bucketed = {r["day"]: (r["dau"], r["retained"], r["either_day"],
+                           r["new_next_day"])
+                for r in q248_bitmap_retention_bucketed(views, sf).collect()}
+    assert flat == bucketed and len(flat) > 0
+
+
+def test_group_bitmap_aggregates(views):
+    """r9: groupBitmapAnd/Or/Xor fold the sorted-distinct-array bitmap
+    model per group (previously refused). AND intersects, OR unions,
+    XOR keeps ids present in an odd number of bitmaps."""
+    views.sql("""
+      SELECT * FROM VALUES
+        ('a', array(1L,2L,3L)), ('a', array(2L,3L,4L)),
+        ('a', array(3L,4L,5L)), ('b', array(1L,2L))
+      AS t(k, bm)
+    """).createOrReplaceTempView("gb_bms")
+    rows = views.sql(translate(
+        "SELECT k, groupBitmapAnd(bm) AS a, groupBitmapOr(bm) AS o,"
+        " groupBitmapXor(bm) AS x FROM gb_bms GROUP BY k ORDER BY k"
+    ).sql).collect()
+    assert [(r["k"], r["a"], r["o"], r["x"]) for r in rows] == [
+        ("a", 1, 5, 3), ("b", 2, 2, 2)]

@@ -1083,6 +1083,21 @@ def test_insert_inline_formats_and_positional_select(spark, tmp_path):
         (r["a"], r["b"])
         for r in eng.ch_sql("SELECT * FROM ti WHERE b = 'z'").collect()
     ]
+    # clickhouse-client text-format fidelity (ADVICE r8): a quoted CSV
+    # field may span lines, quoted "" is an empty STRING while an
+    # unquoted empty field is NULL, and TSV/TSKV backslash escapes decode
+    eng.ch_sql('INSERT INTO ti FORMAT CSV\n30,"line1\nline2"\n31,""\n32,')
+    got2 = {r["a"]: r["b"] for r in
+            eng.ch_sql("SELECT * FROM ti WHERE a >= 30").collect()}
+    assert got2[30] == "line1\nline2"
+    assert got2[31] == "" and got2[32] is None
+    eng.ch_sql("INSERT INTO ti FORMAT TSV\n40\tx\\ty\\nz\\\\w\n41\t\\N")
+    got3 = {r["a"]: r["b"] for r in
+            eng.ch_sql("SELECT * FROM ti WHERE a >= 40").collect()}
+    assert got3[40] == "x\ty\nz\\w" and got3[41] is None
+    eng.ch_sql("INSERT INTO ti FORMAT TSKV\na=50\tb=p\\tq")
+    assert eng.ch_sql("SELECT b FROM ti WHERE a = 50"
+                      ).collect()[0]["b"] == "p\tq"
     # binary wire formats stay refused
     with pytest.raises(ValueError, match="JSONEachRow"):
         eng.ch_sql("INSERT INTO ti FORMAT RowBinary\nxx")

@@ -335,3 +335,28 @@ def test_to_table_mv_self_join_rebinds_first_from_only(spark, tmp_path):
                    " GROUP BY k").collect()
     # batch1: 1 row x 1 stored; batch2: 1 row x 2 stored = 3 total
     assert r[0]["k"] == "a" and r[0]["c"] == 3
+
+
+def test_mv_to_scalar_subquery_not_rebound(spark, tmp_path):
+    """ADVICE r8: a scalar subquery over the source table in the SELECT
+    list must NOT swallow the batch rebind — ClickHouse feeds the
+    inserted block to the outer query's main FROM; inner references
+    read the STORED table. Here max(v) over the stored table includes
+    earlier parts while the row stream is the new batch only."""
+    from ed_clickhouse_spark.engine import Engine
+
+    eng = Engine(str(tmp_path / "wh"), spark)
+    eng.ch_sql("CREATE TABLE src2 (k String, v Int64)"
+               " ENGINE = MergeTree() ORDER BY (k)")
+    eng.ch_sql("CREATE TABLE out2 (k String, v Int64, mx Int64)"
+               " ENGINE = MergeTree() ORDER BY (k)")
+    eng.ch_sql(
+        "CREATE MATERIALIZED VIEW mv_sub TO out2 AS SELECT k, v,"
+        " (SELECT max(v) FROM src2) AS mx FROM src2"
+    )
+    eng.ch_sql('INSERT INTO src2 FORMAT JSONEachRow\n{"k":"a","v":100}')
+    eng.ch_sql('INSERT INTO src2 FORMAT JSONEachRow\n{"k":"b","v":1}')
+    got = {r["k"]: (r["v"], r["mx"])
+           for r in eng.ch_sql("SELECT * FROM out2").collect()}
+    # second batch: one row (the batch), mx = 100 from the stored table
+    assert got == {"a": (100, 100), "b": (1, 100)}
