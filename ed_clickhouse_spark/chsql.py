@@ -5313,16 +5313,10 @@ _OPERATOR_ONLY_AGGS = {
     "geohashesInBox": "geohashEncode over an explicit lat/lon grid"
                       " (box coverage enumeration has no SQL"
                       " spelling here)",
-    # r8 batch 53: computational-geometry family (tuple-ring polygon
-    # types have no Spark representation; the geo stance is geohash/
-    # morton keys)
-    "polygonAreaCartesian": "a shoelace fold over explicit point"
-                            " arrays (geo polygon types are out of"
-                            " scope)",
-    "polygonPerimeterCartesian": "an explicit point-array fold",
-    "polygonsIntersectionCartesian": "explicit point-array geometry"
-                                     " outside the engine",
-    "polygonArea": "polygonAreaCartesian's refusal — same stance",
+    # r8 batch 53 tail (area/perimeter Cartesian implemented in r9 —
+    # see the geometry block in functions/clickhouse.py)
+    "polygonArea": "polygonAreaCartesian (implemented: shoelace over"
+                   " the ARRAY<ARRAY<STRUCT<x,y>>> polygon model)",
     "randConstant": "rand() (per-row) or a literal seed — Spark has"
                     " no per-block constant random",
     "sparseGrams": "ngrams(s, n) / arrayShingles (the sparse-gram"
@@ -5358,26 +5352,22 @@ _OPERATOR_ONLY_AGGS = {
     "h3ToGeoBoundary": "geohashDecode cell corners",
     "geoToS2": "geohashEncode or mortonEncode (S2 needs the s2 lib)",
     "s2ToGeo": "geohashDecode or mortonDecode",
-    # boost::geometry polygon algebra has no SQL spelling here;
-    # pointInPolygon is the supported predicate
-    "polygonAreaCartesian": "pointInPolygon for membership (polygon"
-                            " algebra needs a geometry kernel)",
-    "polygonAreaSpherical": "pointInPolygon",
-    "polygonPerimeterCartesian": "pointInPolygon",
-    "polygonPerimeterSpherical": "pointInPolygon",
-    "polygonsIntersectionCartesian": "pointInPolygon",
+    # Cartesian polygon algebra + WKT I/O are implemented (r9,
+    # functions/clickhouse.py geometry block: shoelace area, ring
+    # perimeters, readWKT* parsers, wkt render). The SPHERICAL kernel
+    # and polygon set operations (intersection/union emit new vertex
+    # sets) genuinely need a geometry library — refused toward the
+    # Cartesian forms.
+    "polygonAreaSpherical": "polygonAreaCartesian (the spherical"
+                            " kernel needs a geometry library)",
+    "polygonPerimeterSpherical": "polygonPerimeterCartesian",
+    "polygonsIntersectionCartesian": "pointInPolygon membership tests"
+                                     " (clipping emits new vertices —"
+                                     " needs a geometry kernel)",
     "polygonsIntersectionSpherical": "pointInPolygon",
     "polygonsUnionCartesian": "pointInPolygon",
     "polygonsUnionSpherical": "pointInPolygon",
-    "wkt": "concat() over explicit coordinates (no geometry types"
-           " here)",
-    "svg": "concat() over explicit coordinates",
-    "readWKTPoint": "a (lon, lat) tuple literal",
-    "readWKTLineString": "an array of (lon, lat) tuples",
-    "readWKTMultiLineString": "arrays of (lon, lat) tuple arrays",
-    "readWKTPolygon": "arrays of (lon, lat) tuple rings",
-    "readWKTMultiPolygon": "arrays of polygon rings",
-    "readWKTRing": "an array of (lon, lat) tuples",
+    "svg": "wkt (or concat() over explicit coordinates)",
     # the 25.x PromQL-style grid resample family: the engine's
     # time-bucketing operators are the supported path
     "timeSeriesRateToGrid": "the -Resample combinator or"

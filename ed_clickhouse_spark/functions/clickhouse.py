@@ -2513,6 +2513,142 @@ _SQL_SCALAR_ALIASES.update(
 )
 
 
+# ---- r9: Cartesian polygon algebra + WKT I/O (previously refused) ----
+# Geometry model: Point = STRUCT<x,y DOUBLE> (CH Tuple(Float64,
+# Float64)), Ring/LineString = ARRAY<Point>, Polygon = ARRAY<Ring>
+# (ring 1 = outer boundary, rest = holes — CH/boost convention),
+# MultiPolygon = ARRAY<Polygon>. Area is the shoelace fold; the
+# wrap-around term vanishes on closed rings (last point = first), so
+# open and closed rings both compute correctly. All pure-JVM HOFs —
+# no geometry kernel, no UDF. Spherical variants stay refused
+# (boost's geographic kernel has no faithful SQL spelling).
+_GEO_POINT_T = "STRUCT<x: DOUBLE, y: DOUBLE>"
+_GEO_RING_T = f"ARRAY<{_GEO_POINT_T}>"
+_GEO_POLY_T = f"ARRAY<{_GEO_RING_T}>"
+
+# "x y, x y, ..." -> ARRAY<Point>  (template over the source string)
+def _geo_ring_parse(src: str) -> str:
+    return (
+        "transform(split(" + src + ", ','), __p -> named_struct("
+        "'x', CAST(element_at(split(trim(__p), '\\\\s+'), 1) AS DOUBLE),"
+        " 'y', CAST(element_at(split(trim(__p), '\\\\s+'), 2) AS DOUBLE)))"
+    )
+
+
+# strip 'TYPE ((' ... '))' then split rings on ')...('
+def _geo_poly_parse(src: str) -> str:
+    stripped = (
+        "regexp_replace(" + src +
+        ", '^[A-Za-z ]*\\\\(\\\\s*\\\\(|\\\\)\\\\s*\\\\)\\\\s*$', '')"
+    )
+    return (
+        "transform(split(" + stripped + ", '\\\\)\\\\s*,\\\\s*\\\\('),"
+        " __r -> " + _geo_ring_parse("__r") + ")"
+    )
+
+
+def _geo_shoelace2(r: str) -> str:
+    # |2 * signed area| of one ring; < 3 points -> 0
+    return (
+        "(CASE WHEN size(" + r + ") < 3 THEN CAST(0 AS DOUBLE)"
+        " ELSE abs(aggregate(sequence(1, size(" + r + ")),"
+        " CAST(0 AS DOUBLE), (__a, __i) -> __a"
+        " + element_at(" + r + ", __i).x"
+        " * element_at(" + r + ", __i % size(" + r + ") + 1).y"
+        " - element_at(" + r + ", __i % size(" + r + ") + 1).x"
+        " * element_at(" + r + ", __i).y)) END)"
+    )
+
+
+def _geo_ring_perim(r: str) -> str:
+    # closed-boundary length; the wrap edge is 0 when last = first
+    return (
+        "(CASE WHEN size(" + r + ") < 2 THEN CAST(0 AS DOUBLE)"
+        " ELSE aggregate(sequence(1, size(" + r + ")),"
+        " CAST(0 AS DOUBLE), (__a, __i) -> __a + sqrt("
+        "pow(element_at(" + r + ", __i).x"
+        " - element_at(" + r + ", __i % size(" + r + ") + 1).x, 2)"
+        " + pow(element_at(" + r + ", __i).y"
+        " - element_at(" + r + ", __i % size(" + r + ") + 1).y, 2))) END)"
+    )
+
+
+_GEO_RING_AREAS = "transform(p, __r -> " + _geo_shoelace2("__r") + " / 2)"
+_SQL_SCALAR_ALIASES.update(
+    {
+        "readWKTPoint": (
+            "(s STRING) RETURNS " + _GEO_POINT_T,
+            "named_struct("
+            "'x', CAST(regexp_extract(s,"
+            " '\\\\(\\\\s*([-+0-9.eE]+)', 1) AS DOUBLE),"
+            " 'y', CAST(regexp_extract(s,"
+            " '\\\\(\\\\s*[-+0-9.eE]+\\\\s+([-+0-9.eE]+)', 1) AS DOUBLE))",
+        ),
+        "readWKTLineString": (
+            "(s STRING) RETURNS " + _GEO_RING_T,
+            _geo_ring_parse(
+                "regexp_replace(s, '^[A-Za-z ]*\\\\(|\\\\)\\\\s*$', '')"
+            ),
+        ),
+        "readWKTMultiLineString": (
+            "(s STRING) RETURNS " + _GEO_POLY_T,
+            _geo_poly_parse("s"),
+        ),
+        # CH's readWKTRing parses a POLYGON string's outer ring
+        "readWKTRing": (
+            "(s STRING) RETURNS " + _GEO_RING_T,
+            "element_at(" + _geo_poly_parse("s") + ", 1)",
+        ),
+        "readWKTPolygon": (
+            "(s STRING) RETURNS " + _GEO_POLY_T,
+            _geo_poly_parse("s"),
+        ),
+        "readWKTMultiPolygon": (
+            "(s STRING) RETURNS ARRAY<" + _GEO_POLY_T + ">",
+            # strip 'MULTIPOLYGON (((' / ')))', split polygons on
+            # ')),((' boundaries, then rings within each
+            "transform(split(regexp_replace(s,"
+            " '^[A-Za-z ]*\\\\(\\\\s*\\\\(\\\\s*\\\\("
+            "|\\\\)\\\\s*\\\\)\\\\s*\\\\)\\\\s*$', ''),"
+            " '\\\\)\\\\s*\\\\)\\\\s*,\\\\s*\\\\(\\\\s*\\\\('),"
+            " __pg -> transform(split(__pg, '\\\\)\\\\s*,\\\\s*\\\\('),"
+            " __r -> " + _geo_ring_parse("__r") + "))",
+        ),
+        # outer ring minus holes: 2*a1 - sum(a) = a1 - (sum - a1)
+        "polygonAreaCartesian": (
+            "(p " + _GEO_POLY_T + ") RETURNS DOUBLE",
+            "(CASE WHEN size(p) = 0 THEN CAST(0 AS DOUBLE)"
+            " ELSE 2 * element_at(" + _GEO_RING_AREAS + ", 1)"
+            " - aggregate(" + _GEO_RING_AREAS + ","
+            " CAST(0 AS DOUBLE), (__s, __v) -> __s + __v) END)",
+        ),
+        # boost perimeter sums every ring's boundary (holes included)
+        "polygonPerimeterCartesian": (
+            "(p " + _GEO_POLY_T + ") RETURNS DOUBLE",
+            "aggregate(transform(p, __r -> " + _geo_ring_perim("__r")
+            + "), CAST(0 AS DOUBLE), (__s, __v) -> __s + __v)",
+        ),
+        # WKT render of the Polygon model (CH's wkt() is polymorphic;
+        # this engine types it for the most common geometry — points
+        # render via concat directly)
+        "wkt": (
+            "(p " + _GEO_POLY_T + ") RETURNS STRING",
+            # whole-valued coordinates print bare (CH prints 40, not
+            # 40.0); fractional ones keep the double rendering
+            "concat('POLYGON (', concat_ws(', ', transform(p,"
+            " __r -> concat('(', concat_ws(', ', transform(__r,"
+            " __pt -> concat("
+            "IF(__pt.x = floor(__pt.x),"
+            " CAST(CAST(__pt.x AS BIGINT) AS STRING),"
+            " CAST(__pt.x AS STRING)), ' ',"
+            "IF(__pt.y = floor(__pt.y),"
+            " CAST(CAST(__pt.y AS BIGINT) AS STRING),"
+            " CAST(__pt.y AS STRING))))), ')'))), ')')",
+        ),
+    }
+)
+
+
 # sessions already carrying the aliases — registration is ~165 driver
 # round-trips (~1.4 s), and suite/dialect entry points call this per
 # query, so repeat calls must be free. WeakSet: a stopped session's

@@ -1210,3 +1210,71 @@ def q248_bitmap_retention_bucketed(spark, sf_dir):
     register_sql_aliases(spark)
     t(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(translate(_CH_BITMAP_RETENTION_BUCKETED).sql)
+
+
+_CH_POLYGON_ALGEBRA = """
+WITH dims AS (
+    SELECT event_type,
+           max(user_id) % 7 + 2 AS w,
+           min(user_id) % 5 + 1 AS h
+    FROM events GROUP BY event_type
+)
+SELECT event_type,
+       CAST(polygonAreaCartesian(readWKTPolygon(concat(
+            'POLYGON ((0 0, ', toString(w), ' 0, ', toString(w), ' ',
+            toString(h), ', 0 ', toString(h), ', 0 0),',
+            ' (0.5 0.25, 1 0.25, 1 0.75, 0.5 0.75, 0.5 0.25))')))
+         AS DECIMAL(18, 2)) AS area,
+       CAST(polygonPerimeterCartesian(readWKTPolygon(concat(
+            'POLYGON ((0 0, ', toString(w), ' 0, ', toString(w), ' ',
+            toString(h), ', 0 ', toString(h), ', 0 0),',
+            ' (0.5 0.25, 1 0.25, 1 0.75, 0.5 0.75, 0.5 0.25))')))
+         AS DECIMAL(18, 2)) AS perim,
+       wkt(readWKTPolygon(concat(
+            'POLYGON ((0 0, ', toString(w), ' 0, ', toString(w), ' ',
+            toString(h), ', 0 ', toString(h), ', 0 0))'))) AS box_wkt,
+       CAST(readWKTPoint(concat('POINT (', toString(w), ' ',
+            toString(h), ')')).x AS DECIMAL(18, 2)) AS px
+FROM dims
+ORDER BY event_type
+"""
+
+
+@query(
+    "q249_polygon_algebra",
+    oracle="""
+    WITH dims AS (
+      SELECT event_type,
+             max(user_id) % 7 + 2 AS w,
+             min(user_id) % 5 + 1 AS h
+      FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(w * h - 0.25 AS DECIMAL(18, 2)) AS area,
+           CAST(2 * (w + h) + 2 AS DECIMAL(18, 2)) AS perim,
+           concat('POLYGON ((0 0, ', CAST(w AS VARCHAR), ' 0, ',
+                  CAST(w AS VARCHAR), ' ', CAST(h AS VARCHAR), ', 0 ',
+                  CAST(h AS VARCHAR), ', 0 0))') AS box_wkt,
+           CAST(w AS DECIMAL(18, 2)) AS px
+    FROM dims
+    ORDER BY event_type
+    """,
+)
+def q249_polygon_algebra(spark, sf_dir):
+    """r9: the Cartesian polygon family in the graded loop — WKT
+    strings are BUILT from per-event_type aggregates, parsed with
+    readWKTPolygon/readWKTPoint, then measured with the shoelace
+    polygonAreaCartesian (holes subtracted) and ring-sum
+    polygonPerimeterCartesian, and re-rendered via wkt(). The oracle
+    never touches geometry: a w x h box with a 0.5 x 0.5 hole has
+    closed-form area w*h - 0.25 and perimeter 2(w+h) + 2, so DuckDB
+    recomputes the answers arithmetically — a full cross-check of the
+    parser, the folds, and the renderer at once. All pure-JVM HOFs
+    over |event_type| rows; the aggregation pass is the only
+    shuffle."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(translate(_CH_POLYGON_ALGEBRA).sql)

@@ -3882,8 +3882,8 @@ def test_probe_batch37_map_combinators_and_state_tails(views):
         translate("SELECT toInterval(1, s) FROM t")
     for fn, alt in (
         ("geoToH3(37.79, 55.71, 15)", "h3 lib"),
-        ("polygonAreaCartesian([[(0., 0.)]])", "pointInPolygon"),
-        ("readWKTPoint('POINT (1 2)')", "tuple"),
+        ("polygonAreaSpherical([[(0., 0.)]])", "Cartesian"),
+        ("polygonsUnionCartesian([[(0., 0.)]])", "pointInPolygon"),
         ("timeSeriesRateToGrid(1, 10, 2, 5)([1], [1.0])", "Resample"),
         ("evalMLMethod(f)", "MLlib"),
         ("topKState(2)(s)", "topK"),
@@ -4340,15 +4340,20 @@ def test_probe_batch53_math_tail(views):
     spellings swept — the family was already essentially complete).
     Additions: canonicalRand (uppercase RAND() so the CH rand->UInt32
     rewrite doesn't re-map it back), nanOrNull/infOrNull constants;
-    polygon geometry + randConstant refuse loudly."""
+    polygon geometry + randConstant refuse loudly (r9: the CARTESIAN
+    area/perimeter + readWKT*/wkt family is implemented — see
+    test_polygon_algebra — so only polygonArea's bare spelling and
+    randConstant stay pinned here)."""
     r = views.sql(translate(
         "SELECT canonicalRand() AS c, nanOrNull() AS na,"
         " infOrNull() AS inf").sql).collect()[0]
     assert 0 <= r["c"] < 1
     import math
     assert math.isnan(r["na"]) and math.isinf(r["inf"])
-    for fn in ("polygonArea([[0.0]])", "randConstant()",
-               "polygonAreaCartesian([[(0., 0.)]])"):
+    for fn in ("polygonArea([[0.0]])",):
+        with pytest.raises(ValueError, match="polygonAreaCartesian"):
+            translate(f"SELECT {fn}")
+    for fn in ("randConstant()",):
         with pytest.raises(ValueError, match="not SQL-translatable"):
             translate(f"SELECT {fn}")
 
@@ -4430,3 +4435,33 @@ def test_group_bitmap_aggregates(views):
     ).sql).collect()
     assert [(r["k"], r["a"], r["o"], r["x"]) for r in rows] == [
         ("a", 1, 5, 3), ("b", 2, 2, 2)]
+
+
+def test_polygon_algebra(views):
+    """r9: the Cartesian polygon family (previously refused). Model:
+    Point = STRUCT<x,y>, Ring = ARRAY<Point>, Polygon = ARRAY<Ring>
+    (outer ring first, holes after). Shoelace area subtracts holes;
+    perimeter sums every ring boundary; readWKT* parse the standard
+    text forms; wkt round-trips the polygon model."""
+    r = views.sql(translate(
+        "SELECT polygonAreaCartesian(readWKTPolygon("
+        "'POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0),"
+        " (0.5 0.25, 1 0.25, 1 0.75, 0.5 0.75, 0.5 0.25))')) AS a,"
+        " polygonPerimeterCartesian(readWKTPolygon("
+        "'POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0),"
+        " (0.5 0.25, 1 0.25, 1 0.75, 0.5 0.75, 0.5 0.25))')) AS p,"
+        " readWKTPoint('POINT (1.5 -2)').y AS py,"
+        " size(readWKTLineString('LINESTRING (1 1, 2 2, 3 3)')) AS nls,"
+        " size(readWKTRing('POLYGON ((1 1, 2 2, 3 3, 1 1))')) AS nr,"
+        " size(readWKTMultiLineString("
+        "'MULTILINESTRING ((1 1, 2 2), (3 3, 4 4, 5 5))')) AS nmls,"
+        " polygonAreaCartesian(element_at(readWKTMultiPolygon("
+        "'MULTIPOLYGON (((0 0, 2 0, 2 2, 0 2, 0 0)),"
+        " ((10 10, 14 10, 14 13, 10 13, 10 10)))'), 2)) AS a2,"
+        " wkt(readWKTPolygon('POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))'))"
+        " AS w").sql).collect()[0]
+    # 4x3 rect minus the 0.5x0.5 hole; perimeter includes the hole ring
+    assert r["a"] == 11.75 and r["p"] == 16.0
+    assert r["py"] == -2.0 and r["nls"] == 3 and r["nr"] == 4
+    assert r["nmls"] == 2 and r["a2"] == 12.0
+    assert r["w"] == "POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))"
