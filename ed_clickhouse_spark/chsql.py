@@ -1612,6 +1612,10 @@ _SCALAR_RENAMES = {
     "base58Encode": "ch_base58_encode",
     "base58Decode": "ch_base58_decode",
     "tryBase58Decode": "ch_try_base58_decode",
+    # RFC 4648 base32 (probe batch 55) — same pandas-UDF family
+    "base32Encode": "ch_base32_encode",
+    "base32Decode": "ch_base32_decode",
+    "tryBase32Decode": "ch_try_base32_decode",
     # punycode via the stdlib RFC 3492 codec; IDNA via the idna
     # package (IDNA2008+UTS46, the same mapping ClickHouse's ada-idna
     # applies — 'straße.de' -> 'xn--strae-oqa.de', not the IDNA2003
@@ -5289,7 +5293,6 @@ _OPERATOR_ONLY_AGGS = {
                           " groups (the F-distribution CDF the ANOVA"
                           " p-value needs has no codegen spelling)",
     "anovaTest": "operators/stats.py:welch_ttest for two groups",
-    "sparkbar": "the bar() scalar over grouped buckets",
     "quantileState": "streaming/matview.py MatView quantiles (the"
                      " DDSketch histogram-map state quantileMerge"
                      " reads) or quantile(p) directly — the two-level"
@@ -5338,16 +5341,26 @@ _OPERATOR_ONLY_AGGS = {
     "JSONAllPathsWithTypes": "json_object_keys + schema_of_json",
     "JSONDynamicPaths": "json_object_keys",
     "JSONSharedDataPaths": "json_object_keys",
-    "sparkBar": "the q138 equal-width histogram pattern (terminal"
-                " rendering is a client concern)",
-    "sparkbar": "the q138 equal-width histogram pattern (terminal"
-                " rendering is a client concern)",
     "flameGraph": "system.query_log-style introspection is out of"
                   " scope — use Spark UI / event logs",
     "histogramState": "the q138 equal-width histogram pattern",
     # H3/S2 cell indexing needs the vendor libraries; geohash/morton
     # are the supported spatial keys
     "geoToH3": "geohashEncode or mortonEncode (H3 needs the h3 lib)",
+    # the Yandex geobase hierarchy (probe batch 55): needs the
+    # regions_hierarchy files CH loads from disk — a dictionary join
+    # over your own region table is the engine's equivalent
+    "regionToCity": "operators/dictionary.py:dict_get over a region"
+                    " table (the Yandex geobase files are not here)",
+    "regionToArea": "dict_get over a region table",
+    "regionToDistrict": "dict_get over a region table",
+    "regionToCountry": "dict_get over a region table",
+    "regionToContinent": "dict_get over a region table",
+    "regionToTopContinent": "dict_get over a region table",
+    "regionToPopulation": "dict_get over a region table",
+    "regionToName": "dict_get over a region table",
+    "regionIn": "a semi-join against your region hierarchy table",
+    "regionHierarchy": "dict_get iterated over a region table",
     "h3ToGeo": "geohashDecode or mortonDecode",
     "h3ToGeoBoundary": "geohashDecode cell corners",
     "geoToS2": "geohashEncode or mortonEncode (S2 needs the s2 lib)",
@@ -6100,9 +6113,82 @@ def _rewrite_agg_spellings(sql: str) -> str:
             f" __ch_v AS val))), 1, {k}), __ch_s -> __ch_s.val)"
         )
         sql = sql[: m.start()] + expr + sql[close2 + 1:]
+    # parametric sparkbar(width[, min_x, max_x])(x, y): the terminal
+    # bar-chart aggregate as a pure-SQL fold. Equal-width buckets over
+    # [min_x, max_x] (defaulting to the group's x range), per-bucket
+    # y sums, heights scaled to 8 glyph levels. Deterministic spec
+    # (documented, not bit-identical to CH's renderer): empty bucket
+    # -> ' ', else bars[max(1, ceil(h * 8 / max_h))]. Out-of-range x
+    # values are skipped when explicit bounds are given (CH does too).
+    sb_rx = re.compile(r"\bsparkbar\s*\(", re.I)
+    while True:
+        m = None
+        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        for mm in sb_rx.finditer(sql):
+            if not instr_at.get(mm.start(), False):
+                m = mm
+                break
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        rest = sql[close1 + 1:].lstrip()
+        if not rest.startswith("("):
+            raise ValueError(
+                "sparkbar expects the parametric form"
+                " sparkbar(width[, min_x, max_x])(x, y)"
+            )
+        open2 = close1 + 1 + (len(sql[close1 + 1:]) - len(rest))
+        close2 = _call_end(sql, open2)
+        params = _split_top_commas(sql[open1 + 1: close1])
+        args = _split_top_commas(sql[open2 + 1: close2])
+        if len(params) not in (1, 3) or len(args) != 2:
+            raise ValueError(
+                "sparkbar takes sparkbar(width[, min_x, max_x])(x, y)"
+            )
+        n = params[0].strip()
+        x, y = args[0], args[1]
+        pair = (
+            f"named_struct('x', CAST({x} AS DOUBLE),"
+            f" 'y', CAST({y} AS DOUBLE))"
+        )
+        if len(params) == 3:
+            mn = f"CAST({params[1]} AS DOUBLE)"
+            mx = f"CAST({params[2]} AS DOUBLE)"
+            cl = (
+                f"filter(collect_list({pair}),"
+                f" __ch_e -> __ch_e.x >= {mn} AND __ch_e.x <= {mx})"
+            )
+        else:
+            cl = f"collect_list({pair})"
+            mn = f"array_min(transform({cl}, __ch_e -> __ch_e.x))"
+            mx = f"array_max(transform({cl}, __ch_e -> __ch_e.x))"
+        bucket = (
+            f"IF({mx} = {mn}, 0, least(CAST({n} AS INT) - 1,"
+            f" CAST(floor((__ch_e.x - {mn}) * ({n}) / ({mx} - {mn}))"
+            f" AS INT)))"
+        )
+        heights = (
+            f"transform(sequence(0, CAST({n} AS INT) - 1),"
+            f" __ch_b -> aggregate(filter({cl},"
+            f" __ch_e -> {bucket} = __ch_b), CAST(0 AS DOUBLE),"
+            f" (__ch_a, __ch_e) -> __ch_a + __ch_e.y))"
+        )
+        bars = ("array('▁', '▂', '▃', '▄',"
+                " '▅', '▆', '▇', '█')")
+        expr = (
+            f"concat_ws('', transform({heights},"
+            f" __ch_h -> CASE WHEN __ch_h <= 0 THEN ' '"
+            f" ELSE element_at({bars}, greatest(1,"
+            f" CAST(ceil(__ch_h * 8 / array_max({heights}))"
+            f" AS INT))) END))"
+        )
+        sql = sql[: m.start()] + expr + sql[close2 + 1:]
     # groupConcat[(sep[, limit])](x) → array_join over the collected
     # group (CH's default separator is the empty string)
-    gc_rx = re.compile(r"\bgroupConcat\s*\(")
+    # the -Distinct combinator composes (probe batch 56):
+    # groupConcatDistinct dedups the collected values first
+    gc_rx = re.compile(r"\bgroupConcat(Distinct)?\s*\(")
     while True:
         m = None
         instr_at = {i: q for i, _, _, q in _scan_level(sql)}
@@ -6112,6 +6198,7 @@ def _rewrite_agg_spellings(sql: str) -> str:
                 break
         if not m:
             break
+        dedup = "array_distinct" if m.group(1) else ""
         open1 = sql.index("(", m.end() - 1)
         close1 = _call_end(sql, open1)
         rest = sql[close1 + 1:].lstrip()
@@ -6122,6 +6209,8 @@ def _rewrite_agg_spellings(sql: str) -> str:
             x = sql[open2 + 1: close2]
             sep = ps[0].strip()
             coll = f"collect_list(CAST({x} AS STRING))"
+            if dedup:
+                coll = f"{dedup}({coll})"
             if len(ps) == 2:
                 coll = f"slice({coll}, 1, {ps[1].strip()})"
             sql = (
@@ -6131,9 +6220,12 @@ def _rewrite_agg_spellings(sql: str) -> str:
             )
         else:
             x = sql[open1 + 1: close1]
+            coll = f"collect_list(CAST({x} AS STRING))"
+            if dedup:
+                coll = f"{dedup}({coll})"
             sql = (
                 sql[: m.start()]
-                + f"array_join(collect_list(CAST({x} AS STRING)), '')"
+                + f"array_join({coll}, '')"
                 + sql[close1 + 1:]
             )
     # parametric groupArrayMovingSum/Avg(n)(x): windowed sums over the

@@ -1570,6 +1570,11 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "(x TIMESTAMP) RETURNS TIMESTAMP",
         "timestamp_seconds(86400 + unix_timestamp(x) % 86400)",
     ),
+    # 24.x renamed toTime to toTimeWithFixedDate (probe batch 55)
+    "toTimeWithFixedDate": (
+        "(x TIMESTAMP) RETURNS TIMESTAMP",
+        "timestamp_seconds(86400 + unix_timestamp(x) % 86400)",
+    ),
     "emptyArrayString": ("() RETURNS ARRAY<STRING>", "CAST(array() AS ARRAY<STRING>)"),
     "emptyArrayInt64": ("() RETURNS ARRAY<BIGINT>", "CAST(array() AS ARRAY<BIGINT>)"),
     "countEqual": (
@@ -1973,6 +1978,12 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "date_trunc('MILLISECOND', x)",
     ),
     "toStartOfMicrosecond": (
+        "(x TIMESTAMP) RETURNS TIMESTAMP",
+        "date_trunc('MICROSECOND', x)",
+    ),
+    # Spark timestamps store microseconds, so the nanosecond floor is
+    # the identity at this engine's precision (probe batch 55)
+    "toStartOfNanosecond": (
         "(x TIMESTAMP) RETURNS TIMESTAMP",
         "date_trunc('MICROSECOND', x)",
     ),

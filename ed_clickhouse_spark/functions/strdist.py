@@ -423,6 +423,54 @@ def _udf_try_base58_decode(s: pd.Series) -> pd.Series:
     return s.map(_try)
 
 
+def base32_encode(data) -> str:
+    """RFC 4648 base32 of the UTF-8 bytes, with '=' padding — the same
+    codec ClickHouse base32Encode applies (probe batch 55)."""
+    import base64
+
+    return base64.b32encode(_as_bytes(data)).decode("ascii")
+
+
+def base32_decode(text) -> str:
+    """Inverse of :func:`base32_encode`; raises on invalid input like
+    ClickHouse base32Decode (the ``try`` spelling maps to NULL)."""
+    import base64
+    import binascii
+
+    s = text if isinstance(text, str) else bytes(text).decode("ascii")
+    try:
+        raw = base64.b32decode(s)
+    except (binascii.Error, ValueError) as exc:
+        raise ValueError(
+            f"base32Decode: invalid base32 input {text!r} — use"
+            " tryBase32Decode for NULL-on-invalid"
+        ) from exc
+    return raw.decode("utf-8", errors="replace")
+
+
+@pandas_udf(StringType())
+def _udf_base32_encode(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: None if v is None else base32_encode(v))
+
+
+@pandas_udf(StringType())
+def _udf_base32_decode(s: pd.Series) -> pd.Series:
+    return s.map(lambda v: None if v is None else base32_decode(v))
+
+
+@pandas_udf(StringType())
+def _udf_try_base32_decode(s: pd.Series) -> pd.Series:
+    def _try(v):
+        if v is None:
+            return None
+        try:
+            return base32_decode(v)
+        except ValueError:
+            return None
+
+    return s.map(_try)
+
+
 def ip_in_range(addr: str, cidr: str) -> int:
     """ClickHouse ``isIPAddressInRange(addr, prefix)``: 1 when the
     address (v4 or v6) falls inside the CIDR block, 0 otherwise —
@@ -582,6 +630,9 @@ _REGISTRY = {
     "ch_base58_encode": _udf_base58_encode,
     "ch_base58_decode": _udf_base58_decode,
     "ch_try_base58_decode": _udf_try_base58_decode,
+    "ch_base32_encode": _udf_base32_encode,
+    "ch_base32_decode": _udf_base32_decode,
+    "ch_try_base32_decode": _udf_try_base32_decode,
     "ch_bit_slice": _udf_bit_slice,
     "ch_punycode_encode": _udf_punycode_encode,
     "ch_punycode_decode": _udf_punycode_decode,

@@ -4195,7 +4195,8 @@ def test_probe_batch47_bin_datetime64_uuid7(views):
     its inverse); the bare no-precision CAST(x AS DateTime64) was
     unsupported (only the parameterized spelling mapped); and
     UUIDv7ToDateTime (unix-ms in the first 48 bits). JSONAllPaths /
-    sparkBar / flameGraph refuse loudly naming the supported path."""
+    flameGraph refuse loudly naming the supported path (sparkbar
+    translates since r9 — see test_sparkbar)."""
     from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
 
     register_sql_aliases(views)
@@ -4210,7 +4211,7 @@ def test_probe_batch47_bin_datetime64_uuid7(views):
     assert r["bn"] == "0101"  # Spark hex width; CH pads to type width
     assert str(r["dt"]).startswith("2024-01-01")
     assert str(r["u7"]).startswith("2024-06-10")
-    for fn in ("JSONAllPaths('{}')", "sparkBar(5)(g, g)", "flameGraph(g)"):
+    for fn in ("JSONAllPaths('{}')", "flameGraph(g)"):
         with pytest.raises(ValueError, match="not SQL-translatable"):
             translate(f"SELECT {fn} FROM t")
 
@@ -4465,3 +4466,72 @@ def test_polygon_algebra(views):
     assert r["py"] == -2.0 and r["nls"] == 3 and r["nr"] == 4
     assert r["nmls"] == 2 and r["a2"] == 12.0
     assert r["w"] == "POLYGON ((0 0, 4 0, 4 3, 0 3, 0 0))"
+
+
+def test_sparkbar(views):
+    """r9: the sparkbar(width[, min, max])(x, y) parametric aggregate
+    (previously refused) — equal-width buckets, per-bucket y sums,
+    heights scaled to the 8 bar glyphs; empty bucket renders a space;
+    explicit bounds skip out-of-range points."""
+    views.sql(
+        "SELECT * FROM VALUES (1, 9, 8.0), (1, 10, 2.0), (1, 12, 4.0),"
+        " (1, 13, 8.0), (2, 1, 1.0) AS t(g, x, y)"
+    ).createOrReplaceTempView("sb")
+    r = views.sql(translate(
+        "SELECT g, sparkbar(4)(x, y) AS s,"
+        " sparkbar(4, 9, 13)(x, y) AS sb FROM sb GROUP BY g ORDER BY g"
+    ).sql).collect()
+    # g=1: range 9..13, 4 buckets of width 1 -> [9,10),[10,11),[11,12),
+    # [12,13] sums (8, 2, 0, 12) -> levels ceil(h*8/12) = (6, 2, _, 8)
+    assert r[0]["s"] == "▆▂ █"
+    assert r[0]["sb"] == "▆▂ █"
+    # g=2: a single point fills bucket 0 at full height
+    assert r[1]["s"] == "█   "
+
+
+def test_probe_batch55_encoding_geobase_tails(views):
+    """Round-9 execution probe, batch 55 (~105 spellings swept across
+    rounding / bit / multi-search / tuple-vector / encoding / string /
+    math / datetime tails — 93 already executed). Real fixes: the
+    RFC 4648 base32 family (stdlib codec, pandas-UDF like base58),
+    toStartOfNanosecond (identity at Spark's microsecond storage),
+    the 24.x toTimeWithFixedDate rename, and loud refusals for the
+    Yandex-geobase region* family (the hierarchy files CH loads from
+    disk are not a Spark concept — dict_get over a region table is)."""
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(views)
+    r = views.sql(translate(
+        "SELECT base32Encode('hi') AS e,"
+        " base32Decode('NBUQ====') AS d,"
+        " tryBase32Decode('%%%') AS bad,"
+        " toStartOfNanosecond(timestamp'2024-03-15 10:30:45.123456')"
+        "   AS ns,"
+        " toTimeWithFixedDate(timestamp'2024-03-15 10:30:45') AS tf,"
+        " roundBankers(2.5) AS rb,"
+        " bitTestAll(7, 0, 1) AS bt,"
+        " multiSearchFirstIndex('abc def', ['def', 'abc']) AS msi,"
+        " tupleElement((1, 'a'), 2) AS te,"
+        " hypot(3, 4) AS hy").sql).collect()[0]
+    assert r["e"] == "NBUQ====" and r["d"] == "hi" and r["bad"] is None
+    assert str(r["ns"]).endswith("45.123456")
+    assert str(r["tf"]) == "1970-01-02 10:30:45"
+    assert r["rb"] == 2.0 and r["bt"] is True or r["bt"] == 1
+    assert r["msi"] == 2 and r["te"] == "a" and r["hy"] == 5.0
+    import pytest as _pt
+    with _pt.raises(ValueError, match="dict_get"):
+        translate("SELECT regionToCountry(213)")
+
+
+def test_probe_batch56_agg_array_tails(views):
+    """Round-9 execution probe, batch 56 (~68 aggregate/array spellings
+    swept — 62 already executed; meanZTest/LTTB/aggThrow/
+    arrayNormalizedGini/flattenTuple refuse loudly by design). Real
+    fix: groupConcatDistinct (the -Distinct combinator composing with
+    the parametric groupConcat rewrite)."""
+    views.sql("SELECT * FROM VALUES ('b'), ('a'), ('b') AS t(s)"
+              ).createOrReplaceTempView("gcd_t")
+    r = views.sql(translate(
+        "SELECT groupConcat(s) AS g, groupConcatDistinct(s) AS d,"
+        " groupConcat(',')(s) AS gs FROM gcd_t").sql).collect()[0]
+    assert r["g"] == "bab" and r["d"] == "ba" and r["gs"] == "b,a,b"
