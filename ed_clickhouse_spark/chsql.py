@@ -5381,15 +5381,11 @@ _OPERATOR_ONLY_AGGS = {
     "polygonsUnionCartesian": "pointInPolygon",
     "polygonsUnionSpherical": "pointInPolygon",
     "svg": "wkt (or concat() over explicit coordinates)",
-    # the 25.x PromQL-style grid resample family: the engine's
-    # time-bucketing operators are the supported path
-    "timeSeriesRateToGrid": "the -Resample combinator or"
-                            " operators/windows.py:time_decayed",
-    "timeSeriesInstantRateToGrid": "the -Resample combinator",
-    "timeSeriesDeltaToGrid": "the -Resample combinator",
-    "timeSeriesInstantDeltaToGrid": "the -Resample combinator",
-    "timeSeriesResampleToGridWithStaleness": "the -Resample"
-                                             " combinator",
+    # (the 25.x PromQL-style grid family — timeSeriesRateToGrid /
+    # DeltaToGrid / InstantRateToGrid / InstantDeltaToGrid /
+    # ResampleToGridWithStaleness — translates since r9 via the
+    # parametric rewrite: PromQL extrapolation + counter resets as a
+    # pure-SQL fold; see _ts_grid_value)
     "evalMLMethod": "Spark MLlib model scoring outside SQL",
     "catboostEvaluate": "Spark MLlib model scoring outside SQL",
     "globalVariable": "spark.conf.get outside SQL (like getSetting)",
@@ -6186,6 +6182,145 @@ def _rewrite_agg_spellings(sql: str) -> str:
         sql = sql[: m.start()] + expr + sql[close2 + 1:]
     # groupConcat[(sep[, limit])](x) → array_join over the collected
     # group (CH's default separator is the empty string)
+    # parametric timeSeries*ToGrid(start, end, step, window)(ts, v)
+    # (r9): the 25.x PromQL-compatible grid family as a pure-SQL fold.
+    # Samples collect per group, sort by time; every grid point
+    # evaluates its left-open lookback window (g - window, g]:
+    #   ResampleToGridWithStaleness -> most recent sample in window
+    #   InstantDeltaToGrid -> idelta: v_n - v_{n-1}
+    #   InstantRateToGrid  -> irate: counter-reset-aware last-pair rate
+    #   DeltaToGrid -> PromQL delta: gauge difference extrapolated to
+    #     the window edges (1.1x-avg-spacing threshold, half-spacing
+    #     otherwise)
+    #   RateToGrid -> PromQL rate: reset-corrected increase, the
+    #     counter-zero clamp on the start extrapolation, divided by
+    #     the window length
+    # Scalar ts/v arguments (arrayJoin array series first). Returns
+    # ARRAY<DOUBLE> with NULL at grid points lacking enough samples.
+    while True:
+        m = _find_case_exact(
+            sql,
+            r"\btimeSeries(RateToGrid|InstantRateToGrid|DeltaToGrid"
+            r"|InstantDeltaToGrid|ResampleToGridWithStaleness)\s*\(",
+        )
+        if not m:
+            break
+        kind = m.group(1)
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        rest = sql[close1 + 1:].lstrip()
+        if not rest.startswith("("):
+            raise ValueError(
+                f"timeSeries{kind} expects the parametric form"
+                f" timeSeries{kind}(start, end, step, window)"
+                "(timestamp, value)"
+            )
+        open2 = close1 + 1 + (len(sql[close1 + 1:]) - len(rest))
+        close2 = _call_end(sql, open2)
+        ps = _split_top_commas(sql[open1 + 1: close1])
+        args = _split_top_commas(sql[open2 + 1: close2])
+        if len(ps) != 4 or len(args) != 2:
+            raise ValueError(
+                f"timeSeries{kind} takes (start, end, step,"
+                " window)(timestamp, value)"
+            )
+        # fold literal toDateTime[64]('...') grid params into timestamp
+        # LITERALS: a SQL-UDF call among the grid params makes Spark's
+        # aggregate-extraction rule orphan the lambda variables
+        # (MISSING_ATTRIBUTES) — a literal keeps the whole grid
+        # expression in one projection
+        ps = [
+            re.sub(
+                r"^\s*toDateTime(?:64)?\s*\(\s*('(?:[^']|'')*')"
+                r"\s*(?:,\s*\d+\s*)?\)\s*$",
+                r"TIMESTAMP \1",
+                p,
+            )
+            for p in ps
+        ]
+        start = f"CAST(CAST(({ps[0]}) AS TIMESTAMP) AS DOUBLE)"
+        end = f"CAST(CAST(({ps[1]}) AS TIMESTAMP) AS DOUBLE)"
+        step = f"CAST(({ps[2]}) AS DOUBLE)"
+        w = f"CAST(({ps[3]}) AS DOUBLE)"
+        cl = (
+            "array_sort(collect_list(named_struct("
+            f"'t', CAST(CAST(({args[0]}) AS TIMESTAMP) AS DOUBLE),"
+            f" 'v', CAST(({args[1]}) AS DOUBLE))))"
+        )
+        g = f"({start} + __ch_i * {step})"
+        win = (
+            f"filter({cl}, __ch_e -> __ch_e.t > {g} - {w}"
+            f" AND __ch_e.t <= {g})"
+        )
+        wv = "__ch_w"  # the window bound by the let-transform below
+        last = f"element_at({wv}, size({wv}))"
+        prev = f"element_at({wv}, size({wv}) - 1)"
+        if kind == "ResampleToGridWithStaleness":
+            val = (
+                f"IF(size({wv}) = 0, CAST(NULL AS DOUBLE), {last}.v)"
+            )
+        elif kind == "InstantDeltaToGrid":
+            val = (
+                f"IF(size({wv}) < 2, CAST(NULL AS DOUBLE),"
+                f" {last}.v - {prev}.v)"
+            )
+        elif kind == "InstantRateToGrid":
+            val = (
+                f"IF(size({wv}) < 2, CAST(NULL AS DOUBLE),"
+                f" IF({last}.v >= {prev}.v, {last}.v - {prev}.v,"
+                f" {last}.v) / nullif({last}.t - {prev}.t, 0))"
+            )
+        else:  # DeltaToGrid / RateToGrid: PromQL extrapolation
+            is_rate = kind == "RateToGrid"
+            corr = (
+                f"aggregate(sequence(2, size({wv})),"
+                " CAST(0 AS DOUBLE), (__ch_a, __ch_j) -> __ch_a"
+                f" + IF(element_at({wv}, __ch_j).v"
+                f" < element_at({wv}, __ch_j - 1).v,"
+                f" element_at({wv}, __ch_j - 1).v,"
+                " CAST(0 AS DOUBLE)))"
+            ) if is_rate else "CAST(0 AS DOUBLE)"
+            stats = (
+                "named_struct("
+                f"'t1', element_at({wv}, 1).t,"
+                f" 'v1', element_at({wv}, 1).v,"
+                f" 'tn', {last}.t, 'vn', {last}.v,"
+                f" 'nn', CAST(size({wv}) AS DOUBLE),"
+                f" 'corr', {corr}, 'gs', {g} - {w}, 'ge', {g})"
+            )
+            inc = "(__ch_s.vn - __ch_s.v1 + __ch_s.corr)"
+            si = "(__ch_s.tn - __ch_s.t1)"
+            avg = f"({si} / (__ch_s.nn - 1))"
+            ds0 = "(__ch_s.t1 - __ch_s.gs)"
+            if is_rate:
+                # counter-zero clamp: never extrapolate below v = 0
+                ds = (
+                    f"(CASE WHEN {inc} > 0 AND __ch_s.v1 >= 0"
+                    f" AND {si} * __ch_s.v1 / nullif({inc}, 0) < {ds0}"
+                    f" THEN {si} * __ch_s.v1 / {inc} ELSE {ds0} END)"
+                )
+            else:
+                ds = ds0
+            de = "(__ch_s.ge - __ch_s.tn)"
+            extrap = (
+                f"({si} + IF({ds} < 1.1 * {avg}, {ds}, {avg} / 2)"
+                f" + IF({de} < 1.1 * {avg}, {de}, {avg} / 2))"
+            )
+            result = f"{inc} * {extrap} / {si}"
+            if is_rate:
+                result = f"({result}) / {w}"
+            val = (
+                f"IF(size({wv}) < 2, CAST(NULL AS DOUBLE),"
+                f" element_at(transform(array({stats}), __ch_s ->"
+                f" IF({si} <= 0, CAST(NULL AS DOUBLE), {result})), 1))"
+            )
+        expr = (
+            f"transform(sequence(0, CAST(floor(({end} - {start})"
+            f" / {step}) AS INT)), __ch_i ->"
+            f" element_at(transform(array({win}),"
+            f" {wv} -> {val}), 1))"
+        )
+        sql = sql[: m.start()] + expr + sql[close2 + 1:]
     # the -Distinct combinator composes (probe batch 56):
     # groupConcatDistinct dedups the collected values first
     gc_rx = re.compile(r"\bgroupConcat(Distinct)?\s*\(")

@@ -3884,7 +3884,7 @@ def test_probe_batch37_map_combinators_and_state_tails(views):
         ("geoToH3(37.79, 55.71, 15)", "h3 lib"),
         ("polygonAreaSpherical([[(0., 0.)]])", "Cartesian"),
         ("polygonsUnionCartesian([[(0., 0.)]])", "pointInPolygon"),
-        ("timeSeriesRateToGrid(1, 10, 2, 5)([1], [1.0])", "Resample"),
+        ("regionHierarchy(1)", "dict_get"),
         ("evalMLMethod(f)", "MLlib"),
         ("topKState(2)(s)", "topK"),
         ("icebergTruncate(3, s)", "substring"),
@@ -4535,3 +4535,35 @@ def test_probe_batch56_agg_array_tails(views):
         "SELECT groupConcat(s) AS g, groupConcatDistinct(s) AS d,"
         " groupConcat(',')(s) AS gs FROM gcd_t").sql).collect()[0]
     assert r["g"] == "bab" and r["d"] == "ba" and r["gs"] == "b,a,b"
+
+
+def test_timeseries_grid_family(views):
+    """r9: the 25.x PromQL-compatible timeSeries*ToGrid family
+    (previously refused toward -Resample). Values pinned against a
+    hand-computed PromQL reference over a counter with one reset at
+    t=500 (samples (100,10)..(620,15)): grid 0/300/600, window 300.
+    Covers staleness resample, idelta, counter-reset irate, gauge
+    delta with edge extrapolation, and rate with the reset correction
+    + counter-zero clamp + window division."""
+    views.sql(
+        "SELECT * FROM VALUES (1, 100.0, 10.0), (1, 200.0, 20.0),"
+        " (1, 300.0, 30.0), (1, 420.0, 45.0), (1, 500.0, 5.0),"
+        " (1, 620.0, 15.0) AS t(g, ts, v)"
+    ).createOrReplaceTempView("tsg_m")
+    r = views.sql(translate(
+        "SELECT g,"
+        " timeSeriesResampleToGridWithStaleness(0, 600, 300, 300)(ts, v)"
+        "   AS rs,"
+        " timeSeriesInstantDeltaToGrid(0, 600, 300, 300)(ts, v) AS idl,"
+        " timeSeriesInstantRateToGrid(0, 600, 300, 300)(ts, v) AS irt,"
+        " timeSeriesDeltaToGrid(0, 600, 300, 300)(ts, v) AS dl,"
+        " timeSeriesRateToGrid(0, 600, 300, 300)(ts, v) AS rt"
+        " FROM tsg_m GROUP BY g").sql).collect()[0]
+    assert r["rs"] == [None, 30.0, 5.0]
+    assert r["idl"] == [None, 10.0, -40.0]
+    assert r["irt"] == [None, 0.1, 0.0625]
+    assert r["dl"] == [None, 30.0, -80.0]
+    # reset-corrected increase (45-10)+45=80 over [320,620]... the
+    # 600-grid window (300,600] holds (420,45),(500,5): inc=5-45+45=5,
+    # clamped start extrapolation, /300 window
+    assert r["rt"] == [None, 0.1, pytest.approx(0.0333333333)]
