@@ -7073,6 +7073,37 @@ def _rewrite_ch_casts(sql: str) -> str:
     CAST/TRY_CAST with the Spark spelling. Only tokens that resolve as
     ClickHouse types are touched, so Spark-native CAST targets pass
     through unchanged."""
+    # accurateCastOrDefault(x, 'Type'[, d]) first (its name would not
+    # collide with the 2-arg forms, but the 3rd default argument needs
+    # its own shape): TRY_CAST coalesced onto the default (or the
+    # type's zero default when omitted, like CH)
+    while True:
+        m = _find_top_anywhere(sql, r"\baccurateCastOrDefault\s*\(")
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        if len(args) not in (2, 3):
+            raise ValueError(
+                "accurateCastOrDefault expects (expr, 'Type'[, default])"
+            )
+        tname = args[1].strip().strip("'\"")
+        spark_t = _spark_type_name(tname) or tname
+        default = (
+            args[2]
+            if len(args) == 3
+            else (
+                "''" if spark_t.upper().startswith(("STRING", "VARCHAR"))
+                else "0"
+            )
+        )
+        sql = (
+            sql[: m.start()]
+            + f"coalesce(TRY_CAST({args[0]} AS {spark_t}),"
+            f" CAST({default} AS {spark_t}))"
+            + sql[close1 + 1:]
+        )
     for name, fn in (("accurateCastOrNull", "TRY_CAST"), ("accurateCast", "CAST")):
         while True:
             m = _find_top_anywhere(sql, rf"\b{name}\s*\(")

@@ -2642,6 +2642,41 @@ _SQL_SCALAR_ALIASES.update(
         # WKT render of the Polygon model (CH's wkt() is polymorphic;
         # this engine types it for the most common geometry — points
         # render via concat directly)
+        # ---- probe batch 57 tails ----
+        # RFC-spelling twins: the RFC variants differ only in stricter
+        # hostname validation, which parse_url already applies
+        "domainRFC": ("(u STRING) RETURNS STRING", "parse_url(u, 'HOST')"),
+        "portRFC": (
+            "(u STRING) RETURNS INT",
+            "coalesce(CAST(nullif(regexp_extract(u,"
+            " '^(?:[a-z][a-z0-9+.-]*:)?//[^/?#]*?:([0-9]+)(?:[/?#]|$)',"
+            " 1), '') AS INT), 0)",
+        ),
+        # same splitter as extractKeyValuePairs — the escaping variant
+        # differs only in decoding backslash escapes inside values,
+        # which the [,; ]/: grammar this engine supports never emits
+        "extractKeyValuePairsWithEscaping": (
+            "(s STRING) RETURNS MAP<STRING, STRING>",
+            "str_to_map(s, '[,; ]+', ':')",
+        ),
+        # layout matches dateTimeToSnowflakeID's default epoch so the
+        # round-trip through snowflakeIDToDateTime is exact; low 22
+        # bits are the machine/sequence randomness
+        "generateSnowflakeID": (
+            "() RETURNS BIGINT",
+            "shiftleft(unix_millis(current_timestamp()), 22)"
+            " + CAST(floor(rand() * 4194304) AS BIGINT)",
+        ),
+        # drop one query parameter, keeping the separators CH keeps:
+        # mid-query eats the trailing '&', tail eats the leading '&',
+        # a lone parameter leaves the bare '?'
+        "cutURLParameter": (
+            "(u STRING, p STRING) RETURNS STRING",
+            "regexp_replace(regexp_replace(regexp_replace(u,"
+            " concat('([?&])', regexpQuoteMeta(p), '=[^&#]*&'), '$1'),"
+            " concat('&', regexpQuoteMeta(p), '=[^&#]*'), ''),"
+            " concat('\\\\?', regexpQuoteMeta(p), '=[^&#]*'), '?')",
+        ),
         "wkt": (
             "(p " + _GEO_POLY_T + ") RETURNS STRING",
             # whole-valued coordinates print bare (CH prints 40, not

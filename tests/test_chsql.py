@@ -4567,3 +4567,37 @@ def test_timeseries_grid_family(views):
     # 600-grid window (300,600] holds (420,45),(500,5): inc=5-45+45=5,
     # clamped start extrapolation, /300 window
     assert r["rt"] == [None, 0.1, pytest.approx(0.0333333333)]
+
+
+def test_probe_batch57_url_cast_id_tails(views):
+    """Round-9 execution probe, batch 57 (~63 spellings swept across
+    kv-extraction / ULID+snowflake / formatReadable / URL surgery /
+    accurateCast tails — 55 already executed). Real fixes:
+    accurateCastOrDefault (TRY_CAST coalesced onto the default, or the
+    type's zero default), domainRFC/portRFC twins,
+    extractKeyValuePairsWithEscaping, generateSnowflakeID (round-trips
+    through snowflakeIDToDateTime), and cutURLParameter with CH's
+    separator-keeping rules."""
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(views)
+    r = views.sql(translate(
+        "SELECT accurateCastOrDefault('zz', 'Int64') AS d0,"
+        " accurateCastOrDefault('zz', 'Int64', 42) AS d1,"
+        " domainRFC('http://a.b.com/p') AS dr,"
+        " portRFC('http://a.b.com:8080/p') AS pr,"
+        " mapValues(extractKeyValuePairsWithEscaping('a:1,b:2')) AS kv,"
+        " snowflakeIDToDateTime(generateSnowflakeID()) >"
+        "   timestamp'2026-01-01' AS sf,"
+        " cutURLParameter('http://x/?a=1&b=2&c=3', 'b') AS c1,"
+        " cutURLParameter('http://x/?a=1&b=2', 'b') AS c2,"
+        " cutURLParameter('http://x/?b=2#f', 'b') AS c3,"
+        " cutURLParameter('http://x/?ab=1&b=2', 'b') AS c4").sql
+    ).collect()[0]
+    assert r["d0"] == 0 and r["d1"] == 42
+    assert r["dr"] == "a.b.com" and r["pr"] == 8080
+    assert r["kv"] == ["1", "2"] and r["sf"] is True
+    assert r["c1"] == "http://x/?a=1&c=3"
+    assert r["c2"] == "http://x/?a=1"
+    assert r["c3"] == "http://x/?#f"
+    assert r["c4"] == "http://x/?ab=1"
