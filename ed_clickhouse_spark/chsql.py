@@ -2297,6 +2297,9 @@ _ARRAY_SPLICE["make_date"] = {
 _SPLICE_PASSTHROUGH.add("make_date")
 _ARRAY_SPLICE["date_diff"] = {3: "chDateDiff({0}, {1}, {2})"}
 _SPLICE_PASSTHROUGH.add("date_diff")  # 2-arg form is Spark's own
+# CH documents timestamp_diff as an exact alias of dateDiff (the
+# camelCase timestampDiff has its own unquoted-unit rewrite below)
+_ARRAY_SPLICE["timestamp_diff"] = {3: "chDateDiff({0}, {1}, {2})"}
 # r8 probe batch 53 tail
 # uppercase RAND(): the CH rand()->UInt32 rewrite is case-exact and
 # must not re-map the canonical [0,1) form back to the integer one
@@ -3289,7 +3292,7 @@ def _rewrite_scalar_misc(sql: str) -> str:
     for jname in (
         "JSONExtractInt", "JSONExtractFloat", "JSONExtractBool",
         "JSONExtractString", "JSONExtractRaw", "JSONExtractArrayRaw",
-        "JSONHas", "JSONType",
+        "JSONHas", "JSONType", "JSONLength", "JSONExtract",
     ):
         pos = 0
         jrx = re.compile(rf"\b{jname}\s*\(")
@@ -3309,7 +3312,45 @@ def _rewrite_scalar_misc(sql: str) -> str:
                     f"JSONType(to_json(variant_get(try_parse_json({args[0]}),"
                     f" concat('$.', {args[1]}), 'variant')))"
                 )
-            elif jname != "JSONType" and len(args) >= 3:
+            elif jname == "JSONLength" and len(args) >= 2:
+                # length of the element at the dotted key path (probe
+                # batch 58): the raw fragment is valid JSON, so the
+                # 1-arg alias classifies it
+                path = ", '.', ".join(args[1:])
+                repl = (
+                    f"JSONLength(get_json_object({args[0]},"
+                    f" concat('$.', {path})))"
+                )
+            elif jname == "JSONExtract" and len(args) >= 2:
+                # typed extraction: the LAST argument is the CH type
+                # (probe batch 58). Scalars TRY_CAST; Array(T)/typed
+                # containers parse via from_json.
+                tname = args[-1].strip().strip("'\"")
+                spark_t = _spark_type_name(tname)
+                am = re.match(r"(?i)^Array\((\w+)\)$", tname)
+                if am:
+                    inner = _spark_type_name(am.group(1)) or am.group(1)
+                    spark_t = f"ARRAY<{inner}>"
+                if spark_t is None:
+                    raise ValueError(
+                        f"JSONExtract type {tname!r} is not supported —"
+                        " scalar ClickHouse types and Array(scalar)"
+                        " translate; use JSONExtractKeysAndValues or"
+                        " from_json for richer shapes"
+                    )
+                src = args[0]
+                if len(args) >= 3:
+                    path = ", '.', ".join(args[1:-1])
+                    src = (
+                        f"get_json_object({args[0]},"
+                        f" concat('$.', {path}))"
+                    )
+                if am:
+                    repl = f"from_json({src}, '{spark_t}')"
+                else:
+                    repl = f"TRY_CAST({src} AS {spark_t})"
+            elif jname not in ("JSONType", "JSONLength", "JSONExtract") \
+                    and len(args) >= 3:
                 path = ", '.', ".join(args[1:])
                 repl = f"{jname}({args[0]}, concat({path}))"
             else:
@@ -5324,6 +5365,13 @@ _OPERATOR_ONLY_AGGS = {
                     " no per-block constant random",
     "sparseGrams": "ngrams(s, n) / arrayShingles (the sparse-gram"
                    " hash-pivot selection is CH-internal)",
+    # width-of-the-integer-TYPE operations (same stance as byteSwap):
+    # the type is invisible to a textual translation
+    "reverseBits": "a sequence(0, 63) bit fold at an explicit width —"
+                   " CH's reversal width comes from the integer TYPE,"
+                   " unknowable post-translation",
+    "defaultValueOfArgumentType": "defaultValueOfTypeName with the"
+                                  " type spelled explicitly",
     "arrayEnumerateRanked": "arrayEnumerateUniq applied per nesting"
                             " level",
     "estimateCompressionRatio": "nothing — storage-codec"

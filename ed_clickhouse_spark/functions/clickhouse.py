@@ -719,6 +719,47 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "coalesce(json_array_length(j),"
         " size(from_json(j, 'map<string,string>')))",
     ),
+    # SQL/JSON standard trio (probe batch 58) — paths are the caller's
+    # '$...' JsonPath strings, fed to get_json_object directly.
+    # JSON_VALUE: scalar at path as text, '' when missing or non-scalar
+    # (CH's default return_type_allow_complex=false); JSON_QUERY wraps
+    # the match in a one-element JSON array exactly as CH renders it.
+    "JSON_EXISTS": (
+        "(j STRING, p STRING) RETURNS BOOLEAN",
+        "get_json_object(j, p) IS NOT NULL",
+    ),
+    "JSON_VALUE": (
+        "(j STRING, p STRING) RETURNS STRING",
+        "CASE WHEN get_json_object(j, p) RLIKE '^[\\\\[{]' THEN ''"
+        " ELSE coalesce(get_json_object(j, p), '') END",
+    ),
+    "JSON_QUERY": (
+        "(j STRING, p STRING) RETURNS STRING",
+        "CASE WHEN get_json_object(j, p) IS NULL THEN ''"
+        " WHEN get_json_object(j, p) RLIKE '^[\\\\[{]'"
+        "   OR try_cast(get_json_object(j, p) AS DOUBLE) IS NOT NULL"
+        "   OR get_json_object(j, p) IN ('true', 'false', 'null')"
+        " THEN concat('[', get_json_object(j, p), ']')"
+        " ELSE to_json(array(get_json_object(j, p))) END",
+    ),
+    # (key, raw-value) pairs of a top-level object; string values are
+    # re-quoted with to_json's escaping (get_json_object strips quotes)
+    "JSONExtractKeysAndValuesRaw": (
+        "(j STRING) RETURNS ARRAY<STRUCT<key: STRING, value: STRING>>",
+        "transform(json_object_keys(j), __k -> named_struct("
+        "'key', __k, 'value',"
+        " CASE WHEN get_json_object(j, concat('$[''', __k, ''']'))"
+        "   IS NULL THEN 'null'"
+        " WHEN get_json_object(j, concat('$[''', __k, ''']'))"
+        "   RLIKE '^[\\\\[{]'"
+        "   OR try_cast(get_json_object(j, concat('$[''', __k, ''']'))"
+        "     AS DOUBLE) IS NOT NULL"
+        "   OR get_json_object(j, concat('$[''', __k, ''']'))"
+        "     IN ('true', 'false', 'null')"
+        " THEN get_json_object(j, concat('$[''', __k, ''']'))"
+        " ELSE regexp_replace(to_json(array(get_json_object(j,"
+        " concat('$[''', __k, ''']')))), '^\\\\[|\\\\]$', '') END))",
+    ),
     "JSONType": (
         "(j STRING) RETURNS STRING",
         "CASE WHEN j IS NULL OR trim(j) = '' THEN NULL"

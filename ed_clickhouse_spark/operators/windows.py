@@ -619,6 +619,14 @@ def lttb_downsample(
     row_number. Rows shuffle once, keyed on (group, bucket).
     """
     group_cols = group_cols or []
+    # the input feeds THREE consumers (env min/max, bucket means, the
+    # scored join) — without a persist Spark recomputes the full input
+    # lineage per branch (measured 6 parquet scans on the q154 shape).
+    # MEMORY_AND_DISK like operators/dedup.py: the series frame is the
+    # operator's working set and spills rather than OOMs at scale.
+    from pyspark.storagelevel import StorageLevel
+
+    df = df.persist(StorageLevel.MEMORY_AND_DISK)
     # unix_micros/1e6, not unix_timestamp: keeps fractional seconds
     # (micros/1e6 in double — the same value DuckDB's epoch() computes),
     # which bucket boundaries are sensitive to. The session timezone is

@@ -4601,3 +4601,38 @@ def test_probe_batch57_url_cast_id_tails(views):
     assert r["c2"] == "http://x/?a=1"
     assert r["c3"] == "http://x/?#f"
     assert r["c4"] == "http://x/?ab=1"
+
+
+def test_probe_batch58_json_tails(views):
+    """Round-9 execution probe, batch 58 (~57 JSON/datetime/misc
+    spellings — 49 already executed). Real fixes: multi-key JSONLength,
+    typed JSONExtract (scalars TRY_CAST, Array(T) via from_json), the
+    SQL/JSON standard trio JSON_EXISTS/JSON_VALUE/JSON_QUERY (CH's
+    one-element-array render), JSONExtractKeysAndValuesRaw (strings
+    re-quoted), timestamp_diff/timestampDiff aliases; reverseBits /
+    defaultValueOfArgumentType refuse loudly (type-width invisible
+    post-translation, the byteSwap stance)."""
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(views)
+    r = views.sql(translate(
+        "SELECT JSONLength('{\"a\": {\"b\": [1,2,3]}}', 'a', 'b') AS l2,"
+        " JSONExtract('{\"n\": 5.5}', 'n', 'Float64') AS tf,"
+        " JSONExtract('{\"a\": [1,2,3]}', 'a', 'Array(Int64)') AS ta,"
+        " JSON_EXISTS('{\"a\": 1}', '$.a') AS je,"
+        " JSON_VALUE('{\"s\": \"x\"}', '$.s') AS jv,"
+        " JSON_VALUE('{\"s\": {\"t\": 1}}', '$.s') AS jvc,"
+        " JSON_QUERY('{\"s\": \"x\"}', '$.s') AS jq,"
+        " JSONExtractKeysAndValuesRaw('{\"a\": 1, \"s\": \"x\"}') AS kv,"
+        " timestamp_diff('hour', timestamp'2024-01-01 00:00:00',"
+        "   timestamp'2024-01-01 03:30:00') AS td").sql).collect()[0]
+    assert r["l2"] == 3 and r["tf"] == 5.5 and r["ta"] == [1, 2, 3]
+    assert r["je"] is True and r["jv"] == "x" and r["jvc"] == ""
+    assert r["jq"] == '["x"]'
+    assert [(e["key"], e["value"]) for e in r["kv"]] == [
+        ("a", "1"), ("s", '"x"')]
+    assert r["td"] == 3
+    with pytest.raises(ValueError, match="bit fold"):
+        translate("SELECT reverseBits(1)")
+    with pytest.raises(ValueError, match="Array\\(scalar\\)"):
+        translate("SELECT JSONExtract('{}', 'a', 'Tuple(Int64)')")
