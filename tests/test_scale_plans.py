@@ -538,3 +538,33 @@ def test_q235_q239_round8_plan_shapes(spark):
     assert "Python" not in p
     assert "BroadcastHashJoin" in p or "BroadcastNestedLoopJoin" in p
     assert "SortMergeJoin" not in p
+
+
+def test_bucketed_bitmap_plan_shape(spark):
+    """q248 (the scale path for bitmap retention): the per-day arrays
+    must aggregate on the COMPOSITE (day, bucket) key — day x bucket
+    parallelism instead of one giant group per day — and the day-pair
+    join must stay a real join (no cartesian)."""
+    sf = "/root/testdata/sf0.001"
+    p = _plan(QUERIES["q248_bitmap_retention_bucketed"](spark, sf))
+    # the distinct-users aggregation carries both keys
+    assert "pmod" in p or "%" in p  # the bucket expression reaches the plan
+    assert "CartesianProduct" not in p
+    # final day rollup sums per-bucket cardinalities
+    assert "sum" in p
+
+
+def test_timeseries_grid_plan_shape(spark):
+    """q250: the PromQL grid family must stay ONE aggregation pass
+    (collect_list per event_type) — no join, no window shuffle per
+    grid point — with the scan prefiltered to the grid span (pushed
+    timestamp filters)."""
+    sf = "/root/testdata/sf0.001"
+    p = _plan(QUERIES["q250_timeseries_grid"](spark, sf))
+    assert "collect_list" in p
+    assert "PushedFilters" in p
+    # one hash aggregate pair (partial+final) over event_type; the
+    # grid math is projection-only — no extra exchanges beyond the
+    # group-by + the final sort/explode
+    import re
+    assert "Join" not in p  # the grids never join back to the facts
