@@ -5509,6 +5509,30 @@ _OPERATOR_ONLY_AGGS = {
     "wordShingleSimHash": "operators/dedup.py:simhash",
     "ngramSimHash": "operators/dedup.py:simhash",
     "ngramMinHash": "operators/dedup.py minhash_signatures",
+    "wordShingleSimHashCaseInsensitive": "operators/dedup.py:simhash"
+                                         " over lower(text)",
+    "wordShingleSimHashUTF8": "operators/dedup.py:simhash",
+    "ngramSimHashCaseInsensitive": "operators/dedup.py:simhash over"
+                                   " lower(text)",
+    "ngramSimHashUTF8": "operators/dedup.py:simhash",
+    "ngramMinHashCaseInsensitive": "operators/dedup.py"
+                                   " minhash_signatures over"
+                                   " lower(text)",
+    "wordShingleMinHashCaseInsensitive": "operators/dedup.py"
+                                         " minhash_signatures over"
+                                         " lower(text)",
+    # LowCardinality is a STORAGE encoding: parquet dictionary-encodes
+    # strings already, so the key/index split has no reader meaning
+    "lowCardinalityKeys": "the column itself (parquet dictionary"
+                          " encoding is transparent here)",
+    "lowCardinalityIndices": "dense_rank() or a dictionary join if an"
+                             " integer code is wanted",
+    "mapPartialSort": "mapSort (comparator-parameterized partial sort"
+                      " has no Spark spelling)",
+    "mapReverseSort": "mapSort + reversed readback",
+    # SHA-512/256 (the truncated variant) and MD4 have no JVM digest
+    "SHA512_256": "SHA256 (sha2 has no 512/256 truncated mode)",
+    "MD4": "MD5 (MD4 is disabled in modern crypto providers)",
     "runningConcurrency": "the interval sweep shape"
                           " (operators/windows.py:interval_length_sum"
                           " over a window) — block order is undefined"

@@ -918,6 +918,26 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
     # convention (bit-compat with wyhash is not promised, the 64-bit
     # avalanche contract is)
     "wyHash64": ("(s STRING) RETURNS BIGINT", "xxhash64(s)"),
+    # probe batch 59 tails of the same role convention: 32-bit
+    # spellings take the masked low word; xxh3 rides the 64-bit role
+    "xxHash32": (
+        "(s STRING) RETURNS BIGINT", "xxhash64(s) & 4294967295",
+    ),
+    "xxh3": ("(s STRING) RETURNS BIGINT", "xxhash64(s)"),
+    "javaHashUTF16LE": ("(s STRING) RETURNS INT", "hash(s)"),
+    # CRC-32-IEEE 802.3 is exactly Spark's crc32
+    "CRC32IEEE": ("(s STRING) RETURNS BIGINT", "crc32(s)"),
+    "CRC64": ("(s STRING) RETURNS BIGINT", "xxhash64(s)"),
+    # URL hash: CityHash-role hash of the URL with one trailing
+    # /, ? or # removed (CH's documented normalization)
+    "URLHash": (
+        "(u STRING) RETURNS BIGINT",
+        "xxhash64(regexp_replace(u, '[/?#]$', ''))",
+    ),
+    # exact digests (Spark sha2 covers the SHA-2 widths)
+    "SHA224": ("(s STRING) RETURNS BINARY", "unhex(sha2(s, 224))"),
+    "SHA384": ("(s STRING) RETURNS BINARY", "unhex(sha2(s, 384))"),
+    "SHA512": ("(s STRING) RETURNS BINARY", "unhex(sha2(s, 512))"),
     # Kafka's partitioner hash contract: NON-NEGATIVE 32-bit (Kafka
     # masks the sign bit); murmur3 plays murmur2's role
     "kafkaMurmurHash": (

@@ -4636,3 +4636,31 @@ def test_probe_batch58_json_tails(views):
         translate("SELECT reverseBits(1)")
     with pytest.raises(ValueError, match="Array\\(scalar\\)"):
         translate("SELECT JSONExtract('{}', 'a', 'Tuple(Int64)')")
+
+
+def test_probe_batch59_hash_map_tails(views):
+    """Round-9 execution probe, batch 59 (~60 hash/map spellings —
+    43 already executed). Real fixes: SHA224/384/512 (exact sha2
+    digests), CRC32IEEE (bit-exact Spark crc32), xxHash32 (masked
+    low word of the 64-bit role hash), xxh3/CRC64/javaHashUTF16LE
+    riding the documented 64-bit role convention, URLHash (role hash
+    of the trailing-symbol-trimmed URL); loud refusals for the
+    SimHash/MinHash CaseInsensitive spellings (operators/dedup.py),
+    lowCardinality introspection, mapPartialSort, SHA512_256, MD4."""
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(views)
+    r = views.sql(translate(
+        "SELECT hex(SHA224('abc')) AS s224,"
+        " CRC32IEEE('abc') AS crc,"
+        " xxHash32('abc') >= 0 AND xxHash32('abc') <= 4294967295 AS x32,"
+        " URLHash('http://x/p/') = URLHash('http://x/p') AS uh").sql
+    ).collect()[0]
+    assert r["s224"] == (
+        "23097D223405D8228642A477BDA255B32AADBCE4BDA0B3F7E36C9DA7")
+    assert r["crc"] == 891568578  # 0x352441C2, the IEEE test vector
+    assert r["x32"] is True and r["uh"] is True
+    for fn in ("SHA512_256('a')", "MD4('a')", "lowCardinalityKeys('a')",
+               "ngramSimHashCaseInsensitive('a')"):
+        with pytest.raises(ValueError, match="not SQL-translatable"):
+            translate(f"SELECT {fn}")
