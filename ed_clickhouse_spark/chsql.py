@@ -5383,12 +5383,10 @@ _OPERATOR_ONLY_AGGS = {
     "topKState": "topK(k)(x) directly (the heavy-hitters sketch has"
                  " no mergeable Spark representation)",
     # r8 probe batch 47
-    "JSONAllPaths": "json_object_keys for top-level keys (recursive"
-                    " path enumeration needs schema_of_json + manual"
-                    " walking)",
-    "JSONAllPathsWithTypes": "json_object_keys + schema_of_json",
-    "JSONDynamicPaths": "json_object_keys",
-    "JSONSharedDataPaths": "json_object_keys",
+    # (JSONAllPaths / JSONAllPathsWithTypes / JSONDynamicPaths /
+    # JSONSharedDataPaths translate since r9 — depth-3 leaf-path
+    # enumeration in functions/clickhouse.py; deeper objects report
+    # their depth-3 prefix, documented there)
     "flameGraph": "system.query_log-style introspection is out of"
                   " scope — use Spark UI / event logs",
     "histogramState": "the q138 equal-width histogram pattern",

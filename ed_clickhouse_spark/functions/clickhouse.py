@@ -719,6 +719,36 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "coalesce(json_array_length(j),"
         " size(from_json(j, 'map<string,string>')))",
     ),
+    # JSON path enumeration (r9 — previously refused): leaf paths in
+    # dotted notation, unrolled to DEPTH 3 (objects nested deeper
+    # report their depth-3 prefix — CH's JSON column type enumerates
+    # fully, but flat event payloads rarely exceed this; documented).
+    # Bracket JsonPath ($['k']) keeps keys with dots intact.
+    "JSONAllPaths": (
+        "(j STRING) RETURNS ARRAY<STRING>",
+        "flatten(transform(json_object_keys(j), __k1 -> CASE WHEN"
+        " get_json_object(j, concat('$[''', __k1, ''']'))"
+        " RLIKE '^\\\\{'"
+        " THEN flatten(transform(json_object_keys(get_json_object(j,"
+        "   concat('$[''', __k1, ''']'))), __k2 -> CASE WHEN"
+        "   get_json_object(j, concat('$[''', __k1, '''][''',"
+        "     __k2, ''']')) RLIKE '^\\\\{'"
+        "   THEN transform(json_object_keys(get_json_object(j,"
+        "     concat('$[''', __k1, '''][''', __k2, ''']'))),"
+        "     __k3 -> concat(__k1, '.', __k2, '.', __k3))"
+        "   ELSE array(concat(__k1, '.', __k2)) END))"
+        " ELSE array(__k1) END))",
+    ),
+    # every path is 'dynamic' in this engine (no shared-data storage
+    # split exists outside CH's JSON column internals)
+    "JSONDynamicPaths": (
+        "(j STRING) RETURNS ARRAY<STRING>",
+        "JSONAllPaths(j)",
+    ),
+    "JSONSharedDataPaths": (
+        "(j STRING) RETURNS ARRAY<STRING>",
+        "CAST(array() AS ARRAY<STRING>)",
+    ),
     # SQL/JSON standard trio (probe batch 58) — paths are the caller's
     # '$...' JsonPath strings, fed to get_json_object directly.
     # JSON_VALUE: scalar at path as text, '' when missing or non-scalar
@@ -770,6 +800,31 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         " WHEN trim(j) = 'null' THEN 'Null'"
         " WHEN trim(j) RLIKE '^-?[0-9]+$' THEN 'Int64'"
         " ELSE 'Double' END",
+    ),
+    # the classifier is INLINED (not a JSONType call): a SQL-UDF call
+    # whose argument carries a lambda variable cannot cross Spark's
+    # function-inlining boundary (MISSING_ATTRIBUTES on __p)
+    "JSONAllPathsWithTypes": (
+        "(j STRING) RETURNS MAP<STRING, STRING>",
+        "map_from_arrays(JSONAllPaths(j),"
+        " transform(JSONAllPaths(j), __p ->"
+        " CASE WHEN to_json(variant_get(try_parse_json(j),"
+        "   concat('$.', __p), 'variant')) IS NULL THEN 'Null'"
+        " WHEN left(to_json(variant_get(try_parse_json(j),"
+        "   concat('$.', __p), 'variant')), 1) = '{' THEN 'Object'"
+        " WHEN left(to_json(variant_get(try_parse_json(j),"
+        "   concat('$.', __p), 'variant')), 1) = '[' THEN 'Array'"
+        " WHEN left(to_json(variant_get(try_parse_json(j),"
+        "   concat('$.', __p), 'variant')), 1) = '\"' THEN 'String'"
+        " WHEN to_json(variant_get(try_parse_json(j),"
+        "   concat('$.', __p), 'variant'))"
+        "   IN ('true', 'false') THEN 'Bool'"
+        " WHEN to_json(variant_get(try_parse_json(j),"
+        "   concat('$.', __p), 'variant')) = 'null' THEN 'Null'"
+        " WHEN to_json(variant_get(try_parse_json(j),"
+        "   concat('$.', __p), 'variant'))"
+        "   RLIKE '^-?[0-9]+$' THEN 'Int64'"
+        " ELSE 'Double' END))",
     ),
     "formatReadableSize": (
         "(b DOUBLE) RETURNS STRING",

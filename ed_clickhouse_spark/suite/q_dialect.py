@@ -1424,3 +1424,106 @@ def q250_timeseries_grid(spark, sf_dir):
         )
         .orderBy("event_type", "idx")
     )
+
+
+_CH_BITMAP_SPARKBAR = """
+WITH daily AS (
+    SELECT event_type, toDate(ts) AS day,
+           bitmapBuild(groupUniqArray(user_id)) AS bm
+    FROM events GROUP BY event_type, toDate(ts)
+),
+sets AS (
+    SELECT event_type,
+           groupBitmapAnd(bm) AS every_day_users,
+           groupBitmapOr(bm) AS any_day_users,
+           groupBitmapXor(bm) AS odd_day_users
+    FROM daily GROUP BY event_type
+),
+bars AS (
+    SELECT event_type, sparkbar(12)(toHour(ts), 1) AS hourly_bar
+    FROM events GROUP BY event_type
+)
+SELECT s.event_type AS event_type,
+       every_day_users, any_day_users, odd_day_users, hourly_bar
+FROM sets s JOIN bars b ON s.event_type = b.event_type
+ORDER BY event_type
+"""
+
+
+@query(
+    "q251_bitmap_sparkbar_report",
+    oracle="""
+    WITH drange AS (
+      SELECT event_type, COUNT(DISTINCT CAST(ts AS DATE)) AS ndays
+      FROM events GROUP BY 1
+    ),
+    per_id AS (
+      SELECT event_type, user_id,
+             COUNT(DISTINCT CAST(ts AS DATE)) AS nd
+      FROM events GROUP BY 1, 2
+    ),
+    sets AS (
+      SELECT p.event_type,
+             CAST(COUNT(*) FILTER (WHERE nd = ndays) AS BIGINT)
+               AS every_day_users,
+             CAST(COUNT(*) AS BIGINT) AS any_day_users,
+             CAST(COUNT(*) FILTER (WHERE nd % 2 = 1) AS BIGINT)
+               AS odd_day_users
+      FROM per_id p JOIN drange USING (event_type)
+      GROUP BY 1
+    ),
+    hx AS (
+      SELECT event_type, CAST(hour(ts) AS DOUBLE) AS x FROM events
+    ),
+    env AS (
+      SELECT event_type, MIN(x) AS mn, MAX(x) AS mx FROM hx GROUP BY 1
+    ),
+    bk AS (
+      SELECT h.event_type,
+             CASE WHEN mx = mn THEN 0
+                  ELSE LEAST(11, CAST(FLOOR((x - mn) * 12 / (mx - mn))
+                                      AS BIGINT)) END AS b
+      FROM hx h JOIN env USING (event_type)
+    ),
+    hts AS (
+      SELECT e.event_type, g.b, CAST(COUNT(bk.b) AS DOUBLE) AS h
+      FROM env e CROSS JOIN (SELECT unnest(range(0, 12)) AS b) g
+      LEFT JOIN bk ON bk.event_type = e.event_type AND bk.b = g.b
+      GROUP BY 1, 2
+    ),
+    mx2 AS (SELECT event_type, MAX(h) AS maxh FROM hts GROUP BY 1),
+    chars AS (
+      SELECT h.event_type, h.b,
+             CASE WHEN h.h <= 0 THEN ' '
+                  ELSE list_extract(
+                    ['▁','▂','▃','▄','▅','▆','▇','█'],
+                    GREATEST(1, CAST(CEIL(h.h * 8 / m.maxh) AS BIGINT)))
+             END AS c
+      FROM hts h JOIN mx2 m USING (event_type)
+    )
+    SELECT s.event_type AS event_type,
+           s.every_day_users, s.any_day_users, s.odd_day_users,
+           (SELECT string_agg(c, '' ORDER BY b) FROM chars c
+            WHERE c.event_type = s.event_type) AS hourly_bar
+    FROM sets s ORDER BY s.event_type
+    """,
+)
+def q251_bitmap_sparkbar_report(spark, sf_dir):
+    """r9: the monitoring one-pager a CH dashboard renders — per
+    event_type, the mergeable bitmap set algebra (groupBitmapAnd =
+    users active EVERY day, Or = any day, Xor = an odd number of
+    days) plus a sparkbar(12) of hourly volume. The oracle re-derives
+    the set cardinalities from per-user distinct-day counts (AND =
+    nd == ndays, XOR = odd nd) and re-renders the glyph string from
+    the same bucket/scale arithmetic in window SQL — so the bitmap
+    folds and the sparkbar pipeline are both value-checked. Scale
+    shape: two grouped aggregations over (event_type[, day]); the
+    sets-bars join is |event_type| rows, AQE-broadcast. For extreme
+    per-group cardinalities the bucketed q248 decomposition is the
+    documented path."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(translate(_CH_BITMAP_SPARKBAR).sql)

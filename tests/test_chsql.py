@@ -4194,9 +4194,10 @@ def test_probe_batch47_bin_datetime64_uuid7(views):
     nibble renders as 4 bits, CH-exact for strings, and unbin stays
     its inverse); the bare no-precision CAST(x AS DateTime64) was
     unsupported (only the parameterized spelling mapped); and
-    UUIDv7ToDateTime (unix-ms in the first 48 bits). JSONAllPaths /
-    flameGraph refuse loudly naming the supported path (sparkbar
-    translates since r9 — see test_sparkbar)."""
+    UUIDv7ToDateTime (unix-ms in the first 48 bits). flameGraph
+    refuses loudly naming the supported path (sparkbar and the
+    JSONAllPaths family translate since r9 — see test_sparkbar and
+    test_json_all_paths)."""
     from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
 
     register_sql_aliases(views)
@@ -4211,7 +4212,7 @@ def test_probe_batch47_bin_datetime64_uuid7(views):
     assert r["bn"] == "0101"  # Spark hex width; CH pads to type width
     assert str(r["dt"]).startswith("2024-01-01")
     assert str(r["u7"]).startswith("2024-06-10")
-    for fn in ("JSONAllPaths('{}')", "flameGraph(g)"):
+    for fn in ("flameGraph(g)",):
         with pytest.raises(ValueError, match="not SQL-translatable"):
             translate(f"SELECT {fn} FROM t")
 
@@ -4664,3 +4665,24 @@ def test_probe_batch59_hash_map_tails(views):
                "ngramSimHashCaseInsensitive('a')"):
         with pytest.raises(ValueError, match="not SQL-translatable"):
             translate(f"SELECT {fn}")
+
+
+def test_json_all_paths(views):
+    """r9: the JSON path-enumeration family (previously refused) —
+    depth-3 leaf paths in dotted notation; every path is 'dynamic' in
+    this engine (no shared-data storage split), and the WithTypes
+    variant classifies each leaf with the inlined JSONType logic."""
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(views)
+    j = '{"a": {"b": {"c": 1, "d": [1,2]}, "e": "x"}, "f": 5}'
+    r = views.sql(translate(
+        f"SELECT JSONAllPaths('{j}') AS p,"
+        f" JSONDynamicPaths('{j}') AS dp,"
+        f" JSONSharedDataPaths('{j}') AS sp,"
+        f" JSONAllPathsWithTypes('{j}') AS pt").sql).collect()[0]
+    assert r["p"] == ["a.b.c", "a.b.d", "a.e", "f"]
+    assert r["dp"] == r["p"] and r["sp"] == []
+    assert dict(r["pt"]) == {
+        "a.b.c": "Int64", "a.b.d": "Array", "a.e": "String",
+        "f": "Int64"}
