@@ -819,10 +819,21 @@ def _rewrite_distinct_on(sql: str) -> str:
 
 
 def _rewrite_limit_by(sql: str) -> str:
-    m = _find_top(sql, r"\bLIMIT\s+(\d+)\s+BY\s+")
+    # LIMIT n [OFFSET m] BY cols: skip m rows per group, keep n. The
+    # comma form LIMIT m, n BY (offset FIRST, like MySQL) normalizes
+    # here — the general comma-limit pass runs later in the pipeline.
+    cm = _find_top(sql, r"\bLIMIT\s+(\d+)\s*,\s*(\d+)\s+BY\b")
+    if cm:
+        sql = (
+            sql[: cm.start()]
+            + f"LIMIT {cm.group(2)} OFFSET {cm.group(1)} BY"
+            + sql[cm.end():]
+        )
+    m = _find_top(sql, r"\bLIMIT\s+(\d+)(?:\s+OFFSET\s+(\d+))?\s+BY\s+")
     if not m:
         return sql
     n = int(m.group(1))
+    off = int(m.group(2)) if m.group(2) else 0
     tail = sql[m.end():]
     stop = _find_top(tail, r"\bLIMIT\b|\bFORMAT\b")
     cols = (tail[: stop.start()] if stop else tail).strip()
@@ -837,12 +848,44 @@ def _rewrite_limit_by(sql: str) -> str:
         inner_wo_order = inner[: om.start()].strip()
     else:
         raise ValueError("LIMIT n BY needs an ORDER BY for deterministic results")
+    # ORDER BY columns the select list dropped (e.g. DISTINCT ON (g)
+    # ... ORDER BY g, v DESC with v unselected) must survive into the
+    # window subquery: append the bare missing identifiers to the
+    # inner projection and EXCEPT them back out
+    extra: list[str] = []
+    names = _select_items(inner_wo_order)
+    if names is not None:
+        lowered = {x.lower() for x in names}
+        for item in _split_top_commas(order):
+            ident = re.sub(
+                r"(?i)\s+(ASC|DESC|NULLS\s+FIRST|NULLS\s+LAST)\b", "",
+                item,
+            ).strip()
+            bm = re.match(r"^(?:\w+\.)?(\w+)$", ident)
+            if bm and bm.group(1).lower() not in lowered:
+                if bm.group(1) not in extra:
+                    extra.append(bm.group(1))
+    if extra:
+        fm2 = _find_top(inner_wo_order, r"\bFROM\b")
+        if fm2:
+            inner_wo_order = (
+                inner_wo_order[: fm2.start()].rstrip()
+                + ", " + ", ".join(extra) + " "
+                + inner_wo_order[fm2.start():]
+            )
+        else:
+            extra = []
+    drop = ", ".join(["__rn_lb"] + extra)
+    cond = (
+        f"__rn_lb <= {n}" if off == 0
+        else f"__rn_lb > {off} AND __rn_lb <= {off + n}"
+    )
     return (
-        f"SELECT * EXCEPT (__rn_lb) FROM ("
+        f"SELECT * EXCEPT ({drop}) FROM ("
         f"SELECT __lb.*, row_number() OVER "
         f"(PARTITION BY {cols} ORDER BY {order}) AS __rn_lb "
         f"FROM ({inner_wo_order}) AS __lb"
-        f") WHERE __rn_lb <= {n} ORDER BY {order} {outer_limit}"
+        f") WHERE {cond} ORDER BY {order} {outer_limit}"
     ).strip()
 
 
@@ -6219,35 +6262,48 @@ def _rewrite_agg_spellings(sql: str) -> str:
             f" 'y', CAST({y} AS DOUBLE))"
         )
         if len(params) == 3:
-            mn = f"CAST({params[1]} AS DOUBLE)"
-            mx = f"CAST({params[2]} AS DOUBLE)"
-            cl = (
+            mn0 = f"CAST({params[1]} AS DOUBLE)"
+            mx0 = f"CAST({params[2]} AS DOUBLE)"
+            cl0 = (
                 f"filter(collect_list({pair}),"
-                f" __ch_e -> __ch_e.x >= {mn} AND __ch_e.x <= {mx})"
+                f" __ch_e -> __ch_e.x >= {mn0} AND __ch_e.x <= {mx0})"
             )
         else:
-            cl = f"collect_list({pair})"
-            mn = f"array_min(transform({cl}, __ch_e -> __ch_e.x))"
-            mx = f"array_max(transform({cl}, __ch_e -> __ch_e.x))"
+            cl0 = f"collect_list({pair})"
+            mn0 = f"array_min(transform({cl0}, __ch_e -> __ch_e.x))"
+            mx0 = f"array_max(transform({cl0}, __ch_e -> __ch_e.x))"
+        # LET-bind (cl, mn, mx) via a 1-element transform, then the
+        # heights array via a second let: without these, mn/mx (an
+        # array_min over the whole group) re-evaluate per ELEMENT per
+        # bucket — O(n^2 * width) blowup measured on q251 at sf0.01
+        env = (
+            f"named_struct('cl', {cl0}, 'mn', {mn0}, 'mx', {mx0})"
+        )
         bucket = (
-            f"IF({mx} = {mn}, 0, least(CAST({n} AS INT) - 1,"
-            f" CAST(floor((__ch_e.x - {mn}) * ({n}) / ({mx} - {mn}))"
-            f" AS INT)))"
+            "IF(__ch_sb.mx = __ch_sb.mn, 0,"
+            f" least(CAST({n} AS INT) - 1,"
+            " CAST(floor((__ch_e.x - __ch_sb.mn)"
+            f" * ({n}) / (__ch_sb.mx - __ch_sb.mn)) AS INT)))"
         )
         heights = (
             f"transform(sequence(0, CAST({n} AS INT) - 1),"
-            f" __ch_b -> aggregate(filter({cl},"
+            " __ch_b -> aggregate(filter(__ch_sb.cl,"
             f" __ch_e -> {bucket} = __ch_b), CAST(0 AS DOUBLE),"
-            f" (__ch_a, __ch_e) -> __ch_a + __ch_e.y))"
+            " (__ch_a, __ch_e) -> __ch_a + __ch_e.y))"
         )
         bars = ("array('▁', '▂', '▃', '▄',"
                 " '▅', '▆', '▇', '█')")
-        expr = (
-            f"concat_ws('', transform({heights},"
-            f" __ch_h -> CASE WHEN __ch_h <= 0 THEN ' '"
+        render = (
+            "concat_ws('', transform(__ch_hh,"
+            " __ch_h -> CASE WHEN __ch_h <= 0 THEN ' '"
             f" ELSE element_at({bars}, greatest(1,"
-            f" CAST(ceil(__ch_h * 8 / array_max({heights}))"
-            f" AS INT))) END))"
+            " CAST(ceil(__ch_h * 8 / array_max(__ch_hh))"
+            " AS INT))) END))"
+        )
+        expr = (
+            f"element_at(transform(array({env}), __ch_sb ->"
+            f" element_at(transform(array({heights}),"
+            f" __ch_hh -> {render}), 1)), 1)"
         )
         sql = sql[: m.start()] + expr + sql[close2 + 1:]
     # groupConcat[(sep[, limit])](x) → array_join over the collected

@@ -4686,3 +4686,32 @@ def test_json_all_paths(views):
     assert dict(r["pt"]) == {
         "a.b.c": "Int64", "a.b.d": "Array", "a.e": "String",
         "f": "Int64"}
+
+
+def test_probe_batch60_clause_tails(views):
+    """Round-9 execution probe, batch 60 (~28 clause-level shapes —
+    QUALIFY, named WINDOW, DISTINCT ON, tuple IN, WITH CUBE/ROLLUP,
+    view()/values() TVFs, FORMAT Null etc. already execute; COLLATE /
+    ASOF-ON / PASTE JOIN / INTO OUTFILE refuse loudly by design).
+    Real fixes: LIMIT n OFFSET m BY (and the MySQL-style comma form
+    LIMIT m, n BY — offset first) now rewrite to the offset-banded
+    row_number window, and DISTINCT ON keeps ORDER BY columns the
+    select list dropped (appended to the window subquery and
+    EXCEPTed back out)."""
+    views.sql(
+        "SELECT * FROM VALUES (1, 'a', 10.0), (2, 'a', 20.0),"
+        " (3, 'b', 30.0), (4, 'b', 5.0) AS t(id, g, v)"
+    ).createOrReplaceTempView("lb_t")
+    r1 = views.sql(translate(
+        "SELECT g, id FROM lb_t ORDER BY g, id LIMIT 1 OFFSET 1 BY g"
+    ).sql).collect()
+    assert [(r["g"], r["id"]) for r in r1] == [("a", 2), ("b", 4)]
+    r2 = views.sql(translate(
+        "SELECT g, id FROM lb_t ORDER BY g, id LIMIT 1, 1 BY g"
+    ).sql).collect()
+    assert [(r["g"], r["id"]) for r in r2] == [("a", 2), ("b", 4)]
+    # DISTINCT ON ordered by an UNSELECTED column: top-v row per group
+    r3 = views.sql(translate(
+        "SELECT DISTINCT ON (g) g, id FROM lb_t ORDER BY g, v DESC"
+    ).sql).collect()
+    assert [(r["g"], r["id"]) for r in r3] == [("a", 2), ("b", 3)]
