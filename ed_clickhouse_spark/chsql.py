@@ -1417,6 +1417,18 @@ def _rewrite_to_start_of_interval(sql: str) -> str:
                 f"toStartOfInterval: cannot parse interval {args[1]!r}"
             )
         n, unit = int(im.group(1)), im.group(2).lower()
+        # the 3rd argument is POLYMORPHIC in CH: a timezone string
+        # buckets in that zone's wall clock (pinned-UTC session ->
+        # convert_timezone, the now(tz)/toWeek(tz) convention); any
+        # other expression is the origin timestamp
+        x = args[0]
+        tz_arg = (
+            len(args) == 3
+            and re.match(r"^'[^']*'$", args[2].strip()) is not None
+        )
+        if tz_arg:
+            x = f"convert_timezone('UTC', {args[2].strip()}, {x})"
+            args = args[:2]
         if unit in _INTERVAL_SECONDS:
             s = n * _INTERVAL_SECONDS[unit]
             if len(args) == 3:
@@ -1424,12 +1436,12 @@ def _rewrite_to_start_of_interval(sql: str) -> str:
                 # origin, then shift back
                 o = f"unix_timestamp({args[2]})"
                 repl = (
-                    f"to_timestamp(floor((unix_timestamp({args[0]})"
+                    f"to_timestamp(floor((unix_timestamp({x})"
                     f" - {o}) / {s}) * {s} + {o})"
                 )
             else:
                 repl = (
-                    f"to_timestamp(floor(unix_timestamp({args[0]})"
+                    f"to_timestamp(floor(unix_timestamp({x})"
                     f" / {s}) * {s})"
                 )
         elif unit in ("month", "quarter", "year") and n == 1:
@@ -1439,7 +1451,7 @@ def _rewrite_to_start_of_interval(sql: str) -> str:
                     " fixed-length units (a month is not a constant"
                     " number of seconds)"
                 )
-            repl = f"date_trunc('{unit.upper()}', {args[0]})"
+            repl = f"date_trunc('{unit.upper()}', {x})"
         else:
             raise ValueError(
                 f"toStartOfInterval: unsupported unit {n} {unit} (variable-"

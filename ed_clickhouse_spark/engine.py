@@ -479,7 +479,10 @@ class Engine:
             return self.spark.createDataFrame(
                 [(show_create(spec),)], "statement string"
             )
-        m = _re.match(r"^\s*EXISTS\s+TABLE\s+(\w+)\s*;?\s*$", query, _re.I)
+        # the TABLE keyword is optional in clickhouse-client
+        m = _re.match(
+            r"^\s*EXISTS\s+(?:TABLE\s+)?(\w+)\s*;?\s*$", query, _re.I
+        )
         if m:
             name = m.group(1)
             # a table exists if migrations declared it OR the engine

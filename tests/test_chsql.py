@@ -4715,3 +4715,23 @@ def test_probe_batch60_clause_tails(views):
         "SELECT DISTINCT ON (g) g, id FROM lb_t ORDER BY g, v DESC"
     ).sql).collect()
     assert [(r["g"], r["id"]) for r in r3] == [("a", 2), ("b", 3)]
+
+
+def test_probe_batch61_statement_interval_tails(views):
+    """Round-9 execution probe, batch 61 (~27 engine statements + the
+    toStartOfInterval third-argument forms — SHOW/DESCRIBE/EXISTS/
+    TRUNCATE/RENAME/CHECK/DETACH/ATTACH/ALTER/OPTIMIZE/SET/SETTINGS/
+    SYSTEM all already execute). Real fixes: the bare ``EXISTS t``
+    spelling (TABLE keyword optional, engine-side — pinned in
+    test_ddl-adjacent engine suites) and toStartOfInterval's
+    POLYMORPHIC third argument: a timezone STRING buckets in that
+    zone's wall clock, anything else stays the origin anchor."""
+    r = views.sql(translate(
+        "SELECT toStartOfInterval(timestamp'2024-03-15 10:37:45',"
+        " INTERVAL 2 HOUR, 'Asia/Tokyo') AS tz,"
+        " toStartOfInterval(timestamp'2024-03-15 10:37:45',"
+        " INTERVAL 15 MINUTE, timestamp'2024-01-01 00:03:00') AS org"
+    ).sql).collect()[0]
+    # 10:37 UTC = 19:37 Tokyo -> 2h floor 18:00 wall clock
+    assert str(r["tz"]) == "2024-03-15 18:00:00"
+    assert str(r["org"]) == "2024-03-15 10:33:00"
