@@ -1220,21 +1220,21 @@ WITH dims AS (
     FROM events GROUP BY event_type
 )
 SELECT event_type,
-       CAST(polygonAreaCartesian(readWKTPolygon(concat(
+       CAST(CAST(polygonAreaCartesian(readWKTPolygon(concat(
             'POLYGON ((0 0, ', toString(w), ' 0, ', toString(w), ' ',
             toString(h), ', 0 ', toString(h), ', 0 0),',
             ' (0.5 0.25, 1 0.25, 1 0.75, 0.5 0.75, 0.5 0.25))')))
-         AS DECIMAL(18, 2)) AS area,
-       CAST(polygonPerimeterCartesian(readWKTPolygon(concat(
+         AS DECIMAL(18, 2)) AS Float64) AS area,
+       CAST(CAST(polygonPerimeterCartesian(readWKTPolygon(concat(
             'POLYGON ((0 0, ', toString(w), ' 0, ', toString(w), ' ',
             toString(h), ', 0 ', toString(h), ', 0 0),',
             ' (0.5 0.25, 1 0.25, 1 0.75, 0.5 0.75, 0.5 0.25))')))
-         AS DECIMAL(18, 2)) AS perim,
+         AS DECIMAL(18, 2)) AS Float64) AS perim,
        wkt(readWKTPolygon(concat(
             'POLYGON ((0 0, ', toString(w), ' 0, ', toString(w), ' ',
             toString(h), ', 0 ', toString(h), ', 0 0))'))) AS box_wkt,
-       CAST(readWKTPoint(concat('POINT (', toString(w), ' ',
-            toString(h), ')')).x AS DECIMAL(18, 2)) AS px
+       CAST(CAST(readWKTPoint(concat('POINT (', toString(w), ' ',
+            toString(h), ')')).x AS DECIMAL(18, 2)) AS Float64) AS px
 FROM dims
 ORDER BY event_type
 """
@@ -1250,12 +1250,13 @@ ORDER BY event_type
       FROM events GROUP BY event_type
     )
     SELECT event_type,
-           CAST(w * h - 0.25 AS DECIMAL(18, 2)) AS area,
-           CAST(2 * (w + h) + 2 AS DECIMAL(18, 2)) AS perim,
+           CAST(CAST(w * h - 0.25 AS DECIMAL(18, 2)) AS DOUBLE) AS area,
+           CAST(CAST(2 * (w + h) + 2 AS DECIMAL(18, 2)) AS DOUBLE)
+             AS perim,
            concat('POLYGON ((0 0, ', CAST(w AS VARCHAR), ' 0, ',
                   CAST(w AS VARCHAR), ' ', CAST(h AS VARCHAR), ', 0 ',
                   CAST(h AS VARCHAR), ', 0 0))') AS box_wkt,
-           CAST(w AS DECIMAL(18, 2)) AS px
+           CAST(CAST(w AS DECIMAL(18, 2)) AS DOUBLE) AS px
     FROM dims
     ORDER BY event_type
     """,
