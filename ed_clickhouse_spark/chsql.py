@@ -1700,6 +1700,8 @@ _SCALAR_RENAMES = {
     "anyLastRespectNulls": "last_value",
     "first_value_respect_nulls": "first_value",
     "last_value_respect_nulls": "last_value",
+    "firstValueRespectNulls": "first_value",
+    "lastValueRespectNulls": "last_value",
     "formatDateTimeInJodaSyntax": "date_format",
     "parseDateTimeInJodaSyntax": "to_timestamp",
     "positiveModulo": "pmod",
@@ -3590,6 +3592,33 @@ def _rewrite_scalar_misc(sql: str) -> str:
                 inner = f"reverse({inner})"
             sql = sql[: m.start()] + inner + sql[close1 + 1:]
             pos = m.start()
+    # arrayReduceInRanges('agg', ranges, a) (probe batch 62): one
+    # reduce per (index, length) tuple — rewritten into arrayReduce
+    # over slice() so the literal-name pass below finishes the job
+    pos = 0
+    arr_rx = re.compile(r"\barrayReduceInRanges\s*\(")
+    while True:
+        m = arr_rx.search(sql, pos)
+        if not m:
+            break
+        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        if instr_at.get(m.start(), False):
+            pos = m.end()
+            continue
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        if len(args) != 3:
+            raise ValueError(
+                "arrayReduceInRanges takes ('aggName', ranges, array)"
+            )
+        repl = (
+            f"transform({args[1]}, __ch_rg -> arrayReduce({args[0]},"
+            f" slice({args[2]}, CAST(__ch_rg.col1 AS INT),"
+            f" CAST(__ch_rg.col2 AS INT))))"
+        )
+        sql = sql[: m.start()] + repl + sql[close1 + 1:]
+        pos = m.start()
     # arrayReduce('agg', a): the literal-name meta-aggregate over one
     # array, mapped to the JVM array builtins (sum/avg fold in DOUBLE —
     # documented deviation from CH's integer sums)

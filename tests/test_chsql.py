@@ -4735,3 +4735,19 @@ def test_probe_batch61_statement_interval_tails(views):
     # 10:37 UTC = 19:37 Tokyo -> 2h floor 18:00 wall clock
     assert str(r["tz"]) == "2024-03-15 18:00:00"
     assert str(r["org"]) == "2024-03-15 10:33:00"
+
+
+def test_probe_batch62_quantiles_array_tails(views):
+    """Round-9 execution probe, batch 62 (~59 spellings: the plural
+    quantiles* family, *Stable aggregate variants, arrayReduce tails,
+    formatRow — 57 already executed). Real fixes: the camelCase
+    firstValueRespectNulls/lastValueRespectNulls renames and
+    arrayReduceInRanges (one reduce per (index, length) tuple via
+    slice + the literal-name arrayReduce pass)."""
+    r = views.sql(translate(
+        "SELECT arrayReduceInRanges('sum', [(1, 2), (2, 2)],"
+        " [10, 20, 30]) AS v,"
+        " arrayReduceInRanges('max', [(1, 3)], [7, 2, 9]) AS mx,"
+        " firstValueRespectNulls('a') AS f").sql).collect()[0]
+    assert r["v"] == [30.0, 50.0] and r["mx"] == [9]
+    assert r["f"] == "a"
