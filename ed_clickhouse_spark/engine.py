@@ -941,6 +941,16 @@ class Engine:
             # (the served view), so a file backfill is semantically a
             # no-op — accepted so CH maintenance scripts run unchanged
             return _done(m.group(1), f"materialize_column:{m.group(2)}", 0)
+        if _re.match(
+            r"^ALTER\s+TABLE\s+\w+\s+(ATTACH|DETACH)\s+PARTITION\b",
+            q, _re.I,
+        ):
+            raise ValueError(
+                "ALTER ... ATTACH/DETACH PARTITION is not implemented —"
+                " there is no detached-parts store here; use ALTER"
+                " TABLE t DROP PARTITION to remove data and INSERT /"
+                " sources/io.py to add it"
+            )
         if _re.match(r"^ALTER\s+TABLE\s+\w+\s+CLEAR\s+COLUMN\b", q, _re.I):
             raise ValueError(
                 "ALTER ... CLEAR COLUMN is not implemented — run"
@@ -1879,7 +1889,9 @@ class Engine:
         ``system.<name>`` query reads (chsql rewrites the dot form)."""
         self.system_tables().createOrReplaceTempView("system_tables")
         self.system_columns().createOrReplaceTempView("system_columns")
-        self.parts().withColumnRenamed("table", "name").createOrReplaceTempView(
+        # keep BOTH spellings: CH's system.parts has `table` (the
+        # owning table) and `name` (the part); filters on either work
+        self.parts().withColumn("name", F.col("table")).createOrReplaceTempView(
             "system_parts"
         )
         self.query_log().createOrReplaceTempView("system_query_log")

@@ -1101,3 +1101,27 @@ def test_insert_inline_formats_and_positional_select(spark, tmp_path):
     # binary wire formats stay refused
     with pytest.raises(ValueError, match="JSONEachRow"):
         eng.ch_sql("INSERT INTO ti FORMAT RowBinary\nxx")
+
+
+def test_probe_batch63_partition_parts_tails(spark, tmp_path):
+    """Round-9 probe batch 63 (~22 DDL/statement shapes: CREATE
+    [OR REPLACE] VIEW, EXCHANGE TABLES, mutations, FREEZE,
+    system.tables/columns/settings/functions, version()/currentUser()
+    all already execute; UNDROP/CLEAR COLUMN/merge() refuse loudly).
+    Real fixes: system.parts keeps BOTH the `table` and `name`
+    spellings (CH filters on `table`), and ALTER ... ATTACH/DETACH
+    PARTITION refuses loudly (no detached-parts store) instead of
+    falling through to a Spark parse error."""
+    import pytest
+
+    from ed_clickhouse_spark.engine import Engine
+
+    eng = Engine(str(tmp_path / "wh"), spark)
+    eng.ch_sql("CREATE TABLE pb (a Int64, d Date)"
+               " ENGINE = MergeTree() ORDER BY (a)")
+    eng.ch_sql('INSERT INTO pb FORMAT JSONEachRow\n{"a":1,"d":"2024-01-01"}')
+    r = eng.ch_sql("SELECT table, name FROM system.parts"
+                   " WHERE table = 'pb'").collect()
+    assert r and r[0]["table"] == "pb" and r[0]["name"] == "pb"
+    with pytest.raises(ValueError, match="ATTACH/DETACH PARTITION"):
+        eng.ch_sql("ALTER TABLE pb ATTACH PARTITION '2024-01-01'")
