@@ -1704,6 +1704,11 @@ _SCALAR_RENAMES = {
     "lastValueRespectNulls": "last_value",
     "formatDateTimeInJodaSyntax": "date_format",
     "parseDateTimeInJodaSyntax": "to_timestamp",
+    "parseDateTimeInJodaSyntaxOrNull": "try_to_timestamp",
+    # MySQL-compat WEEK() alias of toWeek (HOUR/MINUTE/... are Spark
+    # builtins already; Spark resolves case-insensitively)
+    "WEEK": "toWeek",
+    "week": "toWeek",
     "positiveModulo": "pmod",
     "positive_modulo": "pmod",
     "negate": "negative",
@@ -3135,7 +3140,7 @@ def _rewrite_scalar_misc(sql: str) -> str:
     # convert the literal format with the same table formatDateTime
     # uses and emit [try_]to_timestamp
     pos = 0
-    pdt_rx = re.compile(r"\bparseDateTime(OrNull)?\s*\(")
+    pdt_rx = re.compile(r"\bparseDateTime(OrNull|OrZero)?\s*\(")
     while True:
         m = pdt_rx.search(sql, pos)
         if not m:
@@ -3158,11 +3163,12 @@ def _rewrite_scalar_misc(sql: str) -> str:
             )
         java = _convert_ch_datetime_format(fm[1:-1]).replace("'", "\\'")
         fn = "try_to_timestamp" if m.group(1) else "to_timestamp"
-        sql = (
-            sql[: m.start()]
-            + f"{fn}({args[0]}, '{java}')"
-            + sql[close1 + 1:]
-        )
+        repl = f"{fn}({args[0]}, '{java}')"
+        if m.group(1) == "OrZero":
+            repl = (
+                f"coalesce({repl}, TIMESTAMP'1970-01-01 00:00:00')"
+            )
+        sql = sql[: m.start()] + repl + sql[close1 + 1:]
         pos = m.start()
     # ClickHouse's variadic char(n1, n2, ...) builds a string from code
     # points (mod 256, which Spark's chr also applies). Multi-arg only:

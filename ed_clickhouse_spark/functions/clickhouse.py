@@ -2758,6 +2758,28 @@ _SQL_SCALAR_ALIASES.update(
         # WKT render of the Polygon model (CH's wkt() is polymorphic;
         # this engine types it for the most common geometry — points
         # render via concat directly)
+        # ---- probe batch 64 tails ----
+        "parseDateTimeInJodaSyntaxOrZero": (
+            "(s STRING, f STRING) RETURNS TIMESTAMP",
+            "coalesce(try_to_timestamp(s, f),"
+            " TIMESTAMP'1970-01-01 00:00:00')",
+        ),
+        "L2SquaredNorm": (
+            "(a ARRAY<DOUBLE>) RETURNS DOUBLE",
+            "aggregate(a, CAST(0 AS DOUBLE),"
+            " (__s, __x) -> __s + __x * __x)",
+        ),
+        # nanosecond add/subtract at the engine's microsecond storage:
+        # sub-microsecond remainders truncate (documented — same
+        # stance as toStartOfNanosecond)
+        "addNanoseconds": (
+            "(x TIMESTAMP, n BIGINT) RETURNS TIMESTAMP",
+            "timestampadd(MICROSECOND, CAST(n / 1000 AS BIGINT), x)",
+        ),
+        "subtractNanoseconds": (
+            "(x TIMESTAMP, n BIGINT) RETURNS TIMESTAMP",
+            "timestampadd(MICROSECOND, -CAST(n / 1000 AS BIGINT), x)",
+        ),
         # ---- probe batch 57 tails ----
         # RFC-spelling twins: the RFC variants differ only in stricter
         # hostname validation, which parse_url already applies

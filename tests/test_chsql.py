@@ -4751,3 +4751,28 @@ def test_probe_batch62_quantiles_array_tails(views):
         " firstValueRespectNulls('a') AS f").sql).collect()[0]
     assert r["v"] == [30.0, 50.0] and r["mx"] == [9]
     assert r["f"] == "a"
+
+
+def test_probe_batch64_parse_format_tails(views):
+    """Round-9 execution probe, batch 64 (~60 datetime parse/format /
+    decimal / geo / MySQL-alias spellings — 52 already executed).
+    Real fixes: parseDateTimeOrZero (epoch fallback),
+    parseDateTimeInJodaSyntaxOrNull/OrZero, L2SquaredNorm,
+    addNanoseconds/subtractNanoseconds (microsecond-storage
+    truncation, the toStartOfNanosecond stance), and the MySQL-compat
+    WEEK() alias of toWeek."""
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(views)
+    r = views.sql(translate(
+        "SELECT parseDateTimeOrZero('zz', '%Y') AS pz,"
+        " parseDateTimeInJodaSyntaxOrNull('zz', 'yyyy') AS jn,"
+        " parseDateTimeInJodaSyntaxOrZero('zz', 'yyyy') AS jz,"
+        " L2SquaredNorm([3.0, 4.0]) AS n2,"
+        " addNanoseconds(timestamp'2024-01-01 00:00:00', 1500000) AS an,"
+        " WEEK(timestamp'2024-03-15') AS w").sql).collect()[0]
+    assert str(r["pz"]) == "1970-01-01 00:00:00" and r["jn"] is None
+    assert str(r["jz"]) == "1970-01-01 00:00:00"
+    assert r["n2"] == 25.0
+    assert str(r["an"]) == "2024-01-01 00:00:00.001500"
+    assert r["w"] == 10
