@@ -2126,6 +2126,19 @@ _ARRAY_SPLICE["rightPadUTF8"] = {2: "rpad({0}, {1}, ' ')"}
 _ARRAY_SPLICE["trunc"] = {
     1: "(CASE WHEN {0} >= 0 THEN floor({0}) ELSE ceil({0}) END)",
 }
+# MySQL-compat truncate(x[, n]): digit-scaled truncation toward zero
+# (the bare name avoids Spark's 2-arg DATE trunc collision)
+_ARRAY_SPLICE["truncate"] = {
+    1: "(CASE WHEN {0} >= 0 THEN floor({0}) ELSE ceil({0}) END)",
+    2: "((CASE WHEN {0} >= 0 THEN floor({0} * pow(10, {1}))"
+       " ELSE ceil({0} * pow(10, {1})) END) / pow(10, {1}))",
+}
+# toString(ts, tz): render in the NAMED zone (pinned-UTC session);
+# the 1-arg form keeps its SQL-alias/cast path
+_ARRAY_SPLICE["toString"] = {
+    2: "CAST(convert_timezone('UTC', {1}, {0}) AS STRING)",
+}
+_SPLICE_PASSTHROUGH.add("toString")
 # clamped running sum (negative prefixes reset to zero); DOUBLE
 # accumulator for the same reason as arrayCumSum above
 _ARRAY_SPLICE["arrayCumSumNonNegative"] = {
@@ -4021,6 +4034,7 @@ def _rewrite_scalar_misc(sql: str) -> str:
     for fname, vertical in (
         ("extractAllGroupsVertical", True),
         ("extractAllGroupsHorizontal", False),
+        ("extractAllGroups", True),  # CH documents it as the vertical form
     ):
         while True:
             m = _find_case_exact(sql, rf"\b{fname}\s*\(")

@@ -2758,6 +2758,13 @@ _SQL_SCALAR_ALIASES.update(
         # WKT render of the Polygon model (CH's wkt() is polymorphic;
         # this engine types it for the most common geometry — points
         # render via concat directly)
+        # function spellings of the [NOT] [I]LIKE operators (batch 65)
+        "notLike": (
+            "(s STRING, p STRING) RETURNS BOOLEAN", "NOT (s LIKE p)",
+        ),
+        "notILike": (
+            "(s STRING, p STRING) RETURNS BOOLEAN", "NOT ilike(s, p)",
+        ),
         # ---- probe batch 64 tails ----
         "parseDateTimeInJodaSyntaxOrZero": (
             "(s STRING, f STRING) RETURNS TIMESTAMP",

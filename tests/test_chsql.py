@@ -4776,3 +4776,24 @@ def test_probe_batch64_parse_format_tails(views):
     assert r["n2"] == 25.0
     assert str(r["an"]) == "2024-01-01 00:00:00.001500"
     assert r["w"] == 10
+
+
+def test_probe_batch65_operator_function_tails(views):
+    """Round-9 execution probe, batch 65 (~57 string/regex/arith
+    spellings — 52 already executed). Real fixes: extractAllGroups
+    (CH documents it as the vertical form), the MySQL truncate(x[,n])
+    digit-scaled truncation, toString(ts, tz) rendering in the named
+    zone, and the notLike/notILike function spellings."""
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(views)
+    r = views.sql(translate(
+        "SELECT extractAllGroups('a1b2', '([a-z])([0-9])') AS eg,"
+        " truncate(-7.55, 1) AS tn, truncate(7.55) AS t0,"
+        " toString(timestamp'2024-03-15 10:30:45', 'Asia/Tokyo') AS s,"
+        " notLike('abc', 'z%') AS nl,"
+        " notILike('abc', 'A%') AS ni").sql).collect()[0]
+    assert [list(g) for g in r["eg"]] == [["a", "1"], ["b", "2"]]
+    assert r["tn"] == -7.5 and r["t0"] == 7.0
+    assert r["s"] == "2024-03-15 19:30:45"
+    assert r["nl"] is True and r["ni"] is False
