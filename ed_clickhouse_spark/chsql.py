@@ -1632,6 +1632,18 @@ _SCALAR_RENAMES = {
     "anyOrNull": "any_value",
     "argMaxOrNull": "max_by",
     "argMinOrNull": "min_by",
+    # -If-OrNull stacking (probe batch 66): the conditional aggregate
+    # already returns NULL when nothing matches, so OrNull strips
+    "sumIfOrNull": "sumIf",
+    "avgIfOrNull": "avgIf",
+    "minIfOrNull": "minIf",
+    "maxIfOrNull": "maxIf",
+    "anyIfOrNull": "anyIf",
+    # -Array-OrNull: same argument over the flattened element stream
+    "sumArrayOrNull": "sumArray",
+    "avgArrayOrNull": "avgArray",
+    "minArrayOrNull": "minArray",
+    "maxArrayOrNull": "maxArray",
     # Kahan compensation is moot: Spark sums DOUBLE in the JVM the same
     # way ClickHouse's plain sum does — map to sum
     "sumKahan": "sum",
@@ -5865,6 +5877,18 @@ _AGG_IF_ALL = {
     "anyOrNull": "any_value",
     "argMaxOrNull": "max_by",
     "argMinOrNull": "min_by",
+    # -If-OrNull stacking (probe batch 66): the conditional aggregate
+    # already returns NULL when nothing matches, so OrNull strips
+    "sumIfOrNull": "sumIf",
+    "avgIfOrNull": "avgIf",
+    "minIfOrNull": "minIf",
+    "maxIfOrNull": "maxIf",
+    "anyIfOrNull": "anyIf",
+    # -Array-OrNull: same argument over the flattened element stream
+    "sumArrayOrNull": "sumArray",
+    "avgArrayOrNull": "avgArray",
+    "minArrayOrNull": "minArray",
+    "maxArrayOrNull": "maxArray",
     # splice-handled state writer: the If loop wraps the argument and
     # the avgState splice below then sees avgState(if(cond, x, NULL))
     "avgState": "avgState",
@@ -6008,6 +6032,42 @@ def _rewrite_agg_spellings(sql: str) -> str:
             sql = sql[: m.start()] + f"{fn}({x}, 0.5)" + sql[close1 + 1:]
     # parametric size caps: groupArray(n)(x) / groupUniqArray(n)(x) keep
     # at most n elements; uniqUpTo(n)(x) = exact count clamped at n+1.
+    # redundant-OrNull stackings strip first (probe batch 66): the
+    # conditional/array-flattened aggregate already yields NULL over an
+    # empty match set in Spark
+    sql = re.sub(
+        r"\b(sum|avg|min|max|any)IfOrNull\s*\(", r"\1If(", sql
+    )
+    sql = re.sub(
+        r"\b(sum|avg|min|max)ArrayOrNull\s*\(", r"\1Array(", sql
+    )
+    # parametric groupArray*If(params)(args..., cond): fold the If into
+    # the argument BEFORE the parametric pass below consumes the name
+    # (collect_list/collect_set skip NULLs)
+    while True:
+        m = _find_case_exact(
+            sql, r"\bgroup(Uniq)?Array(Sorted|Sample|Last)?If\s*\("
+        )
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        rest = sql[close1 + 1:].lstrip()
+        if not rest.startswith("("):
+            break  # non-parametric form: the -If table handles it
+        base = m.group(0).split("(")[0].strip()[: -2]  # drop 'If'
+        params = sql[open1 + 1: close1]
+        open2 = close1 + 1 + (len(sql[close1 + 1:]) - len(rest))
+        close2 = _call_end(sql, open2)
+        args = _split_top_commas(sql[open2 + 1: close2])
+        if len(args) < 2:
+            raise ValueError(f"{base}If expects (args..., cond)")
+        cond = args[-1]
+        wrapped = ", ".join(f"if({cond}, {a}, NULL)" for a in args[:-1])
+        sql = (
+            sql[: m.start()] + f"{base}({params})({wrapped})"
+            + sql[close2 + 1:]
+        )
     for name, template in (
         ("groupUniqArray", "slice(collect_set({x}), 1, {k})"),
         ("groupArraySorted", "slice(array_sort(collect_list({x})), 1, {k})"),
@@ -6764,6 +6824,17 @@ def _rewrite_agg_spellings(sql: str) -> str:
                 break
             open1 = sql.index("(", hit.end() - 1)
             close1 = _call_end(sql, open1)
+            rest = sql[close1 + 1:].lstrip()
+            if rest.startswith("("):
+                # a parametric <agg>If(params)(...) reaching THIS loop
+                # has no parametric rewrite of its own (the groupArray
+                # family is folded earlier) — refuse loudly rather than
+                # emit text no later pass consumes
+                raise ValueError(
+                    f"{name}If(params)(...) has no parametric rewrite —"
+                    " supported parametric -If forms: quantile*, topK,"
+                    " the groupArray family"
+                )
             args = _split_top_commas(sql[open1 + 1: close1])
             if len(args) < 2:
                 raise ValueError(f"{name}If expects (args..., cond)")

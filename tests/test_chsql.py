@@ -4797,3 +4797,28 @@ def test_probe_batch65_operator_function_tails(views):
     assert r["tn"] == -7.5 and r["t0"] == 7.0
     assert r["s"] == "2024-03-15 19:30:45"
     assert r["nl"] is True and r["ni"] is False
+
+
+def test_probe_batch66_combinator_stacking(views):
+    """Round-9 execution probe, batch 66 (~41 combinator stackings —
+    -ArrayIf, -DistinctIf, quantileIf, ForEach, stats-If variants all
+    already execute). Real fixes: the redundant -If-OrNull /
+    -Array-OrNull stackings strip (Spark's conditional aggregate is
+    already NULL over an empty match set), and the parametric
+    groupArray-family -If forms (groupArrayIf(n)(x, cond) etc.) fold
+    the condition into the collected argument BEFORE the parametric
+    pass; any other parametric -If refuses loudly naming the
+    supported set."""
+    views.sql(
+        "SELECT * FROM VALUES (1, 2.0, array(1.0, 2.0), 'a'),"
+        " (2, 3.0, array(3.0), 'b'), (3, 7.0, array(), 'a')"
+        " AS t(g, f, arr, s)").createOrReplaceTempView("cb_t")
+    r = views.sql(translate(
+        "SELECT maxIfOrNull(f, g > 10) AS mn,"
+        " sumIfOrNull(f, g > 1) AS si,"
+        " avgArrayOrNull(arr) AS aa,"
+        " groupArrayIf(2)(s, g > 1) AS ga,"
+        " groupArrayLastIf(1)(s, g > 0) AS gl FROM cb_t").sql
+    ).collect()[0]
+    assert r["mn"] is None and r["si"] == 10.0 and r["aa"] == 2.0
+    assert r["ga"] == ["b", "a"] and r["gl"] == ["a"]
