@@ -1528,3 +1528,67 @@ def q251_bitmap_sparkbar_report(spark, sf_dir):
     register_sql_aliases(spark)
     t(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(translate(_CH_BITMAP_SPARKBAR).sql)
+
+
+_CH_COMBINATOR_TAILS = """
+SELECT event_type,
+       CAST(size(groupArrayIf(5)(event_id, value > 0.5)) AS Int64)
+         AS n_capped,
+       round(sumIfOrNull(value, value > 0.9), 4) AS hot_sum,
+       round(maxIfOrNull(value, value < 0.001), 6) AS cold_max,
+       CAST(arrayReduceInRanges('sum', [(1, 10), (11, 10)],
+            arraySort(groupUniqArray(toDayOfMonth(ts))))[1] AS Int64)
+         AS days_1_10,
+       CAST(arrayReduceInRanges('sum', [(1, 10), (11, 10)],
+            arraySort(groupUniqArray(toDayOfMonth(ts))))[2] AS Int64)
+         AS days_11_20
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+"""
+
+
+@query(
+    "q252_combinator_tails",
+    oracle="""
+    WITH days AS (
+      SELECT event_type, day(ts) AS dom
+      FROM events GROUP BY 1, 2
+    ),
+    ranked AS (
+      SELECT event_type, dom,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY dom) AS rn
+      FROM days
+    )
+    SELECT e.event_type,
+           CAST(LEAST(5, COUNT(*) FILTER (WHERE value > 0.5)) AS BIGINT)
+             AS n_capped,
+           ROUND(SUM(value) FILTER (WHERE value > 0.9), 4) AS hot_sum,
+           ROUND(MAX(value) FILTER (WHERE value < 0.001), 6) AS cold_max,
+           (SELECT CAST(SUM(dom) AS BIGINT) FROM ranked r
+            WHERE r.event_type = e.event_type AND r.rn BETWEEN 1 AND 10)
+             AS days_1_10,
+           (SELECT CAST(SUM(dom) AS BIGINT) FROM ranked r
+            WHERE r.event_type = e.event_type AND r.rn BETWEEN 11 AND 20)
+             AS days_11_20
+    FROM events e
+    GROUP BY 1
+    ORDER BY 1
+    """,
+)
+def q252_combinator_tails(spark, sf_dir):
+    """r9 batch-66 spellings in the graded loop: the parametric
+    groupArrayIf(n)(x, cond) fold (only its deterministic SIZE is
+    exported — collection order is engine-defined), the redundant
+    -If-OrNull stacking (already NULL-on-empty in Spark), and
+    arrayReduceInRanges over a sorted distinct day-of-month array
+    (each range sum recomputed by the oracle from row_number bands).
+    Scale shape: one grouped aggregation; every fold is
+    projection-side over bounded per-group arrays (<= 31 days)."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(translate(_CH_COMBINATOR_TAILS).sql)
