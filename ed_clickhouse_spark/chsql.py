@@ -6489,10 +6489,20 @@ def _rewrite_agg_spellings(sql: str) -> str:
         end = f"CAST(CAST(({ps[1]}) AS TIMESTAMP) AS DOUBLE)"
         step = f"CAST(({ps[2]}) AS DOUBLE)"
         w = f"CAST(({ps[3]}) AS DOUBLE)"
+        # Bound the per-group state to the grid span INSIDE the
+        # aggregate: a sample at t <= start - window or t > end can
+        # never fall in any grid point's (g - window, g] lookback, so
+        # it is nulled out before collection (collect_list skips NULL
+        # inputs).  Without this guard the collected array grows with
+        # the full series length regardless of the requested grid —
+        # a year of 1 Hz samples asked for a 1-day grid would
+        # materialize ~31M structs in one Tungsten row.
+        ts_d = f"CAST(CAST(({args[0]}) AS TIMESTAMP) AS DOUBLE)"
         cl = (
-            "array_sort(collect_list(named_struct("
-            f"'t', CAST(CAST(({args[0]}) AS TIMESTAMP) AS DOUBLE),"
-            f" 'v', CAST(({args[1]}) AS DOUBLE))))"
+            f"array_sort(collect_list(IF({ts_d} > {start} - {w}"
+            f" AND {ts_d} <= {end}, named_struct("
+            f"'t', {ts_d},"
+            f" 'v', CAST(({args[1]}) AS DOUBLE)), NULL)))"
         )
         g = f"({start} + __ch_i * {step})"
         win = (

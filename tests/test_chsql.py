@@ -4570,6 +4570,36 @@ def test_timeseries_grid_family(views):
     assert r["rt"] == [None, 0.1, pytest.approx(0.0333333333)]
 
 
+def test_timeseries_grid_span_bounded(views):
+    """r10 (verdict r9 #1): the per-group collect is bounded to the
+    grid span (start - window, end] inside the aggregate itself —
+    out-of-span samples are nulled before collection (collect_list
+    skips NULL inputs), so per-group state scales with the requested
+    grid, not the raw series length. Out-of-span rows must not change
+    any grid value, and the rewritten SQL must carry the guard inside
+    the collect (the plan-shape pin)."""
+    views.sql(
+        "SELECT * FROM VALUES (1, 100.0, 10.0), (1, 200.0, 20.0),"
+        " (1, 300.0, 30.0), (1, 420.0, 45.0), (1, 500.0, 5.0),"
+        " (1, 620.0, 15.0),"
+        # all outside (start - window, end] = (-300, 600]; the two
+        # boundary rows sit exactly ON the open/just-past-closed edges
+        " (1, -5000.0, 999.0), (1, 7000.0, -999.0),"
+        " (1, 600.5, 1e9), (1, -300.0, 1e9)"
+        " AS t(g, ts, v)"
+    ).createOrReplaceTempView("tsg_b")
+    sql = translate(
+        "SELECT g,"
+        " timeSeriesResampleToGridWithStaleness(0, 600, 300, 300)(ts, v)"
+        "   AS rs,"
+        " timeSeriesRateToGrid(0, 600, 300, 300)(ts, v) AS rt"
+        " FROM tsg_b GROUP BY g").sql
+    assert "collect_list(IF(" in sql
+    r = views.sql(sql).collect()[0]
+    assert r["rs"] == [None, 30.0, 5.0]
+    assert r["rt"] == [None, 0.1, pytest.approx(0.0333333333)]
+
+
 def test_probe_batch57_url_cast_id_tails(views):
     """Round-9 execution probe, batch 57 (~63 spellings swept across
     kv-extraction / ULID+snowflake / formatReadable / URL surgery /
