@@ -4399,12 +4399,15 @@ def _rewrite_intervals(sql: str) -> str:
     return sql
 
 
-def _find_case_exact(sql: str, pattern: str) -> re.Match | None:
-    """First CASE-SENSITIVE match outside string literals (any depth).
-    _find_top_anywhere compiles with re.I; ClickHouse names are exact."""
+def _find_case_exact(
+    sql: str, pattern: str, pos: int = 0
+) -> re.Match | None:
+    """First CASE-SENSITIVE match outside string literals (any depth)
+    at or after ``pos``. _find_top_anywhere compiles with re.I;
+    ClickHouse names are exact."""
     rx = re.compile(pattern)
     instr_at = {i: q for i, _, _, q in _scan_level(sql)}
-    for m in rx.finditer(sql):
+    for m in rx.finditer(sql, pos):
         if not instr_at.get(m.start(), False):
             return m
     return None
@@ -6043,10 +6046,16 @@ def _rewrite_agg_spellings(sql: str) -> str:
     )
     # parametric groupArray*If(params)(args..., cond): fold the If into
     # the argument BEFORE the parametric pass below consumes the name
-    # (collect_list/collect_set skip NULLs)
+    # (collect_list/collect_set skip NULLs). Scan with an advancing
+    # offset so a NON-parametric groupArrayIf(x, c) earlier in the
+    # statement doesn't stop the search before a later parametric
+    # groupArrayIf(n)(x, c) (ADVICE r9)
+    ga_if_pos = 0
     while True:
         m = _find_case_exact(
-            sql, r"\bgroup(Uniq)?Array(Sorted|Sample|Last)?If\s*\("
+            sql,
+            r"\bgroup(Uniq)?Array(Sorted|Sample|Last)?If\s*\(",
+            ga_if_pos,
         )
         if not m:
             break
@@ -6054,7 +6063,10 @@ def _rewrite_agg_spellings(sql: str) -> str:
         close1 = _call_end(sql, open1)
         rest = sql[close1 + 1:].lstrip()
         if not rest.startswith("("):
-            break  # non-parametric form: the -If table handles it
+            # non-parametric form: the -If table handles it; keep
+            # scanning past it for parametric occurrences
+            ga_if_pos = close1 + 1
+            continue
         base = m.group(0).split("(")[0].strip()[: -2]  # drop 'If'
         params = sql[open1 + 1: close1]
         open2 = close1 + 1 + (len(sql[close1 + 1:]) - len(rest))
@@ -7358,14 +7370,22 @@ def _rewrite_ch_casts(sql: str) -> str:
             )
         tname = args[1].strip().strip("'\"")
         spark_t = _spark_type_name(tname) or tname
-        default = (
-            args[2]
-            if len(args) == 3
-            else (
-                "''" if spark_t.upper().startswith(("STRING", "VARCHAR"))
-                else "0"
-            )
-        )
+        if len(args) == 3:
+            default = args[2]
+        else:
+            # CH's implicit default is the type's zero value; literal 0
+            # doesn't CAST to temporal/bool targets in Spark (ADVICE r9)
+            su = spark_t.upper()
+            if su.startswith(("STRING", "VARCHAR", "CHAR")):
+                default = "''"
+            elif su.startswith("TIMESTAMP"):
+                default = "TIMESTAMP'1970-01-01 00:00:00'"
+            elif su.startswith("DATE"):
+                default = "DATE'1970-01-01'"
+            elif su.startswith("BOOL"):
+                default = "false"
+            else:
+                default = "0"
         sql = (
             sql[: m.start()]
             + f"coalesce(TRY_CAST({args[0]} AS {spark_t}),"

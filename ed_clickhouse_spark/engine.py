@@ -38,6 +38,35 @@ class _ToTableMV:
     ``on_batch``) so both ch_sql INSERTs and the streaming ingest
     hook fire it."""
 
+    @staticmethod
+    def _depth0_ctes(sql: str) -> dict:
+        """Depth-0 ``WITH name AS ( body )`` declarations → name→body.
+        Scalar WITH forms (``WITH 1 AS x``) stop the scan — they don't
+        introduce table names a FROM could target."""
+        import re as _re
+
+        from ed_clickhouse_spark.chsql import _call_end, _find_top
+
+        out: dict = {}
+        m = _find_top(sql, r"^\s*WITH\b")
+        if not m:
+            return out
+        pos = m.end()
+        rx = _re.compile(r"\s*`?(\w+)`?\s+AS\s*\(", _re.I)
+        while True:
+            mm = rx.match(sql, pos)
+            if not mm:
+                break
+            open1 = sql.index("(", mm.end() - 1)
+            close1 = _call_end(sql, open1)
+            out[mm.group(1)] = sql[open1 + 1: close1]
+            pos = close1 + 1
+            sep = _re.match(r"\s*,", sql[pos:])
+            if not sep:
+                break
+            pos += sep.end()
+        return out
+
     def __init__(self, engine: "Engine", name: str, to_table: str,
                  body: str):
         from types import SimpleNamespace
@@ -58,10 +87,30 @@ class _ToTableMV:
             raise ValueError(
                 "materialized view body must read FROM a source table"
             )
+        source = fm.group(1)
+        # ... but when the depth-0 FROM target is a CTE declared in
+        # the body's own WITH clause (WITH x AS (SELECT ... FROM src)
+        # SELECT ... FROM x), the REAL feeding table is the CTE's
+        # source — resolve through the chain so the insert trigger
+        # fires on inserts into src, not never (ADVICE r9)
+        cte_map = self._depth0_ctes(body)
+        seen: set = set()
+        while source in cte_map and source not in seen:
+            seen.add(source)
+            sub = cte_map[source]
+            sfm = _find_top(sub, r"\bFROM\s+`?(\w+)`?")
+            if not sfm:
+                import re as _re
+                sfm = _re.search(r"\bFROM\s+`?(\w+)`?", sub, _re.I)
+            if not sfm:
+                break  # table-less CTE (SELECT 1): keep the CTE name
+            source = sfm.group(1)
+            # a nested WITH inside the CTE body scopes its own names
+            cte_map = {**cte_map, **self._depth0_ctes(sub)}
         self.engine = engine
         self.to_table = to_table
         self.body = body
-        self.spec = SimpleNamespace(name=name, source=fm.group(1))
+        self.spec = SimpleNamespace(name=name, source=source)
 
     def on_batch(self, batch: DataFrame, epoch_id=None) -> None:
         import re as _re
@@ -768,7 +817,7 @@ class Engine:
             tm = _re.match(
                 r"^CREATE\s+MATERIALIZED\s+VIEW\s+"
                 r"(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s+TO\s+`?(\w+)`?"
-                r"\s+AS\s+(SELECT\b.+)$",
+                r"\s+AS\s+((?:SELECT|WITH)\b.+)$",
                 stmt,
                 _re.I | _re.S,
             )
@@ -1365,8 +1414,6 @@ class Engine:
         reorder by name), then append under the table's write policy —
         the same path as JSONEachRow. RowBinary/Native stay refused:
         binary wire formats belong to the streaming decode path."""
-        import csv as _csv
-        import io as _io
         import json as _json
 
         from ed_clickhouse_spark import ddl
@@ -1405,33 +1452,76 @@ class Engine:
             return "".join(out)
 
         if f in ("csv", "csvwithnames"):
-            import re as _re
+            # quoted fields may span lines — a hand-rolled RFC-4180
+            # splitter that reports per-field quoting. A quoted empty
+            # field ("") is an empty STRING; an unquoted empty field
+            # (or \N) is NULL. csv.reader erases the quoting, and the
+            # old textual "" pre-pass couldn't tell an escaped double-
+            # quote INSIDE a quoted field from a quoted-empty field
+            # between delimiters ('1,"x,"",z"' corrupted — ADVICE r9),
+            # so the splitter tracks quote state directly.
+            def _csv_rows(raw: str):
+                out_rows: list[list[tuple[str, bool]]] = []
+                row: list[tuple[str, bool]] = []
+                buf: list[str] = []
+                in_q = False       # inside a quoted field now
+                was_q = False      # current field started quoted
+                started = False    # current field has content/quoting
+                i, n = 0, len(raw)
+                while i < n:
+                    c = raw[i]
+                    if in_q:
+                        if c == '"':
+                            if i + 1 < n and raw[i + 1] == '"':
+                                buf.append('"')
+                                i += 2
+                                continue
+                            in_q = False
+                            i += 1
+                            continue
+                        buf.append(c)
+                        i += 1
+                        continue
+                    if c == '"' and not buf:
+                        in_q = was_q = started = True
+                        i += 1
+                        continue
+                    if c == ",":
+                        row.append(("".join(buf), was_q))
+                        buf, was_q, started = [], False, False
+                        i += 1
+                        continue
+                    if c in "\r\n":
+                        if row or buf or started:
+                            row.append(("".join(buf), was_q))
+                            out_rows.append(row)
+                        row, buf, was_q, started = [], [], False, False
+                        i += 2 if c == "\r" and raw[i:i + 2] == "\r\n" else 1
+                        continue
+                    buf.append(c)
+                    started = True
+                    i += 1
+                if in_q:
+                    raise ValueError(
+                        "unterminated quoted CSV field in inline INSERT"
+                    )
+                if row or buf or started:
+                    row.append(("".join(buf), was_q))
+                    out_rows.append(row)
+                return out_rows
 
-            # quoted fields may span lines — feed the RAW payload to
-            # csv.reader (only shed the leading/trailing blank line from
-            # the FORMAT token). A quoted empty field ("") is an empty
-            # STRING; an unquoted empty field (or \N) is NULL — csv.reader
-            # erases the quoting, so mark quoted-empties first.
-            qempty = "\x00CH_QUOTED_EMPTY\x00"
-            raw = _re.sub(
-                r'(?m)(?<=,)""(?=,|\r?$)|^""(?=,|\r?$)',
-                qempty,
-                payload.lstrip("\r\n"),
-            )
-            parsed = [
-                r for r in _csv.reader(_io.StringIO(raw))
-                if r and r != [""]
-            ]
+            parsed_q = _csv_rows(payload.lstrip("\r\n"))
             if f == "csvwithnames":
-                header, parsed = parsed[0], parsed[1:]
+                header = [v for v, _ in parsed_q[0]]
+                parsed_q = parsed_q[1:]
             rows = [
                 [
-                    "" if v == qempty
+                    v if q
                     else None if v in ("", r"\N")
                     else v
-                    for v in r
+                    for v, q in r
                 ]
-                for r in parsed
+                for r in parsed_q
             ]
         elif f in ("tsv", "tabseparated", "tsvwithnames",
                    "tabseparatedwithnames"):

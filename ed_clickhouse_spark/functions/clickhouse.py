@@ -758,27 +758,56 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "(j STRING, p STRING) RETURNS BOOLEAN",
         "get_json_object(j, p) IS NOT NULL",
     ),
+    # value-kind classification goes through variant_get's exact JSON
+    # rendering when the path is a plain key/index chain (ADVICE r9:
+    # get_json_object strips string quotes, so '"123"' or '"[x]"'
+    # misclassified as number/container under the prefix heuristic);
+    # wildcard/recursive paths — which variant_get rejects — keep the
+    # old heuristic behind a lazily-evaluated CASE guard
     "JSON_VALUE": (
         "(j STRING, p STRING) RETURNS STRING",
-        "CASE WHEN get_json_object(j, p) RLIKE '^[\\\\[{]' THEN ''"
-        " ELSE coalesce(get_json_object(j, p), '') END",
+        "CASE WHEN get_json_object(j, p) IS NULL THEN ''"
+        " WHEN p RLIKE '^\\\\$(\\\\.[A-Za-z_][A-Za-z0-9_]*"
+        "|\\\\[[0-9]+\\\\]|\\\\[''[^'']*''\\\\])*$' THEN"
+        "   CASE WHEN left(to_json(variant_get(try_parse_json(j), p,"
+        "     'variant')), 1) = '\"' THEN get_json_object(j, p)"
+        "   WHEN coalesce(to_json(variant_get(try_parse_json(j), p,"
+        "     'variant')), get_json_object(j, p)) RLIKE '^[\\\\[{]'"
+        "     THEN ''"
+        "   ELSE get_json_object(j, p) END"
+        " WHEN get_json_object(j, p) RLIKE '^[\\\\[{]' THEN ''"
+        " ELSE get_json_object(j, p) END",
     ),
     "JSON_QUERY": (
         "(j STRING, p STRING) RETURNS STRING",
         "CASE WHEN get_json_object(j, p) IS NULL THEN ''"
+        " WHEN p RLIKE '^\\\\$(\\\\.[A-Za-z_][A-Za-z0-9_]*"
+        "|\\\\[[0-9]+\\\\]|\\\\[''[^'']*''\\\\])*$'"
+        "   AND try_parse_json(j) IS NOT NULL"
+        " THEN CASE"
+        "   WHEN to_json(variant_get(try_parse_json(j), p, 'variant'))"
+        "     IS NULL THEN ''"
+        "   ELSE concat('[', to_json(variant_get(try_parse_json(j), p,"
+        "     'variant')), ']') END"
         " WHEN get_json_object(j, p) RLIKE '^[\\\\[{]'"
         "   OR try_cast(get_json_object(j, p) AS DOUBLE) IS NOT NULL"
         "   OR get_json_object(j, p) IN ('true', 'false', 'null')"
         " THEN concat('[', get_json_object(j, p), ']')"
         " ELSE to_json(array(get_json_object(j, p))) END",
     ),
-    # (key, raw-value) pairs of a top-level object; string values are
-    # re-quoted with to_json's escaping (get_json_object strips quotes)
+    # (key, raw-value) pairs of a top-level object. The raw rendering
+    # IS variant_get's to_json (exact quoting — ADVICE r9: the old
+    # prefix heuristic rendered the string "123" as the number 123);
+    # keys containing a quote would break the bracket path, so they
+    # keep the heuristic (get_json_object tolerates them no better)
     "JSONExtractKeysAndValuesRaw": (
         "(j STRING) RETURNS ARRAY<STRUCT<key: STRING, value: STRING>>",
         "transform(json_object_keys(j), __k -> named_struct("
         "'key', __k, 'value',"
-        " CASE WHEN get_json_object(j, concat('$[''', __k, ''']'))"
+        " CASE WHEN __k NOT LIKE '%''%' THEN"
+        "   coalesce(to_json(variant_get(try_parse_json(j),"
+        "     concat('$[''', __k, ''']'), 'variant')), 'null')"
+        " WHEN get_json_object(j, concat('$[''', __k, ''']'))"
         "   IS NULL THEN 'null'"
         " WHEN get_json_object(j, concat('$[''', __k, ''']'))"
         "   RLIKE '^[\\\\[{]'"

@@ -4669,6 +4669,76 @@ def test_probe_batch58_json_tails(views):
         translate("SELECT JSONExtract('{}', 'a', 'Tuple(Int64)')")
 
 
+def test_advice_r9_json_value_string_scalars(views):
+    """ADVICE r10 batch: string scalars whose TEXT looks like a
+    number/bool/container must classify as strings. JSON_VALUE
+    returns the unquoted text (not '' / raw), JSON_QUERY quotes them
+    inside its one-element array, JSONExtractKeysAndValuesRaw renders
+    them re-quoted. Classification rides variant_get's exact JSON
+    rendering for plain key/index paths; wildcard paths (which
+    variant_get rejects) keep the prefix heuristic."""
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(views)
+    r = views.sql(translate(
+        "SELECT JSON_VALUE('{\"s\": \"123\"}', '$.s') AS v1,"
+        " JSON_VALUE('{\"s\": \"[x]\"}', '$.s') AS v2,"
+        " JSON_VALUE('{\"s\": \"true\"}', '$.s') AS v3,"
+        " JSON_VALUE('{\"s\": 5.5}', '$.s') AS v4,"
+        " JSON_VALUE('{\"s\": [1]}', '$.s') AS v5,"
+        " JSON_VALUE('{\"a\": {\"b\": 7}}', '$.a.b') AS v6,"
+        " JSON_QUERY('{\"s\": \"123\"}', '$.s') AS q1,"
+        " JSON_QUERY('{\"s\": \"[x]\"}', '$.s') AS q2,"
+        " JSON_QUERY('{\"s\": 5}', '$.s') AS q3,"
+        " JSONExtractKeysAndValuesRaw("
+        "   '{\"a\": 1, \"s\": \"123\", \"t\": \"[x]\", \"o\": {\"b\": 2}}')"
+        "   AS kv,"
+        # wildcard path: variant_get can't, heuristic branch answers
+        " JSON_VALUE('{\"a\": [1, 2]}', '$.a[*]') AS w1").sql
+    ).collect()[0]
+    assert r["v1"] == "123" and r["v2"] == "[x]" and r["v3"] == "true"
+    assert r["v4"] == "5.5" and r["v5"] == "" and r["v6"] == "7"
+    assert r["q1"] == '["123"]' and r["q2"] == '["[x]"]'
+    assert r["q3"] == "[5]"
+    assert [(e["key"], e["value"]) for e in r["kv"]] == [
+        ("a", "1"), ("s", '"123"'), ("t", '"[x]"'), ("o", '{"b":2}')]
+    assert r["w1"] in ("", "1")  # heuristic, not an error
+
+
+def test_advice_r9_parametric_grouparrayif_after_plain(views):
+    """ADVICE r10 batch: a NON-parametric groupArrayIf earlier in the
+    statement must not stop the scan before a later parametric
+    groupArrayIf(n)(x, c) — the fold now advances past it."""
+    views.sql(
+        "SELECT * FROM VALUES (1), (2), (3), (4), (5) AS t(x)"
+    ).createOrReplaceTempView("gaif_t")
+    r = views.sql(translate(
+        "SELECT groupArrayIf(x, x > 3) AS plain,"
+        " groupArrayIf(2)(x, x > 1) AS capped FROM gaif_t").sql
+    ).collect()[0]
+    assert sorted(r["plain"]) == [4, 5]
+    assert r["capped"] == [2, 3]
+
+
+def test_advice_r9_accurate_cast_default_temporal(views):
+    """ADVICE r10 batch: accurateCastOrDefault with the default
+    OMITTED must synthesize the type's zero value for Date/DateTime/
+    Bool targets (CAST(0 AS DATE) fails Spark analysis; CH returns
+    1970-01-01 / false)."""
+    import datetime
+
+    r = views.sql(translate(
+        "SELECT accurateCastOrDefault('zz', 'Date') AS d,"
+        " accurateCastOrDefault('zz', 'DateTime') AS dt,"
+        " accurateCastOrDefault('zz', 'Bool') AS b,"
+        " accurateCastOrDefault('2024-02-03', 'Date') AS ok").sql
+    ).collect()[0]
+    assert r["d"] == datetime.date(1970, 1, 1)
+    assert r["dt"] == datetime.datetime(1970, 1, 1, 0, 0)
+    assert r["b"] is False
+    assert r["ok"] == datetime.date(2024, 2, 3)
+
+
 def test_probe_batch59_hash_map_tails(views):
     """Round-9 execution probe, batch 59 (~60 hash/map spellings —
     43 already executed). Real fixes: SHA224/384/512 (exact sha2

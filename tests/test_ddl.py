@@ -1098,6 +1098,15 @@ def test_insert_inline_formats_and_positional_select(spark, tmp_path):
     eng.ch_sql("INSERT INTO ti FORMAT TSKV\na=50\tb=p\\tq")
     assert eng.ch_sql("SELECT b FROM ti WHERE a = 50"
                       ).collect()[0]["b"] == "p\tq"
+    # ADVICE r9: an escaped double-quote INSIDE a quoted field must
+    # not be mistaken for a quoted-empty field between delimiters —
+    # '60,"x,"",z"' carries the single field value 'x,",z' (the old
+    # textual "" pre-pass corrupted it to 'x,<sentinel>,z')
+    eng.ch_sql('INSERT INTO ti FORMAT CSV\n60,"x,"",z"\n61,""""')
+    got4 = {r["a"]: r["b"] for r in
+            eng.ch_sql("SELECT * FROM ti WHERE a >= 60").collect()}
+    assert got4[60] == 'x,",z'
+    assert got4[61] == '"'
     # binary wire formats stay refused
     with pytest.raises(ValueError, match="JSONEachRow"):
         eng.ch_sql("INSERT INTO ti FORMAT RowBinary\nxx")

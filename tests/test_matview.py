@@ -285,6 +285,43 @@ def test_to_table_mv_batch_split_invariance(spark, tmp_path):
         assert got == want, (split_at, got, want)
 
 
+def test_to_table_mv_cte_body_binds_real_source(spark, tmp_path):
+    """ADVICE r9: a WITH-CTE body (WITH f AS (SELECT ... FROM src)
+    SELECT ... FROM f) must bind spec.source to the REAL feeding
+    table src — not the CTE name f — so the insert trigger fires on
+    inserts into src and the batch rebind lands on the CTE's FROM.
+    Chained CTEs resolve transitively."""
+    import json
+
+    from ed_clickhouse_spark.engine import Engine
+
+    eng = Engine(str(tmp_path / "wh"), spark)
+    eng.ch_sql("CREATE TABLE src (k String, v Int64)"
+               " ENGINE = MergeTree() ORDER BY (k)")
+    eng.ch_sql(
+        "CREATE TABLE roll (k String,"
+        " total AggregateFunction(sum, Int64))"
+        " ENGINE = AggregatingMergeTree() ORDER BY (k)"
+    )
+    eng.ch_sql(
+        "CREATE MATERIALIZED VIEW mv_cte TO roll AS"
+        " WITH f AS (SELECT k, v FROM src WHERE v > 0),"
+        " g AS (SELECT k, v FROM f)"
+        " SELECT k, sumState(v) AS total FROM g GROUP BY k"
+    )
+    assert eng.matviews["mv_cte"].spec.source == "src"
+    rows = [{"k": "a", "v": 10}, {"k": "a", "v": -5}, {"k": "b", "v": 7}]
+    payload = "\n".join(json.dumps(r) for r in rows)
+    eng.ch_sql(f"INSERT INTO src FORMAT JSONEachRow\n{payload}")
+    got = {
+        r["k"]: r["t"]
+        for r in eng.ch_sql(
+            "SELECT k, sumMerge(total) AS t FROM roll GROUP BY k"
+        ).collect()
+    }
+    assert got == {"a": 10, "b": 7}
+
+
 def test_to_table_mv_refuses_populate(spark, tmp_path):
     """ADVICE r7: ClickHouse rejects POPULATE with the TO clause
     ("POPULATE is not supported with TO [db].[table]") — so do we,
