@@ -206,17 +206,19 @@ def minhash_signatures(
     Note: a doc with no shingles (empty text) has no signature row."""
     # Hash INSIDE the array transform so the explode carries 8-byte longs,
     # not 3-word shingle strings (measured ~10% on the signature build).
+    # The 32 permutation-min aggregates and the final array are JVM-parsed
+    # expr() strings — built column-by-column they cost ~130 Py4J round
+    # trips of driver-side plan construction per query (~0.5s cold, r10).
     harr = F.transform(shingles(text_col, n), lambda s: F.pmod(F.xxhash64(s), F.lit(_P)))
     hashes = _spread(df).select(F.col(id_col).alias("id"), F.explode(harr).alias("h"))
     mins = hashes.groupBy("id").agg(
         *[
-            F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_P)).alias(f"__m{i}")
+            F.expr(f"min((h * {a}L + {b}L) % {_P}L)").alias(f"__m{i}")
             for i, (a, b) in enumerate(_AB)
         ]
     )
-    return mins.select(
-        "id", F.array(*[F.col(f"__m{i}") for i in range(_N_HASHES)]).alias("sig")
-    )
+    arr = ", ".join(f"__m{i}" for i in range(_N_HASHES))
+    return mins.select("id", F.expr(f"array({arr})").alias("sig"))
 
 
 def minhash_lsh_pairs(
@@ -233,29 +235,50 @@ def minhash_lsh_pairs(
 
     The banded index frame (and its pinned signature cache) comes from
     :func:`banded_signatures` — see there for the persist contract."""
-    bands = banded_signatures(df, id_col, text_col, n, n_bands)
-    a = bands.alias("a")
-    b = bands.alias("b")
-    # est is computed BEFORE the pair dedup so the dedup exchange
-    # carries (id_a, id_b, est) — three scalars — instead of two 32-long
-    # signature arrays (~0.5 KB/row). est is deterministic per pair, so
-    # deduplicating after is identical. Measured at sf0.1/local[32]
-    # (cold signature cache, best of 3): 4.59s -> 2.57s end-to-end.
+    sigs, bands = _sigs_and_bands(df, id_col, text_col, n, n_bands)
+    # The self-join carries only the 3-long key rows (id, band, bh) —
+    # the 32-long signature arrays do NOT ride the band exchange (r10;
+    # previously each sig shuffled n_bands times through the join and
+    # the r8 fix only kept it out of the dedup exchange). Pairs dedup
+    # on bare ids, then the persisted signature frame joins back once
+    # per side to compute est — AQE broadcasts it at local scale, and
+    # at cluster scale each sig ships once per side instead of once
+    # per band. est is unchanged (same formula over the same sigs), so
+    # the output is bit-identical to the pre-r10 plan. Measured at
+    # sf0.1/local[32] best-of-4: 1.74s -> see COVERAGE r10 note.
+    key = bands.select("id", "band", "bh")
+    a = key.alias("a")
+    b = key.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bh") == F.col("b.bh"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
     est = F.round(
         F.size(
-            F.filter(F.zip_with("a.sig", "b.sig", lambda x, y: x == y), lambda v: v)
+            F.filter(
+                F.zip_with("sig_a", "sig_b", lambda x, y: x == y),
+                lambda v: v,
+            )
         )
         / F.lit(float(_N_HASHES)),
         6,
     )
     return (
-        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")) & (F.col("a.id") < F.col("b.id")))
-        .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            est.alias("est_jaccard"),
+        cand.join(
+            sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a")),
+            "id_a",
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .join(
+            sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b")),
+            "id_b",
+        )
+        .select("id_a", "id_b", est.alias("est_jaccard"))
     )
 
 
@@ -268,15 +291,27 @@ def banded_signatures(
 ) -> DataFrame:
     """(id, sig, band, bh) rows: the LSH band index of each document —
     ``n_bands`` rows per doc, ``bh`` the hash of that band's signature
-    slice. This is both the self-join key frame of
+    slice. This is both the candidate key frame of
     :func:`minhash_lsh_pairs` and the persistent incremental index of
     the streaming near-dup gate (streaming/corpus.py), so batch and
-    stream agree bit-for-bit on candidate buckets.
+    stream agree bit-for-bit on candidate buckets."""
+    return _sigs_and_bands(df, id_col, text_col, n, n_bands)[1]
 
-    Signatures are persisted before banding: in the pair query both join
-    sides read them, and without the persist the whole explode+32-min
-    build runs twice (measured ~2x end-to-end). The cache stays pinned
-    for the lifetime of derived lazy frames — long-lived sessions should
+
+def _sigs_and_bands(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 3,
+    n_bands: int = _N_BANDS,
+) -> tuple[DataFrame, DataFrame]:
+    """The persisted signature frame AND its banded explode.
+
+    Signatures are persisted before banding: the pair query reads them
+    again to compute est after the candidate join, and without the
+    persist the whole explode+32-min build runs per consumer (measured
+    ~2x end-to-end). The cache stays pinned for the lifetime of
+    derived lazy frames — long-lived sessions should
     ``spark.catalog.clearCache()`` after materializing."""
     from pyspark import StorageLevel
 
@@ -284,29 +319,22 @@ def banded_signatures(
     sigs = minhash_signatures(df, id_col, text_col, n).persist(
         StorageLevel.MEMORY_AND_DISK
     )
-    return sigs.select(
-        "id",
-        "sig",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.xxhash64(
-                            F.concat_ws(
-                                ",",
-                                *[
-                                    F.element_at("sig", i * rows_per_band + j + 1).cast("string")
-                                    for j in range(rows_per_band)
-                                ],
-                            )
-                        ).alias("bh"),
-                    )
-                    for i in range(n_bands)
-                ]
-            )
-        ).alias("b"),
+    # one JVM-parsed expr for the band array (vs ~100 Py4J column
+    # builds: 8 bands x (4 element_at casts + concat_ws + xxhash64))
+    band_structs = ", ".join(
+        "named_struct('band', {i}, 'bh', xxhash64(concat_ws(',', {parts})))".format(
+            i=i,
+            parts=", ".join(
+                f"CAST(element_at(sig, {i * rows_per_band + j + 1}) AS STRING)"
+                for j in range(rows_per_band)
+            ),
+        )
+        for i in range(n_bands)
+    )
+    bands = sigs.select(
+        "id", "sig", F.expr(f"explode(array({band_structs}))").alias("b")
     ).select("id", "sig", F.col("b.band").alias("band"), F.col("b.bh").alias("bh"))
+    return sigs, bands
 
 
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
