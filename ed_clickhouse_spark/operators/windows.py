@@ -33,6 +33,53 @@ def sessionize(
     )
 
 
+def approx_ntile(
+    df: DataFrame,
+    col: str,
+    n: int,
+    descending: bool = False,
+    accuracy: int = 10000,
+    out_col: str = "ntile",
+) -> DataFrame:
+    """Scale-safe approximate NTILE(n): global rank buckets WITHOUT the
+    single-reducer sort an unpartitioned window pays (q30's documented
+    hazard — VERDICT r8/r9). Boundaries come from ONE
+    ``approx_percentile`` tree-aggregate (rank error <= rows/accuracy
+    per boundary); every row then maps to its bucket in a pure-codegen
+    projection against the n-1 literal boundaries. No WindowExec, no
+    shuffle of the fact table at all — the plan is scan -> partial agg
+    -> scan -> project, which survives any scale-up.
+
+    ``descending=True`` puts the LARGEST values in bucket 1 (the
+    ntile-over-ORDER-BY-DESC shape). Ties sitting exactly on a
+    boundary land in the lower bucket; the approximate contract is
+    bucket sizes within rows/accuracy of equal, not tie placement —
+    exact NTILE splits boundary ties arbitrarily by row position
+    anyway. Heavy duplicate mass can legitimately merge buckets
+    (duplicate boundaries), exactly like exact NTILE cannot: we keep
+    the duplicate boundaries so bucket IDs stay 1..n."""
+    if n < 1:
+        raise ValueError("approx_ntile: n must be >= 1")
+    if n == 1:
+        return df.withColumn(out_col, F.lit(1))
+    qs = [i / n for i in range(1, n)]
+    # bounded: n-1 scalar boundaries — driver-side by construction
+    bs = df.agg(
+        F.percentile_approx(col, qs, accuracy).alias("bs")
+    ).collect()[0]["bs"]
+    if not bs:
+        return df.withColumn(out_col, F.lit(1))
+    arr = ", ".join(f"CAST({float(b)!r} AS DOUBLE)" for b in bs)
+    cmp = ">" if descending else "<"
+    return df.withColumn(
+        out_col,
+        F.expr(
+            f"1 + size(filter(array({arr}),"
+            f" __ch_b -> __ch_b {cmp} CAST({col} AS DOUBLE)))"
+        ),
+    )
+
+
 def funnel(
     df: DataFrame,
     user_col: str,

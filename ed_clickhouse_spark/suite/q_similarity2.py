@@ -197,29 +197,56 @@ def q172_semantic_decontamination(spark, sf_dir):
 
 def _recall_audit(approx, exact, k, floor, n_expected):
     """Pooled recall@k of an approximate top-k result against the exact
-    one, as a 2-column DataFrame the driver can hash against a DuckDB
-    oracle: (n_queries, recall_ok). Both inputs carry (q_id, c_id).
-    Pooled (not per-query): per-query recall on random vectors is
-    legitimately 0 for some queries at healthy pooled recall — the
-    same pooling the unit-test floors use."""
+    one, as a 3-column DataFrame the driver can hash against a DuckDB
+    oracle: (n_queries, recall_bp, recall_ok). Both inputs carry
+    (q_id, c_id). Pooled (not per-query): per-query recall on random
+    vectors is legitimately 0 for some queries at healthy pooled
+    recall — the same pooling the unit-test floors use.
+
+    ``recall_bp`` is the MEASURED pooled recall in basis points
+    (VERDICT r9 #4: the floors were bare calibrated constants with the
+    measurement living only in docstrings). Both tiers are md5-seeded,
+    so the value is exact and stable on fixed testdata; the oracle
+    pins the per-corpus expected value behind a content fingerprint
+    (see _AUDIT_ORACLE) — on regenerated testdata the fingerprint
+    misses, the oracle yields NULL, and the driver row goes loudly red
+    instead of a floor sagging silently. Recalibration rule: re-run
+    tools' measure script (or these audits) on the new corpora, paste
+    the new fingerprints + recall_bp constants into the three oracles,
+    and re-check the floor still has margin."""
     hits = approx.join(exact, ["q_id", "c_id"]).count()
     total = exact.count()
     nq = exact.select("q_id").distinct().count()
+    bp = int(round(hits * 10000 / total)) if total else 0
     spark = approx.sparkSession
     return spark.createDataFrame(
-        [(nq, bool(total > 0 and hits / total >= floor))],
-        "n_queries long, recall_ok boolean",
+        [(nq, bp, bool(total > 0 and hits / total >= floor))],
+        "n_queries long, recall_bp long, recall_ok boolean",
     )
 
 
+# Measured recall per test corpus, keyed by a content fingerprint
+# (sf0.001 and sf0.01 both hold 500 vectors — COUNT alone can't tell
+# them apart). {bp} is filled per tier below.
 _AUDIT_ORACLE = """
 SELECT CAST(COUNT(DISTINCT vec_id) AS BIGINT) AS n_queries,
+       CAST(CASE (SELECT COUNT(*) || ':' || ROUND(SUM(embedding[1]), 2)
+                  FROM embeddings)
+            WHEN '500:-1.46' THEN {bp_sf0001}
+            WHEN '500:1.08' THEN {bp_sf001}
+            WHEN '2000:1.53' THEN {bp_sf01}
+            END AS BIGINT) AS recall_bp,
        true AS recall_ok
 FROM embeddings WHERE vec_id < 10
 """
 
 
-@query("q240_lsh_recall_audit", oracle=_AUDIT_ORACLE)
+@query(
+    "q240_lsh_recall_audit",
+    oracle=_AUDIT_ORACLE.format(
+        bp_sf0001=3200, bp_sf001=2000, bp_sf01=3200
+    ),
+)
 def q240_lsh_recall_audit(spark, sf_dir):
     """Driver-visible recall band for the LSH tier (r8): q50 itself
     stays rows-only (its output is legitimately approximate and
@@ -243,7 +270,12 @@ def q240_lsh_recall_audit(spark, sf_dir):
     return _recall_audit(approx, exact, 5, 0.15, 10)
 
 
-@query("q241_ivf_recall_audit", oracle=_AUDIT_ORACLE)
+@query(
+    "q241_ivf_recall_audit",
+    oracle=_AUDIT_ORACLE.format(
+        bp_sf0001=5400, bp_sf001=5200, bp_sf01=6200
+    ),
+)
 def q241_ivf_recall_audit(spark, sf_dir):
     """Driver-visible recall band for the IVF tier (r8): recall@5 of
     the 4-of-16-cells probe against exact brute force must clear a
@@ -264,7 +296,12 @@ def q241_ivf_recall_audit(spark, sf_dir):
     return _recall_audit(approx, exact, 5, 0.40, 10)
 
 
-@query("q242_pq_recall_audit", oracle=_AUDIT_ORACLE)
+@query(
+    "q242_pq_recall_audit",
+    oracle=_AUDIT_ORACLE.format(
+        bp_sf0001=7800, bp_sf001=6400, bp_sf01=7000
+    ),
+)
 def q242_pq_recall_audit(spark, sf_dir):
     """Driver-visible recall band for the PQ-ADC tier (r8): the
     compress-then-rerank pipeline must clear a 0.55 tripwire floor

@@ -110,7 +110,8 @@ def q29_running_sum(spark, sf_dir):
 def q30_ntile_rank(spark, sf_dir):
     """ntile/rank/dense_rank. Note: a global (unpartitioned) window is a
     single-reducer sort — fine for dimension tables, never for facts; at
-    scale use approx percentile buckets instead."""
+    scale use operators/windows.py approx_ntile (q253) instead — one
+    approx_percentile aggregate + a codegen projection, no WindowExec."""
     c = t(spark, sf_dir, "customer")
     w_bal = W.orderBy(F.col("c_acctbal").desc(), "c_custkey")
     w_seg = W.orderBy("c_mktsegment")
@@ -704,4 +705,51 @@ def q188_funnel_report(spark, sf_dir):
             / F.nullif(F.coalesce(prev, F.lit(total)), F.lit(0)),
             6,
         ).alias("conv_from_prev"),
+    )
+
+
+@query(
+    "q253_approx_ntile",
+    oracle="""
+    SELECT CAST(4 AS BIGINT) AS n_buckets,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           true AS balanced_ok
+    FROM customer
+    """,
+)
+def q253_approx_ntile(spark, sf_dir):
+    """The scale-safe global-rank alternative q30's docstring names
+    (VERDICT r8 #5 / r9 #3), now executable: operators/windows.py
+    approx_ntile buckets customers into account-balance quartiles from
+    ONE approx_percentile tree-aggregate + a codegen projection — no
+    unpartitioned WindowExec anywhere in the plan (pinned in
+    test_scale_plans.py). Tolerance-banded oracle in the q103/q245
+    style: the exact arm cross-checks bucket count and total rows; the
+    band boolean holds iff every quartile is within max(2% of rows, 8
+    rows) of equal — approx_percentile at accuracy 10000 places each
+    boundary within rows/10000 ranks, so the band has wide margin on
+    all three test scales and trips only if the bucketing breaks."""
+    from ed_clickhouse_spark.operators.windows import approx_ntile
+
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_acctbal").cast("double").alias("bal")
+    )
+    g = approx_ntile(c, "bal", 4, descending=True).groupBy("ntile").agg(
+        F.count("*").alias("c")
+    )
+    return g.agg(
+        F.countDistinct("ntile").alias("nbd"),
+        F.sum("c").alias("n"),
+        F.max("c").alias("mx"),
+        F.min("c").alias("mn"),
+    ).select(
+        F.col("nbd").cast("bigint").alias("n_buckets"),
+        F.col("n").cast("bigint").alias("n_rows"),
+        (
+            (F.col("nbd") == 4)
+            & (
+                (F.col("mx") - F.col("mn"))
+                <= F.greatest(F.col("n") * 0.02, F.lit(8.0))
+            )
+        ).alias("balanced_ok"),
     )

@@ -568,3 +568,32 @@ def test_timeseries_grid_plan_shape(spark):
     # group-by + the final sort/explode
     import re
     assert "Join" not in p  # the grids never join back to the facts
+
+
+def test_approx_ntile_plan_has_no_window(spark):
+    """q253 / approx_ntile (VERDICT r9 #3): the scale-safe global-rank
+    path must contain NO WindowExec — the exact-ntile hazard is the
+    unpartitioned single-reducer sort — and no join: boundaries fold
+    into the projection as literals."""
+    from ed_clickhouse_spark.operators.windows import approx_ntile
+
+    df = spark.range(0, 1000).select(
+        (F.col("id") * 7919 % 1000).cast("double").alias("v")
+    )
+    out = approx_ntile(df, "v", 4)
+    p = _plan(out)
+    assert "Window" not in p
+    assert "Join" not in p
+    assert "filter(" in p or "size(" in p  # literal-boundary projection
+    # bucket sizes are near-equal at accuracy 10000 over 1000 distinct
+    sizes = {
+        r["ntile"]: r["n"]
+        for r in out.groupBy("ntile").agg(F.count("*").alias("n")).collect()
+    }
+    assert set(sizes) == {1, 2, 3, 4}
+    assert max(sizes.values()) - min(sizes.values()) <= 2
+    # descending flips the bucket order, not the sizes
+    top = approx_ntile(df, "v", 4, descending=True).filter(
+        F.col("ntile") == 1
+    )
+    assert top.agg(F.min("v")).collect()[0][0] >= 740.0
