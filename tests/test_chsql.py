@@ -4490,6 +4490,23 @@ def test_sparkbar(views):
     assert r[1]["s"] == "█   "
 
 
+def test_sparkbar_degenerate_shapes(views):
+    """r10 (VERDICT r9 #5): sparkbar edge shapes — min(x) == max(x)
+    (all mass in the first bucket), zero-total heights (all spaces,
+    no divide-by-zero), and the single-point group."""
+    views.sql(
+        "SELECT * FROM VALUES (1, 5, 10.0), (1, 5, 20.0),"
+        " (2, 1, 0.0), (2, 2, 0.0), (2, 3, 0.0),"
+        " (3, 7, 3.0) AS t(g, x, y)"
+    ).createOrReplaceTempView("sbd")
+    r = views.sql(translate(
+        "SELECT g, sparkbar(8)(x, y) AS s FROM sbd GROUP BY g"
+        " ORDER BY g").sql).collect()
+    assert r[0]["s"] == "█       "  # min==max: one full first bucket
+    assert r[1]["s"] == "        "  # zero heights render all-empty
+    assert r[2]["s"] == "█       "  # single point
+
+
 def test_probe_batch55_encoding_geobase_tails(views):
     """Round-9 execution probe, batch 55 (~105 spellings swept across
     rounding / bit / multi-search / tuple-vector / encoding / string /

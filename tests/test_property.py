@@ -1355,3 +1355,269 @@ def test_week_modes_match_python_calendar(spark, days):
         assert r["w0"] == mode0(d), (d, r["w0"], mode0(d))
         assert r["w1"] == mode1(d), (d, r["w1"], mode1(d))
         assert r["w3"] == mode3(d), (d, r["w3"], mode3(d))
+
+
+@given(
+    ts=st.lists(st.integers(0, 3600), min_size=1, max_size=15),
+    h=st.sampled_from([60, 300]),
+    mult=st.integers(1, 3),
+)
+@_SET
+def test_hop_window_assignment_matches_model(spark, ts, h, mult):
+    """r10 (VERDICT r9 #5): hop(t, hop, window) multi-assigns each
+    record to every epoch-aligned window [k*hop, k*hop + window)
+    containing it. Timestamps exactly ON a hop edge belong to the
+    window starting there and NOT to the one ending there (half-open
+    upper bound) — the strategy forces edge-exact samples in."""
+    from collections import Counter
+
+    from ed_clickhouse_spark.chsql import translate
+
+    w = h * mult
+    ts = sorted(set(ts) | {0, h, 2 * h, w})  # edge-exact samples
+    spark.createDataFrame(
+        [(t,) for t in ts], "t long"
+    ).createOrReplaceTempView("__hopp")
+    q = translate(
+        "SELECT unix_timestamp(hopStart(hop(timestamp_seconds(t),"
+        f" INTERVAL {h} SECOND, INTERVAL {w} SECOND))) AS s,"
+        " count(*) AS c FROM __hopp GROUP BY"
+        f" hop(timestamp_seconds(t), INTERVAL {h} SECOND,"
+        f" INTERVAL {w} SECOND)"
+    ).sql
+    got = {r["s"]: r["c"] for r in spark.sql(q).collect()}
+    want: Counter = Counter()
+    for t in ts:
+        k = (t - w) // h + 1  # earliest start strictly above t - w
+        while k * h <= t:
+            want[k * h] += 1
+            k += 1
+    assert got == dict(want)
+
+
+@given(
+    a=st.lists(st.integers(0, 30), max_size=12),
+    b=st.lists(st.integers(0, 30), max_size=12),
+    overlap=st.booleans(),
+)
+@_SET
+def test_bitmap_algebra_matches_python_sets(spark, a, b, overlap):
+    """r10 (VERDICT r9 #5): the scalar bitmap family vs Python sets —
+    hypothesis shrinks into the empty/single-element shapes, and the
+    overlap flag forces the full-overlap (b == a) shape regularly."""
+    from ed_clickhouse_spark.chsql import translate
+
+    if overlap:
+        b = list(a)
+    sa, sb = set(a), set(b)
+    spark.createDataFrame(
+        [(a, b)], "a array<int>, b array<int>"
+    ).createOrReplaceTempView("__bmp")
+    r = spark.sql(translate(
+        "SELECT bitmapToArray(bitmapAnd(bitmapBuild(a), bitmapBuild(b)))"
+        "   AS i,"
+        " bitmapToArray(bitmapOr(bitmapBuild(a), bitmapBuild(b))) AS u,"
+        " bitmapToArray(bitmapXor(bitmapBuild(a), bitmapBuild(b))) AS x,"
+        " bitmapToArray(bitmapAndnot(bitmapBuild(a), bitmapBuild(b)))"
+        "   AS d,"
+        " bitmapCardinality(bitmapBuild(a)) AS ca,"
+        " bitmapAndCardinality(bitmapBuild(a), bitmapBuild(b)) AS ci,"
+        " bitmapOrCardinality(bitmapBuild(a), bitmapBuild(b)) AS cu"
+        " FROM __bmp").sql).collect()[0]
+    assert r["i"] == sorted(sa & sb)
+    assert r["u"] == sorted(sa | sb)
+    assert r["x"] == sorted(sa ^ sb)
+    assert r["d"] == sorted(sa - sb)
+    assert r["ca"] == len(sa) and r["ci"] == len(sa & sb)
+    assert r["cu"] == len(sa | sb)
+
+
+@given(
+    base=st.integers(0, 8000),
+    secs=st.integers(0, 86399),
+    year=st.integers(1971, 2099),
+    month=st.integers(1, 12),
+)
+@_SET
+def test_change_field_setters_match_calendar(spark, base, secs, year, month):
+    """r10 (VERDICT r9 #5): changeYear/changeMonth set the target
+    field, preserve every other field, and clamp the day-of-month to
+    the target month's length (Jan 31 -> Feb 29 on leap years; Feb 29
+    -> Feb 28 on a non-leap changeYear) — the documented
+    timestampadd-delta model. changeHour/Minute/Second set exactly."""
+    import calendar
+    import datetime as dt
+
+    from ed_clickhouse_spark.chsql import translate
+
+    d0 = dt.datetime(2020, 1, 1) + dt.timedelta(days=base, seconds=secs)
+
+    def setter(d, **kw):
+        y = kw.get("year", d.year)
+        m = kw.get("month", d.month)
+        day = min(d.day, calendar.monthrange(y, m)[1])
+        return d.replace(year=y, month=m, day=day)
+
+    spark.createDataFrame(
+        [(d0.strftime("%Y-%m-%d %H:%M:%S"),)], "t string"
+    ).createOrReplaceTempView("__chg")
+    r = spark.sql(translate(
+        f"SELECT changeYear(CAST(t AS TIMESTAMP), {year}) AS cy,"
+        f" changeMonth(CAST(t AS TIMESTAMP), {month}) AS cm,"
+        " changeHour(CAST(t AS TIMESTAMP), 5) AS chh,"
+        " changeMinute(CAST(t AS TIMESTAMP), 7) AS cmi,"
+        " changeSecond(CAST(t AS TIMESTAMP), 9) AS cse"
+        " FROM __chg").sql).collect()[0]
+    assert r["cy"] == setter(d0, year=year), (d0, year, r["cy"])
+    assert r["cm"] == setter(d0, month=month), (d0, month, r["cm"])
+    assert r["chh"] == d0.replace(hour=5)
+    assert r["cmi"] == d0.replace(minute=7)
+    assert r["cse"] == d0.replace(second=9)
+
+
+@given(
+    x0=st.integers(-20, 20),
+    y0=st.integers(-20, 20),
+    w=st.integers(0, 30),
+    hgt=st.integers(0, 30),
+    hole=st.booleans(),
+)
+@_SET
+def test_polygon_algebra_matches_closed_form(spark, x0, y0, w, hgt, hole):
+    """r10 (VERDICT r9 #5): polygon area/perimeter on rectangles with
+    an optional inset rectangular hole vs the closed form — area =
+    outer - hole (shoelace with holes), perimeter sums EVERY ring's
+    boundary (boost semantics). Degenerate zero-width/zero-height
+    rings report area 0 and perimeter 2*side."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    outer = [(x0, y0), (x0 + w, y0), (x0 + w, y0 + hgt),
+             (x0, y0 + hgt), (x0, y0)]
+    area = float(w * hgt)
+    perim = float(2 * (w + hgt))
+    rings = [outer]
+    if hole and w >= 4 and hgt >= 4:
+        hx, hy, hw, hh = x0 + 1, y0 + 1, w - 2, hgt - 2
+        rings.append([(hx, hy), (hx, hy + hh), (hx + hw, hy + hh),
+                      (hx + hw, hy), (hx, hy)])
+        area -= hw * hh
+        perim += 2 * (hw + hh)
+    wkt = "POLYGON (" + ", ".join(
+        "(" + ", ".join(f"{x} {y}" for x, y in ring) + ")"
+        for ring in rings
+    ) + ")"
+    r = spark.sql(translate(
+        f"SELECT polygonAreaCartesian(readWKTPolygon('{wkt}')) AS a,"
+        f" polygonPerimeterCartesian(readWKTPolygon('{wkt}')) AS p"
+    ).sql).collect()[0]
+    assert r["a"] == pytest.approx(area), (wkt, r["a"], area)
+    assert r["p"] == pytest.approx(perim), (wkt, r["p"], perim)
+
+
+@given(
+    pts=st.lists(
+        st.tuples(st.integers(0, 24), st.integers(0, 50)),
+        min_size=1,
+        max_size=20,
+    ),
+)
+@_SET
+def test_timeseries_grid_matches_python_promql(spark, pts):
+    """r10 (VERDICT r9 #5): the timeSeries*ToGrid family vs a literal
+    Python implementation of the documented PromQL semantics — grid
+    0..600 step 150 window 150 over samples at 25-second resolution,
+    so counter resets and samples land EXACTLY on window boundaries
+    regularly (t = k*150), including single-sample windows."""
+    from ed_clickhouse_spark.chsql import translate
+
+    # dedupe by timestamp (keep max v, matching the sort-by-(t,v)
+    # tie order where the LAST struct wins for resample/irate)
+    by_t: dict = {}
+    for tt, v in pts:
+        t_s = tt * 25
+        by_t[t_s] = max(v, by_t.get(v, v), by_t.get(t_s, v))
+    samples = sorted((t, float(v)) for t, v in by_t.items())
+    start, end, step, w = 0, 600, 150, 150
+
+    def win(g):
+        return [(t, v) for t, v in samples if g - w < t <= g]
+
+    def resample(ws):
+        return ws[-1][1] if ws else None
+
+    def idelta(ws):
+        return ws[-1][1] - ws[-2][1] if len(ws) >= 2 else None
+
+    def irate(ws):
+        if len(ws) < 2:
+            return None
+        (t1, v1), (t2, v2) = ws[-2], ws[-1]
+        if t2 == t1:
+            return None
+        return ((v2 - v1) if v2 >= v1 else v2) / (t2 - t1)
+
+    def delta_rate(ws, g, is_rate):
+        if len(ws) < 2:
+            return None
+        t1, v1 = ws[0]
+        tn, vn = ws[-1]
+        si = tn - t1
+        if si <= 0:
+            return None
+        corr = 0.0
+        if is_rate:
+            for (pa, va), (pb, vb) in zip(ws, ws[1:]):
+                if vb < va:
+                    corr += va
+        inc = vn - v1 + corr
+        nn = len(ws)
+        avg = si / (nn - 1)
+        gs, ge = g - w, g
+        ds0 = t1 - gs
+        ds = ds0
+        if is_rate and inc > 0 and v1 >= 0 and si * v1 / inc < ds0:
+            ds = si * v1 / inc
+        de = ge - tn
+        extrap = (
+            si
+            + (ds if ds < 1.1 * avg else avg / 2)
+            + (de if de < 1.1 * avg else avg / 2)
+        )
+        res = inc * extrap / si
+        return res / w if is_rate else res
+
+    grid = [start + i * step for i in range((end - start) // step + 1)]
+    want = {
+        "rs": [resample(win(g)) for g in grid],
+        "idl": [idelta(win(g)) for g in grid],
+        "irt": [irate(win(g)) for g in grid],
+        "dl": [delta_rate(win(g), g, False) for g in grid],
+        "rt": [delta_rate(win(g), g, True) for g in grid],
+    }
+    spark.createDataFrame(
+        [(float(t), v) for t, v in samples], "ts double, v double"
+    ).createOrReplaceTempView("__tsgp")
+    r = spark.sql(translate(
+        "SELECT"
+        f" timeSeriesResampleToGridWithStaleness({start}, {end}, {step},"
+        f" {w})(ts, v) AS rs,"
+        f" timeSeriesInstantDeltaToGrid({start}, {end}, {step}, {w})"
+        "   (ts, v) AS idl,"
+        f" timeSeriesInstantRateToGrid({start}, {end}, {step}, {w})"
+        "   (ts, v) AS irt,"
+        f" timeSeriesDeltaToGrid({start}, {end}, {step}, {w})(ts, v)"
+        "   AS dl,"
+        f" timeSeriesRateToGrid({start}, {end}, {step}, {w})(ts, v)"
+        "   AS rt"
+        " FROM __tsgp").sql).collect()[0]
+    for key in want:
+        got = r[key]
+        exp = want[key]
+        assert len(got) == len(exp), key
+        for gv, ev in zip(got, exp):
+            if ev is None:
+                assert gv is None, (key, got, exp, samples)
+            else:
+                assert gv == pytest.approx(ev), (key, got, exp, samples)
