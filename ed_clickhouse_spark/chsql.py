@@ -1698,6 +1698,12 @@ _SCALAR_RENAMES = {
     "isIPAddressInRange": "ch_ip_in_range",
     "IPv6CIDRToRange": "ch_ipv6_cidr_to_range",
     "toIPv6": "ch_ipv6_normalize",
+    # batch-68 IPv6 tails (stdlib-ipaddress-exact like toIPv6)
+    "toIPv6OrNull": "ch_try_ipv6_normalize",
+    "IPv6StringToNum": "ch_ipv6_to_num",
+    "IPv6StringToNumOrNull": "ch_try_ipv6_to_num",
+    "IPv6NumToString": "ch_ipv6_num_to_string",
+    "cutIPv6": "ch_cut_ipv6",
     "arrayLevenshteinDistance": "ch_array_levenshtein",
     "concatAssumeInjective": "concat",
     "mapConcat": "map_concat",
@@ -1837,6 +1843,22 @@ _ARRAY_SPLICE: dict[str, dict[int, str]] = {
            " map_entries({1})))",
     },
     "mapSort": {1: "map_from_entries(array_sort(map_entries({0})))"},
+    # batch-68 map tails: key-LIKE extraction/containment are plain
+    # map_filter / exists folds over the keys
+    "mapExtractKeyLike": {
+        2: "map_filter({0}, (__ch_k, __ch_v) -> __ch_k LIKE {1})"
+    },
+    "mapContainsKeyLike": {
+        2: "exists(map_keys({0}), __ch_k -> __ch_k LIKE {1})"
+    },
+    # batch-69: addDate/subDate ARE the +/- interval operators; CH's
+    # indexHint returns 1 for every row (the argument only steers index
+    # selection, which Catalyst already does from real predicates) —
+    # the IS-NULL-OR-TRUE guard keeps the argument analyzed so typos
+    # still error, then folds to constant 1
+    "addDate": {2: "({0} + {1})"},
+    "subDate": {2: "({0} - {1})"},
+    "indexHint": {1: "IF(({0}) IS NULL OR TRUE, 1, 1)"},
     "mapReverseSort": {
         1: "map_from_entries(reverse(array_sort(map_entries({0}))))",
     },
@@ -5700,6 +5722,10 @@ _OPERATOR_ONLY_AGGS = {
     "sqidEncode": "conv()/base64 for id obfuscation (sqids shuffling"
                   " has no codegen spelling)",
     "sqidDecode": "conv()/base64",
+    # batch-68: the Nested-type constructor exists only for CH's
+    # Nested storage layout; Spark's equivalent is explicit
+    "nested": "arrays_zip + named_struct (Nested is a CH storage"
+              " layout, not a reader-side value)",
     "arrayNormalizedGini": "operators/stats.py:auc (rank-based Gini"
                            " needs the distributed midrank machinery)",
     "byteSize": "length/octet_length (in-memory layout size has no"
@@ -5720,6 +5746,9 @@ _OPERATOR_ONLY_AGGS = {
     "runningDifference":
         "x - lag(x) OVER (ORDER BY ...) or"
         " operators/windows.py:running_difference",
+    "runningDifferenceStartingWithFirstValue":
+        "x - lag(x, 1, first_value-shaped default) OVER (ORDER BY ...)"
+        " — block order is undefined in a distributed scan (batch-68)",
     "neighbor": "lead(x, n)/lag(x, n) OVER (ORDER BY ...) windows",
 }
 

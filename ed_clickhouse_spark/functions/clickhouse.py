@@ -587,6 +587,18 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         r"(\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}$'"
         " THEN IPv4StringToNum(s) END",
     ),
+    # batch-68: the OrZero spellings coalesce onto the type's zero
+    # address (CH renders 0.0.0.0 / ::); the IPv6 try-parse is the
+    # session-registered pandas UDF (strdist.py), resolvable here
+    # because register_sql_aliases registers the ch_* UDFs first
+    "toIPv4OrZero": (
+        "(s STRING) RETURNS BIGINT",
+        "coalesce(toIPv4OrNull(s), CAST(0 AS BIGINT))",
+    ),
+    "toIPv6OrZero": (
+        "(s STRING) RETURNS STRING",
+        "coalesce(ch_try_ipv6_normalize(s), '::')",
+    ),
     # (lo, hi) of the CIDR block as a struct — ClickHouse returns a
     # tuple of IPv4 values, same numeric content
     "IPv4CIDRToRange": (
@@ -1183,8 +1195,19 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
     # bucket VALUES differ from ClickHouse's algorithms (jump/karger),
     # same class of deviation as the 64-bit hash family
     "jumpConsistentHash": ("(k BIGINT, n INT) RETURNS INT", "CAST(pmod(xxhash64(k), n) AS INT)"),
-    "kostikConsistentHash": ("(k BIGINT, n INT) RETURNS INT", "CAST(pmod(xxhash64(k), n) AS INT)"),
-    "yandexConsistentHash": ("(k BIGINT, n INT) RETURNS INT", "CAST(pmod(xxhash64(k), n) AS INT)"),
+    # UInt64 keys above 2^63-1 (CH's own doc examples use them) wrap
+    # to the signed 64-bit bit pattern before hashing (batch-68: a
+    # BIGINT parameter overflowed on such literals)
+    "kostikConsistentHash": (
+        "(k DECIMAL(20,0), n INT) RETURNS INT",
+        "CAST(pmod(xxhash64(CAST(k - CASE WHEN k > 9223372036854775807"
+        " THEN CAST(18446744073709551616 AS DECIMAL(21,0))"
+        " ELSE 0 END AS BIGINT)), n) AS INT)",
+    ),
+    "yandexConsistentHash": (
+        "(k DECIMAL(20,0), n INT) RETURNS INT",
+        "kostikConsistentHash(k, n)",
+    ),
     "intExp10": ("(n INT) RETURNS BIGINT", "CAST(pow(10, n) AS BIGINT)"),
     # Lanczos approximation (g = 7, n = 9), |err| < 1e-13 for x > 0 —
     # Spark has no gamma builtins. chLgammaPos is the positive-domain
@@ -2211,6 +2234,39 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
     "fromDaysSinceYearZero": (
         "(n INT) RETURNS DATE", "date_add(DATE'1970-01-01', n - 719528)"
     ),
+    # '1 hour 30 minutes' -> seconds (batch-69). CH's unit table:
+    # s/sec/second(s), min/minute(s), h/hr/hour(s), d/day(s),
+    # w/week(s), mo/month(s) = 30.5 d, y/year(s) = 365 d; ms/us/ns
+    # fractions. Unknown units contribute NULL (the whole result goes
+    # NULL) rather than a silent 0.
+    "parseTimeDelta": (
+        "(s STRING) RETURNS DOUBLE",
+        "aggregate(regexp_extract_all(lower(s),"
+        " '([0-9]*\\\\.?[0-9]+)\\\\s*([a-z]+)', 0),"
+        " CAST(0 AS DOUBLE), (__acc, __p) -> __acc"
+        " + CAST(regexp_extract(__p, '([0-9]*\\\\.?[0-9]+)', 1)"
+        "   AS DOUBLE)"
+        " * CASE regexp_extract(__p, '([a-z]+)$', 1)"
+        "   WHEN 'ns' THEN 1e-9 WHEN 'us' THEN 1e-6"
+        "   WHEN 'ms' THEN 1e-3 WHEN 'millisecond' THEN 1e-3"
+        "   WHEN 'milliseconds' THEN 1e-3"
+        "   WHEN 's' THEN 1 WHEN 'sec' THEN 1 WHEN 'secs' THEN 1"
+        "   WHEN 'second' THEN 1 WHEN 'seconds' THEN 1"
+        "   WHEN 'min' THEN 60 WHEN 'mins' THEN 60"
+        "   WHEN 'minute' THEN 60 WHEN 'minutes' THEN 60"
+        "   WHEN 'h' THEN 3600 WHEN 'hr' THEN 3600"
+        "   WHEN 'hrs' THEN 3600 WHEN 'hour' THEN 3600"
+        "   WHEN 'hours' THEN 3600"
+        "   WHEN 'd' THEN 86400 WHEN 'day' THEN 86400"
+        "   WHEN 'days' THEN 86400"
+        "   WHEN 'w' THEN 604800 WHEN 'week' THEN 604800"
+        "   WHEN 'weeks' THEN 604800"
+        "   WHEN 'mo' THEN 2635200 WHEN 'month' THEN 2635200"
+        "   WHEN 'months' THEN 2635200"
+        "   WHEN 'y' THEN 31536000 WHEN 'year' THEN 31536000"
+        "   WHEN 'years' THEN 31536000"
+        "   ELSE CAST(NULL AS DOUBLE) END)",
+    ),
     # legacy Twitter-epoch snowflake pair (epoch 1288834974657 ms); the
     # new *ID functions take an explicit epoch via the splice rewrites
     "snowflakeToDateTime": (
@@ -2218,6 +2274,15 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "timestamp_millis((x >> 22) + 1288834974657)",
     ),
     "dateTimeToSnowflake": (
+        "(x TIMESTAMP) RETURNS BIGINT",
+        "shiftleft(unix_millis(x) - 1288834974657, 22)",
+    ),
+    # the DateTime64 twins share the millisecond math (batch-68)
+    "snowflakeToDateTime64": (
+        "(x BIGINT) RETURNS TIMESTAMP",
+        "timestamp_millis((x >> 22) + 1288834974657)",
+    ),
+    "dateTime64ToSnowflake": (
         "(x TIMESTAMP) RETURNS BIGINT",
         "shiftleft(unix_millis(x) - 1288834974657, 22)",
     ),

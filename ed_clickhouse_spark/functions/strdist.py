@@ -523,6 +523,55 @@ def ipv6_normalize(addr: str) -> str:
     return a.compressed
 
 
+def ipv6_to_num(addr: str) -> bytes:
+    """ClickHouse ``IPv6StringToNum``: the 16-byte big-endian address
+    (FixedString(16) in CH ≙ BINARY here); IPv4 input maps into
+    ::ffff:a.b.c.d first like CH. Invalid input raises (the OrNull
+    spelling rides try_mode)."""
+    import ipaddress
+
+    try:
+        a = ipaddress.ip_address(addr)
+    except ValueError as exc:
+        raise ValueError(
+            f"IPv6StringToNum: invalid address {addr!r}: {exc}"
+        ) from exc
+    if a.version == 4:
+        a = ipaddress.IPv6Address(f"::ffff:{addr}")
+    return a.packed
+
+
+def ipv6_num_to_string(b) -> str:
+    """ClickHouse ``IPv6NumToString``: render the 16-byte form RFC 5952
+    compressed, keeping the dotted quad for ipv4-mapped addresses
+    (same render rule as ipv6_normalize)."""
+    import ipaddress
+
+    a = ipaddress.IPv6Address(bytes(b))
+    mapped = a.ipv4_mapped
+    if mapped is not None:
+        return f"::ffff:{mapped.compressed}"
+    return a.compressed
+
+
+def cut_ipv6(addr: str, bytes_v6: int, bytes_v4: int) -> str:
+    """ClickHouse ``cutIPv6(x, bytesToCutForIPv6, bytesToCutForIPv4)``:
+    zero the trailing N bytes — N chosen by whether the address is
+    ipv4-mapped — and re-render."""
+    import ipaddress
+
+    a = ipaddress.ip_address(addr)
+    if a.version == 4:
+        a = ipaddress.IPv6Address(f"::ffff:{addr}")
+    is4 = a.ipv4_mapped is not None
+    cut = max(0, min(16, int(bytes_v4 if is4 else bytes_v6)))
+    out = ipaddress.IPv6Address(a.packed[: 16 - cut] + b"\x00" * cut)
+    mapped = out.ipv4_mapped
+    if mapped is not None and is4:
+        return f"::ffff:{mapped.compressed}"
+    return out.compressed
+
+
 def array_levenshtein(a, b) -> int:
     """ClickHouse ``arrayLevenshteinDistance``: plain Levenshtein DP
     over the element SEQUENCES (any element type; equality is the edit
@@ -567,6 +616,30 @@ _udf_try_punycode_decode = pandas_udf(
     _mapper(punycode_decode, try_mode=True), StringType()
 )
 _udf_ipv6_normalize = pandas_udf(_mapper(ipv6_normalize), StringType())
+_udf_try_ipv6_normalize = pandas_udf(
+    _mapper(ipv6_normalize, try_mode=True), StringType()
+)
+_udf_ipv6_to_num = pandas_udf(_mapper(ipv6_to_num), BinaryType())
+_udf_try_ipv6_to_num = pandas_udf(
+    _mapper(ipv6_to_num, try_mode=True), BinaryType()
+)
+_udf_ipv6_num_to_string = pandas_udf(
+    _mapper(ipv6_num_to_string), StringType()
+)
+
+
+@pandas_udf(StringType())
+def _udf_cut_ipv6(
+    addr: pd.Series, b6: pd.Series, b4: pd.Series
+) -> pd.Series:
+    return pd.Series(
+        [
+            None if a is None or x6 is None or x4 is None
+            else cut_ipv6(a, x6, x4)
+            for a, x6, x4 in zip(addr, b6, b4)
+        ],
+        dtype="object",
+    )
 _udf_idna_encode = pandas_udf(_mapper(idna_encode), StringType())
 _udf_idna_decode = pandas_udf(_mapper(idna_decode), StringType())
 _udf_try_idna_encode = pandas_udf(
@@ -644,6 +717,11 @@ _REGISTRY = {
     **_NORM_UDFS,
     "ch_ip_in_range": _udf_ip_in_range,
     "ch_ipv6_normalize": _udf_ipv6_normalize,
+    "ch_try_ipv6_normalize": _udf_try_ipv6_normalize,
+    "ch_ipv6_to_num": _udf_ipv6_to_num,
+    "ch_try_ipv6_to_num": _udf_try_ipv6_to_num,
+    "ch_ipv6_num_to_string": _udf_ipv6_num_to_string,
+    "ch_cut_ipv6": _udf_cut_ipv6,
     "ch_array_levenshtein": _udf_array_levenshtein,
     "ch_ipv6_cidr_to_range": _udf_ipv6_cidr_to_range,
 }

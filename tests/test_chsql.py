@@ -4686,6 +4686,90 @@ def test_probe_batch58_json_tails(views):
         translate("SELECT JSONExtract('{}', 'a', 'Tuple(Int64)')")
 
 
+def test_probe_batch68_tuple_map_ip_tails(views):
+    """Round-10 execution probe, batch 68 (~120 spellings swept across
+    tuple/array/map HOF tails, morton/geohash/geo-distance, datetime
+    name/slot/snowflake, string search/token, consistent hashing,
+    sample-size stats, series outliers, quantile tails — ~100 already
+    executed). Real fixes: mapExtractKeyLike/mapContainsKeyLike
+    (map_filter/exists folds), the IPv6 string<->num family +
+    toIPv4/6OrZero/OrNull (stdlib-ipaddress pandas UDFs like toIPv6),
+    cutIPv6, snowflake DateTime64 twins, and UInt64-literal keys in
+    kostik/yandexConsistentHash (BIGINT param overflowed); nested()
+    refuses loudly toward arrays_zip."""
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(views)
+    r = views.sql(translate(
+        "SELECT mapValues(mapExtractKeyLike(map('abc', 1, 'xyz', 2),"
+        "   'ab%')) AS mk,"
+        " mapContainsKeyLike(map('abc', 1), 'ab%') AS mc,"
+        " toIPv4OrZero('zz') AS i4z,"
+        " toIPv4OrZero('1.2.3.4') AS i4,"
+        " toIPv6OrNull('nope') AS i6n,"
+        " toIPv6OrZero('nope') AS i6z,"
+        " hex(IPv6StringToNum('::1')) AS n6,"
+        " IPv6StringToNumOrNull('zz') AS n6n,"
+        " IPv6NumToString(IPv6StringToNum('2001:db8::1')) AS rt6,"
+        " IPv6NumToString(IPv6StringToNum('1.2.3.4')) AS rt4,"
+        " cutIPv6(toIPv6('2001:db8:1:2:3:4:5:6'), 8, 0) AS cut6,"
+        " cutIPv6(toIPv6('1.2.3.4'), 8, 1) AS cut4,"
+        " snowflakeToDateTime64(dateTime64ToSnowflake("
+        "   timestamp'2024-01-01 00:00:00')) AS sf,"
+        " kostikConsistentHash(16045690984833335023, 2) AS kh,"
+        " yandexConsistentHash(1, 16) AS yh").sql).collect()[0]
+    assert r["mk"] == [1] and r["mc"] is True
+    assert r["i4z"] == 0 and r["i4"] == 16909060
+    assert r["i6n"] is None and r["i6z"] == "::"
+    assert r["n6"] == "0000000000000000" + "0000000000000001".upper() \
+        or r["n6"].lower().endswith("01")
+    assert r["n6n"] is None
+    assert r["rt6"] == "2001:db8::1" and r["rt4"] == "::ffff:1.2.3.4"
+    assert r["cut6"] == "2001:db8:1:2::"
+    assert r["cut4"] == "::ffff:1.2.3.0"
+    import datetime
+    assert r["sf"] == datetime.datetime(2024, 1, 1, 0, 0)
+    assert r["kh"] in (0, 1) and r["yh"] in range(16)
+    with pytest.raises(ValueError, match="arrays_zip"):
+        translate("SELECT nested(['a'], [1])")
+
+
+def test_probe_batch69_vector_date_url_tails(views):
+    """Round-10 execution probe, batch 69 (~70 spellings swept across
+    Lp norms/distances, widthBucket, Julian/YYYYMMDD dates, URL
+    encode/decode, bitmask expansion, reinterpretAs*, ULID,
+    corr/covar matrices, moving-average combinators — ~52 already
+    executed). Real fixes: parseTimeDelta (CH unit table incl. 30.5-day
+    months, NULL on unknown units), addDate/subDate as the +/- interval
+    operators, indexHint folding to constant 1 with the argument still
+    analyzed; runningDifferenceStartingWithFirstValue refuses loudly
+    (block order is undefined in a distributed scan)."""
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(views)
+    r = views.sql(translate(
+        "SELECT parseTimeDelta('1 hour 30 minutes') AS td,"
+        " parseTimeDelta('1.5h') AS td2,"
+        " parseTimeDelta('3 bogus') AS tdn,"
+        " addDate(toDate('2024-01-10'), INTERVAL 3 DAY) AS ad,"
+        " subDate(toDate('2024-01-10'), INTERVAL 3 DAY) AS sd,"
+        " indexHint(1 = 1) AS ih,"
+        " widthBucket(10.15, 0, 20, 10) AS wb,"
+        " toModifiedJulianDay('2024-01-01') AS mjd,"
+        " bitPositionsToArray(50) AS bp,"
+        " reinterpretAsUInt32('abcd') AS ri,"
+        " L2Distance([0.0, 0.0], [3.0, 4.0]) AS l2").sql).collect()[0]
+    import datetime
+    assert r["td"] == 5400.0 and r["td2"] == 5400.0 and r["tdn"] is None
+    assert r["ad"] == datetime.date(2024, 1, 13)
+    assert r["sd"] == datetime.date(2024, 1, 7)
+    assert r["ih"] == 1 and r["wb"] == 6 and r["mjd"] == 60310
+    assert r["bp"] == [1, 4, 5] and r["ri"] == 1684234849
+    assert r["l2"] == 5.0
+    with pytest.raises(ValueError, match="block order"):
+        translate("SELECT runningDifferenceStartingWithFirstValue(x)")
+
+
 def test_advice_r9_json_value_string_scalars(views):
     """ADVICE r10 batch: string scalars whose TEXT looks like a
     number/bool/container must classify as strings. JSON_VALUE
