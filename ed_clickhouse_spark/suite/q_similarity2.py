@@ -319,3 +319,78 @@ def q242_pq_recall_audit(spark, sf_dir):
     ).select("q_id", "c_id")
     exact = brute_force_topk(q, c, k=5).select("q_id", "c_id")
     return _recall_audit(approx, exact, 5, 0.55, 10)
+
+
+@query(
+    "q254_embedding_centroids",
+    oracle="""
+    WITH pos AS (
+      SELECT label, i, AVG(x) AS c
+      FROM (SELECT label, CAST(unnest(embedding) AS DOUBLE) AS x,
+                   generate_subscripts(embedding, 1) AS i
+            FROM embeddings)
+      GROUP BY label, i
+    ),
+    cent AS (SELECT label, list(c ORDER BY i) AS cv FROM pos GROUP BY label),
+    d AS (
+      SELECT e.label,
+             sqrt(list_sum(list_transform(range(1, len(e.embedding) + 1),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - c.cv[i]) ^ 2))) AS dist
+      FROM embeddings e JOIN cent c ON e.label = c.label
+    )
+    SELECT d.label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(CAST(ANY_VALUE(sqrt(nrm)) AS DECIMAL(18,2)) AS DOUBLE)
+             AS centroid_norm,
+           CAST(CAST(AVG(dist) AS DECIMAL(18,2)) AS DOUBLE) AS avg_dist
+    FROM d
+    JOIN (SELECT label, list_sum(list_transform(cv, v -> v * v)) AS nrm
+          FROM cent GROUP BY label, cv) n ON n.label = d.label
+    GROUP BY d.label
+    """,
+)
+def q254_embedding_centroids(spark, sf_dir):
+    """Per-label embedding centroids and member-to-centroid distances —
+    the distributed shape of a clustering-quality report. One
+    posexplode + (label, dim) groupBy computes the centroid components
+    with map-side partial sums (shuffle = labels x 64 dims, never the
+    vectors); the centroid frame (one 64-dim row per label — bounded)
+    joins back to the members and the distance is a pure-codegen
+    zip_with/aggregate fold. No collect, no UDF; at 100 TB the only
+    growing exchange is the (label, dim) partial-avg, which is
+    fact-row-count-independent after the map-side combine."""
+    emb = t(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cent = (
+        emb.select("label", F.posexplode("v").alias("i", "x"))
+        .groupBy("label", "i")
+        .agg(F.avg("x").alias("c"))
+        .groupBy("label")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(named_struct"
+                "('i', i, 'c', c))), __s -> __s.c)"
+            ).alias("cv")
+        )
+    )
+    dist = F.expr(
+        "sqrt(aggregate(zip_with(v, cv, (__a, __b) -> (__a - __b)"
+        " * (__a - __b)), CAST(0 AS DOUBLE), (__s, __x) -> __s + __x))"
+    )
+    nrm = F.expr(
+        "sqrt(aggregate(transform(cv, __c -> __c * __c),"
+        " CAST(0 AS DOUBLE), (__s, __x) -> __s + __x))"
+    )
+    return (
+        emb.join(cent, "label")
+        .select("label", dist.alias("dist"), nrm.alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.first("nrm").cast("decimal(18,2)").cast("double")
+            .alias("centroid_norm"),
+            F.avg("dist").cast("decimal(18,2)").cast("double")
+            .alias("avg_dist"),
+        )
+    )
