@@ -7760,6 +7760,11 @@ def _apply_clause_rewrites(sql: str, specs: dict | None) -> str:
     sql = _rewrite_any_join(sql, specs)
     sql = _rewrite_final(sql)
     sql = _rewrite_prewhere(sql)
+    # ClickHouse GROUP BY () (batch-70): one group over everything —
+    # the same plan as omitting the clause entirely
+    gm = _find_top(sql, r"(?i)\bGROUP\s+BY\s*\(\s*\)")
+    if gm:
+        sql = sql[: gm.start()] + " " + sql[gm.end():]
     sql = _inline_select_aliases_in_where(sql)
     sql = _rewrite_array_join_fn(sql)
     sql = _rewrite_array_join(sql)

@@ -555,6 +555,13 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "(u STRING) RETURNS STRING",
         r"regexp_extract(parse_url(u, 'HOST'), '\\.([^.]+)$', 1)",
     ),
+    # RFC twin (batch-70): same last-label extraction; domainRFC's
+    # parse_url body is inlined because it registers LATER in this
+    # dict (temp-function bodies resolve at CREATE time)
+    "topLevelDomainRFC": (
+        "(u STRING) RETURNS STRING",
+        r"regexp_extract(parse_url(u, 'HOST'), '\\.([^.]+)$', 1)",
+    ),
     # IP functions (ClickHouse IPv4 family; value is a UInt32 as BIGINT)
     "IPv4NumToString": (
         "(n BIGINT) RETURNS STRING",

@@ -4770,6 +4770,31 @@ def test_probe_batch69_vector_date_url_tails(views):
         translate("SELECT runningDifferenceStartingWithFirstValue(x)")
 
 
+def test_probe_batch70_statement_shapes(views):
+    """Round-10 execution probe, batch 70 (~33 statement-level dialect
+    shapes: * EXCEPT/REPLACE, numbers()/generateSeries, PREWHERE,
+    GLOBAL IN, multi-array arrayMap, ARRAY JOIN literal forms,
+    SETTINGS/FORMAT tails, GROUP BY ALL, WITH TOTALS, <=> spellings,
+    arrayFill/Split families — ~24 already executed). Real fixes:
+    GROUP BY () folds to the global aggregate, topLevelDomainRFC; the
+    close-paren tuple access (t).1 was already supported (bare t.1
+    stays a documented ambiguity corner)."""
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(views)
+    views.sql(
+        "SELECT explode(sequence(1, 5)) AS x"
+    ).createOrReplaceTempView("b70")
+    r = views.sql(translate(
+        "SELECT sum(x) AS s FROM b70 GROUP BY ()").sql).collect()
+    assert len(r) == 1 and r[0]["s"] == 15
+    r = views.sql(translate(
+        "SELECT (t).1 AS f, (t).2 AS sec, "
+        "topLevelDomainRFC('http://a.b.co.uk/x') AS tld"
+        " FROM (SELECT (3, 'y') AS t)").sql).collect()[0]
+    assert r["f"] == 3 and r["sec"] == "y" and r["tld"] == "uk"
+
+
 def test_advice_r9_json_value_string_scalars(views):
     """ADVICE r10 batch: string scalars whose TEXT looks like a
     number/bool/container must classify as strings. JSON_VALUE
