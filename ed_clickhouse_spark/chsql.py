@@ -1710,6 +1710,7 @@ _SCALAR_RENAMES = {
     # batch-29 tails: Joda-syntax date spellings ARE Spark's native
     # JDK-pattern builtins; arithmetic camel names map 1:1
     "countSubstringsCaseInsensitiveUTF8": "countSubstringsCaseInsensitive",
+    "overlayUTF8": "overlay",
     # RESPECT NULLS spellings: Spark's first/last_value default to
     # respecting NULLs (it's CH's any/anyLast that skip them)
     "any_respect_nulls": "first_value",
@@ -7681,6 +7682,15 @@ def translate(
     sql = sql.strip()
     if params:
         sql = substitute_params(sql, params)
+    else:
+        # an unfilled {name:Type} placeholder would otherwise surface
+        # as an opaque Spark parse error (batch-71)
+        pm = _find_top_anywhere(sql, r"\{\w+\s*:\s*[A-Za-z0-9() ]+\}")
+        if pm:
+            raise ValueError(
+                f"query parameter {pm.group(0)} has no value — pass"
+                " params={...} to translate() / Engine.ch_sql"
+            )
     sql, fmt = _strip_trailing(sql)
     # strip only GLOBAL — ANY now has its own rewrite below; GLOBAL IN /
     # GLOBAL NOT IN likewise drop the keyword (every Spark IN is global)

@@ -2301,6 +2301,35 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "COALESCE(try_cast(s AS DECIMAL(38,0)),"
         " CAST(CAST(s AS DOUBLE) AS DECIMAL(38,0)))",
     ),
+    # Or* variants of the wide-integer spellings (batch-71)
+    "toInt128OrNull": (
+        "(s STRING) RETURNS DECIMAL(38,0)", "try_cast(s AS DECIMAL(38,0))"
+    ),
+    "toInt128OrZero": (
+        "(s STRING) RETURNS DECIMAL(38,0)",
+        "coalesce(try_cast(s AS DECIMAL(38,0)), CAST(0 AS DECIMAL(38,0)))",
+    ),
+    "toInt256OrNull": (
+        "(s STRING) RETURNS DECIMAL(38,0)", "try_cast(s AS DECIMAL(38,0))"
+    ),
+    "toInt256OrZero": (
+        "(s STRING) RETURNS DECIMAL(38,0)",
+        "coalesce(try_cast(s AS DECIMAL(38,0)), CAST(0 AS DECIMAL(38,0)))",
+    ),
+    "toUInt128OrNull": (
+        "(s STRING) RETURNS DECIMAL(38,0)", "try_cast(s AS DECIMAL(38,0))"
+    ),
+    "toUInt128OrZero": (
+        "(s STRING) RETURNS DECIMAL(38,0)",
+        "coalesce(try_cast(s AS DECIMAL(38,0)), CAST(0 AS DECIMAL(38,0)))",
+    ),
+    "toUInt256OrNull": (
+        "(s STRING) RETURNS DECIMAL(38,0)", "try_cast(s AS DECIMAL(38,0))"
+    ),
+    "toUInt256OrZero": (
+        "(s STRING) RETURNS DECIMAL(38,0)",
+        "coalesce(try_cast(s AS DECIMAL(38,0)), CAST(0 AS DECIMAL(38,0)))",
+    ),
     "toInt256": (
         "(s STRING) RETURNS DECIMAL(38,0)",
         "COALESCE(try_cast(s AS DECIMAL(38,0)),"

@@ -4795,6 +4795,30 @@ def test_probe_batch70_statement_shapes(views):
     assert r["f"] == 3 and r["sec"] == "y" and r["tld"] == "uk"
 
 
+def test_probe_batch71_window_string_int_tails(views):
+    """Round-10 execution probe, batch 71 (~45 spellings: RANGE frames,
+    WINDOW clause, WITH FILL STEP, split/token/extract families,
+    overlay/locate/instr, bit rotates, array has*/last/first tails —
+    ~37 already executed; EXPLAIN variants are engine-level and covered
+    by test_ddl). Real fixes: overlayUTF8 rename, Or(Null|Zero)
+    variants of the 128/256-bit integer spellings, and a LOUD error
+    for an unfilled {name:Type} query parameter (was an opaque Spark
+    parse error; the params= path already rendered them)."""
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(views)
+    r = views.sql(translate(
+        "SELECT overlayUTF8('hello', 'XX', 2, 2) AS o,"
+        " toUInt256OrZero('zz') AS z,"
+        " toInt128OrNull('abc') AS n").sql).collect()[0]
+    assert r["o"] == "hXXlo" and int(r["z"]) == 0 and r["n"] is None
+    r = views.sql(translate(
+        "SELECT {p:Int64} + 1 AS r", params={"p": 41}).sql).collect()[0]
+    assert r["r"] == 42
+    with pytest.raises(ValueError, match="has no value"):
+        translate("SELECT {p:Int64} + 1")
+
+
 def test_advice_r9_json_value_string_scalars(views):
     """ADVICE r10 batch: string scalars whose TEXT looks like a
     number/bool/container must classify as strings. JSON_VALUE
