@@ -1592,3 +1592,46 @@ def q252_combinator_tails(spark, sf_dir):
     register_sql_aliases(spark)
     t(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(translate(_CH_COMBINATOR_TAILS).sql)
+
+
+_CH_QUERY_TAILS = """
+SELECT event_type,
+       count() AS n,
+       widthBucket(avg(value), 0, 100, 10) AS avg_bucket,
+       toFloat64(toDecimal64(L2Norm(groupArray(value)), 2)) AS l2,
+       toYYYYMM(min(ts)) AS first_month,
+       toInt64(parseTimeDelta('1h 30min')) AS td
+FROM events
+GROUP BY event_type
+"""
+
+
+@query(
+    "q255_dialect_probe_tails",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(CASE WHEN AVG(value) < 0 THEN 0
+                     WHEN AVG(value) >= 100 THEN 11
+                     ELSE FLOOR(AVG(value) / 10) + 1 END AS BIGINT)
+             AS avg_bucket,
+           CAST(CAST(sqrt(SUM(value * value)) AS DECIMAL(18,2)) AS DOUBLE)
+             AS l2,
+           CAST(strftime(MIN(ts), '%Y%m') AS BIGINT) AS first_month,
+           CAST(5400 AS BIGINT) AS td
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def q255_dialect_probe_tails(spark, sf_dir):
+    """Round-10 dialect tails in the graded loop: widthBucket,
+    L2Norm-over-groupArray (order-invariant sum of squares — safe to
+    hash after the DECIMAL(18,2) round), toYYYYMM, parseTimeDelta —
+    the batch 68-71 surface run as one ClickHouse query through the
+    rewriter against a window-free DuckDB oracle."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(translate(_CH_QUERY_TAILS).sql)
