@@ -597,3 +597,16 @@ def test_approx_ntile_plan_has_no_window(spark):
         F.col("ntile") == 1
     )
     assert top.agg(F.min("v")).collect()[0][0] >= 740.0
+
+
+def test_q254_centroid_plan_shape(spark):
+    """q254: centroid build must be the (label, dim) partial-avg
+    groupBy (map-side combine — no vector arrays through the first
+    exchange) and the member join must stay a real join feeding a
+    projection-side distance fold: no cartesian, no window."""
+    sf = "/root/testdata/sf0.001"
+    p = _plan(QUERIES["q254_embedding_centroids"](spark, sf))
+    assert "CartesianProduct" not in p
+    assert "Window" not in p
+    assert "posexplode" in p or "Generate" in p
+    assert "zip_with" in p  # the distance fold is projection-side
