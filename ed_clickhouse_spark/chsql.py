@@ -5863,8 +5863,11 @@ _AGG_IF_BASES = {
     "groupArray": "collect_list",
     "argMax": "max_by",
     "argMin": "min_by",
-    "anyLast": "last",
-    "any": "any_value",
+    # the any family skips NULLs in CH — the If wrap introduces NULLs
+    # for non-matching rows, so the ignoreNulls flag is load-bearing
+    # (batch-72)
+    "anyLast": "last({}, true)",
+    "any": "any_value({}, true)",
     "uniq": "approx_count_distinct",
     "sum": "sum",
     "avg": "avg",
@@ -5888,6 +5891,8 @@ _AGG_IF_BASES = {
 #   * the explicit _AGG_IF_BASES templates win on conflicts.
 _AGG_IF_ALL = {
     **_AGG_NAME_MAP,
+    # the null-skip flag (batch-72; any/anyLast live in _AGG_IF_BASES)
+    "anyHeavy": "any_value({}, true)",
     "corr": "corr",
     "covarPop": "covar_pop",
     "covarSamp": "covar_samp",
@@ -6050,6 +6055,32 @@ def _rewrite_agg_spellings(sql: str) -> str:
                 call = f"percentile({x}, {p_expr}, CAST({args[1]} AS BIGINT))"
             elif variant == "GK":
                 call = f"approx_percentile({x}, {p_expr}, {acc})"
+            elif variant in ("ExactLow", "ExactHigh"):
+                # CH's Low/High variants are ORDER STATISTICS, not the
+                # interpolated percentile: Low takes sorted[floor(q *
+                # (n-1))], High sorted[ceil(q * (n-1))] — for an even
+                # count at q=0.5 that's the lower/upper median
+                # (batch-72; both previously fell through to the
+                # interpolated form, returning 5.5 where CH says 5/6).
+                # Type-preserving, NULL over the empty group.
+                rnd = "floor" if variant == "ExactLow" else "ceil"
+
+                def _sel(pv: str) -> str:
+                    return (
+                        "try_element_at(__ch_qa, greatest(1,"
+                        f" CAST({rnd}(({pv}) * (size(__ch_qa) - 1))"
+                        " AS INT) + 1))"
+                    )
+
+                body = (
+                    f"transform(array({', '.join(ps)}),"
+                    f" __ch_qp -> {_sel('__ch_qp')})"
+                    if plural else _sel(ps[0])
+                )
+                call = (
+                    "element_at(transform(array(array_sort("
+                    f"collect_list({x}))), __ch_qa -> {body}), 1)"
+                )
             else:
                 call = f"{fn}({x}, {p_expr})"
             sql = sql[: m.start()] + call + sql[close2 + 1:]
@@ -6062,7 +6093,19 @@ def _rewrite_agg_spellings(sql: str) -> str:
                 x = f"if({args[1]}, {args[0]}, NULL)"
             else:
                 x = sql[open1 + 1: close1]
-            sql = sql[: m.start()] + f"{fn}({x}, 0.5)" + sql[close1 + 1:]
+            if variant in ("ExactLow", "ExactHigh"):
+                # bare form = the lower/upper median order statistic
+                rnd = "floor" if variant == "ExactLow" else "ceil"
+                call = (
+                    "element_at(transform(array(array_sort("
+                    f"collect_list({x}))), __ch_qa ->"
+                    " try_element_at(__ch_qa, greatest(1,"
+                    f" CAST({rnd}(0.5 * (size(__ch_qa) - 1)) AS INT)"
+                    " + 1))), 1)"
+                )
+            else:
+                call = f"{fn}({x}, 0.5)"
+            sql = sql[: m.start()] + call + sql[close1 + 1:]
     # parametric size caps: groupArray(n)(x) / groupUniqArray(n)(x) keep
     # at most n elements; uniqUpTo(n)(x) = exact count clamped at n+1.
     # redundant-OrNull stackings strip first (probe batch 66): the
@@ -6897,6 +6940,24 @@ def _rewrite_agg_spellings(sql: str) -> str:
                 else f"{base}({wrapped})"
             )
             sql = sql[: hit.start()] + repl + sql[close1 + 1:]
+    # any LEFTOVER parametric <agg>If(params)(args) — a name outside
+    # _AGG_IF_ALL, e.g. topKWeightedIf / histogramIf — previously fell
+    # through to an opaque Spark unresolved-routine error (batch-72):
+    # refuse loudly with the supported list instead
+    lp_pos = 0
+    while True:
+        m = _find_case_exact(sql, r"\b([A-Za-z_]\w*)If\s*\(", lp_pos)
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        if sql[close1 + 1:].lstrip().startswith("("):
+            raise ValueError(
+                f"{m.group(1)}If(params)(...) has no parametric"
+                " rewrite — supported parametric -If forms:"
+                " quantile*, topK, the groupArray family"
+            )
+        lp_pos = close1
     # uniqMerge(state): merge HLL partials, then estimate — the read
     # side of the matview/projection uniqState storage (hll_sketch_agg).
     # The uniq VARIANT spellings (Combined/HLL12/Theta) write the same
@@ -7033,6 +7094,26 @@ def _rewrite_agg_spellings(sql: str) -> str:
             else:
                 repl = tpl.format(x=body)
             sql = sql[: m.start()] + repl + sql[close1 + 1:]
+    # CH's any/anyLast/anyHeavy SKIP NULLs; Spark's any_value/last only
+    # do so with the ignoreNulls flag, so the bare rename silently
+    # returned NULL whenever the first-encountered row was NULL
+    # (batch-72). anyLast scans before any so the prefix can't collide.
+    for ch_name, spark_fn in (
+        ("anyLastOrNull", "last"), ("anyOrNull", "any_value"),
+        ("anyLast", "last"), ("anyHeavy", "any_value"),
+        ("any", "any_value"),
+    ):
+        while True:
+            m = _find_case_exact(sql, rf"\b{ch_name}\s*\(")
+            if not m:
+                break
+            open1 = sql.index("(", m.end() - 1)
+            close1 = _call_end(sql, open1)
+            sql = (
+                sql[: m.start()]
+                + f"{spark_fn}({sql[open1 + 1: close1]}, true)"
+                + sql[close1 + 1:]
+            )
     for name, target in _AGG_NAME_MAP.items():
         while True:
             # case-sensitive: compile without re.I (CH names are exact)

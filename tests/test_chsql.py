@@ -341,8 +341,10 @@ def test_agg_spellings_rewrite():
     assert "max_by(c, t)" in s
     assert "count_if(x > 1)" in s
     assert "sum(if(y, x, NULL))" in s
-    assert "any_value(z)" in s
-    assert "last(z)" in s
+    # CH's any/anyLast skip NULLs — the ignoreNulls flag rides along
+    # (batch-72)
+    assert "any_value(z, true)" in s
+    assert "last(z, true)" in s
     assert "count(*)" in s
     assert "approx_percentile(x, 0.5)" in s
 
@@ -4817,6 +4819,45 @@ def test_probe_batch71_window_string_int_tails(views):
     assert r["r"] == 42
     with pytest.raises(ValueError, match="has no value"):
         translate("SELECT {p:Int64} + 1")
+
+
+def test_probe_batch72_agg_combinator_tails(views):
+    """Round-10 execution probe, batch 72 (~30 combinator compositions
+    over the newer aggregates: quantileGKIf, sumKahanIf, uniqThetaIf,
+    avgWeightedIf, argM*If, entropyIf, sumMapFiltered, groupArrayArray,
+    simpleLinearRegression, corr/covar/skew If forms — most already
+    executed). Real fixes: the any FAMILY now carries Spark's
+    ignoreNulls flag (CH any/anyLast skip NULLs; the bare rename
+    returned NULL whenever the first row was NULL — and the -If wrap
+    ALWAYS introduces NULLs, so anyIf over a late-matching condition
+    was silently NULL); quantileExactLow/High are order statistics
+    (lower/upper median), not the interpolated percentile; leftover
+    parametric <agg>If(params)(...) shapes refuse loudly instead of
+    surfacing Spark unresolved-routine errors."""
+    views.sql(
+        "SELECT explode(sequence(1, 10)) AS x"
+    ).createOrReplaceTempView("b72")
+    views.sql(
+        "SELECT * FROM VALUES (NULL), (3), (NULL), (7) AS t(v)"
+    ).createOrReplaceTempView("b72n")
+    r = views.sql(translate(
+        "SELECT anyIf(x, x > 8) AS ai, anyLastIf(x, x > 8) AS ali,"
+        " quantileExactLow(0.5)(x) AS ql,"
+        " quantileExactHigh(0.5)(x) AS qh,"
+        " quantileExactLow(x) AS qlb,"
+        " quantilesExactHigh(0.5, 0.75)(x) AS qhs FROM b72").sql
+    ).collect()[0]
+    assert r["ai"] == 9 and r["ali"] == 10
+    assert r["ql"] == 5 and r["qh"] == 6 and r["qlb"] == 5
+    assert r["qhs"] == [6, 8]
+    r = views.sql(translate(
+        "SELECT any(v) AS a, anyLast(v) AS al, anyHeavy(v) AS ah"
+        " FROM b72n").sql).collect()[0]
+    assert r["a"] == 3 and r["al"] == 7 and r["ah"] is not None
+    with pytest.raises(ValueError, match="no parametric"):
+        translate("SELECT topKWeightedIf(2)(x, x, x > 3) FROM b72")
+    with pytest.raises(ValueError, match="no parametric"):
+        translate("SELECT histogramIf(3)(x, x > 1) FROM b72")
 
 
 def test_advice_r9_json_value_string_scalars(views):
