@@ -6059,9 +6059,13 @@ def _rewrite_agg_spellings(sql: str) -> str:
                 # CH's Low/High variants are ORDER STATISTICS, not the
                 # interpolated percentile: Low takes sorted[floor(q *
                 # (n-1))], High sorted[ceil(q * (n-1))] — for an even
-                # count at q=0.5 that's the lower/upper median
-                # (batch-72; both previously fell through to the
-                # interpolated form, returning 5.5 where CH says 5/6).
+                # count at q=0.5 that's the lower/upper median, which
+                # is CH-exact (batch-72; both previously fell through
+                # to the interpolated form, returning 5.5 where CH
+                # says 5/6). At non-median levels this is the
+                # (n-1)-scaled convention — CH's own selector is
+                # level-dependent in ways only testable against a live
+                # server (documented convention deviation).
                 # Type-preserving, NULL over the empty group.
                 rnd = "floor" if variant == "ExactLow" else "ceil"
 

@@ -1635,3 +1635,43 @@ def q255_dialect_probe_tails(spark, sf_dir):
     register_sql_aliases(spark)
     t(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(translate(_CH_QUERY_TAILS).sql)
+
+
+_CH_MEDIAN_STATS = """
+SELECT l_returnflag,
+       quantileExactLow(0.5)(l_quantity) AS med_low,
+       quantileExactHigh(0.5)(l_quantity) AS med_high,
+       quantileExact(0.5)(l_quantity) AS med_interp,
+       count() AS n
+FROM lineitem
+GROUP BY l_returnflag
+"""
+
+
+@query(
+    "q256_median_order_statistics",
+    oracle="""
+    SELECT l_returnflag,
+           (list_sort(list(l_quantity)))
+             [CAST(FLOOR(0.5 * (COUNT(*) - 1)) AS INT) + 1] AS med_low,
+           (list_sort(list(l_quantity)))
+             [CAST(CEIL(0.5 * (COUNT(*) - 1)) AS INT) + 1] AS med_high,
+           quantile_cont(l_quantity, 0.5) AS med_interp,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q256_median_order_statistics(spark, sf_dir):
+    """Batch-72's order-statistic quantiles in the graded loop:
+    quantileExactLow/High at the median (lower/upper middle element —
+    CH-exact and type-preserving) vs the interpolated quantileExact,
+    per return flag over lineitem. The oracle indexes DuckDB's sorted
+    list with the same floor/ceil(q*(n-1)) selector, so the hash
+    compare pins the selector itself, not just the median pair."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
+    return spark.sql(translate(_CH_MEDIAN_STATS).sql)
