@@ -2754,6 +2754,15 @@ def _rewrite_scalar_misc(sql: str) -> str:
     (group 1 when the pattern literal has a capture group; EXTRACT(unit
     FROM ts) is left alone), ``range`` → a filtered sequence (empty-
     range safe), literal ``tupleElement(t, N)`` → ``(t).colN``."""
+    # ClickHouse's bare nan/inf float literals (batch-73): Spark only
+    # spells them as typed casts. Case-exact lowercase (the CH
+    # spelling); -inf rides the unary minus unchanged
+    sql = _sub_outside_strings(
+        sql, re.compile(r"\bnan\b"), "CAST('NaN' AS DOUBLE)"
+    )
+    sql = _sub_outside_strings(
+        sql, re.compile(r"\binf\b"), "CAST('Infinity' AS DOUBLE)"
+    )
     # lagInFrame/leadInFrame with an explicit frame (the ClickHouse
     # requirement): rename to lag/lead AND strip the frame from their
     # OVER spec (the plain renames below handle the frameless form)

@@ -2241,6 +2241,30 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
     "fromDaysSinceYearZero": (
         "(n INT) RETURNS DATE", "date_add(DATE'1970-01-01', n - 719528)"
     ),
+    # DateTime64 Or* parse variants (batch-73): Spark timestamps are
+    # microsecond-resolution regardless of the declared precision, so
+    # the precision argument is accepted and ignored
+    "toDateTime64OrNull": (
+        "(s STRING, p INT) RETURNS TIMESTAMP",
+        "try_cast(s AS TIMESTAMP)",
+    ),
+    "toDateTime64OrZero": (
+        "(s STRING, p INT) RETURNS TIMESTAMP",
+        "coalesce(try_cast(s AS TIMESTAMP),"
+        " TIMESTAMP'1970-01-01 00:00:00')",
+    ),
+    # digamma via 6-step recurrence + the asymptotic series at x+6
+    # (|err| ~ 1e-9 for x > 0; poles and the negative domain are NULL
+    # — same stance as chLgammaPos). psi(x) = psi(x+6) - sum 1/(x+k)
+    "digamma": (
+        "(x DOUBLE) RETURNS DOUBLE",
+        "CASE WHEN x IS NULL OR x <= 0 THEN CAST(NULL AS DOUBLE) ELSE"
+        " ln(x + 6) - 1 / (2 * (x + 6))"
+        " - 1 / (12 * pow(x + 6, 2)) + 1 / (120 * pow(x + 6, 4))"
+        " - 1 / (252 * pow(x + 6, 6))"
+        " - 1/x - 1/(x+1) - 1/(x+2) - 1/(x+3) - 1/(x+4) - 1/(x+5)"
+        " END",
+    ),
     # '1 hour 30 minutes' -> seconds (batch-69). CH's unit table:
     # s/sec/second(s), min/minute(s), h/hr/hour(s), d/day(s),
     # w/week(s), mo/month(s) = 30.5 d, y/year(s) = 365 d; ms/us/ns

@@ -4860,6 +4860,37 @@ def test_probe_batch72_agg_combinator_tails(views):
         translate("SELECT histogramIf(3)(x, x > 1) FROM b72")
 
 
+def test_probe_batch73_datetime_math_tails(views):
+    """Round-10 execution probe, batch 73 (~56 spellings: timezone
+    introspection, DateTime64 unix converters, Date32/makeDate32,
+    MAC codecs, addTupleOfIntervals, positiveModulo/moduloOrZero,
+    countDigits, arrayProduct/CumSumNonNegative, format/char/ascii,
+    gcd/lcm/erf/erfc/cbrt/tgamma, FQDN/hostName — ~49 already
+    executed). Real fixes: CH's bare nan/inf float literals,
+    toDateTime64OrZero/OrNull, and digamma (6-step recurrence + the
+    asymptotic series, |err| ~ 1e-9). Division by zero stays the
+    ANSI error (CH float division yields inf — documented deviation;
+    intDivOrZero/moduloOrZero are the safe spellings)."""
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(views)
+    import datetime
+
+    r = views.sql(translate(
+        "SELECT isNaN(nan) AS a, isInfinite(inf) AS b,"
+        " ifNotFinite(inf, -1) AS c, isNaN(-inf) AS d,"
+        " digamma(1.0) AS dg, digamma(-1.0) AS dgn,"
+        " toDateTime64OrZero('zz', 3) AS z,"
+        " toDateTime64OrNull('2024-01-01 00:00:00.123', 3) AS n").sql
+    ).collect()[0]
+    assert r["a"] is True and r["b"] is True and r["c"] == -1.0
+    assert r["d"] is False
+    assert abs(r["dg"] - (-0.5772156649015329)) < 1e-8
+    assert r["dgn"] is None
+    assert r["z"] == datetime.datetime(1970, 1, 1, 0, 0)
+    assert r["n"] == datetime.datetime(2024, 1, 1, 0, 0, 0, 123000)
+
+
 def test_advice_r9_json_value_string_scalars(views):
     """ADVICE r10 batch: string scalars whose TEXT looks like a
     number/bool/container must classify as strings. JSON_VALUE
