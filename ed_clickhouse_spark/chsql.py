@@ -1098,6 +1098,8 @@ def _refuse_io_table_functions(sql: str) -> str:
         ("loop", "CROSS JOIN numbers(N) for bounded repetition"),
         ("fuzzQuery", "nothing — a ClickHouse testing TVF"),
         ("fuzzJSON", "nothing — a ClickHouse testing TVF"),
+        ("viewIfPermitted", "view(SELECT ...) — there is no grant"
+                            " model to gate on here (batch-74)"),
     ):
         if _find_top_anywhere(sql, rf"\b(?:FROM|JOIN)\s+{name}\s*\("):
             raise ValueError(
@@ -1237,6 +1239,105 @@ def _rewrite_inline_table_functions(sql: str) -> str:
             + "(" + sql[open1 + 1: close1] + ")"
             + sql[close1 + 1:]
         )
+    # format(Format, 'payload') (batch-74): the inline-literal table
+    # function. JSONEachRow / JSONCompactEachRow payloads parse at
+    # TRANSLATE time into a typed VALUES subquery (types inferred per
+    # column: bool/bigint/double/string); other formats refuse toward
+    # the engine's INSERT ... FORMAT path, which owns the full format
+    # zoo.
+    while True:
+        m = _find_top_anywhere(
+            sql, r"(?i)\b(FROM|JOIN)\s+format\s*\("
+        )
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        if len(args) != 2:
+            raise ValueError(
+                "the format() table function expects"
+                " format(Format, 'payload')"
+            )
+        fmt_name = args[0].strip().strip("'\"").lower()
+        pm = re.fullmatch(r"(?s)\s*'(.*)'\s*", args[1])
+        if not pm or fmt_name not in (
+            "jsoneachrow", "jsoncompacteachrow"
+        ):
+            raise ValueError(
+                "format() supports inline JSONEachRow /"
+                " JSONCompactEachRow string payloads — other formats"
+                " go through Engine.ch_sql INSERT ... FORMAT"
+            )
+        import json as _json
+
+        payload = pm.group(1).replace("\\'", "'").replace("''", "'")
+        parsed = [
+            _json.loads(ln)
+            for ln in payload.splitlines() if ln.strip()
+        ]
+        if not parsed:
+            raise ValueError("format(): empty payload")
+        if fmt_name == "jsoneachrow":
+            names: list[str] = []
+            for row in parsed:
+                for k in row:
+                    if k not in names:
+                        names.append(k)
+            table = [[row.get(k) for k in names] for row in parsed]
+        else:
+            width = max(len(row) for row in parsed)
+            names = [f"c{i + 1}" for i in range(width)]
+            table = [
+                list(row) + [None] * (width - len(row))
+                for row in parsed
+            ]
+
+        def _sql_type(vals: list) -> str:
+            nn = [v for v in vals if v is not None]
+            if nn and all(isinstance(v, bool) for v in nn):
+                return "BOOLEAN"
+            if nn and all(
+                isinstance(v, int) and not isinstance(v, bool)
+                for v in nn
+            ):
+                return "BIGINT"
+            if nn and all(
+                isinstance(v, (int, float)) and not isinstance(v, bool)
+                for v in nn
+            ):
+                return "DOUBLE"
+            return "STRING"
+
+        types = [_sql_type([r[i] for r in table])
+                 for i in range(len(names))]
+
+        def _lit(v, t: str) -> str:
+            if v is None:
+                return f"CAST(NULL AS {t})"
+            if t == "BOOLEAN":
+                return "true" if v else "false"
+            if t in ("BIGINT", "DOUBLE"):
+                return repr(v)
+            s = v if isinstance(v, str) else _json.dumps(v)
+            return "'" + s.replace("'", "''") + "'"
+
+        vals = ", ".join(
+            "(" + ", ".join(
+                _lit(r[i], types[i]) for i in range(len(names))
+            ) + ")"
+            for r in table
+        )
+        sel = ", ".join(
+            f"CAST(`{n}` AS {t}) AS `{n}`"
+            for n, t in zip(names, types)
+        )
+        quoted = ", ".join(f"`{n}`" for n in names)
+        repl = (
+            f"{m.group(1)} (SELECT {sel} FROM VALUES {vals}"
+            f" AS __ch_frows({quoted})) AS __ch_format"
+        )
+        sql = sql[: m.start()] + repl + sql[close1 + 1:]
     # ANSI OFFSET ... FETCH (CH supports both spellings): LIMIT/OFFSET
     # is the Spark form. FETCH ... WITH TIES refuses to the supported
     # LIMIT n WITH TIES spelling (that rewrite has already run by now).

@@ -4891,6 +4891,36 @@ def test_probe_batch73_datetime_math_tails(views):
     assert r["n"] == datetime.datetime(2024, 1, 1, 0, 0, 0, 123000)
 
 
+def test_probe_batch74_setops_table_functions(views):
+    """Round-10 execution probe, batch 74 (~43 statement shapes:
+    UNION/EXCEPT/INTERSECT DISTINCT|ALL, values()/null()/zeros[_mt](),
+    scalar/CTE WITH forms, QUALIFY, tuple IN, NOT BETWEEN, the hash
+    menagerie, ORDER BY NULLS placement — ~33 already executed,
+    remote/cluster/merge/input/INTO OUTFILE refuse as designed). Real
+    additions: the format(Format, 'payload') inline table function
+    (JSONEachRow / JSONCompactEachRow parse at translate time into a
+    typed VALUES with inferred per-column types; other formats refuse
+    toward the engine INSERT path), and a loud viewIfPermitted
+    refusal."""
+    r = views.sql(translate(
+        "SELECT * FROM format(JSONEachRow,"
+        " '{\"a\": 1, \"s\": \"x\"}\n{\"a\": 2, \"b\": 3.5}')"
+        " ORDER BY a").sql).collect()
+    assert [(x["a"], x["s"], x["b"]) for x in r] == [
+        (1, "x", None), (2, None, 3.5)]
+    r = views.sql(translate(
+        "SELECT c1 + c2 AS t FROM"
+        " format(JSONCompactEachRow, '[1, 2]\n[3, 4]') ORDER BY t").sql
+    ).collect()
+    assert [x["t"] for x in r] == [3, 7]
+    with pytest.raises(ValueError, match="INSERT ... FORMAT"):
+        translate("SELECT * FROM format(CSV, '1,2')")
+    with pytest.raises(ValueError, match="viewIfPermitted"):
+        translate(
+            "SELECT * FROM viewIfPermitted(SELECT 1 ELSE null('x Int64'))"
+        )
+
+
 def test_advice_r9_json_value_string_scalars(views):
     """ADVICE r10 batch: string scalars whose TEXT looks like a
     number/bool/container must classify as strings. JSON_VALUE
