@@ -1953,6 +1953,13 @@ _ARRAY_SPLICE: dict[str, dict[int, str]] = {
     "mapContainsKeyLike": {
         2: "exists(map_keys({0}), __ch_k -> __ch_k LIKE {1})"
     },
+    # splitByChar's 3-arg max_substrings form (batch-75): CH's default
+    # (splitby_max_substrings_includes_remaining_string = 0) DISCARDS
+    # the remainder — slice of the full split, not Spark's
+    # keep-the-tail limit
+    "splitByChar": {
+        3: "slice(splitByChar({0}, {1}), 1, CAST({2} AS INT))",
+    },
     # batch-69: addDate/subDate ARE the +/- interval operators; CH's
     # indexHint returns 1 for every row (the argument only steers index
     # selection, which Catalyst already does from real predicates) —
@@ -1975,6 +1982,13 @@ _ARRAY_SPLICE: dict[str, dict[int, str]] = {
            "sequence(array_min(map_keys({0})), {1}),"
            " __ch_k -> struct(__ch_k AS key,"
            " coalesce(try_element_at({0}, __ch_k), 0) AS value)))",
+        # the (keys, values[, max]) ARRAY pair form (batch-75) rides
+        # the map forms above via map_from_arrays
+        3: "map_from_entries(transform("
+           "sequence(array_min({0}), {2}),"
+           " __ch_k -> struct(__ch_k AS key,"
+           " coalesce(try_element_at(map_from_arrays({0}, {1}),"
+           " __ch_k), 0) AS value)))",
     },
     # ---- aggregate compositions (each {i} is an aggregate argument;
     # repeated aggregate subexpressions dedup in Catalyst) ----
@@ -2244,6 +2258,9 @@ _SPLICE_PASSTHROUGH = {
     # forms splice — and the spliced template itself EMITS the 1-arg
     # alias, which the rescan must pass through
     "toWeek", "toYearWeek",
+    # 2-arg splitByChar is the SQL alias; the 3-arg max_substrings form
+    # splices (and emits the 2-arg alias itself)
+    "splitByChar",
 }
 # the Joda spelling takes JDK patterns, which date_format speaks
 # natively (the %-format 2-arg fromUnixTimestamp rewrites ahead of the

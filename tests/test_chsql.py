@@ -4921,6 +4921,27 @@ def test_probe_batch74_setops_table_functions(views):
         )
 
 
+def test_probe_batch75_string_format_tails(views):
+    """Round-10 execution probe, batch 75 (~48 spellings: formatDateTime
+    specifiers, negative array/substr indexing, trim/pad/split
+    families, extractAllGroups orientations, mapPopulateSeries, bar,
+    formatReadable*, pointInPolygon, sleep/throwIf no-ops, visitParam
+    raw — ~45 already executed). Real fixes: splitByChar's 3-arg
+    max_substrings form (CH default DISCARDS the remainder — a slice,
+    not Spark's keep-the-tail limit) and mapPopulateSeries' 3-arg
+    (keys, values, max) array-pair form."""
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(views)
+    r = views.sql(translate(
+        "SELECT splitByChar(',', 'a,b,c', 2) AS s3,"
+        " splitByChar(',', 'a,b,c') AS s2,"
+        " mapPopulateSeries([1, 4], [10, 40], 5) AS mp").sql
+    ).collect()[0]
+    assert r["s3"] == ["a", "b"] and r["s2"] == ["a", "b", "c"]
+    assert r["mp"] == {1: 10, 2: 0, 3: 0, 4: 40, 5: 0}
+
+
 def test_advice_r9_json_value_string_scalars(views):
     """ADVICE r10 batch: string scalars whose TEXT looks like a
     number/bool/container must classify as strings. JSON_VALUE
