@@ -2874,13 +2874,30 @@ def _rewrite_scalar_misc(sql: str) -> str:
     range safe), literal ``tupleElement(t, N)`` → ``(t).colN``."""
     # ClickHouse's bare nan/inf float literals (batch-73): Spark only
     # spells them as typed casts. Case-exact lowercase (the CH
-    # spelling); -inf rides the unary minus unchanged
-    sql = _sub_outside_strings(
-        sql, re.compile(r"\bnan\b"), "CAST('NaN' AS DOUBLE)"
-    )
-    sql = _sub_outside_strings(
-        sql, re.compile(r"\binf\b"), "CAST('Infinity' AS DOUBLE)"
-    )
+    # spelling); -inf rides the unary minus unchanged. ALIAS positions
+    # (`... AS inf`) and qualified/backquoted names stay identifiers —
+    # the round-close suite caught the alias capture.
+    for _lit, _repl in (
+        ("nan", "CAST('NaN' AS DOUBLE)"),
+        ("inf", "CAST('Infinity' AS DOUBLE)"),
+    ):
+        _pos = 0
+        _rx = re.compile(rf"\b{_lit}\b")
+        while True:
+            m = _rx.search(sql, _pos)
+            if not m:
+                break
+            instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+            if instr_at.get(m.start(), False):
+                _pos = m.end()
+                continue
+            if re.search(r"(?i)\bAS\s+$", sql[: m.start()]) or (
+                m.start() > 0 and sql[m.start() - 1] in ".`"
+            ):
+                _pos = m.end()
+                continue
+            sql = sql[: m.start()] + _repl + sql[m.end():]
+            _pos = m.start() + len(_repl)
     # lagInFrame/leadInFrame with an explicit frame (the ClickHouse
     # requirement): rename to lag/lead AND strip the frame from their
     # OVER spec (the plain renames below handle the frameless form)

@@ -1599,7 +1599,7 @@ SELECT event_type,
        count() AS n,
        widthBucket(avg(value), 0, 100, 10) AS avg_bucket,
        toFloat64(toDecimal64(L2Norm(groupArray(value)), 2)) AS l2,
-       toYYYYMM(min(ts)) AS first_month,
+       toInt64(toYYYYMM(min(ts))) AS first_month,
        toInt64(parseTimeDelta('1h 30min')) AS td
 FROM events
 GROUP BY event_type

@@ -936,9 +936,14 @@ def test_tail_spellings_and_rand_semantics(views):
     ).collect()
     vals = {row["r"] for row in rows}
     assert all(0 <= v < 100 for v in vals) and len(vals) > 20
-    # quantileExact variants all hit exact percentile
-    assert "percentile(" in translate("SELECT quantileExactLow(0.5)(x) FROM t").sql
-    assert "percentile(" in translate("SELECT quantileExactHigh(0.5)(x) FROM t").sql
+    # quantileExact hits the exact percentile; the Low/High variants
+    # are ORDER STATISTICS since r10 (lower/upper middle element —
+    # see test_probe_batch72_agg_combinator_tails)
+    assert "percentile(" in translate("SELECT quantileExact(0.5)(x) FROM t").sql
+    assert "array_sort(collect_list" in translate(
+        "SELECT quantileExactLow(0.5)(x) FROM t").sql
+    assert "ceil(" in translate(
+        "SELECT quantileExactHigh(0.5)(x) FROM t").sql
 
 
 def test_clause_rewrites_inside_subqueries(views):
