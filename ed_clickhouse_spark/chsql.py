@@ -1953,6 +1953,27 @@ _ARRAY_SPLICE: dict[str, dict[int, str]] = {
     "mapContainsKeyLike": {
         2: "exists(map_keys({0}), __ch_k -> __ch_k LIKE {1})"
     },
+    # lambda-first arithmetic array folds (batch-76): CH's
+    # arrayMin/Max/Sum/Avg(func, arr) — 1-arg forms pass through to
+    # the typed SQL aliases
+    "arrayMin": {2: "array_min(transform({1}, {0}))"},
+    "arrayMax": {2: "array_max(transform({1}, {0}))"},
+    "arraySum": {
+        2: "aggregate(transform({1}, {0}), CAST(0 AS DOUBLE),"
+           " (__ch_s, __ch_x) -> __ch_s + CAST(__ch_x AS DOUBLE))",
+    },
+    "arrayAvg": {
+        2: "(aggregate(transform({1}, {0}), CAST(0 AS DOUBLE),"
+           " (__ch_s, __ch_x) -> __ch_s + CAST(__ch_x AS DOUBLE))"
+           " / nullif(size({1}), 0))",
+    },
+    # bitmapTransform(bm, from, to): element remap, re-sorted distinct
+    # (the sorted-array bitmap model)
+    "bitmapTransform": {
+        3: "array_sort(array_distinct(transform({0}, __ch_b ->"
+           " coalesce(try_element_at(map_from_arrays({1}, {2}),"
+           " __ch_b), __ch_b))))",
+    },
     # splitByChar's 3-arg max_substrings form (batch-75): CH's default
     # (splitby_max_substrings_includes_remaining_string = 0) DISCARDS
     # the remainder — slice of the full split, not Spark's
@@ -2261,6 +2282,9 @@ _SPLICE_PASSTHROUGH = {
     # 2-arg splitByChar is the SQL alias; the 3-arg max_substrings form
     # splices (and emits the 2-arg alias itself)
     "splitByChar",
+    # 1-arg numeric folds are SQL aliases; the lambda-first 2-arg
+    # forms splice (batch-76)
+    "arrayMin", "arrayMax", "arraySum", "arrayAvg",
 }
 # the Joda spelling takes JDK patterns, which date_format speaks
 # natively (the %-format 2-arg fromUnixTimestamp rewrites ahead of the

@@ -1856,6 +1856,33 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "CASE WHEN s RLIKE '^[A-Za-z0-9+/]*={0,2}$'"
         " AND length(s) % 4 = 0 THEN CAST(unbase64(s) AS STRING) END",
     ),
+    # URL-safe base64 (batch-76): RFC 4648 base64url alphabet, no
+    # padding on encode; decode re-pads. Both the 25.1 URL spelling
+    # and the earlier Url spelling register.
+    "base64URLEncode": (
+        "(s STRING) RETURNS STRING",
+        # regexp strip, not TRIM(TRAILING ... FROM ...): the FROM
+        # keyword inside a CREATE FUNCTION ... RETURN body trips the
+        # parser
+        "regexp_replace(translate(base64(CAST(s AS BINARY)),"
+        " '+/', '-_'), '=+$', '')",
+    ),
+    "base64URLDecode": (
+        "(s STRING) RETURNS STRING",
+        "CAST(unbase64(concat(translate(s, '-_', '+/'),"
+        " repeat('=', (4 - length(s) % 4) % 4))) AS STRING)",
+    ),
+    "tryBase64URLDecode": (
+        "(s STRING) RETURNS STRING",
+        "CASE WHEN s RLIKE '^[A-Za-z0-9_-]*$'"
+        " AND length(s) % 4 != 1"
+        " THEN CAST(unbase64(concat(translate(s, '-_', '+/'),"
+        " repeat('=', (4 - length(s) % 4) % 4))) AS STRING) END",
+    ),
+    # NOTE: the pre-25.1 base64Url*/tryBase64UrlDecode spellings need
+    # no entries — Spark function names are case-insensitive, so they
+    # resolve to the URL forms above (a separate alias whose body
+    # calls the URL form would OVERWRITE it and self-recurse)
     "reverseUTF8": ("(s STRING) RETURNS STRING", "reverse(s)"),
     "toFixedString": (
         # ClickHouse errors when s exceeds n; keeping the prefix is the

@@ -4947,6 +4947,40 @@ def test_probe_batch75_string_format_tails(views):
     assert r["mp"] == {1: 10, 2: 0, 3: 0, 4: 40, 5: 0}
 
 
+def test_probe_batch76_bitmap_base64url_tails(views):
+    """Round-10 post-close probe, batch 76 (~43 spellings: the bitmap
+    subset family, string-distance leftovers, query-context
+    introspection, array set ops, map arithmetic — ~33 already
+    executed). Real fixes: the URL-safe base64 family (unpadded
+    encode; the pre-25.1 Url spellings resolve case-insensitively —
+    registering them as separate aliases whose body calls the URL form
+    OVERWRITES it and self-recurses to the analyzer iteration cap),
+    bitmapTransform as an element remap, and the lambda-first
+    arrayMin/Max/Sum/Avg(func, arr) forms."""
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(views)
+    r = views.sql(translate(
+        "SELECT base64URLEncode('https://a.b/c?d=1') AS e,"
+        " base64UrlDecode(base64UrlEncode('https://a.b/c?d=1')) AS rt,"
+        " tryBase64URLDecode('###') AS bad,"
+        " bitmapToArray(bitmapTransform(bitmapBuild([1, 2, 3]),"
+        "   [2], [20])) AS bt,"
+        " arrayMin(x -> -x, [1, 2, 3]) AS am,"
+        " arraySum(x -> x * 2, [1, 2]) AS asum,"
+        " arrayAvg(x -> x * 2, [1, 2]) AS aavg,"
+        " arrayMin([4, 2]) AS am1,"
+        " bitmapToArray(bitmapSubsetInRange(bitmapBuild([1, 5, 10, 20]),"
+        "   5, 15)) AS sr,"
+        " bitmapMin(bitmapBuild([3, 1])) AS bmin").sql).collect()[0]
+    assert r["e"] == "aHR0cHM6Ly9hLmIvYz9kPTE"
+    assert r["rt"] == "https://a.b/c?d=1" and r["bad"] is None
+    assert r["bt"] == [1, 3, 20]
+    assert r["am"] == -3 and r["asum"] == 6.0 and r["aavg"] == 3.0
+    assert r["am1"] == 2.0
+    assert r["sr"] == [5, 10] and r["bmin"] == 1
+
+
 def test_advice_r9_json_value_string_scalars(views):
     """ADVICE r10 batch: string scalars whose TEXT looks like a
     number/bool/container must classify as strings. JSON_VALUE
