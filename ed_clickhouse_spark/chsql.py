@@ -6223,6 +6223,44 @@ def _rewrite_agg_spellings(sql: str) -> str:
                 call = f"percentile({x}, {p_expr}, CAST({args[1]} AS BIGINT))"
             elif variant == "GK":
                 call = f"approx_percentile({x}, {p_expr}, {acc})"
+            elif variant == "ExactExclusive":
+                # CH's ExactExclusive is Excel PERCENTILE.EXC:
+                # h = q*(n+1), linear interpolation between
+                # sorted[floor(h)] and sorted[floor(h)+1], clamped to
+                # the array ends (batch-77; it previously fell through
+                # to Spark's INCLUSIVE percentile — 3.25 where CH says
+                # 2.75 for q=0.25 over 1..10). ExactInclusive ==
+                # PERCENTILE.INC == Spark percentile, which the
+                # fall-through below already is.
+                def _exc(pv: str) -> str:
+                    h = (
+                        "least(greatest(CAST((" + pv + ")"
+                        " AS DOUBLE) * (size(__ch_qa) + 1),"
+                        " CAST(1 AS DOUBLE)),"
+                        " CAST(size(__ch_qa) AS DOUBLE))"
+                    )
+                    lo = "try_element_at(__ch_qa, CAST(floor(__ch_h) AS INT))"
+                    hi = (
+                        "coalesce(try_element_at(__ch_qa,"
+                        " CAST(floor(__ch_h) AS INT) + 1), "
+                        + lo + ")"
+                    )
+                    return (
+                        f"element_at(transform(array({h}), __ch_h ->"
+                        f" {lo} + (__ch_h - floor(__ch_h))"
+                        f" * ({hi} - {lo})), 1)"
+                    )
+
+                body = (
+                    f"transform(array({', '.join(ps)}),"
+                    f" __ch_qp -> {_exc('__ch_qp')})"
+                    if plural else _exc(ps[0])
+                )
+                call = (
+                    "element_at(transform(array(array_sort("
+                    f"collect_list(CAST(({x}) AS DOUBLE)))),"
+                    f" __ch_qa -> {body}), 1)"
+                )
             elif variant in ("ExactLow", "ExactHigh"):
                 # CH's Low/High variants are ORDER STATISTICS, not the
                 # interpolated percentile: Low takes sorted[floor(q *

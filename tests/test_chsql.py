@@ -4981,6 +4981,27 @@ def test_probe_batch76_bitmap_base64url_tails(views):
     assert r["sr"] == [5, 10] and r["bmin"] == 1
 
 
+def test_probe_batch77_exclusive_percentile(views):
+    """Round-10 post-close, batch 77: quantileExactExclusive is Excel
+    PERCENTILE.EXC (h = q*(n+1), interpolated, end-clamped) — it
+    previously fell through to Spark's INCLUSIVE percentile (3.25
+    where CH says 2.75 at q=0.25 over 1..10). ExactInclusive stays
+    PERCENTILE.INC == Spark percentile."""
+    views.sql(
+        "SELECT explode(sequence(1, 10)) AS x"
+    ).createOrReplaceTempView("b77")
+    r = views.sql(translate(
+        "SELECT quantileExactExclusive(0.25)(x) AS e25,"
+        " quantilesExactExclusive(0.25, 0.5, 0.75)(x) AS es,"
+        " quantileExactInclusive(0.25)(x) AS i25,"
+        " quantileExactExclusive(0.01)(x) AS lo,"
+        " quantileExactExclusive(0.99)(x) AS hi FROM b77").sql
+    ).collect()[0]
+    assert r["e25"] == 2.75 and r["es"] == [2.75, 5.5, 8.25]
+    assert r["i25"] == 3.25
+    assert r["lo"] == 1.0 and r["hi"] == 10.0
+
+
 def test_advice_r9_json_value_string_scalars(views):
     """ADVICE r10 batch: string scalars whose TEXT looks like a
     number/bool/container must classify as strings. JSON_VALUE
