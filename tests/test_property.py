@@ -1621,3 +1621,43 @@ def test_timeseries_grid_matches_python_promql(spark, pts):
                 assert gv is None, (key, got, exp, samples)
             else:
                 assert gv == pytest.approx(ev), (key, got, exp, samples)
+
+
+@given(
+    vals=st.lists(
+        st.integers(-50, 50), min_size=1, max_size=25
+    ),
+    qnum=st.integers(1, 19),
+)
+@_SET
+def test_exact_quantile_selectors_match_python(spark, vals, qnum):
+    """r10: the three exact-quantile selector families vs literal
+    Python references — ExactLow/High order statistics
+    (floor/ceil(q*(n-1))) and ExactExclusive (Excel PERCENTILE.EXC:
+    h = q*(n+1), interpolated, end-clamped). Duplicates and 1-element
+    groups included by the strategy."""
+    import math
+
+    from ed_clickhouse_spark.chsql import translate
+
+    q = qnum / 20
+    s = sorted(vals)
+    n = len(s)
+    want_low = s[math.floor(q * (n - 1))]
+    want_high = s[math.ceil(q * (n - 1))]
+    h = min(max(q * (n + 1), 1.0), float(n))
+    fl = math.floor(h)
+    lo = s[fl - 1]
+    hi = s[fl] if fl < n else s[fl - 1]
+    want_exc = lo + (h - fl) * (hi - lo)
+    spark.createDataFrame(
+        [(v,) for v in vals], "x int"
+    ).createOrReplaceTempView("__qsel")
+    r = spark.sql(translate(
+        f"SELECT quantileExactLow({q})(x) AS l,"
+        f" quantileExactHigh({q})(x) AS h,"
+        f" quantileExactExclusive({q})(x) AS e FROM __qsel").sql
+    ).collect()[0]
+    assert r["l"] == want_low, (vals, q, r["l"], want_low)
+    assert r["h"] == want_high, (vals, q, r["h"], want_high)
+    assert r["e"] == pytest.approx(want_exc), (vals, q, r["e"], want_exc)
