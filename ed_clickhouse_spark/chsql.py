@@ -1953,6 +1953,9 @@ _ARRAY_SPLICE: dict[str, dict[int, str]] = {
     "mapContainsKeyLike": {
         2: "exists(map_keys({0}), __ch_k -> __ch_k LIKE {1})"
     },
+    # groupArrayConcat (24.x): concatenate the group's arrays in
+    # collection order — the flatten of collect_list (batch-78)
+    "groupArrayConcat": {1: "flatten(collect_list({0}))"},
     # lambda-first arithmetic array folds (batch-76): CH's
     # arrayMin/Max/Sum/Avg(func, arr) — 1-arg forms pass through to
     # the typed SQL aliases
@@ -6153,6 +6156,80 @@ def _rewrite_agg_spellings(sql: str) -> str:
     string-rewritable to a builtin — use functions/clickhouse.py /
     operators; they pass through and fail with Spark's clear
     unresolved-function error."""
+    # parametric -Array stackings of quantile/topK (batch-78): the
+    # element stream is the flatten of the group's arrays, so the
+    # quantile is an inclusive interpolation over the sorted flat
+    # array (the same exact stand-in the scalar quantile map uses)
+    # and topK is a frequency fold with a value tiebreak. Handled
+    # BEFORE the scalar parametric pass so the names don't collide.
+    while True:
+        m = _find_case_exact(
+            sql,
+            r"\b(quantiles?)((?:Exact|TDigest|Timing|BFloat16"
+            r"|Interpolated|Deterministic|GK|DD)?\w*?)Array\s*\(",
+        )
+        if not m:
+            break
+        plural = m.group(1) == "quantiles"
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        rest = sql[close1 + 1:].lstrip()
+        if not rest.startswith("("):
+            raise ValueError(
+                f"{m.group(0).split('(')[0].strip()} expects the"
+                " parametric form quantile...Array(p...)(arr)"
+            )
+        open2 = close1 + 1 + (len(sql[close1 + 1:]) - len(rest))
+        close2 = _call_end(sql, open2)
+        ps = _split_top_commas(sql[open1 + 1: close1])
+        arr_arg = sql[open2 + 1: close2]
+
+        def _qinc(pv: str) -> str:
+            h = f"(1 + CAST(({pv}) AS DOUBLE) * (size(__ch_qa) - 1))"
+            lo = "try_element_at(__ch_qa, CAST(floor(__ch_h) AS INT))"
+            hi = (
+                "coalesce(try_element_at(__ch_qa,"
+                " CAST(floor(__ch_h) AS INT) + 1), " + lo + ")"
+            )
+            return (
+                f"element_at(transform(array({h}), __ch_h ->"
+                f" {lo} + (__ch_h - floor(__ch_h)) * ({hi} - {lo})),"
+                " 1)"
+            )
+
+        body = (
+            f"transform(array({', '.join(ps)}), __ch_qp ->"
+            f" {_qinc('__ch_qp')})"
+            if plural else _qinc(ps[0])
+        )
+        expr = (
+            "element_at(transform(array(array_sort(flatten("
+            f"collect_list(CAST(({arr_arg}) AS ARRAY<DOUBLE>))))),"
+            f" __ch_qa -> {body}), 1)"
+        )
+        sql = sql[: m.start()] + expr + sql[close2 + 1:]
+    while True:
+        m = _find_case_exact(sql, r"\btopKArray\s*\(")
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        rest = sql[close1 + 1:].lstrip()
+        if not rest.startswith("("):
+            raise ValueError("topKArray expects topKArray(k)(arr)")
+        open2 = close1 + 1 + (len(sql[close1 + 1:]) - len(rest))
+        close2 = _call_end(sql, open2)
+        k = _split_top_commas(sql[open1 + 1: close1])[0].strip()
+        arr_arg = sql[open2 + 1: close2]
+        expr = (
+            "element_at(transform(array(flatten(collect_list("
+            f"({arr_arg})))), __ch_fa -> slice(transform(array_sort("
+            "transform(array_distinct(__ch_fa), __ch_v -> struct("
+            "-size(filter(__ch_fa, __ch_e -> __ch_e <=> __ch_v))"
+            " AS negn, __ch_v AS v))), __ch_s -> __ch_s.v),"
+            f" 1, CAST(({k}) AS INT))), 1)"
+        )
+        sql = sql[: m.start()] + expr + sql[close2 + 1:]
     # parametric quantiles first: their names share prefixes with nothing.
     # The optional -If combinator composes: quantileIf(p)(x, cond).
     while True:
@@ -6469,7 +6546,8 @@ def _rewrite_agg_spellings(sql: str) -> str:
         # argument out on non-matching rows (collect_list skips NULLs)
         m = _find_case_exact(
             sql,
-            r"\b(sum|min|max|avg|count|uniq)(?:Map|MappedArrays)"
+            r"\b(sum|min|max|avg|count|uniqExact|uniq)"
+            r"(?:Map|MappedArrays)"
             r"(?:WithOverflow)?(If)?\s*\(",
         )
         if not m:
@@ -7038,6 +7116,13 @@ def _rewrite_agg_spellings(sql: str) -> str:
             " (__ch_s, __ch_t) -> __ch_s + __ch_t) / size({v}))"
         ),
         "count": "size({v})",
+        # first / last surviving value per position ({v} is already
+        # null-filtered) — the any family's skip-NULL contract
+        # (batch-78). anyLast scans before any (prefix overlap).
+        "anyLast": "try_element_at({v}, -1)",
+        "any": "try_element_at({v}, 1)",
+        "uniq": "size(array_distinct({v}))",
+        "uniqExact": "size(array_distinct({v}))",
     }
     for base, combine in foreach_bases.items():
         while True:

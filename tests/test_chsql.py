@@ -5002,6 +5002,38 @@ def test_probe_batch77_exclusive_percentile(views):
     assert r["lo"] == 1.0 and r["hi"] == 10.0
 
 
+def test_probe_batch78_combinator_breadth(views):
+    """Round-10 post-close, batch 78 (~28 combinator stackings:
+    -Resample over new aggs, -ForEach breadth, -Map breadth, -Array
+    parametrics, FILTER clause, Stable spellings — most already
+    executed). Real fixes: anyForEach/anyLastForEach/uniq[Exact]
+    ForEach position-wise folds, uniqExactMap, groupArrayConcat
+    (flatten of collect_list), and the parametric -Array stackings
+    quantile*Array(p...)(arr) (inclusive interpolation over the
+    flattened sorted elements) + topKArray(k)(arr) (frequency fold,
+    value-ascending tiebreak)."""
+    views.sql(
+        "SELECT * FROM VALUES (array(1, 2)), (array(3, 4)),"
+        " (array(3)) AS t(arr)"
+    ).createOrReplaceTempView("b78")
+    r = views.sql(translate(
+        "SELECT anyForEach(arr) AS af, anyLastForEach(arr) AS alf,"
+        " uniqForEach(arr) AS uf,"
+        " groupArrayConcat(arr) AS gc,"
+        " quantileArray(0.5)(arr) AS q,"
+        " quantilesArray(0.25, 0.75)(arr) AS qs,"
+        " topKArray(2)(arr) AS tk FROM b78").sql).collect()[0]
+    assert r["af"] == [1, 2] and r["alf"] == [3, 4]
+    assert r["uf"] == [2, 2]
+    assert sorted(r["gc"]) == [1, 2, 3, 3, 4]
+    assert r["q"] == 3.0 and r["qs"] == [2.0, 3.0]
+    assert r["tk"] == [3, 1]  # 3 occurs twice; then value-asc
+    r = views.sql(translate(
+        "SELECT uniqExactMap(m) AS um FROM VALUES (map('a', 1.0)),"
+        " (map('a', 2.0, 'b', 3.0)) AS t(m)").sql).collect()[0]
+    assert r["um"] == {"a": 2, "b": 1}
+
+
 def test_advice_r9_json_value_string_scalars(views):
     """ADVICE r10 batch: string scalars whose TEXT looks like a
     number/bool/container must classify as strings. JSON_VALUE
