@@ -1245,12 +1245,14 @@ def _rewrite_inline_table_functions(sql: str) -> str:
     # column: bool/bigint/double/string); other formats refuse toward
     # the engine's INSERT ... FORMAT path, which owns the full format
     # zoo.
+    fmt_n = 0
     while True:
         m = _find_top_anywhere(
             sql, r"(?i)\b(FROM|JOIN)\s+format\s*\("
         )
         if not m:
             break
+        fmt_n += 1
         open1 = sql.index("(", m.end() - 1)
         close1 = _call_end(sql, open1)
         args = _split_top_commas(sql[open1 + 1: close1])
@@ -1333,9 +1335,28 @@ def _rewrite_inline_table_functions(sql: str) -> str:
             for n, t in zip(names, types)
         )
         quoted = ", ".join(f"`{n}`" for n in names)
+        # ADVICE r10: only attach the synthetic alias when the user
+        # didn't write one (FROM format(...) AS t / FROM format(...) t
+        # would otherwise emit "... AS __ch_format AS t", a parse
+        # error), and make it unique per occurrence so two format()
+        # calls in one statement don't collide
+        tail = sql[close1 + 1:].lstrip()
+        user_alias = bool(re.match(r"(?is)AS\s+[`\"]?[A-Za-z_]", tail))
+        if not user_alias:
+            bare = re.match(r"[`\"]?([A-Za-z_]\w*)", tail)
+            user_alias = bool(bare) and bare.group(1).upper() not in (
+                "WHERE", "PREWHERE", "GROUP", "ORDER", "LIMIT",
+                "OFFSET", "FETCH", "HAVING", "QUALIFY", "WINDOW",
+                "UNION", "INTERSECT", "EXCEPT", "JOIN", "LEFT",
+                "RIGHT", "FULL", "INNER", "CROSS", "OUTER", "NATURAL",
+                "SEMI", "ANTI", "ASOF", "GLOBAL", "ARRAY", "LATERAL",
+                "PIVOT", "UNPIVOT", "ON", "USING", "SETTINGS", "WITH",
+                "FINAL", "SAMPLE", "INTO", "FORMAT", "AS",
+            )
+        alias = "" if user_alias else f" AS __ch_format_{fmt_n}"
         repl = (
             f"{m.group(1)} (SELECT {sel} FROM VALUES {vals}"
-            f" AS __ch_frows({quoted})) AS __ch_format"
+            f" AS __ch_frows_{fmt_n}({quoted})){alias}"
         )
         sql = sql[: m.start()] + repl + sql[close1 + 1:]
     # ANSI OFFSET ... FETCH (CH supports both spellings): LIMIT/OFFSET
@@ -1958,12 +1979,22 @@ _ARRAY_SPLICE: dict[str, dict[int, str]] = {
     "groupArrayConcat": {1: "flatten(collect_list({0}))"},
     # lambda-first arithmetic array folds (batch-76): CH's
     # arrayMin/Max/Sum/Avg(func, arr) — 1-arg forms pass through to
-    # the typed SQL aliases
+    # the typed SQL aliases. arraySum is TYPE-PRESERVING (ADVICE r10:
+    # the old DOUBLE accumulator made arraySum(x -> x, [1,2,3]) render
+    # 6.0 where CH returns the integer 6): the zero is the first
+    # mapped element times 0 (its own type), coalesced to 0 for the
+    # empty array via the let-trick so the transform evaluates once.
+    # Deviation: a BOOLEAN-returning lambda errors loudly here (no
+    # implicit bool arithmetic in Spark) where CH sums UInt8; wrap the
+    # lambda body in toUInt8(...) for that case. arrayAvg stays DOUBLE
+    # — CH's arrayAvg returns Float64.
     "arrayMin": {2: "array_min(transform({1}, {0}))"},
     "arrayMax": {2: "array_max(transform({1}, {0}))"},
     "arraySum": {
-        2: "aggregate(transform({1}, {0}), CAST(0 AS DOUBLE),"
-           " (__ch_s, __ch_x) -> __ch_s + CAST(__ch_x AS DOUBLE))",
+        2: "element_at(transform(array(transform({1}, {0})),"
+           " __ch_tf -> aggregate(__ch_tf,"
+           " coalesce(try_element_at(__ch_tf, 1) * 0, 0),"
+           " (__ch_s, __ch_x) -> __ch_s + __ch_x)), 1)",
     },
     "arrayAvg": {
         2: "(aggregate(transform({1}, {0}), CAST(0 AS DOUBLE),"
@@ -1985,13 +2016,18 @@ _ARRAY_SPLICE: dict[str, dict[int, str]] = {
         3: "slice(splitByChar({0}, {1}), 1, CAST({2} AS INT))",
     },
     # batch-69: addDate/subDate ARE the +/- interval operators; CH's
-    # indexHint returns 1 for every row (the argument only steers index
-    # selection, which Catalyst already does from real predicates) —
-    # the IS-NULL-OR-TRUE guard keeps the argument analyzed so typos
-    # still error, then folds to constant 1
+    # indexHint returns truth for every row (the argument only steers
+    # index selection, which Catalyst already does from real
+    # predicates) — the IS-NULL-OR-TRUE guard keeps the argument
+    # analyzed so typos still error, then folds to constant TRUE.
+    # BOOLEAN, not INT, because the dominant spelling is
+    # WHERE indexHint(cond) (an INT there is
+    # DATATYPE_MISMATCH.FILTER_NOT_BOOLEAN); in SELECT position this
+    # renders true where CH renders UInt8 1 — documented deviation
+    # (ADVICE r10)
     "addDate": {2: "({0} + {1})"},
     "subDate": {2: "({0} - {1})"},
-    "indexHint": {1: "IF(({0}) IS NULL OR TRUE, 1, 1)"},
+    "indexHint": {1: "(({0}) IS NULL OR TRUE)"},
     "mapReverseSort": {
         1: "map_from_entries(reverse(array_sort(map_entries({0}))))",
     },
@@ -3766,6 +3802,23 @@ def _rewrite_scalar_misc(sql: str) -> str:
                     sql = sql[: m.start()] + expr + sql[close2 + 1:]
                     pos = m.start()
                     continue
+            if fname == "arraySum" and len(args) == 2:
+                # CH parses bare float literals as Float64; Spark
+                # parses them as DECIMAL, whose precision growth the
+                # type-preserving fold below cannot accumulate
+                # (DECIMAL(p)+DECIMAL(p) is DECIMAL(p+1) ≠ the zero's
+                # type). Normalize them to double literals —
+                # CH-faithful — in both the lambda and the array
+                # argument; fragments carrying string literals are
+                # left alone (nothing to corrupt in the common case,
+                # and decimal COLUMNS remain a documented loud-error
+                # deviation: wrap the lambda body in toFloat64)
+                args = [
+                    a if ("'" in a or '"' in a) else re.sub(
+                        r"(?<![\w.])(\d+\.\d+)(?![\w.])", r"\1E0", a
+                    )
+                    for a in args
+                ]
             tmpl = forms.get(len(args))
             if tmpl is None:
                 if fname in _SPLICE_PASSTHROUGH:
@@ -6157,11 +6210,15 @@ def _rewrite_agg_spellings(sql: str) -> str:
     operators; they pass through and fail with Spark's clear
     unresolved-function error."""
     # parametric -Array stackings of quantile/topK (batch-78): the
-    # element stream is the flatten of the group's arrays, so the
-    # quantile is an inclusive interpolation over the sorted flat
-    # array (the same exact stand-in the scalar quantile map uses)
-    # and topK is a frequency fold with a value tiebreak. Handled
-    # BEFORE the scalar parametric pass so the names don't collide.
+    # element stream is the flatten of the group's arrays, so each
+    # variant routes through the SAME per-variant selector the scalar
+    # pass uses (ADVICE r10: the old catch-all folded every variant
+    # into the inclusive interpolation): ExactLow/High are order
+    # statistics over the sorted flat array, ExactExclusive is Excel
+    # PERCENTILE.EXC, everything else (plain/Exact/TDigest/Timing/...)
+    # is the inclusive interpolation. topK is a frequency fold with a
+    # value tiebreak. Handled BEFORE the scalar parametric pass so the
+    # names don't collide.
     while True:
         m = _find_case_exact(
             sql,
@@ -6171,6 +6228,7 @@ def _rewrite_agg_spellings(sql: str) -> str:
         if not m:
             break
         plural = m.group(1) == "quantiles"
+        variant = m.group(2)
         open1 = sql.index("(", m.end() - 1)
         close1 = _call_end(sql, open1)
         rest = sql[close1 + 1:].lstrip()
@@ -6182,7 +6240,29 @@ def _rewrite_agg_spellings(sql: str) -> str:
         open2 = close1 + 1 + (len(sql[close1 + 1:]) - len(rest))
         close2 = _call_end(sql, open2)
         ps = _split_top_commas(sql[open1 + 1: close1])
-        arr_arg = sql[open2 + 1: close2]
+        arr_args = _split_top_commas(sql[open2 + 1: close2])
+        if len(arr_args) != 1:
+            # ADVICE r10: quantileExactWeightedArray(0.5)(arr, w) and
+            # friends used to swallow both args into one CAST and die
+            # with an opaque AnalysisException — refuse loudly instead
+            raise ValueError(
+                f"quantile{'s' if plural else ''}{variant}Array takes"
+                " exactly ONE array argument — the weighted/"
+                "deterministic multi-array forms (arr, w) have no SQL"
+                " rewrite; explode the arrays and use the scalar"
+                f" quantile{variant}(p)(x, w) instead"
+            )
+        arr_arg = arr_args[0]
+        if variant in ("GK", "DD"):
+            # the leading accuracy knob has no role in the exact
+            # sorted-array stand-in — drop it, keep the levels (same
+            # contract as the scalar pass)
+            if len(ps) < 2:
+                raise ValueError(
+                    f"quantile{variant}Array expects"
+                    f" quantile{variant}Array(accuracy, level...)(arr)"
+                )
+            ps = ps[1:]
 
         def _qinc(pv: str) -> str:
             h = f"(1 + CAST(({pv}) AS DOUBLE) * (size(__ch_qa) - 1))"
@@ -6197,14 +6277,51 @@ def _rewrite_agg_spellings(sql: str) -> str:
                 " 1)"
             )
 
+        def _qexc(pv: str) -> str:
+            # PERCENTILE.EXC: h = q*(n+1), end-clamped (same selector
+            # as the scalar ExactExclusive branch)
+            h = (
+                "least(greatest(CAST((" + pv + ") AS DOUBLE)"
+                " * (size(__ch_qa) + 1), CAST(1 AS DOUBLE)),"
+                " CAST(size(__ch_qa) AS DOUBLE))"
+            )
+            lo = "try_element_at(__ch_qa, CAST(floor(__ch_h) AS INT))"
+            hi = (
+                "coalesce(try_element_at(__ch_qa,"
+                " CAST(floor(__ch_h) AS INT) + 1), " + lo + ")"
+            )
+            return (
+                f"element_at(transform(array({h}), __ch_h ->"
+                f" {lo} + (__ch_h - floor(__ch_h)) * ({hi} - {lo})),"
+                " 1)"
+            )
+
+        def _qord(pv: str) -> str:
+            # ExactLow/High order statistics (same selector as the
+            # scalar branch; type-preserving)
+            rnd = "floor" if variant == "ExactLow" else "ceil"
+            return (
+                "try_element_at(__ch_qa, greatest(1,"
+                f" CAST({rnd}(({pv}) * (size(__ch_qa) - 1)) AS INT)"
+                " + 1))"
+            )
+
+        if variant in ("ExactLow", "ExactHigh"):
+            sel = _qord
+            coll = f"flatten(collect_list({arr_arg}))"
+        else:
+            sel = _qexc if variant == "ExactExclusive" else _qinc
+            coll = (
+                f"flatten(collect_list(CAST(({arr_arg})"
+                " AS ARRAY<DOUBLE>)))"
+            )
         body = (
             f"transform(array({', '.join(ps)}), __ch_qp ->"
-            f" {_qinc('__ch_qp')})"
-            if plural else _qinc(ps[0])
+            f" {sel('__ch_qp')})"
+            if plural else sel(ps[0])
         )
         expr = (
-            "element_at(transform(array(array_sort(flatten("
-            f"collect_list(CAST(({arr_arg}) AS ARRAY<DOUBLE>))))),"
+            f"element_at(transform(array(array_sort({coll})),"
             f" __ch_qa -> {body}), 1)"
         )
         sql = sql[: m.start()] + expr + sql[close2 + 1:]

@@ -2293,7 +2293,8 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         " END",
     ),
     # '1 hour 30 minutes' -> seconds (batch-69). CH's unit table:
-    # s/sec/second(s), min/minute(s), h/hr/hour(s), d/day(s),
+    # s/sec/second(s), m/min/minute(s) (bare 'm' is minutes in CH's
+    # parser, not months — ADVICE r10), h/hr/hour(s), d/day(s),
     # w/week(s), mo/month(s) = 30.5 d, y/year(s) = 365 d; ms/us/ns
     # fractions. Unknown units contribute NULL (the whole result goes
     # NULL) rather than a silent 0.
@@ -2310,6 +2311,7 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "   WHEN 'milliseconds' THEN 1e-3"
         "   WHEN 's' THEN 1 WHEN 'sec' THEN 1 WHEN 'secs' THEN 1"
         "   WHEN 'second' THEN 1 WHEN 'seconds' THEN 1"
+        "   WHEN 'm' THEN 60"
         "   WHEN 'min' THEN 60 WHEN 'mins' THEN 60"
         "   WHEN 'minute' THEN 60 WHEN 'minutes' THEN 60"
         "   WHEN 'h' THEN 3600 WHEN 'hr' THEN 3600"

@@ -5287,3 +5287,85 @@ def test_probe_batch66_combinator_stacking(views):
     ).collect()[0]
     assert r["mn"] is None and r["si"] == 10.0 and r["aa"] == 2.0
     assert r["ga"] == ["b", "a"] and r["gl"] == ["a"]
+
+
+def test_advice_r10_indexhint_boolean_and_timedelta_m(views):
+    """ADVICE r10: indexHint must be BOOLEAN so the dominant spelling
+    WHERE indexHint(cond) analyzes (it used to splice to an INT and
+    die with FILTER_NOT_BOOLEAN); in SELECT position it renders true
+    (== 1 numerically; CH renders UInt8 1 — documented deviation).
+    parseTimeDelta accepts the bare 'm' minutes unit."""
+    r = views.sql(translate(
+        "SELECT count(*) AS c FROM events WHERE indexHint(user_id > 0)"
+    ).sql).collect()[0]
+    all_rows = views.sql("SELECT count(*) AS c FROM events").collect()[0]
+    assert r["c"] == all_rows["c"]  # indexHint never filters
+    r = views.sql(translate(
+        "SELECT indexHint(1 = 1) AS ih,"
+        " parseTimeDelta('5m 30s') AS td").sql).collect()[0]
+    assert r["ih"] == 1 and r["td"] == 330.0
+
+
+def test_advice_r10_arraysum_lambda_type_preserving(views):
+    """ADVICE r10: the lambda-first arraySum keeps the mapped element
+    type — integer lambdas return integers (CH: arraySum(x -> x,
+    [1,2,3]) = 6, not 6.0), double lambdas stay double, and the empty
+    array still sums to 0. arrayAvg stays Float64 (CH contract)."""
+    r = views.sql(translate(
+        "SELECT arraySum(x -> x, [1, 2, 3]) AS si,"
+        " arraySum(x -> x / 2, [1.0, 2.0, 3.0]) AS sd,"
+        " arraySum(x -> x * 1.5, [2, 4]) AS sl,"
+        " arraySum(x -> x, CAST(array() AS ARRAY<BIGINT>)) AS se,"
+        " arrayAvg(x -> x * 2, [1, 2]) AS av").sql).collect()[0]
+    assert r["si"] == 6 and isinstance(r["si"], int)
+    assert r["sd"] == 3.0 and isinstance(r["sd"], float)
+    assert r["sl"] == 9.0 and isinstance(r["sl"], float)
+    assert r["se"] == 0 and r["av"] == 3.0
+
+
+def test_advice_r10_format_alias_forms(views):
+    """ADVICE r10: the format() table function honors a user alias
+    (AS t and bare t) instead of emitting a colliding synthetic one,
+    and two format() calls in one statement get distinct synthetic
+    aliases."""
+    r = views.sql(translate(
+        'SELECT t.a FROM format(JSONEachRow, \'{"a": 1}\') AS t'
+    ).sql).collect()
+    assert [x["a"] for x in r] == [1]
+    r = views.sql(translate(
+        'SELECT u.a + v.a AS s FROM format(JSONEachRow, \'{"a": 1}\') u'
+        ' CROSS JOIN format(JSONEachRow, \'{"a": 2}\') v').sql
+    ).collect()
+    assert [x["s"] for x in r] == [3]
+    r = views.sql(translate(
+        'SELECT * FROM format(JSONEachRow, \'{"a": 1}\') WHERE a > 0'
+    ).sql).collect()
+    assert [x["a"] for x in r] == [1]
+
+
+def test_advice_r10_quantile_array_variants(views):
+    """ADVICE r10: quantile*Array routes through the same per-variant
+    selectors as the scalar pass — ExactLow/High are order statistics
+    (lower/upper median: 5/6 over 1..10, where the old catch-all
+    interpolated to 5.5), ExactExclusive is PERCENTILE.EXC (2.75 at
+    q=0.25 over 1..10 vs 3.25 inclusive), and the multi-array
+    weighted/deterministic forms refuse loudly instead of dying with
+    an opaque AnalysisException."""
+    views.sql(
+        "SELECT * FROM VALUES (array(1, 2, 3, 4, 5)),"
+        " (array(6, 7, 8, 9, 10)) AS t(arr)"
+    ).createOrReplaceTempView("qa_adv")
+    r = views.sql(translate(
+        "SELECT quantileExactLowArray(0.5)(arr) AS lo,"
+        " quantileExactHighArray(0.5)(arr) AS hi,"
+        " quantileExactExclusiveArray(0.25)(arr) AS ex,"
+        " quantileArray(0.25)(arr) AS inc,"
+        " quantilesExactLowArray(0.5, 0.9)(arr) AS los"
+        " FROM qa_adv").sql).collect()[0]
+    assert r["lo"] == 5 and r["hi"] == 6
+    assert r["ex"] == 2.75 and r["inc"] == 3.25
+    assert r["los"] == [5, 9]
+    with pytest.raises(ValueError, match="exactly ONE array"):
+        translate("SELECT quantileExactWeightedArray(0.5)(arr, w) FROM t")
+    with pytest.raises(ValueError, match="exactly ONE array"):
+        translate("SELECT quantileDeterministicArray(0.5)(arr, d) FROM t")
