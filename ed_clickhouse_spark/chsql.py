@@ -6051,7 +6051,9 @@ _AGG_NAME_MAP = {
     "groupUniqArray": "collect_set",
     "groupArray": "collect_list",
     "anyLast": "last",
-    "anyHeavy": "any_value",
+    # combinator-path fallback; bare anyHeavy rewrites earlier to
+    # mode(x, true) — see the NULL-skip loop (verdict r10)
+    "anyHeavy": "mode",
     "any": "any_value",
     "stddevPop": "stddev_pop",
     "stddevSamp": "stddev_samp",
@@ -6115,8 +6117,9 @@ _AGG_IF_BASES = {
 #   * the explicit _AGG_IF_BASES templates win on conflicts.
 _AGG_IF_ALL = {
     **_AGG_NAME_MAP,
-    # the null-skip flag (batch-72; any/anyLast live in _AGG_IF_BASES)
-    "anyHeavy": "any_value({}, true)",
+    # deterministic heavy-hitter (verdict r10; the true is mode's
+    # deterministic flag — any/anyLast live in _AGG_IF_BASES)
+    "anyHeavy": "mode({}, true)",
     "corr": "corr",
     "covarPop": "covar_pop",
     "covarSamp": "covar_samp",
@@ -7510,9 +7513,16 @@ def _rewrite_agg_spellings(sql: str) -> str:
     # do so with the ignoreNulls flag, so the bare rename silently
     # returned NULL whenever the first-encountered row was NULL
     # (batch-72). anyLast scans before any so the prefix can't collide.
+    # anyHeavy is mode(x, true), NOT an any_value rename (verdict r10):
+    # CH's heavy-hitters contract deterministically returns a value
+    # holding a strict majority, which the modal value trivially honors
+    # (the true flag pins ties to the lowest value, oracle-stable);
+    # Spark's Mode keeps per-group state bounded by the DISTINCT count
+    # with map-side partials, and skips NULLs natively (the true here
+    # is the deterministic flag, not ignoreNulls).
     for ch_name, spark_fn in (
         ("anyLastOrNull", "last"), ("anyOrNull", "any_value"),
-        ("anyLast", "last"), ("anyHeavy", "any_value"),
+        ("anyLast", "last"), ("anyHeavy", "mode"),
         ("any", "any_value"),
     ):
         while True:
