@@ -1675,3 +1675,114 @@ def q256_median_order_statistics(spark, sf_dir):
     register_sql_aliases(spark)
     t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem")
     return spark.sql(translate(_CH_MEDIAN_STATS).sql)
+
+
+_CH_PROBE_TAILS2 = """
+SELECT event_type,
+       base64URLDecode(base64URLEncode(event_type)) AS rt_key,
+       base64URLEncode(event_type) AS b64u,
+       toInt64(bitmapCardinality(bitmapTransform(
+         bitmapBuild(groupUniqArray(toInt64(user_id % 10))),
+         [0, 1], [5, 6]))) AS bm_card,
+       toFloat64(toDecimal64(arraySum(x -> x * 2, groupArray(value)),
+         2)) AS dbl_sum,
+       toFloat64(toDecimal64(quantileExactExclusive(0.25)(value), 2))
+         AS q_exc,
+       quantileExactLowArray(0.5)(array(value)) AS med_low,
+       toInt64(element_at(uniqExactForEach(array(toInt64(user_id % 5),
+         toInt64(user_id % 3))), 1)) AS u5,
+       toInt64(element_at(uniqExactForEach(array(toInt64(user_id % 5),
+         toInt64(user_id % 3))), 2)) AS u3,
+       toInt64(arraySum(x -> x, groupArrayConcat(
+         array(toInt64(user_id % 7), toInt64(1))))) AS concat_sum,
+       toInt64(element_at(topKArray(1)(array(toInt64(user_id % 3))), 1))
+         AS top_mod3,
+       toInt64(anyHeavy(toInt64(user_id % 2))) AS heavy_mod2
+FROM events
+GROUP BY event_type
+"""
+
+
+@query(
+    "q257_dialect_probe_tails2",
+    oracle="""
+    WITH m3 AS (
+      SELECT event_type, user_id % 3 AS v, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ), p3 AS (
+      SELECT event_type, v FROM m3
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY event_type ORDER BY c DESC, v ASC) = 1
+    ), m2 AS (
+      SELECT event_type, user_id % 2 AS v, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ), p2 AS (
+      SELECT event_type, v FROM m2
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY event_type ORDER BY c DESC, v ASC) = 1
+    ), base AS (
+      SELECT event_type,
+             COUNT(*) AS n,
+             list_sort(list(value)) AS sv,
+             CAST(CAST(SUM(value) * 2 AS DECIMAL(18,2)) AS DOUBLE)
+               AS dbl_sum,
+             COUNT(DISTINCT CASE WHEN user_id % 10 = 0 THEN 5
+                                 WHEN user_id % 10 = 1 THEN 6
+                                 ELSE user_id % 10 END) AS bm_card,
+             COUNT(DISTINCT user_id % 5) AS u5,
+             COUNT(DISTINCT user_id % 3) AS u3,
+             SUM(user_id % 7) + COUNT(*) AS concat_sum
+      FROM events GROUP BY 1
+    ), exc AS (
+      SELECT event_type,
+             LEAST(GREATEST(0.25 * (n + 1), 1.0), CAST(n AS DOUBLE))
+               AS h
+      FROM base
+    )
+    SELECT b.event_type,
+           b.event_type AS rt_key,
+           rtrim(replace(replace(to_base64(CAST(b.event_type AS BLOB)),
+             '+', '-'), '/', '_'), '=') AS b64u,
+           CAST(b.bm_card AS BIGINT) AS bm_card,
+           b.dbl_sum,
+           CAST(CAST(b.sv[CAST(FLOOR(e.h) AS INT)]
+             + (e.h - FLOOR(e.h))
+               * (b.sv[LEAST(CAST(FLOOR(e.h) AS INT) + 1, CAST(b.n AS INT))]
+                  - b.sv[CAST(FLOOR(e.h) AS INT)])
+             AS DECIMAL(18,2)) AS DOUBLE) AS q_exc,
+           b.sv[CAST(FLOOR(0.5 * (b.n - 1)) AS INT) + 1] AS med_low,
+           CAST(b.u5 AS BIGINT) AS u5,
+           CAST(b.u3 AS BIGINT) AS u3,
+           CAST(b.concat_sum AS BIGINT) AS concat_sum,
+           CAST(p3.v AS BIGINT) AS top_mod3,
+           CAST(p2.v AS BIGINT) AS heavy_mod2
+    FROM base b
+    JOIN exc e USING (event_type)
+    JOIN p3 USING (event_type)
+    JOIN p2 USING (event_type)
+    """,
+)
+def q257_dialect_probe_tails2(spark, sf_dir):
+    """Round-10 post-close probe batches 76-79 in the graded loop
+    (verdict r10 task #3), one ClickHouse query through the rewriter:
+    URL-safe base64 encode + decode roundtrip, bitmapTransform
+    cardinality after a collapsing remap, the lambda-first
+    type-preserving arraySum folds (double *2 — the 2-decimal
+    test data makes *0.5 land exactly on the .xx5 rounding boundary,
+    where the two engines' fold orders split — and the integer
+    identity over groupArrayConcat), quantileExactExclusive
+    (PERCENTILE.EXC, oracle re-derives h = clamp(q*(n+1), 1, n) on
+    DuckDB's sorted list), the parametric quantileExactLowArray
+    stacking (order statistic over flattened per-row arrays),
+    uniqExactForEach position-wise distinct counts, topKArray's
+    frequency fold (count desc / value asc tiebreak), and anyHeavy's
+    r11 majority-honoring mode (count desc / value asc — the oracle
+    pins the deterministic pick per group). Scale shape: one grouped
+    aggregation over event_type; the quantile folds collect bounded
+    per-group arrays exactly like q255's L2Norm."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(translate(_CH_PROBE_TAILS2).sql)
