@@ -429,12 +429,14 @@ def _collapse_ws_outside_strings(sql: str) -> str:
     return "".join(out).strip()
 
 
-def _find_top_anywhere(s: str, pattern: str) -> re.Match | None:
+def _find_top_anywhere(
+    s: str, pattern: str, pos: int = 0
+) -> re.Match | None:
     """Like _find_top but matches at any paren depth (still not inside
     string literals)."""
     rx = re.compile(pattern, re.I)
     instr_at = {i: instr for i, _, _, instr in _scan_level(s)}
-    for m in rx.finditer(s):
+    for m in rx.finditer(s, pos):
         if not instr_at.get(m.start(), False):
             return m
     return None
@@ -2654,6 +2656,8 @@ _ARRAY_SPLICE["arrayRandomSample"] = {
        " __ch_v -> struct(md5(CAST(__ch_v AS STRING)) AS h,"
        " __ch_v AS v))), 1, {1}), __ch_s -> __ch_s.v)",
 }
+# clamp(x, lo, hi) (24.5, batch-80): type-preserving least/greatest
+_ARRAY_SPLICE["clamp"] = {3: "least(greatest({0}, {1}), {2})"}
 _ARRAY_SPLICE["arrayDotProduct"] = {
     2: "aggregate(zip_with({0}, {1},"
        " (__ch_x, __ch_y) -> CAST(__ch_x AS DOUBLE) * __ch_y),"
@@ -8015,6 +8019,15 @@ def _tuple_items(arg: str) -> list[str] | None:
     a = arg.strip()
     m = re.match(r"^tuple\s*\(", a)
     if not m:
+        # CH's bare parenthesized tuple literal (a, b[, ...]) — a paren
+        # group with a top-level comma can only be a tuple in
+        # expression position (batch-80; subqueries excluded)
+        if a.startswith("(") and _call_end(a, 0) == len(a) - 1:
+            inner = a[1:-1]
+            if not re.match(r"(?is)^\s*SELECT\b", inner):
+                items = _split_top_commas(inner)
+                if len(items) >= 2:
+                    return items
         return None
     open1 = a.index("(", m.end() - 1)
     if _call_end(a, open1) != len(a) - 1:
@@ -8080,6 +8093,56 @@ def _rewrite_tuple_fns(sql: str) -> str:
             else:
                 items = [f"(({x}) {op} ({y}))" for x, y in zip(ta, tb)]
             sql = sql[: m.start()] + f"tuple({', '.join(items)})" + sql[close1 + 1:]
+    # tupleMultiplyByNumber/tupleDivideByNumber (batch-80): scale every
+    # element by a scalar; the scalar expression is spliced per element
+    # (CH usage is literal/column scalars — document if side-effecting)
+    for name, op in (("tupleMultiplyByNumber", "*"),
+                     ("tupleDivideByNumber", "/")):
+        while True:
+            m = _find_top_anywhere(sql, rf"\b{name}\s*\(")
+            if not m:
+                break
+            open1 = sql.index("(", m.end() - 1)
+            close1 = _call_end(sql, open1)
+            args = _split_top_commas(sql[open1 + 1: close1])
+            ta = _tuple_items(args[0]) if len(args) == 2 else None
+            if ta is None:
+                raise ValueError(
+                    f"{name} translates only for a literal tuple(...)"
+                    " first argument — spell the element-wise"
+                    " arithmetic over struct fields instead"
+                )
+            items = [f"(({x}) {op} ({args[1]}))" for x in ta]
+            sql = (
+                sql[: m.start()]
+                + f"tuple({', '.join(items)})"
+                + sql[close1 + 1:]
+            )
+    # dotProduct over two literal tuples (batch-80): CH accepts tuple
+    # and array forms; the tuple form folds to the element-wise product
+    # sum here, the array form stays on the zip_with SQL alias
+    dp_pos = 0
+    while True:
+        m = _find_top_anywhere(sql, r"\bdotProduct\s*\(", dp_pos)
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        ta = _tuple_items(args[0]) if len(args) == 2 else None
+        tb = _tuple_items(args[1]) if len(args) == 2 else None
+        if ta is None or tb is None:
+            dp_pos = m.end()  # array form — the SQL alias owns it
+            continue
+        if len(ta) != len(tb):
+            raise ValueError(
+                "dotProduct tuple arguments must have equal arity"
+            )
+        body = " + ".join(
+            f"(({x}) * ({y}))" for x, y in zip(ta, tb)
+        )
+        sql = sql[: m.start()] + f"({body})" + sql[close1 + 1:]
+        dp_pos = m.start()
     while True:
         m = _find_top_anywhere(sql, r"\btupleNegate\s*\(")
         if not m:

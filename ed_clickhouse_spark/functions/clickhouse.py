@@ -370,11 +370,24 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
     ),
     "replaceAll": ("(s STRING, a STRING, b STRING) RETURNS STRING", "replace(s, a, b)"),
     "positionCaseSensitive": ("(h STRING, n STRING) RETURNS INT", "instr(h, n)"),
-    # arithmetic spellings (ClickHouse function-call style)
+    # arithmetic spellings (ClickHouse function-call style). CH's
+    # division is IEEE Float64 — divide(a, 0) is +-inf (nan at 0/0) —
+    # where the session's ANSI `/` OPERATOR throws DIVIDE_BY_ZERO;
+    # the named spelling branches so CH queries that rely on inf
+    # (e.g. feeding ifNotFinite) run verbatim. The bare `a / b`
+    # operator keeps the loud ANSI error (documented deviation: spell
+    # divide(a, b) for CH zero-divisor semantics).
     "plus": ("(a DOUBLE, b DOUBLE) RETURNS DOUBLE", "a + b"),
     "minus": ("(a DOUBLE, b DOUBLE) RETURNS DOUBLE", "a - b"),
     "multiply": ("(a DOUBLE, b DOUBLE) RETURNS DOUBLE", "a * b"),
-    "divide": ("(a DOUBLE, b DOUBLE) RETURNS DOUBLE", "a / b"),
+    "divide": (
+        "(a DOUBLE, b DOUBLE) RETURNS DOUBLE",
+        "CASE WHEN b = 0 THEN"
+        " CASE WHEN a > 0 THEN double('Infinity')"
+        " WHEN a < 0 THEN double('-Infinity')"
+        " ELSE double('NaN') END"
+        " ELSE a / b END",
+    ),
     # more date/time spellings
     "toMinute": ("(x TIMESTAMP) RETURNS INT", "minute(x)"),
     "toSecond": ("(x TIMESTAMP) RETURNS INT", "second(x)"),
@@ -2199,6 +2212,11 @@ _SQL_SCALAR_ALIASES: dict[str, tuple[str, str]] = {
         "(x TIMESTAMP) RETURNS DATE",
         "date_add(date_sub(CAST(x AS DATE), dayofweek(x) - 1), 6)",
     ),
+    # NOTE (batch-80): arguments evaluate BEFORE the finiteness check,
+    # and the session's ANSI `/` operator throws on a zero divisor —
+    # so ifNotFinite(a / b, d) errors where CH returns d. Spell the
+    # division as divide(a, b) (CH IEEE semantics) and the combination
+    # runs verbatim.
     "ifNotFinite": (
         "(x DOUBLE, y DOUBLE) RETURNS DOUBLE",
         "CASE WHEN isnan(x) OR abs(x) = double('Infinity') THEN y"

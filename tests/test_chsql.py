@@ -5369,3 +5369,53 @@ def test_advice_r10_quantile_array_variants(views):
         translate("SELECT quantileExactWeightedArray(0.5)(arr, w) FROM t")
     with pytest.raises(ValueError, match="exactly ONE array"):
         translate("SELECT quantileDeterministicArray(0.5)(arr, d) FROM t")
+
+
+def test_probe_batch80_geo_tuple_misc_tails(views):
+    """Round-11 execution probe, batch 80 (~89 spellings swept across
+    geo, tuple algebra, array set-ops, string search, date bucketing,
+    morton codes, map HOFs, URL tails and aggregate odds — 77 already
+    executed; tupleToNameValuePairs/byteSize/anova/LTTB-as-agg refuse
+    loudly as designed). Real fixes: clamp (24.5) as a type-preserving
+    least/greatest splice; CH's bare parenthesized tuple literal
+    (a, b) accepted by the tuple-algebra rewrites (only the tuple(...)
+    spelling parsed before); tupleMultiplyByNumber/tupleDivideByNumber
+    element-wise scaling; dotProduct's TUPLE form folding to the
+    element-wise product sum (the array form stays on the zip_with
+    alias); and the named divide() carrying CH's IEEE zero-divisor
+    semantics (inf/-inf/nan) where the session's ANSI `/` operator
+    throws — making ifNotFinite(divide(a, b), d) run verbatim."""
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(views)
+    r = views.sql(translate(
+        "SELECT clamp(7, 1, 5) AS cl,"
+        " tuplePlus((1, 2), (2, 3)) AS tp,"
+        " tupleMultiplyByNumber((1, 2), 3) AS tm,"
+        " tupleHammingDistance((1, 2, 3), (3, 2, 1)) AS th,"
+        " dotProduct((1, 2), (2, 3)) AS dpt,"
+        " dotProduct([1.0, 2.0], [2.0, 3.0]) AS dpa,"
+        " divide(1, 0) AS dz,"
+        " divide(-1, 0) AS dnz,"
+        " ifNotFinite(divide(1, 0), 42.0) AS inf42,"
+        " geohashEncode(-5.60302734375, 42.593994140625, 6) AS gh,"
+        " arrayJaccardIndex([1, 2], [2, 3]) AS aj,"
+        " soundex('Robert') AS sx,"
+        " mortonEncode(1, 2) AS me,"
+        " monthName(toDateTime('2024-03-15 10:30:45')) AS mn,"
+        " extractKeyValuePairs('name:neymar, age:31') AS kv").sql
+    ).collect()[0]
+    import math
+    assert r["cl"] == 5 and isinstance(r["cl"], int)
+    assert tuple(r["tp"]) == (3, 5) and tuple(r["tm"]) == (3, 6)
+    assert r["th"] == 2
+    assert r["dpt"] == 8 and r["dpa"] == 8.0
+    assert math.isinf(r["dz"]) and r["dz"] > 0
+    assert math.isinf(r["dnz"]) and r["dnz"] < 0
+    assert r["inf42"] == 42.0
+    assert r["gh"] == "ezs42d"
+    assert abs(r["aj"] - 1 / 3) < 1e-9
+    assert r["sx"] == "R163"
+    assert r["me"] == 9
+    assert r["mn"] == "March"
+    assert r["kv"] == {"name": "neymar", "age": "31"}
