@@ -552,6 +552,21 @@ def _rewrite_star_modifiers(sql: str, specs: dict | None = None) -> str:
     loudly with the explicit-column spelling instead of a cryptic parse
     error.
     """
+    # CH's bare single-column form `* EXCEPT col` (batch-81) — Spark
+    # only parses the parenthesized list; the set-operation EXCEPT is
+    # excluded by the star anchor and the identifier guard
+    while True:
+        m = _find_top_anywhere(
+            sql,
+            r"(\*\s*EXCEPT)\s+(?!\()(?!(?:ALL|DISTINCT|SELECT)\b)"
+            r"(`[^`]+`|\w+)",
+        )
+        if not m:
+            break
+        sql = (
+            sql[: m.start()] + f"{m.group(1)} ({m.group(2)})"
+            + sql[m.end():]
+        )
     while True:
         m = _find_top_anywhere(
             sql, r"\*\s*(EXCEPT\s*\(([^)]*)\)\s*)?REPLACE\s*\("
@@ -4148,11 +4163,24 @@ def _rewrite_scalar_misc(sql: str) -> str:
         open1 = sql.index("(", m.end() - 1)
         close1 = _call_end(sql, open1)
         args = _split_top_commas(sql[open1 + 1: close1])
-        if len(args) != 2 or not re.fullmatch(r"\d+", args[1]):
+        if len(args) != 2 or not re.fullmatch(r"\d+", args[1].strip()):
             raise ValueError(
                 "tupleElement translates only with a literal index:"
                 " tupleElement(t, N) -> (t).colN"
             )
+        # a literal tuple argument resolves at translate time —
+        # tuple(i, s) names its struct fields after the expressions,
+        # so the .colN access below would miss (batch-81)
+        items = _tuple_items(args[0])
+        if items is not None:
+            idx = int(args[1].strip())
+            if not 1 <= idx <= len(items):
+                raise ValueError(
+                    f"tupleElement index {idx} out of range for a"
+                    f" {len(items)}-element tuple"
+                )
+            sql = sql[: m.start()] + f"({items[idx - 1]})" + sql[close1 + 1:]
+            continue
         sql = sql[: m.start()] + f"({args[0]}).col{args[1]}" + sql[close1 + 1:]
     # r6 execution-probe tail: spellings that previously translated
     # untouched and died at run time with UNRESOLVED_ROUTINE
@@ -8269,6 +8297,7 @@ def translate(
     )
     sql = _rewrite_system(sql)
     sql = _rewrite_star_modifiers(sql, specs)
+    sql = _rewrite_inline_paren_aliases(sql)
     cm = _find_top_anywhere(sql, r"(?i)\bCOLLATE\b")
     if cm:
         raise ValueError(
@@ -8294,12 +8323,26 @@ def translate(
     # tuple algebra (untuple/tupleConcat/tuplePlus/...) resolves over
     # literal tuples BEFORE the rename below erases the tuple( spelling
     sql = _rewrite_tuple_fns(sql)
-    # tuple(a, b, ...) -> struct (any arity; a rename, string-literal safe)
+    # tuple(a, b, ...) -> named_struct with CANONICAL col1..colN field
+    # names (batch-81; was a bare struct() rename, which names fields
+    # after the expressions — so positional access `.colN` /
+    # tupleElement(t, N) only worked for literal elements, not
+    # tuple(i, s) over columns). Empty tuple() stays struct().
     while True:
         tm = _find_top_anywhere(sql, r"\btuple\s*\(")
         if not tm:
             break
-        sql = sql[: tm.start()] + "struct(" + sql[sql.index("(", tm.end() - 1) + 1:]
+        open1 = sql.index("(", tm.end() - 1)
+        close1 = _call_end(sql, open1)
+        items = _split_top_commas(sql[open1 + 1: close1])
+        if not items or (len(items) == 1 and not items[0].strip()):
+            repl = "struct()"
+        else:
+            body = ", ".join(
+                f"'col{k + 1}', ({x})" for k, x in enumerate(items)
+            )
+            repl = f"named_struct({body})"
+        sql = sql[: tm.start()] + repl + sql[close1 + 1:]
     # ClickHouse positional tuple access t.1 / tuple(...).1 -> .colN
     # (struct fields from the rename above are col1, col2, ...). Only
     # the close-paren form is rewritten — `x.1` on a bare identifier is
@@ -8351,6 +8394,128 @@ def _apply_clause_rewrites(sql: str, specs: dict | None) -> str:
     sql = _rewrite_limit_offset(sql)
     sql = _rewrite_with_fill(sql)
     sql = _rewrite_qualify(sql)
+    sql = _rewrite_unordered_ranking_windows(sql)
+    return sql
+
+
+def _rewrite_inline_paren_aliases(sql: str) -> str:
+    """ClickHouse's inline subexpression alias ``(expr AS name)``
+    (batch-81): the parenthesized group binds ``name`` to ``expr`` and
+    later references resolve to the expression — e.g.
+    ``SELECT (i + 1 AS j) + 1, j * 2 ... WHERE j > 0``. Spark has no
+    inline aliasing, so the group rewrites to ``(expr)`` and bare
+    identifier references substitute textually as ``(expr)`` — the
+    same contract as the scalar WITH substitution. Scoped to paren
+    groups in the top-level SELECT segment (before FROM): a
+    parenthesized FROM relation like ``(t AS a JOIN u ON ...)`` keeps
+    its meaning (its trailing text after AS is not a lone identifier
+    anyway), and inline aliases elsewhere keep Spark's parse error.
+    References guard like the WHERE-alias inliner: calls ``name(...)``,
+    qualified ``t.name``, backticked and string occurrences are left
+    alone."""
+    while True:
+        fm = _find_top(sql, r"(?i)\bFROM\b")
+        sel_end = fm.start() if fm else len(sql)
+        level = {i: (d, q) for i, _, d, q in _scan_level(sql)}
+        hit = None
+        for i in range(sel_end):
+            if sql[i] != "(" or level.get(i, (0, False))[1]:
+                continue
+            close = _call_end(sql, i)
+            if close >= sel_end:
+                continue
+            # a call's argument list is not a bare group — skip when
+            # an identifier character precedes the paren
+            j = i - 1
+            while j >= 0 and sql[j].isspace():
+                j -= 1
+            if j >= 0 and (sql[j].isalnum() or sql[j] in "_`"):
+                prev = re.search(r"(\w+)\s*$", sql[:i])
+                # SELECT/DISTINCT/commas/operators may precede a bare
+                # group; function names may not
+                if prev and prev.group(1).upper() not in (
+                    "SELECT", "DISTINCT", "ALL", "AS", "AND", "OR",
+                    "NOT", "WHEN", "THEN", "ELSE", "CASE", "BY",
+                ):
+                    continue
+            inner = sql[i + 1: close]
+            am = _find_top(inner, r"(?i)\bAS\b")
+            if not am:
+                continue
+            if re.match(r"(?is)^\s*SELECT\b", inner):
+                continue
+            name = inner[am.end():].strip()
+            expr = inner[: am.start()].rstrip()
+            if not re.fullmatch(r"[A-Za-z_]\w*", name) or not expr:
+                continue
+            hit = (i, close, expr, name)
+            break
+        if not hit:
+            return sql
+        i, close, expr, name = hit
+        sql = sql[:i] + f"({expr})" + sql[close + 1:]
+        # substitute bare references everywhere (CH aliases are
+        # query-global): not a call, not qualified, not an alias
+        # definition site, not inside strings
+        out, pos = [], 0
+        rx = re.compile(rf"\b{re.escape(name)}\b")
+        while True:
+            mm = rx.search(sql, pos)
+            if not mm:
+                out.append(sql[pos:])
+                break
+            level = {i2: q for i2, _, _, q in _scan_level(sql)}
+            before = sql[: mm.start()].rstrip()
+            after = sql[mm.end():].lstrip()
+            if (
+                level.get(mm.start(), False)
+                or after.startswith("(")
+                or before.endswith(".")
+                or before.endswith("`")
+                or re.search(r"(?i)\bAS$", before)
+            ):
+                out.append(sql[pos: mm.end()])
+                pos = mm.end()
+                continue
+            out.append(sql[pos: mm.start()])
+            out.append(f"({expr})")
+            pos = mm.end()
+        sql = "".join(out)
+
+
+def _rewrite_unordered_ranking_windows(sql: str) -> str:
+    """ClickHouse allows ranking window functions over an UNORDERED
+    window (``row_number() OVER ()``, ``rank() OVER (PARTITION BY g)``)
+    — the numbering order is whatever the engine produces. Spark
+    requires an ORDER BY for ranking functions, so an ``ORDER BY 1`` is
+    injected (batch-81): ordering by a constant makes every row a peer,
+    which satisfies Spark's analyzer while keeping the CH contract
+    (ANY order is a valid answer; for rank/dense_rank/percent_rank/
+    cume_dist all-peers also matches CH, which ties every row absent
+    an ORDER BY). Named windows (``OVER w``) and windows that already
+    carry a top-level ORDER BY are left alone."""
+    pos = 0
+    while True:
+        m = _find_top_anywhere(
+            sql,
+            r"\b(?:row_number|rank|dense_rank|percent_rank|cume_dist"
+            r"|ntile)\s*\([^()]*\)\s*OVER\s*\(",
+            pos,
+        )
+        if not m:
+            break
+        open1 = sql.rindex("(", m.start(), m.end())
+        close1 = _call_end(sql, open1)
+        body = sql[open1 + 1: close1]
+        if _find_top(body, r"(?i)\bORDER\s+BY\b"):
+            pos = close1
+            continue
+        sep = " " if body.strip() else ""
+        sql = (
+            sql[: open1 + 1] + body + sep + "ORDER BY 1"
+            + sql[close1:]
+        )
+        pos = close1 + len(sep) + len("ORDER BY 1")
     return sql
 
 

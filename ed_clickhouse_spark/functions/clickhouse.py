@@ -2609,7 +2609,7 @@ _SQL_SCALAR_ALIASES.update(
 
 def _parse_readable_size_expr(on_bad: str) -> str:
     """Bytes from a human-readable size ('1.5 KiB', '23 MB'): decimal
-    units are powers of 1000, binary (\*iB) powers of 1024, rounded up
+    units are powers of 1000, binary (``*iB``) powers of 1024, rounded up
     (ceiling) exactly like ClickHouse. ``on_bad`` supplies the
     unparseable-input branch."""
     rx = "'^ *([0-9]+(?:[.][0-9]+)?) *([A-Za-z]+) *$'"

@@ -5419,3 +5419,65 @@ def test_probe_batch80_geo_tuple_misc_tails(views):
     assert r["me"] == 9
     assert r["mn"] == "March"
     assert r["kv"] == {"name": "neymar", "age": "31"}
+
+
+def test_probe_batch81_statement_shape_tails(views):
+    """Round-11 execution probe, batch 81 (~48 statement shapes:
+    SELECT modifiers, GROUP/ORDER BY ALL, recursive CTEs, toInterval*
+    constructors, scalar WITH forms, GLOBAL IN, SETTINGS tails,
+    lagInFrame defaults, string/date tails — 38 already executed;
+    APPLY/COLUMNS against subqueries and ON-clause ANY JOIN refuse as
+    designed). Real fixes: CH's bare single-column `* EXCEPT col`;
+    tupleElement/positional access on EXPRESSION tuples (tuple(a, b)
+    now emits named_struct with canonical col1..colN names, so
+    tupleElement(t, N) and (t).N work beyond literals); ranking
+    window functions over UNORDERED windows (row_number() OVER (),
+    rank() OVER (PARTITION BY g)) gain an ORDER BY 1 — every row a
+    peer, any order being a valid CH answer; and the inline
+    subexpression alias (expr AS name) with query-global references,
+    the scalar-WITH substitution contract."""
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(views)
+    views.sql(
+        "SELECT * FROM VALUES (1, 2.5, 'x'), (2, 7.5, 'y'),"
+        " (3, 1.0, 'x') AS t(i, f, s)"
+    ).createOrReplaceTempView("b81")
+    r = views.sql(translate(
+        "SELECT * EXCEPT s FROM b81 ORDER BY i LIMIT 1").sql).collect()[0]
+    assert sorted(r.asDict()) == ["f", "i"]
+    r = views.sql(translate(
+        "SELECT tupleElement(t, 1) AS te, (t).2 AS td FROM"
+        " (SELECT tuple(i, s) AS t FROM b81 ORDER BY i LIMIT 1)"
+    ).sql).collect()[0]
+    assert r["te"] == 1 and r["td"] == "x"
+    r = views.sql(translate(
+        "SELECT count() AS n FROM (SELECT row_number() OVER () AS rn"
+        " FROM b81) WHERE rn <= 2").sql).collect()[0]
+    assert r["n"] == 2
+    r = views.sql(translate(
+        "SELECT sum(r) AS v FROM (SELECT rank() OVER (PARTITION BY s)"
+        " AS r FROM b81)").sql).collect()[0]
+    assert r["v"] == 3  # all-peers rank() is 1 per row
+    r = views.sql(translate(
+        "SELECT (i + 1 AS j) + 1 AS v, j * 2 AS w FROM b81"
+        " WHERE j > 2 ORDER BY v").sql).collect()
+    assert [(x["v"], x["w"]) for x in r] == [(4, 6), (5, 8)]
+    # already-ordered windows, CASTs, strings, FROM parens untouched
+    r = views.sql(translate(
+        "SELECT max(rn) AS v FROM (SELECT row_number() OVER"
+        " (ORDER BY f DESC) AS rn FROM b81)").sql).collect()[0]
+    assert r["v"] == 3
+    r = views.sql(translate(
+        "SELECT CAST(i AS BIGINT) AS c, '(1 AS x)' AS lit FROM b81"
+        " ORDER BY i LIMIT 1").sql).collect()[0]
+    assert r["c"] == 1 and r["lit"] == "(1 AS x)"
+    r = views.sql(translate(
+        "WITH RECURSIVE r AS (SELECT 1 AS n UNION ALL SELECT n + 1"
+        " FROM r WHERE n < 5) SELECT max(n) AS v FROM r").sql
+    ).collect()[0]
+    assert r["v"] == 5
+    r = views.sql(translate(
+        "SELECT s, count() AS n FROM b81 GROUP BY ALL ORDER BY s"
+    ).sql).collect()
+    assert [(x["s"], x["n"]) for x in r] == [("x", 2), ("y", 1)]
