@@ -4194,6 +4194,18 @@ def _rewrite_scalar_misc(sql: str) -> str:
         if len(args) != 2:
             raise ValueError("addInterval expects (datetime, INTERVAL expr)")
         sql = sql[: m.start()] + f"({args[0]} + {args[1]})" + sql[close1 + 1:]
+    while True:  # the subtraction twin (batch-82)
+        m = _find_case_exact(sql, r"\bsubtractInterval\s*\(")
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        args = _split_top_commas(sql[open1 + 1: close1])
+        if len(args) != 2:
+            raise ValueError(
+                "subtractInterval expects (datetime, INTERVAL expr)"
+            )
+        sql = sql[: m.start()] + f"({args[0]} - {args[1]})" + sql[close1 + 1:]
     while True:
         m = _find_case_exact(sql, r"\btoDecimalString\s*\(")
         if not m:

@@ -5481,3 +5481,42 @@ def test_probe_batch81_statement_shape_tails(views):
         "SELECT s, count() AS n FROM b81 GROUP BY ALL ORDER BY s"
     ).sql).collect()
     assert [(x["s"], x["n"]) for x in r] == [("x", 2), ("y", 1)]
+
+
+def test_probe_batch82_uuid_time64_introspection_tails(views):
+    """Round-11 execution probe, batch 82 (~50 spellings: UUID/ULID
+    generators and codecs, DateTime64 unix converters, toRelative*Num,
+    type introspection (toTypeName/materialize/identity/ignore),
+    string tails 2 (translate/regexpQuoteMeta/firstLine/XML codecs/
+    normalizeQuery), skew/kurt, quantileGK, groupConcat — 44 already
+    executed; wordShingleSimHash/sqidEncode/meanZTest/
+    minSampleSizeConversion/sequenceNextNode refuse loudly as
+    designed). Real fix: subtractInterval (the addInterval twin was
+    the only direction implemented)."""
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(views)
+    import datetime
+    r = views.sql(translate(
+        "SELECT subtractInterval(toDate('2024-01-10'), INTERVAL 3 DAY)"
+        "   AS si,"
+        " UUIDNumToString(UUIDStringToNum("
+        "   '612f3c40-5d3b-217e-707b-6a546a3d7b29')) AS uu,"
+        " toUnixTimestamp64Milli(toDateTime64("
+        "   '2022-01-01 00:00:00.123', 3)) AS ms,"
+        " toRelativeDayNum(toDate('2024-01-11'))"
+        "   - toRelativeDayNum(toDate('2024-01-01')) AS rd,"
+        " timeDiff(toDateTime('2024-01-01 00:00:00'),"
+        "   toDateTime('2024-01-01 01:30:00')) AS td,"
+        " firstLine('line1\\nline2') AS fl,"
+        " normalizeQuery('SELECT 1 + 2') AS nq,"
+        " groupConcat(',')(s) AS gc FROM"
+        " (SELECT 'x' AS s UNION ALL SELECT 'y' ORDER BY s)").sql
+    ).collect()[0]
+    assert r["si"] == datetime.date(2024, 1, 7)
+    assert r["uu"] == "612f3c40-5d3b-217e-707b-6a546a3d7b29"
+    assert r["ms"] == 1640995200123
+    assert r["rd"] == 10 and r["td"] == 5400
+    assert r["fl"] == "line1"
+    assert r["nq"] == "SELECT ? + ?"
+    assert r["gc"] == "x,y"
