@@ -1786,3 +1786,74 @@ def q257_dialect_probe_tails2(spark, sf_dir):
     register_sql_aliases(spark)
     t(spark, sf_dir, "events").createOrReplaceTempView("events")
     return spark.sql(translate(_CH_PROBE_TAILS2).sql)
+
+
+_CH_PROBE_TAILS3 = """
+SELECT event_type,
+       sum(rn) AS rn_sum,
+       toInt64(max(rk)) AS rk_max,
+       (toFloat64(toDecimal64(avg(value), 2)) AS av) AS avg_v,
+       toFloat64(toDecimal64(av * 2, 2)) AS avg_2x,
+       toFloat64(toDecimal64(clamp(av, 10, 100), 2)) AS av_clamped,
+       toInt64(anyHeavy(tupleElement(tuple(event_type, user_id % 3), 2)))
+         AS tup_heavy,
+       divide(1, 0) AS always_inf
+FROM (
+  SELECT * EXCEPT props,
+         row_number() OVER (PARTITION BY event_type) AS rn,
+         rank() OVER (PARTITION BY event_type) AS rk
+  FROM events
+)
+GROUP BY event_type
+"""
+
+
+@query(
+    "q258_dialect_probe_tails3",
+    oracle="""
+    WITH m3 AS (
+      SELECT event_type, user_id % 3 AS v, COUNT(*) AS c
+      FROM events GROUP BY 1, 2
+    ), p3 AS (
+      SELECT event_type, v FROM m3
+      QUALIFY ROW_NUMBER() OVER (
+        PARTITION BY event_type ORDER BY c DESC, v ASC) = 1
+    ), base AS (
+      SELECT event_type,
+             CAST(COUNT(*) * (COUNT(*) + 1) / 2 AS BIGINT) AS rn_sum,
+             CAST(1 AS BIGINT) AS rk_max,
+             CAST(CAST(AVG(value) AS DECIMAL(18,2)) AS DOUBLE) AS av
+      FROM events GROUP BY 1
+    )
+    SELECT b.event_type,
+           b.rn_sum,
+           b.rk_max,
+           b.av AS avg_v,
+           CAST(CAST(b.av * 2 AS DECIMAL(18,2)) AS DOUBLE) AS avg_2x,
+           CAST(CAST(LEAST(GREATEST(b.av, 10), 100) AS DECIMAL(18,2))
+             AS DOUBLE) AS av_clamped,
+           CAST(p3.v AS BIGINT) AS tup_heavy,
+           CAST('infinity' AS DOUBLE) AS always_inf
+    FROM base b JOIN p3 USING (event_type)
+    """,
+)
+def q258_dialect_probe_tails3(spark, sf_dir):
+    """Round-11 probe batches 80-82 in the graded loop, one ClickHouse
+    query through the rewriter: the bare `* EXCEPT col` star modifier
+    (column pruning inside the subquery), UNORDERED ranking windows
+    (row_number per group sums to n(n+1)/2 for ANY order — the
+    CH-contract-preserving ORDER BY 1 injection; all-peers rank() is
+    1 everywhere), the inline subexpression alias (avg AS av) consumed
+    by two later projections, the type-preserving clamp splice,
+    tupleElement positional access on an expression tuple feeding
+    anyHeavy's deterministic mode, and the named divide() carrying
+    ClickHouse's IEEE zero-divisor semantics (the oracle pins literal
+    +infinity). Scale shape: one window over the event_type partition
+    + one grouped aggregation on the same key — a single exchange,
+    reused by both."""
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(spark)
+    t(spark, sf_dir, "events").createOrReplaceTempView("events")
+    return spark.sql(translate(_CH_PROBE_TAILS3).sql)
