@@ -6373,6 +6373,20 @@ def _rewrite_agg_spellings(sql: str) -> str:
         )
         sql = sql[: m.start()] + expr + sql[close2 + 1:]
     while True:
+        # anyHeavyArray(arr): mode over the flattened elements — the
+        # head of the exact topKArray(1) fold (count desc, value asc,
+        # the scalar anyHeavy contract; batch-82b)
+        m = _find_case_exact(sql, r"\banyHeavyArray\s*\(")
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        sql = (
+            sql[: m.start()]
+            + f"try_element_at(topKArray(1)({sql[open1 + 1: close1]}), 1)"
+            + sql[close1 + 1:]
+        )
+    while True:
         m = _find_case_exact(sql, r"\btopKArray\s*\(")
         if not m:
             break
@@ -6563,7 +6577,7 @@ def _rewrite_agg_spellings(sql: str) -> str:
     # conditional/array-flattened aggregate already yields NULL over an
     # empty match set in Spark
     sql = re.sub(
-        r"\b(sum|avg|min|max|any)IfOrNull\s*\(", r"\1If(", sql
+        r"\b(sum|avg|min|max|anyHeavy|any)IfOrNull\s*\(", r"\1If(", sql
     )
     sql = re.sub(
         r"\b(sum|avg|min|max)ArrayOrNull\s*\(", r"\1Array(", sql
@@ -6710,7 +6724,7 @@ def _rewrite_agg_spellings(sql: str) -> str:
         # argument out on non-matching rows (collect_list skips NULLs)
         m = _find_case_exact(
             sql,
-            r"\b(sum|min|max|avg|count|uniqExact|uniq)"
+            r"\b(sum|min|max|avg|count|uniqExact|uniq|anyHeavy)"
             r"(?:Map|MappedArrays)"
             r"(?:WithOverflow)?(If)?\s*\(",
         )
@@ -6765,6 +6779,16 @@ def _rewrite_agg_spellings(sql: str) -> str:
                 f"aggregate({keyed}, CAST(0.0 AS DOUBLE),"
                 f" (__ch_s, __ch_e) -> __ch_s + __ch_e.value)"
                 f" / size({keyed})"
+            )
+        elif fname == "anyHeavyMap":
+            # per-key deterministic mode (count desc, value asc) —
+            # the same contract as the scalar anyHeavy
+            vlist = f"transform({keyed}, __ch_e -> __ch_e.value)"
+            value = (
+                f"element_at(transform(array_sort(transform("
+                f"array_distinct({vlist}), __ch_u -> struct("
+                f"-size(filter({vlist}, __ch_w -> __ch_w <=> __ch_u))"
+                f" AS negc, __ch_u AS val))), __ch_t -> __ch_t.val), 1)"
             )
         else:  # uniqMap
             value = (
@@ -7285,6 +7309,14 @@ def _rewrite_agg_spellings(sql: str) -> str:
         # (batch-78). anyLast scans before any (prefix overlap).
         "anyLast": "try_element_at({v}, -1)",
         "any": "try_element_at({v}, 1)",
+        # position-wise deterministic mode (count desc, value asc) —
+        # the scalar anyHeavy contract per position (batch-82b)
+        "anyHeavy": (
+            "element_at(transform(array_sort(transform("
+            "array_distinct({v}), __ch_u -> struct("
+            "-size(filter({v}, __ch_w -> __ch_w <=> __ch_u)) AS negc,"
+            " __ch_u AS val))), __ch_t -> __ch_t.val), 1)"
+        ),
         "uniq": "size(array_distinct({v}))",
         "uniqExact": "size(array_distinct({v}))",
     }
@@ -7331,7 +7363,21 @@ def _rewrite_agg_spellings(sql: str) -> str:
                 f" __ch_i -> {combine.format(v=vals)})"
             )
             sql = sql[: m.start()] + expr + sql[close1 + 1:]
-    # -Distinct combinators (countDistinct is already the Spark name)
+    # -Distinct combinators (countDistinct is already the Spark name).
+    # anyHeavyDistinct: every distinct value occurs once in the
+    # distinct stream, so the deterministic mode tie-break (lowest
+    # value) IS min — rewritten directly (batch-82b)
+    while True:
+        m = _find_case_exact(sql, r"\banyHeavyDistinct\s*\(")
+        if not m:
+            break
+        open1 = sql.index("(", m.end() - 1)
+        close1 = _call_end(sql, open1)
+        sql = (
+            sql[: m.start()]
+            + f"min({sql[open1 + 1: close1]})"
+            + sql[close1 + 1:]
+        )
     for name, base in (("sumDistinct", "sum"), ("avgDistinct", "avg")):
         while True:
             m = _find_top_anywhere(sql, rf"\b{name}\s*\(")
@@ -7497,6 +7543,31 @@ def _rewrite_agg_spellings(sql: str) -> str:
     # is distinct union — memory-linear in distinct values, same as
     # ClickHouse's uniqExact hash-set state).
     for name, tpl in (
+        # anyHeavy states are per-value counts maps (the heavy-hitters
+        # counter structure, exact): merging sums counts per key, the
+        # -Merge readout is the deterministic mode (count desc, key
+        # asc) — unlike a value-typed state, mode-of-modes would be
+        # wrong under re-aggregation (batch-82b)
+        ("anyHeavyMergeState",
+         "map_from_entries(array_sort(transform(array_distinct("
+         "transform(flatten(collect_list(map_entries({x}))),"
+         " __ch_e -> __ch_e.key)), __ch_k -> struct(__ch_k AS key,"
+         " aggregate(filter(flatten(collect_list(map_entries({x}))),"
+         " __ch_e -> __ch_e.key <=> __ch_k), CAST(0 AS BIGINT),"
+         " (__ch_s, __ch_e) -> __ch_s + __ch_e.value) AS value))))"),
+        ("anyHeavyMerge",
+         "element_at(transform(array_sort(transform(array_distinct("
+         "transform(flatten(collect_list(map_entries({x}))),"
+         " __ch_e -> __ch_e.key)), __ch_k -> struct("
+         " aggregate(filter(flatten(collect_list(map_entries({x}))),"
+         " __ch_e -> __ch_e.key <=> __ch_k), CAST(0 AS BIGINT),"
+         " (__ch_s, __ch_e) -> __ch_s - __ch_e.value) AS negc,"
+         " __ch_k AS key))), __ch_t -> __ch_t.key), 1)"),
+        ("anyHeavyState",
+         "map_from_entries(transform(array_sort(array_distinct("
+         "collect_list({x}))), __ch_hv -> struct(__ch_hv AS key,"
+         " CAST(size(filter(collect_list({x}),"
+         " __ch_hw -> __ch_hw <=> __ch_hv)) AS BIGINT) AS value)))"),
         ("avgMergeState",
          "named_struct('s', sum(({x}).s), 'c', sum(({x}).c))"),
         ("avgState", "named_struct('s', sum({x}), 'c', count({x}))"),
@@ -7566,6 +7637,7 @@ def _rewrite_agg_spellings(sql: str) -> str:
     # is the deterministic flag, not ignoreNulls).
     for ch_name, spark_fn in (
         ("anyLastOrNull", "last"), ("anyOrNull", "any_value"),
+        ("anyHeavySimpleState", "mode"), ("anyHeavyOrNull", "mode"),
         ("anyLast", "last"), ("anyHeavy", "mode"),
         ("any", "any_value"),
     ):

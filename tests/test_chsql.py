@@ -5520,3 +5520,60 @@ def test_probe_batch82_uuid_time64_introspection_tails(views):
     assert r["fl"] == "line1"
     assert r["nq"] == "SELECT ? + ?"
     assert r["gc"] == "x,y"
+
+
+def test_probe_batch82b_anyheavy_combinator_closure(views):
+    """Round-11 follow-up to the anyHeavy mode rewrite: the combinator
+    stackings now all route through the same deterministic-mode
+    contract (count desc, value asc). -OrNull/-IfOrNull strip (mode is
+    already NULL-on-empty), -SimpleState is the value, -Array is the
+    head of the exact topKArray(1) fold over flattened elements,
+    -ForEach is the position-wise mode, -Map is the per-key mode,
+    -Distinct is min (every distinct value counts once, so the
+    tie-break picks the lowest), and -State/-MergeState/-Merge carry
+    per-value counts MAPS — mode-of-modes would be wrong under
+    re-aggregation, the counts map is exact."""
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(views)
+    views.sql(
+        "SELECT * FROM VALUES (1, array(1, 2), map('a', 1)),"
+        " (1, array(1, 3), map('a', 2)), (2, array(2), map('b', 3))"
+        " AS t(g, arr, m)"
+    ).createOrReplaceTempView("ahc")
+    r = views.sql(translate(
+        "SELECT anyHeavyOrNull(g) AS aon,"
+        " anyHeavyIfOrNull(g, g > 5) AS aio,"
+        " anyHeavyArray(arr) AS aa,"
+        " anyHeavyForEach(arr) AS afe,"
+        " anyHeavyMap(m) AS am,"
+        " anyHeavyDistinct(g) AS ad,"
+        " anyHeavySimpleState(g) AS ass FROM ahc").sql).collect()[0]
+    assert r["aon"] == 1 and r["aio"] is None
+    assert r["aa"] == 1  # flattened [1,2,1,3,2]: 1 and 2 tie -> lowest
+    assert r["afe"] == [1, 2]  # pos1 [1,1,2]->1; pos2 [2,3] tie->2
+    assert r["am"] == {"a": 1, "b": 3}  # key a: [1,2] tie -> 1
+    assert r["ad"] == 1 and r["ass"] == 1
+    # the counts-map state merges EXACTLY: per-partition states whose
+    # local modes disagree with the global mode still merge right
+    views.sql(
+        "SELECT * FROM VALUES (0, 5), (0, 5), (0, 7), (1, 7), (1, 7),"
+        " (1, 7), (2, 5), (2, 5) AS t(p, x)"
+    ).createOrReplaceTempView("ahs")
+    r = views.sql(translate(
+        "SELECT anyHeavyMerge(s) AS v FROM"
+        " (SELECT p, anyHeavyState(x) AS s FROM ahs GROUP BY p)"
+    ).sql).collect()[0]
+    assert r["v"] == 5  # global counts: 5 x4, 7 x4 -> tie -> lowest;
+    # local modes are [5, 7, 5] -> a mode-of-modes would also give 5
+    # here, so pin a case where they DIVERGE:
+    views.sql(
+        "SELECT * FROM VALUES (0, 9), (0, 9), (1, 9), (1, 9), (2, 3),"
+        " (2, 3), (2, 3), (3, 3), (3, 3), (3, 3) AS t(p, x)"
+    ).createOrReplaceTempView("ahs2")
+    r = views.sql(translate(
+        "SELECT anyHeavyMerge(ms) AS v FROM"
+        " (SELECT anyHeavyMergeState(s) AS ms FROM"
+        "  (SELECT p, anyHeavyState(x) AS s FROM ahs2 GROUP BY p))"
+    ).sql).collect()[0]
+    assert r["v"] == 3  # 3 x6 beats 9 x4 (mode-of-modes would tie)
