@@ -7924,7 +7924,20 @@ def _rewrite_any_join(sql: str, specs: dict | None) -> str:
 def _rewrite_system(sql: str) -> str:
     """ClickHouse ``system.<table>`` introspection names → the engine's
     registered ``system_<table>`` views (Spark temp views cannot carry a
-    database qualifier). Token-level, never inside strings."""
+    database qualifier). Token-level, never inside strings.
+    ``system.one`` — the implicit FROM-less table (one row, ``dummy``
+    UInt8 = 0) — inlines as a literal subquery (batch-83)."""
+    while True:
+        m = _find_top(sql, r"\bsystem\.one\b")
+        if not m:
+            break
+        # no synthetic alias: Spark accepts a bare FROM subquery, and
+        # a user alias (FROM system.one AS t) then applies cleanly
+        sql = (
+            sql[: m.start()]
+            + "(SELECT CAST(0 AS SMALLINT) AS dummy)"
+            + sql[m.end():]
+        )
     while True:
         m = _find_top(
             sql,

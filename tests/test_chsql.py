@@ -5577,3 +5577,23 @@ def test_probe_batch82b_anyheavy_combinator_closure(views):
         "  (SELECT p, anyHeavyState(x) AS s FROM ahs2 GROUP BY p))"
     ).sql).collect()[0]
     assert r["v"] == 3  # 3 x6 beats 9 x4 (mode-of-modes would tie)
+
+
+def test_probe_batch83_join_system_misc_tails(views):
+    """Round-11 execution probe, batch 83 (~47 shapes: join spellings
+    incl. comma-CROSS/SEMI/ANTI/GLOBAL/multi-USING, system tables,
+    IN-tuple variants, CASE forms, int/bit arithmetic, LIMIT n,m /
+    LIMIT BY, string predicates, date bucketing — 39 already executed;
+    ASOF-ON/PASTE JOIN/EXISTS TABLE refuse loudly as designed;
+    system.tables/functions/databases resolve via the Engine-registered
+    views). Real fix: system.one — the implicit FROM-less one-row
+    table — inlines as a literal subquery, user alias honored."""
+    r = views.sql(translate(
+        "SELECT dummy AS v FROM system.one").sql).collect()
+    assert [x["v"] for x in r] == [0]
+    r = views.sql(translate(
+        "SELECT t.dummy + 1 AS v FROM system.one AS t").sql).collect()
+    assert [x["v"] for x in r] == [1]
+    r = views.sql(translate(
+        "SELECT k FROM (SELECT 1 AS k) LIMIT 1, 2").sql).collect()
+    assert r == []  # offset 1 past the single row
