@@ -1834,3 +1834,36 @@ def test_ipv6_string_num_roundtrip(spark, hexparts, v4, data):
         f"SELECT IPv6NumToString(IPv6StringToNum('{addr}')) AS rt"
     ).sql).collect()[0]
     assert r["rt"] == want, (addr, r["rt"], want)
+
+
+@given(
+    toks=st.lists(
+        st.sampled_from([
+            "col_a", "col_b", "1", "2.5", "'a s'", "+", "-", "*", "/",
+            ",", "(", ")", "count(*)", "sum(col_a)",
+            "CAST(col_a AS BIGINT)", "col_a IN (1, 2)",
+            "CASE WHEN col_a > 1 THEN 2 ELSE 3 END",
+        ]),
+        min_size=1,
+        max_size=12,
+    )
+)
+@_SET
+def test_inline_alias_pass_is_identity_without_pattern(toks):
+    """r11: _rewrite_inline_paren_aliases runs on EVERY translated
+    statement, so it must be a byte-identity on statements that don't
+    carry the (expr AS name) shape — including CASTs, IN lists,
+    string literals with spaces, and arbitrary unbalanced-ish token
+    soup (balanced here so _call_end terminates)."""
+    from ed_clickhouse_spark.chsql import _rewrite_inline_paren_aliases
+
+    # balance parens so the scanner's _call_end never throws
+    body = " ".join(toks)
+    body = body.replace("(", "( ").replace(")", " )")
+    opens = body.count("(") - body.count(")")
+    if opens > 0:
+        body += " )" * opens
+    elif opens < 0:
+        body = "( " * (-opens) + body
+    sql = f"SELECT {body} FROM t WHERE col_b > 0"
+    assert _rewrite_inline_paren_aliases(sql) == sql

@@ -610,3 +610,23 @@ def test_q254_centroid_plan_shape(spark):
     assert "Window" not in p
     assert "posexplode" in p or "Generate" in p
     assert "zip_with" in p  # the distance fold is projection-side
+
+
+def test_q258_single_exchange_window_reuse(spark):
+    """q258 (r11): the unordered ranking window and the grouped
+    aggregation share ONE hash exchange on event_type — the all-peers
+    ORDER BY 1 injection must not add a sort-heavy global window or a
+    second shuffle, and the tuple/divide/clamp projections are
+    expression-only (no join, no cartesian)."""
+    from ed_clickhouse_spark.suite import QUERIES
+
+    df = QUERIES["q258_dialect_probe_tails3"](
+        spark, "/root/testdata/sf0.001"
+    )
+    p = _plan(df)
+    # formatted explain names each node once in the tree ("Exchange
+    # (4)") and once in the details ("(4) Exchange") — count tree ids
+    assert p.count("Exchange (") == 1, p
+    assert "CartesianProduct" not in p and "Join" not in p.replace(
+        "JoinedRow", ""
+    )
