@@ -505,6 +505,23 @@ class Engine:
             if m.group(1):
                 df = df.where(F.col("name").like(m.group(1)))
             return df
+        m = _re.match(
+            r"^SHOW\s+(?:TEMPORARY\s+)?TABLES\s+(NOT\s+)?(I?LIKE)"
+            r"\s+'([^']*)'$", q0, _re.I
+        )
+        if m:
+            # Spark's own SHOW TABLES LIKE takes a GLOB, not SQL LIKE
+            # (batch-84: LIKE 't%' silently matched nothing) — filter
+            # Spark's listing with the real LIKE/ILIKE/NOT semantics
+            df = self.spark.sql("SHOW TABLES")
+            col = F.col("tableName")
+            cond = (
+                col.ilike(m.group(3))
+                if m.group(2).upper() == "ILIKE" else col.like(m.group(3))
+            )
+            if m.group(1):
+                cond = ~cond
+            return df.where(cond)
         if _re.match(r"^SHOW\s+GRANTS\b", q0, _re.I):
             # single-tenant: the session user owns everything
             return self.spark.createDataFrame(
@@ -1358,10 +1375,14 @@ class Engine:
         )
         if not m:
             sm = _re.match(
-                r"^\s*INSERT\s+INTO\s+(\w+)\s+(SELECT\b.*)$", query, _re.I | _re.S
+                r"^\s*INSERT\s+INTO\s+(\w+)\s*(\([^)]*\))?\s*"
+                r"(SELECT\b.*)$",
+                query, _re.I | _re.S,
             )
             if sm:
-                return self._insert_select(sm.group(1), sm.group(2))
+                return self._insert_select(
+                    sm.group(1), sm.group(3), sm.group(2)
+                )
             vm = _re.match(
                 r"^\s*INSERT\s+INTO\s+(\w+)\s*(\([^)]*\))?\s*VALUES\s*(.+)$",
                 query,
@@ -1661,14 +1682,19 @@ class Engine:
         self.table_specs[name] = spec
         return self._insert_select(name, select_sql)
 
-    def _insert_select(self, table: str, select_sql: str) -> DataFrame:
-        """``INSERT INTO t SELECT ...`` — the translated SELECT runs as
-        one Catalyst job whose result appends under the table's write
-        policy (partition dirs + ORDER BY sort), firing MV triggers.
-        Columns match by NAME when every declared name is present
-        (robust to reordered SELECTs); otherwise, when the arity
-        matches the declared arity, by POSITION — ClickHouse's actual
-        INSERT SELECT rule, which the common computed-expression idiom
+    def _insert_select(
+        self, table: str, select_sql: str, cols: str | None = None
+    ) -> DataFrame:
+        """``INSERT INTO t [(cols)] SELECT ...`` — the translated
+        SELECT runs as one Catalyst job whose result appends under the
+        table's write policy (partition dirs + ORDER BY sort), firing
+        MV triggers. With an explicit column list (batch-84) the
+        SELECT output maps POSITIONALLY onto the listed columns —
+        ClickHouse's rule — and unlisted columns fill from
+        DEFAULT/MATERIALIZED. Without one, columns match by NAME when
+        every declared name is present (robust to reordered SELECTs);
+        otherwise, when the arity matches the declared arity, by
+        POSITION — which the common computed-expression idiom
         (SELECT a + 100, b) depends on. Arity mismatch (beyond
         DEFAULT/MATERIALIZED backfill) stays fail-loud. The row count
         comes from an Observation on the append job — no second
@@ -1682,6 +1708,23 @@ class Engine:
         if spec is None:
             raise KeyError(f"unknown table {table!r}; run migrate() first")
         result = self.spark.sql(translate(select_sql, self.table_specs).sql)
+        if cols:
+            listed = [c.strip().strip('`"') for c in
+                      cols.strip()[1:-1].split(",") if c.strip()]
+            declared_all = [f.name for f in spec.schema.fields]
+            unknown = [c for c in listed if c not in declared_all]
+            if unknown:
+                raise ValueError(
+                    f"INSERT INTO {table} (...) names unknown columns"
+                    f" {unknown}"
+                )
+            if len(result.columns) != len(listed):
+                raise ValueError(
+                    f"INSERT INTO {table} ({', '.join(listed)}) expects"
+                    f" {len(listed)} SELECT columns,"
+                    f" got {len(result.columns)}"
+                )
+            result = result.toDF(*listed)
         declared = [f.name for f in spec.schema.fields]
         # positional mapping (r8): ClickHouse matches INSERT SELECT
         # columns by POSITION, and the common idiom projects computed

@@ -1134,3 +1134,43 @@ def test_probe_batch63_partition_parts_tails(spark, tmp_path):
     assert r and r[0]["table"] == "pb" and r[0]["name"] == "pb"
     with pytest.raises(ValueError, match="ATTACH/DETACH PARTITION"):
         eng.ch_sql("ALTER TABLE pb ATTACH PARTITION '2024-01-01'")
+
+
+def test_probe_batch84_insert_collist_show_like(spark, tmp_path):
+    """Round-11 execution probe, batch 84 (~30 Engine DDL/statement
+    shapes: CTAS, CREATE OR REPLACE/IF NOT EXISTS/LIKE, RENAME,
+    TRUNCATE, ALTER ADD/DROP IF [NOT] EXISTS, COMMENT/CODEC clauses,
+    DETACH/ATTACH, EXCHANGE TABLES, OPTIMIZE, views — 28 already
+    executed). Real fixes: INSERT INTO t (cols) SELECT maps the SELECT
+    output positionally onto the listed columns with DEFAULT backfill
+    for unlisted ones (ClickHouse's rule; it refused before), and
+    SHOW TABLES [NOT] [I]LIKE uses real SQL LIKE semantics (Spark's
+    own form takes a glob, so LIKE 't%' silently matched nothing)."""
+    import pytest
+
+    from ed_clickhouse_spark.engine import Engine
+
+    eng = Engine(str(tmp_path / "wh"), spark)
+    eng.ch_sql("CREATE TABLE tb84 (a Int64, b String,"
+               " c Float64 DEFAULT 1.5)"
+               " ENGINE = MergeTree() ORDER BY (a)")
+    eng.ch_sql("INSERT INTO tb84 VALUES (1, 'x', 2.0)")
+    r = eng.ch_sql(
+        "INSERT INTO tb84 (a, b) SELECT a + 100, b FROM tb84 WHERE a = 1"
+    ).collect()[0]
+    assert r["rows_inserted"] == 1
+    rows = sorted(
+        (x["a"], x["b"], x["c"])
+        for x in eng.ch_sql("SELECT * FROM tb84").collect()
+    )
+    assert rows == [(1, "x", 2.0), (101, "x", 1.5)]  # DEFAULT filled c
+    names = [x["tableName"] for x in
+             eng.ch_sql("SHOW TABLES LIKE 'tb8%'").collect()]
+    assert "tb84" in names
+    names = [x["tableName"] for x in
+             eng.ch_sql("SHOW TABLES NOT LIKE 'tb8%'").collect()]
+    assert "tb84" not in names
+    with pytest.raises(ValueError, match="unknown columns"):
+        eng.ch_sql("INSERT INTO tb84 (a, nope) SELECT 1, 'q'")
+    with pytest.raises(ValueError, match="expects 2 SELECT columns"):
+        eng.ch_sql("INSERT INTO tb84 (a, b) SELECT 1")
