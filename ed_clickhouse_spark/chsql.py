@@ -8492,6 +8492,27 @@ def _apply_clause_rewrites(sql: str, specs: dict | None) -> str:
     sql = _rewrite_with_fill(sql)
     sql = _rewrite_qualify(sql)
     sql = _rewrite_unordered_ranking_windows(sql)
+    # CH integer truthiness at a condition-clause head (batch-85):
+    # WHERE 1 / HAVING 0 / WHERE 1 AND ... — Spark's ANSI filter wants
+    # BOOLEAN. Scoped to literal ints directly after the clause
+    # keyword (general expression truthiness is type-unknowable at
+    # rewrite time, and an AND-position rewrite would corrupt
+    # BETWEEN ... AND <n>).
+    while True:
+        m = _find_top_anywhere(
+            sql,
+            r"(?i)\b(WHERE|PREWHERE|HAVING)\s+(\d+)\s*"
+            r"(?=$|\)|;|\b(?:AND|OR|GROUP|ORDER|LIMIT|OFFSET|HAVING"
+            r"|SETTINGS|UNION|EXCEPT|INTERSECT|WINDOW|QUALIFY|FORMAT"
+            r"|INTO)\b)",
+        )
+        if not m:
+            break
+        sql = (
+            sql[: m.start()]
+            + f"{m.group(1)} ({m.group(2)} <> 0)"
+            + sql[m.end():]
+        )
     return sql
 
 

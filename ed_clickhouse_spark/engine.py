@@ -1193,16 +1193,44 @@ class Engine:
             self.spark.catalog.dropTempView(f"{m.group(1)}__proj_{m.group(2)}")
             self.spark.catalog.dropTempView(f"{m.group(1)}__proj_{m.group(2)}_parts")
             return _done(m.group(1), f"drop_projection:{m.group(2)}", 1 if existed else 0)
-        m = _re.match(r"^ALTER\s+TABLE\s+(\w+)\s+DELETE\s+WHERE\s+(.+)$", q, _re.I | _re.S)
+        # mutation predicates CAST to BOOLEAN (batch-85): CH treats any
+        # nonzero numeric as true (ALTER ... WHERE 1), where Spark's
+        # ANSI filter demands a boolean — the cast is a no-op on real
+        # predicates and CH-exact on numerics. The optional
+        # `IN PARTITION 'v'` clause folds into the predicate as a
+        # partition-column equality, which _affected_partitions prunes
+        # on — the metadata-speed path CH users expect.
+        def _mut_pred(where: str, path: str, part):
+            pred = F.expr(where).cast("boolean")
+            if part is not None:
+                pc = _mut._partition_col(self.spark, path)
+                if pc is None:
+                    raise ValueError(
+                        "IN PARTITION on an unpartitioned table"
+                    )
+                pred = pred & (F.col(pc) == part)
+            return pred
+
+        m = _re.match(
+            r"^ALTER\s+TABLE\s+(\w+)\s+DELETE\s+"
+            r"(?:IN\s+PARTITION\s+'?([^'\s]+)'?\s+)?WHERE\s+(.+)$",
+            q, _re.I | _re.S,
+        )
         if m:
             _spec, path = _table(m.group(1))
             rs, cf = _mutation_read_args(_spec)
             n = _mut.delete_where(
-                self.spark, path, F.expr(m.group(2)), read_schema=rs, conform=cf
+                self.spark, path,
+                _mut_pred(m.group(3), path, m.group(2)),
+                read_schema=rs, conform=cf,
             )
             _rebuild_projections(m.group(1))
             return _done(m.group(1), "delete", n)
-        m = _re.match(r"^ALTER\s+TABLE\s+(\w+)\s+UPDATE\s+(.+)\s+WHERE\s+(.+)$", q, _re.I | _re.S)
+        m = _re.match(
+            r"^ALTER\s+TABLE\s+(\w+)\s+UPDATE\s+(.+?)\s+"
+            r"(?:IN\s+PARTITION\s+'?([^'\s]+)'?\s+)?WHERE\s+(.+)$",
+            q, _re.I | _re.S,
+        )
         if m:
             from ed_clickhouse_spark.ddl import _split_top
 
@@ -1215,7 +1243,7 @@ class Engine:
             n = _mut.update_where(
                 self.spark,
                 path,
-                F.expr(m.group(3)),
+                _mut_pred(m.group(4), path, m.group(3)),
                 assignments,
                 read_schema=rs,
                 conform=cf,

@@ -515,3 +515,54 @@ def test_mutation_lifecycle_matches_model(spark, ops):
         assert got == rows
     finally:
         shutil.rmtree(root, ignore_errors=True)
+
+
+def test_probe_batch85_mutation_tails(spark, tmp_path):
+    """Round-11 execution probe, batch 85 (~19 mutation/TTL shapes:
+    ALTER UPDATE/DELETE, lightweight DELETE FROM, DROP PARTITION,
+    MODIFY TTL/COLUMN, RENAME COLUMN, FREEZE, OPTIMIZE DEDUPLICATE,
+    KILL MUTATION, system.parts/mutations — 17 already executed; CLEAR
+    COLUMN refuses by design). Real fixes: mutation predicates cast to
+    BOOLEAN (CH's integer truthiness — ALTER ... WHERE 1 errored under
+    ANSI), the `IN PARTITION 'v'` clause on UPDATE/DELETE folds into a
+    partition-column equality the rewrite prunes on, and translate
+    rewrites clause-head integer literals (WHERE 1 / HAVING 0 /
+    WHERE 1 AND ...) to booleans without touching BETWEEN ... AND."""
+    import pytest
+
+    from ed_clickhouse_spark.chsql import translate
+    from ed_clickhouse_spark.engine import Engine
+
+    eng = Engine(str(tmp_path / "wh"), spark)
+    eng.ch_sql("CREATE TABLE m85 (k Int64, v Float64, s String, d Date)"
+               " ENGINE = MergeTree() PARTITION BY toYYYYMM(d)"
+               " ORDER BY (k)")
+    eng.ch_sql("INSERT INTO m85 VALUES (1, 10.0, 'a', '2024-01-05'),"
+               " (2, 20.0, 'b', '2024-02-05'),"
+               " (3, 30.0, 'a', '2024-02-06')")
+    r = eng.ch_sql(
+        "ALTER TABLE m85 UPDATE s = 'z' IN PARTITION '202401' WHERE 1"
+    ).collect()[0]
+    assert r["affected"] == 1  # only the January row, despite WHERE 1
+    got = sorted((x["k"], x["s"]) for x in
+                 eng.ch_sql("SELECT k, s FROM m85").collect())
+    assert got == [(1, "z"), (2, "b"), (3, "a")]
+    r = eng.ch_sql(
+        "ALTER TABLE m85 DELETE IN PARTITION '202402' WHERE k = 3"
+    ).collect()[0]
+    assert r["affected"] == 1
+    assert eng.ch_sql("ALTER TABLE m85 DELETE WHERE 0"
+                      ).collect()[0]["affected"] == 0
+    assert sorted(x["k"] for x in
+                  eng.ch_sql("SELECT k FROM m85").collect()) == [1, 2]
+    # SELECT-side truthiness: clause-head literals only
+    assert eng.ch_sql("SELECT count() AS n FROM m85 WHERE 1"
+                      ).collect()[0]["n"] == 2
+    assert eng.ch_sql(
+        "SELECT count() AS n FROM m85 WHERE k BETWEEN 1 AND 2"
+    ).collect()[0]["n"] == 2
+    with pytest.raises(ValueError, match="unpartitioned"):
+        eng.ch_sql("CREATE TABLE np85 (k Int64) ENGINE = MergeTree()"
+                   " ORDER BY (k)")
+        eng.ch_sql("INSERT INTO np85 VALUES (1)")
+        eng.ch_sql("ALTER TABLE np85 DELETE IN PARTITION 'x' WHERE 1")
