@@ -1857,13 +1857,19 @@ def test_inline_alias_pass_is_identity_without_pattern(toks):
     soup (balanced here so _call_end terminates)."""
     from ed_clickhouse_spark.chsql import _rewrite_inline_paren_aliases
 
-    # balance parens so the scanner's _call_end never throws
-    body = " ".join(toks)
-    body = body.replace("(", "( ").replace(")", " )")
-    opens = body.count("(") - body.count(")")
-    if opens > 0:
-        body += " )" * opens
-    elif opens < 0:
-        body = "( " * (-opens) + body
+    # balance parens WELL-ORDERED (a count-balanced ') (' soup is
+    # still ill-formed and the scanner rightly raises on it): drop
+    # closers at depth zero, close whatever stays open at the end
+    out, depth = [], 0
+    for tok in toks:
+        if tok == ")":
+            if depth == 0:
+                continue
+            depth -= 1
+        elif tok == "(":
+            depth += 1
+        out.append(tok)
+    out.extend(")" for _ in range(depth))
+    body = " ".join(out) or "col_a"
     sql = f"SELECT {body} FROM t WHERE col_b > 0"
     assert _rewrite_inline_paren_aliases(sql) == sql
