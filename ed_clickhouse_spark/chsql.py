@@ -5976,6 +5976,10 @@ _OPERATOR_ONLY_AGGS = {
     "hasColumnInTable": "spark.catalog.listColumns outside SQL"
                         " (catalog introspection is not an expression"
                         " here)",
+    "isNullable": "df.schema / DESCRIBE TABLE outside SQL (type-level"
+                  " nullability is not an expression here — Spark"
+                  " columns are nullable unless the schema says"
+                  " otherwise)",
     "synonyms": "a dictionary join (synonym sets are extension data)",
     "detectCharset": "detectLanguage (charset models are CH extension"
                      " data)",
@@ -7757,8 +7761,30 @@ def _rewrite_array_hofs(sql: str) -> str:
             lam, arrs = _inline_ch_macros(args[0]), args[1:]
             if name == "arrayMap" and len(arrs) == 2:
                 repl = f"zip_with({arrs[0]}, {arrs[1]}, {lam})"
+            elif len(arrs) == 2:
+                # the two-array forms (batch-86): evaluate the lambda
+                # over the zipped pair, then fold the flags —
+                # arrayFilter keeps the FIRST array's elements at
+                # truthy positions (CH's contract); exists/forall test
+                # the flag stream (CAST covers UInt8-returning lambdas)
+                flags = f"zip_with({arrs[0]}, {arrs[1]}, {lam})"
+                if name == "arrayFilter":
+                    repl = (
+                        f"transform(filter(zip_with({arrs[0]}, {flags},"
+                        " (__ch_hv, __ch_hk) -> struct(__ch_hv AS v,"
+                        " __ch_hk AS k)),"
+                        " __ch_hs -> CAST(__ch_hs.k AS BOOLEAN)),"
+                        " __ch_hs -> __ch_hs.v)"
+                    )
+                else:
+                    repl = (
+                        f"{target}({flags},"
+                        " __ch_hx -> CAST(__ch_hx AS BOOLEAN))"
+                    )
             elif len(arrs) != 1:
-                raise ValueError(f"{name}: expected one array argument")
+                raise ValueError(
+                    f"{name}: expected one or two array arguments"
+                )
             else:
                 repl = f"{target}({arrs[0]}, {lam})"
             sql = sql[: m.start()] + repl + sql[close1 + 1:]

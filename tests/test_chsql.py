@@ -5597,3 +5597,31 @@ def test_probe_batch83_join_system_misc_tails(views):
     r = views.sql(translate(
         "SELECT k FROM (SELECT 1 AS k) LIMIT 1, 2").sql).collect()
     assert r == []  # offset 1 past the single row
+
+
+def test_probe_batch86_window_hof_tails(views):
+    """Round-11 execution probe, batch 86 (~35 shapes: window frames
+    incl. RANGE INTERVAL / named windows / IGNORE NULLS, enumerate/
+    index array functions, transform lookup forms, set-op modifiers,
+    NULL-handling scalars, grouping() — 31 already executed;
+    arrayEnumerateUniqRanked / INTO OUTFILE refuse by design). Real
+    fixes: the TWO-ARRAY lambda HOFs — arrayFilter((x,y) -> y, a, b)
+    keeps the first array's elements at truthy zipped positions (CH's
+    contract; it refused before), arrayExists/arrayAll fold the
+    zipped flag stream — and isNullable refuses loudly toward schema
+    introspection instead of dying unresolved."""
+    from ed_clickhouse_spark.functions.clickhouse import register_sql_aliases
+
+    register_sql_aliases(views)
+    r = views.sql(translate(
+        "SELECT arrayFilter((x, y) -> y, [1, 2, 3], [1, 0, 1]) AS f2,"
+        " arrayFilter((x, y) -> y > 1, ['a', 'b'], [1, 2]) AS f2b,"
+        " arrayExists((x, y) -> x = y, [1, 2], [2, 2]) AS e2,"
+        " arrayAll((x, y) -> x <= y, [1, 2], [2, 2]) AS a2,"
+        " arrayMap((x, y) -> x + y, [1, 2], [10, 20]) AS m2,"
+        " arrayFilter(x -> x > 1, [1, 2, 3]) AS f1").sql).collect()[0]
+    assert r["f2"] == [1, 3] and r["f2b"] == ["b"]
+    assert r["e2"] is True and r["a2"] is True
+    assert r["m2"] == [11, 22] and r["f1"] == [2, 3]
+    with pytest.raises(ValueError, match="isNullable"):
+        translate("SELECT isNullable(x) FROM t")
