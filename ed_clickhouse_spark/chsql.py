@@ -1887,6 +1887,15 @@ _SCALAR_RENAMES = {
 # arity; {0}/{1}/{2} are the raw argument texts. Lambda variables are
 # collision-improbable (__ch_*) because user text lands in lambda bodies.
 _ARRAY_SPLICE: dict[str, dict[int, str]] = {
+    # arithmetic call-spellings splice to the native operators so
+    # integer arguments KEEP integer types (CH plus(Int64, Int64) is
+    # Int64; the typed DOUBLE SQL-UDF aliases — kept as a fallback for
+    # direct spark.sql users — silently widened. fuzz_compose finding,
+    # r11). divide() stays a UDF on purpose: its zero-divisor
+    # inf/nan branch is the point (see functions/clickhouse.py).
+    "plus": {2: "(({0}) + ({1}))"},
+    "minus": {2: "(({0}) - ({1}))"},
+    "multiply": {2: "(({0}) * ({1}))"},
     "arrayIntersect": {
         2: "array_sort(array_intersect({0}, {1}))",
         3: "array_sort(array_intersect(array_intersect({0}, {1}), {2}))",
@@ -2005,9 +2014,17 @@ _ARRAY_SPLICE: dict[str, dict[int, str]] = {
     # implicit bool arithmetic in Spark) where CH sums UInt8; wrap the
     # lambda body in toUInt8(...) for that case. arrayAvg stays DOUBLE
     # — CH's arrayAvg returns Float64.
-    "arrayMin": {2: "array_min(transform({1}, {0}))"},
-    "arrayMax": {2: "array_max(transform({1}, {0}))"},
+    # 1-arg forms are type-preserving (CH arraySum(Array(Int64)) is
+    # Int64; the ARRAY<DOUBLE> SQL-UDF aliases widened — fuzz_compose
+    # finding, r11). Same element-type zero trick as the lambda form;
+    # arrayAvg/arrayProduct stay UDFs (CH returns Float64 for those).
+    "arrayMin": {1: "array_min({0})", 2: "array_min(transform({1}, {0}))"},
+    "arrayMax": {1: "array_max({0})", 2: "array_max(transform({1}, {0}))"},
     "arraySum": {
+        1: "element_at(transform(array({0}),"
+           " __ch_tf -> aggregate(__ch_tf,"
+           " coalesce(try_element_at(__ch_tf, 1) * 0, 0),"
+           " (__ch_s, __ch_x) -> __ch_s + __ch_x)), 1)",
         2: "element_at(transform(array(transform({1}, {0})),"
            " __ch_tf -> aggregate(__ch_tf,"
            " coalesce(try_element_at(__ch_tf, 1) * 0, 0),"
@@ -3195,19 +3212,6 @@ def _rewrite_scalar_misc(sql: str) -> str:
         )
         sql = sql[: m.start()] + expr + sql[close2 + 1:]
         pos = m.start()
-    for name, target in _SCALAR_RENAMES.items():
-        pos = 0
-        rx = re.compile(rf"\b{name}\s*\(")
-        while True:
-            m = rx.search(sql, pos)
-            if not m:
-                break
-            instr_at = {i: q for i, _, _, q in _scan_level(sql)}
-            if instr_at.get(m.start(), False):
-                pos = m.end()
-                continue
-            sql = sql[: m.start()] + target + "(" + sql[m.end():]
-            pos = m.start() + len(target)
     for name in _IDENTITY_FNS:
         while True:
             m = _find_case_exact(sql, rf"\b{name}\s*\(")
@@ -3218,9 +3222,22 @@ def _rewrite_scalar_misc(sql: str) -> str:
     # arrays; Spark's length is strings-only and the typed empty alias
     # would stringify an array. A textual rewrite cannot know the type,
     # but array-ness is usually syntactically evident — route those
-    # calls to size(); everything else keeps the string path.
+    # calls to size(); everything else keeps the string path. This pass
+    # runs BEFORE _SCALAR_RENAMES so array-certain CH spellings
+    # (arrayReverse, arrayConcat, arrayFlatten — renamed to the
+    # string-polymorphic reverse/concat/flatten afterwards) are still
+    # distinguishable (fuzz_compose finding, r11).
     def _arrayish(arg: str) -> bool:
         a = arg.strip()
+        # strip one layer of grouping parens (identity-fn unwraps above
+        # leave `(expr)` shells) when they wrap the whole expression
+        while (
+            a.startswith("(")
+            and a.endswith(")")
+            and _call_end(a, 0) == len(a) - 1
+            and len(_split_top_commas(a[1:-1])) == 1
+        ):
+            a = a[1:-1].strip()
         if a.startswith("["):
             return True
         if a.upper().startswith("CAST(") and "ARRAY" in a.upper():
@@ -3244,7 +3261,13 @@ def _rewrite_scalar_misc(sql: str) -> str:
                 r"arrayIntersect|arrayPushBack|arrayPushFront|"
                 r"arrayPopBack|arrayPopFront|extractAll|flatten|"
                 r"arrayFlatten|map_keys|mapKeys|map_values|mapValues|"
-                r"split|slice|transform|filter|topK)\s*\(",
+                r"split|slice|transform|filter|topK|emptyArray\w*|"
+                r"arrayReverse|arrayZip|arrays_zip|arrayCumSum|"
+                r"arrayDifference|arrayEnumerate\w*|arrayWithConstant|"
+                r"array_repeat|arrayResize|arrayRotate\w*|arrayShift\w*|"
+                r"arrayInsert|arraySymmetricDifference|arrayFill|"
+                r"arrayReverseFill|arrayPartialSort|"
+                r"arrayReversePartialSort)\s*\(",
                 a,
             )
         )
@@ -3272,6 +3295,19 @@ def _rewrite_scalar_misc(sql: str) -> str:
                 continue
             sql = sql[: m.start()] + tmpl.format(x=args[0]) + sql[close1 + 1:]
             pos = m.start()
+    for name, target in _SCALAR_RENAMES.items():
+        pos = 0
+        rx = re.compile(rf"\b{name}\s*\(")
+        while True:
+            m = rx.search(sql, pos)
+            if not m:
+                break
+            instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+            if instr_at.get(m.start(), False):
+                pos = m.end()
+                continue
+            sql = sql[: m.start()] + target + "(" + sql[m.end():]
+            pos = m.start() + len(target)
     # 1-arg arrayStringConcat joins with the empty separator
     pos = 0
     asc_rx = re.compile(r"\barrayStringConcat\s*\(")
@@ -3821,6 +3857,19 @@ def _rewrite_scalar_misc(sql: str) -> str:
                     sql = sql[: m.start()] + expr + sql[close2 + 1:]
                     pos = m.start()
                     continue
+            if fname in ("plus", "minus", "multiply"):
+                # CH parses bare float literals as Float64; Spark as
+                # DECIMAL — multiply(1.5, 2) would come out
+                # DECIMAL(4,1). Same E0 normalization as arraySum
+                # below (string-literal-carrying fragments left alone;
+                # column args keep their types, which is the point of
+                # the operator splice).
+                args = [
+                    a if ("'" in a or '"' in a) else re.sub(
+                        r"(?<![\w.])(\d+\.\d+)(?![\w.])", r"\1E0", a
+                    )
+                    for a in args
+                ]
             if fname == "arraySum" and len(args) == 2:
                 # CH parses bare float literals as Float64; Spark
                 # parses them as DECIMAL, whose precision growth the
@@ -8711,8 +8760,23 @@ def _inline_select_aliases_in_where(sql: str) -> str:
                     blocked[k] = True
                 i = j
         i += 1
+    # lambda parameters shadow SELECT aliases (SELECT 1.5 AS x ...
+    # WHERE arrayExists(x -> x = i, arr) must NOT inline the bound x —
+    # fuzz_compose finding, r11). Conservative scope: a name bound by
+    # ANY lambda in the segment is skipped for the whole segment (a
+    # same-named alias reference outside the lambda then resolves as a
+    # column, the documented-corner behavior above).
+    lam_params: set[str] = set()
+    for lm in re.finditer(r"\b(\w+)\s*->", wseg):
+        if not blocked[lm.start()]:
+            lam_params.add(lm.group(1))
+    for lm in re.finditer(r"\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)\s*->", wseg):
+        if not blocked[lm.start()]:
+            lam_params.update(p.strip() for p in lm.group(1).split(","))
     spans: list[tuple[int, int, str]] = []
     for name, expr in aliases.items():
+        if name in lam_params:
+            continue
         rx = re.compile(
             rf"(?<![\w.`$]){re.escape(name)}(?![\w`])(?!\s*\()"
         )

@@ -5625,3 +5625,56 @@ def test_probe_batch86_window_hof_tails(views):
     assert r["m2"] == [11, 22] and r["f1"] == [2, 3]
     with pytest.raises(ValueError, match="isNullable"):
         translate("SELECT isNullable(x) FROM t")
+
+
+def test_fuzz_r11_lambda_param_shadows_select_alias(views):
+    """fuzz_compose r11: a SELECT alias named like a lambda parameter
+    must NOT be inlined into the lambda (WHERE-alias inlining used to
+    rewrite arrayExists(x -> x = ..., arr) into
+    exists(arr, (10.75) -> ...) when the query had `10.75 AS x` —
+    a parse error; chsql.py:_inline_select_aliases_in_where)."""
+    views.sql("SELECT 1 AS i, array(1, 2) AS arr").createOrReplaceTempView(
+        "fz_t")
+    r = views.sql(translate(
+        "SELECT 10.75 AS x, i AS v FROM fz_t"
+        " WHERE arrayExists(x -> x = i, arr)").sql).collect()
+    assert len(r) == 1 and r[0]["v"] == 1
+    # alias still inlines when no lambda binds the name
+    r = views.sql(translate(
+        "SELECT i + 1 AS y FROM fz_t WHERE y = 2").sql).collect()
+    assert len(r) == 1
+
+
+def test_fuzz_r11_arith_spellings_preserve_int_type(views):
+    """fuzz_compose r11: plus/minus/multiply splice to the native
+    operators so Int64 args stay Int64 (CH contract); the typed DOUBLE
+    SQL-UDF aliases silently widened (chsql.py _ARRAY_SPLICE)."""
+    df = views.sql(translate(
+        "SELECT plus(3, 4) AS p, minus(3, 4) AS m,"
+        " multiply(3, 4) AS x, negate(5) AS n,"
+        " multiply(1.5, 2) AS xf").sql)
+    types = dict(df.dtypes)
+    assert types["p"] == "int" and types["m"] == "int"
+    assert types["x"] == "int" and types["n"] == "int"
+    assert types["xf"] == "double"
+    r = df.collect()[0]
+    assert (r["p"], r["m"], r["x"], r["n"], r["xf"]) == (7, -1, 12, -5, 3.0)
+
+
+def test_fuzz_r11_polymorphic_length_array_evidence(views):
+    """fuzz_compose r11: length/empty over array-certain CH spellings
+    that are RENAMED to string-polymorphic Spark builtins (arrayReverse
+    -> reverse, arrayConcat -> concat) must route to size() — the pass
+    now runs before _SCALAR_RENAMES; emptyArray*/identity-fn shells
+    resolve too."""
+    r = views.sql(translate(
+        "SELECT length(arrayReverse([1, 2, 3])) AS lr,"
+        " length(arrayReverse(arrayMap(x -> x, [1, 2]))) AS lrm,"
+        " length(emptyArrayInt64()) AS le,"
+        " empty(arrayConcat([1], [2])) AS ec,"
+        " notEmpty(arrayDifference([5, 3])) AS ne,"
+        " length(materialize([1, 2])) AS lm,"
+        " length(reverse('abcd')) AS ls").sql).collect()[0]
+    assert r["lr"] == 3 and r["lrm"] == 2 and r["le"] == 0
+    assert r["ec"] is False and r["ne"] is True
+    assert r["lm"] == 2 and r["ls"] == 4
