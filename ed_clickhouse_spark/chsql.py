@@ -8538,6 +8538,7 @@ def translate(
     # JOIN / WITH TOTALS / SAMPLE / FINAL inside a derived table or CTE
     # body translate exactly like the outer query
     sql = _rewrite_clauses_recursive(sql, specs)
+    sql = _rewrite_order_by_null_direction(sql)
     return Translated(sql=_collapse_ws_outside_strings(sql), format=fmt)
 
 
@@ -8795,6 +8796,75 @@ def _inline_select_aliases_in_where(sql: str) -> str:
         pos = e
     out.append(wseg[pos:])
     return sql[:wstart] + "".join(out) + sql[wend:]
+
+
+_ORDER_KEYLIST_TERMINATORS = re.compile(
+    r"(?i)\b(LIMIT|OFFSET|SETTINGS|FORMAT|UNION|EXCEPT|INTERSECT|"
+    r"INTO|ROWS|RANGE|GROUPS|WINDOW)\b"
+)
+
+
+def _rewrite_order_by_null_direction(sql: str) -> str:
+    """ClickHouse sorts values first, then NaN, then NULL — i.e.
+    NULLS LAST — by default in BOTH directions; Spark's default is
+    direction-coupled (ASC = NULLS FIRST). Every ORDER BY key without
+    an explicit NULLS directive gets NULLS LAST appended — top-level,
+    subquery, and window ``OVER(...)`` ORDER BYs alike. On ASC this
+    also aligns NaN exactly (Spark values < NaN < NULL == CH values,
+    NaN, NULL). Documented deviation: on DESC Spark places NaN before
+    the other values (largest double) where CH keeps NaN just before
+    NULL at the tail — NaN-keyed DESC sorts differ; spell
+    ``isNaN(x), x DESC`` to pin CH order. Runs once on the final
+    translated SQL (after WITH FILL / LIMIT BY / QUALIFY have consumed
+    their ORDER BY forms). fuzz_compose finding, r11."""
+    pos = 0
+    rx = re.compile(r"(?i)\bORDER\s+BY\s+")
+    while True:
+        instr_at: dict[int, bool] = {}
+        depth_at: dict[int, int] = {}
+        for i, _, d, q in _scan_level(sql):
+            instr_at[i] = q
+            depth_at[i] = d
+        m = None
+        for cand in rx.finditer(sql, pos):
+            if not instr_at.get(cand.start(), False):
+                m = cand
+                break
+        if not m:
+            return sql
+        start = m.end()
+        base_depth = depth_at.get(m.start(), 0)
+        end = len(sql)
+        # the key list ends at the enclosing close-paren (depth drops
+        # below the ORDER BY's) or the first same-depth clause keyword
+        for j in range(start, len(sql)):
+            if instr_at.get(j, False):
+                continue
+            if depth_at[j] < base_depth:
+                end = j
+                break
+        for tm in _ORDER_KEYLIST_TERMINATORS.finditer(sql, start, end):
+            if (not instr_at.get(tm.start(), False)
+                    and depth_at.get(tm.start()) == base_depth):
+                end = tm.start()
+                break
+        seg = sql[start:end]
+        keys = _split_top_commas(seg)
+        if not keys or any("WITH FILL" in k.upper() for k in keys):
+            pos = end  # defensive: leave unconsumed fill forms alone
+            continue
+        new_keys = []
+        for k in keys:
+            body = k.strip()
+            if not body:
+                new_keys.append(k)
+            elif re.search(r"(?i)\bNULLS\s+(FIRST|LAST)\s*$", body):
+                new_keys.append(body)
+            else:
+                new_keys.append(body + " NULLS LAST")
+        new_seg = ", ".join(new_keys) + " "
+        sql = sql[:start] + new_seg + sql[end:]
+        pos = start + len(new_seg)
 
 
 def _rewrite_qualify(sql: str) -> str:

@@ -5678,3 +5678,30 @@ def test_fuzz_r11_polymorphic_length_array_evidence(views):
     assert r["lr"] == 3 and r["lrm"] == 2 and r["le"] == 0
     assert r["ec"] is False and r["ne"] is True
     assert r["lm"] == 2 and r["ls"] == 4
+
+
+def test_fuzz_r11_order_by_nulls_last_default(views):
+    """fuzz_compose r11: CH sorts values, then NaN, then NULL (NULLS
+    LAST) by default in BOTH directions; Spark's default is
+    direction-coupled (ASC = NULLS FIRST). translate appends the
+    explicit directive to every undirected ORDER BY key — top-level,
+    subquery, and window OVER alike
+    (chsql._rewrite_order_by_null_direction)."""
+    views.sql(
+        "SELECT * FROM VALUES (1), (CAST(NULL AS INT)), (3), (2) AS v(x)"
+    ).createOrReplaceTempView("ord_t")
+    r = views.sql(translate(
+        "SELECT x FROM ord_t ORDER BY x LIMIT 2").sql).collect()
+    assert [row["x"] for row in r] == [1, 2]  # not [NULL, 1]
+    r = views.sql(translate(
+        "SELECT x FROM ord_t ORDER BY x DESC LIMIT 2").sql).collect()
+    assert [row["x"] for row in r] == [3, 2]
+    r = views.sql(translate(
+        "SELECT x, row_number() OVER (ORDER BY x) AS rn FROM ord_t"
+    ).sql).collect()
+    assert {row["x"]: row["rn"] for row in r}[None] == 4  # NULL ranks last
+    # explicit directives are preserved
+    r = views.sql(translate(
+        "SELECT x FROM ord_t ORDER BY x NULLS FIRST LIMIT 1").sql
+    ).collect()
+    assert r[0]["x"] is None

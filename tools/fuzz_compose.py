@@ -272,12 +272,16 @@ AGGS = [
 
 
 def build_query(rng: random.Random, diff: bool):
-    """Returns (ch_sql, duck_sql_or_None). Scalar-typed SELECT over t,
-    random WHERE, optionally GROUP BY with aggregates."""
+    """Returns (ch_sql, duck_sql_or_None). Scalar-typed SELECT over t;
+    random WHERE / PREWHERE / alias-in-WHERE; optionally GROUP BY
+    (positional or BY-ALIAS) with aggregates + HAVING; optional
+    ORDER BY <all outputs> LIMIT (deterministic under the sorted-set
+    compare)."""
     g = Gen(rng, diff_only=diff)
     aliases = rng.sample(ALIASES, 6)
     grouped = rng.random() < 0.45
     sel_ch, sel_duck = [], []
+    having_ch = having_duck = ""
     if grouped:
         kt = rng.choice([INT, STR, BOOL])
         kch, kduck, _ = g.expr(kt, rng.randint(0, 2))
@@ -303,7 +307,13 @@ def build_query(rng: random.Random, diff: bool):
             # — tolerance compare handles it. Cast avg args identically.
             sel_ch.append(f"{ach} AS {a}")
             sel_duck.append(f"{aduck} AS {a}" if aduck else None)
-        group_sql = " GROUP BY 1"
+        # CH resolves GROUP BY <alias> (alias preferred); Spark does
+        # too — exercise the hazardous-alias spelling half the time
+        group_sql = (f" GROUP BY {ka}" if rng.random() < 0.5
+                     else " GROUP BY 1")
+        if rng.random() < 0.35:
+            having_ch = " HAVING count() >= 1"
+            having_duck = " HAVING count(*) >= 1"
     else:
         for n in range(rng.randint(1, 4)):
             t = rng.choice([INT, FLOAT, STR, BOOL])
@@ -313,16 +323,54 @@ def build_query(rng: random.Random, diff: bool):
             sel_duck.append(f"{educk} AS {a}" if educk else None)
         group_sql = ""
 
-    where_ch = where_duck = ""
+    # WHERE / PREWHERE (CH merges PREWHERE into the scan; duck twin is
+    # a plain AND). Ungrouped queries may also REFERENCE a SELECT alias
+    # in WHERE (CH prefer-alias semantics — the inliner under test);
+    # the duck twin spells the inlined expression.
+    conj_ch, conj_duck = [], []
     if rng.random() < 0.6:
         wch, wduck, _ = g.expr(BOOL, rng.randint(1, 2))
-        where_ch = f" WHERE {wch}"
-        where_duck = f" WHERE {wduck}" if wduck else None
+        conj_ch.append(wch)
+        conj_duck.append(wduck)
+    pre_ch = ""
+    if rng.random() < 0.25:
+        pch, pduck, _ = g.expr(BOOL, 1)
+        pre_ch = f" PREWHERE {pch}"
+        conj_duck.append(pduck)
+    if not grouped and sel_ch and rng.random() < 0.4:
+        # pick a non-boolean-safe alias reference: alias IS NOT NULL
+        # works for every type and forces the inliner to fire
+        k = rng.randrange(len(sel_ch))
+        a_name = sel_ch[k].rsplit(" AS ", 1)[1]
+        a_expr_duck = (sel_duck[k].rsplit(" AS ", 1)[0]
+                       if sel_duck[k] else None)
+        conj_ch.append(f"{a_name} IS NOT NULL")
+        conj_duck.append(f"({a_expr_duck}) IS NOT NULL"
+                         if a_expr_duck else None)
+    where_ch = f" WHERE {' AND '.join(conj_ch)}" if conj_ch else ""
+    where_duck = (f" WHERE {' AND '.join(c for c in conj_duck)}"
+                  if conj_duck else "")
 
-    ch = f"SELECT {', '.join(sel_ch)} FROM t{where_ch}{group_sql}"
-    if any(x is None for x in sel_duck) or where_duck is None:
+    order_ch = order_duck = ""
+    if rng.random() < 0.3:
+        # order by ALL outputs (total order at output granularity, so
+        # LIMIT is deterministic under the sorted-set compare); random
+        # DESC exercises the NULLS-LAST default alignment (CH and duck
+        # both sort values, NaN, NULL regardless of direction; Spark
+        # needed the explicit directive — see chsql
+        # _rewrite_order_by_null_direction)
+        names = [s.rsplit(" AS ", 1)[1]
+                 + (" DESC" if rng.random() < 0.3 else "")
+                 for s in sel_ch]
+        order_ch = order_duck = f" ORDER BY {', '.join(names)} LIMIT 5"
+
+    ch = (f"SELECT {', '.join(sel_ch)} FROM t{pre_ch}{where_ch}"
+          f"{group_sql}{having_ch}{order_ch}")
+    if (any(x is None for x in sel_duck)
+            or any(c is None for c in conj_duck)):
         return ch, None
-    duck = f"SELECT {', '.join(sel_duck)} FROM t{where_duck}{group_sql}"
+    duck = (f"SELECT {', '.join(sel_duck)} FROM t{where_duck}"
+            f"{group_sql}{having_duck}{order_duck}")
     return ch, duck
 
 
