@@ -285,11 +285,18 @@ def _rewrite_prewhere(sql: str) -> str:
     cond = tail[: stop.start()] if stop else tail
     rest = tail[stop.start():] if stop else ""
     head = sql[: m.start()]
+    cond = cond.strip()
+    # Spark's parser rejects WHERE (ident) — a lone parenthesized
+    # identifier parses as an assignment form (ASSIGNMENT_ARITY_
+    # MISMATCH against the table width; verified on 4.1). A bare
+    # single-token condition needs no wrapping (fuzz_compose, r11).
+    wrapped = cond if re.fullmatch(r"`?\w+`?", cond) else f"({cond})"
     wm = _find_top(rest, r"\bWHERE\b")
     if wm:
-        rest = rest[: wm.start()] + "WHERE (" + cond.strip() + ") AND " + rest[wm.end():]
+        rest = (rest[: wm.start()] + "WHERE " + wrapped + " AND "
+                + rest[wm.end():])
         return head + rest
-    return head + "WHERE (" + cond.strip() + ") " + rest
+    return head + "WHERE " + wrapped + " " + rest
 
 
 def _rewrite_final(sql: str) -> str:
@@ -2963,7 +2970,7 @@ def _strip_window_frame(over_body: str) -> str:
     return over_body[: m.start()].rstrip() if m else over_body
 
 
-def _rewrite_scalar_misc(sql: str) -> str:
+def _rewrite_scalar_misc(sql: str, specs: dict | None = None) -> str:
     """Polymorphic scalar spellings that need a translate-time rewrite
     rather than a typed SQL-UDF alias: renames (arrayZip → arrays_zip,
     ...), identity wrappers (assumeNotNull/toNullable drop out),
@@ -2975,11 +2982,18 @@ def _rewrite_scalar_misc(sql: str) -> str:
     # spells them as typed casts. Case-exact lowercase (the CH
     # spelling); -inf rides the unary minus unchanged. ALIAS positions
     # (`... AS inf`) and qualified/backquoted names stay identifiers —
-    # the round-close suite caught the alias capture.
+    # the round-close suite caught the alias capture. When the query
+    # DEFINES an alias of that name, every bare reference is that alias
+    # (CH prefer-alias, and a constant literal in GROUP BY/ORDER BY is
+    # meaningless anyway) — skip the name entirely (fuzz_compose: GROUP
+    # BY inf became GROUP BY CAST('Infinity' AS DOUBLE), a
+    # MISSING_AGGREGATION error).
     for _lit, _repl in (
         ("nan", "CAST('NaN' AS DOUBLE)"),
         ("inf", "CAST('Infinity' AS DOUBLE)"),
     ):
+        if _find_top_anywhere(sql, rf"(?i)\bAS\s+`?{_lit}`?\b"):
+            continue
         _pos = 0
         _rx = re.compile(rf"\b{_lit}\b")
         while True:
@@ -3226,7 +3240,25 @@ def _rewrite_scalar_misc(sql: str) -> str:
     # runs BEFORE _SCALAR_RENAMES so array-certain CH spellings
     # (arrayReverse, arrayConcat, arrayFlatten — renamed to the
     # string-polymorphic reverse/concat/flatten afterwards) are still
-    # distinguishable (fuzz_compose finding, r11).
+    # distinguishable (fuzz_compose finding, r11). When table specs are
+    # available (the Engine.ch_sql path), BARE COLUMNS declared
+    # Array(...) in the DDL resolve too — the reference's own tables
+    # carry Array(String) columns (migrations/009:24-27), so
+    # length(genres) must mean array length there. A name is trusted
+    # only when it is array-typed in at least one spec and non-array in
+    # none (ambiguity keeps the string path).
+    arr_cols: set[str] = set()
+    if specs:
+        non_arr: set[str] = set()
+        for sp in specs.values():
+            for col, cht in getattr(sp, "ch_types", {}).items():
+                base = cht.strip()
+                if base.startswith("Array("):
+                    arr_cols.add(col)
+                else:
+                    non_arr.add(col)
+        arr_cols -= non_arr
+
     def _arrayish(arg: str) -> bool:
         a = arg.strip()
         # strip one layer of grouping parens (identity-fn unwraps above
@@ -3241,6 +3273,9 @@ def _rewrite_scalar_misc(sql: str) -> str:
         if a.startswith("["):
             return True
         if a.upper().startswith("CAST(") and "ARRAY" in a.upper():
+            return True
+        im = re.fullmatch(r"(?:`?\w+`?\.)?`?(\w+)`?", a)
+        if im and im.group(1) in arr_cols:
             return True
         # reverse is string-polymorphic in BOTH engines (ClickHouse
         # reverses strings too), so reverse(x) is array-ish only when
@@ -8489,7 +8524,7 @@ def translate(
     sql = _rewrite_funnel_aggs(sql)
     sql = _rewrite_time_decayed(sql)
     sql = _rewrite_agg_spellings(sql)
-    sql = _rewrite_scalar_misc(sql)
+    sql = _rewrite_scalar_misc(sql, specs)
     sql = _rewrite_array_hofs(sql)
     sql = _rewrite_scalar_with(sql)
     # tuple algebra (untuple/tupleConcat/tuplePlus/...) resolves over
@@ -8587,6 +8622,27 @@ def _apply_clause_rewrites(sql: str, specs: dict | None) -> str:
         sql = (
             sql[: m.start()]
             + f"{m.group(1)} ({m.group(2)} <> 0)"
+            + sql[m.end():]
+        )
+    # Spark's parser rejects WHERE/HAVING (ident) — a lone
+    # parenthesized identifier parses as an assignment form and dies
+    # with ASSIGNMENT_ARITY_MISMATCH (verified on 4.1); ClickHouse
+    # accepts the spelling. Unwrap the parens (fuzz_compose, r11).
+    while True:
+        m = _find_top_anywhere(
+            sql,
+            r"(?i)\b(WHERE|HAVING)\s*\(\s*(`?\w+`?)\s*\)\s*"
+            r"(?=$|\)|;|\b(?:AND|OR|GROUP|ORDER|LIMIT|OFFSET"
+            r"|UNION|EXCEPT|INTERSECT|WINDOW|QUALIFY)\b)",
+        )
+        if not m:
+            break
+        body = m.group(2)
+        if body.isdigit():  # (1) is CH truthiness, same as the bare int
+            body = f"({body} <> 0)"
+        sql = (
+            sql[: m.start()]
+            + f"{m.group(1)} {body} "
             + sql[m.end():]
         )
     return sql
@@ -8741,10 +8797,14 @@ def _inline_select_aliases_in_where(sql: str) -> str:
     if not aliases:
         return sql
     wstart = wm.end()
+    # FORMAT/SETTINGS are NOT terminators here: _strip_trailing removed
+    # the real clauses long before this pass, so a bare occurrence is
+    # an identifier — an alias NAMED format used to truncate the
+    # scanned segment and stay un-inlined (fuzz_compose finding, r11)
     tail_m = _find_top(
         sql[wstart:],
         r"(?i)\b(GROUP\s+BY|HAVING|WINDOW|QUALIFY|ORDER\s+BY|LIMIT|"
-        r"OFFSET|SETTINGS|FORMAT|UNION|INTERSECT|EXCEPT)\b",
+        r"OFFSET|UNION|INTERSECT|EXCEPT)\b",
     )
     wend = wstart + tail_m.start() if tail_m else len(sql)
     wseg = sql[wstart:wend]
@@ -8763,27 +8823,45 @@ def _inline_select_aliases_in_where(sql: str) -> str:
         i += 1
     # lambda parameters shadow SELECT aliases (SELECT 1.5 AS x ...
     # WHERE arrayExists(x -> x = i, arr) must NOT inline the bound x —
-    # fuzz_compose finding, r11). Conservative scope: a name bound by
-    # ANY lambda in the segment is skipped for the whole segment (a
-    # same-named alias reference outside the lambda then resolves as a
-    # column, the documented-corner behavior above).
-    lam_params: set[str] = set()
-    for lm in re.finditer(r"\b(\w+)\s*->", wseg):
-        if not blocked[lm.start()]:
-            lam_params.add(lm.group(1))
-    for lm in re.finditer(r"\(\s*(\w+(?:\s*,\s*\w+)*)\s*\)\s*->", wseg):
-        if not blocked[lm.start()]:
-            lam_params.update(p.strip() for p in lm.group(1).split(","))
+    # fuzz_compose finding, r11). Scope is per-lambda: the parameter
+    # name is blocked from its binding to the end of the lambda body
+    # (the enclosing call argument), so a same-named alias reference
+    # ELSEWHERE in the WHERE still inlines (CH resolves both).
+    lam_spans: dict[str, list[tuple[int, int]]] = {}
+    for lm in re.finditer(
+            r"(\b\w+\s*|\(\s*\w+(?:\s*,\s*\w+)*\s*\)\s*)->", wseg):
+        if blocked[lm.start()]:
+            continue
+        body_end = len(wseg)
+        d = 0
+        for j in range(lm.end(), len(wseg)):
+            if blocked[j]:
+                continue
+            cj = wseg[j]
+            if cj == "(":
+                d += 1
+            elif cj == ")":
+                if d == 0:
+                    body_end = j
+                    break
+                d -= 1
+            elif cj == "," and d == 0:
+                body_end = j
+                break
+        for p in re.findall(r"\w+", lm.group(1)):
+            lam_spans.setdefault(p, []).append((lm.start(), body_end))
     spans: list[tuple[int, int, str]] = []
     for name, expr in aliases.items():
-        if name in lam_params:
-            continue
         rx = re.compile(
             rf"(?<![\w.`$]){re.escape(name)}(?![\w`])(?!\s*\()"
         )
         for m in rx.finditer(wseg):
-            if not blocked[m.start()]:
-                spans.append((m.start(), m.end(), f"({expr})"))
+            if blocked[m.start()]:
+                continue
+            if any(s <= m.start() < e
+                   for s, e in lam_spans.get(name, ())):
+                continue
+            spans.append((m.start(), m.end(), f"({expr})"))
     if not spans:
         return sql
     spans.sort()
@@ -8799,9 +8877,13 @@ def _inline_select_aliases_in_where(sql: str) -> str:
 
 
 _ORDER_KEYLIST_TERMINATORS = re.compile(
-    r"(?i)\b(LIMIT|OFFSET|SETTINGS|FORMAT|UNION|EXCEPT|INTERSECT|"
-    r"INTO|ROWS|RANGE|GROUPS|WINDOW)\b"
+    r"(?i)\b(LIMIT|OFFSET|UNION|EXCEPT|INTERSECT)\b"
 )
+# frame keywords can only follow ORDER BY inside an OVER(...) spec —
+# matching them at depth 0 would eat a sort key ALIASED `rows`/`range`
+# (FORMAT/SETTINGS are stripped long before this pass, so they are
+# plain identifiers here; fuzz_compose finding, r11)
+_ORDER_FRAME_TERMINATORS = re.compile(r"(?i)\b(ROWS|RANGE|GROUPS)\b")
 
 
 def _rewrite_order_by_null_direction(sql: str) -> str:
@@ -8843,15 +8925,24 @@ def _rewrite_order_by_null_direction(sql: str) -> str:
             if depth_at[j] < base_depth:
                 end = j
                 break
-        for tm in _ORDER_KEYLIST_TERMINATORS.finditer(sql, start, end):
-            if (not instr_at.get(tm.start(), False)
-                    and depth_at.get(tm.start()) == base_depth):
-                end = tm.start()
-                break
+        terms = [_ORDER_KEYLIST_TERMINATORS]
+        if base_depth > 0:
+            terms.append(_ORDER_FRAME_TERMINATORS)
+        for t_rx in terms:
+            for tm in t_rx.finditer(sql, start, end):
+                if (not instr_at.get(tm.start(), False)
+                        and depth_at.get(tm.start()) == base_depth):
+                    end = min(end, tm.start())
+                    break
         seg = sql[start:end]
         keys = _split_top_commas(seg)
-        if not keys or any("WITH FILL" in k.upper() for k in keys):
-            pos = end  # defensive: leave unconsumed fill forms alone
+        if (not keys
+                or not seg.rstrip().rstrip(",") == seg.rstrip()
+                or any("WITH FILL" in k.upper() for k in keys)):
+            # defensive: a trailing comma means a terminator keyword
+            # cut mid-list (an aliased identifier collision) — leave
+            # this ORDER BY untouched rather than corrupt it
+            pos = end
             continue
         new_keys = []
         for k in keys:

@@ -5705,3 +5705,112 @@ def test_fuzz_r11_order_by_nulls_last_default(views):
         "SELECT x FROM ord_t ORDER BY x NULLS FIRST LIMIT 1").sql
     ).collect()
     assert r[0]["x"] is None
+
+
+def test_fuzz_r11_length_on_declared_array_column(views):
+    """Specs-aware polymorphic length: a BARE column declared
+    Array(...) in the DDL routes length/empty to size() — the
+    reference's own tables carry Array(String) columns
+    (/root/reference/migrations/009_...sql:24-27), so
+    length(genres) through Engine.ch_sql must mean array length.
+    Without specs (or on ambiguity) the string path is kept."""
+    from ed_clickhouse_spark import ddl
+
+    spec = ddl.parse_clickhouse_ddl(open(
+        "/root/reference/migrations/"
+        "009_create_shahre_farang_item_events_table.up.sql").read())
+    spec = spec[0] if isinstance(spec, list) else spec
+    specs = {spec.name: spec}
+    tr = translate(
+        "SELECT length(genres) AS n, empty(labels) AS e,"
+        " length(item_title) AS lt FROM shahre_farang_item_events",
+        specs=specs)
+    assert "size(genres)" in tr.sql and "size(labels)" in tr.sql
+    assert "length(item_title)" in tr.sql
+    # no specs -> unchanged (string path)
+    assert "length(genres)" in translate(
+        "SELECT length(genres) AS n FROM t").sql
+    # execution shape: declared array column end-to-end
+    views.sql("SELECT array('drama', 'sci-fi') AS genres,"
+              " 'T' AS item_title").createOrReplaceTempView(
+        "shahre_farang_item_events")
+    r = views.sql(translate(
+        "SELECT length(genres) AS n FROM shahre_farang_item_events",
+        specs=specs).sql).collect()[0]
+    assert r["n"] == 2
+
+
+def test_fuzz_r11_keyword_named_aliases_in_order_and_group(views):
+    """fuzz_compose r11 round 2: (1) sort keys ALIASED range/format
+    must not be eaten as frame/clause keywords by the null-direction
+    pass (frame terminators apply only inside OVER); (2) a GROUP BY
+    reference to an alias named inf/nan must stay an alias reference —
+    the bare-literal rewrite used to emit GROUP BY
+    CAST('Infinity' AS DOUBLE), a MISSING_AGGREGATION error."""
+    views.sql("SELECT 1 AS i, 2 AS j").createOrReplaceTempView("kw_t")
+    r = views.sql(translate(
+        "SELECT i AS y, j AS range FROM kw_t ORDER BY y, range LIMIT 5"
+    ).sql).collect()[0]
+    assert (r["y"], r["range"]) == (1, 2)
+    r = views.sql(translate(
+        "SELECT i AS y, j AS format FROM kw_t ORDER BY y, format"
+    ).sql).collect()[0]
+    assert (r["y"], r["format"]) == (1, 2)
+    r = views.sql(translate(
+        "SELECT i + 100 AS inf, count() AS x FROM kw_t GROUP BY inf"
+    ).sql).collect()[0]
+    assert (r["inf"], r["x"]) == (101, 1)
+    # bare inf/nan literals still rewrite when no alias defines them
+    r = views.sql(translate(
+        "SELECT isInfinite(inf) AS ii, isNaN(nan) AS nn").sql
+    ).collect()[0]
+    assert r["ii"] is True and r["nn"] is True
+    # frame keywords still terminate inside OVER
+    r = views.sql(translate(
+        "SELECT sum(j) OVER (ORDER BY i ROWS BETWEEN 1 PRECEDING AND"
+        " CURRENT ROW) AS s FROM kw_t").sql).collect()[0]
+    assert r["s"] == 2
+
+
+def test_fuzz_r11_alias_inliner_scoping(views):
+    """fuzz_compose r11 round 3: (1) an alias NAMED format/settings in
+    WHERE must still inline (the clause-terminator list contained the
+    long-stripped FORMAT/SETTINGS keywords and truncated the scanned
+    segment); (2) lambda shadowing is PER-SPAN — the same name used as
+    a lambda parameter inside one HOF and as an alias reference
+    elsewhere in the WHERE resolves both ways, like ClickHouse."""
+    views.sql("SELECT 1 AS i, true AS b, array(1, 2) AS arr"
+              ).createOrReplaceTempView("sc_t")
+    r = views.sql(translate(
+        "SELECT (100 > 0) AS format FROM sc_t"
+        " WHERE b AND format IS NOT NULL").sql).collect()
+    assert len(r) == 1 and r[0]["format"] is True
+    r = views.sql(translate(
+        "SELECT reverse('ab') AS x FROM sc_t"
+        " WHERE arrayExists(x -> x = 1, arr) AND x IS NOT NULL"
+    ).sql).collect()
+    assert len(r) == 1 and r[0]["x"] == "ba"
+
+
+def test_fuzz_r11_bare_identifier_conditions(views):
+    """fuzz_compose r11 round 3: Spark's parser rejects
+    WHERE/HAVING (ident) — a lone parenthesized identifier parses as
+    an assignment form (ASSIGNMENT_ARITY_MISMATCH). ClickHouse accepts
+    it, and the PREWHERE merge used to synthesize exactly that shape
+    for a bare-column condition. Both the merge and the user-spelled
+    forms unwrap; (1) keeps CH truthiness."""
+    views.sql("SELECT 1 AS i, true AS b, 1.5 AS f"
+              ).createOrReplaceTempView("bi_t")
+    assert views.sql(translate(
+        "SELECT f AS v FROM bi_t PREWHERE b").sql).collect()[0]["v"] == 1.5
+    assert views.sql(translate(
+        "SELECT f AS v FROM bi_t WHERE (b)").sql).collect()[0]["v"] == 1.5
+    assert views.sql(translate(
+        "SELECT f AS v FROM bi_t WHERE (1)").sql).collect()[0]["v"] == 1.5
+    r = views.sql(translate(
+        "SELECT i AS g, count() AS n FROM bi_t WHERE (b)"
+        " GROUP BY g HAVING (n)").sql).collect()[0]
+    assert (r["g"], r["n"]) == (1, 1)
+    assert len(views.sql(translate(
+        "SELECT f AS v FROM bi_t PREWHERE (b) WHERE (b) AND (i > 0)"
+    ).sql).collect()) == 1

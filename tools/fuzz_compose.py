@@ -78,16 +78,30 @@ INT, FLOAT, STR, BOOL, ARR = "INT", "FLOAT", "STR", "BOOL", "ARR"
 
 COLS = {INT: ["i", "j"], FLOAT: ["f"], STR: ["s"], BOOL: ["b"], ARR: ["arr"]}
 
+# second table for join shapes: duplicate key 1 (fan-out), unmatched 77
+ROWS_U = [
+    (0, "zero", 0.5),
+    (1, "one", -1.0),
+    (1, "uno", 2.5),
+    (9, "nine", 3.0),
+    (77, "none", 9.9),
+]
+COLS_U = {STR: ["s2"], FLOAT: ["f2"]}
+
 
 class Gen:
-    def __init__(self, rng: random.Random, diff_only: bool):
+    def __init__(self, rng: random.Random, diff_only: bool,
+                 extra_cols: dict | None = None):
         self.rng = rng
         self.diff_only = diff_only  # restrict to productions with twins
+        self.cols = {
+            t: COLS[t] + (extra_cols or {}).get(t, []) for t in COLS
+        }
 
     def leaf(self, typ):
         r = self.rng
         if r.random() < 0.55:
-            c = r.choice(COLS[typ])
+            c = r.choice(self.cols[typ])
             return c, c, typ
         if typ == INT:
             v = r.choice([-3, -1, 0, 1, 2, 7, 100])
@@ -145,7 +159,8 @@ class Gen:
         ("lower({0})", "lower({0})", STR, (STR,)),
         ("upper({0})", "upper({0})", STR, (STR,)),
         ("reverse({0})", "reverse({0})", STR, (STR,)),
-        ("concat({0}, {1})", "concat({0}, {1})", STR, (STR, STR)),
+        # duck concat() SKIPS NULLs; CH and Spark propagate — || matches
+        ("concat({0}, {1})", "(({0}) || ({1}))", STR, (STR, STR)),
         ("substring({0}, 2, 3)", "substring({0}, 2, 3)", STR, (STR,)),
         ("position({0}, 'a')", "strpos({0}, 'a')", INT, (STR,)),
         ("trimBoth({0})", "trim({0})", STR, (STR,)),
@@ -276,8 +291,22 @@ def build_query(rng: random.Random, diff: bool):
     random WHERE / PREWHERE / alias-in-WHERE; optionally GROUP BY
     (positional or BY-ALIAS) with aggregates + HAVING; optional
     ORDER BY <all outputs> LIMIT (deterministic under the sorted-set
-    compare)."""
-    g = Gen(rng, diff_only=diff)
+    compare); optional JOIN u (USING form; fan-out + unmatched keys) or
+    IN/NOT IN subquery."""
+    join = rng.choice(
+        ["none", "none", "none", "inner", "left", "any_left",
+         "in_sub", "notin_sub"])
+    extra = COLS_U if join in ("inner", "left", "any_left") else None
+    g = Gen(rng, diff_only=diff, extra_cols=extra)
+    from_ch = from_duck = "t"
+    if join == "inner":
+        from_ch = from_duck = "t JOIN u USING (i)"
+    elif join == "left":
+        from_ch = from_duck = "t LEFT JOIN u USING (i)"
+    elif join == "any_left":
+        # deterministic one-row-per-key reduce is engine-specific —
+        # execute-or-refuse only, no duck twin
+        from_ch, from_duck = "t ANY LEFT JOIN u USING (i)", None
     aliases = rng.sample(ALIASES, 6)
     grouped = rng.random() < 0.45
     sel_ch, sel_duck = [], []
@@ -328,6 +357,12 @@ def build_query(rng: random.Random, diff: bool):
     # in WHERE (CH prefer-alias semantics — the inliner under test);
     # the duck twin spells the inlined expression.
     conj_ch, conj_duck = [], []
+    if join == "in_sub":
+        conj_ch.append("i IN (SELECT i FROM u)")
+        conj_duck.append("i IN (SELECT i FROM u)")
+    elif join == "notin_sub":
+        conj_ch.append("i NOT IN (SELECT i FROM u)")
+        conj_duck.append("i NOT IN (SELECT i FROM u)")
     if rng.random() < 0.6:
         wch, wduck, _ = g.expr(BOOL, rng.randint(1, 2))
         conj_ch.append(wch)
@@ -348,8 +383,9 @@ def build_query(rng: random.Random, diff: bool):
         conj_duck.append(f"({a_expr_duck}) IS NOT NULL"
                          if a_expr_duck else None)
     where_ch = f" WHERE {' AND '.join(conj_ch)}" if conj_ch else ""
-    where_duck = (f" WHERE {' AND '.join(c for c in conj_duck)}"
-                  if conj_duck else "")
+    duck_ok = all(c is not None for c in conj_duck)
+    where_duck = (f" WHERE {' AND '.join(conj_duck)}"
+                  if conj_duck and duck_ok else "")
 
     order_ch = order_duck = ""
     if rng.random() < 0.3:
@@ -364,12 +400,13 @@ def build_query(rng: random.Random, diff: bool):
                  for s in sel_ch]
         order_ch = order_duck = f" ORDER BY {', '.join(names)} LIMIT 5"
 
-    ch = (f"SELECT {', '.join(sel_ch)} FROM t{pre_ch}{where_ch}"
+    ch = (f"SELECT {', '.join(sel_ch)} FROM {from_ch}{pre_ch}{where_ch}"
           f"{group_sql}{having_ch}{order_ch}")
-    if (any(x is None for x in sel_duck)
+    if (from_duck is None
+            or any(x is None for x in sel_duck)
             or any(c is None for c in conj_duck)):
         return ch, None
-    duck = (f"SELECT {', '.join(sel_duck)} FROM t{where_duck}"
+    duck = (f"SELECT {', '.join(sel_duck)} FROM {from_duck}{where_duck}"
             f"{group_sql}{having_duck}{order_duck}")
     return ch, duck
 
@@ -423,12 +460,17 @@ def main():
         ROWS, "i BIGINT, j BIGINT, f DOUBLE, s STRING, b BOOLEAN,"
               " arr ARRAY<BIGINT>")
     df.createOrReplaceTempView("t")
+    spark.createDataFrame(
+        ROWS_U, "i BIGINT, s2 STRING, f2 DOUBLE"
+    ).createOrReplaceTempView("u")
 
     con = duckdb.connect()
     con.execute(
         "CREATE TABLE t (i BIGINT, j BIGINT, f DOUBLE, s VARCHAR,"
         " b BOOLEAN, arr BIGINT[])")
     con.executemany("INSERT INTO t VALUES (?, ?, ?, ?, ?, ?)", ROWS)
+    con.execute("CREATE TABLE u (i BIGINT, s2 VARCHAR, f2 DOUBLE)")
+    con.executemany("INSERT INTO u VALUES (?, ?, ?)", ROWS_U)
 
     rng = random.Random(args.seed)
     fails = []
