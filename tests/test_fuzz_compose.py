@@ -33,7 +33,7 @@ def fuzz_env(spark):
     spark.createDataFrame(
         fz.ROWS,
         "i BIGINT, j BIGINT, f DOUBLE, s STRING, b BOOLEAN,"
-        " arr ARRAY<BIGINT>",
+        " arr ARRAY<BIGINT>, d DATE",
     ).createOrReplaceTempView("t")
     spark.createDataFrame(
         fz.ROWS_U, "i BIGINT, s2 STRING, f2 DOUBLE"
@@ -41,8 +41,8 @@ def fuzz_env(spark):
     con = duckdb.connect()
     con.execute(
         "CREATE TABLE t (i BIGINT, j BIGINT, f DOUBLE, s VARCHAR,"
-        " b BOOLEAN, arr BIGINT[])")
-    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?, ?, ?)", fz.ROWS)
+        " b BOOLEAN, arr BIGINT[], d DATE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?, ?, ?, ?)", fz.ROWS)
     con.execute("CREATE TABLE u (i BIGINT, s2 VARCHAR, f2 DOUBLE)")
     con.executemany("INSERT INTO u VALUES (?, ?, ?)", fz.ROWS_U)
     return spark, con

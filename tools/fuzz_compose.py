@@ -38,16 +38,18 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # ---------------------------------------------------------------- data
 
+import datetime as _dt
+
 ROWS = [
-    # (i, j, f, s, b, arr)
-    (0, 3, 0.0, "", True, [1, 2, 3]),
-    (1, -2, 1.5, "alpha", False, []),
-    (-4, 7, -2.25, "Beta,One", True, [5]),
-    (9, 9, 3.75, "if(x,1,2)", False, [0, -1]),
-    (-7, 1, -0.5, "AS inf", True, [42, 42]),
-    (12, -5, 2.5, "it''s", False, [7, 8, 9, 10]),
-    (3, 0, -1.25, "tuple(1) -- c", True, [2]),
-    (5, 4, 0.75, "naN", False, [1]),
+    # (i, j, f, s, b, arr, d)
+    (0, 3, 0.0, "", True, [1, 2, 3], _dt.date(2024, 2, 29)),
+    (1, -2, 1.5, "alpha", False, [], _dt.date(2023, 12, 31)),
+    (-4, 7, -2.25, "Beta,One", True, [5], _dt.date(2024, 1, 1)),
+    (9, 9, 3.75, "if(x,1,2)", False, [0, -1], _dt.date(2024, 7, 15)),
+    (-7, 1, -0.5, "AS inf", True, [42, 42], _dt.date(1999, 3, 1)),
+    (12, -5, 2.5, "it''s", False, [7, 8, 9, 10], _dt.date(2025, 6, 2)),
+    (3, 0, -1.25, "tuple(1) -- c", True, [2], _dt.date(2024, 2, 1)),
+    (5, 4, 0.75, "naN", False, [1], _dt.date(2024, 12, 30)),
 ]
 
 # alias pool: names that have historically been captured by literal /
@@ -74,9 +76,11 @@ def esc(s: str) -> str:
 # FLOAT, STR, BOOL, ARR (array<bigint>). Trees are built top-down with
 # a depth budget; leaves are columns or literals.
 
-INT, FLOAT, STR, BOOL, ARR = "INT", "FLOAT", "STR", "BOOL", "ARR"
+INT, FLOAT, STR, BOOL, ARR, DATE = (
+    "INT", "FLOAT", "STR", "BOOL", "ARR", "DATE")
 
-COLS = {INT: ["i", "j"], FLOAT: ["f"], STR: ["s"], BOOL: ["b"], ARR: ["arr"]}
+COLS = {INT: ["i", "j"], FLOAT: ["f"], STR: ["s"], BOOL: ["b"],
+        ARR: ["arr"], DATE: ["d"]}
 
 # second table for join shapes: duplicate key 1 (fan-out), unmatched 77
 ROWS_U = [
@@ -112,6 +116,9 @@ class Gen:
         if typ == STR:
             v = esc(r.choice(STR_LITS))
             return f"'{v}'", f"'{v}'", STR
+        if typ == DATE:
+            v = r.choice(["2024-02-29", "2023-12-31", "2024-06-15"])
+            return f"toDate('{v}')", f"DATE '{v}'", DATE
         if typ == BOOL:
             # CH spells booleans 0/1 as often as true/false; exercise
             # the comparison form so both engines see real booleans
@@ -197,6 +204,35 @@ class Gen:
          INT, (ARR, INT)),
         ("arraySlice({0}, 1, 2)", "list_slice({0}, 1, 2)", ARR, (ARR,)),
         ("range(3)", "range(0, 3)", ARR, ()),
+        # date/time family (CH toDayOfWeek default mode == isodow;
+        # addDays through a CAST both sides so DATE vs TIMESTAMP
+        # display cannot skew the compare)
+        ("toYear({0})", "year({0})", INT, (DATE,)),
+        ("toMonth({0})", "month({0})", INT, (DATE,)),
+        ("toDayOfMonth({0})", "day({0})", INT, (DATE,)),
+        ("toDayOfWeek({0})", "isodow({0})", INT, (DATE,)),
+        ("toQuarter({0})", "quarter({0})", INT, (DATE,)),
+        ("toStartOfMonth({0})", "CAST(date_trunc('month', {0}) AS DATE)",
+         DATE, (DATE,)),
+        ("toMonday({0})", "CAST(date_trunc('week', {0}) AS DATE)",
+         DATE, (DATE,)),
+        ("toLastDayOfMonth({0})", "last_day({0})", DATE, (DATE,)),
+        ("CAST(addDays({0}, {1}) AS DATE)",
+         "CAST(({0}) + CAST({1} AS BIGINT) * INTERVAL 1 DAY AS DATE)",
+         DATE, (DATE, INT)),
+        ("dateDiff('day', {0}, {1})", "date_diff('day', {0}, {1})",
+         INT, (DATE, DATE)),
+        ("formatDateTime({0}, '%Y-%m')", "strftime({0}, '%Y-%m')",
+         STR, (DATE,)),
+        ("toYYYYMM({0})", "CAST(strftime({0}, '%Y%m') AS BIGINT)",
+         INT, (DATE,)),
+        ("toString({0})", "CAST({0} AS VARCHAR)", STR, (DATE,)),
+        ("greatest({0}, {1})", "greatest({0}, {1})", DATE, (DATE, DATE)),
+        ("least({0}, {1})", "least({0}, {1})", DATE, (DATE, DATE)),
+        ("if({0}, {1}, {2})", "CASE WHEN {0} THEN {1} ELSE {2} END",
+         DATE, (BOOL, DATE, DATE)),
+        ("({0} < {1})", "({0} < {1})", BOOL, (DATE, DATE)),
+        ("({0} = {1})", "({0} = {1})", BOOL, (DATE, DATE)),
         # HOFs — the batch-86 class
         ("arrayMap(x -> x + {1}, {0})",
          "list_transform({0}, x -> x + {1})", ARR, (ARR, INT)),
@@ -247,6 +283,16 @@ class Gen:
         ("parseTimeDelta('5m 30s')", FLOAT, ()),
         ("editDistance({0}, 'alpha')", INT, (STR,)),
         ("ngramDistance({0}, 'alpha')", FLOAT, (STR,)),
+        # date tails without stable duck twins (mode args, relative
+        # nums, week modes) — execute-or-refuse only
+        ("monthName({0})", STR, (DATE,)),
+        ("toISOWeek({0})", INT, (DATE,)),
+        ("toRelativeDayNum({0})", INT, (DATE,)),
+        ("toStartOfQuarter({0})", DATE, (DATE,)),
+        ("toWeek({0})", INT, (DATE,)),
+        ("toYYYYMMDD({0})", INT, (DATE,)),
+        ("dateName('month', {0})", STR, (DATE,)),
+        ("toDayOfYear({0})", INT, (DATE,)),
     ]
 
     def expr(self, typ, depth):
@@ -312,7 +358,7 @@ def build_query(rng: random.Random, diff: bool):
     sel_ch, sel_duck = [], []
     having_ch = having_duck = ""
     if grouped:
-        kt = rng.choice([INT, STR, BOOL])
+        kt = rng.choice([INT, STR, BOOL, DATE])
         kch, kduck, _ = g.expr(kt, rng.randint(0, 2))
         ka = aliases.pop()
         sel_ch.append(f"{kch} AS {ka}")
@@ -345,7 +391,7 @@ def build_query(rng: random.Random, diff: bool):
             having_duck = " HAVING count(*) >= 1"
     else:
         for n in range(rng.randint(1, 4)):
-            t = rng.choice([INT, FLOAT, STR, BOOL])
+            t = rng.choice([INT, FLOAT, STR, BOOL, DATE])
             ech, educk, _ = g.expr(t, rng.randint(1, 3))
             a = aliases.pop()
             sel_ch.append(f"{ech} AS {a}")
@@ -458,7 +504,7 @@ def main():
     register_sql_aliases(spark)
     df = spark.createDataFrame(
         ROWS, "i BIGINT, j BIGINT, f DOUBLE, s STRING, b BOOLEAN,"
-              " arr ARRAY<BIGINT>")
+              " arr ARRAY<BIGINT>, d DATE")
     df.createOrReplaceTempView("t")
     spark.createDataFrame(
         ROWS_U, "i BIGINT, s2 STRING, f2 DOUBLE"
@@ -467,8 +513,8 @@ def main():
     con = duckdb.connect()
     con.execute(
         "CREATE TABLE t (i BIGINT, j BIGINT, f DOUBLE, s VARCHAR,"
-        " b BOOLEAN, arr BIGINT[])")
-    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?, ?, ?)", ROWS)
+        " b BOOLEAN, arr BIGINT[], d DATE)")
+    con.executemany("INSERT INTO t VALUES (?, ?, ?, ?, ?, ?, ?)", ROWS)
     con.execute("CREATE TABLE u (i BIGINT, s2 VARCHAR, f2 DOUBLE)")
     con.executemany("INSERT INTO u VALUES (?, ?, ?)", ROWS_U)
 
