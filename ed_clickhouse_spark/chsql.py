@@ -2978,6 +2978,33 @@ def _rewrite_scalar_misc(sql: str, specs: dict | None = None) -> str:
     (group 1 when the pattern literal has a capture group; EXTRACT(unit
     FROM ts) is left alone), ``range`` → a filtered sequence (empty-
     range safe), literal ``tupleElement(t, N)`` → ``(t).colN``."""
+    # Constant-fold literal toDate/toDateTime calls to native DATE/
+    # TIMESTAMP literals. Spark inlines SQL UDFs as projections, and a
+    # UDF call inside a GROUPING expression breaks aggregate extraction
+    # (MISSING_ATTRIBUTES on the UDF parameter — the documented
+    # grid-params pitfall; re-found by fuzz_compose on
+    # `(d < toDate('...')) AS k ... GROUP BY 1`). Literal args are the
+    # overwhelmingly common spelling; non-literal args keep the UDF.
+    for _rx, _fmt in (
+        (re.compile(r"\btoDate(?:32)?\s*\(\s*'(\d{4}-\d{2}-\d{2})'\s*\)"),
+         "DATE '{0}'"),
+        (re.compile(r"\btoDateTime\s*\(\s*'(\d{4}-\d{2}-\d{2}"
+                    r"(?:[ T]\d{2}:\d{2}:\d{2})?)'\s*\)"),
+         "TIMESTAMP '{0}'"),
+    ):
+        _pos = 0
+        while True:
+            instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+            hit = None
+            for m in _rx.finditer(sql, _pos):
+                if not instr_at.get(m.start(), False):
+                    hit = m
+                    break
+            if not hit:
+                break
+            repl = _fmt.format(hit.group(1))
+            sql = sql[: hit.start()] + repl + sql[hit.end():]
+            _pos = hit.start() + len(repl)
     # ClickHouse's bare nan/inf float literals (batch-73): Spark only
     # spells them as typed casts. Case-exact lowercase (the CH
     # spelling); -inf rides the unary minus unchanged. ALIAS positions

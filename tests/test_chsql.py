@@ -5814,3 +5814,29 @@ def test_fuzz_r11_bare_identifier_conditions(views):
     assert len(views.sql(translate(
         "SELECT f AS v FROM bi_t PREWHERE (b) WHERE (b) AND (i > 0)"
     ).sql).collect()) == 1
+
+
+def test_fuzz_r11_literal_todate_folds_for_grouping(views):
+    """fuzz_compose r11: literal toDate/toDateTime calls constant-fold
+    to native DATE/TIMESTAMP literals at translate time — Spark inlines
+    SQL UDFs as projections, and a UDF call inside a GROUPING
+    expression breaks aggregate extraction (MISSING_ATTRIBUTES on the
+    UDF parameter; the documented grid-params pitfall class)."""
+    tr = translate(
+        "SELECT toDate('2024-02-29') AS a,"
+        " toDateTime('2024-02-29 10:30:00') AS ts,"
+        " toDateTime('2024-02-29') AS t0, toDate32('2024-01-02') AS b")
+    assert "DATE '2024-02-29'" in tr.sql
+    assert "TIMESTAMP '2024-02-29 10:30:00'" in tr.sql
+    assert "TIMESTAMP '2024-02-29'" in tr.sql
+    assert "DATE '2024-01-02'" in tr.sql
+    views.sql("SELECT DATE '2024-01-01' AS d, 1 AS i"
+              ).createOrReplaceTempView("df_t")
+    r = views.sql(translate(
+        "SELECT (d < toDate('2024-02-29')) AS k,"
+        " max(least(toDate('2024-02-29'),"
+        " toMonday(toDate('2024-02-29')))) AS m"
+        " FROM df_t GROUP BY 1").sql).collect()[0]
+    assert r["k"] is True and str(r["m"]) == "2024-02-26"
+    # non-literal args keep the UDF path
+    assert "toDate(" in translate("SELECT toDate(s) FROM t").sql

@@ -217,8 +217,11 @@ class Gen:
         ("toMonday({0})", "CAST(date_trunc('week', {0}) AS DATE)",
          DATE, (DATE,)),
         ("toLastDayOfMonth({0})", "last_day({0})", DATE, (DATE,)),
-        ("CAST(addDays({0}, {1}) AS DATE)",
-         "CAST(({0}) + CAST({1} AS BIGINT) * INTERVAL 1 DAY AS DATE)",
+        # day count bounded mod 365: an unbounded composed INT overflows
+        # the date range (year 168271) in BOTH engines, differently
+        ("CAST(addDays({0}, modulo({1}, 365)) AS DATE)",
+         "CAST(({0}) + (CAST({1} AS BIGINT) % 365) * INTERVAL 1 DAY"
+         " AS DATE)",
          DATE, (DATE, INT)),
         ("dateDiff('day', {0}, {1})", "date_diff('day', {0}, {1})",
          INT, (DATE, DATE)),
@@ -324,6 +327,10 @@ AGGS = [
     ("sum({0})", "sum({0})", INT),
     ("min({0})", "min({0})", INT),
     ("max({0})", "max({0})", INT),
+    ("min({0})", "min({0})", DATE),
+    ("max({0})", "max({0})", DATE),
+    ("min({0})", "min({0})", STR),
+    ("max({0})", "max({0})", STR),
     ("count()", "count(*)", None),
     ("avg({0})", "avg({0})", FLOAT),
     ("countIf({0})", "count(*) FILTER (WHERE {0})", BOOL),
@@ -345,6 +352,16 @@ def build_query(rng: random.Random, diff: bool):
     extra = COLS_U if join in ("inner", "left", "any_left") else None
     g = Gen(rng, diff_only=diff, extra_cols=extra)
     from_ch = from_duck = "t"
+    if join == "none" and rng.random() < 0.2:
+        # derived table with its own condition — exercises the
+        # per-nesting-level clause rewrites (incl. PREWHERE inside a
+        # subquery, which ClickHouse permits)
+        sub = Gen(rng, diff_only=diff)
+        sch, sduck, _ = sub.expr(BOOL, 1)
+        kw = "PREWHERE" if rng.random() < 0.4 else "WHERE"
+        from_ch = f"(SELECT * FROM t {kw} {sch}) AS st"
+        from_duck = (f"(SELECT * FROM t WHERE {sduck}) AS st"
+                     if sduck else None)
     if join == "inner":
         from_ch = from_duck = "t JOIN u USING (i)"
     elif join == "left":
