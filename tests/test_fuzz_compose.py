@@ -72,7 +72,7 @@ def _run(spark, con, n, seed, exec_only):
             if ('resolve "length(' in msg or 'resolve "(length('
                     in msg) and "ARRAY" in msg:
                 continue  # documented deviation: bare-column length()
-            if "ARITHMETIC_OVERFLOW" in msg:
+            if "ARITHMETIC_OVERFLOW" in msg or "CAST_OVERFLOW" in msg:
                 continue  # documented: ANSI loud error over CH wrap
             fails.append(f"[{q}] {ch}\n  OPAQUE: {msg}")
             continue

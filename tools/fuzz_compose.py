@@ -567,7 +567,7 @@ def main():
                 continue
             # ANSI overflow is the engine's documented
             # loud-error-over-silent-wrap deviation (CH UInt64 wraps)
-            if "ARITHMETIC_OVERFLOW" in msg:
+            if "ARITHMETIC_OVERFLOW" in msg or "CAST_OVERFLOW" in msg:
                 n_known += 1
                 continue
             fails.append((q, ch, f"OPAQUE spark error: {msg}"))
