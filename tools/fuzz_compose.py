@@ -62,6 +62,7 @@ ALIASES = [
 STR_LITS = [
     "plain", "a,b(c)", "AS inf", "if(a,b)", "tuple(1)", "x''y",
     "-- not a comment", "1e9", "array(", " intDiv ", "",
+    "h\u00e9llo w\u00f6rld", "\u043d\u0430\u0443\u043a\u0430",
 ]
 
 
@@ -371,6 +372,7 @@ def build_query(rng: random.Random, diff: bool):
         # execute-or-refuse only, no duck twin
         from_ch, from_duck = "t ANY LEFT JOIN u USING (i)", None
     aliases = rng.sample(ALIASES, 6)
+    win_idx = -1
     grouped = rng.random() < 0.45
     sel_ch, sel_duck = [], []
     having_ch = having_duck = ""
@@ -413,6 +415,11 @@ def build_query(rng: random.Random, diff: bool):
             a = aliases.pop()
             sel_ch.append(f"{ech} AS {a}")
             sel_duck.append(f"{educk} AS {a}" if educk else None)
+        if join == "none" and from_ch == "t" and rng.random() < 0.35:
+            wch, wduck = window_item(rng, g, aliases.pop())
+            win_idx = len(sel_ch)  # window aliases can't go in WHERE
+            sel_ch.append(wch)
+            sel_duck.append(wduck)
         group_sql = ""
 
     # WHERE / PREWHERE (CH merges PREWHERE into the scan; duck twin is
@@ -437,8 +444,12 @@ def build_query(rng: random.Random, diff: bool):
         conj_duck.append(pduck)
     if not grouped and sel_ch and rng.random() < 0.4:
         # pick a non-boolean-safe alias reference: alias IS NOT NULL
-        # works for every type and forces the inliner to fire
+        # works for every type and forces the inliner to fire. Window
+        # aliases are excluded — referencing one in WHERE is invalid
+        # in ClickHouse too (windows evaluate after WHERE)
         k = rng.randrange(len(sel_ch))
+        if k == win_idx:
+            k = 0
         a_name = sel_ch[k].rsplit(" AS ", 1)[1]
         a_expr_duck = (sel_duck[k].rsplit(" AS ", 1)[0]
                        if sel_duck[k] else None)
@@ -471,6 +482,50 @@ def build_query(rng: random.Random, diff: bool):
         return ch, None
     duck = (f"SELECT {', '.join(sel_duck)} FROM {from_duck}{where_duck}"
             f"{group_sql}{having_duck}{order_duck}")
+    return ch, duck
+
+
+# window-function productions: (ch_template, duck_template, arg type
+# or None). Emitted over a deterministic spec — PARTITION BY b ORDER BY
+# i (i values are unique) — so results are stable; aggregate forms get
+# an explicit ROWS frame. lagInFrame is the CH in-frame spelling and
+# requires the explicit frame; duck's lag ignores frames entirely.
+WINFNS = [
+    ("row_number()", "row_number()", None, False),
+    ("rank()", "rank()", None, False),
+    ("dense_rank()", "dense_rank()", None, False),
+    ("count()", "count(*)", None, True),
+    ("sum({0})", "sum({0})", INT, True),
+    ("min({0})", "min({0})", INT, True),
+    ("max({0})", "max({0})", INT, True),
+    ("lag({0}, 1, 0)", "lag({0}, 1, 0)", INT, False),
+    ("leadInFrame({0}, 1, 0)", "lead({0}, 1, 0)", INT, "frame_ch_only"),
+    ("lagInFrame({0}, 1, 0)", "lag({0}, 1, 0)", INT, "frame_ch_only"),
+]
+
+
+def window_item(rng, g, alias):
+    ch_t, duck_t, at, framed = WINFNS[rng.randrange(len(WINFNS))]
+    if at is None:
+        fch, fduck = ch_t, duck_t
+    else:
+        e = g.expr(at, rng.randint(0, 1))
+        fch = ch_t.format(e[0])
+        fduck = duck_t.format(e[1]) if e[1] else None
+    part = rng.choice(["PARTITION BY b ", ""])
+    frame = " ROWS BETWEEN 1 PRECEDING AND CURRENT ROW"
+    if framed is True and rng.random() < 0.5:
+        spec_ch = spec_duck = f"{part}ORDER BY i{frame}"
+    elif framed == "frame_ch_only":
+        # CH requires the explicit frame for *InFrame; duck's
+        # lag/lead ignore frames
+        spec_ch = f"{part}ORDER BY i{frame}"
+        spec_duck = f"{part}ORDER BY i"
+    else:
+        spec_ch = spec_duck = f"{part}ORDER BY i"
+    ch = f"{fch} OVER ({spec_ch}) AS {alias}"
+    duck = (f"{fduck} OVER ({spec_duck}) AS {alias}"
+            if fduck is not None else None)
     return ch, duck
 
 
