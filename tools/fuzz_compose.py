@@ -77,8 +77,8 @@ def esc(s: str) -> str:
 # FLOAT, STR, BOOL, ARR (array<bigint>). Trees are built top-down with
 # a depth budget; leaves are columns or literals.
 
-INT, FLOAT, STR, BOOL, ARR, DATE = (
-    "INT", "FLOAT", "STR", "BOOL", "ARR", "DATE")
+INT, FLOAT, STR, BOOL, ARR, DATE, MAP = (
+    "INT", "FLOAT", "STR", "BOOL", "ARR", "DATE", "MAP")
 
 COLS = {INT: ["i", "j"], FLOAT: ["f"], STR: ["s"], BOOL: ["b"],
         ARR: ["arr"], DATE: ["d"]}
@@ -105,6 +105,8 @@ class Gen:
 
     def leaf(self, typ):
         r = self.rng
+        if typ == MAP:  # no map column (duck dict params bind STRUCT)
+            return ("map('a', 1, 'b', 2)", "MAP {'a': 1, 'b': 2}", MAP)
         if r.random() < 0.55:
             c = r.choice(self.cols[typ])
             return c, c, typ
@@ -237,6 +239,18 @@ class Gen:
          DATE, (BOOL, DATE, DATE)),
         ("({0} < {1})", "({0} < {1})", BOOL, (DATE, DATE)),
         ("({0} = {1})", "({0} = {1})", BOOL, (DATE, DATE)),
+        # map expressions (no map column: dict params insert as STRUCT
+        # in duck, so maps compose inline — which also exercises the
+        # bracket/subscript rewrites against map access)
+        ("map('a', {0}, 'b', {1})", "MAP {{'a': ({0}), 'b': ({1})}}",
+         MAP, (INT, INT)),
+        ("({0}['a'])", "element_at({0}, 'a')[1]", INT, (MAP,)),
+        ("mapValues({0})", "map_values({0})", ARR, (MAP,)),
+        ("length(mapKeys({0}))", "len(map_keys({0}))", INT, (MAP,)),
+        ("arraySum(mapValues({0}))",
+         "coalesce(list_sum(map_values({0})), 0)", INT, (MAP,)),
+        ("mapContains({0}, 'a')", "contains(map_keys({0}), 'a')",
+         BOOL, (MAP,)),
         # HOFs — the batch-86 class
         ("arrayMap(x -> x + {1}, {0})",
          "list_transform({0}, x -> x + {1})", ARR, (ARR, INT)),
