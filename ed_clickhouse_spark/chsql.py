@@ -2650,6 +2650,37 @@ _ARRAY_SPLICE["toDayOfWeek"] = {
        " WHEN 2 THEN dayofweek({0})"
        " WHEN 3 THEN dayofweek({0}) - 1 END)",
 }
+# 1-arg date-part/rollup spellings splice to their builtin bodies so
+# NO SQL-UDF remains in grouping position: Spark inlines SQL UDFs as
+# projections, and a UDF call inside a GROUPING expression breaks
+# aggregate extraction whenever aggregates in the same query also
+# carry UDF calls (MISSING_ATTRIBUTES — fuzz_compose r11; GROUP BY
+# toMonday(d) is the bread-and-butter CH rollup shape). Bodies are
+# copied verbatim from the functions/clickhouse.py aliases, which stay
+# registered for direct spark.sql users. A 2-arg timezone call now
+# refuses loudly at translate time instead of dying unresolved.
+_ARRAY_SPLICE["toDayOfWeek"][1] = "(weekday({0}) + 1)"
+for _dn, _dtpl in (
+    ("toYear", "year({0})"),
+    ("toMonth", "month({0})"),
+    ("toHour", "hour({0})"),
+    ("toMinute", "minute({0})"),
+    ("toSecond", "second({0})"),
+    ("toDayOfMonth", "day({0})"),
+    ("toDayOfYear", "dayofyear({0})"),
+    ("toQuarter", "quarter({0})"),
+    ("toISOWeek", "weekofyear({0})"),
+    ("toYYYYMM", "CAST(date_format({0}, 'yyyyMM') AS INT)"),
+    ("toYYYYMMDD", "CAST(date_format({0}, 'yyyyMMdd') AS INT)"),
+    ("toStartOfMonth", "CAST(date_trunc('MONTH', ({0})) AS DATE)"),
+    ("toStartOfQuarter", "CAST(date_trunc('QUARTER', ({0})) AS DATE)"),
+    ("toStartOfYear", "CAST(date_trunc('YEAR', ({0})) AS DATE)"),
+    ("toMonday", "CAST(date_trunc('WEEK', ({0})) AS DATE)"),
+    # {0} referenced twice — date exprs are cheap and columns dominate
+    ("toStartOfWeek", "date_sub(CAST(({0}) AS DATE), dayofweek({0}) - 1)"),
+    ("toDate", "CAST(({0}) AS DATE)"),
+):
+    _ARRAY_SPLICE.setdefault(_dn, {})[1] = _dtpl
 # element access that tolerates any index (ClickHouse's OrNull form;
 # Spark's try_element_at still rejects index 0)
 _ARRAY_SPLICE["arrayElementOrNull"] = {

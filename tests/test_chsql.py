@@ -5838,5 +5838,29 @@ def test_fuzz_r11_literal_todate_folds_for_grouping(views):
         " toMonday(toDate('2024-02-29')))) AS m"
         " FROM df_t GROUP BY 1").sql).collect()[0]
     assert r["k"] is True and str(r["m"]) == "2024-02-26"
-    # non-literal args keep the UDF path
-    assert "toDate(" in translate("SELECT toDate(s) FROM t").sql
+    # non-literal args splice to the CAST body (no UDF anywhere)
+    assert "CAST((s) AS DATE)" in translate("SELECT toDate(s) FROM t").sql
+
+
+def test_fuzz_r11_date_rollup_group_by_splices(views):
+    """fuzz_compose r11: GROUP BY toMonday(d) (the standard CH rollup
+    shape) with UDF-bearing aggregates used to die with
+    MISSING_ATTRIBUTES — Spark can't extract aggregates past a SQL-UDF
+    call in the grouping expression. The 1-arg date-part family now
+    splices to builtin bodies, so no UDF remains in any position;
+    2-arg mode forms still work (toDayOfWeek mode table)."""
+    views.sql("SELECT DATE '2024-02-29' AS d, 1 AS i"
+              ).createOrReplaceTempView("dr_t")
+    r = views.sql(translate(
+        "SELECT toMonday(d) AS wk, max(toStartOfMonth(toMonday(d))) AS m,"
+        " count() AS n FROM dr_t GROUP BY 1").sql).collect()[0]
+    assert str(r["wk"]) == "2024-02-26" and str(r["m"]) == "2024-02-01"
+    r = views.sql(translate(
+        "SELECT toYear(d) AS y, toYYYYMM(d) AS ym, toDayOfWeek(d) AS dw,"
+        " toDayOfWeek(d, 1) AS dw1, toStartOfWeek(d) AS sw FROM dr_t"
+    ).sql).collect()[0]
+    assert (r["y"], r["ym"], r["dw"], r["dw1"]) == (2024, 202402, 4, 3)
+    assert str(r["sw"]) == "2024-02-25"  # mode-0 week starts Sunday
+    # no ch-alias UDF call survives in the translated rollup
+    sql = translate("SELECT toMonday(d) AS wk FROM dr_t GROUP BY wk").sql
+    assert "toMonday" not in sql
