@@ -31,15 +31,27 @@ _AB = [
 def exact_dedup(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
     """Exact dedup: canonical row per distinct text = the min id.
     groupBy on a fingerprint hash (not the full text) so the shuffle key
-    is 16 bytes, not the document body."""
+    is 16 bytes, not the document body.
+
+    One hash aggregate: ``min_by(struct(<row>), id)`` picks the min-id
+    row and ``count(*)`` the duplicate count, with map-side partial
+    aggregation — the exchange carries at most one candidate row per
+    fingerprint per map task. The previous two-window form (row_number +
+    count over __fp) shuffled EVERY row and sorted each fingerprint
+    group (guide §2.3 "aggregate before you shuffle"). Identical output:
+    ids are unique, so min_by's winner is the row_number-1 row."""
     fp = fingerprint(text_col)
-    w = W.partitionBy("__fp").orderBy(id_col)
+    cols = df.columns
     return (
         df.withColumn("__fp", fp)
-        .withColumn("__rn", F.row_number().over(w))
-        .withColumn("dup_count", F.count("*").over(W.partitionBy("__fp")))
-        .filter(F.col("__rn") == 1)
-        .drop("__rn", "__fp")
+        .groupBy("__fp")
+        .agg(
+            F.min_by(F.struct(*[F.col(c) for c in cols]), F.col(id_col)).alias(
+                "__row"
+            ),
+            F.count("*").alias("dup_count"),
+        )
+        .select(*[F.col(f"__row.{c}").alias(c) for c in cols], "dup_count")
     )
 
 

@@ -724,14 +724,32 @@ def lttb_downsample(
         .when(F.col("__ny").isNull(), x.cast("double"))
         .otherwise(area)
     )
-    wsel = (
-        W.partitionBy(*group_cols, "__b").orderBy(F.desc("__score"), F.asc(ts_col))
-    )
-    return (
+    # Per-bucket pick as ONE hash aggregate (max_by over the total order
+    # (score DESC, ts ASC) — encoded as max of (score, -x); x is unique
+    # within a series because the input is pre-reduced to one row per
+    # (group, ts), so the winner is the same row row_number picked).
+    # The previous row_number window shuffled EVERY point and sorted it
+    # per (group, bucket); max_by partial-aggregates map-side, so the
+    # exchange carries at most one candidate row per (group, bucket) per
+    # map task — n_buckets-scale, not point-scale. (guide §2.3
+    # "aggregate before you shuffle", §2.4 "remove shuffles outright")
+    picked = (
         j.withColumn("__score", score)
-        .withColumn("__rn", F.row_number().over(wsel))
-        .filter(F.col("__rn") == 1)
-        .select(*group_cols, F.col("__b").alias("bucket"), ts_col, y_col)
+        .groupBy(*group_cols, "__b")
+        .agg(
+            F.max_by(
+                F.struct(F.col(ts_col).alias("t"), F.col(y_col).alias("y")),
+                F.struct(
+                    F.col("__score").alias("s"), (-x).alias("nx")
+                ),
+            ).alias("__pick")
+        )
+    )
+    return picked.select(
+        *group_cols,
+        F.col("__b").alias("bucket"),
+        F.col("__pick.t").alias(ts_col),
+        F.col("__pick.y").alias(y_col),
     )
 
 
