@@ -129,11 +129,15 @@ def test_search_and_sampling_plan_shapes(spark):
     scalar), and nothing degenerates to a cartesian product."""
     sf = "/root/testdata/sf0.001"
     p = _plan(QUERIES["q98_bm25_search"](spark, sf))
-    assert "BroadcastHashJoin" in p
+    # r11 pivoted BM25: corpus stats (N, avgdl, per-term df) ride ONE
+    # 1-row broadcast; scoring is a pure projection + TakeOrdered — no
+    # posting-list joins, no explode, no per-doc shuffle at all.
+    assert "Generate" not in p  # no token explode on the small-terms path
     # the only nested-loop join allowed is the single-row stats broadcast
     # (formatted explain prints each node twice: tree line + detail block)
     assert "CartesianProduct" not in p
     assert p.count("BroadcastNestedLoopJoin") <= 2
+    assert "TakeOrderedAndProject" in p
     p = _plan(QUERIES["q100_weighted_sample"](spark, sf))
     assert "CartesianProduct" not in p
     assert "BatchEvalPython" not in p
