@@ -141,14 +141,25 @@ def unigram_logprob(
     100 TB the vocabulary side is millions of rows, never broadcast-
     assumed; Catalyst/AQE picks the join strategy.
     """
-    # (id, word, in-doc count) — counted per doc before any join
+    from pyspark import StorageLevel
+
+    # (id, word, in-doc count) — counted per doc before any join.
+    # Persisted: the frame feeds BOTH the vocabulary aggregate and the
+    # scoring join; without the pin each consumer re-runs the full
+    # tokenize + explode + (id, w) exchange (r11 measured the query at
+    # 4 corpus scans / 2 explodes). Same persist contract as
+    # operators/dedup.py; bench.py clearCache()s between queries.
     doc_words = (
         df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("w"))
         .groupBy("id", "w")
         .agg(F.count("*").alias("tf"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     vocab = doc_words.groupBy("w").agg(F.sum("tf").alias("cf"))
-    total = vocab.agg(F.sum("cf").alias("__total"))
+    # total tokens straight off doc_words — sum(tf) == sum(vocab.cf)
+    # exactly (integer sums), without re-deriving the vocabulary
+    # aggregate (one (w)-keyed exchange fewer)
+    total = doc_words.agg(F.sum("tf").alias("__total"))
     scored = (
         doc_words.join(vocab, "w")
         # bounded: total is a 1-row aggregate
