@@ -70,15 +70,18 @@ def brute_force_topk(
     at 4M pairs (80 s -> <1 s at sf0.1)."""
     import numpy as np
 
-    n_q = queries.count()
-    if n_q > max_queries:
+    # ONE guarded job instead of count-then-collect: limit(max+1) keeps
+    # the driver transfer bounded (executeTake stops at max_queries + 1
+    # rows), and a full result proves the query side exceeded the cap —
+    # same fail-fast, one Spark job fewer per invocation.
+    q_rows = queries.select(q_id, q_vec).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
         raise ValueError(
             f"brute_force_topk collects the query side to the driver: got "
-            f"{n_q} query rows > max_queries={max_queries}. Use "
+            f"> max_queries={max_queries} query rows. Use "
             f"lsh_bucket_topk for large query sets, or raise max_queries "
-            f"if the driver can hold {n_q} vectors."
+            f"if the driver can hold them."
         )
-    q_rows = queries.select(q_id, q_vec).collect()
     # id dtypes come from the frames' schemas — int64 and string ids
     # both work (numpy object arrays broadcast fine in the mask below)
     q_id_type = dict(queries.dtypes)[q_id]
