@@ -413,19 +413,18 @@ def dedup_clusters(
     # part — without this pin it executes once per union branch
     # (measured ~1.4s of the 4.2s end-to-end at sf0.1)
     pairs = pairs.persist()
-    sym = (
-        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
-        .persist()
-    )
     # Size the iteration's shuffles to the GRAPH, not the corpus: the
     # edge list is orders of magnitude smaller than the documents that
     # produced it (only near-dup members appear), so inheriting the
     # session's corpus-scale shuffle width makes every round pay task
-    # overhead for mostly-empty partitions. One edge count (it also
+    # overhead for mostly-empty partitions. One pair count (it also
     # materializes the persist) picks ~1 partition per 100k edges —
     # at 100 TB a billion-edge graph still gets thousands of partitions.
-    n_edges = sym.count()
+    # Counting PAIRS (n_edges = exactly 2x) keeps the symmetrized union
+    # out of the fast path entirely: it is built and persisted only when
+    # the distributed iteration actually needs it (r11 — previously the
+    # union materialized just to be counted).
+    n_edges = 2 * pairs.count()
     # Adaptive small-graph fast path: the iterative rounds each cost a
     # full Spark job, which dominates when the pair graph is tiny (the
     # common case — near-dup pairs are a sliver of the corpus). The
@@ -464,8 +463,12 @@ def dedup_clusters(
                 out, "id long, cluster_id long"
             )
         finally:
-            sym.unpersist()
             pairs.unpersist()
+    sym = (
+        pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+        .union(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
+        .persist()
+    )
     iter_parts = str(
         max(
             2,
