@@ -493,14 +493,15 @@ def exact_cosine_pairs(
     import pandas as pd
 
     spark = df.sparkSession
-    n = df.count()
-    if n > max_vectors:
+    # one guarded job (see brute_force_topk): executeTake stops at the
+    # cap, and an over-full result IS the fail-fast signal
+    rows = df.select(id_col, vec_col).limit(max_vectors + 1).collect()
+    if len(rows) > max_vectors:
         raise ValueError(
-            f"exact_cosine_pairs broadcasts the whole corpus: got {n} "
-            f"vectors > max_vectors={max_vectors}. Use "
+            f"exact_cosine_pairs broadcasts the whole corpus: got "
+            f"> max_vectors={max_vectors} vectors. Use "
             f"embedding_near_dup_pairs to generate candidates at scale."
         )
-    rows = df.select(id_col, vec_col).collect()
     id_type = dict(df.dtypes)[id_col]
     ids = np.asarray([r[id_col] for r in rows])
     mat = np.array([r[vec_col] for r in rows], dtype=np.float64)
@@ -554,13 +555,14 @@ def flag_near_benchmark(
     import numpy as np
     import pandas as pd
 
-    n_b = bench.count()
-    if n_b > max_bench:
+    # one guarded job: TakeOrdered collects at most max_bench + 1 sorted
+    # rows; an over-full result IS the fail-fast signal
+    rows = bench.select(id_col, vec_col).orderBy(id_col).limit(max_bench + 1).collect()
+    if len(rows) > max_bench:
         raise ValueError(
-            f"flag_near_benchmark broadcasts the benchmark side: got {n_b} "
-            f"rows > max_bench={max_bench}."
+            f"flag_near_benchmark broadcasts the benchmark side: got "
+            f"> max_bench={max_bench} rows."
         )
-    rows = bench.select(id_col, vec_col).orderBy(id_col).collect()
     bench_id_type = dict(bench.dtypes)[id_col]
     corpus_id_type = dict(corpus.dtypes)[id_col]
     b_ids = np.asarray([r[id_col] for r in rows])

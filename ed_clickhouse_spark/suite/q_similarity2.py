@@ -214,9 +214,20 @@ def _recall_audit(approx, exact, k, floor, n_expected):
     tools' measure script (or these audits) on the new corpora, paste
     the new fingerprints + recall_bp constants into the three oracles,
     and re-check the floor still has margin."""
-    hits = approx.join(exact, ["q_id", "c_id"]).count()
-    total = exact.count()
-    nq = exact.select("q_id").distinct().count()
+    # ONE action: the previous three counts (join, total, distinct-q)
+    # re-ran the expensive exact brute-force lineage once each; a left
+    # join with a hit marker folds all three into a single aggregate job
+    marked = exact.join(
+        approx.select("q_id", "c_id").withColumn("__hit", F.lit(1)),
+        ["q_id", "c_id"],
+        "left",
+    )
+    row = marked.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.count("__hit").alias("hits"),
+        F.countDistinct("q_id").alias("nq"),
+    ).collect()[0]
+    hits, total, nq = row["hits"], row["total"], row["nq"]
     bp = int(round(hits * 10000 / total)) if total else 0
     spark = approx.sparkSession
     return spark.createDataFrame(
