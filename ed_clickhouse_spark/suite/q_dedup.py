@@ -467,8 +467,19 @@ def q245_minhash_recall_audit(spark, sf_dir):
         "id_a", "id_b"
     )
     cand = minhash_lsh_pairs(d).select("id_a", "id_b")
-    n_true = tru.count()
-    hits = tru.join(cand, ["id_a", "id_b"]).count()
+    # one action (r11): a hit-marked left join replaces the two counts
+    # that each re-ran the exact-jaccard lineage
+    row = (
+        tru.join(
+            cand.withColumn("__hit", F.lit(1)), ["id_a", "id_b"], "left"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_true"),
+            F.count("__hit").alias("hits"),
+        )
+        .collect()[0]
+    )
+    n_true, hits = row["n_true"], row["hits"]
     ok = bool(n_true == 0 or hits / n_true >= 0.8)
     return spark.createDataFrame(
         [(n_true, ok)], "n_true_pairs long, recall_ok boolean"
@@ -507,10 +518,14 @@ def q246_simhash_dup_audit(spark, sf_dir):
         F.count("*").alias("n"),
         F.countDistinct("simhash").alias("n_fp"),
     ).filter(F.col("n") > 1)
-    n_pairs = g.select(
-        F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("p")
-    ).collect()[0]["p"] or 0
-    bad = g.filter(F.col("n_fp") > 1).count()
+    # one action (r11): the pair-count aggregate and the disagreement
+    # count ran the duplicate-group lineage twice; fold both into one
+    row = g.agg(
+        F.sum(F.col("n") * (F.col("n") - 1) / 2).cast("long").alias("p"),
+        F.sum((F.col("n_fp") > 1).cast("int")).alias("bad"),
+    ).collect()[0]
+    n_pairs = row["p"] or 0
+    bad = row["bad"] or 0
     return spark.createDataFrame(
         [(int(n_pairs), bool(bad == 0))],
         "n_dup_pairs long, all_equal_ok boolean",

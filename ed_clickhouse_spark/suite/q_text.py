@@ -528,7 +528,9 @@ def q244_heavy_hitters_audit(spark, sf_dir):
 
     d = t(spark, sf_dir, "documents")
     tok = d.select(F.explode(tokens("text")).alias("token"))
-    n_total = tok.count()
+    # lazy 1-row total instead of an eager count() job (r11): the count
+    # re-ran the whole tokenize+explode as a separate action
+    totals = tok.agg(F.count(F.lit(1)).alias("__n_total"))
     eps = math.e / 2048.0
     sketch = cm_build(tok, "token")
     top = (
@@ -537,7 +539,11 @@ def q244_heavy_hitters_audit(spark, sf_dir):
         .orderBy(F.col("true_count").desc(), "token")
         .limit(20)
     )
-    est = cm_query(sketch, top, "token").join(top, "token")
+    est = (
+        cm_query(sketch, top, "token")
+        .join(top, "token")
+        .crossJoin(F.broadcast(totals))
+    )
     return est.select(
         "token",
         "true_count",
@@ -545,7 +551,8 @@ def q244_heavy_hitters_audit(spark, sf_dir):
             (F.col("est_count") >= F.col("true_count"))
             & (
                 F.col("est_count")
-                <= F.col("true_count") + F.lit(3.0 * eps * n_total)
+                <= F.col("true_count")
+                + F.lit(3.0 * eps) * F.col("__n_total")
             )
         ).alias("cm_bounds_ok"),
     )

@@ -696,13 +696,17 @@ def q188_funnel_report(spark, sf_dir):
     )
     wprev = W.orderBy("step")  # bounded window: one row per funnel step
     prev = F.lag("n_reached").over(wprev)
-    total = d.count()
-    return reached.select(
+    # lazy 1-row total (= sum over the depth distribution) instead of an
+    # eager d.count() job that re-ran the whole funnel shuffle; both
+    # branches share dist's aggregate subtree, so ReuseExchange computes
+    # the funnel once inside the single job (r11)
+    tot = dist.agg(F.sum("c").alias("__total"))
+    return reached.crossJoin(F.broadcast(tot)).select(
         "step",
         F.col("n_reached").cast("bigint").alias("n_reached"),
         F.round(
             F.col("n_reached") * 1.0
-            / F.nullif(F.coalesce(prev, F.lit(total)), F.lit(0)),
+            / F.nullif(F.coalesce(prev, F.col("__total")), F.lit(0)),
             6,
         ).alias("conv_from_prev"),
     )
