@@ -202,7 +202,9 @@ dedups the LEFT side in ClickHouse; spell it as a reversed LEFT ANY).
 from __future__ import annotations
 
 import re
+from bisect import bisect_right as _bisect_right
 from dataclasses import dataclass
+from functools import lru_cache as _lru_cache
 
 _CLAUSE_STOP = (
     r"WHERE|PREWHERE|GROUP|HAVING|ORDER|LIMIT|SETTINGS|FORMAT|UNION|"
@@ -237,15 +239,74 @@ def _scan_level(s: str):
         yield i, ch, depth, False
 
 
+@_lru_cache(maxsize=8192)
+def _rxc(pattern: str, flags: int = 0) -> re.Pattern:
+    """Memoized re.compile. translate() builds thousands of DYNAMIC
+    patterns (f-string spellings per pass); Python's global re cache
+    holds 512 entries and thrashes, so ~80% of a translate() call was
+    regex re-compilation (r11 profile). A module-local LRU keyed on
+    (pattern, flags) makes every repeat pattern a dict hit."""
+    return re.compile(pattern, flags)
+
+
+@_lru_cache(maxsize=512)
+def _scan_index(s: str):
+    """Position index for O(log n) probes instead of per-char dicts:
+    (string-literal span starts, span ends, paren positions, depth
+    after that paren). Depth/in-string semantics match _scan_level
+    exactly: a '(' carries the incremented depth, a ')' the
+    decremented one, and both quote chars of a literal count as
+    in-string."""
+    starts: list[int] = []
+    ends: list[int] = []
+    dpos: list[int] = [-1]
+    dval: list[int] = [0]
+    depth = 0
+    quote = None
+    sstart = 0
+    for i, ch in enumerate(s):
+        if quote:
+            if ch == quote and (i == 0 or s[i - 1] != "\\"):
+                quote = None
+                starts.append(sstart)
+                ends.append(i + 1)
+            continue
+        if ch in "'\"`":
+            quote = ch
+            sstart = i
+            continue
+        if ch == "(":
+            depth += 1
+            dpos.append(i)
+            dval.append(depth)
+        elif ch == ")":
+            depth -= 1
+            dpos.append(i)
+            dval.append(depth)
+    if quote is not None:
+        starts.append(sstart)
+        ends.append(len(s))
+    return tuple(starts), tuple(ends), tuple(dpos), tuple(dval)
+
+
+def _idx_in_string(idx, p: int) -> bool:
+    starts, ends = idx[0], idx[1]
+    j = _bisect_right(starts, p) - 1
+    return j >= 0 and p < ends[j]
+
+
+def _idx_depth(idx, p: int) -> int:
+    dpos, dval = idx[2], idx[3]
+    return dval[_bisect_right(dpos, p) - 1]
+
+
 def _find_top(s: str, pattern: str) -> re.Match | None:
     """First regex match at paren depth 0, outside string literals."""
-    rx = re.compile(pattern, re.I)
-    level = {}
-    for i, _, depth, instr in _scan_level(s):
-        level[i] = (depth, instr)
+    rx = _rxc(pattern, re.I)
+    idx = _scan_index(s)
     for m in rx.finditer(s):
-        d, instr = level.get(m.start(), (0, False))
-        if d == 0 and not instr:
+        p = m.start()
+        if _idx_depth(idx, p) == 0 and not _idx_in_string(idx, p):
             return m
     return None
 
@@ -369,13 +430,21 @@ def _inline_ch_macros(expr: str) -> str:
     macro body before the rewrite."""
     from ed_clickhouse_spark.functions.clickhouse import _SQL_SCALAR_ALIASES
 
+    # ONE alternation scan over every registered macro name per pass
+    # instead of one string scan per name (r11: ~300 scans -> 1); the
+    # group tells us which macro matched, case-folded back to its key.
+    lower_map = {n.lower(): n for n in _SQL_SCALAR_ALIASES}
+    alt = r"\b(" + "|".join(map(re.escape, _SQL_SCALAR_ALIASES)) + r")\s*\("
     changed = True
     while changed:
         changed = False
-        for name, (sig, body) in _SQL_SCALAR_ALIASES.items():
-            m = _find_top_anywhere(expr, rf"\b{name}\s*\(")
+        pos = 0
+        while True:
+            m = _find_top_anywhere(expr, alt, pos)
             if not m:
-                continue
+                break
+            name = lower_map.get(m.group(1).lower())
+            sig, body = _SQL_SCALAR_ALIASES[name]
             # find the matching close paren
             depth, j = 0, m.end() - 1
             for j in range(m.end() - 1, len(expr)):
@@ -391,11 +460,17 @@ def _inline_ch_macros(expr: str) -> str:
                 for p in _split_top_commas(sig[sig.index("(") + 1: sig.index(") RETURNS")])
             ]
             if len(args) != len(params):
+                # arity mismatch: leave the call for the registered SQL
+                # UDF alias to resolve; keep scanning past it
+                pos = m.end()
                 continue
             new = body
             for p, a in sorted(zip(params, args), key=lambda t: -len(t[0])):
-                new = re.sub(rf"\b{p}\b", a.replace("\\", "\\\\"), new)
+                new = _rxc(rf"\b{p}\b").sub(a.replace("\\", "\\\\"), new)
             expr = expr[: m.start()] + "(" + new + ")" + expr[j + 1:]
+            # rescan from the splice: the expanded body may itself
+            # contain macro calls
+            pos = m.start()
             changed = True
     return expr
 
@@ -406,10 +481,10 @@ def _sub_outside_strings(sql: str, rx: re.Pattern, repl: str) -> str:
     text the pattern would match cannot loop."""
     pos = 0
     while True:
-        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        idx = _scan_index(sql)
         hit = None
         for m in rx.finditer(sql, pos):
-            if not instr_at.get(m.start(), False):
+            if not _idx_in_string(idx, m.start()):
                 hit = m
                 break
         if not hit:
@@ -441,10 +516,10 @@ def _find_top_anywhere(
 ) -> re.Match | None:
     """Like _find_top but matches at any paren depth (still not inside
     string literals)."""
-    rx = re.compile(pattern, re.I)
-    instr_at = {i: instr for i, _, _, instr in _scan_level(s)}
+    rx = _rxc(pattern, re.I)
+    idx = _scan_index(s)
     for m in rx.finditer(s, pos):
-        if not instr_at.get(m.start(), False):
+        if not _idx_in_string(idx, m.start()):
             return m
     return None
 
@@ -3389,14 +3464,15 @@ def _rewrite_scalar_misc(sql: str, specs: dict | None = None) -> str:
             sql = sql[: m.start()] + tmpl.format(x=args[0]) + sql[close1 + 1:]
             pos = m.start()
     for name, target in _SCALAR_RENAMES.items():
+        if name not in sql:  # cheap substring pre-filter (case-exact)
+            continue
         pos = 0
-        rx = re.compile(rf"\b{name}\s*\(")
+        rx = _rxc(rf"\b{name}\s*\(")
         while True:
             m = rx.search(sql, pos)
             if not m:
                 break
-            instr_at = {i: q for i, _, _, q in _scan_level(sql)}
-            if instr_at.get(m.start(), False):
+            if _idx_in_string(_scan_index(sql), m.start()):
                 pos = m.end()
                 continue
             sql = sql[: m.start()] + target + "(" + sql[m.end():]
@@ -3879,14 +3955,15 @@ def _rewrite_scalar_misc(sql: str, specs: dict | None = None) -> str:
         expr = f"((({' + '.join(crossings)}) % 2) = 1)"
         sql = sql[: m.start()] + expr + sql[close1 + 1:]
     for fname, forms in _ARRAY_SPLICE.items():
+        if fname not in sql:  # cheap substring pre-filter (case-exact)
+            continue
         pos = 0
-        rx = re.compile(rf"\b{fname}\s*\(")
+        rx = _rxc(rf"\b{fname}\s*\(")
         while True:
             m = rx.search(sql, pos)
             if not m:
                 break
-            instr_at = {i: q for i, _, _, q in _scan_level(sql)}
-            if instr_at.get(m.start(), False):
+            if _idx_in_string(_scan_index(sql), m.start()):
                 pos = m.end()
                 continue
             open1 = sql.index("(", m.end() - 1)
@@ -4838,10 +4915,10 @@ def _find_case_exact(
     """First CASE-SENSITIVE match outside string literals (any depth)
     at or after ``pos``. _find_top_anywhere compiles with re.I;
     ClickHouse names are exact."""
-    rx = re.compile(pattern)
-    instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+    rx = _rxc(pattern, 0)
+    idx = _scan_index(sql)
     for m in rx.finditer(sql, pos):
-        if not instr_at.get(m.start(), False):
+        if not _idx_in_string(idx, m.start()):
             return m
     return None
 
@@ -7557,13 +7634,15 @@ def _rewrite_agg_spellings(sql: str) -> str:
                 + sql[close1 + 1:]
             )
     for name, base in _AGG_IF_ALL.items():
+        if name not in sql:  # cheap substring pre-filter (case-exact)
+            continue
         while True:
             # case-sensitive (CH names are exact)
-            rx = re.compile(rf"\b{name}If\s*\(")
+            rx = _rxc(rf"\b{name}If\s*\(")
             hit = None
+            idx = _scan_index(sql)
             for mm in rx.finditer(sql):
-                lvl = {i: q for i, _, _, q in _scan_level(sql)}
-                if not lvl.get(mm.start(), False):
+                if not _idx_in_string(idx, mm.start()):
                     hit = mm
                     break
             if not hit:
@@ -7754,6 +7833,8 @@ def _rewrite_agg_spellings(sql: str) -> str:
         ("uniqExactOrDefault", "coalesce(count(DISTINCT {x}), 0)"),
         ("uniqOrDefault", "coalesce(approx_count_distinct({x}), 0)"),
     ):
+        if name not in sql:  # cheap substring pre-filter (case-exact)
+            continue
         while True:
             m = _find_case_exact(sql, rf"\b{name}\s*\(")
             if not m:
@@ -7787,6 +7868,8 @@ def _rewrite_agg_spellings(sql: str) -> str:
         ("anyLast", "last"), ("anyHeavy", "mode"),
         ("any", "any_value"),
     ):
+        if ch_name not in sql:  # cheap substring pre-filter (case-exact)
+            continue
         while True:
             m = _find_case_exact(sql, rf"\b{ch_name}\s*\(")
             if not m:
@@ -7799,14 +7882,15 @@ def _rewrite_agg_spellings(sql: str) -> str:
                 + sql[close1 + 1:]
             )
     for name, target in _AGG_NAME_MAP.items():
+        if name not in sql:  # cheap substring pre-filter (case-exact)
+            continue
         while True:
             # case-sensitive: compile without re.I (CH names are exact)
-            rx = re.compile(rf"\b{name}(\s*\()")
+            rx = _rxc(rf"\b{name}(\s*\()")
             hit = None
+            idx = _scan_index(sql)
             for mm in rx.finditer(sql):
-                lvl = dict((i, (d, q)) for i, _, d, q in _scan_level(sql))
-                d, q = lvl.get(mm.start(), (0, False))
-                if not q:
+                if not _idx_in_string(idx, mm.start()):
                     hit = mm
                     break
             if not hit:
