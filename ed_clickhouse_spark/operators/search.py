@@ -160,6 +160,7 @@ def _bm25_topk_pivoted(
             for i in range(len(terms))
         ],
     )
+    # bounded: stats is a 1-row aggregate (N, avgdl, |terms| dfs)
     scored = per_doc.crossJoin(F.broadcast(stats))
     denom_norm = F.lit(k1) * (1 - b + b * F.col("dl") / F.col("avgdl"))
     contribs = []

@@ -542,6 +542,7 @@ def q244_heavy_hitters_audit(spark, sf_dir):
     est = (
         cm_query(sketch, top, "token")
         .join(top, "token")
+        # bounded: totals is a 1-row aggregate (corpus token count)
         .crossJoin(F.broadcast(totals))
     )
     return est.select(

@@ -701,6 +701,7 @@ def q188_funnel_report(spark, sf_dir):
     # branches share dist's aggregate subtree, so ReuseExchange computes
     # the funnel once inside the single job (r11)
     tot = dist.agg(F.sum("c").alias("__total"))
+    # bounded: tot is a 1-row aggregate (total funnel users)
     return reached.crossJoin(F.broadcast(tot)).select(
         "step",
         F.col("n_reached").cast("bigint").alias("n_reached"),
