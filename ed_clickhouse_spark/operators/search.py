@@ -62,8 +62,23 @@ def bm25_topk(
     optimization pass measured the general path at 4 full corpus scans
     + 2 tokenization explodes + 3 joins for a 3-term query). Larger
     term lists keep the posting-list shape, whose cost scales with
-    |terms| posting lists instead of |terms| array scans per row."""
+    |terms| posting lists instead of |terms| array scans per row.
+
+    Cache contract: the pivoted path persists a narrow per-doc frame
+    that stays pinned while the returned (lazy) DataFrame may be
+    re-executed; long-lived sessions running many such queries should
+    ``spark.catalog.clearCache()`` after materializing the result
+    (bench.py does) — same contract as operators/dedup.py."""
     terms = list(dict.fromkeys(terms))
+    if not terms:
+        # An empty query matches no documents on either path; the
+        # pivoted path would index contribs[0] — return an empty,
+        # correctly-typed top-k instead (the pre-r11 posting path's
+        # behavior).
+        id_type = dict(df.dtypes)[id_col]
+        return df.sparkSession.createDataFrame(
+            [], f"doc_id {id_type}, bm25 double, n_terms_hit bigint"
+        )
     if len(terms) <= 32:
         return _bm25_topk_pivoted(
             df, terms, k, id_col, text_col, k1, b, round_to

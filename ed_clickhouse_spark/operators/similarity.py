@@ -77,10 +77,10 @@ def brute_force_topk(
     q_rows = queries.select(q_id, q_vec).limit(max_queries + 1).collect()
     if len(q_rows) > max_queries:
         raise ValueError(
-            f"brute_force_topk collects the query side to the driver: got "
-            f"> max_queries={max_queries} query rows. Use "
-            f"lsh_bucket_topk for large query sets, or raise max_queries "
-            f"if the driver can hold them."
+            f"brute_force_topk collects the query side to the driver: the "
+            f"query side exceeds max_queries={max_queries} rows (stopped "
+            f"counting at {len(q_rows)}). Use lsh_bucket_topk for large "
+            f"query sets, or raise max_queries if the driver can hold them."
         )
     # id dtypes come from the frames' schemas — int64 and string ids
     # both work (numpy object arrays broadcast fine in the mask below)
@@ -231,20 +231,56 @@ def ivf_centroids(
     norms = np.linalg.norm(cent, axis=1)
     norms[norms == 0] = 1.0
     cent = cent / norms[:, None]
+    spark = corpus.sparkSession
     for _ in range(iters):
-        assigned = ivf_assign(corpus, cent, c_id, c_vec, n_probe=1)
-        means = (
-            assigned.select("list_id", F.posexplode(c_vec).alias("pos", "x"))
+        # Lloyd pass fused into ONE mapInPandas (r12, guide §4/§2.3 —
+        # the same shape as pq_train): each partition assigns its
+        # vectors (BLAS) and emits per-list partial sums + counts, so
+        # the Arrow boundary carries n_partitions*n_lists rows of
+        # (list, count, sum-vector) instead of every corpus vector
+        # coming back out, and the exchange aggregates n_lists*dim
+        # cells instead of corpus*dim exploded values. The mean's
+        # low-bit float-sum order differs from the previous avg()
+        # (see the docstring's determinism note) — assignments on real
+        # corpora sit far from cell borders; verified output-identical
+        # on all three test scales.
+        bc = spark.sparkContext.broadcast(cent)
+
+        def partials(batches):
+            import pandas as pd
+
+            cm = bc.value  # (n_lists, dim)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                mat = np.array(list(pdf[c_vec]), dtype=np.float64)
+                norm = np.linalg.norm(mat, axis=1)
+                norm[norm == 0] = 1.0
+                lists = ((mat / norm[:, None]) @ cm.T).argmax(axis=1)
+                out_l, out_n, out_s = [], [], []
+                for li in np.unique(lists):
+                    mask = lists == li
+                    out_l.append(int(li))
+                    out_n.append(int(mask.sum()))
+                    out_s.append(mat[mask].sum(axis=0).tolist())
+                yield pd.DataFrame({"list_id": out_l, "n": out_n, "vsum": out_s})
+
+        plain = (
+            corpus.select(c_vec)
+            .mapInPandas(partials, schema="list_id long, n long, vsum array<double>")
+            .select("list_id", "n", F.posexplode("vsum").alias("pos", "x"))
             .groupBy("list_id", "pos")
-            .agg(F.avg("x").alias("m"))
+            .agg(F.sum("n").alias("cnt"), F.sum("x").alias("sx"))
             .collect()
         )
         new = cent.copy()  # empty cells keep their previous centroid
-        for r in means:
-            new[r["list_id"], r["pos"]] = r["m"]
+        for r in plain:
+            if r["cnt"]:
+                new[r["list_id"], r["pos"]] = r["sx"] / r["cnt"]
         norms = np.linalg.norm(new, axis=1)
         norms[norms == 0] = 1.0
         cent = new / norms[:, None]
+        bc.destroy()
     return cent
 
 
@@ -294,10 +330,23 @@ def ivf_topk(
             _IVF_INDEX_CACHE[cache_id] = cent
     c_asg = ivf_assign(corpus, cent, c_id, c_vec, n_probe=1)
     q_asg = ivf_assign(queries, cent, q_id, q_vec, n_probe=n_probe)
-    cand = q_asg.join(c_asg, "list_id").filter(F.col(q_id) != F.col(c_id))
-    scored = _blas_pair_scores(cand, q_id, c_id, q_vec, c_vec, round_to).dropDuplicates(
-        [q_id, c_id]
+    # Broadcast the QUERY assignments (the small side by the ladder's
+    # contract, same as lsh_bucket_topk / brute_force_topk): without the
+    # hint the planner broadcast-collected the whole assigned CORPUS
+    # (BuildRight at local scale — a corpus-sized broadcast, and the
+    # probe pipeline ran at the query side's parallelism); with it the
+    # corpus streams scan -> assign -> join -> score in one stage and is
+    # never shuffled OR broadcast at any scale (r12, guide §3.1).
+    cand = c_asg.join(F.broadcast(q_asg), "list_id").filter(
+        F.col(q_id) != F.col(c_id)
     )
+    # No dropDuplicates: the corpus side is assigned with n_probe=1, so
+    # a (q, c) pair can meet in at most ONE list (c has exactly one
+    # list_id; the query's probed lists are distinct) — the previous
+    # dedup was a provable no-op costing one (q,c)-keyed exchange +
+    # first() aggregate (r12, guide §2.4 "distinct on data that is
+    # already unique").
+    scored = _blas_pair_scores(cand, q_id, c_id, q_vec, c_vec, round_to)
     return topk_per_group(
         scored, keys=[q_id], order=[F.col("cos_sim").desc(), F.col(c_id)], k=k
     )
@@ -498,9 +547,10 @@ def exact_cosine_pairs(
     rows = df.select(id_col, vec_col).limit(max_vectors + 1).collect()
     if len(rows) > max_vectors:
         raise ValueError(
-            f"exact_cosine_pairs broadcasts the whole corpus: got "
-            f"> max_vectors={max_vectors} vectors. Use "
-            f"embedding_near_dup_pairs to generate candidates at scale."
+            f"exact_cosine_pairs broadcasts the whole corpus: the corpus "
+            f"exceeds max_vectors={max_vectors} vectors (stopped counting "
+            f"at {len(rows)}). Use embedding_near_dup_pairs to generate "
+            f"candidates at scale."
         )
     id_type = dict(df.dtypes)[id_col]
     ids = np.asarray([r[id_col] for r in rows])
@@ -560,8 +610,9 @@ def flag_near_benchmark(
     rows = bench.select(id_col, vec_col).orderBy(id_col).limit(max_bench + 1).collect()
     if len(rows) > max_bench:
         raise ValueError(
-            f"flag_near_benchmark broadcasts the benchmark side: got "
-            f"> max_bench={max_bench} rows."
+            f"flag_near_benchmark broadcasts the benchmark side: the "
+            f"benchmark exceeds max_bench={max_bench} rows (stopped "
+            f"counting at {len(rows)})."
         )
     bench_id_type = dict(bench.dtypes)[id_col]
     corpus_id_type = dict(corpus.dtypes)[id_col]

@@ -468,10 +468,14 @@ def q245_minhash_recall_audit(spark, sf_dir):
     )
     cand = minhash_lsh_pairs(d).select("id_a", "id_b")
     # one action (r11): a hit-marked left join replaces the two counts
-    # that each re-ran the exact-jaccard lineage
+    # that each re-ran the exact-jaccard lineage. The marker side is
+    # dropDuplicates'd so n_true stays invariant even if a future
+    # candidate generator emits duplicate pairs (ADVICE r11).
     row = (
         tru.join(
-            cand.withColumn("__hit", F.lit(1)), ["id_a", "id_b"], "left"
+            cand.dropDuplicates(["id_a", "id_b"]).withColumn("__hit", F.lit(1)),
+            ["id_a", "id_b"],
+            "left",
         )
         .agg(
             F.count(F.lit(1)).alias("n_true"),

@@ -216,9 +216,14 @@ def _recall_audit(approx, exact, k, floor, n_expected):
     and re-check the floor still has margin."""
     # ONE action: the previous three counts (join, total, distinct-q)
     # re-ran the expensive exact brute-force lineage once each; a left
-    # join with a hit marker folds all three into a single aggregate job
+    # join with a hit marker folds all three into a single aggregate job.
+    # The marker side is dropDuplicates'd (cheap — it is the small side)
+    # so `total` stays invariant even if a future candidate generator
+    # emits duplicate (q_id, c_id) pairs (ADVICE r11).
     marked = exact.join(
-        approx.select("q_id", "c_id").withColumn("__hit", F.lit(1)),
+        approx.select("q_id", "c_id")
+        .dropDuplicates(["q_id", "c_id"])
+        .withColumn("__hit", F.lit(1)),
         ["q_id", "c_id"],
         "left",
     )

@@ -446,6 +446,23 @@ def test_rrf_fuse_contributions_and_ties(spark):
     assert order[0] == 2
 
 
+def test_bm25_topk_empty_terms(spark):
+    """An empty (or all-duplicate-collapsed-to-empty) query term list
+    returns an empty, correctly-typed top-k instead of crashing the
+    pivoted path (ADVICE r11: contribs[0] IndexError)."""
+    from ed_clickhouse_spark.operators.search import bm25_topk
+
+    df = spark.createDataFrame(
+        [(1, "a b c"), (2, "b c d")], "doc_id long, text string"
+    )
+    out = bm25_topk(df, [], k=5)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["doc_id", "bm25", "n_terms_hit"]
+    assert dict(out.dtypes) == {
+        "doc_id": "bigint", "bm25": "double", "n_terms_hit": "bigint"
+    }
+
+
 def test_time_decayed_recurrence_matches_sql_rewrite(spark):
     """The O(rows) applyInPandas recurrence (operators/windows.py:
     time_decayed — the 100 TB path) must agree with the chsql window
