@@ -113,7 +113,7 @@ def jaccard_pairs(
     documents; for low-threshold sweeps at 100 TB, prune with
     minhash_lsh_pairs first and use this as the exact verifier.
     """
-    from pyspark import StorageLevel
+    from ed_clickhouse_spark.operators._cache import pin
 
     sh = _spread(df).select(
         F.col(id_col).alias("id"), F.explode(shingles(text_col, n)).alias("__s")
@@ -121,7 +121,7 @@ def jaccard_pairs(
     grouped = sh.groupBy("sh").agg(F.sort_array(F.collect_list("id")).alias("ids"))
     if max_df is not None:
         grouped = grouped.where(F.size("ids") <= max_df)
-    grouped = grouped.persist(StorageLevel.MEMORY_AND_DISK)
+    grouped = pin(grouped)
     sizes = (
         grouped.select(F.explode("ids").alias("id"))
         .groupBy("id")
@@ -137,12 +137,11 @@ def jaccard_pairs(
             ),
         )
     )
-    pairs = (
+    pairs = pin(
         grouped.where(F.size("ids") > 1)
         .select(F.explode(combos).alias("p"))
         .groupBy(F.col("p.id_a").alias("id_a"), F.col("p.id_b").alias("id_b"))
         .agg(F.count("*").alias("inter"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     # `sizes` is one row per document (corpus cardinality) — broadcasting it
     # whole would OOM the driver at 10^9 docs.  But only ids that survived
@@ -159,9 +158,7 @@ def jaccard_pairs(
     # persisted: both the n_a and n_b lookups read it, and the persist
     # keeps the semi-join from running once per branch (pair-set-sized,
     # so the cache is output-scale).
-    sizes_small = sizes.join(pair_ids, "id", "left_semi").persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sizes_small = pin(sizes.join(pair_ids, "id", "left_semi"))
     # No forced broadcast: the semi-joined frame is usually tiny
     # (<= 2x|pairs| ids), but that bound is data-dependent — on a
     # pathologically duplicate-heavy corpus the pair set itself is large
@@ -325,12 +322,10 @@ def _sigs_and_bands(
     ~2x end-to-end). The cache stays pinned for the lifetime of
     derived lazy frames — long-lived sessions should
     ``spark.catalog.clearCache()`` after materializing."""
-    from pyspark import StorageLevel
+    from ed_clickhouse_spark.operators._cache import pin
 
     rows_per_band = _N_HASHES // n_bands
-    sigs = minhash_signatures(df, id_col, text_col, n).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    sigs = pin(minhash_signatures(df, id_col, text_col, n))
     # one JVM-parsed expr for the band array (vs ~100 Py4J column
     # builds: 8 bands x (4 element_at casts + concat_ws + xxhash64))
     band_structs = ", ".join(

@@ -199,14 +199,12 @@ def extract_features(
                 }
             )
 
-    from pyspark import StorageLevel
+    from ed_clickhouse_spark.operators._cache import pin
 
     spark = media.sparkSession
     sized = media.repartition(max(spark.sparkContext.defaultParallelism, 1))
     with _conf(spark, "spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows)):
-        out = sized.mapInPandas(op, schema=FEATURE_SCHEMA).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+        out = pin(sized.mapInPandas(op, schema=FEATURE_SCHEMA))
         out.count()  # decode under the batch cap, before the conf restores
     return out
 

@@ -149,7 +149,7 @@ def _bm25_topk_pivoted(
     # element, measured ~25% slower end-to-end on this query shape.
     toks = F.array_remove(F.split(F.col(text_col), " "), "")
     dl = F.size(toks)
-    from pyspark import StorageLevel
+    from ed_clickhouse_spark.operators._cache import pin
 
     per_doc = df.select(
         F.col(id_col).alias("doc_id"),
@@ -164,7 +164,7 @@ def _bm25_topk_pivoted(
     # narrow: id + |terms|+1 ints per doc, a sliver of the text column
     # it replaces). Same persist contract as operators/dedup.py: pinned
     # while derived frames live; bench.py clearCache()s between queries.
-    per_doc = per_doc.persist(StorageLevel.MEMORY_AND_DISK)
+    per_doc = pin(per_doc)
     # ONE 1-row aggregate carries every corpus statistic the formula
     # needs (N, avgdl, per-term df) — broadcast back, never joined.
     stats = per_doc.agg(

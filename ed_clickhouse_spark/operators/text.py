@@ -141,7 +141,7 @@ def unigram_logprob(
     100 TB the vocabulary side is millions of rows, never broadcast-
     assumed; Catalyst/AQE picks the join strategy.
     """
-    from pyspark import StorageLevel
+    from ed_clickhouse_spark.operators._cache import pin
 
     # (id, word, in-doc count) — counted per doc before any join.
     # Persisted: the frame feeds BOTH the vocabulary aggregate and the
@@ -149,11 +149,10 @@ def unigram_logprob(
     # tokenize + explode + (id, w) exchange (r11 measured the query at
     # 4 corpus scans / 2 explodes). Same persist contract as
     # operators/dedup.py; bench.py clearCache()s between queries.
-    doc_words = (
+    doc_words = pin(
         df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("w"))
         .groupBy("id", "w")
         .agg(F.count("*").alias("tf"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     vocab = doc_words.groupBy("w").agg(F.sum("tf").alias("cf"))
     # total tokens straight off doc_words — sum(tf) == sum(vocab.cf)

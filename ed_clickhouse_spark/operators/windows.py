@@ -671,9 +671,9 @@ def lttb_downsample(
     # lineage per branch (measured 6 parquet scans on the q154 shape).
     # MEMORY_AND_DISK like operators/dedup.py: the series frame is the
     # operator's working set and spills rather than OOMs at scale.
-    from pyspark.storagelevel import StorageLevel
+    from ed_clickhouse_spark.operators._cache import pin
 
-    df = df.persist(StorageLevel.MEMORY_AND_DISK)
+    df = pin(df)
     # unix_micros/1e6, not unix_timestamp: keeps fractional seconds
     # (micros/1e6 in double — the same value DuckDB's epoch() computes),
     # which bucket boundaries are sensitive to. The session timezone is
