@@ -150,10 +150,14 @@ def jaccard_pairs(
     # *output* scale, orders of magnitude below the corpus).  `pairs` is
     # persisted above so the semi-join branch reuses the materialized pair
     # frame instead of re-running the posting-list exchange.
-    pair_ids = (
-        pairs.select(F.col("id_a").alias("id"))
-        .union(pairs.select(F.col("id_b").alias("id")))
-        .distinct()
+    # No .distinct(): left_semi is duplicate-insensitive, so deduping the
+    # probe side only shrank the broadcast build a little while costing a
+    # full exchange + aggregate over 2x|pairs| rows (r12, guide §2.4 "a
+    # distinct on data that [need not be] unique"). The union is a narrow
+    # projection of the persisted pair frame; the semi join's hash build
+    # dedups keys as it builds.
+    pair_ids = pairs.select(F.col("id_a").alias("id")).union(
+        pairs.select(F.col("id_b").alias("id"))
     )
     # persisted: both the n_a and n_b lookups read it, and the persist
     # keeps the semi-join from running once per branch (pair-set-sized,

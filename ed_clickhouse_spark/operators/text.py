@@ -141,24 +141,36 @@ def unigram_logprob(
     100 TB the vocabulary side is millions of rows, never broadcast-
     assumed; Catalyst/AQE picks the join strategy.
     """
-    from ed_clickhouse_spark.operators._cache import pin
-
-    # (id, word, in-doc count) — counted per doc before any join.
-    # Persisted: the frame feeds BOTH the vocabulary aggregate and the
-    # scoring join; without the pin each consumer re-runs the full
-    # tokenize + explode + (id, w) exchange (r11 measured the query at
-    # 4 corpus scans / 2 explodes). Same persist contract as
-    # operators/dedup.py; bench.py clearCache()s between queries.
-    doc_words = pin(
+    # (id, word, in-doc count) — counted per doc before any join. NOT
+    # persisted (r12): the r11 persist was adjudicated at 100k/300k-doc
+    # synthetic corpora (tools/ab_unigram_persist.py, VERDICT r11 #6) —
+    # the columnar cache write of the (id, w, tf) frame costs MORE than
+    # recomputing the cheap codegen explode+count per consumer (best-of
+    # interleaved A/B at 100k docs: persist 5.09s, recompute 4.22s,
+    # recompute+direct-total 3.25s; the driver's r11 bench read the
+    # persist at 0.80x too). Two consumers re-run the explode; the cache
+    # write, the InMemoryTableScan reads and the pinned executor memory
+    # all go away.
+    doc_words = (
         df.select(F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("w"))
         .groupBy("id", "w")
         .agg(F.count("*").alias("tf"))
     )
     vocab = doc_words.groupBy("w").agg(F.sum("tf").alias("cf"))
-    # total tokens straight off doc_words — sum(tf) == sum(vocab.cf)
-    # exactly (integer sums), without re-deriving the vocabulary
-    # aggregate (one (w)-keyed exchange fewer)
-    total = doc_words.agg(F.sum("tf").alias("__total"))
+    # total tokens straight off the corpus: sum(size(tokens)) ==
+    # sum(tf) == sum(vocab.cf) exactly (integer sums — split(text," ")
+    # yields every exploded token including empties), with NO explode
+    # and no (id, w) exchange in the 1-row aggregate's lineage. NULL
+    # text contributes 0 (size(NULL) is -1, explode(NULL) emits none).
+    total = df.agg(
+        F.sum(
+            F.when(F.col(text_col).isNull(), F.lit(0)).otherwise(
+                F.size(tokens(text_col))
+            )
+        )
+        .cast("bigint")
+        .alias("__total")
+    )
     scored = (
         doc_words.join(vocab, "w")
         # bounded: total is a 1-row aggregate
