@@ -646,7 +646,16 @@ def append_rows(df: DataFrame, spec: TableSpec, warehouse: str) -> DataFrame:
     if pc:
         out = out.withColumn(pc[0], F.expr(pc[1]))
     if writer_cols:
-        out = out.sortWithinPartitions(*writer_cols)
+        # prefix the partition column: the dynamic-partition writer
+        # demands partition-column ordering and inserts a NON-STABLE
+        # sort when it is missing, scrambling the ORDER BY layout
+        # inside every file (see sources/writer.py append_events).
+        # Within a file all rows share the partition value, so the
+        # prefix changes nothing about the intended per-file order.
+        sort_cols = [c for c in writer_cols if not pc or c != pc[0]]
+        out = out.sortWithinPartitions(
+            *([pc[0]] if pc else []), *sort_cols
+        )
     w = out.write.mode("append")
     for c in spec.bloom_cols:
         # ClickHouse INDEX ... TYPE bloom_filter -> parquet bloom filter

@@ -215,7 +215,12 @@ def compact_partitions(
     # unrelated partitions through the same tasks.)
     out = sub.repartition(max(len(targets), 1), F.col(pcol))
     if sort_cols:
-        out = out.sortWithinPartitions(*sort_cols)
+        # prefix pcol: without it the dynamic-partition writer inserts
+        # its own non-stable sort and scrambles sort_cols inside every
+        # file (see sources/writer.py append_events)
+        out = out.sortWithinPartitions(
+            pcol, *[c for c in sort_cols if c != pcol]
+        )
     with _conf(spark, "spark.sql.sources.partitionOverwriteMode", "dynamic"):
         out.write.mode("overwrite").partitionBy(pcol).parquet(path)
     return len(targets)

@@ -121,7 +121,12 @@ def write_table(
             f"+ ClickHouse spellings {sorted(CH_FORMATS)}"
         )
     if sort_within:
-        df = df.sortWithinPartitions(*sort_within)
+        # prefix any partition columns: the dynamic-partition writer
+        # inserts a non-stable sort otherwise, scrambling sort_within
+        # inside every written file (see sources/writer.py)
+        lead = list(partition_by or [])
+        rest = [c for c in sort_within if c not in lead]
+        df = df.sortWithinPartitions(*lead, *rest)
     if fmt == "csv":
         options.setdefault("header", "true")
     writer = df.write.mode(mode).options(**options)

@@ -113,6 +113,35 @@ def test_date_partitioning(ingested):
     assert watch_parts != parts  # watch events landed on the next day
 
 
+def test_written_files_sorted_by_order_by(spark, tmp_path):
+    """The MergeTree-ORDER-BY write policy must survive the dynamic-
+    partition writer: every written file is sorted by (timestamp,
+    event_name). Before r12 the writer inserted its own non-stable sort
+    on event_date (the sort lacked the partition-column prefix) and
+    scrambled the order inside every file."""
+    import glob
+    import json as _json
+
+    from ed_clickhouse_spark.sources.writer import append_events
+
+    rows = [
+        ("ev-%d" % i, "login" if i % 2 else "logout", 1_700_000_000 + (i * 7919) % 86_400)
+        for i in range(5_000)
+    ]
+    df = spark.createDataFrame(rows, "event_id string, event_name string, ts long").select(
+        "event_id", "event_name", F.timestamp_seconds("ts").alias("timestamp")
+    )
+    append_events(df, str(tmp_path), "sorted_events")
+    files = glob.glob(f"{tmp_path}/sorted_events/event_date=*/*.parquet")
+    assert files
+    for f in files:
+        got = [
+            (r["timestamp"], r["event_name"])
+            for r in spark.read.parquet(f).select("timestamp", "event_name").collect()
+        ]
+        assert got == sorted(got), f"file {f} not sorted by (timestamp, event_name)"
+
+
 def test_dlq(spark, ingested):
     dlq = spark.read.parquet(f"{ingested}/_dlq")
     reasons = {r["reason"] for r in dlq.collect()}
