@@ -202,6 +202,7 @@ dedups the LEFT side in ClickHouse; spell it as a reversed LEFT ANY).
 from __future__ import annotations
 
 import re
+from bisect import bisect_left as _bisect_left
 from bisect import bisect_right as _bisect_right
 from dataclasses import dataclass
 from functools import lru_cache as _lru_cache
@@ -237,6 +238,11 @@ def _scan_level(s: str):
         elif ch == ")":
             depth -= 1
         yield i, ch, depth, False
+
+
+# memoized re.escape: the alias-substitution passes escape every alias
+# name per translate() call (~540 escapes/call on the dialect bench SQL)
+_esc = _lru_cache(maxsize=8192)(re.escape)
 
 
 @_lru_cache(maxsize=8192)
@@ -295,6 +301,29 @@ def _idx_in_string(idx, p: int) -> bool:
     return j >= 0 and p < ends[j]
 
 
+class _InstrProbe:
+    """Drop-in replacement for the per-char ``{i: q for i, _, _, q in
+    _scan_level(s)}`` dicts (r12): same ``[p]`` / ``.get(p, default)``
+    reads, but O(log n) bisect probes over the LRU-cached _scan_index
+    literal spans instead of an O(n) dict build per rewrite pass —
+    dozens of rewrite passes each built one of these dicts per call."""
+
+    __slots__ = ("_idx",)
+
+    def __init__(self, s: str):
+        self._idx = _scan_index(s)
+
+    def __getitem__(self, p: int) -> bool:
+        return _idx_in_string(self._idx, p)
+
+    def get(self, p: int, default: bool = False) -> bool:
+        return _idx_in_string(self._idx, p)
+
+
+def _instr_map(s: str) -> _InstrProbe:
+    return _InstrProbe(s)
+
+
 def _idx_depth(idx, p: int) -> int:
     dpos, dval = idx[2], idx[3]
     return dval[_bisect_right(dpos, p) - 1]
@@ -312,11 +341,22 @@ def _find_top(s: str, pattern: str) -> re.Match | None:
 
 
 def _split_top_commas(s: str) -> list[str]:
-    parts, start, = [], 0
-    for i, ch, depth, instr in _scan_level(s):
-        if ch == "," and depth == 0 and not instr:
+    # str.find + _scan_index bisect probes instead of the per-char
+    # _scan_level generator: this helper runs on every clause recursion
+    # and dominated the ~5 ms translate() residue (r11 "not yet
+    # optimized" #5). Identical semantics: a comma splits iff it sits at
+    # paren depth 0 outside string literals.
+    if "," not in s:
+        p = s.strip()
+        return [p] if p else []
+    idx = _scan_index(s)
+    parts, start = [], 0
+    i = s.find(",")
+    while i != -1:
+        if _idx_depth(idx, i) == 0 and not _idx_in_string(idx, i):
             parts.append(s[start:i])
             start = i + 1
+        i = s.find(",", i + 1)
     parts.append(s[start:])
     return [p.strip() for p in parts if p.strip()]
 
@@ -423,6 +463,17 @@ def _rewrite_sample(sql: str, specs: dict | None) -> str:
     return _rewrite_sample(sql[: m.start()] + sub + sql[m.end():], specs)
 
 
+@_lru_cache(maxsize=64)
+def _macro_alt(names: tuple) -> tuple[str, dict]:
+    """(alternation pattern, lower->canonical map) for the registered
+    macro names — cached on the name tuple so repeated translate()
+    calls reuse one build (see _inline_ch_macros)."""
+    return (
+        r"\b(" + "|".join(map(re.escape, names)) + r")\s*\(",
+        {n.lower(): n for n in names},
+    )
+
+
 def _inline_ch_macros(expr: str) -> str:
     """Expand registered ClickHouse SQL-macro calls textually. Spark
     refuses SQL UDFs inside a Generate (LATERAL VIEW explode), so an
@@ -433,8 +484,10 @@ def _inline_ch_macros(expr: str) -> str:
     # ONE alternation scan over every registered macro name per pass
     # instead of one string scan per name (r11: ~300 scans -> 1); the
     # group tells us which macro matched, case-folded back to its key.
-    lower_map = {n.lower(): n for n in _SQL_SCALAR_ALIASES}
-    alt = r"\b(" + "|".join(map(re.escape, _SQL_SCALAR_ALIASES)) + r")\s*\("
+    # The alternation + lower map are LRU-cached on the (ordered) name
+    # tuple (r12) — rebuilding them escaped every registered name on
+    # every pass (~540 re.escape calls per translate()).
+    alt, lower_map = _macro_alt(tuple(_SQL_SCALAR_ALIASES))
     changed = True
     while changed:
         changed = False
@@ -495,19 +548,21 @@ def _sub_outside_strings(sql: str, rx: re.Pattern, repl: str) -> str:
 
 def _collapse_ws_outside_strings(sql: str) -> str:
     """Collapse whitespace runs to one space — but never inside string
-    literals, whose spacing is user data."""
+    literals, whose spacing is user data. Segment-wise regex over the
+    cached _scan_index literal spans (r12) instead of the per-char
+    _scan_level generator — this ran once per translate() over the full
+    SQL and was the last per-char scan on the hot path."""
+    idx = _scan_index(sql)
+    starts, ends = idx[0], idx[1]
+    if not starts:
+        return re.sub(r"\s+", " ", sql).strip()
     out: list[str] = []
-    buf: list[str] = []
-    for _i, ch, _d, q in _scan_level(sql):
-        if q:
-            if buf:
-                out.append(re.sub(r"\s+", " ", "".join(buf)))
-                buf = []
-            out.append(ch)
-        else:
-            buf.append(ch)
-    if buf:
-        out.append(re.sub(r"\s+", " ", "".join(buf)))
+    prev = 0
+    for a, b in zip(starts, ends):
+        out.append(re.sub(r"\s+", " ", sql[prev:a]))
+        out.append(sql[a:b])
+        prev = b
+    out.append(re.sub(r"\s+", " ", sql[prev:]))
     return "".join(out).strip()
 
 
@@ -767,7 +822,7 @@ def _expand_apply_columns(sql: str, specs: dict | None) -> str:
     # subqueries first (each level resolves its own FROM)
     pos = 0
     while True:
-        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        instr_at = _instr_map(sql)
         idx = None
         for i in range(pos, len(sql)):
             if sql[i] == "(" and not instr_at.get(i, False):
@@ -1598,7 +1653,7 @@ def substitute_params(sql: str, params: dict) -> str:
     rx = re.compile(r"\{(\w+)\s*:\s*([\w()', ]+)\}")
     pos = 0
     while True:
-        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        instr_at = _instr_map(sql)
         hit = None
         for m in rx.finditer(sql, pos):
             if not instr_at.get(m.start(), False):
@@ -3100,7 +3155,7 @@ def _rewrite_scalar_misc(sql: str, specs: dict | None = None) -> str:
     ):
         _pos = 0
         while True:
-            instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+            instr_at = _instr_map(sql)
             hit = None
             for m in _rx.finditer(sql, _pos):
                 if not instr_at.get(m.start(), False):
@@ -3133,7 +3188,7 @@ def _rewrite_scalar_misc(sql: str, specs: dict | None = None) -> str:
             m = _rx.search(sql, _pos)
             if not m:
                 break
-            instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+            instr_at = _instr_map(sql)
             if instr_at.get(m.start(), False):
                 _pos = m.end()
                 continue
@@ -3153,7 +3208,7 @@ def _rewrite_scalar_misc(sql: str, specs: dict | None = None) -> str:
         m = lif_rx.search(sql, pos)
         if not m:
             break
-        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        instr_at = _instr_map(sql)
         if instr_at.get(m.start(), False):
             pos = m.end()
             continue
@@ -3188,7 +3243,7 @@ def _rewrite_scalar_misc(sql: str, specs: dict | None = None) -> str:
             m = mm_rx.search(sql, pos)
             if not m:
                 break
-            instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+            instr_at = _instr_map(sql)
             if instr_at.get(m.start(), False):
                 pos = m.end()
                 continue
@@ -3232,7 +3287,7 @@ def _rewrite_scalar_misc(sql: str, specs: dict | None = None) -> str:
         m = fr_rx.search(sql, pos)
         if not m:
             break
-        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        instr_at = _instr_map(sql)
         if instr_at.get(m.start(), False):
             pos = m.end()
             continue
@@ -3284,7 +3339,7 @@ def _rewrite_scalar_misc(sql: str, specs: dict | None = None) -> str:
         m = bs_rx.search(sql, pos)
         if not m:
             break
-        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        instr_at = _instr_map(sql)
         if instr_at.get(m.start(), False):
             pos = m.end()
             continue
@@ -3312,7 +3367,7 @@ def _rewrite_scalar_misc(sql: str, specs: dict | None = None) -> str:
         m = nnd_rx.search(sql, pos)
         if not m:
             break
-        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        instr_at = _instr_map(sql)
         if instr_at.get(m.start(), False):
             pos = m.end()
             continue
@@ -3451,7 +3506,7 @@ def _rewrite_scalar_misc(sql: str, specs: dict | None = None) -> str:
             m = rx.search(sql, pos)
             if not m:
                 break
-            instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+            instr_at = _instr_map(sql)
             if instr_at.get(m.start(), False):
                 pos = m.end()
                 continue
@@ -3484,7 +3539,7 @@ def _rewrite_scalar_misc(sql: str, specs: dict | None = None) -> str:
         m = asc_rx.search(sql, pos)
         if not m:
             break
-        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        instr_at = _instr_map(sql)
         if instr_at.get(m.start(), False):
             pos = m.end()
             continue
@@ -3508,7 +3563,7 @@ def _rewrite_scalar_misc(sql: str, specs: dict | None = None) -> str:
         m = sw_rx.search(sql, pos)
         if not m:
             break
-        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        instr_at = _instr_map(sql)
         if instr_at.get(m.start(), False):
             pos = m.end()
             continue
@@ -3541,7 +3596,7 @@ def _rewrite_scalar_misc(sql: str, specs: dict | None = None) -> str:
             break
         # in-string-literal guard, like the neighboring rewrite loops:
         # the token inside a quoted literal must not be spliced
-        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        instr_at = _instr_map(sql)
         if instr_at.get(m.start(), False):
             pos = m.end()
             continue
@@ -3576,7 +3631,7 @@ def _rewrite_scalar_misc(sql: str, specs: dict | None = None) -> str:
         m = fdt_rx.search(sql, pos)
         if not m:
             break
-        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        instr_at = _instr_map(sql)
         if instr_at.get(m.start(), False):
             pos = m.end()
             continue
@@ -3624,7 +3679,7 @@ def _rewrite_scalar_misc(sql: str, specs: dict | None = None) -> str:
         m = pdt_rx.search(sql, pos)
         if not m:
             break
-        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        instr_at = _instr_map(sql)
         if instr_at.get(m.start(), False):
             pos = m.end()
             continue
@@ -3659,7 +3714,7 @@ def _rewrite_scalar_misc(sql: str, specs: dict | None = None) -> str:
         m = ch_rx.search(sql, pos)
         if not m:
             break
-        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        instr_at = _instr_map(sql)
         if instr_at.get(m.start(), False) or re.search(
             r"(?i)\bas\s*$", sql[: m.start()]
         ):
@@ -3683,7 +3738,7 @@ def _rewrite_scalar_misc(sql: str, specs: dict | None = None) -> str:
         m = ma_rx.search(sql, pos)
         if not m:
             break
-        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        instr_at = _instr_map(sql)
         if instr_at.get(m.start(), False):
             pos = m.end()
             continue
@@ -3722,7 +3777,7 @@ def _rewrite_scalar_misc(sql: str, specs: dict | None = None) -> str:
         m = fmt_rx.search(sql, pos)
         if not m:
             break
-        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        instr_at = _instr_map(sql)
         if instr_at.get(m.start(), False):
             pos = m.end()
             continue
@@ -3768,7 +3823,7 @@ def _rewrite_scalar_misc(sql: str, specs: dict | None = None) -> str:
         m = tr_rx.search(sql, pos)
         if not m:
             break
-        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        instr_at = _instr_map(sql)
         if instr_at.get(m.start(), False):
             pos = m.end()
             continue
@@ -3801,7 +3856,7 @@ def _rewrite_scalar_misc(sql: str, specs: dict | None = None) -> str:
         m = kv_rx.search(sql, pos)
         if not m:
             break
-        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        instr_at = _instr_map(sql)
         if instr_at.get(m.start(), False):
             pos = m.end()
             continue
@@ -3842,7 +3897,7 @@ def _rewrite_scalar_misc(sql: str, specs: dict | None = None) -> str:
             m = jrx.search(sql, pos)
             if not m:
                 break
-            instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+            instr_at = _instr_map(sql)
             if instr_at.get(m.start(), False):
                 pos = m.end()
                 continue
@@ -4081,7 +4136,7 @@ def _rewrite_scalar_misc(sql: str, specs: dict | None = None) -> str:
             m = rx.search(sql, pos)
             if not m:
                 break
-            instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+            instr_at = _instr_map(sql)
             if instr_at.get(m.start(), False):
                 pos = m.end()
                 continue
@@ -4117,7 +4172,7 @@ def _rewrite_scalar_misc(sql: str, specs: dict | None = None) -> str:
         m = arr_rx.search(sql, pos)
         if not m:
             break
-        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        instr_at = _instr_map(sql)
         if instr_at.get(m.start(), False):
             pos = m.end()
             continue
@@ -4144,7 +4199,7 @@ def _rewrite_scalar_misc(sql: str, specs: dict | None = None) -> str:
         m = ar_rx.search(sql, pos)
         if not m:
             break
-        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        instr_at = _instr_map(sql)
         if instr_at.get(m.start(), False):
             pos = m.end()
             continue
@@ -4186,7 +4241,7 @@ def _rewrite_scalar_misc(sql: str, specs: dict | None = None) -> str:
         m = ac_rx.search(sql, pos)
         if not m:
             break
-        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        instr_at = _instr_map(sql)
         if instr_at.get(m.start(), False):
             pos = m.end()
             continue
@@ -4216,7 +4271,7 @@ def _rewrite_scalar_misc(sql: str, specs: dict | None = None) -> str:
         m = pos_rx.search(sql, pos)
         if not m:
             break
-        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        instr_at = _instr_map(sql)
         if instr_at.get(m.start(), False):
             pos = m.end()
             continue
@@ -4253,7 +4308,7 @@ def _rewrite_scalar_misc(sql: str, specs: dict | None = None) -> str:
             m = rx.search(sql, pos)
             if not m:
                 break
-            instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+            instr_at = _instr_map(sql)
             if instr_at.get(m.start(), False):
                 pos = m.end()
                 continue
@@ -4284,7 +4339,7 @@ def _rewrite_scalar_misc(sql: str, specs: dict | None = None) -> str:
         m = ext_rx.search(sql, pos)
         if not m:
             break
-        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        instr_at = _instr_map(sql)
         if instr_at.get(m.start(), False):
             pos = m.end()
             continue
@@ -4343,7 +4398,7 @@ def _rewrite_scalar_misc(sql: str, specs: dict | None = None) -> str:
         m = range_rx.search(sql, pos)
         if not m:
             break
-        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        instr_at = _instr_map(sql)
         if instr_at.get(m.start(), False):
             pos = m.end()
             continue
@@ -4778,7 +4833,7 @@ def _rewrite_brackets(sql: str) -> str:
     a bracket (``IN [1, 2]``) mean a literal."""
     pos = 0
     while True:
-        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        instr_at = _instr_map(sql)
         idx = None
         for i in range(pos, len(sql)):
             if sql[i] == "[" and not instr_at.get(i, False):
@@ -4962,7 +5017,7 @@ def _rewrite_resample(sql: str) -> str:  # noqa: C901
         m = rx.search(sql, pos)
         if not m:
             break
-        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        instr_at = _instr_map(sql)
         if instr_at.get(m.start(), False):
             pos = m.end()
             continue
@@ -5065,7 +5120,7 @@ def _rewrite_resample(sql: str) -> str:  # noqa: C901
         m = am_rx.search(sql, pos)
         if not m:
             break
-        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        instr_at = _instr_map(sql)
         if instr_at.get(m.start(), False):
             pos = m.end()
             continue
@@ -5152,7 +5207,7 @@ def _rewrite_resample(sql: str) -> str:  # noqa: C901
         m = os_rx.search(sql, pos)
         if not m:
             break
-        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        instr_at = _instr_map(sql)
         if instr_at.get(m.start(), False):
             pos = m.end()
             continue
@@ -5320,7 +5375,7 @@ def _rewrite_time_decayed(sql: str) -> str:
         m = rx.search(sql, pos)
         if not m:
             break
-        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        instr_at = _instr_map(sql)
         if instr_at.get(m.start(), False):
             pos = m.end()
             continue
@@ -5365,7 +5420,7 @@ def _rewrite_time_decayed(sql: str) -> str:
             # top level for subqueries, so scan string-safely at any
             # depth and take the first definition past the call site
             wrx = re.compile(rf"(?i)\bWINDOW\s+`?{wname}`?\s+AS\s*\(")
-            instr_w = {i: q for i, _, _, q in _scan_level(sql)}
+            instr_w = _instr_map(sql)
             wm = next(
                 (
                     c
@@ -6864,7 +6919,7 @@ def _rewrite_agg_spellings(sql: str) -> str:
             m = rx.search(sql, pos)
             if not m:
                 break
-            instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+            instr_at = _instr_map(sql)
             if instr_at.get(m.start(), False):
                 pos = m.end()
                 continue
@@ -7041,7 +7096,7 @@ def _rewrite_agg_spellings(sql: str) -> str:
             m = a_rx.search(sql, pos_a)
             if not m:
                 break
-            instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+            instr_at = _instr_map(sql)
             if instr_at.get(m.start(), False):
                 pos_a = m.end()
                 continue
@@ -7058,7 +7113,7 @@ def _rewrite_agg_spellings(sql: str) -> str:
     topk_rx = re.compile(r"\btopK(If)?\s*\(")  # case-exact (CH names are)
     while True:
         m = None
-        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        instr_at = _instr_map(sql)
         for mm in topk_rx.finditer(sql):
             if not instr_at.get(mm.start(), False):
                 m = mm
@@ -7095,7 +7150,7 @@ def _rewrite_agg_spellings(sql: str) -> str:
     topkw_rx = re.compile(r"\btopKWeighted\s*\(")
     while True:
         m = None
-        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        instr_at = _instr_map(sql)
         for mm in topkw_rx.finditer(sql):
             if not instr_at.get(mm.start(), False):
                 m = mm
@@ -7137,7 +7192,7 @@ def _rewrite_agg_spellings(sql: str) -> str:
     sb_rx = re.compile(r"\bsparkbar\s*\(", re.I)
     while True:
         m = None
-        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        instr_at = _instr_map(sql)
         for mm in sb_rx.finditer(sql):
             if not instr_at.get(mm.start(), False):
                 m = mm
@@ -7367,7 +7422,7 @@ def _rewrite_agg_spellings(sql: str) -> str:
     gc_rx = re.compile(r"\bgroupConcat(Distinct)?\s*\(")
     while True:
         m = None
-        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        instr_at = _instr_map(sql)
         for mm in gc_rx.finditer(sql):
             if not instr_at.get(mm.start(), False):
                 m = mm
@@ -8332,7 +8387,7 @@ def _rewrite_ch_casts(sql: str) -> str:
         m = cast_rx.search(sql, pos)
         if not m:
             break
-        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        instr_at = _instr_map(sql)
         if instr_at.get(m.start(), False):
             pos = m.end()
             continue
@@ -8364,7 +8419,7 @@ def _rewrite_ch_casts(sql: str) -> str:
         m = colon_rx.search(sql, pos)
         if not m:
             break
-        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        instr_at = _instr_map(sql)
         if instr_at.get(m.start(), False):
             pos = m.end()
             continue
@@ -8586,7 +8641,7 @@ def _rewrite_date_unit_forms(sql: str) -> str:
             m = rx.search(sql, pos)
             if not m:
                 break
-            instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+            instr_at = _instr_map(sql)
             if instr_at.get(m.start(), False):
                 pos = m.end()
                 continue
@@ -8702,7 +8757,7 @@ def translate(
         tm = t_rx.search(sql, pos_t)
         if not tm:
             break
-        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        instr_at = _instr_map(sql)
         if instr_at.get(tm.start(), False):
             pos_t = tm.end()
             continue
@@ -8850,13 +8905,13 @@ def _rewrite_inline_paren_aliases(sql: str) -> str:
         # query-global): not a call, not qualified, not an alias
         # definition site, not inside strings
         out, pos = [], 0
-        rx = re.compile(rf"\b{re.escape(name)}\b")
+        rx = _rxc(rf"\b{_esc(name)}\b")
         while True:
             mm = rx.search(sql, pos)
             if not mm:
                 out.append(sql[pos:])
                 break
-            level = {i2: q for i2, _, _, q in _scan_level(sql)}
+            level = _instr_map(sql)
             before = sql[: mm.start()].rstrip()
             after = sql[mm.end():].lstrip()
             if (
@@ -8951,7 +9006,7 @@ def _inline_select_aliases_in_where(sql: str) -> str:
     wend = wstart + tail_m.start() if tail_m else len(sql)
     wseg = sql[wstart:wend]
     # positions to leave alone: string literals + sub-SELECT bodies
-    instr_at = {i: q for i, _, _, q in _scan_level(wseg)}
+    instr_at = _instr_map(wseg)
     blocked = [bool(instr_at.get(i, False)) for i in range(len(wseg))]
     i = 0
     while i < len(wseg):
@@ -8994,8 +9049,8 @@ def _inline_select_aliases_in_where(sql: str) -> str:
             lam_spans.setdefault(p, []).append((lm.start(), body_end))
     spans: list[tuple[int, int, str]] = []
     for name, expr in aliases.items():
-        rx = re.compile(
-            rf"(?<![\w.`$]){re.escape(name)}(?![\w`])(?!\s*\()"
+        rx = _rxc(
+            rf"(?<![\w.`$]){_esc(name)}(?![\w`])(?!\s*\()"
         )
         for m in rx.finditer(wseg):
             if blocked[m.start()]:
@@ -9044,36 +9099,35 @@ def _rewrite_order_by_null_direction(sql: str) -> str:
     pos = 0
     rx = re.compile(r"(?i)\bORDER\s+BY\s+")
     while True:
-        instr_at: dict[int, bool] = {}
-        depth_at: dict[int, int] = {}
-        for i, _, d, q in _scan_level(sql):
-            instr_at[i] = q
-            depth_at[i] = d
+        # _scan_index probes (r12) instead of per-char instr/depth dicts
+        # rebuilt on every ORDER BY found: depth only changes at parens,
+        # so the first position where it drops below the ORDER BY's is
+        # the first indexed ')' carrying a smaller depth.
+        idx = _scan_index(sql)
+        dpos, dval = idx[2], idx[3]
         m = None
         for cand in rx.finditer(sql, pos):
-            if not instr_at.get(cand.start(), False):
+            if not _idx_in_string(idx, cand.start()):
                 m = cand
                 break
         if not m:
             return sql
         start = m.end()
-        base_depth = depth_at.get(m.start(), 0)
+        base_depth = _idx_depth(idx, m.start())
         end = len(sql)
         # the key list ends at the enclosing close-paren (depth drops
         # below the ORDER BY's) or the first same-depth clause keyword
-        for j in range(start, len(sql)):
-            if instr_at.get(j, False):
-                continue
-            if depth_at[j] < base_depth:
-                end = j
+        for k in range(_bisect_left(dpos, start), len(dpos)):
+            if dval[k] < base_depth:
+                end = dpos[k]
                 break
         terms = [_ORDER_KEYLIST_TERMINATORS]
         if base_depth > 0:
             terms.append(_ORDER_FRAME_TERMINATORS)
         for t_rx in terms:
             for tm in t_rx.finditer(sql, start, end):
-                if (not instr_at.get(tm.start(), False)
-                        and depth_at.get(tm.start()) == base_depth):
+                if (not _idx_in_string(idx, tm.start())
+                        and _idx_depth(idx, tm.start()) == base_depth):
                     end = min(end, tm.start())
                     break
         seg = sql[start:end]
@@ -9148,7 +9202,7 @@ def _rewrite_clauses_recursive(sql: str, specs: dict | None) -> str:
     re-entered."""
     pos = 0
     while True:
-        instr_at = {i: q for i, _, _, q in _scan_level(sql)}
+        instr_at = _instr_map(sql)
         idx = None
         for i in range(pos, len(sql)):
             if sql[i] == "(" and not instr_at.get(i, False):

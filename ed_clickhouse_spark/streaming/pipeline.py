@@ -63,7 +63,16 @@ def process_batch(
     source (e.g. Kafka keyed by subject) each filter reads only its
     partitions. The reference's equivalent is the per-subject buffer map
     (src/handler.rs:93-104)."""
-    batch = batch.cache()
+    # Pin the batch for the routing probe + per-family filters, but only
+    # if the CALLER hasn't already (foreachBatch hands us an uncached
+    # frame; tests/benches may pre-cache the same plan). Tracking
+    # ownership keeps the unpersist from evicting a caller-held cache
+    # and stops the per-call "Asked to cache already cached data" churn.
+    from pyspark import StorageLevel
+
+    owned = batch.storageLevel == StorageLevel.NONE
+    if owned:
+        batch = batch.cache()
     try:
         known = {f.subject for f in FAMILIES}
         # ONE action discovers which subjects this batch actually carries —
@@ -128,7 +137,8 @@ def process_batch(
                 if fam_views:
                     decoded.unpersist()
     finally:
-        batch.unpersist()
+        if owned:
+            batch.unpersist()
 
 
 def files_per_trigger_for_bytes(
