@@ -318,6 +318,8 @@ def ivf_topk(
     immutable corpus should not retrain Lloyd every call. The caller
     owns cache correctness: the key must change when the corpus does
     (e.g. the warehouse path + snapshot id)."""
+    import numpy as np
+
     cache_id = (
         None
         if index_key is None
@@ -328,24 +330,109 @@ def ivf_topk(
         cent = ivf_centroids(corpus, n_lists, c_id, c_vec, iters=iters)
         if cache_id:
             _IVF_INDEX_CACHE[cache_id] = cent
+
+    # Fused probe (r12, guide §4 / §8 "move heavy bytes once"): when the
+    # query side fits the driver (one guarded executeTake job, the
+    # brute_force_topk cap), assign the queries driver-side and run
+    # assignment + candidate generation + exact scoring as ONE
+    # mapInPandas over the corpus — the corpus vectors cross the Arrow
+    # boundary once and never come back out. The pre-r12 shape
+    # (assign mapInPandas -> list_id join -> scoring mapInPandas)
+    # round-tripped every corpus vector out of Python and back in, and
+    # at local scale the planner even broadcast-collected the whole
+    # assigned corpus as the join's build side. Scoring arithmetic is
+    # the exact _blas_pair_scores kernel (same einsum over the same raw
+    # float64 pair arrays, same 6-dp round), and the query-side
+    # assignment replicates ivf_assign's numpy ops — outputs verified
+    # identical at all three test scales. Query sides over the cap fall
+    # back to the distributed list_id-join path below.
+    q_rows = queries.select(q_id, q_vec).limit(100_001).collect()
+    if len(q_rows) <= 100_000:
+        q_id_type = dict(queries.dtypes)[q_id]
+        c_id_type = dict(corpus.dtypes)[c_id]
+        q_ids = np.asarray([r[q_id] for r in q_rows])
+        rt = int(round_to)
+        if len(q_rows):
+            q_mat = np.array([r[q_vec] for r in q_rows], dtype=np.float64)
+            norm = np.linalg.norm(q_mat, axis=1)
+            norm[norm == 0] = 1.0
+            sims = (q_mat / norm[:, None]) @ cent.T  # same as ivf_assign
+            p = min(n_probe, sims.shape[1])
+            probed = np.argpartition(-sims, p - 1, axis=1)[:, :p]
+            # list_id -> (query row indices probing it)
+            by_list: dict = {}
+            for qi in range(len(q_rows)):
+                for li in probed[qi]:
+                    by_list.setdefault(int(li), []).append(qi)
+        else:
+            q_mat = np.zeros((0, cent.shape[1]))
+            by_list = {}
+        bc = corpus.sparkSession.sparkContext.broadcast(
+            (cent, q_ids, q_mat, by_list)
+        )
+
+        def probe(batches):
+            import pandas as pd
+
+            cm, ids, qm, bl = bc.value
+            for pdf in batches:
+                if not len(pdf) or not bl:
+                    continue
+                c_ids = pdf[c_id].to_numpy()
+                c_mat = np.array(list(pdf[c_vec]), dtype=np.float64)
+                nrm = np.linalg.norm(c_mat, axis=1)
+                nrm[nrm == 0] = 1.0
+                lists = ((c_mat / nrm[:, None]) @ cm.T).argmax(axis=1)
+                out_q, out_c, out_x, out_y = [], [], [], []
+                for li in np.unique(lists):
+                    qidx = bl.get(int(li))
+                    if not qidx:
+                        continue
+                    mask = lists == li
+                    mem_ids = c_ids[mask]
+                    mem = c_mat[mask]
+                    n_m = len(mem_ids)
+                    for qi in qidx:
+                        out_q.append(np.repeat(ids[qi], n_m))
+                        out_c.append(mem_ids)
+                        out_x.append(np.broadcast_to(qm[qi], mem.shape))
+                        out_y.append(mem)
+                if not out_q:
+                    continue
+                x = np.concatenate(out_x)
+                y = np.concatenate(out_y)
+                # the exact _blas_pair_scores arithmetic on raw vectors
+                sim = np.einsum("ij,ij->i", x, y) / (
+                    np.linalg.norm(x, axis=1) * np.linalg.norm(y, axis=1)
+                )
+                oq = np.concatenate(out_q)
+                oc = np.concatenate(out_c)
+                keep = oq != oc  # self-pair filter, as the join's q!=c
+                if keep.any():
+                    yield pd.DataFrame(
+                        {
+                            q_id: oq[keep],
+                            c_id: oc[keep],
+                            "cos_sim": np.round(sim[keep], rt),
+                        }
+                    )
+
+        scored = corpus.select(c_id, c_vec).mapInPandas(
+            probe, schema=f"{q_id} {q_id_type}, {c_id} {c_id_type}, cos_sim double"
+        )
+        return topk_per_group(
+            scored, keys=[q_id], order=[F.col("cos_sim").desc(), F.col(c_id)], k=k
+        )
+
     c_asg = ivf_assign(corpus, cent, c_id, c_vec, n_probe=1)
     q_asg = ivf_assign(queries, cent, q_id, q_vec, n_probe=n_probe)
-    # Broadcast the QUERY assignments (the small side by the ladder's
-    # contract, same as lsh_bucket_topk / brute_force_topk): without the
-    # hint the planner broadcast-collected the whole assigned CORPUS
-    # (BuildRight at local scale — a corpus-sized broadcast, and the
-    # probe pipeline ran at the query side's parallelism); with it the
-    # corpus streams scan -> assign -> join -> score in one stage and is
-    # never shuffled OR broadcast at any scale (r12, guide §3.1).
-    cand = c_asg.join(F.broadcast(q_asg), "list_id").filter(
-        F.col(q_id) != F.col(c_id)
-    )
-    # No dropDuplicates: the corpus side is assigned with n_probe=1, so
-    # a (q, c) pair can meet in at most ONE list (c has exactly one
-    # list_id; the query's probed lists are distinct) — the previous
-    # dedup was a provable no-op costing one (q,c)-keyed exchange +
-    # first() aggregate (r12, guide §2.4 "distinct on data that is
-    # already unique").
+    # Distributed fallback for query sides past the driver cap: the
+    # probe is an equi-join on list_id. No dropDuplicates after scoring:
+    # the corpus side is assigned with n_probe=1, so a (q, c) pair can
+    # meet in at most ONE list (c has exactly one list_id; the query's
+    # probed lists are distinct) — the previous dedup was a provable
+    # no-op costing one (q,c)-keyed exchange + first() aggregate.
+    cand = q_asg.join(c_asg, "list_id").filter(F.col(q_id) != F.col(c_id))
     scored = _blas_pair_scores(cand, q_id, c_id, q_vec, c_vec, round_to)
     return topk_per_group(
         scored, keys=[q_id], order=[F.col("cos_sim").desc(), F.col(c_id)], k=k
